@@ -1,38 +1,477 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship dashboard-panel query at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query for the correctness gate.
+
+Column-name and tie-break discipline: every aggregate is aliased identically
+on both sides; every top-k pins the total order ``count DESC, key ASC``;
+every floating aggregate is rounded to a fixed scale on both sides so the
+value-hash compares equal despite summation-order differences.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from harmonize_search_analyze_spark.functions.geohash import geohash_encode_sql
+from harmonize_search_analyze_spark.functions.tokenize import phrase_prefix_regex
+from harmonize_search_analyze_spark.operators.aggregations import (
+    nested_terms,
+    terms,
+)
+from harmonize_search_analyze_spark.operators.profiler import (
+    build_data_dict,
+    data_dict_oracle_sql,
+)
+from harmonize_search_analyze_spark.plans.compiler import compile_query
+from harmonize_search_analyze_spark.sources.catalog import Catalog
+from harmonize_search_analyze_spark.sources.tables import load_table as _t
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# flagship: one Kibana panel end-to-end — search predicate (compiled ES-DSL
+# bool query: range + term match) -> terms top-k aggregation.
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    lineitem = _t(spark, SF0001, "lineitem")
+    query = {
+        "bool": {
+            "must": [
+                {"range": {"l_quantity": {"gte": 10, "lte": 40}}},
+                {"match": {"l_linestatus": "F"}},
+            ]
+        }
+    }
+    return terms(lineitem.where(compile_query(query)), "l_returnflag", k=10)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def q_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: single-level terms agg, top-10 brands by doc count."""
+    return terms(_t(spark, sf_dir, "part"), "p_brand", k=10)
+
+
+SQL_TERMS_TOPK = """
+SELECT p_brand, COUNT(*) AS doc_count FROM part
+WHERE p_brand IS NOT NULL
+GROUP BY p_brand ORDER BY doc_count DESC, p_brand ASC LIMIT 10
+"""
+
+
+def q_search_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2+Q4+Q5 composed as bool-must (the webapp's generateQuery shape),
+    then count + sum metrics."""
+    ast = {
+        "bool": {
+            "must": [
+                {"range": {"l_quantity": {"gte": 10, "lte": 25}}},
+                {"terms": {"l_returnflag": ["N", "A"]}},
+                {"match": {"l_linestatus": "O"}},
+            ]
+        }
+    }
+    df = _t(spark, sf_dir, "lineitem").where(compile_query(ast))
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_SEARCH_BOOL = """
+SELECT COUNT(*) AS cnt,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity >= 10 AND l_quantity <= 25
+  AND l_returnflag IN ('N', 'A') AND l_linestatus = 'O'
+"""
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: match_phrase_prefix over the pinned .split tokenization."""
+    ast = {"match_phrase_prefix": {"p_type.split": "PROMO BUR"}}
+    df = _t(spark, sf_dir, "part").where(compile_query(ast))
+    return terms(df, "p_type", k=10)
+
+
+def _sql_phrase_prefix() -> str:
+    pattern = phrase_prefix_regex("PROMO BUR")
+    return f"""
+SELECT p_type, COUNT(*) AS doc_count FROM part
+WHERE regexp_matches(LOWER(p_type), '{pattern}') AND p_type IS NOT NULL
+GROUP BY p_type ORDER BY doc_count DESC, p_type ASC LIMIT 10
+"""
+
+
+def q_datetime_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3+Q8: datetime range filter (epoch-millis form the webapp emits) ->
+    status breakdown."""
+    frm = 1704067200000  # 2024-01-01T00:00:00Z
+    to = 1717200000000   # 2024-06-01T00:00:00Z
+    ast = {"bool": {"must": [
+        {"range": {"o_orderdate": {"from": frm, "to": to, "format": "epoch_millis"}}},
+    ]}}
+    df = _t(spark, sf_dir, "orders").where(compile_query(ast))
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_DATETIME_RANGE = """
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS sum_total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_nested_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the Day/Hour panel — dayofweek (top 10 by total) -> hour (top 24)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("dayofweek", F.date_format("ts", "EEEE"))
+        .withColumn("hour", F.hour("ts").cast("bigint"))
+    )
+    out = nested_terms(ev, "dayofweek", "hour", outer_k=10, inner_k=24)
+    return out.select(
+        "dayofweek", "hour",
+        F.col("doc_count").alias("doc_count"),
+        F.col("outer_count").alias("outer_count"),
+    )
+
+
+SQL_NESTED_TERMS = """
+WITH pair AS (
+  SELECT dayname(ts) AS dayofweek, hour(ts) AS hour, COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT *, SUM(doc_count) OVER (PARTITION BY dayofweek) AS outer_count,
+         ROW_NUMBER() OVER (PARTITION BY dayofweek
+                            ORDER BY doc_count DESC, hour ASC) AS inner_rank
+  FROM pair
+), ranked AS (
+  SELECT *, DENSE_RANK() OVER (ORDER BY outer_count DESC, dayofweek ASC) AS outer_rank
+  FROM tot WHERE inner_rank <= 24
+)
+SELECT dayofweek, hour, doc_count, outer_count FROM ranked WHERE outer_rank <= 10
+"""
+
+
+_LAT_EXPR = "((CAST(l_partkey % 18000 AS DOUBLE) / 100.0) - 90.0)"
+_LON_EXPR = "((CAST(l_orderkey % 36000 AS DOUBLE) / 100.0) - 180.0)"
+
+
+def q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: geohash_grid precision-2 bucket counts over synthesized lat/lon
+    (FIXTURES.md §4: derive coordinates from numeric columns)."""
+    df = _t(spark, sf_dir, "lineitem")
+    gh = geohash_encode_sql(_LAT_EXPR, _LON_EXPR, precision=2)
+    return (
+        df.select(F.expr(gh).alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("geohash"))
+    )
+
+
+def _sql_geohash_grid() -> str:
+    gh = geohash_encode_sql(_LAT_EXPR, _LON_EXPR, precision=2)
+    return f"""
+SELECT {gh} AS geohash, COUNT(*) AS doc_count FROM lineitem
+GROUP BY 1 ORDER BY doc_count DESC, geohash ASC
+"""
+
+
+_LINEITEM_NUMERIC = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+_LINEITEM_OTHER = ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def q_profile_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the single-pass column profiler (dictionary stats) over lineitem."""
+    df = _t(spark, sf_dir, "lineitem")
+    d = build_data_dict(df, columns=_LINEITEM_NUMERIC + _LINEITEM_OTHER)
+    return d.select(
+        "dict_field", "dict_count", "dict_countdistinct", "dict_countmissing",
+        F.round("dict_mean", 6).alias("dict_mean"),
+        F.round("dict_stddev", 6).alias("dict_stddev"),
+        "dict_min", "dict_max",
+    )
+
+
+def q_union_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/Q9: index-pattern union of two heterogeneous 'harmonized' datasets
+    (customer has mktsegment, supplier doesn't) -> per-nation rollup."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_name").alias("entity_name"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_name").alias("entity_name"),
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+    )
+    cat = Catalog(spark)
+    cat.register("customer_harmonized", cust)
+    cat.register("supplier_harmonized", supp)
+    union = cat.resolve("*_harmonized")
+    return (
+        union.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("acctbal"), 2).alias("sum_acctbal"),
+            F.count("mktsegment").alias("cnt_segment"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+SQL_UNION_WILDCARD = """
+WITH u AS (
+  SELECT c_name AS entity_name, c_nationkey AS nationkey,
+         c_acctbal AS acctbal, c_mktsegment AS mktsegment FROM customer
+  UNION ALL
+  SELECT s_name, s_nationkey, s_acctbal, NULL FROM supplier
+)
+SELECT nationkey, COUNT(*) AS cnt, ROUND(SUM(acctbal), 2) AS sum_acctbal,
+       COUNT(mktsegment) AS cnt_segment
+FROM u GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+def q_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema equi-join + agg (SURVEY.md §2.6: the engine ships joins
+    even though the reference avoids them). Dims are broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("n_name")
+    )
+    return rev
+
+
+SQL_JOIN_REVENUE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window agg over the events stream table (the batch
+    expression of the streaming dashboard refresh; see streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "cnt", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+SQL_EVENT_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS cnt,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: hash-groupBy on normalized text, keep the
+    min doc_id as canonical."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(LOWER(TRIM(text))) AS text_hash, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, distinct-token ratio, stopword ratio —
+    per-source aggregate quality profile of the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.expr(
+        "size(filter(split(text, ' '), t -> t IN ('the', 'a')))"
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        stop.alias("n_stopwords"),
+        F.length("text").alias("n_chars2"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("sum_tokens"),
+            F.round(F.avg("n_distinct_tokens"), 6).alias("avg_distinct_tokens"),
+            F.round(
+                F.avg(F.col("n_stopwords") / F.col("n_tokens")), 6
+            ).alias("stopword_ratio"),
+            F.sum(F.col("n_chars2").cast("bigint")).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TEXT_STATS = """
+WITH per_doc AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the', 'a'))) AS n_stopwords,
+         length(text) AS n_chars2
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(AVG(n_distinct_tokens), 6) AS avg_distinct_tokens,
+       ROUND(AVG(CAST(n_stopwords AS DOUBLE) / n_tokens), 6) AS stopword_ratio,
+       CAST(SUM(n_chars2) AS BIGINT) AS sum_chars
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+_QUERY_VEC = [round(math.sin(i + 1.0), 6) for i in range(64)]
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (the ANN baseline).
+    All arithmetic in double, sequential left-fold, so the oracle matches."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qlit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _QUERY_VEC) + ")"
+    dot = (
+        f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), {qlit}, "
+        "(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    norm = (
+        "sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    qnorm = math.sqrt(sum(v * v for v in _QUERY_VEC))
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.round(F.expr(dot) / (F.expr(norm) * F.lit(qnorm)), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sql_similarity_topk() -> str:
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _QUERY_VEC) + "]"
+    qnorm = math.sqrt(sum(v * v for v in _QUERY_VEC))
+    return f"""
+SELECT vec_id, label,
+       ROUND(
+         list_sum(list_transform(list_zip(embedding::DOUBLE[], {qlit}),
+                                 p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+            * {qnorm!r}), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "terms_topk": q_terms_topk,
+        "search_bool": q_search_bool,
+        "phrase_prefix": q_phrase_prefix,
+        "datetime_range": q_datetime_range,
+        "nested_terms": q_nested_terms,
+        "geohash_grid": q_geohash_grid,
+        "profile_dict": q_profile_dict,
+        "union_wildcard": q_union_wildcard,
+        "join_revenue": q_join_revenue,
+        "event_window": q_event_window,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "similarity_topk": q_similarity_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "terms_topk": SQL_TERMS_TOPK,
+        "search_bool": SQL_SEARCH_BOOL,
+        "phrase_prefix": _sql_phrase_prefix(),
+        "datetime_range": SQL_DATETIME_RANGE,
+        "nested_terms": SQL_NESTED_TERMS,
+        "geohash_grid": _sql_geohash_grid(),
+        "profile_dict": data_dict_oracle_sql(
+            "lineitem", _LINEITEM_NUMERIC, _LINEITEM_OTHER
+        ),
+        "union_wildcard": SQL_UNION_WILDCARD,
+        "join_revenue": SQL_JOIN_REVENUE,
+        "event_window": SQL_EVENT_WINDOW,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "text_stats": SQL_TEXT_STATS,
+        "similarity_topk": _sql_similarity_topk(),
+    }

@@ -1,0 +1,94 @@
+"""Geohash encoding as a pure SQL/Column expression (no UDF).
+
+The reference's "IncidentMap" tile map runs an Elasticsearch ``geohash_grid``
+aggregation (``kibana-exported-visualizations.json`` viz 7, precision 2) over a
+``geo_point`` field. Spark has no geohash built-in, so we synthesize one — but
+as a *native column expression* (bit arithmetic + base32 table lookup), not a
+Python UDF: it stays inside whole-stage codegen and costs nothing extra at
+100 TB scale.
+
+Algorithm (public geohash spec): a geohash of precision ``p`` encodes
+``5*p`` bits, alternating longitude/latitude starting with longitude at the
+MSB. The iterative bisection is equivalent to fixed-point quantization:
+
+    x = floor((lon + 180) / 360 * 2^nx)   with nx = ceil(5p/2)  lon bits
+    y = floor((lat +  90) / 180 * 2^ny)   with ny = floor(5p/2) lat bits
+
+then interleave the bits of x and y (x first) and emit base32 digits from the
+alphabet ``0123456789bcdefghjkmnpqrstuvwxyz``.
+
+Because the whole computation is integer arithmetic on two quantized values,
+the *same* SQL text runs on any ANSI engine — ``geohash_encode_sql`` emits it
+for the DuckDB oracle, and ``geohash_encode`` wraps it as a Spark Column.
+Verified against published test vectors (see tests/test_geohash.py), e.g.
+ezs42 = (42.605, -5.603).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _quantize_sql(lat: str, lon: str, precision: int) -> tuple[str, str, int, int]:
+    bits = 5 * precision
+    nx = (bits + 1) // 2  # lon bits (lon gets the extra bit)
+    ny = bits // 2  # lat bits
+    # Clamp to the top cell so lat=90/lon=180 stay in range.
+    x = (
+        f"LEAST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {1 << nx}) AS BIGINT), "
+        f"{(1 << nx) - 1})"
+    )
+    y = (
+        f"LEAST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * {1 << ny}) AS BIGINT), "
+        f"{(1 << ny) - 1})"
+    )
+    return x, y, nx, ny
+
+
+def geohash_encode_sql(lat: str, lon: str, precision: int = 2) -> str:
+    """Emit engine-portable ANSI SQL computing the geohash of (lat, lon).
+
+    ``lat``/``lon`` are SQL expressions. The result is a string of
+    ``precision`` base32 characters. Runs identically on Spark SQL and DuckDB
+    (used verbatim as the oracle for the geohash_grid aggregation).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    x_sql, y_sql, nx, ny = _quantize_sql(lat, lon, precision)
+    bits = 5 * precision
+
+    # bit position b (0 = MSB of the geohash): even -> lon bit, odd -> lat bit.
+    # Bit b of the hash = bit (nx-1 - b//2) of x   when b even,
+    #                     bit (ny-1 - b//2) of y   when b odd.
+    def bit_expr(b: int) -> str:
+        if b % 2 == 0:
+            src, shift = "x", nx - 1 - b // 2
+        else:
+            src, shift = "y", ny - 1 - b // 2
+        return f"((({src}) >> {shift}) & 1)"
+
+    chars = []
+    for c in range(precision):
+        terms = []
+        for j in range(5):
+            b = 5 * c + j
+            weight = 1 << (4 - j)
+            terms.append(f"{bit_expr(b)} * {weight}")
+        idx = " + ".join(terms)
+        chars.append(f"SUBSTR('{BASE32}', CAST({idx} AS INT) + 1, 1)")
+    body = " || ".join(chars) if len(chars) > 1 else chars[0]
+    # Inline x/y via a correlated scalar — portable across Spark/DuckDB — is
+    # clunky; instead substitute the quantization expressions textually.
+    body = body.replace("(x)", f"({x_sql})").replace("(y)", f"({y_sql})")
+    assert bits == 5 * precision
+    return f"({body})"
+
+
+def geohash_encode(lat: Column | str, lon: Column | str, precision: int = 2) -> Column:
+    """Geohash of two numeric columns as a Spark Column (codegen-friendly)."""
+    lat_sql = lat if isinstance(lat, str) else lat._jc.toString()  # noqa: SLF001
+    lon_sql = lon if isinstance(lon, str) else lon._jc.toString()  # noqa: SLF001
+    return F.expr(geohash_encode_sql(lat_sql, lon_sql, precision))

@@ -1,0 +1,180 @@
+"""Dashboard aggregation layer.
+
+Re-expresses the reference's Kibana visualization aggregations
+(``notebooks/kibana-content/kibana-exported-visualizations.json``) as
+DataFrame operators:
+
+- count metric (viz 2,3,4,5,7 all use ``{type: 'count'}``)
+- terms top-k (single level, viz 2/5; two-field table viz 4)
+- nested terms (viz 3: dayofweek size 10 -> hour size 24)
+- geohash grid (viz 7: precision-2 geohash buckets)
+- typeahead suggestions (webapp ``views.js:378-412``)
+
+Determinism note: ES orders equal-count terms by term key; we pin the total
+order ``count DESC, key ASC`` everywhere (SURVEY.md §7 risk list) so results
+are reproducible and oracle-comparable.
+
+Scale notes (100 TB): every operator here is a partial+final hash aggregation
+(map-side combine comes free from ``groupBy().count()``), followed by either a
+global top-k (``orderBy().limit(k)`` -> Spark's TakeOrderedAndProject, which
+never materializes a full sort) or a bounded per-group window. No shuffles
+beyond the single agg exchange; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.functions.geohash import geohash_encode
+
+
+def count_metric(df: DataFrame, predicate: Column | None = None) -> DataFrame:
+    """Total doc count, optionally under a predicate (Kibana count metric)."""
+    if predicate is not None:
+        df = df.where(predicate)
+    return df.agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+def terms(
+    df: DataFrame,
+    field: str,
+    k: int = 10,
+    *,
+    skip_nulls: bool = True,
+) -> DataFrame:
+    """Top-k terms by doc count (ES terms aggregation).
+
+    ES terms aggs skip missing values; we mirror that with a null filter
+    (pushed to the scan). Exact counts (ES's are shard-approximate — exactness
+    is strictly better, SURVEY.md §4).
+    """
+    if skip_nulls:
+        df = df.where(F.col(field).isNotNull())
+    return (
+        df.groupBy(field)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc(field))
+        .limit(k)
+    )
+
+
+def terms_multi(df: DataFrame, fields: list[str], k: int = 20) -> DataFrame:
+    """Multi-field terms table (viz 4 'DatasetTable': city x notebookhtml)."""
+    cond = None
+    for f_ in fields:
+        c = F.col(f_).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return (
+        df.where(cond)
+        .groupBy(*fields)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), *[F.asc(f_) for f_ in fields])
+        .limit(k)
+    )
+
+
+def nested_terms(
+    df: DataFrame,
+    outer: str,
+    inner: str,
+    outer_k: int = 10,
+    inner_k: int = 24,
+) -> DataFrame:
+    """Two-level terms agg (viz 3: dayofweek -> hour), ES semantics:
+    top ``outer_k`` outer buckets by their TOTAL count, then within each the
+    top ``inner_k`` inner buckets.
+
+    Single shuffle on (outer, inner); outer totals come from a second partial
+    agg over the already-shuffled pair counts (cheap: |pairs| rows, not |df|);
+    both rankings are bounded window functions over the pair-count frame, so
+    the whole plan touches the base table exactly once.
+    """
+    pair = (
+        df.where(F.col(outer).isNotNull() & F.col(inner).isNotNull())
+        .groupBy(outer, inner)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    outer_tot = F.sum("doc_count").over(Window.partitionBy(outer))
+    w_outer = Window.orderBy(F.desc("outer_count"), F.asc(outer))
+    w_inner = Window.partitionBy(outer).orderBy(F.desc("doc_count"), F.asc(inner))
+    return (
+        pair.withColumn("outer_count", outer_tot)
+        .withColumn("inner_rank", F.row_number().over(w_inner))
+        .where(F.col("inner_rank") <= inner_k)
+        .withColumn("outer_rank", F.dense_rank().over(w_outer))
+        .where(F.col("outer_rank") <= outer_k)
+        .select(outer, inner, "doc_count", "outer_count")
+        .orderBy(F.desc("outer_count"), F.asc(outer), F.desc("doc_count"), F.asc(inner))
+    )
+
+
+def geohash_grid(
+    df: DataFrame,
+    lat: str,
+    lon: str,
+    precision: int = 2,
+    k: int | None = None,
+) -> DataFrame:
+    """Geohash-grid bucket counts (viz 7 'IncidentMap', precision 2).
+
+    The geohash is a pure column expression (functions/geohash.py), so this is
+    scan -> codegen'd projection -> hash agg; at precision p there are at most
+    32^p buckets, so the final aggregation state is tiny no matter the input.
+    """
+    out = (
+        df.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+        .select(geohash_encode(lat, lon, precision).alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("geohash"))
+    )
+    return out.limit(k) if k is not None else out
+
+
+def suggest(
+    df: DataFrame,
+    field: str,
+    prefix: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Typeahead suggestions (webapp ``views.js:378-412``): top-k terms of
+    ``field``, optionally filtered by phrase-prefix match of ``prefix``
+    against the field's ``.split`` tokens."""
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        phrase_prefix_predicate,
+    )
+
+    if prefix:
+        df = df.where(phrase_prefix_predicate(field, prefix))
+    return terms(df, field, k)
+
+
+def dashboard(
+    df: DataFrame,
+    panels: dict[str, "callable"],
+    query: Column | None = None,
+    time_field: str | None = None,
+    time_from=None,
+    time_to=None,
+    cache: bool = True,
+) -> dict[str, DataFrame]:
+    """Run a panel set over one shared filter context (viz 9 dashboard +
+    ``views.js:97-115`` query injection): base query AND UI query AND global
+    time window applied once, then each panel aggregates the same frame.
+
+    ``panels`` maps name -> fn(DataFrame) -> DataFrame. The filtered frame is
+    cached when more than one panel will reuse it (the reference gets this
+    "for free" by ES query caching; in Spark we must ask for it).
+    """
+    filtered = df
+    if query is not None:
+        filtered = filtered.where(query)
+    if time_field is not None:
+        if time_from is not None:
+            filtered = filtered.where(F.col(time_field) >= F.lit(time_from))
+        if time_to is not None:
+            filtered = filtered.where(F.col(time_field) <= F.lit(time_to))
+    if cache and len(panels) > 1:
+        filtered = filtered.cache()
+    return {name: fn(filtered) for name, fn in panels.items()}

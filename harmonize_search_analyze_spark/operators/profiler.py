@@ -1,0 +1,213 @@
+"""Single-pass column profiler -> the "data dictionary" table.
+
+The reference's ``buildDataDict`` (``notebooks/lib/harmonizeCrimeIncidents.py:
+337-406``) profiles every column of a dataset into one dictionary row:
+non-null count, distinct count, missing count, mean, stddev_pop, min, max,
+plus author-supplied metadata (group, description, ui-filter flag, lineage,
+vartype) and a stats-driven type guess. That dictionary table IS the contract
+between the ETL layer and the search UI (SURVEY.md §3.3).
+
+The reference builds it with one ``SELECT ... FROM tmptable`` per column glued
+by UNION ALL — N full scans for N columns (SURVEY.md §4 anti-pattern #1).
+Here: ONE aggregation pass computing all 7 stats x N columns, then an unpivot
+(``stack``) of the single aggregated row. At 100 TB that is one scan + one
+tiny shuffle instead of N scans.
+
+``exact_distinct=False`` swaps COUNT(DISTINCT) for HyperLogLog
+``approx_count_distinct``: multiple exact distincts in one pass force a
+Catalyst Expand (input amplified x(N+1)), which is the right trade at test
+scale but not at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DICT_SCHEMA_COLUMNS = [
+    "dict_field", "dict_count", "dict_countdistinct", "dict_countmissing",
+    "dict_mean", "dict_stddev", "dict_min", "dict_max",
+    "dict_vargroup", "dict_vardescr", "dict_uifilter", "dict_varmapping",
+    "dict_vartype",
+]
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+@dataclass
+class ColumnMeta:
+    """Author-supplied dictionary metadata for one column (the reference's
+    ``vargroups``/``vartypes``/``vardescrs`` notebook dicts)."""
+
+    vargroup: str = "99.Other"
+    vardescr: str = ""
+    uifilter: bool = False
+    varmapping: str = ""
+    # identifier | datetime | boolean | range,lo,hi,step | enum,... | text | unknown
+    vartype: str = "unknown"
+    extra: dict = field(default_factory=dict)
+
+
+def _is_numeric(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _NUMERIC_TYPES)
+
+
+def build_data_dict(
+    df: DataFrame,
+    meta: dict[str, ColumnMeta] | None = None,
+    *,
+    exact_distinct: bool = True,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Profile ``df`` into the dictionary table (one row per column).
+
+    Output schema (golden, per ``Baltimore-notebook.ipynb:949`` Athena DDL):
+    dict_field STRING, dict_count BIGINT, dict_countdistinct BIGINT,
+    dict_countmissing BIGINT, dict_mean DOUBLE, dict_stddev DOUBLE,
+    dict_min STRING, dict_max STRING, dict_vargroup STRING, dict_vardescr
+    STRING, dict_uifilter STRING ('True'/'False'), dict_varmapping STRING,
+    dict_vartype STRING.
+    """
+    meta = meta or {}
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    aggs = []
+    dist_aggs = []
+    for c in cols:
+        numeric = _is_numeric(schema[c])
+        aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
+        if exact_distinct:
+            # Kept OUT of the main agg: mixing multiple COUNT(DISTINCT) with
+            # regular aggregates forces Catalyst's Expand plan (input rows
+            # amplified x(N+1) and 150x slower on an 11-column table at
+            # sf0.1 — measured). Distinct-only multi-agg plans cleanly, so we
+            # run it as a second single-row agg and cross-join the two rows.
+            dist_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__dist"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"{c}__miss")
+        )
+        if numeric:
+            aggs.append(F.avg(F.col(c)).cast("double").alias(f"{c}__mean"))
+            aggs.append(F.stddev_pop(F.col(c)).cast("double").alias(f"{c}__std"))
+        else:
+            # reference: AVG/STDDEV nulled for string/timestamp columns
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__std"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+
+    one_row = df.agg(*aggs)
+    if dist_aggs:
+        one_row = one_row.crossJoin(df.agg(*dist_aggs))
+
+    # Unpivot the single aggregated row: stack(N, 'col', col__count, ...) —
+    # stays distributed (no driver collect), negligible data volume.
+    stack_args = []
+    for c in cols:
+        stack_args.append(f"'{c}'")
+        stack_args.extend(
+            f"`{c}__{s}`" for s in ("count", "dist", "miss", "mean", "std", "min", "max")
+        )
+    stacked = one_row.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) AS "
+            "(dict_field, dict_count, dict_countdistinct, dict_countmissing, "
+            "dict_mean, dict_stddev, dict_min, dict_max)"
+        )
+    )
+
+    # Attach author metadata via a when-chain (tiny, driver-side literals).
+    def meta_col(attr: str, default: str) -> F.Column:
+        expr = None
+        for c in cols:
+            m = meta.get(c)
+            if m is None:
+                continue
+            v = getattr(m, attr)
+            if attr == "uifilter":
+                v = "True" if v else "False"
+            branch = F.when(F.col("dict_field") == c, F.lit(v))
+            expr = branch if expr is None else expr.when(
+                F.col("dict_field") == c, F.lit(v)
+            )
+        base = F.lit(default)
+        return base if expr is None else expr.otherwise(base)
+
+    out = (
+        stacked
+        .withColumn("dict_vargroup", meta_col("vargroup", "99.Other"))
+        .withColumn("dict_vardescr", meta_col("vardescr", ""))
+        .withColumn("dict_uifilter", meta_col("uifilter", "False"))
+        .withColumn("dict_varmapping", meta_col("varmapping", ""))
+        .withColumn("dict_vartype", meta_col("vartype", "unknown"))
+    )
+
+    # Stats-driven type resolution for 'unknown' columns — exact thresholds
+    # from the reference CASE (harmonizeCrimeIncidents.py:389-405):
+    #   mean NULL                                   -> text
+    #   distinct = 2 AND min = 0 AND max = 1        -> boolean
+    #   distinct > 1 + (max - min)                  -> range,0,floor(max+1),0.1
+    #   else                                        -> range,0,floor(max/10+1)*10,1
+    minD = F.col("dict_min").try_cast("double")
+    maxD = F.col("dict_max").try_cast("double")
+    guessed = (
+        F.when(F.col("dict_mean").isNull(), F.lit("text"))
+        .when(
+            (F.col("dict_countdistinct") == 2) & (minD == 0) & (maxD == 1),
+            F.lit("boolean"),
+        )
+        .when(
+            F.col("dict_countdistinct").cast("double") > (F.lit(1.0) + maxD - minD),
+            F.concat(F.lit("range,0,"), F.floor(maxD + 1).cast("string"), F.lit(",0.1")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("range,0,"),
+                (F.floor(maxD / 10 + 1) * 10).cast("string"),
+                F.lit(",1"),
+            )
+        )
+    )
+    out = out.withColumn(
+        "dict_vartype",
+        F.when(F.col("dict_vartype") == "unknown", guessed).otherwise(
+            F.col("dict_vartype")
+        ),
+    )
+    return out.select(*DICT_SCHEMA_COLUMNS)
+
+
+def data_dict_oracle_sql(
+    table: str,
+    numeric_cols: list[str],
+    other_cols: list[str],
+) -> str:
+    """DuckDB SQL computing the same dictionary stats (used as the driver
+    oracle). One SELECT per column UNION ALL'd — fine for an oracle; the
+    engine itself is single-pass."""
+    selects = []
+    for c, numeric in [(c, True) for c in numeric_cols] + [
+        (c, False) for c in other_cols
+    ]:
+        mean = f"CAST(AVG({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        std = f"CAST(STDDEV_POP({c}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        selects.append(
+            f"SELECT '{c}' AS dict_field, COUNT({c}) AS dict_count, "
+            f"COUNT(DISTINCT {c}) AS dict_countdistinct, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS dict_countmissing, "
+            f"ROUND({mean}, 6) AS dict_mean, ROUND({std}, 6) AS dict_stddev, "
+            f"CAST(MIN({c}) AS VARCHAR) AS dict_min, "
+            f"CAST(MAX({c}) AS VARCHAR) AS dict_max FROM {table}"
+        )
+    return " UNION ALL ".join(selects)

@@ -1,0 +1,188 @@
+"""Search-query compiler: ES bool-query DSL (the subset the reference webapp
+emits) -> ``pyspark.sql.Column`` predicate.
+
+The reference compiles widget state into an Elasticsearch query in
+``FieldCollection.generateQuery()`` (``services/webapp/src/collections.js:
+146-208``) and ships it to Kibana. The full grammar it can ever produce:
+
+- ``{"match_all": {}}``                               (collections.js:147)
+- ``{"range": {f: {"gte": lo, "lte": hi}}}``          (collections.js:158-160)
+- ``{"range": {f: {"from": ms, "to": ms,
+                   "format": "epoch_millis"}}}``      (collections.js:178-184)
+- ``{"match": {f: value}}``                           (collections.js:175-177)
+- ``{"bool": {"should": [match...],
+              "minimum_should_match": 1}}``           (collections.js:161-174)
+- ``{"match_phrase_prefix": {f + ".split": text}}``   (collections.js:185-191)
+- ``{"query_string": {"query": "f:*" | "*"}}``        (collections.js:78-80)
+- all wrapped in ``{"bool": {"must": [...]}}``        (collections.js:194-199)
+
+We accept that grammar (plus ``must_not``/``terms`` for completeness) as a
+plain JSON AST and fold it into one Column expression, which Catalyst then
+pushes into the Parquet scan. Equality (`match`) is *exact* equality — the
+reference's fields are ``not_analyzed`` so ES match degenerates to term
+equality; the analyzed path only exists for ``.split`` fields, which we route
+through the pinned phrase-prefix semantics (functions/tokenize.py).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.functions.tokenize import (
+    phrase_prefix_predicate,
+)
+
+SPLIT_SUFFIX = ".split"
+
+
+class QueryCompileError(ValueError):
+    pass
+
+
+def compile_query(ast: dict[str, Any] | None) -> Column:
+    """Compile an ES-DSL JSON AST to a Column predicate (AND of clauses)."""
+    if not ast:
+        return F.lit(True)
+    if len(ast) != 1:
+        raise QueryCompileError(f"query node must have exactly one key: {ast}")
+    (kind, body), = ast.items()
+    handler = _HANDLERS.get(kind)
+    if handler is None:
+        raise QueryCompileError(f"unsupported query kind: {kind}")
+    return handler(body)
+
+
+def _match_all(_body: Any) -> Column:
+    return F.lit(True)
+
+
+def _range(body: dict[str, Any]) -> Column:
+    (field, spec), = body.items()
+    col = F.col(field)
+    is_epoch_millis = spec.get("format") == "epoch_millis"
+
+    def conv(v: Any) -> Any:
+        if is_epoch_millis:
+            # ES datetime ranges arrive as epoch millis (collections.js:180);
+            # convert to a UTC timestamp literal for the timestamp column.
+            return F.lit(
+                _dt.datetime.fromtimestamp(v / 1000.0, tz=_dt.timezone.utc)
+            ).cast("timestamp")
+        return F.lit(v)
+
+    preds = []
+    # ES range params: gte/lte/gt/lt; the deprecated from/to are gte/lte.
+    for key, op in (("gte", "__ge__"), ("from", "__ge__"), ("gt", "__gt__"),
+                    ("lte", "__le__"), ("to", "__le__"), ("lt", "__lt__")):
+        if spec.get(key) is not None:
+            preds.append(getattr(col, op)(conv(spec[key])))
+    if not preds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, preds)
+
+
+def _match(body: dict[str, Any]) -> Column:
+    (field, value), = body.items()
+    if field.endswith(SPLIT_SUFFIX):
+        return phrase_prefix_predicate(field[: -len(SPLIT_SUFFIX)], str(value))
+    return F.col(field) == F.lit(value)
+
+
+def _match_phrase_prefix(body: dict[str, Any]) -> Column:
+    (field, value), = body.items()
+    if field.endswith(SPLIT_SUFFIX):
+        field = field[: -len(SPLIT_SUFFIX)]
+    return phrase_prefix_predicate(field, str(value))
+
+
+def _terms(body: dict[str, Any]) -> Column:
+    (field, values), = body.items()
+    return F.col(field).isin(list(values))
+
+
+def _query_string(body: dict[str, Any]) -> Column:
+    # Only two shapes occur in the reference (collections.js:78-80 and the
+    # Kibana searchSource base query): 'field:*' -> IS NOT NULL, '*' -> true.
+    q = body.get("query", "*").strip()
+    if q in ("*", ""):
+        return F.lit(True)
+    if q.endswith(":*") and ":" not in q[:-2]:
+        return F.col(q[:-2]).isNotNull()
+    raise QueryCompileError(
+        f"query_string supports only '*' and 'field:*' forms, got: {q!r}"
+    )
+
+
+def _bool(body: dict[str, Any]) -> Column:
+    preds = []
+    for clause in body.get("must", []) or []:
+        preds.append(compile_query(clause))
+    for clause in body.get("filter", []) or []:
+        preds.append(compile_query(clause))
+    should = [compile_query(c) for c in body.get("should", []) or []]
+    if should:
+        # reference always sets minimum_should_match: 1 (collections.js:171)
+        preds.append(reduce(lambda a, b: a | b, should))
+    for clause in body.get("must_not", []) or []:
+        preds.append(~compile_query(clause))
+    if not preds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, preds)
+
+
+_HANDLERS = {
+    "match_all": _match_all,
+    "range": _range,
+    "match": _match,
+    "match_phrase_prefix": _match_phrase_prefix,
+    "term": _match,
+    "terms": _terms,
+    "query_string": _query_string,
+    "bool": _bool,
+}
+
+
+def display_text(ast: dict[str, Any] | None) -> str:
+    """Human-readable Lucene-ish mirror of a query AST.
+
+    Parity with the webapp's display-text generator
+    (``services/webapp/src/collections.js:209-257``) which renders e.g.
+    ``name:>=5 AND name:<=10 AND (color:red OR color:blue)``.
+    """
+    if not ast:
+        return "*"
+    (kind, body), = ast.items()
+    if kind == "match_all":
+        return "*"
+    if kind == "range":
+        (field, spec), = body.items()
+        parts = []
+        for k, sym in (("gte", ">="), ("from", ">="), ("gt", ">"),
+                       ("lte", "<="), ("to", "<="), ("lt", "<")):
+            if spec.get(k) is not None:
+                parts.append(f"{field}:{sym}{spec[k]}")
+        return " AND ".join(parts) or "*"
+    if kind in ("match", "term"):
+        (field, value), = body.items()
+        return f'{field}:"{value}"'
+    if kind == "match_phrase_prefix":
+        (field, value), = body.items()
+        return f'{field}:"{value}*"'
+    if kind == "terms":
+        (field, values), = body.items()
+        return "(" + " OR ".join(f'{field}:"{v}"' for v in values) + ")"
+    if kind == "query_string":
+        return body.get("query", "*")
+    if kind == "bool":
+        parts = [display_text(c) for c in body.get("must", []) or []]
+        should = [display_text(c) for c in body.get("should", []) or []]
+        if should:
+            parts.append("(" + " OR ".join(should) + ")")
+        parts.extend(f"NOT {display_text(c)}" for c in body.get("must_not", []) or [])
+        return " AND ".join(p for p in parts if p) or "*"
+    return "*"

@@ -1,0 +1,88 @@
+"""Dataset catalog with ES-style wildcard "index patterns".
+
+The reference unifies heterogeneous per-city datasets not by joining but by
+indexing each into its own ES index (``<city>_harmonized``/``<city>_dictionary``)
+and querying wildcard patterns ``*harmonized*`` / ``*dictionary*``
+(``services/webapp/src/config.js:16,22``). Per-city schemas differ (Baltimore
+has ``weapon``, LA has ``gang_related``), and ES transparently treats missing
+fields as null.
+
+Spark-native equivalent: a registry of named DataFrames; pattern resolution
+globs the names and folds the matches with
+``unionByName(allowMissingColumns=True)`` — the exact "loosely coupled union"
+semantics, with missing columns null-padded. Catalyst pushes any later filter
+into each branch of the union, so per-dataset Parquet pruning still applies.
+
+Also carries the reference's sink/lifecycle surface (esindex.py:53-139
+``createOrReplaceIndex``/``deleteIndex``/``saveToEs``) re-expressed as
+register/drop/save-parquet, and the notebook's ``saveAsParquetTable``
+(``harmonizeCrimeIncidents.py:408-422``) including the external-DDL export.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """In-session registry: name -> DataFrame, with wildcard union."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._datasets: dict[str, DataFrame] = {}
+
+    # -- index lifecycle (esindex.py:53-114 equivalents) -------------------
+    def register(self, name: str, df: DataFrame) -> None:
+        """createOrReplaceIndex: idempotent (re)registration."""
+        self._datasets[name] = df
+
+    def drop(self, pattern: str = "*") -> list[str]:
+        """deleteIndex(index='*'): drop every dataset matching the pattern."""
+        victims = self.resolve_names(pattern)
+        for name in victims:
+            del self._datasets[name]
+        return victims
+
+    def names(self) -> list[str]:
+        return sorted(self._datasets)
+
+    # -- pattern resolution (config.js:16,22 wildcard semantics) -----------
+    def resolve_names(self, pattern: str) -> list[str]:
+        return sorted(n for n in self._datasets if fnmatch.fnmatchcase(n, pattern))
+
+    def resolve(self, pattern: str) -> DataFrame:
+        """Union every dataset matching an index pattern, by column name,
+        null-padding columns a member lacks (ES multi-index semantics)."""
+        names = self.resolve_names(pattern)
+        if not names:
+            raise KeyError(f"no datasets match index pattern {pattern!r}")
+        frames = [self._datasets[n] for n in names]
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+
+    # -- persistence (harmonizeCrimeIncidents.py:408-422) ------------------
+    def save_parquet(
+        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Parquet sink, overwrite mode. ``partition_by`` (e.g. city/year)
+        buys partition pruning for the dashboard's global time filter."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    def save_as_table(
+        self, df: DataFrame, table: str, path: str | None = None
+    ) -> str:
+        """saveAsParquetTable: persist as a metastore table and return its
+        DDL (the reference regex-rewrote SHOW CREATE TABLE into Athena DDL;
+        we return Spark's own DDL text — an external catalog can adapt it)."""
+        writer = df.write.mode("overwrite").format("parquet")
+        if path:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table)
+        return self.spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from harmonize_search_analyze_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    yield s
