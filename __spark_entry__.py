@@ -396,7 +396,259 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def q_harmonize_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end harmonization pipeline (§2.2/2.9 semantics) exercised on
+    orders: serialize the timestamp to the cities' raw string formats, then
+    re-extract parts via the multi-format regexes, rebuild the datetime,
+    value-map the status enum (unmatched values pass through), and roll up.
+    """
+    from harmonize_search_analyze_spark.operators.harmonize import (
+        Harmonizer,
+        extract_date_parts,
+        extract_time_parts,
+    )
+
+    raw = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("date_str", F.date_format("o_orderdate", "M/d/yyyy"))
+        .withColumn("time_str", F.date_format("o_orderdate", "H:mm:ss"))
+    )
+    df = extract_date_parts(raw, "date_str")
+    df = extract_time_parts(df, "time_str")
+    h = (
+        Harmonizer(df)
+        .map_var("o_orderstatus", "status")
+        .derive_datetime()
+        .derive_dayofweek()
+        .map_values("status", {"F": "Fulfilled", "O": "Open"})  # 'P' passes through
+        .add_provenance(city="synthetic")
+    )
+    return (
+        h.df.groupBy("year", "status", "dayofweek")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("year", "status", "dayofweek")
+    )
+
+
+SQL_HARMONIZE_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS INT) AS year,
+       CASE o_orderstatus WHEN 'F' THEN 'Fulfilled' WHEN 'O' THEN 'Open'
+            ELSE o_orderstatus END AS status,
+       dayname(o_orderdate) AS dayofweek,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text ops per doc: token counts (plain + BPE-ish), quality
+    components + score, language ID, rolling-hash fingerprint."""
+    from harmonize_search_analyze_spark.operators.text import analyze_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return analyze_documents(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+        "alnum_ratio", "bpe_ish_tokens", "quality", "lang_pred", "fingerprint",
+    )
+
+
+def _sql_text_analysis() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        bpe_ish_token_count_sql,
+        fingerprint_sql,
+        lang_id_sql,
+        quality_components_sql,
+        quality_score_sql,
+    )
+
+    c = quality_components_sql("text", "duckdb")
+    return f"""
+SELECT doc_id,
+       {c['n_tokens']} AS n_tokens,
+       {c['mean_token_len']} AS mean_token_len,
+       {c['stopword_ratio']} AS stopword_ratio,
+       {c['alnum_ratio']} AS alnum_ratio,
+       CAST({bpe_ish_token_count_sql('text', 'duckdb')} AS BIGINT) AS bpe_ish_tokens,
+       {quality_score_sql('text', 'duckdb')} AS quality,
+       {lang_id_sql('text', 'duckdb')} AS lang_pred,
+       {fingerprint_sql('text', 'duckdb')} AS fingerprint
+FROM documents
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (k=8, token shingles) over documents."""
+    from harmonize_search_analyze_spark.operators.dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", k=8, n=1)
+
+
+def _sql_minhash_signatures() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import minhash_signature_sql
+
+    exprs = minhash_signature_sql("text", "duckdb", k=8, n=1)
+    cols = ", ".join(f"{e} AS mh_{i}" for i, e in enumerate(exprs))
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (token-set Jaccard >= 0.9) on a 1-in-10
+    sample of documents (the driver data is dense with near-identical token
+    sets; sampling keeps the verified-pair frame bounded in bench runs)."""
+    from harmonize_search_analyze_spark.operators.dedup import near_dup_pairs_lsh
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return near_dup_pairs_lsh(
+        docs, "doc_id", "text", threshold=0.9, k=8, n=1, rows_per_band=2
+    ).orderBy("id1", "id2")
+
+
+def _sql_lsh_near_dup() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+        minhash_params,
+        minhash_term_sql,
+    )
+    from harmonize_search_analyze_spark.operators.dedup import (
+        jaccard_sql,
+        shingles_sql,
+    )
+
+    sh = shingles_sql("text", "duckdb", 1)
+    mh = [
+        f"list_min(list_transform({sh}, s -> "
+        f"{minhash_term_sql(hash64_sql('s', 'duckdb'), a, b)})) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(8))
+    ]
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        f"CAST(mh_{2 * bi} AS VARCHAR) || '_' || CAST(mh_{2 * bi + 1} AS VARCHAR) "
+        f"AS band_key FROM sigs"
+        for bi in range(4)
+    )
+    j = jaccard_sql("a.shingles", "b.shingles", "duckdb")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+), sigs AS (
+  SELECT doc_id, {', '.join(mh)} FROM docs
+), bands AS ({bands}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+), sh AS (
+  SELECT doc_id, {sh} AS shingles FROM docs
+)
+SELECT id1, id2, j AS jaccard FROM (
+  SELECT id1, id2, {j.replace('a.shingles', 'sa.shingles').replace('b.shingles', 'sb.shingles')} AS j
+  FROM cands JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2
+) WHERE j >= 0.9 ORDER BY id1, id2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per document (explode -> bit sign-sums)."""
+    from harmonize_search_analyze_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import simhash_select_sql
+
+    return (
+        simhash_select_sql("documents", "doc_id", "text", "duckdb")
+        + " ORDER BY doc_id"
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute baseline, cos >= 0.35)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id1", "id2")
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+            / (a.nrm * b.nrm), 6) >= 0.35
+ORDER BY id1, id2
+"""
+
+
 _QUERY_VEC = [round(math.sin(i + 1.0), 6) for i in range(64)]
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search: 16 deterministic centroids, probe 4."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        ivf_assign,
+        ivf_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assignments = ivf_assign(emb, n_centroids=16)
+    return ivf_search(
+        emb, centroids, assignments, _QUERY_VEC, k=10, nprobe=4
+    )
+
+
+def _sql_similarity_ivf() -> str:
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _QUERY_VEC) + "]"
+    qnorm = math.sqrt(sum(v * v for v in _QUERY_VEC))
+    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    nrm = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    cos_c = (
+        "ROUND(" + dot.format(a="cvec", b=qlit) + " / ("
+        + nrm.format(a="cvec") + f" * {qnorm!r}), 6)"
+    )
+    cos_e = (
+        "ROUND(" + dot.format(a="e.embedding::DOUBLE[]", b=qlit) + " / ("
+        + nrm.format(a="e.embedding::DOUBLE[]") + f" * {qnorm!r}), 6)"
+    )
+    d2 = (
+        "ROUND(list_sum(list_transform(list_zip(dvec, cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT bucket AS centroid_id, cvec FROM (
+    SELECT vec_id % 16 AS bucket, embedding::DOUBLE[] AS cvec,
+           ROW_NUMBER() OVER (PARTITION BY vec_id % 16 ORDER BY vec_id) AS rn
+    FROM embeddings) WHERE rn = 1
+), probes AS (
+  SELECT centroid_id FROM cent
+  ORDER BY {cos_c} DESC, centroid_id ASC LIMIT 4
+), assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.centroid_id) AS rn
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS dvec FROM embeddings) v
+    CROSS JOIN cent c) WHERE rn = 1
+)
+SELECT e.vec_id, {cos_e} AS cosine
+FROM embeddings e
+JOIN assign a ON a.vec_id = e.vec_id
+WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
+ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+"""
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,6 +706,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
+        "harmonize_rollup": q_harmonize_rollup,
+        "text_analysis": q_text_analysis,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_near_dup": q_lsh_near_dup,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "similarity_ivf": q_similarity_ivf,
     }
 
 
@@ -474,4 +733,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "text_stats": SQL_TEXT_STATS,
         "similarity_topk": _sql_similarity_topk(),
+        "harmonize_rollup": SQL_HARMONIZE_ROLLUP,
+        "text_analysis": _sql_text_analysis(),
+        "minhash_signatures": _sql_minhash_signatures(),
+        "lsh_near_dup": _sql_lsh_near_dup(),
+        "simhash": _sql_simhash(),
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "similarity_ivf": _sql_similarity_ivf(),
     }

@@ -1,0 +1,51 @@
+"""Engine-portable deterministic hashing.
+
+Dedup/fingerprint operators need a hash that computes IDENTICAL values on
+Spark (the engine) and DuckDB (the correctness oracle). Neither engine's
+native hash family matches the other (Spark xxhash64 vs DuckDB hash), so we
+derive a 60-bit integer from the md5 hex digest — md5 is identical everywhere.
+
+60 bits (15 hex chars) keeps the value strictly positive in a signed 64-bit
+integer on both engines, and leaves headroom so ``a*h + b`` in the MinHash
+universal-hash family stays within int64 after the mod-P reduction.
+
+Spark production note: for pipelines that never leave Spark, swap
+``hash64_sql(dialect='spark')`` for ``xxhash64`` — one JVM call instead of
+md5+conv. The md5 path exists for cross-engine verifiability; both are
+codegen'd, shuffle-free column expressions.
+"""
+
+from __future__ import annotations
+
+MERSENNE_P = 2147483647  # 2^31 - 1, the MinHash universal-hash modulus
+
+
+def hash64_sql(expr: str, dialect: str) -> str:
+    """60-bit non-negative integer hash of a string expression."""
+    if dialect == "spark":
+        return f"CAST(CONV(SUBSTRING(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    if dialect == "duckdb":
+        return f"CAST('0x' || SUBSTRING(MD5({expr}), 1, 15) AS BIGINT)"
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal hash functions
+    h_i(x) = (a_i * (x mod P) + b_i) mod P. Plain LCG expansion of the seed
+    so both engines (and tests) derive the same family from (k, seed)."""
+    params = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_P - 1)) + 1  # a in [1, P-1]
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_P  # b in [0, P-1]
+        params.append((a, b))
+    return params
+
+
+def minhash_term_sql(hash_expr: str, a: int, b: int) -> str:
+    """One universal-hash application, int64-overflow-safe in both engines:
+    (a * (h mod P) + b) mod P with a < P and (h mod P) < P => product < 2^62.
+    """
+    return f"(({a} * (({hash_expr}) % {MERSENNE_P}) + {b}) % {MERSENNE_P})"

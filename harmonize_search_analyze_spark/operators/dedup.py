@@ -1,0 +1,310 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline dedup (BASELINE.json north star) over a
+``documents(doc_id, text, ...)`` table. Design for 100 TB:
+
+- **exact**: hash-groupBy on a normalized digest — one shuffle on a short
+  key, map-side combine; never ships full text twice.
+- **MinHash + LSH**: shingle -> k universal min-hashes -> band keys ->
+  self-join per band bucket -> exact-Jaccard verify on the candidates only.
+  The expensive O(n^2) comparison collapses to within-bucket pairs; the
+  band join shuffles on band hash (small, uniform-ish); the verify re-joins
+  the token sets by doc_id (co-partitioned equi-joins).
+- **SimHash**: explode tokens -> per-(doc, bit) sign sums -> 32-bit sketch;
+  near-dups = sketches at small Hamming distance (bucketable by sketch
+  prefix, same LSH shape).
+- **n-gram Jaccard (brute)**: the O(n^2) baseline kept as the correctness
+  oracle for the LSH path; cross-join guarded — use only on samples.
+
+Everything is a column expression / equi-join: no Python UDFs. Formulas come
+from dual-dialect SQL generators so the DuckDB oracle executes the identical
+computation (functions/hashing.py for the portable 60-bit hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.functions.hashing import (
+    hash64_sql,
+    minhash_params,
+    minhash_term_sql,
+)
+from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+# -- shingles ---------------------------------------------------------------
+
+
+def grams_sql(expr: str, dialect: str, n: int = 3) -> str:
+    """Word n-gram shingles of the tokenized text, duplicates kept. Docs
+    shorter than n tokens yield their whole token stream as one shingle.
+    For n=1 this is just the token array (skips the transform/slice chain,
+    which is interpreted per element and shows up at scale)."""
+    toks = tokens_sql(expr, dialect)
+    if n == 1:
+        return toks
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+        )
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    )
+
+
+def shingles_sql(expr: str, dialect: str, n: int = 3) -> str:
+    """Distinct word n-gram shingle set (for Jaccard set arithmetic)."""
+    fn = "array_distinct" if dialect == "spark" else "list_distinct"
+    return f"{fn}({grams_sql(expr, dialect, n)})"
+
+
+def jaccard_sql(a: str, b: str, dialect: str) -> str:
+    """Exact Jaccard similarity of two DISTINCT-element lists — same
+    filter-based formula on both engines (list_intersect/array_intersect
+    dedup behavior differs subtly, so we avoid them)."""
+    if dialect == "spark":
+        inter = f"size(filter({a}, x -> array_contains({b}, x)))"
+        na, nb = f"size({a})", f"size({b})"
+    else:
+        inter = f"len(list_filter({a}, x -> list_contains({b}, x)))"
+        na, nb = f"len({a})", f"len({b})"
+    return (
+        f"ROUND(CAST({inter} AS DOUBLE) / "
+        f"NULLIF({na} + {nb} - {inter}, 0), 6)"
+    )
+
+
+# -- exact dedup --------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonicalize exact duplicates (modulo case/outer whitespace): one row
+    per distinct normalized text with the minimal id and the copy count."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.groupBy(digest.alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -- MinHash / LSH -------------------------------------------------------------
+
+
+def minhash_signature_sql(
+    expr: str, dialect: str, *, k: int = 8, n: int = 3, seed: int = 42
+) -> list[str]:
+    """k min-hash value expressions over the doc's shingle set."""
+    sh = shingles_sql(expr, dialect, n)
+    out = []
+    for a, b in minhash_params(k, seed):
+        term = minhash_term_sql(hash64_sql("s", dialect), a, b)
+        if dialect == "spark":
+            out.append(f"array_min(transform({sh}, s -> {term}))")
+        else:
+            out.append(f"list_min(list_transform({sh}, s -> {term}))")
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """doc_id + mh_0..mh_{k-1} columns (the signature matrix).
+
+    Plan shape (measured; see git history for the alternatives): explode
+    the shingle set, md5-hash as a flat codegen'd projection, then ONE
+    hash-aggregate computing all k universal-hash minima. Evaluating md5
+    inside a higher-order-function lambda is interpreted per element
+    (~100x slower than the codegen'd projection); the explode+groupBy
+    shape keeps everything in whole-stage codegen at the price of one
+    shuffle keyed by doc id — the standard signature-matrix build at scale.
+
+    Caveat: a document with NULL text drops out (explode of a null array);
+    the oracle's list-based formula keeps it as a NULL-signature row."""
+    # duplicates don't change a MIN, so explode the raw gram stream and
+    # skip the array_distinct pass entirely
+    sh = grams_sql(text_col, "spark", n)
+    exploded = df.select(F.col(id_col), F.explode(F.expr(sh)).alias("_s"))
+    hashed = exploded.select(
+        F.col(id_col),
+        F.expr(hash64_sql("_s", "spark")).alias("_h"),
+    )
+    mh_aggs = [
+        F.min(F.expr(minhash_term_sql("_h", a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(k, seed))
+    ]
+    return hashed.groupBy(id_col).agg(*mh_aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    *,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Banding: two docs are candidates iff some band of their signatures
+    matches exactly. Self-equi-join on (band_idx, band_key) — the classic
+    shuffle-friendly LSH join; emits id pairs with id1 < id2."""
+    n_bands = k // rows_per_band
+    bands = []
+    for bi in range(n_bands):
+        cols = [
+            F.col(f"mh_{bi * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    # the self-join would otherwise evaluate the signature computation
+    # twice (Spark does not CSE across join branches); the band frame is
+    # tiny (n_docs x n_bands rows) so persisting it is always worth it
+    exploded = exploded.persist()
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    k: int = 8,
+    n: int = 3,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> band candidates ->
+    exact-Jaccard verification (joins the shingle sets back by id)."""
+    # spread the per-doc hashing across the cluster up front: a single-file
+    # parquet input would otherwise run the whole signature pipeline (and
+    # both verify-join probes) in one task
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n, seed=seed)
+    cands = lsh_candidate_pairs(sigs, id_col, k=k, rows_per_band=rows_per_band)
+    sh = df.select(
+        F.col(id_col),
+        F.expr(shingles_sql(text_col, "spark", n)).alias("shingles"),
+    )
+    j = jaccard_sql("l_sh", "r_sh", "spark")
+    return (
+        cands.join(sh.select(F.col(id_col).alias("id1"), F.col("shingles").alias("l_sh")), "id1")
+        .join(sh.select(F.col(id_col).alias("id2"), F.col("shingles").alias("r_sh")), "id2")
+        .withColumn("jaccard", F.expr(j))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def near_dup_pairs_brute(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """O(n^2) exact-Jaccard pairs — the oracle/baseline path. Guard with a
+    sample at scale; the LSH path above is the production plan."""
+    sh = df.select(
+        F.col(id_col),
+        F.expr(shingles_sql(text_col, "spark", n)).alias("shingles"),
+    )
+    # repartition the stream side: nested-loop join output parallelism is
+    # the stream side's (see similarity.embedding_near_dup_pairs)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    l = sh.select(F.col(id_col).alias("id1"), F.col("shingles").alias("l_sh")) \
+        .repartition(parallelism)
+    r = sh.select(F.col(id_col).alias("id2"), F.col("shingles").alias("r_sh"))
+    j = jaccard_sql("l_sh", "r_sh", "spark")
+    return (
+        l.join(r, F.col("id1") < F.col("id2"))
+        .withColumn("jaccard", F.expr(j))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# -- SimHash -------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_select_sql(table: str, id_col: str, text_col: str, dialect: str) -> str:
+    """Full SELECT computing a 32-bit SimHash per document: explode token
+    hashes, sign-sum each bit, recombine. Identical SQL shape on both
+    engines (explode/unnest + one groupBy = one shuffle on doc_id)."""
+    toks = tokens_sql(text_col, dialect)
+    h = hash64_sql("tok", dialect)
+    if dialect == "spark":
+        exploded = (
+            f"SELECT {id_col} AS _id, {h} AS th "
+            f"FROM (SELECT {id_col}, explode({toks}) AS tok FROM {table})"
+        )
+    else:
+        exploded = (
+            f"SELECT {id_col} AS _id, {h} AS th "
+            f"FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table}) t"
+        )
+    sums = ", ".join(
+        f"SUM(CASE WHEN ((th >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        f"SELECT _id AS {id_col}, ({recombine}) AS simhash "
+        f"FROM (SELECT _id, {sums} FROM ({exploded}) e GROUP BY _id) g"
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """doc_id + 32-bit simhash sketch."""
+    view = f"__simhash_in_{id_col}"
+    df.createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        simhash_select_sql(view, id_col, text_col, "spark")
+    )
+
+
+def hamming_sql(a: str, b: str, dialect: str) -> str:
+    """Hamming distance between two SIMHASH_BITS-bit ints (popcount of XOR,
+    expanded as bit tests — portable, codegen-friendly)."""
+    xor = f"(CAST({a} AS BIGINT) ^ CAST({b} AS BIGINT))" if dialect == "spark" \
+        else f"xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    return "(" + " + ".join(
+        f"(({xor} >> {b}) & 1)" for b in range(SIMHASH_BITS)
+    ) + ")"

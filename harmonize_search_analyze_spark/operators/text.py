@@ -1,0 +1,197 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, and document fingerprinting over a
+``documents``-shaped table. Every operator is a pure Column expression
+(whole-stage codegen, no Python in the hot path) built from a shared
+dual-dialect SQL generator so the DuckDB oracle runs the *same formula*.
+
+Conventions: ``dialect`` is 'spark' or 'duckdb'; functions ending in ``_sql``
+return SQL text; Spark-side wrappers turn the spark-dialect text into Columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+# -- tokenization ------------------------------------------------------------
+
+_WORD_RE = r"[a-z0-9]+"
+
+
+def tokens_sql(expr: str, dialect: str) -> str:
+    """Lowercased alnum tokens (same semantics as functions/tokenize.py)."""
+    if dialect == "spark":
+        return f"filter(split(lower({expr}), '[^a-z0-9]+'), t -> t != '')"
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '[^a-z0-9]+'), "
+        "t -> t != '')"
+    )
+
+
+def token_count_sql(expr: str, dialect: str) -> str:
+    fn = "size" if dialect == "spark" else "len"
+    return f"{fn}({tokens_sql(expr, dialect)})"
+
+
+def bpe_ish_token_count_sql(expr: str, dialect: str) -> str:
+    """BPE-ish proxy token count: word pieces of <=4 chars — a ceil-div of
+    each word's length by 4, plus one token per punctuation run. A cheap,
+    deterministic stand-in for a real tokenizer's token count."""
+    toks = tokens_sql(expr, dialect)
+    if dialect == "spark":
+        pieces = (
+            f"aggregate({toks}, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"
+        )
+        punct = f"size(regexp_extract_all({expr}, '[^a-zA-Z0-9\\\\s]+', 0))"
+    else:
+        pieces = (
+            f"list_sum(list_transform({toks}, "
+            "t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))"
+        )
+        punct = f"len(regexp_extract_all({expr}, '[^a-zA-Z0-9\\s]+'))"
+    return f"(COALESCE({pieces}, 0) + {punct})"
+
+
+# -- quality scoring ---------------------------------------------------------
+
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it")
+
+
+def quality_components_sql(expr: str, dialect: str) -> dict[str, str]:
+    """Deterministic per-document quality signals (Gopher-rules-ish):
+    n_tokens, mean token length, stopword ratio, alnum char ratio."""
+    toks = tokens_sql(expr, dialect)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    if dialect == "spark":
+        n_tokens = f"size({toks})"
+        sum_len = f"aggregate({toks}, 0L, (acc, t) -> acc + length(t))"
+        n_stop = f"size(filter({toks}, t -> t IN ({stop_list})))"
+        n_alnum = f"length(regexp_replace({expr}, '[^a-zA-Z0-9]', ''))"
+    else:
+        n_tokens = f"len({toks})"
+        sum_len = f"COALESCE(list_sum(list_transform({toks}, t -> length(t))), 0)"
+        n_stop = f"len(list_filter({toks}, t -> t IN ({stop_list})))"
+        n_alnum = f"length(regexp_replace({expr}, '[^a-zA-Z0-9]', '', 'g'))"
+    return {
+        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
+        "mean_token_len": (
+            f"ROUND(CAST({sum_len} AS DOUBLE) / NULLIF({n_tokens}, 0), 6)"
+        ),
+        "stopword_ratio": (
+            f"ROUND(CAST({n_stop} AS DOUBLE) / NULLIF({n_tokens}, 0), 6)"
+        ),
+        "alnum_ratio": (
+            f"ROUND(CAST({n_alnum} AS DOUBLE) / NULLIF(length({expr}), 0), 6)"
+        ),
+    }
+
+
+def quality_score_sql(expr: str, dialect: str) -> str:
+    """Scalar quality score in [0, 1]: penalize too-short docs, extreme
+    stopword ratios and non-alnum noise. Fixed weights, fully deterministic.
+    """
+    c = quality_components_sql(expr, dialect)
+    len_score = f"LEAST(CAST({c['n_tokens']} AS DOUBLE) / 50.0, 1.0)"
+    stop_score = f"(1.0 - ABS(COALESCE({c['stopword_ratio']}, 0) - 0.1))"
+    alnum_score = f"COALESCE({c['alnum_ratio']}, 0)"
+    return (
+        f"ROUND(0.4 * {len_score} + 0.3 * {stop_score} + 0.3 * {alnum_score}, 6)"
+    )
+
+
+# -- language ID -------------------------------------------------------------
+
+# Marker tokens per language. On real corpora these would be character
+# n-gram profiles; the deterministic marker-count argmax shape is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def lang_id_sql(expr: str, dialect: str) -> str:
+    """Argmax of marker-token hits; ties and zero-hit docs -> 'unknown'.
+    Expressed as a greatest-of CASE so both engines evaluate identically."""
+    toks = tokens_sql(expr, dialect)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        if dialect == "spark":
+            scores[lang] = f"size(filter({toks}, t -> t IN ({lst})))"
+        else:
+            scores[lang] = f"len(list_filter({toks}, t -> t IN ({lst})))"
+    langs = list(scores)
+    best = f"GREATEST({', '.join(scores[lang] for lang in langs)})"
+    # first language (fixed order) achieving the max; 0 hits -> unknown
+    case = "CASE WHEN " + best + " = 0 THEN 'unknown' "
+    for lang in langs:
+        case += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"({case})"
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+def fingerprint_sql(expr: str, dialect: str, ngram: int = 8) -> str:
+    """Document fingerprint: minimum 60-bit hash over character n-grams of
+    the normalized text (the winnowing/MinHash '1-sketch' — identical docs,
+    and docs differing only in whitespace/case, collide)."""
+    if dialect == "spark":
+        norm = f"regexp_replace(lower({expr}), '[^a-z0-9]+', ' ')"
+        grams = (
+            f"transform(sequence(1, greatest(length({norm}) - {ngram - 1}, 1)), "
+            f"i -> substring({norm}, i, {ngram}))"
+        )
+        hashes = f"transform({grams}, g -> {hash64_sql('g', 'spark')})"
+        return f"array_min({hashes})"
+    norm = f"regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g')"
+    grams = (
+        f"list_transform(range(1, greatest(length({norm}) - {ngram - 1}, 1) + 1), "
+        f"i -> substring({norm}, i, {ngram}))"
+    )
+    hashes = f"list_transform({grams}, g -> {hash64_sql('g', 'duckdb')})"
+    return f"list_min({hashes})"
+
+
+# -- Spark-side DataFrame wrappers ------------------------------------------
+
+def token_count(col: str) -> Column:
+    return F.expr(token_count_sql(col, "spark")).cast("bigint")
+
+
+def bpe_ish_token_count(col: str) -> Column:
+    return F.expr(bpe_ish_token_count_sql(col, "spark")).cast("bigint")
+
+
+def quality_score(col: str) -> Column:
+    return F.expr(quality_score_sql(col, "spark"))
+
+
+def lang_id(col: str) -> Column:
+    return F.expr(lang_id_sql(col, "spark"))
+
+
+def fingerprint(col: str, ngram: int = 8) -> Column:
+    return F.expr(fingerprint_sql(col, "spark", ngram))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set to a documents frame."""
+    comp = quality_components_sql(text_col, "spark")
+    return (
+        df.withColumn("n_tokens", F.expr(comp["n_tokens"]))
+        .withColumn("mean_token_len", F.expr(comp["mean_token_len"]))
+        .withColumn("stopword_ratio", F.expr(comp["stopword_ratio"]))
+        .withColumn("alnum_ratio", F.expr(comp["alnum_ratio"]))
+        .withColumn("bpe_ish_tokens", bpe_ish_token_count(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
