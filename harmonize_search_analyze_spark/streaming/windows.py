@@ -1,0 +1,349 @@
+"""Structured Streaming layer: the dashboard-refresh semantics, stream-native.
+
+The reference has no streaming engine (SURVEY.md §2.10) — its only
+"streaming-ish" behavior is Kibana re-running dashboard aggregations over
+newly indexed documents (auto-refresh, ``services/webapp/src/config.js:31-32``)
+while the ES index accretes bulk appends (``notebooks/lib/esindex.py:116-139``).
+The Spark-native mapping, built here:
+
+- **index refresh ≈ micro-batch append**: a file/parquet source streaming new
+  document batches (``read_document_stream``).
+- **dashboard agg ≈ windowed aggregation**: event-time tumbling/sliding
+  windows with a watermark bounding state for late data
+  (``windowed_counts`` — the streaming twin of the batch ``event_window``
+  query in ``__spark_entry__.py``).
+- **per-refresh panel fan-out**: ``dashboard_refresh`` runs the *batch*
+  aggregation panels over each micro-batch via ``foreachBatch`` — the same
+  operator objects serve both engines, Spark's batch/streaming unification.
+- **custom stateful operator**: ``sessionize`` — gap-based sessionization via
+  ``applyInPandasWithState`` (arbitrary stateful processing; the one place
+  where built-in windows genuinely can't express the semantics).
+
+Scale notes: the watermark bounds the streaming state store (without it a
+100 TB/day stream accretes unbounded window state); the windowed agg is a
+partial+final hash agg per micro-batch exactly like batch; sessionize state
+is partitioned by key, so skewed keys — not volume — are the limit, and the
+key should be salted upstream if a single entity dominates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream: each newly landed file is a micro-batch (the
+    bulk-index append of ``esindex.py`` re-expressed). ``maxFilesPerTrigger``
+    paces replay so tests and backfills process deterministically."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Event-time windowed count/avg with a late-data watermark — the
+    streaming form of the dashboard's time-bucketed count panel.
+
+    Tumbling when ``slide`` is None, sliding otherwise. The watermark lets
+    Spark drop window state older than max(event time) - watermark, which is
+    what makes this run forever at scale."""
+    win = (
+        F.window(ts_col, window) if slide is None
+        else F.window(ts_col, window, slide)
+    )
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if value_col is not None:
+        aggs.append(F.round(F.avg(value_col), 6).alias("avg_value"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), *[
+            F.col(c) for c in (["cnt", "avg_value"] if value_col else ["cnt"])
+        ])
+    )
+
+
+def dashboard_refresh(
+    stream: DataFrame,
+    panels: dict[str, "callable"],
+    sink: "callable",
+    checkpoint_dir: str,
+    trigger_seconds: float | None = None,
+):
+    """Run the *batch* dashboard panels over every micro-batch
+    (``foreachBatch``): each refresh interval, the newly arrived documents are
+    aggregated by the same panel functions the batch dashboard uses, and the
+    results handed to ``sink(name, DataFrame, batch_id)``.
+
+    This is the Kibana auto-refresh loop inverted: instead of re-querying the
+    whole index each tick, only the delta is aggregated — the caller's sink
+    merges (or overwrites) per panel."""
+    def run_panels(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            for name, fn in panels.items():
+                sink(name, fn(batch_df), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(run_panels)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+# -- custom stateful operator: gap sessionization ---------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+
+class SessionProcessor(StatefulProcessor):
+    """Per-key gap sessionizer for ``transformWithStateInPandas``.
+
+    State: one open-session tuple ``(start_us, end_us, n_events, sum_value)``
+    per key. Events extend the open session; an inter-event gap larger than
+    ``gap_seconds`` closes it (one output row per CLOSED session). A
+    processing-time timer flushes sessions whose key goes quiet.
+
+    (The older ``applyInPandasWithState`` expresses the same operator, but its
+    exec node hits a plan-clone NPE in Spark 4.1 — SparkPlan.session null in
+    PythonSQLMetrics init — so we target the state-v2 API, which also buys
+    RocksDB state stores and per-state-name schemas at scale.)
+    """
+
+    def __init__(self, gap_seconds: int = 1800):
+        self.gap_us = gap_seconds * 1_000_000
+        self.gap_ms = gap_seconds * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("open_session", _SESSION_STATE_SCHEMA)
+
+    def _emit(self, key: tuple, closed: list[tuple]) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                "n_events": [c[2] for c in closed],
+                "sum_value": [round(c[3], 6) for c in closed],
+            }
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        ts_list: list[int] = []
+        val_list: list[float] = []
+        for pdf in rows:
+            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            val_list.extend(float(v) for v in pdf["value"].fillna(0.0))
+        order = sorted(range(len(ts_list)), key=ts_list.__getitem__)
+        if self._state.exists():
+            s, e, n, v = self._state.get()
+        else:
+            s, e, n, v = None, None, 0, 0.0
+        closed: list[tuple] = []
+        for i in order:
+            t, val = ts_list[i], val_list[i]
+            if s is None:
+                s, e, n, v = t, t, 1, val
+            elif t - e > self.gap_us:
+                closed.append((s, e, n, v))
+                s, e, n, v = t, t, 1, val
+            else:
+                e, n, v = max(e, t), n + 1, v + val
+        if s is not None:
+            self._state.update((s, e, n, v))
+            for t_old in self._handle.listTimers():
+                self._handle.deleteTimer(t_old)
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs() + self.gap_ms
+            )
+        if closed:
+            yield from self._emit(key, closed)
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            s, e, n, v = self._state.get()
+            self._state.clear()
+            yield from self._emit(key, [(s, e, n, v)])
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_api_available() -> bool:
+    """Whether the arbitrary-stateful pandas path can run here.
+
+    ``transformWithStateInPandas`` needs ``google.protobuf`` for its
+    state-server protocol (and ``applyInPandasWithState``'s exec node hits a
+    plan-clone NPE in Spark 4.1), so environments without protobuf fall back
+    to the built-in ``session_window`` operator (``sessionize_stream``),
+    which covers the gap-session semantics JVM-side anyway."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization as an arbitrary-stateful streaming operator
+    (``transformWithStateInPandas``): emits one row per CLOSED session; a
+    processing-time timer flushes sessions whose key goes quiet.
+
+    Requires the RocksDB state store provider (set here on the stream's
+    session — the state-v2 operator rejects the default HDFS-backed store)
+    and ``google.protobuf`` (see ``stateful_api_available``); prefer
+    ``sessionize_stream`` unless per-event custom state logic is needed.
+    """
+    if not stateful_api_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "environment lacks; use sessionize_stream (built-in "
+            "session_window) instead"
+        )
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        stream.groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization via the BUILT-IN ``session_window`` — the
+    idiomatic Spark path: JVM-side session state, event-time gap merging,
+    watermark-bounded. Append mode emits each session once its window can no
+    longer grow (watermark passes session end + gap).
+
+    ``sessionize_batch`` is the exact batch twin / oracle."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col(value_col), F.lit(0.0))), 6)
+            .alias("sum_value"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Batch twin of ``sessionize`` (pure window functions, no Python):
+    session = run of events per key with inter-event gap < gap_seconds
+    (``session_window``'s window end is exclusive: an event at exactly
+    last + gap starts a NEW session — pinned here to match). Provides the
+    oracle for the streaming operator and the backfill path — one window
+    shuffle on (key, ts), one hash agg."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    sess = (
+        df.withColumn("_new", (gap.isNull() | (gap >= gap_seconds)).cast("int"))
+        .withColumn("_sid", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        sess.groupBy(key_col, "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce(F.col(value_col), F.lit(0.0))), 6)
+            .alias("sum_value"),
+        )
+        .drop("_sid")
+    )

@@ -1,0 +1,214 @@
+"""Structured Streaming tests: file-source micro-batches over the events
+table, windowed agg with watermark vs the batch twin, foreachBatch dashboard
+refresh, and the applyInPandasWithState sessionizer vs its batch oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.sources.tables import load_table
+from harmonize_search_analyze_spark.streaming.windows import (
+    EVENTS_SCHEMA,
+    dashboard_refresh,
+    read_document_stream,
+    sessionize,
+    sessionize_batch,
+    sessionize_stream,
+    stateful_api_available,
+    windowed_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Stage the events table as 3 parquet files so the file source replays
+    them as 3 micro-batches (the bulk-index appends)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def test_windowed_counts_matches_batch(spark, events_stream_dir, tmp_path):
+    stream = read_document_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["window_start"]: (r["cnt"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = load_table(spark, SF_DIR, "events")
+    expect = {
+        r["window_start"]: (r["cnt"], r["avg_value"])
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "cnt", "avg_value")
+        .collect()
+    }
+    assert got == expect
+
+
+def test_sliding_window_shape(spark, events_stream_dir, tmp_path):
+    stream = read_document_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    agg = windowed_counts(
+        stream, window="2 hours", slide="1 hour", watermark="5 minutes",
+        value_col=None,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM slide_counts").collect()
+    assert rows and all(r["cnt"] > 0 for r in rows)
+    # sliding windows: every event lands in ~2 windows
+    total_events = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["cnt"] for r in rows) == pytest.approx(2 * total_events, rel=0.02)
+
+
+def test_dashboard_refresh_foreachbatch(spark, events_stream_dir, tmp_path):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        count_metric,
+        terms,
+    )
+
+    stream = read_document_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    seen: dict[str, list] = {"total": [], "by_type": []}
+
+    def sink(name, df, batch_id):
+        seen[name].append((batch_id, df.collect()))
+
+    q = dashboard_refresh(
+        stream,
+        panels={
+            "total": lambda d: count_metric(d),
+            "by_type": lambda d: terms(d, "event_type", k=5),
+        },
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # 3 staged files -> 3 micro-batch refreshes, each running every panel
+    assert len(seen["total"]) == 3 and len(seen["by_type"]) == 3
+    streamed_total = sum(b[0]["doc_count"] for _, b in seen["total"])
+    assert streamed_total == load_table(spark, SF_DIR, "events").count()
+
+
+def test_sessionize_stream_matches_batch_oracle(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, minute, val):
+        return (eid, base + dt.timedelta(minutes=minute), uid, "click", val)
+
+    rows = [
+        # user 1: two sessions separated by a 60-min gap (gap=30min)
+        ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 20, 3.0),
+        ev(4, 1, 80, 4.0), ev(5, 1, 85, 5.0),
+        # user 2: one session
+        ev(6, 2, 0, 10.0), ev(7, 2, 29, 20.0),
+    ]
+    src = tmp_path / "sess_src"
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    # a second batch far in the future closes every open session on replay
+    late = [ev(99, 1, 600, 0.5), ev(98, 2, 600, 0.5)]
+    spark.createDataFrame(late, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = read_document_stream(spark, str(src), EVENTS_SCHEMA)
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # only CLOSED sessions emit (append mode: watermark passed end + gap);
+    # the 600-min events' sessions stay open, never emitted
+    expect = {
+        (1, base): (3, 6.0),
+        (1, base + dt.timedelta(minutes=80)): (2, 9.0),
+        (2, base): (2, 30.0),
+    }
+    assert got == expect
+
+    # batch oracle agrees on the same closed sessions
+    batch = sessionize_batch(df, gap_seconds=1800)
+    got_b = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got_b == expect
+
+
+def test_sessionize_stateful_api_gate(spark):
+    """The arbitrary-stateful path: runs when the environment has protobuf,
+    otherwise must fail loudly (NotImplementedError), never silently."""
+    if stateful_api_available():
+        stream = read_document_stream(
+            spark, "/tmp/nonexistent_ok_lazy", EVENTS_SCHEMA
+        )
+        out = sessionize(stream, gap_seconds=60)
+        assert out.isStreaming
+    else:
+        import pytest as _pytest
+
+        dummy = spark.readStream.format("rate").load().selectExpr(
+            "value AS event_id", "timestamp AS ts", "value AS user_id",
+            "'x' AS event_type", "CAST(value AS DOUBLE) AS value",
+        )
+        with _pytest.raises(NotImplementedError):
+            sessionize(dummy, gap_seconds=60)
+
+
+def test_sessionize_batch_on_events(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = sessionize_batch(ev, gap_seconds=3600)
+    agg = out.agg(
+        F.sum("n_events").alias("n"),
+        F.count(F.lit(1)).alias("sessions"),
+    ).collect()[0]
+    assert agg["n"] == ev.count()          # every event in exactly one session
+    assert 0 < agg["sessions"] <= ev.count()
