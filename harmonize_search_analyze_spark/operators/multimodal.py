@@ -1,0 +1,264 @@
+"""Multimodal (image/audio/video) columns for large-scale training pipelines.
+
+Convention (BASELINE.json north star): media travels as an opaque ``binary``
+payload column plus a typed metadata struct; all per-item compute runs as
+Arrow-batched ``mapInPandas`` stages so a 100 TB corpus streams through
+executors batch-by-batch without ever materializing a row-per-Python-object
+RDD.
+
+What is REAL here (pure Python over bytes, no media libraries):
+
+- container sniffing (magic bytes) for PNG/JPEG/GIF/BMP/WAV/MP4/WEBP;
+- header parsing: PNG IHDR width/height/bit depth, GIF/BMP dimensions, WAV
+  fmt-chunk channels/sample-rate/duration — straight struct reads.
+
+What is STUBBED (the container has no codec libraries — PIL/ffmpeg/etc.):
+
+- pixel decode (``decode_image``) raises ``NotImplementedError`` unless
+  ``fake=True``, which produces a DETERMINISTIC fake decode (pixel stats
+  derived from the payload digest) so downstream plumbing is testable;
+- likewise audio sample decode and video frame extraction.
+
+The Spark-side shapes — schemas, batch iteration, partition behavior,
+column pruning — are real and tested either way; swapping the stub for a
+codec is a one-function change inside the same ``mapInPandas`` stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("format", T.StringType()),        # png|jpeg|gif|bmp|wav|mp4|webp|unknown
+    T.StructField("modality", T.StringType()),      # image|audio|video|unknown
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),        # image/video, else null
+    T.StructField("height", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),    # png only
+    T.StructField("n_channels", T.IntegerType()),   # wav audio
+    T.StructField("sample_rate", T.IntegerType()),  # wav audio
+    T.StructField("duration_ms", T.LongType()),     # wav audio
+    T.StructField("digest", T.StringType()),        # md5 of payload
+])
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png", "image"),
+    (b"\xff\xd8\xff", "jpeg", "image"),
+    (b"GIF87a", "gif", "image"),
+    (b"GIF89a", "gif", "image"),
+    (b"BM", "bmp", "image"),
+    (b"RIFF", "wav", "audio"),       # refined below (RIFF/WAVE vs RIFF/WEBP)
+]
+
+
+def sniff_media(payload: bytes | None) -> dict:
+    """Identify container + parse what the headers give us. Pure bytes."""
+    out = {
+        "format": "unknown", "modality": "unknown",
+        "n_bytes": len(payload) if payload is not None else 0,
+        "width": None, "height": None, "bit_depth": None,
+        "n_channels": None, "sample_rate": None, "duration_ms": None,
+        "digest": hashlib.md5(payload).hexdigest() if payload else None,
+    }
+    if not payload or len(payload) < 12:
+        return out
+    fmt = mod = None
+    for magic, f, m in _MAGIC:
+        if payload.startswith(magic):
+            fmt, mod = f, m
+            break
+    if fmt == "wav":
+        riff_kind = payload[8:12]
+        if riff_kind == b"WAVE":
+            fmt, mod = "wav", "audio"
+        elif riff_kind == b"WEBP":
+            fmt, mod = "webp", "image"
+        else:
+            fmt, mod = "unknown", "unknown"
+    if fmt is None and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        fmt, mod = "mp4", "video"
+    if fmt is None:
+        return out
+    out["format"], out["modality"] = fmt, mod
+
+    try:
+        if fmt == "png" and len(payload) >= 29 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            out["width"], out["height"] = int(w), int(h)
+            out["bit_depth"] = int(payload[24])
+        elif fmt == "gif":
+            w, h = struct.unpack("<HH", payload[6:10])
+            out["width"], out["height"] = int(w), int(h)
+        elif fmt == "bmp" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            out["width"], out["height"] = int(w), abs(int(h))
+        elif fmt == "wav" and len(payload) >= 44 and payload[12:16] == b"fmt ":
+            n_ch, rate = struct.unpack("<HI", payload[22:28])
+            bits = struct.unpack("<H", payload[34:36])[0]
+            out["n_channels"], out["sample_rate"] = int(n_ch), int(rate)
+            # locate the data chunk for duration
+            idx = payload.find(b"data", 36)
+            if idx >= 0 and idx + 8 <= len(payload) and rate and n_ch and bits:
+                data_len = struct.unpack("<I", payload[idx + 4: idx + 8])[0]
+                bytes_per_s = rate * n_ch * (bits // 8)
+                if bytes_per_s:
+                    out["duration_ms"] = int(data_len * 1000 // bytes_per_s)
+    except (struct.error, IndexError):
+        pass  # corrupt header: keep format, leave dims null
+    return out
+
+
+def attach_media_metadata(
+    df: DataFrame, binary_col: str = "payload", out_col: str = "media"
+) -> DataFrame:
+    """Sniff + header-parse every payload into a ``MEDIA_META_SCHEMA`` struct
+    column. Arrow-batched ``mapInPandas``; all other columns pass through, so
+    Catalyst can still prune/push the surrounding plan."""
+    fields = [f.name for f in MEDIA_META_SCHEMA.fields]
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, MEDIA_META_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_media(p) for p in pdf[binary_col]]
+            pdf = pdf.copy()
+            pdf[out_col] = [tuple(m[f] for f in fields) for m in metas]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+# -- decode (STUB: no codec libs in this container) -------------------------
+
+
+def _fake_pixels_stats(payload: bytes, digest: str) -> tuple[float, float]:
+    """Deterministic stand-in for decoded-pixel statistics: two floats in
+    [0, 1) derived from the digest. Replace with real decode stats when a
+    codec is available."""
+    h = int(digest[:15], 16) if digest else 0
+    return (h % 10_000) / 10_000.0, ((h >> 16) % 10_000) / 10_000.0
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("feat_mean", T.DoubleType()),
+    T.StructField("feat_std", T.DoubleType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+])
+
+
+def decode_image(payload: bytes):
+    """Decode image payload to a pixel array. STUB — the execution
+    environment ships no codec; the Spark plumbing around it is real."""
+    raise NotImplementedError(
+        "no image codec in this environment; use fake=True paths or plug a "
+        "codec into the mapInPandas stage"
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    dim: int = 16,
+    fake: bool = True,
+) -> DataFrame:
+    """Per-image feature extraction as a ``mapInPandas`` stage: pixel-stat
+    scalars + a ``dim``-float embedding. With ``fake=True`` features derive
+    deterministically from the payload digest (identical bytes => identical
+    features, the property dedup/similarity need); with ``fake=False`` it
+    calls ``decode_image`` (NotImplementedError until a codec exists)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(f.name, f.dataType) for f in IMAGE_FEATURES_SCHEMA.fields]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, stds, embs = [], [], []
+            for p in pdf[binary_col]:
+                if p is None:
+                    means.append(None); stds.append(None); embs.append(None)
+                    continue
+                if not fake:
+                    decode_image(p)  # raises: stub documented above
+                digest = hashlib.md5(p).hexdigest()
+                m, s = _fake_pixels_stats(p, digest)
+                means.append(m)
+                stds.append(s)
+                embs.append([
+                    (int(digest[(4 * i) % 28: (4 * i) % 28 + 4], 16) % 1000)
+                    / 1000.0
+                    for i in range(dim)
+                ])
+            pdf = pdf.copy()
+            pdf["feat_mean"], pdf["feat_std"], pdf["embedding"] = means, stds, embs
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    binary_col: str = "payload",
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame sampling plan: emits one row per SELECTED frame index with
+    its timestamp (decode of the actual frame bytes is stubbed — the frame
+    payload column carries the deterministic digest-slice placeholder).
+
+    Output explodes rows, so this runs as ``mapInPandas`` emitting a new
+    frame-level frame: the correct shape for 'one input row -> N output
+    rows' without a Python-row UDF."""
+    out_schema = T.StructType([
+        *df.schema.fields,
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_stub", T.StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                p = row[binary_col]
+                meta = sniff_media(p)
+                # without a demuxer, derive a pseudo-duration for videos from
+                # payload size (stub; a real demuxer replaces this number)
+                dur = meta["duration_ms"] or (meta["n_bytes"] or 0)
+                n = min(max_frames, max(int(dur // every_ms), 1))
+                for i in range(n):
+                    r = row.to_dict()
+                    r["frame_idx"] = i
+                    r["frame_ts_ms"] = i * every_ms
+                    r["frame_stub"] = (meta["digest"] or "")[:8] + f":{i}"
+                    rows.append(r)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def media_summary(df: DataFrame, meta_col: str = "media") -> DataFrame:
+    """Corpus-level modality/format profile — a plain JVM-side aggregation
+    over the sniffed struct (no Python): the dashboardable summary."""
+    return (
+        df.groupBy(
+            F.col(f"{meta_col}.modality").alias("modality"),
+            F.col(f"{meta_col}.format").alias("format"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col(f"{meta_col}.n_bytes")).alias("total_bytes"),
+            F.round(F.avg(F.col(f"{meta_col}.width")), 2).alias("avg_width"),
+            F.round(F.avg(F.col(f"{meta_col}.height")), 2).alias("avg_height"),
+        )
+        .orderBy("modality", "format")
+    )
