@@ -31,6 +31,7 @@ from harmonize_search_analyze_spark.operators.aggregations import (
 from harmonize_search_analyze_spark.operators.profiler import (
     build_data_dict,
     data_dict_oracle_sql,
+    vartype_guess_oracle_sql,
 )
 from harmonize_search_analyze_spark.plans.compiler import compile_query
 from harmonize_search_analyze_spark.sources.catalog import Catalog
@@ -691,6 +692,253 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_suggest_typeahead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: typeahead suggestions — phrase-prefix filter then top-10 terms."""
+    from harmonize_search_analyze_spark.operators.aggregations import suggest
+
+    return suggest(_t(spark, sf_dir, "part"), "p_type", prefix="promo", k=10)
+
+
+def _sql_suggest_typeahead() -> str:
+    pattern = phrase_prefix_regex("promo")
+    return f"""
+SELECT p_type, COUNT(*) AS doc_count FROM part
+WHERE regexp_matches(LOWER(p_type), '{pattern}') AND p_type IS NOT NULL
+GROUP BY p_type ORDER BY doc_count DESC, p_type ASC LIMIT 10
+"""
+
+
+def q_terms_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 'DatasetTable' viz: two-field terms table, size 20."""
+    from harmonize_search_analyze_spark.operators.aggregations import terms_multi
+
+    return terms_multi(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"], k=20
+    )
+
+
+SQL_TERMS_TABLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS doc_count FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+GROUP BY 1, 2 ORDER BY doc_count DESC, l_returnflag ASC, l_linestatus ASC
+LIMIT 20
+"""
+
+
+def q_count_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the count metric under a compiled search predicate."""
+    from harmonize_search_analyze_spark.operators.aggregations import count_metric
+
+    ast = {"bool": {"must": [
+        {"terms": {"o_orderstatus": ["F", "P"]}},
+        {"range": {"o_totalprice": {"gte": 50000}}},
+    ]}}
+    return count_metric(_t(spark, sf_dir, "orders"), compile_query(ast))
+
+
+SQL_COUNT_PANEL = """
+SELECT COUNT(*) AS doc_count FROM orders
+WHERE o_orderstatus IN ('F', 'P') AND o_totalprice >= 50000
+"""
+
+
+def q_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: describe-style stats (count/mean/sample-stddev/min/max) for two
+    numeric columns in one pass."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = []
+    for c in ("l_quantity", "l_extendedprice"):
+        out.extend([
+            F.count(F.col(c)).alias(f"{c}_count"),
+            F.round(F.avg(c), 6).alias(f"{c}_mean"),
+            F.round(F.stddev_samp(c), 6).alias(f"{c}_stddev"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ])
+    return df.agg(*out)
+
+
+SQL_DESCRIBE_STATS = """
+SELECT COUNT(l_quantity) AS l_quantity_count,
+       ROUND(AVG(l_quantity), 6) AS l_quantity_mean,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS l_quantity_stddev,
+       MIN(l_quantity) AS l_quantity_min,
+       MAX(l_quantity) AS l_quantity_max,
+       COUNT(l_extendedprice) AS l_extendedprice_count,
+       ROUND(AVG(l_extendedprice), 6) AS l_extendedprice_mean,
+       ROUND(STDDEV_SAMP(l_extendedprice), 6) AS l_extendedprice_stddev,
+       MIN(l_extendedprice) AS l_extendedprice_min,
+       MAX(l_extendedprice) AS l_extendedprice_max
+FROM lineitem
+"""
+
+
+def q_enum_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the enum builder — distinct non-empty values, sorted."""
+    df = _t(spark, sf_dir, "part")
+    return (
+        df.select("p_brand").distinct()
+        .where((F.col("p_brand") != "") & F.col("p_brand").isNotNull())
+        .orderBy("p_brand")
+    )
+
+
+SQL_ENUM_VALUES = """
+SELECT DISTINCT p_brand FROM part
+WHERE p_brand != '' AND p_brand IS NOT NULL ORDER BY p_brand
+"""
+
+
+def q_vartype_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the stats-driven widget-type inference CASE over lineitem."""
+    df = _t(spark, sf_dir, "lineitem")
+    d = build_data_dict(df, columns=_LINEITEM_NUMERIC + ["l_returnflag", "l_linestatus"])
+    return d.select("dict_field", "dict_vartype")
+
+
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 6) on the 1-in-10 doc sample."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=6).orderBy(
+        "id1", "id2"
+    )
+
+
+def _sql_simhash_hamming() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        hamming_sql,
+        simhash_select_sql,
+    )
+
+    sigs = simhash_select_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+        "doc_id", "text", "duckdb",
+    )
+    ham = hamming_sql("a.simhash", "b.simhash", "duckdb")
+    return f"""
+WITH sigs AS ({sigs})
+SELECT id1, id2, hamming FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST({ham} AS INT) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+) WHERE hamming <= 6 ORDER BY id1, id2
+"""
+
+
+def q_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard brute-force near-dup pairs (the LSH oracle path) on
+    the 1-in-10 doc sample, 3-gram shingles, threshold 0.8."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        near_dup_pairs_brute,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return near_dup_pairs_brute(
+        docs, "doc_id", "text", threshold=0.8, n=3
+    ).orderBy("id1", "id2")
+
+
+def _sql_jaccard_brute() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        jaccard_sql,
+        shingles_sql,
+    )
+
+    sh = shingles_sql("text", "duckdb", 3)
+    j = jaccard_sql("a.shingles", "b.shingles", "duckdb")
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+sh AS (SELECT doc_id, {sh} AS shingles FROM docs)
+SELECT id1, id2, jaccard FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, {j} AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.8 ORDER BY id1, id2
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the streaming operator):
+    1-hour gap sessions over the events table."""
+    from harmonize_search_analyze_spark.streaming.windows import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_seconds=3600).orderBy(
+        "user_id", "session_start"
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 3600 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 6) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end with a SQL oracle: deterministically
+    wrap each document id in a REAL 33-byte PNG (width = 1 + doc_id % 512,
+    height 64), sniff the binary headers back (mapInPandas), and aggregate
+    the modality profile. The oracle can predict every number because the
+    construction is pinned."""
+    import struct
+    import zlib
+
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        attach_media_metadata,
+        media_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def to_png(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                ihdr = struct.pack(">IIBBBBB", 1 + int(did) % 512, 64, 8, 2, 0, 0, 0)
+                chunk = b"IHDR" + ihdr
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr))
+                    + chunk + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+                )
+            import pandas as pd
+
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = attach_media_metadata(docs.mapInPandas(to_png, schema))
+    return media_summary(media)
+
+
+SQL_MEDIA_PROFILE = """
+SELECT 'image' AS modality, 'png' AS format, COUNT(*) AS n_items,
+       CAST(SUM(33) AS BIGINT) AS total_bytes,
+       ROUND(AVG(1 + doc_id % 512), 2) AS avg_width,
+       ROUND(AVG(64.0), 2) AS avg_height
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -713,6 +961,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "similarity_ivf": q_similarity_ivf,
+        "suggest_typeahead": q_suggest_typeahead,
+        "terms_table": q_terms_table,
+        "count_panel": q_count_panel,
+        "describe_stats": q_describe_stats,
+        "enum_values": q_enum_values,
+        "vartype_guess": q_vartype_guess,
+        "simhash_hamming": q_simhash_hamming,
+        "jaccard_brute": q_jaccard_brute,
+        "sessionization": q_sessionization,
+        "media_profile": q_media_profile,
     }
 
 
@@ -740,4 +998,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "similarity_ivf": _sql_similarity_ivf(),
+        "suggest_typeahead": _sql_suggest_typeahead(),
+        "terms_table": SQL_TERMS_TABLE,
+        "count_panel": SQL_COUNT_PANEL,
+        "describe_stats": SQL_DESCRIBE_STATS,
+        "enum_values": SQL_ENUM_VALUES,
+        "vartype_guess": vartype_guess_oracle_sql(
+            "lineitem", _LINEITEM_NUMERIC, ["l_returnflag", "l_linestatus"]
+        ),
+        "simhash_hamming": _sql_simhash_hamming(),
+        "jaccard_brute": _sql_jaccard_brute(),
+        "sessionization": SQL_SESSIONIZATION,
+        "media_profile": SQL_MEDIA_PROFILE,
     }

@@ -308,3 +308,32 @@ def hamming_sql(a: str, b: str, dialect: str) -> str:
     return "(" + " + ".join(
         f"(({xor} >> {b}) & 1)" for b in range(SIMHASH_BITS)
     ) + ")"
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs: sketches whose Hamming distance is within
+    ``max_hamming``. Pair generation here is the O(n^2) self-join baseline
+    (use on samples); at scale, bucket by sketch prefix bands (pigeonhole:
+    distance <= d means some (d+1)-way band matches exactly) and reuse the
+    LSH band-join shape from ``lsh_candidate_pairs``."""
+    # tiny frame (id + 1 long), referenced by both join branches: persist so
+    # the token-explode aggregation doesn't run twice
+    sk = simhash(df, id_col, text_col).persist()
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    l = sk.select(
+        F.col(id_col).alias("id1"), F.col("simhash").alias("sh1")
+    ).repartition(parallelism)
+    r = sk.select(F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"))
+    ham = F.expr(hamming_sql("sh1", "sh2", "spark"))
+    return (
+        l.join(r, F.col("id1") < F.col("id2"))
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -187,6 +187,40 @@ def build_data_dict(
     return out.select(*DICT_SCHEMA_COLUMNS)
 
 
+def vartype_guess_oracle_sql(
+    table: str,
+    numeric_cols: list[str],
+    string_cols: list[str],
+) -> str:
+    """DuckDB SQL reproducing the stats-driven vartype CASE (A2) — the exact
+    thresholds of ``harmonizeCrimeIncidents.py:389-405`` as implemented in
+    ``build_data_dict``."""
+    selects = []
+    for c in numeric_cols:
+        selects.append(f"""
+SELECT '{c}' AS dict_field,
+  CASE WHEN AVG({c}) IS NULL THEN 'text'
+       WHEN COUNT(DISTINCT {c}) = 2
+            AND CAST(MIN({c}) AS DOUBLE) = 0
+            AND CAST(MAX({c}) AS DOUBLE) = 1 THEN 'boolean'
+       WHEN CAST(COUNT(DISTINCT {c}) AS DOUBLE)
+            > 1.0 + CAST(MAX({c}) AS DOUBLE) - CAST(MIN({c}) AS DOUBLE)
+         THEN 'range,0,' || CAST(CAST(FLOOR(CAST(MAX({c}) AS DOUBLE) + 1)
+                                      AS BIGINT) AS VARCHAR) || ',0.1'
+       ELSE 'range,0,' || CAST(CAST(FLOOR(CAST(MAX({c}) AS DOUBLE) / 10 + 1)
+                                    AS BIGINT) * 10 AS VARCHAR) || ',1'
+  END AS dict_vartype
+FROM {table}""")
+    for c in string_cols:
+        # (DISTINCT, not LIMIT: a bare LIMIT inside a UNION ALL chain is a
+        # DuckDB parse error without parentheses)
+        selects.append(
+            f"SELECT DISTINCT '{c}' AS dict_field, 'text' AS dict_vartype "
+            f"FROM {table}"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def data_dict_oracle_sql(
     table: str,
     numeric_cols: list[str],
