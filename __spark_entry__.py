@@ -791,9 +791,10 @@ WHERE p_brand != '' AND p_brand IS NOT NULL ORDER BY p_brand
 
 def q_vartype_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: the stats-driven widget-type inference CASE over lineitem."""
+    from harmonize_search_analyze_spark.operators.profiler import guess_vartypes
+
     df = _t(spark, sf_dir, "lineitem")
-    d = build_data_dict(df, columns=_LINEITEM_NUMERIC + ["l_returnflag", "l_linestatus"])
-    return d.select("dict_field", "dict_vartype")
+    return guess_vartypes(df, _LINEITEM_NUMERIC + ["l_returnflag", "l_linestatus"])
 
 
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,7 +907,9 @@ def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         media_summary,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # modest repartition: the two Python (Arrow) stages parallelize without
+    # paying a 32-worker fan-out for a few thousand rows
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(8)
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),

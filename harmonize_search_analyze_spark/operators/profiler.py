@@ -108,83 +108,110 @@ def build_data_dict(
 
     one_row = df.agg(*aggs)
     if dist_aggs:
+        # crossJoin of two single-row aggregates: ONE job, the two scan
+        # stages run concurrently.
         one_row = one_row.crossJoin(df.agg(*dist_aggs))
 
-    # Unpivot the single aggregated row: stack(N, 'col', col__count, ...) —
-    # stays distributed (no driver collect), negligible data volume.
-    stack_args = []
+    # Collect the single stats row and unpivot DRIVER-SIDE. The alternative —
+    # a stack() unpivot + metadata when-chains + the type-guess CASE as
+    # Column expressions over that one row — costs ~3s of Catalyst
+    # analysis/codegen for an 11-column table (measured at sf0.1, ~6x the
+    # aggregation itself) and grows with column count. The collected payload
+    # is 7 aggregates per column — metadata, not data — so driver assembly
+    # is the scale-correct shape too. min/max are stringified INSIDE the agg
+    # (Spark's cast, not Python str()) so formatting matches the SQL oracle.
+    stats = one_row.collect()[0].asDict()
+
+    rows = []
     for c in cols:
-        stack_args.append(f"'{c}'")
-        stack_args.extend(
-            f"`{c}__{s}`" for s in ("count", "dist", "miss", "mean", "std", "min", "max")
+        m = meta.get(c) or ColumnMeta()
+        vartype = (
+            m.vartype if m.vartype != "unknown"
+            else _guess_vartype_from_stats(stats, c)
         )
-    stacked = one_row.select(
-        F.expr(
-            f"stack({len(cols)}, {', '.join(stack_args)}) AS "
-            "(dict_field, dict_count, dict_countdistinct, dict_countmissing, "
-            "dict_mean, dict_stddev, dict_min, dict_max)"
-        )
+        rows.append((
+            c, stats[f"{c}__count"], stats[f"{c}__dist"], stats[f"{c}__miss"],
+            stats[f"{c}__mean"], stats[f"{c}__std"],
+            stats[f"{c}__min"], stats[f"{c}__max"],
+            m.vargroup, m.vardescr, "True" if m.uifilter else "False",
+            m.varmapping, vartype,
+        ))
+    out_schema = T.StructType([
+        T.StructField("dict_field", T.StringType()),
+        T.StructField("dict_count", T.LongType()),
+        T.StructField("dict_countdistinct", T.LongType()),
+        T.StructField("dict_countmissing", T.LongType()),
+        T.StructField("dict_mean", T.DoubleType()),
+        T.StructField("dict_stddev", T.DoubleType()),
+        T.StructField("dict_min", T.StringType()),
+        T.StructField("dict_max", T.StringType()),
+        T.StructField("dict_vargroup", T.StringType()),
+        T.StructField("dict_vardescr", T.StringType()),
+        T.StructField("dict_uifilter", T.StringType()),
+        T.StructField("dict_varmapping", T.StringType()),
+        T.StructField("dict_vartype", T.StringType()),
+    ])
+    return df.sparkSession.createDataFrame(rows, out_schema)
+
+
+def guess_vartypes(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """dict_field + dict_vartype only — the A2 inference without the full
+    dictionary: skips stddev/missing-count, so the single pass carries 4
+    aggregates per column instead of 7 (the count-distinct exchange
+    dominates either way, but the partial-agg state halves)."""
+    cols = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs, dist_aggs = [], []
+    for c in cols:
+        if _is_numeric(schema[c]):
+            aggs.append(F.avg(F.col(c)).cast("double").alias(f"{c}__mean"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mean"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        dist_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__dist"))
+    stats = (
+        df.agg(*aggs).crossJoin(df.agg(*dist_aggs)).collect()[0].asDict()
+    )
+    rows = [(c, _guess_vartype_from_stats(stats, c)) for c in cols]
+    return df.sparkSession.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("dict_field", T.StringType()),
+            T.StructField("dict_vartype", T.StringType()),
+        ]),
     )
 
-    # Attach author metadata via a when-chain (tiny, driver-side literals).
-    def meta_col(attr: str, default: str) -> F.Column:
-        expr = None
-        for c in cols:
-            m = meta.get(c)
-            if m is None:
-                continue
-            v = getattr(m, attr)
-            if attr == "uifilter":
-                v = "True" if v else "False"
-            branch = F.when(F.col("dict_field") == c, F.lit(v))
-            expr = branch if expr is None else expr.when(
-                F.col("dict_field") == c, F.lit(v)
-            )
-        base = F.lit(default)
-        return base if expr is None else expr.otherwise(base)
 
-    out = (
-        stacked
-        .withColumn("dict_vargroup", meta_col("vargroup", "99.Other"))
-        .withColumn("dict_vardescr", meta_col("vardescr", ""))
-        .withColumn("dict_uifilter", meta_col("uifilter", "False"))
-        .withColumn("dict_varmapping", meta_col("varmapping", ""))
-        .withColumn("dict_vartype", meta_col("vartype", "unknown"))
-    )
+def _guess_vartype_from_stats(stats: dict, c: str) -> str:
+    # exact thresholds of the reference CASE
+    # (harmonizeCrimeIncidents.py:389-405):
+    #   mean NULL                            -> text
+    #   distinct = 2 AND min = 0 AND max = 1 -> boolean
+    #   distinct > 1 + (max - min)           -> range,0,floor(max+1),0.1
+    #   else                                 -> range,0,floor(max/10+1)*10,1
+    import math
 
-    # Stats-driven type resolution for 'unknown' columns — exact thresholds
-    # from the reference CASE (harmonizeCrimeIncidents.py:389-405):
-    #   mean NULL                                   -> text
-    #   distinct = 2 AND min = 0 AND max = 1        -> boolean
-    #   distinct > 1 + (max - min)                  -> range,0,floor(max+1),0.1
-    #   else                                        -> range,0,floor(max/10+1)*10,1
-    minD = F.col("dict_min").try_cast("double")
-    maxD = F.col("dict_max").try_cast("double")
-    guessed = (
-        F.when(F.col("dict_mean").isNull(), F.lit("text"))
-        .when(
-            (F.col("dict_countdistinct") == 2) & (minD == 0) & (maxD == 1),
-            F.lit("boolean"),
-        )
-        .when(
-            F.col("dict_countdistinct").cast("double") > (F.lit(1.0) + maxD - minD),
-            F.concat(F.lit("range,0,"), F.floor(maxD + 1).cast("string"), F.lit(",0.1")),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("range,0,"),
-                (F.floor(maxD / 10 + 1) * 10).cast("string"),
-                F.lit(",1"),
-            )
-        )
-    )
-    out = out.withColumn(
-        "dict_vartype",
-        F.when(F.col("dict_vartype") == "unknown", guessed).otherwise(
-            F.col("dict_vartype")
-        ),
-    )
-    return out.select(*DICT_SCHEMA_COLUMNS)
+    if stats[f"{c}__mean"] is None:
+        return "text"
+
+    def fnum(s):
+        try:
+            return float(s)
+        except (TypeError, ValueError):
+            return None
+
+    mn, mx = fnum(stats[f"{c}__min"]), fnum(stats[f"{c}__max"])
+    dist = stats[f"{c}__dist"]
+    if dist == 2 and mn == 0 and mx == 1:
+        return "boolean"
+    if mn is None or mx is None:
+        return "text"
+    if float(dist) > 1.0 + mx - mn:
+        return f"range,0,{math.floor(mx + 1)},0.1"
+    return f"range,0,{math.floor(mx / 10 + 1) * 10},1"
 
 
 def vartype_guess_oracle_sql(
