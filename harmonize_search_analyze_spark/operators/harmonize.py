@@ -174,6 +174,23 @@ class Harmonizer:
         self.df = df
         return self
 
+    def build_dictionary(self, meta: dict | None = None, **kwargs):
+        """Profile this dataset into its data dictionary, folding the
+        accumulated transform lineage into ``dict_varmapping`` (the
+        reference passes its ``varmap`` dict to ``buildDataDict`` the same
+        way, ``harmonizeCrimeIncidents.py:344-352``)."""
+        from harmonize_search_analyze_spark.operators.profiler import (
+            ColumnMeta,
+            build_data_dict,
+        )
+
+        meta = dict(meta or {})
+        for c in self.df.columns:
+            m = meta.setdefault(c, ColumnMeta())
+            if not m.varmapping and c in self.varmap:
+                m.varmapping = self.varmap[c]
+        return build_data_dict(self.df, meta, **kwargs)
+
 
 # -- standalone datetime-part extraction (the multi-format regexes) ---------
 

@@ -1,0 +1,186 @@
+"""End-to-end lifecycle test (SURVEY.md §3): raw city CSVs on disk →
+all-string scan → harmonize → dictionary (with lineage) → catalog register →
+wildcard union → five-panel dashboard under a compiled search query + time
+window → dictionary-bootstrap metadata query → parquet persistence + DDL.
+
+This is the reference's §3.1 ETL, §3.2 interactive search, and §3.3 UI
+bootstrap executed as one Spark-native flow.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.dashboards import (
+    crime_dashboard,
+    dictionary_bootstrap,
+)
+from harmonize_search_analyze_spark.operators.harmonize import (
+    Harmonizer,
+    extract_date_parts,
+    extract_time_parts,
+)
+from harmonize_search_analyze_spark.operators.profiler import ColumnMeta
+from harmonize_search_analyze_spark.sources.catalog import Catalog
+from harmonize_search_analyze_spark.sources.ingest import read_city_csv
+
+BALTIMORE_CSV = """CrimeDate,CrimeTime,Description,Inside/Outside,Weapon,Location 1
+4/5/2017,18:51:00,AGG. ASSAULT,I,KNIFE,"(39.2880, -76.6200)"
+4/5/2017,1851,LARCENY,O,,"(39.3000, -76.6100)"
+4/6/2017,09:30:00,AGG. ASSAULT,I,HANDS,"(39.2500, -76.7000)"
+4/7/2017,2415,AUTO THEFT,O,,"(39.2000, -76.5000)"
+1/1/2010,08:00:00,BURGLARY,I,,"(39.1000, -76.4000)"
+"""
+
+DETROIT_CSV = """Crime ID,Incident Address,Offense Category,Incident Date & Time,Latitude,Longitude
+100,123 MAIN ST,ASSAULT,4/5/2017 06:08:00 PM,42.40,-83.10
+101,9 OAK AVE,BURGLARY,4/6/2017 12:05:00 AM,42.35,-83.05
+102,77 ELM ST,ASSAULT,4/7/2017 01:30:00 PM,42.30,-83.00
+"""
+
+
+@pytest.fixture(scope="module")
+def city_frames(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("city_csvs")
+    (d / "baltimore.csv").write_text(BALTIMORE_CSV)
+    (d / "detroit.csv").write_text(DETROIT_CSV)
+
+    # -- Baltimore (§3.1 stages 2-4) ------------------------------------
+    raw_b = read_city_csv(spark, str(d / "baltimore.csv"))
+    assert all(t == "string" for _, t in raw_b.dtypes)  # S1 contract
+    hb = Harmonizer(raw_b).make_valid_variable_names()
+    hb.df = hb.df.withColumn(
+        "geolocation", F.regexp_replace(F.col("location1"), r"[()\s]", "")
+    )
+    hb = hb.filter_nonempty("geolocation")
+    hb.df = extract_time_parts(
+        extract_date_parts(hb.df, "crimedate"), "crimetime"
+    )
+    hb = (
+        hb.map_var("description", "description")
+        .map_values("description", {"AGG. ASSAULT": "Assault",
+                                    "LARCENY": "Theft",
+                                    "AUTO THEFT": "Vehicle Theft",
+                                    "BURGLARY": "Burglary"})
+        .map_var("insideoutside", "location", keep_orig=True)
+        .derive_datetime()
+        .derive_dayofweek()
+        .add_provenance(city="baltimore", notebookhtml="Baltimore.html")
+        .set_col_data_types({"year": "int", "month": "int", "day": "int",
+                             "hour": "int", "minute": "int"})
+    )
+
+    # -- Detroit --------------------------------------------------------
+    from harmonize_search_analyze_spark.operators.harmonize import (
+        DATETIME_AMPM_RE,
+        ampm_to_24h,
+    )
+
+    raw_d = read_city_csv(spark, str(d / "detroit.csv"))
+    hd = Harmonizer(raw_d).make_valid_variable_names()
+    src = F.col("incidentdatetime")
+    hd.df = (
+        hd.df
+        .withColumn("month", F.regexp_extract(src, DATETIME_AMPM_RE, 1).cast("int"))
+        .withColumn("day", F.regexp_extract(src, DATETIME_AMPM_RE, 2).cast("int"))
+        .withColumn("year", F.regexp_extract(src, DATETIME_AMPM_RE, 3).cast("int"))
+        .withColumn("hour12", F.regexp_extract(src, DATETIME_AMPM_RE, 4))
+        .withColumn("minute", F.regexp_extract(src, DATETIME_AMPM_RE, 5).cast("int"))
+        .withColumn("ampm", F.regexp_extract(src, DATETIME_AMPM_RE, 7))
+    )
+    hd.df = hd.df.withColumn(
+        "hour", ampm_to_24h(F.col("hour12"), F.col("ampm"))
+    ).drop("hour12", "ampm")
+    hd = (
+        hd.map_var("offensecategory", "description")
+        .map_values("description", {"ASSAULT": "Assault", "BURGLARY": "Burglary"})
+        .derive_geolocation()
+        .derive_datetime()
+        .derive_dayofweek()
+        .add_provenance(city="detroit", notebookhtml="Detroit.html")
+    )
+    return hb, hd
+
+
+def test_full_lifecycle(spark, city_frames):
+    hb, hd = city_frames
+    cat = Catalog(spark)
+    cat.register("baltimore_harmonized", hb.df)
+    cat.register("detroit_harmonized", hd.df)
+    cat.register(
+        "baltimore_dictionary",
+        hb.build_dictionary({"description": ColumnMeta(
+            vargroup="01.Incident", uifilter=True,
+            vartype="enum,Assault,Theft,Vehicle Theft,Burglary")}),
+    )
+    cat.register("detroit_dictionary", hd.build_dictionary())
+
+    # §3.2: wildcard union + compiled search query + global time window
+    union = cat.resolve("*_harmonized")
+    assert "weapon" in union.columns          # Baltimore-only column
+    assert "crimeid" in union.columns         # Detroit-only column
+
+    panels = crime_dashboard(
+        union,
+        query_ast={"bool": {"must": [
+            {"terms": {"description": ["Assault", "Burglary"]}},
+        ]}},
+        time_from=dt.datetime(2017, 1, 1),
+        time_to=dt.datetime(2018, 1, 1),
+    )
+    descr = {(r["description"], r["doc_count"])
+             for r in panels["description_pie"].collect()}
+    # 2010 Baltimore burglary excluded by the time window; 2017 rows:
+    # baltimore assaults=2, detroit assaults=2, detroit burglary=1
+    assert descr == {("Assault", 4), ("Burglary", 1)}
+    cities = {(r["city"], r["doc_count"]) for r in panels["city_pie"].collect()}
+    assert cities == {("baltimore", 2), ("detroit", 3)}
+    table = {(r["city"], r["notebookhtml"]): r["doc_count"]
+             for r in panels["dataset_table"].collect()}
+    assert table == {("baltimore", "Baltimore.html"): 2,
+                     ("detroit", "Detroit.html"): 3}
+    dayhour = panels["day_hour_pie"].collect()
+    assert sum(r["doc_count"] for r in dayhour) == 5
+    geo = panels["incident_map"].collect()
+    assert sum(r["doc_count"] for r in geo) == 5
+    assert all(len(r["geohash"]) == 2 for r in geo)
+    # Baltimore ~(39.2, -76.6) -> dq*, Detroit ~(42.4, -83.1) -> dp*
+    assert {r["geohash"] for r in geo} == {"dq", "dp"}
+
+    # §3.3: dictionary bootstrap metadata query
+    dict_union = cat.resolve("*_dictionary")
+    boot = dictionary_bootstrap(dict_union)
+    rows = boot.collect()
+    assert len(rows) == len(hb.df.columns) + len(hd.df.columns)
+    by_field = {}
+    for r in rows:
+        by_field.setdefault(r["dict_field"], []).append(r)
+    assert by_field["description"][0]["dict_vartype"].startswith("enum,") or \
+        by_field["description"][1]["dict_vartype"].startswith("enum,")
+    # lineage flowed into the dictionary (mapVar + mapValues recorded)
+    balt_dict = {r["dict_field"]: r for r in cat.resolve("baltimore_dictionary").collect()}
+    assert "Mapped 4 values" in balt_dict["description"]["dict_varmapping"]
+    assert balt_dict["location"]["dict_varmapping"].startswith("Source: insideoutside")
+
+
+def test_persistence_and_ddl(spark, city_frames, tmp_path):
+    hb, _ = city_frames
+    cat = Catalog(spark)
+    path = str(tmp_path / "balt_parquet")
+    cat.save_parquet(hb.df, path, partition_by=["year"])
+    back = spark.read.parquet(path)
+    assert back.count() == hb.df.count()
+    # partition pruning structure on disk (S3 sink + pruning design)
+    import os
+
+    assert any(p.startswith("year=") for p in os.listdir(path))
+
+    ddl = cat.save_as_table(
+        hb.df.drop("datetime"), "balt_tbl", path=str(tmp_path / "balt_tbl")
+    )
+    assert "CREATE TABLE" in ddl and "balt_tbl" in ddl
+    assert spark.table("balt_tbl").count() == hb.df.count()
+    spark.sql("DROP TABLE balt_tbl")
