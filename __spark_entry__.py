@@ -860,6 +860,25 @@ SELECT id1, id2, jaccard FROM (
 """
 
 
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (random hyperplane) embedding near-dup — the bucketed scale
+    path; oracle'd exactly (identical deterministic hyperplanes)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(emb, threshold=0.35).orderBy("id1", "id2")
+
+
+def _sql_embedding_lsh() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_lsh_oracle_sql,
+    )
+
+    return embedding_lsh_oracle_sql(threshold=0.35)
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming operator):
     1-hour gap sessions over the events table."""
@@ -974,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_brute": q_jaccard_brute,
         "sessionization": q_sessionization,
         "media_profile": q_media_profile,
+        "embedding_lsh": q_embedding_lsh,
     }
 
 
@@ -1013,4 +1033,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_brute": _sql_jaccard_brute(),
         "sessionization": SQL_SESSIONIZATION,
         "media_profile": SQL_MEDIA_PROFILE,
+        "embedding_lsh": _sql_embedding_lsh(),
     }

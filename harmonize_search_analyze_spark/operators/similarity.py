@@ -138,6 +138,150 @@ def ivf_search(
     )
 
 
+def hyperplanes(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH: entry (j, i) is
+    ``sin(seed + j*dim + i)`` — no RNG, so Spark, the DuckDB oracle, and any
+    re-run derive the identical family from (dim, n_bits, seed)."""
+    import math
+
+    return [
+        [math.sin(seed + j * dim + i) for i in range(dim)]
+        for j in range(n_bits)
+    ]
+
+
+def _band_key_sql(vec: str, planes: list[list[float]], dialect: str) -> str:
+    """Concatenated sign bits of the vector against each plane (one band)."""
+    bits = []
+    for p in planes:
+        if dialect == "spark":
+            dot = _dot_sql(vec, _qvec_lit(p))
+            bits.append(f"IF(({dot}) >= 0, '1', '0')")
+        else:
+            lit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({vec}, {lit}), "
+                "p -> p[1] * p[2]))"
+            )
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits) if dialect == "duckdb" else f"concat({', '.join(bits)})"
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-LSH (random hyperplane) embedding near-dup — the scale path for
+    ``embedding_near_dup_pairs``: two vectors are candidates iff some band
+    of sign bits matches exactly; only candidates pay the exact cosine.
+
+    P(bit match) = 1 - angle/pi, so a band of b bits catches highly similar
+    pairs with probability (1 - angle/pi)^b and the bands union the chances;
+    recall < 1 by construction — the brute operator is the oracle for recall,
+    while THIS operator is oracle'd exactly (same planes, same buckets).
+
+    Scale shape: signature computation is a map-only projection; the band
+    self-equi-join shuffles on (band_idx, band_key) — the same join profile
+    as MinHash-LSH banding (dedup.py), uniform-ish buckets for centered data.
+    """
+    planes = hyperplanes(dim, n_bands * bits_per_band, seed)
+    emb = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    v = df.select(
+        F.col(id_col),
+        F.expr(emb).alias("v"),
+        F.expr(_norm_sql(emb)).alias("nrm"),
+    )
+    bands = []
+    for bi in range(n_bands):
+        key = _band_key_sql("v", planes[bi * bits_per_band: (bi + 1) * bits_per_band], "spark")
+        bands.append(
+            F.struct(F.lit(bi).alias("band_idx"), F.expr(key).alias("band_key"))
+        )
+    # band frame is tiny (n x n_bands); persist so the two join branches
+    # don't recompute the signature projection
+    exploded = (
+        v.select(id_col, F.explode(F.array(*bands)).alias("b"))
+        .select(id_col, "b.band_idx", "b.band_key")
+        .persist()
+    )
+    cands = (
+        exploded.alias("l")
+        .join(
+            exploded.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+    cos = F.expr(_dot_sql("v1", "v2")) / (F.col("n1") * F.col("n2"))
+    return (
+        cands.join(
+            v.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"),
+                     F.col("nrm").alias("n1")), "id1")
+        .join(
+            v.select(F.col(id_col).alias("id2"), F.col("v").alias("v2"),
+                     F.col("nrm").alias("n2")), "id2")
+        .withColumn("cosine", F.round(cos, 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def embedding_lsh_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    seed: int = 7,
+) -> str:
+    """DuckDB SQL computing the identical sign-LSH pipeline (same planes,
+    same bucket keys, same verification cosine)."""
+    planes = hyperplanes(dim, n_bands * bits_per_band, seed)
+    band_selects = []
+    for bi in range(n_bands):
+        key = _band_key_sql(
+            "e", planes[bi * bits_per_band: (bi + 1) * bits_per_band], "duckdb"
+        )
+        band_selects.append(
+            f"SELECT {id_col}, {bi} AS band_idx, {key} AS band_key FROM v"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    dot = "list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))"
+    return f"""
+WITH v AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform({vec_col}::DOUBLE[], x -> x * x))) AS nrm
+  FROM {table}
+), bands AS ({bands}),
+cands AS (
+  SELECT DISTINCT l.{id_col} AS id1, r.{id_col} AS id2
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.{id_col} < r.{id_col}
+)
+SELECT id1, id2, cosine FROM (
+  SELECT id1, id2, ROUND({dot} / (a.nrm * b.nrm), 6) AS cosine
+  FROM cands JOIN v a ON a.{id_col} = id1 JOIN v b ON b.{id_col} = id2
+) WHERE cosine >= {threshold!r} ORDER BY id1, id2
+"""
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

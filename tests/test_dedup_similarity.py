@@ -1,0 +1,124 @@
+"""Operator-level dedup/similarity tests on constructed data — the recall
+and containment properties the SQL-oracle gate can't express:
+
+- LSH candidates are a SUBSET of brute-force pairs (no false positives
+  after verification) and catch planted near-duplicates
+- identical inputs collapse: simhash distance 0, jaccard 1, fingerprints eq
+- IVF search returns a subset of the brute top-k ranking (recall <= 1)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.dedup import (
+    exact_dedup,
+    near_dup_pairs_brute,
+    near_dup_pairs_lsh,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from harmonize_search_analyze_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_lsh,
+    embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_search,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun light"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                                   # exact duplicate
+        (3, BASE.replace("lazy", "sleepy")),         # near duplicate
+        (4, "completely different content about spark query engines and "
+            "distributed columnar execution at large scale"),
+        (5, "another unrelated text mentioning minhash banding and "
+            "locality sensitive hashing for candidate generation"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in
+           exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == 2          # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_lsh_subset_of_brute_and_catches_near_dups(docs):
+    brute = {(r["id1"], r["id2"]): r["jaccard"] for r in
+             near_dup_pairs_brute(docs, "doc_id", "text",
+                                  threshold=0.5, n=2).collect()}
+    lsh = {(r["id1"], r["id2"]): r["jaccard"] for r in
+           near_dup_pairs_lsh(docs, "doc_id", "text",
+                              threshold=0.5, k=8, n=2,
+                              rows_per_band=2).collect()}
+    # verification makes LSH pairs a subset of brute with equal scores
+    assert set(lsh) <= set(brute)
+    for pair, j in lsh.items():
+        assert j == brute[pair]
+    # the exact duplicate must be caught by any banding
+    assert (1, 2) in lsh and lsh[(1, 2)] == 1.0
+    # the near-duplicate (one word changed) survives at threshold 0.5
+    assert (1, 3) in brute
+
+
+def test_simhash_identical_zero_distance(docs):
+    sk = {r["doc_id"]: r["simhash"] for r in
+          simhash(docs, "doc_id", "text").collect()}
+    assert sk[1] == sk[2]
+    assert 0 <= sk[1] < (1 << 32)
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             simhash_near_dup_pairs(docs, "doc_id", "text",
+                                    max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+    # near-duplicate within a few bits; unrelated docs far away
+    assert pairs.get((1, 3), 99) <= 3
+    assert (1, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    def vec(seed, dim=16):
+        return [math.sin(seed + i) for i in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    rows.append((100, [v + 0.001 for v in vec(0)]))   # near-dup of vec 0
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+def test_embedding_lsh_subset_and_recall(vectors):
+    brute = {(r["id1"], r["id2"]) for r in
+             embedding_near_dup_pairs(vectors, threshold=0.99).collect()}
+    lsh = {(r["id1"], r["id2"]) for r in
+           embedding_near_dup_lsh(vectors, threshold=0.99, dim=16,
+                                  n_bands=4, bits_per_band=4).collect()}
+    assert lsh <= brute
+    assert (0, 100) in brute
+    assert (0, 100) in lsh     # near-identical vectors share every band
+
+
+def test_ivf_recall_against_brute(vectors):
+    q = [math.sin(0.5 + i) for i in range(16)]
+    brute = [r["vec_id"] for r in
+             cosine_topk(vectors, "embedding", q, k=5).collect()]
+    centroids, assign = ivf_assign(vectors, n_centroids=4)
+    ivf = [r["vec_id"] for r in
+           ivf_search(vectors, centroids, assign, q, k=5, nprobe=2).collect()]
+    # IVF results come from probed lists only: a subset of the full ranking
+    assert set(ivf) <= set(r["vec_id"] for r in
+                           cosine_topk(vectors, "embedding", q, k=40).collect())
+    # with half the lists probed, most of the true top-5 should surface
+    assert len(set(ivf) & set(brute)) >= 3
