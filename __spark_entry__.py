@@ -879,6 +879,24 @@ def _sql_embedding_lsh() -> str:
     return embedding_lsh_oracle_sql(threshold=0.35)
 
 
+def q_terms_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted terms agg over a deliberately hot key
+    (l_linestatus has ~2 values) — identical result to the plain terms agg,
+    reducer load bounded by 1/salt."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_salted,
+    )
+
+    return terms_salted(_t(spark, sf_dir, "lineitem"), "l_linestatus", k=10)
+
+
+SQL_TERMS_SALTED = """
+SELECT l_linestatus, COUNT(*) AS doc_count FROM lineitem
+WHERE l_linestatus IS NOT NULL
+GROUP BY l_linestatus ORDER BY doc_count DESC, l_linestatus ASC LIMIT 10
+"""
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch twin of the streaming operator):
     1-hour gap sessions over the events table."""
@@ -994,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "media_profile": q_media_profile,
         "embedding_lsh": q_embedding_lsh,
+        "terms_salted": q_terms_salted,
     }
 
 
@@ -1034,4 +1053,5 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": SQL_SESSIONIZATION,
         "media_profile": SQL_MEDIA_PROFILE,
         "embedding_lsh": _sql_embedding_lsh(),
+        "terms_salted": SQL_TERMS_SALTED,
     }

@@ -59,6 +59,43 @@ def terms(
     )
 
 
+def terms_salted(
+    df: DataFrame,
+    field: str,
+    k: int = 10,
+    *,
+    salt: int = 16,
+    skip_nulls: bool = True,
+) -> DataFrame:
+    """``terms`` with explicit two-phase salting for skewed keys.
+
+    A hot key (one term holding a large fraction of all rows) funnels its
+    entire partial-agg output through ONE reducer in the plain
+    ``groupBy(field)``. Salting splits each key into ``salt`` sub-keys —
+    phase 1 aggregates (field, salt) so no reducer sees more than ~1/salt of
+    a hot key, phase 2 sums the tiny per-salt partials. Same result, same
+    top-k order; use when AQE's skew handling isn't available (it only
+    splits JOIN partitions, not aggregation reducers).
+
+    For plain counts Spark's map-side combine already bounds reducer input
+    by distinct-key count, so this matters for high-cardinality-payload
+    aggs (collect_list/count_distinct per group) and extreme row counts.
+    """
+    if skip_nulls:
+        df = df.where(F.col(field).isNotNull())
+    partial = (
+        df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+        .groupBy(field, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return (
+        partial.groupBy(field)
+        .agg(F.sum("_partial").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc(field))
+        .limit(k)
+    )
+
+
 def terms_multi(df: DataFrame, fields: list[str], k: int = 20) -> DataFrame:
     """Multi-field terms table (viz 4 'DatasetTable': city x notebookhtml)."""
     cond = None

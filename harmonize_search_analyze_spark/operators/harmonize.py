@@ -38,6 +38,7 @@ class Harmonizer:
     df: DataFrame
     varmap: dict[str, str] = dc_field(default_factory=dict)        # new -> descr
     varmapreverse: dict[str, str] = dc_field(default_factory=dict)  # new -> old
+    observations: dict = dc_field(default_factory=dict)            # name -> Observation
 
     # -- P1: mapVar (harmonizeCrimeIncidents.py:263-283) -------------------
     def map_var(self, oldvar: str, newvar: str, keep_orig: bool = False) -> "Harmonizer":
@@ -150,6 +151,24 @@ class Harmonizer:
     def filter_nonempty(self, col: str) -> "Harmonizer":
         """F1: drop rows with empty/absent value (length(col) > 0)."""
         self.df = self.df.where(F.length(F.col(col)) > 0)
+        return self
+
+    def filter_observed(self, predicate: Column, name: str) -> "Harmonizer":
+        """F4 done right: rejected-row accounting WITHOUT extra count jobs.
+        The reference brackets every filter with two ``df.count()`` actions
+        (``Baltimore-notebook.ipynb:595-601`` — two full scans per filter);
+        ``observe`` piggybacks both tallies on whichever action runs next.
+        Read them from ``observations[name]`` after an action:
+        ``{'rows_in': ..., 'rows_kept': ...}``."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        self.df = self.df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(predicate.cast("long")).alias("rows_kept"),
+        ).where(predicate)
+        self.observations[name] = obs
         return self
 
     def filter_range_sanity(

@@ -64,6 +64,18 @@ class Catalog:
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
 
+    # -- schema (database) DDL (S4: Baltimore-notebook.ipynb:893-899) ------
+    def create_schema(self, name: str, comment: str = "") -> None:
+        """``CREATE SCHEMA`` with optional comment (idempotent)."""
+        c = f" COMMENT '{comment}'" if comment else ""
+        self.spark.sql(f"CREATE SCHEMA IF NOT EXISTS {name}{c}")
+
+    def drop_schema(self, name: str, cascade: bool = True) -> None:
+        """``DROP SCHEMA IF EXISTS ... CASCADE``."""
+        self.spark.sql(
+            f"DROP SCHEMA IF EXISTS {name}{' CASCADE' if cascade else ''}"
+        )
+
     # -- persistence (harmonizeCrimeIncidents.py:408-422) ------------------
     def save_parquet(
         self, df: DataFrame, path: str, partition_by: list[str] | None = None

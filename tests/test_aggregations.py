@@ -144,3 +144,23 @@ def test_catalog_lifecycle(spark):
     assert cat.names() == ["b_idx"]
     cat.register("b_idx", df.withColumn("x", F.lit(1)))  # replace is idempotent
     assert cat.resolve("b_idx").columns == ["id", "x"]
+
+
+def test_terms_salted_equals_terms(frame):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_salted,
+    )
+
+    plain = [(r["k"], r["doc_count"]) for r in terms(frame, "k", k=5).collect()]
+    salted = [(r["k"], r["doc_count"])
+              for r in terms_salted(frame, "k", k=5, salt=8).collect()]
+    assert salted == plain
+
+
+def test_catalog_schema_ddl(spark):
+    cat = Catalog(spark)
+    cat.drop_schema("t_e2e_schema")
+    cat.create_schema("t_e2e_schema", comment="incident datasets")
+    assert spark.catalog.databaseExists("t_e2e_schema")
+    cat.drop_schema("t_e2e_schema")
+    assert not spark.catalog.databaseExists("t_e2e_schema")

@@ -330,3 +330,14 @@ def test_map_values_passthrough_golden(spark):
     h = Harmonizer(df).map_values("v", {"AGG. ASSAULT": "Assault"})
     got = sorted(r["v"] or "NULL" for r in h.df.collect())
     assert got == ["Assault", "NULL", "UNKNOWN THING"]
+
+
+def test_filter_observed_accounting(spark):
+    # F4 via observe(): one job, both tallies (reference used 2 count() scans)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["v"])
+    h = Harmonizer(df).filter_observed(F.col("v") < 30, "geo_filter")
+    assert h.df.count() == 30
+    got = h.observations["geo_filter"].get
+    assert got["rows_in"] == 100 and got["rows_kept"] == 30
