@@ -928,6 +928,61 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed end-to-end: per-doc quality
+    scoring -> threshold filter -> exact dedup (keep min doc_id per
+    normalized-text hash) -> per-source corpus rollup. One pass + one
+    window shuffle on the dedup hash + one agg shuffle."""
+    from pyspark.sql import Window
+
+    from harmonize_search_analyze_spark.operators.text import analyze_documents
+
+    docs = analyze_documents(_t(spark, sf_dir, "documents"))
+    kept = docs.where(F.col("quality") >= 0.5)
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    dedup = (
+        kept.withColumn("text_hash", F.md5(F.lower(F.trim("text"))))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return (
+        dedup.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_corpus_curation() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        quality_components_sql,
+        quality_score_sql,
+    )
+
+    c = quality_components_sql("text", "duckdb")
+    return f"""
+WITH a AS (
+  SELECT doc_id, source, text,
+         {c['n_tokens']} AS n_tokens,
+         {quality_score_sql('text', 'duckdb')} AS quality
+  FROM documents
+), k AS (
+  SELECT * FROM a WHERE quality >= 0.5
+), d AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(LOWER(TRIM(text)))
+                               ORDER BY doc_id) AS rn
+  FROM k
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality
+FROM d WHERE rn = 1 GROUP BY source ORDER BY source
+"""
+
+
 def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end with a SQL oracle: deterministically
     wrap each document id in a REAL 33-byte PNG (width = 1 + doc_id % 512,
@@ -1013,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_profile": q_media_profile,
         "embedding_lsh": q_embedding_lsh,
         "terms_salted": q_terms_salted,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1054,4 +1110,5 @@ def oracle_sql() -> dict[str, str]:
         "media_profile": SQL_MEDIA_PROFILE,
         "embedding_lsh": _sql_embedding_lsh(),
         "terms_salted": SQL_TERMS_SALTED,
+        "corpus_curation": _sql_corpus_curation(),
     }

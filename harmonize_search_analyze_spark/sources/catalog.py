@@ -87,6 +87,33 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        buckets: int,
+        by: str | list[str],
+        sort_by: str | list[str] | None = None,
+        path: str | None = None,
+    ) -> None:
+        """Bucketed parquet table: pre-partitions rows by hash(``by``) into
+        ``buckets`` files per partition so equi-joins and aggregations on the
+        bucket key run WITHOUT an exchange (both sides read co-located).
+        The 100 TB answer to 'this join shuffles the fact table every query':
+        pay the shuffle once at write time. Same-bucket-count tables join
+        shuffle-free; ``sort_by`` additionally removes the sort from
+        sort-merge joins."""
+        by = [by] if isinstance(by, str) else by
+        writer = df.write.mode("overwrite").format("parquet").bucketBy(
+            buckets, *by
+        )
+        if sort_by:
+            sort_by = [sort_by] if isinstance(sort_by, str) else sort_by
+            writer = writer.sortBy(*sort_by)
+        if path:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table)
+
     def save_as_table(
         self, df: DataFrame, table: str, path: str | None = None
     ) -> str:
