@@ -928,6 +928,36 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram agg (ES histogram): o_totalprice in 25k-wide bins."""
+    from harmonize_search_analyze_spark.operators.aggregations import histogram
+
+    return histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 25000.0)
+
+
+SQL_HISTOGRAM = """
+SELECT CAST(FLOOR(o_totalprice / 25000.0) * 25000.0 AS DOUBLE) AS bin,
+       COUNT(*) AS doc_count
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY 1 ORDER BY bin
+"""
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-histogram agg (ES date_histogram): daily event counts."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+    )
+
+    return date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+
+
+SQL_DATE_HISTOGRAM = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, COUNT(*) AS doc_count
+FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1069,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh": q_embedding_lsh,
         "terms_salted": q_terms_salted,
         "corpus_curation": q_corpus_curation,
+        "histogram": q_histogram,
+        "date_histogram": q_date_histogram,
     }
 
 
@@ -1111,4 +1143,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh": _sql_embedding_lsh(),
         "terms_salted": SQL_TERMS_SALTED,
         "corpus_curation": _sql_corpus_curation(),
+        "histogram": SQL_HISTOGRAM,
+        "date_histogram": SQL_DATE_HISTOGRAM,
     }

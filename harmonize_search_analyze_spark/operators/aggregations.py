@@ -146,6 +146,45 @@ def nested_terms(
     )
 
 
+def histogram(
+    df: DataFrame,
+    field: str,
+    interval: float,
+    *,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """Numeric histogram (ES/Kibana ``histogram`` agg): fixed-width bins
+    keyed by ``floor(value / interval) * interval``. Empty bins are omitted
+    (``min_doc_count=1``, the ES default when not extending bounds); purely
+    partial+final hash agg, bin count bounded by value range / interval."""
+    key = F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
+    out = (
+        df.where(F.col(field).isNotNull())
+        .groupBy(key.cast("double").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    if min_doc_count > 1:
+        out = out.where(F.col("doc_count") >= min_doc_count)
+    return out.orderBy("bin")
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_field: str,
+    interval: str = "1 hour",
+) -> DataFrame:
+    """Date histogram (ES/Kibana ``date_histogram`` agg): calendar-ish
+    fixed-interval time buckets via ``window`` — the batch twin of the
+    streaming ``windowed_counts`` (streaming/windows.py)."""
+    return (
+        df.where(F.col(ts_field).isNotNull())
+        .groupBy(F.window(ts_field, interval).alias("w"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(F.col("w.start").alias("bucket"), "doc_count")
+        .orderBy("bucket")
+    )
+
+
 def geohash_grid(
     df: DataFrame,
     lat: str,

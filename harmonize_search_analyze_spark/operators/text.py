@@ -61,9 +61,12 @@ def bpe_ish_token_count_sql(expr: str, dialect: str) -> str:
 STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it")
 
 
-def quality_components_sql(expr: str, dialect: str) -> dict[str, str]:
-    """Deterministic per-document quality signals (Gopher-rules-ish):
-    n_tokens, mean token length, stopword ratio, alnum char ratio."""
+def _raw_quality_parts(expr: str, dialect: str) -> dict[str, str]:
+    """UNROUNDED quality signal expressions (identical float ops on both
+    engines). Keep raw values inside composite formulas: summing pre-rounded
+    components (multiples of 1e-6 scaled by the 0.3/0.4 weights) lands the
+    final score exactly on 6-decimal rounding TIES, where Spark and DuckDB
+    round differently (observed at sf0.1: 1-ulp quality mismatches)."""
     toks = tokens_sql(expr, dialect)
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     if dialect == "spark":
@@ -77,27 +80,37 @@ def quality_components_sql(expr: str, dialect: str) -> dict[str, str]:
         n_stop = f"len(list_filter({toks}, t -> t IN ({stop_list})))"
         n_alnum = f"length(regexp_replace({expr}, '[^a-zA-Z0-9]', '', 'g'))"
     return {
-        "n_tokens": f"CAST({n_tokens} AS BIGINT)",
-        "mean_token_len": (
-            f"ROUND(CAST({sum_len} AS DOUBLE) / NULLIF({n_tokens}, 0), 6)"
-        ),
-        "stopword_ratio": (
-            f"ROUND(CAST({n_stop} AS DOUBLE) / NULLIF({n_tokens}, 0), 6)"
-        ),
+        "n_tokens": n_tokens,
+        "mean_token_len": f"(CAST({sum_len} AS DOUBLE) / NULLIF({n_tokens}, 0))",
+        "stopword_ratio": f"(CAST({n_stop} AS DOUBLE) / NULLIF({n_tokens}, 0))",
         "alnum_ratio": (
-            f"ROUND(CAST({n_alnum} AS DOUBLE) / NULLIF(length({expr}), 0), 6)"
+            f"(CAST({n_alnum} AS DOUBLE) / NULLIF(length({expr}), 0))"
         ),
+    }
+
+
+def quality_components_sql(expr: str, dialect: str) -> dict[str, str]:
+    """Deterministic per-document quality signals (Gopher-rules-ish):
+    n_tokens, mean token length, stopword ratio, alnum char ratio (rounded
+    for stable cross-engine display/compare)."""
+    raw = _raw_quality_parts(expr, dialect)
+    return {
+        "n_tokens": f"CAST({raw['n_tokens']} AS BIGINT)",
+        "mean_token_len": f"ROUND({raw['mean_token_len']}, 6)",
+        "stopword_ratio": f"ROUND({raw['stopword_ratio']}, 6)",
+        "alnum_ratio": f"ROUND({raw['alnum_ratio']}, 6)",
     }
 
 
 def quality_score_sql(expr: str, dialect: str) -> str:
     """Scalar quality score in [0, 1]: penalize too-short docs, extreme
-    stopword ratios and non-alnum noise. Fixed weights, fully deterministic.
-    """
-    c = quality_components_sql(expr, dialect)
-    len_score = f"LEAST(CAST({c['n_tokens']} AS DOUBLE) / 50.0, 1.0)"
-    stop_score = f"(1.0 - ABS(COALESCE({c['stopword_ratio']}, 0) - 0.1))"
-    alnum_score = f"COALESCE({c['alnum_ratio']}, 0)"
+    stopword ratios and non-alnum noise. Fixed weights, fully deterministic;
+    built from RAW ratios (see ``_raw_quality_parts``) so the single final
+    rounding never sits on a decimal tie."""
+    raw = _raw_quality_parts(expr, dialect)
+    len_score = f"LEAST(CAST({raw['n_tokens']} AS DOUBLE) / 50.0, 1.0)"
+    stop_score = f"(1.0 - ABS(COALESCE({raw['stopword_ratio']}, 0) - 0.1))"
+    alnum_score = f"COALESCE({raw['alnum_ratio']}, 0)"
     return (
         f"ROUND(0.4 * {len_score} + 0.3 * {stop_score} + 0.3 * {alnum_score}, 6)"
     )

@@ -212,3 +212,71 @@ def test_sessionize_batch_on_events(spark):
     ).collect()[0]
     assert agg["n"] == ev.count()          # every event in exactly one session
     assert 0 < agg["sessions"] <= ev.count()
+
+
+def test_streaming_crime_dashboard_refresh(spark, tmp_path):
+    """Layers composed: harmonized-shaped stream -> foreachBatch ->
+    the reference's five dashboard panels per micro-batch."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.dashboards import (
+        crime_dashboard,
+    )
+
+    schema = T.StructType([
+        T.StructField("description", T.StringType()),
+        T.StructField("dayofweek", T.StringType()),
+        T.StructField("hour", T.IntegerType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("notebookhtml", T.StringType()),
+        T.StructField("geolocation", T.StringType()),
+        T.StructField("datetime", T.TimestampType()),
+    ])
+    rows = [
+        ("Assault", "Monday", 18, "baltimore", "b.html", "39.28,-76.62",
+         dt.datetime(2017, 4, 5, 18, 0)),
+        ("Theft", "Monday", 19, "detroit", "d.html", "42.40,-83.10",
+         dt.datetime(2017, 4, 5, 19, 0)),
+        ("Assault", "Tuesday", 9, "baltimore", "b.html", "39.30,-76.61",
+         dt.datetime(2017, 4, 6, 9, 0)),
+    ]
+    src = tmp_path / "harmonized_stream"
+    spark.createDataFrame(rows, schema).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = read_document_stream(spark, str(src), schema)
+    collected: dict[int, dict] = {}
+
+    def sink(name, df, batch_id):
+        collected.setdefault(batch_id, {})[name] = df.collect()
+
+    q = dashboard_refresh(
+        stream,
+        panels={
+            name: fn
+            for name, fn in {
+                "description_pie": lambda d: crime_dashboard(d)["description_pie"],
+                "incident_map": lambda d: crime_dashboard(d)["incident_map"],
+            }.items()
+        },
+        sink=sink,
+        checkpoint_dir=str(tmp_path / "ck_dash"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # every micro-batch refreshed every panel; totals across batches match
+    total_descr = sum(
+        r["doc_count"]
+        for b in collected.values() for r in b["description_pie"]
+    )
+    total_geo = sum(
+        r["doc_count"] for b in collected.values() for r in b["incident_map"]
+    )
+    assert total_descr == 3 and total_geo == 3
+    hashes = {r["geohash"] for b in collected.values() for r in b["incident_map"]}
+    assert hashes == {"dq", "dp"}
