@@ -958,6 +958,183 @@ FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats metric agg: per-returnflag stats of l_quantity
+    (integer-valued -> double sums stay exact, no float-order drift)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        extended_stats,
+    )
+
+    return extended_stats(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", by="l_returnflag"
+    )
+
+
+SQL_EXTENDED_STATS = """
+SELECT l_returnflag,
+       COUNT(l_quantity) AS count,
+       MIN(l_quantity) AS min,
+       MAX(l_quantity) AS max,
+       ROUND(SUM(l_quantity), 6) AS sum,
+       ROUND(AVG(l_quantity), 6) AS avg,
+       ROUND(VAR_POP(l_quantity), 6) AS variance,
+       ROUND(STDDEV_POP(l_quantity), 6) AS std_deviation
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles metric agg, exact interpolated quantiles of
+    l_extendedprice per returnflag (= ANSI percentile_cont)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles,
+    )
+
+    return percentiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", by="l_returnflag"
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-agg: top-3 orders by totalprice inside each
+    orderpriority bucket (ties by orderkey ASC, pinned)."""
+    from harmonize_search_analyze_spark.operators.aggregations import top_hits
+
+    out = top_hits(
+        _t(spark, sf_dir, "orders"),
+        by="o_orderpriority",
+        sort_field="o_totalprice",
+        id_field="o_orderkey",
+        k=3,
+    )
+    return out.withColumn("hit_rank", F.col("hit_rank").cast("int"))
+
+
+SQL_TOP_HITS = """
+SELECT o_orderpriority, CAST(hit_rank AS INTEGER) AS hit_rank,
+       o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS hit_rank
+  FROM orders WHERE o_totalprice IS NOT NULL
+) WHERE hit_rank <= 3
+ORDER BY o_orderpriority, hit_rank
+"""
+
+
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality agg (exact mode for the oracle gate; the 100 TB path
+    is exact=False -> HyperLogLog approx_count_distinct, same as ES)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        cardinality,
+    )
+
+    return cardinality(
+        _t(spark, sf_dir, "events"), by="event_type", of="user_id"
+    )
+
+
+SQL_CARDINALITY = """
+SELECT event_type, COUNT(DISTINCT user_id) AS cardinality
+FROM events WHERE user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms (JLH score): event types over-represented among
+    high-value events (value > 250) vs the whole events table."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        significant_terms,
+    )
+
+    return significant_terms(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        foreground=F.col("value") > 250,
+    )
+
+
+SQL_SIGNIFICANT_TERMS = """
+WITH t AS (
+  SELECT event_type, COUNT(*) AS bg_count,
+         COUNT(CASE WHEN value > 250 THEN 1 END) AS fg_count
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+), tot AS (
+  SELECT SUM(bg_count) AS bg_total, SUM(fg_count) AS fg_total FROM t
+)
+SELECT event_type, fg_count, bg_count,
+       ROUND((CAST(fg_count AS DOUBLE) / fg_total
+              - CAST(bg_count AS DOUBLE) / bg_total)
+             * ((CAST(fg_count AS DOUBLE) / fg_total)
+                / (CAST(bg_count AS DOUBLE) / bg_total)), 6) AS score
+FROM t, tot WHERE fg_count > 0
+ORDER BY score DESC, event_type LIMIT 10
+"""
+
+
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): attribute every purchase event to
+    the same user's latest click at-or-before it — single key-shuffle
+    union+window plan, no range join. Purchases with no prior click keep
+    NULL attribution (left-outer)."""
+    from harmonize_search_analyze_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["event_id"],
+        tie_break="event_id",
+    )
+    return out.withColumnRenamed("ts_right", "click_ts").withColumnRenamed(
+        "event_id_right", "click_id"
+    ).orderBy("event_id")
+
+
+SQL_ASOF_ATTRIBUTION = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, event_id AS click_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+  ) WHERE rn = 1
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_id
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+ORDER BY p.event_id
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1101,6 +1278,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "histogram": q_histogram,
         "date_histogram": q_date_histogram,
+        "extended_stats": q_extended_stats,
+        "percentiles": q_percentiles,
+        "top_hits": q_top_hits,
+        "cardinality": q_cardinality,
+        "significant_terms": q_significant_terms,
+        "asof_attribution": q_asof_attribution,
     }
 
 
@@ -1145,4 +1328,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _sql_corpus_curation(),
         "histogram": SQL_HISTOGRAM,
         "date_histogram": SQL_DATE_HISTOGRAM,
+        "extended_stats": SQL_EXTENDED_STATS,
+        "percentiles": SQL_PERCENTILES,
+        "top_hits": SQL_TOP_HITS,
+        "cardinality": SQL_CARDINALITY,
+        "significant_terms": SQL_SIGNIFICANT_TERMS,
+        "asof_attribution": SQL_ASOF_ATTRIBUTION,
     }

@@ -185,6 +185,164 @@ def date_histogram(
     )
 
 
+def extended_stats(
+    df: DataFrame,
+    field: str,
+    by: str | None = None,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """ES ``extended_stats`` metric agg: count, min, max, sum, avg,
+    population variance and std-deviation of a numeric field, optionally
+    per bucket. One partial+final hash aggregation pass.
+
+    Cross-engine determinism: avg/variance/stddev are rounded (summation
+    order differs between engines/partitions). ``sum_of_squares`` (the one
+    remaining ES field) is deliberately omitted from the default output —
+    its magnitude is ~field^2 * count, far beyond where a fixed decimal
+    rounding can absorb float summation drift; callers that need it can add
+    ``F.sum(F.col(field) ** 2)`` knowingly.
+    """
+    aggs = [
+        F.count(F.col(field)).alias("count"),
+        F.min(field).alias("min"),
+        F.max(field).alias("max"),
+        F.round(F.sum(field), round_scale).alias("sum"),
+        F.round(F.avg(field), round_scale).alias("avg"),
+        F.round(F.var_pop(field), round_scale).alias("variance"),
+        F.round(F.stddev_pop(field), round_scale).alias("std_deviation"),
+    ]
+    df = df.where(F.col(field).isNotNull())
+    if by is None:
+        return df.agg(*aggs)
+    return df.groupBy(by).agg(*aggs).orderBy(by)
+
+
+def percentiles(
+    df: DataFrame,
+    field: str,
+    percents: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    by: str | None = None,
+) -> DataFrame:
+    """ES ``percentiles`` metric agg, exact (not TDigest): linearly
+    interpolated quantiles via Spark's ``percentile`` — same definition as
+    ANSI ``percentile_cont`` / DuckDB ``quantile_cont``, so it is
+    oracle-comparable. Exactness is the ES-strictly-better trade we make
+    everywhere (SURVEY.md §4); the scale path for a true sketch is
+    ``approx_percentile`` (one pass, bounded state, no global sort).
+    """
+    aggs = [
+        F.round(F.expr(f"percentile({field}, {p})"), 6).alias(
+            f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        )
+        for p in percents
+    ]
+    df = df.where(F.col(field).isNotNull())
+    if by is None:
+        return df.agg(*aggs)
+    return df.groupBy(by).agg(*aggs).orderBy(by)
+
+
+def top_hits(
+    df: DataFrame,
+    by: str,
+    sort_field: str,
+    id_field: str,
+    k: int = 3,
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """ES ``top_hits`` sub-agg: the top-k documents inside each bucket by
+    ``sort_field`` DESC, ties broken by ``id_field`` ASC (pinned total order,
+    same discipline as terms). Bounded per-group window — Spark's
+    ``row_number`` over a partitioned window keeps only k rows per group
+    after the filter, and the window shuffle is the only exchange.
+    """
+    w = Window.partitionBy(by).orderBy(F.desc(sort_field), F.asc(id_field))
+    cols = [by, F.col("hit_rank"), id_field, sort_field] + list(payload or [])
+    return (
+        df.where(F.col(sort_field).isNotNull())
+        .withColumn("hit_rank", F.row_number().over(w))
+        .where(F.col("hit_rank") <= k)
+        .select(*cols)
+        .orderBy(by, "hit_rank")
+    )
+
+
+def cardinality(
+    df: DataFrame,
+    by: str,
+    of: str,
+    *,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ES ``cardinality`` agg: distinct count of ``of`` per ``by`` bucket.
+
+    ``exact=True`` (default, oracle-comparable) is a single COUNT(DISTINCT)
+    — fine alone, but never mix it with regular aggs in one ``.agg()`` (the
+    Expand-plan cliff, PERFORMANCE.md). ``exact=False`` is the 100 TB path:
+    HyperLogLog++ ``approx_count_distinct`` — one pass, fixed-size sketch
+    state, no distinct-value exchange (ES cardinality is HLL too).
+    """
+    f = (
+        F.count_distinct(F.col(of))
+        if exact
+        else F.approx_count_distinct(of, rsd)
+    )
+    return (
+        df.where(F.col(of).isNotNull())
+        .groupBy(by)
+        .agg(f.alias("cardinality"))
+        .orderBy(by)
+    )
+
+
+def significant_terms(
+    df: DataFrame,
+    field: str,
+    foreground: Column,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``significant_terms`` agg with the JLH score: terms over-represented
+    in the ``foreground`` subset relative to the whole frame (background).
+
+    score = (fg_rate - bg_rate) * (fg_rate / bg_rate); terms absent from the
+    foreground are dropped (ES emits no bucket for them). One hash agg
+    computes fg+bg counts per term (conditional count, no second scan); the
+    two totals ride along as a 1-row cross join (broadcast, no shuffle).
+    The quotient shape is identical on both engines, so the 6-decimal
+    rounding never sits on an engine-dependent tie.
+    """
+    per_term = (
+        df.where(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(
+            F.count(F.lit(1)).alias("bg_count"),
+            F.count(F.when(foreground, F.lit(1))).alias("fg_count"),
+        )
+    )
+    totals = per_term.agg(
+        F.sum("bg_count").alias("bg_total"),
+        F.sum("fg_count").alias("fg_total"),
+    )
+    fg_rate = F.col("fg_count") / F.col("fg_total")
+    bg_rate = F.col("bg_count") / F.col("bg_total")
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .where(F.col("fg_count") > 0)
+        .select(
+            field,
+            "fg_count",
+            "bg_count",
+            F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc(field))
+        .limit(k)
+    )
+
+
 def geohash_grid(
     df: DataFrame,
     lat: str,

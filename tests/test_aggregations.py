@@ -164,3 +164,94 @@ def test_catalog_schema_ddl(spark):
     assert spark.catalog.databaseExists("t_e2e_schema")
     cat.drop_schema("t_e2e_schema")
     assert not spark.catalog.databaseExists("t_e2e_schema")
+
+
+# --- ES metric-agg family (extended_stats / percentiles / top_hits /
+# cardinality / significant_terms) ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def metric_frame(spark):
+    rows = [
+        ("g1", 1.0, "u1"), ("g1", 2.0, "u2"), ("g1", 3.0, "u1"),
+        ("g2", 10.0, "u3"), ("g2", 30.0, "u3"), (None, 99.0, "u4"),
+        ("g1", None, "u5"),
+    ]
+    return spark.createDataFrame(rows, ["g", "v", "u"])
+
+
+def test_extended_stats_values(metric_frame):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        extended_stats,
+    )
+
+    out = {r["g"]: r for r in extended_stats(metric_frame, "v", by="g").collect()}
+    g1 = out["g1"]
+    assert (g1["count"], g1["min"], g1["max"], g1["sum"]) == (3, 1.0, 3.0, 6.0)
+    assert g1["avg"] == 2.0
+    assert g1["variance"] == pytest.approx(2.0 / 3.0, abs=1e-6)  # population
+    g2 = out["g2"]
+    assert g2["variance"] == 100.0 and g2["std_deviation"] == 10.0
+
+
+def test_extended_stats_ungrouped_skips_nulls(metric_frame):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        extended_stats,
+    )
+
+    row = extended_stats(metric_frame, "v").collect()[0]
+    assert row["count"] == 6  # null v dropped, null group kept
+
+
+def test_percentiles_interpolation(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 5)], ["v"])
+    row = percentiles(df, "v", percents=(0.25, 0.5, 0.75)).collect()[0]
+    # linear interpolation on [1,2,3,4]: index p*(n-1)
+    assert (row["p25"], row["p50"], row["p75"]) == (1.75, 2.5, 3.25)
+
+
+def test_top_hits_rank_and_ties(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import top_hits
+
+    df = spark.createDataFrame(
+        [("a", 5.0, 2), ("a", 5.0, 1), ("a", 3.0, 3), ("b", 9.0, 4)],
+        ["g", "score", "id"],
+    )
+    out = top_hits(df, by="g", sort_field="score", id_field="id", k=2)
+    rows = [(r["g"], r["hit_rank"], r["id"]) for r in out.collect()]
+    # equal scores break by id ASC; k truncates per group
+    assert rows == [("a", 1, 1), ("a", 2, 2), ("b", 1, 4)]
+
+
+def test_cardinality_exact_and_approx_modes(metric_frame):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        cardinality,
+    )
+
+    exact = {r["g"]: r["cardinality"]
+             for r in cardinality(metric_frame, "g", "u").collect()}
+    assert exact["g1"] == 3  # u1,u2,u5 (null v row still has a user)
+    assert exact["g2"] == 1
+    approx = {r["g"]: r["cardinality"]
+              for r in cardinality(metric_frame, "g", "u", exact=False).collect()}
+    assert approx["g1"] == 3  # HLL exact at tiny cardinality
+
+
+def test_significant_terms_prefers_overrepresented(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        significant_terms,
+    )
+
+    # 'rare' is 100% foreground (4/4), 'common' mostly background.
+    rows = [("rare", 1)] * 4 + [("common", 0)] * 90 + [("common", 1)] * 6
+    df = spark.createDataFrame(rows, ["term", "flag"])
+    out = significant_terms(df, "term", F.col("flag") == 1)
+    got = [(r["term"], r["fg_count"], r["bg_count"]) for r in out.collect()]
+    assert got[0] == ("rare", 4, 4)          # tops the JLH ranking
+    assert got[1] == ("common", 6, 96)
+    scores = [r["score"] for r in out.collect()]
+    assert scores == sorted(scores, reverse=True)
