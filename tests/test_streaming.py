@@ -1,6 +1,7 @@
 """Structured Streaming tests: file-source micro-batches over the events
 table, windowed agg with watermark vs the batch twin, foreachBatch dashboard
-refresh, and the applyInPandasWithState sessionizer vs its batch oracle."""
+refresh, and the session_window sessionizer vs its batch oracle (the
+stateful-processor path is gated: see streaming/windows.py docstring)."""
 
 from __future__ import annotations
 
