@@ -1135,6 +1135,87 @@ ORDER BY p.event_id
 """
 
 
+def q_range_join_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (operators/joins.py::interval_join): orders placed
+    by the same customer within 30 days after an earlier order — equi-join
+    on (custkey, 30d-grain bucket) with exact containment re-check, never a
+    per-key cartesian."""
+    from harmonize_search_analyze_spark.operators.joins import interval_join
+
+    orders = _t(spark, sf_dir, "orders")
+    points = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("repeat_orderkey"),
+        F.col("o_orderdate").alias("repeat_date"),
+    )
+    intervals = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("win_end"),
+    )
+    out = interval_join(
+        points,
+        intervals,
+        on="o_custkey",
+        point_time="repeat_date",
+        start="win_start",
+        end="win_end",
+        grain_seconds=30 * 86400,
+    )
+    return (
+        out.where(F.col("repeat_orderkey") != F.col("first_orderkey"))
+        .select("o_custkey", "first_orderkey", "repeat_orderkey")
+        .orderBy("o_custkey", "first_orderkey", "repeat_orderkey")
+    )
+
+
+SQL_RANGE_JOIN_REPEAT = """
+SELECT a.o_custkey, a.o_orderkey AS first_orderkey,
+       b.o_orderkey AS repeat_orderkey
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+ AND a.o_orderkey <> b.o_orderkey
+ORDER BY a.o_custkey, first_orderkey, repeat_orderkey
+"""
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (continuous-aggregate
+    shape): event counts + value sums at (event_type, day), (event_type),
+    and grand-total levels in ONE pass via ROLLUP grouping sets — partial
+    aggregation happens once, Expand fans the finished partials out to the
+    three levels."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "value",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .orderBy(
+            F.asc_nulls_first("event_type"), F.asc_nulls_first("day")
+        )
+    )
+
+
+SQL_HYPERTABLE_ROLLUP = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+FROM events WHERE ts IS NOT NULL
+GROUP BY ROLLUP (event_type, day)
+ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1284,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality": q_cardinality,
         "significant_terms": q_significant_terms,
         "asof_attribution": q_asof_attribution,
+        "range_join_repeat": q_range_join_repeat,
+        "hypertable_rollup": q_hypertable_rollup,
     }
 
 
@@ -1334,4 +1417,6 @@ def oracle_sql() -> dict[str, str]:
         "cardinality": SQL_CARDINALITY,
         "significant_terms": SQL_SIGNIFICANT_TERMS,
         "asof_attribution": SQL_ASOF_ATTRIBUTION,
+        "range_join_repeat": SQL_RANGE_JOIN_REPEAT,
+        "hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
     }

@@ -27,6 +27,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_seconds(col: F.Column, dtype: str) -> F.Column:
+    """Epoch-seconds double for arithmetic/bucketing. TIMESTAMP_NTZ has no
+    direct numeric cast in Spark 4 — route it through timestamp_ltz (the
+    session zone is pinned, and both join sides shift identically, so bucket
+    alignment and interval arithmetic are unaffected)."""
+    if "timestamp" in dtype:
+        col = col.cast("timestamp_ltz")
+    return col.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -93,9 +103,11 @@ def asof_join(
         .where(F.col("__tag") == 2)
     )
     if tolerance_seconds is not None:
+        lt_type = dict(left.dtypes)[left_time]
+        rt_type = dict(right.dtypes)[right_time]
         in_range = (
-            F.col("__ts").cast("double")
-            - F.col("__match.__t").cast("double")
+            _epoch_seconds(F.col("__ts"), lt_type)
+            - _epoch_seconds(F.col("__match.__t"), rt_type)
         ) <= F.lit(float(tolerance_seconds))
         carried = carried.withColumn(
             "__match", F.when(in_range, F.col("__match"))
@@ -107,4 +119,88 @@ def asof_join(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         F.col("__match.__t").alias(_out(right_time)),
         *[F.col(f"__match.{c}").alias(_out(c)) for c in payload],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_time: str,
+    start: str,
+    end: str,
+    *,
+    grain_seconds: int,
+    suffix: str = "_i",
+) -> DataFrame:
+    """Point-in-interval range join: every ``points`` row paired with every
+    ``intervals`` row of the same key whose ``[start, end]`` (inclusive)
+    contains ``point_time``.
+
+    Scale shape — the binned range join: a naive
+    ``join(key).where(start <= t <= end)`` is an equi-join on the key alone,
+    so Spark materializes the full per-key cartesian product before
+    filtering (quadratic in rows-per-key — a hot key melts the executor).
+    Instead, time is quantized into ``grain_seconds`` buckets; an interval no
+    longer than the grain overlaps at most two buckets, so each interval row
+    is emitted into its start and end buckets (<= 2x duplication) and the
+    join becomes an equi-join on ``(key, bucket)`` with an exact containment
+    re-check. Candidate fan-in per task is bounded by bucket population, not
+    key population; the pair can match in only one of the two bucket copies
+    (the point lives in exactly one bucket), so no dedupe pass is needed.
+
+    ``grain_seconds`` must be >= the longest interval; a CHECK-style filter
+    drops (and a caller can pre-split) longer intervals rather than silently
+    missing matches.
+    """
+    g = int(grain_seconds)
+    p_bucket = F.floor(
+        _epoch_seconds(F.col(point_time), dict(points.dtypes)[point_time]) / g
+    )
+    ivl_types = dict(intervals.dtypes)
+    s_epoch = _epoch_seconds(F.col(start), ivl_types[start])
+    e_epoch = _epoch_seconds(F.col(end), ivl_types[end])
+
+    pts = points.where(F.col(point_time).isNotNull()).withColumn(
+        "__bucket", p_bucket
+    )
+    ivl = (
+        intervals.where(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (e_epoch - s_epoch <= F.lit(float(g)))
+            & (e_epoch >= s_epoch)
+        )
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.array_distinct(
+                    F.array(F.floor(s_epoch / g), F.floor(e_epoch / g))
+                )
+            ),
+        )
+        .select(
+            "__bucket",
+            F.col(on).alias("__ik"),
+            *[
+                F.col(c).alias(f"{c}{suffix}" if c in points.columns else c)
+                for c in intervals.columns
+                if c != on
+            ],
+        )
+    )
+
+    def _i(c: str) -> F.Column:
+        return F.col(f"{c}{suffix}" if c in points.columns else c)
+
+    return (
+        pts.join(
+            ivl,
+            on=(F.col(on) == F.col("__ik"))
+            & (pts["__bucket"] == ivl["__bucket"]),
+        )
+        .where(
+            (F.col(point_time) >= _i(start)) & (F.col(point_time) <= _i(end))
+        )
+        .drop("__bucket", "__ik")
     )

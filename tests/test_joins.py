@@ -96,3 +96,85 @@ def test_single_shuffle_plan(frames):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# --- interval_join (binned range join) ----------------------------------
+
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    points = spark.createDataFrame(
+        [
+            (1, "k1", 105.0),   # inside [100, 120]
+            (2, "k1", 120.0),   # inclusive end
+            (3, "k1", 100.0),   # inclusive start
+            (4, "k1", 121.0),   # outside
+            (5, "k1", 215.0),   # interval spans a bucket boundary
+            (6, "k2", 105.0),   # other key: no intervals
+        ],
+        "pid INT, k STRING, t DOUBLE",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, "k1", 100.0, 120.0),
+            (101, "k1", 190.0, 220.0),  # crosses the 200 grain boundary
+            (102, "k1", 0.0, 999.0),    # longer than grain -> dropped
+        ],
+        "iid INT, k STRING, s DOUBLE, e DOUBLE",
+    )
+    return points, intervals
+
+
+def _pairs(points, intervals, grain=100):
+    from harmonize_search_analyze_spark.operators.joins import interval_join
+
+    out = interval_join(
+        points, intervals, on="k", point_time="t", start="s", end="e",
+        grain_seconds=grain,
+    )
+    return sorted((r["pid"], r["iid"]) for r in out.collect())
+
+
+def test_interval_join_inclusive_bounds(interval_frames):
+    points, intervals = interval_frames
+    got = _pairs(points, intervals)
+    assert (1, 100) in got and (2, 100) in got and (3, 100) in got
+    assert (4, 100) not in got
+
+
+def test_interval_join_bucket_boundary_span(interval_frames):
+    """An interval crossing a grain boundary still catches points in its
+    second bucket — and yields the pair exactly once (no dedupe pass)."""
+    points, intervals = interval_frames
+    got = _pairs(points, intervals)
+    assert got.count((5, 101)) == 1
+
+
+def test_interval_join_drops_over_grain_intervals(interval_frames):
+    points, intervals = interval_frames
+    got = _pairs(points, intervals)
+    assert not any(i == 102 for _, i in got)  # documented contract
+
+
+def test_interval_join_key_isolation(interval_frames):
+    points, intervals = interval_frames
+    assert not any(p == 6 for p, _ in _pairs(points, intervals))
+
+
+def test_interval_join_timestamp_columns(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "k", dt.datetime(2024, 1, 5))], "pid INT, k STRING, t TIMESTAMP"
+    )
+    intervals = spark.createDataFrame(
+        [(9, "k", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 31))],
+        "iid INT, k STRING, s TIMESTAMP, e TIMESTAMP",
+    )
+    out = interval_join(
+        points, intervals, on="k", point_time="t", start="s", end="e",
+        grain_seconds=31 * 86400,
+    )
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 9)]
