@@ -347,3 +347,26 @@ def sessionize_batch(
         )
         .drop("_sid")
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the stream twin of
+    ``operators/dedup.py::exact_dedup`` for an always-on ingest pipeline:
+    keep the first occurrence of each ``keys`` tuple, dropping re-deliveries
+    that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state: a key's
+    fingerprint is held only until the watermark passes it, so state size
+    tracks the (event-time) dedup window, not stream history — the property
+    that lets exact dedup run forever at ingest scale. Duplicates separated
+    by more than the watermark require the batch pass (exact_dedup) —
+    identical semantics to any at-least-once ingest dedup tier.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

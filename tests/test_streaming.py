@@ -281,3 +281,38 @@ def test_streaming_crime_dashboard_refresh(spark, tmp_path):
     assert total_descr == 3 and total_geo == 3
     hashes = {r["geohash"] for b in collected.values() for r in b["incident_map"]}
     assert hashes == {"dq", "dp"}
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """Streaming exact-dedup twin: re-delivered (duplicate-key) events across
+    micro-batches are dropped; result matches the batch dropDuplicates."""
+    from harmonize_search_analyze_spark.streaming.windows import dedup_stream
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .limit(200)
+        .cache()
+    )
+    d = tmp_path / "dup_stream"
+    # batch 1: the originals; batch 2: half of them re-delivered verbatim.
+    ev.coalesce(1).write.mode("overwrite").parquet(str(d))
+    ev.limit(100).coalesce(1).write.mode("append").parquet(str(d))
+
+    stream = read_document_stream(spark, str(d), EVENTS_SCHEMA)
+    deduped = dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == ev.count()  # each id exactly once
+    assert set(ids) == {r["event_id"] for r in ev.collect()}
