@@ -1216,6 +1216,102 @@ ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
 """
 
 
+def q_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range bucket agg: order totalprice in three half-open [from, to)
+    buckets (one-pass conditional counts; buckets may overlap)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        range_agg,
+    )
+
+    return range_agg(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        [(None, 50000.0), (50000.0, 150000.0), (150000.0, None)],
+    )
+
+
+SQL_RANGE_AGG = """
+SELECT '*-50000.0' AS range_key,
+       COUNT(CASE WHEN o_totalprice IS NOT NULL
+                   AND o_totalprice < 50000.0 THEN 1 END) AS doc_count
+FROM orders
+UNION ALL
+SELECT '50000.0-150000.0',
+       COUNT(CASE WHEN o_totalprice >= 50000.0
+                   AND o_totalprice < 150000.0 THEN 1 END)
+FROM orders
+UNION ALL
+SELECT '150000.0-*',
+       COUNT(CASE WHEN o_totalprice >= 150000.0 THEN 1 END)
+FROM orders
+"""
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters bucket agg: three named KPI predicates over events counted
+    in one scan."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        filters_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return filters_agg(
+        ev,
+        {
+            "high_value": F.col("value") > 250,
+            "purchase": F.col("event_type") == "purchase",
+            "weekend": F.date_format("ts", "EEEE").isin("Saturday", "Sunday"),
+        },
+    )
+
+
+SQL_FILTERS_AGG = """
+SELECT 'high_value' AS filter_key,
+       COUNT(CASE WHEN value > 250 THEN 1 END) AS doc_count FROM events
+UNION ALL
+SELECT 'purchase',
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) FROM events
+UNION ALL
+SELECT 'weekend',
+       COUNT(CASE WHEN dayname(ts) IN ('Saturday', 'Sunday') THEN 1 END)
+FROM events
+"""
+
+
+def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing agg over JSON-extracted props keys: '$.k' exists on every
+    event (0 missing), '$.m' on none (all missing) — proves null detection
+    through the semi-structured path."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        _conditional_buckets,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").alias("k"),
+        F.get_json_object("props", "$.m").alias("m"),
+    )
+    return _conditional_buckets(
+        ev,
+        [
+            ("props.k", F.col("k").isNull()),
+            ("props.m", F.col("m").isNull()),
+        ],
+        "field",
+    )
+
+
+SQL_MISSING_AGG = """
+SELECT 'props.k' AS field,
+       COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END)
+         AS doc_count
+FROM events
+UNION ALL
+SELECT 'props.m',
+       COUNT(CASE WHEN json_extract_string(props, '$.m') IS NULL THEN 1 END)
+FROM events
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1367,6 +1463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "range_join_repeat": q_range_join_repeat,
         "hypertable_rollup": q_hypertable_rollup,
+        "range_agg": q_range_agg,
+        "filters_agg": q_filters_agg,
+        "missing_agg": q_missing_agg,
     }
 
 
@@ -1419,4 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": SQL_ASOF_ATTRIBUTION,
         "range_join_repeat": SQL_RANGE_JOIN_REPEAT,
         "hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
+        "range_agg": SQL_RANGE_AGG,
+        "filters_agg": SQL_FILTERS_AGG,
+        "missing_agg": SQL_MISSING_AGG,
     }

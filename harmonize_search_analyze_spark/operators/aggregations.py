@@ -343,6 +343,71 @@ def significant_terms(
     )
 
 
+def _conditional_buckets(
+    df: DataFrame, buckets: list[tuple[str, Column]], key_name: str
+) -> DataFrame:
+    """One-pass conditional-count fan-out: every named bucket is a
+    ``count(when(cond))`` in a single aggregation (one scan, one 1-row
+    partial+final agg regardless of bucket count — buckets may overlap,
+    matching ES semantics), then the 1-row result is exploded to
+    (key, doc_count) rows. No shuffle beyond the scalar agg."""
+    row = df.agg(
+        *[
+            F.count(F.when(cond, F.lit(1))).alias(f"__b{i}")
+            for i, (_, cond) in enumerate(buckets)
+        ]
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(key).alias(key_name),
+                        F.col(f"__b{i}").alias("doc_count"),
+                    )
+                    for i, (key, _) in enumerate(buckets)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+def range_agg(
+    df: DataFrame,
+    field: str,
+    ranges: list[tuple[float | None, float | None]],
+) -> DataFrame:
+    """ES ``range`` bucket agg: half-open [from, to) buckets (ES contract:
+    ``from`` inclusive, ``to`` exclusive; either side open), keyed
+    "from-to" with "*" for an open side. Ranges may overlap — each is an
+    independent conditional count in one pass (see ``_conditional_buckets``);
+    null field values fall in no bucket (ES skips missing)."""
+    buckets = []
+    for lo, hi in ranges:
+        cond = F.col(field).isNotNull()
+        if lo is not None:
+            cond = cond & (F.col(field) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(field) < F.lit(hi))
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        buckets.append((key, cond))
+    return _conditional_buckets(df, buckets, "range_key")
+
+
+def filters_agg(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES ``filters`` bucket agg: one named doc-count bucket per predicate,
+    all evaluated in a single scan (the dashboard trick for N KPI tiles
+    without N queries)."""
+    return _conditional_buckets(df, list(filters.items()), "filter_key")
+
+
+def missing_agg(df: DataFrame, field: str) -> DataFrame:
+    """ES ``missing`` agg: count of docs with no value for ``field``."""
+    return df.agg(
+        F.count(F.when(F.col(field).isNull(), F.lit(1))).alias("doc_count")
+    )
+
+
 def geohash_grid(
     df: DataFrame,
     lat: str,

@@ -255,3 +255,47 @@ def test_significant_terms_prefers_overrepresented(spark):
     assert got[1] == ("common", 6, 96)
     scores = [r["score"] for r in out.collect()]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_range_agg_half_open_and_overlap(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        range_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (10.0,), (20.0,), (None,)], "v DOUBLE"
+    )
+    got = {r["range_key"]: r["doc_count"] for r in range_agg(
+        df, "v", [(None, 10.0), (10.0, 20.0), (0.0, None)]
+    ).collect()}
+    # 'to' exclusive, 'from' inclusive, null in no bucket, overlap allowed
+    assert got == {"*-10.0": 1, "10.0-20.0": 1, "0.0-*": 3}
+
+
+def test_filters_agg_single_scan(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        filters_agg,
+    )
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v INT")
+    out = filters_agg(
+        df, {"odd": F.col("v") % 2 == 1, "big": F.col("v") >= 2}
+    )
+    assert {r["filter_key"]: r["doc_count"] for r in out.collect()} == {
+        "odd": 2, "big": 2,
+    }
+    # one pass: a single aggregate feeds every bucket — no per-bucket
+    # scan union, exactly one (single-partition) exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints the plan twice
+    assert "Union" not in final
+    assert final.count("Exchange") == 1, final
+
+
+def test_missing_agg(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        missing_agg,
+    )
+
+    df = spark.createDataFrame([("a",), (None,), (None,)], "v STRING")
+    assert missing_agg(df, "v").collect()[0]["doc_count"] == 2
