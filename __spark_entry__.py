@@ -1312,6 +1312,63 @@ FROM events
 """
 
 
+def q_pipeline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggs (cumulative_sum / derivative / moving_fn avg) over
+    the daily date_histogram — the bucket-level window costs one small sort,
+    never touching raw rows."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        bucket_pipeline,
+        date_histogram,
+    )
+
+    daily = date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+    return bucket_pipeline(daily, "bucket", "doc_count", moving_window=7)
+
+
+SQL_PIPELINE_DAILY = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT bucket, doc_count,
+       CAST(SUM(doc_count) OVER (ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_sum,
+       doc_count - LAG(doc_count, 1) OVER (ORDER BY bucket) AS derivative,
+       ROUND(AVG(doc_count) OVER (ORDER BY bucket
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+FROM b ORDER BY bucket
+"""
+
+
+def q_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite agg, second page: multi-field buckets resumed after the
+    ('2-HIGH','F') key — the after-key tuple inequality rides below the
+    top-k, so a page never materializes the full bucket set."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        composite_agg,
+    )
+
+    return composite_agg(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority", "o_orderstatus"],
+        size=5,
+        after={"o_orderpriority": "2-HIGH", "o_orderstatus": "F"},
+    )
+
+
+SQL_COMPOSITE_PAGE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS doc_count
+FROM orders
+WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  AND (o_orderpriority > '2-HIGH'
+       OR (o_orderpriority = '2-HIGH' AND o_orderstatus > 'F'))
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+LIMIT 5
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1466,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_agg": q_range_agg,
         "filters_agg": q_filters_agg,
         "missing_agg": q_missing_agg,
+        "pipeline_daily": q_pipeline_daily,
+        "composite_page": q_composite_page,
     }
 
 
@@ -1521,4 +1580,6 @@ def oracle_sql() -> dict[str, str]:
         "range_agg": SQL_RANGE_AGG,
         "filters_agg": SQL_FILTERS_AGG,
         "missing_agg": SQL_MISSING_AGG,
+        "pipeline_daily": SQL_PIPELINE_DAILY,
+        "composite_page": SQL_COMPOSITE_PAGE,
     }

@@ -408,6 +408,63 @@ def missing_agg(df: DataFrame, field: str) -> DataFrame:
     )
 
 
+def bucket_pipeline(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    moving_window: int = 7,
+) -> DataFrame:
+    """ES pipeline aggs over an already-bucketed frame (the output of
+    ``date_histogram``/``histogram``): ``cumulative_sum``, ``derivative``
+    (delta vs previous bucket; NULL for the first, per ES), and a trailing
+    ``moving_fn`` average over ``moving_window`` buckets.
+
+    The window is unpartitioned by design: its input is bucket-level (rows
+    bounded by the time range / interval, not by raw data volume), so the
+    single-task sort is over e.g. thousands of rows even at 100 TB of
+    underlying events. Never point this at raw rows."""
+    w = Window.orderBy(bucket_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-(moving_window - 1), Window.currentRow)
+    v = F.col(value_col)
+    return buckets.select(
+        bucket_col,
+        value_col,
+        F.sum(v).over(run).alias("cumulative_sum"),
+        (v - F.lag(v, 1).over(w)).alias("derivative"),
+        F.round(F.avg(v).over(mov), 6).alias("moving_avg"),
+    ).orderBy(bucket_col)
+
+
+def composite_agg(
+    df: DataFrame,
+    fields: list[str],
+    size: int = 100,
+    after: dict | None = None,
+) -> DataFrame:
+    """ES ``composite`` agg: exhaustive multi-field buckets streamed in
+    pages of ``size``, resumable from the ``after`` key (the last bucket of
+    the previous page). Buckets are ordered by the natural (lexicographic)
+    key order, so pagination = a tuple-inequality filter pushed *below* the
+    top-k — each page costs one hash agg + TakeOrderedAndProject, never a
+    full materialization of all buckets on the driver."""
+    out = (
+        df.na.drop(subset=fields)
+        .groupBy(*fields)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    if after:
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for f in fields:
+            if f in after:
+                pred = pred | (eq & (F.col(f) > F.lit(after[f])))
+                eq = eq & (F.col(f) == F.lit(after[f]))
+        out = out.where(pred)
+    return out.orderBy(*fields).limit(size)
+
+
 def geohash_grid(
     df: DataFrame,
     lat: str,

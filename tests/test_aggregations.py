@@ -299,3 +299,35 @@ def test_missing_agg(spark):
 
     df = spark.createDataFrame([("a",), (None,), (None,)], "v STRING")
     assert missing_agg(df, "v").collect()[0]["doc_count"] == 2
+
+
+def test_bucket_pipeline_semantics(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        bucket_pipeline,
+    )
+
+    b = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20)], "bucket INT, doc_count BIGINT"
+    )
+    rows = bucket_pipeline(b, "bucket", moving_window=2).collect()
+    assert [r["cumulative_sum"] for r in rows] == [10, 40, 60]
+    assert [r["derivative"] for r in rows] == [None, 20, -10]  # ES: 1st NULL
+    assert [r["moving_avg"] for r in rows] == [10.0, 20.0, 25.0]
+
+
+def test_composite_agg_pagination_is_exhaustive(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        composite_agg,
+    )
+
+    rows = [(a, b) for a in "abc" for b in "xyz" for _ in range(a != "b" or b != "y")]
+    df = spark.createDataFrame(rows, ["a", "b"])  # ('b','y') bucket absent
+    pages, after = [], None
+    while True:
+        page = composite_agg(df, ["a", "b"], size=3, after=after).collect()
+        if not page:
+            break
+        pages.extend([(r["a"], r["b"]) for r in page])
+        after = {"a": page[-1]["a"], "b": page[-1]["b"]}
+    # every bucket exactly once, in key order, across page boundaries
+    assert pages == sorted({(a, b) for a, b in rows})
