@@ -1369,6 +1369,59 @@ LIMIT 5
 """
 
 
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg metric: quantity-weighted mean extendedprice per
+    returnflag, one agg pass."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        weighted_avg,
+    )
+
+    return weighted_avg(
+        _t(spark, sf_dir, "lineitem"),
+        value="l_extendedprice",
+        weight="l_quantity",
+        by="l_returnflag",
+    )
+
+
+SQL_WEIGHTED_AVG = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                       AND l_quantity IS NOT NULL
+                      THEN l_extendedprice * l_quantity END)
+             / SUM(CASE WHEN l_extendedprice IS NOT NULL
+                         AND l_quantity IS NOT NULL
+                        THEN l_quantity END), 6) AS weighted_avg
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation metric (exact): per-orderpriority MAD of
+    totalprice — per-group medians broadcast back onto the rows for the
+    deviation pass."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        median_absolute_deviation,
+    )
+
+    return median_absolute_deviation(
+        _t(spark, sf_dir, "orders"), "o_totalprice", by="o_orderpriority"
+    )
+
+
+SQL_MAD = """
+WITH m AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       ROUND(quantile_cont(ABS(o.o_totalprice - m.med), 0.5), 6) AS mad
+FROM orders o JOIN m USING (o_orderpriority)
+WHERE o.o_totalprice IS NOT NULL
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1525,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_agg": q_missing_agg,
         "pipeline_daily": q_pipeline_daily,
         "composite_page": q_composite_page,
+        "weighted_avg": q_weighted_avg,
+        "mad": q_mad,
     }
 
 
@@ -1582,4 +1637,6 @@ def oracle_sql() -> dict[str, str]:
         "missing_agg": SQL_MISSING_AGG,
         "pipeline_daily": SQL_PIPELINE_DAILY,
         "composite_page": SQL_COMPOSITE_PAGE,
+        "weighted_avg": SQL_WEIGHTED_AVG,
+        "mad": SQL_MAD,
     }

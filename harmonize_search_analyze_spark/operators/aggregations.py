@@ -297,6 +297,63 @@ def cardinality(
     )
 
 
+def weighted_avg(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    by: str | None = None,
+) -> DataFrame:
+    """ES ``weighted_avg`` metric agg: sum(v*w)/sum(w), docs missing either
+    side skipped (ES default). Single partial+final hash agg pass."""
+    ok = F.col(value).isNotNull() & F.col(weight).isNotNull()
+    wa = F.round(
+        F.sum(F.when(ok, F.col(value) * F.col(weight)))
+        / F.sum(F.when(ok, F.col(weight))),
+        6,
+    ).alias("weighted_avg")
+    if by is None:
+        return df.agg(wa)
+    return df.groupBy(by).agg(wa).orderBy(by)
+
+
+def median_absolute_deviation(
+    df: DataFrame,
+    field: str,
+    by: str | None = None,
+) -> DataFrame:
+    """ES ``median_absolute_deviation`` metric agg, exact (ES uses TDigest):
+    median(|x - median(x)|). Two passes by necessity — the inner median must
+    finish before deviations exist. Grouped form: per-group medians come
+    back as a tiny frame and broadcast-join onto the rows (group count <<
+    row count), so the second pass is scan + broadcast + one agg; the
+    sketch path at extreme scale is ``approx_percentile`` for both medians.
+    """
+    df = df.where(F.col(field).isNotNull())
+    med_expr = F.expr(f"percentile({field}, 0.5)").alias("__med")
+    if by is None:
+        med = df.agg(med_expr)
+        joined = df.crossJoin(F.broadcast(med))
+        return joined.agg(
+            F.round(
+                F.expr(
+                    f"percentile(abs({field} - __med), 0.5)"
+                ),
+                6,
+            ).alias("mad")
+        )
+    med = df.groupBy(by).agg(med_expr)
+    joined = df.join(F.broadcast(med), on=by)
+    return (
+        joined.groupBy(by)
+        .agg(
+            F.round(
+                F.expr(f"percentile(abs({field} - __med), 0.5)"), 6
+            ).alias("mad")
+        )
+        .orderBy(by)
+    )
+
+
 def significant_terms(
     df: DataFrame,
     field: str,

@@ -331,3 +331,30 @@ def test_composite_agg_pagination_is_exhaustive(spark):
         after = {"a": page[-1]["a"], "b": page[-1]["b"]}
     # every bucket exactly once, in key order, across page boundaries
     assert pages == sorted({(a, b) for a, b in rows})
+
+
+def test_weighted_avg_skips_partial_nulls(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        weighted_avg,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (20.0, 3.0), (99.0, None), (None, 5.0)],
+        "v DOUBLE, w DOUBLE",
+    )
+    got = weighted_avg(df, "v", "w").collect()[0]["weighted_avg"]
+    assert got == pytest.approx((10 + 60) / 4.0)  # null-sided rows skipped
+
+
+def test_median_absolute_deviation(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        median_absolute_deviation,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4, 100)], "g STRING, v DOUBLE"
+    )
+    # median=3, |dev|=[2,1,0,1,97] -> median dev = 1
+    assert median_absolute_deviation(df, "v").collect()[0]["mad"] == 1.0
+    grouped = median_absolute_deviation(df, "v", by="g").collect()
+    assert [(r["g"], r["mad"]) for r in grouped] == [("g", 1.0)]
