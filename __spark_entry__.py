@@ -1422,6 +1422,73 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms: the long tail — orderkeys with at most one lineitem
+    (exact counts; ES itself approximates with a CuckooFilter)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        rare_terms,
+    )
+
+    return rare_terms(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", max_doc_count=1
+    )
+
+
+SQL_RARE_TERMS = """
+SELECT l_orderkey, COUNT(*) AS doc_count
+FROM lineitem WHERE l_orderkey IS NOT NULL
+GROUP BY l_orderkey HAVING COUNT(*) <= 1
+ORDER BY doc_count ASC, l_orderkey ASC
+"""
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix: named event filters plus every pairwise
+    intersection counted in one scan."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        adjacency_matrix,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return adjacency_matrix(
+        ev,
+        {
+            "purchase": F.col("event_type") == "purchase",
+            "high_value": F.col("value") > 250,
+            "weekend": F.date_format("ts", "EEEE").isin("Saturday", "Sunday"),
+        },
+    )
+
+
+SQL_ADJACENCY_MATRIX = """
+SELECT * FROM (
+  SELECT 'purchase' AS key,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS doc_count
+  FROM events
+  UNION ALL
+  SELECT 'high_value', COUNT(CASE WHEN value > 250 THEN 1 END) FROM events
+  UNION ALL
+  SELECT 'weekend',
+         COUNT(CASE WHEN dayname(ts) IN ('Saturday','Sunday') THEN 1 END)
+  FROM events
+  UNION ALL
+  SELECT 'purchase&high_value',
+         COUNT(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 END)
+  FROM events
+  UNION ALL
+  SELECT 'purchase&weekend',
+         COUNT(CASE WHEN event_type = 'purchase'
+                     AND dayname(ts) IN ('Saturday','Sunday') THEN 1 END)
+  FROM events
+  UNION ALL
+  SELECT 'high_value&weekend',
+         COUNT(CASE WHEN value > 250
+                     AND dayname(ts) IN ('Saturday','Sunday') THEN 1 END)
+  FROM events
+) WHERE doc_count > 0
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1580,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "weighted_avg": q_weighted_avg,
         "mad": q_mad,
+        "rare_terms": q_rare_terms,
+        "adjacency_matrix": q_adjacency_matrix,
     }
 
 
@@ -1639,4 +1708,6 @@ def oracle_sql() -> dict[str, str]:
         "composite_page": SQL_COMPOSITE_PAGE,
         "weighted_avg": SQL_WEIGHTED_AVG,
         "mad": SQL_MAD,
+        "rare_terms": SQL_RARE_TERMS,
+        "adjacency_matrix": SQL_ADJACENCY_MATRIX,
     }

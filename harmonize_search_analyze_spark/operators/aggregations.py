@@ -297,6 +297,41 @@ def cardinality(
     )
 
 
+def rare_terms(
+    df: DataFrame,
+    field: str,
+    max_doc_count: int = 1,
+    k: int | None = None,
+) -> DataFrame:
+    """ES ``rare_terms`` agg: the long tail — terms appearing at most
+    ``max_doc_count`` times, ordered rarest-first (count ASC, key ASC
+    pinned). ES approximates with a CuckooFilter; exact counts are strictly
+    better and the same single hash agg as ``terms``."""
+    out = (
+        df.where(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .where(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.asc("doc_count"), F.asc(field))
+    )
+    return out.limit(k) if k is not None else out
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: doc counts for every named filter and
+    every pairwise intersection (key "a&b", ES's separator), all in ONE
+    conditional-count pass — N + N*(N-1)/2 counters, one scan, no joins.
+    Empty buckets are omitted (ES behavior)."""
+    names = list(filters)
+    buckets: list[tuple[str, Column]] = [(n, filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            buckets.append((f"{a}&{b}", filters[a] & filters[b]))
+    return _conditional_buckets(df, buckets, "key").where(
+        F.col("doc_count") > 0
+    )
+
+
 def weighted_avg(
     df: DataFrame,
     value: str,

@@ -358,3 +358,36 @@ def test_median_absolute_deviation(spark):
     assert median_absolute_deviation(df, "v").collect()[0]["mad"] == 1.0
     grouped = median_absolute_deviation(df, "v", by="g").collect()
     assert [(r["g"], r["mad"]) for r in grouped] == [("g", 1.0)]
+
+
+def test_rare_terms_long_tail(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        rare_terms,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)] + [("d",)] * 2 + [("e",)],
+        ["k"],
+    )
+    got = [(r["k"], r["doc_count"])
+           for r in rare_terms(df, "k", max_doc_count=2).collect()]
+    assert got == [("c", 1), ("e", 1), ("b", 2), ("d", 2)]  # rarest first
+
+
+def test_adjacency_matrix_pairs_and_empty_omitted(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        adjacency_matrix,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["v", "t"])
+    out = adjacency_matrix(
+        df,
+        {
+            "low": F.col("v") <= 2,
+            "x": F.col("t") == "x",
+            "impossible": F.col("v") > 99,
+        },
+    )
+    got = {r["key"]: r["doc_count"] for r in out.collect()}
+    # empty buckets (anything involving 'impossible') are omitted
+    assert got == {"low": 2, "x": 2, "low&x": 2}
