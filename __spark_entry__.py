@@ -1489,6 +1489,28 @@ SELECT * FROM (
 """
 
 
+_BM25_TERMS = ["spark", "join", "stream"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked full-text search (operators/ranking.py) over documents —
+    relevance scoring the reference's filter-only search never had."""
+    from harmonize_search_analyze_spark.operators.ranking import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, "doc_id", "text", _BM25_TERMS, k=25)
+
+
+def _sql_bm25_search() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        bm25_search_sql,
+    )
+
+    return bm25_search_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, "duckdb", k=25
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1649,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad": q_mad,
         "rare_terms": q_rare_terms,
         "adjacency_matrix": q_adjacency_matrix,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1710,4 +1733,5 @@ def oracle_sql() -> dict[str, str]:
         "mad": SQL_MAD,
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
+        "bm25_search": _sql_bm25_search(),
     }

@@ -1,0 +1,56 @@
+"""BM25 ranking semantics (operators/ranking.py): hand-computed scores on a
+tiny corpus, rare-term dominance, tf saturation, and tie-break pinning."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from harmonize_search_analyze_spark.operators.ranking import bm25_search
+
+K1, B = 1.2, 0.75
+
+
+def _bm25(tf, dft, n, dl, avgdl):
+    idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark spark spark join"),     # heavy on 'spark'
+        (2, "spark join"),                 # balanced, short
+        (3, "join join join join"),        # no 'spark'
+        (4, "filter scan table window"),   # no query terms at all
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_hand_computed(corpus):
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_search(corpus, "doc_id", "text", ["spark"]).collect()}
+    n, avgdl = 4, round((4 + 2 + 4 + 4) / 4.0, 6)
+    expect1 = round(_bm25(3, 2, n, 4, avgdl), 6)
+    expect2 = round(_bm25(1, 2, n, 2, avgdl), 6)
+    assert got == {1: pytest.approx(expect1), 2: pytest.approx(expect2)}
+    assert got[1] > got[2]                  # tf saturates but still wins
+
+
+def test_bm25_rare_term_outranks_common(corpus):
+    # 'spark' appears in 2 docs, 'join' in 3 -> doc with only rare term
+    # beats doc with only common term at equal tf/dl
+    got = [r["doc_id"] for r in
+           bm25_search(corpus, "doc_id", "text", ["spark", "join"]).collect()]
+    assert got[0] in (1, 2)                 # docs matching BOTH terms first
+    assert 4 not in got                     # zero-match docs never surface
+
+
+def test_bm25_topk_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(1, 6)], ["doc_id", "text"]
+    )
+    got = [r["doc_id"] for r in
+           bm25_search(df, "doc_id", "text", ["alpha"], k=3).collect()]
+    assert got == [1, 2, 3]                 # equal scores -> doc_id ASC, k cap
