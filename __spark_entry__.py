@@ -1511,6 +1511,70 @@ def _sql_bm25_search() -> str:
     )
 
 
+def q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_text: tokens over-represented in English documents vs
+    the whole corpus (JLH on per-doc-distinct token frequencies)."""
+    from harmonize_search_analyze_spark.operators.text import (
+        significant_text_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__sigtext_docs")
+    return spark.sql(
+        significant_text_sql(
+            "__sigtext_docs", "text", "lang = 'en'", "spark", k=10
+        )
+    )
+
+
+def _sql_significant_text() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        significant_text_sql,
+    )
+
+    return significant_text_sql(
+        "documents", "text", "lang = 'en'", "duckdb", k=10
+    )
+
+
+_GEO_RINGS = [(None, 2000000.0), (2000000.0, 6000000.0), (6000000.0, None)]
+
+
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance agg: distance rings around (0,0) over the synthesized
+    lineitem coordinates (same derivation as the geohash panel)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_distance,
+    )
+
+    df = _t(spark, sf_dir, "lineitem").selectExpr(
+        f"{_LAT_EXPR} AS lat", f"{_LON_EXPR} AS lon"
+    )
+    return geo_distance(df, "lat", "lon", (0.0, 0.0), _GEO_RINGS)
+
+
+def _sql_geo_distance() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        haversine_sql,
+    )
+
+    d = haversine_sql(_LAT_EXPR, _LON_EXPR, (0.0, 0.0))
+    parts = []
+    for lo, hi in _GEO_RINGS:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        conds = [f"{d} IS NOT NULL"]
+        if lo is not None:
+            conds.append(f"{d} >= {lo}")
+        if hi is not None:
+            conds.append(f"{d} < {hi}")
+        parts.append(
+            f"SELECT '{key}' AS range_key, "
+            f"COUNT(CASE WHEN {' AND '.join(conds)} THEN 1 END) AS doc_count "
+            "FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1672,6 +1736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_terms": q_rare_terms,
         "adjacency_matrix": q_adjacency_matrix,
         "bm25_search": q_bm25_search,
+        "significant_text": q_significant_text,
+        "geo_distance": q_geo_distance,
     }
 
 
@@ -1734,4 +1800,6 @@ def oracle_sql() -> dict[str, str]:
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),
+        "significant_text": _sql_significant_text(),
+        "geo_distance": _sql_geo_distance(),
     }

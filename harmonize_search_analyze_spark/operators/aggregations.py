@@ -557,6 +557,39 @@ def composite_agg(
     return out.orderBy(*fields).limit(size)
 
 
+def haversine_sql(lat: str, lon: str, origin: tuple[float, float]) -> str:
+    """Great-circle distance in meters from ``origin`` — engine-portable SQL
+    (radians/sin/cos/asin/sqrt behave identically on Spark and DuckDB, and
+    identical formula text on identical doubles yields identical results,
+    so distance-ring bucket edges are cross-engine tie-safe)."""
+    olat, olon = origin
+    dlat = f"radians(({lat}) - ({olat}))"
+    dlon = f"radians(({lon}) - ({olon}))"
+    h = (
+        f"(pow(sin({dlat} / 2), 2) + cos(radians({olat})) * "
+        f"cos(radians({lat})) * pow(sin({dlon} / 2), 2))"
+    )
+    return f"(6371000.0 * 2.0 * asin(sqrt({h})))"
+
+
+def geo_distance(
+    df: DataFrame,
+    lat: str,
+    lon: str,
+    origin: tuple[float, float],
+    ranges: list[tuple[float | None, float | None]],
+) -> DataFrame:
+    """ES ``geo_distance`` agg: doc counts in distance rings around an
+    origin point. The haversine is a codegen'd projection; the rings are
+    one-pass conditional counts (``range_agg`` semantics: from inclusive,
+    to exclusive, either side open)."""
+    return range_agg(
+        df.withColumn("__dist", F.expr(haversine_sql(lat, lon, origin))),
+        "__dist",
+        ranges,
+    )
+
+
 def geohash_grid(
     df: DataFrame,
     lat: str,

@@ -208,3 +208,58 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def significant_text_sql(
+    table: str,
+    text_col: str,
+    foreground_pred: str,
+    dialect: str,
+    k: int = 10,
+) -> str:
+    """ES ``significant_text`` agg (dual-dialect): tokens over-represented in
+    the ``foreground_pred`` document subset vs the whole corpus, JLH-scored
+    on DOC frequencies (each token counted once per doc — ES re-analyzes
+    text and dedupes per document; we mirror with a distinct-token explode).
+
+    Plan shape: one scan -> distinct-token explode (the only row expansion,
+    bounded by vocabulary-per-doc) -> one hash agg keyed by token carrying a
+    conditional foreground count -> tiny totals frame cross-joined back.
+    Identical formula text on both engines; counts are integers and the
+    rates divide identically, so the 6-decimal rounding is tie-safe.
+    """
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        unnest = (
+            f"SELECT explode(array_distinct({toks})) AS t, "
+            f"CASE WHEN {foreground_pred} THEN 1 ELSE 0 END AS fg "
+            f"FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+    else:
+        unnest = (
+            f"SELECT unnest(list_distinct({toks})) AS t, "
+            f"CASE WHEN {foreground_pred} THEN 1 ELSE 0 END AS fg "
+            f"FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+    totals = (
+        f"SELECT COUNT(*) AS bg_total, "
+        f"COUNT(CASE WHEN {foreground_pred} THEN 1 END) AS fg_total "
+        f"FROM {table} WHERE {text_col} IS NOT NULL"
+    )
+    return f"""
+WITH tok AS ({unnest}),
+per_term AS (
+  SELECT t, COUNT(*) AS bg_count, SUM(fg) AS fg_count
+  FROM tok GROUP BY t
+),
+tot AS ({totals})
+SELECT t AS term, CAST(fg_count AS BIGINT) AS fg_count, bg_count,
+       ROUND((CAST(fg_count AS DOUBLE) / tot.fg_total
+              - CAST(bg_count AS DOUBLE) / tot.bg_total)
+             * ((CAST(fg_count AS DOUBLE) / tot.fg_total)
+                / (CAST(bg_count AS DOUBLE) / tot.bg_total)), 6) AS score
+FROM per_term CROSS JOIN tot
+WHERE fg_count > 0
+ORDER BY score DESC, term ASC
+LIMIT {k}
+"""

@@ -391,3 +391,19 @@ def test_adjacency_matrix_pairs_and_empty_omitted(spark):
     got = {r["key"]: r["doc_count"] for r in out.collect()}
     # empty buckets (anything involving 'impossible') are omitted
     assert got == {"low": 2, "x": 2, "low&x": 2}
+
+
+def test_geo_distance_rings(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_distance,
+    )
+
+    # 1 degree of latitude ~= 111.2 km on the 6371 km sphere
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (10.0, 0.0)], ["lat", "lon"]
+    )
+    got = {r["range_key"]: r["doc_count"] for r in geo_distance(
+        df, "lat", "lon", (0.0, 0.0),
+        [(None, 1000.0), (1000.0, 500000.0), (500000.0, None)],
+    ).collect()}
+    assert got == {"*-1000.0": 1, "1000.0-500000.0": 1, "500000.0-*": 1}

@@ -54,3 +54,29 @@ def test_bm25_topk_and_tiebreak(spark):
     got = [r["doc_id"] for r in
            bm25_search(df, "doc_id", "text", ["alpha"], k=3).collect()]
     assert got == [1, 2, 3]                 # equal scores -> doc_id ASC, k cap
+
+
+def test_significant_text_doc_frequency_semantics(spark):
+    """significant_text counts a token once per doc (distinct explode) and
+    surfaces foreground-skewed vocabulary first."""
+    from harmonize_search_analyze_spark.operators.text import (
+        significant_text_sql,
+    )
+
+    rows = [
+        (1, "en", "llm llm llm data"),   # repeated token counts ONCE
+        (2, "en", "llm corpus"),
+        (3, "fr", "data corpus"),
+        (4, "fr", "data corpus"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "lang", "text"]).createOrReplaceTempView(
+        "__sig_t"
+    )
+    out = spark.sql(
+        significant_text_sql("__sig_t", "text", "lang = 'en'", "spark", k=10)
+    ).collect()
+    got = {r["term"]: (r["fg_count"], r["bg_count"]) for r in out}
+    assert got["llm"] == (2, 2)          # en-only; tf inside doc 1 ignored
+    assert got["data"] == (1, 3)         # mostly background
+    terms_by_score = [r["term"] for r in out]
+    assert terms_by_score[0] == "llm"    # foreground-exclusive tops JLH
