@@ -1575,6 +1575,36 @@ def _sql_geo_distance() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def q_geo_bounds_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds + geo_centroid in one pass over the synthesized
+    lineitem coordinates (the map panel's fit-to-data + center-of-mass)."""
+    ev = _t(spark, sf_dir, "lineitem").selectExpr(
+        f"{_LAT_EXPR} AS lat", f"{_LON_EXPR} AS lon"
+    )
+    ok = ev.where(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+    return ok.agg(
+        F.max("lat").alias("top"),
+        F.min("lon").alias("left"),
+        F.min("lat").alias("bottom"),
+        F.max("lon").alias("right"),
+        F.round(F.avg("lat"), 6).alias("centroid_lat"),
+        F.round(F.avg("lon"), 6).alias("centroid_lon"),
+        F.count(F.lit(1)).alias("doc_count"),
+    )
+
+
+def _sql_geo_bounds_centroid() -> str:
+    return f"""
+SELECT MAX(lat) AS top, MIN(lon) AS "left",
+       MIN(lat) AS bottom, MAX(lon) AS "right",
+       ROUND(AVG(lat), 6) AS centroid_lat,
+       ROUND(AVG(lon), 6) AS centroid_lon,
+       COUNT(*) AS doc_count
+FROM (SELECT {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon FROM lineitem)
+WHERE lat IS NOT NULL AND lon IS NOT NULL
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline composed end-to-end: per-doc quality
     scoring -> threshold filter -> exact dedup (keep min doc_id per
@@ -1738,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "significant_text": q_significant_text,
         "geo_distance": q_geo_distance,
+        "geo_bounds_centroid": q_geo_bounds_centroid,
     }
 
 
@@ -1802,4 +1833,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _sql_bm25_search(),
         "significant_text": _sql_significant_text(),
         "geo_distance": _sql_geo_distance(),
+        "geo_bounds_centroid": _sql_geo_bounds_centroid(),
     }

@@ -590,6 +590,30 @@ def geo_distance(
     )
 
 
+def geo_bounds(df: DataFrame, lat: str, lon: str) -> DataFrame:
+    """ES ``geo_bounds``: the bounding box (top-left / bottom-right) of all
+    points — four min/max aggregates in one pass."""
+    ok = df.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    return ok.agg(
+        F.max(lat).alias("top"),
+        F.min(lon).alias("left"),
+        F.min(lat).alias("bottom"),
+        F.max(lon).alias("right"),
+    )
+
+
+def geo_centroid(df: DataFrame, lat: str, lon: str) -> DataFrame:
+    """ES ``geo_centroid``: arithmetic mean point + contributing count (the
+    planar centroid ES computes, fine at city scale; not a spherical mean).
+    """
+    ok = df.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
+    return ok.agg(
+        F.round(F.avg(lat), 6).alias("centroid_lat"),
+        F.round(F.avg(lon), 6).alias("centroid_lon"),
+        F.count(F.lit(1)).alias("doc_count"),
+    )
+
+
 def geohash_grid(
     df: DataFrame,
     lat: str,

@@ -407,3 +407,18 @@ def test_geo_distance_rings(spark):
         [(None, 1000.0), (1000.0, 500000.0), (500000.0, None)],
     ).collect()}
     assert got == {"*-1000.0": 1, "1000.0-500000.0": 1, "500000.0-*": 1}
+
+
+def test_geo_bounds_and_centroid(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_bounds,
+        geo_centroid,
+    )
+
+    df = spark.createDataFrame(
+        [(10.0, -20.0), (30.0, 40.0), (None, 5.0)], ["lat", "lon"]
+    )
+    b = geo_bounds(df, "lat", "lon").collect()[0]
+    assert (b["top"], b["left"], b["bottom"], b["right"]) == (30.0, -20.0, 10.0, 40.0)
+    c = geo_centroid(df, "lat", "lon").collect()[0]
+    assert (c["centroid_lat"], c["centroid_lon"], c["doc_count"]) == (20.0, 10.0, 2)
