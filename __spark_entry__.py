@@ -167,7 +167,7 @@ WITH pair AS (
   SELECT dayname(ts) AS dayofweek, hour(ts) AS hour, COUNT(*) AS doc_count
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), tot AS (
-  SELECT *, SUM(doc_count) OVER (PARTITION BY dayofweek) AS outer_count,
+  SELECT *, CAST(SUM(doc_count) OVER (PARTITION BY dayofweek) AS BIGINT) AS outer_count,
          ROW_NUMBER() OVER (PARTITION BY dayofweek
                             ORDER BY doc_count DESC, hour ASC) AS inner_rank
   FROM pair

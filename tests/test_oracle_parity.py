@@ -43,6 +43,35 @@ def _norm_rows(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in idx) for r in rows)
 
 
+def _type_family(t: str) -> str:
+    """Collapse engine-specific type names into comparable families.
+
+    The driver's value-hash is wire-type-sensitive: round 1's only red row
+    (nested_terms) was a DuckDB HUGEINT window-SUM vs Spark BIGINT with
+    identical values. This check catches that class locally."""
+    t = t.lower()
+    if t in ("hugeint", "uhugeint", "int128"):
+        return "HUGEINT(cast to BIGINT in the oracle!)"
+    if t.startswith("decimal"):
+        return "DECIMAL(cast to DOUBLE/BIGINT in the oracle!)"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint",
+             "utinyint", "usmallint", "uinteger", "ubigint"):
+        return "int"
+    if t in ("float", "double", "real"):
+        return "float"
+    if t in ("varchar", "string", "text"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "date":
+        return "date"
+    if t.startswith("array") or t.endswith("[]") or t.startswith("list"):
+        return "list"
+    return t
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
 def test_query_matches_oracle(spark, ddb, name):
     qfn = entrymod.queries()[name]
@@ -58,6 +87,19 @@ def test_query_matches_oracle(spark, ddb, name):
     duck_rows = rel.fetchall()
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    spark_types = {c: _type_family(t) for c, t in sdf.dtypes}
+    duck_types = {
+        c: _type_family(str(t)) for c, t in zip(duck_cols, rel.types)
+    }
+    type_mismatch = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_types
+        if spark_types[c] != duck_types[c]
+    }
+    assert not type_mismatch, (
+        f"{name}: wire-type family mismatch (driver hash will diverge even "
+        f"on equal values): {type_mismatch}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
