@@ -829,6 +829,41 @@ SELECT id1, id2, hamming FROM (
 """
 
 
+def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SimHash near-dup path: pigeonhole banding (d+1 contiguous
+    bit-bands, band-key self-equi-join) + Hamming verify on candidates only.
+    Oracle is the brute O(n^2) formulation at the same threshold — banding
+    is exact, so the outputs must hash-match."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        simhash_near_dup_pairs_banded,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return simhash_near_dup_pairs_banded(
+        docs, "doc_id", "text", max_hamming=3
+    ).orderBy("id1", "id2")
+
+
+def _sql_simhash_banded() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        hamming_sql,
+        simhash_select_sql,
+    )
+
+    sigs = simhash_select_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+        "doc_id", "text", "duckdb",
+    )
+    ham = hamming_sql("a.simhash", "b.simhash", "duckdb")
+    return f"""
+WITH sigs AS ({sigs})
+SELECT id1, id2, hamming FROM (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST({ham} AS INT) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3 ORDER BY id1, id2
+"""
+
+
 def q_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard brute-force near-dup pairs (the LSH oracle path) on
     the 1-in-10 doc sample, 3-gram shingles, threshold 0.8."""
@@ -1769,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_text": q_significant_text,
         "geo_distance": q_geo_distance,
         "geo_bounds_centroid": q_geo_bounds_centroid,
+        "simhash_banded": q_simhash_banded,
     }
 
 
@@ -1834,4 +1870,5 @@ def oracle_sql() -> dict[str, str]:
         "significant_text": _sql_significant_text(),
         "geo_distance": _sql_geo_distance(),
         "geo_bounds_centroid": _sql_geo_bounds_centroid(),
+        "simhash_banded": _sql_simhash_banded(),
     }

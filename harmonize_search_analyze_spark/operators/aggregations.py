@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from harmonize_search_analyze_spark.functions.caching import tether_shared
 from harmonize_search_analyze_spark.functions.geohash import geohash_encode
 
 
@@ -670,7 +671,9 @@ def dashboard(
 
     ``panels`` maps name -> fn(DataFrame) -> DataFrame. The filtered frame is
     cached when more than one panel will reuse it (the reference gets this
-    "for free" by ES query caching; in Spark we must ask for it).
+    "for free" by ES query caching; in Spark we must ask for it). The cache
+    is refcount-tethered to the returned panels: it unpersists once every
+    panel frame is released/GC'd (caching.release for eager cleanup).
     """
     filtered = df
     if query is not None:
@@ -682,4 +685,7 @@ def dashboard(
             filtered = filtered.where(F.col(time_field) <= F.lit(time_to))
     if cache and len(panels) > 1:
         filtered = filtered.cache()
+        out = {name: fn(filtered) for name, fn in panels.items()}
+        tether_shared(list(out.values()), filtered)
+        return out
     return {name: fn(filtered) for name, fn in panels.items()}

@@ -23,9 +23,12 @@ computation (functions/hashing.py for the portable 60-bit hash).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from harmonize_search_analyze_spark.functions.caching import tether, transfer
 from harmonize_search_analyze_spark.functions.hashing import (
     hash64_sql,
     minhash_params,
@@ -179,7 +182,7 @@ def lsh_candidate_pairs(
     exploded = exploded.persist()
     left = exploded.alias("l")
     right = exploded.alias("r")
-    return (
+    out = (
         left.join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
@@ -192,6 +195,9 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    # band frame unpersists when the candidate frame (or anything it is
+    # transfer()ed to) is dropped — no leak in long-lived sessions
+    return tether(out, exploded)
 
 
 def near_dup_pairs_lsh(
@@ -213,18 +219,23 @@ def near_dup_pairs_lsh(
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sigs = minhash_signatures(df, id_col, text_col, k=k, n=n, seed=seed)
     cands = lsh_candidate_pairs(sigs, id_col, k=k, rows_per_band=rows_per_band)
+    # both verify-join probes reference the shingle frame; without the
+    # persist the tokenize+shingle projection runs twice (no CSE across
+    # join branches — same reason the band frame persists)
     sh = df.select(
         F.col(id_col),
         F.expr(shingles_sql(text_col, "spark", n)).alias("shingles"),
-    )
+    ).persist()
     j = jaccard_sql("l_sh", "r_sh", "spark")
-    return (
+    out = (
         cands.join(sh.select(F.col(id_col).alias("id1"), F.col("shingles").alias("l_sh")), "id1")
         .join(sh.select(F.col(id_col).alias("id2"), F.col("shingles").alias("r_sh")), "id2")
         .withColumn("jaccard", F.expr(j))
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    transfer(cands, out)
+    return tether(out, sh)
 
 
 def near_dup_pairs_brute(
@@ -293,11 +304,14 @@ def simhash_select_sql(table: str, id_col: str, text_col: str, dialect: str) -> 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """doc_id + 32-bit simhash sketch."""
-    view = f"__simhash_in_{id_col}"
+    # unique view name: fixed names collide under concurrent use
+    view = f"__simhash_in_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
-    return df.sparkSession.sql(
+    out = df.sparkSession.sql(
         simhash_select_sql(view, id_col, text_col, "spark")
     )
+    df.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 def hamming_sql(a: str, b: str, dialect: str) -> str:
@@ -318,10 +332,9 @@ def simhash_near_dup_pairs(
     max_hamming: int = 6,
 ) -> DataFrame:
     """SimHash near-dup pairs: sketches whose Hamming distance is within
-    ``max_hamming``. Pair generation here is the O(n^2) self-join baseline
-    (use on samples); at scale, bucket by sketch prefix bands (pigeonhole:
-    distance <= d means some (d+1)-way band matches exactly) and reuse the
-    LSH band-join shape from ``lsh_candidate_pairs``."""
+    ``max_hamming``. Pair generation here is the O(n^2) self-join BASELINE —
+    kept as the recall oracle for ``simhash_near_dup_pairs_banded``, the
+    bucketed production path. Use this one on samples only."""
     # tiny frame (id + 1 long), referenced by both join branches: persist so
     # the token-explode aggregation doesn't run twice
     sk = simhash(df, id_col, text_col).persist()
@@ -331,9 +344,109 @@ def simhash_near_dup_pairs(
     ).repartition(parallelism)
     r = sk.select(F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"))
     ham = F.expr(hamming_sql("sh1", "sh2", "spark"))
-    return (
+    out = (
         l.join(r, F.col("id1") < F.col("id2"))
         .withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+    return tether(out, sk)
+
+
+def simhash_band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Split ``bits`` bit positions into ``n_bands`` contiguous (lo, width)
+    ranges with near-equal widths. Pigeonhole: two sketches within Hamming
+    distance d differ in at most d bands, so with n_bands = d + 1 at least
+    one band is bit-identical — banding never misses a true pair."""
+    if not 1 <= n_bands <= bits:
+        raise ValueError(f"n_bands must be in [1, {bits}], got {n_bands}")
+    base, extra = divmod(bits, n_bands)
+    bounds, lo = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        bounds.append((lo, width))
+        lo += width
+    return bounds
+
+
+def simhash_candidate_pairs(
+    sk: DataFrame,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Banded candidate generation over a sketch frame (id, simhash):
+    explode each sketch into (d+1) contiguous bit-bands, self-equi-join on
+    (band_idx, band_key) — the same shuffle-friendly band-join shape as
+    ``lsh_candidate_pairs``. Exact by pigeonhole (see simhash_band_bounds);
+    downstream Hamming verification filters false positives.
+
+    Scale note: with 32-bit sketches and d=6 the bands are 4-5 bits wide
+    (16-32 distinct keys) and buckets are huge — banding only prunes when
+    bands carry enough entropy. Production guidance: keep d small (<=3,
+    8-bit bands) or widen the sketch (64-bit SimHash, 16-bit bands) before
+    raising d. The operator works for any d; the pruning power is the
+    caller's dial."""
+    n_bands = max_hamming + 1
+    bands = []
+    for bi, (lo, width) in enumerate(simhash_band_bounds(bits, n_bands)):
+        mask = (1 << width) - 1
+        key = F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
+        bands.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"), key.alias("band_key")
+            )
+        )
+    exploded = (
+        sk.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_key")
+        .persist()
+    )
+    left, right = exploded.alias("l"), exploded.alias("r")
+    out = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+    return tether(out, exploded)
+
+
+def simhash_near_dup_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Production SimHash near-dup path: banded candidate generation
+    (pigeonhole-exact) + Hamming verification on candidates only. Produces
+    exactly the same (id1, id2, hamming) set as the O(n^2)
+    ``simhash_near_dup_pairs`` at the same ``max_hamming`` — that operator
+    is this one's recall oracle."""
+    sk = simhash(df, id_col, text_col).persist()
+    cands = simhash_candidate_pairs(sk, id_col, max_hamming=max_hamming)
+    ham = F.expr(hamming_sql("sh1", "sh2", "spark"))
+    out = (
+        cands.join(
+            sk.select(F.col(id_col).alias("id1"), F.col("simhash").alias("sh1")),
+            "id1",
+        )
+        .join(
+            sk.select(F.col(id_col).alias("id2"), F.col("simhash").alias("sh2")),
+            "id2",
+        )
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+    transfer(cands, out)
+    return tether(out, sk)

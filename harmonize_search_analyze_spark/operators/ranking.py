@@ -28,6 +28,8 @@ tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from harmonize_search_analyze_spark.operators.text import tokens_sql
@@ -104,8 +106,11 @@ def bm25_search(
     """Run the BM25 ranking over a DataFrame (registers a temp view and
     executes the spark-dialect SQL — one corpus scan, broadcast stats)."""
     spark: SparkSession = df.sparkSession
-    view = "__bm25_corpus"
+    # unique view name: a fixed one collides under concurrent use
+    view = f"__bm25_corpus_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
-    return spark.sql(
+    out = spark.sql(
         bm25_search_sql(view, id_col, text_col, terms, "spark", k)
     )
+    spark.catalog.dropTempView(view)
+    return out

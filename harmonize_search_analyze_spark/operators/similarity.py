@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from harmonize_search_analyze_spark.functions.caching import tether
+
 
 def _dot_sql(a: str, b: str) -> str:
     return (
@@ -226,7 +228,7 @@ def embedding_near_dup_lsh(
         .distinct()
     )
     cos = F.expr(_dot_sql("v1", "v2")) / (F.col("n1") * F.col("n2"))
-    return (
+    out = (
         cands.join(
             v.select(F.col(id_col).alias("id1"), F.col("v").alias("v1"),
                      F.col("nrm").alias("n1")), "id1")
@@ -237,6 +239,8 @@ def embedding_near_dup_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+    # band frame unpersists when the result is released/GC'd (no session leak)
+    return tether(out, exploded)
 
 
 def embedding_lsh_oracle_sql(

@@ -66,8 +66,10 @@ class Catalog:
 
     # -- schema (database) DDL (S4: Baltimore-notebook.ipynb:893-899) ------
     def create_schema(self, name: str, comment: str = "") -> None:
-        """``CREATE SCHEMA`` with optional comment (idempotent)."""
-        c = f" COMMENT '{comment}'" if comment else ""
+        """``CREATE SCHEMA`` with optional comment (idempotent). The comment
+        is escaped (quote-doubled), not interpolated raw — a comment
+        containing ``'`` must not break (or inject into) the DDL."""
+        c = " COMMENT '" + comment.replace("'", "''") + "'" if comment else ""
         self.spark.sql(f"CREATE SCHEMA IF NOT EXISTS {name}{c}")
 
     def drop_schema(self, name: str, cascade: bool = True) -> None:

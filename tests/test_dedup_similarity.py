@@ -14,12 +14,19 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from harmonize_search_analyze_spark.functions.caching import (
+    persisted_count,
+    release,
+)
 from harmonize_search_analyze_spark.operators.dedup import (
+    SIMHASH_BITS,
     exact_dedup,
     near_dup_pairs_brute,
     near_dup_pairs_lsh,
     simhash,
+    simhash_band_bounds,
     simhash_near_dup_pairs,
+    simhash_near_dup_pairs_banded,
 )
 from harmonize_search_analyze_spark.operators.similarity import (
     cosine_topk,
@@ -86,6 +93,57 @@ def test_simhash_identical_zero_distance(docs):
     # near-duplicate within a few bits; unrelated docs far away
     assert pairs.get((1, 3), 99) <= 3
     assert (1, 4) not in pairs
+
+
+def test_simhash_band_bounds_partition():
+    for n_bands in (1, 4, 7, 32):
+        bounds = simhash_band_bounds(SIMHASH_BITS, n_bands)
+        assert len(bounds) == n_bands
+        covered = []
+        for lo, width in bounds:
+            assert width >= 1
+            covered.extend(range(lo, lo + width))
+        assert covered == list(range(SIMHASH_BITS))   # contiguous, complete
+    with pytest.raises(ValueError):
+        simhash_band_bounds(SIMHASH_BITS, 0)
+    with pytest.raises(ValueError):
+        simhash_band_bounds(SIMHASH_BITS, 33)
+
+
+def test_simhash_banded_equals_brute(docs):
+    """Pigeonhole banding is exact: banded output == brute output at the
+    same threshold (the brute operator is the banded one's oracle)."""
+    for d in (0, 3, 6):
+        brute = {(r["id1"], r["id2"]): r["hamming"] for r in
+                 simhash_near_dup_pairs(docs, "doc_id", "text",
+                                        max_hamming=d).collect()}
+        banded = {(r["id1"], r["id2"]): r["hamming"] for r in
+                  simhash_near_dup_pairs_banded(docs, "doc_id", "text",
+                                                max_hamming=d).collect()}
+        assert banded == brute, f"max_hamming={d}"
+
+
+def test_persisted_frames_released(spark, docs):
+    """Round-1 verdict item 7: operators must not leak cached blocks in a
+    long-lived session. After release() (or GC of the result) the context
+    tracks no persisted RDDs from these operators."""
+    import gc
+
+    gc.collect()
+    base = persisted_count(spark)
+    out = simhash_near_dup_pairs_banded(docs, "doc_id", "text", max_hamming=3)
+    out.collect()
+    assert persisted_count(spark) > base     # intermediates are cached
+    release(out)
+    assert persisted_count(spark) == base    # ...and eagerly freed
+
+    out2 = near_dup_pairs_lsh(docs, "doc_id", "text", threshold=0.5,
+                              k=8, n=2, rows_per_band=2)
+    out2.collect()
+    assert persisted_count(spark) > base
+    del out2                                 # GC path: tether finalizers fire
+    gc.collect()
+    assert persisted_count(spark) == base
 
 
 @pytest.fixture(scope="module")
