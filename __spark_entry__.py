@@ -829,6 +829,45 @@ SELECT id1, id2, hamming FROM (
 """
 
 
+def q_datemath_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 end-to-end: global time filter written in ES date math — the
+    reference's literal config shape (config.js:31-32 `from:"now-20y"`).
+    Anchored to a fixed `now` so the oracle is static: gte rounds down to
+    start-of-day, lte rounds up to end-of-day (ES range semantics)."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import dashboard
+
+    ev = _t(spark, sf_dir, "events")
+    ast = {"bool": {"must": [
+        {"range": {"ts": {"gte": "now-7d/d", "lte": "now/d"}}},
+    ]}}
+    now = dt.datetime(2024, 1, 20, 12, 34, 56)
+    pred = compile_query(ast, now=now)
+    panels = {
+        "by_type": lambda d: (
+            d.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .orderBy("event_type")
+        ),
+    }
+    out = dashboard(ev, panels, query=pred, cache=False)
+    return out["by_type"]
+
+
+SQL_DATEMATH_WINDOW = """
+SELECT event_type, COUNT(*) AS doc_count,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 23:59:59.999'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production SimHash near-dup path: pigeonhole banding (d+1 contiguous
     bit-bands, band-key self-equi-join) + Hamming verify on candidates only.
@@ -1805,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": q_geo_distance,
         "geo_bounds_centroid": q_geo_bounds_centroid,
         "simhash_banded": q_simhash_banded,
+        "datemath_window": q_datemath_window,
     }
 
 
@@ -1871,4 +1911,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_distance": _sql_geo_distance(),
         "geo_bounds_centroid": _sql_geo_bounds_centroid(),
         "simhash_banded": _sql_simhash_banded(),
+        "datemath_window": SQL_DATEMATH_WINDOW,
     }

@@ -27,6 +27,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.functions.caching import tether_shared
+from harmonize_search_analyze_spark.functions.datemath import (
+    is_date_math,
+    parse_date_math,
+)
 from harmonize_search_analyze_spark.functions.geohash import geohash_encode
 
 
@@ -664,6 +668,7 @@ def dashboard(
     time_from=None,
     time_to=None,
     cache: bool = True,
+    now=None,
 ) -> dict[str, DataFrame]:
     """Run a panel set over one shared filter context (viz 9 dashboard +
     ``views.js:97-115`` query injection): base query AND UI query AND global
@@ -679,6 +684,12 @@ def dashboard(
     if query is not None:
         filtered = filtered.where(query)
     if time_field is not None:
+        # bounds may be datetimes OR ES date-math strings — the reference's
+        # global filter is literally from:"now-20y", to:"now" (config.js:31-32)
+        if is_date_math(time_from):
+            time_from = parse_date_math(time_from, now=now)
+        if is_date_math(time_to):
+            time_to = parse_date_math(time_to, now=now, round_up=True)
         if time_from is not None:
             filtered = filtered.where(F.col(time_field) >= F.lit(time_from))
         if time_to is not None:

@@ -33,6 +33,10 @@ from typing import Any
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from harmonize_search_analyze_spark.functions.datemath import (
+    is_date_math,
+    parse_date_math,
+)
 from harmonize_search_analyze_spark.functions.tokenize import (
     phrase_prefix_predicate,
 )
@@ -44,8 +48,15 @@ class QueryCompileError(ValueError):
     pass
 
 
-def compile_query(ast: dict[str, Any] | None) -> Column:
-    """Compile an ES-DSL JSON AST to a Column predicate (AND of clauses)."""
+def compile_query(
+    ast: dict[str, Any] | None, *, now: _dt.datetime | None = None
+) -> Column:
+    """Compile an ES-DSL JSON AST to a Column predicate (AND of clauses).
+
+    ``now`` anchors any date-math range bounds (``now-20y`` — the literal
+    shape of the reference's global time filter, config.js:31-32); defaults
+    to current UTC, inject a fixed value for reproducible plans.
+    """
     if not ast:
         return F.lit(True)
     if len(ast) != 1:
@@ -54,6 +65,8 @@ def compile_query(ast: dict[str, Any] | None) -> Column:
     handler = _HANDLERS.get(kind)
     if handler is None:
         raise QueryCompileError(f"unsupported query kind: {kind}")
+    if handler in (_range, _bool):
+        return handler(body, now=now)
     return handler(body)
 
 
@@ -61,12 +74,18 @@ def _match_all(_body: Any) -> Column:
     return F.lit(True)
 
 
-def _range(body: dict[str, Any]) -> Column:
+def _range(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     (field, spec), = body.items()
     col = F.col(field)
     is_epoch_millis = spec.get("format") == "epoch_millis"
 
-    def conv(v: Any) -> Any:
+    def conv(v: Any, upper: bool) -> Any:
+        if is_date_math(v):
+            # Kibana time-picker strings: "now-20y", "now/d", "2024-01-01||+1M"
+            # (config.js:31-32). Upper bounds round UP (lte now/d = end of day).
+            return F.lit(
+                parse_date_math(v, now=now, round_up=upper)
+            ).cast("timestamp")
         if is_epoch_millis:
             # ES datetime ranges arrive as epoch millis (collections.js:180);
             # convert to a UTC timestamp literal for the timestamp column.
@@ -77,10 +96,14 @@ def _range(body: dict[str, Any]) -> Column:
 
     preds = []
     # ES range params: gte/lte/gt/lt; the deprecated from/to are gte/lte.
-    for key, op in (("gte", "__ge__"), ("from", "__ge__"), ("gt", "__gt__"),
-                    ("lte", "__le__"), ("to", "__le__"), ("lt", "__lt__")):
+    for key, op, upper in (
+        ("gte", "__ge__", False), ("from", "__ge__", False),
+        ("gt", "__gt__", True),
+        ("lte", "__le__", True), ("to", "__le__", True),
+        ("lt", "__lt__", False),
+    ):
         if spec.get(key) is not None:
-            preds.append(getattr(col, op)(conv(spec[key])))
+            preds.append(getattr(col, op)(conv(spec[key], upper)))
     if not preds:
         return F.lit(True)
     return reduce(lambda a, b: a & b, preds)
@@ -118,18 +141,18 @@ def _query_string(body: dict[str, Any]) -> Column:
     )
 
 
-def _bool(body: dict[str, Any]) -> Column:
+def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
-        preds.append(compile_query(clause))
+        preds.append(compile_query(clause, now=now))
     for clause in body.get("filter", []) or []:
-        preds.append(compile_query(clause))
-    should = [compile_query(c) for c in body.get("should", []) or []]
+        preds.append(compile_query(clause, now=now))
+    should = [compile_query(c, now=now) for c in body.get("should", []) or []]
     if should:
         # reference always sets minimum_should_match: 1 (collections.js:171)
         preds.append(reduce(lambda a, b: a | b, should))
     for clause in body.get("must_not", []) or []:
-        preds.append(~compile_query(clause))
+        preds.append(~compile_query(clause, now=now))
     if not preds:
         return F.lit(True)
     return reduce(lambda a, b: a & b, preds)
