@@ -132,6 +132,7 @@ def interval_join(
     *,
     grain_seconds: int,
     suffix: str = "_i",
+    on_over_grain: str = "error",
 ) -> DataFrame:
     """Point-in-interval range join: every ``points`` row paired with every
     ``intervals`` row of the same key whose ``[start, end]`` (inclusive)
@@ -149,10 +150,24 @@ def interval_join(
     key population; the pair can match in only one of the two bucket copies
     (the point lives in exactly one bucket), so no dedupe pass is needed.
 
-    ``grain_seconds`` must be >= the longest interval; a CHECK-style filter
-    drops (and a caller can pre-split) longer intervals rather than silently
-    missing matches.
+    ``grain_seconds`` must be >= the longest interval (a caller can
+    pre-split longer ones). ``on_over_grain`` controls what happens to
+    intervals that violate the contract (over-grain or reversed end<start):
+
+    - ``"error"`` (default): eagerly validate with one tiny agg over
+      ``intervals`` and raise ``ValueError`` with the violation counts —
+      a caller violating the contract must not get silently incomplete
+      join output (round-1 verdict item 5). Costs one extra scan of the
+      (typically small) interval side at call time.
+    - ``"count"``: skip the eager scan; violating intervals are excluded
+      and counted during the real action via ``observe()`` — read
+      ``result._interval_join_drops.get`` after materializing.
+    - ``"allow"``: excluded silently (the round-1 behavior; for callers
+      that pre-split and want zero overhead).
     """
+    if on_over_grain not in ("error", "count", "allow"):
+        raise ValueError(f"on_over_grain must be error|count|allow, "
+                         f"got {on_over_grain!r}")
     g = int(grain_seconds)
     p_bucket = F.floor(
         _epoch_seconds(F.col(point_time), dict(points.dtypes)[point_time]) / g
@@ -160,6 +175,37 @@ def interval_join(
     ivl_types = dict(intervals.dtypes)
     s_epoch = _epoch_seconds(F.col(start), ivl_types[start])
     e_epoch = _epoch_seconds(F.col(end), ivl_types[end])
+
+    over_grain = (
+        F.col(start).isNotNull()
+        & F.col(end).isNotNull()
+        & ((e_epoch - s_epoch > F.lit(float(g))) | (e_epoch < s_epoch))
+    )
+    if on_over_grain == "error":
+        bad = intervals.where(over_grain).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(e_epoch - s_epoch).alias("longest"),
+        ).collect()[0]
+        if bad["n"]:
+            raise ValueError(
+                f"interval_join: {bad['n']} interval(s) violate the "
+                f"grain contract (longest {bad['longest']:.0f}s > grain "
+                f"{g}s, or end < start); pre-split them or raise "
+                f"grain_seconds (on_over_grain='count'/'allow' to bypass)"
+            )
+    drops_obs = None
+    if on_over_grain == "count":
+        from pyspark.sql import Observation
+
+        drops_obs = Observation()
+        intervals = intervals.observe(
+            drops_obs,
+            F.sum(over_grain.cast("bigint")).alias("over_grain_dropped"),
+        )
+        # re-derive expressions against the observed frame
+        ivl_types = dict(intervals.dtypes)
+        s_epoch = _epoch_seconds(F.col(start), ivl_types[start])
+        e_epoch = _epoch_seconds(F.col(end), ivl_types[end])
 
     pts = points.where(F.col(point_time).isNotNull()).withColumn(
         "__bucket", p_bucket
@@ -193,7 +239,7 @@ def interval_join(
     def _i(c: str) -> F.Column:
         return F.col(f"{c}{suffix}" if c in points.columns else c)
 
-    return (
+    out = (
         pts.join(
             ivl,
             on=(F.col(on) == F.col("__ik"))
@@ -204,3 +250,6 @@ def interval_join(
         )
         .drop("__bucket", "__ik")
     )
+    if drops_obs is not None:
+        out._interval_join_drops = drops_obs
+    return out

@@ -204,7 +204,11 @@ class SessionProcessor(StatefulProcessor):
             t, val = ts_list[i], val_list[i]
             if s is None:
                 s, e, n, v = t, t, 1, val
-            elif t - e > self.gap_us:
+            elif t - e >= self.gap_us:
+                # >= not >: the batch twin (sessionize_batch) and Spark's
+                # built-in session_window both START a new session when the
+                # gap equals gap_seconds (window end is exclusive) — all
+                # three paths must agree at the boundary
                 closed.append((s, e, n, v))
                 s, e, n, v = t, t, 1, val
             else:

@@ -125,12 +125,12 @@ def interval_frames(spark):
     return points, intervals
 
 
-def _pairs(points, intervals, grain=100):
+def _pairs(points, intervals, grain=100, mode="allow"):
     from harmonize_search_analyze_spark.operators.joins import interval_join
 
     out = interval_join(
         points, intervals, on="k", point_time="t", start="s", end="e",
-        grain_seconds=grain,
+        grain_seconds=grain, on_over_grain=mode,
     )
     return sorted((r["pid"], r["iid"]) for r in out.collect())
 
@@ -150,10 +150,30 @@ def test_interval_join_bucket_boundary_span(interval_frames):
     assert got.count((5, 101)) == 1
 
 
-def test_interval_join_drops_over_grain_intervals(interval_frames):
+def test_interval_join_over_grain_is_loud(interval_frames):
+    """An interval longer than the grain must never vanish silently
+    (round-1 verdict item 5): default mode raises; 'count' mode excludes
+    but reports via observe(); 'allow' opts into the silent exclusion."""
+    from harmonize_search_analyze_spark.operators.joins import interval_join
+
     points, intervals = interval_frames
-    got = _pairs(points, intervals)
-    assert not any(i == 102 for _, i in got)  # documented contract
+    with pytest.raises(ValueError, match="grain contract"):
+        interval_join(points, intervals, on="k", point_time="t",
+                      start="s", end="e", grain_seconds=100)
+    out = interval_join(points, intervals, on="k", point_time="t",
+                        start="s", end="e", grain_seconds=100,
+                        on_over_grain="count")
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert not any(i == 102 for _, i in got)
+    assert out._interval_join_drops.get["over_grain_dropped"] == 1
+    # 'allow': silent exclusion, same join output
+    assert got == _pairs(points, intervals, mode="allow")
+    # a conforming interval set passes the default eager check untouched
+    ok = intervals.where("iid != 102")
+    strict = interval_join(points, ok, on="k", point_time="t",
+                           start="s", end="e", grain_seconds=100)
+    assert sorted((r["pid"], r["iid"]) for r in strict.collect()) == \
+        [p for p in got]
 
 
 def test_interval_join_key_isolation(interval_frames):

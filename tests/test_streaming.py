@@ -316,3 +316,78 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     ids = [r["event_id"] for r in got]
     assert len(ids) == len(set(ids)) == ev.count()  # each id exactly once
     assert set(ids) == {r["event_id"] for r in ev.collect()}
+
+
+def test_session_boundary_gap_exactly_equal(spark):
+    """ADVICE r1: an event arriving exactly gap_seconds after the previous
+    one must START a new session on every path (session_window's end is
+    exclusive). Drives SessionProcessor.handleInputRows directly with a fake
+    state handle and pins it to the batch twin."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from harmonize_search_analyze_spark.streaming.windows import (
+        SessionProcessor,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class _FakeHandle:
+        def __init__(self):
+            self.state = _FakeState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+        def listTimers(self):
+            return []
+
+        def deleteTimer(self, t):
+            pass
+
+        def registerTimer(self, t):
+            pass
+
+    class _FakeTimers:
+        def getCurrentProcessingTimeInMs(self):
+            return 0
+
+    class _FakeExpired:
+        pass
+
+    base = dt.datetime(2024, 1, 1)
+    for offset_s, want_sessions in [(1800, 2), (1799, 1), (1801, 2)]:
+        events = [(base, 1.0), (base + dt.timedelta(seconds=offset_s), 2.0)]
+
+        proc = SessionProcessor(gap_seconds=1800)
+        handle = _FakeHandle()
+        proc.init(handle)
+        pdf = pd.DataFrame({"ts": [e[0] for e in events],
+                            "value": [e[1] for e in events]})
+        out = list(proc.handleInputRows((1,), iter([pdf]), _FakeTimers()))
+        out += list(proc.handleExpiredTimer((1,), _FakeTimers(), _FakeExpired()))
+        n_proc = sum(len(p) for p in out)
+
+        df = spark.createDataFrame(
+            [(1, t, v) for t, v in events], "user_id LONG, ts TIMESTAMP, value DOUBLE"
+        )
+        n_batch = sessionize_batch(df, gap_seconds=1800).count()
+        assert n_proc == n_batch == want_sessions, (
+            f"offset {offset_s}s: processor {n_proc}, batch {n_batch}, "
+            f"want {want_sessions}"
+        )
