@@ -31,6 +31,21 @@ from pyspark.sql import functions as F
 
 BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+# Kibana's tile map ships autoPrecision:true (the reference viz does too —
+# kibana-exported-visualizations.json viz 7): the map's zoom level picks the
+# geohash precision. This is Kibana 4.x's zoomPrecision table
+# (src/ui/public/vislib/visualizations/_map.js, public kibana source).
+ZOOM_PRECISION = {
+    1: 2, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4, 8: 5, 9: 5, 10: 6,
+    11: 6, 12: 7, 13: 7, 14: 8, 15: 9, 16: 10, 17: 11, 18: 12,
+}
+
+
+def auto_precision(zoom: int) -> int:
+    """Kibana autoPrecision: map zoom level -> geohash_grid precision
+    (clamped to the table's 1..18 zoom range)."""
+    return ZOOM_PRECISION[min(max(int(zoom), 1), 18)]
+
 
 def _quantize_sql(lat: str, lon: str, precision: int) -> tuple[str, str, int, int]:
     bits = 5 * precision
@@ -63,12 +78,17 @@ def geohash_encode_sql(lat: str, lon: str, precision: int = 2) -> str:
     # bit position b (0 = MSB of the geohash): even -> lon bit, odd -> lat bit.
     # Bit b of the hash = bit (nx-1 - b//2) of x   when b even,
     #                     bit (ny-1 - b//2) of y   when b odd.
+    # Collision-proof placeholders (NOT '(x)'/'(y)': an input expression
+    # containing those substrings would be rewritten by the substitution).
+    if "__GH_X__" in lat + lon or "__GH_Y__" in lat + lon:
+        raise ValueError("lat/lon expressions may not contain __GH_X__/__GH_Y__")
+
     def bit_expr(b: int) -> str:
         if b % 2 == 0:
-            src, shift = "x", nx - 1 - b // 2
+            src, shift = "__GH_X__", nx - 1 - b // 2
         else:
-            src, shift = "y", ny - 1 - b // 2
-        return f"((({src}) >> {shift}) & 1)"
+            src, shift = "__GH_Y__", ny - 1 - b // 2
+        return f"(({src} >> {shift}) & 1)"
 
     chars = []
     for c in range(precision):
@@ -82,13 +102,50 @@ def geohash_encode_sql(lat: str, lon: str, precision: int = 2) -> str:
     body = " || ".join(chars) if len(chars) > 1 else chars[0]
     # Inline x/y via a correlated scalar — portable across Spark/DuckDB — is
     # clunky; instead substitute the quantization expressions textually.
-    body = body.replace("(x)", f"({x_sql})").replace("(y)", f"({y_sql})")
+    body = body.replace("__GH_X__", f"({x_sql})").replace("__GH_Y__", f"({y_sql})")
     assert bits == 5 * precision
     return f"({body})"
 
 
 def geohash_encode(lat: Column | str, lon: Column | str, precision: int = 2) -> Column:
-    """Geohash of two numeric columns as a Spark Column (codegen-friendly)."""
-    lat_sql = lat if isinstance(lat, str) else lat._jc.toString()  # noqa: SLF001
-    lon_sql = lon if isinstance(lon, str) else lon._jc.toString()  # noqa: SLF001
-    return F.expr(geohash_encode_sql(lat_sql, lon_sql, precision))
+    """Geohash of two numeric columns as a Spark Column (codegen-friendly).
+
+    str inputs are SQL expressions (routed through geohash_encode_sql);
+    Column inputs are built natively from Column arithmetic — no private
+    ``_jc`` access, so this works under Spark Connect too."""
+    if isinstance(lat, str) and isinstance(lon, str):
+        return F.expr(geohash_encode_sql(lat, lon, precision))
+    lat_c = F.col(lat) if isinstance(lat, str) else lat
+    lon_c = F.col(lon) if isinstance(lon, str) else lon
+    return _geohash_encode_cols(lat_c, lon_c, precision)
+
+
+def _geohash_encode_cols(lat: Column, lon: Column, precision: int) -> Column:
+    """Column-native mirror of geohash_encode_sql (same quantization, same
+    bit interleave, same base32 lookup — pinned equal by tests)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    bits = 5 * precision
+    nx = (bits + 1) // 2
+    ny = bits // 2
+    x = F.least(
+        F.floor((lon + F.lit(180.0)) / 360.0 * F.lit(float(1 << nx))).cast("bigint"),
+        F.lit((1 << nx) - 1).cast("bigint"),
+    )
+    y = F.least(
+        F.floor((lat + F.lit(90.0)) / 180.0 * F.lit(float(1 << ny))).cast("bigint"),
+        F.lit((1 << ny) - 1).cast("bigint"),
+    )
+    chars = []
+    for c in range(precision):
+        idx: Column = F.lit(0)
+        for j in range(5):
+            b = 5 * c + j
+            if b % 2 == 0:
+                src, shift = x, nx - 1 - b // 2
+            else:
+                src, shift = y, ny - 1 - b // 2
+            bit = F.shiftright(src, shift).bitwiseAND(F.lit(1))
+            idx = idx + bit * F.lit(1 << (4 - j))
+        chars.append(F.substring(F.lit(BASE32), idx.cast("int") + F.lit(1), F.lit(1)))
+    return F.concat(*chars) if len(chars) > 1 else chars[0]

@@ -31,7 +31,10 @@ from harmonize_search_analyze_spark.functions.datemath import (
     is_date_math,
     parse_date_math,
 )
-from harmonize_search_analyze_spark.functions.geohash import geohash_encode
+from harmonize_search_analyze_spark.functions.geohash import (
+    auto_precision,
+    geohash_encode,
+)
 
 
 def count_metric(df: DataFrame, predicate: Column | None = None) -> DataFrame:
@@ -511,11 +514,20 @@ def bucket_pipeline(
     value_col: str = "doc_count",
     *,
     moving_window: int = 7,
+    shift: int = 1,
 ) -> DataFrame:
     """ES pipeline aggs over an already-bucketed frame (the output of
     ``date_histogram``/``histogram``): ``cumulative_sum``, ``derivative``
-    (delta vs previous bucket; NULL for the first, per ES), and a trailing
+    (delta vs previous bucket; NULL for the first, per ES), and a
     ``moving_fn`` average over ``moving_window`` buckets.
+
+    ``shift`` positions the moving window per ES ``moving_fn`` semantics:
+    the window covers buckets ``[i - moving_window + shift, i - 1 + shift]``.
+    ES's default ``shift=0`` EXCLUDES the current bucket (trailing window of
+    the previous n); ``shift=1`` includes it. This operator's historical
+    (round-1) behavior was shift=1, kept as the default for compatibility —
+    pass ``shift=0`` for exact ES-default parity. An empty window (first
+    bucket at shift=0) yields NULL, matching ES's null gap policy.
 
     The window is unpartitioned by design: its input is bucket-level (rows
     bounded by the time range / interval, not by raw data volume), so the
@@ -523,7 +535,7 @@ def bucket_pipeline(
     underlying events. Never point this at raw rows."""
     w = Window.orderBy(bucket_col)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mov = w.rowsBetween(-(moving_window - 1), Window.currentRow)
+    mov = w.rowsBetween(-moving_window + shift, -1 + shift)
     v = F.col(value_col)
     return buckets.select(
         bucket_col,
@@ -625,13 +637,20 @@ def geohash_grid(
     lon: str,
     precision: int = 2,
     k: int | None = None,
+    zoom: int | None = None,
 ) -> DataFrame:
     """Geohash-grid bucket counts (viz 7 'IncidentMap', precision 2).
+
+    ``zoom`` engages Kibana's autoPrecision behavior (the reference viz sets
+    ``autoPrecision: true``): the map zoom level picks the precision via the
+    Kibana 4.x zoomPrecision table, overriding ``precision``.
 
     The geohash is a pure column expression (functions/geohash.py), so this is
     scan -> codegen'd projection -> hash agg; at precision p there are at most
     32^p buckets, so the final aggregation state is tiny no matter the input.
     """
+    if zoom is not None:
+        precision = auto_precision(zoom)
     out = (
         df.where(F.col(lat).isNotNull() & F.col(lon).isNotNull())
         .select(geohash_encode(lat, lon, precision).alias("geohash"))

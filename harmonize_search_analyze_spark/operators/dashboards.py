@@ -89,8 +89,35 @@ def crime_dashboard(
 def dictionary_bootstrap(dict_union: DataFrame, limit: int = 1000) -> DataFrame:
     """§3.3: the UI-bootstrap metadata query — the exact projection the
     webapp fetches from ``*dictionary*`` (``collections.js:65-88``,
-    size 1000) to build its filter widgets."""
-    return dict_union.select(
-        "dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr",
-        "dict_min", "dict_max", "dict_countdistinct", "dict_uifilter",
-    ).limit(limit)
+    size 1000) to build its filter widgets. Ordered by (group, field), the
+    FieldCollection comparator (``collections.js:40-42``), so the limit is
+    deterministic and the rows arrive UI-ready."""
+    return (
+        dict_union.select(
+            "dict_field", "dict_vargroup", "dict_vartype", "dict_vardescr",
+            "dict_min", "dict_max", "dict_countdistinct", "dict_uifilter",
+        )
+        .orderBy("dict_vargroup", "dict_field")
+        .limit(limit)
+    )
+
+
+def vargroup_bootstrap(
+    dict_union: DataFrame, group_col: str = "dict_vargroup"
+) -> DataFrame:
+    """The webapp's ``GroupCollection``: distinct variable groups sorted
+    lexicographically (``collections.js:130-132`` — ``keys().sort()``; the
+    ``NN.`` prefix exists exactly so this sort IS the display order), with
+    the numeric ordering prefix stripped for display
+    (``collections.js:17-27`` — ``/^\\d+\\.(.+)/``, which requires at least
+    one character after the dot; a bare ``"12."`` stays as-is)."""
+    return (
+        dict_union.select(F.col(group_col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+        .withColumn(
+            "display_name",
+            F.regexp_replace("name", r"^\d+\.(.+)", "$1"),
+        )
+        .orderBy("name")
+    )

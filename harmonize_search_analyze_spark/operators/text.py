@@ -130,8 +130,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def lang_id_sql(expr: str, dialect: str) -> str:
-    """Argmax of marker-token hits; ties and zero-hit docs -> 'unknown'.
-    Expressed as a greatest-of CASE so both engines evaluate identically."""
+    """Argmax of marker-token hits. Ties resolve to the FIRST language in
+    ``LANG_MARKERS`` order ('en' wins all ties — deterministic, same CASE
+    order on both engines); only zero-hit docs get 'unknown'. Expressed as
+    a greatest-of CASE so both engines evaluate identically."""
     toks = tokens_sql(expr, dialect)
     scores = {}
     for lang, markers in LANG_MARKERS.items():

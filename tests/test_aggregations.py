@@ -313,6 +313,10 @@ def test_bucket_pipeline_semantics(spark):
     assert [r["cumulative_sum"] for r in rows] == [10, 40, 60]
     assert [r["derivative"] for r in rows] == [None, 20, -10]  # ES: 1st NULL
     assert [r["moving_avg"] for r in rows] == [10.0, 20.0, 25.0]
+    # ES moving_fn DEFAULT (shift=0) excludes the current bucket: the first
+    # bucket's window is empty -> NULL, then trailing-previous-n averages
+    es_rows = bucket_pipeline(b, "bucket", moving_window=2, shift=0).collect()
+    assert [r["moving_avg"] for r in es_rows] == [None, 10.0, 20.0]
 
 
 def test_composite_agg_pagination_is_exhaustive(spark):

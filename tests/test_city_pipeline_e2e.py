@@ -184,3 +184,26 @@ def test_persistence_and_ddl(spark, city_frames, tmp_path):
     assert "CREATE TABLE" in ddl and "balt_tbl" in ddl
     assert spark.table("balt_tbl").count() == hb.df.count()
     spark.sql("DROP TABLE balt_tbl")
+
+
+def test_vargroup_bootstrap_groups_and_order(spark):
+    """GroupCollection parity (collections.js:17-27,130-132): distinct
+    groups sorted lexicographically; display strips the NN. prefix only
+    when something follows the dot."""
+    from harmonize_search_analyze_spark.operators.dashboards import (
+        vargroup_bootstrap,
+    )
+
+    rows = [("a", g) for g in
+            ["10.Location", "00.Date and Time", "99.Other",
+             "00.Date and Time", "Unprefixed", "12.", None]]
+    df = spark.createDataFrame(rows, ["dict_field", "dict_vargroup"])
+    got = [(r["name"], r["display_name"])
+           for r in vargroup_bootstrap(df).collect()]
+    assert got == [
+        ("00.Date and Time", "Date and Time"),
+        ("10.Location", "Location"),
+        ("12.", "12."),                 # /^\d+\.(.+)/ needs a char after '.'
+        ("99.Other", "Other"),
+        ("Unprefixed", "Unprefixed"),
+    ]

@@ -153,3 +153,64 @@ def test_minhash_term_int64_safe(spark):
     assert 0 <= got < MERSENNE_P
     duck = duckdb.sql(f"SELECT {expr} AS v").fetchone()[0]
     assert got == duck
+
+
+def test_geohash_column_native_matches_sql(spark):
+    """Column-native encode (Spark-Connect-safe path, no _jc access) must be
+    bit-identical to the SQL generator on the published vectors and a grid
+    of random-ish points."""
+    pts = [(lat, lon, prec, exp) for lat, lon, prec, exp in GEOHASH_VECTORS]
+    pts += [(37.5 - 0.73 * i, -122.3 + 1.31 * i, 1 + i % 12, None)
+            for i in range(24)]
+    df = spark.createDataFrame(
+        [(la, lo, pr) for la, lo, pr, _ in pts], ["lat", "lon", "prec"]
+    )
+    for prec in sorted({pr for _, _, pr, _ in pts}):
+        sub = df.where(F.col("prec") == prec)
+        got = sub.select(
+            geohash_encode(F.col("lat"), F.col("lon"), prec).alias("native"),
+            geohash_encode("lat", "lon", prec).alias("sqlpath"),
+        ).collect()
+        for r in got:
+            assert r["native"] == r["sqlpath"]
+
+
+def test_geohash_placeholder_collision_rejected():
+    with pytest.raises(ValueError, match="__GH_X__"):
+        geohash_encode_sql("__GH_X__ + 1", "0", 2)
+
+
+def test_geohash_expression_with_parens_y(spark):
+    """ADVICE r1: an input expression containing the literal text '(y)' must
+    not be corrupted by the substitution."""
+    df = spark.createDataFrame([(42.605, -5.603)], ["y", "lon"])
+    got = df.select(
+        F.expr(geohash_encode_sql("(y)", "(lon)", 5)).alias("gh")
+    ).collect()[0]["gh"]
+    assert got == "ezs42"
+
+
+def test_auto_precision_table():
+    from harmonize_search_analyze_spark.functions.geohash import (
+        auto_precision,
+    )
+
+    assert auto_precision(1) == 2
+    assert auto_precision(10) == 6
+    assert auto_precision(18) == 12
+    assert auto_precision(0) == 2      # clamps low
+    assert auto_precision(25) == 12    # clamps high
+    # monotone non-decreasing across the whole table
+    vals = [auto_precision(z) for z in range(1, 19)]
+    assert vals == sorted(vals)
+
+
+def test_geohash_grid_zoom(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geohash_grid,
+    )
+
+    df = spark.createDataFrame([(42.605, -5.603)], ["la", "lo"])
+    out = geohash_grid(df, "la", "lo", zoom=8)   # zoom 8 -> precision 5
+    rows = out.collect()
+    assert rows[0]["geohash"] == "ezs42"
