@@ -829,6 +829,111 @@ SELECT id1, id2, hamming FROM (
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% corpus sample (ES random_sampler / reproducible
+    training-data subsample): portable-hash threshold on doc_id — map-only,
+    no shuffle, same rows on any engine or partitioning."""
+    from harmonize_search_analyze_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.2).select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+def _sql_hash_sample() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        HASH_BUCKETS,
+        sample_hash_sql,
+    )
+
+    h = sample_hash_sql("doc_id", "duckdb", seed=42)
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {h} < {int(0.2 * HASH_BUCKETS)} ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler / per-stratum curation cap: at most 15 docs
+    per (lang, source) chosen by deterministic hash order."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, ["lang", "source"], 15, "doc_id"
+    ).select("lang", "source", "doc_id").orderBy("lang", "source", "doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        stratified_sample_sql,
+    )
+
+    inner = stratified_sample_sql(
+        "documents", ["lang", "source"], 15, "doc_id",
+        ["lang", "source", "doc_id"], "duckdb",
+    )
+    return f"SELECT * FROM ({inner}) s ORDER BY lang, source, doc_id"
+
+
+def q_pipeline_serial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline-agg composition: daily date_histogram -> serial_diff
+    (lag 7, week-over-week) -> bucket_selector (positive deltas only) ->
+    bucket_sort (top 5 by delta desc, bucket asc tie-break). Bucket-level
+    windows throughout — never touches raw rows after the first agg."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        bucket_selector,
+        bucket_sort,
+        date_histogram,
+        serial_diff,
+    )
+
+    daily = date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+    sd = serial_diff(daily, "bucket", "doc_count", lag=7)
+    kept = bucket_selector(sd, F.col("serial_diff") > 0)
+    return bucket_sort(
+        kept, [F.desc("serial_diff"), F.asc("bucket")], size=5
+    )
+
+
+SQL_PIPELINE_SERIAL = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), sd AS (
+  SELECT bucket, doc_count,
+         doc_count - LAG(doc_count, 7) OVER (ORDER BY bucket) AS serial_diff
+  FROM b
+)
+SELECT bucket, doc_count, serial_diff FROM sd
+WHERE serial_diff > 0
+ORDER BY serial_diff DESC, bucket ASC LIMIT 5
+"""
+
+
+def q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram: interval chosen from the data's span (ES
+    ladder, <= 10 buckets target) entirely inside the plan — bounds agg
+    cross-joined as a 1-row frame, then one hash agg."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        auto_date_histogram,
+    )
+
+    return auto_date_histogram(_t(spark, sf_dir, "events"), "ts", 10)
+
+
+def _sql_auto_date_histogram() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        auto_date_histogram_sql,
+    )
+
+    return auto_date_histogram_sql("events", "ts", 10, "duckdb")
+
+
 def q_datemath_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 end-to-end: global time filter written in ES date math — the
     reference's literal config shape (config.js:31-32 `from:"now-20y"`).
@@ -1845,6 +1950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bounds_centroid": q_geo_bounds_centroid,
         "simhash_banded": q_simhash_banded,
         "datemath_window": q_datemath_window,
+        "auto_date_histogram": q_auto_date_histogram,
+        "pipeline_serial": q_pipeline_serial,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1912,4 +2021,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_bounds_centroid": _sql_geo_bounds_centroid(),
         "simhash_banded": _sql_simhash_banded(),
         "datemath_window": SQL_DATEMATH_WINDOW,
+        "auto_date_histogram": _sql_auto_date_histogram(),
+        "pipeline_serial": SQL_PIPELINE_SERIAL,
+        "hash_sample": _sql_hash_sample(),
+        "stratified_sample": _sql_stratified_sample(),
     }

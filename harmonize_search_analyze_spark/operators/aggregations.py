@@ -193,6 +193,118 @@ def date_histogram(
     )
 
 
+# ES auto_date_histogram interval ladder (public ES docs): label, seconds,
+# and how the bucket is produced. Sub-month intervals are fixed-duration
+# (epoch-aligned floor); month+ are calendar truncations. The *selection*
+# uses fixed-second approximations for calendar units (1M=30d, 1y=365d) —
+# bucketing itself is true calendar.
+AUTO_DH_LADDER: list[tuple[str, int, str]] = [
+    ("1s", 1, "fixed"), ("5s", 5, "fixed"), ("10s", 10, "fixed"),
+    ("30s", 30, "fixed"),
+    ("1m", 60, "fixed"), ("5m", 300, "fixed"), ("10m", 600, "fixed"),
+    ("30m", 1800, "fixed"),
+    ("1h", 3600, "fixed"), ("3h", 10800, "fixed"), ("12h", 43200, "fixed"),
+    ("1d", 86400, "fixed"), ("7d", 604800, "fixed"),
+    ("1M", 2592000, "month"), ("3M", 7776000, "quarter"),
+    ("1y", 31536000, "year1"), ("5y", 157680000, "year5"),
+    ("10y", 315360000, "year10"), ("20y", 630720000, "year20"),
+    ("50y", 1576800000, "year50"), ("100y", 3153600000, "year100"),
+]
+
+
+def auto_date_histogram_sql(
+    table: str, ts_col: str, target_buckets: int, dialect: str
+) -> str:
+    """ES ``auto_date_histogram``: pick the smallest ladder interval that
+    yields at most ``target_buckets`` buckets over the data's actual time
+    span, then bucket by it — all inside the plan (the bounds agg is a
+    1-row frame cross-joined in; no driver round-trip), so the same SQL is
+    the DuckDB oracle.
+
+    Selection rule: smallest interval ``i`` with ``span <= i*(target-1)``
+    (i.e. floor(span/i)+1 <= target for epoch-aligned buckets); falls back
+    to the ladder max. Fixed intervals bucket by epoch-floor; 1M/3M by
+    calendar truncation; N-year by flooring the year to a 1970-anchored
+    multiple of N."""
+    if target_buckets < 2:
+        raise ValueError("target_buckets must be >= 2")
+    if dialect == "spark":
+        # keep every branch TIMESTAMP_LTZ (events load as NTZ; session tz
+        # is UTC so the cast is value-identity)
+        src_ts = f"CAST({ts_col} AS TIMESTAMP_LTZ)"
+        src_epoch = f"CAST(CAST({ts_col} AS TIMESTAMP_LTZ) AS DOUBLE)"
+        fixed_bucket = "timestamp_seconds(FLOOR(e / isec) * isec)"
+    else:
+        src_ts = ts_col
+        src_epoch = f"epoch({ts_col})"
+        fixed_bucket = (
+            "make_timestamp(CAST(FLOOR(e / isec) * isec * 1000000 AS BIGINT))"
+        )
+
+    sel_cases = " ".join(
+        f"WHEN mx - mn <= {secs}.0 * {target_buckets - 1} THEN {secs}"
+        for _, secs, _ in AUTO_DH_LADDER
+    )
+    label_cases = " ".join(
+        f"WHEN isec = {secs} THEN '{label}'"
+        for label, secs, _ in AUTO_DH_LADDER
+    )
+
+    def year_bucket(n: int) -> str:
+        yr = f"1970 + CAST(FLOOR((YEAR(t) - 1970) / {n}.0) AS INT) * {n}"
+        return f"make_timestamp({yr}, 1, 1, 0, 0, 0)"
+
+    kind_cases = []
+    for label, secs, kind in AUTO_DH_LADDER:
+        if kind == "fixed":
+            continue
+        if kind == "month":
+            b = "date_trunc('month', t)"
+        elif kind == "quarter":
+            b = "date_trunc('quarter', t)"
+        else:
+            b = year_bucket(int(kind.removeprefix("year")))
+        kind_cases.append(f"WHEN isec = {secs} THEN {b}")
+    bucket = f"CASE {' '.join(kind_cases)} ELSE {fixed_bucket} END"
+    last = AUTO_DH_LADDER[-1][1]
+    return f"""
+WITH src AS (
+  SELECT {src_ts} AS t, {src_epoch} AS e
+  FROM {table} WHERE {ts_col} IS NOT NULL
+), bounds AS (
+  SELECT MIN(e) AS mn, MAX(e) AS mx FROM src
+), sel AS (
+  SELECT CASE {sel_cases} ELSE {last} END AS isec FROM bounds
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS doc_count, interval_label
+FROM (
+  SELECT {bucket} AS bucket,
+         CASE {label_cases} END AS interval_label
+  FROM src CROSS JOIN sel
+) g
+GROUP BY bucket, interval_label ORDER BY bucket
+"""
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_field: str, target_buckets: int = 10
+) -> DataFrame:
+    """ES ``auto_date_histogram`` over a DataFrame (see
+    auto_date_histogram_sql): returns (bucket, doc_count, interval_label)
+    with the interval chosen from the data's span — one bounds agg
+    (broadcast 1-row cross join) + one hash agg; scan count, not data size,
+    is the cost at any scale."""
+    import uuid as _uuid
+
+    view = f"__auto_dh_{_uuid.uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    out = df.sparkSession.sql(
+        auto_date_histogram_sql(view, ts_field, target_buckets, "spark")
+    )
+    df.sparkSession.catalog.dropTempView(view)
+    return out
+
+
 def extended_stats(
     df: DataFrame,
     field: str,
@@ -544,6 +656,76 @@ def bucket_pipeline(
         (v - F.lag(v, 1).over(w)).alias("derivative"),
         F.round(F.avg(v).over(mov), 6).alias("moving_avg"),
     ).orderBy(bucket_col)
+
+
+def serial_diff(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    lag: int = 1,
+) -> DataFrame:
+    """ES ``serial_diff`` pipeline agg: value minus the value ``lag``
+    buckets earlier (lag=1 is the derivative; lag=7 on daily buckets is
+    week-over-week seasonality removal). NULL for the first ``lag``
+    buckets, per ES's gap policy. Bucket-level window — same single-task
+    sort contract as bucket_pipeline."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    w = Window.orderBy(bucket_col)
+    v = F.col(value_col)
+    return buckets.select(
+        bucket_col,
+        value_col,
+        (v - F.lag(v, lag).over(w)).alias("serial_diff"),
+    ).orderBy(bucket_col)
+
+
+def bucket_selector(buckets: DataFrame, predicate: Column) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only buckets whose row
+    satisfies the script predicate (here: a Column over the bucket frame —
+    e.g. ``F.col("doc_count") > 100``). A plain filter; named for the
+    ES-surface mapping."""
+    return buckets.where(predicate)
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    sort: list[Column],
+    *,
+    size: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline agg: reorder buckets and truncate to a
+    page (``from``/``size``). Paging uses row_number over the sort — the
+    frame is bucket-level, so the single-task window is bounded by bucket
+    count, not data volume."""
+    if offset:
+        w = Window.orderBy(*sort)
+        return (
+            buckets.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > offset)
+            .where(F.lit(True) if size is None else F.col("__rn") <= offset + size)
+            .drop("__rn")
+        )
+    out = buckets.orderBy(*sort)
+    return out.limit(size) if size is not None else out
+
+
+def bucket_stats(
+    buckets: DataFrame, value_col: str = "doc_count"
+) -> DataFrame:
+    """ES sibling pipeline aggs (``stats_bucket`` / ``avg_bucket`` /
+    ``max_bucket`` / ``min_bucket`` / ``sum_bucket``) in one row over the
+    bucket frame."""
+    v = F.col(value_col)
+    return buckets.agg(
+        F.count(v).alias("bucket_count"),
+        F.round(F.avg(v), 6).alias("avg_bucket"),
+        F.min(v).alias("min_bucket"),
+        F.max(v).alias("max_bucket"),
+        F.sum(v).alias("sum_bucket"),
+    )
 
 
 def composite_agg(

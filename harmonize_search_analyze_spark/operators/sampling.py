@@ -1,0 +1,104 @@
+"""Deterministic sampling operators: hash sampling and stratified sampling.
+
+Two consumers, one mechanism:
+
+- **ES surface**: the ``random_sampler`` agg (probability-based doc sample)
+  and ``diversified_sampler`` (at most ``max_docs_per_value`` docs per value
+  of a field) map to ``hash_sample`` and ``stratified_sample`` respectively.
+- **Training-data pipelines**: reproducible corpus subsampling ("2% of
+  CommonCrawl", "at most N docs per domain/language") must be DETERMINISTIC
+  — a re-run, a different executor count, or a retried task must select the
+  same rows. ``df.sample()`` is seeded per-partition and changes with the
+  partition layout; hashing the row key does not.
+
+Mechanism: a portable 60-bit hash (functions/hashing.py — identical text on
+Spark and DuckDB, so every sample is oracle-checkable) of ``seed:key``.
+
+Scale shape:
+
+- ``hash_sample`` is a map-only filter — no shuffle, fully pushed into the
+  scan's residual filter; throughput is scan-bound at any data size.
+- ``stratified_sample`` is ONE shuffle on the strata columns + a per-stratum
+  rank. A dominant stratum serializes into one task (Spark windows don't do
+  partial top-N); for skewed strata either pre-filter with ``hash_sample``
+  at a fraction that overshoots ``n_per_stratum`` (two-phase: cheap
+  hash-threshold cut, then exact rank on the survivors) or salt the stratum
+  and take the union of per-salt ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+HASH_BUCKETS = 1_000_000
+
+
+def sample_hash_sql(key: str, dialect: str, *, seed: int = 42) -> str:
+    """Portable per-row sampling hash in [0, HASH_BUCKETS): hash of
+    ``'{seed}:' || key`` — same text both engines modulo the string cast."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    keyed = f"('{seed}:' || CAST({key} AS {cast}))"
+    return f"({hash64_sql(keyed, dialect)} % {HASH_BUCKETS})"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, *, seed: int = 42
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose sampling hash
+    falls under ``fraction * HASH_BUCKETS``. Same rows on every run, any
+    partitioning, any engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * HASH_BUCKETS)
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    return df.where(h < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per distinct strata combination,
+    chosen by sampling-hash order (ties broken by key) — the deterministic
+    form of ES ``diversified_sampler`` and the "N docs per language/domain"
+    curation step. One shuffle on the strata; see module docstring for the
+    skewed-stratum escape hatches."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    strata: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    columns: list[str],
+    dialect: str,
+    *,
+    seed: int = 42,
+) -> str:
+    """Dual-dialect SQL twin of ``stratified_sample`` (the DuckDB oracle)."""
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+    part = ", ".join(strata)
+    cols = ", ".join(columns)
+    return f"""
+SELECT {cols} FROM (
+  SELECT {cols}, ROW_NUMBER() OVER (
+    PARTITION BY {part} ORDER BY {h} ASC, {key_col} ASC) AS rn
+  FROM {table}
+) t WHERE rn <= {n_per_stratum}
+"""

@@ -426,3 +426,66 @@ def test_geo_bounds_and_centroid(spark):
     assert (b["top"], b["left"], b["bottom"], b["right"]) == (30.0, -20.0, 10.0, 40.0)
     c = geo_centroid(df, "lat", "lon").collect()[0]
     assert (c["centroid_lat"], c["centroid_lon"], c["doc_count"]) == (20.0, 10.0, 2)
+
+
+def test_auto_date_histogram_interval_selection(spark):
+    """ES auto_date_histogram: smallest ladder interval with <= target
+    buckets; calendar intervals engage for wide spans."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        auto_date_histogram,
+    )
+
+    # 90 min of minutely events: target 10 -> 10m buckets (9 or 10 of them)
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=i))
+            for i in range(0, 91)]
+    df = spark.createDataFrame(rows, "id LONG, ts TIMESTAMP")
+    out = auto_date_histogram(df, "ts", 10).collect()
+    assert out[0]["interval_label"] == "10m"
+    assert len(out) <= 10
+    assert sum(r["doc_count"] for r in out) == 91
+
+    # 3 years of monthly events: target 5 -> 1y calendar buckets
+    rows = [(i, dt.datetime(2020 + i // 12, 1 + i % 12, 15))
+            for i in range(36)]
+    df = spark.createDataFrame(rows, "id LONG, ts TIMESTAMP")
+    out = auto_date_histogram(df, "ts", 5).collect()
+    assert out[0]["interval_label"] == "1y"
+    assert [r["bucket"].year for r in out] == [2020, 2021, 2022]
+    assert all(r["bucket"].month == 1 and r["bucket"].day == 1 for r in out)
+
+    with pytest.raises(ValueError):
+        auto_date_histogram(df, "ts", 1)
+
+
+def test_serial_diff_selector_sort_stats(spark):
+    """ES pipeline family: serial_diff lag semantics (first `lag` buckets
+    NULL), bucket_selector filter, bucket_sort paging, sibling stats."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        bucket_selector,
+        bucket_sort,
+        bucket_stats,
+        serial_diff,
+    )
+
+    b = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (4, 50)], "bucket INT, doc_count BIGINT"
+    )
+    sd = serial_diff(b, "bucket", lag=2).collect()
+    assert [r["serial_diff"] for r in sd] == [None, None, 10, 20]
+    with pytest.raises(ValueError):
+        serial_diff(b, "bucket", lag=0)
+
+    kept = bucket_selector(b, F.col("doc_count") >= 20)
+    assert kept.count() == 3
+
+    page = bucket_sort(
+        kept, [F.desc("doc_count"), F.asc("bucket")], size=2, offset=1
+    ).collect()
+    assert [(r["bucket"], r["doc_count"]) for r in page] == [(2, 30), (3, 20)]
+
+    stats = bucket_stats(b).collect()[0]
+    assert (stats["bucket_count"], stats["min_bucket"], stats["max_bucket"],
+            stats["sum_bucket"]) == (4, 10, 50, 110)
+    assert stats["avg_bucket"] == 27.5

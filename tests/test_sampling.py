@@ -1,0 +1,63 @@
+"""Sampling operators: determinism, bounds, stratum caps, and the
+properties df.sample() can't give (partition-layout independence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], ["web", "book"][i % 2])
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+
+
+def test_hash_sample_deterministic_and_layout_independent(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert a == b
+    # same rows under a different partition layout (df.sample() fails this)
+    c = {r["doc_id"] for r in
+         hash_sample(docs.repartition(17), "doc_id", 0.3).collect()}
+    assert a == c
+    # roughly the requested fraction (hash uniformity, 300 rows)
+    assert 0.15 <= len(a) / 300 <= 0.45
+    # a larger fraction strictly contains a smaller one (threshold nesting)
+    big = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.6).collect()}
+    assert a <= big
+    # different seed -> different selection
+    d = {r["doc_id"] for r in
+         hash_sample(docs, "doc_id", 0.3, seed=7).collect()}
+    assert a != d
+
+
+def test_hash_sample_bounds(docs):
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    assert hash_sample(docs, "doc_id", 1.0).count() == 300
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
+
+
+def test_stratified_sample_caps_and_determinism(docs):
+    out = stratified_sample(docs, ["lang", "source"], 10, "doc_id")
+    per = out.groupBy("lang", "source").count().collect()
+    assert len(per) == 6                       # every stratum represented
+    assert all(r["count"] == 10 for r in per)  # 50 per stratum, capped at 10
+    again = stratified_sample(docs, ["lang", "source"], 10, "doc_id")
+    assert {tuple(r) for r in out.collect()} == \
+        {tuple(r) for r in again.collect()}
+    # a stratum smaller than the cap is kept whole
+    few = docs.where((F.col("lang") == "en") & (F.col("doc_id") < 12))
+    kept = stratified_sample(few, ["lang"], 100, "doc_id")
+    assert kept.count() == few.count()
+    with pytest.raises(ValueError):
+        stratified_sample(docs, ["lang"], 0, "doc_id")
