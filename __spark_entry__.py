@@ -829,6 +829,61 @@ SELECT id1, id2, hamming FROM (
 """
 
 
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact top-5 similarity join: every 50th vector as a query set
+    against the full corpus — broadcast queries, ONE corpus scan, rank
+    window carries scores only (never vectors)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        similarity_join,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity_join(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def _sql_similarity_join() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        similarity_join_sql,
+    )
+
+    inner = similarity_join_sql(
+        "embeddings",
+        "(SELECT vec_id AS query_id, embedding FROM embeddings "
+        "WHERE vec_id % 50 = 0)",
+        5,
+    )
+    return f"SELECT * FROM ({inner}) s ORDER BY query_id, rank"
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-data step after curation): greedy
+    first-fit-contiguous bins of 4000 chars, sharded 8 ways by portable
+    hash — parallel across shards, sequential only inside one Arrow batch.
+    The DuckDB oracle replays the identical greedy via recursive CTE, so
+    the applyInPandas loop itself is hash-verified."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        pack_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(
+        docs, "doc_id", "n_chars", 4000, n_shards=8
+    ).orderBy("doc_id")
+
+
+def _sql_pack_documents() -> str:
+    from harmonize_search_analyze_spark.operators.packing import (
+        pack_documents_sql,
+    )
+
+    inner = pack_documents_sql("documents", "doc_id", "n_chars", 4000,
+                               n_shards=8)
+    return f"SELECT * FROM ({inner}) p ORDER BY doc_id"
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% corpus sample (ES random_sampler / reproducible
     training-data subsample): portable-hash threshold on doc_id — map-only,
@@ -1954,6 +2009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_serial": q_pipeline_serial,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "pack_documents": q_pack_documents,
+        "similarity_join": q_similarity_join,
     }
 
 
@@ -2025,4 +2082,6 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_serial": SQL_PIPELINE_SERIAL,
         "hash_sample": _sql_hash_sample(),
         "stratified_sample": _sql_stratified_sample(),
+        "pack_documents": _sql_pack_documents(),
+        "similarity_join": _sql_similarity_join(),
     }

@@ -1,0 +1,165 @@
+"""Sequence packing: fill fixed token-budget bins with documents.
+
+The training-data step after curation/dedup: concatenate documents into
+fixed-size context windows ("packs") so the trainer wastes no tokens on
+padding. The packing rule here is **greedy first-fit-contiguous**: within a
+shard, walk the documents in deterministic (doc_id) order, appending each to
+the current pack; when a document would overflow the budget, close the pack
+and start a new one. A single document larger than the budget gets a pack of
+its own (flagged oversize — the caller chooses truncate/split downstream).
+
+Scale shape: packing is inherently sequential *within* a bin stream, so the
+operator shards the corpus by a portable hash of the id (same formula both
+engines) and packs each shard independently — embarrassingly parallel across
+shards, sequential only inside one Arrow batch. ``n_shards`` is the
+parallelism dial: at 100 TB you run thousands of shards, each a bounded
+pandas loop; no global sort, ONE shuffle on the shard key. Determinism:
+(seed, n_shards, doc order) fully define the output — a retried task or a
+different cluster produces identical packs, which checkpointed training
+jobs depend on.
+
+The greedy loop is the genuinely non-relational core (a running-state scan,
+not a window function), so it runs as ``applyInPandas`` — the sanctioned
+custom-operator path; everything around it (sharding, ordering, schema) is
+plain DataFrame. The DuckDB oracle replays the identical greedy via a
+recursive CTE, so even the Python loop is hash-verified by the gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+PACK_STRIDE = 1_000_000_000  # global pack_id = shard * stride + local pack
+
+
+def shard_sql(key: str, n_shards: int, dialect: str, *, seed: int = 42) -> str:
+    """Portable shard assignment: hash of ``'{seed}:' || key`` mod n_shards."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    keyed = f"('{seed}:' || CAST({key} AS {cast}))"
+    return f"CAST({hash64_sql(keyed, dialect)} % {n_shards} AS INT)"
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    *,
+    n_shards: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Pack rows into token-budget bins. Returns one row per input row:
+    (id, size, shard, pack_id, pack_pos, oversize) where ``pack_id`` is
+    globally unique (shard * PACK_STRIDE + local index), ``pack_pos`` is
+    the row's 0-based position inside its pack, and ``oversize`` marks
+    single documents larger than the budget (packed alone). NULL sizes are
+    treated as 0 (metadata-only rows ride along)."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    schema = T.StructType([
+        T.StructField("shard", T.IntegerType()),
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("pack_id", T.LongType()),
+        T.StructField("pack_pos", T.IntegerType()),
+        T.StructField("oversize", T.BooleanType()),
+    ])
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        sizes = pdf["__size"].fillna(0).astype("int64")
+        pack_local, fill, pos = 0, 0, 0
+        pack_ids, poss, oversizes = [], [], []
+        for s in sizes:
+            s = int(s)
+            if pos > 0 and fill + s > budget:
+                pack_local += 1
+                fill, pos = 0, 0
+            pack_ids.append(shard * PACK_STRIDE + pack_local)
+            poss.append(pos)
+            oversizes.append(s > budget)
+            fill += s
+            pos += 1
+        return pd.DataFrame({
+            "shard": pdf["shard"],
+            id_col: pdf[id_col],
+            "n_units": sizes,
+            "pack_id": pack_ids,
+            "pack_pos": poss,
+            "oversize": oversizes,
+        })
+
+    prepared = df.select(
+        F.expr(shard_sql(id_col, n_shards, "spark", seed=seed)).alias("shard"),
+        F.col(id_col),
+        F.col(size_col).cast("long").alias("__size"),
+    )
+    return prepared.groupBy("shard").applyInPandas(_pack, schema)
+
+
+def pack_documents_sql(
+    table: str,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    *,
+    n_shards: int = 32,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle: the identical greedy replayed with a recursive CTE
+    (one recursion step per within-shard row position)."""
+    shard = shard_sql(id_col, n_shards, "duckdb", seed=seed)
+    return f"""
+WITH RECURSIVE ordered AS (
+  SELECT {shard} AS shard, {id_col},
+         CAST(COALESCE({size_col}, 0) AS BIGINT) AS n_units,
+         ROW_NUMBER() OVER (PARTITION BY {shard} ORDER BY {id_col}) AS rn
+  FROM {table}
+), packed AS (
+  SELECT shard, {id_col}, n_units, rn,
+         CAST(0 AS BIGINT) AS pack_local, 0 AS pack_pos, n_units AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.{id_col}, o.n_units, o.rn,
+         CASE WHEN p.fill + o.n_units > {budget}
+              THEN p.pack_local + 1 ELSE p.pack_local END,
+         CASE WHEN p.fill + o.n_units > {budget}
+              THEN 0 ELSE p.pack_pos + 1 END,
+         CASE WHEN p.fill + o.n_units > {budget}
+              THEN o.n_units ELSE p.fill + o.n_units END
+  FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT shard, {id_col}, n_units,
+       shard * CAST({PACK_STRIDE} AS BIGINT) + pack_local AS pack_id,
+       pack_pos, n_units > {budget} AS oversize
+FROM packed
+"""
+
+
+def pack_summary(packed: DataFrame, budget: int) -> DataFrame:
+    """Pack-level utilization rollup: docs per pack, fill, waste — the
+    padding-efficiency metric the packing exists to optimize."""
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_units").alias("fill"),
+        )
+        .withColumn(
+            "waste",
+            F.when(
+                F.col("fill") < budget, F.lit(budget) - F.col("fill")
+            ).otherwise(F.lit(0)),
+        )
+    )

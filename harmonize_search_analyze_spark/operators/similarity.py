@@ -243,6 +243,85 @@ def embedding_near_dup_lsh(
     return tether(out, exploded)
 
 
+def similarity_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Batch exact top-k similarity join: for EVERY query vector, the k
+    nearest corpus vectors by cosine (the bulk form of ``cosine_topk`` —
+    retrieval eval sets, batched dedup probes, k-NN graph construction).
+
+    Plan shape: the query set is broadcast, so the corpus is scanned ONCE
+    regardless of |Q| (BroadcastNestedLoopJoin — each corpus partition
+    scores the in-memory query list; no shuffle of the big side). Per-query
+    top-k is a rank window keyed by query id over |C|x|Q| scored rows —
+    the shuffle carries scores only, never vectors. For |Q| beyond a few
+    thousand, route each query through ``ivf_search`` instead (probe
+    pruning beats the extra scan cost at that point)."""
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.expr(f"CAST({corpus_vec} AS ARRAY<DOUBLE>)").alias("cv"),
+    ).withColumn("cn", F.expr(_norm_sql("cv")))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.expr(f"CAST({query_vec} AS ARRAY<DOUBLE>)").alias("qv"),
+    ).withColumn("qn", F.expr(_norm_sql("qv")))
+    cos = F.round(
+        F.expr(_dot_sql("cv", "qv")) / (F.col("cn") * F.col("qn")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def similarity_join_sql(
+    corpus_table: str,
+    queries_table: str,
+    k: int,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> str:
+    """DuckDB oracle for similarity_join (same fold, same rounding, same
+    rank tie-break)."""
+    dot = "list_sum(list_transform(list_zip(c.cv, q.qv), p -> p[1] * p[2]))"
+    return f"""
+WITH c AS (
+  SELECT {corpus_id} AS corpus_id, {corpus_vec}::DOUBLE[] AS cv,
+         sqrt(list_sum(list_transform({corpus_vec}::DOUBLE[], x -> x * x))) AS cn
+  FROM {corpus_table}
+), q AS (
+  SELECT {query_id} AS query_id, {query_vec}::DOUBLE[] AS qv,
+         sqrt(list_sum(list_transform({query_vec}::DOUBLE[], x -> x * x))) AS qn
+  FROM {queries_table}
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT q.query_id, c.corpus_id,
+         ROUND({dot} / (c.cn * q.qn), 6) AS cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY ROUND({dot} / (c.cn * q.qn), 6) DESC, c.corpus_id ASC
+         ) AS INT) AS rank
+  FROM c CROSS JOIN q
+) t WHERE rank <= {k}
+"""
+
+
 def embedding_lsh_oracle_sql(
     table: str = "embeddings",
     vec_col: str = "embedding",

@@ -180,3 +180,37 @@ def test_ivf_recall_against_brute(vectors):
                            cosine_topk(vectors, "embedding", q, k=40).collect())
     # with half the lists probed, most of the true top-5 should surface
     assert len(set(ivf) & set(brute)) >= 3
+
+
+def test_similarity_join_batch_topk(vectors):
+    """Batch top-k == per-query cosine_topk for every query; self-match
+    ranks first; plan broadcasts the query side."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        similarity_join,
+    )
+
+    queries = vectors.where(F.col("vec_id").isin([0, 7, 100])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity_join(vectors, queries, k=3)
+    rows = out.collect()
+    assert len(rows) == 9
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, hits in by_q.items():
+        hits.sort(key=lambda r: r["rank"])
+        assert [h["rank"] for h in hits] == [1, 2, 3]
+        assert hits[0]["corpus_id"] == qid         # self-match first
+        assert hits[0]["cosine"] == 1.0
+    # per-query twin agrees
+    qvec = [r["embedding"] for r in
+            vectors.where(F.col("vec_id") == 7).collect()][0]
+    solo = [(r["vec_id"], r["cosine"]) for r in
+            cosine_topk(vectors, "embedding", list(qvec), k=3).collect()]
+    batch = [(r["corpus_id"], r["cosine"]) for r in by_q[7]]
+    assert batch == solo
+    # scale shape: query side broadcast (no shuffle of the corpus for scoring)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,87 @@
+"""Sequence-packing invariants the SQL-oracle gate can't express directly:
+budget respected, order preserved, oversize isolation, determinism across
+partition layouts, and utilization accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.packing import (
+    pack_documents,
+    pack_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def sized(spark):
+    rows = [(i, 100 + (i * 37) % 900) for i in range(200)]
+    rows.append((1000, 5000))   # oversize: bigger than any test budget
+    return spark.createDataFrame(rows, ["doc_id", "n_tok"])
+
+
+def test_pack_respects_budget_and_order(sized):
+    out = pack_documents(sized, "doc_id", "n_tok", 2000, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 201
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pack in by_pack.values():
+        pack.sort(key=lambda r: r["pack_pos"])
+        # contiguous 0-based positions
+        assert [r["pack_pos"] for r in pack] == list(range(len(pack)))
+        # doc order within a pack follows doc_id order
+        ids = [r["doc_id"] for r in pack]
+        assert ids == sorted(ids)
+        fill = sum(r["n_units"] for r in pack)
+        if not any(r["oversize"] for r in pack):
+            assert fill <= 2000
+    # the oversize doc is alone in its pack and flagged
+    big = [r for r in rows if r["doc_id"] == 1000][0]
+    assert big["oversize"]
+    assert len(by_pack[big["pack_id"]]) == 1
+
+
+def test_pack_greedy_boundary(spark):
+    """A doc that would overflow closes the pack — even when a later doc
+    would still have fit (first-fit-contiguous, not bin-packing)."""
+    df = spark.createDataFrame(
+        [(1, 60), (2, 50), (3, 40)], ["doc_id", "n_tok"]
+    )
+    out = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in
+           pack_documents(df, "doc_id", "n_tok", 100, n_shards=1).collect()}
+    assert out[1][0] == out[3][0] is not None and out[2][0] != out[1][0] \
+        or True  # layout depends on shard hash order — assert via fills:
+    packs = {}
+    for doc, (pid, pos) in out.items():
+        packs.setdefault(pid, []).append(doc)
+    sizes = {tuple(sorted(v)) for v in packs.values()}
+    # greedy over id order 1,2,3 with budget 100: [1]+[2,3]? 60+50>100 so
+    # pack0=[1], then 50+40<=100 -> pack1=[2,3]
+    assert sizes == {(1,), (2, 3)}
+
+
+def test_pack_deterministic_across_layout(sized):
+    a = sorted(tuple(r) for r in
+               pack_documents(sized, "doc_id", "n_tok", 2000).collect())
+    b = sorted(tuple(r) for r in
+               pack_documents(sized.repartition(13), "doc_id", "n_tok",
+                              2000).collect())
+    assert a == b
+
+
+def test_pack_summary_waste(spark):
+    df = spark.createDataFrame([(1, 60), (2, 50), (3, 40)],
+                               ["doc_id", "n_tok"])
+    packed = pack_documents(df, "doc_id", "n_tok", 100, n_shards=1)
+    s = {r["pack_id"]: r for r in pack_summary(packed, 100).collect()}
+    waves = sorted((r["n_docs"], r["fill"], r["waste"]) for r in s.values())
+    assert waves == [(1, 60, 40), (2, 90, 10)]
+
+
+def test_pack_validation(sized):
+    with pytest.raises(ValueError):
+        pack_documents(sized, "doc_id", "n_tok", 0)
+    with pytest.raises(ValueError):
+        pack_documents(sized, "doc_id", "n_tok", 100, n_shards=0)
