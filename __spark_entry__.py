@@ -829,6 +829,75 @@ SELECT id1, id2, hamming FROM (
 """
 
 
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd-trained IVF index build (iterative — rows-only gate): 8
+    centroids, 3 iterations, then cluster sizes. Assignment is broadcast +
+    map-only every iteration; only the KB-sized centroid matrix touches
+    the driver."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        assign_centroids,
+        kmeans_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(emb, n_centroids=8, n_iters=3)
+    return (
+        assign_centroids(emb, centroids)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+        .orderBy("centroid_id")
+    )
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style normalization pass: URL/email strip + whitespace collapse;
+    returns a digest + length per doc (map-only, scan-bound)."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        clean_text_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = clean_text_sql("text", "spark")
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5({clean})").alias("clean_md5"),
+        F.expr(f"length({clean})").cast("bigint").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+def _sql_corpus_clean() -> str:
+    from harmonize_search_analyze_spark.operators.curation import (
+        clean_text_sql,
+    )
+
+    clean = clean_text_sql("text", "duckdb")
+    return f"""
+SELECT doc_id, md5({clean}) AS clean_md5,
+       CAST(length({clean}) AS BIGINT) AS clean_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition profile (dup-token fraction, top-token
+    share) — two map-combinable hash aggs, no windows."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        repetition_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _sql_repetition_signals() -> str:
+    from harmonize_search_analyze_spark.operators.curation import (
+        repetition_signals_sql,
+    )
+
+    inner = repetition_signals_sql("documents", "doc_id", "text")
+    return f"SELECT * FROM ({inner}) r ORDER BY doc_id"
+
+
 def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch exact top-5 similarity join: every 50th vector as a query set
     against the full corpus — broadcast queries, ONE corpus scan, rank
@@ -2011,6 +2080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "similarity_join": q_similarity_join,
+        "corpus_clean": q_corpus_clean,
+        "repetition_signals": q_repetition_signals,
+        # iterative (Lloyd) — no SQL oracle; driver records rows-only
+        "kmeans_ivf": q_kmeans_ivf,
     }
 
 
@@ -2084,4 +2157,6 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_stratified_sample(),
         "pack_documents": _sql_pack_documents(),
         "similarity_join": _sql_similarity_join(),
+        "corpus_clean": _sql_corpus_clean(),
+        "repetition_signals": _sql_repetition_signals(),
     }

@@ -1,0 +1,163 @@
+"""Corpus-cleaning operators: C4-style text normalization and Gopher-style
+repetition signals.
+
+The published web-corpus recipes (C4: Raffel et al. 2020, "Exploring the
+Limits of Transfer Learning"; Gopher: Rae et al. 2021, quality-filter
+appendix) reduce to two families:
+
+- **normalization**: strip URLs/emails, collapse whitespace, drop lines
+  that don't look like prose (too few words, no terminal punctuation,
+  boilerplate markers). Pure per-row string work — map-only, codegen'd,
+  scan-bound at 100 TB.
+- **repetition signals**: fraction of duplicate lines / tokens, share of
+  the most-frequent line / token. High values mark boilerplate and
+  degenerate generations. Expressed relationally (explode -> two-level
+  count) so Spark's partial aggregation does the heavy lifting and the
+  DuckDB oracle can replay it exactly.
+
+All formulas are dual-dialect; ratios are computed raw and rounded once at
+the end (cross-engine float discipline, see PERFORMANCE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+# regexes are RE2/Java-compatible subsets; Spark SQL string literals process
+# backslash escapes (hence the doubling), DuckDB's do not
+_URL_PAT = r"https?://[^\s]+"
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LINE_END_PAT = '[.!?"]\\s*$'
+_WS_PAT = r"\s+"
+
+BOILERPLATE_MARKERS = ("lorem ipsum", "javascript", "cookies")
+
+
+def _pat(p: str, dialect: str) -> str:
+    """Quote a regex for a SQL string literal in the given dialect."""
+    if dialect == "spark":
+        return "'" + p.replace("\\", "\\\\") + "'"
+    return "'" + p + "'"
+
+
+def clean_text_sql(expr: str, dialect: str) -> str:
+    """C4-style normalization: strip URLs and emails, collapse whitespace
+    runs to single spaces, trim. DuckDB's regexp_replace replaces only the
+    first match without the 'g' flag — Spark's always replaces all."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    out = f"regexp_replace({expr}, {_pat(_URL_PAT, dialect)}, ''{g})"
+    out = f"regexp_replace({out}, {_pat(_EMAIL_PAT, dialect)}, ''{g})"
+    out = f"regexp_replace({out}, {_pat(_WS_PAT, dialect)}, ' '{g})"
+    return f"trim({out})"
+
+
+def c4_line_filter_sql(
+    expr: str, dialect: str, *, min_words: int = 3
+) -> str:
+    """C4's line-level prose filter: keep only lines with at least
+    ``min_words`` words AND terminal punctuation, and without boilerplate
+    markers; re-join survivors with newlines. Empty result -> empty string
+    (document then falls to the length filters downstream)."""
+    markers = " OR ".join(
+        f"contains(lower(l), '{m}')" for m in BOILERPLATE_MARKERS
+    )
+    if dialect == "spark":
+        wc = "size(filter(split(lower(l), '[^a-z0-9]+'), t -> t != ''))"
+        ends = f"l rlike {_pat(_LINE_END_PAT, dialect)}"
+        pred = f"{wc} >= {min_words} AND ({ends}) AND NOT ({markers})"
+        return (
+            f"array_join(filter(split({expr}, '\\n'), l -> {pred}), '\\n')"
+        )
+    wc = "len(list_filter(regexp_split_to_array(lower(l), '[^a-z0-9]+'), t -> t != ''))"
+    ends = f"regexp_matches(l, {_pat(_LINE_END_PAT, dialect)})"
+    pred = f"{wc} >= {min_words} AND ({ends}) AND NOT ({markers})"
+    return (
+        f"array_to_string(list_filter(string_split({expr}, chr(10)), "
+        f"l -> {pred}), chr(10))"
+    )
+
+
+def clean_text(col: str) -> Column:
+    return F.expr(clean_text_sql(col, "spark"))
+
+
+def c4_filter_lines(col: str, *, min_words: int = 3) -> Column:
+    return F.expr(c4_line_filter_sql(col, "spark", min_words=min_words))
+
+
+# -- repetition signals -------------------------------------------------------
+
+
+def _unit_exploded(
+    df: DataFrame, id_col: str, text_col: str, unit: str
+) -> DataFrame:
+    if unit == "token":
+        arr = F.expr(tokens_sql(text_col, "spark"))
+    elif unit == "line":
+        arr = F.split(F.col(text_col), "\n")
+    else:
+        raise ValueError("unit must be 'token' or 'line'")
+    return df.select(F.col(id_col), F.explode(arr).alias("u"))
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, *, unit: str = "token"
+) -> DataFrame:
+    """Gopher-style repetition profile per document:
+
+    - ``n_units`` / ``distinct_units``: total and distinct lines or tokens
+    - ``dup_frac``: 1 - distinct/total (0 = no repetition)
+    - ``top_share``: most frequent unit's share of the document
+
+    Two hash aggregations — per (doc, unit) count, then per doc — both
+    map-side combinable; no windows, no Python."""
+    per_unit = (
+        _unit_exploded(df, id_col, text_col, unit)
+        .groupBy(id_col, "u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_unit.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_units"),
+            F.count(F.lit(1)).alias("distinct_units"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            id_col,
+            "n_units",
+            "distinct_units",
+            F.round(
+                1.0 - F.col("distinct_units") / F.col("n_units"), 6
+            ).alias("dup_frac"),
+            F.round(F.col("top_cnt") / F.col("n_units"), 6).alias("top_share"),
+        )
+    )
+
+
+def repetition_signals_sql(
+    table: str, id_col: str, text_col: str, *, unit: str = "token"
+) -> str:
+    """DuckDB oracle twin of repetition_signals."""
+    if unit == "token":
+        arr = tokens_sql(text_col, "duckdb")
+    elif unit == "line":
+        arr = f"string_split({text_col}, chr(10))"
+    else:
+        raise ValueError("unit must be 'token' or 'line'")
+    return f"""
+WITH exploded AS (
+  SELECT {id_col}, unnest({arr}) AS u FROM {table}
+), per_unit AS (
+  SELECT {id_col}, u, COUNT(*) AS cnt FROM exploded GROUP BY 1, 2
+)
+SELECT {id_col},
+       CAST(SUM(cnt) AS BIGINT) AS n_units,
+       COUNT(*) AS distinct_units,
+       ROUND(1.0 - COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_frac,
+       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share
+FROM per_unit GROUP BY {id_col}
+"""

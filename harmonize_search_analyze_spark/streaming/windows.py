@@ -353,6 +353,33 @@ def sessionize_batch(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the *current*
+    snapshot of a static dimension table (the ingest-time version of the
+    batch star join in operators/joins.py).
+
+    Stateless by construction — the static side re-resolves per batch, so
+    no watermark and no join state accrues; Spark broadcasts the dim (we
+    pin it with an explicit hint) making enrichment a map-only stage on the
+    stream. This is the scale-correct shape for "attach city/dictionary
+    metadata at ingest": the alternative, stream-stream join, would hold
+    state forever for a table that isn't actually streaming. Only inner and
+    left joins keep the stream append-only (right/full would need to emit
+    dim rows with no stream match yet — unsupported by Spark for the same
+    reason)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            "stream-static enrichment supports inner/left joins only "
+            f"(append-only output), got {how!r}"
+        )
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],

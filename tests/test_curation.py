@@ -1,0 +1,83 @@
+"""Curation operators: C4 cleaning / line filter semantics on constructed
+dirty text, Gopher repetition signals on planted boilerplate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.curation import (
+    c4_filter_lines,
+    c4_line_filter_sql,
+    clean_text,
+    clean_text_sql,
+    repetition_signals,
+)
+
+DIRTY = (
+    "Visit https://example.com/page?q=1 for   more.\n"
+    "Contact bob.smith+tag@mail.example.org   today!"
+)
+
+
+def test_clean_text_strips_urls_emails_whitespace(spark):
+    df = spark.createDataFrame([(DIRTY,)], ["text"])
+    got = df.select(clean_text("text").alias("c")).collect()[0]["c"]
+    assert got == "Visit for more. Contact today!"
+    # DuckDB oracle produces the identical string (incl. the 'g' flag fix)
+    duck = duckdb.sql(
+        f"SELECT {clean_text_sql('t', 'duckdb')} AS c "
+        f"FROM (SELECT ?::VARCHAR AS t)", params=[DIRTY]
+    ).fetchone()[0]
+    assert duck == got
+
+
+LINES = (
+    'A proper sentence with enough words here.\n'
+    'short.\n'
+    'no terminal punctuation at all\n'
+    'This page uses cookies to track you.\n'
+    'Another good line stays in the corpus!\n'
+    'Lorem Ipsum dolor sit amet etc.'
+)
+
+
+def test_c4_line_filter(spark):
+    df = spark.createDataFrame([(LINES,)], ["text"])
+    got = df.select(
+        c4_filter_lines("text", min_words=4).alias("c")
+    ).collect()[0]["c"]
+    kept = got.split("\n")
+    assert kept == [
+        "A proper sentence with enough words here.",
+        "Another good line stays in the corpus!",
+    ]
+    duck = duckdb.sql(
+        f"SELECT {c4_line_filter_sql('t', 'duckdb', min_words=4)} AS c "
+        f"FROM (SELECT ?::VARCHAR AS t)", params=[LINES]
+    ).fetchone()[0]
+    assert duck == got
+
+
+def test_repetition_signals_token_and_line(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),            # no repetition
+        (2, "spam spam spam spam eggs"),          # heavy token repetition
+        (3, "a. b. a. b.\na. b. a. b.\nunique"),  # duplicate lines
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tok = {r["doc_id"]: r for r in
+           repetition_signals(df, "doc_id", "text", unit="token").collect()}
+    assert tok[1]["dup_frac"] == 0.0 and tok[1]["top_share"] == 0.25
+    assert tok[2]["n_units"] == 5 and tok[2]["distinct_units"] == 2
+    assert tok[2]["dup_frac"] == 0.6 and tok[2]["top_share"] == 0.8
+
+    line = {r["doc_id"]: r for r in
+            repetition_signals(df, "doc_id", "text", unit="line").collect()}
+    assert line[3]["n_units"] == 3 and line[3]["distinct_units"] == 2
+    assert line[3]["top_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert line[1]["dup_frac"] == 0.0
+
+    with pytest.raises(ValueError):
+        repetition_signals(df, "doc_id", "text", unit="char")

@@ -214,3 +214,42 @@ def test_similarity_join_batch_topk(vectors):
     plan = out._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmeans_monotone_inertia_and_separable_blobs(spark):
+    """Lloyd invariant: inertia never increases per iteration; on three
+    well-separated blobs the trained clusters align with the blobs."""
+    import math
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        assign_centroids,
+        kmeans_inertia,
+        kmeans_train,
+    )
+
+    def blob(center, n, spread=0.05):
+        return [
+            [center[d] + spread * math.sin(i * 7 + d) for d in range(4)]
+            for i in range(n)
+        ]
+
+    pts = (blob([0, 0, 0, 0], 20) + blob([10, 10, 10, 10], 20)
+           + blob([-10, 5, -5, 10], 20))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pts)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    prev = None
+    for iters in (1, 2, 4):
+        c = kmeans_train(df, n_centroids=3, n_iters=iters)
+        inertia = kmeans_inertia(df, c)
+        if prev is not None:
+            assert inertia <= prev + 1e-6
+        prev = inertia
+    # converged: each blob is one pure cluster
+    final = kmeans_train(df, n_centroids=3, n_iters=4)
+    a = assign_centroids(df, final).collect()
+    by_blob = {}
+    for r in a:
+        by_blob.setdefault(r["vec_id"] // 20, set()).add(r["centroid_id"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({s.pop() for s in by_blob.values()}) == 3

@@ -391,3 +391,49 @@ def test_session_boundary_gap_exactly_equal(spark):
             f"offset {offset_s}s: processor {n_proc}, batch {n_batch}, "
             f"want {want_sessions}"
         )
+
+
+def test_enrich_stream_static_join(spark, events_stream_dir, tmp_path):
+    """Stream-static enrichment: every micro-batch left-joins the static
+    dim (broadcast, stateless); output equals the batch join."""
+    from harmonize_search_analyze_spark.streaming.windows import (
+        enrich_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue")],
+        ["event_type", "category"],
+    )
+    stream = read_document_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    enriched = enrich_stream(stream, dim, "event_type")
+    assert enriched.isStreaming
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_events")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT category, COUNT(*) AS n FROM enriched_events GROUP BY 1"
+    ).collect()
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .join(dim, "event_type", "left")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r["category"], r["n"]) for r in got} == \
+        {(r["category"], r["n"]) for r in batch}
+    # total preserved (left join: unmatched stream rows survive, null cat)
+    assert sum(r["n"] for r in got) == \
+        load_table(spark, SF_DIR, "events").count()
+
+    with pytest.raises(ValueError, match="inner/left"):
+        enrich_stream(stream, dim, "event_type", how="full")
