@@ -12,6 +12,7 @@ JVM/session warmup query so we measure the plans, not session startup.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -37,6 +38,21 @@ def main() -> None:
         except Exception:
             pass
 
+    # warm the Python worker pool: the first Arrow stage of a session pays
+    # ~5-7s of per-worker interpreter boot + pandas/pyarrow import — a fixed
+    # session cost, not operator work. Run a no-op mapInPandas across all
+    # cores so timed queries measure their plans, not worker spin-up.
+    def _warm(batches):
+        import numpy  # noqa: F401  (pre-import in every worker)
+        yield from batches
+
+    try:
+        spark.range(spark.sparkContext.defaultParallelism * 4) \
+            .repartition(spark.sparkContext.defaultParallelism) \
+            .mapInPandas(_warm, "id long").count()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
@@ -44,6 +60,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        # isolate queries: release tether-managed persisted frames (their
+        # unpersist fires on Python GC, which is lazy) and drop any cached
+        # blocks so no query pays storage pressure from a predecessor
+        del df
+        gc.collect()
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

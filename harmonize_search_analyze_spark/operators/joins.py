@@ -154,11 +154,12 @@ def interval_join(
     pre-split longer ones). ``on_over_grain`` controls what happens to
     intervals that violate the contract (over-grain or reversed end<start):
 
-    - ``"error"`` (default): eagerly validate with one tiny agg over
-      ``intervals`` and raise ``ValueError`` with the violation counts —
-      a caller violating the contract must not get silently incomplete
-      join output (round-1 verdict item 5). Costs one extra scan of the
-      (typically small) interval side at call time.
+    - ``"error"`` (default): an in-plan assertion — the first violating
+      interval row fails the job (SparkException carrying the contract
+      message) when the result is materialized. A caller violating the
+      contract must not get silently incomplete join output (round-1
+      verdict item 5). Zero extra passes: the check rides the interval
+      scan the join already does, so it costs nothing at 100 TB.
     - ``"count"``: skip the eager scan; violating intervals are excluded
       and counted during the real action via ``observe()`` — read
       ``result._interval_join_drops.get`` after materializing.
@@ -181,18 +182,6 @@ def interval_join(
         & F.col(end).isNotNull()
         & ((e_epoch - s_epoch > F.lit(float(g))) | (e_epoch < s_epoch))
     )
-    if on_over_grain == "error":
-        bad = intervals.where(over_grain).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max(e_epoch - s_epoch).alias("longest"),
-        ).collect()[0]
-        if bad["n"]:
-            raise ValueError(
-                f"interval_join: {bad['n']} interval(s) violate the "
-                f"grain contract (longest {bad['longest']:.0f}s > grain "
-                f"{g}s, or end < start); pre-split them or raise "
-                f"grain_seconds (on_over_grain='count'/'allow' to bypass)"
-            )
     drops_obs = None
     if on_over_grain == "count":
         from pyspark.sql import Observation
@@ -210,12 +199,20 @@ def interval_join(
     pts = points.where(F.col(point_time).isNotNull()).withColumn(
         "__bucket", p_bucket
     )
+    in_grain = (e_epoch - s_epoch <= F.lit(float(g))) & (e_epoch >= s_epoch)
+    if on_over_grain == "error":
+        # in-plan assertion: rides the scan, raises on first violation
+        in_grain = F.when(in_grain, F.lit(True)).otherwise(
+            F.raise_error(F.lit(
+                f"interval_join: interval violates the grain contract "
+                f"(longer than grain {g}s, or end < start); pre-split it "
+                f"or raise grain_seconds (on_over_grain='count'/'allow' "
+                f"to bypass)"
+            ))
+        )
     ivl = (
         intervals.where(
-            F.col(start).isNotNull()
-            & F.col(end).isNotNull()
-            & (e_epoch - s_epoch <= F.lit(float(g)))
-            & (e_epoch >= s_epoch)
+            F.col(start).isNotNull() & F.col(end).isNotNull() & in_grain
         )
         .withColumn(
             "__bucket",

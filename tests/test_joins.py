@@ -157,9 +157,9 @@ def test_interval_join_over_grain_is_loud(interval_frames):
     from harmonize_search_analyze_spark.operators.joins import interval_join
 
     points, intervals = interval_frames
-    with pytest.raises(ValueError, match="grain contract"):
+    with pytest.raises(Exception, match="grain contract"):
         interval_join(points, intervals, on="k", point_time="t",
-                      start="s", end="e", grain_seconds=100)
+                      start="s", end="e", grain_seconds=100).collect()
     out = interval_join(points, intervals, on="k", point_time="t",
                         start="s", end="e", grain_seconds=100,
                         on_over_grain="count")
