@@ -2014,6 +2014,90 @@ FROM documents
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/Llama-style benchmark decontamination: flag docs sharing any
+    word 8-gram with the 'benchmark' subset (doc_id % 97 == 0 — a stand-in
+    eval suite). Benchmark grams broadcast; the corpus never shuffles."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        contamination_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench, n=8).orderBy("doc_id")
+
+
+def _sql_decontaminate() -> str:
+    from harmonize_search_analyze_spark.operators.contamination import (
+        contamination_oracle_sql,
+    )
+
+    return contamination_oracle_sql("documents", "doc_id % 97 = 0", n=8)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (CCNet's filter, degenerate public form):
+    corpus token frequencies in one hash agg, then per-doc mean negative
+    log-likelihood. Two shuffles regardless of corpus size."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        unigram_lm_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_score(docs).orderBy("doc_id")
+
+
+def _sql_lm_score() -> str:
+    from harmonize_search_analyze_spark.operators.contamination import (
+        unigram_lm_oracle_sql,
+    )
+
+    return unigram_lm_oracle_sql("documents")
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized similarity search: symmetric per-vector quantization
+    (8x smaller than float64), dequantize fused into the scan, exact
+    cosine top-k on the dequantized vectors — what a quantized index
+    returns, hash-verified end-to-end against the same math in DuckDB."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, _QUERY_VEC, 10)
+
+
+def _sql_quantized_topk() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        quantized_topk_oracle_sql,
+    )
+
+    return quantized_topk_oracle_sql(_QUERY_VEC, 10)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / fixed-context prep):
+    32-token windows, stride 24. Map-only sequence->explode->slice,
+    codegen'd, scan-bound."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _sql_chunk_documents() -> str:
+    from harmonize_search_analyze_spark.operators.packing import (
+        chunk_oracle_sql,
+    )
+
+    return chunk_oracle_sql("documents", chunk_tokens=32, stride=24)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -2082,6 +2166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "corpus_clean": q_corpus_clean,
         "repetition_signals": q_repetition_signals,
+        "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
+        "quantized_topk": q_quantized_topk,
+        "chunk_documents": q_chunk_documents,
         # iterative (Lloyd) — no SQL oracle; driver records rows-only
         "kmeans_ivf": q_kmeans_ivf,
     }
@@ -2159,4 +2247,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _sql_similarity_join(),
         "corpus_clean": _sql_corpus_clean(),
         "repetition_signals": _sql_repetition_signals(),
+        "decontaminate": _sql_decontaminate(),
+        "lm_score": _sql_lm_score(),
+        "quantized_topk": _sql_quantized_topk(),
+        "chunk_documents": _sql_chunk_documents(),
     }

@@ -1,0 +1,172 @@
+"""Benchmark decontamination and unigram language-model quality scoring.
+
+Two published training-data-pipeline recipes the engine exposes as
+first-class operators (beyond the reference's search surface — see
+SURVEY.md §2's LLM-pipeline extension):
+
+- **n-gram decontamination** (GPT-3 appendix C / Llama 2 §A.6 style): a
+  training document is contaminated if it shares any word n-gram
+  (canonically 13-gram) with a held-out benchmark set. Relationally this
+  is exploded-doc-grams ⋈ exploded-benchmark-grams: the benchmark side is
+  MB-sized even for large eval suites, so it broadcasts and the join is
+  map-side — the 100 TB corpus is scanned once, never shuffled.
+- **unigram LM scoring** (the degenerate public form of CCNet's KenLM
+  quality filter, Wenzek et al. 2020): train token frequencies over the
+  corpus in one hash agg, then score each document by its mean negative
+  log-likelihood. High NLL = surprising/garbage text, low NLL =
+  boilerplate; both tails get clipped by downstream filters. Two shuffles
+  total (vocab agg + token⋈vocab regroup) regardless of corpus size.
+
+Both are dual-dialect (the DuckDB oracle replays the same formula) and
+keep the cross-engine float discipline: ratios stay raw until one final
+6-decimal round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.dedup import shingles_sql
+from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with the
+    benchmark set.
+
+    Returns one row per input document: (doc_id, n_hits BIGINT — distinct
+    contaminating n-grams, contaminated BOOLEAN). Shorter-than-n documents
+    contribute their whole token stream as one gram (shingles_sql
+    semantics), so tiny docs are still comparable.
+
+    Scale shape: the benchmark gram set is collected-free but broadcast
+    (`F.broadcast`) — eval suites are MBs, corpora are TBs; the doc side
+    is scanned once, grams exploded, hash-semi-joined map-side, then one
+    hash agg on doc_id. No shuffle of the corpus text itself.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.expr(shingles_sql(bench_text, "spark", n))).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        doc_id,
+        F.explode(F.expr(shingles_sql(text_col, "spark", n))).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(doc_id)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(doc_id)
+        .join(hits, doc_id, "left")
+        .select(
+            doc_id,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def contamination_oracle_sql(
+    doc_table: str,
+    bench_predicate: str,
+    *,
+    n: int = 13,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL replaying contamination_flags where the benchmark set is
+    ``doc_table`` rows satisfying ``bench_predicate``."""
+    sh = shingles_sql(text_col, "duckdb", n)
+    return f"""
+WITH bg AS (
+  SELECT DISTINCT unnest({sh}) AS gram FROM {doc_table}
+  WHERE {bench_predicate}
+), dg AS (
+  SELECT {doc_id}, unnest({sh}) AS gram FROM {doc_table}
+), hits AS (
+  SELECT {doc_id}, COUNT(DISTINCT gram) AS n_hits
+  FROM dg JOIN bg USING (gram) GROUP BY {doc_id}
+)
+SELECT d.{doc_id},
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM {doc_table} d LEFT JOIN hits h USING ({doc_id})
+ORDER BY d.{doc_id}
+"""
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean negative log-likelihood of each document under the corpus's own
+    unigram distribution.
+
+    Returns (doc_id, n_tokens BIGINT, nll DOUBLE rounded to 6). Every token
+    is in-vocabulary by construction (the model is trained on the scored
+    corpus), so no smoothing term is needed.
+
+    Scale shape: shuffle 1 builds the vocab (token hash agg with map-side
+    combine — vocab is |V| rows no matter the corpus size); shuffle 2
+    regroups token⋈vocab rows by doc for the NLL sum. The corpus total is
+    a 1-row agg cross-joined in (metadata, not a driver round-trip).
+    """
+    toks = docs.select(
+        doc_id, F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("s"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(-F.log(F.col("c").cast("double") / F.col("s")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll"),
+        )
+    )
+
+
+def unigram_lm_oracle_sql(
+    doc_table: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL replaying unigram_lm_score (same LN, same one-round)."""
+    toks = tokens_sql(text_col, "duckdb")
+    return f"""
+WITH t AS (
+  SELECT {doc_id}, unnest({toks}) AS tok FROM {doc_table}
+), v AS (
+  SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS s FROM v
+)
+SELECT {doc_id},
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(-LN(CAST(c AS DOUBLE) / CAST(s AS DOUBLE))) / COUNT(*), 6)
+         AS nll
+FROM t JOIN v USING (tok) CROSS JOIN tot
+GROUP BY {doc_id}
+ORDER BY {doc_id}
+"""

@@ -163,3 +163,92 @@ def pack_summary(packed: DataFrame, budget: int) -> DataFrame:
             ).otherwise(F.lit(0)),
         )
     )
+
+
+# -- chunking -----------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the complement of packing: packing joins short documents, chunking
+    splits long ones (RAG indexing / fixed-context pretraining both want
+    ``chunk_tokens``-sized pieces with ``chunk_tokens - stride`` tokens of
+    overlap for boundary context).
+
+    Returns (doc_id, chunk_idx, n_tokens, chunk_text): window i covers
+    tokens [i*stride, i*stride + chunk_tokens); the last window may be
+    short; windows starting at or past the end are not emitted, and every
+    document emits at least one chunk. Pure column expressions
+    (sequence -> explode -> slice -> concat_ws): map-only, codegen'd,
+    scan-bound at 100 TB — no shuffle, no Python.
+    """
+    if not (0 < stride <= chunk_tokens):
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    toks = tokens_sql(text_col, "spark")
+    return (
+        df.select(
+            doc_id,
+            F.expr(toks).alias("__toks"),
+        )
+        .select(
+            doc_id,
+            F.posexplode(
+                F.expr(
+                    f"sequence(0, greatest(size(__toks) - 1, 0), {stride})"
+                )
+            ).alias("chunk_idx", "__start"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(doc_id),
+            F.col("chunk_idx"),
+            F.expr(
+                f"size(slice(__toks, __start + 1, {chunk_tokens}))"
+            ).cast("bigint").alias("n_tokens"),
+            F.expr(
+                f"concat_ws(' ', slice(__toks, __start + 1, {chunk_tokens}))"
+            ).alias("chunk_text"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+def chunk_oracle_sql(
+    doc_table: str,
+    *,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL replaying chunk_documents (same windows, same joins)."""
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    toks = tokens_sql(text_col, "duckdb")
+    return f"""
+WITH t AS (
+  SELECT {doc_id}, {toks} AS toks FROM {doc_table}
+), s AS (
+  SELECT {doc_id}, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {stride})) AS start
+  FROM t
+)
+SELECT {doc_id},
+       CAST(start // {stride} AS INT) AS chunk_idx,
+       CAST(len(toks[start + 1:start + {chunk_tokens}]) AS BIGINT)
+         AS n_tokens,
+       array_to_string(toks[start + 1:start + {chunk_tokens}], ' ')
+         AS chunk_text
+FROM s
+WHERE len(toks[start + 1:start + {chunk_tokens}]) > 0
+ORDER BY {doc_id}, chunk_idx
+"""

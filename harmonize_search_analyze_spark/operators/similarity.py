@@ -683,6 +683,124 @@ SELECT id1, id2, cosine FROM (
 """
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). Returns (id, qvec ARRAY<INT>, scale DOUBLE).
+
+    This is the storage/shuffle scale lever for embedding columns: 8x
+    smaller than float64 (4x vs float32) before any search runs, which at
+    100 TB is the difference between an in-memory shortlist and a spilling
+    one. Kept as a pure column expression (codegen'd transform) so the
+    DuckDB oracle replays it exactly; all-zero vectors get scale 0 and an
+    all-zero qvec via a NULLIF guard instead of a divide-by-zero NaN.
+    """
+    emb = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    maxabs = (
+        f"aggregate(transform({emb}, x -> abs(x)), CAST(0 AS DOUBLE), "
+        "(acc, v) -> greatest(acc, v))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({emb}, x -> CAST(COALESCE("
+            f"round(x / NULLIF(({maxabs}) / 127.0, CAST(0 AS DOUBLE))), 0) "
+            "AS INT))"
+        ).alias("qvec"),
+        F.expr(f"round(({maxabs}) / 127.0, 12)").alias("scale"),
+    )
+
+
+def quantize_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB SQL replaying quantize_embeddings (same guard, same round)."""
+    emb = f"{vec_col}::DOUBLE[]"
+    maxabs = f"list_max(list_transform({emb}, x -> abs(x)))"
+    return f"""
+SELECT {id_col},
+       list_transform({emb},
+         x -> CAST(COALESCE(round(x / NULLIF(({maxabs}) / 127.0, 0.0)), 0)
+                   AS INT)) AS qvec,
+       round(({maxabs}) / 127.0, 12) AS scale
+FROM {table} ORDER BY {id_col}
+"""
+
+
+def quantized_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine over DEQUANTIZED int8 vectors — measures what
+    the quantized index would return. Dequantize (q_i * scale) is a
+    codegen'd transform fused into the same scan; ranking is
+    TakeOrderedAndProject like cosine_topk (no global sort)."""
+    q = quantize_embeddings(df, vec_col, id_col)
+    deq = "transform(qvec, q -> q * scale)"
+    dot = _dot_sql(deq, _qvec_lit(qvec))
+    nrm = _norm_sql(deq)
+    import math
+
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    return (
+        q.select(
+            id_col,
+            F.round(
+                F.expr(dot) / F.expr(f"NULLIF(({nrm}), CAST(0 AS DOUBLE))")
+                / F.lit(qnorm),
+                6,
+            ).alias("cosine_q"),
+        )
+        .orderBy(F.desc("cosine_q"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def quantized_topk_oracle_sql(
+    qvec: list[float],
+    k: int = 10,
+    *,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB SQL replaying quantized_topk end-to-end (quantize ->
+    dequantize -> cosine -> top-k with the same tie-break)."""
+    import math
+
+    emb = f"{vec_col}::DOUBLE[]"
+    maxabs = f"list_max(list_transform({emb}, x -> abs(x)))"
+    qv = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in qvec) + "]"
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    return f"""
+WITH q AS (
+  SELECT {id_col},
+         list_transform({emb},
+           x -> CAST(COALESCE(round(x / NULLIF(({maxabs}) / 127.0, 0.0)), 0)
+                     AS INT)) AS qvec,
+         round(({maxabs}) / 127.0, 12) AS scale
+  FROM {table}
+), d AS (
+  SELECT {id_col}, list_transform(qvec, q -> q * scale) AS dv FROM q
+)
+SELECT {id_col},
+       ROUND(list_sum(list_transform(list_zip(dv, {qv}), p -> p[1] * p[2]))
+             / NULLIF(sqrt(list_sum(list_transform(dv, x -> x * x))), 0.0)
+             / CAST({qnorm!r} AS DOUBLE), 6) AS cosine_q
+FROM d
+ORDER BY cosine_q DESC, {id_col} ASC LIMIT {k}
+"""
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

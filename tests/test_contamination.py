@@ -1,0 +1,147 @@
+"""Behavioral tests for decontamination, unigram-LM scoring, int8
+quantization, and token-window chunking (the oracle-parity harness covers
+cross-engine hashes; these pin hand-computed semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_contamination_flags_hand_case(spark):
+    from harmonize_search_analyze_spark.operators.contamination import (
+        contamination_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely different sentence with no overlap here"),
+            (3, "quick brown fox jumps over something else entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "bench_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_flags(docs, bench, n=4).collect()
+    }
+    # doc 1 shares 4-grams "the quick brown fox", "quick brown fox jumps",
+    # "brown fox jumps over"; doc 3 shares the middle two; doc 2 none.
+    assert out[1] == (3, True)
+    assert out[2] == (0, False)
+    assert out[3] == (2, True)
+
+
+def test_contamination_short_doc_whole_stream_gram(spark):
+    from harmonize_search_analyze_spark.operators.contamination import (
+        contamination_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "other text")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "tiny doc")], "b long, text string")
+    out = {r["doc_id"]: r["contaminated"]
+           for r in contamination_flags(docs, bench, n=13).collect()}
+    # both sides shorter than n: whole token stream is the gram
+    assert out == {1: True, 2: False}
+
+
+def test_unigram_lm_score_hand_case(spark):
+    from harmonize_search_analyze_spark.operators.contamination import (
+        unigram_lm_score,
+    )
+
+    # corpus: 4 tokens total; 'a' x2 (p=0.5), 'b' (0.25), 'c' (0.25)
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_score(docs).collect()}
+    assert out[1]["n_tokens"] == 2
+    assert out[2]["n_tokens"] == 2
+    assert out[1]["nll"] == pytest.approx(-math.log(0.5), abs=1e-6)
+    assert out[2]["nll"] == pytest.approx(-math.log(0.25), abs=1e-6)
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    vec = [0.5, -1.0, 0.25, 0.0]
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    r = quantize_embeddings(df).collect()[0]
+    scale = 1.0 / 127.0
+    assert r["scale"] == pytest.approx(scale, abs=1e-12)
+    assert r["qvec"] == [round(v / scale) for v in vec]
+    # dequantization error bounded by scale/2 per component
+    for q, v in zip(r["qvec"], vec):
+        assert abs(q * scale - v) <= scale / 2 + 1e-12
+
+
+def test_quantize_zero_vector_guard(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = quantize_embeddings(df).collect()[0]
+    assert r["qvec"] == [0, 0]
+    assert r["scale"] == 0.0
+
+
+def test_quantized_topk_close_to_exact(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+    from harmonize_search_analyze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = [math.sin(i + 1.0) for i in range(64)]
+    exact = [r["vec_id"] for r in cosine_topk(emb, "embedding", qvec, 10).collect()]
+    quant = [r["vec_id"] for r in quantized_topk(emb, qvec, 10).collect()]
+    # int8 error is ~0.4% of full scale: top-10 overlap must be high
+    assert len(set(exact) & set(quant)) >= 8
+
+
+def test_chunk_documents_windows(spark):
+    from harmonize_search_analyze_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    )
+    assert rows == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (1, 3, 1, "t9"),
+        (2, 0, 2, "a b"),
+    ]
+
+
+def test_chunk_documents_stride_validation(spark):
+    from harmonize_search_analyze_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=4, stride=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_tokens=4, stride=5)
