@@ -2098,6 +2098,86 @@ def _sql_chunk_documents() -> str:
     return chunk_oracle_sql("documents", chunk_tokens=32, stride=24)
 
 
+def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range bucket agg with Kibana date-math bounds resolved
+    against a pinned now (one-pass conditional counts, buckets may
+    overlap)."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_range_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    now = dt.datetime(2024, 1, 20, 12, 34, 56)
+    return date_range_agg(
+        ev, "ts",
+        [(None, "now-7d/d"), ("now-7d/d", "now/d"), ("now/d", None)],
+        now=now,
+    )
+
+
+SQL_DATE_RANGE = """
+SELECT * FROM (
+  SELECT '*-now-7d/d' AS range_key,
+         COUNT(*) FILTER (ts IS NOT NULL
+           AND ts < TIMESTAMP '2024-01-13 00:00:00') AS doc_count
+  FROM events
+  UNION ALL
+  SELECT 'now-7d/d-now/d',
+         COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-13 00:00:00'
+           AND ts < TIMESTAMP '2024-01-20 00:00:00')
+  FROM events
+  UNION ALL
+  SELECT 'now/d-*',
+         COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-20 00:00:00')
+  FROM events
+)
+ORDER BY range_key
+"""
+
+
+def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics: per event_type, the (value, user_id) of the 2
+    highest-value events; ties pinned on the first metric column."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        top_metrics,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return top_metrics(
+        ev, "event_type", "value", ["user_id"], size=2
+    ).orderBy("event_type", "rank")
+
+
+SQL_TOP_METRICS = """
+SELECT event_type, rank, value, user_id FROM (
+  SELECT event_type, value, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, user_id ASC) AS rank
+  FROM events
+) WHERE rank <= 2 ORDER BY event_type, rank
+"""
+
+
+def q_rate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate agg: daily event buckets reported as per-hour rates (one
+    date_trunc groupBy, rescale, round once)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        rate_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_agg(ev, "ts", interval="day", unit_seconds=3600)
+
+
+SQL_RATE_AGG = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       ROUND(COUNT(*) / 24.0, 6) AS rate
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -2166,6 +2246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "corpus_clean": q_corpus_clean,
         "repetition_signals": q_repetition_signals,
+        "date_range": q_date_range,
+        "top_metrics": q_top_metrics,
+        "rate_agg": q_rate_agg,
         "decontaminate": q_decontaminate,
         "lm_score": q_lm_score,
         "quantized_topk": q_quantized_topk,
@@ -2247,6 +2330,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _sql_similarity_join(),
         "corpus_clean": _sql_corpus_clean(),
         "repetition_signals": _sql_repetition_signals(),
+        "date_range": SQL_DATE_RANGE,
+        "top_metrics": SQL_TOP_METRICS,
+        "rate_agg": SQL_RATE_AGG,
         "decontaminate": _sql_decontaminate(),
         "lm_score": _sql_lm_score(),
         "quantized_topk": _sql_quantized_topk(),

@@ -23,6 +23,8 @@ beyond the single agg exchange; no Python in the hot path.
 
 from __future__ import annotations
 
+import datetime as _dt  # noqa: F401  (annotation only)
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -617,6 +619,92 @@ def missing_agg(df: DataFrame, field: str) -> DataFrame:
     """ES ``missing`` agg: count of docs with no value for ``field``."""
     return df.agg(
         F.count(F.when(F.col(field).isNull(), F.lit(1))).alias("doc_count")
+    )
+
+
+def date_range_agg(
+    df: DataFrame,
+    ts_field: str,
+    ranges: list[tuple[object, object]],
+    *,
+    now: "_dt.datetime | None" = None,
+) -> DataFrame:
+    """ES ``date_range`` bucket agg: half-open [from, to) buckets on a
+    timestamp field, bounds given as datetimes OR ES date-math strings
+    (``"now-1y"``, ``"now/d"`` — the Kibana time-picker grammar, resolved
+    against a caller-pinned ``now`` for determinism). Either side may be
+    None (open). Unlike range *queries*, ES date_range does NOT round the
+    upper bound up — ``to`` is the exact rounded-down instant, exclusive.
+    Same one-pass conditional-count plan as ``range_agg``."""
+    buckets = []
+    for lo, hi in ranges:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        cond = F.col(ts_field).isNotNull()
+        for bound, op in ((lo, "__ge__"), (hi, "__lt__")):
+            if bound is None:
+                continue
+            if is_date_math(bound):
+                bound = parse_date_math(bound, now=now)
+            lit = F.lit(bound).cast("timestamp")
+            cond = cond & getattr(F.col(ts_field), op)(lit)
+        buckets.append((key, cond))
+    return _conditional_buckets(df, buckets, "range_key")
+
+
+def top_metrics(
+    df: DataFrame,
+    group_field: str,
+    sort_field: str,
+    metrics: list[str],
+    *,
+    size: int = 1,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """ES ``top_metrics`` agg (grouped): per bucket, the metric columns
+    from the ``size`` documents with the largest (or smallest) sort value.
+    ES leaves ties unspecified; we pin them on ``tiebreak`` (defaults to
+    the first metric) so results are reproducible and oracle-matchable.
+    One shuffle on the group key; rank + filter, no global sort."""
+    sort_cols = [
+        F.asc(sort_field) if ascending else F.desc(sort_field),
+        *([F.asc(tiebreak or metrics[0])]),
+    ]
+    w = Window.partitionBy(group_field).orderBy(*sort_cols)
+    return (
+        df.select(group_field, sort_field, *metrics)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= size)
+        .select(group_field, "rank", sort_field, *metrics)
+    )
+
+
+def rate_agg(
+    df: DataFrame,
+    ts_field: str,
+    *,
+    interval: str = "day",
+    unit_seconds: int = 3600,
+    value_col: str | None = None,
+) -> DataFrame:
+    """ES ``rate`` agg inside a date_histogram: per-bucket doc count (or
+    sum of ``value_col``) rescaled to "per ``unit_seconds``" — e.g. daily
+    buckets reported as hourly rates (unit_seconds=3600). The bucket width
+    uses the calendar truncation's nominal seconds (ES calendar intervals:
+    day=86400, hour=3600, minute=60); rate = raw / (bucket_seconds /
+    unit_seconds), rounded once at the end."""
+    nominal = {"day": 86400, "hour": 3600, "minute": 60}
+    if interval not in nominal:
+        raise ValueError(f"interval must be one of {sorted(nominal)}")
+    scale = nominal[interval] / float(unit_seconds)
+    raw = (
+        F.count(F.lit(1)) if value_col is None
+        else F.sum(F.col(value_col))
+    )
+    return (
+        df.groupBy(F.date_trunc(interval, F.col(ts_field)).alias("bucket"))
+        .agg(F.round(raw / F.lit(scale), 6).alias("rate"))
+        .orderBy("bucket")
     )
 
 

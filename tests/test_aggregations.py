@@ -489,3 +489,61 @@ def test_serial_diff_selector_sort_stats(spark):
     assert (stats["bucket_count"], stats["min_bucket"], stats["max_bucket"],
             stats["sum_bucket"]) == (4, 10, 50, 110)
     assert stats["avg_bucket"] == 27.5
+
+
+def test_date_range_agg_datemath_bounds(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_range_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 10),), (dt.datetime(2024, 1, 15),),
+         (dt.datetime(2024, 1, 20, 6),), (None,)],
+        "ts timestamp",
+    )
+    now = dt.datetime(2024, 1, 20, 12, 0, 0)
+    out = {r["range_key"]: r["doc_count"] for r in date_range_agg(
+        df, "ts",
+        [(None, "now-7d/d"), ("now-7d/d", "now/d"), ("now/d", None)],
+        now=now,
+    ).collect()}
+    # now-7d/d = 2024-01-13 00:00, now/d = 2024-01-20 00:00; to is
+    # EXCLUSIVE and not rounded up (date_range semantics, not range-query)
+    assert out == {"*-now-7d/d": 1, "now-7d/d-now/d": 1, "now/d-*": 1}
+
+
+def test_top_metrics_ascending_and_ties(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        top_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 9), ("a", 1.0, 3), ("a", 5.0, 1), ("b", 2.0, 7)],
+        "g string, v double, m long",
+    )
+    top = top_metrics(df, "g", "v", ["m"], size=1, ascending=True).collect()
+    got = {r["g"]: (r["v"], r["m"]) for r in top}
+    # ties on v=1.0 break on the metric column ascending -> m=3
+    assert got == {"a": (1.0, 3), "b": (2.0, 7)}
+
+
+def test_rate_agg_rescale(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        rate_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, h),) for h in (0, 6, 12)]
+        + [(dt.datetime(2024, 1, 2, 1),)],
+        "ts timestamp",
+    )
+    out = {r["bucket"].day: r["rate"] for r in rate_agg(
+        df, "ts", interval="day", unit_seconds=3600
+    ).collect()}
+    assert out == {1: 0.125, 2: round(1 / 24.0, 6)}  # 3 docs/day -> 0.125/h
+    with pytest.raises(ValueError):
+        rate_agg(df, "ts", interval="fortnight")
