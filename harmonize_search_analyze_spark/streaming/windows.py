@@ -401,3 +401,58 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    max_delay_seconds: int = 600,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time range bound: a right-side
+    event matches a left-side event with the same key iff it lands in
+    ``[left_ts, left_ts + max_delay_seconds]`` — the ad-attribution /
+    request-response pairing shape (the streaming twin of
+    ``operators/joins.py::interval_join`` with the interval anchored at the
+    left event).
+
+    Both sides get watermarks, and the time-range condition is what lets
+    Spark BOUND the join state: a buffered left row can be dropped once the
+    right watermark passes ``left_ts + max_delay_seconds`` (and vice
+    versa), so state tracks the delay window, not stream history. Without
+    the range condition Spark would buffer both streams forever — the
+    documented unbounded-state failure mode this wrapper exists to prevent.
+
+    ``how``: inner (default) or left_outer (unmatched left rows emit with
+    right columns NULL once the watermark closes their window — exactly
+    the "impressions with no click" attribution output). Timestamp columns
+    must be distinctly named; key columns are equi-joined by name.
+    """
+    if how not in ("inner", "left_outer", "leftOuter"):
+        raise ValueError(
+            f"stream-stream join supports inner/left_outer, got {how!r}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts]
+           + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS"))
+    )
+    joined = l.join(r, cond, how)
+    # project the duplicated key columns once (left side wins)
+    drop = [r[k] for k in keys]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined

@@ -437,3 +437,58 @@ def test_enrich_stream_static_join(spark, events_stream_dir, tmp_path):
 
     with pytest.raises(ValueError, match="inner/left"):
         enrich_stream(stream, dim, "event_type", how="full")
+
+
+def test_join_streams_time_bounded(spark, tmp_path):
+    """Stream-stream join with event-time bound matches the equivalent
+    batch join; out-of-window clicks don't match."""
+    import pandas as pd
+
+    from harmonize_search_analyze_spark.streaming.windows import (
+        join_streams,
+        read_document_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    imps = [(1, base), (2, base + pd.Timedelta(minutes=5))]
+    clicks = [
+        (1, base + pd.Timedelta(minutes=2)),     # in window
+        (1, base - pd.Timedelta(minutes=1)),     # before impression: no
+        (2, base + pd.Timedelta(minutes=20)),    # past max_delay: no
+    ]
+    imp_dir, clk_dir = tmp_path / "imps", tmp_path / "clicks"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    # microsecond timestamps: pandas defaults to nanos, which Spark's
+    # streaming parquet reader rejects (same gotcha as events.parquet)
+    pd.DataFrame(imps, columns=["ad_id", "imp_ts"]).to_parquet(
+        imp_dir / "p.parquet", coerce_timestamps="us")
+    pd.DataFrame(clicks, columns=["ad_id", "click_ts"]).to_parquet(
+        clk_dir / "p.parquet", coerce_timestamps="us")
+
+    imp_s = read_document_stream(
+        spark, str(imp_dir), "ad_id BIGINT, imp_ts TIMESTAMP")
+    clk_s = read_document_stream(
+        spark, str(clk_dir), "ad_id BIGINT, click_ts TIMESTAMP")
+    joined = join_streams(
+        imp_s, clk_s, "ad_id", left_ts="imp_ts", right_ts="click_ts",
+        max_delay_seconds=600,
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory").queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [(r["ad_id"], r["imp_ts"], r["click_ts"])
+           for r in spark.sql("SELECT * FROM attrib").collect()]
+    assert got == [(1, imps[0][1].to_pydatetime(),
+                    clicks[0][1].to_pydatetime())]
+
+    with pytest.raises(ValueError, match="inner/left_outer"):
+        join_streams(imp_s, clk_s, "ad_id", left_ts="imp_ts",
+                     right_ts="click_ts", how="full")
