@@ -43,8 +43,8 @@ def contamination_flags(
     """Flag training documents sharing any word ``n``-gram with the
     benchmark set.
 
-    Returns one row per input document: (doc_id, n_hits BIGINT — distinct
-    contaminating n-grams, contaminated BOOLEAN). Shorter-than-n documents
+    Returns one row per input document: (doc_id, n_hits BIGINT — count of
+    distinct contaminating n-grams, contaminated BOOLEAN). Shorter-than-n documents
     contribute their whole token stream as one gram (shingles_sql
     semantics), so tiny docs are still comparable.
 
@@ -63,10 +63,13 @@ def contamination_flags(
         doc_id,
         F.explode(F.expr(shingles_sql(text_col, "spark", n))).alias("gram"),
     )
+    # grams are already distinct per doc (shingles_sql) and the broadcast
+    # side is distinct, so the join can't duplicate: plain COUNT equals
+    # COUNT(DISTINCT) and skips its extra (doc, gram) shuffle
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "gram")
         .groupBy(doc_id)
-        .agg(F.count_distinct("gram").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         docs.select(doc_id)
@@ -97,7 +100,7 @@ WITH bg AS (
 ), dg AS (
   SELECT {doc_id}, unnest({sh}) AS gram FROM {doc_table}
 ), hits AS (
-  SELECT {doc_id}, COUNT(DISTINCT gram) AS n_hits
+  SELECT {doc_id}, COUNT(*) AS n_hits
   FROM dg JOIN bg USING (gram) GROUP BY {doc_id}
 )
 SELECT d.{doc_id},

@@ -145,3 +145,62 @@ def test_chunk_documents_stride_validation(spark):
         chunk_documents(docs, chunk_tokens=4, stride=0)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, chunk_tokens=4, stride=5)
+
+
+# --- plan assertions (scale-shape contracts) --------------------------------
+
+
+def _plan(df):
+    p = df._jdf.queryExecution().executedPlan().toString()
+    return p.split("== Initial Plan ==")[0]
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must broadcast — the corpus side must never
+    shuffle its text/grams for the semi-join."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        contamination_flags,
+    )
+    from harmonize_search_analyze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = contamination_flags(docs, bench, n=8)
+    out.collect()
+    plan = _plan(out)
+    # the corpus-side gram join must be broadcast (bench side builds)
+    assert "BroadcastHashJoin [gram" in plan, plan
+    # exactly one gram-keyed exchange: the benchmark-side distinct (small);
+    # the corpus side must never shuffle on gram
+    assert plan.count("hashpartitioning(gram") == 1, plan
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking is sequence->explode->slice: zero exchanges, one scan."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        chunk_documents,
+    )
+    from harmonize_search_analyze_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = chunk_documents(docs, chunk_tokens=32, stride=24)
+    out.collect()
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_quantized_topk_take_ordered(spark):
+    """Quantized top-k must plan as TakeOrderedAndProject (bounded heap
+    merge), never a global Sort."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        quantized_topk,
+    )
+    from harmonize_search_analyze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = [math.sin(i + 1.0) for i in range(64)]
+    out = quantized_topk(emb, qvec, 10)
+    out.collect()
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [cosine_q" not in plan, plan
