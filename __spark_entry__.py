@@ -2098,6 +2098,38 @@ def _sql_chunk_documents() -> str:
     return chunk_oracle_sql("documents", chunk_tokens=32, stride=24)
 
 
+def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-pruned batch k-NN (scale path for similarity_join): every
+    50th vector as the query set, 4 of 16 IVF lists probed per query —
+    scored pairs drop 4x vs the exact join; probes broadcast, candidate
+    cosines run as one vectorized Arrow stage."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        similarity_join_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity_join_ivf(emb, queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _sql_similarity_join_ivf() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        similarity_join_ivf_sql,
+    )
+
+    inner = similarity_join_ivf_sql(
+        "embeddings",
+        "SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+        "FROM embeddings WHERE vec_id % 50 = 0",
+        5,
+    )
+    return f"SELECT * FROM ({inner}) s ORDER BY query_id, rank"
+
+
 def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_range bucket agg with Kibana date-math bounds resolved
     against a pinned now (one-pass conditional counts, buckets may
@@ -2246,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "corpus_clean": q_corpus_clean,
         "repetition_signals": q_repetition_signals,
+        "similarity_join_ivf": q_similarity_join_ivf,
         "date_range": q_date_range,
         "top_metrics": q_top_metrics,
         "rate_agg": q_rate_agg,
@@ -2330,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _sql_similarity_join(),
         "corpus_clean": _sql_corpus_clean(),
         "repetition_signals": _sql_repetition_signals(),
+        "similarity_join_ivf": _sql_similarity_join_ivf(),
         "date_range": SQL_DATE_RANGE,
         "top_metrics": SQL_TOP_METRICS,
         "rate_agg": SQL_RATE_AGG,

@@ -683,6 +683,171 @@ SELECT id1, id2, cosine FROM (
 """
 
 
+def similarity_join_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Probe-pruned batch k-NN — the scale path for ``similarity_join``:
+    each query scores only the ``nprobe`` IVF lists nearest to it instead
+    of the whole corpus, so scored pairs drop from |Q|x|C| to
+    |Q|x|C|x(nprobe/n_centroids). Recall < 1 by construction;
+    ``similarity_join`` is the exact oracle for recall, while THIS
+    operator is hash-oracle'd exactly (same deterministic centroids, same
+    probe ranking, same tie-breaks).
+
+    Plan shape: centroids come from ``ivf_assign`` (deterministic id-hash
+    pick — SQL-replayable, unlike trained k-means). Probe selection is a
+    tiny |Q|xC broadcast cross-score. The (query, centroid) probe table
+    broadcasts; the corpus joins it on centroid_id map-side — at scale,
+    with assignments written partitioned by centroid_id, that join is
+    partition pruning, and the corpus never shuffles. Candidate cosines
+    run as one vectorized Arrow stage (numpy parity vs the fold verified:
+    zero 6-decimal disagreements over all sf0.1 pairs); per-query top-k is
+    a rank window over candidate scores only.
+    """
+    import numpy as np
+
+    centroids, assignments = ivf_assign(
+        corpus, corpus_vec, corpus_id, n_centroids=n_centroids
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.expr(f"CAST({query_vec} AS ARRAY<DOUBLE>)").alias("qv"),
+    )
+    probe_cos = F.round(
+        F.expr(_dot_sql("cvec", "qv"))
+        / (F.expr(_norm_sql("cvec")) * F.expr(_norm_sql("qv"))),
+        6,
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__qc"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("__qc", probe_cos)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.expr(f"CAST({corpus_vec} AS ARRAY<DOUBLE>)").alias("cv"),
+    )
+    cand = (
+        c.join(
+            assignments.withColumnRenamed(corpus_id, "corpus_id"),
+            "corpus_id",
+        )
+        .join(F.broadcast(probes), "centroid_id")
+        .select("query_id", "corpus_id", "cv", "qv")
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cv = np.vstack(pdf["cv"].to_numpy())
+            qv = np.vstack(pdf["qv"].to_numpy())
+            cos = np.round(
+                (cv * qv).sum(axis=1)
+                / (np.sqrt((cv * cv).sum(axis=1))
+                   * np.sqrt((qv * qv).sum(axis=1))),
+                6,
+            )
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                "corpus_id": pdf["corpus_id"],
+                "cosine": cos,
+            })
+
+    scored = cand.mapInPandas(
+        score, "query_id long, corpus_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def similarity_join_ivf_sql(
+    corpus_table: str,
+    queries_sql: str,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> str:
+    """DuckDB SQL replaying similarity_join_ivf end-to-end (same hash-pick
+    centroids, argmin assignment, probe ranking, cosine, tie-breaks)."""
+    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    nrm = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    d2 = (
+        "ROUND(list_sum(list_transform(list_zip(dvec, cvec), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    qc_cos = (
+        "ROUND(" + dot.format(a="c.cvec", b="q.qv") + " / ("
+        + nrm.format(a="c.cvec") + " * " + nrm.format(a="q.qv") + "), 6)"
+    )
+    cand_cos = (
+        "ROUND(" + dot.format(a="e.cv", b="p.qv") + " / ("
+        + nrm.format(a="e.cv") + " * " + nrm.format(a="p.qv") + "), 6)"
+    )
+    return f"""
+WITH cent AS (
+  SELECT bucket AS centroid_id, cvec FROM (
+    SELECT {corpus_id} % {n_centroids} AS bucket,
+           {corpus_vec}::DOUBLE[] AS cvec,
+           ROW_NUMBER() OVER (PARTITION BY {corpus_id} % {n_centroids}
+                              ORDER BY {corpus_id}) AS rn
+    FROM {corpus_table}) WHERE rn = 1
+), assign AS (
+  SELECT {corpus_id}, centroid_id FROM (
+    SELECT v.{corpus_id}, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.{corpus_id}
+                              ORDER BY {d2}, c.centroid_id) AS rn
+    FROM (SELECT {corpus_id}, {corpus_vec}::DOUBLE[] AS dvec
+          FROM {corpus_table}) v
+    CROSS JOIN cent c) WHERE rn = 1
+), q AS (
+  SELECT query_id, qv FROM ({queries_sql})
+), probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {qc_cos} DESC, c.centroid_id) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {nprobe}
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT p.query_id, e.{corpus_id} AS corpus_id,
+         {cand_cos} AS cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                 ORDER BY {cand_cos} DESC, e.{corpus_id})
+              AS INT) AS rank
+  FROM (SELECT {corpus_id}, {corpus_vec}::DOUBLE[] AS cv
+        FROM {corpus_table}) e
+  JOIN assign a USING ({corpus_id})
+  JOIN probes p ON p.centroid_id = a.centroid_id
+) WHERE rank <= {k}
+"""
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -204,3 +204,32 @@ def test_quantized_topk_take_ordered(spark):
     plan = _plan(out)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Sort [cosine_q" not in plan, plan
+
+
+def test_similarity_join_ivf_recall_vs_exact(spark):
+    """Probe-pruned batch k-NN: recall@5 vs the exact join must be
+    substantial (4/16 lists probed), and every returned pair must agree
+    with the exact join's cosine for that pair."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        similarity_join,
+        similarity_join_ivf,
+    )
+    from harmonize_search_analyze_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["corpus_id"]): r["cosine"]
+             for r in similarity_join(emb, queries, k=5).collect()}
+    ivf_rows = similarity_join_ivf(emb, queries, k=5).collect()
+    ivf = {(r["query_id"], r["corpus_id"]): r["cosine"] for r in ivf_rows}
+    recall = len(set(exact) & set(ivf)) / len(exact)
+    assert recall >= 0.5, recall
+    # cosines agree on overlapping pairs (same formula, same rounding)
+    for pair in set(exact) & set(ivf):
+        assert exact[pair] == ivf[pair]
+    # each query returns exactly k pairs (candidate lists >> k here)
+    from collections import Counter
+    per_q = Counter(q for q, _ in ivf)
+    assert all(v == 5 for v in per_q.values())
