@@ -17,7 +17,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -2098,6 +2098,79 @@ def _sql_chunk_documents() -> str:
     return chunk_oracle_sql("documents", chunk_tokens=32, stride=24)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 lexical top-50 and cosine semantic top-50
+    (doc_id == vec_id in the testdata) fused by Reciprocal Rank Fusion —
+    rank-based, so the two score scales never need calibration. The
+    fusion input is two bounded top-N lists, so the union + agg is
+    metadata-sized regardless of corpus size."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        bm25_search,
+        rrf_fuse,
+    )
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        bm25_search(docs, "doc_id", "text", _BM25_TERMS, k=50)
+        .withColumn("rank", F.row_number().over(w_lex))
+        .select("doc_id", "rank")
+    )
+    w_sem = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    sem = (
+        cosine_topk(emb, "embedding", _QUERY_VEC, 50)
+        .withColumn("rank", F.row_number().over(w_sem))
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, sem], k=20)
+
+
+def _sql_hybrid_search() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        bm25_search_sql,
+    )
+
+    bm25 = bm25_search_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, "duckdb", 50
+    )
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _QUERY_VEC) + "]"
+    qnorm = math.sqrt(sum(v * v for v in _QUERY_VEC))
+    dot = (
+        "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+        f"{qlit}), p -> p[1] * p[2]))"
+    )
+    nrm = (
+        "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))"
+    )
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({bm25}) b
+), sem_scored AS (
+  SELECT vec_id AS doc_id,
+         ROUND({dot} / ({nrm} * {qnorm!r}), 6) AS cosine
+  FROM embeddings
+  ORDER BY cosine DESC, doc_id ASC LIMIT 50
+), sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM sem_scored
+), u AS (
+  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem
+)
+SELECT doc_id,
+       ROUND(SUM(1.0 / (60.0 + rank)), 6) AS rrf_score,
+       CAST(COUNT(*) AS BIGINT) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-pruned batch k-NN (scale path for similarity_join): every
     50th vector as the query set, 4 of 16 IVF lists probed per query —
@@ -2278,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "corpus_clean": q_corpus_clean,
         "repetition_signals": q_repetition_signals,
+        "hybrid_search": q_hybrid_search,
         "similarity_join_ivf": q_similarity_join_ivf,
         "date_range": q_date_range,
         "top_metrics": q_top_metrics,
@@ -2363,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _sql_similarity_join(),
         "corpus_clean": _sql_corpus_clean(),
         "repetition_signals": _sql_repetition_signals(),
+        "hybrid_search": _sql_hybrid_search(),
         "similarity_join_ivf": _sql_similarity_join_ivf(),
         "date_range": SQL_DATE_RANGE,
         "top_metrics": SQL_TOP_METRICS,

@@ -31,6 +31,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.operators.text import tokens_sql
 
@@ -114,3 +115,42 @@ def bm25_search(
     )
     spark.catalog.dropTempView(view)
     return out
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (the ES 'hybrid search' combiner): fuse any
+    number of ranked retrieval lists by score = Σ 1/(rrf_k + rank) over
+    the lists each doc appears in (Cormack et al. 2009 — rank-based, so
+    BM25 scores and cosines never need calibration against each other).
+
+    Input frames carry (id_col, rank_col) with rank starting at 1. Returns
+    (id, rrf_score DOUBLE rounded 6, n_lists BIGINT) — top-k by score,
+    ties to the lowest id. Scale shape: each ranked list is already top-N
+    (bounded), so the union + hash agg is bounded by Σ|lists| rows no
+    matter the corpus size — the fusion is metadata-sized work after the
+    retrievals."""
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    parts = [df.select(F.col(id_col), F.col(rank_col)) for df in ranked]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col))),
+                6,
+            ).alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -80,3 +80,23 @@ def test_significant_text_doc_frequency_semantics(spark):
     assert got["data"] == (1, 3)         # mostly background
     terms_by_score = [r["term"] for r in out]
     assert terms_by_score[0] == "llm"    # foreground-exclusive tops JLH
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF: a doc ranked 1st+2nd across lists beats a doc ranked 1st in
+    one list only; score is sum of 1/(60+rank) over appearances."""
+    from harmonize_search_analyze_spark.operators.ranking import rrf_fuse
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: (r["rrf_score"], r["n_lists"])
+           for r in rrf_fuse([a, b], k=10).collect()}
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert out[1] == (round(1 / 61, 6), 1)
+    assert out[3] == (round(1 / 62, 6), 1)
+    assert out[2][0] > out[1][0] > out[3][0]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
