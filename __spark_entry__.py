@@ -2098,6 +2098,79 @@ def _sql_chunk_documents() -> str:
     return chunk_oracle_sql("documents", chunk_tokens=32, stride=24)
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII curation pass: per-doc family counts (email/SSN/phone/IP), an
+    any-PII flag, and the md5 of the redacted text — map-only, scan-bound;
+    the digest verifies redaction output without shipping text."""
+    from harmonize_search_analyze_spark.operators.curation import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    return pii_scan(docs).orderBy("doc_id")
+
+
+def _sql_pii_scan() -> str:
+    from harmonize_search_analyze_spark.operators.curation import (
+        pii_scan_oracle_sql,
+    )
+
+    return pii_scan_oracle_sql("documents")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> canonical clusters: min-label propagation over the
+    LSH pair graph (transitive chains a~b~c collapse into one cluster —
+    the grouping production dedup keys on). The iterative Spark loop is
+    verified EXACTLY by a recursive-CTE transitive closure in DuckDB: the
+    min-reachable-id labeling is algorithm-independent."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        connected_components,
+        near_dup_pairs_lsh,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    pairs = near_dup_pairs_lsh(
+        docs, "doc_id", "text", threshold=0.9, k=8, n=1, rows_per_band=2
+    )
+    labels = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    pairs = _sql_lsh_near_dup()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN labels l ON l.id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: BM25 lexical top-50 and cosine semantic top-50
     (doc_id == vec_id in the testdata) fused by Reciprocal Rank Fusion —
@@ -2351,6 +2424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "corpus_clean": q_corpus_clean,
         "repetition_signals": q_repetition_signals,
+        "pii_scan": q_pii_scan,
+        "dedup_clusters": q_dedup_clusters,
         "hybrid_search": q_hybrid_search,
         "similarity_join_ivf": q_similarity_join_ivf,
         "date_range": q_date_range,
@@ -2437,6 +2512,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _sql_similarity_join(),
         "corpus_clean": _sql_corpus_clean(),
         "repetition_signals": _sql_repetition_signals(),
+        "pii_scan": _sql_pii_scan(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "hybrid_search": _sql_hybrid_search(),
         "similarity_join_ivf": _sql_similarity_join_ivf(),
         "date_range": SQL_DATE_RANGE,

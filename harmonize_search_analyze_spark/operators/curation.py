@@ -161,3 +161,86 @@ SELECT {id_col},
        ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share
 FROM per_unit GROUP BY {id_col}
 """
+
+
+# -- PII detection / redaction ------------------------------------------------
+
+# patterns are deliberately conservative/high-precision (curation filters
+# redact or route to review; recall tuning is a policy knob, not engine
+# logic). RE2/Java-compatible: no lookarounds.
+_PHONE_PAT = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_SSN_PAT = r"\b\d{3}-\d{2}-\d{4}\b"
+_IPV4_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_FAMILIES = [
+    ("emails", _EMAIL_PAT, "[EMAIL]"),
+    ("ssns", _SSN_PAT, "[SSN]"),          # before phone: 3-2-4 vs 3-3-4
+    ("phones", _PHONE_PAT, "[PHONE]"),
+    ("ips", _IPV4_PAT, "[IP]"),
+]
+
+
+def pii_counts_sql(expr: str, dialect: str) -> dict[str, str]:
+    """Per-family PII match counts (n_emails, n_ssns, n_phones, n_ips) as
+    dual-dialect SQL expressions — map-only, codegen'd, scan-bound."""
+    n = "size" if dialect == "spark" else "len"
+    out = {}
+    for name, pat, _ in _PII_FAMILIES:
+        if dialect == "spark":
+            e = f"{n}(regexp_extract_all({expr}, {_pat(pat, dialect)}, 0))"
+        else:
+            e = f"{n}(regexp_extract_all({expr}, {_pat(pat, dialect)}))"
+        out[f"n_{name}"] = f"CAST({e} AS BIGINT)"
+    return out
+
+
+def redact_pii_sql(expr: str, dialect: str) -> str:
+    """Replace every PII match with its family placeholder ([EMAIL],
+    [SSN], [PHONE], [IP]) — family order fixed so overlapping patterns
+    (SSN vs phone) resolve deterministically on both engines."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    out = expr
+    for _, pat, tag in _PII_FAMILIES:
+        out = f"regexp_replace({out}, {_pat(pat, dialect)}, '{tag}'{g})"
+    return out
+
+
+def pii_scan(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document PII signals + redaction digest: family counts, an
+    any-PII flag, and the md5 of the redacted text (the digest lets the
+    gate verify the redaction output without shipping full text). One
+    scan, zero shuffles beyond the caller's sink."""
+    counts = pii_counts_sql(text_col, "spark")
+    total = " + ".join(counts.values())
+    return df.select(
+        id_col,
+        *[F.expr(e).alias(k) for k, e in counts.items()],
+        F.expr(f"({total}) > 0").alias("has_pii"),
+        F.expr(f"md5({redact_pii_sql(text_col, 'spark')})").alias(
+            "redacted_md5"
+        ),
+    )
+
+
+def pii_scan_oracle_sql(
+    doc_table: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL replaying pii_scan (same patterns, same family order)."""
+    counts = pii_counts_sql(text_col, "duckdb")
+    cols = ",\n       ".join(f"{e} AS {k}" for k, e in counts.items())
+    total = " + ".join(counts.values())
+    return f"""
+SELECT {id_col},
+       {cols},
+       ({total}) > 0 AS has_pii,
+       md5({redact_pii_sql(text_col, 'duckdb')}) AS redacted_md5
+FROM {doc_table} ORDER BY {id_col}
+"""

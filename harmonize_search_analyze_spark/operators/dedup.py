@@ -450,3 +450,92 @@ def simhash_near_dup_pairs_banded(
     )
     transfer(cands, out)
     return tether(out, sk)
+
+
+# -- cluster resolution -------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into canonical CLUSTERS: connected
+    components over the undirected pair graph, labeling every member with
+    the minimum reachable id — the step after LSH that production dedup
+    actually keys on (keep one doc per cluster, not per pair; pairs alone
+    under-delete transitive chains a~b~c).
+
+    Min-label propagation to fixpoint: per iteration each node takes the
+    min of its label and its neighbors' labels (one join + one hash agg on
+    the SYMMETRIZED edge list), converging in O(component diameter)
+    iterations — near-dup components are short chains in practice. The
+    per-iteration driver action is ONE scalar (changed-count), the same
+    justified-collect shape as kmeans_train; all real work is distributed.
+    Each iteration's labels are eagerly ``localCheckpoint``-ed: unlike
+    ``persist`` (which caches data but keeps the logical plan), the
+    checkpoint TRUNCATES lineage — without it every iteration's plan embeds
+    the previous one and Catalyst analysis blows up exponentially (a
+    12-iteration chain OOMed the driver on plan size alone, measured).
+    The result is algorithm-independent (the min reachable id is unique),
+    which is what lets a recursive-CTE oracle verify this loop exactly.
+
+    Returns (id, cluster_id) for every id appearing in a pair; singletons
+    never enter the graph — callers left-join and coalesce to the id.
+    """
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("b"),
+                    F.col("cluster_id").alias("blabel"),
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("blabel").alias("nlabel"))
+        )
+        # the changed flag rides the propagation select, so convergence
+        # detection is an existence probe on the checkpointed rows — not a
+        # second join against the previous labels
+        new = (
+            labels.join(
+                nbr.select(F.col("a").alias("id"), "nlabel"), "id", "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nlabel"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("nlabel"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.where(F.col("__changed")).limit(1).count()
+        labels = new.drop("__changed")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "iterations (component diameter exceeds max_iters?)"
+        )
+    return labels

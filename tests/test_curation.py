@@ -81,3 +81,32 @@ def test_repetition_signals_token_and_line(spark):
 
     with pytest.raises(ValueError):
         repetition_signals(df, "doc_id", "text", unit="char")
+
+
+def test_pii_scan_hand_cases(spark):
+    """Known PII strings: counts per family, redaction placeholders, and
+    the SSN-before-phone ordering on the ambiguous 3-2-4 shape."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        pii_scan,
+        redact_pii_sql,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.org or call 555-123-4567"),
+            (2, "ssn 123-45-6789 from host 10.0.0.1"),
+            (3, "clean prose with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert out[1]["has_pii"] and not out[3]["has_pii"]
+    assert (out[2]["n_ssns"], out[2]["n_ips"], out[2]["n_phones"]) == (1, 1, 0)
+    red = {r["doc_id"]: r["red"] for r in docs.select(
+        "doc_id", F.expr(redact_pii_sql("text", "spark")).alias("red")
+    ).collect()}
+    assert red[1] == "mail me at [EMAIL] or call [PHONE]"
+    assert red[2] == "ssn [SSN] from host [IP]"
+    assert red[3] == docs.where("doc_id = 3").collect()[0]["text"]

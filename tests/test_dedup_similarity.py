@@ -253,3 +253,37 @@ def test_kmeans_monotone_inertia_and_separable_blobs(spark):
         by_blob.setdefault(r["vec_id"] // 20, set()).add(r["centroid_id"])
     assert all(len(s) == 1 for s in by_blob.values())
     assert len({s.pop() for s in by_blob.values()}) == 3
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitive chain a~b~c collapses to one cluster labeled min-id;
+    disjoint pairs stay separate; ids absent from pairs don't appear."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id1 long, id2 long"
+    )
+    out = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds; the fixpoint must
+    still be the global min id, and a too-small max_iters raises."""
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id1 long, id2 long"
+    )
+    out = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {0}
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iters=2)
