@@ -2098,6 +2098,115 @@ def _sql_chunk_documents() -> str:
     return chunk_oracle_sql("documents", chunk_tokens=32, stride=24)
 
 
+def q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot agg on lineitem quantity (exact linear-interpolation
+    quartiles — DuckDB quantile_cont parity; approx_percentile is the
+    documented sketch path)."""
+    from harmonize_search_analyze_spark.operators.aggregations import boxplot
+
+    li = _t(spark, sf_dir, "lineitem")
+    return boxplot(li, "l_quantity")
+
+
+SQL_BOXPLOT = """
+SELECT CAST(MIN(l_quantity) AS DOUBLE) AS min,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS q2,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS q3,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max
+FROM lineitem
+"""
+
+
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats agg on order priority: lengths + Shannon entropy
+    (bits) of the character distribution."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        string_stats,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return string_stats(o, "o_orderpriority")
+
+
+SQL_STRING_STATS = """
+WITH s AS (SELECT o_orderpriority AS v FROM orders WHERE o_orderpriority IS NOT NULL),
+chars AS (
+  SELECT unnest(string_split_regex(v, '')) AS ch FROM s
+), freq AS (
+  SELECT ch, COUNT(*) AS c FROM chars WHERE ch != '' GROUP BY ch
+), ent AS (
+  SELECT ROUND(-SUM((CAST(c AS DOUBLE) / tot) * LN(CAST(c AS DOUBLE) / tot))
+               / LN(2.0), 6) AS entropy
+  FROM freq CROSS JOIN (SELECT SUM(c) AS tot FROM freq)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS count,
+       CAST(MIN(LENGTH(v)) AS BIGINT) AS min_length,
+       CAST(MAX(LENGTH(v)) AS BIGINT) AS max_length,
+       ROUND(AVG(LENGTH(v)), 6) AS avg_length,
+       (SELECT entropy FROM ent) AS entropy
+FROM s
+"""
+
+
+def q_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test agg (Welch): purchase vs click event values in one scan.
+    Reports (t, df) exactly; ES's p-value needs the t-CDF (documented
+    divergence)."""
+    from harmonize_search_analyze_spark.operators.aggregations import t_test
+
+    ev = _t(spark, sf_dir, "events")
+    return t_test(
+        ev, "value",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "click",
+    )
+
+
+SQL_T_TEST = """
+WITH s AS (
+  SELECT COUNT(*) FILTER (event_type = 'purchase') AS na,
+         AVG(value) FILTER (event_type = 'purchase') AS ma,
+         VAR_SAMP(value) FILTER (event_type = 'purchase') AS va,
+         COUNT(*) FILTER (event_type = 'click') AS nb,
+         AVG(value) FILTER (event_type = 'click') AS mb,
+         VAR_SAMP(value) FILTER (event_type = 'click') AS vb
+  FROM events
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       ROUND(((va / na + vb / nb) * (va / na + vb / nb)) /
+             ((va / na) * (va / na) / (na - 1)
+              + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS welch_df
+FROM s
+"""
+
+
+def q_normalize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline agg: daily event buckets as percent-of-sum."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+        normalize_pipeline,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = date_histogram(ev, "ts", "1 day")
+    return normalize_pipeline(buckets, "bucket", "doc_count")
+
+
+SQL_NORMALIZE = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY bucket
+)
+SELECT bucket, doc_count,
+       ROUND(CAST(doc_count AS DOUBLE) / SUM(doc_count) OVER (), 6)
+         AS normalized
+FROM b ORDER BY bucket
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII curation pass: per-doc family counts (email/SSN/phone/IP), an
     any-PII flag, and the md5 of the redacted text — map-only, scan-bound;
@@ -2424,6 +2533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "corpus_clean": q_corpus_clean,
         "repetition_signals": q_repetition_signals,
+        "boxplot": q_boxplot,
+        "string_stats": q_string_stats,
+        "t_test": q_t_test,
+        "normalize_pipeline": q_normalize_pipeline,
         "pii_scan": q_pii_scan,
         "dedup_clusters": q_dedup_clusters,
         "hybrid_search": q_hybrid_search,
@@ -2512,6 +2625,10 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _sql_similarity_join(),
         "corpus_clean": _sql_corpus_clean(),
         "repetition_signals": _sql_repetition_signals(),
+        "boxplot": SQL_BOXPLOT,
+        "string_stats": SQL_STRING_STATS,
+        "t_test": SQL_T_TEST,
+        "normalize_pipeline": SQL_NORMALIZE,
         "pii_scan": _sql_pii_scan(),
         "dedup_clusters": _sql_dedup_clusters(),
         "hybrid_search": _sql_hybrid_search(),

@@ -24,6 +24,7 @@ beyond the single agg exchange; no Python in the hot path.
 from __future__ import annotations
 
 import datetime as _dt  # noqa: F401  (annotation only)
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -989,3 +990,116 @@ def dashboard(
         tether_shared(list(out.values()), filtered)
         return out
     return {name: fn(filtered) for name, fn in panels.items()}
+
+
+def boxplot(df: DataFrame, field: str) -> DataFrame:
+    """ES ``boxplot`` agg: min, q1, q2 (median), q3, max of a numeric
+    field. Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) for the oracle gate; the documented scale
+    path is ``approx_percentile`` (t-digest-style sketch, one pass, fixed
+    state), the same exact/approx switch as ``percentiles``."""
+    q = F.expr(f"percentile({field}, array(0.25, 0.5, 0.75))")
+    return df.agg(
+        F.min(field).cast("double").alias("min"),
+        F.round(q[0], 6).alias("q1"),
+        F.round(q[1], 6).alias("q2"),
+        F.round(q[2], 6).alias("q3"),
+        F.max(field).cast("double").alias("max"),
+    )
+
+
+def string_stats(df: DataFrame, field: str) -> DataFrame:
+    """ES ``string_stats`` agg: count, min/max/avg length, and the Shannon
+    entropy (bits) of the CHARACTER distribution over all values — the
+    ES definition. Lengths are one hash agg; entropy explodes characters
+    into a frequency table first (|alphabet| rows after the partial agg,
+    tiny) then folds -Σ p·log2 p with one final round."""
+    lengths = df.where(F.col(field).isNotNull()).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(F.length(field)).cast("bigint").alias("min_length"),
+        F.max(F.length(field)).cast("bigint").alias("max_length"),
+        F.round(F.avg(F.length(field)), 6).alias("avg_length"),
+    )
+    chars = (
+        df.where(F.col(field).isNotNull())
+        .select(F.explode(F.split(F.col(field), "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p = F.col("c") / F.col("tot")
+    ent = (
+        chars.crossJoin(F.broadcast(chars.agg(F.sum("c").alias("tot"))))
+        .agg(
+            F.round(
+                -F.sum(p * F.log(p)) / F.lit(math.log(2.0)), 6
+            ).alias("entropy")
+        )
+    )
+    return lengths.crossJoin(ent)
+
+
+def t_test(
+    df: DataFrame,
+    field: str,
+    filter_a: Column,
+    filter_b: Column,
+) -> DataFrame:
+    """ES ``t_test`` agg (heteroscedastic / Welch, the ES default): the
+    t-statistic and Welch degrees of freedom between the ``field`` values
+    of two filtered populations, in ONE scan (conditional aggregates, the
+    filters_agg trick). DIVERGENCE from ES: ES reports the p-value, which
+    needs the t-distribution CDF (an incomplete beta — not expressible in
+    portable SQL); we report (t, df) exactly instead and leave the CDF to
+    the caller's stats library. Means/variances are exact; one final
+    round."""
+    def stats(cond, suffix):
+        v = F.when(cond, F.col(field))
+        return [
+            F.count(v).alias(f"n{suffix}"),
+            F.avg(v).alias(f"m{suffix}"),
+            F.var_samp(v).alias(f"v{suffix}"),
+        ]
+
+    one = df.agg(*stats(filter_a, "a"), *stats(filter_b, "b"))
+    sa = F.col("va") / F.col("na")
+    sb = F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
+    dof = ((sa + sb) * (sa + sb)) / (
+        (sa * sa) / (F.col("na") - 1) + (sb * sb) / (F.col("nb") - 1)
+    )
+    return one.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
+def normalize_pipeline(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    method: str = "percent_of_sum",
+) -> DataFrame:
+    """ES ``normalize`` pipeline agg: rescale bucket values by
+    ``percent_of_sum`` (v/Σv), ``mean`` (z-score, population stddev — ES's
+    formula), or ``range`` (min-max to [0,1]). Bucket-level window over the
+    already-aggregated frame — same single-task contract as
+    bucket_pipeline (rows bounded by the interval, not data volume)."""
+    w = Window.partitionBy()
+    v = F.col(value_col)
+    if method == "percent_of_sum":
+        norm = v / F.sum(v).over(w)
+    elif method == "mean":
+        norm = (v - F.avg(v).over(w)) / F.stddev_pop(v).over(w)
+    elif method == "range":
+        norm = (v - F.min(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))
+    else:
+        raise ValueError(
+            "method must be percent_of_sum, mean, or range"
+        )
+    return buckets.select(
+        bucket_col, value_col, F.round(norm, 6).alias("normalized")
+    ).orderBy(bucket_col)

@@ -547,3 +547,66 @@ def test_rate_agg_rescale(spark):
     assert out == {1: 0.125, 2: round(1 / 24.0, 6)}  # 3 docs/day -> 0.125/h
     with pytest.raises(ValueError):
         rate_agg(df, "ts", interval="fortnight")
+
+
+def test_boxplot_hand_case(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import boxplot
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 6)], "x double")
+    r = boxplot(df, "x").collect()[0]
+    assert (r["min"], r["q1"], r["q2"], r["q3"], r["max"]) == \
+        (1.0, 2.0, 3.0, 4.0, 5.0)
+
+
+def test_string_stats_entropy(spark):
+    import math as m
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        string_stats,
+    )
+
+    # "ab" + "ab": 2 chars each at p=0.5 -> entropy exactly 1 bit
+    df = spark.createDataFrame([("ab",), ("ab",), (None,)], "s string")
+    r = string_stats(df, "s").collect()[0]
+    assert (r["count"], r["min_length"], r["max_length"]) == (2, 2, 2)
+    assert r["avg_length"] == 2.0
+    assert r["entropy"] == 1.0
+    # 4 equally likely chars -> 2 bits
+    df2 = spark.createDataFrame([("abcd",)], "s string")
+    assert string_stats(df2, "s").collect()[0]["entropy"] == 2.0
+
+
+def test_t_test_welch_hand_case(spark):
+    import math as m
+
+    from harmonize_search_analyze_spark.operators.aggregations import t_test
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + \
+           [("b", v) for v in (2.0, 4.0, 6.0, 8.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = t_test(df, "x", F.col("g") == "a", F.col("g") == "b").collect()[0]
+    # hand Welch: ma=2 va=1 na=3; mb=5 vb=20/3 nb=4
+    sa, sb = 1 / 3, (20 / 3) / 4
+    t = (2 - 5) / m.sqrt(sa + sb)
+    dof = (sa + sb) ** 2 / (sa ** 2 / 2 + sb ** 2 / 3)
+    assert r["n_a"] == 3 and r["n_b"] == 4
+    assert r["t_stat"] == round(t, 6)
+    assert r["welch_df"] == round(dof, 6)
+
+
+def test_normalize_pipeline_methods(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        normalize_pipeline,
+    )
+
+    b = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 60)], "bucket int, doc_count bigint"
+    )
+    pct = {r["bucket"]: r["normalized"] for r in normalize_pipeline(
+        b, "bucket", "doc_count").collect()}
+    assert pct == {1: 0.1, 2: 0.3, 3: 0.6}
+    rng = {r["bucket"]: r["normalized"] for r in normalize_pipeline(
+        b, "bucket", "doc_count", method="range").collect()}
+    assert rng == {1: 0.0, 2: 0.4, 3: 1.0}
+    with pytest.raises(ValueError, match="method"):
+        normalize_pipeline(b, "bucket", "doc_count", method="softmax")
