@@ -2098,6 +2098,32 @@ def _sql_chunk_documents() -> str:
     return chunk_oracle_sql("documents", chunk_tokens=32, stride=24)
 
 
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks on lineitem quantity: exact empirical CDF at 3
+    probe values, one conditional-aggregate scan."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentile_ranks,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return percentile_ranks(li, "l_quantity", [10.0, 25.0, 40.0])
+
+
+SQL_PERCENTILE_RANKS = """
+SELECT * FROM (
+  SELECT CAST(10.0 AS DOUBLE) AS value,
+         ROUND(100.0 * COUNT(*) FILTER (l_quantity <= 10.0)
+               / COUNT(l_quantity), 6) AS pct_rank FROM lineitem
+  UNION ALL
+  SELECT CAST(25.0 AS DOUBLE), ROUND(100.0 * COUNT(*) FILTER (l_quantity <= 25.0)
+               / COUNT(l_quantity), 6) FROM lineitem
+  UNION ALL
+  SELECT CAST(40.0 AS DOUBLE), ROUND(100.0 * COUNT(*) FILTER (l_quantity <= 40.0)
+               / COUNT(l_quantity), 6) FROM lineitem
+) ORDER BY value
+"""
+
+
 def q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES boxplot agg on lineitem quantity (exact linear-interpolation
     quartiles — DuckDB quantile_cont parity; approx_percentile is the
@@ -2533,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "corpus_clean": q_corpus_clean,
         "repetition_signals": q_repetition_signals,
+        "percentile_ranks": q_percentile_ranks,
         "boxplot": q_boxplot,
         "string_stats": q_string_stats,
         "t_test": q_t_test,
@@ -2625,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _sql_similarity_join(),
         "corpus_clean": _sql_corpus_clean(),
         "repetition_signals": _sql_repetition_signals(),
+        "percentile_ranks": SQL_PERCENTILE_RANKS,
         "boxplot": SQL_BOXPLOT,
         "string_stats": SQL_STRING_STATS,
         "t_test": SQL_T_TEST,

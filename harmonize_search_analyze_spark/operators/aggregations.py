@@ -1103,3 +1103,36 @@ def normalize_pipeline(
     return buckets.select(
         bucket_col, value_col, F.round(norm, 6).alias("normalized")
     ).orderBy(bucket_col)
+
+
+def percentile_ranks(
+    df: DataFrame,
+    field: str,
+    values: list[float],
+) -> DataFrame:
+    """ES ``percentile_ranks`` agg: for each probe value, the percentage of
+    observed values <= it. ES interpolates from its t-digest sketch; we
+    compute the EXACT empirical CDF (strictly better, same stance as
+    exact terms counts) in one conditional-aggregate pass — a count per
+    probe value, one scan, one 1-row agg regardless of probe count."""
+    probes = [
+        F.round(
+            F.lit(100.0)
+            * F.count(F.when(F.col(field) <= F.lit(v), F.lit(1)))
+            / F.count(field),
+            6,
+        ).alias(f"__p{i}")
+        for i, v in enumerate(values)
+    ]
+    row = df.agg(*probes)
+    return row.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(float(v)).alias("value"),
+                    F.col(f"__p{i}").alias("pct_rank"),
+                )
+                for i, v in enumerate(values)
+            ])
+        ).alias("r")
+    ).select("r.*")
