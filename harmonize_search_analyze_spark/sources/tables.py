@@ -58,6 +58,18 @@ def load_table(
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
+    # Parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ in
+    # Spark 4, which has no numeric cast and diverges from the LTZ the nanos
+    # rebuild above produces. The session zone is pinned UTC (session.py),
+    # so casting NTZ -> LTZ is value-preserving; normalizing here gives every
+    # downstream operator ONE timestamp flavor regardless of how the driver
+    # happened to write the parquet (nanos round 1, micros round 2).
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
+            )
+
     if spread:
         try:
             nbytes = (
