@@ -2491,6 +2491,165 @@ FROM events GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid: slippy-map z/x/y tile buckets at zoom 5 over the
+    synthesized lineitem coordinates (same lat/lon derivation as
+    geohash_grid). Pure column math — identical SQL text is the oracle."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geotile_grid,
+    )
+
+    df = _t(spark, sf_dir, "lineitem")
+    return geotile_grid(df, _LAT_EXPR, _LON_EXPR, zoom=5, k=20)
+
+
+def _sql_geotile_grid() -> str:
+    from harmonize_search_analyze_spark.functions.geohash import geotile_sql
+
+    key = geotile_sql(_LAT_EXPR, _LON_EXPR, zoom=5)
+    return f"""
+SELECT {key} AS tile, COUNT(*) AS doc_count
+FROM lineitem
+GROUP BY tile ORDER BY doc_count DESC, tile ASC LIMIT 20
+"""
+
+
+def q_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats: pairwise covariance/correlation of three small-
+    magnitude lineitem measures in ONE aggregation pass (small magnitudes
+    keep 6-decimal rounding far above cross-engine summation drift)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        matrix_stats,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return matrix_stats(li, ["l_quantity", "l_discount", "l_tax"])
+
+
+def _sql_matrix_stats() -> str:
+    fields = ["l_quantity", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(fields) for b in fields[i:]]
+    selects = []
+    for a, b in pairs:
+        selects.append(
+            f"SELECT '{a}' AS field_a, '{b}' AS field_b, "
+            "CAST(COUNT(*) AS BIGINT) AS count, "
+            f"ROUND(AVG({a}), 6) AS mean_a, ROUND(AVG({b}), 6) AS mean_b, "
+            f"ROUND(COVAR_SAMP({a}, {b}), 6) AS covariance, "
+            f"ROUND(CORR({a}, {b}), 6) AS correlation FROM s"
+        )
+    cond = " AND ".join(f"{f} IS NOT NULL" for f in fields)
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        f"WITH s AS (SELECT * FROM lineitem WHERE {cond})\n{body}\n"
+        "ORDER BY field_a, field_b"
+    )
+
+
+def q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram (deterministic equal-frequency variant):
+    4 quantile-bounded buckets of order totalprice — boundary pass + one
+    conditional-assignment agg, no global sort."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        variable_width_histogram,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return variable_width_histogram(o, "o_totalprice", buckets=4)
+
+
+SQL_VARIABLE_WIDTH_HISTOGRAM = """
+WITH s AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL),
+b AS (
+  SELECT ROUND(quantile_cont(v, 0.25), 6) AS b0,
+         ROUND(quantile_cont(v, 0.50), 6) AS b1,
+         ROUND(quantile_cont(v, 0.75), 6) AS b2
+  FROM s
+)
+SELECT CAST((v > b0) AS INT) + CAST((v > b1) AS INT)
+       + CAST((v > b2) AS INT) AS bucket,
+       MIN(v) AS min, MAX(v) AS max, COUNT(*) AS doc_count
+FROM s CROSS JOIN b
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+# Synthesized IPv4 per event (FIXTURES.md convention: derive typed columns
+# from numerics) — same expression text on both engines.
+_IP_EXPR = (
+    "('10.' || CAST(user_id % 4 AS STRING) || '.' || "
+    "CAST((user_id DIV 3) % 256 AS STRING) || '.' || "
+    "CAST(user_id % 256 AS STRING))"
+)
+_IP_EXPR_DUCK = (
+    "('10.' || CAST(user_id % 4 AS STRING) || '.' || "
+    "CAST((user_id // 3) % 256 AS STRING) || '.' || "
+    "CAST(user_id % 256 AS STRING))"
+)
+
+
+def q_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range agg: [from, to) dotted-quad buckets (open sides allowed)
+    over IPv4 addresses synthesized from user_id — addresses integerized by
+    a codegen'd expression, buckets one-pass conditional counts."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        ip_range_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("ip", F.expr(_IP_EXPR))
+    return ip_range_agg(
+        ev,
+        "ip",
+        [("10.0.0.0", "10.2.0.0"), ("10.2.0.0", None), (None, "10.1.0.0")],
+    )
+
+
+def _sql_ip_range() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        ip_to_long_sql,
+    )
+
+    def _lit(ip: str) -> int:
+        a, b, c, d = (int(p) for p in ip.split("."))
+        return a * 16777216 + b * 65536 + c * 256 + d
+
+    ipnum = ip_to_long_sql(_IP_EXPR_DUCK)
+    rows = [
+        ("10.0.0.0-10.2.0.0",
+         f"{ipnum} >= {_lit('10.0.0.0')} AND {ipnum} < {_lit('10.2.0.0')}"),
+        ("10.2.0.0-*", f"{ipnum} >= {_lit('10.2.0.0')}"),
+        ("*-10.1.0.0", f"{ipnum} < {_lit('10.1.0.0')}"),
+    ]
+    selects = [
+        f"SELECT '{key}' AS range_key, "
+        f"COUNT(CASE WHEN {cond} THEN 1 END) AS doc_count FROM events"
+        for key, cond in rows
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
+def q_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text agg (deterministic prefix-pattern variant):
+    bucket documents by their digit-stripped 2-token prefix pattern."""
+    from harmonize_search_analyze_spark.operators.text import categorize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return categorize_text(docs, "text", max_tokens=2, k=15)
+
+
+def _sql_categorize_text() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        categorize_pattern_sql,
+    )
+
+    pat = categorize_pattern_sql("text", "duckdb", max_tokens=2)
+    return f"""
+SELECT {pat} AS category, COUNT(*) AS doc_count
+FROM documents WHERE text IS NOT NULL AND {pat} != ''
+GROUP BY category ORDER BY doc_count DESC, category ASC LIMIT 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -2575,6 +2734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "quantized_topk": q_quantized_topk,
         "chunk_documents": q_chunk_documents,
+        "geotile_grid": q_geotile_grid,
+        "matrix_stats": q_matrix_stats,
+        "variable_width_histogram": q_variable_width_histogram,
+        "ip_range": q_ip_range,
+        "categorize_text": q_categorize_text,
         # iterative (Lloyd) — no SQL oracle; driver records rows-only
         "kmeans_ivf": q_kmeans_ivf,
     }
@@ -2668,4 +2832,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _sql_lm_score(),
         "quantized_topk": _sql_quantized_topk(),
         "chunk_documents": _sql_chunk_documents(),
+        "geotile_grid": _sql_geotile_grid(),
+        "matrix_stats": _sql_matrix_stats(),
+        "variable_width_histogram": SQL_VARIABLE_WIDTH_HISTOGRAM,
+        "ip_range": _sql_ip_range(),
+        "categorize_text": _sql_categorize_text(),
     }

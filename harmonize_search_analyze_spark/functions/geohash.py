@@ -149,3 +149,50 @@ def _geohash_encode_cols(lat: Column, lon: Column, precision: int) -> Column:
             idx = idx + bit * F.lit(1 << (4 - j))
         chars.append(F.substring(F.lit(BASE32), idx.cast("int") + F.lit(1), F.lit(1)))
     return F.concat(*chars) if len(chars) > 1 else chars[0]
+
+
+# -- geotile (slippy-map z/x/y) ----------------------------------------------
+
+# Web-Mercator latitude limit: tiles are undefined beyond ±85.05112878°
+# (ES geotile_grid clamps the same way).
+_MERCATOR_LAT = 85.05112878
+
+
+def geotile_sql(lat: str, lon: str, zoom: int = 7) -> str:
+    """ES ``geotile_grid`` key ``'z/x/y'`` as a portable SQL expression.
+
+    Standard slippy-map tiling (OSM spec, same math ES uses):
+
+        n = 2^z
+        x = floor((lon + 180) / 360 * n)
+        y = floor((1 - ln(tan(φ) + 1/cos(φ)) / π) / 2 * n)   φ = lat·π/180
+
+    Latitude is clamped to ±85.05112878 (Web-Mercator domain) and x/y to
+    [0, n-1] so poles and the antimeridian stay in the edge tiles. Every
+    function used (LN/TAN/COS/RADIANS/PI/FLOOR/LEAST/GREATEST) is identical
+    ANSI SQL on Spark and DuckDB, so the same text is its own oracle.
+    Like geohash_encode_sql this is pure column arithmetic — whole-stage
+    codegen, no UDF, free at scale.
+    """
+    if not 0 <= zoom <= 29:
+        raise ValueError("geotile zoom must be in 0..29")
+    n = 1 << zoom
+    phi = (
+        f"RADIANS(LEAST(GREATEST(CAST(({lat}) AS DOUBLE), {-_MERCATOR_LAT}), "
+        f"{_MERCATOR_LAT}))"
+    )
+    x = (
+        f"LEAST(GREATEST(CAST(FLOOR(((({lon}) + 180.0) / 360.0) * {n}) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    y = (
+        f"LEAST(GREATEST(CAST(FLOOR((1.0 - LN(TAN({phi}) + 1.0 / COS({phi})) "
+        f"/ PI()) / 2.0 * {n}) AS BIGINT), 0), {n - 1})"
+    )
+    return f"('{zoom}/' || CAST({x} AS STRING) || '/' || CAST({y} AS STRING))"
+
+
+def geotile_encode(lat: str, lon: str, zoom: int = 7) -> Column:
+    """Spark Column form of :func:`geotile_sql` (expressions given as SQL
+    strings, same contract as geohash_encode's str path)."""
+    return F.expr(geotile_sql(lat, lon, zoom))

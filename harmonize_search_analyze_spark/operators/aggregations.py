@@ -37,6 +37,7 @@ from harmonize_search_analyze_spark.functions.datemath import (
 from harmonize_search_analyze_spark.functions.geohash import (
     auto_precision,
     geohash_encode,
+    geotile_sql,
 )
 
 
@@ -930,6 +931,170 @@ def geohash_grid(
         .orderBy(F.desc("doc_count"), F.asc("geohash"))
     )
     return out.limit(k) if k is not None else out
+
+
+def geotile_grid(
+    df: DataFrame,
+    lat: str,
+    lon: str,
+    zoom: int = 7,
+    k: int | None = None,
+) -> DataFrame:
+    """ES ``geotile_grid``: slippy-map ``z/x/y`` tile bucket counts — the
+    tile scheme Kibana's maps use after the geohash era.
+
+    ``lat``/``lon`` are SQL expressions (column names or arithmetic), same
+    contract as ``geohash_encode_sql``. The tile key is pure column math
+    (functions/geohash.py::geotile_sql — LN/TAN/FLOOR, no UDF), so the plan
+    is scan -> codegen'd projection -> hash agg with at most 4^z buckets of
+    final state; identical shape to geohash_grid and equally scan-bound at
+    100 TB.
+    """
+    key = geotile_sql(lat, lon, zoom)
+    out = (
+        df.where(F.expr(lat).isNotNull() & F.expr(lon).isNotNull())
+        .select(F.expr(key).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("tile"))
+    )
+    return out.limit(k) if k is not None else out
+
+
+def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
+    """ES ``matrix_stats``: pairwise covariance/correlation over a set of
+    numeric fields, one row per unordered pair (self-pairs carry the
+    variance and correlation 1).
+
+    ES drops documents missing any of the fields; we mirror that with a
+    single all-non-null filter. The whole matrix is ONE aggregation pass —
+    ``k*(k+1)/2`` covar/corr aggregates computed map-side in the same hash
+    agg — then the 1-row wide result is unpivoted with ``stack`` (constant
+    fan-out, no extra scan or shuffle). Scale: state is O(k²) scalars,
+    independent of row count.
+    """
+    if len(fields) < 2:
+        raise ValueError("matrix_stats needs at least 2 fields")
+    cond = None
+    for f_ in fields:
+        c = F.col(f_).isNotNull()
+        cond = c if cond is None else (cond & c)
+    ok = df.where(cond)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f_ in fields:
+        aggs.append(F.round(F.avg(f_), 6).alias(f"__mean_{f_}"))
+    pairs = [
+        (a, b) for i, a in enumerate(fields) for b in fields[i:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.round(F.covar_samp(a, b), 6).alias(f"__cov_{a}_{b}"))
+        aggs.append(F.round(F.corr(a, b), 6).alias(f"__cor_{a}_{b}"))
+    wide = ok.agg(*aggs)
+    stack_args = []
+    for a, b in pairs:
+        stack_args.append(f"'{a}', '{b}', `__mean_{a}`, `__mean_{b}`, "
+                          f"`__cov_{a}_{b}`, `__cor_{a}_{b}`")
+    stacked = wide.selectExpr(
+        "__n AS count",
+        f"stack({len(pairs)}, {', '.join(stack_args)}) AS "
+        "(field_a, field_b, mean_a, mean_b, covariance, correlation)",
+    )
+    return stacked.select(
+        "field_a", "field_b", "count", "mean_a", "mean_b",
+        "covariance", "correlation",
+    ).orderBy("field_a", "field_b")
+
+
+def variable_width_histogram(
+    df: DataFrame,
+    field: str,
+    buckets: int = 4,
+) -> DataFrame:
+    """ES ``variable_width_histogram``: adaptive buckets sized to the data
+    distribution. ES's variant is a one-pass clustering approximation; this
+    is the deterministic equal-frequency form — interior boundaries at the
+    exact ``i/buckets`` quantiles, rows assigned by value comparison.
+
+    Two scans, NO global sort (an ``ntile`` window would funnel every row
+    through one task): pass 1 computes the boundary quantiles (single
+    aggregate, linear-interpolation percentile — the documented
+    ``approx_percentile`` swap is the 100 TB path), pass 2 assigns each row
+    ``bucket = Σ (value > boundary_i)`` and hash-aggregates min/max/count.
+    Boundaries are rounded to 6dp so the comparison is cross-engine
+    tie-stable (same rounded doubles on Spark and the DuckDB oracle).
+    """
+    if buckets < 2:
+        raise ValueError("variable_width_histogram needs >= 2 buckets")
+    ok = df.where(F.col(field).isNotNull())
+    probs = [i / buckets for i in range(1, buckets)]
+    row = ok.agg(
+        *[
+            F.round(F.expr(f"percentile({field}, {p})"), 6).alias(f"b{i}")
+            for i, p in enumerate(probs)
+        ]
+    ).collect()[0]  # metadata-sized: buckets-1 doubles
+    bounds = [row[f"b{i}"] for i in range(len(probs))]
+    bucket = None
+    for b in bounds:
+        t = F.when(F.col(field) > F.lit(b), 1).otherwise(0)
+        bucket = t if bucket is None else (bucket + t)
+    return (
+        ok.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.min(field).alias("min"),
+            F.max(field).alias("max"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def ip_to_long_sql(expr: str) -> str:
+    """Dotted-quad IPv4 string -> BIGINT, engine-portable (split_part +
+    arithmetic are identical on Spark and DuckDB)."""
+    parts = [
+        f"CAST(split_part({expr}, '.', {i}) AS BIGINT)" for i in (1, 2, 3, 4)
+    ]
+    return (
+        f"({parts[0]} * 16777216 + {parts[1]} * 65536 + "
+        f"{parts[2]} * 256 + {parts[3]})"
+    )
+
+
+def ip_range_agg(
+    df: DataFrame,
+    field: str,
+    ranges: list[tuple[str | None, str | None]],
+) -> DataFrame:
+    """ES ``ip_range``: doc counts in [from, to) IPv4 ranges (either side
+    open). Addresses are mapped to integers with a codegen'd expression and
+    the buckets are the usual one-scan conditional counts (``range_agg``
+    shape) — overlap allowed, one pass regardless of bucket count."""
+
+    def _lit(ip: str) -> int:
+        a, b, c, d = (int(p) for p in ip.split("."))
+        return a * 16777216 + b * 65536 + c * 256 + d
+
+    num_ranges = [
+        (None if lo is None else _lit(lo), None if hi is None else _lit(hi))
+        for lo, hi in ranges
+    ]
+    keyed = df.withColumn("__ip", F.expr(ip_to_long_sql(field)))
+    out = range_agg(keyed, "__ip", num_ranges)
+    # Re-label buckets with the dotted-quad text keys ES reports.
+    labels = [
+        f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        for lo, hi in ranges
+    ]
+    num_keys = [
+        f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+        for lo, hi in num_ranges
+    ]
+    mapping = F.create_map(
+        *[F.lit(v) for pair in zip(num_keys, labels) for v in pair]
+    )
+    return out.withColumn("range_key", mapping[F.col("range_key")])
 
 
 def suggest(

@@ -265,3 +265,51 @@ WHERE fg_count > 0
 ORDER BY score DESC, term ASC
 LIMIT {k}
 """
+
+
+# -- log categorization ------------------------------------------------------
+
+def categorize_pattern_sql(expr: str, dialect: str, max_tokens: int = 4) -> str:
+    """ES ``categorize_text`` category key (deterministic variant): lowercase,
+    strip digit runs (the variable parts of log messages), tokenize on
+    non-letters, keep the first ``max_tokens`` tokens joined by spaces.
+
+    ES's categorizer is an ML drain-tree; this is the reproducible
+    prefix-pattern form — same intent (group near-identical machine-generated
+    text), exact instead of adaptive, so the DuckDB oracle can run the same
+    formula.
+    """
+    stripped = f"regexp_replace(lower({expr}), '[0-9]+', '')"
+    if dialect == "spark":
+        toks = f"filter(split({stripped}, '[^a-z]+'), t -> t != '')"
+        return f"array_join(slice({toks}, 1, {max_tokens}), ' ')"
+    toks = (
+        f"list_filter(regexp_split_to_array({stripped}, '[^a-z]+'), "
+        "t -> t != '')"
+    )
+    return f"array_to_string({toks}[1:{max_tokens}], ' ')"
+
+
+def categorize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``categorize_text`` agg: bucket documents by message pattern.
+
+    One scan -> codegen'd pattern projection -> hash agg -> top-k
+    (TakeOrderedAndProject). Bucket count is bounded by distinct patterns,
+    which the digit-stripping collapses aggressively for machine-generated
+    text; the agg state stays small at any corpus size.
+    """
+    pat = categorize_pattern_sql(text_col, "spark", max_tokens)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.expr(pat).alias("category"))
+        .where(F.col("category") != "")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("category"))
+        .limit(k)
+    )

@@ -610,3 +610,107 @@ def test_normalize_pipeline_methods(spark):
     assert rng == {1: 0.0, 2: 0.4, 3: 1.0}
     with pytest.raises(ValueError, match="method"):
         normalize_pipeline(b, "bucket", "doc_count", method="softmax")
+
+
+def test_geotile_known_vectors(spark):
+    """OSM slippy-map ground truth: (lat 40, lon -74) at z7 -> 37/48;
+    (0,0) -> the tile just SE of the origin; poles/antimeridian clamp."""
+    from harmonize_search_analyze_spark.functions.geohash import geotile_sql
+
+    df = spark.createDataFrame(
+        [(40.0, -74.0), (0.0, 0.0), (89.9, 179.95), (-89.9, -179.95)],
+        ["lat", "lon"],
+    )
+    got = [
+        r[0]
+        for r in df.select(F.expr(geotile_sql("lat", "lon", 7))).collect()
+    ]
+    assert got[0] == "7/37/48"
+    assert got[1] == "7/64/64"
+    assert got[2] == "7/127/0"    # clamped top-right tile
+    assert got[3] == "7/0/127"    # clamped bottom-left tile
+
+
+def test_geotile_grid_counts(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geotile_grid,
+    )
+
+    df = spark.createDataFrame(
+        [(40.0, -74.0)] * 3 + [(51.5, -0.1)] * 2, ["lat", "lon"]
+    )
+    out = geotile_grid(df, "lat", "lon", zoom=7).collect()
+    assert [(r["tile"], r["doc_count"]) for r in out] == [
+        ("7/37/48", 3), ("7/63/42", 2)
+    ]
+
+
+def test_matrix_stats_pairs_and_values(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        matrix_stats,
+    )
+
+    # y = 2x exactly; z uncorrelated-ish constant-breaking third field
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 3.0), (3.0, 6.0, 4.0), (None, 1.0, 1.0)],
+        ["x", "y", "z"],
+    )
+    rows = {(r["field_a"], r["field_b"]): r for r in
+            matrix_stats(df, ["x", "y", "z"]).collect()}
+    assert set(rows) == {("x", "x"), ("x", "y"), ("x", "z"),
+                         ("y", "y"), ("y", "z"), ("z", "z")}
+    xy = rows[("x", "y")]
+    assert xy["count"] == 3          # null-x row dropped everywhere
+    assert xy["correlation"] == 1.0  # exact linear dependence
+    assert xy["covariance"] == 2.0   # covar_samp([1,2,3],[2,4,6])
+    assert rows[("x", "x")]["covariance"] == 1.0  # variance on the diagonal
+
+
+def test_variable_width_histogram_equal_frequency(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        variable_width_histogram,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], ["v"])
+    out = variable_width_histogram(df, "v", buckets=4).collect()
+    # 8 evenly spread values -> 4 buckets of 2, contiguous min/max
+    assert [(r["bucket"], r["min"], r["max"], r["doc_count"]) for r in out] == [
+        (0, 1.0, 2.0, 2), (1, 3.0, 4.0, 2), (2, 5.0, 6.0, 2), (3, 7.0, 8.0, 2)
+    ]
+
+
+def test_ip_range_buckets(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        ip_range_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.1.0.1",), ("10.2.3.4",), ("192.168.0.1",)],
+        ["ip"],
+    )
+    got = {r["range_key"]: r["doc_count"] for r in ip_range_agg(
+        df, "ip",
+        [("10.0.0.0", "10.2.0.0"), ("10.2.0.0", None), (None, "10.0.1.0")],
+    ).collect()}
+    # from inclusive, to exclusive; open sides count everything beyond
+    assert got == {"10.0.0.0-10.2.0.0": 2, "10.2.0.0-*": 2, "*-10.0.1.0": 1}
+
+
+def test_categorize_text_patterns(spark):
+    from harmonize_search_analyze_spark.operators.text import categorize_text
+
+    df = spark.createDataFrame(
+        [
+            ("ERROR 42 disk full on node17",),
+            ("error 7 disk full on node3",),
+            ("user 9 logged in",),
+            ("",),
+        ],
+        ["text"],
+    )
+    out = categorize_text(df, "text", max_tokens=3).collect()
+    # digits stripped, case folded -> the two ERROR lines share a category;
+    # the empty doc contributes nothing
+    assert [(r["category"], r["doc_count"]) for r in out] == [
+        ("error disk full", 2), ("user logged in", 1)
+    ]
