@@ -2650,6 +2650,94 @@ GROUP BY category ORDER BY doc_count DESC, category ASC LIMIT 15
 """
 
 
+_ADVANCED_AST = {
+    "bool": {
+        "should": [
+            {"fuzzy": {"event_type": {"value": "clicks", "fuzziness": 1}}},
+            {"wildcard": {"event_type": "s?gnup"}},
+            {"prefix": {"event_type": "vi"}},
+        ],
+        "must": [{"exists": {"field": "event_type"}}],
+        "must_not": [{"regexp": {"event_type": "err.*"}}],
+    }
+}
+
+
+def q_search_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level ES query DSL beyond the webapp grammar: fuzzy (edit
+    distance), wildcard (*/?), prefix, regexp, exists composed in one bool —
+    compiled to a single pushed-down Column predicate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(compile_query(_ADVANCED_AST))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+SQL_SEARCH_ADVANCED = """
+SELECT event_type, COUNT(*) AS doc_count FROM events
+WHERE (levenshtein(event_type, 'clicks') <= 1
+       OR regexp_matches(event_type, '^(?:s.gnup)$')
+       OR event_type LIKE 'vi%')
+  AND event_type IS NOT NULL
+  AND NOT regexp_matches(event_type, '^(?:err.*)$')
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this: docs most similar to doc 42 — top tf-idf terms of
+    the example, 30% minimum_should_match, idf-sum ranking."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        more_like_this,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return more_like_this(
+        docs, "doc_id", "text", 42, max_query_terms=10, k=10
+    )
+
+
+def _sql_more_like_this() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        more_like_this_sql,
+    )
+
+    return more_like_this_sql(
+        "documents", "doc_id", "text", 42, "duckdb",
+        max_query_terms=10, k=10,
+    )
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight: snippet around the first 'merge' hit with <em> tags,
+    30 chars of context — position arithmetic, no UDF."""
+    from harmonize_search_analyze_spark.operators.text import highlight
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("snippet", highlight("text", "merge", window=30))
+        .where(F.col("snippet").isNotNull())
+        .select("doc_id", "snippet")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+def _sql_highlight() -> str:
+    from harmonize_search_analyze_spark.operators.text import highlight_sql
+
+    snip = highlight_sql("text", "merge", "duckdb", window=30)
+    return f"""
+SELECT doc_id, snippet FROM (
+  SELECT doc_id, {snip} AS snippet FROM documents
+) t WHERE snippet IS NOT NULL
+ORDER BY doc_id LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -2735,6 +2823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_topk": q_quantized_topk,
         "chunk_documents": q_chunk_documents,
         "geotile_grid": q_geotile_grid,
+        "search_advanced": q_search_advanced,
+        "more_like_this": q_more_like_this,
+        "highlight": q_highlight,
         "matrix_stats": q_matrix_stats,
         "variable_width_histogram": q_variable_width_histogram,
         "ip_range": q_ip_range,
@@ -2833,6 +2924,9 @@ def oracle_sql() -> dict[str, str]:
         "quantized_topk": _sql_quantized_topk(),
         "chunk_documents": _sql_chunk_documents(),
         "geotile_grid": _sql_geotile_grid(),
+        "search_advanced": SQL_SEARCH_ADVANCED,
+        "more_like_this": _sql_more_like_this(),
+        "highlight": _sql_highlight(),
         "matrix_stats": _sql_matrix_stats(),
         "variable_width_histogram": SQL_VARIABLE_WIDTH_HISTOGRAM,
         "ip_range": _sql_ip_range(),

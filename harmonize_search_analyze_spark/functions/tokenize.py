@@ -58,3 +58,25 @@ def phrase_prefix_predicate(col: Column | str, text: str) -> Column:
     if not pattern:
         return F.lit(True)
     return F.lower(c).rlike(pattern)
+
+
+def phrase_regex(text: str) -> str:
+    """Regex for ES ``match_phrase`` under the same pinned tokenizer: the
+    token stream must contain ALL words of ``text`` consecutively, each as a
+    full token (slop=0). Differs from phrase-prefix only in anchoring the
+    last word as a complete token."""
+    words = [w for w in re.split(r"[^a-zA-Z0-9]+", text.lower()) if w]
+    if not words:
+        return ""
+    escaped = [re.escape(w) for w in words]
+    body = _TOKEN_SEP.join(escaped)
+    return f"{_TOKEN_BOUNDARY}{body}($|[^a-z0-9])"
+
+
+def phrase_predicate(col: Column | str, text: str) -> Column:
+    """``match_phrase(field.split, text)`` as a Column predicate."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = phrase_regex(text)
+    if not pattern:
+        return F.lit(True)
+    return F.lower(c).rlike(pattern)

@@ -154,3 +154,116 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def more_like_this_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_id: int,
+    dialect: str,
+    *,
+    max_query_terms: int = 25,
+    min_should_pct: float = 0.3,
+    k: int = 10,
+) -> str:
+    """ES ``more_like_this`` (deterministic variant, dual-dialect): find the
+    documents most similar to one example document.
+
+    ES's MLT picks the example's ``max_query_terms`` highest tf-idf terms,
+    builds a bool-should query from them with a 30% minimum_should_match,
+    and ranks by Lucene score. Mirrored exactly, with the pinned tokenizer
+    and the BM25 idf this engine already uses:
+
+    1. the example doc's terms get ``tf * idf`` interestingness scores
+       (idf = ln(1 + (N - df + 0.5) / (df + 0.5)), rounded 6 for tie-safe
+       cross-engine ordering; ties to term ASC);
+    2. top ``max_query_terms`` survive;
+    3. candidate docs must share >= ceil(pct * n_selected) of them
+       (per-doc DISTINCT token match, like ES's per-field term match);
+    4. ranked by the summed idf of matched terms (rounded 6), ties to id.
+
+    Scale shape: ONE distinct-token explode of the corpus (the only row
+    expansion), one hash agg for doc frequencies restricted to the example's
+    terms (the filter broadcast — the example has at most a few thousand
+    distinct tokens), the selected-term list is ≤ max_query_terms rows and
+    broadcasts into the candidate join; final top-k is TakeOrdered."""
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        corpus_unnest = (
+            f"SELECT {id_col} AS doc_id, explode(array_distinct({toks})) AS t "
+            f"FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+        query_unnest = (
+            f"SELECT explode({toks}) AS t FROM {table} "
+            f"WHERE {id_col} = {query_id}"
+        )
+    else:
+        corpus_unnest = (
+            f"SELECT {id_col} AS doc_id, unnest(list_distinct({toks})) AS t "
+            f"FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+        query_unnest = (
+            f"SELECT unnest({toks}) AS t FROM {table} "
+            f"WHERE {id_col} = {query_id}"
+        )
+    return f"""
+WITH tok AS ({corpus_unnest}),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+qtf AS (
+  SELECT t, COUNT(*) AS tf FROM ({query_unnest}) q GROUP BY t
+),
+dfreq AS (
+  SELECT tok.t, COUNT(*) AS dft FROM tok
+  JOIN qtf ON tok.t = qtf.t
+  GROUP BY tok.t
+),
+sel AS (
+  SELECT qtf.t,
+         ROUND(LN(1.0 + (n.n_docs - dfreq.dft + 0.5) / (dfreq.dft + 0.5)),
+               6) AS idf,
+         ROUND(qtf.tf * LN(1.0 + (n.n_docs - dfreq.dft + 0.5)
+                           / (dfreq.dft + 0.5)), 6) AS interest
+  FROM qtf JOIN dfreq ON qtf.t = dfreq.t CROSS JOIN n
+  ORDER BY interest DESC, qtf.t ASC
+  LIMIT {max_query_terms}
+),
+nsel AS (SELECT COUNT(*) AS n_sel FROM sel),
+cand AS (
+  SELECT tok.doc_id, COUNT(*) AS matches, ROUND(SUM(sel.idf), 6) AS score
+  FROM tok JOIN sel ON tok.t = sel.t
+  WHERE tok.doc_id != {query_id}
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, CAST(matches AS BIGINT) AS matches, score
+FROM cand CROSS JOIN nsel
+WHERE matches >= CEIL({min_should_pct} * n_sel)
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def more_like_this(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id: int,
+    *,
+    max_query_terms: int = 25,
+    min_should_pct: float = 0.3,
+    k: int = 10,
+) -> DataFrame:
+    """Run more_like_this over a DataFrame (temp-view + spark-dialect SQL,
+    same execution pattern as bm25_search)."""
+    spark: SparkSession = df.sparkSession
+    view = f"__mlt_corpus_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    out = spark.sql(
+        more_like_this_sql(
+            view, id_col, text_col, query_id, "spark",
+            max_query_terms=max_query_terms,
+            min_should_pct=min_should_pct, k=k,
+        )
+    )
+    spark.catalog.dropTempView(view)
+    return out

@@ -313,3 +313,45 @@ def categorize_text(
         .orderBy(F.desc("doc_count"), F.asc("category"))
         .limit(k)
     )
+
+
+# -- highlighting ------------------------------------------------------------
+
+def highlight_sql(
+    expr: str,
+    term: str,
+    dialect: str,
+    *,
+    window: int = 30,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> str:
+    """ES ``highlight``: a snippet around the FIRST case-insensitive
+    occurrence of ``term`` with the match wrapped in emphasis tags,
+    ``window`` characters of context either side. NULL when absent.
+
+    Pure string-position arithmetic (instr/substr/greatest — identical on
+    Spark and DuckDB; position found on lower(text) maps 1:1 onto the
+    original for the ASCII corpora this targets). Codegen'd projection, no
+    UDF — ES's fragment scorer picks the "best" fragment, this pins the
+    first, which is deterministic and oracle-checkable."""
+    if "'" in term:
+        raise ValueError("highlight term may not contain quotes")
+    t = term.lower()
+    tl = len(t)
+    pos = f"instr(lower({expr}), '{t}')"
+    start = f"GREATEST(1, {pos} - {window})"
+    pre = f"substr({expr}, {start}, {pos} - {start})"
+    hit = f"substr({expr}, {pos}, {tl})"
+    post = f"substr({expr}, {pos} + {tl}, {window})"
+    return (
+        f"CASE WHEN {pos} > 0 THEN "
+        f"({pre} || '{pre_tag}' || {hit} || '{post_tag}' || {post}) END"
+    )
+
+
+def highlight(
+    col: str, term: str, *, window: int = 30
+) -> Column:
+    """Spark Column form of :func:`highlight_sql`."""
+    return F.expr(highlight_sql(col, term, "spark", window=window))

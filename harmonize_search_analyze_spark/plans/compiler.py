@@ -38,6 +38,7 @@ from harmonize_search_analyze_spark.functions.datemath import (
     parse_date_math,
 )
 from harmonize_search_analyze_spark.functions.tokenize import (
+    phrase_predicate,
     phrase_prefix_predicate,
 )
 
@@ -141,6 +142,76 @@ def _query_string(body: dict[str, Any]) -> Column:
     )
 
 
+def _term_level_value(spec: Any) -> tuple[str, dict[str, Any]]:
+    """ES term-level queries accept both ``{f: v}`` and ``{f: {"value": v,
+    ...params}}``; normalize to (value, params)."""
+    if isinstance(spec, dict):
+        return str(spec["value"]), spec
+    return str(spec), {}
+
+
+def _fuzzy(body: dict[str, Any]) -> Column:
+    """ES ``fuzzy`` term query: edit distance <= fuzziness. Term-level —
+    no analysis, case-sensitive like the other term queries here.
+    ``fuzziness: AUTO`` (the ES default ladder): 0 edits under 3 chars,
+    1 through 5 chars, 2 beyond."""
+    (field, spec), = body.items()
+    value, params = _term_level_value(spec)
+    fuzz = params.get("fuzziness", "AUTO")
+    if fuzz == "AUTO":
+        n = 0 if len(value) < 3 else (1 if len(value) <= 5 else 2)
+    else:
+        n = int(fuzz)
+    if n == 0:
+        return F.col(field) == F.lit(value)
+    return F.levenshtein(F.col(field), F.lit(value)) <= F.lit(n)
+
+
+def _wildcard_regex(pattern: str) -> str:
+    import re as _re
+
+    return "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+        for ch in pattern
+    )
+
+
+def _wildcard(body: dict[str, Any]) -> Column:
+    """ES ``wildcard``: ``*`` any sequence, ``?`` one char, anchored at both
+    ends (ES matches the WHOLE term). Compiled to one RLIKE — sargable as a
+    residual parquet filter, no UDF."""
+    (field, spec), = body.items()
+    value, _ = _term_level_value(spec)
+    return F.col(field).rlike(f"^(?:{_wildcard_regex(value)})$")
+
+
+def _regexp(body: dict[str, Any]) -> Column:
+    """ES ``regexp`` term query — anchored to the full term (ES's Lucene
+    regex always is; unanchored fragments need explicit ``.*``)."""
+    (field, spec), = body.items()
+    value, _ = _term_level_value(spec)
+    return F.col(field).rlike(f"^(?:{value})$")
+
+
+def _prefix(body: dict[str, Any]) -> Column:
+    (field, spec), = body.items()
+    value, _ = _term_level_value(spec)
+    return F.col(field).startswith(value)
+
+
+def _exists(body: dict[str, Any]) -> Column:
+    return F.col(body["field"]).isNotNull()
+
+
+def _match_phrase(body: dict[str, Any]) -> Column:
+    """ES ``match_phrase`` (slop=0) under the pinned ``.split`` tokenizer:
+    all words present consecutively as full tokens."""
+    (field, value), = body.items()
+    if field.endswith(SPLIT_SUFFIX):
+        field = field[: -len(SPLIT_SUFFIX)]
+    return phrase_predicate(field, str(value))
+
+
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
@@ -162,11 +233,19 @@ _HANDLERS = {
     "match_all": _match_all,
     "range": _range,
     "match": _match,
+    "match_phrase": _match_phrase,
     "match_phrase_prefix": _match_phrase_prefix,
     "term": _match,
     "terms": _terms,
     "query_string": _query_string,
     "bool": _bool,
+    # term-level queries beyond the reference webapp's grammar — the rest of
+    # the ES query DSL surface a dashboard consumer can issue by hand
+    "fuzzy": _fuzzy,
+    "wildcard": _wildcard,
+    "regexp": _regexp,
+    "prefix": _prefix,
+    "exists": _exists,
 }
 
 
@@ -201,6 +280,21 @@ def display_text(ast: dict[str, Any] | None) -> str:
         return "(" + " OR ".join(f'{field}:"{v}"' for v in values) + ")"
     if kind == "query_string":
         return body.get("query", "*")
+    if kind == "match_phrase":
+        (field, value), = body.items()
+        return f'{field}:"{value}"'
+    if kind in ("fuzzy", "wildcard", "regexp", "prefix"):
+        (field, spec), = body.items()
+        value, params = _term_level_value(spec)
+        if kind == "fuzzy":
+            return f"{field}:{value}~{params.get('fuzziness', 'AUTO')}"
+        if kind == "prefix":
+            return f"{field}:{value}*"
+        if kind == "regexp":
+            return f"{field}:/{value}/"
+        return f"{field}:{value}"
+    if kind == "exists":
+        return f"_exists_:{body['field']}"
     if kind == "bool":
         parts = [display_text(c) for c in body.get("must", []) or []]
         should = [display_text(c) for c in body.get("should", []) or []]

@@ -134,7 +134,7 @@ def test_nested_bool(frame):
 
 def test_unknown_kind_raises():
     with pytest.raises(QueryCompileError):
-        compile_query({"fuzzy": {"f": "x"}})
+        compile_query({"span_near": {"f": "x"}})
     with pytest.raises(QueryCompileError):
         compile_query({"a": 1, "b": 2})
 
@@ -160,3 +160,49 @@ def test_display_text_mirror():
     assert display_text(ast) == (
         'qty:>=5 AND (flag:"N" OR flag:"A") AND NOT active:"1"'
     )
+
+
+def test_fuzzy_query(frame):
+    # AUTO ladder: "PROMP" (5 chars) allows 1 edit -> no descr field match;
+    # term-level on flag: "M" vs N/A/R is 1 edit but AUTO(1 char)=0 edits
+    assert ids(frame, {"fuzzy": {"flag": "M"}}) == []
+    assert ids(frame, {"fuzzy": {"flag": {"value": "M", "fuzziness": 1}}}) == [
+        1, 2, 3, 4
+    ]
+    assert ids(frame, {"fuzzy": {"descr": {
+        "value": "PROMO ANODIZED TIM", "fuzziness": 2}}}) == [3]
+
+
+def test_wildcard_query(frame):
+    assert ids(frame, {"wildcard": {"descr": "PROMO*"}}) == [1, 3]
+    assert ids(frame, {"wildcard": {"descr": "*POLISHED*"}}) == [2]
+    # ? = exactly one char; whole-term anchoring
+    assert ids(frame, {"wildcard": {"flag": "?"}}) == [1, 2, 3, 4]
+    assert ids(frame, {"wildcard": {"descr": "PROMO"}}) == []
+    # regex metachars in the pattern are literal text, not operators
+    assert ids(frame, {"wildcard": {"descr": "PRO.O*"}}) == []
+
+
+def test_regexp_prefix_exists(frame):
+    assert ids(frame, {"regexp": {"flag": "N|R"}}) == [1, 3, 4]
+    # ES regexp is whole-term anchored: fragment without .* matches nothing
+    assert ids(frame, {"regexp": {"descr": "PROMO"}}) == []
+    assert ids(frame, {"prefix": {"descr": "PROMO"}}) == [1, 3]
+    assert ids(frame, {"exists": {"field": "descr"}}) == [1, 2, 3]
+
+
+def test_match_phrase(frame):
+    # full-token contiguous match, case-insensitive under .split semantics
+    assert ids(frame, {"match_phrase": {"descr.split": "promo burnished"}}) == [1]
+    # prefix of a token is NOT a phrase match (unlike match_phrase_prefix)
+    assert ids(frame, {"match_phrase": {"descr.split": "promo burn"}}) == []
+    assert ids(frame, {"match_phrase_prefix": {"descr.split": "promo burn"}}) == [1]
+
+
+def test_display_text_term_level():
+    assert display_text({"fuzzy": {"f": {"value": "x", "fuzziness": 1}}}) == "f:x~1"
+    assert display_text({"wildcard": {"f": "ab*"}}) == "f:ab*"
+    assert display_text({"regexp": {"f": "a|b"}}) == "f:/a|b/"
+    assert display_text({"prefix": {"f": "ab"}}) == "f:ab*"
+    assert display_text({"exists": {"field": "f"}}) == "_exists_:f"
+    assert display_text({"match_phrase": {"f": "a b"}}) == 'f:"a b"'

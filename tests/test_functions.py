@@ -214,3 +214,29 @@ def test_geohash_grid_zoom(spark):
     out = geohash_grid(df, "la", "lo", zoom=8)   # zoom 8 -> precision 5
     rows = out.collect()
     assert rows[0]["geohash"] == "ezs42"
+
+
+def test_highlight_snippet(spark):
+    from harmonize_search_analyze_spark.operators.text import highlight
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown Fox jumps over the lazy dog"),
+            (2, "no such animal here"),
+        ],
+        ["id", "t"],
+    )
+    rows = {r["id"]: r["s"] for r in df.select(
+        "id", highlight("t", "fox", window=6).alias("s")
+    ).collect()}
+    # case-insensitive first hit, original casing preserved, 6-char context
+    assert rows[1] == "brown <em>Fox</em> jumps"
+    assert rows[2] is None
+
+
+def test_highlight_start_of_string(spark):
+    from harmonize_search_analyze_spark.operators.text import highlight
+
+    df = spark.createDataFrame([("fox at the front",)], ["t"])
+    got = df.select(highlight("t", "fox", window=10).alias("s")).collect()[0]["s"]
+    assert got == "<em>fox</em> at the fr"

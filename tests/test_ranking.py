@@ -100,3 +100,45 @@ def test_rrf_fuse_hand_case(spark):
     assert out[2][0] > out[1][0] > out[3][0]
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_more_like_this_finds_term_overlap(spark):
+    from harmonize_search_analyze_spark.operators.ranking import (
+        more_like_this,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),   # shares 3 rare-ish terms
+            (3, "alpha zeta eta theta"),       # shares only 'alpha'
+            (4, "iota kappa lambda mu"),       # shares nothing
+            (5, "beta gamma delta nu"),        # shares 3
+        ],
+        ["doc_id", "text"],
+    )
+    out = more_like_this(docs, "doc_id", "text", 1, max_query_terms=4, k=10)
+    rows = out.collect()
+    got = [r["doc_id"] for r in rows]
+    # 4 selected terms, min_should = ceil(0.3*4) = 2: doc 3 (1 match) and
+    # doc 4 (0) drop; 2 and 5 both match 3 terms
+    assert set(got) == {2, 5}
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[2]["matches"] == 3 and by_id[5]["matches"] == 3
+    # doc 5 matched {beta, gamma, delta}; delta is rarer (df 2 vs 3) so its
+    # idf-sum outranks doc 2's {alpha, beta, gamma}
+    assert by_id[5]["score"] > by_id[2]["score"]
+    assert got[0] == 5
+
+
+def test_more_like_this_excludes_query_doc(spark):
+    from harmonize_search_analyze_spark.operators.ranking import (
+        more_like_this,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "solo words here"), (2, "solo words here")], ["doc_id", "text"]
+    )
+    got = [r["doc_id"] for r in
+           more_like_this(docs, "doc_id", "text", 1).collect()]
+    assert got == [2]
