@@ -2738,6 +2738,91 @@ ORDER BY doc_id LIMIT 20
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (RefinedWeb/Dolma curation): repeated
+    lines survive only at their first (doc_id, pos); docs reassembled in
+    order. One line-key window shuffle + one doc reassembly agg."""
+    from harmonize_search_analyze_spark.operators.dedup import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return line_dedup(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _sql_line_dedup() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import line_dedup_sql
+
+    return (
+        line_dedup_sql("documents", "doc_id", "text")
+        + " ORDER BY doc_id"
+    )
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: per-source deterministic downsampling rates (the
+    training-mix knob) — map-only hash-threshold filter, no shuffle."""
+    from harmonize_search_analyze_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mix_sources(docs, "source", _MIX_RATES, "doc_id", default_rate=0.1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_mix_sources() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        mix_sources_sql,
+    )
+
+    return (
+        mix_sources_sql(
+            "documents", "source", _MIX_RATES, "doc_id",
+            ["doc_id", "source"], "duckdb", default_rate=0.1,
+        )
+        + " ORDER BY doc_id"
+    )
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design statistic: top-50 corpus vocabulary with counts,
+    frequency, and cumulative coverage of all token occurrences."""
+    from harmonize_search_analyze_spark.operators.text import vocab_build
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_build(docs, "text", k=50)
+
+
+def _sql_vocab_build() -> str:
+    from harmonize_search_analyze_spark.operators.text import vocab_build_sql
+
+    return vocab_build_sql("documents", "text", "duckdb", k=50)
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams (BPE-merge / collocation raw statistic):
+    explode -> hash agg -> TakeOrdered."""
+    from harmonize_search_analyze_spark.operators.text import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, k=20)
+
+
+def _sql_ngram_counts() -> str:
+    from harmonize_search_analyze_spark.operators.text import ngrams_sql
+
+    grams = ngrams_sql("text", "duckdb", 2)
+    return f"""
+SELECT ngram, COUNT(*) AS occurrences FROM (
+  SELECT unnest({grams}) AS ngram FROM documents WHERE text IS NOT NULL
+) t
+GROUP BY ngram ORDER BY occurrences DESC, ngram ASC LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -2824,6 +2909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "geotile_grid": q_geotile_grid,
         "search_advanced": q_search_advanced,
+        "line_dedup": q_line_dedup,
+        "mix_sources": q_mix_sources,
+        "vocab_build": q_vocab_build,
+        "ngram_counts": q_ngram_counts,
         "more_like_this": q_more_like_this,
         "highlight": q_highlight,
         "matrix_stats": q_matrix_stats,
@@ -2925,6 +3014,10 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _sql_chunk_documents(),
         "geotile_grid": _sql_geotile_grid(),
         "search_advanced": SQL_SEARCH_ADVANCED,
+        "line_dedup": _sql_line_dedup(),
+        "mix_sources": _sql_mix_sources(),
+        "vocab_build": _sql_vocab_build(),
+        "ngram_counts": _sql_ngram_counts(),
         "more_like_this": _sql_more_like_this(),
         "highlight": _sql_highlight(),
         "matrix_stats": _sql_matrix_stats(),

@@ -539,3 +539,117 @@ def connected_components(
             "iterations (component diameter exceeds max_iters?)"
         )
     return labels
+
+
+# -- line-level corpus dedup -------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    delimiter: str = "\n",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact line deduplication (the RefinedWeb/Dolma curation
+    step): a line occurring in many documents is kept only at its FIRST
+    occurrence (minimum (doc_id, position)) and dropped everywhere else;
+    documents are reassembled in original line order.
+
+    Lines shorter than ``min_line_chars`` are exempt — always kept. That is
+    both semantics (short boilerplate lines like '' or '---' aren't the
+    duplication signal this targets) and the scale guard: the line-key
+    shuffle would otherwise funnel every empty line in a 100 TB corpus
+    through one reducer. With the exemption, key skew is bounded by real
+    repeated content, and the heavy hitters there are exactly what AQE's
+    skew handling splits.
+
+    Plan: posexplode -> ONE window shuffle keyed by line text (rank of
+    (doc_id, pos) within each line group) -> filter -> one groupBy(doc)
+    reassembly with sort_array(collect_list(struct(pos, line))) — order
+    restored without a global sort. Returns (id, text, n_kept, n_dropped).
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        # Spark split() takes a regex, DuckDB string_split a literal —
+        # escape so both see the same delimiter.
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delimiter))
+        ).alias("__pos", "__line"),
+    )
+    exempt = F.length(F.trim(F.col("__line"))) < min_line_chars
+    w = Window.partitionBy("__line").orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    ranked = lines.withColumn(
+        "__keep",
+        exempt | (F.row_number().over(w) == 1),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(
+                                    F.col("__pos"), F.col("__line")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+            ).alias(text_col),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def line_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    delimiter: str = "\n",
+    min_line_chars: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`line_dedup` — the same rank-first-occurrence
+    formula with string_split/unnest and an ordered string_agg."""
+    d = delimiter.replace("'", "''")
+    return f"""
+WITH lines AS (
+  SELECT {id_col},
+         generate_subscripts(string_split({text_col}, '{d}'), 1) - 1 AS pos,
+         unnest(string_split({text_col}, '{d}')) AS line
+  FROM {table}
+),
+ranked AS (
+  SELECT *,
+         (LENGTH(TRIM(line)) < {min_line_chars}
+          OR ROW_NUMBER() OVER (
+               PARTITION BY line ORDER BY {id_col} ASC, pos ASC) = 1
+         ) AS keep
+  FROM lines
+)
+SELECT {id_col},
+       COALESCE(string_agg(CASE WHEN keep THEN line END, '{d}'
+                           ORDER BY pos), '') AS {text_col},
+       CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_dropped
+FROM ranked GROUP BY {id_col}
+"""

@@ -102,3 +102,60 @@ SELECT {cols} FROM (
   FROM {table}
 ) t WHERE rn <= {n_per_stratum}
 """
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    *,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain/source mixing: keep a deterministic ``rates[source]`` fraction
+    of each source's rows — the "20% web, 2x-upweight-books" knob of a
+    training-data pipeline, expressed as per-source downsampling rates in
+    [0, 1]. Sources absent from ``rates`` get ``default_rate`` (drop by
+    default, 1.0 = pass through).
+
+    Same mechanism as ``hash_sample`` — the per-row sampling hash compared
+    against a per-source threshold — so it is a MAP-ONLY filter (no
+    shuffle, pushed to the scan as a residual), reproducible across runs,
+    partitionings, and engines. Rates above 1 are a contract error: an
+    exact-dedup + hash-sample pipeline cannot mint rows; upsampling is a
+    separate epoch-repeat step."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    thr: Column = F.lit(int(default_rate * HASH_BUCKETS))
+    for s, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(source_col) == F.lit(s), F.lit(int(r * HASH_BUCKETS))
+        ).otherwise(thr)
+    return df.where(h < thr)
+
+
+def mix_sources_sql(
+    table: str,
+    source_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    columns: list[str],
+    dialect: str,
+    *,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> str:
+    """Dual-dialect twin of :func:`mix_sources` (the DuckDB oracle)."""
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+    branches = "".join(
+        f"WHEN {source_col} = '{s}' THEN {int(r * HASH_BUCKETS)} "
+        for s, r in sorted(rates.items())
+    )
+    thr = f"(CASE {branches}ELSE {int(default_rate * HASH_BUCKETS)} END)"
+    cols = ", ".join(columns)
+    return f"SELECT {cols} FROM {table} WHERE {h} < {thr}"

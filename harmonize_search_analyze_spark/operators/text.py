@@ -355,3 +355,122 @@ def highlight(
 ) -> Column:
     """Spark Column form of :func:`highlight_sql`."""
     return F.expr(highlight_sql(col, term, "spark", window=window))
+
+
+# -- vocabulary / n-gram statistics ------------------------------------------
+
+def ngrams_sql(expr: str, dialect: str, n: int = 2) -> str:
+    """Word n-gram array (space-joined, duplicates kept) of the pinned
+    tokenization — the counting unit for vocabulary/bigram statistics.
+    Docs with fewer than n tokens yield no n-grams."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens_sql(expr, dialect)
+    if n == 1:
+        return toks
+    # Guarded: Spark's sequence(1, 0) infers step -1 and yields [1, 0], so
+    # the short-doc case must short-circuit BEFORE building the index range.
+    if dialect == "spark":
+        return (
+            f"CASE WHEN size({toks}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+            f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> array_join(slice({toks}, i, {n}), ' ')) END"
+        )
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) END"
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k n-gram frequency table over the corpus (the raw statistic
+    under BPE-merge selection and collocation analysis). One explode ->
+    one hash agg -> TakeOrdered top-k; the explode fan-out is per-doc
+    token count, the agg state is vocabulary-bounded."""
+    grams = ngrams_sql(text_col, "spark", n)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.expr(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def vocab_build(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens with occurrence counts, corpus
+    frequency, and CUMULATIVE coverage — "the 100 most frequent tokens
+    cover X% of all token occurrences", the tokenizer-design statistic.
+
+    One explode -> one hash agg; the total-token count rides the same agg
+    (summed after, via a 1-row crossJoin — no second scan); the cumulative
+    window runs over only the k survivors (tiny, single partition is fine
+    BECAUSE it is k rows, never corpus rows)."""
+    from pyspark.sql import Window
+
+    toks = tokens_sql(text_col, "spark")
+    counts = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.expr(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    total = counts.agg(F.sum("occurrences").alias("__total"))
+    top = (
+        counts.orderBy(F.desc("occurrences"), F.asc("token"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.desc("occurrences"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return top.select(
+        "token",
+        "occurrences",
+        F.round(F.col("occurrences") / F.col("__total"), 6).alias("frequency"),
+        F.round(
+            F.sum("occurrences").over(w) / F.col("__total"), 6
+        ).alias("cum_coverage"),
+    ).orderBy(F.desc("occurrences"), F.asc("token"))
+
+
+def vocab_build_sql(
+    table: str, text_col: str, dialect: str, k: int = 100
+) -> str:
+    """Dual-dialect twin of :func:`vocab_build`."""
+    toks = tokens_sql(text_col, dialect)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    return f"""
+WITH tok AS (
+  SELECT {unnest}({toks}) AS token FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+counts AS (
+  SELECT token, COUNT(*) AS occurrences FROM tok GROUP BY token
+),
+total AS (SELECT SUM(occurrences) AS t FROM counts),
+top AS (
+  SELECT token, occurrences FROM counts
+  ORDER BY occurrences DESC, token ASC LIMIT {k}
+)
+SELECT token, occurrences,
+       ROUND(CAST(occurrences AS DOUBLE) / total.t, 6) AS frequency,
+       ROUND(SUM(occurrences) OVER (
+               ORDER BY occurrences DESC, token ASC
+               ROWS UNBOUNDED PRECEDING) / CAST(total.t AS DOUBLE),
+             6) AS cum_coverage
+FROM top CROSS JOIN total
+ORDER BY occurrences DESC, token ASC
+"""

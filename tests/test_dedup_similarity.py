@@ -287,3 +287,38 @@ def test_connected_components_long_chain_converges(spark):
     assert set(out.values()) == {0}
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iters=2)
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from harmonize_search_analyze_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same boilerplate line\nunique alpha content"),
+            (2, "the same boilerplate line\nunique beta content"),
+            (3, "---\nunique gamma content"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            line_dedup(docs, "doc_id", "text", min_line_chars=5).collect()}
+    # doc 1 owns the first occurrence; doc 2 loses it
+    assert rows[1]["text"] == "the same boilerplate line\nunique alpha content"
+    assert rows[2]["text"] == "unique beta content"
+    assert rows[2]["n_dropped"] == 1
+    # '---' is under min_line_chars: exempt, kept even though short
+    assert rows[3]["text"] == "---\nunique gamma content"
+    assert rows[3]["n_dropped"] == 0
+
+
+def test_line_dedup_all_lines_dropped(spark):
+    from harmonize_search_analyze_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "duplicated content line"), (2, "duplicated content line")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            line_dedup(docs, "doc_id", "text", min_line_chars=5).collect()}
+    assert rows[1]["n_kept"] == 1
+    assert rows[2]["text"] == "" and rows[2]["n_kept"] == 0

@@ -240,3 +240,23 @@ def test_highlight_start_of_string(spark):
     df = spark.createDataFrame([("fox at the front",)], ["t"])
     got = df.select(highlight("t", "fox", window=10).alias("s")).collect()[0]["s"]
     assert got == "<em>fox</em> at the fr"
+
+
+def test_ngrams_and_vocab(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        ngram_counts,
+        vocab_build,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a"), (4, "x")], ["id", "text"]
+    )
+    grams = {r["ngram"]: r["occurrences"]
+             for r in ngram_counts(df, "text", n=2, k=10).collect()}
+    # doc 3 and 4 are shorter than n -> contribute no bigrams
+    assert grams == {"a b": 2, "b c": 1}
+    vocab = vocab_build(df, "text", k=2).collect()
+    assert [(r["token"], r["occurrences"]) for r in vocab] == [("a", 3), ("b", 2)]
+    # 7 total occurrences: cumulative coverage 3/7 then 5/7
+    assert vocab[0]["cum_coverage"] == round(3 / 7, 6)
+    assert vocab[1]["cum_coverage"] == round(5 / 7, 6)

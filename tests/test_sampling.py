@@ -61,3 +61,31 @@ def test_stratified_sample_caps_and_determinism(docs):
     assert kept.count() == few.count()
     with pytest.raises(ValueError):
         stratified_sample(docs, ["lang"], 0, "doc_id")
+
+
+def test_mix_sources_rates(spark):
+    from harmonize_search_analyze_spark.operators.sampling import mix_sources
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        ["id", "src"],
+    )
+    out = mix_sources(df, "src", {"a": 1.0, "b": 0.25}, "id")
+    by_src = {r["src"]: r["cnt"] for r in
+              out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert by_src["a"] == 1000                  # rate 1.0 keeps everything
+    assert 150 <= by_src.get("b", 0) <= 350     # ~25% of 1000
+    # deterministic: same call -> same rows
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in
+                  mix_sources(df, "src", {"a": 1.0, "b": 0.25}, "id").collect())
+    assert ids1 == ids2
+
+
+def test_mix_sources_default_drops_unknown(spark):
+    from harmonize_search_analyze_spark.operators.sampling import mix_sources
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "src"])
+    assert mix_sources(df, "src", {"x": 1.0}, "id").count() == 1
+    with pytest.raises(ValueError):
+        mix_sources(df, "src", {"x": 1.5}, "id")
