@@ -2823,6 +2823,73 @@ GROUP BY ngram ORDER BY occurrences DESC, ngram ASC LIMIT 20
 """
 
 
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match (best_fields): one query string matched across
+    several fields, OR-combined in filter context — exact term equality on
+    not_analyzed columns, phrase-prefix on .split fields."""
+    ast = {
+        "multi_match": {
+            "query": "F",
+            "fields": ["o_orderstatus", "o_orderpriority.split"],
+        }
+    }
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(compile_query(ast))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def _sql_multi_match() -> str:
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        phrase_prefix_regex,
+    )
+
+    pat = phrase_prefix_regex("F")
+    return f"""
+SELECT o_orderstatus, COUNT(*) AS doc_count FROM orders
+WHERE o_orderstatus = 'F'
+   OR regexp_matches(LOWER(o_orderpriority), '{pat}')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+_UPSAMPLE_RATES = {"src0": 2.5, "src1": 0.5, "src2": 1.0}
+
+
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repeat upsampling: per-source repeat rates (2.5x books style),
+    deterministic fractional epochs via the sampling hash — map-only."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        upsample_sources,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        upsample_sources(
+            docs, "source", _UPSAMPLE_RATES, "doc_id", default_rate=1.0
+        )
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def _sql_upsample() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        upsample_sources_sql,
+    )
+
+    return (
+        upsample_sources_sql(
+            "documents", "source", _UPSAMPLE_RATES, "doc_id",
+            ["doc_id", "source"], "duckdb", default_rate=1.0,
+        )
+        + " ORDER BY doc_id, epoch"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -2910,6 +2977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotile_grid": q_geotile_grid,
         "search_advanced": q_search_advanced,
         "line_dedup": q_line_dedup,
+        "multi_match": q_multi_match,
+        "upsample": q_upsample,
         "mix_sources": q_mix_sources,
         "vocab_build": q_vocab_build,
         "ngram_counts": q_ngram_counts,
@@ -3015,6 +3084,8 @@ def oracle_sql() -> dict[str, str]:
         "geotile_grid": _sql_geotile_grid(),
         "search_advanced": SQL_SEARCH_ADVANCED,
         "line_dedup": _sql_line_dedup(),
+        "multi_match": _sql_multi_match(),
+        "upsample": _sql_upsample(),
         "mix_sources": _sql_mix_sources(),
         "vocab_build": _sql_vocab_build(),
         "ngram_counts": _sql_ngram_counts(),

@@ -159,3 +159,79 @@ def mix_sources_sql(
     thr = f"(CASE {branches}ELSE {int(default_rate * HASH_BUCKETS)} END)"
     cols = ", ".join(columns)
     return f"SELECT {cols} FROM {table} WHERE {h} < {thr}"
+
+
+def upsample_sources(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    *,
+    seed: int = 42,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Epoch-repeat upsampling — the rates-above-1 counterpart of
+    ``mix_sources`` ("books x2.5 per epoch"): each row is emitted
+    ``floor(rate)`` times plus one more for the deterministic
+    ``frac(rate)`` hash-fraction, tagged with an ``epoch`` column (1-based)
+    so downstream shuffles/packing see distinct rows.
+
+    Map-only: a per-row repeat count (codegen'd CASE + hash compare) fed to
+    ``explode(sequence(1, reps))`` — no shuffle, reproducible, and the
+    fan-out is bounded by max(rates). Rows with rate < 1 downsample exactly
+    like ``mix_sources`` (reps 0 drops the row)."""
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {s!r} must be >= 0, got {r}")
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+
+    def _reps(rate: float) -> Column:
+        base = int(rate)
+        frac = int(round((rate - base) * HASH_BUCKETS))
+        return F.lit(base) + F.when(h < F.lit(frac), 1).otherwise(0)
+
+    reps: Column = _reps(default_rate)
+    for s, r in sorted(rates.items()):
+        reps = F.when(F.col(source_col) == F.lit(s), _reps(r)).otherwise(reps)
+    return (
+        df.withColumn("__reps", reps)
+        .where(F.col("__reps") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__reps"))))
+        .drop("__reps")
+    )
+
+
+def upsample_sources_sql(
+    table: str,
+    source_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    columns: list[str],
+    dialect: str,
+    *,
+    seed: int = 42,
+    default_rate: float = 1.0,
+) -> str:
+    """Dual-dialect twin of :func:`upsample_sources` (the DuckDB oracle)."""
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+
+    def _reps(rate: float) -> str:
+        base = int(rate)
+        frac = int(round((rate - base) * HASH_BUCKETS))
+        return f"({base} + CASE WHEN {h} < {frac} THEN 1 ELSE 0 END)"
+
+    branches = "".join(
+        f"WHEN {source_col} = '{s}' THEN {_reps(r)} "
+        for s, r in sorted(rates.items())
+    )
+    reps = f"(CASE {branches}ELSE {_reps(default_rate)} END)"
+    cols = ", ".join(columns)
+    if dialect == "spark":
+        unnest = "explode(sequence(1, reps))"
+    else:
+        unnest = "unnest(generate_series(1, reps))"
+    return f"""
+SELECT {cols}, CAST({unnest} AS INT) AS epoch FROM (
+  SELECT {cols}, {reps} AS reps FROM {table}
+) t WHERE reps >= 1
+"""

@@ -212,6 +212,20 @@ def _match_phrase(body: dict[str, Any]) -> Column:
     return phrase_predicate(field, str(value))
 
 
+def _multi_match(body: dict[str, Any]) -> Column:
+    """ES ``multi_match`` (best_fields, the default): the match predicate
+    applied across several fields, OR-combined. Fields ending in ``.split``
+    route through the analyzed phrase-prefix path like ``match`` does; in a
+    filter context best_fields/most_fields only differ in scoring, so one
+    OR covers the DSL surface the engine models."""
+    query = body["query"]
+    fields = body.get("fields") or []
+    if not fields:
+        raise QueryCompileError("multi_match requires a non-empty fields list")
+    preds = [_match({f: query}) for f in fields]
+    return reduce(lambda a, b: a | b, preds)
+
+
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
@@ -242,6 +256,7 @@ _HANDLERS = {
     # term-level queries beyond the reference webapp's grammar — the rest of
     # the ES query DSL surface a dashboard consumer can issue by hand
     "fuzzy": _fuzzy,
+    "multi_match": _multi_match,
     "wildcard": _wildcard,
     "regexp": _regexp,
     "prefix": _prefix,
@@ -295,6 +310,11 @@ def display_text(ast: dict[str, Any] | None) -> str:
         return f"{field}:{value}"
     if kind == "exists":
         return f"_exists_:{body['field']}"
+    if kind == "multi_match":
+        q = body["query"]
+        return "(" + " OR ".join(
+            f'{f}:"{q}"' for f in body.get("fields", [])
+        ) + ")"
     if kind == "bool":
         parts = [display_text(c) for c in body.get("must", []) or []]
         should = [display_text(c) for c in body.get("should", []) or []]

@@ -206,3 +206,16 @@ def test_display_text_term_level():
     assert display_text({"prefix": {"f": "ab"}}) == "f:ab*"
     assert display_text({"exists": {"field": "f"}}) == "_exists_:f"
     assert display_text({"match_phrase": {"f": "a b"}}) == 'f:"a b"'
+
+
+def test_multi_match(frame):
+    ast = {"multi_match": {"query": "N", "fields": ["flag", "descr"]}}
+    assert ids(frame, ast) == [1, 4]
+    # .split fields route through phrase-prefix analysis
+    ast = {"multi_match": {"query": "promo", "fields": ["flag", "descr.split"]}}
+    assert ids(frame, ast) == [1, 3]
+    with pytest.raises(QueryCompileError):
+        compile_query({"multi_match": {"query": "x", "fields": []}})
+    assert display_text(
+        {"multi_match": {"query": "x", "fields": ["a", "b"]}}
+    ) == '(a:"x" OR b:"x")'

@@ -89,3 +89,38 @@ def test_mix_sources_default_drops_unknown(spark):
     assert mix_sources(df, "src", {"x": 1.0}, "id").count() == 1
     with pytest.raises(ValueError):
         mix_sources(df, "src", {"x": 1.5}, "id")
+
+
+def test_upsample_sources_epochs(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        upsample_sources,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        ["id", "src"],
+    )
+    out = upsample_sources(df, "src", {"a": 2.5, "b": 0.5}, "id")
+    by = {r["src"]: r["cnt"] for r in
+          out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    # a: every row 2x or 3x -> ~2.5x of 500; b: ~50% of 500
+    assert 1150 <= by["a"] <= 1350
+    assert 180 <= by["b"] <= 320
+    # epochs per id are 1..reps with no gaps
+    a_epochs = (out.where(F.col("src") == "a").groupBy("id")
+                .agg(F.max("epoch").alias("mx"), F.count("*").alias("c"))
+                .collect())
+    assert all(r["mx"] == r["c"] and r["mx"] in (2, 3) for r in a_epochs)
+    # deterministic across invocations
+    c1 = out.count()
+    assert upsample_sources(df, "src", {"a": 2.5, "b": 0.5}, "id").count() == c1
+
+
+def test_upsample_rejects_negative(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        upsample_sources,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["id", "src"])
+    with pytest.raises(ValueError):
+        upsample_sources(df, "src", {"x": -1.0}, "id")
