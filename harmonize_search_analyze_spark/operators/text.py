@@ -368,14 +368,20 @@ def ngrams_sql(expr: str, dialect: str, n: int = 2) -> str:
     toks = tokens_sql(expr, dialect)
     if n == 1:
         return toks
-    # Guarded: Spark's sequence(1, 0) infers step -1 and yields [1, 0], so
-    # the short-doc case must short-circuit BEFORE building the index range.
+    # zip_with chain, not transform(i -> slice(...)): the per-index slice
+    # re-copies an n-window per element — measured 10x slower (see
+    # dedup.grams_sql). zip_with pads the shorter shifted side with NULL,
+    # concat propagates it, and the filter drops the tail — which also
+    # handles docs shorter than n (everything nulls out -> empty array).
     if dialect == "spark":
-        return (
-            f"CASE WHEN size({toks}) < {n} THEN CAST(array() AS ARRAY<STRING>) "
-            f"ELSE transform(sequence(1, size({toks}) - {n - 1}), "
-            f"i -> array_join(slice({toks}, i, {n}), ' ')) END"
-        )
+        chain = toks
+        for j in range(1, n):
+            shifted = f"slice({toks}, {j + 1}, greatest(size({toks}) - {j}, 0))"
+            chain = (
+                f"zip_with({chain}, {shifted}, "
+                f"(a{j}, b{j}) -> concat(a{j}, ' ', b{j}))"
+            )
+        return f"filter({chain}, x -> x IS NOT NULL)"
     return (
         f"CASE WHEN len({toks}) < {n} THEN [] "
         f"ELSE list_transform(generate_series(1, len({toks}) - {n - 1}), "
