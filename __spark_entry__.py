@@ -2890,6 +2890,33 @@ def _sql_upsample() -> str:
     )
 
 
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. 2011): 8 subspaces x
+    16-entry deterministic refs codebooks, one Arrow encode stage, codegen'd
+    lookup-sum scoring, TakeOrdered top-10 by approximate L2. The full
+    codebook->encode->ADC path is replayed in SQL by the oracle."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        pq_refs_codebooks,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(16).collect()
+    ]
+    books = pq_refs_codebooks(emb, ref_ids, m=8)
+    return pq_topk(emb, books, _QUERY_VEC, 10)
+
+
+def _sql_pq_search() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        pq_topk_oracle_sql,
+    )
+
+    return pq_topk_oracle_sql(_QUERY_VEC, n_refs=16, m=8, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -2977,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotile_grid": q_geotile_grid,
         "search_advanced": q_search_advanced,
         "line_dedup": q_line_dedup,
+        "pq_search": q_pq_search,
         "multi_match": q_multi_match,
         "upsample": q_upsample,
         "mix_sources": q_mix_sources,
@@ -3084,6 +3112,7 @@ def oracle_sql() -> dict[str, str]:
         "geotile_grid": _sql_geotile_grid(),
         "search_advanced": SQL_SEARCH_ADVANCED,
         "line_dedup": _sql_line_dedup(),
+        "pq_search": _sql_pq_search(),
         "multi_match": _sql_multi_match(),
         "upsample": _sql_upsample(),
         "mix_sources": _sql_mix_sources(),

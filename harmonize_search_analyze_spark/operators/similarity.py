@@ -1023,3 +1023,331 @@ def embedding_near_dup_pairs(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).repartition(parallelism)
     return src.mapInPandas(block, "id1 long, id2 long, cosine double")
+
+
+# -- product quantization ----------------------------------------------------
+#
+# PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# IEEE TPAMI 2011 — the standard public formulation): split each D-dim
+# vector into m subvectors of d = D/m dims, quantize each against its own
+# k-entry codebook, store only the m code bytes. Asymmetric distance
+# computation (ADC) scores a query against codes via an m x k lookup table
+# of exact query-to-centroid subdistances.
+#
+# Scale story: codes are m bytes per vector vs 8D for float64 (64x at
+# D=64, m=8) — the memory/shuffle lever that makes a 100 TB embedding
+# column searchable; encode is ONE map-only Arrow stage (no shuffle, no
+# row explosion); ADC search is a codegen'd lookup-sum projection +
+# TakeOrdered. Codebook training reuses the engine's Lloyd machinery with
+# ALL m subspaces trained in the same distributed passes (one assignment
+# stage + one mean agg per iteration, not per subspace).
+
+
+def _pq_split_check(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    return dim // m
+
+
+def pq_refs_codebooks(
+    df: DataFrame,
+    ref_ids: list[int],
+    *,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic codebooks WITHOUT training: subvectors of the given
+    reference rows (sorted by id; centroid_id = rank). The correctness-
+    gate path — fully replayable in SQL by the DuckDB oracle — and the
+    init for ``pq_train``. ref rows are metadata-sized (k rows)."""
+    spark = df.sparkSession
+    rows = (
+        df.where(F.col(id_col).isin(list(ref_ids)))
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    if len(rows) != len(ref_ids):
+        raise ValueError("some ref_ids missing from the input frame")
+    rows.sort(key=lambda r: r[id_col])
+    dim = len(rows[0]["v"])
+    d = _pq_split_check(dim, m)
+    out = []
+    for cid, r in enumerate(rows):
+        for j in range(m):
+            out.append((j, cid, r["v"][j * d:(j + 1) * d]))
+    return spark.createDataFrame(
+        out, "subspace INT, centroid_id INT, cvec ARRAY<DOUBLE>"
+    )
+
+
+def _collect_codebooks(codebooks: DataFrame):
+    """codebooks frame -> {subspace: (cids sorted, matrix)} — metadata-sized
+    (m * k * d doubles)."""
+    import numpy as np
+
+    rows = codebooks.collect()
+    by_j: dict[int, list] = {}
+    for r in rows:
+        by_j.setdefault(r["subspace"], []).append(
+            (r["centroid_id"], r["cvec"])
+        )
+    out = {}
+    for j, lst in by_j.items():
+        lst.sort()
+        out[j] = (
+            np.asarray([c for c, _ in lst], dtype=np.int32),
+            np.asarray([v for _, v in lst], dtype=np.float64),
+        )
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the centroid_id of the
+    nearest codebook entry. ONE map-only Arrow stage (the KB-sized
+    codebooks ride the task closure); subdistances are rounded to 6
+    decimals before the argmin with ties to the lowest centroid_id — the
+    engine's established cross-engine determinism contract
+    (see _assign_literal), which is what lets the DuckDB oracle replay the
+    encode exactly with a fold-ordered L2."""
+    import numpy as np
+    import pandas as pd
+
+    books = _collect_codebooks(codebooks)
+    m = len(books)
+    mats = [books[j][1] for j in range(m)]
+    cids = [books[j][0] for j in range(m)]
+    d = mats[0].shape[1]
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["dvec"].to_numpy())
+            xr = x.reshape(len(x), m, d)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                diff = xr[:, j, None, :] - mats[j][None, :, :]
+                d2 = np.round((diff * diff).sum(axis=-1), 6)
+                codes[:, j] = cids[j][d2.argmin(axis=1)]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    vecs = df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("dvec")
+    )
+    return vecs.mapInPandas(encode, f"{id_col} long, codes array<int>")
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    m: int = 8,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ref_ids: list[int] | None = None,
+) -> DataFrame:
+    """Lloyd-refined PQ codebooks, ALL m subspaces per distributed pass.
+
+    Init: subvectors of ``ref_ids`` (default: the n_centroids lowest ids).
+    Per iteration: one exploded (id, subspace, subvec) Arrow assignment
+    stage against all m codebooks + one (subspace, centroid, dim) mean
+    aggregation; the m*k*d codebook matrix (KBs) is the one justified
+    driver collect, exactly like kmeans_train. Empty cells keep their
+    previous centroid. Deterministic end to end."""
+    import numpy as np
+    import pandas as pd
+
+    if ref_ids is None:
+        ref_ids = [
+            r[id_col]
+            for r in df.select(id_col).orderBy(id_col).limit(n_centroids).collect()
+        ]
+    books = pq_refs_codebooks(
+        df, ref_ids, m=m, vec_col=vec_col, id_col=id_col
+    )
+    spark = df.sparkSession
+    emb = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    first = df.select(F.size(F.expr(emb)).alias("n")).limit(1).collect()
+    d = _pq_split_check(first[0]["n"], m)
+    sub = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice({emb}, j * {d} + 1, {d}))"
+            )
+        ).alias("subspace", "subvec"),
+    )
+    for _ in range(n_iters):
+        bk = _collect_codebooks(books)
+        mats = {j: bk[j][1] for j in bk}
+        cids = {j: bk[j][0] for j in bk}
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_cid = np.empty(len(pdf), dtype=np.int32)
+                sv = np.vstack(pdf["subvec"].to_numpy())
+                js = pdf["subspace"].to_numpy()
+                for j in np.unique(js):
+                    mask = js == j
+                    diff = sv[mask][:, None, :] - mats[j][None, :, :]
+                    d2 = np.round((diff * diff).sum(axis=-1), 6)
+                    out_cid[mask] = cids[j][d2.argmin(axis=1)]
+                yield pd.DataFrame({
+                    "subspace": js, "centroid_id": out_cid,
+                    "subvec": pdf["subvec"],
+                })
+
+        means = (
+            sub.mapInPandas(
+                assign,
+                "subspace int, centroid_id int, subvec array<double>",
+            )
+            .select(
+                "subspace", "centroid_id",
+                F.posexplode("subvec").alias("pos", "x"),
+            )
+            .groupBy("subspace", "centroid_id", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("mval"))
+            .collect()  # m * k * d doubles — metadata-sized
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            upd.setdefault(
+                (r["subspace"], r["centroid_id"]), {}
+            )[r["pos"]] = r["mval"]
+        rows = []
+        for r in books.collect():
+            key = (r["subspace"], r["centroid_id"])
+            if key in upd:
+                rows.append(
+                    (key[0], key[1], [upd[key][i] for i in range(d)])
+                )
+            else:
+                rows.append((key[0], key[1], list(r["cvec"])))
+        books = spark.createDataFrame(
+            rows, "subspace INT, centroid_id INT, cvec ARRAY<DOUBLE>"
+        )
+    return books
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: encode the corpus (one Arrow stage), score each code word
+    against the query's m x k exact subdistance table (computed driver-side
+    from the metadata-sized codebooks, sequential sums = the oracle's fold
+    order), sum via a codegen'd zip_with lookup, TakeOrdered ascending.
+    Returns (id, approx_d2)."""
+    books = _collect_codebooks(codebooks)
+    m = len(books)
+    d = books[0][1].shape[1]
+    if len(qvec) != m * d:
+        raise ValueError(f"query dim {len(qvec)} != {m * d}")
+    table = []
+    for j in range(m):
+        row = []
+        for cv in books[j][1]:
+            s = 0.0
+            for a, b in zip(qvec[j * d:(j + 1) * d], cv):
+                s += (a - b) * (a - b)
+            row.append(round(s, 6))
+        table.append(row)
+    t_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in row) + ")" for row in table
+    ) + ")"
+    codes = pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col)
+    score = (
+        f"round(aggregate(zip_with(codes, {t_lit}, "
+        "(c, trow) -> element_at(trow, c + 1)), 0D, "
+        "(acc, x) -> acc + x), 6)"
+    )
+    return (
+        codes.select(F.col(id_col), F.expr(score).alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_oracle_sql(
+    qvec: list[float],
+    *,
+    n_refs: int = 16,
+    m: int = 8,
+    k: int = 10,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle replaying refs-codebook PQ + ADC end to end in SQL:
+    codebook = subvectors of the ``n_refs`` lowest-id rows; encode =
+    fold-ordered L2 argmin per (vector, subspace), rounded 6, ties to the
+    lowest centroid; score = sum of the query's exact subdistances to the
+    chosen centroids."""
+    d = _pq_split_check(dim, m)
+    q_lit = "[" + ", ".join(repr(float(v)) for v in qvec) + "]"
+    return f"""
+WITH refrows AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS rv
+  FROM {table} ORDER BY {id_col} LIMIT {n_refs}
+),
+refs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cid, rv FROM refrows
+),
+subspaces AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+csub AS (
+  SELECT j, cid, rv[j * {d} + 1 : (j + 1) * {d}] AS cv
+  FROM refs CROSS JOIN subspaces
+),
+vsub AS (
+  SELECT {id_col}, j, ({vec_col}::DOUBLE[])[j * {d} + 1 : (j + 1) * {d}] AS sv
+  FROM {table} CROSS JOIN subspaces
+),
+dists AS (
+  SELECT v.{id_col}, v.j, c.cid,
+         ROUND(list_sum(list_transform(list_zip(v.sv, c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d2
+  FROM vsub v JOIN csub c ON v.j = c.j
+),
+codes AS (
+  SELECT {id_col}, j, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY {id_col}, j ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT j, ({q_lit}::DOUBLE[])[j * {d} + 1 : (j + 1) * {d}] AS qv
+  FROM subspaces
+),
+qtab AS (
+  SELECT q.j, c.cid,
+         ROUND(list_sum(list_transform(list_zip(q.qv, c.cv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS qd2
+  FROM qsub q JOIN csub c ON q.j = c.j
+)
+SELECT codes.{id_col}, ROUND(SUM(qtab.qd2), 6) AS approx_d2
+FROM codes JOIN qtab ON codes.j = qtab.j AND codes.cid = qtab.cid
+GROUP BY codes.{id_col}
+ORDER BY approx_d2 ASC, codes.{id_col} ASC
+LIMIT {k}
+"""

@@ -322,3 +322,82 @@ def test_line_dedup_all_lines_dropped(spark):
             line_dedup(docs, "doc_id", "text", min_line_chars=5).collect()}
     assert rows[1]["n_kept"] == 1
     assert rows[2]["text"] == "" and rows[2]["n_kept"] == 0
+
+
+def test_pq_refs_codebooks_and_encode(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        pq_encode,
+        pq_refs_codebooks,
+    )
+
+    # 4-dim vectors, m=2 subspaces of d=2; refs = ids 1,2
+    rows = [
+        (1, [0.0, 0.0, 10.0, 10.0]),
+        (2, [5.0, 5.0, 0.0, 0.0]),
+        (3, [0.1, -0.1, 0.2, 0.1]),   # sub0 -> ref1(cid0), sub1 -> ref2(cid1)
+        (4, [4.9, 5.2, 9.0, 9.0]),    # sub0 -> ref2(cid1), sub1 -> ref1(cid0)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_refs_codebooks(df, [1, 2], m=2)
+    got = {(r["subspace"], r["centroid_id"]): r["cvec"]
+           for r in books.collect()}
+    assert got[(0, 0)] == [0.0, 0.0] and got[(1, 0)] == [10.0, 10.0]
+    assert got[(0, 1)] == [5.0, 5.0] and got[(1, 1)] == [0.0, 0.0]
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(df, books).collect()}
+    assert codes[3] == [0, 1]
+    assert codes[4] == [1, 0]
+
+
+def test_pq_train_reduces_distortion(spark):
+    import numpy as np
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        _collect_codebooks,
+        pq_encode,
+        pq_refs_codebooks,
+        pq_train,
+    )
+
+    # two tight clusters per subspace, refs start off-center
+    base = [(i, [float(i % 2) * 4.0 + 0.1 * (i % 5),
+                 -float(i % 2) * 4.0,
+                 float((i + 1) % 2) * 2.0,
+                 0.05 * (i % 3)]) for i in range(1, 41)]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+
+    def distortion(books):
+        bk = _collect_codebooks(books)
+        codes = {r["vec_id"]: r["codes"]
+                 for r in pq_encode(df, books).collect()}
+        tot = 0.0
+        for vid, vec in base:
+            v = np.asarray(vec).reshape(len(bk), -1)
+            for j in range(len(bk)):
+                cid = codes[vid][j]
+                idx = list(bk[j][0]).index(cid)
+                tot += float(((v[j] - bk[j][1][idx]) ** 2).sum())
+        return tot
+
+    init = pq_refs_codebooks(df, [1, 2], m=2)
+    trained = pq_train(df, m=2, n_centroids=2, n_iters=3, ref_ids=[1, 2])
+    assert distortion(trained) <= distortion(init) + 1e-9
+    # deterministic
+    t2 = pq_train(df, m=2, n_centroids=2, n_iters=3, ref_ids=[1, 2])
+    assert sorted(map(tuple, trained.collect())) == sorted(map(tuple, t2.collect()))
+
+
+def test_pq_topk_finds_exact_duplicate(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        pq_refs_codebooks,
+        pq_topk,
+    )
+
+    q = [1.0, 2.0, 3.0, 4.0]
+    rows = [(1, q), (2, [10.0, -3.0, 7.0, 1.0]), (3, [0.9, 2.1, 3.2, 3.9]),
+            (4, [-5.0, -5.0, -5.0, -5.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = pq_refs_codebooks(df, [1, 2, 4], m=2)
+    out = pq_topk(df, books, q, k=2).collect()
+    # the exact duplicate encodes to the query-nearest centroids -> dist 0
+    assert out[0]["vec_id"] in (1, 3) and out[0]["approx_d2"] == 0.0
