@@ -2917,6 +2917,72 @@ def _sql_pq_search() -> str:
     return pq_topk_oracle_sql(_QUERY_VEC, n_refs=16, m=8, k=10)
 
 
+_PERCOLATE_QUERIES = {
+    "big_purchase": {
+        "bool": {
+            "must": [
+                {"match": {"event_type": "purchase"}},
+                {"range": {"value": {"gte": 400}}},
+            ]
+        }
+    },
+    "any_error": {"match": {"event_type": "error"}},
+    "signup_or_view": {"terms": {"event_type": ["signup", "view"]}},
+}
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator (inverted search): which stored queries fire on each
+    event — ALL stored predicates evaluated in ONE codegen'd scan, match
+    rows exploded, rolled up to per-query hit counts."""
+    from harmonize_search_analyze_spark.plans.compiler import percolate
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        percolate(ev, _PERCOLATE_QUERIES, ["event_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("query_id")
+    )
+
+
+SQL_PERCOLATE = """
+SELECT query_id, COUNT(*) AS doc_count FROM (
+  SELECT event_id, 'any_error' AS query_id FROM events
+  WHERE event_type = 'error'
+  UNION ALL
+  SELECT event_id, 'big_purchase' FROM events
+  WHERE event_type = 'purchase' AND value >= 400
+  UNION ALL
+  SELECT event_id, 'signup_or_view' FROM events
+  WHERE event_type IN ('signup', 'view')
+) t GROUP BY query_id ORDER BY query_id
+"""
+
+
+def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search collapse: the single highest-value event per event_type
+    (one window shuffle on the collapse key, ties pinned by event_id)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        collapse,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return collapse(
+        ev, "event_type", "value", k=10, tie_col="event_id"
+    ).select("event_type", "event_id", F.round("value", 6).alias("value"))
+
+
+SQL_COLLAPSE = """
+SELECT event_type, event_id, ROUND(value, 6) AS value FROM (
+  SELECT event_type, event_id, value, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+  FROM events WHERE event_type IS NOT NULL
+) t WHERE rn = 1
+ORDER BY value DESC, event_type ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -3005,6 +3071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_advanced": q_search_advanced,
         "line_dedup": q_line_dedup,
         "pq_search": q_pq_search,
+        "percolate": q_percolate,
+        "collapse": q_collapse,
         "multi_match": q_multi_match,
         "upsample": q_upsample,
         "mix_sources": q_mix_sources,
@@ -3113,6 +3181,8 @@ def oracle_sql() -> dict[str, str]:
         "search_advanced": SQL_SEARCH_ADVANCED,
         "line_dedup": _sql_line_dedup(),
         "pq_search": _sql_pq_search(),
+        "percolate": SQL_PERCOLATE,
+        "collapse": SQL_COLLAPSE,
         "multi_match": _sql_multi_match(),
         "upsample": _sql_upsample(),
         "mix_sources": _sql_mix_sources(),

@@ -1097,6 +1097,37 @@ def ip_range_agg(
     return out.withColumn("range_key", mapping[F.col("range_key")])
 
 
+def collapse(
+    df: DataFrame,
+    field: str,
+    sort_col: str,
+    k: int = 10,
+    *,
+    ascending: bool = False,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """ES search ``collapse``: the result list deduplicated to ONE top hit
+    per value of ``field``, ranked by ``sort_col``. ``tie_col`` (a unique
+    id) pins which hit wins inside a group when sort values tie — pass it
+    whenever ``sort_col`` isn't unique per group or the result is
+    partitioning-dependent. One window shuffle keyed by the collapse
+    field + a TakeOrdered top-k of the survivors — never a global sort of
+    all hits.
+    """
+    order = F.asc(sort_col) if ascending else F.desc(sort_col)
+    inner = [order] + ([F.asc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(field).orderBy(*inner)
+    ranked = df.where(F.col(field).isNotNull()).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    return (
+        ranked.where(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy(order, F.asc(field))
+        .limit(k)
+    )
+
+
 def suggest(
     df: DataFrame,
     field: str,

@@ -323,3 +323,38 @@ def display_text(ast: dict[str, Any] | None) -> str:
         parts.extend(f"NOT {display_text(c)}" for c in body.get("must_not", []) or [])
         return " AND ".join(p for p in parts if p) or "*"
     return "*"
+
+
+def percolate(
+    df,
+    queries: dict[str, dict[str, Any] | None],
+    id_cols: list[str],
+    *,
+    now: _dt.datetime | None = None,
+):
+    """ES percolator, inverted search: given STORED queries, find which of
+    them match each document — the alerting/routing primitive ("which
+    saved searches fire on this incoming doc?").
+
+    Every stored query compiles to a Column predicate; all of them are
+    evaluated in ONE scan as a codegen'd boolean array (no join against a
+    query table, no per-query pass), then exploded to (id_cols...,
+    query_id) match rows. Cost is O(rows x queries) predicate evaluations
+    inside whole-stage codegen — at 100 TB with thousands of stored
+    queries this is exactly how you want it shaped: one pass, no shuffle
+    before the (optional) downstream agg.
+
+    Returns one row per (document, matching query), query names sorted.
+    """
+    from pyspark.sql import functions as _F
+
+    names = sorted(queries)
+    tagged = _F.array(
+        *[
+            _F.when(compile_query(queries[n], now=now), _F.lit(n))
+            for n in names
+        ]
+    )
+    return (
+        df.select(*id_cols, _F.explode(_F.array_compact(tagged)).alias("query_id"))
+    )

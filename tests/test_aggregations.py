@@ -714,3 +714,22 @@ def test_categorize_text_patterns(spark):
     assert [(r["category"], r["doc_count"]) for r in out] == [
         ("error disk full", 2), ("user logged in", 1)
     ]
+
+
+def test_collapse_top_hit_per_group(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        collapse,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 30.0),
+            ("b", 4, 20.0), (None, 5, 99.0),
+        ],
+        ["grp", "id", "score"],
+    )
+    out = collapse(df, "grp", "score", k=10, tie_col="id").collect()
+    # one hit per group, null keys skipped, tie inside 'a' pinned to id 2
+    assert [(r["grp"], r["id"], r["score"]) for r in out] == [
+        ("a", 2, 30.0), ("b", 4, 20.0)
+    ]

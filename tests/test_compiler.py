@@ -219,3 +219,20 @@ def test_multi_match(frame):
     assert display_text(
         {"multi_match": {"query": "x", "fields": ["a", "b"]}}
     ) == '(a:"x" OR b:"x")'
+
+
+def test_percolate(spark, frame):
+    from harmonize_search_analyze_spark.plans.compiler import percolate
+
+    stored = {
+        "cheap": {"range": {"qty": {"lte": 15}}},
+        "promo": {"prefix": {"descr": "PROMO"}},
+        "none": {"match": {"flag": "Z"}},
+    }
+    got = sorted(
+        (r["id"], r["query_id"])
+        for r in percolate(frame, stored, ["id"]).collect()
+    )
+    assert got == [
+        (1, "cheap"), (1, "promo"), (2, "cheap"), (3, "promo")
+    ]
