@@ -2983,6 +2983,39 @@ ORDER BY value DESC, event_type ASC LIMIT 10
 """
 
 
+def q_pq_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ: coarse inverted lists prune to nprobe=4 of 16 cells, then
+    PQ/ADC scores only the survivors — the two-level 100 TB ANN shape,
+    replayed end-to-end (coarse assign, probe, encode, ADC) by the oracle.
+    """
+    from harmonize_search_analyze_spark.operators.similarity import (
+        ivf_assign,
+        pq_refs_codebooks,
+        pq_topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse, assignments = ivf_assign(emb, n_centroids=16)
+    ref_ids = [
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(16).collect()
+    ]
+    books = pq_refs_codebooks(emb, ref_ids, m=8)
+    return pq_topk_ivf(
+        emb, coarse, assignments, books, _QUERY_VEC, k=10, nprobe=4
+    )
+
+
+def _sql_pq_search_ivf() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        pq_topk_ivf_oracle_sql,
+    )
+
+    return pq_topk_ivf_oracle_sql(
+        _QUERY_VEC, n_coarse=16, nprobe=4, n_refs=16, m=8, k=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -3072,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pq_search": q_pq_search,
         "percolate": q_percolate,
+        "pq_search_ivf": q_pq_search_ivf,
         "collapse": q_collapse,
         "multi_match": q_multi_match,
         "upsample": q_upsample,
@@ -3182,6 +3216,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _sql_line_dedup(),
         "pq_search": _sql_pq_search(),
         "percolate": SQL_PERCOLATE,
+        "pq_search_ivf": _sql_pq_search_ivf(),
         "collapse": SQL_COLLAPSE,
         "multi_match": _sql_multi_match(),
         "upsample": _sql_upsample(),

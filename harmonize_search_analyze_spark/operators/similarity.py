@@ -1351,3 +1351,146 @@ GROUP BY codes.{id_col}
 ORDER BY approx_d2 ASC, codes.{id_col} ASC
 LIMIT {k}
 """
+
+
+def pq_topk_ivf(
+    df: DataFrame,
+    coarse_centroids: DataFrame,
+    assignments: DataFrame,
+    codebooks: DataFrame,
+    qvec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ: the classic two-level ANN index (coarse inverted lists
+    prune the corpus, PQ/ADC scores the survivors). This is the 100 TB
+    search shape — the coarse probe becomes partition pruning when
+    assignments are written partitioned by centroid_id, and the scored
+    shortlist carries m-byte codes instead of float vectors.
+
+    Probes are the ``nprobe`` coarse centroids nearest the query by L2
+    (matching ADC's metric; rounded-6 ties to the lowest centroid id).
+    Non-residual variant: codes quantize the raw vectors, so the SAME
+    codebooks serve every inverted list and the DuckDB oracle replays the
+    whole path."""
+    l2q = (
+        "round(aggregate(zip_with(cvec, "
+        + "array(" + ", ".join(f"{float(v)!r}D" for v in qvec) + ")"
+        + ", (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v), 6)"
+    )
+    probe_ids = [
+        r["centroid_id"]
+        for r in coarse_centroids.select(
+            "centroid_id", F.expr(l2q).alias("qd2")
+        )
+        .orderBy(F.asc("qd2"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    shortlist = assignments.where(
+        F.col("centroid_id").isin(probe_ids)
+    ).select(id_col)
+    return pq_topk(
+        df.join(shortlist, id_col),
+        codebooks, qvec, k, vec_col=vec_col, id_col=id_col,
+    )
+
+
+def pq_topk_ivf_oracle_sql(
+    qvec: list[float],
+    *,
+    n_coarse: int = 16,
+    nprobe: int = 4,
+    n_refs: int = 16,
+    m: int = 8,
+    k: int = 10,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle for the full IVF+PQ path: deterministic id-hash coarse
+    centroids (ivf_assign's construction), argmin coarse assignment, L2
+    probe selection, then the refs-codebook PQ/ADC of pq_topk_oracle_sql
+    restricted to the probed lists."""
+    d = _pq_split_check(dim, m)
+    q_lit = "[" + ", ".join(repr(float(v)) for v in qvec) + "]"
+    l2 = (
+        "ROUND(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    return f"""
+WITH coarse AS (
+  SELECT centroid_id, cvec FROM (
+    SELECT ({id_col} % {n_coarse}) AS centroid_id,
+           {vec_col}::DOUBLE[] AS cvec,
+           ROW_NUMBER() OVER (
+             PARTITION BY ({id_col} % {n_coarse}) ORDER BY {id_col}) AS rn
+    FROM {table}
+  ) WHERE rn = 1
+),
+assign AS (
+  SELECT {id_col}, centroid_id FROM (
+    SELECT e.{id_col}, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {l2.format(a=f"e.{vec_col}::DOUBLE[]", b="c.cvec")} ASC,
+                      c.centroid_id ASC) AS rn
+    FROM {table} e CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM coarse
+  ORDER BY {l2.format(a="cvec", b=f"{q_lit}::DOUBLE[]")} ASC, centroid_id ASC
+  LIMIT {nprobe}
+),
+pruned AS (
+  SELECT {id_col} FROM assign
+  WHERE centroid_id IN (SELECT centroid_id FROM probes)
+),
+refrows AS (
+  SELECT {id_col}, {vec_col}::DOUBLE[] AS rv
+  FROM {table} ORDER BY {id_col} LIMIT {n_refs}
+),
+refs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS cid, rv FROM refrows
+),
+subspaces AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+csub AS (
+  SELECT j, cid, rv[j * {d} + 1 : (j + 1) * {d}] AS cv
+  FROM refs CROSS JOIN subspaces
+),
+vsub AS (
+  SELECT e.{id_col}, j,
+         (e.{vec_col}::DOUBLE[])[j * {d} + 1 : (j + 1) * {d}] AS sv
+  FROM {table} e JOIN pruned USING ({id_col}) CROSS JOIN subspaces
+),
+dists AS (
+  SELECT v.{id_col}, v.j, c.cid,
+         {l2.format(a="v.sv", b="c.cv")} AS d2
+  FROM vsub v JOIN csub c ON v.j = c.j
+),
+codes AS (
+  SELECT {id_col}, j, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY {id_col}, j ORDER BY d2 ASC, cid ASC) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+qsub AS (
+  SELECT j, ({q_lit}::DOUBLE[])[j * {d} + 1 : (j + 1) * {d}] AS qv
+  FROM subspaces
+),
+qtab AS (
+  SELECT q.j, c.cid, {l2.format(a="q.qv", b="c.cv")} AS qd2
+  FROM qsub q JOIN csub c ON q.j = c.j
+)
+SELECT codes.{id_col}, ROUND(SUM(qtab.qd2), 6) AS approx_d2
+FROM codes JOIN qtab ON codes.j = qtab.j AND codes.cid = qtab.cid
+GROUP BY codes.{id_col}
+ORDER BY approx_d2 ASC, codes.{id_col} ASC
+LIMIT {k}
+"""

@@ -401,3 +401,29 @@ def test_pq_topk_finds_exact_duplicate(spark):
     out = pq_topk(df, books, q, k=2).collect()
     # the exact duplicate encodes to the query-nearest centroids -> dist 0
     assert out[0]["vec_id"] in (1, 3) and out[0]["approx_d2"] == 0.0
+
+
+def test_pq_topk_ivf_prunes_and_matches_probed_full_scan(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        ivf_assign,
+        pq_refs_codebooks,
+        pq_topk,
+        pq_topk_ivf,
+    )
+
+    rows = [(i, [float((i * 7) % 13) - 6.0, float((i * 3) % 11) - 5.0,
+                 float(i % 5) - 2.0, float((i * 5) % 9) - 4.0])
+            for i in range(1, 61)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    coarse, assignments = ivf_assign(df, n_centroids=4)
+    books = pq_refs_codebooks(df, [1, 2, 3, 4], m=2)
+    q = [1.0, -2.0, 0.5, 3.0]
+    pruned = pq_topk_ivf(
+        df, coarse, assignments, books, q, k=5, nprobe=4
+    ).collect()
+    # nprobe == n_centroids -> no pruning: must equal the full PQ scan
+    full = pq_topk(df, books, q, k=5).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in full]
+    # real pruning returns a subset drawn only from probed lists
+    p1 = pq_topk_ivf(df, coarse, assignments, books, q, k=5, nprobe=1)
+    assert 0 < p1.count() <= 5
