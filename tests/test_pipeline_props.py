@@ -106,3 +106,92 @@ def test_rrf_list_order_invariance_property(spark, ranks_a, ranks_b):
     assert ab == ba
     for _, score, n_lists in ab:
         assert 0 < score <= round(n_lists / 61.0, 6) + 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    pattern=st.text(alphabet="ab*?.+[x", min_size=0, max_size=8),
+    value=st.text(alphabet="abx.?*", min_size=0, max_size=10),
+)
+def test_wildcard_regex_matches_fnmatch(pattern, value):
+    """The wildcard->regex translation must agree with Python's fnmatch on
+    every pattern, including regex metacharacters used as literals."""
+    import fnmatch
+    import re
+
+    from harmonize_search_analyze_spark.plans.compiler import (
+        _wildcard_regex,
+    )
+
+    got = re.fullmatch(_wildcard_regex(pattern), value) is not None
+    want = fnmatch.fnmatchcase(value, pattern)
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    haystack_words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=0,
+        max_size=8,
+    ),
+    needle_words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=1,
+        max_size=3,
+    ),
+)
+def test_phrase_regex_is_contiguous_sublist(haystack_words, needle_words):
+    """phrase_regex matches iff the needle token list appears as a
+    CONTIGUOUS sublist of the haystack tokens (the pinned match_phrase
+    contract)."""
+    import re
+
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        phrase_regex,
+    )
+
+    text = " ".join(haystack_words)
+    pat = phrase_regex(" ".join(needle_words))
+    got = bool(pat) and re.search(pat, text.lower()) is not None
+    n, h = needle_words, haystack_words
+    want = any(
+        h[i:i + len(n)] == n for i in range(len(h) - len(n) + 1)
+    )
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["shared line of text", "another common line",
+                 "unique %d", "x"]
+            ),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=5,
+    )
+)
+def test_line_dedup_conservation(spark, docs):
+    """Line accounting invariant: kept + dropped == total lines, every
+    duplicated over-threshold line survives exactly once corpus-wide, and
+    short lines are never dropped."""
+    from harmonize_search_analyze_spark.operators.dedup import line_dedup
+
+    rows = [
+        (i, "\n".join(line % i if "%d" in line else line for line in d))
+        for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup(df, "doc_id", "text", min_line_chars=5).collect()
+    total_lines = sum(len(d) for d in docs)
+    assert sum(r["n_kept"] + r["n_dropped"] for r in out) == total_lines
+    # corpus-wide: every distinct long line appears exactly once in the
+    # reassembled texts; short lines ('x') survive everywhere
+    kept_lines = [
+        ln for r in out for ln in (r["text"].split("\n") if r["text"] else [])
+    ]
+    long_lines = [l for l in kept_lines if len(l.strip()) >= 5]
+    assert len(long_lines) == len(set(long_lines))
+    n_x_in = sum(1 for d in docs for line in d if line == "x")
+    assert kept_lines.count("x") == n_x_in

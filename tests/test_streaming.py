@@ -492,3 +492,58 @@ def test_join_streams_time_bounded(spark, tmp_path):
     with pytest.raises(ValueError, match="inner/left_outer"):
         join_streams(imp_s, clk_s, "ad_id", left_ts="imp_ts",
                      right_ts="click_ts", how="full")
+
+
+def test_streaming_percolate_alerts(spark, tmp_path):
+    """percolate() is a stateless codegen'd projection, so the SAME
+    operator runs unchanged on a stream — the saved-search alerting path
+    (stored queries fire per micro-batch as events land)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.plans.compiler import percolate
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    rows = [
+        (1, "purchase", 500.0, dt.datetime(2025, 1, 1, 10)),
+        (2, "error", 1.0, dt.datetime(2025, 1, 1, 10, 1)),
+        (3, "view", 5.0, dt.datetime(2025, 1, 1, 10, 2)),
+        (4, "purchase", 10.0, dt.datetime(2025, 1, 1, 10, 3)),
+    ]
+    src = tmp_path / "event_stream"
+    spark.createDataFrame(rows, schema).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stored = {
+        "big_purchase": {"bool": {"must": [
+            {"match": {"event_type": "purchase"}},
+            {"range": {"value": {"gte": 100}}},
+        ]}},
+        "any_error": {"match": {"event_type": "error"}},
+    }
+    stream = read_document_stream(spark, str(src), schema)
+    alerts = percolate(stream, stored, ["event_id"])
+    assert alerts.isStreaming
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("percolate_alerts")
+        .option("checkpointLocation", str(tmp_path / "ck_perc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["event_id"], r["query_id"])
+        for r in spark.sql("SELECT * FROM percolate_alerts").collect()
+    )
+    assert got == [(1, "big_purchase"), (2, "any_error")]
