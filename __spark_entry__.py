@@ -3016,6 +3016,127 @@ def _sql_pq_search_ivf() -> str:
     )
 
 
+def q_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_line: per-event-type track of synthesized coordinates
+    ordered by event_id (first 50 points) — one bounded hash agg."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_line,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn(
+            "lat",
+            F.expr("(CAST(event_id % 18000 AS DOUBLE) / 100.0) - 90.0"),
+        )
+        .withColumn(
+            "lon",
+            F.expr("(CAST(user_id % 36000 AS DOUBLE) / 100.0) - 180.0"),
+        )
+    )
+    return geo_line(
+        ev, "event_type", "lat", "lon", "event_id", max_points=50
+    )
+
+
+SQL_GEO_LINE = """
+WITH pts AS (
+  SELECT event_type,
+         event_id,
+         [(CAST(user_id % 36000 AS DOUBLE) / 100.0) - 180.0,
+          (CAST(event_id % 18000 AS DOUBLE) / 100.0) - 90.0] AS p,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY event_id ASC) AS rn
+  FROM events WHERE event_type IS NOT NULL
+)
+SELECT event_type,
+       list(p ORDER BY event_id ASC) AS line,
+       CAST(COUNT(*) AS INT) AS n_points
+FROM pts WHERE rn <= 50
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets (size-2, exact): token pairs co-occurring in
+    >= 60% of documents — per-doc distinct explode, within-doc pair join,
+    support filter."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        frequent_item_sets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        "doc_id", F.explode(F.expr(
+            "array_distinct(filter(split(lower(text), '[^a-z0-9]+'), "
+            "t -> length(t) >= 5))"
+        )).alias("token"),
+    )
+    return frequent_item_sets(
+        items, "token", "doc_id", min_support=0.6, k=15
+    )
+
+
+SQL_FREQUENT_ITEM_SETS = """
+WITH items AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           t -> length(t) >= 5))) AS item
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS g FROM items)
+SELECT a.item AS item_a, b.item AS item_b,
+       COUNT(*) AS doc_count,
+       ROUND(COUNT(*) / (SELECT CAST(g AS DOUBLE) FROM n), 6) AS support
+FROM items a JOIN items b ON a.doc_id = b.doc_id AND a.item < b.item
+GROUP BY a.item, b.item
+HAVING support >= 0.6
+ORDER BY doc_count DESC, item_a ASC, item_b ASC
+LIMIT 15
+"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary row: doc/char/token totals, average length,
+    majority language, exact duplicate rate — one scan lineage, the
+    count-distinct kept OUT of the main agg (Expand-plan cliff)."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        corpus_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_profile(docs, "text", "lang")
+
+
+def _sql_corpus_profile() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        token_count_sql,
+    )
+
+    tok = token_count_sql("text", "duckdb")
+    return f"""
+WITH ok AS (SELECT * FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+         CAST(SUM({tok}) AS BIGINT) AS n_tokens,
+         ROUND(AVG({tok}), 6) AS avg_tokens
+  FROM ok
+),
+lang_top AS (
+  SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_lang_docs
+  FROM ok GROUP BY lang ORDER BY COUNT(*) DESC, lang ASC LIMIT 1
+),
+uniq AS (
+  SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique FROM ok
+)
+SELECT base.*, lang_top.*, uniq.n_unique,
+       ROUND((n_docs - n_unique) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+FROM base CROSS JOIN lang_top CROSS JOIN uniq
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -3106,6 +3227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search": q_pq_search,
         "percolate": q_percolate,
         "pq_search_ivf": q_pq_search_ivf,
+        "geo_line": q_geo_line,
+        "frequent_item_sets": q_frequent_item_sets,
+        "corpus_profile": q_corpus_profile,
         "collapse": q_collapse,
         "multi_match": q_multi_match,
         "upsample": q_upsample,
@@ -3217,6 +3341,9 @@ def oracle_sql() -> dict[str, str]:
         "pq_search": _sql_pq_search(),
         "percolate": SQL_PERCOLATE,
         "pq_search_ivf": _sql_pq_search_ivf(),
+        "geo_line": SQL_GEO_LINE,
+        "frequent_item_sets": SQL_FREQUENT_ITEM_SETS,
+        "corpus_profile": _sql_corpus_profile(),
         "collapse": SQL_COLLAPSE,
         "multi_match": _sql_multi_match(),
         "upsample": _sql_upsample(),

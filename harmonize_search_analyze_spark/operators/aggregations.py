@@ -1097,6 +1097,92 @@ def ip_range_agg(
     return out.withColumn("range_key", mapping[F.col("range_key")])
 
 
+def geo_line(
+    df: DataFrame,
+    group: str,
+    lat: str,
+    lon: str,
+    sort_col: str,
+    *,
+    max_points: int = 100,
+) -> DataFrame:
+    """ES ``geo_line``: per group, the track — an ordered array of
+    [lon, lat] points sorted by ``sort_col`` (ES truncates to ``size``
+    points; we keep the FIRST ``max_points`` in sort order, deterministic).
+
+    One hash agg per group: collect (sort_key, point) structs, sort the
+    bounded array, slice, project to points. The per-group state is capped
+    by ``max_points``… after the slice; the collect itself is bounded by
+    group size — for unbounded groups pre-filter or bucket by time first
+    (same contract as ES, which hard-caps size at 10k)."""
+    pt = F.struct(
+        F.col(sort_col).alias("s"),
+        F.array(F.col(lon), F.col(lat)).alias("p"),
+    )
+    ok = df.where(
+        F.col(lat).isNotNull() & F.col(lon).isNotNull()
+        & F.col(sort_col).isNotNull()
+    )
+    return (
+        ok.groupBy(group)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(pt)), 1, max_points
+            ).alias("__pts")
+        )
+        .select(
+            group,
+            F.transform(F.col("__pts"), lambda s: s["p"]).alias("line"),
+            F.size("__pts").alias("n_points"),
+        )
+        .orderBy(group)
+    )
+
+
+def frequent_item_sets(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    *,
+    min_support: float = 0.1,
+    k: int = 20,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` (8.x), size-2 variant: co-occurring item
+    PAIRS with support >= ``min_support`` (fraction of groups containing
+    both items), the market-basket signal.
+
+    Plan: per-group DISTINCT items (one agg), self-join within group on
+    item_a < item_b (the only quadratic step — bounded by per-group
+    distinct item count, not corpus size), pair hash agg, support filter
+    against the group count (1-row broadcast). ES's own implementation is
+    Eclat over shard samples and approximate; this is exact."""
+    items = df.where(F.col(item_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    n_groups = items.select("g").distinct().count()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .withColumn(
+            "support",
+            F.round(F.col("doc_count") / F.lit(float(n_groups)), 6),
+        )
+        .where(F.col("support") >= min_support)
+        .orderBy(
+            F.desc("doc_count"), F.asc("item_a"), F.asc("item_b")
+        )
+        .limit(k)
+    )
+    return pairs
+
+
 def collapse(
     df: DataFrame,
     field: str,

@@ -244,3 +244,55 @@ SELECT {id_col},
        md5({redact_pii_sql(text_col, 'duckdb')}) AS redacted_md5
 FROM {doc_table} ORDER BY {id_col}
 """
+
+
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """One-row corpus datasheet — the summary block of a dataset card:
+    document/char/token totals, average document length, exact duplicate
+    rate (per md5 digest), and the majority language.
+
+    Three bounded pieces over one scan lineage: the token/char metrics
+    ride a single hash agg; the exact distinct-digest count runs as its
+    OWN aggregate (mixing count_distinct into a regular agg triggers
+    Catalyst's Expand plan — the measured ~150x profiler cliff, see
+    PERFORMANCE.md) and joins back via a broadcast 1-row crossJoin, as
+    does the top-language row (a terms top-1)."""
+    from harmonize_search_analyze_spark.operators.text import (
+        token_count_sql,
+    )
+
+    ok = df.where(F.col(text_col).isNotNull())
+    toks = F.expr(token_count_sql(text_col, "spark"))
+    base = ok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.sum(toks).alias("n_tokens"),
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+    )
+    if lang_col is not None:
+        lang_top = (
+            ok.groupBy(lang_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc(lang_col))
+            .limit(1)
+            .select(
+                F.col(lang_col).alias("top_lang"),
+                F.col("c").alias("top_lang_docs"),
+            )
+        )
+        base = base.crossJoin(F.broadcast(lang_top))
+    digests = ok.select(
+        F.md5(F.col(text_col).cast("binary")).alias("__d")
+    ).agg(F.count_distinct("__d").alias("n_unique"))
+    return base.crossJoin(F.broadcast(digests)).withColumn(
+        "dup_rate",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique"))
+            / F.col("n_docs").cast("double"),
+            6,
+        ),
+    )

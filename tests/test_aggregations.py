@@ -733,3 +733,45 @@ def test_collapse_top_hit_per_group(spark):
     assert [(r["grp"], r["id"], r["score"]) for r in out] == [
         ("a", 2, 30.0), ("b", 4, 20.0)
     ]
+
+
+def test_geo_line_ordered_track(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_line,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("t1", 3, 30.0, -3.0), ("t1", 1, 10.0, -1.0),
+            ("t1", 2, 20.0, -2.0), ("t2", 1, 5.0, 5.0),
+            ("t1", 4, None, 0.0),
+        ],
+        ["grp", "seq", "lat", "lon"],
+    )
+    out = {r["grp"]: r for r in
+           geo_line(df, "grp", "lat", "lon", "seq", max_points=2).collect()}
+    # sorted by seq, truncated to max_points, [lon, lat] order, nulls out
+    assert out["t1"]["line"] == [[-1.0, 10.0], [-2.0, 20.0]]
+    assert out["t1"]["n_points"] == 2
+    assert out["t2"]["line"] == [[5.0, 5.0]]
+
+
+def test_frequent_item_sets_support(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        frequent_item_sets,
+    )
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "bread"),
+        (4, "milk"), (4, "eggs"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r["item_a"], r["item_b"]): (r["doc_count"], r["support"])
+           for r in frequent_item_sets(
+               df, "item", "basket", min_support=0.5).collect()}
+    # bread+milk in 3 of 4 baskets, eggs+milk in 2 (exactly 50%, kept —
+    # support filter is inclusive); bread+eggs (1 of 4) drops
+    assert out == {("bread", "milk"): (3, 0.75),
+                   ("eggs", "milk"): (2, 0.5)}

@@ -110,3 +110,25 @@ def test_pii_scan_hand_cases(spark):
     assert red[1] == "mail me at [EMAIL] or call [PHONE]"
     assert red[2] == "ssn [SSN] from host [IP]"
     assert red[3] == docs.where("doc_id = 3").collect()[0]["text"]
+
+
+def test_corpus_profile_datasheet(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        corpus_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", "en"),
+            (2, "alpha beta", "en"),      # exact dup of 1
+            (3, "gamma", "fr"),
+            (4, None, "en"),              # null text excluded everywhere
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    r = corpus_profile(df, "text", "lang").collect()[0]
+    assert r["n_docs"] == 3
+    assert r["n_tokens"] == 5
+    assert r["top_lang"] == "en" and r["top_lang_docs"] == 2
+    assert r["n_unique"] == 2
+    assert r["dup_rate"] == round(1 / 3, 6)
