@@ -3137,6 +3137,74 @@ FROM base CROSS JOIN lang_top CROSS JOIN uniq
 """
 
 
+_FUNNEL_STEPS_SQL = [
+    ("view", "event_type = 'view'"),
+    ("click", "event_type = 'click'"),
+    ("purchase", "event_type = 'purchase'"),
+]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view->click->purchase per user: conditional-MIN step
+    timestamps in ONE user-keyed agg, ordered-reach cascade on the result.
+    """
+    from harmonize_search_analyze_spark.operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    steps = [
+        (name, F.expr(pred)) for name, pred in _FUNNEL_STEPS_SQL
+    ]
+    return funnel(ev, steps)
+
+
+def _sql_funnel() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        funnel_sql,
+    )
+
+    return funnel_sql("events", _FUNNEL_STEPS_SQL)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: first-seen week x activity-week
+    offset, distinct users, pct of cohort — two hash aggs, bounded by the
+    time range."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week", max_offset=8)
+
+
+def _sql_cohort_retention() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cohort_retention_sql,
+    )
+
+    return cohort_retention_sql("events", period="week", max_offset=8)
+
+
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-rate anomaly flags: bucket counts z-scored against the
+    whole series (|z| >= 1.5 flags) — two bounded passes, no unbounded
+    windows."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        rate_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_anomalies(ev, interval="1 day", threshold=1.5)
+
+
+def _sql_rate_anomalies() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        rate_anomalies_sql,
+    )
+
+    return rate_anomalies_sql("events", threshold=1.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -3228,6 +3296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "pq_search_ivf": q_pq_search_ivf,
         "geo_line": q_geo_line,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "rate_anomalies": q_rate_anomalies,
         "frequent_item_sets": q_frequent_item_sets,
         "corpus_profile": q_corpus_profile,
         "collapse": q_collapse,
@@ -3342,6 +3413,9 @@ def oracle_sql() -> dict[str, str]:
         "percolate": SQL_PERCOLATE,
         "pq_search_ivf": _sql_pq_search_ivf(),
         "geo_line": SQL_GEO_LINE,
+        "funnel": _sql_funnel(),
+        "cohort_retention": _sql_cohort_retention(),
+        "rate_anomalies": _sql_rate_anomalies(),
         "frequent_item_sets": SQL_FREQUENT_ITEM_SETS,
         "corpus_profile": _sql_corpus_profile(),
         "collapse": SQL_COLLAPSE,

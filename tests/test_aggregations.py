@@ -775,3 +775,74 @@ def test_frequent_item_sets_support(spark):
     # support filter is inclusive); bread+eggs (1 of 4) drops
     assert out == {("bread", "milk"): (3, 0.75),
                    ("eggs", "milk"): (2, 0.5)}
+
+
+def test_funnel_ordered_steps(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import funnel
+
+    t = dt.datetime
+    rows = [
+        # u1 completes in order
+        (1, "view", t(2025, 1, 1, 9)), (1, "click", t(2025, 1, 1, 10)),
+        (1, "buy", t(2025, 1, 1, 11)),
+        # u2 clicks BEFORE viewing -> reaches view only
+        (2, "click", t(2025, 1, 1, 8)), (2, "view", t(2025, 1, 1, 9)),
+        # u3 views then clicks, never buys
+        (3, "view", t(2025, 1, 1, 9)), (3, "click", t(2025, 1, 1, 9)),
+        # u4 only buys -> counts nowhere (no view)
+        (4, "buy", t(2025, 1, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+        ("buy", F.col("event_type") == "buy"),
+    ]
+    got = [(r["step"], r["users"], r["conversion_pct"])
+           for r in funnel(df, steps).collect()]
+    # u3's click at the same timestamp as view counts (>= semantics)
+    assert got == [("view", 3, 100.0), ("click", 2, round(200 / 3, 6)),
+                   ("buy", 1, round(100 / 3, 6))]
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    t = dt.datetime
+    rows = [
+        (1, t(2025, 1, 6)), (1, t(2025, 1, 13)),   # week0 + week1
+        (2, t(2025, 1, 7)),                        # week0 only
+        (3, t(2025, 1, 13)), (3, t(2025, 1, 27)),  # cohort w1, back at +2
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(str(r["cohort"]), r["period_offset"]): (r["users"], r["pct_of_cohort"])
+           for r in cohort_retention(df, period="week").collect()}
+    assert got[("2025-01-06 00:00:00", 0)] == (2, 100.0)
+    assert got[("2025-01-06 00:00:00", 1)] == (1, 50.0)
+    assert got[("2025-01-13 00:00:00", 0)] == (1, 100.0)
+    assert got[("2025-01-13 00:00:00", 2)] == (1, 100.0)
+
+
+def test_rate_anomalies_flags_spike(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        rate_anomalies,
+    )
+
+    rows = []
+    for day in range(1, 11):
+        n = 100 if day != 5 else 500   # day 5 spikes
+        rows += [(i, dt.datetime(2025, 1, day, 12)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = {str(r["bucket"]): r for r in rate_anomalies(
+        df, threshold=2.0).collect()}
+    assert out["2025-01-05 00:00:00"]["is_anomaly"] is True
+    assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
+    assert out["2025-01-01 00:00:00"]["z_score"] < 0
