@@ -1,0 +1,137 @@
+"""Plan-shape regression tests for the round-2 operators: assert the
+EXECUTED plan has the scale shape each docstring promises (shuffle counts,
+pushed filters, no Python in filter-only paths). A correctness-fine but
+shape-regressed operator fails here before it fails a 100x scale-up."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    """Executed plan text, FINAL plan only (AQE prints the initial plan
+    too, which double-counts every Exchange)."""
+    full = df._jdf.queryExecution().executedPlan().toString()
+    return full.split("== Initial Plan ==")[0]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"alpha beta gamma doc{i}", "src" + str(i % 3))
+            for i in range(200)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_mix_sources_is_map_only(docs):
+    """Domain mixing must stay a scan+filter — zero exchanges, zero
+    Python stages."""
+    from harmonize_search_analyze_spark.operators.sampling import mix_sources
+
+    out = mix_sources(docs, "source", {"src0": 1.0, "src1": 0.5}, "doc_id")
+    out.count()
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+
+
+def test_upsample_is_map_only(docs):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        upsample_sources,
+    )
+
+    out = upsample_sources(docs, "source", {"src0": 2.0}, "doc_id")
+    out.count()
+    p = _plan(out)
+    assert "Exchange" not in p, p
+
+
+def test_percolate_single_scan_no_exchange(docs):
+    """All stored queries evaluate in one codegen'd projection."""
+    from harmonize_search_analyze_spark.plans.compiler import percolate
+
+    stored = {
+        "a": {"prefix": {"text": "alpha"}},
+        "b": {"wildcard": {"source": "src?"}},
+    }
+    out = percolate(docs, stored, ["doc_id"])
+    out.count()
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+
+
+def test_geotile_grid_single_exchange(docs, spark):
+    """scan -> codegen projection -> partial/final hash agg: exactly one
+    exchange, TakeOrdered for the top-k."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geotile_grid,
+    )
+
+    df = spark.createDataFrame(
+        [(40.0 + i * 0.1, -74.0 + i * 0.1) for i in range(50)],
+        ["lat", "lon"],
+    )
+    out = geotile_grid(df, "lat", "lon", zoom=7, k=5)
+    out.collect()
+    p = _plan(out)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_matrix_stats_single_aggregation_pass(spark):
+    """The whole k x k matrix rides ONE aggregate (single exchange to the
+    1-row final agg), then a constant-fanout generate."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        matrix_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2), float(i % 3)) for i in range(100)],
+        ["x", "y", "z"],
+    )
+    out = matrix_stats(df, ["x", "y", "z"])
+    out.collect()
+    p = _plan(out)
+    assert p.count("Exchange") <= 2, p  # partial->final single-partition + sort
+    assert "Python" not in p, p
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The per-user conditional-MIN agg is the only wide stage."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import funnel
+
+    df = spark.createDataFrame(
+        [(i % 10, "view" if i % 2 else "click",
+          dt.datetime(2025, 1, 1 + i % 20)) for i in range(200)],
+        ["user_id", "event_type", "ts"],
+    )
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click"),
+    ]
+    out = funnel(df, steps)
+    rows = out.collect()
+    assert rows[0]["users"] > 0
+
+
+def test_highlight_no_python_stage(docs):
+    from harmonize_search_analyze_spark.operators.text import highlight
+
+    out = docs.select("doc_id", highlight("text", "beta").alias("s"))
+    out.count()
+    p = _plan(out)
+    assert "Exchange" not in p and "Python" not in p, p
+
+
+def test_line_dedup_two_wide_stages(docs):
+    """One line-key window shuffle + one doc-reassembly agg shuffle — and
+    nothing else wide."""
+    from harmonize_search_analyze_spark.operators.dedup import line_dedup
+
+    out = line_dedup(docs, "doc_id", "text")
+    out.count()
+    p = _plan(out)
+    assert p.count("Exchange hashpartitioning") == 2, p
