@@ -3205,6 +3205,34 @@ def _sql_rate_anomalies() -> str:
     return rate_anomalies_sql("events", threshold=1.5)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) on the corpus: one
+    corpus-scale word-count pass, then vocab-sized merge iterations with
+    pinned tie-breaks. Iterative like kmeans_ivf — rows-only gate; the
+    returned merge table IS the learned tokenizer model, joined with the
+    encoded corpus totals as a self-consistency check."""
+    from harmonize_search_analyze_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=12)
+    enc = bpe_encode(docs, merges, "text", "doc_id")
+    totals = enc.agg(
+        F.sum("n_bpe_tokens").alias("corpus_bpe_tokens")
+    ).collect()[0]
+    rows = [
+        (i, left, right, left + right, int(totals["corpus_bpe_tokens"]))
+        for i, (left, right) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_idx INT, left STRING, right STRING, merged STRING, "
+        "corpus_bpe_tokens BIGINT",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -3313,8 +3341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variable_width_histogram": q_variable_width_histogram,
         "ip_range": q_ip_range,
         "categorize_text": q_categorize_text,
-        # iterative (Lloyd) — no SQL oracle; driver records rows-only
+        # iterative (Lloyd / BPE merge loop) — no SQL oracle; driver
+        # records the weaker rows-only check for these two
         "kmeans_ivf": q_kmeans_ivf,
+        "bpe_train": q_bpe_train,
     }
 
 

@@ -260,3 +260,50 @@ def test_ngrams_and_vocab(spark):
     # 7 total occurrences: cumulative coverage 3/7 then 5/7
     assert vocab[0]["cum_coverage"] == round(3 / 7, 6)
     assert vocab[1]["cum_coverage"] == round(5 / 7, 6)
+
+
+def test_bpe_train_textbook_merges(spark):
+    """The Sennrich et al. example shape: 'low/lower/newer'-style corpus
+    learns 'lo'+'w' and 'e'+'r' style merges, deterministically."""
+    from harmonize_search_analyze_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new"),
+         (2, "low lower newest new new")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(df, n_merges=5)
+    assert merges[0] == ("l", "o")        # most frequent pair first
+    assert merges[1] == ("lo", "w")       # builds on the prior merge
+    assert bpe_train(df, n_merges=5) == merges  # deterministic
+    enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    # 'low' as a full word compresses into at most 2 symbols (low + </w>)
+    assert "low" in enc[1]["bpe_tokens"] or "low</w>" in enc[1]["bpe_tokens"]
+    assert enc[1]["n_bpe_tokens"] == len(enc[1]["bpe_tokens"])
+
+
+def test_bpe_encode_empty_and_null(spark):
+    from harmonize_search_analyze_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode(df, [("a", "b")]).collect()}
+    assert rows[1]["bpe_tokens"] == [] and rows[1]["n_bpe_tokens"] == 0
+    assert rows[2]["bpe_tokens"] == []
+
+
+def test_bpe_local_and_distributed_loops_agree(spark):
+    from harmonize_search_analyze_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new"),
+         (2, "low lower newest new new wider wide")],
+        ["doc_id", "text"],
+    )
+    local = bpe_train(df, n_merges=6)                       # driver loop
+    dist = bpe_train(df, n_merges=6, driver_threshold=0)    # forced Spark loop
+    assert local == dist
