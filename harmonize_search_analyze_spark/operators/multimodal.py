@@ -99,6 +99,47 @@ def sniff_media(payload: bytes | None) -> dict:
         elif fmt == "bmp" and len(payload) >= 26:
             w, h = struct.unpack("<ii", payload[18:26])
             out["width"], out["height"] = int(w), abs(int(h))
+        elif fmt == "jpeg":
+            # walk the segment chain to the first SOFn frame header
+            # (precision, height, width, components) — public JFIF layout
+            i = 2
+            while i + 4 <= len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+                if (
+                    0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)
+                ):
+                    if i + 10 <= len(payload):
+                        out["bit_depth"] = int(payload[i + 4])
+                        h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                        out["height"], out["width"] = int(h), int(w)
+                        out["n_channels"] = int(payload[i + 9])
+                    break
+                if seg_len < 2:
+                    break
+                i += 2 + seg_len
+        elif fmt == "mp4":
+            # moov/mvhd box: timescale + duration (v0/v1 layouts)
+            idx = payload.find(b"mvhd")
+            if idx >= 0 and idx + 32 <= len(payload):
+                version = payload[idx + 4]
+                if version == 0:
+                    ts, dur = struct.unpack(
+                        ">II", payload[idx + 16:idx + 24]
+                    )
+                elif idx + 40 <= len(payload):
+                    ts = struct.unpack(">I", payload[idx + 24:idx + 28])[0]
+                    dur = struct.unpack(">Q", payload[idx + 28:idx + 36])[0]
+                else:
+                    ts = dur = 0
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
         elif fmt == "wav" and len(payload) >= 44 and payload[12:16] == b"fmt ":
             n_ch, rate = struct.unpack("<HI", payload[22:28])
             bits = struct.unpack("<H", payload[34:36])[0]

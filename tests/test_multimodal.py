@@ -171,3 +171,66 @@ def test_sample_frames_fanout(spark, media_df):
     assert [r["frame_ts_ms"] for r in rows] == [0, 10, 20]
     assert all(r["item_id"] == 5 for r in rows)
     assert all(":" in r["frame_stub"] for r in rows)
+
+
+def test_sniff_jpeg_sof_dimensions():
+    import struct
+
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        sniff_media,
+    )
+
+    # minimal JFIF: SOI + APP0 (16 bytes) + SOF0 (height=480 width=640,
+    # 8-bit, 3 components) + EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03"
+    )
+    payload = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    got = sniff_media(payload)
+    assert got["format"] == "jpeg" and got["modality"] == "image"
+    assert (got["width"], got["height"]) == (640, 480)
+    assert got["bit_depth"] == 8 and got["n_channels"] == 3
+
+
+def test_sniff_jpeg_progressive_and_truncated():
+    import struct
+
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        sniff_media,
+    )
+
+    # SOF2 (progressive) parses the same; a DHT (C4) segment must be
+    # skipped, not mistaken for a frame header
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 11) + b"\x10"
+        + struct.pack(">HH", 10, 20) + b"\x01"
+    )
+    payload = b"\xff\xd8" + dht + sof2
+    got = sniff_media(payload)
+    assert (got["width"], got["height"], got["bit_depth"]) == (20, 10, 16)
+    # truncated stream: format detected, dims stay null, no crash
+    assert sniff_media(b"\xff\xd8\xff\xc0\x00")["width"] is None
+
+
+def test_sniff_mp4_duration():
+    import struct
+
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        sniff_media,
+    )
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    # mvhd v0: version+flags, ctime, mtime, timescale=1000, duration=2500
+    mvhd = (
+        b"mvhd" + b"\x00" + b"\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 2500)
+        + b"\x00" * 8
+    )
+    payload = ftyp + b"moov" + mvhd
+    got = sniff_media(payload)
+    assert got["format"] == "mp4"
+    assert got["duration_ms"] == 2500
