@@ -3233,6 +3233,38 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with min_doc_count=0: 6-hour buckets over a
+    sparse slice of events (every 7th user) — quiet buckets EMIT with
+    doc_count 0 across the [min, max] span (the Kibana gap contract)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    return date_histogram(ev, "ts", "6 hours", min_doc_count=0)
+
+
+SQL_DATE_HISTOGRAM_GAPS = """
+WITH counts AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
+           AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL AND user_id % 7 = 0
+  GROUP BY bucket
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT MIN(bucket) FROM counts),
+                                (SELECT MAX(bucket) FROM counts),
+                                INTERVAL 6 HOUR)) AS bucket
+)
+SELECT CAST(grid.bucket AS TIMESTAMP) AS bucket,
+       COALESCE(counts.doc_count, 0) AS doc_count
+FROM grid LEFT JOIN counts ON grid.bucket = counts.bucket
+ORDER BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -3325,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_search_ivf": q_pq_search_ivf,
         "geo_line": q_geo_line,
         "funnel": q_funnel,
+        "date_histogram_gaps": q_date_histogram_gaps,
         "cohort_retention": q_cohort_retention,
         "rate_anomalies": q_rate_anomalies,
         "frequent_item_sets": q_frequent_item_sets,
@@ -3444,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_search_ivf": _sql_pq_search_ivf(),
         "geo_line": SQL_GEO_LINE,
         "funnel": _sql_funnel(),
+        "date_histogram_gaps": SQL_DATE_HISTOGRAM_GAPS,
         "cohort_retention": _sql_cohort_retention(),
         "rate_anomalies": _sql_rate_anomalies(),
         "frequent_item_sets": SQL_FREQUENT_ITEM_SETS,

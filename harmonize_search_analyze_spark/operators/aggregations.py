@@ -54,14 +54,19 @@ def terms(
     k: int = 10,
     *,
     skip_nulls: bool = True,
+    missing: str | None = None,
 ) -> DataFrame:
     """Top-k terms by doc count (ES terms aggregation).
 
-    ES terms aggs skip missing values; we mirror that with a null filter
-    (pushed to the scan). Exact counts (ES's are shard-approximate — exactness
-    is strictly better, SURVEY.md §4).
+    ES terms aggs skip missing values by default; we mirror that with a
+    null filter (pushed to the scan). The ES ``missing`` parameter instead
+    buckets nulls under the given substitute value (coalesce — still one
+    hash agg). Exact counts (ES's are shard-approximate — exactness is
+    strictly better, SURVEY.md §4).
     """
-    if skip_nulls:
+    if missing is not None:
+        df = df.withColumn(field, F.coalesce(F.col(field), F.lit(missing)))
+    elif skip_nulls:
         df = df.where(F.col(field).isNotNull())
     return (
         df.groupBy(field)
@@ -166,9 +171,15 @@ def histogram(
     min_doc_count: int = 1,
 ) -> DataFrame:
     """Numeric histogram (ES/Kibana ``histogram`` agg): fixed-width bins
-    keyed by ``floor(value / interval) * interval``. Empty bins are omitted
-    (``min_doc_count=1``, the ES default when not extending bounds); purely
-    partial+final hash agg, bin count bounded by value range / interval."""
+    keyed by ``floor(value / interval) * interval``.
+
+    ``min_doc_count`` follows ES exactly: the default 1 omits empty bins;
+    0 EMITS them — every bin between the data's min and max key appears
+    with doc_count 0 (the Kibana chart contract: gaps render as zeros,
+    not as missing x-positions). Gap filling is a sequence-explode of the
+    [min, max] bin range (one extra 1-row agg + a generate — bounded by
+    range/interval, never by row count) left-joined against the counts.
+    """
     key = F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
     out = (
         df.where(F.col(field).isNotNull())
@@ -177,6 +188,21 @@ def histogram(
     )
     if min_doc_count > 1:
         out = out.where(F.col("doc_count") >= min_doc_count)
+    elif min_doc_count == 0:
+        bounds = out.agg(
+            F.min("bin").alias("lo"), F.max("bin").alias("hi")
+        )
+        grid = bounds.select(
+            F.explode(
+                F.sequence(
+                    (F.col("lo") / interval).cast("long"),
+                    (F.col("hi") / interval).cast("long"),
+                )
+            ).alias("i")
+        ).select((F.col("i") * F.lit(interval)).cast("double").alias("bin"))
+        out = grid.join(out, "bin", "left").select(
+            "bin", F.coalesce("doc_count", F.lit(0)).alias("doc_count")
+        )
     return out.orderBy("bin")
 
 
@@ -184,17 +210,40 @@ def date_histogram(
     df: DataFrame,
     ts_field: str,
     interval: str = "1 hour",
+    *,
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """Date histogram (ES/Kibana ``date_histogram`` agg): calendar-ish
     fixed-interval time buckets via ``window`` — the batch twin of the
-    streaming ``windowed_counts`` (streaming/windows.py)."""
-    return (
+    streaming ``windowed_counts`` (streaming/windows.py).
+
+    ``min_doc_count=0`` emits EMPTY buckets across the data's [min, max]
+    time range (the ES/Kibana gap contract — a quiet hour renders as 0).
+    The bucket grid is a sequence-explode between the min and max bucket
+    (bounded by time span / interval) left-joined against the counts; the
+    interval must be a fixed duration for the grid arithmetic."""
+    out = (
         df.where(F.col(ts_field).isNotNull())
         .groupBy(F.window(ts_field, interval).alias("w"))
         .agg(F.count(F.lit(1)).alias("doc_count"))
         .select(F.col("w.start").alias("bucket"), "doc_count")
-        .orderBy("bucket")
     )
+    if min_doc_count == 0:
+        bounds = out.agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        )
+        grid = bounds.select(
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"),
+                    F.expr(f"INTERVAL {interval}"),
+                )
+            ).alias("bucket")
+        )
+        out = grid.join(out, "bucket", "left").select(
+            "bucket", F.coalesce("doc_count", F.lit(0)).alias("doc_count")
+        )
+    return out.orderBy("bucket")
 
 
 # ES auto_date_histogram interval ladder (public ES docs): label, seconds,

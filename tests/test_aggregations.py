@@ -846,3 +846,49 @@ def test_rate_anomalies_flags_spike(spark):
     assert out["2025-01-05 00:00:00"]["is_anomaly"] is True
     assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
     assert out["2025-01-01 00:00:00"]["z_score"] < 0
+
+
+def test_histogram_min_doc_count_zero_fills_gaps(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        histogram,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (9.0,)], ["v"])
+    got = [(r["bin"], r["doc_count"]) for r in
+           histogram(df, "v", 2.0, min_doc_count=0).collect()]
+    # bins 0,2,4,6,8 — the 4.0 and 6.0 gaps emit with zero
+    assert got == [(0.0, 1), (2.0, 1), (4.0, 0), (6.0, 0), (8.0, 1)]
+    # default keeps ES behavior: gaps omitted
+    got1 = [r["bin"] for r in histogram(df, "v", 2.0).collect()]
+    assert got1 == [0.0, 2.0, 8.0]
+
+
+def test_date_histogram_min_doc_count_zero(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1, 0, 30),),
+         (dt.datetime(2025, 1, 1, 3, 10),)],
+        ["ts"],
+    )
+    got = [(str(r["bucket"]), r["doc_count"]) for r in
+           date_histogram(df, "ts", "1 hour", min_doc_count=0).collect()]
+    assert got == [
+        ("2025-01-01 00:00:00", 1), ("2025-01-01 01:00:00", 0),
+        ("2025-01-01 02:00:00", 0), ("2025-01-01 03:00:00", 1),
+    ]
+
+
+def test_terms_missing_param(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import terms
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,)], ["k"]
+    )
+    got = [(r["k"], r["doc_count"])
+           for r in terms(df, "k", missing="N/A").collect()]
+    assert got == [("N/A", 3), ("a", 2)]
