@@ -3234,29 +3234,29 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_date_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES date_histogram with min_doc_count=0: 6-hour buckets over a
-    sparse slice of events (every 7th user) — quiet buckets EMIT with
+    """ES date_histogram with min_doc_count=0: hourly buckets over a
+    sparse slice of events (1 user in 731) — quiet buckets EMIT with
     doc_count 0 across the [min, max] span (the Kibana gap contract)."""
     from harmonize_search_analyze_spark.operators.aggregations import (
         date_histogram,
     )
 
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
-    return date_histogram(ev, "ts", "6 hours", min_doc_count=0)
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 731 == 0)
+    return date_histogram(ev, "ts", "1 hour", min_doc_count=0)
 
 
 SQL_DATE_HISTOGRAM_GAPS = """
 WITH counts AS (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
            AS bucket,
          COUNT(*) AS doc_count
-  FROM events WHERE ts IS NOT NULL AND user_id % 7 = 0
+  FROM events WHERE ts IS NOT NULL AND user_id % 731 = 0
   GROUP BY bucket
 ),
 grid AS (
   SELECT unnest(generate_series((SELECT MIN(bucket) FROM counts),
                                 (SELECT MAX(bucket) FROM counts),
-                                INTERVAL 6 HOUR)) AS bucket
+                                INTERVAL 1 HOUR)) AS bucket
 )
 SELECT CAST(grid.bucket AS TIMESTAMP) AS bucket,
        COALESCE(counts.doc_count, 0) AS doc_count
