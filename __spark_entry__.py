@@ -3265,6 +3265,27 @@ ORDER BY bucket
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-blocked embedding dedup —
+    within-cluster cosine >= 0.995 pairs resolved to duplicate groups,
+    lowest id kept. Cluster -> pair -> components replayed exactly by a
+    recursive-CTE oracle."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_centroids=16, threshold=0.995)
+
+
+def _sql_semantic_dedup() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        semantic_dedup_oracle_sql,
+    )
+
+    return semantic_dedup_oracle_sql(n_centroids=16, threshold=0.995)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -3358,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line": q_geo_line,
         "funnel": q_funnel,
         "date_histogram_gaps": q_date_histogram_gaps,
+        "semantic_dedup": q_semantic_dedup,
         "cohort_retention": q_cohort_retention,
         "rate_anomalies": q_rate_anomalies,
         "frequent_item_sets": q_frequent_item_sets,
@@ -3478,6 +3500,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_line": SQL_GEO_LINE,
         "funnel": _sql_funnel(),
         "date_histogram_gaps": SQL_DATE_HISTOGRAM_GAPS,
+        "semantic_dedup": _sql_semantic_dedup(),
         "cohort_retention": _sql_cohort_retention(),
         "rate_anomalies": _sql_rate_anomalies(),
         "frequent_item_sets": SQL_FREQUENT_ITEM_SETS,

@@ -1494,3 +1494,155 @@ GROUP BY codes.{id_col}
 ORDER BY approx_d2 ASC, codes.{id_col} ASC
 LIMIT {k}
 """
+
+
+# -- semantic deduplication (SemDeDup) ---------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public formulation): embedding-space
+    deduplication — cluster the corpus, compare pairs ONLY within a
+    cluster, mark cosine >= ``threshold`` pairs as semantic duplicates,
+    and keep one representative per connected duplicate group.
+
+    This is the composition the engine's pieces were built for:
+
+    - ``ivf_assign`` gives deterministic clusters (broadcast centroids,
+      map-only argmin) — the step that turns the O(n²) all-pairs cosine
+      into per-cluster blocks, exactly the paper's k-means trick;
+    - the within-cluster pair join is an equi-join on centroid_id with
+      ``id1 < id2`` (quadratic only inside a cluster — at scale cluster
+      granularity is the knob, same contract as the LSH banding);
+    - ``connected_components`` resolves transitive duplicate chains;
+      representatives are the minimum id per component (deterministic).
+
+    Returns (id, cluster_id, keep) for every input row: ``keep`` marks the
+    representative; downstream curation filters ``keep``.
+    Cosines are rounded to 6 before the threshold compare (cross-engine
+    tie-stability, the repo-wide contract)."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        connected_components,
+    )
+
+    _, assignments = ivf_assign(
+        df, vec_col=vec_col, id_col=id_col, n_centroids=n_centroids
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("dvec"),
+    ).withColumn("__norm", F.expr(_norm_sql("dvec")))
+    clustered = vecs.join(assignments, id_col)
+    a = clustered.select(
+        F.col(id_col).alias("id1"),
+        F.col("dvec").alias("v1"),
+        F.col("__norm").alias("n1"),
+        "centroid_id",
+    )
+    b = clustered.select(
+        F.col(id_col).alias("id2"),
+        F.col("dvec").alias("v2"),
+        F.col("__norm").alias("n2"),
+        "centroid_id",
+    )
+    cos = F.round(
+        F.expr(_dot_sql("v1", "v2")) / (F.col("n1") * F.col("n2")), 6
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id1", "id2")
+    )
+    labels = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (
+                F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)
+            ).alias("keep"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def semantic_dedup_oracle_sql(
+    *,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle replaying semantic_dedup end-to-end: the id-hash
+    coarse centroids + argmin assignment (ivf_assign's construction), the
+    within-cluster cosine pairs, and a recursive-CTE transitive closure
+    for the duplicate groups."""
+    l2 = (
+        "ROUND(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+    )
+    dot = (
+        "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    )
+    nrm = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    cos = (
+        "ROUND(" + dot.format(a="x.dvec", b="y.dvec") + " / ("
+        + nrm.format(a="x.dvec") + " * " + nrm.format(a="y.dvec") + "), 6)"
+    )
+    return f"""
+WITH RECURSIVE coarse AS (
+  SELECT centroid_id, cvec FROM (
+    SELECT ({id_col} % {n_centroids}) AS centroid_id,
+           {vec_col}::DOUBLE[] AS cvec,
+           ROW_NUMBER() OVER (
+             PARTITION BY ({id_col} % {n_centroids}) ORDER BY {id_col}) AS rn
+    FROM {table}
+  ) WHERE rn = 1
+),
+assign AS (
+  SELECT {id_col}, centroid_id FROM (
+    SELECT e.{id_col}, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {l2.format(a=f"e.{vec_col}::DOUBLE[]", b="c.cvec")} ASC,
+                      c.centroid_id ASC) AS rn
+    FROM {table} e CROSS JOIN coarse c
+  ) WHERE rn = 1
+),
+vecs AS (
+  SELECT e.{id_col} AS id, e.{vec_col}::DOUBLE[] AS dvec, a.centroid_id
+  FROM {table} e JOIN assign a ON e.{id_col} = a.{id_col}
+),
+pairs AS (
+  SELECT x.id AS id1, y.id AS id2 FROM vecs x
+  JOIN vecs y ON x.centroid_id = y.centroid_id AND x.id < y.id
+  WHERE {cos} >= {threshold}
+),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+)
+SELECT e.{id_col},
+       COALESCE(l.cluster_id, e.{id_col}) AS cluster_id,
+       COALESCE(l.cluster_id, e.{id_col}) = e.{id_col} AS keep
+FROM {table} e LEFT JOIN labels l ON l.id = e.{id_col}
+ORDER BY e.{id_col}
+"""

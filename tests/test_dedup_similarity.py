@@ -427,3 +427,32 @@ def test_pq_topk_ivf_prunes_and_matches_probed_full_scan(spark):
     # real pruning returns a subset drawn only from probed lists
     p1 = pq_topk_ivf(df, coarse, assignments, books, q, k=5, nprobe=1)
     assert 0 < p1.count() <= 5
+
+
+def test_semantic_dedup_groups_and_representatives(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # odd ids: an x-axis near-dup family (1, 3, 5); even ids: two distinct
+    # y/z-plane vectors. n_centroids=2 picks centroid seeds from ids 1 and
+    # 2 (id-hash buckets), so each family lands in one cluster — blocking
+    # only finds pairs INSIDE a cluster (the SemDeDup recall contract:
+    # duplicates straddling cluster boundaries are the accepted miss).
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.999, 0.01, 0.0, 0.0]),   # cosine ~0.99995 with 1
+        (5, [2.0, 0.0, 0.0, 0.0]),      # scaled copy of 1 (cosine 1.0)
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.8, 0.6, 0.0]),      # cosine 0.8 with 2: not a dup
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, n_centroids=2, threshold=0.99).collect()}
+    # transitive group {1, 3, 5} labels to min id 1; only 1 kept
+    assert out[1]["cluster_id"] == 1 and out[1]["keep"] is True
+    assert out[3]["cluster_id"] == 1 and out[3]["keep"] is False
+    assert out[5]["cluster_id"] == 1 and out[5]["keep"] is False
+    assert out[2]["keep"] is True and out[4]["keep"] is True
+    # every input row present exactly once
+    assert sorted(out) == [1, 2, 3, 4, 5]
