@@ -3267,7 +3267,9 @@ ORDER BY bucket
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-blocked embedding dedup —
-    within-cluster cosine >= 0.995 pairs resolved to duplicate groups,
+    within-cluster cosine >= 0.35 pairs resolved to duplicate groups
+    (threshold tuned to the synthetic corpus's cosine range so groups
+    actually form at sf0.01),
     lowest id kept. Cluster -> pair -> components replayed exactly by a
     recursive-CTE oracle."""
     from harmonize_search_analyze_spark.operators.similarity import (
@@ -3275,7 +3277,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_centroids=16, threshold=0.995)
+    return semantic_dedup(emb, n_centroids=16, threshold=0.35)
 
 
 def _sql_semantic_dedup() -> str:
@@ -3283,7 +3285,7 @@ def _sql_semantic_dedup() -> str:
         semantic_dedup_oracle_sql,
     )
 
-    return semantic_dedup_oracle_sql(n_centroids=16, threshold=0.995)
+    return semantic_dedup_oracle_sql(n_centroids=16, threshold=0.35)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
