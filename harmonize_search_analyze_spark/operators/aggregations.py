@@ -1290,6 +1290,7 @@ def dashboard(
     time_to=None,
     cache: bool = True,
     now=None,
+    global_panels: dict[str, "callable"] | None = None,
 ) -> dict[str, DataFrame]:
     """Run a panel set over one shared filter context (viz 9 dashboard +
     ``views.js:97-115`` query injection): base query AND UI query AND global
@@ -1300,6 +1301,11 @@ def dashboard(
     "for free" by ES query caching; in Spark we must ask for it). The cache
     is refcount-tethered to the returned panels: it unpersists once every
     panel frame is released/GC'd (caching.release for eager cleanup).
+
+    ``global_panels`` implements ES's ``global`` aggregation: those panels
+    evaluate against the UNFILTERED frame — the "3 of 120 incidents match"
+    denominator every Kibana total widget needs — while sharing the same
+    result dict.
     """
     filtered = df
     if query is not None:
@@ -1319,8 +1325,13 @@ def dashboard(
         filtered = filtered.cache()
         out = {name: fn(filtered) for name, fn in panels.items()}
         tether_shared(list(out.values()), filtered)
-        return out
-    return {name: fn(filtered) for name, fn in panels.items()}
+    else:
+        out = {name: fn(filtered) for name, fn in panels.items()}
+    for name, fn in (global_panels or {}).items():
+        if name in out:
+            raise ValueError(f"panel name collision: {name!r}")
+        out[name] = fn(df)  # ES 'global': the unfiltered frame
+    return out
 
 
 def boxplot(df: DataFrame, field: str) -> DataFrame:

@@ -892,3 +892,21 @@ def test_terms_missing_param(spark):
     got = [(r["k"], r["doc_count"])
            for r in terms(df, "k", missing="N/A").collect()]
     assert got == [("N/A", 3), ("a", 2)]
+
+
+def test_dashboard_global_panels(frame):
+    """ES 'global' agg: the total widget ignores the shared filter."""
+    out = dashboard(
+        frame,
+        panels={"matched": lambda d: count_metric(d)},
+        query=F.col("j") == "z",
+        global_panels={"total": lambda d: count_metric(d)},
+    )
+    assert out["matched"].collect()[0]["doc_count"] == 2
+    assert out["total"].collect()[0]["doc_count"] == 18
+    with pytest.raises(ValueError):
+        dashboard(
+            frame,
+            panels={"x": lambda d: count_metric(d)},
+            global_panels={"x": lambda d: count_metric(d)},
+        )
