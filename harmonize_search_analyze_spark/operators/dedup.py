@@ -67,9 +67,12 @@ def grams_sql(expr: str, dialect: str, n: int = 3) -> str:
             f"CASE WHEN size({toks}) < {n} "
             f"THEN array(concat_ws(' ', {toks})) ELSE {chain} END"
         )
+    # COALESCE: DuckDB's array_to_string of an EMPTY slice is NULL where
+    # Spark's concat_ws is '' — the zero-token-document edge (caught by a
+    # cross-engine sweep; the parquet corpora never hit it, unit data can)
     return (
         f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
-        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+        f"i -> COALESCE(array_to_string(({toks})[i:i+{n - 1}], ' '), ''))"
     )
 
 

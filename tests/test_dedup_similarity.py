@@ -456,3 +456,18 @@ def test_semantic_dedup_groups_and_representatives(spark):
     assert out[2]["keep"] is True and out[4]["keep"] is True
     # every input row present exactly once
     assert sorted(out) == [1, 2, 3, 4, 5]
+
+
+def test_grams_empty_doc_cross_engine(spark):
+    """The zero-token-document edge: Spark concat_ws gives '', DuckDB
+    array_to_string gives NULL — the oracle dialect must COALESCE or the
+    shingle of an empty doc diverges between engines."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.dedup import grams_sql
+
+    df = spark.createDataFrame([("",), ("  ",), ("one",)], ["text"])
+    s = [r[0] for r in df.selectExpr(grams_sql("text", "spark", 3)).collect()]
+    d = [duckdb.sql("SELECT " + grams_sql("'" + t + "'", "duckdb", 3))
+         .fetchall()[0][0] for t in ("", "  ", "one")]
+    assert s == d == [[""], [""], ["one"]]
