@@ -77,7 +77,12 @@ def grams_sql(expr: str, dialect: str, n: int = 3) -> str:
 
 
 def shingles_sql(expr: str, dialect: str, n: int = 3) -> str:
-    """Distinct word n-gram shingle set (for Jaccard set arithmetic)."""
+    """Distinct word n-gram shingle SET (for Jaccard set arithmetic).
+
+    Element ORDER is unspecified — Spark's array_distinct keeps first
+    occurrence, DuckDB's list_distinct does not guarantee any order.
+    Every consumer here is order-insensitive (Jaccard intersections,
+    MinHash minima); anything exposing the array itself must sort it."""
     fn = "array_distinct" if dialect == "spark" else "list_distinct"
     return f"{fn}({grams_sql(expr, dialect, n)})"
 

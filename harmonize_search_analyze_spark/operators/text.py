@@ -279,15 +279,20 @@ def categorize_pattern_sql(expr: str, dialect: str, max_tokens: int = 4) -> str:
     text), exact instead of adaptive, so the DuckDB oracle can run the same
     formula.
     """
-    stripped = f"regexp_replace(lower({expr}), '[0-9]+', '')"
+    # 'g' flag on the DuckDB side: its regexp_replace replaces only the
+    # FIRST match by default, Spark's replaces all (sweep-caught)
     if dialect == "spark":
+        stripped = f"regexp_replace(lower({expr}), '[0-9]+', '')"
         toks = f"filter(split({stripped}, '[^a-z]+'), t -> t != '')"
         return f"array_join(slice({toks}, 1, {max_tokens}), ' ')"
+    stripped = f"regexp_replace(lower({expr}), '[0-9]+', '', 'g')"
     toks = (
         f"list_filter(regexp_split_to_array({stripped}, '[^a-z]+'), "
         "t -> t != '')"
     )
-    return f"array_to_string({toks}[1:{max_tokens}], ' ')"
+    # COALESCE: DuckDB array_to_string of an empty slice is NULL where
+    # Spark array_join is '' (the zero-token-document edge)
+    return f"COALESCE(array_to_string({toks}[1:{max_tokens}], ' '), '')"
 
 
 def categorize_text(

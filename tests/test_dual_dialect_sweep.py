@@ -1,0 +1,154 @@
+"""Cross-engine sweep: every dual-dialect SQL generator evaluated on the
+SAME adversarial inputs through Spark AND DuckDB must agree exactly.
+
+This is the generalization of the empty-document shingle bug (grams_sql:
+Spark '' vs DuckDB NULL on a zero-token doc): the per-query oracle gate
+only sees the parquet corpora, which never hit the nasty edges — empty
+strings, whitespace-only, single chars, digits-only, punctuation runs,
+very long tokens. One batched comparison per generator keeps the sweep
+fast (a handful of Spark jobs total, not one per example)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+# the nasty-edge corpus every generator must agree on
+EDGE_TEXTS = [
+    "",
+    " ",
+    "   \t  ",
+    "a",
+    "7",
+    "!!!",
+    "one",
+    "a b",
+    "a  b   c",
+    "UPPER lower MiXeD",
+    "dig1ts 42 mixed99x",
+    "hyphen-ated under_scored dot.sep",
+    "x" * 300,
+    ("repeat me " * 40).strip(),
+    "the a an and of to in is it",     # all stopwords
+    "word",
+    "tab\tsep\nnewline",
+]
+
+
+def _spark_eval(spark, sql_expr: str) -> list:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame([(t,) for t in EDGE_TEXTS], ["text"])
+    return [r[0] for r in df.selectExpr(sql_expr).collect()]
+
+
+def _duck_eval(gen, *args, **kwargs) -> list:
+    out = []
+    for t in EDGE_TEXTS:
+        lit = "'" + t.replace("'", "''").replace("\\", "\\\\") + "'"
+        out.append(
+            duckdb.sql("SELECT " + gen(lit, "duckdb", *args, **kwargs))
+            .fetchall()[0][0]
+        )
+    return out
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    return v
+
+
+def _sweep(spark, gen, *args, **kwargs):
+    got_s = _spark_eval(spark, gen("text", "spark", *args, **kwargs))
+    got_d = _duck_eval(gen, *args, **kwargs)
+    for t, s, d in zip(EDGE_TEXTS, got_s, got_d):
+        assert _norm(s) == _norm(d), (gen.__name__, args, kwargs, t[:40], s, d)
+
+
+def test_tokens_and_counts(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        bpe_ish_token_count_sql,
+        token_count_sql,
+        tokens_sql,
+    )
+
+    _sweep(spark, tokens_sql)
+    _sweep(spark, token_count_sql)
+    _sweep(spark, bpe_ish_token_count_sql)
+
+
+def test_quality_and_lang(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        lang_id_sql,
+        quality_score_sql,
+    )
+
+    _sweep(spark, quality_score_sql)
+    _sweep(spark, lang_id_sql)
+
+
+def test_fingerprint(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        fingerprint_sql,
+    )
+
+    _sweep(spark, fingerprint_sql)
+    _sweep(spark, fingerprint_sql, 3)
+
+
+def test_shingles_and_ngrams(spark):
+    from harmonize_search_analyze_spark.operators.dedup import (
+        grams_sql,
+        shingles_sql,
+    )
+    from harmonize_search_analyze_spark.operators.text import ngrams_sql
+
+    for n in (1, 2, 3, 5):
+        _sweep(spark, grams_sql, n)
+        _sweep(spark, ngrams_sql, n)
+        # shingles are a SET: element order is explicitly unspecified
+        # (array_distinct vs list_distinct disagree) — compare as sets
+        s = _spark_eval(spark, shingles_sql("text", "spark", n))
+        d = _duck_eval(shingles_sql, n)
+        for t, a, b in zip(EDGE_TEXTS, s, d):
+            assert sorted(a) == sorted(b), (n, t[:40], a, b)
+
+
+def test_categorize_pattern(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        categorize_pattern_sql,
+    )
+
+    _sweep(spark, categorize_pattern_sql, 2)
+    _sweep(spark, categorize_pattern_sql, 4)
+
+
+def test_highlight_generator(spark):
+    from harmonize_search_analyze_spark.operators.text import highlight_sql
+
+    for term in ("me", "word", "zzz", "7"):
+        _sweep(spark, highlight_sql, term)
+
+
+def test_cleaning_and_repetition(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        clean_text_sql,
+    )
+
+    _sweep(spark, clean_text_sql)
+
+
+def test_hash_and_sampling(spark):
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    got_s = _spark_eval(spark, hash64_sql("text", "spark"))
+    got_d = []
+    for t in EDGE_TEXTS:
+        lit = "'" + t.replace("'", "''") + "'"
+        got_d.append(
+            duckdb.sql("SELECT " + hash64_sql(lit, "duckdb")).fetchall()[0][0]
+        )
+    assert got_s == got_d
