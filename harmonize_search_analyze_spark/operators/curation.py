@@ -74,9 +74,11 @@ def c4_line_filter_sql(
     wc = "len(list_filter(regexp_split_to_array(lower(l), '[^a-z0-9]+'), t -> t != ''))"
     ends = f"regexp_matches(l, {_pat(_LINE_END_PAT, dialect)})"
     pred = f"{wc} >= {min_words} AND ({ends}) AND NOT ({markers})"
+    # COALESCE: DuckDB array_to_string of an empty (all-lines-filtered)
+    # list is NULL; the contract — and Spark's array_join — say ''
     return (
-        f"array_to_string(list_filter(string_split({expr}, chr(10)), "
-        f"l -> {pred}), chr(10))"
+        f"COALESCE(array_to_string(list_filter(string_split({expr}, chr(10)), "
+        f"l -> {pred}), chr(10)), '')"
     )
 
 

@@ -152,3 +152,48 @@ def test_hash_and_sampling(spark):
             duckdb.sql("SELECT " + hash64_sql(lit, "duckdb")).fetchall()[0][0]
         )
     assert got_s == got_d
+
+
+PII_TEXTS = [
+    "mail me at a.b@example.com or call 555-123-4567",
+    "ssn 123-45-6789 ip 10.0.0.1 card 4111 1111 1111 1111",
+    "no pii here",
+    "",
+    "edge@x.io edge@x.io twice, and (555) 987-6543 too",
+]
+
+
+def test_pii_generators(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        pii_counts_sql,
+        redact_pii_sql,
+    )
+
+    df = spark.createDataFrame([(t,) for t in PII_TEXTS], ["text"])
+    s_counts = {
+        k: [r[0] for r in df.selectExpr(expr).collect()]
+        for k, expr in pii_counts_sql("text", "spark").items()
+    }
+    for k, duck_tmpl in pii_counts_sql("text", "duckdb").items():
+        for i, t in enumerate(PII_TEXTS):
+            lit = "'" + t.replace("'", "''") + "'"
+            d = duckdb.sql(
+                "SELECT " + pii_counts_sql(lit, "duckdb")[k]
+            ).fetchall()[0][0]
+            assert s_counts[k][i] == d, (k, t, s_counts[k][i], d)
+    s_red = [r[0] for r in df.selectExpr(
+        redact_pii_sql("text", "spark")).collect()]
+    for i, t in enumerate(PII_TEXTS):
+        lit = "'" + t.replace("'", "''") + "'"
+        d = duckdb.sql(
+            "SELECT " + redact_pii_sql(lit, "duckdb")
+        ).fetchall()[0][0]
+        assert s_red[i] == d, (t, s_red[i], d)
+
+
+def test_c4_line_filter(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        c4_line_filter_sql,
+    )
+
+    _sweep(spark, c4_line_filter_sql)
