@@ -3288,6 +3288,37 @@ def _sql_semantic_dedup() -> str:
     return semantic_dedup_oracle_sql(n_centroids=16, threshold=0.35)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): 50 documents drawn proportionally to n_chars — map-only
+    priority + TakeOrdered, deterministic and engine-replayable."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "n_chars", 50, "doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_weighted_sample() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        weighted_sample_sql,
+    )
+
+    pri = weighted_sample_sql("doc_id", "n_chars", "duckdb")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, ROUND({pri}, 12) AS pri
+  FROM documents WHERE n_chars > 0
+  ORDER BY pri DESC, doc_id ASC LIMIT 50
+) t ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "terms_topk": q_terms_topk,
@@ -3382,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "date_histogram_gaps": q_date_histogram_gaps,
         "semantic_dedup": q_semantic_dedup,
+        "weighted_sample": q_weighted_sample,
         "cohort_retention": q_cohort_retention,
         "rate_anomalies": q_rate_anomalies,
         "frequent_item_sets": q_frequent_item_sets,
@@ -3503,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _sql_funnel(),
         "date_histogram_gaps": SQL_DATE_HISTOGRAM_GAPS,
         "semantic_dedup": _sql_semantic_dedup(),
+        "weighted_sample": _sql_weighted_sample(),
         "cohort_retention": _sql_cohort_retention(),
         "rate_anomalies": _sql_rate_anomalies(),
         "frequent_item_sets": SQL_FREQUENT_ITEM_SETS,

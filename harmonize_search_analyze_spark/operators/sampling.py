@@ -235,3 +235,40 @@ SELECT {cols}, CAST({unnest} AS INT) AS epoch FROM (
   SELECT {cols}, {reps} AS reps FROM {table}
 ) t WHERE reps >= 1
 """
+
+
+def weighted_sample_sql(
+    key: str, weight: str, dialect: str, *, seed: int = 42
+) -> str:
+    """Efraimidis–Spirakis A-ES priority (public algorithm, 2006): each
+    row gets ``u^(1/w)`` for a uniform u — taking the k LARGEST priorities
+    is an exact weighted sample without replacement. u comes from the
+    portable sampling hash (strictly inside (0, 1): +1/+2 offsets keep
+    log(u) finite), so the draw is deterministic and engine-replayable."""
+    h = sample_hash_sql(key, dialect, seed=seed)
+    u = f"((CAST({h} AS DOUBLE) + 1.0) / {HASH_BUCKETS + 2}.0)"
+    return f"POW({u}, 1.0 / ({weight}))"
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact weighted random sample of ``k`` rows without replacement
+    (A-ES): inclusion probability proportional to ``weight_col`` at every
+    prefix. Map-only priority projection + ONE TakeOrderedAndProject —
+    no shuffle, no full sort; deterministic across runs, partitionings,
+    and engines (ties broken by key). Non-positive weights are excluded
+    (they can never be drawn)."""
+    pri = F.expr(weighted_sample_sql(key_col, weight_col, "spark", seed=seed))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__pri", F.round(pri, 12))
+        .orderBy(F.desc("__pri"), F.asc(key_col))
+        .limit(k)
+        .drop("__pri")
+    )

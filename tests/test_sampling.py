@@ -124,3 +124,27 @@ def test_upsample_rejects_negative(spark):
     df = spark.createDataFrame([(1, "x")], ["id", "src"])
     with pytest.raises(ValueError):
         upsample_sources(df, "src", {"x": -1.0}, "id")
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # 500 light rows (w=1) + 100 heavy rows (w=50): heavy rows are ~91%
+    # of total weight, so a k=50 draw should be heavy-dominated
+    rows = [(i, 1.0) for i in range(500)] + [
+        (1000 + i, 50.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = [r["id"] for r in weighted_sample(df, "w", 50, "id").collect()]
+    assert len(got) == len(set(got)) == 50     # without replacement
+    heavy = sum(1 for i in got if i >= 1000)
+    assert heavy >= 35                          # ~45 expected
+    # deterministic re-draw
+    again = [r["id"] for r in weighted_sample(df, "w", 50, "id").collect()]
+    assert got == again
+    # zero/negative weights never drawn
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 1.0)], ["id", "w"])
+    assert [r["id"] for r in
+            weighted_sample(df2, "w", 5, "id").collect()] == [3]
