@@ -197,3 +197,81 @@ def test_c4_line_filter(spark):
     )
 
     _sweep(spark, c4_line_filter_sql)
+
+
+# -- table-level generators over the edge corpus ------------------------------
+
+EDGE_DOCS = [
+    (i, t) for i, t in enumerate(EDGE_TEXTS)
+] + [(100, "shared line of text\nshared line of text\nunique tail here")]
+
+
+@pytest.fixture(scope="module")
+def edge_tables(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(EDGE_DOCS, ["doc_id", "text"])
+    df.createOrReplaceTempView("edge_docs")
+    con = duckdb.connect()
+    con.register(
+        "edge_docs", pd.DataFrame(EDGE_DOCS, columns=["doc_id", "text"])
+    )
+    yield spark, con
+    spark.catalog.dropTempView("edge_docs")
+
+
+def _rows(spark_or_con, sql, engine):
+    if engine == "spark":
+        return sorted(
+            tuple(_norm(v) for v in r) for r in spark_or_con.sql(sql).collect()
+        )
+    return sorted(
+        tuple(_norm(v) for v in r) for r in spark_or_con.sql(sql).fetchall()
+    )
+
+
+def test_table_generators_on_edge_corpus(edge_tables):
+    """Every dual-dialect TABLE-level generator must agree on the edge
+    corpus too — the oracle parity suite only exercises them on the
+    well-behaved parquet data."""
+    spark, con = edge_tables
+    from harmonize_search_analyze_spark.operators.ranking import (
+        bm25_search_sql,
+        more_like_this_sql,
+    )
+    from harmonize_search_analyze_spark.operators.text import (
+        significant_text_sql,
+        vocab_build_sql,
+    )
+
+    cases = [
+        lambda d: bm25_search_sql("edge_docs", "doc_id", "text",
+                                  ["word", "me"], d, k=10),
+        lambda d: more_like_this_sql("edge_docs", "doc_id", "text", 100, d,
+                                     max_query_terms=5, k=10),
+        lambda d: significant_text_sql("edge_docs", "text",
+                                       "doc_id >= 8", d, k=10),
+        lambda d: vocab_build_sql("edge_docs", "text", d, k=10),
+    ]
+    for case in cases:
+        s = _rows(spark, case("spark"), "spark")
+        d = _rows(con, case("duckdb"), "duckdb")
+        assert s == d, (case("duckdb")[:120], s[:3], d[:3])
+
+
+def test_line_dedup_operator_vs_oracle_on_edge_corpus(edge_tables):
+    spark, con = edge_tables
+    from harmonize_search_analyze_spark.operators.dedup import (
+        line_dedup,
+        line_dedup_sql,
+    )
+
+    df = spark.table("edge_docs")
+    s = sorted(
+        (r["doc_id"], r["text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df, "doc_id", "text", min_line_chars=5).collect()
+    )
+    d = sorted(con.sql(
+        line_dedup_sql("edge_docs", "doc_id", "text", min_line_chars=5)
+    ).fetchall())
+    assert s == d
