@@ -135,3 +135,35 @@ def test_line_dedup_two_wide_stages(docs):
     out.count()
     p = _plan(out)
     assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_weighted_sample_takeordered_no_shuffle(docs, spark):
+    """A-ES draw must be priority projection + TakeOrderedAndProject —
+    never a full sort or an exchange."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = docs.withColumn("w", (F.col("doc_id") % 7 + 1).cast("double"))
+    out = weighted_sample(df, "w", 10, "doc_id")
+    out.collect()
+    p = _plan(out)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Sort " not in p, p
+
+
+def test_collapse_single_window_exchange(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        collapse,
+    )
+
+    df = spark.createDataFrame(
+        [("g" + str(i % 5), i, float(i % 13)) for i in range(100)],
+        ["grp", "id", "score"],
+    )
+    out = collapse(df, "grp", "score", k=3, tie_col="id")
+    out.collect()
+    p = _plan(out)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "TakeOrderedAndProject" in p, p
