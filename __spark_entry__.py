@@ -2531,12 +2531,19 @@ def _sql_matrix_stats() -> str:
     pairs = [(a, b) for i, a in enumerate(fields) for b in fields[i:]]
     selects = []
     for a, b in pairs:
+        # diagonal carries correlation 1 whenever rows exist (CORR(a, a)
+        # is NULL for a zero-variance field) — mirrors matrix_stats()
+        corr = (
+            "CASE WHEN COUNT(*) > 0 THEN 1.0 END"
+            if a == b
+            else f"ROUND(CORR({a}, {b}), 6)"
+        )
         selects.append(
             f"SELECT '{a}' AS field_a, '{b}' AS field_b, "
             "CAST(COUNT(*) AS BIGINT) AS count, "
             f"ROUND(AVG({a}), 6) AS mean_a, ROUND(AVG({b}), 6) AS mean_b, "
             f"ROUND(COVAR_SAMP({a}, {b}), 6) AS covariance, "
-            f"ROUND(CORR({a}, {b}), 6) AS correlation FROM s"
+            f"{corr} AS correlation FROM s"
         )
     cond = " AND ".join(f"{f} IS NOT NULL" for f in fields)
     body = "\nUNION ALL\n".join(selects)
@@ -3320,21 +3327,100 @@ SELECT doc_id, source FROM (
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the driver's correctness gate reads the
+    # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
+    # entries 1-3 are round-1 canaries (kept in-window to detect
+    # regressions); entries 4-50 are the 47 riskiest queries that had no
+    # driver oracle row in CORRECTNESS_r02.json (round-2 operators).
+    # Entries 51-64 are the remaining 14 previously-unverified queries —
+    # simple agg variants whose siblings (percentiles, histogram,
+    # range_agg, geohash_grid, terms_topk) are already driver-green —
+    # deferred to the round-4 rotation.  Entries 65+ are the round-1 set
+    # verified green in CORRECTNESS_r02.json.
     return {
+        # -- canaries (driver-green in r1 AND r2) -----------------------
+        "profile_dict": q_profile_dict,
+        "nested_terms": q_nested_terms,
+        "harmonize_rollup": q_harmonize_rollup,
+        # -- round-2 operators: first driver verification ---------------
+        "simhash_banded": q_simhash_banded,
+        "semantic_dedup": q_semantic_dedup,
+        "pq_search": q_pq_search,
+        "pq_search_ivf": q_pq_search_ivf,
+        "line_dedup": q_line_dedup,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "weighted_sample": q_weighted_sample,
+        "percolate": q_percolate,
+        "dedup_clusters": q_dedup_clusters,
+        "similarity_join_ivf": q_similarity_join_ivf,
+        "similarity_join": q_similarity_join,
+        "hybrid_search": q_hybrid_search,
+        "bm25_search": q_bm25_search,
+        "significant_text": q_significant_text,
+        "datemath_window": q_datemath_window,
+        "pipeline_serial": q_pipeline_serial,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_documents": q_pack_documents,
+        "corpus_clean": q_corpus_clean,
+        "repetition_signals": q_repetition_signals,
+        "normalize_pipeline": q_normalize_pipeline,
+        "pii_scan": q_pii_scan,
+        "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
+        "quantized_topk": q_quantized_topk,
+        "chunk_documents": q_chunk_documents,
+        "search_advanced": q_search_advanced,
+        "geo_line": q_geo_line,
+        "date_histogram_gaps": q_date_histogram_gaps,
+        "rate_anomalies": q_rate_anomalies,
+        "frequent_item_sets": q_frequent_item_sets,
+        "corpus_profile": q_corpus_profile,
+        "collapse": q_collapse,
+        "multi_match": q_multi_match,
+        "upsample": q_upsample,
+        "mix_sources": q_mix_sources,
+        "vocab_build": q_vocab_build,
+        "ngram_counts": q_ngram_counts,
+        "more_like_this": q_more_like_this,
+        "highlight": q_highlight,
+        "matrix_stats": q_matrix_stats,
+        "variable_width_histogram": q_variable_width_histogram,
+        "categorize_text": q_categorize_text,
+        # iterative (Lloyd / BPE merge loop) — no SQL oracle; driver
+        # records the weaker rows-only check for these two
+        "kmeans_ivf": q_kmeans_ivf,
+        "bpe_train": q_bpe_train,
+        # -- window boundary (driver reads the 50 entries above) --------
+        # deferred to round-4 rotation (low-risk siblings of driver-green
+        # aggs; all covered by tests/test_oracle_parity.py today)
+        "rare_terms": q_rare_terms,
+        "adjacency_matrix": q_adjacency_matrix,
+        "geo_distance": q_geo_distance,
+        "geo_bounds_centroid": q_geo_bounds_centroid,
+        "auto_date_histogram": q_auto_date_histogram,
+        "percentile_ranks": q_percentile_ranks,
+        "boxplot": q_boxplot,
+        "string_stats": q_string_stats,
+        "t_test": q_t_test,
+        "date_range": q_date_range,
+        "top_metrics": q_top_metrics,
+        "rate_agg": q_rate_agg,
+        "geotile_grid": q_geotile_grid,
+        "ip_range": q_ip_range,
+        # round-1 set, driver-green in CORRECTNESS_r01+r02
         "terms_topk": q_terms_topk,
         "search_bool": q_search_bool,
         "phrase_prefix": q_phrase_prefix,
         "datetime_range": q_datetime_range,
-        "nested_terms": q_nested_terms,
         "geohash_grid": q_geohash_grid,
-        "profile_dict": q_profile_dict,
         "union_wildcard": q_union_wildcard,
         "join_revenue": q_join_revenue,
         "event_window": q_event_window,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
-        "harmonize_rollup": q_harmonize_rollup,
         "text_analysis": q_text_analysis,
         "minhash_signatures": q_minhash_signatures,
         "lsh_near_dup": q_lsh_near_dup,
@@ -3371,69 +3457,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "weighted_avg": q_weighted_avg,
         "mad": q_mad,
-        "rare_terms": q_rare_terms,
-        "adjacency_matrix": q_adjacency_matrix,
-        "bm25_search": q_bm25_search,
-        "significant_text": q_significant_text,
-        "geo_distance": q_geo_distance,
-        "geo_bounds_centroid": q_geo_bounds_centroid,
-        "simhash_banded": q_simhash_banded,
-        "datemath_window": q_datemath_window,
-        "auto_date_histogram": q_auto_date_histogram,
-        "pipeline_serial": q_pipeline_serial,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "pack_documents": q_pack_documents,
-        "similarity_join": q_similarity_join,
-        "corpus_clean": q_corpus_clean,
-        "repetition_signals": q_repetition_signals,
-        "percentile_ranks": q_percentile_ranks,
-        "boxplot": q_boxplot,
-        "string_stats": q_string_stats,
-        "t_test": q_t_test,
-        "normalize_pipeline": q_normalize_pipeline,
-        "pii_scan": q_pii_scan,
-        "dedup_clusters": q_dedup_clusters,
-        "hybrid_search": q_hybrid_search,
-        "similarity_join_ivf": q_similarity_join_ivf,
-        "date_range": q_date_range,
-        "top_metrics": q_top_metrics,
-        "rate_agg": q_rate_agg,
-        "decontaminate": q_decontaminate,
-        "lm_score": q_lm_score,
-        "quantized_topk": q_quantized_topk,
-        "chunk_documents": q_chunk_documents,
-        "geotile_grid": q_geotile_grid,
-        "search_advanced": q_search_advanced,
-        "line_dedup": q_line_dedup,
-        "pq_search": q_pq_search,
-        "percolate": q_percolate,
-        "pq_search_ivf": q_pq_search_ivf,
-        "geo_line": q_geo_line,
-        "funnel": q_funnel,
-        "date_histogram_gaps": q_date_histogram_gaps,
-        "semantic_dedup": q_semantic_dedup,
-        "weighted_sample": q_weighted_sample,
-        "cohort_retention": q_cohort_retention,
-        "rate_anomalies": q_rate_anomalies,
-        "frequent_item_sets": q_frequent_item_sets,
-        "corpus_profile": q_corpus_profile,
-        "collapse": q_collapse,
-        "multi_match": q_multi_match,
-        "upsample": q_upsample,
-        "mix_sources": q_mix_sources,
-        "vocab_build": q_vocab_build,
-        "ngram_counts": q_ngram_counts,
-        "more_like_this": q_more_like_this,
-        "highlight": q_highlight,
-        "matrix_stats": q_matrix_stats,
-        "variable_width_histogram": q_variable_width_histogram,
-        "ip_range": q_ip_range,
-        "categorize_text": q_categorize_text,
-        # iterative (Lloyd / BPE merge loop) — no SQL oracle; driver
-        # records the weaker rows-only check for these two
-        "kmeans_ivf": q_kmeans_ivf,
-        "bpe_train": q_bpe_train,
     }
 
 

@@ -179,31 +179,37 @@ def histogram(
     not as missing x-positions). Gap filling is a sequence-explode of the
     [min, max] bin range (one extra 1-row agg + a generate — bounded by
     range/interval, never by row count) left-joined against the counts.
+
+    Everything is keyed on the integer bin index ``floor(value /
+    interval)`` (BIGINT) — grid and counts alike — and multiplied by
+    ``interval`` only for display.  Joining on ``floor(v/i)*i`` doubles
+    would let floating-point representation differences (e.g. i=0.1)
+    silently drop a non-empty bin from the gap-filled grid; integer keys
+    cannot drift, and ``floor`` (not cast-truncation) keeps negative
+    values in the right bin.
     """
-    key = F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)
+    idx = F.floor(F.col(field) / F.lit(interval))  # BIGINT, exact join key
     out = (
         df.where(F.col(field).isNotNull())
-        .groupBy(key.cast("double").alias("bin"))
+        .groupBy(idx.alias("__idx"))
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
     if min_doc_count > 1:
         out = out.where(F.col("doc_count") >= min_doc_count)
     elif min_doc_count == 0:
         bounds = out.agg(
-            F.min("bin").alias("lo"), F.max("bin").alias("hi")
+            F.min("__idx").alias("lo"), F.max("__idx").alias("hi")
         )
         grid = bounds.select(
-            F.explode(
-                F.sequence(
-                    (F.col("lo") / interval).cast("long"),
-                    (F.col("hi") / interval).cast("long"),
-                )
-            ).alias("i")
-        ).select((F.col("i") * F.lit(interval)).cast("double").alias("bin"))
-        out = grid.join(out, "bin", "left").select(
-            "bin", F.coalesce("doc_count", F.lit(0)).alias("doc_count")
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("__idx")
         )
-    return out.orderBy("bin")
+        out = grid.join(out, "__idx", "left").select(
+            "__idx", F.coalesce("doc_count", F.lit(0)).alias("doc_count")
+        )
+    return out.select(
+        (F.col("__idx") * F.lit(interval)).cast("double").alias("bin"),
+        "doc_count",
+    ).orderBy("bin")
 
 
 def date_histogram(
@@ -1013,7 +1019,10 @@ def geotile_grid(
 def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
     """ES ``matrix_stats``: pairwise covariance/correlation over a set of
     numeric fields, one row per unordered pair (self-pairs carry the
-    variance and correlation 1).
+    variance and correlation 1 — coalesced explicitly, since
+    ``corr(a, a)`` returns NULL when stddev is 0, i.e. a constant field;
+    cross-pairs involving a zero-variance field keep the NULL, which is
+    the mathematically-undefined case).
 
     ES drops documents missing any of the fields; we mirror that with a
     single all-non-null filter. The whole matrix is ONE aggregation pass —
@@ -1037,7 +1046,24 @@ def matrix_stats(df: DataFrame, fields: list[str]) -> DataFrame:
     ]
     for a, b in pairs:
         aggs.append(F.round(F.covar_samp(a, b), 6).alias(f"__cov_{a}_{b}"))
-        aggs.append(F.round(F.corr(a, b), 6).alias(f"__cor_{a}_{b}"))
+        if a == b:
+            # diagonal: corr(a, a) is undefined for a constant field
+            # (stddev 0); the documented contract is 1 whenever rows
+            # exist
+            cor = F.when(F.count(F.lit(1)) > 0, F.lit(1.0))
+        else:
+            # not F.corr: under ANSI mode (Spark 4 default) corr THROWS
+            # DIVIDE_BY_ZERO when either field has zero variance;
+            # try_divide yields the mathematically-undefined NULL
+            # instead (DuckDB CORR agrees)
+            cor = F.round(
+                F.try_divide(
+                    F.covar_samp(a, b),
+                    F.stddev_samp(a) * F.stddev_samp(b),
+                ),
+                6,
+            )
+        aggs.append(cor.alias(f"__cor_{a}_{b}"))
     wide = ok.agg(*aggs)
     stack_args = []
     for a, b in pairs:

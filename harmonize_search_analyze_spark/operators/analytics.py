@@ -9,9 +9,11 @@ cohort come back, did today's rate spike. Each operator here is a
 one-or-two-shuffle DataFrame composition with an exact SQL twin for the
 DuckDB oracle:
 
-- ``funnel``: ordered step conversion *per user* (step i+1 must happen at
-  or after the user's first step-i event), one shuffle on user_id — the
-  per-user step timestamps are a conditional MIN fan-out, not N passes.
+- ``funnel``: ordered step conversion *per user* with sequential-chain
+  semantics — the step-i reach time is the user's FIRST step-i event
+  at-or-after their step-(i-1) reach time, not the global first step-i
+  event. One user-keyed agg per step (same key every pass, so AQE keeps
+  the exchanges co-partitioned); len(steps) is small and fixed.
 - ``cohort_retention``: users bucketed by first-seen period x activity
   period offset; two hash aggs (first-seen, then the (cohort, offset)
   matrix). Periods are date_trunc buckets, so the matrix is bounded by
@@ -37,37 +39,49 @@ def funnel(
 ) -> DataFrame:
     """Ordered funnel: per named step, how many users reached it — where
     "reached" means the user has an event matching step i at-or-after
-    their first event matching every earlier step.
+    their step-(i-1) REACH time (sequential-chain semantics): rt_0 is the
+    first step-0 event; rt_i = MIN(ts | pred_i AND ts >= rt_{i-1}).  A
+    user who does step i both before and after completing step i-1
+    (click, view, click) therefore counts — the global-first-occurrence
+    shortcut would miss them.
 
-    ONE shuffle (hash agg on ``user_col``): each step's first-occurrence
-    timestamp is a conditional MIN in the same aggregation; the ordered
-    reach test is then a driver-free cascade of comparisons on that single
-    row per user. Returns (step_idx, step, users, conversion_pct) with
+    One user-keyed hash agg per step: step-i events are pre-filtered (so
+    the predicate pushes to the scan), left-joined to the carried
+    per-user reach row, and reduced with a conditional MIN.  Every pass
+    shuffles on the SAME key, so the exchanges stay co-partitioned; the
+    per-user state is one row of len(steps) timestamps, never an event
+    array. Returns (step_idx, step, users, conversion_pct) with
     conversion relative to step 0.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    aggs = [
-        F.min(F.when(pred, F.col(ts_col))).alias(f"__t{i}")
-        for i, (_, pred) in enumerate(steps)
+    cur = (
+        df.filter(steps[0][1])
+        .groupBy(user_col)
+        .agg(F.min(F.col(ts_col)).alias("__rt0"))
+    )
+    for i in range(1, len(steps)):
+        step_ev = df.filter(steps[i][1]).select(
+            F.col(user_col), F.col(ts_col).alias("__sts")
+        )
+        carried = [f"__rt{j}" for j in range(i)]
+        cur = (
+            cur.join(step_ev, user_col, "left")
+            .groupBy(user_col, *carried)
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("__sts") >= F.col(f"__rt{i - 1}"),
+                        F.col("__sts"),
+                    )
+                ).alias(f"__rt{i}")
+            )
+        )
+    reach_cols = [
+        F.count(F.col(f"__rt{i}")).alias(f"__n{i}")
+        for i in range(len(steps))
     ]
-    per_user = df.groupBy(user_col).agg(*aggs)
-    reached_prev: Column | None = None
-    reach_cols = []
-    for i in range(len(steps)):
-        t = F.col(f"__t{i}")
-        ok = t.isNotNull()
-        if reached_prev is not None:
-            ok = ok & reached_prev & (t >= F.col(f"__rt{i - 1}"))
-        # carry the step-i timestamp only where the ordered chain holds
-        per_user = per_user.withColumn(
-            f"__rt{i}", F.when(ok, t)
-        )
-        reached_prev = F.col(f"__rt{i}").isNotNull()
-        reach_cols.append(
-            F.count(F.col(f"__rt{i}")).alias(f"__n{i}")
-        )
-    totals = per_user.agg(*reach_cols).collect()[0]  # 1 row, len(steps) ints
+    totals = cur.agg(*reach_cols).collect()[0]  # 1 row, len(steps) ints
     spark = df.sparkSession
     base = max(int(totals["__n0"]), 1)
     rows = [
@@ -92,32 +106,29 @@ def funnel_sql(
     ts_col: str = "ts",
 ) -> str:
     """Dual-dialect SQL twin of :func:`funnel` (predicates given as SQL
-    text). Same conditional-MIN + ordered-chain formulation."""
-    mins = ", ".join(
-        f"MIN(CASE WHEN {pred} THEN {ts_col} END) AS t{i}"
-        for i, (_, pred) in enumerate(steps)
-    )
-    chain = []
-    for i in range(len(steps)):
-        if i == 0:
-            chain.append(f"t0 AS rt0")
-        else:
-            chain.append(
-                f"CASE WHEN t{i} IS NOT NULL AND rt{i - 1} IS NOT NULL "
-                f"AND t{i} >= rt{i - 1} THEN t{i} END AS rt{i}"
-            )
-    # build the rt columns iteratively (each references the previous)
-    inner = f"SELECT {user_col}, {mins} FROM {table} GROUP BY {user_col}"
-    sel = inner
-    for i in range(len(steps)):
-        cols = ", ".join(
-            [f"t{j}" for j in range(len(steps))]
-            + [f"rt{j}" for j in range(i)]
+    text). Same sequential-chain formulation: one user-keyed agg CTE per
+    step, each conditional-MIN'ing step-i events at-or-after the carried
+    step-(i-1) reach time."""
+    ctes = [
+        f"c0 AS (SELECT {user_col}, MIN({ts_col}) AS rt0 "
+        f"FROM {table} WHERE {steps[0][1]} GROUP BY {user_col})"
+    ]
+    for i in range(1, len(steps)):
+        carried = ", ".join(f"c.rt{j}" for j in range(i))
+        ctes.append(
+            f"c{i} AS (SELECT c.{user_col}, {carried}, "
+            f"MIN(CASE WHEN e.{ts_col} >= c.rt{i - 1} "
+            f"THEN e.{ts_col} END) AS rt{i} "
+            f"FROM c{i - 1} c LEFT JOIN "
+            f"(SELECT {user_col}, {ts_col} FROM {table} "
+            f"WHERE {steps[i][1]}) e "
+            f"ON c.{user_col} = e.{user_col} "
+            f"GROUP BY c.{user_col}, {carried})"
         )
-        sel = f"SELECT {cols}, {chain[i]} FROM ({sel}) s{i}"
     counts = ", ".join(
         f"COUNT(rt{i}) AS n{i}" for i in range(len(steps))
     )
+    ctes.append(f"tot AS (SELECT {counts} FROM c{len(steps) - 1})")
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS step_idx, '{name}' AS step, "
         f"CAST(n{i} AS BIGINT) AS users, "
@@ -125,8 +136,9 @@ def funnel_sql(
         "FROM tot"
         for i, (name, _) in enumerate(steps)
     )
+    with_clause = ",\n".join(ctes)
     return f"""
-WITH tot AS (SELECT {counts} FROM ({sel}) final)
+WITH {with_clause}
 SELECT * FROM ({unions}) u ORDER BY step_idx
 """
 

@@ -581,16 +581,23 @@ def line_dedup(
 
     Lines shorter than ``min_line_chars`` are exempt — always kept. That is
     both semantics (short boilerplate lines like '' or '---' aren't the
-    duplication signal this targets) and the scale guard: the line-key
-    shuffle would otherwise funnel every empty line in a 100 TB corpus
-    through one reducer. With the exemption, key skew is bounded by real
-    repeated content, and the heavy hitters there are exactly what AQE's
-    skew handling splits.
+    duplication signal this targets) and the scale guard — REALIZED in the
+    plan, not just documented: exemption is a function of the line text
+    alone, so every ``partitionBy(__line)`` group is homogeneous (all
+    exempt or all not), and exempt rows get a per-row salt in the window
+    key. They still pass through the exchange (one corpus scan, no
+    re-read), but hash uniformly across reducers instead of funneling
+    every empty line in a 100 TB corpus through one; their rank is
+    meaningless and unused (keep is unconditional). Non-exempt groups are
+    salted 0 — identical ranks to the unsalted plan. Residual skew is
+    bounded by real repeated content, which is what AQE's skew handling
+    splits.
 
-    Plan: posexplode -> ONE window shuffle keyed by line text (rank of
-    (doc_id, pos) within each line group) -> filter -> one groupBy(doc)
-    reassembly with sort_array(collect_list(struct(pos, line))) — order
-    restored without a global sort. Returns (id, text, n_kept, n_dropped).
+    Plan: posexplode -> ONE window shuffle keyed by (line text, salt)
+    (rank of (doc_id, pos) within each line group) -> filter -> one
+    groupBy(doc) reassembly with sort_array(collect_list(struct(pos,
+    line))) — order restored without a global sort. Returns (id, text,
+    n_kept, n_dropped).
     """
     import re as _re
 
@@ -605,7 +612,11 @@ def line_dedup(
         ).alias("__pos", "__line"),
     )
     exempt = F.length(F.trim(F.col("__line"))) < min_line_chars
-    w = Window.partitionBy("__line").orderBy(
+    salt = F.when(exempt, F.monotonically_increasing_id()).otherwise(
+        F.lit(0)
+    )
+    lines = lines.withColumn("__salt", salt)
+    w = Window.partitionBy("__line", "__salt").orderBy(
         F.col(id_col).asc(), F.col("__pos").asc()
     )
     ranked = lines.withColumn(

@@ -36,6 +36,16 @@ from harmonize_search_analyze_spark.functions.hashing import hash64_sql
 HASH_BUCKETS = 1_000_000
 
 
+def _sql_str(s: str, dialect: str) -> str:
+    """Quote a Python string as a SQL literal for the given dialect, so a
+    source name like ``O'Reilly`` can't break (or inject into) generated
+    dual-dialect text. Spark's parser uses backslash escapes; DuckDB
+    doubles the quote."""
+    if dialect == "spark":
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return "'" + s.replace("'", "''") + "'"
+
+
 def sample_hash_sql(key: str, dialect: str, *, seed: int = 42) -> str:
     """Portable per-row sampling hash in [0, HASH_BUCKETS): hash of
     ``'{seed}:' || key`` — same text both engines modulo the string cast."""
@@ -153,7 +163,8 @@ def mix_sources_sql(
     """Dual-dialect twin of :func:`mix_sources` (the DuckDB oracle)."""
     h = sample_hash_sql(key_col, dialect, seed=seed)
     branches = "".join(
-        f"WHEN {source_col} = '{s}' THEN {int(r * HASH_BUCKETS)} "
+        f"WHEN {source_col} = {_sql_str(s, dialect)} "
+        f"THEN {int(r * HASH_BUCKETS)} "
         for s, r in sorted(rates.items())
     )
     thr = f"(CASE {branches}ELSE {int(default_rate * HASH_BUCKETS)} END)"
@@ -221,7 +232,7 @@ def upsample_sources_sql(
         return f"({base} + CASE WHEN {h} < {frac} THEN 1 ELSE 0 END)"
 
     branches = "".join(
-        f"WHEN {source_col} = '{s}' THEN {_reps(r)} "
+        f"WHEN {source_col} = {_sql_str(s, dialect)} THEN {_reps(r)} "
         for s, r in sorted(rates.items())
     )
     reps = f"(CASE {branches}ELSE {_reps(default_rate)} END)"

@@ -666,6 +666,25 @@ def test_matrix_stats_pairs_and_values(spark):
     assert rows[("x", "x")]["covariance"] == 1.0  # variance on the diagonal
 
 
+def test_matrix_stats_constant_field_diagonal(spark):
+    """A zero-variance field still carries correlation 1 on the diagonal
+    (CORR(a, a) alone would be NULL); its cross-pair correlation stays
+    NULL (undefined)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        matrix_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)], ["x", "c"]
+    )
+    rows = {(r["field_a"], r["field_b"]): r for r in
+            matrix_stats(df, ["x", "c"]).collect()}
+    assert rows[("c", "c")]["correlation"] == 1.0
+    assert rows[("x", "x")]["correlation"] == 1.0
+    assert rows[("x", "c")]["correlation"] is None
+    assert rows[("c", "c")]["covariance"] == 0.0
+
+
 def test_variable_width_histogram_equal_frequency(spark):
     from harmonize_search_analyze_spark.operators.aggregations import (
         variable_width_histogram,
@@ -793,6 +812,10 @@ def test_funnel_ordered_steps(spark):
         (3, "view", t(2025, 1, 1, 9)), (3, "click", t(2025, 1, 1, 9)),
         # u4 only buys -> counts nowhere (no view)
         (4, "buy", t(2025, 1, 1, 9)),
+        # u5 clicks before AND after viewing -> sequential-chain
+        # semantics counts the later click (global-first-click would not)
+        (5, "click", t(2025, 1, 1, 8)), (5, "view", t(2025, 1, 1, 9)),
+        (5, "click", t(2025, 1, 1, 10)),
     ]
     df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
     steps = [
@@ -802,9 +825,10 @@ def test_funnel_ordered_steps(spark):
     ]
     got = [(r["step"], r["users"], r["conversion_pct"])
            for r in funnel(df, steps).collect()]
-    # u3's click at the same timestamp as view counts (>= semantics)
-    assert got == [("view", 3, 100.0), ("click", 2, round(200 / 3, 6)),
-                   ("buy", 1, round(100 / 3, 6))]
+    # u3's click at the same timestamp as view counts (>= semantics);
+    # u5's post-view click counts (sequential chain, not global-first)
+    assert got == [("view", 4, 100.0), ("click", 3, 75.0),
+                   ("buy", 1, 25.0)]
 
 
 def test_cohort_retention_matrix(spark):
@@ -861,6 +885,29 @@ def test_histogram_min_doc_count_zero_fills_gaps(spark):
     # default keeps ES behavior: gaps omitted
     got1 = [r["bin"] for r in histogram(df, "v", 2.0).collect()]
     assert got1 == [0.0, 2.0, 8.0]
+
+
+def test_histogram_fractional_interval_and_negatives(spark):
+    """Gap-fill joins on the integer bin INDEX: with interval=0.1 the
+    double keys floor(v/i)*i and idx*i differ in representation, which
+    used to silently zero out non-empty bins; and floor (not
+    cast-truncation) must bin negative values downward."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(0.1,), (0.3,), (0.3,), (-0.25,)], ["v"]
+    )
+    got = [(round(r["bin"], 10), r["doc_count"]) for r in
+           histogram(df, "v", 0.1, min_doc_count=0).collect()]
+    # binning itself follows IEEE double division exactly like ES
+    # (floor(0.3/0.1) == 2, so 0.3 lands in the 0.2 bin); what must NOT
+    # happen is the gap-fill grid dropping a non-empty bin on a double
+    # join-key mismatch
+    assert got == [(-0.3, 1), (-0.2, 0), (-0.1, 0), (0.0, 0),
+                   (0.1, 1), (0.2, 2)]
+    assert sum(c for _, c in got) == 4  # no data row lost to the grid join
 
 
 def test_date_histogram_min_doc_count_zero(spark):

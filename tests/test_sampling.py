@@ -148,3 +148,44 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 1.0)], ["id", "w"])
     assert [r["id"] for r in
             weighted_sample(df2, "w", 5, "id").collect()] == [3]
+
+
+def test_source_names_with_quotes_escape_in_both_dialects(spark):
+    """A source name containing an apostrophe (O'Reilly) must produce
+    valid SQL in both generated dialects and match the DataFrame op."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.sampling import (
+        mix_sources,
+        mix_sources_sql,
+        upsample_sources_sql,
+    )
+
+    rows = [(i, "O'Reilly" if i % 2 else "web") for i in range(40)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    rates = {"O'Reilly": 1.0, "web": 0.0}
+    want = sorted(
+        r["id"] for r in mix_sources(df, "src", rates, "id").collect()
+    )
+    assert want and all(i % 2 for i in want)
+
+    sql_spark = mix_sources_sql("t", "src", rates, "id", ["id"], "spark")
+    df.createOrReplaceTempView("t")
+    got_spark = sorted(r["id"] for r in spark.sql(sql_spark).collect())
+    spark.catalog.dropTempView("t")
+    assert got_spark == want
+
+    con = duckdb.connect()
+    duck_lit = {True: "'O''Reilly'", False: "'web'"}
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, {duck_lit[bool(i % 2)]})"
+                            for i in range(40))
+                + ") v(id, src)")
+    sql_duck = mix_sources_sql("t", "src", rates, "id", ["id"], "duckdb")
+    got_duck = sorted(r[0] for r in con.execute(sql_duck).fetchall())
+    assert got_duck == want
+    # upsample generator parses too (both dialects)
+    up_duck = upsample_sources_sql(
+        "t", "src", {"O'Reilly": 2.0}, "id", ["id"], "duckdb",
+        default_rate=1.0)
+    assert con.execute(up_duck).fetchall()
