@@ -798,13 +798,14 @@ def q_vartype_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 6) on the 1-in-10 doc sample."""
+    """SimHash near-dup pairs (Hamming <= 12 over the 64-bit sketch) on
+    the 1-in-10 doc sample."""
     from harmonize_search_analyze_spark.operators.dedup import (
         simhash_near_dup_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=6).orderBy(
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12).orderBy(
         "id1", "id2"
     )
 
@@ -825,7 +826,7 @@ WITH sigs AS ({sigs})
 SELECT id1, id2, hamming FROM (
   SELECT a.doc_id AS id1, b.doc_id AS id2, CAST({ham} AS INT) AS hamming
   FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-) WHERE hamming <= 6 ORDER BY id1, id2
+) WHERE hamming <= 12 ORDER BY id1, id2
 """
 
 
@@ -1108,7 +1109,7 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return simhash_near_dup_pairs_banded(
-        docs, "doc_id", "text", max_hamming=3
+        docs, "doc_id", "text", max_hamming=6
     ).orderBy("id1", "id2")
 
 
@@ -1128,7 +1129,7 @@ WITH sigs AS ({sigs})
 SELECT id1, id2, hamming FROM (
   SELECT a.doc_id AS id1, b.doc_id AS id2, CAST({ham} AS INT) AS hamming
   FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-) WHERE hamming <= 3 ORDER BY id1, id2
+) WHERE hamming <= 6 ORDER BY id1, id2
 """
 
 

@@ -1185,11 +1185,13 @@ def geo_line(
     [lon, lat] points sorted by ``sort_col`` (ES truncates to ``size``
     points; we keep the FIRST ``max_points`` in sort order, deterministic).
 
-    One hash agg per group: collect (sort_key, point) structs, sort the
-    bounded array, slice, project to points. The per-group state is capped
-    by ``max_points``… after the slice; the collect itself is bounded by
-    group size — for unbounded groups pre-filter or bucket by time first
-    (same contract as ES, which hard-caps size at 10k)."""
+    Per-group aggregation state is bounded BEFORE the collect: a
+    ``row_number() <= max_points`` window (same (sort, lon, lat) order as
+    the final array sort, so results are identical) truncates each group
+    first, then the hash agg collects at most ``max_points`` structs. The
+    window and the agg share the group key, so Catalyst reuses one
+    exchange — a hot group at corpus scale costs sort spill in the
+    window, never unbounded agg state (ES's own hard size cap is 10k)."""
     pt = F.struct(
         F.col(sort_col).alias("s"),
         F.array(F.col(lon), F.col(lat)).alias("p"),
@@ -1197,6 +1199,17 @@ def geo_line(
     ok = df.where(
         F.col(lat).isNotNull() & F.col(lon).isNotNull()
         & F.col(sort_col).isNotNull()
+    )
+    # struct sort order is (s, p=[lon, lat]) lexicographic — mirror it in
+    # the window so the pre-truncation keeps exactly the rows the final
+    # sort_array/slice would have kept
+    w_trunc = Window.partitionBy(group).orderBy(
+        F.col(sort_col).asc(), F.col(lon).asc(), F.col(lat).asc()
+    )
+    ok = (
+        ok.withColumn("__rn", F.row_number().over(w_trunc))
+        .where(F.col("__rn") <= max_points)
+        .drop("__rn")
     )
     return (
         ok.groupBy(group)

@@ -292,13 +292,29 @@ def near_dup_pairs_brute(
 
 # -- SimHash -------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 
 
-def simhash_select_sql(table: str, id_col: str, text_col: str, dialect: str) -> str:
-    """Full SELECT computing a 32-bit SimHash per document: explode token
-    hashes, sign-sum each bit, recombine. Identical SQL shape on both
-    engines (explode/unnest + one groupBy = one shuffle on doc_id)."""
+def simhash_select_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    dialect: str,
+    *,
+    bits: int = SIMHASH_BITS,
+) -> str:
+    """Full SELECT computing a ``bits``-wide SimHash per document: explode
+    token hashes, sign-sum each bit, recombine. Identical SQL shape on both
+    engines (explode/unnest + one groupBy = one shuffle on doc_id).
+
+    Default is the full 64 bits of the token hash — wide bands keep their
+    pruning power in the banded candidate path (16-bit bands at d=3; the
+    32-bit sketch's 4-5-bit bands degenerate toward all-pairs at corpus
+    scale). The sketch is stored two's-complement in a signed BIGINT: bit
+    63's weight is MIN_LONG, added LAST so the running sum of lower-bit
+    weights (<= 2^63 - 1) never overflows under ANSI arithmetic."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = tokens_sql(text_col, dialect)
     h = hash64_sql("tok", dialect)
     if dialect == "spark":
@@ -313,38 +329,52 @@ def simhash_select_sql(table: str, id_col: str, text_col: str, dialect: str) -> 
         )
     sums = ", ".join(
         f"SUM(CASE WHEN ((th >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     )
-    recombine = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
-        for b in range(SIMHASH_BITS)
-    )
+    terms = []
+    for b in range(bits):
+        if b == 63:
+            # 1 << 63 overflows signed BIGINT; MIN_LONG is its
+            # two's-complement weight (kept last in the sum)
+            w = "CAST(-9223372036854775807 AS BIGINT) - 1"
+        else:
+            w = f"CAST({1 << b} AS BIGINT)"
+        terms.append(f"(CASE WHEN s{b} > 0 THEN {w} ELSE 0 END)")
+    recombine = " + ".join(terms)
     return (
         f"SELECT _id AS {id_col}, ({recombine}) AS simhash "
         f"FROM (SELECT _id, {sums} FROM ({exploded}) e GROUP BY _id) g"
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """doc_id + 32-bit simhash sketch."""
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """doc_id + ``bits``-wide (default 64) simhash sketch."""
     # unique view name: fixed names collide under concurrent use
     view = f"__simhash_in_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
     out = df.sparkSession.sql(
-        simhash_select_sql(view, id_col, text_col, "spark")
+        simhash_select_sql(view, id_col, text_col, "spark", bits=bits)
     )
     df.sparkSession.catalog.dropTempView(view)
     return out
 
 
 def hamming_sql(a: str, b: str, dialect: str) -> str:
-    """Hamming distance between two SIMHASH_BITS-bit ints (popcount of XOR,
-    expanded as bit tests — portable, codegen-friendly)."""
-    xor = f"(CAST({a} AS BIGINT) ^ CAST({b} AS BIGINT))" if dialect == "spark" \
-        else f"xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
-    return "(" + " + ".join(
-        f"(({xor} >> {b}) & 1)" for b in range(SIMHASH_BITS)
-    ) + ")"
+    """Hamming distance between two sketch ints: ``bit_count`` of the XOR
+    (native popcount on both engines — one codegen'd call, not 64 bit
+    tests). Works unchanged for any sketch width <= 64: equal high bits
+    XOR to zero."""
+    if dialect == "spark":
+        xor = f"(CAST({a} AS BIGINT) ^ CAST({b} AS BIGINT))"
+    else:
+        xor = f"xor(CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    return f"bit_count({xor})"
 
 
 def simhash_near_dup_pairs(
@@ -353,6 +383,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     *,
     max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash near-dup pairs: sketches whose Hamming distance is within
     ``max_hamming``. Pair generation here is the O(n^2) self-join BASELINE —
@@ -360,7 +391,7 @@ def simhash_near_dup_pairs(
     bucketed production path. Use this one on samples only."""
     # tiny frame (id + 1 long), referenced by both join branches: persist so
     # the token-explode aggregation doesn't run twice
-    sk = simhash(df, id_col, text_col).persist()
+    sk = simhash(df, id_col, text_col, bits=bits).persist()
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     l = sk.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("sh1")
@@ -405,16 +436,18 @@ def simhash_candidate_pairs(
     ``lsh_candidate_pairs``. Exact by pigeonhole (see simhash_band_bounds);
     downstream Hamming verification filters false positives.
 
-    Scale note: with 32-bit sketches and d=6 the bands are 4-5 bits wide
-    (16-32 distinct keys) and buckets are huge — banding only prunes when
-    bands carry enough entropy. Production guidance: keep d small (<=3,
-    8-bit bands) or widen the sketch (64-bit SimHash, 16-bit bands) before
-    raising d. The operator works for any d; the pruning power is the
-    caller's dial."""
+    Scale note: pruning power is band entropy. At the default 64-bit
+    sketch, d=3 gives 4 bands x 16 bits (65k keys per band) — real
+    bucketing at corpus scale; even d=6 keeps 9-10-bit bands. Narrow
+    sketches degrade: 32 bits at d=6 is 4-5-bit bands (16-32 keys),
+    approaching all-pairs. The operator works for any (bits, d); keep
+    bands >= ~8 bits by widening the sketch before raising d."""
     n_bands = max_hamming + 1
     bands = []
     for bi, (lo, width) in enumerate(simhash_band_bounds(bits, n_bands)):
-        mask = (1 << width) - 1
+        # width 64 (single band over a full sketch): (1 << 64) - 1
+        # overflows a signed long; -1 is the same all-ones mask
+        mask = (1 << width) - 1 if width < 64 else -1
         key = F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
         bands.append(
             F.struct(
@@ -449,14 +482,17 @@ def simhash_near_dup_pairs_banded(
     text_col: str,
     *,
     max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Production SimHash near-dup path: banded candidate generation
     (pigeonhole-exact) + Hamming verification on candidates only. Produces
     exactly the same (id1, id2, hamming) set as the O(n^2)
     ``simhash_near_dup_pairs`` at the same ``max_hamming`` — that operator
     is this one's recall oracle."""
-    sk = simhash(df, id_col, text_col).persist()
-    cands = simhash_candidate_pairs(sk, id_col, max_hamming=max_hamming)
+    sk = simhash(df, id_col, text_col, bits=bits).persist()
+    cands = simhash_candidate_pairs(
+        sk, id_col, max_hamming=max_hamming, bits=bits
+    )
     ham = F.expr(hamming_sql("sh1", "sh2", "spark"))
     out = (
         cands.join(

@@ -85,7 +85,8 @@ def test_simhash_identical_zero_distance(docs):
     sk = {r["doc_id"]: r["simhash"] for r in
           simhash(docs, "doc_id", "text").collect()}
     assert sk[1] == sk[2]
-    assert 0 <= sk[1] < (1 << 32)
+    # 64-bit sketch, stored two's-complement in a signed BIGINT
+    assert -(1 << 63) <= sk[1] < (1 << 63)
     pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
              simhash_near_dup_pairs(docs, "doc_id", "text",
                                     max_hamming=3).collect()}
@@ -107,7 +108,7 @@ def test_simhash_band_bounds_partition():
     with pytest.raises(ValueError):
         simhash_band_bounds(SIMHASH_BITS, 0)
     with pytest.raises(ValueError):
-        simhash_band_bounds(SIMHASH_BITS, 33)
+        simhash_band_bounds(SIMHASH_BITS, SIMHASH_BITS + 1)
 
 
 def test_simhash_banded_equals_brute(docs):
@@ -471,3 +472,30 @@ def test_grams_empty_doc_cross_engine(spark):
     d = [duckdb.sql("SELECT " + grams_sql("'" + t + "'", "duckdb", 3))
          .fetchall()[0][0] for t in ("", "  ", "one")]
     assert s == d == [[""], [""], ["one"]]
+
+
+def test_simhash_banded_pruning_power(spark):
+    """The 64-bit sketch's reason to exist: banded candidate generation at
+    d=3 (4 bands x 16 bits) must prune the candidate space to a small
+    fraction of all pairs on a real corpus — the 32-bit sketch's 4-5-bit
+    bands degenerated toward all-pairs."""
+    import os
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+    from harmonize_search_analyze_spark.sources.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    sk = simhash(docs, "doc_id", "text").persist()
+    try:
+        cands = simhash_candidate_pairs(sk, "doc_id", max_hamming=3).count()
+    finally:
+        sk.unpersist()
+    all_pairs = n * (n - 1) // 2
+    # measured: 1.7% at sf0.1 (5k docs), similar at sf0.01 — assert an
+    # order of magnitude of pruning with headroom for corpus variation
+    assert cands < 0.10 * all_pairs, (cands, all_pairs)

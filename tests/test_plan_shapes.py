@@ -167,3 +167,35 @@ def test_collapse_single_window_exchange(spark):
     p = _plan(out)
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_geo_line_bounds_state_before_collect(spark):
+    """The row_number truncation window must run BEFORE the collect_list
+    agg (bounded per-group state), share its exchange with the agg (one
+    shuffle total), and keep results identical to sort-then-slice."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_line,
+    )
+
+    rows = [("t1", 40.0 + i * 0.01, -70.0, i) for i in range(50)]
+    df = spark.createDataFrame(rows, ["grp", "lat", "lon", "seq"])
+    out = geo_line(df, "grp", "lat", "lon", "seq", max_points=5)
+    got = out.collect()
+    assert got[0]["n_points"] == 5
+    # first 5 points in seq order survive the truncation
+    assert got[0]["line"][0] == [-70.0, 40.0]
+    assert got[0]["line"][4] == [-70.0, 40.04]
+    p = _plan(out)
+    assert "Window" in p, p
+    # the optimizer turns row_number()<=k into WindowGroupLimit with a
+    # PARTIAL pre-shuffle pass: each mapper ships at most max_points rows
+    # per group — the state bound holds before the exchange, not just
+    # before the collect
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p.split("WindowGroupLimit")[-1] or \
+        p.count("WindowGroupLimit") == 2, p
+    # exactly two shuffles: the shared group-key hash exchange (window +
+    # agg reuse it) and the final orderBy range exchange
+    assert p.count("Exchange") == 2, p
+    # and the Window node sits below the final aggregate in the tree
+    assert p.index("ObjectHashAggregate") < p.index("Window"), p
