@@ -16,8 +16,9 @@ Both are idempotent; ``unpersist`` on an already-free frame is a no-op.
 
 from __future__ import annotations
 
+import contextlib
 import weakref
-from typing import Iterable
+from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame
 
@@ -102,3 +103,21 @@ def persisted_count(spark) -> int:
 def release_all(frames: Iterable[DataFrame]) -> None:
     for f in frames:
         release(f)
+
+
+@contextlib.contextmanager
+def scoped(out: DataFrame) -> Iterator[DataFrame]:
+    """Deterministic storage scope for a tethered operator result:
+
+    >>> with scoped(simhash_near_dup_pairs_banded(df, "id", "text")) as pairs:
+    ...     pairs.write.parquet(...)
+
+    The tethered intermediates are unpersisted at block exit — no reliance
+    on when (or whether) the garbage collector runs, which in a long-lived
+    driver session under memory pressure can let persisted band/sketch
+    frames accrete until an arbitrary collection. The GC tether remains
+    the fallback for callers who don't scope."""
+    try:
+        yield out
+    finally:
+        release(out)

@@ -499,3 +499,27 @@ def test_simhash_banded_pruning_power(spark):
     # measured: 1.7% at sf0.1 (5k docs), similar at sf0.01 — assert an
     # order of magnitude of pruning with headroom for corpus variation
     assert cands < 0.10 * all_pairs, (cands, all_pairs)
+
+
+def test_scoped_release_no_gc(spark, docs, vectors):
+    """VERDICT r2 item 5: explicit-scope runs of the LSH / simhash /
+    embedding-LSH operators leave ZERO persisted RDDs behind without any
+    garbage-collector involvement."""
+    from harmonize_search_analyze_spark.functions.caching import scoped
+
+    base = persisted_count(spark)
+    with scoped(simhash_near_dup_pairs_banded(
+            docs, "doc_id", "text", max_hamming=3)) as pairs:
+        assert pairs.count() >= 0
+        assert persisted_count(spark) > base
+    assert persisted_count(spark) == base
+
+    with scoped(near_dup_pairs_lsh(docs, "doc_id", "text", threshold=0.5,
+                                   k=8, n=2, rows_per_band=2)) as pairs:
+        pairs.collect()
+    assert persisted_count(spark) == base
+
+    with scoped(embedding_near_dup_lsh(vectors, threshold=0.99, dim=16,
+                                       n_bands=4, bits_per_band=4)) as pairs:
+        pairs.collect()
+    assert persisted_count(spark) == base
