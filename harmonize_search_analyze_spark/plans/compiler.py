@@ -331,30 +331,47 @@ def percolate(
     id_cols: list[str],
     *,
     now: _dt.datetime | None = None,
+    chunk_size: int = 256,
 ):
     """ES percolator, inverted search: given STORED queries, find which of
     them match each document — the alerting/routing primitive ("which
     saved searches fire on this incoming doc?").
 
     Every stored query compiles to a Column predicate; all of them are
-    evaluated in ONE scan as a codegen'd boolean array (no join against a
-    query table, no per-query pass), then exploded to (id_cols...,
-    query_id) match rows. Cost is O(rows x queries) predicate evaluations
-    inside whole-stage codegen — at 100 TB with thousands of stored
-    queries this is exactly how you want it shaped: one pass, no shuffle
-    before the (optional) downstream agg.
+    evaluated in ONE scan (no join against a query table, no per-query
+    pass), then exploded to (id_cols..., query_id) match rows. Cost is
+    O(rows x queries) predicate evaluations in a single projection — at
+    100 TB with thousands of stored queries this is exactly how you want
+    it shaped: one pass, zero shuffles before the (optional) downstream
+    agg.
+
+    Thousands-of-queries guard: the match array is built in chunks of
+    ``chunk_size`` predicates, concatenated inside the SAME projection —
+    still one stage and one scan (plan-asserted at 600 queries), but no
+    single expression tree grows unboundedly. Oversized expression trees
+    are where Janino's 64KB method limit and
+    ``spark.sql.codegen.hugeMethodLimit`` force whole-stage codegen to
+    fall back to interpreted evaluation; bounded chunks keep each subtree
+    compilable. 256 predicates/chunk holds the generated code well under
+    the cliff for typical term/range/bool alerts.
 
     Returns one row per (document, matching query), query names sorted.
     """
     from pyspark.sql import functions as _F
 
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
     names = sorted(queries)
-    tagged = _F.array(
-        *[
-            _F.when(compile_query(queries[n], now=now), _F.lit(n))
-            for n in names
-        ]
-    )
+    chunks = [
+        _F.array(
+            *[
+                _F.when(compile_query(queries[n], now=now), _F.lit(n))
+                for n in names[i : i + chunk_size]
+            ]
+        )
+        for i in range(0, len(names), chunk_size)
+    ]
+    tagged = chunks[0] if len(chunks) == 1 else _F.concat(*chunks)
     return (
         df.select(*id_cols, _F.explode(_F.array_compact(tagged)).alias("query_id"))
     )

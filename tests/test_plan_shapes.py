@@ -199,3 +199,51 @@ def test_geo_line_bounds_state_before_collect(spark):
     assert p.count("Exchange") == 2, p
     # and the Window node sits below the final aggregate in the tree
     assert p.index("ObjectHashAggregate") < p.index("Window"), p
+
+
+def test_percolate_600_queries_single_stage(spark):
+    """VERDICT r2 item 8: percolation with hundreds of stored queries
+    stays ONE scan + ONE projection — no exchange, no Python stage, no
+    per-query pass — with the match array built in bounded chunks."""
+    from harmonize_search_analyze_spark.plans.compiler import percolate
+
+    df = spark.createDataFrame(
+        [(i, f"cat{i % 7}", float(i)) for i in range(500)],
+        ["doc_id", "category", "price"],
+    )
+    stored = {}
+    for q in range(600):
+        stored[f"alert_{q:04d}"] = {
+            "bool": {"must": [
+                {"term": {"category": f"cat{q % 7}"}},
+                {"range": {"price": {"gte": q % 100}}},
+            ]}
+        }
+    out = percolate(df, stored, ["doc_id"])
+    rows = out.collect()
+    assert rows  # matches exist
+    # spot-check one (doc, query): doc 10 is cat3, price 10.0 — alert_0003
+    # wants cat3 and price >= 3
+    matched = {(r["doc_id"], r["query_id"]) for r in rows}
+    assert (10, "alert_0003") in matched
+    assert (10, "alert_0011") not in matched  # wants cat4; doc 10 is cat3
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+
+
+def test_percolate_chunking_matches_unchunked(spark):
+    """Chunked evaluation (chunk_size=8) returns exactly the single-array
+    result for the same query set."""
+    from harmonize_search_analyze_spark.plans.compiler import percolate
+
+    df = spark.createDataFrame(
+        [(i, f"cat{i % 3}") for i in range(30)], ["doc_id", "category"]
+    )
+    stored = {f"q{j}": {"term": {"category": f"cat{j % 3}"}}
+              for j in range(20)}
+    one = {(r["doc_id"], r["query_id"]) for r in
+           percolate(df, stored, ["doc_id"], chunk_size=10_000).collect()}
+    chunked = {(r["doc_id"], r["query_id"]) for r in
+               percolate(df, stored, ["doc_id"], chunk_size=8).collect()}
+    assert chunked == one and one
