@@ -22,6 +22,7 @@ def get_spark(
     app_name: str = "harmonize-search-analyze-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
@@ -50,6 +51,12 @@ def get_spark(
         # Cap in-memory partition bytes so a 100 TB scan yields sane tasks.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    if driver_memory is not None:
+        # local mode: the driver heap IS the whole JVM (all executor
+        # threads); the 1g default OOMs multi-GB local runs. Only effective
+        # when the JVM hasn't started yet (fresh process). On a real
+        # cluster this comes from spark-submit, not here.
+        builder = builder.config("spark.driver.memory", driver_memory)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

@@ -1,0 +1,71 @@
+"""One-decade scale validation (VERDICT r2 item 4): run the headline
+dedup/ANN family at generator-sf0.1 (mult=1) and sf1 (mult=10), report
+per-query wall times and the sf1/sf0.1 ratio. Data must exist first:
+
+    python scripts/gen_scale_data.py /tmp/sparkgraft_m1 1
+    python scripts/gen_scale_data.py /tmp/sparkgraft_m10 10
+    python scripts/scale_validation.py
+
+A linear operator at a 10x data multiplier on a fixed 32-core box should
+land near 10x (minus fixed per-query overhead that amortizes); markedly
+super-linear ratios indicate a quadratic term escaping its bound.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import harmonize_search_analyze_spark as hsa  # noqa: E402
+import __spark_entry__ as entry  # noqa: E402
+
+FAMILY = [
+    "lsh_near_dup",
+    "simhash_banded",
+    "embedding_lsh",
+    "similarity_join_ivf",
+    "semantic_dedup",
+    "dedup_clusters",
+]
+
+M1_DIR = "/tmp/sparkgraft_m1"
+M10_DIR = "/tmp/sparkgraft_m10"
+
+
+def run(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    out = {}
+    qs = entry.queries()
+    for name in FAMILY:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        out[name] = (round(time.time() - t0, 2), n)
+    return out
+
+
+def main() -> None:
+    spark = hsa.get_spark(
+        master="local[32]", shuffle_partitions=32, driver_memory="48g"
+    )
+    # warm the JVM/Arrow paths so m1 doesn't absorb all first-run cost
+    run(spark, M1_DIR)
+    m1 = run(spark, M1_DIR)
+    m10 = run(spark, M10_DIR)
+    report = {}
+    for name in FAMILY:
+        t1, n1 = m1[name]
+        t10, n10 = m10[name]
+        report[name] = {
+            "sf0.1_sec": t1,
+            "sf1_sec": t10,
+            "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+            "sf0.1_rows": n1,
+            "sf1_rows": n10,
+        }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -275,3 +275,73 @@ def test_line_dedup_operator_vs_oracle_on_edge_corpus(edge_tables):
         line_dedup_sql("edge_docs", "doc_id", "text", min_line_chars=5)
     ).fetchall())
     assert s == d
+
+
+def test_simhash_generator_on_edge_corpus(edge_tables):
+    """64-bit simhash sketches (incl. the MIN_LONG bit-63 weight) must
+    agree exactly across engines on the edge corpus."""
+    spark, con = edge_tables
+    from harmonize_search_analyze_spark.operators.dedup import (
+        simhash_select_sql,
+    )
+
+    s = _rows(
+        spark, simhash_select_sql("edge_docs", "doc_id", "text", "spark"),
+        "spark",
+    )
+    d = _rows(
+        con, simhash_select_sql("edge_docs", "doc_id", "text", "duckdb"),
+        "duckdb",
+    )
+    assert s == d
+    # the corpus must actually exercise the widened sketch: bits above
+    # the old 32-bit width set on at least one doc
+    assert any(v is not None and abs(v) >= (1 << 32) for _, v in s)
+
+
+def test_funnel_generator_on_edge_events(spark):
+    """Sequential-chain funnel: the DataFrame op and the SQL twin agree on
+    adversarial event orderings (step-2-before-step-1, before-AND-after,
+    same-timestamp ties, repeats, partial chains)."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        funnel,
+        funnel_sql,
+    )
+
+    t = dt.datetime
+    events = [
+        (1, "a", t(2025, 1, 1, 9)), (1, "b", t(2025, 1, 1, 10)),
+        (1, "c", t(2025, 1, 1, 11)),                    # clean chain
+        (2, "b", t(2025, 1, 1, 8)), (2, "a", t(2025, 1, 1, 9)),  # b first only
+        (3, "b", t(2025, 1, 1, 8)), (3, "a", t(2025, 1, 1, 9)),
+        (3, "b", t(2025, 1, 1, 10)),                    # b before AND after
+        (4, "a", t(2025, 1, 1, 9)), (4, "b", t(2025, 1, 1, 9)),  # tie
+        (5, "a", t(2025, 1, 1, 9)),                     # partial
+        (6, "c", t(2025, 1, 1, 9)),                     # never step a
+        (7, "a", t(2025, 1, 1, 9)), (7, "a", t(2025, 1, 1, 10)),
+        (7, "b", t(2025, 1, 1, 9, 30)),                 # b between repeats
+    ]
+    steps_sql = [("a", "event_type = 'a'"), ("b", "event_type = 'b'"),
+                 ("c", "event_type = 'c'")]
+    df = spark.createDataFrame(events, ["user_id", "event_type", "ts"])
+    steps = [(n, F.expr(p)) for n, p in steps_sql]
+    got = [(r["step"], r["users"], r["conversion_pct"])
+           for r in funnel(df, steps).collect()]
+    con = duckdb.connect()
+    con.register(
+        "edge_events",
+        pd.DataFrame(events, columns=["user_id", "event_type", "ts"]),
+    )
+    want = [(r[1], r[2], r[3]) for r in
+            con.sql(funnel_sql("edge_events", steps_sql)).fetchall()]
+    assert got == want
+    # pin the semantics: users 1,2,3,4,5,7 have an 'a' event (u2's early b
+    # doesn't block step a); b reachers are 1 (clean), 3 (post-a b), 4
+    # (same-timestamp tie), 7 (b after first a) — NOT 2 (b strictly first)
+    assert got[0] == ("a", 6, 100.0)
+    assert got[1][1] == 4
