@@ -245,6 +245,57 @@ def extract_image_features(
     return df.mapInPandas(run, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "payload",
+    fake: bool = True,
+) -> DataFrame:
+    """Image resize as a map-only ``mapInPandas`` stage: appends
+    ``resized`` (binary) plus ``resized_width``/``resized_height``.
+
+    The Spark plumbing — Arrow batch in/out, binary column handling,
+    schema evolution, null passthrough — is real; the pixel transform is
+    env-gated like ``decode_image``. With ``fake=True`` the resized
+    payload is a deterministic digest-derived stand-in sized
+    proportionally to ``width*height`` (identical input bytes => identical
+    output bytes, preserving the dedup-by-digest property downstream
+    stages rely on); ``fake=False`` calls ``decode_image`` and raises
+    until a codec is plugged in."""
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    out_schema = T.StructType([
+        *df.schema.fields,
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("resized_width", T.IntegerType()),
+        T.StructField("resized_height", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs = [], [], []
+            for p in pdf[binary_col]:
+                if p is None:
+                    payloads.append(None); ws.append(None); hs.append(None)
+                    continue
+                if not fake:
+                    decode_image(p)  # raises: stub documented above
+                digest = hashlib.md5(p).hexdigest().encode()
+                # stand-in bitmap: digest repeated to ~3 bytes/pixel
+                n = max(width * height * 3, 1)
+                payloads.append((digest * (n // len(digest) + 1))[:n])
+                ws.append(width)
+                hs.append(height)
+            pdf = pdf.copy()
+            pdf["resized"] = payloads
+            pdf["resized_width"] = ws
+            pdf["resized_height"] = hs
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     binary_col: str = "payload",

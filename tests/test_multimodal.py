@@ -234,3 +234,30 @@ def test_sniff_mp4_duration():
     got = sniff_media(payload)
     assert got["format"] == "mp4"
     assert got["duration_ms"] == 2500
+
+
+def test_resize_images_plumbing(spark):
+    """Resize stage: Arrow batch in/out, deterministic fake payload sized
+    to the target dims, null passthrough, schema evolution."""
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    rows = [(1, b"\xff\xd8\xff\xe0fakejpegbytes"), (2, None),
+            (3, b"\xff\xd8\xff\xe0fakejpegbytes")]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r["media_id"]: r for r in
+           resize_images(df, 8, 6).collect()}
+    assert out[1]["resized_width"] == 8 and out[1]["resized_height"] == 6
+    assert len(out[1]["resized"]) == 8 * 6 * 3
+    # identical input bytes -> identical resized bytes (digest lineage)
+    assert bytes(out[1]["resized"]) == bytes(out[3]["resized"])
+    assert out[2]["resized"] is None and out[2]["resized_width"] is None
+    # the non-fake path is the documented env gate
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_image(b"x")
+    with _pytest.raises(ValueError):
+        resize_images(df, 0, 6)
