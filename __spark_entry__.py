@@ -2765,6 +2765,36 @@ def _sql_line_dedup() -> str:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated k-token-span removal (Lee et al. 2021)
+    on a 1-in-5 doc sample: any 8-token window occurring more than once
+    keeps its first (doc, pos) occurrence; later occurrences' covered
+    tokens drop and docs reassemble in order. One gram-key window shuffle
+    + bounded k fan-out + anti-join + doc reassembly."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    return substring_dedup(docs, "doc_id", "text", k=8).orderBy("doc_id")
+
+
+def _sql_substring_dedup() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        substring_dedup_sql,
+    )
+
+    inner = substring_dedup_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id",
+        "text",
+        k=8,
+    )
+    # wrap: the generator's outer select joins three doc_id columns, so a
+    # bare ORDER BY doc_id would be ambiguous in DuckDB
+    return f"SELECT * FROM ({inner}) final ORDER BY doc_id"
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 
@@ -3458,6 +3488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "weighted_avg": q_weighted_avg,
         "mad": q_mad,
+        # round-3 addition (outside the driver window until a rotation)
+        "substring_dedup": q_substring_dedup,
     }
 
 
@@ -3552,6 +3584,7 @@ def oracle_sql() -> dict[str, str]:
         "geotile_grid": _sql_geotile_grid(),
         "search_advanced": SQL_SEARCH_ADVANCED,
         "line_dedup": _sql_line_dedup(),
+        "substring_dedup": _sql_substring_dedup(),
         "pq_search": _sql_pq_search(),
         "percolate": SQL_PERCOLATE,
         "pq_search_ivf": _sql_pq_search_ivf(),

@@ -723,3 +723,164 @@ SELECT {id_col},
             AS BIGINT) AS n_dropped
 FROM ranked GROUP BY {id_col}
 """
+
+
+# -- exact-substring (duplicated token-span) dedup ----------------------------
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"), at token
+    granularity: any ``k``-token window occurring more than once in the
+    corpus keeps only its FIRST occurrence (minimum (doc, position)); all
+    token positions covered by later occurrences are dropped and each
+    document is reassembled from its surviving tokens in order. The
+    line_dedup generalization from line granularity to sliding windows —
+    the suffix-array substring dedup's Spark-shaped k-gram form.
+
+    Plan: one tokenization pass -> sliding k-gram keys as a codegen'd
+    ``transform`` over the token array (no explode of windows x tokens;
+    one row per window start) -> ONE window shuffle on the gram hash
+    (rank of (doc, pos)) -> duplicated starts expand to covered positions
+    (bounded fan-out k) -> anti-join against the token rows -> groupBy
+    reassembly. Gram keys at k >= 8 are high-entropy, so the gram shuffle
+    has no structural hot key (boilerplate-heavy corpora behave like
+    line_dedup's real-content skew: AQE's skew split is the relief
+    valve). Per-doc reassembly state is bounded by document length.
+
+    Returns (id, text, n_kept, n_dropped) with token counts; documents
+    shorter than ``k`` tokens (or empty) pass through unchanged.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    gram_hash = hash64_sql(f"concat_ws(' ', slice(__toks, i + 1, {k}))", "spark")
+    toks = df.select(
+        F.col(id_col), F.expr(tokens_sql(text_col, "spark")).alias("__toks")
+    )
+    starts = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__toks) >= {k} THEN "
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"i -> struct(i AS pos, {gram_hash} AS g)) "
+                "ELSE array() END"
+            )
+        ).alias("w"),
+    ).select(id_col, "w.pos", "w.g")
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("g").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    )
+    dup_starts = (
+        starts.withColumn("__rn", rn).where(F.col("__rn") > 1)
+        .select(id_col, "pos")
+    )
+    deleted = dup_starts.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("tp"),
+    ).distinct()
+    tok_rows = toks.select(
+        id_col, F.posexplode("__toks").alias("tp", "__tok")
+    )
+    kept = tok_rows.join(deleted, [id_col, "tp"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("tp"), F.col("__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+        ).alias("__new_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    totals = tok_rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__total")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("__new_text", F.lit("")).alias(text_col),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce("__total", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+def substring_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+) -> str:
+    """DuckDB oracle for :func:`substring_dedup` — identical gram hash,
+    rank-first-occurrence, covered-position delete, ordered reassembly."""
+    toks = tokens_sql(text_col, "duckdb")
+    gram = hash64_sql(
+        f"array_to_string(toks[CAST(pos + 1 AS BIGINT):"
+        f"CAST(pos + {k} AS BIGINT)], ' ')",
+        "duckdb",
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+starts AS (
+  SELECT {id_col}, CAST(u.i AS BIGINT) AS pos, {gram} AS g
+  FROM t, UNNEST(range(len(toks) - {k} + 1)) AS u(i)
+  WHERE len(toks) >= {k}
+),
+dup_starts AS (
+  SELECT {id_col}, pos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY g ORDER BY {id_col} ASC, pos ASC) AS rn
+    FROM starts
+  ) WHERE rn > 1
+),
+deleted AS (
+  SELECT DISTINCT {id_col}, pos + CAST(r.j AS BIGINT) AS tp
+  FROM dup_starts, UNNEST(range({k})) AS r(j)
+),
+tok_rows AS (
+  SELECT {id_col},
+         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS tp,
+         unnest(toks) AS tok
+  FROM t
+),
+kept AS (
+  SELECT tr.* FROM tok_rows tr
+  ANTI JOIN deleted d USING ({id_col}, tp)
+),
+reassembled AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY tp) AS new_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY {id_col}
+),
+totals AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS total
+  FROM tok_rows GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       COALESCE(r.new_text, '') AS {text_col},
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(COALESCE(tt.total, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_dropped
+FROM t
+LEFT JOIN totals tt ON t.{id_col} = tt.{id_col}
+LEFT JOIN reassembled r ON t.{id_col} = r.{id_col}
+"""

@@ -523,3 +523,66 @@ def test_scoped_release_no_gc(spark, docs, vectors):
                                        n_bands=4, bits_per_band=4)) as pairs:
         pairs.collect()
     assert persisted_count(spark) == base
+
+
+def test_substring_dedup_removes_duplicated_spans(spark):
+    """ExactSubstr-style k-gram span dedup: a duplicated k-token window
+    keeps its first (doc, pos) occurrence only; short docs pass through;
+    the DuckDB oracle replays the identical formula."""
+    import duckdb
+    import pandas as pd
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        substring_dedup,
+        substring_dedup_sql,
+    )
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, f"intro words {span} closing remarks"),
+        (2, f"other opening {span} different tail tokens"),   # span dup
+        (3, "short doc"),                                     # < k tokens
+        (4, ""),                                              # empty
+        (5, f"{span}"),                                       # exactly the span
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           substring_dedup(df, "doc_id", "text", k=8).collect()}
+    # doc 1 is the first occurrence -> untouched
+    assert got[1]["text"] == f"intro words {span} closing remarks"
+    assert got[1]["n_dropped"] == 0
+    # doc 2 loses exactly the 8 duplicated tokens
+    assert got[2]["text"] == "other opening different tail tokens"
+    assert got[2]["n_dropped"] == 8
+    # short and empty docs pass through
+    assert got[3]["text"] == "short doc" and got[3]["n_dropped"] == 0
+    assert got[4]["text"] == "" and got[4]["n_kept"] == 0
+    # doc 5: whole text is a later occurrence of the span -> emptied
+    assert got[5]["text"] == "" and got[5]["n_dropped"] == 8
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: r for r in con.sql(
+        substring_dedup_sql("docs", "doc_id", "text", k=8)).fetchall()}
+    for i in got:
+        g = got[i]
+        assert (g["text"], g["n_kept"], g["n_dropped"]) == \
+            (want[i][1], want[i][2], want[i][3]), i
+
+
+def test_substring_dedup_overlapping_windows_union(spark):
+    """Overlapping duplicated windows union their covered positions —
+    a long duplicated run is removed once, not fragmented."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(12))  # 12-token run, k=8
+    rows = [(1, f"first {run} end"), (2, f"second {run} tail")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           substring_dedup(df, "doc_id", "text", k=8).collect()}
+    assert got[1]["n_dropped"] == 0
+    # all 12 run tokens covered by the union of 5 overlapping windows
+    assert got[2]["text"] == "second tail"
+    assert got[2]["n_dropped"] == 12
