@@ -804,20 +804,21 @@ def substring_dedup(
         ).alias("__new_text"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
-    totals = tok_rows.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__total")
+    # token totals come from size() on the un-exploded array — map-only,
+    # no second Generate and no extra agg exchange
+    totals = toks.select(
+        F.col(id_col), F.size("__toks").cast("bigint").alias("__total")
     )
+    # totals carries EVERY doc id (size() on the un-exploded array), so it
+    # is the join anchor — no separate df.select(id) branch
     return (
-        df.select(id_col)
-        .join(totals, id_col, "left")
-        .join(reassembled, id_col, "left")
+        totals.join(reassembled, id_col, "left")
         .select(
             id_col,
             F.coalesce("__new_text", F.lit("")).alias(text_col),
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
             (
-                F.coalesce("__total", F.lit(0))
-                - F.coalesce("n_kept", F.lit(0))
+                F.col("__total") - F.coalesce("n_kept", F.lit(0))
             ).cast("bigint").alias("n_dropped"),
         )
     )
@@ -872,15 +873,12 @@ reassembled AS (
   FROM kept GROUP BY {id_col}
 ),
 totals AS (
-  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS total
-  FROM tok_rows GROUP BY {id_col}
+  SELECT {id_col}, CAST(len(toks) AS BIGINT) AS total FROM t
 )
-SELECT t.{id_col},
+SELECT tt.{id_col},
        COALESCE(r.new_text, '') AS {text_col},
        COALESCE(r.n_kept, 0) AS n_kept,
-       CAST(COALESCE(tt.total, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
-         AS n_dropped
-FROM t
-LEFT JOIN totals tt ON t.{id_col} = tt.{id_col}
-LEFT JOIN reassembled r ON t.{id_col} = r.{id_col}
+       CAST(tt.total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals tt
+LEFT JOIN reassembled r ON tt.{id_col} = r.{id_col}
 """

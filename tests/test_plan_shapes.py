@@ -247,3 +247,22 @@ def test_percolate_chunking_matches_unchunked(spark):
     chunked = {(r["doc_id"], r["query_id"]) for r in
                percolate(df, stored, ["doc_id"], chunk_size=8).collect()}
     assert chunked == one and one
+
+
+def test_substring_dedup_wide_stages_bounded(docs):
+    """Gram-key window + deleted-distinct + anti-join + reassembly: the
+    wide stages are fixed in number (no per-window explode of k tokens
+    before the shuffle) and no Python stage appears."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    out = substring_dedup(docs, "doc_id", "text", k=3)
+    out.count()
+    p = _plan(out)
+    assert "Python" not in p, p
+    # the sliding windows ride ONE generate over the transform'd array
+    # (gram structs), plus one for deleted-position expansion and one for
+    # the token rows — never tokens x windows
+    assert p.count("Generate") <= 3, p
+    assert p.count("Exchange hashpartitioning") <= 5, p
