@@ -2795,6 +2795,37 @@ def _sql_substring_dedup() -> str:
     return f"SELECT * FROM ({inner}) final ORDER BY doc_id"
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (XLM-R/mC4 mixing rule):
+    per-source keep rates derived IN-PLAN from source counts with
+    alpha=0.5 flattening, applied as the deterministic sampling-hash
+    filter. One source-cardinality agg broadcast onto the scan."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        temperature_mix(
+            docs, "source", "doc_id", alpha=0.5, out_fraction=0.4
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_temperature_mix() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        temperature_mix_sql,
+    )
+
+    inner = temperature_mix_sql(
+        "documents", "source", "doc_id", ["doc_id", "source"], "duckdb",
+        alpha=0.5, out_fraction=0.4,
+    )
+    return f"SELECT * FROM ({inner}) final ORDER BY doc_id"
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 
@@ -3488,8 +3519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "weighted_avg": q_weighted_avg,
         "mad": q_mad,
-        # round-3 addition (outside the driver window until a rotation)
+        # round-3 additions (outside the driver window until a rotation)
         "substring_dedup": q_substring_dedup,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -3585,6 +3617,7 @@ def oracle_sql() -> dict[str, str]:
         "search_advanced": SQL_SEARCH_ADVANCED,
         "line_dedup": _sql_line_dedup(),
         "substring_dedup": _sql_substring_dedup(),
+        "temperature_mix": _sql_temperature_mix(),
         "pq_search": _sql_pq_search(),
         "percolate": SQL_PERCOLATE,
         "pq_search_ivf": _sql_pq_search_ivf(),

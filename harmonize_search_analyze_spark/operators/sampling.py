@@ -283,3 +283,101 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    *,
+    alpha: float = 0.7,
+    out_fraction: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based source re-weighting (the multilingual-LM mixing
+    rule; XLM-R / mC4 style): source ``s`` with ``n_s`` rows is sampled
+    with probability ``q_s = n_s^alpha / sum_t(n_t^alpha)`` — alpha < 1
+    flattens the distribution toward small sources, alpha = 1 is
+    proportional (no re-weighting). For a materialized corpus the rule
+    becomes per-source keep rates: ``keep_s = min(1, out_fraction * N *
+    q_s / n_s)``, applied with the same deterministic per-row sampling
+    hash as ``mix_sources``/``hash_sample``.
+
+    Unlike ``mix_sources`` (caller-supplied rates), the rates derive from
+    the DATA — and entirely inside the plan: per-source counts are one
+    hash agg over a source-cardinality-sized frame, broadcast back onto
+    the scan. No driver collect, no second pass over rows; the row-level
+    filter stays a codegen'd hash compare. Reproducible across runs,
+    partitionings, and engines (dual-dialect twin below).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= out_fraction <= 1.0:
+        raise ValueError(f"out_fraction must be in [0, 1], got {out_fraction}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    qs = counts.select(
+        source_col,
+        "__n",
+        (
+            F.pow(F.col("__n").cast("double"), F.lit(alpha))
+            / F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).over(
+                Window.partitionBy()
+            )
+        ).alias("__q"),
+        F.sum("__n").over(Window.partitionBy()).alias("__tot"),
+    )
+    thresholds = qs.select(
+        source_col,
+        F.least(
+            F.lit(float(HASH_BUCKETS)),
+            F.lit(out_fraction)
+            * F.col("__tot").cast("double")
+            * F.col("__q")
+            / F.col("__n").cast("double")
+            * F.lit(HASH_BUCKETS),
+        )
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .where(h < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def temperature_mix_sql(
+    table: str,
+    source_col: str,
+    key_col: str,
+    columns: list[str],
+    dialect: str,
+    *,
+    alpha: float = 0.7,
+    out_fraction: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """Dual-dialect twin of :func:`temperature_mix` (the DuckDB oracle):
+    identical count -> q_s -> capped-threshold -> hash-compare formula."""
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+    cols = ", ".join(f"t.{c}" for c in columns)
+    return f"""
+WITH counts AS (
+  SELECT {source_col}, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM {table} GROUP BY {source_col}
+),
+thr AS (
+  SELECT {source_col},
+         CAST(LEAST(
+           CAST({HASH_BUCKETS} AS DOUBLE),
+           {out_fraction!r} * (SUM(n) OVER ())
+             * (POW(n, {alpha!r}) / (SUM(POW(n, {alpha!r})) OVER ()))
+             / n * {HASH_BUCKETS}
+         ) AS BIGINT) AS thr
+  FROM counts
+)
+SELECT {cols} FROM {table} t
+JOIN thr ON t.{source_col} = thr.{source_col}
+WHERE {h} < thr.thr
+"""

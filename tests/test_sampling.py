@@ -189,3 +189,47 @@ def test_source_names_with_quotes_escape_in_both_dialects(spark):
         "t", "src", {"O'Reilly": 2.0}, "id", ["id"], "duckdb",
         default_rate=1.0)
     assert con.execute(up_duck).fetchall()
+
+
+def test_temperature_mix_flattens_sources(spark):
+    """alpha<1 keeps small sources at a HIGHER rate than large ones;
+    alpha=1 is proportional; thresholds derive in-plan (no collect) and
+    match the DuckDB twin exactly."""
+    import duckdb
+    import pandas as pd
+
+    from harmonize_search_analyze_spark.operators.sampling import (
+        temperature_mix,
+        temperature_mix_sql,
+    )
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = temperature_mix(df, "src", "id", alpha=0.3, out_fraction=0.5)
+    got = out.groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in got}
+    # 900/100 split at alpha=0.3: q_small/q_big = (100/900)^0.3 ~ 0.52,
+    # so per-row keep rate for small = rate_big * (900/100)^0.7 ~ 4.6x
+    rate_big = by.get("big", 0) / 900
+    rate_small = by.get("small", 0) / 100
+    assert rate_small > 2.5 * rate_big, (rate_big, rate_small)
+    # deterministic
+    again = {r["src"]: r["count"] for r in
+             temperature_mix(df, "src", "id", alpha=0.3,
+                             out_fraction=0.5).groupBy("src")
+             .count().collect()}
+    assert again == by
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "src"]))
+    want = sorted(r[0] for r in con.execute(temperature_mix_sql(
+        "t", "src", "id", ["id"], "duckdb", alpha=0.3,
+        out_fraction=0.5)).fetchall())
+    assert sorted(r["id"] for r in out.select("id").collect()) == want
+
+    # alpha=1: proportional — every source keeps ~out_fraction
+    prop = temperature_mix(df, "src", "id", alpha=1.0, out_fraction=0.5)
+    byp = {r["src"]: r["count"] for r in prop.groupBy("src").count().collect()}
+    assert abs(byp["big"] / 900 - 0.5) < 0.1
+    with pytest.raises(ValueError):
+        temperature_mix(df, "src", "id", alpha=0.0)
