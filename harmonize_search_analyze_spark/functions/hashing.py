@@ -29,6 +29,29 @@ def hash64_sql(expr: str, dialect: str) -> str:
     raise ValueError(f"unknown dialect: {dialect}")
 
 
+def hash_full64_sql(expr: str, dialect: str) -> str:
+    """TRUE 64-bit signed hash (all 64 bits live) of a string expression,
+    identical on both engines. A single 16-hex-char parse would overflow
+    a signed BIGINT for values >= 2^63, so the value is composed from two
+    32-bit halves of the md5: ``signed(hi) * 2^32 + lo`` — ``signed(hi)``
+    maps the high half into int32 range first, so every partial result
+    stays within int64 (no ANSI overflow). Use this where bit COVERAGE
+    matters (SimHash sketches); ``hash64_sql`` (60-bit, non-negative)
+    remains the arithmetic-friendly default for sampling/minhash."""
+    if dialect == "spark":
+        hi = f"CAST(CONV(SUBSTRING(MD5({expr}), 1, 8), 16, 10) AS BIGINT)"
+        lo = f"CAST(CONV(SUBSTRING(MD5({expr}), 9, 8), 16, 10) AS BIGINT)"
+    elif dialect == "duckdb":
+        hi = f"CAST('0x' || SUBSTRING(MD5({expr}), 1, 8) AS BIGINT)"
+        lo = f"CAST('0x' || SUBSTRING(MD5({expr}), 9, 8) AS BIGINT)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return (
+        f"((CASE WHEN {hi} >= 2147483648 THEN {hi} - 4294967296 "
+        f"ELSE {hi} END) * 4294967296 + {lo})"
+    )
+
+
 def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for k universal hash functions
     h_i(x) = (a_i * (x mod P) + b_i) mod P. Plain LCG expansion of the seed

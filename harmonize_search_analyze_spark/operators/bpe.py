@@ -121,6 +121,8 @@ def bpe_train(
     for storage-constrained drivers. Timings at 299k words / 12 merges:
     driver loop 24.7s, distributed K=1 27.0s, K=4 39.7s — identical
     merge sequences on all paths (pinned by test)."""
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     words = _word_counts(df, text_col)
     n_words = words.count()
     if n_words <= driver_threshold:
@@ -129,8 +131,6 @@ def bpe_train(
             for r in words.orderBy("word").collect()
         ]
         return _train_local(rows, n_merges, min_pair_count)
-    if checkpoint_every < 1:
-        raise ValueError("checkpoint_every must be >= 1")
     syms = words.select(
         "weight",
         F.expr(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from harmonize_search_analyze_spark.functions.caching import tether, transfer
 from harmonize_search_analyze_spark.functions.hashing import (
     hash64_sql,
+    hash_full64_sql,
     minhash_params,
     minhash_term_sql,
 )
@@ -316,7 +317,10 @@ def simhash_select_sql(
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = tokens_sql(text_col, dialect)
-    h = hash64_sql("tok", dialect)
+    # hash_full64_sql, not hash64_sql: the 60-bit hash never sets bits
+    # 60-63, which would leave the top band of a "64-bit" sketch 16x
+    # under-entropic (and the bit-63 weight dead code)
+    h = hash_full64_sql("tok", dialect)
     if dialect == "spark":
         exploded = (
             f"SELECT {id_col} AS _id, {h} AS th "
@@ -743,25 +747,32 @@ def substring_dedup(
     line_dedup generalization from line granularity to sliding windows —
     the suffix-array substring dedup's Spark-shaped k-gram form.
 
-    Plan: one tokenization pass -> sliding k-gram keys as a codegen'd
-    ``transform`` over the token array (no explode of windows x tokens;
-    one row per window start) -> ONE window shuffle on the gram hash
-    (rank of (doc, pos)) -> duplicated starts expand to covered positions
-    (bounded fan-out k) -> anti-join against the token rows -> groupBy
-    reassembly. Gram keys at k >= 8 are high-entropy, so the gram shuffle
-    has no structural hot key (boilerplate-heavy corpora behave like
-    line_dedup's real-content skew: AQE's skew split is the relief
-    valve). Per-doc reassembly state is bounded by document length.
+    Plan: ONE tokenization pass (the token frame is persisted and
+    tethered to the result — three plan branches consume it) -> sliding
+    k-gram keys as a codegen'd ``transform`` over the token array (no
+    explode of windows x tokens; one row per window start) -> ONE window
+    shuffle on the gram hash (rank of (doc, pos)) -> duplicated starts
+    expand to covered positions (bounded fan-out k) -> anti-join against
+    the token rows -> groupBy reassembly. Gram keys at k >= 8 are
+    high-entropy, so the gram shuffle has no structural hot key
+    (boilerplate-heavy corpora behave like line_dedup's real-content
+    skew: AQE's skew split is the relief valve). Per-doc reassembly state
+    is bounded by document length.
 
-    Returns (id, text, n_kept, n_dropped) with token counts; documents
-    shorter than ``k`` tokens (or empty) pass through unchanged.
+    Returns (id, text, n_kept, n_dropped) with token counts. Documents
+    with NO removed spans — including those shorter than ``k`` tokens —
+    keep their ORIGINAL text verbatim (case, punctuation, whitespace);
+    a document that lost a span is re-rendered as space-joined
+    normalized tokens, the token-space contract of span removal.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
     gram_hash = hash64_sql(f"concat_ws(' ', slice(__toks, i + 1, {k}))", "spark")
     toks = df.select(
-        F.col(id_col), F.expr(tokens_sql(text_col, "spark")).alias("__toks")
-    )
+        F.col(id_col),
+        F.col(text_col).alias("__orig"),
+        F.expr(tokens_sql(text_col, "spark")).alias("__toks"),
+    ).persist()
     starts = toks.select(
         id_col,
         F.explode(
@@ -805,23 +816,29 @@ def substring_dedup(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
     )
     # token totals come from size() on the un-exploded array — map-only,
-    # no second Generate and no extra agg exchange
+    # no second Generate and no extra agg exchange; __orig rides along for
+    # the untouched-document passthrough
     totals = toks.select(
-        F.col(id_col), F.size("__toks").cast("bigint").alias("__total")
+        F.col(id_col),
+        F.col("__orig"),
+        F.size("__toks").cast("bigint").alias("__total"),
     )
     # totals carries EVERY doc id (size() on the un-exploded array), so it
     # is the join anchor — no separate df.select(id) branch
-    return (
+    n_kept = F.coalesce("n_kept", F.lit(0)).cast("bigint")
+    out = (
         totals.join(reassembled, id_col, "left")
         .select(
             id_col,
-            F.coalesce("__new_text", F.lit("")).alias(text_col),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            (
-                F.col("__total") - F.coalesce("n_kept", F.lit(0))
-            ).cast("bigint").alias("n_dropped"),
+            F.when(
+                n_kept == F.col("__total"), F.col("__orig")
+            ).otherwise(F.coalesce("__new_text", F.lit("")))
+            .alias(text_col),
+            n_kept.alias("n_kept"),
+            (F.col("__total") - n_kept).cast("bigint").alias("n_dropped"),
         )
     )
+    return tether(out, toks)
 
 
 def substring_dedup_sql(
@@ -840,7 +857,7 @@ def substring_dedup_sql(
         "duckdb",
     )
     return f"""
-WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+WITH t AS (SELECT {id_col}, {text_col} AS orig, {toks} AS toks FROM {table}),
 starts AS (
   SELECT {id_col}, CAST(u.i AS BIGINT) AS pos, {gram} AS g
   FROM t, UNNEST(range(len(toks) - {k} + 1)) AS u(i)
@@ -873,10 +890,11 @@ reassembled AS (
   FROM kept GROUP BY {id_col}
 ),
 totals AS (
-  SELECT {id_col}, CAST(len(toks) AS BIGINT) AS total FROM t
+  SELECT {id_col}, orig, CAST(len(toks) AS BIGINT) AS total FROM t
 )
 SELECT tt.{id_col},
-       COALESCE(r.new_text, '') AS {text_col},
+       CASE WHEN COALESCE(r.n_kept, 0) = tt.total THEN tt.orig
+            ELSE COALESCE(r.new_text, '') END AS {text_col},
        COALESCE(r.n_kept, 0) AS n_kept,
        CAST(tt.total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
 FROM totals tt

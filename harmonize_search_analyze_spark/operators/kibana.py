@@ -198,10 +198,20 @@ def panels_from_export(
     ids = dashboard_panel_ids(objs, dashboard_id) or list(vizzes)
     panels = {}
     for vid in ids:
-        spec = vizzes[vid]
-        panels[panel_name(spec.title)] = panel_builder(
-            spec, geo_split=geo_split, zoom=zoom
-        )
+        spec = vizzes.get(vid)
+        if spec is None:
+            raise KeyError(
+                f"dashboard references visualization {vid!r}, which is "
+                f"not in the export (have: {sorted(vizzes)})"
+            )
+        name = panel_name(spec.title)
+        if name in panels:
+            raise ValueError(
+                f"visualization titles {spec.title!r} and an earlier one "
+                f"both slug to panel name {name!r} — rename one, or build "
+                "panels per-spec with panel_builder()"
+            )
+        panels[name] = panel_builder(spec, geo_split=geo_split, zoom=zoom)
     return panels
 
 

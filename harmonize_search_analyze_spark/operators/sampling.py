@@ -340,10 +340,16 @@ def temperature_mix(
         .alias("__thr"),
     )
     h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    thr = F.broadcast(
+        thresholds.withColumnRenamed(source_col, "__thr_src")
+    )
+    # eqNullSafe join: a NULL source forms its own count group, so its
+    # rows must meet their own threshold instead of silently vanishing
+    # through NULL-never-equals-NULL equi-join semantics
     return (
-        df.join(F.broadcast(thresholds), source_col)
+        df.join(thr, F.col(source_col).eqNullSafe(F.col("__thr_src")))
         .where(h < F.col("__thr"))
-        .drop("__thr")
+        .drop("__thr", "__thr_src")
     )
 
 
@@ -369,15 +375,15 @@ WITH counts AS (
 ),
 thr AS (
   SELECT {source_col},
-         CAST(LEAST(
+         CAST(FLOOR(LEAST(
            CAST({HASH_BUCKETS} AS DOUBLE),
            {out_fraction!r} * (SUM(n) OVER ())
              * (POW(n, {alpha!r}) / (SUM(POW(n, {alpha!r})) OVER ()))
              / n * {HASH_BUCKETS}
-         ) AS BIGINT) AS thr
+         )) AS BIGINT) AS thr
   FROM counts
 )
 SELECT {cols} FROM {table} t
-JOIN thr ON t.{source_col} = thr.{source_col}
+JOIN thr ON t.{source_col} IS NOT DISTINCT FROM thr.{source_col}
 WHERE {h} < thr.thr
 """

@@ -371,7 +371,13 @@ def percolate(
         )
         for i in range(0, len(names), chunk_size)
     ]
-    tagged = chunks[0] if len(chunks) == 1 else _F.concat(*chunks)
+    if not chunks:
+        # zero stored queries: no matches, not a crash
+        tagged = _F.array().cast("array<string>")
+    elif len(chunks) == 1:
+        tagged = chunks[0]
+    else:
+        tagged = _F.concat(*chunks)
     return (
         df.select(*id_cols, _F.explode(_F.array_compact(tagged)).alias("query_id"))
     )

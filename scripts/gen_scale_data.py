@@ -31,11 +31,18 @@ DIM = 64
 def _base_stats():
     import duckdb
 
+    # frequency-WEIGHTED vocabulary (word, count) — sampling from the
+    # distinct-word list would flatten the corpus's Zipfian token
+    # distribution, which is exactly what the scale runs measure (band
+    # bucket sizes, gram entropy, BPE pair counts)
     words = duckdb.sql(
-        f"SELECT DISTINCT unnest(string_split(text, ' ')) AS w "
-        f"FROM read_parquet('{BASE}/documents.parquet')"
+        f"SELECT w, COUNT(*) AS c FROM (SELECT unnest(string_split(text, "
+        f"' ')) AS w FROM read_parquet('{BASE}/documents.parquet')) "
+        "WHERE w != '' GROUP BY w ORDER BY w"
     ).fetchall()
-    vocab = sorted(w for (w,) in words if w)
+    vocab = [w for w, _ in words]
+    vocab_p = np.array([c for _, c in words], dtype=float)
+    vocab_p /= vocab_p.sum()
     mix = duckdb.sql(
         f"SELECT source, lang, COUNT(*) FROM "
         f"read_parquet('{BASE}/documents.parquet') GROUP BY 1, 2"
@@ -44,11 +51,11 @@ def _base_stats():
         f"SELECT length(string_split(text, ' ')) FROM "
         f"read_parquet('{BASE}/documents.parquet')"
     ).fetchall()
-    return vocab, mix, np.array([n for (n,) in lens])
+    return vocab, vocab_p, mix, np.array([n for (n,) in lens])
 
 
 def gen_documents(outdir: str, mult: int, rng: np.random.Generator) -> None:
-    vocab, mix, lens = _base_stats()
+    vocab, vocab_p, mix, lens = _base_stats()
     n_docs = BASE_DOCS * mult
     pairs = [(s, lg) for s, lg, _ in mix]
     probs = np.array([c for _, _, c in mix], dtype=float)
@@ -56,16 +63,17 @@ def gen_documents(outdir: str, mult: int, rng: np.random.Generator) -> None:
     pick = rng.choice(len(pairs), size=n_docs, p=probs)
     n_words = rng.choice(lens, size=n_docs)  # bootstrap the length dist
     total_words = int(n_words.sum())
-    flat = rng.choice(np.array(vocab), size=total_words)
+    flat = rng.choice(np.array(vocab), size=total_words, p=vocab_p)
     texts: list[str] = []
     pos = 0
     for nw in n_words:
         texts.append(" ".join(flat[pos : pos + nw]))
         pos += nw
-    # plant exact duplicates at the sf0.1 rate (~0.3% of docs are copies)
+    # plant exact duplicates at the sf0.1 rate (~0.3% of docs are copies);
+    # offset guarantees dst != src so no planted dup is a no-op
     n_dup = max(1, int(0.003 * n_docs))
     dup_src = rng.integers(0, n_docs, size=n_dup)
-    dup_dst = rng.integers(0, n_docs, size=n_dup)
+    dup_dst = (dup_src + 1 + rng.integers(0, n_docs - 1, size=n_dup)) % n_docs
     for s, d in zip(dup_src, dup_dst):
         texts[d] = texts[s]
     tbl = pa.table(

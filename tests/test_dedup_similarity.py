@@ -586,3 +586,19 @@ def test_substring_dedup_overlapping_windows_union(spark):
     # all 12 run tokens covered by the union of 5 overlapping windows
     assert got[2]["text"] == "second tail"
     assert got[2]["n_dropped"] == 12
+
+
+def test_substring_dedup_preserves_untouched_text_verbatim(spark):
+    """Documents with no removed spans keep their ORIGINAL bytes — case,
+    punctuation, whitespace — not a normalized token rendering."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        substring_dedup,
+    )
+
+    rows = [(1, "Hello, World!  (untouched)"),
+            (2, "Different CONTENT; also untouched...")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in
+           substring_dedup(df, "doc_id", "text", k=8).collect()}
+    assert got[1] == "Hello, World!  (untouched)"
+    assert got[2] == "Different CONTENT; also untouched..."
