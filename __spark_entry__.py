@@ -3388,6 +3388,373 @@ SELECT doc_id, source FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 additions: pipeline-agg completions, compound query DSL,
+# incremental/fuzzy dedup, quality-bucketed sampling
+# ---------------------------------------------------------------------------
+
+
+def q_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality pipeline agg: distinct users to date per
+    day — exact via the first-occurrence trick (one value-keyed shuffle +
+    a bucket-level window), not ES's HLL-sketch stack."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        cumulative_cardinality,
+    )
+
+    return cumulative_cardinality(
+        _t(spark, sf_dir, "events"), "ts", "user_id", interval="1 day"
+    )
+
+
+SQL_CUMULATIVE_CARDINALITY = """
+WITH base AS (
+  SELECT ts, user_id FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), counts AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM base GROUP BY 1
+), firsts AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS bucket
+  FROM base GROUP BY user_id
+), news AS (
+  SELECT bucket, COUNT(*) AS new_vals FROM firsts GROUP BY bucket
+)
+SELECT c.bucket, c.doc_count,
+       CAST(SUM(COALESCE(n.new_vals, 0)) OVER (
+         ORDER BY c.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_cardinality
+FROM counts c LEFT JOIN news n ON n.bucket = c.bucket
+ORDER BY c.bucket
+"""
+
+
+def q_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point agg: the most likely step change in the daily event
+    count series — argmax over split-point mean differences, all from one
+    running-sum window over the bucket frame."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        change_point,
+        date_histogram,
+    )
+
+    daily = date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+    return change_point(daily, "bucket", "doc_count", min_segment=3)
+
+
+SQL_CHANGE_POINT = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), s AS (
+  SELECT bucket,
+         ROW_NUMBER() OVER (ORDER BY bucket) AS i,
+         SUM(CAST(doc_count AS DOUBLE)) OVER (
+           ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS run,
+         SUM(CAST(doc_count AS DOUBLE)) OVER () AS total,
+         COUNT(*) OVER () AS n,
+         LEAD(bucket, 1) OVER (ORDER BY bucket) AS nxt
+  FROM b
+)
+SELECT nxt AS change_bucket,
+       ROUND(run / i, 6) AS mean_before,
+       ROUND((total - run) / (n - i), 6) AS mean_after,
+       ROUND(ABS((total - run) / (n - i) - run / i), 6) AS step_size
+FROM s WHERE i >= 3 AND i <= n - 3
+ORDER BY step_size DESC, change_bucket ASC LIMIT 1
+"""
+
+
+def q_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles pipeline agg: exact trailing-7-bucket median
+    of the daily event count (linear interpolation, both engines)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+        moving_percentiles,
+    )
+
+    daily = date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+    return moving_percentiles(
+        daily, "bucket", "doc_count", window=7, percentile=0.5, shift=1
+    )
+
+
+SQL_MOVING_PERCENTILES = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT bucket, doc_count,
+       ROUND(quantile_cont(doc_count, 0.5) OVER (
+         ORDER BY bucket ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 6) AS moving_pct
+FROM b ORDER BY bucket
+"""
+
+
+def q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms agg: top (lang, source) composite buckets by doc
+    count — one groupBy on the pair, count DESC / keys ASC tie-break."""
+    from harmonize_search_analyze_spark.operators.aggregations import terms_multi
+
+    return terms_multi(_t(spark, sf_dir, "documents"), ["lang", "source"], k=15)
+
+
+SQL_MULTI_TERMS = """
+SELECT lang, source, COUNT(*) AS doc_count FROM documents
+WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY lang, source
+ORDER BY doc_count DESC, lang ASC, source ASC LIMIT 15
+"""
+
+
+_TERMS_SET_AST = {
+    "terms_set": {
+        "text.split": {
+            "terms": ["merge", "vector", "stream"],
+            "minimum_should_match": 2,
+        }
+    }
+}
+
+
+def q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: documents containing at least 2 of the 3 query
+    terms as full tokens — a sum of boolean ints in one codegen'd
+    projection, no explode."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").isNotNull())
+        .where(compile_query(_TERMS_SET_AST))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_terms_set() -> str:
+    from harmonize_search_analyze_spark.functions.tokenize import phrase_regex
+
+    flags = " + ".join(
+        f"(CASE WHEN regexp_matches(LOWER(text), '{phrase_regex(t)}') "
+        "THEN 1 ELSE 0 END)"
+        for t in _TERMS_SET_AST["terms_set"]["text.split"]["terms"]
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE text IS NOT NULL AND ({flags}) >= 2
+ORDER BY doc_id
+"""
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score + field_value_factor: filter lang='en', score
+    2.0 * log10(1 + 0.1*n_chars), top 10 — constant-score base times the
+    field function, TakeOrderedAndProject top-k."""
+    from harmonize_search_analyze_spark.operators.ranking import function_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return function_score(
+        docs,
+        F.col("lang") == F.lit("en"),
+        "n_chars",
+        modifier="log1p",
+        factor=0.1,
+        weight=2.0,
+        k=10,
+    )
+
+
+def _sql_function_score() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        field_value_factor_sql,
+    )
+
+    score = field_value_factor_sql(
+        "n_chars", modifier="log1p", factor=0.1, weight=2.0
+    )
+    return f"""
+SELECT doc_id, n_chars, {score} AS score FROM documents
+WHERE lang = 'en' ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+_COMPOUND_AST = {
+    "bool": {
+        "filter": [
+            {
+                "dis_max": {
+                    "queries": [
+                        {"term": {"event_type": "click"}},
+                        {"prefix": {"event_type": "sign"}},
+                    ]
+                }
+            },
+            {
+                "boosting": {
+                    "positive": {"exists": {"field": "user_id"}},
+                    "negative": {"term": {"event_type": "error"}},
+                    "negative_boost": 0.5,
+                }
+            },
+        ]
+    }
+}
+
+
+def q_compound_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES compound queries (dis_max + boosting) in filter context: dis_max
+    matches if any clause does; boosting filters only by its positive
+    clause (negative just demotes scores)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(compile_query(_COMPOUND_AST))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+SQL_COMPOUND_SEARCH = """
+SELECT event_type, COUNT(*) AS doc_count FROM events
+WHERE (event_type = 'click' OR event_type LIKE 'sign%')
+  AND user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the src1 batch anti-joined against the
+    digest set of every other source, canonicalized within the batch."""
+    from harmonize_search_analyze_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("source") == F.lit("src1"))
+    corpus = docs.where(F.col("source") != F.lit("src1"))
+    return incremental_dedup(batch, corpus, "doc_id", "text")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH batch AS (
+  SELECT doc_id, MD5(LOWER(TRIM(text))) AS text_hash
+  FROM documents WHERE source = 'src1'
+), seen AS (
+  SELECT DISTINCT MD5(LOWER(TRIM(text))) AS text_hash
+  FROM documents WHERE source <> 'src1'
+)
+SELECT b.text_hash, MIN(b.doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.text_hash = b.text_hash)
+GROUP BY b.text_hash
+"""
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus docs whose token-set Jaccard
+    with any benchmark doc (every 97th id) clears 0.9, via the cross-corpus
+    MinHash band join — the benchmark band frame broadcasts."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        fuzzy_decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return fuzzy_decontaminate(
+        corpus, bench, threshold=0.9, k=8, n=1, rows_per_band=2
+    ).orderBy("doc_id", "bench_id")
+
+
+def _sql_fuzzy_decontaminate() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+        minhash_params,
+        minhash_term_sql,
+    )
+    from harmonize_search_analyze_spark.operators.dedup import (
+        jaccard_sql,
+        shingles_sql,
+    )
+
+    sh = shingles_sql("text", "duckdb", 1)
+    mh = [
+        f"list_min(list_transform({sh}, s -> "
+        f"{minhash_term_sql(hash64_sql('s', 'duckdb'), a, b)})) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(8))
+    ]
+
+    def bands(src: str, idc: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {idc}, {bi} AS band_idx, "
+            f"CAST(mh_{2 * bi} AS VARCHAR) || '_' || "
+            f"CAST(mh_{2 * bi + 1} AS VARCHAR) AS band_key FROM {src}"
+            for bi in range(4)
+        )
+
+    j = jaccard_sql("sc.shingles", "sb.shingles", "duckdb")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+), bench AS (
+  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 97 = 0
+), sig_c AS (
+  SELECT doc_id, {', '.join(mh)} FROM corpus
+), sig_b AS (
+  SELECT bench_id, {', '.join(mh)} FROM bench
+), bands_c AS ({bands('sig_c', 'doc_id')}),
+bands_b AS ({bands('sig_b', 'bench_id')}),
+cands AS (
+  SELECT DISTINCT c.doc_id, b.bench_id
+  FROM bands_c c JOIN bands_b b
+    ON c.band_idx = b.band_idx AND c.band_key = b.band_key
+), sh_c AS (
+  SELECT doc_id, {sh} AS shingles FROM corpus
+), sh_b AS (
+  SELECT bench_id, {sh} AS shingles FROM bench
+)
+SELECT doc_id, bench_id, j AS jaccard FROM (
+  SELECT cands.doc_id, cands.bench_id, {j} AS j
+  FROM cands
+  JOIN sh_c sc ON sc.doc_id = cands.doc_id
+  JOIN sh_b sb ON sb.bench_id = cands.bench_id
+) WHERE j >= 0.9 ORDER BY doc_id, bench_id
+"""
+
+
+_QUALITY_MIX_SPEC = {"cuts": [0.9], "rates": [1.0, 0.2]}
+
+
+def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucketed sampling: keep every document scoring >= 0.9 on
+    the engine's quality heuristic (the corpus median), a deterministic
+    20% of the rest — map-only, one codegen'd filter over the scan."""
+    from harmonize_search_analyze_spark.operators.sampling import quality_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_mix(
+        docs, "text", "doc_id", **_QUALITY_MIX_SPEC
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_quality_mix() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import quality_mix_sql
+
+    return quality_mix_sql(
+        "documents",
+        "text",
+        "doc_id",
+        ["doc_id", "lang", "source", "n_chars"],
+        "duckdb",
+        **_QUALITY_MIX_SPEC,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -3522,6 +3889,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions (outside the driver window until a rotation)
         "substring_dedup": q_substring_dedup,
         "temperature_mix": q_temperature_mix,
+        "cumulative_cardinality": q_cumulative_cardinality,
+        "change_point": q_change_point,
+        "moving_percentiles": q_moving_percentiles,
+        "multi_terms": q_multi_terms,
+        "terms_set": q_terms_set,
+        "function_score": q_function_score,
+        "compound_search": q_compound_search,
+        "incremental_dedup": q_incremental_dedup,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "quality_mix": q_quality_mix,
     }
 
 
@@ -3642,4 +4019,14 @@ def oracle_sql() -> dict[str, str]:
         "variable_width_histogram": SQL_VARIABLE_WIDTH_HISTOGRAM,
         "ip_range": _sql_ip_range(),
         "categorize_text": _sql_categorize_text(),
+        "cumulative_cardinality": SQL_CUMULATIVE_CARDINALITY,
+        "change_point": SQL_CHANGE_POINT,
+        "moving_percentiles": SQL_MOVING_PERCENTILES,
+        "multi_terms": SQL_MULTI_TERMS,
+        "terms_set": _sql_terms_set(),
+        "function_score": _sql_function_score(),
+        "compound_search": SQL_COMPOUND_SEARCH,
+        "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "fuzzy_decontaminate": _sql_fuzzy_decontaminate(),
+        "quality_mix": _sql_quality_mix(),
     }

@@ -1517,3 +1517,139 @@ def percentile_ranks(
             ])
         ).alias("r")
     ).select("r.*")
+
+
+def cumulative_cardinality(
+    df: DataFrame,
+    ts_field: str,
+    value_field: str,
+    *,
+    interval: str = "1 day",
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg: per time bucket, the
+    number of DISTINCT ``value_field`` values seen in any bucket up to and
+    including it (the classic "total users to date" curve).
+
+    ES stacks a ``cumulative_sum`` over per-bucket HLL sketches; we compute
+    the EXACT curve with the first-occurrence trick: the cumulative distinct
+    count at bucket b equals the number of values whose FIRST bucket is
+    <= b. One shuffle keyed by the value (min-bucket per value — map-side
+    combine applies), one bucket-level aggregation, then a bucket-count
+    window. Raw data volume only touches the first shuffle; the windows run
+    over the bucket frame (bounded by the time range / interval), so the
+    single-task sort contract of bucket_pipeline holds at 100 TB.
+
+    Buckets with events but no new values report the running total
+    unchanged (ES semantics); empty buckets are absent (min_doc_count=1)."""
+    bucket = F.date_trunc(
+        _interval_trunc_unit(interval), F.col(ts_field)
+    ).alias("bucket")
+    base = df.where(F.col(ts_field).isNotNull() & F.col(value_field).isNotNull())
+    counts = base.groupBy(bucket).agg(F.count(F.lit(1)).alias("doc_count"))
+    firsts = (
+        base.groupBy(value_field)
+        .agg(F.date_trunc(_interval_trunc_unit(interval), F.min(ts_field)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            "doc_count",
+            F.sum(F.coalesce(F.col("__new"), F.lit(0)))
+            .over(w)
+            .alias("cumulative_cardinality"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _interval_trunc_unit(interval: str) -> str:
+    """Map a calendar interval string to a date_trunc unit."""
+    unit = interval.split()[-1].rstrip("s")
+    allowed = {"year", "quarter", "month", "week", "day", "hour", "minute", "second"}
+    if unit not in allowed:
+        raise ValueError(f"unsupported calendar interval: {interval!r}")
+    return unit
+
+
+def change_point(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    min_segment: int = 3,
+) -> DataFrame:
+    """ES ``change_point`` agg (8.x): locate the single most likely step
+    change in a metric series. ES runs a battery of detectors; this
+    implements the deterministic step-change core — for every admissible
+    split the absolute difference between the left and right segment means,
+    maximized (first bucket of the right segment reported, earliest bucket
+    winning ties).
+
+    All statistics derive from one running-sum window over the bucket frame
+    plus a 1-row total attached by the window itself (no self-join, no
+    collect): mean_left = run/i, mean_right = (total-run)/(n-i). Bucket-level
+    single-task window per the bucket_pipeline contract — the input is an
+    already-aggregated series, thousands of rows at most."""
+    if min_segment < 1:
+        raise ValueError("min_segment must be >= 1")
+    w = Window.orderBy(bucket_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy()
+    v = F.col(value_col).cast("double")
+    stats = buckets.select(
+        F.col(bucket_col),
+        v.alias("__v"),
+        F.row_number().over(w).alias("__i"),
+        F.sum(v).over(run).alias("__run"),
+        F.sum(v).over(whole).alias("__total"),
+        F.count(F.lit(1)).over(whole).alias("__n"),
+        F.lead(F.col(bucket_col), 1).over(w).alias("__next"),
+    )
+    i, n = F.col("__i"), F.col("__n")
+    mean_l = F.col("__run") / i
+    mean_r = (F.col("__total") - F.col("__run")) / (n - i)
+    scored = stats.where(
+        (i >= F.lit(min_segment)) & (i <= n - F.lit(min_segment))
+    ).select(
+        F.col("__next").alias("change_bucket"),
+        F.round(mean_l, 6).alias("mean_before"),
+        F.round(mean_r, 6).alias("mean_after"),
+        F.round(F.abs(mean_r - mean_l), 6).alias("step_size"),
+    )
+    return scored.orderBy(F.desc("step_size"), F.asc("change_bucket")).limit(1)
+
+
+def moving_percentiles(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    window: int = 7,
+    percentile: float = 0.5,
+    shift: int = 1,
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg: a percentile of the trailing
+    ``window`` buckets, sliding. ES reuses the t-digest sketch; we compute
+    the EXACT linear-interpolated percentile (same stance as
+    percentile_ranks). ``shift`` follows moving_fn/bucket_pipeline: the
+    window covers ``[i - window + shift, i - 1 + shift]`` — ES's default
+    shift=0 excludes the current bucket; the default here (shift=1,
+    trailing-inclusive) matches bucket_pipeline's historical contract.
+    Buckets whose window is empty yield NULL per ES's gap policy.
+    Bucket-level single-task window — never point at raw rows."""
+    if not 0.0 <= percentile <= 1.0:
+        raise ValueError("percentile must be in [0, 1]")
+    w = Window.orderBy(bucket_col)
+    mov = w.rowsBetween(-window + shift, -1 + shift)
+    v = F.col(value_col)
+    return buckets.select(
+        bucket_col,
+        value_col,
+        F.round(
+            F.expr(f"percentile({value_col}, {percentile!r})").over(mov), 6
+        ).alias("moving_pct"),
+    ).orderBy(bucket_col)

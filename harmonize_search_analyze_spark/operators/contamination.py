@@ -173,3 +173,94 @@ FROM t JOIN v USING (tok) CROSS JOIN tot
 GROUP BY {doc_id}
 ORDER BY {doc_id}
 """
+
+
+# -- fuzzy (near-dup) decontamination -----------------------------------------
+
+
+def _band_frame(
+    sigs: DataFrame, id_col: str, *, k: int, rows_per_band: int
+) -> DataFrame:
+    """Explode a minhash signature frame into (id, band_idx, band_key)."""
+    n_bands = k // rows_per_band
+    bands = []
+    for bi in range(n_bands):
+        cols = [
+            F.col(f"mh_{bi * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 8,
+    n: int = 1,
+    rows_per_band: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination (the Llama-3 / FineWeb follow-up to
+    exact n-gram overlap): flag training documents whose token-set Jaccard
+    with ANY benchmark document clears ``threshold``, found via a
+    cross-corpus MinHash-LSH band join rather than an all-pairs scan.
+
+    Returns (corpus id, bench id, jaccard) for every verified contaminated
+    pair — callers anti-join the id set against the corpus to drop hits.
+
+    Scale shape: both sides build signatures with the same
+    explode→hash→ONE-agg pipeline as ``minhash_signatures``; candidates are
+    a band-key equi-join — the 100 TB corpus side never self-joins, and the
+    benchmark side is MB-sized, so its band frame broadcasts and candidate
+    generation is map-side against the corpus bands. Verification joins the
+    (bounded) candidate list back to both shingle frames — the standard
+    sig→band→verify LSH contract, with banding recall (a pair missed by
+    every band is missed; raise k / lower rows_per_band to tighten)."""
+    from harmonize_search_analyze_spark.operators.dedup import minhash_signatures
+
+    sig_c = minhash_signatures(corpus, id_col, text_col, k=k, n=n, seed=seed)
+    sig_b = minhash_signatures(
+        bench, bench_id_col, bench_text_col, k=k, n=n, seed=seed
+    )
+    bands_c = _band_frame(sig_c, id_col, k=k, rows_per_band=rows_per_band)
+    bands_b = _band_frame(sig_b, bench_id_col, k=k, rows_per_band=rows_per_band)
+    cands = (
+        bands_c.join(
+            F.broadcast(bands_b),
+            ["band_idx", "band_key"],
+        )
+        .select(id_col, bench_id_col)
+        .distinct()
+    )
+    sh_c = corpus.select(
+        F.col(id_col),
+        F.expr(shingles_sql(text_col, "spark", n)).alias("c_sh"),
+    )
+    sh_b = bench.select(
+        F.col(bench_id_col),
+        F.expr(shingles_sql(bench_text_col, "spark", n)).alias("b_sh"),
+    )
+    from harmonize_search_analyze_spark.operators.dedup import jaccard_sql
+
+    j = jaccard_sql("c_sh", "b_sh", "spark")
+    return (
+        cands.join(sh_c, id_col)
+        .join(F.broadcast(sh_b), bench_id_col)
+        .withColumn("jaccard", F.expr(j))
+        .where(F.col("jaccard") >= threshold)
+        .select(id_col, bench_id_col, "jaccard")
+    )

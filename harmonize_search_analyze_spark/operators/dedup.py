@@ -900,3 +900,40 @@ SELECT tt.{id_col},
 FROM totals tt
 LEFT JOIN reassembled r ON tt.{id_col} = r.{id_col}
 """
+
+
+# -- incremental dedup ---------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental exact dedup: the new-batch documents that are NOT already
+    in the ingested corpus (same case/whitespace-normalized md5 digest as
+    ``exact_dedup``), themselves canonicalized within the batch (minimal id
+    per digest + in-batch copy count). The standard "nightly crawl append"
+    pipeline step: dedup the increment against everything seen so far
+    without re-deduping the corpus.
+
+    Scale shape: one digest projection per side (codegen'd md5, no UDF),
+    then a LEFT ANTI join keyed by the digest — both sides hash-partition on
+    the 128-bit key, so the join is a co-partitioned shuffle with no skew
+    (digests are uniform by construction). The corpus side reads ONE column
+    (column pruning reaches the scan); AQE broadcasts it when the distinct
+    digest set is small. For repeated increments against a static corpus,
+    persist the corpus digest frame once and reuse — the anti-join then
+    touches only the increment. A bloom-filter pre-filter on the batch side
+    can cut the shuffle further; the exact anti-join stays as the verifier
+    either way (false positives must not drop documents)."""
+    digest = F.md5(F.lower(F.trim(F.col(text_col))))
+    seen = corpus.select(digest.alias("text_hash")).distinct()
+    fresh = batch.select(
+        F.col(id_col), digest.alias("text_hash")
+    ).join(seen, "text_hash", "left_anti")
+    return fresh.groupBy("text_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

@@ -267,3 +267,79 @@ def more_like_this(
     )
     spark.catalog.dropTempView(view)
     return out
+
+
+# -- function_score ------------------------------------------------------------
+
+_FVF_MODIFIERS = ("none", "log1p", "ln1p", "sqrt", "square", "reciprocal")
+
+
+def field_value_factor_sql(
+    expr: str,
+    *,
+    modifier: str = "log1p",
+    factor: float = 1.0,
+    weight: float = 1.0,
+    missing: float = 1.0,
+) -> str:
+    """ES ``function_score`` / ``field_value_factor`` score expression as
+    dialect-neutral ANSI SQL (identical text runs on Spark and DuckDB —
+    LOG10/LN/SQRT are IEEE-identical on identical inputs, and the input is
+    an exact integer-derived double, so cross-engine parity is exact after
+    the shared ROUND).
+
+    Follows ES's evaluation order: ``modifier(factor * value)`` with the
+    ``missing`` substitute for NULL fields, times the function ``weight``.
+    ``log1p`` is base-10 per ES's (surprising, documented) definition;
+    ``ln1p`` is the natural-log variant."""
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(f"modifier must be one of {_FVF_MODIFIERS}")
+    v = f"(COALESCE(CAST({expr} AS DOUBLE), {float(missing)!r}) * {float(factor)!r})"
+    if modifier == "log1p":
+        m = f"LOG10(1.0 + {v})"
+    elif modifier == "ln1p":
+        m = f"LN(1.0 + {v})"
+    elif modifier == "sqrt":
+        m = f"SQRT({v})"
+    elif modifier == "square":
+        m = f"({v} * {v})"
+    elif modifier == "reciprocal":
+        m = f"(1.0 / {v})"
+    else:
+        m = v
+    return f"ROUND({float(weight)!r} * {m}, 6)"
+
+
+def function_score(
+    df: DataFrame,
+    predicate,
+    field: str,
+    *,
+    modifier: str = "log1p",
+    factor: float = 1.0,
+    weight: float = 1.0,
+    missing: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``function_score`` query with a ``field_value_factor`` function:
+    filter by the (constant-score) query, score each hit as
+    ``weight * modifier(factor * field)``, return the top-k.
+
+    boost_mode=multiply over a filter-context base score of 1.0 — the exact
+    shape Kibana issues for "boost by recency/popularity field" panels.
+    Scale shape: the score is one codegen'd projection over the filtered
+    scan (predicate pushdown applies); top-k is sort+limit
+    (TakeOrderedAndProject), never a full sort. Ties pinned score DESC,
+    id ASC on both engines."""
+    score = F.expr(
+        field_value_factor_sql(
+            field, modifier=modifier, factor=factor, weight=weight, missing=missing
+        )
+    )
+    return (
+        df.where(predicate)
+        .select(F.col(id_col), F.col(field), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -387,3 +387,69 @@ SELECT {cols} FROM {table} t
 JOIN thr ON t.{source_col} IS NOT DISTINCT FROM thr.{source_col}
 WHERE {h} < thr.thr
 """
+
+
+def quality_mix(
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    *,
+    cuts: list[float],
+    rates: list[float],
+    seed: int = 42,
+) -> DataFrame:
+    """Quality-bucketed sampling (the "keep all high-quality, thin the
+    tail" curation knob — the deterministic public form of Ask-LLM /
+    DataComp-style quality reweighting): score each document with the
+    engine's quality heuristic, band the scores at ``cuts`` (descending
+    thresholds), and keep a deterministic ``rates[band]`` fraction of each
+    band. ``rates`` has ``len(cuts) + 1`` entries — the last is the
+    below-every-cut band.
+
+    Same map-only mechanism as ``mix_sources`` (per-row sampling hash vs a
+    per-band threshold): no shuffle, reproducible across runs and engines,
+    and the score is a pure column expression, so the whole thing is one
+    codegen'd filter over the scan."""
+    if len(rates) != len(cuts) + 1:
+        raise ValueError("need len(cuts) + 1 rates")
+    if sorted(cuts, reverse=True) != list(cuts):
+        raise ValueError("cuts must be descending")
+    for r in rates:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rates must be in [0, 1], got {r}")
+    from harmonize_search_analyze_spark.operators.text import quality_score_sql
+
+    score = F.expr(quality_score_sql(text_col, "spark"))
+    thr: Column = F.lit(int(rates[-1] * HASH_BUCKETS))
+    for cut, rate in sorted(zip(cuts, rates[:-1])):
+        thr = F.when(
+            score >= F.lit(cut), F.lit(int(rate * HASH_BUCKETS))
+        ).otherwise(thr)
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    return df.where(h < thr)
+
+
+def quality_mix_sql(
+    table: str,
+    text_col: str,
+    key_col: str,
+    columns: list[str],
+    dialect: str,
+    *,
+    cuts: list[float],
+    rates: list[float],
+    seed: int = 42,
+) -> str:
+    """Dual-dialect SQL twin of ``quality_mix`` (the DuckDB oracle)."""
+    from harmonize_search_analyze_spark.operators.text import quality_score_sql
+
+    score = quality_score_sql(text_col, dialect)
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+    thr = str(int(rates[-1] * HASH_BUCKETS))
+    for cut, rate in sorted(zip(cuts, rates[:-1])):
+        thr = (
+            f"CASE WHEN {score} >= {cut!r} THEN {int(rate * HASH_BUCKETS)} "
+            f"ELSE {thr} END"
+        )
+    cols = ", ".join(columns)
+    return f"SELECT {cols} FROM {table} WHERE {h} < ({thr})"

@@ -66,7 +66,7 @@ def compile_query(
     handler = _HANDLERS.get(kind)
     if handler is None:
         raise QueryCompileError(f"unsupported query kind: {kind}")
-    if handler in (_range, _bool):
+    if handler in (_range, _bool, _dis_max, _boosting):
         return handler(body, now=now)
     return handler(body)
 
@@ -226,6 +226,57 @@ def _multi_match(body: dict[str, Any]) -> Column:
     return reduce(lambda a, b: a | b, preds)
 
 
+def _terms_set(body: dict[str, Any]) -> Column:
+    """ES ``terms_set``: match when at least ``minimum_should_match`` of the
+    supplied terms are present. On a ``.split`` field each term must appear
+    as a full token (the pinned analyzer); on an exact field membership is
+    equality, so a single-valued column can match at most one term — msm>1
+    then never matches, which is ES's own behavior for non-array keyword
+    fields. Compiled as a sum of boolean ints >= msm: one codegen'd
+    projection, no explode, no join."""
+    (field, spec), = body.items()
+    terms = list(spec.get("terms") or [])
+    if not terms:
+        raise QueryCompileError("terms_set requires a non-empty terms list")
+    msm = int(spec.get("minimum_should_match", len(terms)))
+    if field.endswith(SPLIT_SUFFIX):
+        base = field[: -len(SPLIT_SUFFIX)]
+        flags = [phrase_predicate(base, str(t)) for t in terms]
+    else:
+        flags = [F.col(field) == F.lit(t) for t in terms]
+    total = reduce(lambda a, b: a + b, [f.cast("int") for f in flags])
+    return total >= F.lit(msm)
+
+
+def _ids(body: dict[str, Any]) -> Column:
+    """ES ``ids`` query. Engine extension: frames carry natural keys rather
+    than an ``_id`` metadata field, so the key column is named explicitly
+    (``field``, default ``doc_id``)."""
+    values = list(body.get("values") or [])
+    if not values:
+        return F.lit(False)  # ES: ids with no values matches nothing
+    return F.col(body.get("field", "doc_id")).isin(values)
+
+
+def _dis_max(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
+    """ES ``dis_max`` in filter context: a document matches if ANY clause
+    matches (tie_breaker only shapes scores, not the match set)."""
+    queries = body.get("queries") or []
+    if not queries:
+        raise QueryCompileError("dis_max requires a non-empty queries list")
+    return reduce(lambda a, b: a | b, [compile_query(q, now=now) for q in queries])
+
+
+def _boosting(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
+    """ES ``boosting`` in filter context: the match set is the positive
+    clause's — ``negative`` only demotes scores (by ``negative_boost``),
+    it never filters."""
+    pos = body.get("positive")
+    if pos is None:
+        raise QueryCompileError("boosting requires a positive clause")
+    return compile_query(pos, now=now)
+
+
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
@@ -261,6 +312,10 @@ _HANDLERS = {
     "regexp": _regexp,
     "prefix": _prefix,
     "exists": _exists,
+    "terms_set": _terms_set,
+    "ids": _ids,
+    "dis_max": _dis_max,
+    "boosting": _boosting,
 }
 
 

@@ -957,3 +957,69 @@ def test_dashboard_global_panels(frame):
             panels={"x": lambda d: count_metric(d)},
             global_panels={"x": lambda d: count_metric(d)},
         )
+
+
+def test_change_point_finds_planted_step(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        change_point,
+    )
+
+    # flat 10s, then flat 50s from bucket 7 on
+    rows = [(i, 10.0 if i < 7 else 50.0) for i in range(14)]
+    buckets = spark.createDataFrame(rows, ["bucket", "doc_count"])
+    got = change_point(buckets, "bucket", "doc_count", min_segment=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["change_bucket"] == 7
+    assert r["mean_before"] == 10.0
+    assert r["mean_after"] == 50.0
+    assert r["step_size"] == 40.0
+    with pytest.raises(ValueError):
+        change_point(buckets, "bucket", "doc_count", min_segment=0)
+
+
+def test_cumulative_cardinality_first_occurrence(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        cumulative_cardinality,
+    )
+
+    d = dt.datetime
+    rows = [
+        (d(2024, 1, 1, 3), "u1"), (d(2024, 1, 1, 5), "u2"),
+        (d(2024, 1, 2, 1), "u1"),                  # no new users on day 2
+        (d(2024, 1, 3, 9), "u3"), (d(2024, 1, 3, 10), "u1"),
+        (None, "u9"), (d(2024, 1, 3, 11), None),   # null ts/value dropped
+    ]
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = [
+        (r["bucket"].day, r["doc_count"], r["cumulative_cardinality"])
+        for r in cumulative_cardinality(df, "ts", "user_id").collect()
+    ]
+    assert got == [(1, 2, 2), (2, 1, 2), (3, 2, 3)]
+    with pytest.raises(ValueError):
+        cumulative_cardinality(df, "ts", "user_id", interval="1 fortnight")
+
+
+def test_moving_percentiles_window_and_gap(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        moving_percentiles,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 6)]
+    buckets = spark.createDataFrame(rows, ["bucket", "v"])
+    # shift=0 (ES default): trailing window EXCLUDES current -> first is NULL
+    got = {
+        r["bucket"]: r["moving_pct"]
+        for r in moving_percentiles(
+            buckets, "bucket", "v", window=3, percentile=0.5, shift=0
+        ).collect()
+    }
+    assert got[1] is None
+    assert got[2] == 1.0          # window {1}
+    assert got[3] == 1.5          # window {1,2}
+    assert got[4] == 2.0          # window {1,2,3}
+    assert got[5] == 3.0          # window {2,3,4}
+    with pytest.raises(ValueError):
+        moving_percentiles(buckets, "bucket", "v", percentile=1.5)

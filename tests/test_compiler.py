@@ -236,3 +236,58 @@ def test_percolate(spark, frame):
     assert got == [
         (1, "cheap"), (1, "promo"), (2, "cheap"), (3, "promo")
     ]
+
+
+def test_terms_set_split_field(frame):
+    # descr tokens; >=2 of {promo, brass, tin} as full tokens
+    ast = {
+        "terms_set": {
+            "descr.split": {
+                "terms": ["promo", "anodized", "tin"],
+                "minimum_should_match": 2,
+            }
+        }
+    }
+    assert ids(frame, ast) == [3]  # PROMO ANODIZED TIN matches all three
+    ast["terms_set"]["descr.split"]["minimum_should_match"] = 1
+    assert ids(frame, ast) == [1, 3]
+
+
+def test_terms_set_exact_field_and_errors(frame):
+    # exact field: a scalar matches at most one term -> msm=1 works,
+    # msm=2 can never match (ES behavior for non-array keyword fields)
+    ast = {"terms_set": {"flag": {"terms": ["N", "R"],
+                                  "minimum_should_match": 1}}}
+    assert ids(frame, ast) == [1, 3, 4]
+    ast["terms_set"]["flag"]["minimum_should_match"] = 2
+    assert ids(frame, ast) == []
+    with pytest.raises(QueryCompileError):
+        compile_query({"terms_set": {"flag": {"terms": []}}})
+
+
+def test_ids_query(frame):
+    assert ids(frame, {"ids": {"field": "id", "values": [2, 4, 99]}}) == [2, 4]
+    # no values matches nothing, per ES
+    assert ids(frame, {"ids": {"field": "id", "values": []}}) == []
+
+
+def test_dis_max_filter_context(frame):
+    ast = {"dis_max": {"queries": [
+        {"term": {"flag": "R"}},
+        {"range": {"qty": {"gte": 30}}},
+    ], "tie_breaker": 0.3}}
+    assert ids(frame, ast) == [3, 4]
+    with pytest.raises(QueryCompileError):
+        compile_query({"dis_max": {"queries": []}})
+
+
+def test_boosting_filter_context(frame):
+    # match set is the positive clause's; negative only demotes scores
+    ast = {"boosting": {
+        "positive": {"range": {"qty": {"gte": 10}}},
+        "negative": {"term": {"flag": "R"}},
+        "negative_boost": 0.5,
+    }}
+    assert ids(frame, ast) == [2, 3, 4]
+    with pytest.raises(QueryCompileError):
+        compile_query({"boosting": {"negative": {"term": {"flag": "R"}}}})

@@ -602,3 +602,48 @@ def test_substring_dedup_preserves_untouched_text_verbatim(spark):
            substring_dedup(df, "doc_id", "text", k=8).collect()}
     assert got[1] == "Hello, World!  (untouched)"
     assert got[2] == "Different CONTENT; also untouched..."
+
+
+def test_incremental_dedup_semantics(spark):
+    from harmonize_search_analyze_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Seen Before  "),   # normalizes to a corpus digest -> dropped
+            (11, "brand new"),
+            (12, "brand new"),       # in-batch dup -> canonicalized
+            (13, "another new"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["keep_id"]: r["n_copies"]
+        for r in incremental_dedup(batch, corpus, "doc_id", "text").collect()
+    }
+    assert got == {11: 2, 13: 1}
+
+
+def test_fuzzy_decontaminate_finds_planted_overlap(spark):
+    from harmonize_search_analyze_spark.operators.contamination import (
+        fuzzy_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        ["bench_id", "text"],
+    )
+    got = fuzzy_decontaminate(
+        corpus, bench, threshold=0.8, k=8, n=1, rows_per_band=2
+    ).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in got] == [(1, 100)]
+    assert got[0]["jaccard"] >= 0.8

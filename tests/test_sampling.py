@@ -233,3 +233,46 @@ def test_temperature_mix_flattens_sources(spark):
     assert abs(byp["big"] / 900 - 0.5) < 0.1
     with pytest.raises(ValueError):
         temperature_mix(df, "src", "id", alpha=0.0)
+
+
+def test_quality_mix_bands_and_validation(spark):
+    from harmonize_search_analyze_spark.operators.sampling import quality_mix
+
+    # high-quality prose vs degenerate repetition: the heuristic separates
+    # them, and the band rates then control survival deterministically
+    rows = [(i, "the quick brown fox jumps over the lazy dog today")
+            for i in range(20)]
+    rows += [(100 + i, "aaa aaa aaa") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = quality_mix(
+        df, "text", "doc_id", cuts=[0.57], rates=[1.0, 0.0]
+    ).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    assert ids == list(range(20))  # every prose row, zero degenerate rows
+    with pytest.raises(ValueError):
+        quality_mix(df, "text", "doc_id", cuts=[0.5], rates=[1.0])
+    with pytest.raises(ValueError):
+        quality_mix(df, "text", "doc_id", cuts=[0.3, 0.6], rates=[1, 1, 1])
+    with pytest.raises(ValueError):
+        quality_mix(df, "text", "doc_id", cuts=[0.5], rates=[1.0, 1.5])
+
+
+def test_function_score_modifiers(spark):
+    from harmonize_search_analyze_spark.operators.ranking import (
+        field_value_factor_sql,
+        function_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 9), (2, 99), (3, None), (4, 999)], ["doc_id", "views"]
+    )
+    got = function_score(
+        df, F.lit(True), "views", modifier="log1p", factor=1.0,
+        weight=1.0, missing=0.0, k=4,
+    ).collect()
+    # log10(1+views): 999 -> 3, 99 -> 2, 9 -> 1, missing -> 0
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (4, 3.0), (2, 2.0), (1, 1.0), (3, 0.0)
+    ]
+    with pytest.raises(ValueError):
+        field_value_factor_sql("views", modifier="cube")
