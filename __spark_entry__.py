@@ -3667,7 +3667,7 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"), "text"
     )
     return fuzzy_decontaminate(
-        corpus, bench, threshold=0.9, k=8, n=1, rows_per_band=2
+        corpus, bench, threshold=0.9, k=8, n=1, rows_per_band=4
     ).orderBy("doc_id", "bench_id")
 
 
@@ -3690,11 +3690,15 @@ def _sql_fuzzy_decontaminate() -> str:
     ]
 
     def bands(src: str, idc: str) -> str:
+        # 2 bands x 4 rows: candidate threshold ~(1/2)^(1/4) ~ 0.84,
+        # tuned to the 0.9 verify threshold (mirrors the Spark side)
         return " UNION ALL ".join(
             f"SELECT {idc}, {bi} AS band_idx, "
-            f"CAST(mh_{2 * bi} AS VARCHAR) || '_' || "
-            f"CAST(mh_{2 * bi + 1} AS VARCHAR) AS band_key FROM {src}"
-            for bi in range(4)
+            + " || '_' || ".join(
+                f"CAST(mh_{4 * bi + r} AS VARCHAR)" for r in range(4)
+            )
+            + f" AS band_key FROM {src}"
+            for bi in range(2)
         )
 
     j = jaccard_sql("sc.shingles", "sb.shingles", "duckdb")

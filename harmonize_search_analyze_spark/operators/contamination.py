@@ -208,10 +208,10 @@ def fuzzy_decontaminate(
     text_col: str = "text",
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
-    threshold: float = 0.8,
+    threshold: float = 0.9,
     k: int = 8,
     n: int = 1,
-    rows_per_band: int = 2,
+    rows_per_band: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Fuzzy benchmark decontamination (the Llama-3 / FineWeb follow-up to
@@ -232,6 +232,17 @@ def fuzzy_decontaminate(
     every band is missed; raise k / lower rows_per_band to tighten)."""
     from harmonize_search_analyze_spark.operators.dedup import minhash_signatures
 
+    # band tuning is the operative knob: the candidate threshold is
+    # s* ~ (1/b)^(1/r) for b bands of r rows, so match it to ``threshold``
+    # (r=4, b=2 targets ~0.84 for 0.9-dedup; the r=2 default of the
+    # SELF-join path targets 0.5 and floods this cross join with
+    # candidates on near-dup-dense corpora — measured 193k candidates of
+    # 257k possible pairs at sf0.1 before retuning)
+    # spread the corpus-side signature build: a single-file parquet input
+    # would otherwise hash every document in one task
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     sig_c = minhash_signatures(corpus, id_col, text_col, k=k, n=n, seed=seed)
     sig_b = minhash_signatures(
         bench, bench_id_col, bench_text_col, k=k, n=n, seed=seed

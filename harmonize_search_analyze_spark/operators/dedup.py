@@ -331,23 +331,49 @@ def simhash_select_sql(
             f"SELECT {id_col} AS _id, {h} AS th "
             f"FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table}) t"
         )
-    sums = ", ".join(
-        f"SUM(CASE WHEN ((th >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(bits)
-    )
+    # SWAR lane packing: bit b of the hash rides lane (b div 16) of packed
+    # sum (b mod 16) — 16 SUMs of 4 x 16-bit lanes plus one COUNT replace
+    # the naive 64 sign-SUMs.  The per-bit majority needs only the ones
+    # count (sign-sum s_b = 2*ones_b - n, so s_b > 0 iff 2*ones_b > n).
+    # Why: the 64-buffer hash-aggregate generated ~4x the code (measured
+    # ~5s one-time whole-stage-codegen compile at 64 bits) and did 64
+    # CASE+adds per token where 16 shift-mask-adds suffice.  Lane safety:
+    # lane sums reach at most n (doc token count), so no lane carries and
+    # no BIGINT overflow in the top (<<48) lane while n <= 32767 — an
+    # in-plan guard raises past it (chunk/truncate monster docs upstream;
+    # SimHash over a 32k-token doc is saturated anyway).  The arithmetic
+    # shift's sign-fill never reaches a masked lane bit: for shift i <= 15
+    # the fill occupies positions > 63-i >= 48, and the lane mask's top
+    # bit 48 maps to original bit i+48 <= 63.
+    n_sums = min(bits, 16)
+    sums = []
+    for i in range(n_sums):
+        mask = sum(1 << (16 * k) for k in range(4) if i + 16 * k < bits)
+        sums.append(
+            f"CAST(SUM((th >> {i}) & {mask}) AS BIGINT) AS p{i}"
+        )
+    agg = ", ".join(sums) + ", COUNT(*) AS n"
     terms = []
     for b in range(bits):
+        i, k = b % 16, b // 16
+        ones = f"((p{i} >> {16 * k}) & 65535)"
         if b == 63:
             # 1 << 63 overflows signed BIGINT; MIN_LONG is its
             # two's-complement weight (kept last in the sum)
             w = "CAST(-9223372036854775807 AS BIGINT) - 1"
         else:
             w = f"CAST({1 << b} AS BIGINT)"
-        terms.append(f"(CASE WHEN s{b} > 0 THEN {w} ELSE 0 END)")
+        terms.append(f"(CASE WHEN 2 * {ones} > n THEN {w} ELSE 0 END)")
     recombine = " + ".join(terms)
+    err_fn = "raise_error" if dialect == "spark" else "error"
+    guarded = (
+        f"CASE WHEN n > 32767 THEN {err_fn}('simhash: document exceeds "
+        f"32767 tokens (SWAR lane bound); chunk or truncate upstream') "
+        f"ELSE ({recombine}) END"
+    )
     return (
-        f"SELECT _id AS {id_col}, ({recombine}) AS simhash "
-        f"FROM (SELECT _id, {sums} FROM ({exploded}) e GROUP BY _id) g"
+        f"SELECT _id AS {id_col}, ({guarded}) AS simhash "
+        f"FROM (SELECT _id, {agg} FROM ({exploded}) e GROUP BY _id) g"
     )
 
 
