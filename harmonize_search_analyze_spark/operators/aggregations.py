@@ -1653,3 +1653,61 @@ def moving_percentiles(
             F.expr(f"percentile({value_col}, {percentile!r})").over(mov), 6
         ).alias("moving_pct"),
     ).orderBy(bucket_col)
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    value_col: str = "doc_count",
+    *,
+    percents: list[float] | None = None,
+) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg: percentiles of a
+    metric ACROSS the sibling buckets (one row per probe percent). Exact
+    linear-interpolated percentiles (same stance as percentile_ranks /
+    moving_percentiles — ES itself interpolates from t-digest). One 1-row
+    aggregation over the bucket frame; bucket-level work regardless of
+    underlying data volume."""
+    percents = [25.0, 50.0, 75.0] if percents is None else percents
+    for p in percents:
+        if not 0.0 <= p <= 100.0:
+            raise ValueError(f"percents must be in [0, 100], got {p}")
+    fracs = ", ".join(repr(p / 100.0) for p in percents)
+    row = buckets.agg(
+        F.expr(f"percentile({value_col}, array({fracs}))").alias("__ps")
+    )
+    return row.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(p)) for p in percents]).alias("percent"),
+                F.expr(
+                    "transform(__ps, v -> round(v, 6))"
+                ).alias("value"),
+            )
+        ).alias("r")
+    ).select("r.percent", "r.value")
+
+
+def bucket_correlation(
+    buckets: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline agg (count_correlation function):
+    Pearson correlation between two metric series over the same sibling
+    buckets — here the general two-column form (ES correlates doc_count
+    against a supplied indicator vector; materialize the indicator as a
+    bucket column and pass it as ``y_col``). One 1-row aggregation;
+    NULL when either series is constant (r undefined), which is also
+    ES's behavior for a degenerate indicator. Pearson is assembled from
+    covar_pop / (stddev_pop * stddev_pop) with a guarded denominator —
+    ``F.corr`` itself raises a divide-by-zero under ANSI mode (Spark 4
+    default) on a constant series instead of returning the NULL the
+    contract (and DuckDB's ``corr``) specifies."""
+    x, y = F.col(x_col), F.col(y_col)
+    den = F.stddev_pop(x) * F.stddev_pop(y)
+    return buckets.agg(
+        F.round(
+            F.when(den > 0, F.covar_pop(x, y) / den), 6
+        ).alias("correlation"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )

@@ -453,3 +453,109 @@ def quality_mix_sql(
         )
     cols = ", ".join(columns)
     return f"SELECT {cols} FROM {table} WHERE {h} < ({thr})"
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    budgets: dict[str, int],
+    key_col: str,
+    text_col: str,
+    *,
+    seed: int = 42,
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Token-budget sampling: keep a deterministic subset of each source's
+    documents whose CUMULATIVE token count stays within the source's token
+    budget — the "2B tokens of books, 500M of code" mixture knob, stated
+    in tokens (what training actually consumes) rather than row fractions.
+
+    Documents are admitted in sampling-hash order (ties by key), so the
+    kept set is reproducible across runs, partitionings, and engines, and
+    is a superset-stable prefix: raising a budget only ADDS documents.
+    A document that would cross the budget boundary is excluded (strict
+    ``cum <= budget``). Sources absent from ``budgets`` get
+    ``default_budget`` (None = unlimited, pass-through).
+
+    Scale shape: ONE window shuffle keyed by source. Budget enforcement is
+    inherently a prefix sum in admission order; at extreme per-source
+    volume the same order decomposes into a bucket-prefix two-pass (agg
+    token totals per (source, hash-bucket), cut at the boundary bucket,
+    exact window inside that one bucket only) — the admission order makes
+    both plans select the identical set. The window form is the shipped
+    default; residual per-source skew is what AQE skew-split handles."""
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    if default_budget is not None and default_budget < 0:
+        raise ValueError("default_budget must be >= 0 or None")
+    from harmonize_search_analyze_spark.operators.text import token_count_sql
+
+    toks = F.expr(token_count_sql(text_col, "spark")).cast("bigint")
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget: Column = (
+        F.lit(None).cast("bigint")
+        if default_budget is None
+        else F.lit(int(default_budget))
+    )
+    for s, b in sorted(budgets.items()):
+        budget = F.when(
+            F.col(source_col) == F.lit(s), F.lit(int(b))
+        ).otherwise(budget)
+    out = df.withColumn("__cum", F.sum(toks).over(w)).withColumn(
+        "__budget", budget
+    )
+    return (
+        out.where(
+            F.col("__budget").isNull() | (F.col("__cum") <= F.col("__budget"))
+        )
+        .drop("__budget")
+        .withColumnRenamed("__cum", "cum_tokens")
+    )
+
+
+def token_budget_sample_sql(
+    table: str,
+    source_col: str,
+    budgets: dict[str, int],
+    key_col: str,
+    text_col: str,
+    columns: list[str],
+    dialect: str,
+    *,
+    seed: int = 42,
+    default_budget: int | None = None,
+) -> str:
+    """Dual-dialect SQL twin of ``token_budget_sample``."""
+    from harmonize_search_analyze_spark.operators.text import token_count_sql
+
+    toks = token_count_sql(text_col, dialect)
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+    b = (
+        "CAST(NULL AS BIGINT)"
+        if default_budget is None
+        else str(int(default_budget))
+    )
+    for s, v in sorted(budgets.items()):
+        b = (
+            f"CASE WHEN {source_col} = {_sql_str(s, dialect)} "
+            f"THEN {int(v)} ELSE {b} END"
+        )
+    cols = ", ".join(columns)
+    return f"""
+SELECT {cols}, cum_tokens FROM (
+  SELECT {cols},
+         CAST(SUM(CAST({toks} AS BIGINT)) OVER (
+           PARTITION BY {source_col}
+           ORDER BY {h} ASC, {key_col} ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens,
+         ({b}) AS budget
+  FROM {table}
+) t WHERE budget IS NULL OR cum_tokens <= budget
+"""

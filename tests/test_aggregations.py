@@ -1023,3 +1023,36 @@ def test_moving_percentiles_window_and_gap(spark):
     assert got[5] == 3.0          # window {2,3,4}
     with pytest.raises(ValueError):
         moving_percentiles(buckets, "bucket", "v", percentile=1.5)
+
+
+def test_percentiles_bucket_exact(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles_bucket,
+    )
+
+    buckets = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 30, 40])],
+        ["bucket", "v"],
+    )
+    got = {r["percent"]: r["value"]
+           for r in percentiles_bucket(buckets, "v").collect()}
+    assert got == {25.0: 17.5, 50.0: 25.0, 75.0: 32.5}
+    with pytest.raises(ValueError):
+        percentiles_bucket(buckets, "v", percents=[120.0])
+
+
+def test_bucket_correlation_perfect_and_degenerate(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        bucket_correlation,
+    )
+
+    buckets = spark.createDataFrame(
+        [(1, 1.0, 2.0), (2, 2.0, 4.0), (3, 3.0, 6.0)], ["b", "x", "y"]
+    )
+    r = bucket_correlation(buckets, "x", "y").collect()[0]
+    assert r["correlation"] == 1.0 and r["n_buckets"] == 3
+    const = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, 2.0, 5.0)], ["b", "x", "y"]
+    )
+    r2 = bucket_correlation(const, "x", "y").collect()[0]
+    assert r2["correlation"] is None  # constant series: r undefined

@@ -276,3 +276,37 @@ def test_function_score_modifiers(spark):
     ]
     with pytest.raises(ValueError):
         field_value_factor_sql("views", modifier="cube")
+
+
+def test_token_budget_sample_boundary_and_default(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [
+        (i, "a", "one two three four five")  # 5 tokens each
+        for i in range(10)
+    ] + [(100 + i, "b", "one two") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # budget 12 admits exactly two 5-token docs (cum 5, 10; third hits 15)
+    out = token_budget_sample(
+        df, "source", {"a": 12}, "doc_id", "text", default_budget=None
+    ).collect()
+    a = [r for r in out if r["source"] == "a"]
+    b = [r for r in out if r["source"] == "b"]
+    assert len(a) == 2 and max(r["cum_tokens"] for r in a) == 10
+    assert len(b) == 3  # default None = unlimited pass-through
+    # zero budget keeps nothing from the capped source
+    out0 = token_budget_sample(
+        df, "source", {"a": 0}, "doc_id", "text", default_budget=None
+    ).collect()
+    assert all(r["source"] == "b" for r in out0)
+    # determinism: same admission set on re-run
+    again = token_budget_sample(
+        df, "source", {"a": 12}, "doc_id", "text", default_budget=None
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+    with pytest.raises(ValueError):
+        token_budget_sample(df, "source", {"a": -1}, "doc_id", "text")
