@@ -518,11 +518,16 @@ def weighted_avg(
     by: str | None = None,
 ) -> DataFrame:
     """ES ``weighted_avg`` metric agg: sum(v*w)/sum(w), docs missing either
-    side skipped (ES default). Single partial+final hash agg pass."""
+    side skipped (ES default). Single partial+final hash agg pass.
+    try_divide: an all-zero weight set makes the denominator 0 and raw
+    division raises under ANSI; the average is undefined there — NULL
+    (DuckDB's /0 agrees, so the oracle stays in lockstep)."""
     ok = F.col(value).isNotNull() & F.col(weight).isNotNull()
     wa = F.round(
-        F.sum(F.when(ok, F.col(value) * F.col(weight)))
-        / F.sum(F.when(ok, F.col(weight))),
+        F.try_divide(
+            F.sum(F.when(ok, F.col(value) * F.col(weight))),
+            F.sum(F.when(ok, F.col(weight))),
+        ),
         6,
     ).alias("weighted_avg")
     if by is None:
@@ -596,8 +601,10 @@ def significant_terms(
         F.sum("bg_count").alias("bg_total"),
         F.sum("fg_count").alias("fg_total"),
     )
-    fg_rate = F.col("fg_count") / F.col("fg_total")
-    bg_rate = F.col("bg_count") / F.col("bg_total")
+    # try_divide: a zero total (empty foreground/background) must yield
+    # NULL scores, not an ANSI DIVIDE_BY_ZERO
+    fg_rate = F.try_divide(F.col("fg_count"), F.col("fg_total"))
+    bg_rate = F.try_divide(F.col("bg_count"), F.col("bg_total"))
     return (
         per_term.crossJoin(F.broadcast(totals))
         .where(F.col("fg_count") > 0)
@@ -605,9 +612,9 @@ def significant_terms(
             field,
             "fg_count",
             "bg_count",
-            F.round((fg_rate - bg_rate) * (fg_rate / bg_rate), 6).alias(
-                "score"
-            ),
+            F.round(
+                (fg_rate - bg_rate) * F.try_divide(fg_rate, bg_rate), 6
+            ).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(field))
         .limit(k)
@@ -1443,11 +1450,17 @@ def t_test(
         ]
 
     one = df.agg(*stats(filter_a, "a"), *stats(filter_b, "b"))
-    sa = F.col("va") / F.col("na")
-    sb = F.col("vb") / F.col("nb")
-    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
-    dof = ((sa + sb) * (sa + sb)) / (
-        (sa * sa) / (F.col("na") - 1) + (sb * sb) / (F.col("nb") - 1)
+    # try_divide throughout: two zero-variance populations make the
+    # pooled stderr 0 and raw division THROWS under ANSI mode (Spark 4
+    # default); the statistic is undefined there — NULL, which is also
+    # what DuckDB's /0 yields, keeping the oracle in lockstep
+    sa = F.try_divide(F.col("va"), F.col("na"))
+    sb = F.try_divide(F.col("vb"), F.col("nb"))
+    t = F.try_divide(F.col("ma") - F.col("mb"), F.sqrt(sa + sb))
+    dof = F.try_divide(
+        (sa + sb) * (sa + sb),
+        F.try_divide(sa * sa, F.col("na") - 1)
+        + F.try_divide(sb * sb, F.col("nb") - 1),
     )
     return one.select(
         F.col("na").cast("bigint").alias("n_a"),
@@ -1471,12 +1484,18 @@ def normalize_pipeline(
     bucket_pipeline (rows bounded by the interval, not data volume)."""
     w = Window.partitionBy()
     v = F.col(value_col)
+    # try_divide throughout: an all-zero series (percent_of_sum) or a
+    # constant series (mean: stddev 0; range: max-min 0) makes the
+    # denominator 0 — the normalization is undefined and must yield NULL,
+    # not an ANSI DIVIDE_BY_ZERO (DuckDB's /0 agrees)
     if method == "percent_of_sum":
-        norm = v / F.sum(v).over(w)
+        norm = F.try_divide(v, F.sum(v).over(w))
     elif method == "mean":
-        norm = (v - F.avg(v).over(w)) / F.stddev_pop(v).over(w)
+        norm = F.try_divide(v - F.avg(v).over(w), F.stddev_pop(v).over(w))
     elif method == "range":
-        norm = (v - F.min(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))
+        norm = F.try_divide(
+            v - F.min(v).over(w), F.max(v).over(w) - F.min(v).over(w)
+        )
     else:
         raise ValueError(
             "method must be percent_of_sum, mean, or range"
@@ -1496,11 +1515,15 @@ def percentile_ranks(
     compute the EXACT empirical CDF (strictly better, same stance as
     exact terms counts) in one conditional-aggregate pass — a count per
     probe value, one scan, one 1-row agg regardless of probe count."""
+    # try_divide: an empty (or all-NULL) input makes count 0 — the rank
+    # is undefined, NULL, not an ANSI DIVIDE_BY_ZERO
     probes = [
         F.round(
-            F.lit(100.0)
-            * F.count(F.when(F.col(field) <= F.lit(v), F.lit(1)))
-            / F.count(field),
+            F.try_divide(
+                F.lit(100.0)
+                * F.count(F.when(F.col(field) <= F.lit(v), F.lit(1))),
+                F.count(field),
+            ),
             6,
         ).alias(f"__p{i}")
         for i, v in enumerate(values)

@@ -292,9 +292,13 @@ def corpus_profile(
     ).agg(F.count_distinct("__d").alias("n_unique"))
     return base.crossJoin(F.broadcast(digests)).withColumn(
         "dup_rate",
+        # try_divide: an empty corpus has n_docs 0 — rate undefined,
+        # NULL, not an ANSI DIVIDE_BY_ZERO
         F.round(
-            (F.col("n_docs") - F.col("n_unique"))
-            / F.col("n_docs").cast("double"),
+            F.try_divide(
+                F.col("n_docs") - F.col("n_unique"),
+                F.col("n_docs").cast("double"),
+            ),
             6,
         ),
     )

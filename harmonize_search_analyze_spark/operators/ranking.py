@@ -291,20 +291,28 @@ def field_value_factor_sql(
     Follows ES's evaluation order: ``modifier(factor * value)`` with the
     ``missing`` substitute for NULL fields, times the function ``weight``.
     ``log1p`` is base-10 per ES's (surprising, documented) definition;
-    ``ln1p`` is the natural-log variant."""
+    ``ln1p`` is the natural-log variant.
+
+    Out-of-domain inputs (log of a non-positive, sqrt of a negative,
+    reciprocal of zero) are guarded to NULL in the generated text itself:
+    the engines genuinely disagree otherwise — Spark returns NULL/NaN,
+    DuckDB raises Out of Range, and Spark's ANSI mode throws on the
+    reciprocal's divide-by-zero. ES raises a script error for these; a
+    NULL score (hit excluded from the ranking) is the relational
+    equivalent."""
     if modifier not in _FVF_MODIFIERS:
         raise ValueError(f"modifier must be one of {_FVF_MODIFIERS}")
     v = f"(COALESCE(CAST({expr} AS DOUBLE), {float(missing)!r}) * {float(factor)!r})"
     if modifier == "log1p":
-        m = f"LOG10(1.0 + {v})"
+        m = f"(CASE WHEN {v} > -1.0 THEN LOG10(1.0 + {v}) END)"
     elif modifier == "ln1p":
-        m = f"LN(1.0 + {v})"
+        m = f"(CASE WHEN {v} > -1.0 THEN LN(1.0 + {v}) END)"
     elif modifier == "sqrt":
-        m = f"SQRT({v})"
+        m = f"(CASE WHEN {v} >= 0.0 THEN SQRT({v}) END)"
     elif modifier == "square":
         m = f"({v} * {v})"
     elif modifier == "reciprocal":
-        m = f"(1.0 / {v})"
+        m = f"(CASE WHEN {v} <> 0.0 THEN 1.0 / {v} END)"
     else:
         m = v
     return f"ROUND({float(weight)!r} * {m}, 6)"

@@ -29,6 +29,11 @@ FAMILY = [
     "similarity_join_ivf",
     "semantic_dedup",
     "dedup_clusters",
+    # round-3 additions
+    "fuzzy_decontaminate",
+    "incremental_dedup",
+    "token_budget_sample",
+    "quality_mix",
 ]
 
 M1_DIR = "/tmp/sparkgraft_m1"

@@ -1056,3 +1056,48 @@ def test_bucket_correlation_perfect_and_degenerate(spark):
     )
     r2 = bucket_correlation(const, "x", "y").collect()[0]
     assert r2["correlation"] is None  # constant series: r undefined
+
+
+def test_t_test_degenerate_groups_yield_null(spark):
+    """Two zero-variance populations: pooled stderr 0 -> t undefined ->
+    NULL (raw division raises DIVIDE_BY_ZERO under ANSI; the contract,
+    and DuckDB's /0, is NULL)."""
+    from harmonize_search_analyze_spark.operators.aggregations import t_test
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (2, 7.0), (2, 7.0)], ["g", "v"]
+    )
+    r = t_test(df, "v", F.col("g") == 1, F.col("g") == 2).collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["t_stat"] is None and r["welch_df"] is None
+    # an empty population propagates NULL the same way
+    r2 = t_test(df, "v", F.col("g") == 1, F.col("g") == 9).collect()[0]
+    assert r2["n_b"] == 0 and r2["t_stat"] is None
+
+
+def test_ansi_degenerate_inputs_yield_null_not_error(spark):
+    """Zero denominators (constant/empty/all-zero series) must yield NULL
+    per contract, not an ANSI DIVIDE_BY_ZERO: normalize_pipeline (all
+    three methods), weighted_avg (all-zero weights), percentile_ranks
+    (all-NULL field)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        normalize_pipeline,
+        percentile_ranks,
+        weighted_avg,
+    )
+
+    const = spark.createDataFrame(
+        [(1, 0.0), (2, 0.0)], ["bucket", "doc_count"]
+    )
+    for method in ("percent_of_sum", "mean", "range"):
+        got = normalize_pipeline(
+            const, "bucket", "doc_count", method=method
+        ).collect()
+        assert [r["normalized"] for r in got] == [None, None], method
+
+    wz = spark.createDataFrame([(5.0, 0.0), (7.0, 0.0)], ["v", "w"])
+    assert weighted_avg(wz, "v", "w").collect()[0]["weighted_avg"] is None
+
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    got = percentile_ranks(nulls, "x", [1.0]).collect()
+    assert got[0]["pct_rank"] is None

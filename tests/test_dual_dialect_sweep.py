@@ -345,3 +345,99 @@ def test_funnel_generator_on_edge_events(spark):
     # (same-timestamp tie), 7 (b after first a) — NOT 2 (b strictly first)
     assert got[0] == ("a", 6, 100.0)
     assert got[1][1] == 4
+
+
+EDGE_NUMBERS = [None, -100.0, -1.0, -0.5, 0.0, 0.5, 1.0, 42.0, 1e9]
+
+
+def test_field_value_factor_on_numeric_edges(spark):
+    """function_score's score expression must agree on out-of-domain
+    inputs too: unguarded, DuckDB RAISES on log/sqrt of out-of-range
+    while Spark yields NULL/NaN, and Spark ANSI throws on reciprocal(0)
+    — the generator's domain guards make both yield NULL."""
+    import math
+
+    from harmonize_search_analyze_spark.operators.ranking import (
+        field_value_factor_sql,
+    )
+
+    con = duckdb.connect()
+    for modifier in ("none", "log1p", "ln1p", "sqrt", "square", "reciprocal"):
+        expr = field_value_factor_sql(
+            "v", modifier=modifier, factor=1.0, weight=2.0, missing=0.0
+        )
+        df = spark.createDataFrame(
+            [(x,) for x in EDGE_NUMBERS], "v double"
+        )
+        got_s = [r[0] for r in df.selectExpr(expr).collect()]
+        got_d = []
+        for x in EDGE_NUMBERS:
+            lit = "CAST(NULL AS DOUBLE)" if x is None else repr(x)
+            got_d.append(
+                con.sql(
+                    f"SELECT {expr} FROM (SELECT {lit} AS v)"
+                ).fetchall()[0][0]
+            )
+        for x, s, d in zip(EDGE_NUMBERS, got_s, got_d):
+            if s is not None and d is not None and math.isnan(s) and math.isnan(d):
+                continue
+            assert _norm(s) == _norm(d), (modifier, x, s, d)
+
+
+def test_quality_mix_and_token_budget_generators_on_edge_corpus(edge_tables):
+    """The round-3 sampling generators agree with their DataFrame twins on
+    the edge corpus (empty/whitespace/huge docs)."""
+    from pyspark.sql import functions as F
+
+    spark, con = edge_tables
+    from harmonize_search_analyze_spark.operators.sampling import (
+        quality_mix,
+        quality_mix_sql,
+        token_budget_sample,
+        token_budget_sample_sql,
+    )
+
+    docs = spark.table("edge_docs").withColumn(
+        "source",
+        (F.col("doc_id") % 2 == 0).cast("string"),
+    )
+    con.execute(
+        "CREATE OR REPLACE VIEW edge_docs_src AS "
+        "SELECT doc_id, text, CAST(doc_id % 2 = 0 AS VARCHAR) AS source "
+        "FROM edge_docs"
+    )
+
+    want = sorted(
+        r["doc_id"]
+        for r in quality_mix(
+            docs, "text", "doc_id", cuts=[0.5], rates=[1.0, 0.3]
+        ).collect()
+    )
+    got = sorted(
+        r[0]
+        for r in con.sql(
+            quality_mix_sql(
+                "edge_docs_src", "text", "doc_id", ["doc_id"], "duckdb",
+                cuts=[0.5], rates=[1.0, 0.3],
+            )
+        ).fetchall()
+    )
+    assert want == got
+
+    want_tb = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_sample(
+            docs, "source", {"true": 20}, "doc_id", "text",
+            default_budget=5,
+        ).select("doc_id", "cum_tokens").collect()
+    )
+    got_tb = sorted(
+        (r[0], r[1])
+        for r in con.sql(
+            token_budget_sample_sql(
+                "edge_docs_src", "source", {"true": 20}, "doc_id", "text",
+                ["doc_id"], "duckdb", default_budget=5,
+            )
+        ).fetchall()
+    )
+    assert want_tb == got_tb
