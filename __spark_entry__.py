@@ -3849,6 +3849,25 @@ FROM b
 """
 
 
+def q_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncate-then-rerank ANN: shortlist 40 by cosine over
+    the first 16 of 64 dims, rerank the shortlist full-width, top 10."""
+    from harmonize_search_analyze_spark.operators.similarity import mrl_topk
+
+    return mrl_topk(
+        _t(spark, sf_dir, "embeddings"), "embedding", _QUERY_VEC,
+        dims=16, k=10, oversample=4,
+    )
+
+
+def _sql_mrl_topk() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        mrl_topk_oracle_sql,
+    )
+
+    return mrl_topk_oracle_sql(_QUERY_VEC, dims=16, k=10, oversample=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -3996,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "percentiles_bucket": q_percentiles_bucket,
         "bucket_correlation": q_bucket_correlation,
+        "mrl_topk": q_mrl_topk,
     }
 
 
@@ -4129,4 +4149,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _sql_token_budget_sample(),
         "percentiles_bucket": SQL_PERCENTILES_BUCKET,
         "bucket_correlation": SQL_BUCKET_CORRELATION,
+        "mrl_topk": _sql_mrl_topk(),
     }

@@ -50,7 +50,11 @@ def cosine_score(vec_col: str, qvec: list[float]) -> F.Column:
     q = _qvec_lit(qvec)
     qnorm = math.sqrt(sum(v * v for v in qvec))
     emb = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    return F.expr(_dot_sql(emb, q)) / (F.expr(_norm_sql(emb)) * F.lit(qnorm))
+    # try_divide: a zero vector has norm 0 — cosine undefined, NULL (raw
+    # division aborts the job under ANSI mode; DuckDB's /0 is NULL too)
+    return F.try_divide(
+        F.expr(_dot_sql(emb, q)), F.expr(_norm_sql(emb)) * F.lit(qnorm)
+    )
 
 
 def cosine_topk(
@@ -620,8 +624,11 @@ def similarity_join(
         F.col(query_id).alias("query_id"),
         F.expr(f"CAST({query_vec} AS ARRAY<DOUBLE>)").alias("qv"),
     ).withColumn("qn", F.expr(_norm_sql("qv")))
+    # try_divide: zero-norm row/query vectors must yield NULL, not an
+    # ANSI divide-by-zero abort
     cos = F.round(
-        F.expr(_dot_sql("cv", "qv")) / (F.col("cn") * F.col("qn")), 6
+        F.try_divide(F.expr(_dot_sql("cv", "qv")), F.col("cn") * F.col("qn")),
+        6,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id")
@@ -753,8 +760,10 @@ def similarity_join_ivf(
         F.expr(f"CAST({query_vec} AS ARRAY<DOUBLE>)").alias("qv"),
     )
     probe_cos = F.round(
-        F.expr(_dot_sql("cvec", "qv"))
-        / (F.expr(_norm_sql("cvec")) * F.expr(_norm_sql("qv"))),
+        F.try_divide(
+            F.expr(_dot_sql("cvec", "qv")),
+            F.expr(_norm_sql("cvec")) * F.expr(_norm_sql("qv")),
+        ),
         6,
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -1693,4 +1702,118 @@ SELECT e.{id_col},
        COALESCE(l.cluster_id, e.{id_col}) = e.{id_col} AS keep
 FROM {table} e LEFT JOIN labels l ON l.id = e.{id_col}
 ORDER BY e.{id_col}
+"""
+
+
+# -- Matryoshka truncate-then-rerank ------------------------------------------
+
+
+def mrl_topk(
+    df: DataFrame,
+    vec_col: str,
+    qvec: list[float],
+    *,
+    dims: int,
+    k: int = 10,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka truncate-then-rerank ANN (Kusupati et al. 2022, MRL):
+    shortlist ``k * oversample`` candidates by cosine over only the FIRST
+    ``dims`` dimensions, then rerank the shortlist with the full vector.
+    Returns (id, cosine, cosine_trunc) — full-dim score first, the
+    truncated first-stage score kept for diagnostics.
+
+    MRL-trained embeddings front-load information, so the truncated
+    first stage loses little recall while cutting the per-row flops by
+    dims/D; at 100 TB the shortlist pass is the whole corpus scan
+    (TakeOrderedAndProject, no global sort) and the rerank touches only
+    k * oversample rows via a semi-join back to the corpus — the same
+    shortlist-join shape as the IVF+PQ path. With dimension-sliced
+    storage (a separate column per prefix width) the first stage prunes
+    IO too; over a single array column it prunes compute only.
+
+    Ties pinned (score DESC, id ASC) at BOTH stages so the shortlist
+    boundary is deterministic across engines; scores are rounded to 6
+    BEFORE ranking for the same reason (cross-engine float discipline).
+    """
+    import math
+
+    if not 1 <= dims <= len(qvec):
+        raise ValueError(f"dims must be in [1, {len(qvec)}], got {dims}")
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    emb = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    tq = qvec[:dims]
+    tnorm = math.sqrt(sum(v * v for v in tq))
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    tcos = F.round(
+        F.try_divide(
+            F.expr(_dot_sql(f"slice({emb}, 1, {dims})", _qvec_lit(tq))),
+            F.expr(_norm_sql(f"slice({emb}, 1, {dims})")) * F.lit(tnorm),
+        ),
+        6,
+    )
+    shortlist = (
+        df.select(F.col(id_col), tcos.alias("cosine_trunc"))
+        .orderBy(F.desc("cosine_trunc"), F.asc(id_col))
+        .limit(k * oversample)
+    )
+    full = F.round(
+        F.try_divide(
+            F.expr(_dot_sql(emb, _qvec_lit(qvec))),
+            F.expr(_norm_sql(emb)) * F.lit(qnorm),
+        ),
+        6,
+    )
+    return (
+        df.join(shortlist, id_col)
+        .select(F.col(id_col), full.alias("cosine"), "cosine_trunc")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def mrl_topk_oracle_sql(
+    qvec: list[float],
+    *,
+    dims: int,
+    k: int = 10,
+    oversample: int = 4,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of ``mrl_topk`` (same two-stage ranking, same rounds)."""
+    import math
+
+    tq = qvec[:dims]
+    tlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in tq) + "]"
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in qvec) + "]"
+    tnorm = math.sqrt(sum(v * v for v in tq))
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    sl = f"({vec_col}::DOUBLE[])[1:{dims}]"
+    tdot = (
+        f"list_sum(list_transform(list_zip({sl}, {tlit}), p -> p[1] * p[2]))"
+    )
+    tnrm = f"sqrt(list_sum(list_transform({sl}, x -> x * x)))"
+    fdot = (
+        f"list_sum(list_transform(list_zip({vec_col}::DOUBLE[], {qlit}), "
+        "p -> p[1] * p[2]))"
+    )
+    fnrm = (
+        f"sqrt(list_sum(list_transform({vec_col}::DOUBLE[], x -> x * x)))"
+    )
+    return f"""
+WITH shortlist AS (
+  SELECT {id_col},
+         ROUND({tdot} / ({tnrm} * {tnorm!r}), 6) AS cosine_trunc
+  FROM {table}
+  ORDER BY cosine_trunc DESC, {id_col} ASC LIMIT {k * oversample}
+)
+SELECT e.{id_col},
+       ROUND({fdot} / ({fnrm} * {qnorm!r}), 6) AS cosine,
+       s.cosine_trunc
+FROM shortlist s JOIN {table} e USING ({id_col})
+ORDER BY cosine DESC, e.{id_col} ASC LIMIT {k}
 """

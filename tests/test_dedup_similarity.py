@@ -647,3 +647,55 @@ def test_fuzzy_decontaminate_finds_planted_overlap(spark):
     ).collect()
     assert [(r["doc_id"], r["bench_id"]) for r in got] == [(1, 100)]
     assert got[0]["jaccard"] >= 0.8
+
+
+def test_cosine_zero_vector_yields_null_not_abort(spark):
+    """A zero embedding has norm 0: cosine undefined -> NULL row score
+    (raw division aborts the whole job under ANSI mode)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_score,
+        cosine_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    scores = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", cosine_score("embedding", [1.0, 0.0]).alias("c")
+        ).collect()
+    }
+    assert scores[1] == 1.0 and scores[2] is None
+    # NULL scores sort last under DESC: the zero vector never outranks
+    got = [r["vec_id"] for r in cosine_topk(df, "embedding", [1.0, 0.0], k=2).collect()]
+    assert got == [1, 3]
+
+
+def test_mrl_topk_recall_and_validation(spark):
+    """The truncated first stage must surface the true top hit when the
+    prefix carries the signal, and the rerank must order by FULL-width
+    cosine (a decoy that looks good truncated but bad full-width ranks
+    below a true match)."""
+    from harmonize_search_analyze_spark.operators.similarity import mrl_topk
+
+    q = [1.0, 0.0, 0.0, 1.0]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 1.0]),   # exact match
+        (2, [1.0, 0.0, 0.0, -1.0]),  # perfect on the 2-dim prefix, bad full
+        (3, [0.9, 0.1, 0.1, 0.9]),   # close full-width
+        (4, [-1.0, 0.0, 0.0, -1.0]), # anti-match
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mrl_topk(df, "embedding", q, dims=2, k=3, oversample=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 3, 2]
+    assert got[0]["cosine"] == 1.0
+    # shortlist ran on the prefix: every returned row carries its stage-1
+    # score, and the decoy's prefix score beats its full score
+    decoy = next(r for r in got if r["vec_id"] == 2)
+    assert decoy["cosine_trunc"] == 1.0 and decoy["cosine"] == 0.0
+    with pytest.raises(ValueError):
+        mrl_topk(df, "embedding", q, dims=0, k=3)
+    with pytest.raises(ValueError):
+        mrl_topk(df, "embedding", q, dims=8, k=3)
