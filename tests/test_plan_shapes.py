@@ -266,3 +266,84 @@ def test_substring_dedup_wide_stages_bounded(docs):
     # the token rows — never tokens x windows
     assert p.count("Generate") <= 3, p
     assert p.count("Exchange hashpartitioning") <= 5, p
+
+
+def test_quality_mix_is_map_only(docs):
+    """Quality-banded sampling is a scan+filter: the score and the hash
+    threshold are pure column expressions — zero exchanges, zero Python."""
+    from harmonize_search_analyze_spark.operators.sampling import quality_mix
+
+    out = quality_mix(docs, "text", "doc_id", cuts=[0.5], rates=[1.0, 0.2])
+    out.count()
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+
+
+def test_token_budget_sample_single_source_exchange(docs):
+    """Budget enforcement is ONE window shuffle keyed by source — the
+    prefix sum and the per-source budget resolve in the same stage."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    out = token_budget_sample(
+        docs, "source", {"src0": 50}, "doc_id", "text", default_budget=40
+    )
+    out.count()
+    p = _plan(out)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Python" not in p, p
+
+
+def test_incremental_dedup_anti_join_no_python(docs, spark):
+    """Digest anti-join + one batch-side agg; corpus side reads only the
+    digest projection (column pruning must reach the scan)."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    batch = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = incremental_dedup(batch, corpus, "doc_id", "text")
+    out.count()
+    p = _plan(out)
+    assert "LeftAnti" in p, p
+    assert "Python" not in p, p
+
+
+def test_fuzzy_decontaminate_broadcasts_bench_side(docs, spark):
+    """The benchmark side must broadcast at BOTH joins (candidate
+    generation and shingle verification) — the corpus side never
+    self-joins or broadcasts."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        fuzzy_decontaminate,
+    )
+
+    bench = (
+        docs.where(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    out = fuzzy_decontaminate(corpus, bench, threshold=0.5)
+    out.count()
+    p = _plan(out)
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_mrl_topk_two_takeordered_stages(spark):
+    """Both ranking stages are TakeOrderedAndProject (no global sort);
+    the rerank joins the bounded shortlist back, it never rescans
+    all-pairs."""
+    from harmonize_search_analyze_spark.operators.similarity import mrl_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    out = mrl_topk(emb, "embedding", [1.0, 0.2, 0.3, 0.4], dims=2, k=5)
+    out.collect()
+    p = _plan(out)
+    assert p.count("TakeOrderedAndProject") == 2, p
+    assert "Sort " not in p or "SortMergeJoin" in p, p
