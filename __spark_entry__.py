@@ -3849,6 +3849,68 @@ FROM b
 """
 
 
+def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: ingest docs < 250 as the corpus state,
+    then dedup the 250+ batch against it (and within itself) using only
+    stored signatures — estimator-verified (7/8 agreeing components),
+    never re-reading earlier text."""
+    from harmonize_search_analyze_spark.operators.dedup import lsh_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") < 250)
+    b2 = docs.where(F.col("doc_id") >= 250)
+    _, state = lsh_incremental(b1, None, "doc_id", "text", n=1)
+    dups, _ = lsh_incremental(
+        b2, state, "doc_id", "text", n=1, est_threshold=0.875
+    )
+    return dups.orderBy("id_new", "id_prior")
+
+
+def _sql_lsh_incremental() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+        minhash_params,
+        minhash_term_sql,
+    )
+    from harmonize_search_analyze_spark.operators.dedup import shingles_sql
+
+    sh = shingles_sql("text", "duckdb", 1)
+    mh = [
+        f"list_min(list_transform({sh}, s -> "
+        f"{minhash_term_sql(hash64_sql('s', 'duckdb'), a, b)})) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(8))
+    ]
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        f"CAST(mh_{2 * bi} AS VARCHAR) || '_' || CAST(mh_{2 * bi + 1} AS VARCHAR) "
+        f"AS band_key FROM sigs"
+        for bi in range(4)
+    )
+    est = " + ".join(
+        f"(CASE WHEN l.mh_{i} = r.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, {', '.join(mh)} FROM documents
+), bands AS ({bands}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_prior
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE l.doc_id >= 250
+    AND (r.doc_id < 250 OR (r.doc_id >= 250 AND l.doc_id < r.doc_id))
+)
+SELECT id_new, id_prior,
+       ROUND(({est}) / 8.0, 6) AS est_jaccard
+FROM cands
+JOIN sigs l ON l.doc_id = id_new
+JOIN sigs r ON r.doc_id = id_prior
+WHERE ({est}) / 8.0 >= 0.875
+ORDER BY id_new, id_prior
+"""
+
+
 def q_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncate-then-rerank ANN: shortlist 40 by cosine over
     the first 16 of 64 dims, rerank the shortlist full-width, top 10."""
@@ -4016,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_bucket": q_percentiles_bucket,
         "bucket_correlation": q_bucket_correlation,
         "mrl_topk": q_mrl_topk,
+        "lsh_incremental": q_lsh_incremental,
     }
 
 
@@ -4150,4 +4213,5 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_bucket": SQL_PERCENTILES_BUCKET,
         "bucket_correlation": SQL_BUCKET_CORRELATION,
         "mrl_topk": _sql_mrl_topk(),
+        "lsh_incremental": _sql_lsh_incremental(),
     }

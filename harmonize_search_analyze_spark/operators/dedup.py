@@ -963,3 +963,128 @@ def incremental_dedup(
         F.min(id_col).alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def lsh_incremental(
+    batch: DataFrame,
+    state: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    *,
+    est_threshold: float = 0.875,
+    k: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash near-dup: dedup a NEW batch against the
+    accumulated signature state (and within the batch itself) without
+    ever re-scanning previously ingested text — the nightly-crawl shape
+    of RefinedWeb/Dolma-style corpus builds.
+
+    ``state`` is the signature table from previous calls ((id,
+    mh_0..mh_{k-1}) — k BIGINTs per document, metadata-sized next to the
+    corpus; None for the first batch). Returns ``(dups, new_state)``:
+    ``dups`` rows are (new-batch id, earlier id, est_jaccard) where
+    est_jaccard is the standard MinHash estimator (fraction of agreeing
+    signature components) — at corpus scale the original shingle sets are
+    gone, so the estimator IS the verification, the same contract as
+    RefinedWeb's estimator-only dedup; tune precision with ``k``.
+    ``new_state`` is state ∪ batch signatures, the input to the next call.
+
+    Within-batch pairs are ordered id-asc (id1 < id2); cross pairs pair
+    the batch id with the state id. Candidates come from a single-band
+    exact-match join (the LSH bucketing), est-filtered after — one
+    band-keyed shuffle against the batch side only; the state side is
+    scanned once per call, never self-joined.
+
+    Equivalence contract (tested): feeding batches b1, b2, ... through
+    successive calls yields exactly the dup pairs a single call over the
+    concatenated corpus yields, modulo pair orientation."""
+    if not 0.0 <= est_threshold <= 1.0:
+        raise ValueError("est_threshold must be in [0, 1]")
+    rows_per_band = 2
+    sigs_b = minhash_signatures(
+        batch, id_col, text_col, k=k, n=n, seed=seed
+    ).persist()
+    mh_cols = [f"mh_{i}" for i in range(k)]
+    # referenced by the self-join's two branches AND the cross join —
+    # persist so the band explode runs once (no CSE across branches)
+    bands_b = _lsh_bands(sigs_b, id_col, k, rows_per_band).persist()
+    # within-batch candidates: band self-join, id1 < id2
+    l, r = bands_b.alias("lb"), bands_b.alias("rb")
+    within = (
+        l.join(
+            r,
+            (F.col("lb.band_idx") == F.col("rb.band_idx"))
+            & (F.col("lb.band_key") == F.col("rb.band_key"))
+            & (F.col(f"lb.{id_col}") < F.col(f"rb.{id_col}")),
+        )
+        .select(
+            F.col(f"lb.{id_col}").alias("id_new"),
+            F.col(f"rb.{id_col}").alias("id_prior"),
+        )
+        .distinct()
+    )
+    pairs = within
+    if state is not None:
+        bands_s = _lsh_bands(state, id_col, k, rows_per_band)
+        cross = (
+            bands_b.alias("lb")
+            .join(
+                bands_s.alias("rb"),
+                (F.col("lb.band_idx") == F.col("rb.band_idx"))
+                & (F.col("lb.band_key") == F.col("rb.band_key")),
+            )
+            .select(
+                F.col(f"lb.{id_col}").alias("id_new"),
+                F.col(f"rb.{id_col}").alias("id_prior"),
+            )
+            .distinct()
+        )
+        pairs = within.unionByName(cross)
+    sl = sigs_b.select(F.col(id_col).alias("id_new"),
+                       *[F.col(c).alias(f"l_{c}") for c in mh_cols])
+    prior_sigs = (
+        sigs_b if state is None else state.unionByName(sigs_b)
+    )
+    sr = prior_sigs.select(F.col(id_col).alias("id_prior"),
+                           *[F.col(c).alias(f"r_{c}") for c in mh_cols])
+    est_expr = (
+        sum(
+            (F.col(f"l_mh_{i}") == F.col(f"r_mh_{i}")).cast("int")
+            for i in range(k)
+        )
+        / F.lit(float(k))
+    )
+    dups = (
+        pairs.join(sl, "id_new")
+        .join(sr, "id_prior")
+        .withColumn("est_jaccard", F.round(est_expr, 6))
+        .where(F.col("est_jaccard") >= est_threshold)
+        .select("id_new", "id_prior", "est_jaccard")
+    )
+    new_state = prior_sigs
+    return tether(tether(dups, sigs_b), bands_b), new_state
+
+
+def _lsh_bands(
+    sigs: DataFrame, id_col: str, k: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_idx, band_key) explode of a signature frame (the
+    lsh_candidate_pairs banding, shared)."""
+    n_bands = k // rows_per_band
+    bands = []
+    for bi in range(n_bands):
+        cols = [
+            F.col(f"mh_{bi * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("_", *cols).alias("band_key"),
+            )
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")

@@ -699,3 +699,46 @@ def test_mrl_topk_recall_and_validation(spark):
         mrl_topk(df, "embedding", q, dims=0, k=3)
     with pytest.raises(ValueError):
         mrl_topk(df, "embedding", q, dims=8, k=3)
+
+
+def test_lsh_incremental_equivalence_and_statelessness(spark):
+    """Feeding batches through successive calls must find exactly the
+    pairs a single call over the whole corpus finds (modulo pair
+    orientation), and the state must be signatures only (k BIGINTs per
+    doc, no text)."""
+    from harmonize_search_analyze_spark.operators.dedup import lsh_incremental
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),        # dup of 1
+        (3, "epsilon zeta eta theta"),
+        (10, "alpha beta gamma delta"),        # dup of 1/2, later batch
+        (11, "iota kappa lambda mu"),
+        (12, "iota kappa lambda mu"),          # within-batch dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    b1 = df.where(F.col("doc_id") < 10)
+    b2 = df.where(F.col("doc_id") >= 10)
+
+    d1, state = lsh_incremental(b1, None, "doc_id", "text", n=1)
+    got1 = {(r["id_new"], r["id_prior"]) for r in d1.collect()}
+    assert got1 == {(1, 2)}
+    assert set(state.columns) == {"doc_id"} | {f"mh_{i}" for i in range(8)}
+
+    d2, state2 = lsh_incremental(b2, state, "doc_id", "text", n=1)
+    got2 = {(r["id_new"], r["id_prior"]) for r in d2.collect()}
+    assert got2 == {(10, 1), (10, 2), (11, 12)}
+    assert state2.count() == 6
+
+    # one-shot over everything finds the same pair set (as frozensets)
+    all_pairs, _ = lsh_incremental(df, None, "doc_id", "text", n=1)
+    one_shot = {
+        frozenset((r["id_new"], r["id_prior"])) for r in all_pairs.collect()
+    }
+    incremental = {frozenset(p) for p in got1 | got2}
+    assert one_shot == incremental
+
+    # estimator values ride along and are exact for identical docs
+    assert all(r["est_jaccard"] == 1.0 for r in d2.collect())
+    with pytest.raises(ValueError):
+        lsh_incremental(df, None, "doc_id", "text", est_threshold=1.5)
