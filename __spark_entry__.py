@@ -3850,13 +3850,15 @@ FROM b
 
 
 def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash dedup: ingest docs < 250 as the corpus state,
-    then dedup the 250+ batch against it (and within itself) using only
-    stored signatures — estimator-verified (7/8 agreeing components),
-    never re-reading earlier text."""
+    """Incremental MinHash dedup: ingest sampled docs < 250 as the corpus
+    state, then dedup the later batch against it (and within itself)
+    using only stored signatures — estimator-verified (7/8 agreeing
+    components), never re-reading earlier text. Same 1-in-10 sample as
+    lsh_near_dup: the synthetic corpus's quadratic true-pair density
+    makes full-corpus pair emission the whole query otherwise."""
     from harmonize_search_analyze_spark.operators.dedup import lsh_incremental
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     b1 = docs.where(F.col("doc_id") < 250)
     b2 = docs.where(F.col("doc_id") >= 250)
     _, state = lsh_incremental(b1, None, "doc_id", "text", n=1)
@@ -3892,7 +3894,7 @@ def _sql_lsh_incremental() -> str:
     )
     return f"""
 WITH sigs AS (
-  SELECT doc_id, {', '.join(mh)} FROM documents
+  SELECT doc_id, {', '.join(mh)} FROM documents WHERE doc_id % 10 = 0
 ), bands AS ({bands}),
 cands AS (
   SELECT DISTINCT l.doc_id AS id_new, r.doc_id AS id_prior
@@ -3908,6 +3910,63 @@ JOIN sigs l ON l.doc_id = id_new
 JOIN sigs r ON r.doc_id = id_prior
 WHERE ({est}) / 8.0 >= 0.875
 ORDER BY id_new, id_prior
+"""
+
+
+_GEO_SEARCH_AST = {
+    "bool": {
+        "filter": [
+            {
+                "geo_bounding_box": {
+                    "top_left": {"lat": 60.0, "lon": -120.0},
+                    "bottom_right": {"lat": -60.0, "lon": 120.0},
+                }
+            },
+            {
+                "geo_distance": {
+                    "distance": "7000km",
+                    "origin": {"lat": 0.0, "lon": 0.0},
+                }
+            },
+        ]
+    }
+}
+
+
+def q_geo_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo filter queries (the Kibana map's pan/zoom + radius filters):
+    geo_bounding_box AND geo_distance compiled to one pushed-down
+    predicate, then the geohash_grid panel over the survivors."""
+    df = _t(spark, sf_dir, "lineitem").selectExpr(
+        f"{_LAT_EXPR} AS lat", f"{_LON_EXPR} AS lon"
+    )
+    gh = geohash_encode_sql("lat", "lon", precision=2)
+    return (
+        df.where(compile_query(_GEO_SEARCH_AST))
+        .select(F.expr(gh).alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("geohash"))
+        .limit(20)
+    )
+
+
+def _sql_geo_search() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        haversine_sql,
+    )
+
+    gh = geohash_encode_sql("lat", "lon", precision=2)
+    d = haversine_sql("lat", "lon", (0.0, 0.0))
+    return f"""
+WITH pts AS (
+  SELECT {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon FROM lineitem
+)
+SELECT {gh} AS geohash, COUNT(*) AS doc_count FROM pts
+WHERE lat <= 60.0 AND lat >= -60.0
+  AND lon >= -120.0 AND lon <= 120.0
+  AND {d} <= 7000000.0
+GROUP BY 1 ORDER BY doc_count DESC, geohash ASC LIMIT 20
 """
 
 
@@ -4079,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_correlation": q_bucket_correlation,
         "mrl_topk": q_mrl_topk,
         "lsh_incremental": q_lsh_incremental,
+        "geo_search": q_geo_search,
     }
 
 
@@ -4214,4 +4274,5 @@ def oracle_sql() -> dict[str, str]:
         "bucket_correlation": SQL_BUCKET_CORRELATION,
         "mrl_topk": _sql_mrl_topk(),
         "lsh_incremental": _sql_lsh_incremental(),
+        "geo_search": _sql_geo_search(),
     }

@@ -69,7 +69,7 @@ def main() -> None:
             "simhash_banded", "lsh_near_dup", "minhash_signatures",
             "embedding_lsh", "semantic_dedup", "dedup_clusters",
             "pq_search", "pq_search_ivf", "line_dedup", "substring_dedup",
-            "fuzzy_decontaminate", "profile_dict",
+            "fuzzy_decontaminate", "profile_dict", "lsh_incremental",
         ]
         qmap = entrymod.queries()
         for name in compile_heavy:

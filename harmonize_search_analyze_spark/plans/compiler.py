@@ -277,6 +277,59 @@ def _boosting(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Colum
     return compile_query(pos, now=now)
 
 
+def _geo_fields(body: dict[str, Any]) -> tuple[Column, Column]:
+    """Engine extension of ES's geo_point contract: frames carry separate
+    lat/lon DOUBLE columns, named by the ``fields`` spec (defaults
+    lat/lon)."""
+    f = body.get("fields") or {}
+    return F.col(f.get("lat", "lat")), F.col(f.get("lon", "lon"))
+
+
+def _geo_bounding_box(body: dict[str, Any]) -> Column:
+    """ES ``geo_bounding_box`` query (the Kibana map's pan/zoom filter):
+    rows inside the top_left/bottom_right rectangle. A box whose left
+    edge lies east of its right edge crosses the antimeridian and wraps
+    (OR of the two longitude half-ranges), per ES."""
+    lat, lon = _geo_fields(body)
+    tl, br = body["top_left"], body["bottom_right"]
+    pred = (lat <= F.lit(float(tl["lat"]))) & (lat >= F.lit(float(br["lat"])))
+    west, east = float(tl["lon"]), float(br["lon"])
+    if west <= east:
+        return pred & (lon >= F.lit(west)) & (lon <= F.lit(east))
+    return pred & ((lon >= F.lit(west)) | (lon <= F.lit(east)))
+
+
+def _parse_distance_m(spec: Any) -> float:
+    """ES distance strings: bare numbers are meters; km/mi/m suffixes."""
+    if isinstance(spec, (int, float)):
+        return float(spec)
+    s = str(spec).strip().lower()
+    for suffix, mult in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * mult
+    return float(s)
+
+
+def _geo_distance(body: dict[str, Any]) -> Column:
+    """ES ``geo_distance`` query: rows within ``distance`` of ``origin``
+    — the engine's portable haversine (the geo_distance agg's formula),
+    one codegen'd expression, sargable on the lat/lon columns' ranges."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        haversine_sql,
+    )
+
+    f = body.get("fields") or {}
+    origin = body["origin"]
+    d = F.expr(
+        haversine_sql(
+            f.get("lat", "lat"),
+            f.get("lon", "lon"),
+            (float(origin["lat"]), float(origin["lon"])),
+        )
+    )
+    return d <= F.lit(_parse_distance_m(body["distance"]))
+
+
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
@@ -316,6 +369,8 @@ _HANDLERS = {
     "ids": _ids,
     "dis_max": _dis_max,
     "boosting": _boosting,
+    "geo_bounding_box": _geo_bounding_box,
+    "geo_distance": _geo_distance,
 }
 
 

@@ -291,3 +291,34 @@ def test_boosting_filter_context(frame):
     assert ids(frame, ast) == [2, 3, 4]
     with pytest.raises(QueryCompileError):
         compile_query({"boosting": {"negative": {"term": {"flag": "R"}}}})
+
+
+def test_geo_bounding_box_and_distance(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 10.0, 10.0),     # inside box, ~1565km from origin
+            (2, 70.0, 10.0),     # above the box
+            (3, 10.0, 150.0),    # east of the box
+            (4, -50.0, -100.0),  # inside box, far from origin
+        ],
+        ["id", "lat", "lon"],
+    )
+    box = {"geo_bounding_box": {
+        "top_left": {"lat": 60.0, "lon": -120.0},
+        "bottom_right": {"lat": -60.0, "lon": 120.0},
+    }}
+    assert ids(pts, box) == [1, 4]
+    near = {"geo_distance": {"distance": "2000km",
+                             "origin": {"lat": 0.0, "lon": 0.0}}}
+    assert ids(pts, near) == [1]
+    # antimeridian-crossing box (west edge east of east edge) wraps
+    wrap = {"geo_bounding_box": {
+        "top_left": {"lat": 60.0, "lon": 140.0},
+        "bottom_right": {"lat": -60.0, "lon": -140.0},
+    }}
+    assert ids(pts, wrap) == [3]
+    # custom column names via the fields spec
+    pts2 = pts.withColumnRenamed("lat", "y").withColumnRenamed("lon", "x")
+    custom = {"geo_distance": {"distance": 2000000, "fields": {"lat": "y", "lon": "x"},
+                               "origin": {"lat": 0.0, "lon": 0.0}}}
+    assert sorted(r["id"] for r in pts2.where(compile_query(custom)).collect()) == [1]
