@@ -181,23 +181,12 @@ ORDER BY {doc_id}
 def _band_frame(
     sigs: DataFrame, id_col: str, *, k: int, rows_per_band: int
 ) -> DataFrame:
-    """Explode a minhash signature frame into (id, band_idx, band_key)."""
-    n_bands = k // rows_per_band
-    bands = []
-    for bi in range(n_bands):
-        cols = [
-            F.col(f"mh_{bi * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        bands.append(
-            F.struct(
-                F.lit(bi).alias("band_idx"),
-                F.concat_ws("_", *cols).alias("band_key"),
-            )
-        )
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_key")
+    """(id, band_idx, band_key) explode — the ONE banding used by every
+    LSH path (delegates to dedup._lsh_bands so a banding change cannot
+    silently diverge between the self-join and cross-corpus paths)."""
+    from harmonize_search_analyze_spark.operators.dedup import _lsh_bands
+
+    return _lsh_bands(sigs, id_col, k, rows_per_band)
 
 
 def fuzzy_decontaminate(
@@ -257,7 +246,12 @@ def fuzzy_decontaminate(
         .select(id_col, bench_id_col)
         .distinct()
     )
-    sh_c = corpus.select(
+    # shingle only the documents that actually have a candidate: the
+    # semi-join bounds the second tokenization pass to the candidate
+    # fraction instead of re-tokenizing the full 100 TB corpus
+    sh_c = corpus.join(
+        cands.select(id_col).distinct(), id_col, "left_semi"
+    ).select(
         F.col(id_col),
         F.expr(shingles_sql(text_col, "spark", n)).alias("c_sh"),
     )

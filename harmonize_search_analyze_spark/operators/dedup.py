@@ -331,32 +331,33 @@ def simhash_select_sql(
             f"SELECT {id_col} AS _id, {h} AS th "
             f"FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table}) t"
         )
-    # SWAR lane packing: bit b of the hash rides lane (b div 16) of packed
-    # sum (b mod 16) — 16 SUMs of 4 x 16-bit lanes plus one COUNT replace
-    # the naive 64 sign-SUMs.  The per-bit majority needs only the ones
-    # count (sign-sum s_b = 2*ones_b - n, so s_b > 0 iff 2*ones_b > n).
-    # Why: the 64-buffer hash-aggregate generated ~4x the code (measured
-    # ~5s one-time whole-stage-codegen compile at 64 bits) and did 64
-    # CASE+adds per token where 16 shift-mask-adds suffice.  Lane safety:
-    # lane sums reach at most n (doc token count), so no lane carries and
-    # no BIGINT overflow in the top (<<48) lane while n <= 32767 — an
-    # in-plan guard raises past it (chunk/truncate monster docs upstream;
-    # SimHash over a 32k-token doc is saturated anyway).  The arithmetic
-    # shift's sign-fill never reaches a masked lane bit: for shift i <= 15
-    # the fill occupies positions > 63-i >= 48, and the lane mask's top
-    # bit 48 maps to original bit i+48 <= 63.
-    n_sums = min(bits, 16)
+    # SWAR lane packing: bit b of the hash rides lane (b div n_sums) of
+    # packed sum (b mod n_sums) — 32 SUMs of 2 x 32-bit lanes plus one
+    # COUNT replace the naive 64 sign-SUMs.  The per-bit majority needs
+    # only the ones count (sign-sum s_b = 2*ones_b - n, so s_b > 0 iff
+    # 2*ones_b > n).  Why: the 64-buffer hash-aggregate generated ~2x
+    # the code (measured seconds of one-time whole-stage-codegen compile
+    # at 64 bits) and did 64 CASE+adds per token where 32
+    # shift-mask-adds suffice.  Two lanes, not four: a 32-bit lane's sum
+    # reaches n << 32, overflowing BIGINT only past n = 2^30 tokens per
+    # document — no data-dependent bound a real corpus can hit (the
+    # denser 4 x 16-bit packing caps documents at 32767 tokens, which
+    # long-document corpora exceed routinely; rejected for that).  The
+    # arithmetic shift's sign-fill never reaches a masked lane bit: for
+    # shift i <= 31 the fill occupies positions > 63-i >= 32, and the
+    # lane mask's top bit 32 maps to original bit i+32 <= 63.
+    n_sums = min(bits, 32)
     sums = []
     for i in range(n_sums):
-        mask = sum(1 << (16 * k) for k in range(4) if i + 16 * k < bits)
+        mask = sum(1 << (32 * k) for k in range(2) if i + 32 * k < bits)
         sums.append(
             f"CAST(SUM((th >> {i}) & {mask}) AS BIGINT) AS p{i}"
         )
     agg = ", ".join(sums) + ", COUNT(*) AS n"
     terms = []
     for b in range(bits):
-        i, k = b % 16, b // 16
-        ones = f"((p{i} >> {16 * k}) & 65535)"
+        i, k = b % 32, b // 32
+        ones = f"((p{i} >> {32 * k}) & 4294967295)"
         if b == 63:
             # 1 << 63 overflows signed BIGINT; MIN_LONG is its
             # two's-complement weight (kept last in the sum)
@@ -365,14 +366,8 @@ def simhash_select_sql(
             w = f"CAST({1 << b} AS BIGINT)"
         terms.append(f"(CASE WHEN 2 * {ones} > n THEN {w} ELSE 0 END)")
     recombine = " + ".join(terms)
-    err_fn = "raise_error" if dialect == "spark" else "error"
-    guarded = (
-        f"CASE WHEN n > 32767 THEN {err_fn}('simhash: document exceeds "
-        f"32767 tokens (SWAR lane bound); chunk or truncate upstream') "
-        f"ELSE ({recombine}) END"
-    )
     return (
-        f"SELECT _id AS {id_col}, ({guarded}) AS simhash "
+        f"SELECT _id AS {id_col}, ({recombine}) AS simhash "
         f"FROM (SELECT _id, {agg} FROM ({exploded}) e GROUP BY _id) g"
     )
 
@@ -999,7 +994,12 @@ def lsh_incremental(
 
     Equivalence contract (tested): feeding batches b1, b2, ... through
     successive calls yields exactly the dup pairs a single call over the
-    concatenated corpus yields, modulo pair orientation."""
+    concatenated corpus yields, modulo pair orientation.
+
+    Ids are expected unique across the corpus lifetime; re-ingesting an
+    id is tolerated without corrupting state — the stored signature
+    stays authoritative (the batch row's signature is dropped from
+    ``new_state``), and no self-pair is emitted for it."""
     if not 0.0 <= est_threshold <= 1.0:
         raise ValueError("est_threshold must be in [0, 1]")
     rows_per_band = 2
@@ -1033,7 +1033,9 @@ def lsh_incremental(
             .join(
                 bands_s.alias("rb"),
                 (F.col("lb.band_idx") == F.col("rb.band_idx"))
-                & (F.col("lb.band_key") == F.col("rb.band_key")),
+                & (F.col("lb.band_key") == F.col("rb.band_key"))
+                # a re-ingested id must not pair with its own stored row
+                & (F.col(f"lb.{id_col}") != F.col(f"rb.{id_col}")),
             )
             .select(
                 F.col(f"lb.{id_col}").alias("id_new"),
@@ -1044,9 +1046,17 @@ def lsh_incremental(
         pairs = within.unionByName(cross)
     sl = sigs_b.select(F.col(id_col).alias("id_new"),
                        *[F.col(c).alias(f"l_{c}") for c in mh_cols])
-    prior_sigs = (
-        sigs_b if state is None else state.unionByName(sigs_b)
-    )
+    if state is None:
+        prior_sigs = sigs_b
+    else:
+        # state-authoritative union: a batch row whose id already exists
+        # in state is dropped, so ids stay unique and the est-join below
+        # can never fan out (duplicate state rows would compound on
+        # every future call)
+        fresh = sigs_b.join(
+            state.select(id_col), id_col, "left_anti"
+        )
+        prior_sigs = state.unionByName(fresh)
     sr = prior_sigs.select(F.col(id_col).alias("id_prior"),
                            *[F.col(c).alias(f"r_{c}") for c in mh_cols])
     est_expr = (

@@ -440,7 +440,16 @@ def quality_mix_sql(
     rates: list[float],
     seed: int = 42,
 ) -> str:
-    """Dual-dialect SQL twin of ``quality_mix`` (the DuckDB oracle)."""
+    """Dual-dialect SQL twin of ``quality_mix`` (the DuckDB oracle) —
+    same input validation as the DataFrame twin (a silently-truncating
+    zip would otherwise generate a keep-everything filter)."""
+    if len(rates) != len(cuts) + 1:
+        raise ValueError("need len(cuts) + 1 rates")
+    if sorted(cuts, reverse=True) != list(cuts):
+        raise ValueError("cuts must be descending")
+    for r in rates:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rates must be in [0, 1], got {r}")
     from harmonize_search_analyze_spark.operators.text import quality_score_sql
 
     score = quality_score_sql(text_col, dialect)
@@ -531,7 +540,13 @@ def token_budget_sample_sql(
     seed: int = 42,
     default_budget: int | None = None,
 ) -> str:
-    """Dual-dialect SQL twin of ``token_budget_sample``."""
+    """Dual-dialect SQL twin of ``token_budget_sample`` (same validation
+    as the DataFrame twin)."""
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    if default_budget is not None and default_budget < 0:
+        raise ValueError("default_budget must be >= 0 or None")
     from harmonize_search_analyze_spark.operators.text import token_count_sql
 
     toks = token_count_sql(text_col, dialect)

@@ -742,3 +742,53 @@ def test_lsh_incremental_equivalence_and_statelessness(spark):
     assert all(r["est_jaccard"] == 1.0 for r in d2.collect())
     with pytest.raises(ValueError):
         lsh_incremental(df, None, "doc_id", "text", est_threshold=1.5)
+
+
+def test_simhash_long_document_no_lane_bound(spark):
+    """A 40k-token document must sketch fine (the 4x16-bit SWAR packing
+    aborted at 32767 tokens; the shipped 2x32-bit lanes have no bound a
+    real document can reach) and agree with the DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        simhash,
+        simhash_select_sql,
+    )
+
+    long_text = " ".join(f"w{i % 997}" for i in range(40000))
+    df = spark.createDataFrame([(1, long_text), (2, "short doc")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in
+           simhash(df, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        [(1, long_text), (2, "short doc")], columns=["doc_id", "text"]))
+    want = dict(con.sql(
+        simhash_select_sql("t", "doc_id", "text", "duckdb")).fetchall())
+    assert got == want
+
+
+def test_lsh_incremental_reingested_id_does_not_corrupt_state(spark):
+    from harmonize_search_analyze_spark.operators.dedup import lsh_incremental
+
+    b1 = spark.createDataFrame(
+        [(5, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    _, state = lsh_incremental(b1, None, "doc_id", "text", n=1)
+    # batch 2 re-ingests id 5 (plus a genuine dup under a new id)
+    b2 = spark.createDataFrame(
+        [(5, "alpha beta gamma delta"), (6, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    dups, state2 = lsh_incremental(b2, state, "doc_id", "text", n=1)
+    got = sorted((r["id_new"], r["id_prior"]) for r in dups.collect())
+    # no self-pair for the re-ingested id; the new id still pairs with
+    # both the stored doc and the re-ingested batch row (same id -> one)
+    assert (5, 5) not in got
+    assert (6, 5) in got or (5, 6) in got
+    # state stays one row per id
+    assert state2.count() == 2
+    assert state2.select("doc_id").distinct().count() == 2
