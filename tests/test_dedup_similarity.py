@@ -792,3 +792,46 @@ def test_lsh_incremental_reingested_id_does_not_corrupt_state(spark):
     # state stays one row per id
     assert state2.count() == 2
     assert state2.select("doc_id").distinct().count() == 2
+
+
+def test_mrl_full_width_equals_brute_topk(spark):
+    """dims = full width makes the MRL cascade degenerate to exact brute
+    top-k: identical ids AND identical scores."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_topk,
+        mrl_topk,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 11) for j in range(4)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [0.5, 1.0, 0.25, 2.0]
+    brute = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(df, "embedding", q, k=8).collect()]
+    mrl = [(r["vec_id"], r["cosine"])
+           for r in mrl_topk(df, "embedding", q, dims=4, k=8,
+                             oversample=8).collect()]
+    assert mrl == brute
+
+
+def test_lsh_incremental_split_point_invariance(spark):
+    """The accumulated pair set is invariant to WHERE the batch boundary
+    falls (any split of the same corpus yields the same pairs)."""
+    from harmonize_search_analyze_spark.operators.dedup import lsh_incremental
+
+    texts = ["alpha beta gamma", "delta epsilon zeta", "alpha beta gamma",
+             "eta theta iota", "delta epsilon zeta", "alpha beta gamma"]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+    def run(splits):
+        state, pairs = None, set()
+        prev = 0
+        for s in splits + [len(texts)]:
+            b = df.where((F.col("doc_id") >= prev) & (F.col("doc_id") < s))
+            d, state = lsh_incremental(b, state, "doc_id", "text", n=1)
+            pairs |= {frozenset((r["id_new"], r["id_prior"]))
+                      for r in d.collect()}
+            prev = s
+        return pairs
+
+    assert run([2]) == run([1, 4]) == run([])

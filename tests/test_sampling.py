@@ -310,3 +310,46 @@ def test_token_budget_sample_boundary_and_default(spark):
     )
     with pytest.raises(ValueError):
         token_budget_sample(df, "source", {"a": -1}, "doc_id", "text")
+
+
+def test_token_budget_monotonicity(spark):
+    """Raising a budget only ADDS documents (admission order is a stable
+    hash-ordered prefix), and the kept set is partition-layout
+    independent."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "s", "tok " * (i % 7 + 1)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = {}
+    for budget in (20, 60, 200):
+        kept[budget] = {
+            r["doc_id"]
+            for r in token_budget_sample(
+                df, "source", {"s": budget}, "doc_id", "text"
+            ).collect()
+        }
+    assert kept[20] <= kept[60] <= kept[200]
+    assert len(kept[20]) < len(kept[200])
+    relaid = {
+        r["doc_id"]
+        for r in token_budget_sample(
+            df.repartition(13), "source", {"s": 60}, "doc_id", "text"
+        ).collect()
+    }
+    assert relaid == kept[60]
+
+
+def test_quality_mix_rate_monotonicity(spark):
+    """A higher tail rate keeps a superset (hash thresholds nest)."""
+    from harmonize_search_analyze_spark.operators.sampling import quality_mix
+
+    rows = [(i, f"sentence number {i} with several plain words here")
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    small = {r["doc_id"] for r in quality_mix(
+        df, "text", "doc_id", cuts=[0.99], rates=[1.0, 0.2]).collect()}
+    large = {r["doc_id"] for r in quality_mix(
+        df, "text", "doc_id", cuts=[0.99], rates=[1.0, 0.6]).collect()}
+    assert small <= large and len(small) < len(large) < 200
