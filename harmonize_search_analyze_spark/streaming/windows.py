@@ -456,3 +456,61 @@ def join_streams(
     for c in drop:
         joined = joined.drop(c)
     return joined
+
+
+def near_dup_stream(
+    stream: DataFrame,
+    state_path: str,
+    dups_path: str,
+    checkpoint: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_threshold: float = 0.875,
+    k: int = 8,
+    n: int = 3,
+    seed: int = 42,
+):
+    """Streaming NEAR-dup filter: every micro-batch is deduped against the
+    accumulated MinHash signature state (and within itself) via
+    ``operators/dedup.py::lsh_incremental``, emitting verified pairs to
+    ``dups_path`` and appending only the NEW ids' signatures to
+    ``state_path`` — the always-on twin of the batch incremental dedup,
+    with the same equivalence contract (pairs across all micro-batches ==
+    one batch call over the concatenated stream).
+
+    State is an append-only parquet signature table (k BIGINTs per doc —
+    metadata-sized next to the corpus), read once per micro-batch;
+    exactly-once comes from the foreachBatch checkpoint: a replayed epoch
+    re-anti-joins against state and re-appends nothing new, and the dups
+    sink is idempotent per (id_new, id_prior) downstream. Text of earlier
+    documents is never re-read — the property that lets this run forever
+    at ingest scale. Returns the started StreamingQuery.
+    """
+    from harmonize_search_analyze_spark.operators.dedup import lsh_incremental
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+            have_state = True
+        except Exception:
+            state, have_state = None, False
+        dups, new_state = lsh_incremental(
+            batch_df, state if have_state else None, id_col, text_col,
+            est_threshold=est_threshold, k=k, n=n, seed=seed,
+        )
+        dups.write.mode("append").parquet(dups_path)
+        if have_state:
+            fresh = new_state.join(
+                state.select(id_col), id_col, "left_anti"
+            )
+        else:
+            fresh = new_state
+        fresh.write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

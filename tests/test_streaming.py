@@ -593,3 +593,66 @@ def test_stateful_processor_end_to_end(spark, tmp_path):
         assert rows, "stateful processor emitted no closed sessions"
     finally:
         q.stop()
+
+
+def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
+    """Streaming near-dup filter: micro-batches against persistent
+    signature state must produce exactly the one-shot batch pair set,
+    and the state must hold one signature row per distinct id."""
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.dedup import lsh_incremental
+    from harmonize_search_analyze_spark.streaming.windows import (
+        near_dup_stream,
+    )
+
+    texts = [
+        (0, "alpha beta gamma delta"),
+        (1, "epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta"),      # dup of 0, same file
+        (3, "iota kappa lambda mu"),
+        (4, "alpha beta gamma delta"),      # dup of 0/2, later file
+        (5, "iota kappa lambda mu"),        # dup of 3, later file
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = tmp_path / "docs_stream"
+    df = spark.createDataFrame(texts, schema)
+    # two files -> two micro-batches (first 4 docs, then 2)
+    df.where(F.col("doc_id") < 4).coalesce(1).write.mode(
+        "overwrite").parquet(str(src))
+    df.where(F.col("doc_id") >= 4).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = near_dup_stream(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "dups"),
+        str(tmp_path / "ckpt"),
+        n=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        frozenset((r["id_new"], r["id_prior"]))
+        for r in spark.read.parquet(str(tmp_path / "dups")).collect()
+    }
+    one_shot, _ = lsh_incremental(df, None, "doc_id", "text", n=1)
+    want = {
+        frozenset((r["id_new"], r["id_prior"]))
+        for r in one_shot.collect()
+    }
+    assert got == want and len(want) >= 3
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.count() == 6
+    assert state.select("doc_id").distinct().count() == 6
