@@ -3989,6 +3989,198 @@ def _sql_mrl_topk() -> str:
     return mrl_topk_oracle_sql(_QUERY_VEC, dims=16, k=10, oversample=4)
 
 
+def q_simple_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES never-throws grammar trio — simple_query_string (phrase, prefix,
+    prohibit units), match_bool_prefix (terms anywhere + last-prefix), and
+    combined_fields (term-centric multi-field) — OR-combined in one bool,
+    counted per lang. All compile to ONE codegen'd boolean projection of
+    sargable regexes: no explode, no join, no shuffle before the agg."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = compile_query({
+        "bool": {
+            "should": [
+                {"simple_query_string": {
+                    "query": '"fast table" quer* -widget',
+                    "fields": ["text.split"],
+                    "default_operator": "or",
+                }},
+                {"match_bool_prefix": {"text.split": "stream batch wind"}},
+                {"combined_fields": {
+                    "query": "merge sort",
+                    "fields": ["text.split", "lang.split"],
+                    "operator": "and",
+                }},
+            ]
+        }
+    })
+    return (
+        docs.where(pred)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def _sql_simple_query() -> str:
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        phrase_prefix_regex,
+        phrase_regex,
+    )
+
+    def tok(word_or_phrase: str, prefix: bool = False) -> str:
+        pat = (phrase_prefix_regex if prefix else phrase_regex)(word_or_phrase)
+        return f"regexp_matches(LOWER(text), '{pat}')"
+
+    sqs = (
+        f"(({tok('fast table')} OR {tok('quer', prefix=True)})"
+        f" AND NOT {tok('widget')})"
+    )
+    mbp = (
+        f"({tok('stream')} OR {tok('batch')} OR {tok('wind', prefix=True)})"
+    )
+    cf_merge = (
+        f"({tok('merge')} OR regexp_matches(LOWER(lang), "
+        f"'{phrase_regex('merge')}'))"
+    )
+    cf_sort = (
+        f"({tok('sort')} OR regexp_matches(LOWER(lang), "
+        f"'{phrase_regex('sort')}'))"
+    )
+    return f"""
+SELECT lang, COUNT(*) AS doc_count FROM documents
+WHERE {sqs} OR {mbp} OR ({cf_merge} AND {cf_sort})
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_sampler agg: deterministic hash p=0.25 row cut ON the
+    scan, terms sub-agg on the survivors, doc_count scaled back by 1/p.
+    The shuffle sees only the sampled quarter of the table."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        random_sampler_terms,
+    )
+
+    return random_sampler_terms(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_orderkey",
+        probability=0.25,
+        k=10,
+    )
+
+
+def _sql_random_sampler() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        random_sampler_terms_sql,
+    )
+
+    return random_sampler_terms_sql(
+        "orders", "o_orderpriority", "o_orderkey", "duckdb",
+        probability=0.25, k=10,
+    )
+
+
+def q_diversified_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler: best 30 documents by length with at most 5
+    per source (anti-bias cap), then the terms sub-agg over the sample.
+    One window shuffle for the cap + TakeOrdered of survivors."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        diversified_sampler,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = diversified_sampler(
+        docs, "source", "n_chars",
+        max_docs_per_value=5, shard_size=30, tie_col="doc_id",
+    )
+    return (
+        sample.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def _sql_diversified_terms() -> str:
+    return """
+WITH capped AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+  ) AS rn
+  FROM documents
+),
+sample AS (
+  SELECT * FROM capped WHERE rn <= 5
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 30
+)
+SELECT lang, COUNT(*) AS doc_count FROM sample
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search rescore cascade: top-40 window by the cheap primary score
+    (document length), rescored by the expensive distinct-token ratio
+    computed ONLY on the window, final = score + 500*rescore, top 10.
+    Two TakeOrdered stages — the corpus never sees the expensive term."""
+    from harmonize_search_analyze_spark.operators.ranking import rescore
+
+    docs = _t(spark, sf_dir, "documents")
+    hits = docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    hits = hits.join(docs.select("doc_id", "text"), "doc_id")
+    return rescore(
+        hits,
+        "score",
+        "size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE)",
+        window_size=40,
+        query_weight=1.0,
+        rescore_query_weight=500.0,
+        k=10,
+    )
+
+
+def _sql_rescore_topk() -> str:
+    return """
+WITH win AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS rescore
+  FROM documents
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 40
+)
+SELECT doc_id, ROUND(score, 6) AS score, ROUND(rescore, 6) AS rescore,
+       ROUND(score + 500.0 * rescore, 6) AS final_score
+FROM win
+ORDER BY score + 500.0 * rescore DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after keyset pagination: resume the price-sorted list
+    from a cursor with a sargable strict-inequality filter + TakeOrdered —
+    deep pages cost the same as page one (no OFFSET materialization)."""
+    from harmonize_search_analyze_spark.operators.ranking import search_after
+
+    return search_after(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        (300000.0, 0),
+        id_col="o_orderkey",
+        size=10,
+    )
+
+
+def _sql_search_after() -> str:
+    return """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice < 300000.0
+   OR (o_totalprice = 300000.0 AND o_orderkey > 0)
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4158,6 +4350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_incremental": q_lsh_incremental,
         "geo_search": q_geo_search,
         "dsir_sample": q_dsir_sample,
+        "simple_query": q_simple_query,
+        "random_sampler": q_random_sampler,
+        "diversified_terms": q_diversified_terms,
+        "rescore_topk": q_rescore_topk,
+        "search_after": q_search_after,
     }
 
 
@@ -4295,4 +4492,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_incremental": _sql_lsh_incremental(),
         "geo_search": _sql_geo_search(),
         "dsir_sample": _sql_dsir_sample(),
+        "simple_query": _sql_simple_query(),
+        "random_sampler": _sql_random_sampler(),
+        "diversified_terms": _sql_diversified_terms(),
+        "rescore_topk": _sql_rescore_topk(),
+        "search_after": _sql_search_after(),
     }

@@ -1734,3 +1734,128 @@ def bucket_correlation(
         ).alias("correlation"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
     )
+
+
+def random_sampler_terms(
+    df: DataFrame,
+    field: str,
+    key_col: str,
+    *,
+    probability: float,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation over a ``terms`` sub-agg.
+
+    ES samples documents with ``probability`` before running sub-aggs and
+    scales the resulting doc_counts back up by ``1/probability``. ES uses
+    a nondeterministic per-shard sampler; the engine pins the published
+    deterministic equivalent — the same portable hash-threshold row filter
+    as ``hash_sample`` keyed on ``key_col`` — so results are reproducible
+    across runs, partitionings, and engines.
+
+    Returns ``(key, sampled_count BIGINT, doc_count BIGINT)`` where
+    ``doc_count = round(sampled_count / probability)`` is the corrected
+    estimate, top-k by corrected count (ties ``key ASC``, pinned).
+
+    Scale shape: the sampler is a codegen'd residual filter ON the scan —
+    the whole point of the agg is that the shuffle sees only the sampled
+    fraction. One hash agg + TakeOrdered after the cut.
+    """
+    from harmonize_search_analyze_spark.operators.sampling import (
+        HASH_BUCKETS,
+        sample_hash_sql,
+    )
+
+    if not 0.0 < probability <= 1.0:
+        raise ValueError(f"probability must be in (0, 1], got {probability}")
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    thr = int(probability * HASH_BUCKETS)
+    return (
+        df.where(h < F.lit(thr))
+        .groupBy(F.col(field).alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sampled_count"))
+        .select(
+            "key",
+            "sampled_count",
+            F.round(F.col("sampled_count") / F.lit(float(probability)))
+            .cast("bigint")
+            .alias("doc_count"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def random_sampler_terms_sql(
+    table: str,
+    field: str,
+    key_col: str,
+    dialect: str,
+    *,
+    probability: float,
+    k: int = 10,
+    seed: int = 42,
+) -> str:
+    """Dual-dialect twin of :func:`random_sampler_terms`."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        HASH_BUCKETS,
+        sample_hash_sql,
+    )
+
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+    thr = int(probability * HASH_BUCKETS)
+    return f"""
+SELECT {field} AS key,
+       CAST(COUNT(*) AS BIGINT) AS sampled_count,
+       CAST(ROUND(COUNT(*) / {probability!r}) AS BIGINT) AS doc_count
+FROM {table}
+WHERE {h} < {thr}
+GROUP BY {field}
+ORDER BY doc_count DESC, key ASC
+LIMIT {k}
+"""
+
+
+def diversified_sampler(
+    df: DataFrame,
+    dedup_field: str,
+    sort_col: str,
+    *,
+    max_docs_per_value: int = 1,
+    shard_size: int = 100,
+    tie_col: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: restrict the docs sub-aggs
+    see to the best ``shard_size`` hits while capping contributions from
+    any single value of ``dedup_field`` at ``max_docs_per_value`` — the
+    anti-bias sampler ("don't let one host dominate the top hits").
+
+    Returns the sampled ROWS (callers run their sub-agg on the result,
+    mirroring ES's nesting). Rank inside a dedup group follows
+    ``sort_col`` (best-first per ``ascending``), with ``tie_col`` pinning
+    equal sort values; NULL dedup keys are kept unsampled up to the same
+    cap, grouped together, matching ES's missing-bucket treatment.
+
+    Scale shape: one window shuffle keyed by ``dedup_field`` for the
+    per-value cap, then a TakeOrdered of the survivors — the full corpus
+    is never globally sorted. A hot dedup value serializes one window
+    group; the cap bounds what it can emit.
+    """
+    if max_docs_per_value <= 0:
+        raise ValueError(
+            f"max_docs_per_value must be positive, got {max_docs_per_value}"
+        )
+    if shard_size <= 0:
+        raise ValueError(f"shard_size must be positive, got {shard_size}")
+    order = F.asc(sort_col) if ascending else F.desc(sort_col)
+    inner = [order] + ([F.asc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(dedup_field).orderBy(*inner)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_docs_per_value)
+        .drop("__rn")
+        .orderBy(*inner)
+        .limit(shard_size)
+    )

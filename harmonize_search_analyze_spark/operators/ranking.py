@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.operators.text import tokens_sql
@@ -351,3 +351,93 @@ def function_score(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rescore(
+    hits: DataFrame,
+    score_col: str,
+    rescore_col: Column | str,
+    *,
+    window_size: int = 50,
+    query_weight: float = 1.0,
+    rescore_query_weight: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES search ``rescore``: re-rank only the top ``window_size`` hits of
+    the primary query with a (typically more expensive) secondary score,
+    ``final = query_weight * score + rescore_query_weight * rescore``
+    (score_mode=total, the ES default).
+
+    ``rescore_col`` is a Column expression evaluated ONLY on the window
+    survivors — the cascade contract that makes expensive features
+    affordable: the corpus-sized stage stays cheap, the expensive
+    expression touches ``window_size`` rows no matter the corpus size.
+
+    Returns ``(id, score, rescore, final_score DOUBLE rounded 6)``, top-k
+    by final (ties id ASC, pinned). Plan shape: two
+    TakeOrderedAndProject stages (primary top-window, then top-k of the
+    rescored window) — same cascade pattern as ``mrl_topk``; no global
+    sort at either level.
+    """
+    if window_size <= 0 or k <= 0:
+        raise ValueError("window_size and k must be positive")
+    rc = F.expr(rescore_col) if isinstance(rescore_col, str) else rescore_col
+    window = (
+        hits.orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(window_size)
+        .withColumn("__rescore", rc.cast("double"))
+    )
+    final = (
+        F.lit(float(query_weight)) * F.col(score_col).cast("double")
+        + F.lit(float(rescore_query_weight)) * F.col("__rescore")
+    )
+    return (
+        window.withColumn("final_score", final)
+        .orderBy(F.desc("final_score"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.round(F.col(score_col).cast("double"), 6).alias("score"),
+            F.round("__rescore", 6).alias("rescore"),
+            F.round("final_score", 6).alias("final_score"),
+        )
+    )
+
+
+def search_after(
+    df: DataFrame,
+    sort_col: str,
+    after: tuple | None,
+    *,
+    id_col: str = "doc_id",
+    size: int = 10,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES ``search_after`` keyset pagination: resume a sorted result list
+    from cursor ``after = (sort_value, id_value)`` — the last row of the
+    previous page — instead of a numeric offset.
+
+    The cursor compiles to a SARGABLE strict-inequality filter
+    (``sort < after_sort OR (sort = after_sort AND id > after_id)`` for
+    descending), so deep pages cost the same as page one: the filter
+    pushes to the scan and the page is a TakeOrderedAndProject — unlike
+    OFFSET pagination, which materializes and discards every earlier row
+    and is why ES caps ``from`` at 10k. ``id_col`` must be unique: it is
+    the tiebreaker that makes the sort total and pages non-overlapping
+    (ES's "include a tiebreak field" requirement).
+
+    ``after=None`` returns the first page.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    s, i = F.col(sort_col), F.col(id_col)
+    order = [s.asc(), i.asc()] if ascending else [s.desc(), i.asc()]
+    out = df
+    if after is not None:
+        after_sort, after_id = after
+        beyond = s > F.lit(after_sort) if ascending else s < F.lit(after_sort)
+        out = out.where(
+            beyond | ((s == F.lit(after_sort)) & (i > F.lit(after_id)))
+        )
+    return out.orderBy(*order).limit(size)

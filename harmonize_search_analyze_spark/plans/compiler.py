@@ -27,6 +27,7 @@ through the pinned phrase-prefix semantics (functions/tokenize.py).
 from __future__ import annotations
 
 import datetime as _dt
+import re as _re
 from functools import reduce
 from typing import Any
 
@@ -330,6 +331,101 @@ def _geo_distance(body: dict[str, Any]) -> Column:
     return d <= F.lit(_parse_distance_m(body["distance"]))
 
 
+def _strip_split(field: str) -> str:
+    return field[: -len(SPLIT_SUFFIX)] if field.endswith(SPLIT_SUFFIX) else field
+
+
+def _match_bool_prefix(body: dict[str, Any]) -> Column:
+    """ES ``match_bool_prefix``: analyze the input; every term matches as a
+    full token ANYWHERE in the stream (unlike phrase-prefix's consecutive
+    requirement) and the LAST term matches as a token prefix. ES assembles
+    the terms as ``should`` clauses (OR) by default; ``operator: "and"``
+    requires all. One codegen'd conjunction/disjunction of sargable regex
+    predicates — no tokenize-explode, no shuffle."""
+    (field, spec), = body.items()
+    field = _strip_split(field)
+    if isinstance(spec, dict):
+        query = str(spec.get("query", ""))
+        operator = str(spec.get("operator", "or")).lower()
+    else:
+        query, operator = str(spec), "or"
+    words = [w for w in _re.split(r"[^a-zA-Z0-9]+", query) if w]
+    if not words:
+        return F.lit(True)
+    preds = [phrase_predicate(field, w) for w in words[:-1]]
+    preds.append(phrase_prefix_predicate(field, words[-1]))
+    combine = (lambda a, b: a & b) if operator == "and" else (lambda a, b: a | b)
+    return reduce(combine, preds)
+
+
+def _combined_fields(body: dict[str, Any]) -> Column:
+    """ES ``combined_fields``: term-centric multi-field match — a term
+    counts as present if it appears as a token in ANY of the fields (ES
+    scores as if the fields were one combined text field); ``operator``
+    ("or", the ES default, or "and") combines across terms. All fields
+    route through the pinned analyzed-token semantics (ES requires text
+    fields sharing one analyzer)."""
+    query = str(body.get("query", ""))
+    fields = [_strip_split(f) for f in (body.get("fields") or [])]
+    if not fields:
+        raise QueryCompileError("combined_fields requires a non-empty fields list")
+    operator = str(body.get("operator", "or")).lower()
+    words = [w for w in _re.split(r"[^a-zA-Z0-9]+", query) if w]
+    if not words:
+        return F.lit(True)
+    per_term = [
+        reduce(lambda a, b: a | b, [phrase_predicate(f, w) for f in fields])
+        for w in words
+    ]
+    combine = (lambda a, b: a & b) if operator == "and" else (lambda a, b: a | b)
+    return reduce(combine, per_term)
+
+
+def _simple_query_string(body: dict[str, Any]) -> Column:
+    """ES ``simple_query_string`` — the never-throws query grammar. The
+    engine pins the subset the Lucene SimpleQueryParser defines over the
+    ``.split`` analyzer: whitespace-separated units where ``"..."`` is a
+    phrase (consecutive tokens), a trailing ``*`` is a token-prefix, and a
+    leading ``-`` prohibits the unit. Positive units combine with
+    ``default_operator`` (``"or"``, the ES default); prohibited units are
+    always conjunctive NOTs (the bool-query shape ES builds). Everything
+    compiles to one codegen'd boolean expression of sargable regexes."""
+    query = str(body.get("query", ""))
+    fields = [_strip_split(f) for f in (body.get("fields") or [])]
+    if not fields:
+        raise QueryCompileError(
+            "simple_query_string requires a non-empty fields list"
+        )
+    operator = str(body.get("default_operator", "or")).lower()
+    units = _re.findall(r'-?"[^"]*"|[^\s"]+', query)
+    pos, neg = [], []
+    for unit in units:
+        prohibit = unit.startswith("-") and len(unit) > 1
+        if prohibit:
+            unit = unit[1:]
+        if unit.startswith('"') and unit.endswith('"') and len(unit) >= 2:
+            text = unit[1:-1]
+            mk = phrase_predicate
+        elif unit.endswith("*"):
+            text = unit[:-1]
+            mk = phrase_prefix_predicate
+        else:
+            text = unit
+            mk = phrase_predicate
+        if not _re.search(r"[a-zA-Z0-9]", text):
+            continue  # ES: unparseable/empty parts are silently dropped
+        p = reduce(lambda a, b: a | b, [mk(f, text) for f in fields])
+        (neg if prohibit else pos).append(p)
+    combine = (lambda a, b: a & b) if operator == "and" else (lambda a, b: a | b)
+    out = reduce(combine, pos) if pos else F.lit(True)
+    for p in neg:
+        # null-safe: a doc whose field is NULL cannot contain the
+        # prohibited term, so it must SURVIVE the negation (ES must_not
+        # semantics for missing fields); bare ~NULL would filter it out
+        out = out & ~F.coalesce(p, F.lit(False))
+    return out
+
+
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
@@ -371,6 +467,9 @@ _HANDLERS = {
     "boosting": _boosting,
     "geo_bounding_box": _geo_bounding_box,
     "geo_distance": _geo_distance,
+    "match_bool_prefix": _match_bool_prefix,
+    "combined_fields": _combined_fields,
+    "simple_query_string": _simple_query_string,
 }
 
 

@@ -1101,3 +1101,45 @@ def test_ansi_degenerate_inputs_yield_null_not_error(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "x double")
     got = percentile_ranks(nulls, "x", [1.0]).collect()
     assert got[0]["pct_rank"] is None
+
+
+def test_random_sampler_terms_scales_counts(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        random_sampler_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "k" + str(i % 2)) for i in range(400)], ["id", "key"]
+    )
+    got = {r.key: r for r in random_sampler_terms(
+        df, "key", "id", probability=0.5, k=5).collect()}
+    for r in got.values():
+        assert r.doc_count == round(r.sampled_count / 0.5)
+        # estimate within a loose band of the true 200 per key
+        assert 120 <= r.doc_count <= 280, r
+    import pytest
+    with pytest.raises(ValueError):
+        random_sampler_terms(df, "key", "id", probability=0.0)
+
+
+def test_diversified_sampler_caps_per_value(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        diversified_sampler,
+    )
+
+    rows = [(i, "hot" if i < 50 else "s" + str(i), float(1000 - i))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "src", "score"])
+    got = diversified_sampler(
+        df, "src", "score", max_docs_per_value=3, shard_size=10,
+        tie_col="id",
+    ).collect()
+    assert len(got) == 10
+    from collections import Counter
+    by_src = Counter(r.src for r in got)
+    assert by_src["hot"] == 3  # capped despite dominating the top scores
+    # the capped hot docs are its best three
+    assert sorted(r.id for r in got if r.src == "hot") == [0, 1, 2]
+    import pytest
+    with pytest.raises(ValueError):
+        diversified_sampler(df, "src", "score", max_docs_per_value=0)

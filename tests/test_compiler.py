@@ -322,3 +322,49 @@ def test_geo_bounding_box_and_distance(spark):
     custom = {"geo_distance": {"distance": 2000000, "fields": {"lat": "y", "lon": "x"},
                                "origin": {"lat": 0.0, "lon": 0.0}}}
     assert sorted(r["id"] for r in pts2.where(compile_query(custom)).collect()) == [1]
+
+
+def test_simple_query_string(frame):
+    q = {"simple_query_string": {
+        "query": 'promo -anodized burn*', "fields": ["descr.split"],
+        "default_operator": "and",
+    }}
+    # AND: promo AND burn*-prefix, NOT anodized -> only row 1
+    assert ids(frame, q) == [1]
+    q_or = {"simple_query_string": {
+        "query": 'polished "anodized tin"', "fields": ["descr.split"],
+    }}
+    # OR (default): polished OR the phrase -> rows 2, 3
+    assert ids(frame, q_or) == [2, 3]
+    # prohibit applies even under OR; empty positives match everything
+    q_neg = {"simple_query_string": {
+        "query": "-promo", "fields": ["descr.split"]}}
+    assert ids(frame, q_neg) == [2, 4]  # NULL descr doesn't contain promo
+
+
+def test_simple_query_string_requires_fields(frame):
+    with pytest.raises(QueryCompileError):
+        compile_query({"simple_query_string": {"query": "x"}})
+
+
+def test_match_bool_prefix(frame):
+    # terms anywhere (not consecutive) + last as prefix: "copper prom"
+    # matches row 1 even though copper follows promo in the text
+    q = {"match_bool_prefix": {
+        "descr.split": {"query": "copper prom", "operator": "and"}}}
+    assert ids(frame, q) == [1]
+    # default operator is OR (ES builds should clauses)
+    q_or = {"match_bool_prefix": {"descr.split": "copper stand"}}
+    assert ids(frame, q_or) == [1, 2]
+
+
+def test_combined_fields(frame):
+    # term-centric: each term may come from a DIFFERENT field
+    q = {"combined_fields": {
+        "query": "n promo", "fields": ["flag.split", "descr.split"],
+        "operator": "and",
+    }}
+    # 'n' matches flag=N (rows 1,4); 'promo' matches descr rows 1,3 -> AND = 1
+    assert ids(frame, q) == [1]
+    with pytest.raises(QueryCompileError):
+        compile_query({"combined_fields": {"query": "x"}})

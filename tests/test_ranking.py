@@ -142,3 +142,61 @@ def test_more_like_this_excludes_query_doc(spark):
     got = [r["doc_id"] for r in
            more_like_this(docs, "doc_id", "text", 1).collect()]
     assert got == [2]
+
+
+def test_rescore_window_contract(spark):
+    from harmonize_search_analyze_spark.operators.ranking import rescore
+    from pyspark.sql import functions as F
+
+    # doc 1 has the best rescore value but sits OUTSIDE the top-2 primary
+    # window, so it must not appear — the cascade only reranks the window
+    hits = spark.createDataFrame(
+        [(1, 1.0, 100.0), (2, 5.0, 10.0), (3, 4.0, 20.0), (4, 3.0, 0.0)],
+        ["doc_id", "score", "aux"],
+    )
+    got = rescore(
+        hits, "score", F.col("aux"), window_size=2,
+        rescore_query_weight=1.0, k=2,
+    ).collect()
+    assert [r.doc_id for r in got] == [3, 2]  # 4+20 beats 5+10
+    assert got[0].final_score == 24.0
+
+
+def test_rescore_validation(spark):
+    import pytest
+    from harmonize_search_analyze_spark.operators.ranking import rescore
+
+    with pytest.raises(ValueError):
+        rescore(None, "s", "x", window_size=0)
+
+
+def test_search_after_pages_partition_result_list(spark):
+    from harmonize_search_analyze_spark.operators.ranking import search_after
+
+    df = spark.createDataFrame(
+        [(i, float(100 - (i % 7))) for i in range(1, 30)], ["doc_id", "s"]
+    )
+    pages, after = [], None
+    while True:
+        page = search_after(df, "s", after, id_col="doc_id", size=8).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1].s, page[-1].doc_id)
+    # complete, no overlap, correctly ordered
+    assert len(pages) == 29
+    assert len({r.doc_id for r in pages}) == 29
+    keys = [(-r.s, r.doc_id) for r in pages]
+    assert keys == sorted(keys)
+
+
+def test_search_after_ascending_and_validation(spark):
+    import pytest
+    from harmonize_search_analyze_spark.operators.ranking import search_after
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], ["doc_id", "s"])
+    got = search_after(df, "s", (1.0, 1), id_col="doc_id", size=5,
+                       ascending=True).collect()
+    assert [r.doc_id for r in got] == [2]
+    with pytest.raises(ValueError):
+        search_after(df, "s", None, size=0)
