@@ -4181,6 +4181,37 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (Dolma-style): even-id docs are
+    the ingested corpus (folded to a <=256-row bit_or word table), odd-id
+    docs the incoming batch. Probe = 5 broadcast word-joins, map-side;
+    only the "maybe present" sliver enters the exact anti-join, so the
+    result is EXACTLY the anti join (no false negatives by construction)."""
+    from harmonize_search_analyze_spark.operators.bloom import bloom_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    return (
+        bloom_dedup(corpus, batch, "text", m_bits=1 << 14)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_bloom_dedup() -> str:
+    return """
+SELECT b.doc_id, b.source
+FROM documents b
+WHERE b.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id % 2 = 0 AND c.text = b.text
+  )
+ORDER BY b.doc_id
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4355,6 +4386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversified_terms": q_diversified_terms,
         "rescore_topk": q_rescore_topk,
         "search_after": q_search_after,
+        "bloom_dedup": q_bloom_dedup,
     }
 
 
@@ -4497,4 +4529,5 @@ def oracle_sql() -> dict[str, str]:
         "diversified_terms": _sql_diversified_terms(),
         "rescore_topk": _sql_rescore_topk(),
         "search_after": _sql_search_after(),
+        "bloom_dedup": _sql_bloom_dedup(),
     }
