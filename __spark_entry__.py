@@ -4212,6 +4212,42 @@ ORDER BY b.doc_id
 """
 
 
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filtered kNN: pre-filter (label range via the query compiler)
+    then exact top-10 cosine over the survivors — ES's own exact-mode
+    dispatch for selective filters. Filter pushes to the scan; scoring is
+    one codegen'd projection + TakeOrdered."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        knn_filtered,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_filtered(
+        emb, "embedding", _QUERY_VEC,
+        {"range": {"label": {"gte": 2, "lte": 6}}},
+        k=10,
+    )
+    return emb.select("vec_id", "label").join(out, "vec_id").select(
+        "vec_id", "label", "cosine"
+    ).orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+
+def _sql_knn_filtered() -> str:
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _QUERY_VEC) + "]"
+    qnorm = math.sqrt(sum(v * v for v in _QUERY_VEC))
+    return f"""
+SELECT vec_id, label,
+       ROUND(
+         list_sum(list_transform(list_zip(embedding::DOUBLE[], {qlit}),
+                                 p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+            * {qnorm!r}), 6) AS cosine
+FROM embeddings
+WHERE label >= 2 AND label <= 6
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4387,6 +4423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": q_rescore_topk,
         "search_after": q_search_after,
         "bloom_dedup": q_bloom_dedup,
+        "knn_filtered": q_knn_filtered,
     }
 
 
@@ -4530,4 +4567,5 @@ def oracle_sql() -> dict[str, str]:
         "rescore_topk": _sql_rescore_topk(),
         "search_after": _sql_search_after(),
         "bloom_dedup": _sql_bloom_dedup(),
+        "knn_filtered": _sql_knn_filtered(),
     }

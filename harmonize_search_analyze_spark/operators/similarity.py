@@ -1817,3 +1817,60 @@ SELECT e.{id_col},
 FROM shortlist s JOIN {table} e USING ({id_col})
 ORDER BY cosine DESC, e.{id_col} ASC LIMIT {k}
 """
+
+
+def knn_filtered(
+    df: DataFrame,
+    vec_col: str,
+    qvec: list[float],
+    filter_pred,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    index: tuple[DataFrame, DataFrame] | None = None,
+    nprobe: int = 4,
+    brute_threshold: int = 100_000,
+) -> DataFrame:
+    """ES filtered kNN (``knn`` clause with ``filter``): the k nearest
+    vectors AMONG the documents matching the filter — pre-filter
+    semantics, so the result always has k hits if k survivors exist
+    (post-filtering an unfiltered ANN result would not).
+
+    ``filter_pred`` is either a Column or a query-DSL dict compiled via
+    ``plans.compiler.compile_query`` (the same ASTs the search surface
+    accepts). Mirrors ES's own dispatch: when few documents survive the
+    filter, exact (brute) scoring over the survivors is both cheaper and
+    recall-perfect, so below ``brute_threshold`` survivors — or when no
+    prebuilt ``index`` is supplied — the operator goes exact; above it,
+    the filter is pushed into the prebuilt IVF index by semi-joining the
+    assignment lists down to surviving ids, then probing as usual.
+
+    The dispatch needs one survivor COUNT (a 1-row agg over the filtered
+    scan — the filter is pushed down, so this is cheap relative to any
+    scoring pass). Pass ``brute_threshold=0`` with an index to force the
+    ANN path and skip the count when the filter is known to be broad.
+
+    Scale: exact path = filtered scan + TakeOrdered (no shuffle); ANN
+    path = assignments semi-join (broadcast when the survivor id set is
+    small) + nprobe partition-pruned lists + TakeOrdered.
+    """
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    pred = (
+        compile_query(filter_pred)
+        if isinstance(filter_pred, dict) or filter_pred is None
+        else filter_pred
+    )
+    survivors = df.where(pred)
+    if index is None:
+        return cosine_topk(survivors, vec_col, qvec, k, id_col)
+    if brute_threshold > 0 and survivors.count() <= brute_threshold:
+        return cosine_topk(survivors, vec_col, qvec, k, id_col)
+    centroids, assignments = index
+    filtered_assign = assignments.join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+    return ivf_search(
+        survivors, centroids, filtered_assign, qvec,
+        k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+    )

@@ -835,3 +835,55 @@ def test_lsh_incremental_split_point_invariance(spark):
         return pairs
 
     assert run([2]) == run([1, 4]) == run([])
+
+
+def test_knn_filtered_exact_path_matches_filtered_brute(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_topk,
+        knn_filtered,
+    )
+    import math
+
+    rows = [
+        (i, [math.sin(i + d) for d in range(8)], i % 3) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = [math.sin(d) for d in range(8)]
+    got = knn_filtered(
+        df, "embedding", q, {"term": {"label": 1}}, k=5
+    ).collect()
+    want = cosine_topk(
+        df.where("label = 1"), "embedding", q, 5
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in want
+    ]
+    # every hit satisfies the filter (pre-filter semantics)
+    labels = {r.vec_id % 3 for r in got}
+    assert labels == {1}
+
+
+def test_knn_filtered_ann_path_respects_filter_and_recalls(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        knn_filtered,
+    )
+    import math
+
+    rows = [
+        (i, [math.sin(i * 0.7 + d) for d in range(8)], i % 2)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = [math.sin(d * 1.3) for d in range(8)]
+    index = ivf_assign(df, "embedding", "vec_id", n_centroids=8)
+    # brute_threshold=0 forces the ANN path; nprobe = all lists makes it
+    # exhaustive, so it must EQUAL the filtered brute answer
+    got = knn_filtered(
+        df, "embedding", q, {"term": {"label": 0}},
+        k=5, index=index, nprobe=8, brute_threshold=0,
+    ).collect()
+    want = cosine_topk(df.where("label = 0"), "embedding", q, 5).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
+    assert all(r.vec_id % 2 == 0 for r in got)
