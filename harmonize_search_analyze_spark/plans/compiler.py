@@ -426,6 +426,24 @@ def _simple_query_string(body: dict[str, Any]) -> Column:
     return out
 
 
+def _intervals(body: dict[str, Any]) -> Column:
+    """ES ``intervals`` query: position-aware match/any_of/all_of rules
+    over the pinned tokenization (functions/intervals.py). Unlike every
+    other text predicate this one needs token POSITIONS; it compiles to
+    one codegen'd nested-EXISTS expression — still no explode/join."""
+    from harmonize_search_analyze_spark.functions.intervals import (
+        intervals_sql,
+    )
+
+    (field, rule), = body.items()
+    field = _strip_split(field)
+    try:
+        sql = intervals_sql(rule, field, "spark")
+    except ValueError as e:
+        raise QueryCompileError(str(e)) from e
+    return F.expr(sql)
+
+
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
@@ -470,6 +488,7 @@ _HANDLERS = {
     "match_bool_prefix": _match_bool_prefix,
     "combined_fields": _combined_fields,
     "simple_query_string": _simple_query_string,
+    "intervals": _intervals,
 }
 
 

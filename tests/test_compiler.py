@@ -368,3 +368,47 @@ def test_combined_fields(frame):
     assert ids(frame, q) == [1]
     with pytest.raises(QueryCompileError):
         compile_query({"combined_fields": {"query": "x"}})
+
+
+def test_intervals_query(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha xxx yyy beta"),
+        (3, "beta alpha"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+
+    def got(rule):
+        return sorted(r["id"] for r in df.where(
+            compile_query({"intervals": {"text.split": rule}})).collect())
+
+    # ordered adjacency
+    assert got({"match": {"query": "alpha beta",
+                          "ordered": True, "max_gaps": 0}}) == [1]
+    # unordered adjacency picks up the reversed pair
+    assert got({"match": {"query": "alpha beta",
+                          "ordered": False, "max_gaps": 0}}) == [1, 3]
+    # unbounded gaps (ES default) = ordered co-occurrence
+    assert got({"match": {"query": "alpha beta", "ordered": True}}) == [1, 2]
+    # single term degenerates to presence
+    assert got({"match": {"query": "gamma"}}) == [1]
+    # any_of / all_of composition
+    assert got({"any_of": {"intervals": [
+        {"match": {"query": "gamma"}},
+        {"match": {"query": "yyy"}}]}}) == [1, 2]
+    assert got({"all_of": {"intervals": [
+        {"match": {"query": "alpha"}},
+        {"match": {"query": "gamma"}}]}}) == [1]
+
+
+def test_intervals_validation(spark):
+    with pytest.raises(QueryCompileError):
+        compile_query({"intervals": {"text": {
+            "match": {"query": "a b c d"}}}})  # > 3 terms
+    with pytest.raises(QueryCompileError):
+        compile_query({"intervals": {"text": {"bogus_rule": {}}}})
+    with pytest.raises(QueryCompileError):
+        compile_query({"intervals": {"text": {
+            "all_of": {"ordered": True, "intervals": [
+                {"match": {"query": "a"}}, {"match": {"query": "b"}}]}}}})
