@@ -4128,8 +4128,9 @@ def q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmonize_search_analyze_spark.operators.ranking import rescore
 
     docs = _t(spark, sf_dir, "documents")
-    hits = docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
-    hits = hits.join(docs.select("doc_id", "text"), "doc_id")
+    hits = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score"), "text"
+    )
     return rescore(
         hits,
         "score",

@@ -99,11 +99,7 @@ def intervals_match_sql(
         inner3 = "p3 > p2" + (f" AND p3 - p1 - 2 <= {g}" if g >= 0 else "")
         inner2 = "p2 > p1 AND " + _exists_sql(pos[2], "p3", inner3, dialect)
     else:
-        span = (
-            "greatest(p1, p2, p3) - least(p1, p2, p3) - 2"
-            if dialect == "spark"
-            else "greatest(p1, p2, p3) - least(p1, p2, p3) - 2"
-        )
+        span = "greatest(p1, p2, p3) - least(p1, p2, p3) - 2"
         inner3 = "p3 <> p1 AND p3 <> p2" + (
             f" AND {span} <= {g}" if g >= 0 else ""
         )

@@ -1762,17 +1762,12 @@ def random_sampler_terms(
     the whole point of the agg is that the shuffle sees only the sampled
     fraction. One hash agg + TakeOrdered after the cut.
     """
-    from harmonize_search_analyze_spark.operators.sampling import (
-        HASH_BUCKETS,
-        sample_hash_sql,
-    )
+    from harmonize_search_analyze_spark.operators.sampling import hash_sample
 
     if not 0.0 < probability <= 1.0:
         raise ValueError(f"probability must be in (0, 1], got {probability}")
-    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
-    thr = int(probability * HASH_BUCKETS)
     return (
-        df.where(h < F.lit(thr))
+        hash_sample(df, key_col, probability, seed=seed)
         .groupBy(F.col(field).alias("key"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("sampled_count"))
         .select(
@@ -1822,9 +1817,9 @@ def diversified_sampler(
     dedup_field: str,
     sort_col: str,
     *,
+    tie_col: str,
     max_docs_per_value: int = 1,
     shard_size: int = 100,
-    tie_col: str | None = None,
     ascending: bool = False,
 ) -> DataFrame:
     """ES ``diversified_sampler`` aggregation: restrict the docs sub-aggs
@@ -1834,9 +1829,12 @@ def diversified_sampler(
 
     Returns the sampled ROWS (callers run their sub-agg on the result,
     mirroring ES's nesting). Rank inside a dedup group follows
-    ``sort_col`` (best-first per ``ascending``), with ``tie_col`` pinning
-    equal sort values; NULL dedup keys are kept unsampled up to the same
-    cap, grouped together, matching ES's missing-bucket treatment.
+    ``sort_col`` (best-first per ``ascending``); ``tie_col`` — a unique
+    id, REQUIRED — pins equal sort values so the sample is deterministic
+    across runs, partitionings, and engines (the repo-wide contract every
+    oracle-gated operator carries). NULL dedup keys are kept unsampled up
+    to the same cap, grouped together, matching ES's missing-bucket
+    treatment.
 
     Scale shape: one window shuffle keyed by ``dedup_field`` for the
     per-value cap, then a TakeOrdered of the survivors — the full corpus
@@ -1850,7 +1848,7 @@ def diversified_sampler(
     if shard_size <= 0:
         raise ValueError(f"shard_size must be positive, got {shard_size}")
     order = F.asc(sort_col) if ascending else F.desc(sort_col)
-    inner = [order] + ([F.asc(tie_col)] if tie_col else [])
+    inner = [order, F.asc(tie_col)]
     w = Window.partitionBy(dedup_field).orderBy(*inner)
     return (
         df.withColumn("__rn", F.row_number().over(w))

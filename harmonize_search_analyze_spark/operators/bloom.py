@@ -165,7 +165,10 @@ def bloom_flag_maybe(
     maybe = F.lit(True)
     for i in range(k):
         maybe = maybe & F.col(f"__hit{i}")
-    return out.withColumn("__bloom_maybe", maybe).drop(
+    # NULL key => NULL bit positions => NULL hits; coalesce to FALSE so a
+    # NULL-keyed row is "definitely new" — the anti-join oracle keeps such
+    # rows too (NULL = x never matches), preserving exact equivalence
+    return out.withColumn("__bloom_maybe", F.coalesce(maybe, F.lit(False))).drop(
         *[f"__hit{i}" for i in range(k)]
     )
 

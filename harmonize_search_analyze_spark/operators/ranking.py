@@ -427,17 +427,33 @@ def search_after(
     the tiebreaker that makes the sort total and pages non-overlapping
     (ES's "include a tiebreak field" requirement).
 
-    ``after=None`` returns the first page.
+    ``after=None`` returns the first page. NULL sort values are pinned
+    NULLS LAST in both directions (ES ``missing: _last``), and a cursor
+    whose sort value is NULL (``after = (None, id)``) resumes inside the
+    NULL tail — rows with missing sort keys paginate instead of becoming
+    silently unreachable (plain ``s < after_sort`` is NULL for them).
     """
     if size <= 0:
         raise ValueError(f"size must be positive, got {size}")
     s, i = F.col(sort_col), F.col(id_col)
-    order = [s.asc(), i.asc()] if ascending else [s.desc(), i.asc()]
+    order = (
+        [s.asc_nulls_last(), i.asc()]
+        if ascending
+        else [s.desc_nulls_last(), i.asc()]
+    )
     out = df
     if after is not None:
         after_sort, after_id = after
-        beyond = s > F.lit(after_sort) if ascending else s < F.lit(after_sort)
-        out = out.where(
-            beyond | ((s == F.lit(after_sort)) & (i > F.lit(after_id)))
-        )
+        if after_sort is None:
+            # cursor already in the NULL tail: only later NULL-sort rows remain
+            out = out.where(s.isNull() & (i > F.lit(after_id)))
+        else:
+            beyond = (
+                s > F.lit(after_sort) if ascending else s < F.lit(after_sort)
+            )
+            out = out.where(
+                beyond
+                | ((s == F.lit(after_sort)) & (i > F.lit(after_id)))
+                | s.isNull()  # the NULL tail sorts after every non-null page
+            )
     return out.orderBy(*order).limit(size)

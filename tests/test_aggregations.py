@@ -1142,4 +1142,5 @@ def test_diversified_sampler_caps_per_value(spark):
     assert sorted(r.id for r in got if r.src == "hot") == [0, 1, 2]
     import pytest
     with pytest.raises(ValueError):
-        diversified_sampler(df, "src", "score", max_docs_per_value=0)
+        diversified_sampler(df, "src", "score", tie_col="id",
+                            max_docs_per_value=0)

@@ -112,3 +112,22 @@ def test_batch_internal_duplicates_kept(spark, corpus):
     )
     got = bloom_dedup(corpus, batch, "key", m_bits=4096).collect()
     assert len(got) == 2  # documented contract: batch-internal dups kept
+
+
+def test_null_keyed_batch_rows_survive(spark, corpus):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("payload", T.LongType()),
+    ])
+    batch = spark.createDataFrame(
+        [(None, 1), ("doc-1", 2), ("brand-new", 3)], schema
+    )
+    got = sorted(
+        (r.payload,) for r in bloom_dedup(
+            corpus, batch, "key", m_bits=4096).collect()
+    )
+    # NULL key never matches the corpus (anti-join semantics) -> kept;
+    # doc-1 is a true duplicate -> dropped; brand-new kept
+    assert got == [(1,), (3,)]

@@ -200,3 +200,24 @@ def test_search_after_ascending_and_validation(spark):
     assert [r.doc_id for r in got] == [2]
     with pytest.raises(ValueError):
         search_after(df, "s", None, size=0)
+
+
+def test_search_after_null_sort_tail_paginates(spark):
+    from pyspark.sql import types as T
+    from harmonize_search_analyze_spark.operators.ranking import search_after
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ])
+    rows = [(i, float(i)) for i in range(1, 6)] + [(i, None) for i in range(6, 12)]
+    df = spark.createDataFrame(rows, schema)
+    pages, after = [], None
+    while True:
+        page = search_after(df, "s", after, id_col="doc_id", size=4).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1].s, page[-1].doc_id)
+    # all 11 rows reachable exactly once; NULL-sort rows pinned last
+    assert [r.doc_id for r in pages] == [5, 4, 3, 2, 1, 6, 7, 8, 9, 10, 11]
