@@ -4288,6 +4288,60 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget sampling (token-weighted, budget=60k chars,
+    max_epochs=2): the water-fill allocation runs IN-PLAN as two window
+    functions over the 5-row per-lang frame; rows then epoch-explode via
+    the deterministic hash sampler. One agg + broadcast join + map."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        unimax_sample(
+            docs, "lang", "doc_id",
+            budget=60_000.0, weight_col="n_chars", max_epochs=2.0,
+        )
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def _sql_unimax() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample_sql,
+    )
+
+    inner = unimax_sample_sql(
+        "documents", "lang", "doc_id", ["doc_id", "lang"], "duckdb",
+        budget=60_000.0, weight_col="n_chars", max_epochs=2.0,
+    )
+    return f"SELECT * FROM ({inner}) u ORDER BY doc_id, epoch"
+
+
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester: spell-correct 'spak tabel windoww' against the
+    corpus vocabulary (one hash agg, |V| rows), candidates pruned by
+    shared first letter + levenshtein <= 2, ranked distance/freq/term.
+    suggest_mode=missing: in-vocabulary tokens get no suggestions."""
+    from harmonize_search_analyze_spark.operators.ranking import term_suggest
+
+    return term_suggest(
+        _t(spark, sf_dir, "documents"), "text", "spak tabel windoww", k=3
+    )
+
+
+def _sql_term_suggest() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        term_suggest_sql,
+    )
+
+    return term_suggest_sql(
+        "documents", "text", "spak tabel windoww", "duckdb", k=3
+    )
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4467,6 +4521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "knn_filtered": q_knn_filtered,
         "intervals_search": q_intervals_search,
+        "unimax": q_unimax,
+        "term_suggest": q_term_suggest,
     }
 
 
@@ -4612,4 +4668,6 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": _sql_bloom_dedup(),
         "knn_filtered": _sql_knn_filtered(),
         "intervals_search": _sql_intervals_search(),
+        "unimax": _sql_unimax(),
+        "term_suggest": _sql_term_suggest(),
     }

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.operators.text import tokens_sql
@@ -457,3 +457,136 @@ def search_after(
                 | s.isNull()  # the NULL tail sorts after every non-null page
             )
     return out.orderBy(*order).limit(size)
+
+
+def term_suggest(
+    df: DataFrame,
+    field: str,
+    text: str,
+    *,
+    max_edits: int = 2,
+    k: int = 3,
+    min_freq: int = 1,
+    prefix_len: int = 1,
+    suggest_mode: str = "missing",
+) -> DataFrame:
+    """ES ``suggest`` term suggester: spell-correct each analyzed token of
+    ``text`` against the corpus vocabulary of ``field``.
+
+    Candidates are vocabulary terms within ``max_edits`` Levenshtein
+    distance sharing the first ``prefix_len`` characters (ES's own
+    candidate-pruning default), with corpus frequency >= ``min_freq``.
+    PINNED DIVERGENCE: the metric is CLASSIC Levenshtein (the built-in
+    both engines share) — a transposition costs 2 edits, where ES's
+    Damerau variant costs 1; "hte" therefore needs max_edits=2 to reach
+    "the". Candidates are
+    ranked per input token by (distance ASC, frequency DESC, term ASC) —
+    ES's order with the tie pinned. ``suggest_mode='missing'`` (the ES
+    default) suppresses suggestions for tokens already in the vocabulary;
+    ``'always'`` suggests regardless.
+
+    Returns ``(token, suggestion, distance INT, freq BIGINT)``.
+
+    Scale shape: ONE hash agg builds the vocabulary (|V| rows, map-side
+    combined — corpus size only affects the scan); the query tokens are a
+    literal handful broadcast against it, the Levenshtein filter runs
+    vocabulary-parallel, and the per-token top-k is a window over
+    candidate survivors. The corpus text itself never re-shuffles.
+    """
+    import re as _re2
+
+    if max_edits not in (1, 2):
+        raise ValueError(f"max_edits must be 1 or 2 (ES contract), got {max_edits}")
+    if suggest_mode not in ("missing", "always"):
+        raise ValueError(f"unknown suggest_mode: {suggest_mode!r}")
+    qtokens = [t for t in _re2.split(r"[^a-zA-Z0-9]+", text.lower()) if t]
+    if not qtokens:
+        raise ValueError("text yields no tokens")
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(F.expr(tokens_sql(field, "spark"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .where(F.col("freq") >= min_freq)
+    )
+    qdf = spark.createDataFrame([(t,) for t in dict.fromkeys(qtokens)], ["token"])
+    cands = (
+        vocab.join(F.broadcast(qdf))
+        .where(
+            (F.substring("term", 1, prefix_len)
+             == F.substring("token", 1, prefix_len))
+            & (F.levenshtein("term", "token") <= max_edits)
+        )
+        .select(
+            "token",
+            F.col("term").alias("suggestion"),
+            F.levenshtein("term", "token").cast("int").alias("distance"),
+            "freq",
+        )
+    )
+    if suggest_mode == "missing":
+        known = cands.where(F.col("distance") == 0).select("token").distinct()
+        cands = cands.join(known, "token", "left_anti")
+    else:
+        cands = cands.where(F.col("distance") > 0)
+    w = Window.partitionBy("token").orderBy(
+        F.asc("distance"), F.desc("freq"), F.asc("suggestion")
+    )
+    return (
+        cands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("token", "distance", F.desc("freq"), "suggestion")
+    )
+
+
+def term_suggest_sql(
+    table: str,
+    field: str,
+    text: str,
+    dialect: str,
+    *,
+    max_edits: int = 2,
+    k: int = 3,
+    min_freq: int = 1,
+    prefix_len: int = 1,
+    suggest_mode: str = "missing",
+) -> str:
+    """Dual-dialect twin of :func:`term_suggest`."""
+    import re as _re2
+
+    qtokens = [t for t in _re2.split(r"[^a-zA-Z0-9]+", text.lower()) if t]
+    qtokens = list(dict.fromkeys(qtokens))
+    toks = tokens_sql(field, dialect)
+    vals = ", ".join(f"('{t}')" for t in qtokens)
+    if dialect == "spark":
+        expl = f"SELECT explode({toks}) AS term FROM {table}"
+    else:
+        expl = f"SELECT UNNEST({toks}) AS term FROM {table}"
+    missing_filter = (
+        "WHERE token NOT IN (SELECT token FROM cands WHERE distance = 0)"
+        if suggest_mode == "missing"
+        else "WHERE distance > 0"
+    )
+    return f"""
+WITH vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM ({expl}) e
+  GROUP BY term HAVING COUNT(*) >= {min_freq}
+),
+q(token) AS (VALUES {vals}),
+cands AS (
+  SELECT q.token, v.term AS suggestion,
+         CAST(levenshtein(v.term, q.token) AS INT) AS distance, v.freq
+  FROM vocab v JOIN q
+    ON SUBSTRING(v.term, 1, {prefix_len}) = SUBSTRING(q.token, 1, {prefix_len})
+   AND levenshtein(v.term, q.token) <= {max_edits}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY token ORDER BY distance ASC, freq DESC, suggestion ASC
+  ) AS rn
+  FROM cands {missing_filter}
+)
+SELECT token, suggestion, distance, freq FROM ranked WHERE rn <= {k}
+ORDER BY token, distance, freq DESC, suggestion
+"""

@@ -574,3 +574,144 @@ SELECT {cols}, cum_tokens FROM (
   FROM {table}
 ) t WHERE budget IS NULL OR cum_tokens <= budget
 """
+
+
+def unimax_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    *,
+    budget: float,
+    weight_col: str | None = None,
+    max_epochs: float = 4.0,
+    seed: int = 42,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): spread a total
+    training ``budget`` (rows, or tokens when ``weight_col`` is given) as
+    UNIFORMLY as possible across sources, while capping any source at
+    ``max_epochs`` repeats of its data — the published fix for
+    temperature sampling's head-language bias that never over-epochs the
+    tail.
+
+    The paper's greedy allocation IS water-filling, which has a closed
+    form over sources sorted ascending by capacity ``c_s = n_s *
+    max_epochs``: with ``S_prev`` the capacity prefix sum and ``L`` the
+    source count, ``alloc_s = min(c_s, (budget - S_prev) / (L - rank_s +
+    1))`` — every exhausted source takes all of ``c_s``, the rest split
+    the remainder evenly. That closed form is two window functions over
+    the SOURCE-cardinality frame, so the whole allocation runs IN-PLAN:
+    one hash agg for per-source mass, a metadata-sized window, a
+    broadcast join back, and the same deterministic epoch-explode as
+    ``upsample_sources``. No driver collect, no iteration.
+
+    Returns the input rows + ``epoch`` (1-based). Per-source realized
+    mass is the hash-sampler's expectation (exact-in-expectation, like
+    every rate sampler here); ties in capacity are pinned by source name.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    totals = df.groupBy(source_col).agg(F.sum(w).alias("__n"))
+    win_ord = Window.orderBy(F.col("__c").asc(), F.col(source_col).asc())
+    alloc = (
+        totals.withColumn("__c", F.col("__n") * F.lit(float(max_epochs)))
+        .withColumn("__rn", F.row_number().over(win_ord))
+        .withColumn(
+            "__sprev",
+            F.coalesce(
+                F.sum("__c").over(
+                    win_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("__l", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn(
+            "__alloc",
+            F.least(
+                F.col("__c"),
+                F.greatest(F.lit(float(budget)) - F.col("__sprev"), F.lit(0.0))
+                / (F.col("__l") - F.col("__rn") + 1),
+            ),
+        )
+        .select(
+            F.col(source_col).alias("__ux_src"),
+            (F.col("__alloc") / F.col("__n")).alias("__rate"),
+        )
+    )
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    base = F.floor("__rate").cast("bigint")
+    frac_thr = F.floor(
+        (F.col("__rate") - F.floor("__rate")) * F.lit(HASH_BUCKETS)
+    ).cast("bigint")
+    return (
+        df.join(
+            F.broadcast(alloc),
+            F.col(source_col).eqNullSafe(F.col("__ux_src")),
+        )
+        .withColumn(
+            "__reps",
+            base + F.when(h < frac_thr, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .where(F.col("__reps") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("__reps"))))
+        .withColumn("epoch", F.col("epoch").cast("int"))
+        .drop("__reps", "__rate", "__ux_src")
+    )
+
+
+def unimax_sample_sql(
+    table: str,
+    source_col: str,
+    key_col: str,
+    columns: list[str],
+    dialect: str,
+    *,
+    budget: float,
+    weight_col: str | None = None,
+    max_epochs: float = 4.0,
+    seed: int = 42,
+) -> str:
+    """Dual-dialect twin of :func:`unimax_sample` — identical water-fill
+    closed form, hash thresholds, and epoch explode on both engines."""
+    h = sample_hash_sql("t." + key_col, dialect, seed=seed)
+    w = f"CAST({weight_col} AS DOUBLE)" if weight_col else "1.0"
+    cols = ", ".join(f"t.{c}" for c in columns)
+    bare_cols = ", ".join(columns)
+    if dialect == "spark":
+        unnest = "explode(sequence(1, reps))"
+    else:
+        unnest = "unnest(generate_series(1, reps))"
+    return f"""
+WITH totals AS (
+  SELECT {source_col} AS src, SUM({w}) AS n FROM {table} GROUP BY {source_col}
+),
+alloc AS (
+  SELECT src, n,
+         LEAST(
+           n * {max_epochs!r},
+           GREATEST({budget!r} - COALESCE(SUM(n * {max_epochs!r}) OVER (
+               ORDER BY n * {max_epochs!r} ASC, src ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 0.0)
+           / (COUNT(*) OVER () - ROW_NUMBER() OVER (
+               ORDER BY n * {max_epochs!r} ASC, src ASC) + 1)
+         ) / n AS rate
+  FROM totals
+),
+repped AS (
+  SELECT {cols},
+         CAST(FLOOR(a.rate) AS BIGINT)
+           + CASE WHEN {h} < CAST(FLOOR((a.rate - FLOOR(a.rate))
+                                        * {HASH_BUCKETS}) AS BIGINT)
+                  THEN 1 ELSE 0 END AS reps
+  FROM {table} t JOIN alloc a ON t.{source_col} IS NOT DISTINCT FROM a.src
+)
+SELECT {bare_cols}, CAST({unnest} AS INT) AS epoch
+FROM repped t WHERE reps >= 1
+"""

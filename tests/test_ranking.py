@@ -221,3 +221,39 @@ def test_search_after_null_sort_tail_paginates(spark):
         after = (page[-1].s, page[-1].doc_id)
     # all 11 rows reachable exactly once; NULL-sort rows pinned last
     assert [r.doc_id for r in pages] == [5, 4, 3, 2, 1, 6, 7, 8, 9, 10, 11]
+
+
+def test_term_suggest_missing_mode(spark):
+    from harmonize_search_analyze_spark.operators.ranking import term_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark table"), (2, "spark stark table window")],
+        ["doc_id", "text"],
+    )
+    got = term_suggest(docs, "text", "spakr table", k=2).collect()
+    # 'table' is in-vocabulary -> suppressed (missing mode); 'spakr' ->
+    # spark at distance 2 (classic Levenshtein: transposition = 2 edits,
+    # the pinned divergence from ES's Damerau); stark is distance 3, out
+    assert [(r.token, r.suggestion, r.distance, r.freq) for r in got] == [
+        ("spakr", "spark", 2, 4),
+    ]
+
+
+def test_term_suggest_always_mode_and_validation(spark):
+    import pytest
+    from harmonize_search_analyze_spark.operators.ranking import term_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "table tables tablet")], ["doc_id", "text"]
+    )
+    got = term_suggest(
+        docs, "text", "table", k=5, suggest_mode="always"
+    ).collect()
+    # exact self-match excluded; close variants suggested
+    assert [r.suggestion for r in got] == ["tables", "tablet"]
+    with pytest.raises(ValueError):
+        term_suggest(docs, "text", "table", max_edits=3)
+    with pytest.raises(ValueError):
+        term_suggest(docs, "text", "...")
+    with pytest.raises(ValueError):
+        term_suggest(docs, "text", "x", suggest_mode="popular")

@@ -353,3 +353,56 @@ def test_quality_mix_rate_monotonicity(spark):
     large = {r["doc_id"] for r in quality_mix(
         df, "text", "doc_id", cuts=[0.99], rates=[1.0, 0.6]).collect()}
     assert small <= large and len(small) < len(large) < 200
+
+
+def test_unimax_waterfill_allocation(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample,
+    )
+
+    # tiny lang (20 rows), medium (100), huge (1000); budget 600 rows,
+    # max_epochs 3: tiny caps at 60 (3 epochs), the rest waterfills
+    rows = (
+        [(f"a{i}", "tiny") for i in range(20)]
+        + [(f"b{i}", "mid") for i in range(100)]
+        + [(f"c{i}", "big") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, ["key", "lang"])
+    got = unimax_sample(df, "lang", "key", budget=600.0, max_epochs=3.0)
+    counts = {r.lang: r.cnt for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    # tiny exhausted: exactly 3 epochs x 20 = 60 (integral rate, exact)
+    assert counts["tiny"] == 60
+    # remaining 540 split evenly: 270 each (hash sampler => expectation;
+    # mid upsamples 2.7x and big downsamples 0.27x)
+    assert 230 <= counts["mid"] <= 310, counts
+    assert 230 <= counts["big"] <= 310, counts
+    # no source exceeds max_epochs
+    max_epoch = got.agg(F.max("epoch")).collect()[0][0]
+    assert max_epoch <= 3
+
+
+def test_unimax_budget_exceeding_capacity_takes_everything(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", "a" if i < 10 else "b") for i in range(30)],
+        ["key", "lang"],
+    )
+    got = unimax_sample(df, "lang", "key", budget=1e9, max_epochs=2.0)
+    counts = {r.lang: r.cnt for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == {"a": 20, "b": 40}  # every source at full capacity
+
+
+def test_unimax_validation(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample,
+    )
+
+    with pytest.raises(ValueError):
+        unimax_sample(None, "lang", "key", budget=0)
+    with pytest.raises(ValueError):
+        unimax_sample(None, "lang", "key", budget=10, max_epochs=0)
