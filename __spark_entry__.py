@@ -4154,7 +4154,7 @@ WITH win AS (
 SELECT doc_id, ROUND(score, 6) AS score, ROUND(rescore, 6) AS rescore,
        ROUND(score + 500.0 * rescore, 6) AS final_score
 FROM win
-ORDER BY score + 500.0 * rescore DESC, doc_id ASC LIMIT 10
+ORDER BY ROUND(score + 500.0 * rescore, 6) DESC, doc_id ASC LIMIT 10
 """
 
 

@@ -383,10 +383,20 @@ def rescore(
     if window_size <= 0 or k <= 0:
         raise ValueError("window_size and k must be positive")
     rc = F.expr(rescore_col) if isinstance(rescore_col, str) else rescore_col
-    window = (
-        hits.orderBy(F.desc(score_col), F.asc(id_col))
+    # shortlist carries ONLY (id, sort-by) columns so the logical plan
+    # stays Limit(Sort(Project)) — the exact pattern Spark's SpecialLimits
+    # strategy turns into TakeOrderedAndProject. Projecting the rescore
+    # expression on top of the limit instead re-plans it as a GLOBAL
+    # range-partitioned sort (measured; the mrl_topk shortlist-join shape
+    # avoids it), so the expensive column is computed after a join back.
+    window_ids = (
+        hits.select(F.col(id_col), F.col(score_col))
+        .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(window_size)
-        .withColumn("__rescore", rc.cast("double"))
+        .select(id_col)
+    )
+    window = hits.join(F.broadcast(window_ids), id_col).withColumn(
+        "__rescore", rc.cast("double")
     )
     final = (
         F.lit(float(query_weight)) * F.col(score_col).cast("double")
@@ -394,14 +404,14 @@ def rescore(
     )
     return (
         window.withColumn("final_score", final)
-        .orderBy(F.desc("final_score"), F.asc(id_col))
-        .limit(k)
         .select(
             id_col,
             F.round(F.col(score_col).cast("double"), 6).alias("score"),
             F.round("__rescore", 6).alias("rescore"),
             F.round("final_score", 6).alias("final_score"),
         )
+        .orderBy(F.desc("final_score"), F.asc(id_col))
+        .limit(k)
     )
 
 

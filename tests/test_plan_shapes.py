@@ -347,3 +347,92 @@ def test_mrl_topk_two_takeordered_stages(spark):
     p = _plan(out)
     assert p.count("TakeOrderedAndProject") == 2, p
     assert "Sort " not in p or "SortMergeJoin" in p, p
+
+
+def test_intervals_single_projection_no_join(docs):
+    """Position-aware matching stays one codegen'd projection: no
+    explode-generated row expansion, no join, no pre-agg exchange."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    out = docs.where(compile_query({"intervals": {"text.split": {
+        "match": {"query": "alpha beta", "ordered": True, "max_gaps": 1}}}}))
+    out.count()
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert "Generate" not in p, p
+    assert "Join" not in p, p
+    assert "Python" not in p, p
+
+
+def test_random_sampler_filter_before_exchange(docs):
+    """The p-cut must be a residual filter on the scan side — the shuffle
+    sees only sampled rows."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        random_sampler_terms,
+    )
+
+    out = random_sampler_terms(docs, "source", "doc_id", probability=0.5)
+    out.collect()
+    p = _plan(out)
+    assert "TakeOrderedAndProject" in p, p
+    assert "Python" not in p, p
+    # exactly one row-volume exchange (the terms agg)
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_rescore_two_takeordered_cascade(docs):
+    from harmonize_search_analyze_spark.operators.ranking import rescore
+    from pyspark.sql import functions as F
+
+    hits = docs.select("doc_id", F.length("text").alias("score"), "text")
+    out = rescore(hits, "score", F.length("text") * 2, window_size=20, k=5)
+    out.collect()
+    p = _plan(out)
+    assert p.count("TakeOrderedAndProject") == 2, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_search_after_cursor_pushed_to_scan(spark, tmp_path):
+    """The keyset cursor must reach the parquet scan as a pushed filter."""
+    from harmonize_search_analyze_spark.operators.ranking import search_after
+
+    path = str(tmp_path / "sa.parquet")
+    spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 97 AS DOUBLE) AS s"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = search_after(df, "s", (50.0, 10), id_col="doc_id", size=5)
+    out.collect()
+    p = _plan(out)
+    assert "TakeOrderedAndProject" in p, p
+    pushed = p.split("PushedFilters: [", 1)
+    assert len(pushed) == 2, p
+    # the sort-key strict inequality reaches the scan (Or(LessThan..))
+    assert "LessThan" in pushed[1].split("]")[0], p
+
+
+def test_unimax_single_source_agg_plus_broadcast(docs):
+    """Water-fill allocation: one exchange for the per-source totals (the
+    window over it is source-cardinality-sized), broadcast join back,
+    epoch explode — and nothing else touching row volume."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample,
+    )
+
+    out = unimax_sample(docs, "source", "doc_id", budget=100.0)
+    out.count()
+    p = _plan(out)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "Python" not in p, p
+
+
+def test_term_suggest_vocab_agg_broadcast_queries(docs):
+    from harmonize_search_analyze_spark.operators.ranking import term_suggest
+
+    out = term_suggest(docs, "text", "alpah", k=2)
+    out.collect()
+    p = _plan(out)
+    # query-token side broadcasts; corpus text never re-shuffles beyond
+    # the vocab agg + the per-token rank window over candidates
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    assert "Python" not in p, p
