@@ -31,7 +31,7 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.stateful_processor import (
@@ -508,6 +508,103 @@ def near_dup_stream(
         else:
             fresh = new_state
         fresh.write.mode("append").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def bloom_dedup_stream(
+    stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+):
+    """Streaming EXACT dedup against the full ingest history — the
+    unbounded-horizon complement of ``dedup_stream`` (whose
+    dropDuplicatesWithinWatermark state only spans the watermark): every
+    micro-batch keeps only rows whose ``key_col`` has never been ingested,
+    using the persisted Bloom word table as the map-side prefilter and the
+    digest table for the exact verify (``operators/bloom.py`` semantics:
+    Bloom "no" skips the anti-join entirely; the "maybe" sliver — true
+    duplicates plus the FP rate — is re-checked exactly).
+
+    State layout under ``state_path``: ``digests/`` (one 60-bit md5 digest
+    per distinct ingested key — what the verify anti-joins) and ``bloom/``
+    (append-only word-table rows; the probe bit_or-folds them at read, so
+    "merging" filters is just appending — no read-modify-write races with
+    the exactly-once foreachBatch replay).
+
+    Within-batch re-deliveries collapse to the first occurrence by id
+    (pinned MIN) before the history check. New rows append to
+    ``out_path``; their digests and word-table contribution append to
+    state. A replay of a COMPLETED epoch re-checks against state and
+    re-emits nothing; a replay after a partial failure (out written,
+    digests not) can re-append — the out sink is at-least-once per key,
+    dedupable downstream by key, the same contract near_dup_stream's
+    pair sink carries. Returns the started StreamingQuery.
+    """
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+    from harmonize_search_analyze_spark.operators.bloom import (
+        bloom_build,
+        bloom_flag_maybe,
+    )
+
+    digests_path = f"{state_path}/digests"
+    bloom_path = f"{state_path}/bloom"
+    digest = F.expr(hash64_sql(key_col, "spark"))
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key_col).orderBy(id_col)
+        batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumn("__digest", digest)
+        )
+        try:
+            words = spark.read.parquet(bloom_path)
+            have_state = True
+        except Exception:
+            have_state = False
+        if have_state:
+            words = words.groupBy("word_idx").agg(
+                F.bit_or("word").alias("word")
+            )
+            flagged = bloom_flag_maybe(
+                batch, words, key_col, m_bits=m_bits, k=k, seed=seed
+            )
+            sure_new = flagged.where(~F.col("__bloom_maybe")).drop(
+                "__bloom_maybe"
+            )
+            maybe = flagged.where(F.col("__bloom_maybe")).drop("__bloom_maybe")
+            prior = spark.read.parquet(digests_path)
+            verified = maybe.join(
+                prior, maybe["__digest"] == prior["digest"], "left_anti"
+            )
+            new_rows = sure_new.unionByName(verified)
+        else:
+            new_rows = batch
+        new_rows = new_rows.persist()
+        try:
+            new_rows.drop("__digest").write.mode("append").parquet(out_path)
+            new_rows.select(F.col("__digest").alias("digest")).write.mode(
+                "append"
+            ).parquet(digests_path)
+            bloom_build(
+                new_rows, key_col, m_bits=m_bits, k=k, seed=seed
+            ).write.mode("append").parquet(bloom_path)
+        finally:
+            new_rows.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -656,3 +656,56 @@ def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
     state = spark.read.parquet(str(tmp_path / "state"))
     assert state.count() == 6
     assert state.select("doc_id").distinct().count() == 6
+
+
+def test_bloom_dedup_stream_exact_history_dedup(spark, tmp_path):
+    """Streaming Bloom-prefiltered exact dedup: across micro-batches the
+    out sink holds exactly the first occurrence of every distinct text,
+    matching the one-shot batch dedup; digest state is one row per key."""
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.streaming.windows import (
+        bloom_dedup_stream,
+    )
+
+    texts = [
+        (0, "alpha beta"),
+        (1, "gamma delta"),
+        (2, "alpha beta"),       # within-batch dup of 0
+        (3, "epsilon zeta"),
+        (4, "gamma delta"),      # cross-batch dup of 1
+        (5, "eta theta"),
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = tmp_path / "bloom_stream_src"
+    df = spark.createDataFrame(texts, schema)
+    df.where(F.col("doc_id") < 4).coalesce(1).write.mode(
+        "overwrite").parquet(str(src))
+    df.where(F.col("doc_id") >= 4).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = bloom_dedup_stream(
+        stream,
+        str(tmp_path / "bstate"),
+        str(tmp_path / "bout"),
+        str(tmp_path / "bckpt"),
+        m_bits=4096,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(str(tmp_path / "bout"))
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 3, 5]
+    digests = spark.read.parquet(str(tmp_path / "bstate/digests"))
+    assert digests.count() == 4
+    assert digests.distinct().count() == 4
