@@ -4342,6 +4342,30 @@ def _sql_term_suggest() -> str:
     )
 
 
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester: whole-phrase correction of 'fast tabel scann'
+    ranked by an add-alpha bigram LM over the corpus (two hash aggs),
+    per-position candidates from the term-suggester rule, <=125-row
+    combination frame scored by broadcast joins."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        phrase_suggest,
+    )
+
+    return phrase_suggest(
+        _t(spark, sf_dir, "documents"), "text", "fast tabel scann", k=5
+    )
+
+
+def _sql_phrase_suggest() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        phrase_suggest_sql,
+    )
+
+    return phrase_suggest_sql(
+        "documents", "text", "fast tabel scann", "duckdb", k=5
+    )
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4523,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intervals_search": q_intervals_search,
         "unimax": q_unimax,
         "term_suggest": q_term_suggest,
+        "phrase_suggest": q_phrase_suggest,
     }
 
 
@@ -4670,4 +4695,5 @@ def oracle_sql() -> dict[str, str]:
         "intervals_search": _sql_intervals_search(),
         "unimax": _sql_unimax(),
         "term_suggest": _sql_term_suggest(),
+        "phrase_suggest": _sql_phrase_suggest(),
     }

@@ -600,3 +600,231 @@ ranked AS (
 SELECT token, suggestion, distance, freq FROM ranked WHERE rn <= {k}
 ORDER BY token, distance, freq DESC, suggestion
 """
+
+
+def phrase_suggest(
+    df: DataFrame,
+    field: str,
+    text: str,
+    *,
+    max_edits: int = 2,
+    candidates_per_term: int = 5,
+    k: int = 3,
+    prefix_len: int = 1,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """ES ``suggest`` phrase suggester: whole-phrase correction ranked by
+    a corpus language model, not per-token frequency alone — "johnny
+    walker" should beat "johnny walken" even if "walken" is a valid term.
+
+    The published shape ES implements (Lucene's ``PhraseSuggester`` with
+    a Laplace-smoothed bigram model): per input position, generate up to
+    ``candidates_per_term`` vocabulary candidates (the term-suggester
+    rule: shared ``prefix_len`` prefix, Levenshtein <= ``max_edits``,
+    ranked distance/freq — the input token itself is always a candidate
+    when in-vocabulary); form every combination across positions; score
+    each phrase by ``sum_i log P(w_i | w_{i-1})`` with add-``alpha``
+    smoothing over the corpus bigram table; return the top ``k`` phrases
+    (ties pinned by phrase ASC). The input phrase itself is excluded.
+
+    Phrase length is capped at 3 tokens (like the intervals rule): the
+    combination space is candidates_per_term^len, and ES itself beams.
+
+    Scale shape: vocabulary and bigram tables are each ONE hash agg over
+    the corpus (map-side combined; |V| and |bigrams| rows). Candidate
+    generation joins the metadata-sized query-token frame against vocab;
+    the cross-combination frame is <= 125 rows; bigram probabilities
+    attach by broadcast-able joins. The corpus is scanned twice (unigram
+    + bigram pass), never shuffled at row volume.
+
+    Integer determinism: scores sum ``log``s of exact count ratios and
+    round to 6 only at the end — the combination frame is tiny, so both
+    engines fold in the same order; ties are phrase-pinned anyway.
+
+    Returns ``(phrase, score DOUBLE rounded 6)``.
+    """
+    import re as _re2
+
+    if not 1 <= candidates_per_term <= 10:
+        raise ValueError(
+            f"candidates_per_term must be in [1, 10], got {candidates_per_term}"
+        )
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    qtokens = [t for t in _re2.split(r"[^a-zA-Z0-9]+", text.lower()) if t]
+    if not 2 <= len(qtokens) <= 3:
+        raise ValueError(
+            f"phrase_suggest corrects 2-3 token phrases, got {len(qtokens)}"
+        )
+    spark = df.sparkSession
+    toks = tokens_sql(field, "spark")
+    vocab = (
+        df.select(F.explode(F.expr(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    bigrams = (
+        df.select(
+            F.explode(
+                F.expr(
+                    f"zip_with({toks}, slice({toks}, 2, "
+                    f"greatest(size({toks}) - 1, 0)), "
+                    "(a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bg")
+        )
+        .where(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bfreq"))
+    )
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(qtokens)], ["pos", "token"]
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.asc("distance"), F.desc("freq"), F.asc("cand")
+    )
+    cands = (
+        vocab.join(F.broadcast(qdf))
+        .where(
+            (F.substring("term", 1, prefix_len)
+             == F.substring("token", 1, prefix_len))
+            & (F.levenshtein("term", "token") <= max_edits)
+        )
+        .select(
+            "pos",
+            F.col("term").alias("cand"),
+            F.levenshtein("term", "token").cast("int").alias("distance"),
+            "freq",
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= candidates_per_term)
+        .drop("__rn", "distance", "freq")
+    )
+    parts = [
+        cands.where(F.col("pos") == i).select(
+            F.col("cand").alias(f"w{i}")
+        )
+        for i in range(len(qtokens))
+    ]
+    combos = parts[0]
+    for p in parts[1:]:
+        combos = combos.crossJoin(p)
+    n_terms = len(qtokens)
+    v_size = vocab.select(F.count(F.lit(1)).alias("v")).withColumn(
+        "__one", F.lit(1)
+    )
+    combos = combos.withColumn("__one", F.lit(1)).join(
+        F.broadcast(v_size), "__one"
+    )
+    a = float(alpha)
+    score = F.lit(0.0)
+    for i in range(1, n_terms):
+        prev, cur = f"w{i - 1}", f"w{i}"
+        bg = bigrams.select(
+            F.col("bg").alias(f"__bg{i}"), F.col("bfreq").alias(f"__bf{i}")
+        )
+        un = vocab.select(
+            F.col("term").alias(f"__ut{i}"), F.col("freq").alias(f"__uf{i}")
+        )
+        combos = (
+            combos.join(
+                F.broadcast(bg),
+                F.concat_ws(" ", F.col(prev), F.col(cur)) == F.col(f"__bg{i}"),
+                "left",
+            )
+            .join(F.broadcast(un), F.col(prev) == F.col(f"__ut{i}"), "left")
+        )
+        score = score + F.log(
+            (F.coalesce(F.col(f"__bf{i}"), F.lit(0)) + F.lit(a))
+            / (F.coalesce(F.col(f"__uf{i}"), F.lit(0)) + F.lit(a) * F.col("v"))
+        )
+    phrase = F.concat_ws(" ", *[F.col(f"w{i}") for i in range(n_terms)])
+    return (
+        combos.select(phrase.alias("phrase"), F.round(score, 6).alias("score"))
+        .where(F.col("phrase") != " ".join(qtokens))
+        .orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(k)
+    )
+
+
+def phrase_suggest_sql(
+    table: str,
+    field: str,
+    text: str,
+    dialect: str,
+    *,
+    max_edits: int = 2,
+    candidates_per_term: int = 5,
+    k: int = 3,
+    prefix_len: int = 1,
+    alpha: float = 0.5,
+) -> str:
+    """Dual-dialect twin of :func:`phrase_suggest` — same candidate rule,
+    bigram table, add-alpha scoring, and tie pinning on both engines."""
+    import re as _re2
+
+    from harmonize_search_analyze_spark.operators.text import ngrams_sql
+
+    qtokens = [t for t in _re2.split(r"[^a-zA-Z0-9]+", text.lower()) if t]
+    if not 2 <= len(qtokens) <= 3:
+        raise ValueError(
+            f"phrase_suggest corrects 2-3 token phrases, got {len(qtokens)}"
+        )
+    n = len(qtokens)
+    toks = tokens_sql(field, dialect)
+    bigr = ngrams_sql(field, dialect, 2)
+    if dialect == "spark":
+        expl_t = f"SELECT explode({toks}) AS term FROM {table}"
+        expl_b = f"SELECT explode({bigr}) AS bg FROM {table}"
+        concat = lambda a, b: f"concat({a}, ' ', {b})"  # noqa: E731
+    else:
+        expl_t = f"SELECT UNNEST({toks}) AS term FROM {table}"
+        expl_b = f"SELECT UNNEST({bigr}) AS bg FROM {table}"
+        concat = lambda a, b: f"({a} || ' ' || {b})"  # noqa: E731
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(qtokens))
+    c_parts = "\n".join(
+        f"c{i} AS (SELECT cand AS w{i} FROM cands WHERE pos = {i} "
+        f"AND rn <= {candidates_per_term}),"
+        for i in range(n)
+    )
+    cross = " CROSS JOIN ".join(f"c{i}" for i in range(n))
+    joins, terms = [], []
+    for i in range(1, n):
+        joins.append(
+            f"LEFT JOIN bigrams b{i} ON {concat(f'w{i - 1}', f'w{i}')} = b{i}.bg"
+        )
+        joins.append(f"LEFT JOIN vocab u{i} ON w{i - 1} = u{i}.term")
+        terms.append(
+            f"LN((COALESCE(b{i}.bfreq, 0) + {alpha!r}) / "
+            f"(COALESCE(u{i}.freq, 0) + {alpha!r} * v.v))"
+        )
+    phrase = concat("w0", "w1") if n == 2 else concat(concat("w0", "w1"), "w2")
+    return f"""
+WITH vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM ({expl_t}) e GROUP BY term
+),
+bigrams AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS bfreq FROM ({expl_b}) e GROUP BY bg
+),
+q(pos, token) AS (VALUES {vals}),
+cands AS (
+  SELECT q.pos, vb.term AS cand,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.pos
+           ORDER BY levenshtein(vb.term, q.token) ASC, vb.freq DESC,
+                    vb.term ASC
+         ) AS rn
+  FROM vocab vb JOIN q
+    ON SUBSTRING(vb.term, 1, {prefix_len}) = SUBSTRING(q.token, 1, {prefix_len})
+   AND levenshtein(vb.term, q.token) <= {max_edits}
+),
+{c_parts}
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab)
+SELECT {phrase} AS phrase,
+       ROUND({" + ".join(terms)}, 6) AS score
+FROM {cross} CROSS JOIN v
+{chr(10).join(joins)}
+WHERE {phrase} <> '{" ".join(qtokens)}'
+ORDER BY score DESC, phrase ASC
+LIMIT {k}
+"""

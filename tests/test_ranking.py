@@ -257,3 +257,40 @@ def test_term_suggest_always_mode_and_validation(spark):
         term_suggest(docs, "text", "...")
     with pytest.raises(ValueError):
         term_suggest(docs, "text", "x", suggest_mode="popular")
+
+
+def test_phrase_suggest_prefers_frequent_bigram(spark):
+    from harmonize_search_analyze_spark.operators.ranking import (
+        phrase_suggest,
+    )
+
+    rows = [
+        (1, "new york city"), (2, "new york city"), (3, "new york times"),
+        (4, "york minster"), (5, "new yonk once"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = phrase_suggest(df, "text", "new yrok", k=3).collect()
+    # 'new york' (bigram freq 3) must rank above 'new yonk' (freq 1)
+    assert got[0].phrase == "new york"
+    phrases = [r.phrase for r in got]
+    assert "new yonk" in phrases
+    assert phrases.index("new york") < phrases.index("new yonk")
+    # the raw input phrase is never suggested
+    assert "new yrok" not in phrases
+
+
+def test_phrase_suggest_validation(spark):
+    import pytest
+    from harmonize_search_analyze_spark.operators.ranking import (
+        phrase_suggest,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        phrase_suggest(df, "text", "single")
+    with pytest.raises(ValueError):
+        phrase_suggest(df, "text", "a b c d")
+    with pytest.raises(ValueError):
+        phrase_suggest(df, "text", "a b", candidates_per_term=0)
+    with pytest.raises(ValueError):
+        phrase_suggest(df, "text", "a b", alpha=0)
