@@ -4366,6 +4366,65 @@ def _sql_phrase_suggest() -> str:
     )
 
 
+_NESTED_AST = {
+    "nested": {
+        "path": "orders",
+        "query": {"bool": {"must": [
+            {"term": {"orders.status": "F"}},
+            {"range": {"orders.total": {"gt": 250000.0}}},
+        ]}},
+    }
+}
+
+
+def q_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested query: per-customer order arrays (built in-plan via
+    sort_array(collect_list(struct))) matched with PER-OBJECT correlation —
+    at least one order that is BOTH status F AND total > 250k, which
+    flattened fields cannot express. One codegen'd EXISTS lambda."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("okey"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").alias("total"),
+                )
+            )
+        ).alias("orders")
+    )
+    return (
+        nested.where(compile_query(_NESTED_AST))
+        .select(F.col("o_custkey"), F.size("orders").alias("n_orders"))
+        .orderBy("o_custkey")
+    )
+
+
+def _sql_nested_query() -> str:
+    from harmonize_search_analyze_spark.plans.compiler import (
+        nested_exists_sql,
+    )
+
+    cond = nested_exists_sql(
+        "orders", _NESTED_AST["nested"]["query"], "duckdb"
+    )
+    return f"""
+WITH nested AS (
+  SELECT o_custkey,
+         list_sort(list(struct_pack(
+           okey := o_orderkey, status := o_orderstatus, total := o_totalprice
+         ))) AS orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, CAST(len(orders) AS INT) AS n_orders FROM nested
+WHERE {cond}
+ORDER BY o_custkey
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4548,6 +4607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax": q_unimax,
         "term_suggest": q_term_suggest,
         "phrase_suggest": q_phrase_suggest,
+        "nested_query": q_nested_query,
     }
 
 
@@ -4696,4 +4756,5 @@ def oracle_sql() -> dict[str, str]:
         "unimax": _sql_unimax(),
         "term_suggest": _sql_term_suggest(),
         "phrase_suggest": _sql_phrase_suggest(),
+        "nested_query": _sql_nested_query(),
     }

@@ -444,6 +444,100 @@ def _intervals(body: dict[str, Any]) -> Column:
     return F.expr(sql)
 
 
+def _sql_literal(v: Any) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        if "'" in v or "\\" in v:
+            raise QueryCompileError(
+                f"nested literal may not contain quotes/backslashes: {v!r}"
+            )
+        return f"'{v}'"
+    raise QueryCompileError(f"unsupported nested literal: {v!r}")
+
+
+def nested_pred_sql(
+    query: dict[str, Any], path: str, var: str, dialect: str
+) -> str:
+    """Boolean SQL over one array element ``var`` for the inner query of
+    an ES ``nested`` clause. Restricted grammar (term/terms/range/exists +
+    bool composition) — the subset that preserves nested semantics as a
+    pure lambda predicate; field names must be ``path.sub`` per ES and
+    map to struct member access. Dialect-parametric so the DuckDB oracle
+    replays the identical predicate."""
+    if not isinstance(query, dict) or len(query) != 1:
+        raise QueryCompileError(f"nested inner query must have one key: {query!r}")
+    (kind, body), = query.items()
+
+    def fld(name: str) -> str:
+        prefix = path + "."
+        if not name.startswith(prefix):
+            raise QueryCompileError(
+                f"nested field {name!r} must start with {prefix!r}"
+            )
+        return f"{var}.{name[len(prefix):]}"
+
+    if kind in ("term", "match"):
+        (name, value), = body.items()
+        return f"{fld(name)} = {_sql_literal(value)}"
+    if kind == "terms":
+        (name, values), = body.items()
+        if not values:
+            return "FALSE"
+        lits = ", ".join(_sql_literal(v) for v in values)
+        return f"{fld(name)} IN ({lits})"
+    if kind == "range":
+        (name, spec), = body.items()
+        parts = []
+        for key, op in (("gte", ">="), ("gt", ">"), ("lte", "<="), ("lt", "<")):
+            if spec.get(key) is not None:
+                parts.append(f"{fld(name)} {op} {_sql_literal(spec[key])}")
+        return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
+    if kind == "exists":
+        return f"{fld(body['field'])} IS NOT NULL"
+    if kind == "bool":
+        parts = []
+        for clause in (body.get("must") or []) + (body.get("filter") or []):
+            parts.append(nested_pred_sql(clause, path, var, dialect))
+        should = [
+            nested_pred_sql(c, path, var, dialect)
+            for c in body.get("should") or []
+        ]
+        if should:
+            parts.append("(" + " OR ".join(should) + ")")
+        for clause in body.get("must_not") or []:
+            inner = nested_pred_sql(clause, path, var, dialect)
+            parts.append(f"(NOT COALESCE({inner}, FALSE))")
+        return "(" + " AND ".join(parts) + ")" if parts else "TRUE"
+    raise QueryCompileError(f"unsupported nested inner query: {kind!r}")
+
+
+def nested_exists_sql(
+    path: str, query: dict[str, Any], dialect: str, *, var: str = "__nx"
+) -> str:
+    """Full nested predicate: at least one element of the ``path`` array
+    satisfies ALL inner conditions TOGETHER — the per-object correlation
+    flattened fields lose, which is the entire point of ES nested docs."""
+    pred = nested_pred_sql(query, path, var, dialect)
+    if dialect == "spark":
+        return f"exists({path}, {var} -> {pred})"
+    return f"len(list_filter({path}, {var} -> {pred})) > 0"
+
+
+def _nested(body: dict[str, Any]) -> Column:
+    """ES ``nested`` query compiled to a single EXISTS lambda over the
+    array-of-structs column — one codegen'd projection, no explode."""
+    path = body.get("path")
+    if not path:
+        raise QueryCompileError("nested requires a path")
+    query = body.get("query")
+    if not query:
+        raise QueryCompileError("nested requires a query")
+    return F.expr(nested_exists_sql(path, query, "spark"))
+
+
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
@@ -489,6 +583,7 @@ _HANDLERS = {
     "combined_fields": _combined_fields,
     "simple_query_string": _simple_query_string,
     "intervals": _intervals,
+    "nested": _nested,
 }
 
 

@@ -412,3 +412,46 @@ def test_intervals_validation(spark):
         compile_query({"intervals": {"text": {
             "all_of": {"ordered": True, "intervals": [
                 {"match": {"query": "a"}}, {"match": {"query": "b"}}]}}}})
+
+
+def test_nested_query_per_object_correlation(spark):
+    from pyspark.sql import functions as F
+
+    # customer 1: order (F, 100) and (O, 900) — flattened fields would
+    # match "status F AND total > 500", nested semantics must NOT
+    rows = [
+        (1, [("F", 100.0), ("O", 900.0)]),
+        (2, [("F", 700.0)]),
+        (3, []),
+        (4, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, orders array<struct<status string, total double>>"
+    )
+    ast = {"nested": {"path": "orders", "query": {"bool": {"must": [
+        {"term": {"orders.status": "F"}},
+        {"range": {"orders.total": {"gt": 500.0}}},
+    ]}}}}
+    got = sorted(r["id"] for r in df.where(compile_query(ast)).collect())
+    assert got == [2]  # the correlation test
+    # single-clause forms
+    assert sorted(r["id"] for r in df.where(compile_query(
+        {"nested": {"path": "orders",
+                    "query": {"term": {"orders.status": "O"}}}})).collect()) == [1]
+    assert sorted(r["id"] for r in df.where(compile_query(
+        {"nested": {"path": "orders",
+                    "query": {"terms": {"orders.status": ["F", "O"]}}}}
+    )).collect()) == [1, 2]
+
+
+def test_nested_query_validation(spark):
+    with pytest.raises(QueryCompileError):
+        compile_query({"nested": {"query": {"term": {"x.y": 1}}}})
+    with pytest.raises(QueryCompileError):
+        compile_query({"nested": {"path": "p"}})
+    with pytest.raises(QueryCompileError):
+        compile_query({"nested": {"path": "p",
+                                  "query": {"term": {"wrong.f": 1}}}})
+    with pytest.raises(QueryCompileError):
+        compile_query({"nested": {"path": "p",
+                                  "query": {"term": {"p.f": "a'b"}}}})
