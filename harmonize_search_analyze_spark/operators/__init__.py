@@ -10,9 +10,23 @@ from harmonize_search_analyze_spark.operators.kibana import (
     panels_from_export,
     parse_saved_objects,
 )
+from harmonize_search_analyze_spark.operators.bloom import (
+    bloom_build,
+    bloom_dedup,
+    bloom_merge,
+)
+from harmonize_search_analyze_spark.operators.dsir import (
+    dsir_sample,
+    dsir_weights,
+)
 from harmonize_search_analyze_spark.operators.profiler import build_data_dict
 
 __all__ = [
+    "bloom_build",
+    "bloom_dedup",
+    "bloom_merge",
+    "dsir_sample",
+    "dsir_weights",
     "build_data_dict",
     "dashboard_from_export",
     "panels_from_export",

@@ -33,10 +33,13 @@ class Catalog:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._datasets: dict[str, DataFrame] = {}
+        self._aliases: dict[str, tuple[str, dict | None]] = {}
 
     # -- index lifecycle (esindex.py:53-114 equivalents) -------------------
     def register(self, name: str, df: DataFrame) -> None:
         """createOrReplaceIndex: idempotent (re)registration."""
+        if name in self._aliases:
+            raise ValueError(f"name {name!r} is taken by an alias")
         self._datasets[name] = df
 
     def drop(self, pattern: str = "*") -> list[str]:
@@ -55,7 +58,19 @@ class Catalog:
 
     def resolve(self, pattern: str) -> DataFrame:
         """Union every dataset matching an index pattern, by column name,
-        null-padding columns a member lacks (ES multi-index semantics)."""
+        null-padding columns a member lacks (ES multi-index semantics).
+        An alias name resolves through its target pattern, applying the
+        alias filter when one was attached."""
+        if pattern in self._aliases:
+            target, filter_ast = self._aliases[pattern]
+            df = self.resolve(target)
+            if filter_ast is not None:
+                from harmonize_search_analyze_spark.plans.compiler import (
+                    compile_query,
+                )
+
+                df = df.where(compile_query(filter_ast))
+            return df
         names = self.resolve_names(pattern)
         if not names:
             raise KeyError(f"no datasets match index pattern {pattern!r}")
@@ -63,6 +78,28 @@ class Catalog:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
+
+    # -- index aliases (the ES _aliases API surface) -----------------------
+    def create_alias(
+        self, alias: str, target: str, *, filter: dict | None = None
+    ) -> None:
+        """ES index alias: a stable name over an index pattern, optionally
+        FILTERED (ES's filtered alias — e.g. a per-tenant slice). The
+        alias resolves lazily: indices registered after alias creation
+        that match the target pattern are included, exactly like ES.
+        The filter is a query-DSL AST compiled by ``plans.compiler`` —
+        pushed into each union branch by Catalyst, so member-level
+        parquet pruning survives the aliasing."""
+        if alias in self._datasets:
+            raise ValueError(f"alias {alias!r} collides with a dataset name")
+        self._aliases[alias] = (target, filter)
+
+    def drop_alias(self, alias: str) -> None:
+        del self._aliases[alias]
+
+    def aliases(self) -> dict[str, str]:
+        """alias -> target pattern (filters not shown)."""
+        return {a: t for a, (t, _f) in sorted(self._aliases.items())}
 
     # -- schema (database) DDL (S4: Baltimore-notebook.ipynb:893-899) ------
     def create_schema(self, name: str, comment: str = "") -> None:

@@ -34,6 +34,14 @@ FAMILY = [
     "incremental_dedup",
     "token_budget_sample",
     "quality_mix",
+    # round-3 session-3 additions (documents/embeddings-only queries)
+    "dsir_sample",
+    "bloom_dedup",
+    "intervals_search",
+    "term_suggest",
+    "phrase_suggest",
+    "unimax",
+    "knn_filtered",
 ]
 
 M1_DIR = "/tmp/sparkgraft_m1"

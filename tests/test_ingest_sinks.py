@@ -55,3 +55,35 @@ def test_partitioned_parquet_sink_prunes(spark, tmp_path):
     plan = plan.split("== Initial Plan ==")[0]
     # partition filter, not a data filter: pruned at planning time
     assert "PartitionFilters" in plan and "baltimore" in plan
+
+
+def test_catalog_aliases(spark):
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("la_harmonized", spark.createDataFrame(
+        [(1, "LA", "theft")], ["id", "city", "crime"]))
+    cat.register("bmore_harmonized", spark.createDataFrame(
+        [(2, "BAL", "assault")], ["id", "city", "crime"]))
+    # plain alias over a pattern — lazily resolved
+    cat.create_alias("crimes", "*_harmonized")
+    assert cat.resolve("crimes").count() == 2
+    # indices registered AFTER alias creation are included (ES behavior)
+    cat.register("sf_harmonized", spark.createDataFrame(
+        [(3, "SF", "theft")], ["id", "city", "crime"]))
+    assert cat.resolve("crimes").count() == 3
+    assert cat.aliases() == {"crimes": "*_harmonized"}
+    # filtered alias: a query-DSL slice
+    cat.create_alias("thefts", "*_harmonized",
+                     filter={"term": {"crime": "theft"}})
+    got = sorted(r.id for r in cat.resolve("thefts").collect())
+    assert got == [1, 3]
+    # collisions both directions
+    import pytest
+    with pytest.raises(ValueError):
+        cat.create_alias("la_harmonized", "*")
+    with pytest.raises(ValueError):
+        cat.register("crimes", spark.range(1))
+    cat.drop_alias("thefts")
+    with pytest.raises(KeyError):
+        cat.resolve("thefts")
