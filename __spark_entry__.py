@@ -4425,6 +4425,65 @@ ORDER BY o_custkey
 """
 
 
+def q_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global curriculum rank (quality proxy: n_chars DESC,
+    doc_id tiebreak) WITHOUT a single-reducer window: range partition,
+    parallel per-partition row_number, broadcast per-partition offsets."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        global_order,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_order(
+        docs, ["n_chars", "doc_id"], ascending=False
+    ).orderBy("doc_id")
+
+
+def _sql_global_order() -> str:
+    from harmonize_search_analyze_spark.operators.ordering import (
+        global_order_sql,
+    )
+
+    inner = global_order_sql(
+        "documents", ["n_chars", "doc_id"], ["doc_id", "n_chars"],
+        ascending=False,
+    )
+    return f"SELECT * FROM ({inner}) g ORDER BY doc_id"
+
+
+def q_assign_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split labels (96/2/2) from the
+    portable sampling hash — pure map, append-safe, engine-identical."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        assign_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_split(
+            docs, "doc_id", {"train": 0.96, "val": 0.02, "test": 0.02}
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+def _sql_assign_split() -> str:
+    from harmonize_search_analyze_spark.operators.ordering import (
+        assign_split_sql,
+    )
+
+    inner = assign_split_sql(
+        "documents", "doc_id", {"train": 0.96, "val": 0.02, "test": 0.02},
+        ["doc_id"], "duckdb",
+    )
+    return f"""
+SELECT split, COUNT(*) AS n_docs FROM ({inner}) s
+GROUP BY split ORDER BY split
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4608,6 +4667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_suggest": q_term_suggest,
         "phrase_suggest": q_phrase_suggest,
         "nested_query": q_nested_query,
+        "global_order": q_global_order,
+        "assign_split": q_assign_split,
     }
 
 
@@ -4757,4 +4818,6 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": _sql_term_suggest(),
         "phrase_suggest": _sql_phrase_suggest(),
         "nested_query": _sql_nested_query(),
+        "global_order": _sql_global_order(),
+        "assign_split": _sql_assign_split(),
     }

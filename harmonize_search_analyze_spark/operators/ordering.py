@@ -1,0 +1,178 @@
+"""Global ordering and dataset splitting for training-data pipelines.
+
+Two pipeline primitives every corpus-to-training handoff needs:
+
+- ``global_order``: a contiguous 0..N-1 rank in a total order (curriculum
+  ordering, reproducible shard assignment, resumable export cursors).
+  The naive ``row_number() OVER (ORDER BY ...)`` is a SINGLE-REDUCER
+  window — one task sorts the planet. The scalable classic:
+  range-partition by the sort key, rank WITHIN each partition (parallel —
+  the window is partitioned by partition id), and add per-partition
+  offsets computed from a partition-count pass (metadata: one row per
+  partition, broadcast back). Total cost = the same range shuffle a
+  global sort pays, plus a count pass; no serial stage anywhere.
+- ``assign_split``: deterministic train/validation/test labeling from the
+  portable sampling hash — a pure map (zero shuffles), reproducible
+  across runs/partitionings/engines, independent of row order (the
+  property random() splits lack).
+
+Dual-dialect: the DuckDB oracles replay ``ROW_NUMBER() OVER (ORDER BY
+...)`` (tiny data — the oracle checks VALUES; the plan shape is what the
+Spark side is for) and the same hash-threshold CASE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.sampling import (
+    HASH_BUCKETS,
+    sample_hash_sql,
+)
+
+
+def global_order(
+    df: DataFrame,
+    sort_cols: list[str],
+    *,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """Contiguous 0-based global rank over ``sort_cols`` (ties broken by
+    the column list itself — include a unique id as the last sort column
+    for a total order; otherwise tied rows get an arbitrary-but-
+    deterministic order within the tie).
+
+    Plan: ``repartitionByRange(sort_cols)`` -> per-partition
+    ``row_number()`` windows keyed by ``spark_partition_id()`` (all
+    partitions rank in parallel) -> broadcast join of per-partition
+    offsets (one row per partition). The range exchange is the ONLY
+    row-volume shuffle; the offset pass reuses the partitioned frame.
+    """
+    if not sort_cols:
+        raise ValueError("sort_cols must be non-empty")
+    order = [
+        F.col(c).asc() if ascending else F.col(c).desc() for c in sort_cols
+    ]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # within-partition rank: window PARTITIONED by pid -> parallel
+    w = Window.partitionBy("__pid").orderBy(*order)
+    ranked = ranged.withColumn("__local", F.row_number().over(w))
+    counts = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    offsets = counts.select(
+        "__pid",
+        (
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("__offset"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (F.col("__offset") + F.col("__local") - 1).cast("bigint"),
+        )
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def global_order_sql(
+    table: str,
+    sort_cols: list[str],
+    columns: list[str],
+    *,
+    out_col: str = "rank",
+    ascending: bool = True,
+) -> str:
+    """Oracle twin: the single-window form (fine at oracle scale)."""
+    direction = "ASC" if ascending else "DESC"
+    order = ", ".join(f"{c} {direction}" for c in sort_cols)
+    cols = ", ".join(columns)
+    return f"""
+SELECT {cols},
+       CAST(ROW_NUMBER() OVER (ORDER BY {order}) - 1 AS BIGINT) AS {out_col}
+FROM {table}
+"""
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    *,
+    out_col: str = "split",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic dataset split: label each row with the name of the
+    hash-bucket range its key falls into. ``fractions`` maps label ->
+    fraction and must sum to 1 (+-1e-9); labels are assigned contiguous
+    bucket ranges in SORTED label order, so the same (key, seed,
+    fractions) always lands in the same split — append-safe, engine-
+    portable, and disjoint by construction. Pure map, zero shuffles.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    h = F.expr(sample_hash_sql(key_col, "spark", seed=seed))
+    bounds, acc = [], 0.0
+    items = sorted(fractions.items())
+    for label, frac in items:
+        acc += frac
+        bounds.append((label, int(round(acc * HASH_BUCKETS))))
+    bounds[-1] = (bounds[-1][0], HASH_BUCKETS)  # close rounding gaps
+    # ascending CASE chain: first matching upper bound wins
+    expr = None
+    for label, hi in bounds[:-1]:
+        cond = h < F.lit(hi)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    last = F.lit(bounds[-1][0])
+    return df.withColumn(
+        out_col, last if expr is None else expr.otherwise(last)
+    )
+
+
+def assign_split_sql(
+    table: str,
+    key_col: str,
+    fractions: dict[str, float],
+    columns: list[str],
+    dialect: str,
+    *,
+    out_col: str = "split",
+    seed: int = 42,
+) -> str:
+    """Dual-dialect twin of :func:`assign_split`."""
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+    bounds, acc = [], 0.0
+    items = sorted(fractions.items())
+    for label, frac in items:
+        acc += frac
+        bounds.append((label, int(round(acc * HASH_BUCKETS))))
+    bounds[-1] = (bounds[-1][0], HASH_BUCKETS)
+    branches = "".join(
+        f"WHEN {h} < {hi} THEN '{label}' " for label, hi in bounds[:-1]
+    )
+    case = f"(CASE {branches}ELSE '{bounds[-1][0]}' END)"
+    cols = ", ".join(columns)
+    return f"SELECT {cols}, {case} AS {out_col} FROM {table}"

@@ -520,17 +520,30 @@ def term_suggest(
         .where(F.col("freq") >= min_freq)
     )
     qdf = spark.createDataFrame([(t,) for t in dict.fromkeys(qtokens)], ["token"])
+    # prefix as an explicit EQUI-join key: a combined on-clause plans as a
+    # BroadcastNestedLoopJoin running levenshtein over |V| x |tokens|
+    # pairs (measured 20x super-linear at mult=10); hash-joining on the
+    # prefix first leaves the edit distance only same-prefix pairs
     cands = (
-        vocab.join(F.broadcast(qdf))
-        .where(
-            (F.substring("term", 1, prefix_len)
-             == F.substring("token", 1, prefix_len))
-            & (F.levenshtein("term", "token") <= max_edits)
+        vocab.withColumn("__pfx", F.substring("term", 1, prefix_len))
+        .join(
+            F.broadcast(
+                qdf.withColumn("__pfx", F.substring("token", 1, prefix_len))
+            ),
+            "__pfx",
         )
+        .drop("__pfx")
+        # 3-arg levenshtein early-exits above the bound (returns -1) —
+        # the oracle's 2-arg form computes the same value within bound
+        .withColumn(
+            "distance",
+            F.expr(f"levenshtein(term, token, {max_edits})").cast("int"),
+        )
+        .where(F.col("distance") >= 0)
         .select(
             "token",
             F.col("term").alias("suggestion"),
-            F.levenshtein("term", "token").cast("int").alias("distance"),
+            "distance",
             "freq",
         )
     )
@@ -684,18 +697,20 @@ def phrase_suggest(
         F.asc("distance"), F.desc("freq"), F.asc("cand")
     )
     cands = (
-        vocab.join(F.broadcast(qdf))
-        .where(
-            (F.substring("term", 1, prefix_len)
-             == F.substring("token", 1, prefix_len))
-            & (F.levenshtein("term", "token") <= max_edits)
+        vocab.withColumn("__pfx", F.substring("term", 1, prefix_len))
+        .join(
+            F.broadcast(
+                qdf.withColumn("__pfx", F.substring("token", 1, prefix_len))
+            ),
+            "__pfx",
         )
-        .select(
-            "pos",
-            F.col("term").alias("cand"),
-            F.levenshtein("term", "token").cast("int").alias("distance"),
-            "freq",
+        .drop("__pfx")
+        .withColumn(
+            "distance",
+            F.expr(f"levenshtein(term, token, {max_edits})").cast("int"),
         )
+        .where(F.col("distance") >= 0)
+        .select("pos", F.col("term").alias("cand"), "distance", "freq")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= candidates_per_term)
         .drop("__rn", "distance", "freq")

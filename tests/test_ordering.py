@@ -1,0 +1,117 @@
+"""global_order (distributed contiguous rank) and assign_split
+(deterministic hash splitting): correctness vs the single-window form,
+partitioning invariance, plan shape, split disjointness/stability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.ordering import (
+    assign_split,
+    global_order,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    return spark.createDataFrame(rows, ["doc_id", "quality"])
+
+
+def test_global_order_matches_single_window(docs):
+    got = {
+        r.doc_id: r.rank
+        for r in global_order(docs, ["quality", "doc_id"]).collect()
+    }
+    from pyspark.sql import Window
+
+    want = {
+        r.doc_id: r.rank
+        for r in docs.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.asc("quality"), F.asc("doc_id"))
+            )
+            - 1,
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(500))  # contiguous 0..N-1
+
+
+def test_global_order_partitioning_invariant(docs):
+    a = {r.doc_id: r.rank for r in global_order(
+        docs, ["quality", "doc_id"], num_partitions=3).collect()}
+    b = {r.doc_id: r.rank for r in global_order(
+        docs.repartition(13), ["quality", "doc_id"], num_partitions=7
+    ).collect()}
+    assert a == b
+
+
+def test_global_order_descending_and_validation(docs):
+    top = (
+        global_order(docs, ["quality", "doc_id"], ascending=False)
+        .where(F.col("rank") == 0)
+        .collect()
+    )
+    assert len(top) == 1 and top[0].quality == 100
+    with pytest.raises(ValueError):
+        global_order(docs, [])
+
+
+def test_global_order_no_single_reducer_window(docs):
+    """The ranking window must be partitioned (parallel), never a global
+    row_number: no SinglePartition exchange feeding a Window."""
+    out = global_order(docs, ["quality", "doc_id"], num_partitions=4)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    windows = [
+        seg for seg in plan.split("\n") if "Window" in seg and "__local" in seg
+    ]
+    assert windows, plan
+    # the row-volume window runs partitioned by __pid — the plan's only
+    # SinglePartition exchange may feed the metadata-sized offsets frame,
+    # never the ranked row stream (which arrives range-partitioned)
+    assert "partitionBy=[__pid]" in windows[0] or "__pid" in windows[0], plan
+
+
+def test_assign_split_disjoint_stable_and_proportional(docs):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_split(docs, "doc_id", fr)
+    counts = {r.split: r.c for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 500
+    assert counts["train"] > 350  # ~400 expected
+    # stability: same labels on a repartitioned frame
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in assign_split(
+        docs.repartition(11), "doc_id", fr).collect()}
+    assert a == b
+    # append-safety: adding rows never relabels existing keys
+    more = docs.sparkSession.createDataFrame(
+        [(10_000 + i, 0) for i in range(50)], ["doc_id", "quality"]
+    )
+    c = {r.doc_id: r.split for r in assign_split(
+        docs.unionByName(more), "doc_id", fr).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_assign_split_validation(docs):
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", {})
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", {"a": 1.5, "b": -0.5})
+
+
+def test_assign_split_is_map_only(docs):
+    out = assign_split(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
