@@ -156,22 +156,53 @@ def dsir_weights(
     is an exact integer on both engines (see module docstring), so the
     oracle comparison carries no float tolerance at all.
     """
-    ratios = dsir_bucket_ratios(
-        docs, target_pred, text_col=text_col, m=m, alpha=alpha
-    )
-    doc_buckets = docs.select(
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    # ONE gram explosion shared by the fit and weight aggregations — the
+    # tokenize+explode pass dominates (measured ~40% of wall at sf0.1
+    # when run twice); persisted and tethered to the returned frame
+    bucketed = docs.select(
         F.col(doc_id).alias("__id"),
+        F.expr(target_pred).cast("int").alias("__is_tgt"),
         F.explode(F.expr(_grams_sql(text_col, "spark"))).alias("__gram"),
-    ).select("__id", F.expr(_bucket_sql("__gram", "spark", m)).alias("bucket"))
+    ).select(
+        "__id",
+        "__is_tgt",
+        F.expr(_bucket_sql("__gram", "spark", m)).alias("bucket"),
+    ).persist()
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum("__is_tgt").alias("__t"),
+        F.count(F.lit(1)).alias("__r"),
+    )
+    totals = per_bucket.agg(
+        F.sum("__t").alias("__tt"), F.sum("__r").alias("__rt")
+    )
+    a = float(alpha)
+    ratios = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("__t") + a) / (F.col("__tt") + F.lit(a * m)))
+                - F.log((F.col("__r") + a) / (F.col("__rt") + F.lit(a * m)))
+            )
+            * F.lit(1_000_000.0)
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
     sums = (
-        doc_buckets.join(F.broadcast(ratios), "bucket")
+        bucketed.join(F.broadcast(ratios), "bucket")
         .groupBy("__id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
             F.sum("lr_micro").cast("bigint").alias("logw_micro"),
         )
     )
-    return (
+    out = (
         docs.select(F.col(doc_id).alias("__id"))
         .join(sums, "__id", "left")
         .select(
@@ -180,6 +211,7 @@ def dsir_weights(
             F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
         )
     )
+    return tether(out, bucketed)
 
 
 def dsir_sample(
