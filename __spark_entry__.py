@@ -4484,6 +4484,89 @@ GROUP BY split ORDER BY split
 """
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval API: three 'queries' (en/fr/zh language intents),
+    each retrieving the global top-10 docs by length; graded judgments
+    derive from language match (2 when the doc's lang equals the intent).
+    Per-query precision@10 / recall@10 / MRR / NDCG@10, ES formulas."""
+    from harmonize_search_analyze_spark.operators.ranking import rank_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    langs = spark.createDataFrame(
+        [("en",), ("fr",), ("zh",)], ["query_id"]
+    )
+    top10 = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    results = langs.crossJoin(
+        top10.withColumn("rank", F.row_number().over(w))
+    ).select("query_id", "doc_id", "rank")
+    ratings = langs.join(
+        docs.select("doc_id", "lang"),
+        langs["query_id"] == F.col("lang"),
+    ).select("query_id", "doc_id", F.lit(2).alias("rating"))
+    return rank_eval(results, ratings, k=10)
+
+
+def _sql_rank_eval() -> str:
+    return """
+WITH langs(query_id) AS (VALUES ('en'), ('fr'), ('zh')),
+top10 AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+    ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+),
+results AS (
+  SELECT l.query_id, t.doc_id, t.rank FROM langs l CROSS JOIN top10 t
+),
+ratings AS (
+  SELECT l.query_id, d.doc_id, 2 AS rating
+  FROM langs l JOIN documents d ON d.lang = l.query_id
+),
+joined AS (
+  SELECT r.query_id, r.rank, COALESCE(g.rating, 0) AS rating
+  FROM results r LEFT JOIN ratings g
+    ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+),
+per_q AS (
+  SELECT query_id, COUNT(*) AS retrieved,
+         SUM(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS rel_ret,
+         MIN(CASE WHEN rating >= 1 THEN rank END) AS first_rel,
+         SUM((POW(2.0, rating) - 1) / (LN(rank + 1) / LN(2))) AS dcg
+  FROM joined GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id,
+         SUM((POW(2.0, rating) - 1) / (LN(irank + 1) / LN(2))) AS idcg
+  FROM (
+    SELECT query_id, rating, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rating DESC, doc_id ASC) AS irank
+    FROM ratings
+  ) x WHERE irank <= 10 GROUP BY query_id
+),
+totals AS (
+  SELECT query_id,
+         SUM(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS n_rel
+  FROM ratings GROUP BY query_id
+)
+SELECT p.query_id,
+       ROUND(CAST(p.rel_ret AS DOUBLE) / p.retrieved, 6) AS precision_k,
+       ROUND(CASE WHEN COALESCE(t.n_rel, 0) > 0
+                  THEN CAST(p.rel_ret AS DOUBLE) / t.n_rel ELSE 0.0 END, 6)
+         AS recall_k,
+       ROUND(COALESCE(1.0 / p.first_rel, 0.0), 6) AS mrr,
+       ROUND(CASE WHEN COALESCE(i.idcg, 0.0) > 0
+                  THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_k
+FROM per_q p
+LEFT JOIN ideal i ON p.query_id = i.query_id
+LEFT JOIN totals t ON p.query_id = t.query_id
+ORDER BY p.query_id
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4669,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_query": q_nested_query,
         "global_order": q_global_order,
         "assign_split": q_assign_split,
+        "rank_eval": q_rank_eval,
     }
 
 
@@ -4820,4 +4904,5 @@ def oracle_sql() -> dict[str, str]:
         "nested_query": _sql_nested_query(),
         "global_order": _sql_global_order(),
         "assign_split": _sql_assign_split(),
+        "rank_eval": _sql_rank_eval(),
     }

@@ -843,3 +843,108 @@ WHERE {phrase} <> '{" ".join(qtokens)}'
 ORDER BY score DESC, phrase ASC
 LIMIT {k}
 """
+
+
+def rank_eval(
+    results: DataFrame,
+    ratings: DataFrame,
+    *,
+    k: int = 10,
+    relevant_threshold: int = 1,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rating_col: str = "rating",
+) -> DataFrame:
+    """ES ``_rank_eval`` API: score ranked retrieval lists against graded
+    relevance judgments. Per query: ``precision_k`` (relevant retrieved /
+    retrieved-in-top-k, ES's precision definition), ``recall_k``
+    (relevant retrieved / all relevant), ``mrr`` (1 / first relevant
+    rank, 0 when none), and ``ndcg_k`` with the exponential gain ES uses
+    (``(2^rating - 1) / log2(rank + 1)``, ideal DCG from the query's own
+    ratings sorted descending; 0 when IDCG is 0).
+
+    ``results`` carries (query, doc, 1-based rank); ``ratings`` carries
+    (query, doc, integer rating); unjudged retrieved docs count as
+    rating 0 (ES default). Returns one row per query with all four
+    metrics rounded to 6, ordered by query.
+
+    Scale shape: one broadcast-able join of top-k results to ratings +
+    two hash aggs keyed by query (the ideal-DCG side aggregates the
+    ratings table per query) — evaluation cost tracks |results| + |ratings|,
+    never a corpus.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    q, d, r = F.col(query_col), F.col(doc_col), F.col(rank_col)
+    topk = results.where(r <= k).select(
+        q.alias("__q"), d.alias("__d"), r.alias("__rank")
+    )
+    rated = ratings.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rating_col).cast("int").alias("__rating"),
+    )
+    joined = topk.join(rated, ["__q", "__d"], "left").withColumn(
+        "__rating", F.coalesce("__rating", F.lit(0))
+    )
+    rel = F.col("__rating") >= relevant_threshold
+    per_q = joined.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("__retrieved"),
+        F.sum(rel.cast("int")).alias("__rel_ret"),
+        F.min(F.when(rel, F.col("__rank"))).alias("__first_rel"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("__rating")) - 1)
+            / F.log2(F.col("__rank") + 1)
+        ).alias("__dcg"),
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.desc("__rating"), F.asc("__d")
+    )
+    ideal = (
+        rated.withColumn("__irank", F.row_number().over(w))
+        .where(F.col("__irank") <= k)
+        .groupBy("__q")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("__rating")) - 1)
+                / F.log2(F.col("__irank") + 1)
+            ).alias("__idcg"),
+            F.sum(
+                (F.col("__rating") >= relevant_threshold).cast("int")
+            ).alias("__n_rel_topk"),
+        )
+    )
+    totals = rated.groupBy("__q").agg(
+        F.sum(
+            (F.col("__rating") >= relevant_threshold).cast("int")
+        ).alias("__n_rel")
+    )
+    return (
+        per_q.join(ideal, "__q", "left")
+        .join(totals, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            F.round(F.col("__rel_ret") / F.col("__retrieved"), 6).alias(
+                "precision_k"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce("__n_rel", F.lit(0)) > 0,
+                    F.col("__rel_ret") / F.col("__n_rel"),
+                ).otherwise(0.0),
+                6,
+            ).alias("recall_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("__first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.when(
+                    F.coalesce("__idcg", F.lit(0.0)) > 0,
+                    F.col("__dcg") / F.col("__idcg"),
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg_k"),
+        )
+        .orderBy(query_col)
+    )

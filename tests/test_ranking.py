@@ -294,3 +294,45 @@ def test_phrase_suggest_validation(spark):
         phrase_suggest(df, "text", "a b", candidates_per_term=0)
     with pytest.raises(ValueError):
         phrase_suggest(df, "text", "a b", alpha=0)
+
+
+def test_rank_eval_hand_computed(spark):
+    import math
+    from harmonize_search_analyze_spark.operators.ranking import rank_eval
+
+    # one query, 3 retrieved of which ranks 1 and 3 are relevant
+    # (ratings 3 and 1); one relevant doc (rating 2) never retrieved
+    results = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    ratings = spark.createDataFrame(
+        [("q1", 10, 3), ("q1", 12, 1), ("q1", 99, 2)],
+        ["query_id", "doc_id", "rating"],
+    )
+    row = rank_eval(results, ratings, k=3).collect()[0]
+    assert row.precision_k == round(2 / 3, 6)
+    assert row.recall_k == round(2 / 3, 6)
+    assert row.mrr == 1.0
+    dcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) \
+        + (2**1 - 1) / math.log2(4)
+    assert row.ndcg_k == round(dcg / idcg, 6)
+
+
+def test_rank_eval_no_relevant_and_validation(spark):
+    import pytest
+    from harmonize_search_analyze_spark.operators.ranking import rank_eval
+
+    results = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], ["query_id", "doc_id", "rank"]
+    )
+    ratings = spark.createDataFrame(
+        [("q", 99, 0)], ["query_id", "doc_id", "rating"]
+    )
+    row = rank_eval(results, ratings, k=2).collect()[0]
+    assert (row.precision_k, row.recall_k, row.mrr, row.ndcg_k) == (
+        0.0, 0.0, 0.0, 0.0,
+    )
+    with pytest.raises(ValueError):
+        rank_eval(results, ratings, k=0)
