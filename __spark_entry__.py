@@ -4567,6 +4567,31 @@ ORDER BY p.query_id
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for 15 anchor vectors, the top-4
+    most-similar DIFFERENT-label corpus vectors (label filter before the
+    rank — top-k over negatives). Anchors broadcast; corpus scanned once;
+    rank window carries scores only."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        mine_hard_negatives(emb, emb.where("vec_id < 15"), k=4)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+def _sql_hard_negatives() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        mine_hard_negatives_sql,
+    )
+
+    inner = mine_hard_negatives_sql("embeddings", "vec_id < 15", 4, "duckdb")
+    return f"SELECT * FROM ({inner}) h ORDER BY anchor_id, rank"
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4753,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_order": q_global_order,
         "assign_split": q_assign_split,
         "rank_eval": q_rank_eval,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -4905,4 +4931,5 @@ def oracle_sql() -> dict[str, str]:
         "global_order": _sql_global_order(),
         "assign_split": _sql_assign_split(),
         "rank_eval": _sql_rank_eval(),
+        "hard_negatives": _sql_hard_negatives(),
     }

@@ -1874,3 +1874,129 @@ def knn_filtered(
         survivors, centroids, filtered_assign, qvec,
         k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id: str | None = None,
+    anchor_vec: str | None = None,
+    anchor_label: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for every
+    anchor, the ``k`` most similar corpus items with a DIFFERENT label —
+    the near-miss examples that carry the training signal easy random
+    negatives lack (the standard dense-retrieval recipe: mine negatives
+    from the current embedding space's nearest non-matches).
+
+    The label filter applies BEFORE the per-anchor rank (the top-k is
+    over negatives, not a post-filtered top-k of everything — a
+    same-label-dense neighborhood would otherwise starve the output).
+    Self-pairs are excluded by id.
+
+    Returns ``(anchor_id, negative_id, negative_label, cosine, rank)``.
+
+    Scale shape: same as ``similarity_join`` — anchors broadcast, corpus
+    scanned once, the rank-window shuffle carries scores only. Keep the
+    anchor batch in the thousands; mine larger sets in batches or
+    through the IVF path (``similarity_join_ivf`` + label filter).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    a_id = anchor_id or id_col
+    a_vec = anchor_vec or vec_col
+    a_lab = anchor_label or label_col
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("cv"),
+    ).withColumn("cn", F.expr(_norm_sql("cv")))
+    a = anchors.select(
+        F.col(a_id).alias("anchor_id"),
+        F.col(a_lab).alias("__alab"),
+        F.expr(f"CAST({a_vec} AS ARRAY<DOUBLE>)").alias("av"),
+    ).withColumn("an", F.expr(_norm_sql("av")))
+    cos = F.round(
+        F.try_divide(F.expr(_dot_sql("cv", "av")), F.col("cn") * F.col("an")),
+        6,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(a))
+        .where(
+            ~F.col("negative_label").eqNullSafe(F.col("__alab"))
+            & (F.col("negative_id") != F.col("anchor_id"))
+        )
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "anchor_id", "negative_id", "negative_label", "cosine", "rank"
+        )
+    )
+
+
+def mine_hard_negatives_sql(
+    corpus_table: str,
+    anchors_predicate: str,
+    k: int,
+    dialect: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """Dual-dialect twin (self-mining form: anchors are the rows matching
+    ``anchors_predicate`` in the same table)."""
+    if dialect == "spark":
+        dot = (
+            "aggregate(zip_with(c.cv, a.av, (x, y) -> x * y), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        norm = lambda e: (  # noqa: E731
+            f"sqrt(aggregate(transform({e}, x -> x * x), "
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+        cast = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+        nullsafe_ne = "NOT (c.lab <=> a.alab)"
+    else:
+        dot = (
+            "list_sum(list_transform(list_zip(c.cv, a.av), p -> p[1] * p[2]))"
+        )
+        norm = lambda e: (  # noqa: E731
+            f"sqrt(list_sum(list_transform({e}, x -> x * x)))"
+        )
+        cast = f"{vec_col}::DOUBLE[]"
+        nullsafe_ne = "c.lab IS DISTINCT FROM a.alab"
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS nid, {label_col} AS lab, {cast} AS cv
+  FROM {corpus_table}
+),
+a AS (
+  SELECT {id_col} AS aid, {label_col} AS alab, {cast} AS av
+  FROM {corpus_table} WHERE {anchors_predicate}
+),
+scored AS (
+  SELECT a.aid AS anchor_id, c.nid AS negative_id,
+         c.lab AS negative_label,
+         ROUND({dot} / ({norm('c.cv')} * {norm('a.av')}), 6) AS cosine
+  FROM c CROSS JOIN a
+  WHERE {nullsafe_ne} AND c.nid <> a.aid
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY anchor_id ORDER BY cosine DESC, negative_id ASC
+  ) AS INT) AS rank
+  FROM scored
+)
+SELECT anchor_id, negative_id, negative_label, cosine, rank
+FROM ranked WHERE rank <= {k}
+"""

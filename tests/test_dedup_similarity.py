@@ -887,3 +887,30 @@ def test_knn_filtered_ann_path_respects_filter_and_recalls(spark):
     want = cosine_topk(df.where("label = 0"), "embedding", q, 5).collect()
     assert [r.vec_id for r in got] == [r.vec_id for r in want]
     assert all(r.vec_id % 2 == 0 for r in got)
+
+
+def test_hard_negatives_label_filter_before_rank(spark):
+    import math
+    from harmonize_search_analyze_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    # anchor 0 (label A) sits in a dense same-label cluster; its top
+    # DIFFERENT-label neighbors must still surface (filter before rank)
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = (
+        [(0, vec(0.0), "A")]
+        + [(i, vec(0.001 * i), "A") for i in range(1, 6)]   # same-label wall
+        + [(10, vec(0.2), "B"), (11, vec(0.3), "B"), (12, vec(2.0), "C")]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = mine_hard_negatives(df, df.where("vec_id = 0"), k=2).collect()
+    assert [(r.negative_id, r.rank) for r in got] == [(10, 1), (11, 2)]
+    assert all(r.negative_label != "A" for r in got)
+    assert all(r.anchor_id == 0 for r in got)
+    # self exclusion + validation
+    import pytest
+    with pytest.raises(ValueError):
+        mine_hard_negatives(df, df, k=0)
