@@ -195,3 +195,94 @@ def test_line_dedup_conservation(spark, docs):
     assert len(long_lines) == len(set(long_lines))
     n_x_in = sum(1 for d in docs for line in d if line == "x")
     assert kept_lines.count("x") == n_x_in
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=8),
+        min_size=1, max_size=60, unique=True,
+    ),
+    n_corpus=st.integers(0, 40),
+)
+def test_bloom_dedup_always_equals_anti_join(spark, keys, n_corpus):
+    """For ANY key universe and corpus/batch split, bloom_dedup returns
+    exactly the anti-join — false positives verified away, no false
+    negatives possible."""
+    from harmonize_search_analyze_spark.operators.bloom import bloom_dedup
+
+    corpus_keys = keys[:n_corpus]
+    corpus = spark.createDataFrame(
+        [(k,) for k in corpus_keys] or [("__never__",)], ["key"]
+    )
+    batch = spark.createDataFrame([(k,) for k in keys], ["key"])
+    got = sorted(r.key for r in bloom_dedup(
+        corpus, batch, "key", m_bits=1024, k=3).collect())
+    want = sorted(set(keys) - set(corpus_keys or ["__never__"]))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    fracs=st.lists(
+        st.floats(0.05, 1.0), min_size=1, max_size=4
+    ),
+    n=st.integers(1, 80),
+)
+def test_assign_split_partition_property(spark, fracs, n):
+    """Splits always partition the input: every row gets exactly one
+    label from the fraction dict, regardless of the fraction shape."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        assign_split,
+    )
+
+    total = sum(fracs)
+    fractions = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    # renormalization drift: force exact sum by adjusting the last label
+    fractions[f"s{len(fracs) - 1}"] += 1.0 - sum(fractions.values())
+    df = spark.createDataFrame([(i,) for i in range(n)], ["k"])
+    out = assign_split(df, "k", fractions).collect()
+    assert len(out) == n
+    assert {r.split for r in out} <= set(fractions)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 30), min_size=1, max_size=5),
+    budget=st.floats(1.0, 300.0),
+    max_epochs=st.floats(0.5, 3.0),
+)
+def test_unimax_never_exceeds_caps(spark, sizes, budget, max_epochs):
+    """UniMax invariants for ANY source-size profile: per-source output
+    never exceeds ceil(max_epochs) repeats of the source, and when the
+    budget exceeds total capacity every source is taken in full."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample,
+    )
+    import math
+
+    rows = [
+        (f"{s}:{i}", f"src{s}")
+        for s, sz in enumerate(sizes)
+        for i in range(sz)
+    ]
+    df = spark.createDataFrame(rows, ["key", "lang"])
+    out = unimax_sample(
+        df, "lang", "key", budget=budget, max_epochs=max_epochs
+    )
+    counts = {
+        r.lang: r.c
+        for r in out.groupBy("lang").count().withColumnRenamed(
+            "count", "c"
+        ).collect()
+    }
+    for s, sz in enumerate(sizes):
+        got = counts.get(f"src{s}", 0)
+        assert got <= sz * math.ceil(max_epochs)
+    if budget >= sum(sizes) * max_epochs:
+        # full-capacity regime: every source repeats at least
+        # floor(max_epochs) times exactly (the fractional remainder is
+        # the hash sampler's expectation, not a per-run guarantee)
+        whole = math.floor(max_epochs)
+        for s, sz in enumerate(sizes):
+            assert counts.get(f"src{s}", 0) >= sz * whole
