@@ -56,10 +56,19 @@ def global_order(
     order = [
         F.col(c).asc() if ascending else F.col(c).desc() for c in sort_cols
     ]
+    from harmonize_search_analyze_spark.functions.caching import tether
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # persisted: the ranked branch and the counts branch both consume the
+    # range exchange, and RangePartitioner SAMPLES its boundaries — if
+    # exchange reuse is off (or canonicalization misses), two independent
+    # evaluations can pick DIFFERENT boundaries, making the offsets
+    # describe a partitioning the rows were not ranked in (silent wrong
+    # ranks). The persist pins one materialization for both consumers.
     ranged = (
         df.repartitionByRange(n, *order)
         .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     # within-partition rank: window PARTITIONED by pid -> parallel
     w = Window.partitionBy("__pid").orderBy(*order)
@@ -81,7 +90,7 @@ def global_order(
             )
         ).alias("__offset"),
     )
-    return (
+    out = (
         ranked.join(F.broadcast(offsets), "__pid")
         .withColumn(
             out_col,
@@ -89,6 +98,7 @@ def global_order(
         )
         .drop("__pid", "__local", "__offset")
     )
+    return tether(out, ranged)
 
 
 def global_order_sql(

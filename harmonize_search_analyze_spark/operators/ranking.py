@@ -375,7 +375,9 @@ def rescore(
     expression touches ``window_size`` rows no matter the corpus size.
 
     Returns ``(id, score, rescore, final_score DOUBLE rounded 6)``, top-k
-    by final (ties id ASC, pinned). Plan shape: two
+    by final (ties id ASC, pinned). ``id_col`` must uniquely identify
+    hits — rescoring a multi-index union requires disambiguating ids
+    first (duplicate ids would multiply through the shortlist join). Plan shape: two
     TakeOrderedAndProject stages (primary top-window, then top-k of the
     rescored window) — same cascade pattern as ``mrl_topk``; no global
     sort at either level.
@@ -389,11 +391,15 @@ def rescore(
     # expression on top of the limit instead re-plans it as a GLOBAL
     # range-partitioned sort (measured; the mrl_topk shortlist-join shape
     # avoids it), so the expensive column is computed after a join back.
+    # .distinct(): id_col must uniquely identify hits (documented
+    # precondition); if an upstream union repeats an id, deduping the
+    # shortlist prevents the join back from going cartesian per key
     window_ids = (
         hits.select(F.col(id_col), F.col(score_col))
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(window_size)
         .select(id_col)
+        .distinct()
     )
     window = hits.join(F.broadcast(window_ids), id_col).withColumn(
         "__rescore", rc.cast("double")
@@ -469,6 +475,33 @@ def search_after(
     return out.orderBy(*order).limit(size)
 
 
+
+def _suggest_candidates(vocab, qdf, prefix_len: int, max_edits: int):
+    """Shared candidate generation for both suggesters: prefix as an
+    explicit EQUI-join key — a combined on-clause plans as a
+    BroadcastNestedLoopJoin running levenshtein over |V| x |tokens| pairs
+    (measured 20x super-linear at mult=10); hash-joining on the prefix
+    first leaves edit distance only same-prefix pairs. The 3-arg
+    levenshtein early-exits above the bound (returns -1; the oracle's
+    2-arg form computes the same value within bound). Adds a ``distance``
+    INT column; all qdf columns pass through."""
+    return (
+        vocab.withColumn("__pfx", F.substring("term", 1, prefix_len))
+        .join(
+            F.broadcast(
+                qdf.withColumn("__pfx", F.substring("token", 1, prefix_len))
+            ),
+            "__pfx",
+        )
+        .drop("__pfx")
+        .withColumn(
+            "distance",
+            F.expr(f"levenshtein(term, token, {max_edits})").cast("int"),
+        )
+        .where(F.col("distance") >= 0)
+    )
+
+
 def term_suggest(
     df: DataFrame,
     field: str,
@@ -520,32 +553,11 @@ def term_suggest(
         .where(F.col("freq") >= min_freq)
     )
     qdf = spark.createDataFrame([(t,) for t in dict.fromkeys(qtokens)], ["token"])
-    # prefix as an explicit EQUI-join key: a combined on-clause plans as a
-    # BroadcastNestedLoopJoin running levenshtein over |V| x |tokens|
-    # pairs (measured 20x super-linear at mult=10); hash-joining on the
-    # prefix first leaves the edit distance only same-prefix pairs
-    cands = (
-        vocab.withColumn("__pfx", F.substring("term", 1, prefix_len))
-        .join(
-            F.broadcast(
-                qdf.withColumn("__pfx", F.substring("token", 1, prefix_len))
-            ),
-            "__pfx",
-        )
-        .drop("__pfx")
-        # 3-arg levenshtein early-exits above the bound (returns -1) —
-        # the oracle's 2-arg form computes the same value within bound
-        .withColumn(
-            "distance",
-            F.expr(f"levenshtein(term, token, {max_edits})").cast("int"),
-        )
-        .where(F.col("distance") >= 0)
-        .select(
-            "token",
-            F.col("term").alias("suggestion"),
-            "distance",
-            "freq",
-        )
+    cands = _suggest_candidates(vocab, qdf, prefix_len, max_edits).select(
+        "token",
+        F.col("term").alias("suggestion"),
+        "distance",
+        "freq",
     )
     if suggest_mode == "missing":
         known = cands.where(F.col("distance") == 0).select("token").distinct()
@@ -634,8 +646,10 @@ def phrase_suggest(
     a Laplace-smoothed bigram model): per input position, generate up to
     ``candidates_per_term`` vocabulary candidates (the term-suggester
     rule: shared ``prefix_len`` prefix, Levenshtein <= ``max_edits``,
-    ranked distance/freq — the input token itself is always a candidate
-    when in-vocabulary); form every combination across positions; score
+    ranked distance/freq) PLUS the original token itself — in-vocabulary
+    or not, so an uncorrectable position degrades to the typed token
+    instead of emptying the combination frame; form every combination
+    across positions; score
     each phrase by ``sum_i log P(w_i | w_{i-1})`` with add-``alpha``
     smoothing over the corpus bigram table; return the top ``k`` phrases
     (ties pinned by phrase ASC). The input phrase itself is excluded.
@@ -697,28 +711,23 @@ def phrase_suggest(
         F.asc("distance"), F.desc("freq"), F.asc("cand")
     )
     cands = (
-        vocab.withColumn("__pfx", F.substring("term", 1, prefix_len))
-        .join(
-            F.broadcast(
-                qdf.withColumn("__pfx", F.substring("token", 1, prefix_len))
-            ),
-            "__pfx",
-        )
-        .drop("__pfx")
-        .withColumn(
-            "distance",
-            F.expr(f"levenshtein(term, token, {max_edits})").cast("int"),
-        )
-        .where(F.col("distance") >= 0)
+        _suggest_candidates(vocab, qdf, prefix_len, max_edits)
         .select("pos", F.col("term").alias("cand"), "distance", "freq")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= candidates_per_term)
         .drop("__rn", "distance", "freq")
     )
+    # every position also keeps its ORIGINAL token (in-vocabulary or
+    # not): ES's graceful degradation — an uncorrectable position
+    # contributes the typed token instead of emptying the whole
+    # combination frame (cross join with an empty side -> no output)
     parts = [
-        cands.where(F.col("pos") == i).select(
-            F.col("cand").alias(f"w{i}")
+        cands.where(F.col("pos") == i)
+        .select(F.col("cand").alias(f"w{i}"))
+        .union(
+            spark.createDataFrame([(qtokens[i],)], [f"w{i}"])
         )
+        .distinct()
         for i in range(len(qtokens))
     ]
     combos = parts[0]
@@ -799,7 +808,8 @@ def phrase_suggest_sql(
     vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(qtokens))
     c_parts = "\n".join(
         f"c{i} AS (SELECT cand AS w{i} FROM cands WHERE pos = {i} "
-        f"AND rn <= {candidates_per_term}),"
+        f"AND rn <= {candidates_per_term} "
+        f"UNION SELECT '{qtokens[i]}'),"
         for i in range(n)
     )
     cross = " CROSS JOIN ".join(f"c{i}" for i in range(n))
@@ -910,9 +920,6 @@ def rank_eval(
                 (F.pow(F.lit(2.0), F.col("__rating")) - 1)
                 / F.log2(F.col("__irank") + 1)
             ).alias("__idcg"),
-            F.sum(
-                (F.col("__rating") >= relevant_threshold).cast("int")
-            ).alias("__n_rel_topk"),
         )
     )
     totals = rated.groupBy("__q").agg(

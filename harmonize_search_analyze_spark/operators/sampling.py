@@ -595,13 +595,18 @@ def unimax_sample(
 
     The paper's greedy allocation IS water-filling, which has a closed
     form over sources sorted ascending by capacity ``c_s = n_s *
-    max_epochs``: with ``S_prev`` the capacity prefix sum and ``L`` the
-    source count, ``alloc_s = min(c_s, (budget - S_prev) / (L - rank_s +
-    1))`` — every exhausted source takes all of ``c_s``, the rest split
-    the remainder evenly. That closed form is two window functions over
-    the SOURCE-cardinality frame, so the whole allocation runs IN-PLAN:
-    one hash agg for per-source mass, a metadata-sized window, a
-    broadcast join back, and the same deterministic epoch-explode as
+    max_epochs``: with ``S_prev_r`` the capacity prefix sum at rank
+    ``r`` and ``L`` the source count, the WATER LEVEL is ``tau* = max_r
+    max(0, (budget - S_prev_r) / (L - r + 1))`` and ``alloc_s = min(c_s,
+    tau*)`` — exhausted sources (ascending, so exactly the ones with
+    ``c_s <= tau*``) take all of ``c_s``, the rest sit at the level.
+    (Subtracting the capacity prefix WITHOUT the max — a plausible
+    shortcut — under-allocates every non-exhausted source after the
+    first: 3x100 rows at budget 150 would get 50/25/0 instead of
+    50/50/50.) The closed form is two window passes over the
+    SOURCE-cardinality frame, so the whole allocation runs IN-PLAN: one
+    hash agg for per-source mass, a metadata-sized window, a broadcast
+    join back, and the same deterministic epoch-explode as
     ``upsample_sources``. No driver collect, no iteration.
 
     Returns the input rows + ``epoch`` (1-based). Per-source realized
@@ -633,13 +638,13 @@ def unimax_sample(
         )
         .withColumn("__l", F.count(F.lit(1)).over(Window.partitionBy()))
         .withColumn(
-            "__alloc",
-            F.least(
-                F.col("__c"),
-                F.greatest(F.lit(float(budget)) - F.col("__sprev"), F.lit(0.0))
-                / (F.col("__l") - F.col("__rn") + 1),
-            ),
+            "__tau",
+            F.greatest(F.lit(float(budget)) - F.col("__sprev"), F.lit(0.0))
+            / (F.col("__l") - F.col("__rn") + 1),
         )
+        # the water level: max fair share over all ranks (see docstring)
+        .withColumn("__level", F.max("__tau").over(Window.partitionBy()))
+        .withColumn("__alloc", F.least(F.col("__c"), F.col("__level")))
         .select(
             F.col(source_col).alias("__ux_src"),
             (F.col("__alloc") / F.col("__n")).alias("__rate"),
@@ -692,17 +697,17 @@ def unimax_sample_sql(
 WITH totals AS (
   SELECT {source_col} AS src, SUM({w}) AS n FROM {table} GROUP BY {source_col}
 ),
-alloc AS (
-  SELECT src, n,
-         LEAST(
-           n * {max_epochs!r},
-           GREATEST({budget!r} - COALESCE(SUM(n * {max_epochs!r}) OVER (
-               ORDER BY n * {max_epochs!r} ASC, src ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 0.0)
-           / (COUNT(*) OVER () - ROW_NUMBER() OVER (
-               ORDER BY n * {max_epochs!r} ASC, src ASC) + 1)
-         ) / n AS rate
+tau AS (
+  SELECT src, n, n * {max_epochs!r} AS c,
+         GREATEST({budget!r} - COALESCE(SUM(n * {max_epochs!r}) OVER (
+             ORDER BY n * {max_epochs!r} ASC, src ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 0.0)
+         / (COUNT(*) OVER () - ROW_NUMBER() OVER (
+             ORDER BY n * {max_epochs!r} ASC, src ASC) + 1) AS t
   FROM totals
+),
+alloc AS (
+  SELECT src, LEAST(c, MAX(t) OVER ()) / n AS rate FROM tau
 ),
 repped AS (
   SELECT {cols},

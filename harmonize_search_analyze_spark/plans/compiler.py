@@ -477,7 +477,12 @@ def nested_pred_sql(
             raise QueryCompileError(
                 f"nested field {name!r} must start with {prefix!r}"
             )
-        return f"{var}.{name[len(prefix):]}"
+        sub = name[len(prefix):]
+        # literal VALUES are already quote-guarded; field NAMES reach the
+        # generated lambda verbatim, so they get the same injection gate
+        if not _re.fullmatch(r"[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)*", sub):
+            raise QueryCompileError(f"invalid nested field name: {name!r}")
+        return f"{var}.{sub}"
 
     if kind in ("term", "match"):
         (name, value), = body.items()

@@ -56,14 +56,21 @@ class Catalog:
     def resolve_names(self, pattern: str) -> list[str]:
         return sorted(n for n in self._datasets if fnmatch.fnmatchcase(n, pattern))
 
-    def resolve(self, pattern: str) -> DataFrame:
+    def resolve(self, pattern: str, *, _seen: set | None = None) -> DataFrame:
         """Union every dataset matching an index pattern, by column name,
         null-padding columns a member lacks (ES multi-index semantics).
-        An alias name resolves through its target pattern, applying the
-        alias filter when one was attached."""
+        An alias name resolves through its target pattern (cycles raise),
+        applying the alias filter when one was attached."""
         if pattern in self._aliases:
             target, filter_ast = self._aliases[pattern]
-            df = self.resolve(target)
+            if _seen is None:
+                _seen = set()
+            if pattern in _seen:
+                raise ValueError(
+                    f"alias cycle detected resolving {pattern!r}"
+                )
+            _seen.add(pattern)
+            df = self.resolve(target, _seen=_seen)
             if filter_ast is not None:
                 from harmonize_search_analyze_spark.plans.compiler import (
                     compile_query,

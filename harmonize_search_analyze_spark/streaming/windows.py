@@ -380,6 +380,22 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def _read_state_or_none(spark: SparkSession, path: str):
+    """Read a parquet state directory, returning None ONLY when the path
+    does not exist yet (first epoch). Any other failure — transient FS
+    error, corrupt footer, permissions — re-raises: treating it as
+    "no state" would silently disable history dedup for the batch and
+    permanently duplicate the output sink (review finding)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
 def dedup_stream(
     stream: DataFrame,
     keys: list[str],
@@ -491,13 +507,10 @@ def near_dup_stream(
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            state = spark.read.parquet(state_path)
-            have_state = True
-        except Exception:
-            state, have_state = None, False
+        state = _read_state_or_none(spark, state_path)
+        have_state = state is not None
         dups, new_state = lsh_incremental(
-            batch_df, state if have_state else None, id_col, text_col,
+            batch_df, state, id_col, text_col,
             est_threshold=est_threshold, k=k, n=n, seed=seed,
         )
         dups.write.mode("append").parquet(dups_path)
@@ -571,11 +584,8 @@ def bloom_dedup_stream(
             .drop("__rn")
             .withColumn("__digest", digest)
         )
-        try:
-            words = spark.read.parquet(bloom_path)
-            have_state = True
-        except Exception:
-            have_state = False
+        words = _read_state_or_none(spark, bloom_path)
+        have_state = words is not None
         if have_state:
             words = words.groupBy("word_idx").agg(
                 F.bit_or("word").alias("word")

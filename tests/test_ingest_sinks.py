@@ -87,3 +87,14 @@ def test_catalog_aliases(spark):
     cat.drop_alias("thefts")
     with pytest.raises(KeyError):
         cat.resolve("thefts")
+
+
+def test_catalog_alias_cycle_raises(spark):
+    import pytest
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.create_alias("a", "b")
+    cat.create_alias("b", "a")
+    with pytest.raises(ValueError, match="cycle"):
+        cat.resolve("a")

@@ -336,3 +336,19 @@ def test_rank_eval_no_relevant_and_validation(spark):
     )
     with pytest.raises(ValueError):
         rank_eval(results, ratings, k=0)
+
+
+def test_phrase_suggest_degrades_on_uncorrectable_position(spark):
+    """Review finding: a position with no vocabulary neighbors must keep
+    the typed token instead of emptying the whole combination frame."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        phrase_suggest,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "fast cars go fast"), (2, "fast lane ahead")],
+        ["doc_id", "text"],
+    )
+    got = phrase_suggest(df, "text", "fsat xq7zzz", k=3).collect()
+    phrases = [r.phrase for r in got]
+    assert "fast xq7zzz" in phrases  # corrected first token, typed second

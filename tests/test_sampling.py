@@ -406,3 +406,24 @@ def test_unimax_validation(spark):
         unimax_sample(None, "lang", "key", budget=0)
     with pytest.raises(ValueError):
         unimax_sample(None, "lang", "key", budget=10, max_epochs=0)
+
+
+def test_unimax_equal_sources_split_evenly(spark):
+    """Regression (review finding): with the capacity-prefix shortcut the
+    water level collapsed after rank 1 — three equal 100-row sources at
+    budget 150 allocated 50/25/0 instead of 50/50/50. The correct level
+    is the running-max fair share."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample,
+    )
+
+    rows = [(f"{s}{i}", f"src{s}") for s in range(3) for i in range(100)]
+    df = spark.createDataFrame(rows, ["key", "lang"])
+    got = unimax_sample(df, "lang", "key", budget=150.0, max_epochs=1.0)
+    counts = {r.lang: r.c for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    # every source rate = 0.5: realized counts are hash-binomial ~50 each;
+    # the buggy 0.5/0.25/0 rates put src1 ~25 and src2 at exactly 0
+    assert set(counts) == {"src0", "src1", "src2"}
+    for s, c in counts.items():
+        assert 32 <= c <= 68, (s, c, counts)
