@@ -238,11 +238,17 @@ def upsample_sources_sql(
     reps = f"(CASE {branches}ELSE {_reps(default_rate)} END)"
     cols = ", ".join(columns)
     if dialect == "spark":
-        unnest = "explode(sequence(1, reps))"
-    else:
-        unnest = "unnest(generate_series(1, reps))"
+        # generators can't nest inside CAST (UNSUPPORTED_GENERATOR) —
+        # explode in its own projection, cast one level up
+        return f"""
+SELECT {cols}, CAST(epoch AS INT) AS epoch FROM (
+  SELECT {cols}, explode(sequence(1, reps)) AS epoch FROM (
+    SELECT {cols}, {reps} AS reps FROM {table}
+  ) t WHERE reps >= 1
+) x
+"""
     return f"""
-SELECT {cols}, CAST({unnest} AS INT) AS epoch FROM (
+SELECT {cols}, CAST(unnest(generate_series(1, reps)) AS INT) AS epoch FROM (
   SELECT {cols}, {reps} AS reps FROM {table}
 ) t WHERE reps >= 1
 """
@@ -690,9 +696,19 @@ def unimax_sample_sql(
     cols = ", ".join(f"t.{c}" for c in columns)
     bare_cols = ", ".join(columns)
     if dialect == "spark":
-        unnest = "explode(sequence(1, reps))"
+        # same generator-nesting restriction as upsample_sources_sql
+        tail = (
+            f"SELECT {bare_cols}, CAST(epoch AS INT) AS epoch FROM (\n"
+            f"  SELECT {bare_cols}, explode(sequence(1, reps)) AS epoch\n"
+            f"  FROM repped t WHERE reps >= 1\n"
+            f") x"
+        )
     else:
-        unnest = "unnest(generate_series(1, reps))"
+        tail = (
+            f"SELECT {bare_cols}, "
+            f"CAST(unnest(generate_series(1, reps)) AS INT) AS epoch\n"
+            f"FROM repped t WHERE reps >= 1"
+        )
     return f"""
 WITH totals AS (
   SELECT {source_col} AS src, SUM({w}) AS n FROM {table} GROUP BY {source_col}
@@ -717,6 +733,5 @@ repped AS (
                   THEN 1 ELSE 0 END AS reps
   FROM {table} t JOIN alloc a ON t.{source_col} IS NOT DISTINCT FROM a.src
 )
-SELECT {bare_cols}, CAST({unnest} AS INT) AS epoch
-FROM repped t WHERE reps >= 1
+{tail}
 """

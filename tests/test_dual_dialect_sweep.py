@@ -441,3 +441,116 @@ def test_quality_mix_and_token_budget_generators_on_edge_corpus(edge_tables):
         ).fetchall()
     )
     assert want_tb == got_tb
+
+
+def test_session3_generators_on_edge_corpus(edge_tables):
+    """Round-3 session-3 dual-dialect generators on the edge corpus:
+    DSIR weights/sample, suggesters, intervals, unimax, split."""
+    spark, con = edge_tables
+    from harmonize_search_analyze_spark.operators.dsir import (
+        dsir_sample_sql,
+        dsir_weights_sql,
+    )
+    from harmonize_search_analyze_spark.operators.ordering import (
+        assign_split_sql,
+    )
+    from harmonize_search_analyze_spark.operators.ranking import (
+        phrase_suggest_sql,
+        term_suggest_sql,
+    )
+    from harmonize_search_analyze_spark.operators.sampling import (
+        unimax_sample_sql,
+    )
+
+    cases = [
+        lambda d: dsir_weights_sql(
+            "edge_docs", "doc_id % 2 = 0", d, m=32),
+        lambda d: dsir_sample_sql(
+            "edge_docs", "doc_id % 2 = 0", d, k=6, m=32),
+        lambda d: term_suggest_sql(
+            "edge_docs", "text", "wird reepat", d, k=3),
+        lambda d: phrase_suggest_sql(
+            "edge_docs", "text", "reepat me", d, k=3),
+        lambda d: unimax_sample_sql(
+            "edge_docs", "text", "doc_id", ["doc_id"], d,
+            budget=6.0, max_epochs=2.0),
+        lambda d: assign_split_sql(
+            "edge_docs", "doc_id", {"a": 0.5, "b": 0.3, "c": 0.2},
+            ["doc_id"], d),
+    ]
+    for case in cases:
+        s = _rows(spark, case("spark"), "spark")
+        d = _rows(con, case("duckdb"), "duckdb")
+        assert s == d, (case("duckdb")[:150], s[:3], d[:3])
+
+
+def test_intervals_generator_on_edge_corpus(edge_tables):
+    """Position-array intervals predicates on the edge corpus, all rule
+    shapes."""
+    spark, con = edge_tables
+    from harmonize_search_analyze_spark.functions.intervals import (
+        intervals_sql,
+    )
+
+    rules = [
+        {"match": {"query": "repeat me", "ordered": True, "max_gaps": 0}},
+        {"match": {"query": "me repeat", "ordered": False, "max_gaps": 1}},
+        {"match": {"query": "a b c", "ordered": True, "max_gaps": 2}},
+        {"match": {"query": "one"}},
+        {"any_of": {"intervals": [
+            {"match": {"query": "word"}},
+            {"match": {"query": "tab sep", "ordered": True}}]}},
+    ]
+    for rule in rules:
+        s = _rows(spark, "SELECT doc_id FROM edge_docs WHERE "
+                  + intervals_sql(rule, "text", "spark"), "spark")
+        d = _rows(con, "SELECT doc_id FROM edge_docs WHERE "
+                  + intervals_sql(rule, "text", "duckdb"), "duckdb")
+        assert s == d, (rule, s, d)
+
+
+def test_nested_generator_on_edge_structs(spark):
+    """nested_exists_sql over adversarial struct arrays: empty, NULL,
+    NULL members, correlation cases."""
+    import pandas as pd
+
+    from harmonize_search_analyze_spark.plans.compiler import (
+        nested_exists_sql,
+    )
+
+    rows = [
+        (1, [("F", 100.0), ("O", 900.0)]),
+        (2, [("F", 700.0)]),
+        (3, []),
+        (4, None),
+        (5, [(None, 5.0), ("F", None)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, orders array<struct<status string, total double>>"
+    )
+    df.createOrReplaceTempView("edge_nested")
+    con = duckdb.connect()
+    con.sql("""CREATE TABLE edge_nested AS SELECT * FROM (VALUES
+      (1, [{'status': 'F', 'total': 100.0}, {'status': 'O', 'total': 900.0}]),
+      (2, [{'status': 'F', 'total': 700.0}]),
+      (3, CAST([] AS STRUCT(status VARCHAR, total DOUBLE)[])),
+      (4, NULL),
+      (5, [{'status': NULL, 'total': 5.0}, {'status': 'F', 'total': NULL}])
+    ) t(id, orders)""")
+    asts = [
+        {"bool": {"must": [
+            {"term": {"orders.status": "F"}},
+            {"range": {"orders.total": {"gt": 500.0}}}]}},
+        {"exists": {"field": "orders.status"}},
+        {"bool": {"must_not": [{"term": {"orders.status": "F"}}]}},
+        {"terms": {"orders.status": ["F", "O"]}},
+    ]
+    try:
+        for ast in asts:
+            s = _rows(spark, "SELECT id FROM edge_nested WHERE "
+                      + nested_exists_sql("orders", ast, "spark"), "spark")
+            d = _rows(con, "SELECT id FROM edge_nested WHERE "
+                      + nested_exists_sql("orders", ast, "duckdb"), "duckdb")
+            assert s == d, (ast, s, d)
+    finally:
+        spark.catalog.dropTempView("edge_nested")
