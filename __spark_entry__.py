@@ -4592,6 +4592,30 @@ def _sql_hard_negatives() -> str:
     return f"SELECT * FROM ({inner}) h ORDER BY anchor_id, rank"
 
 
+def q_terms_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms include.partition paging: enumerate high-cardinality
+    terms in bounded pages — partition 1 of 3 by the portable term hash,
+    then the page's top-15. Hash compare before the agg, one scan."""
+    from harmonize_search_analyze_spark.operators.aggregations import terms
+
+    return terms(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", k=15,
+        partition=1, num_partitions=3,
+    )
+
+
+def _sql_terms_partition() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql("CAST(c_mktsegment AS VARCHAR)", "duckdb")
+    return f"""
+SELECT c_mktsegment, COUNT(*) AS doc_count FROM customer
+WHERE {h} % 3 = 1 AND c_mktsegment IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY doc_count DESC, c_mktsegment ASC LIMIT 15
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4623,6 +4647,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # range_agg, geohash_grid, terms_topk) are already driver-green —
     # deferred to the round-4 rotation.  Entries 65+ are the round-1 set
     # verified green in CORRECTNESS_r02.json.
+    #
+    # ROUND-4 ROTATION PLAN: window the ~35 round-3 additions (tail of
+    # this dict, "round-3 additions" onward) + the 14 deferred agg
+    # variants + the same 3 canaries; everything else is driver-green in
+    # r02/r03 and covered by the local parity mirror.
     return {
         # -- canaries (driver-green in r1 AND r2) -----------------------
         "profile_dict": q_profile_dict,
@@ -4779,6 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_split": q_assign_split,
         "rank_eval": q_rank_eval,
         "hard_negatives": q_hard_negatives,
+        "terms_partition": q_terms_partition,
     }
 
 
@@ -4932,4 +4962,5 @@ def oracle_sql() -> dict[str, str]:
         "assign_split": _sql_assign_split(),
         "rank_eval": _sql_rank_eval(),
         "hard_negatives": _sql_hard_negatives(),
+        "terms_partition": _sql_terms_partition(),
     }

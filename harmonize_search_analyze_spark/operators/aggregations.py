@@ -55,6 +55,8 @@ def terms(
     *,
     skip_nulls: bool = True,
     missing: str | None = None,
+    partition: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Top-k terms by doc count (ES terms aggregation).
 
@@ -63,7 +65,28 @@ def terms(
     buckets nulls under the given substitute value (coalesce — still one
     hash agg). Exact counts (ES's are shard-approximate — exactness is
     strictly better, SURVEY.md §4).
+
+    ``partition``/``num_partitions`` mirror the ES ``include.partition``
+    paging contract for high-cardinality fields: restrict the agg to the
+    terms whose portable hash lands in partition ``p`` of ``n`` — calling
+    once per partition enumerates EVERY term with a bounded per-call
+    result, where a giant single top-k would not. The filter is a
+    codegen'd hash compare before the agg (each call scans once; n calls
+    total — the same contract ES documents).
     """
+    if (partition is None) != (num_partitions is None):
+        raise ValueError("partition and num_partitions go together")
+    if partition is not None:
+        if not 0 <= partition < num_partitions:
+            raise ValueError(
+                f"partition must be in [0, {num_partitions}), got {partition}"
+            )
+        from harmonize_search_analyze_spark.functions.hashing import (
+            hash64_sql,
+        )
+
+        h = F.expr(hash64_sql(f"CAST({field} AS STRING)", "spark"))
+        df = df.where(h % num_partitions == partition)
     if missing is not None:
         df = df.withColumn(field, F.coalesce(F.col(field), F.lit(missing)))
     elif skip_nulls:

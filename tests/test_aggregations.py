@@ -1144,3 +1144,24 @@ def test_diversified_sampler_caps_per_value(spark):
     with pytest.raises(ValueError):
         diversified_sampler(df, "src", "score", tie_col="id",
                             max_docs_per_value=0)
+
+
+def test_terms_partition_paging_enumerates_everything(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import terms
+
+    df = spark.createDataFrame(
+        [(i, f"term{i % 37}") for i in range(500)], ["id", "t"]
+    )
+    full = {r.t: r.doc_count for r in terms(df, "t", k=100).collect()}
+    paged = {}
+    for p in range(4):
+        for r in terms(df, "t", k=100, partition=p,
+                       num_partitions=4).collect():
+            assert r.t not in paged  # partitions are disjoint
+            paged[r.t] = r.doc_count
+    assert paged == full  # and their union is complete
+    import pytest
+    with pytest.raises(ValueError):
+        terms(df, "t", partition=1)
+    with pytest.raises(ValueError):
+        terms(df, "t", partition=5, num_partitions=3)
