@@ -42,6 +42,12 @@ FAMILY = [
     "phrase_suggest",
     "unimax",
     "knn_filtered",
+    "simple_query",
+    "rescore_topk",
+    "global_order",
+    "assign_split",
+    "rank_eval",
+    "hard_negatives",
 ]
 
 M1_DIR = "/tmp/sparkgraft_m1"

@@ -261,3 +261,77 @@ def test_resize_images_plumbing(spark):
         decode_image(b"x")
     with _pytest.raises(ValueError):
         resize_images(df, 0, 6)
+
+
+def _make_wav(freq_hz=440.0, rate=8000, seconds=0.5, amplitude=0.5,
+              n_ch=1, bits=16):
+    import math
+    import struct
+
+    n = int(rate * seconds)
+    frames = b""
+    for i in range(n):
+        v = amplitude * math.sin(2 * math.pi * freq_hz * i / rate)
+        if bits == 16:
+            frames += struct.pack("<h", int(v * 32767)) * n_ch
+        else:
+            frames += struct.pack("<B", int(v * 127) + 128) * n_ch
+    byte_rate = rate * n_ch * bits // 8
+    data = frames
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, rate,
+                                byte_rate, n_ch * bits // 8, bits)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def test_extract_audio_features_real_pcm_decode(spark):
+    import math
+
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    rows = [
+        (1, _make_wav(amplitude=0.5, seconds=0.5)),
+        (2, _make_wav(amplitude=0.25, seconds=0.25, n_ch=2)),
+        (3, b"\x89PNG\r\n\x1a\nnot audio at all...........padpadpad"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r.id: r for r in extract_audio_features(df).collect()}
+    # sine RMS = amplitude / sqrt(2); peak ~ amplitude
+    assert got[1].rms == pytest.approx(0.5 / math.sqrt(2), abs=0.01)
+    assert got[1].peak == pytest.approx(0.5, abs=0.01)
+    assert got[1].duration_ms == 500
+    assert got[1].n_samples == 4000
+    # stereo: interleaved sample count doubles, duration divides back out
+    assert got[2].n_samples == 2 * int(8000 * 0.25)
+    assert got[2].duration_ms == 250
+    assert got[2].rms == pytest.approx(0.25 / math.sqrt(2), abs=0.01)
+    # non-audio and NULL payloads gate to NULL features
+    assert got[3].rms is None and got[3].n_samples is None
+    assert got[4].rms is None
+
+
+def test_decode_wav_rejects_compressed_and_truncated(spark):
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        decode_wav_pcm,
+    )
+    import struct
+
+    wav = _make_wav()
+    # flip the audio_format field to 2 (ADPCM -> compressed, needs codec)
+    bad = wav[:20] + struct.pack("<H", 2) + wav[22:]
+    assert decode_wav_pcm(bad) is None
+    assert decode_wav_pcm(wav[:30]) is None
+    assert decode_wav_pcm(b"") is None
+    assert decode_wav_pcm(None) is None
