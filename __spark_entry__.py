@@ -4616,6 +4616,75 @@ ORDER BY doc_count DESC, c_mktsegment ASC LIMIT 15
 """
 
 
+def q_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing end-to-end with a SQL oracle: wrap each
+    doc id in a REAL constant-sample PCM WAV (amplitude int16 value =
+    200 + 7*(doc_id % 64), 100 + doc_id % 400 samples at 8 kHz), decode
+    it back through the Arrow mapInPandas stage (genuine PCM decode, no
+    codec), and aggregate. Constant signals make RMS = peak = v/32768
+    EXACTLY, so the oracle predicts every number from doc_id alone."""
+    import struct
+
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(8)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def to_wav(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = 200 + 7 * (did % 64)
+                n = 100 + did % 400
+                data = struct.pack("<h", v) * n
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack(
+                        "<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pdf.assign(payload=payloads)
+
+    wavs = docs.mapInPandas(to_wav, schema)
+    feats = extract_audio_features(wavs)
+    return (
+        feats.groupBy("n_samples")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.round(F.avg("peak"), 6).alias("avg_peak"),
+            F.max("duration_ms").alias("duration_ms"),
+        )
+        .orderBy("n_samples")
+        .limit(50)
+    )
+
+
+def _sql_audio_profile() -> str:
+    return """
+WITH synth AS (
+  SELECT doc_id,
+         ROUND((200 + 7 * (doc_id % 64)) / 32768.0, 6) AS rp,
+         100 + doc_id % 400 AS n_samples
+  FROM documents
+)
+SELECT n_samples, COUNT(*) AS n_docs,
+       ROUND(AVG(rp), 6) AS avg_rms,
+       ROUND(AVG(rp), 6) AS avg_peak,
+       MAX(CAST(n_samples * 1000 // 8000 AS BIGINT)) AS duration_ms
+FROM synth
+GROUP BY n_samples ORDER BY n_samples LIMIT 50
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4809,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q_rank_eval,
         "hard_negatives": q_hard_negatives,
         "terms_partition": q_terms_partition,
+        "audio_profile": q_audio_profile,
     }
 
 
@@ -4963,4 +5033,5 @@ def oracle_sql() -> dict[str, str]:
         "rank_eval": _sql_rank_eval(),
         "hard_negatives": _sql_hard_negatives(),
         "terms_partition": _sql_terms_partition(),
+        "audio_profile": _sql_audio_profile(),
     }

@@ -27,6 +27,7 @@ codec is a one-function change inside the same ``mapInPandas`` stage.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -440,8 +441,13 @@ def extract_audio_features(
                 ns.append(n)
                 dur.append(int(n // n_ch * 1000 // rate))
                 if n:
-                    rms.append(round(float(np.sqrt(np.mean(samples**2))), 6))
-                    peak.append(round(float(np.max(np.abs(samples))), 6))
+                    # half-UP at 6 decimals (values are >= 0): Python's
+                    # round() is banker's and disagrees with SQL ROUND at
+                    # exact halves (e.g. 256/32768 = 0.0078125), which
+                    # breaks cross-engine parity of downstream aggregates
+                    _r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+                    rms.append(_r6(float(np.sqrt(np.mean(samples**2)))))
+                    peak.append(_r6(float(np.max(np.abs(samples)))))
                 else:
                     rms.append(0.0); peak.append(0.0)
             pdf = pdf.copy()
