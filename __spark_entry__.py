@@ -4685,6 +4685,54 @@ GROUP BY n_samples ORDER BY n_samples LIMIT 50
 """
 
 
+_POLYGON = [
+    {"lat": 50.0, "lon": -100.0},
+    {"lat": 60.0, "lon": 0.0},
+    {"lat": 50.0, "lon": 100.0},
+    {"lat": -20.0, "lon": 60.0},
+    {"lat": -40.0, "lon": 0.0},
+    {"lat": -20.0, "lon": -60.0},
+]
+
+
+def q_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_polygon query: crossing-number point-in-ring test as one
+    codegen'd arithmetic expression (an O(edges) term per row, no join,
+    no UDF), counting lineitem-derived points inside a hexagonal ring."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.expr(_LAT_EXPR).alias("lat"), F.expr(_LON_EXPR).alias("lon"),
+        "l_returnflag",
+    )
+    pred = compile_query({"geo_polygon": {"points": _POLYGON}})
+    return (
+        pts.where(pred)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _sql_geo_polygon() -> str:
+    from harmonize_search_analyze_spark.plans.compiler import (
+        geo_polygon_sql,
+    )
+
+    cond = geo_polygon_sql(
+        [(p["lat"], p["lon"]) for p in _POLYGON], "lat", "lon"
+    )
+    return f"""
+WITH pts AS (
+  SELECT {_LAT_EXPR} AS lat, {_LON_EXPR} AS lon, l_returnflag FROM lineitem
+)
+SELECT l_returnflag, COUNT(*) AS doc_count FROM pts
+WHERE {cond}
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4879,6 +4927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "terms_partition": q_terms_partition,
         "audio_profile": q_audio_profile,
+        "geo_polygon": q_geo_polygon,
     }
 
 
@@ -5034,4 +5083,5 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _sql_hard_negatives(),
         "terms_partition": _sql_terms_partition(),
         "audio_profile": _sql_audio_profile(),
+        "geo_polygon": _sql_geo_polygon(),
     }

@@ -543,6 +543,50 @@ def _nested(body: dict[str, Any]) -> Column:
     return F.expr(nested_exists_sql(path, query, "spark"))
 
 
+def geo_polygon_sql(
+    points: list[tuple[float, float]],
+    lat_expr: str,
+    lon_expr: str,
+) -> str:
+    """Point-in-polygon as a pure boolean SQL expression (identical text
+    both engines — only arithmetic and comparisons): the classic
+    crossing-number test, one term per polygon edge, XOR-folded via `<>`.
+    ``points`` are (lat, lon) vertices of a closed ring (plan-time
+    literals, like every query constant here); boundary behavior follows
+    the standard half-open edge rule. O(edges) codegen'd terms per row —
+    no join, no UDF, sargable-adjacent (a bounding-box pre-filter can be
+    AND-ed in front for scan pruning)."""
+    if len(points) < 3:
+        raise QueryCompileError("geo_polygon needs at least 3 vertices")
+    terms = []
+    n = len(points)
+    for i in range(n):
+        y1, x1 = points[i]
+        y2, x2 = points[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge can't cross a horizontal ray test
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr})) "
+            f"AND ({lon_expr} < ({x2!r} - {x1!r}) * ({lat_expr} - {y1!r}) "
+            f"/ ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)"
+        )
+    if not terms:
+        return "FALSE"  # degenerate all-horizontal ring
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+def _geo_polygon(body: dict[str, Any]) -> Column:
+    """ES ``geo_polygon`` query: the point lies inside the polygon ring.
+    Vertices come as ES's ``points`` list of {lat, lon} dicts."""
+    f = body.get("fields") or {}
+    lat, lon = f.get("lat", "lat"), f.get("lon", "lon")
+    pts = [
+        (float(p["lat"]), float(p["lon"]))
+        for p in (body.get("points") or [])
+    ]
+    return F.expr(geo_polygon_sql(pts, lat, lon))
+
+
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     preds = []
     for clause in body.get("must", []) or []:
@@ -589,6 +633,7 @@ _HANDLERS = {
     "simple_query_string": _simple_query_string,
     "intervals": _intervals,
     "nested": _nested,
+    "geo_polygon": _geo_polygon,
 }
 
 

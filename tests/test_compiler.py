@@ -455,3 +455,29 @@ def test_nested_query_validation(spark):
     with pytest.raises(QueryCompileError):
         compile_query({"nested": {"path": "p",
                                   "query": {"term": {"p.f": "a'b"}}}})
+
+
+def test_geo_polygon_crossing_number(spark):
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),      # centroid — inside
+            (2, 0.0, 200.0),    # way east — outside
+            (3, 5.0, 4.9),      # inside near the diagonal edge
+            (4, 5.0, 5.1),      # just across the diagonal — outside
+            (5, -1.0, 0.0),     # below the square — outside
+        ],
+        ["id", "lat", "lon"],
+    )
+    # right triangle (0,0)-(10,0)-(0,10): inside iff lat>0, lon>0, lat+lon<10
+    tri = {"geo_polygon": {"points": [
+        {"lat": 0.0, "lon": 0.0},
+        {"lat": 10.0, "lon": 0.0},
+        {"lat": 0.0, "lon": 10.0},
+    ]}}
+    got = sorted(r["id"] for r in pts.where(compile_query(tri)).collect())
+    # the half-open edge rule counts the (0,0) vertex as inside (one
+    # upward-edge crossing); (5,4.9) inside; (5,5.1) just across — out
+    assert got == [1, 3]
+    with pytest.raises(QueryCompileError):
+        compile_query({"geo_polygon": {"points": [
+            {"lat": 0.0, "lon": 0.0}, {"lat": 1.0, "lon": 1.0}]}})
