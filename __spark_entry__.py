@@ -4733,6 +4733,105 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation as a first-class operator: precision /
+    recall / F1 of a deliberately COARSE LSH candidate set (2 bands of 4
+    rows, verify at 0.9, token-set shingles) against the brute
+    exact-Jaccard truth at the same threshold, on the 1-in-10 doc
+    sample. Recall < 1 here is the
+    point — the operator measures the banding dial."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        near_dup_pairs_brute,
+        near_dup_pairs_lsh,
+        pair_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    cand = near_dup_pairs_lsh(
+        docs, "doc_id", "text", threshold=0.9, k=8, n=1, rows_per_band=4
+    )
+    truth = near_dup_pairs_brute(docs, "doc_id", "text", threshold=0.9, n=1)
+    return pair_metrics(cand, truth)
+
+
+def _sql_dedup_eval() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+        minhash_params,
+        minhash_term_sql,
+    )
+    from harmonize_search_analyze_spark.operators.dedup import (
+        jaccard_sql,
+        shingles_sql,
+    )
+
+    sh = shingles_sql("text", "duckdb", 1)
+    mh = [
+        f"list_min(list_transform({sh}, s -> "
+        f"{minhash_term_sql(hash64_sql('s', 'duckdb'), a, b)})) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(8))
+    ]
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, "
+        + " || '_' || ".join(
+            f"CAST(mh_{4 * bi + r} AS VARCHAR)" for r in range(4)
+        )
+        + " AS band_key FROM sigs"
+        for bi in range(2)
+    )
+    j = jaccard_sql("sa.shingles", "sb.shingles", "duckdb")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+), sigs AS (
+  SELECT doc_id, {', '.join(mh)} FROM docs
+), bands AS ({bands}),
+rawcand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+), sh AS (
+  SELECT doc_id, {sh} AS shingles FROM docs
+), cand AS (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2, {j} AS jc
+    FROM rawcand JOIN sh sa ON sa.doc_id = id1 JOIN sh sb ON sb.doc_id = id2
+  ) WHERE jc >= 0.9
+), truth AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+  WHERE {jaccard_sql('a.shingles', 'b.shingles', 'duckdb')} >= 0.9
+), m AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cand JOIN truth
+            ON cand.id1 = truth.id1 AND cand.id2 = truth.id2) AS tp
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(tp AS BIGINT) AS tp,
+       ROUND(CASE WHEN n_candidates > 0
+                  THEN CAST(tp AS DOUBLE) / n_candidates ELSE 0.0 END, 6)
+         AS precision,
+       ROUND(CASE WHEN n_truth > 0
+                  THEN CAST(tp AS DOUBLE) / n_truth ELSE 0.0 END, 6)
+         AS recall,
+       ROUND(CASE WHEN (CASE WHEN n_candidates > 0
+                             THEN CAST(tp AS DOUBLE) / n_candidates
+                             ELSE 0.0 END
+                      + CASE WHEN n_truth > 0
+                             THEN CAST(tp AS DOUBLE) / n_truth
+                             ELSE 0.0 END) > 0
+                  THEN 2 * (CAST(tp AS DOUBLE) / n_candidates)
+                         * (CAST(tp AS DOUBLE) / n_truth)
+                       / ((CAST(tp AS DOUBLE) / n_candidates)
+                          + (CAST(tp AS DOUBLE) / n_truth))
+                  ELSE 0.0 END, 6) AS f1
+FROM m
+"""
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bucket distributions for target (lang='en') vs the raw pool, integer
@@ -4928,6 +5027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_partition": q_terms_partition,
         "audio_profile": q_audio_profile,
         "geo_polygon": q_geo_polygon,
+        "dedup_eval": q_dedup_eval,
     }
 
 
@@ -5084,4 +5184,5 @@ def oracle_sql() -> dict[str, str]:
         "terms_partition": _sql_terms_partition(),
         "audio_profile": _sql_audio_profile(),
         "geo_polygon": _sql_geo_polygon(),
+        "dedup_eval": _sql_dedup_eval(),
     }

@@ -1098,3 +1098,57 @@ def _lsh_bands(
     return sigs.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def pair_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    *,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Precision / recall / F1 of an approximate duplicate-pair set
+    against ground truth — the "measure, don't guess" harness for tuning
+    band counts, sketch widths, and thresholds, as a first-class operator
+    instead of a test-only assertion.
+
+    Pairs are unordered: both frames are normalized to (min, max) and
+    deduplicated before comparison, so callers may emit either
+    orientation. Returns ONE row: ``(n_candidates, n_truth, tp,
+    precision, recall, f1)`` — rounded 6; empty sides yield 0.0 metrics
+    rather than NULL/divide-by-zero.
+
+    Scale shape: pair frames are the (bounded) OUTPUTS of dedup
+    operators, so the normalize + distinct + one equi-join cost tracks
+    pair volume, never the corpus.
+    """
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id1), F.col(id2)).alias("__a"),
+            F.greatest(F.col(id1), F.col(id2)).alias("__b"),
+        ).distinct()
+
+    c, t = norm(candidates), norm(truth)
+    tp = c.join(t, ["__a", "__b"])
+    counts = (
+        c.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(t.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(tp.agg(F.count(F.lit(1)).alias("tp")))
+    )
+    prec = F.when(
+        F.col("n_candidates") > 0, F.col("tp") / F.col("n_candidates")
+    ).otherwise(0.0)
+    rec = F.when(F.col("n_truth") > 0, F.col("tp") / F.col("n_truth")).otherwise(
+        0.0
+    )
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    return counts.select(
+        F.col("n_candidates").cast("bigint"),
+        F.col("n_truth").cast("bigint"),
+        F.col("tp").cast("bigint"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

@@ -914,3 +914,30 @@ def test_hard_negatives_label_filter_before_rank(spark):
     import pytest
     with pytest.raises(ValueError):
         mine_hard_negatives(df, df, k=0)
+
+
+def test_pair_metrics_hand_case(spark):
+    from harmonize_search_analyze_spark.operators.dedup import pair_metrics
+
+    # candidates miss one true pair and add one false pair; orientation
+    # and duplicates must not matter
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (9, 8)], ["id1", "id2"]
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], ["id1", "id2"]
+    )
+    r = pair_metrics(cand, truth).collect()[0]
+    assert (r.n_candidates, r.n_truth, r.tp) == (3, 3, 2)
+    assert r.precision == round(2 / 3, 6)
+    assert r.recall == round(2 / 3, 6)
+    assert r.f1 == round(2 / 3, 6)
+
+
+def test_pair_metrics_empty_sides(spark):
+    from harmonize_search_analyze_spark.operators.dedup import pair_metrics
+
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    truth = spark.createDataFrame([(1, 2)], ["id1", "id2"])
+    r = pair_metrics(empty, truth).collect()[0]
+    assert (r.precision, r.recall, r.f1) == (0.0, 0.0, 0.0)
