@@ -286,3 +286,49 @@ def test_unimax_never_exceeds_caps(spark, sizes, budget, max_epochs):
         whole = math.floor(max_epochs)
         for s, sz in enumerate(sizes):
             assert counts.get(f"src{s}", 0) >= sz * whole
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    qwords=st.lists(st.sampled_from("abcd"), min_size=2, max_size=3),
+    max_gaps=st.integers(-1, 3),
+    ordered=st.booleans(),
+)
+def test_intervals_match_against_python_reference(
+    spark, docs, qwords, max_gaps, ordered
+):
+    """The nested-EXISTS intervals predicate must agree with a direct
+    Python enumeration of position combinations for ANY token stream."""
+    from itertools import product
+
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    def ref_match(tokens):
+        pos = [
+            [i + 1 for i, t in enumerate(tokens) if t == w] for w in qwords
+        ]
+        for combo in product(*pos):
+            if ordered:
+                if any(b <= a for a, b in zip(combo, combo[1:])):
+                    continue
+            else:
+                if len(set(combo)) != len(combo):
+                    continue
+            slack = max(combo) - min(combo) + 1 - len(qwords)
+            if max_gaps < 0 or slack <= max_gaps:
+                return True
+        return False
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    rule = {"match": {
+        "query": " ".join(qwords), "ordered": ordered, "max_gaps": max_gaps,
+    }}
+    got = sorted(r.id for r in df.where(
+        compile_query({"intervals": {"text.split": rule}})).collect())
+    want = sorted(i for i, d in enumerate(docs) if ref_match(d))
+    assert got == want, (qwords, max_gaps, ordered, docs, got, want)
