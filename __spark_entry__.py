@@ -4852,6 +4852,213 @@ def _sql_dsir_sample() -> str:
     return dsir_sample_sql("documents", "lang = 'en'", "duckdb", k=60, m=512)
 
 
+# -- web-corpus extraction (html/url/domain), CCNet tiers, bucket_script,
+# -- ip_prefix ---------------------------------------------------------------
+
+# deterministic raw-HTML synthesis shared verbatim by both dialects (the
+# documents table has no markup column; '||' + CAST parse identically)
+_HTML_SYNTH = (
+    """('<html><head><title>' || source || '</title>"""
+    """<style>p{color:red}</style>"""
+    """<script type="text/javascript">var x = 1 < 2 && 3 > 2;</script>"""
+    """</head><body><!-- nav --><p>' || text || '</p><br>"""
+    """<div class="footer">Contact: admin@example.com &amp; """
+    """<a href="https://x.example.com/?q=' || CAST(doc_id AS STRING) || """
+    """'">link</a></div></body></html>')"""
+)
+
+# deterministic messy-URL synthesis: mixed-case scheme/host, www, default
+# port, unsorted+tracking query params, fragment — every normalizer rule
+# fires on every row
+_URL_SYNTH = (
+    "('HTTPS://WWW.' || source || '.Example' || "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.CO.UK' "
+    "WHEN 1 THEN '.COM' ELSE '.ORG' END || "
+    "':443/Docs/' || CAST(doc_id AS STRING) || "
+    "'/?z=' || CAST(doc_id % 5 AS STRING) || "
+    "'&utm_source=feed&a=' || CAST(doc_id % 7 AS STRING) || "
+    "'&fbclid=x#sec')"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style HTML→text extraction (C4 §2.2's input stage): strip
+    script/style/comment blocks and tags, decode entities, collapse
+    whitespace — one codegen'd regexp chain, map-only (scan-bound at
+    100 TB). HTML is synthesized deterministically from the documents
+    table; the oracle replays the identical chain in DuckDB."""
+    from harmonize_search_analyze_spark.operators.web import html_to_text_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(html_to_text_sql(_HTML_SYNTH, "spark")).alias("extracted"),
+    ).withColumn(
+        "n_chars_clean", F.length("extracted").cast("bigint")
+    )
+
+
+def _sql_html_extract() -> str:
+    from harmonize_search_analyze_spark.operators.web import html_to_text_sql
+
+    return (
+        f"SELECT doc_id, {html_to_text_sql(_HTML_SYNTH, 'duckdb')} AS "
+        "extracted, CAST(LENGTH("
+        f"{html_to_text_sql(_HTML_SYNTH, 'duckdb')}) AS BIGINT) AS "
+        "n_chars_clean FROM documents"
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL curation rollup: normalize each document's URL
+    (lowercase scheme+host, strip www/default port/fragment/tracking
+    params, sort survivors), extract the registered domain (eTLD+1), and
+    aggregate per domain: doc count, distinct canonical URLs (the URL-dedup
+    key count) and the lexicographically first URL as a sample. One hash
+    agg over map-only string work."""
+    from harmonize_search_analyze_spark.operators.web import (
+        normalize_url_sql,
+        registered_domain_sql,
+        url_host_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dom = registered_domain_sql(url_host_sql(_URL_SYNTH, "spark"), "spark")
+    return (
+        docs.select(
+            F.expr(dom).alias("domain"),
+            F.expr(normalize_url_sql(_URL_SYNTH, "spark")).alias("url"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.countDistinct("url").alias("distinct_urls"),
+            F.min("url").alias("sample_url"),
+        )
+    )
+
+
+def _sql_url_normalize() -> str:
+    from harmonize_search_analyze_spark.operators.web import (
+        normalize_url_sql,
+        registered_domain_sql,
+        url_host_sql,
+    )
+
+    dom = registered_domain_sql(url_host_sql(_URL_SYNTH, "duckdb"), "duckdb")
+    url = normalize_url_sql(_URL_SYNTH, "duckdb")
+    return f"""
+WITH u AS (
+  SELECT {dom} AS domain, {url} AS url FROM documents
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS distinct_urls,
+       MIN(url) AS sample_url
+FROM u GROUP BY domain
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers (Wenzek et al. 2020 §4.3):
+    unigram-LM score per doc, NTILE(3) within each language over the
+    rounded score (doc_id tie-break for engine-portable assignment), then
+    per-(lang, tier) doc counts and mean NLL."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs)
+
+
+def _sql_ccnet_buckets() -> str:
+    from harmonize_search_analyze_spark.operators.contamination import (
+        perplexity_buckets_oracle_sql,
+    )
+
+    return perplexity_buckets_oracle_sql("documents")
+
+
+def q_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script + bucket_selector pipeline: daily date_histogram
+    with sum(value)/count/distinct-user metrics, derived per-bucket
+    metrics as in-plan arithmetic scripts (avg event value, value per
+    user), then keep only days with >= 10 events. The scripts are a
+    projection over the bucket frame — zero extra exchanges."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        bucket_script,
+        bucket_selector,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("value").alias("__sum_v"),
+        F.countDistinct("user_id").alias("users"),
+    )
+    out = bucket_script(
+        buckets,
+        {"avg_value": "__sum_v / cnt", "value_per_user": "__sum_v / users"},
+    )
+    out = bucket_selector(out, F.col("cnt") >= 10)
+    return out.select(
+        "day", "cnt", F.round("__sum_v", 6).alias("sum_v"),
+        "avg_value", "value_per_user",
+    )
+
+
+def _sql_bucket_script() -> str:
+    return """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(value) AS sum_v,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+  FROM events GROUP BY date_trunc('day', ts)
+)
+SELECT day, cnt, ROUND(sum_v, 6) AS sum_v,
+       ROUND(sum_v / cnt, 6) AS avg_value,
+       ROUND(sum_v / users, 6) AS value_per_user
+FROM b WHERE cnt >= 10
+"""
+
+
+def q_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_prefix agg: /20 subnet buckets over IPv4 addresses
+    synthesized from user_id — codegen'd integerize + floor-to-block key,
+    ONE subnet-count-sized exchange (map-side combine bounds it at 2^20
+    rows regardless of corpus size)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        ip_prefix_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("ip", F.expr(_IP_EXPR))
+    return ip_prefix_agg(ev, "ip", prefix_length=20)
+
+
+def _sql_ip_prefix() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        ip_to_long_sql,
+        long_to_ip_sql,
+    )
+
+    block = 1 << 12
+    net = (
+        f"CAST(FLOOR({ip_to_long_sql(_IP_EXPR_DUCK)} / {block}) AS BIGINT)"
+        f" * {block}"
+    )
+    return f"""
+WITH n AS (
+  SELECT {net} AS net FROM events
+)
+SELECT {long_to_ip_sql('net')} || '/20' AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM n GROUP BY net
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -5028,6 +5235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_profile": q_audio_profile,
         "geo_polygon": q_geo_polygon,
         "dedup_eval": q_dedup_eval,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "ccnet_buckets": q_ccnet_buckets,
+        "bucket_script": q_bucket_script,
+        "ip_prefix": q_ip_prefix,
     }
 
 
@@ -5185,4 +5397,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_profile": _sql_audio_profile(),
         "geo_polygon": _sql_geo_polygon(),
         "dedup_eval": _sql_dedup_eval(),
+        "html_extract": _sql_html_extract(),
+        "url_normalize": _sql_url_normalize(),
+        "ccnet_buckets": _sql_ccnet_buckets(),
+        "bucket_script": _sql_bucket_script(),
+        "ip_prefix": _sql_ip_prefix(),
     }

@@ -856,6 +856,29 @@ def serial_diff(
     ).orderBy(bucket_col)
 
 
+def bucket_script(
+    buckets: DataFrame, scripts: dict[str, str], *, round_to: int | None = 6
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: derive new per-bucket metrics
+    from sibling metrics with an arithmetic script. The "script" here is a
+    Spark SQL expression string over the bucket frame's metric columns
+    (ES's painless ``params.a / params.b`` maps 1:1 onto column names) —
+    evaluated in-plan by the engine, never a UDF.
+
+    A projection over the already-aggregated bucket frame: zero additional
+    exchanges at any scale, the bucket count is the row count. ``round_to``
+    rounds each derived DOUBLE once at the end (cross-engine float
+    discipline; pass None to skip).
+    """
+    out = buckets
+    for name, script in scripts.items():
+        col = F.expr(script)
+        if round_to is not None:
+            col = F.round(col.cast("double"), round_to)
+        out = out.withColumn(name, col)
+    return out
+
+
 def bucket_selector(buckets: DataFrame, predicate: Column) -> DataFrame:
     """ES ``bucket_selector`` pipeline agg: keep only buckets whose row
     satisfies the script predicate (here: a Column over the bucket frame —
@@ -1200,6 +1223,51 @@ def ip_range_agg(
         *[F.lit(v) for pair in zip(num_keys, labels) for v in pair]
     )
     return out.withColumn("range_key", mapping[F.col("range_key")])
+
+
+def long_to_ip_sql(expr: str) -> str:
+    """BIGINT → dotted-quad IPv4 text, engine-portable (FLOOR + ``%`` +
+    CAST AS STRING parse identically on Spark and DuckDB)."""
+    octets = [
+        f"CAST(CAST(FLOOR({expr} / {1 << s}) AS BIGINT) % 256 AS STRING)"
+        for s in (24, 16, 8, 0)
+    ]
+    return f"concat({octets[0]}, '.', {octets[1]}, '.', {octets[2]}, '.', {octets[3]})"
+
+
+def ip_prefix_agg(
+    df: DataFrame, field: str, *, prefix_length: int
+) -> DataFrame:
+    """ES ``ip_prefix`` agg: bucket IPv4 addresses by their
+    ``prefix_length``-bit network prefix; keys are the network addresses in
+    CIDR text form (``10.0.16.0/20``), counts per subnet.
+
+    One hash aggregation over a codegen'd key expression — map-side
+    combine collapses each partition to its distinct-subnet rows (≤2^p),
+    so the exchange is subnet-count-sized no matter the corpus. IPv6 is
+    out of scope (the synthetic corpus and ip_to_long_sql are v4).
+    """
+    if not 0 < prefix_length <= 32:
+        raise ValueError("prefix_length must be in 1..32")
+    block = 1 << (32 - prefix_length)
+    net = (
+        f"CAST(FLOOR({ip_to_long_sql(field)} / {block}) AS BIGINT)"
+        f" * {block}"
+    )
+    return (
+        df.withColumn("__net", F.expr(net))
+        .groupBy("__net")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+        .select(
+            F.concat(
+                F.expr(long_to_ip_sql("__net")), F.lit(f"/{prefix_length}")
+            ).alias("prefix"),
+            "doc_count",
+            F.col("__net").alias("__order"),
+        )
+        .orderBy("__order")
+        .drop("__order")
+    )
 
 
 def geo_line(

@@ -269,3 +269,95 @@ def fuzzy_decontaminate(
         .where(F.col("jaccard") >= threshold)
         .select(id_col, bench_id_col, "jaccard")
     )
+
+
+# -- CCNet perplexity bucketing ----------------------------------------------
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score each
+    document with the unigram LM, then partition each language's documents
+    into ``n_buckets`` equal-depth perplexity tiers — bucket 1 ("head") is
+    the lowest-perplexity (most fluent) third.
+
+    Returns one row per (lang, bucket): the tier label, its doc count and
+    its mean NLL. Tiering uses NTILE over (nll, doc_id) — the doc_id
+    tie-break makes the assignment deterministic and engine-portable (NLL
+    is pre-rounded to 6 by :func:`unigram_lm_score`, so equal scores
+    compare equal in both engines).
+
+    Scale shape: the LM score is two shuffles (see unigram_lm_score); the
+    tiering adds ONE more exchange (hash by lang for the window) and the
+    final rollup re-uses that partitioning. CCNet itself shards this
+    per-language — partitionBy(lang) is exactly that sharding.
+    """
+    scored = unigram_lm_score(docs, doc_id=doc_id, text_col=text_col).join(
+        docs.select(doc_id, lang_col), doc_id
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy("nll", doc_id)
+    labels = {1: "head", n_buckets: "tail"}
+    lab = F.when(F.col("__tier") == 1, "head")
+    for t in range(2, n_buckets):
+        lab = lab.when(F.col("__tier") == t, f"middle{t - 1}" if n_buckets > 3 else "middle")
+    lab = lab.otherwise("tail")
+    return (
+        scored.withColumn("__tier", F.ntile(n_buckets).over(w))
+        .groupBy(lang_col, "__tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .withColumn("bucket", lab)
+        .drop("__tier")
+        .select(lang_col, "bucket", "doc_count", "avg_nll")
+    )
+
+
+def perplexity_buckets_oracle_sql(
+    doc_table: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB replay of :func:`perplexity_buckets` (n_buckets<=3 labels)."""
+    toks = tokens_sql(text_col, "duckdb")
+    return f"""
+WITH t AS (
+  SELECT {doc_id}, unnest({toks}) AS tok FROM {doc_table}
+), v AS (
+  SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS s FROM v
+), scored AS (
+  SELECT {doc_id},
+         ROUND(SUM(-LN(CAST(c AS DOUBLE) / CAST(s AS DOUBLE))) / COUNT(*), 6)
+           AS nll
+  FROM t JOIN v USING (tok) CROSS JOIN tot
+  GROUP BY {doc_id}
+), tiered AS (
+  SELECT d.{lang_col}, s.nll,
+         NTILE({n_buckets}) OVER (
+           PARTITION BY d.{lang_col} ORDER BY s.nll, s.{doc_id}
+         ) AS tier
+  FROM scored s JOIN {doc_table} d USING ({doc_id})
+)
+SELECT {lang_col},
+       CASE tier WHEN 1 THEN 'head'
+                 WHEN {n_buckets} THEN 'tail'
+                 ELSE 'middle' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       ROUND(AVG(nll), 6) AS avg_nll
+FROM tiered
+GROUP BY {lang_col}, tier
+"""

@@ -233,3 +233,26 @@ def test_similarity_join_ivf_recall_vs_exact(spark):
     from collections import Counter
     per_q = Counter(q for q, _ in ivf)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_perplexity_buckets_equal_depth(spark):
+    """CCNet tiers: per-lang NTILE(3) splits into equal-depth buckets
+    (±1), and the head tier is strictly more fluent (lower mean NLL)
+    than the tail."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        perplexity_buckets,
+    )
+
+    rows = [
+        (i, ("common word " * 5 + (f"rare{i} " * (i % 7))).strip(),
+         "en" if i % 2 else "fr")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(docs).collect()
+    by = {(r["lang"], r["bucket"]): r for r in out}
+    for lang in ("en", "fr"):
+        counts = [by[(lang, b)]["doc_count"] for b in ("head", "middle", "tail")]
+        assert sum(counts) == 30
+        assert max(counts) - min(counts) <= 1
+        assert by[(lang, "head")]["avg_nll"] <= by[(lang, "tail")]["avg_nll"]

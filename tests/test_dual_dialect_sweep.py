@@ -554,3 +554,18 @@ def test_nested_generator_on_edge_structs(spark):
             assert s == d, (ast, s, d)
     finally:
         spark.catalog.dropTempView("edge_nested")
+
+
+def test_web_generators(spark):
+    """HTML/URL extraction on the text edge corpus (markup-shaped edges
+    get their own corpus in test_web.py; this guards the generic string
+    edges — empties, whitespace runs, long tokens)."""
+    from harmonize_search_analyze_spark.operators.web import (
+        html_to_text_sql,
+        normalize_url_sql,
+        registered_domain_sql,
+    )
+
+    _sweep(spark, html_to_text_sql)
+    _sweep(spark, normalize_url_sql)
+    _sweep(spark, registered_domain_sql)
