@@ -5059,6 +5059,51 @@ FROM n GROUP BY net
 """
 
 
+def q_hex_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohex_grid analog: hexagonal tiling (circumradius 5°, axial
+    cube-rounded keys) over the synthesized lineitem coordinates, top-30
+    cells. Same text is its own oracle — every operand is ANSI-portable
+    and rounding is pinned to half-up FLOOR(v+0.5)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        hex_grid,
+    )
+
+    df = _t(spark, sf_dir, "lineitem")
+    return hex_grid(df, _LAT_EXPR, _LON_EXPR, size_deg=5.0, k=30)
+
+
+def _sql_hex_grid() -> str:
+    from harmonize_search_analyze_spark.functions.geohash import hex_key_sql
+
+    key = hex_key_sql(_LAT_EXPR, _LON_EXPR, 5.0)
+    return f"""
+SELECT {key} AS hex, CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM lineitem
+GROUP BY hex ORDER BY doc_count DESC, hex ASC LIMIT 30
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear BoW quality classifier (GPT-3 Appendix A's filter family,
+    closed-form NB member): train on a curated-vs-crawl proxy label
+    (source = 'src0') and score every document, all in-plan — two
+    vocab/doc-keyed shuffles, no gradient loop, no UDF."""
+    from harmonize_search_analyze_spark.operators.classifier import (
+        nb_quality_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return nb_quality_classifier(docs, "source = 'src0'")
+
+
+def _sql_quality_classifier() -> str:
+    from harmonize_search_analyze_spark.operators.classifier import (
+        nb_quality_oracle_sql,
+    )
+
+    return nb_quality_oracle_sql("documents", "source = 'src0'")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -5240,6 +5285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "bucket_script": q_bucket_script,
         "ip_prefix": q_ip_prefix,
+        "quality_classifier": q_quality_classifier,
+        "hex_grid": q_hex_grid,
     }
 
 
@@ -5402,4 +5449,6 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": _sql_ccnet_buckets(),
         "bucket_script": _sql_bucket_script(),
         "ip_prefix": _sql_ip_prefix(),
+        "quality_classifier": _sql_quality_classifier(),
+        "hex_grid": _sql_hex_grid(),
     }

@@ -196,3 +196,69 @@ def geotile_encode(lat: str, lon: str, zoom: int = 7) -> Column:
     """Spark Column form of :func:`geotile_sql` (expressions given as SQL
     strings, same contract as geohash_encode's str path)."""
     return F.expr(geotile_sql(lat, lon, zoom))
+
+
+def hex_qr_sql(lat: str, lon: str, size_deg: float) -> tuple[str, str]:
+    """Axial hex-cell coordinates (q, r) for a pointy-top hexagonal grid
+    of circumradius ``size_deg`` degrees in equirectangular lat/lon space
+    — the engine's ``geohex_grid`` analog.
+
+    ES's geohex_grid uses Uber H3, whose icosahedral gnomonic projection
+    needs the h3 library (absent in this container); this grid keeps the
+    property the agg actually exploits — a hexagonal tiling with
+    6-neighbor adjacency and ~equal-size cells locally — while being pure
+    column arithmetic. The deviation (degree-space cells shrink in ground
+    area toward the poles, like geohash cells do) is documented here, not
+    hidden.
+
+    Math (standard axial pixel→hex with cube rounding, Amit Patel's
+    formulation): fractional ``qf = (√3/3·x − 1/3·y)/s``,
+    ``rf = (2/3·y)/s``, cube-round with the largest-residual fix so
+    q+y+r stays 0. Rounding is pinned to FLOOR(v + 0.5) — identical
+    half-up in both engines (Spark's FLOOR returns BIGINT, DuckDB's
+    DOUBLE, hence the explicit casts). Every operand is ANSI-portable,
+    so the same text is its own oracle.
+    """
+    if size_deg <= 0:
+        raise ValueError("size_deg must be positive")
+    s = float(size_deg)
+    x, y = f"CAST(({lon}) AS DOUBLE)", f"CAST(({lat}) AS DOUBLE)"
+    qf = f"((0.5773502691896258 * {x} - 0.3333333333333333 * {y}) / {s})"
+    rf = f"((0.6666666666666666 * {y}) / {s})"
+    yf = f"(-({qf}) - ({rf}))"
+    rq = f"CAST(FLOOR({qf} + 0.5) AS BIGINT)"
+    ry = f"CAST(FLOOR({yf} + 0.5) AS BIGINT)"
+    rr = f"CAST(FLOOR({rf} + 0.5) AS BIGINT)"
+    dq = f"ABS({rq} - ({qf}))"
+    dy = f"ABS({ry} - ({yf}))"
+    dr = f"ABS({rr} - ({rf}))"
+    fix_q = f"({dq} > {dy} AND {dq} > {dr})"
+    q_final = f"(CASE WHEN {fix_q} THEN -({ry}) - ({rr}) ELSE {rq} END)"
+    r_final = (
+        f"(CASE WHEN {fix_q} THEN {rr} "
+        f"WHEN {dy} > {dr} THEN {rr} "
+        f"ELSE -({rq}) - ({ry}) END)"
+    )
+    return q_final, r_final
+
+
+def hex_key_sql(lat: str, lon: str, size_deg: float) -> str:
+    """``'q:r'`` text key for :func:`hex_qr_sql` (the bucket key the
+    hex_grid agg groups by)."""
+    q, r = hex_qr_sql(lat, lon, size_deg)
+    return (
+        f"concat(CAST({q} AS STRING), ':', CAST({r} AS STRING))"
+    )
+
+
+def hex_center_sql(size_deg: float) -> tuple[str, str]:
+    """Cell center (lon, lat) in degrees from axial columns named ``q``
+    and ``r`` (inverse of hex_qr_sql's forward transform)."""
+    s = float(size_deg)
+    # CAST-pin the size literal: Spark parses '5.0' as DECIMAL(2,1) and
+    # propagates DECIMAL through the arithmetic (a wire-type trap for the
+    # oracle gate); an explicit DOUBLE cast keeps both engines in doubles
+    sd = f"CAST({s} AS DOUBLE)"
+    lon = f"ROUND({sd} * (1.7320508075688772 * q + 0.8660254037844386 * r), 6)"
+    lat = f"ROUND({sd} * 1.5 * r, 6)"
+    return lon, lat

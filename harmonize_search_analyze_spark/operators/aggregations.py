@@ -1225,6 +1225,30 @@ def ip_range_agg(
     return out.withColumn("range_key", mapping[F.col("range_key")])
 
 
+def hex_grid(
+    df: DataFrame,
+    lat: str,
+    lon: str,
+    *,
+    size_deg: float,
+    k: int | None = None,
+) -> DataFrame:
+    """ES ``geohex_grid``-analog: bucket points into a pointy-top
+    hexagonal tiling of circumradius ``size_deg`` degrees and count per
+    cell (see functions/geohash.py::hex_qr_sql for the H3 deviation
+    note). Key math is pure column arithmetic — one hash agg; with ``k``
+    the top-k cells come back via TakeOrderedAndProject (ties pinned
+    ``doc_count DESC, hex ASC`` like every terms-family agg here)."""
+    from harmonize_search_analyze_spark.functions.geohash import hex_key_sql
+
+    out = (
+        df.groupBy(F.expr(hex_key_sql(lat, lon, size_deg)).alias("hex"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_count"))
+    )
+    out = out.orderBy(F.col("doc_count").desc(), F.col("hex").asc())
+    return out.limit(k) if k is not None else out
+
+
 def long_to_ip_sql(expr: str) -> str:
     """BIGINT → dotted-quad IPv4 text, engine-portable (FLOOR + ``%`` +
     CAST AS STRING parse identically on Spark and DuckDB)."""

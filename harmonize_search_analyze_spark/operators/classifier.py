@@ -1,0 +1,143 @@
+"""Bag-of-words quality classifier: train + score entirely in-plan.
+
+The published pretraining pipelines gate documents with a linear
+bag-of-words classifier trained on a curated-vs-crawl proxy (GPT-3:
+Brown et al. 2020 Appendix A, "quality filtering" with a logistic
+classifier over WebText-vs-CommonCrawl; CCNet/fastText: Joulin et al.
+2017 — fastText with a single softmax IS a linear BoW model). The
+closed-form member of that family is multinomial Naive Bayes with
+Laplace smoothing: per-token log-odds weights derived from class counts,
+document logit = prior + Σ weights — which makes BOTH training and
+scoring expressible as relational aggregation, no gradient loop, no UDF,
+and a DuckDB oracle can replay every step bit-for-bit.
+
+Scale shape (train + score fused):
+- shuffle 1: token explode → per-token per-class counts (map-side
+  combine collapses each partition to its vocab; the exchange is
+  vocab-sized, not corpus-sized).
+- class totals: ONE 1-row agg, broadcast back (metadata, no collect).
+- shuffle 2: token⋈weights hash join (same key as the count agg — AQE
+  reuses the partitioning) → per-doc logit sum.
+At 100 TB this is exactly the unigram-LM shape (contamination.py), which
+is the known-good scaling profile; weights for a trained-once model can
+also be saved and re-joined, making scoring a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+__all__ = ["nb_quality_classifier", "nb_quality_oracle_sql"]
+
+
+def nb_quality_classifier(
+    docs: DataFrame,
+    label_expr: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train multinomial NB on ``label_expr`` (a boolean SQL expression
+    over the input — the curated-vs-crawl proxy) and score every
+    document.
+
+    Returns (doc_id, n_tokens BIGINT, logit DOUBLE rounded to 6,
+    pred_quality BOOLEAN): ``logit = ln(D1/D0) + Σ_t [ln((c1(t)+α) /
+    (N1+αV)) − ln((c0(t)+α)/(N0+αV))]`` over the document's tokens,
+    ``pred_quality = logit > 0``. Deterministic given the corpus: all
+    counts are exact, the only float work is the final log-sum (rounded
+    once, the repo's cross-engine discipline).
+
+    Both classes must be non-empty (``ln(D1/D0)`` is the prior) — the
+    caller picks a proxy that covers both, else the plan raises on the
+    0-count log.
+    """
+    lab = F.expr(label_expr).cast("boolean")
+    toks = docs.select(
+        doc_id,
+        lab.alias("__y"),
+        F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("double").alias("c1"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("double").alias("c0"),
+    )
+    totals = counts.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c0").alias("n0"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    prior = docs.agg(
+        F.log(
+            F.sum(F.when(lab, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(lab, 0).otherwise(1)).cast("double")
+        ).alias("prior")
+    )
+    a = F.lit(float(alpha))
+    w = (
+        F.log((F.col("c1") + a) / (F.col("n1") + a * F.col("v")))
+        - F.log((F.col("c0") + a) / (F.col("n0") + a * F.col("v")))
+    ).alias("w")
+    weights = counts.crossJoin(F.broadcast(totals)).select("tok", w)
+    return (
+        toks.join(weights, "tok")
+        .groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("w").alias("__sw"),
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            doc_id,
+            "n_tokens",
+            F.round(F.col("prior") + F.col("__sw"), 6).alias("logit"),
+            ((F.col("prior") + F.col("__sw")) > 0).alias("pred_quality"),
+        )
+    )
+
+
+def nb_quality_oracle_sql(
+    doc_table: str,
+    label_expr: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> str:
+    """DuckDB replay of :func:`nb_quality_classifier` — same counts, same
+    smoothing, same single rounding."""
+    toks = tokens_sql(text_col, "duckdb")
+    a = float(alpha)
+    return f"""
+WITH t AS (
+  SELECT {doc_id}, ({label_expr}) AS y, unnest({toks}) AS tok
+  FROM {doc_table}
+), cnt AS (
+  SELECT tok,
+         CAST(COUNT(CASE WHEN y THEN 1 END) AS DOUBLE) AS c1,
+         CAST(COUNT(CASE WHEN NOT y THEN 1 END) AS DOUBLE) AS c0
+  FROM t GROUP BY tok
+), tot AS (
+  SELECT SUM(c1) AS n1, SUM(c0) AS n0, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM cnt
+), pri AS (
+  SELECT LN(CAST(COUNT(CASE WHEN ({label_expr}) THEN 1 END) AS DOUBLE)
+            / COUNT(CASE WHEN NOT ({label_expr}) THEN 1 END)) AS prior
+  FROM {doc_table}
+), w AS (
+  SELECT tok,
+         LN((c1 + {a}) / (n1 + {a} * v))
+           - LN((c0 + {a}) / (n0 + {a} * v)) AS w
+  FROM cnt CROSS JOIN tot
+)
+SELECT {doc_id},
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(prior + SUM(w), 6) AS logit,
+       (prior + SUM(w)) > 0 AS pred_quality
+FROM t JOIN w USING (tok) CROSS JOIN pri
+GROUP BY {doc_id}, prior
+"""

@@ -281,6 +281,7 @@ def perplexity_buckets(
     text_col: str = "text",
     lang_col: str = "lang",
     n_buckets: int = 3,
+    exact: bool = True,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): score each
     document with the unigram LM, then partition each language's documents
@@ -288,23 +289,68 @@ def perplexity_buckets(
     the lowest-perplexity (most fluent) third.
 
     Returns one row per (lang, bucket): the tier label, its doc count and
-    its mean NLL. Tiering uses NTILE over (nll, doc_id) — the doc_id
-    tie-break makes the assignment deterministic and engine-portable (NLL
-    is pre-rounded to 6 by :func:`unigram_lm_score`, so equal scores
-    compare equal in both engines).
+    its mean NLL. With ``exact=True`` tiering uses NTILE over
+    (nll, doc_id) — the doc_id tie-break makes the assignment
+    deterministic and engine-portable (NLL is pre-rounded to 6 by
+    :func:`unigram_lm_score`, so equal scores compare equal in both
+    engines). This is the DuckDB-replayable oracle form.
 
-    Scale shape: the LM score is two shuffles (see unigram_lm_score); the
-    tiering adds ONE more exchange (hash by lang for the window) and the
-    final rollup re-uses that partitioning. CCNet itself shards this
-    per-language — partitionBy(lang) is exactly that sharding.
+    **Scale path** (``exact=False``): per-language NTILE hashes every
+    'en' row through ONE reducer — the classic low-cardinality-window
+    funnel. CCNet's own production recipe cuts on quantile THRESHOLDS
+    instead (lm.py computes the cutoffs once, then assigns by
+    comparison): here, ``percentile_approx`` collapses each language to
+    (n_buckets-1) cutoffs (one lang-count-sized agg), broadcast back,
+    and tier assignment becomes a map-side comparison — no per-language
+    sort anywhere. Tier populations are approximate at the cutoff (ties
+    + sketch error), which is CCNet's own contract.
+
+    Scale shape: the LM score is two shuffles (see unigram_lm_score);
+    exact adds one lang-hash exchange + per-lang sort, approx adds a
+    metadata-sized cutoff agg + broadcast join.
     """
     scored = unigram_lm_score(docs, doc_id=doc_id, text_col=text_col).join(
         docs.select(doc_id, lang_col), doc_id
     )
+    if not exact:
+        qs = ", ".join(
+            str(round(i / n_buckets, 6)) for i in range(1, n_buckets)
+        )
+        cuts = scored.groupBy(lang_col).agg(
+            F.expr(
+                f"percentile_approx(nll, array({qs}), 10000)"
+            ).alias("__cuts")
+        )
+        tier = F.lit(1)
+        for i in range(n_buckets - 1):
+            tier = tier + F.when(
+                F.col("nll") > F.element_at("__cuts", i + 1), 1
+            ).otherwise(0)
+        assigned = (
+            scored.join(F.broadcast(cuts), lang_col)
+            .withColumn("__tier", tier)
+            .drop("__cuts")
+        )
+        lab = F.when(F.col("__tier") == 1, "head")
+        for t in range(2, n_buckets):
+            lab = lab.when(
+                F.col("__tier") == t,
+                f"middle{t - 1}" if n_buckets > 3 else "middle",
+            )
+        lab = lab.otherwise("tail")
+        return (
+            assigned.groupBy(lang_col, "__tier")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+                F.round(F.avg("nll"), 6).alias("avg_nll"),
+            )
+            .withColumn("bucket", lab)
+            .drop("__tier")
+            .select(lang_col, "bucket", "doc_count", "avg_nll")
+        )
     from pyspark.sql import Window
 
     w = Window.partitionBy(lang_col).orderBy("nll", doc_id)
-    labels = {1: "head", n_buckets: "tail"}
     lab = F.when(F.col("__tier") == 1, "head")
     for t in range(2, n_buckets):
         lab = lab.when(F.col("__tier") == t, f"middle{t - 1}" if n_buckets > 3 else "middle")

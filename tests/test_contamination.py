@@ -256,3 +256,30 @@ def test_perplexity_buckets_equal_depth(spark):
         assert sum(counts) == 30
         assert max(counts) - min(counts) <= 1
         assert by[(lang, "head")]["avg_nll"] <= by[(lang, "tail")]["avg_nll"]
+
+
+def test_perplexity_buckets_approx_scale_twin(spark):
+    """exact=False (CCNet threshold cut) must agree with the NTILE oracle
+    on tier populations up to cutoff ties, and must not sort per
+    language (no Window in the plan — the 100 TB skew guard)."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        perplexity_buckets,
+    )
+
+    rows = [
+        (i, ("common word " * 5 + (f"rare{i} " * (i % 7))).strip(),
+         "en" if i % 2 else "fr")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    exact = {(r["lang"], r["bucket"]): r["doc_count"]
+             for r in perplexity_buckets(docs).collect()}
+    approx_df = perplexity_buckets(docs, exact=False)
+    approx = {(r["lang"], r["bucket"]): r["doc_count"]
+              for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        # ties at the cutoff can move a handful of docs between tiers
+        assert abs(approx[k] - exact[k]) <= 5, (k, exact[k], approx[k])
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan

@@ -132,3 +132,51 @@ def test_corpus_profile_datasheet(spark):
     assert r["top_lang"] == "en" and r["top_lang_docs"] == 2
     assert r["n_unique"] == 2
     assert r["dup_rate"] == round(1 / 3, 6)
+
+
+def test_nb_classifier_separable_corpus(spark):
+    """NB quality classifier: on a lexically separable corpus the learned
+    log-odds must classify both classes correctly, and logit must be the
+    prior plus the token weight sum (spot-checked on a 1-token doc)."""
+    import math
+
+    from harmonize_search_analyze_spark.operators.classifier import (
+        nb_quality_classifier,
+    )
+
+    rows = (
+        [(i, "clean prose sentence structure", "good") for i in range(10)]
+        + [(i + 10, "spam click buy now", "bad") for i in range(20)]
+        + [(30, "clean", "good")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["doc_id"]: r for r in
+           nb_quality_classifier(docs, "source = 'good'").collect()}
+    assert all(out[i]["pred_quality"] for i in range(10))
+    assert not any(out[i + 10]["pred_quality"] for i in range(20))
+    # closed-form check for the single-token doc: prior ln(11/20) +
+    # w('clean') with c1=11, c0=0, n1=41, n0=80, v=8, alpha=1
+    expect = math.log(11 / 20) + (
+        math.log((11 + 1) / (41 + 8)) - math.log((0 + 1) / (80 + 8))
+    )
+    assert out[30]["logit"] == round(expect, 6)
+
+
+def test_nb_classifier_plan_shape(spark):
+    """Train+score stays on the lm_score profile: tok-keyed exchanges +
+    one doc-keyed exchange, broadcast totals, zero Python stages."""
+    from harmonize_search_analyze_spark.operators.classifier import (
+        nb_quality_classifier,
+    )
+
+    rows = [(i, f"w{i % 7} common text", "src" + str(i % 3))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = nb_quality_classifier(docs, "source = 'src0'")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Python" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan

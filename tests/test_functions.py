@@ -307,3 +307,66 @@ def test_bpe_local_and_distributed_loops_agree(spark):
     local = bpe_train(df, n_merges=6)                       # driver loop
     dist = bpe_train(df, n_merges=6, driver_threshold=0)    # forced Spark loop
     assert local == dist
+
+
+def _hex_ref(lat, lon, s):
+    """Independent Python cube-round reference (Amit Patel's axial math)."""
+    qf = (0.5773502691896258 * lon - 0.3333333333333333 * lat) / s
+    rf = (0.6666666666666666 * lat) / s
+    yf = -qf - rf
+    import math
+
+    rq, ry, rr = (math.floor(v + 0.5) for v in (qf, yf, rf))
+    dq, dy, dr = abs(rq - qf), abs(ry - yf), abs(rr - rf)
+    if dq > dy and dq > dr:
+        rq = -ry - rr
+    elif dy > dr:
+        pass  # fixing y does not change (q, r)
+    else:
+        rr = -rq - ry
+    return rq, rr
+
+
+def test_hex_qr_matches_reference_and_duckdb(spark):
+    """hex_qr_sql vs an independent Python cube-round on a deterministic
+    point cloud, AND Spark-vs-DuckDB on the same expression text."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.functions.geohash import hex_qr_sql
+
+    pts = [((i * 37 % 1700) / 10.0 - 85.0, (i * 91 % 3600) / 10.0 - 180.0)
+           for i in range(300)]
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    q, r = hex_qr_sql("lat", "lon", 5.0)
+    got = df.selectExpr("lat", "lon", f"{q} AS q", f"{r} AS r").collect()
+    for row in got:
+        assert (row["q"], row["r"]) == _hex_ref(row["lat"], row["lon"], 5.0), row
+    con = duckdb.connect()
+    con.sql("CREATE TABLE pts(lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    duck = con.sql(f"SELECT {q} AS q, {r} AS r FROM pts").fetchall()
+    for (lat, lon), (dq_, dr_) in zip(pts, duck):
+        assert (dq_, dr_) == _hex_ref(lat, lon, 5.0), (lat, lon)
+
+
+def test_hex_cell_containment(spark):
+    """Every point must land in the hex cell whose center is nearest in
+    the hex grid's own metric: distance from point to assigned center
+    <= circumradius (cube rounding's defining property)."""
+    from harmonize_search_analyze_spark.functions.geohash import (
+        hex_center_sql,
+        hex_qr_sql,
+    )
+
+    s = 5.0
+    pts = [((i * 53 % 1700) / 10.0 - 85.0, (i * 17 % 3600) / 10.0 - 180.0)
+           for i in range(200)]
+    df = spark.createDataFrame(pts, ["lat", "lon"])
+    q, r = hex_qr_sql("lat", "lon", s)
+    clon, clat = hex_center_sql(s)
+    rows = df.selectExpr(
+        "lat", "lon", f"{q} AS q", f"{r} AS r"
+    ).selectExpr("lat", "lon", f"{clon} AS clon", f"{clat} AS clat").collect()
+    for row in rows:
+        d = ((row["lon"] - row["clon"]) ** 2 + (row["lat"] - row["clat"]) ** 2) ** 0.5
+        assert d <= s + 1e-6, (row, d)
