@@ -5083,6 +5083,92 @@ GROUP BY hex ORDER BY doc_count DESC, hex ASC LIMIT 30
 """
 
 
+# paragraph synthesis shared verbatim by both dialects: para 2 is an exact
+# repeat (always dropped), para 3 is the 40-char prefix (kept unless the
+# doc itself is <=40 chars, in which case it too is a repeat)
+_PARA_SYNTH = "(text || chr(10) || text || chr(10) || substr(text, 1, 40))"
+
+
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal (Gopher's boilerplate rule as a
+    removal op): paragraphs kept only at their first in-doc position —
+    a per-row array pipeline, map-only, zero shuffles. Runs BEFORE the
+    corpus-level line_dedup pass at scale so boilerplate-heavy docs don't
+    flood the line-key shuffle."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        intra_doc_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PARA_SYNTH).alias("text")
+    )
+    return intra_doc_dedup(docs, "doc_id", "text")
+
+
+def _sql_intra_doc_dedup() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        intra_doc_dedup_sql,
+    )
+
+    joined, dropped = intra_doc_dedup_sql(_PARA_SYNTH, "duckdb")
+    return (
+        f"SELECT doc_id, {joined} AS text_dedup, {dropped} AS n_dropped "
+        "FROM documents"
+    )
+
+
+def q_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime_mappings: script-derived fields (order year, price
+    band) materialized at query time, then searched with an ordinary
+    terms query and rolled up — the runtime fields behave exactly like
+    mapped fields downstream (ES's contract), and Catalyst prunes/pushes
+    around the derivations in-plan."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_multi,
+    )
+    from harmonize_search_analyze_spark.plans.compiler import (
+        apply_runtime_mappings,
+        compile_query,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    rt = apply_runtime_mappings(
+        orders,
+        {
+            "o_year": {"type": "long", "script": "year(o_orderdate)"},
+            "price_band": {
+                "type": "keyword",
+                "script": {
+                    "source": "CASE WHEN o_totalprice >= 200000 THEN "
+                    "'high' WHEN o_totalprice >= 100000 THEN 'mid' "
+                    "ELSE 'low' END"
+                },
+            },
+        },
+    )
+    hit = rt.where(
+        compile_query({"terms": {"price_band": ["mid", "high"]}})
+    )
+    return terms_multi(hit, ["o_year", "price_band"], k=30)
+
+
+def _sql_runtime_fields() -> str:
+    return """
+WITH rt AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CASE WHEN o_totalprice >= 200000 THEN 'high'
+              WHEN o_totalprice >= 100000 THEN 'mid'
+              ELSE 'low' END AS price_band
+  FROM orders
+)
+SELECT o_year, price_band, COUNT(*) AS doc_count
+FROM rt WHERE price_band IN ('mid', 'high')
+GROUP BY o_year, price_band
+ORDER BY doc_count DESC, o_year ASC, price_band ASC
+LIMIT 30
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear BoW quality classifier (GPT-3 Appendix A's filter family,
     closed-form NB member): train on a curated-vs-crawl proxy label
@@ -5287,6 +5373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_prefix": q_ip_prefix,
         "quality_classifier": q_quality_classifier,
         "hex_grid": q_hex_grid,
+        "intra_doc_dedup": q_intra_doc_dedup,
+        "runtime_fields": q_runtime_fields,
     }
 
 
@@ -5451,4 +5539,6 @@ def oracle_sql() -> dict[str, str]:
         "ip_prefix": _sql_ip_prefix(),
         "quality_classifier": _sql_quality_classifier(),
         "hex_grid": _sql_hex_grid(),
+        "intra_doc_dedup": _sql_intra_doc_dedup(),
+        "runtime_fields": _sql_runtime_fields(),
     }

@@ -1152,3 +1152,73 @@ def pair_metrics(
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+# -- intra-document repetition removal ---------------------------------------
+
+
+def intra_doc_dedup_sql(
+    expr: str,
+    dialect: str,
+    *,
+    delimiter: str = "\n",
+    min_unit_chars: int = 10,
+) -> tuple[str, str]:
+    """Within-document unit dedup (the removal half of Gopher's repetition
+    rule, Rae et al. 2021 app. A1: docs whose lines/paragraphs repeat are
+    dominated by boilerplate — here the repeats are DROPPED instead of the
+    doc): split on ``delimiter``, keep each unit only at its FIRST
+    position within the document, re-join in order. Units shorter than
+    ``min_unit_chars`` are exempt (same contract as corpus-level
+    line_dedup — '' and '---' are not the signal).
+
+    Returns (deduped_text_sql, n_dropped_sql). Everything is a per-row
+    array pipeline — split / indexed filter / first-position test /
+    re-join — evaluated in the engine's expression layer: map-only, no
+    shuffle, no UDF, scan-bound at 100 TB. Unlike corpus-level line_dedup
+    there is no window exchange at all; this is the operator to run
+    BEFORE the corpus-level pass so boilerplate-heavy docs don't flood
+    the line-key shuffle.
+    """
+    d = delimiter.replace("'", "''")
+    if dialect == "spark":
+        # split() takes a REGEX on Spark — escape metacharacters
+        dre = "".join(
+            ("\\\\" + c) if c in r".^$*+?()[]{}|\\" else c for c in delimiter
+        ).replace("'", "\\'")
+        arr = f"split({expr}, '{dre}')"
+        kept = (
+            f"filter({arr}, (p, i) -> length(p) < {min_unit_chars} "
+            f"OR array_position({arr}, p) = i + 1)"
+        )
+        joined = f"array_join({kept}, '{d}')"
+        dropped = f"CAST(size({arr}) - size({kept}) AS BIGINT)"
+        return joined, dropped
+    arr = f"string_split({expr}, '{d}')"
+    kept = (
+        f"list_filter({arr}, (p, i) -> length(p) < {min_unit_chars} "
+        f"OR list_position({arr}, p) = i)"
+    )
+    joined = f"coalesce(array_to_string({kept}, '{d}'), '')"
+    dropped = f"CAST(len({arr}) - len({kept}) AS BIGINT)"
+    return joined, dropped
+
+
+def intra_doc_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    delimiter: str = "\n",
+    min_unit_chars: int = 10,
+) -> DataFrame:
+    """DataFrame form of :func:`intra_doc_dedup_sql`: returns
+    (id, text_dedup, n_dropped)."""
+    joined, dropped = intra_doc_dedup_sql(
+        text_col, "spark", delimiter=delimiter, min_unit_chars=min_unit_chars
+    )
+    return df.select(
+        id_col,
+        F.expr(joined).alias("text_dedup"),
+        F.expr(dropped).alias("n_dropped"),
+    )

@@ -31,7 +31,7 @@ import re as _re
 from functools import reduce
 from typing import Any
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.functions.datemath import (
@@ -754,3 +754,46 @@ def percolate(
     return (
         df.select(*id_cols, _F.explode(_F.array_compact(tagged)).alias("query_id"))
     )
+
+
+# -- runtime fields -----------------------------------------------------------
+
+# ES runtime-field type -> engine cast (ES docs: runtime fields support
+# boolean/date/double/geo_point/ip/keyword/long; geo_point is the compiler's
+# (lat, lon) column-pair convention and has no scalar cast here)
+_RUNTIME_TYPES = {
+    "keyword": "string",
+    "long": "bigint",
+    "double": "double",
+    "boolean": "boolean",
+    "date": "timestamp",
+    "ip": "string",
+}
+
+
+def apply_runtime_mappings(
+    df: DataFrame, mappings: dict[str, Any]
+) -> DataFrame:
+    """ES ``runtime_mappings``: script-derived fields materialized at query
+    time, visible to every predicate/agg downstream exactly like mapped
+    fields (the ES contract). The painless ``emit(<expr>)`` body maps to a
+    single SQL expression here — evaluated in-plan, so Catalyst still
+    pushes independent predicates past it and prunes unused runtime fields
+    out of the scan entirely (project-only columns are free until used).
+
+    ``mappings`` is the ES wire shape:
+    ``{field: {"type": "long", "script": {"source": "<sql expr>"}}}``
+    (a bare string script is accepted too).
+    """
+    for field, spec in mappings.items():
+        typ = _RUNTIME_TYPES.get(spec.get("type"))
+        if typ is None:
+            raise QueryCompileError(
+                f"unsupported runtime field type: {spec.get('type')!r}"
+            )
+        script = spec.get("script")
+        src = script["source"] if isinstance(script, dict) else script
+        if not src:
+            raise QueryCompileError(f"runtime field {field} needs a script")
+        df = df.withColumn(field, F.expr(src).cast(typ))
+    return df

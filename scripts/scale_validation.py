@@ -50,6 +50,10 @@ FAMILY = [
     "hard_negatives",
 ]
 
+# CLI override: pass query names to validate a subset instead of FAMILY
+if len(sys.argv) > 1:
+    FAMILY = sys.argv[1:]
+
 M1_DIR = "/tmp/sparkgraft_m1"
 M10_DIR = "/tmp/sparkgraft_m10"
 

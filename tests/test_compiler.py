@@ -481,3 +481,38 @@ def test_geo_polygon_crossing_number(spark):
     with pytest.raises(QueryCompileError):
         compile_query({"geo_polygon": {"points": [
             {"lat": 0.0, "lon": 0.0}, {"lat": 1.0, "lon": 1.0}]}})
+
+
+def test_runtime_mappings_basic(spark):
+    """ES runtime_mappings: derived fields usable by predicates and
+    pruned from the plan when unused."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.plans.compiler import (
+        QueryCompileError,
+        apply_runtime_mappings,
+        compile_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 150000.0), (2, 50000.0), (3, 250000.0)], ["k", "price"]
+    )
+    rt = apply_runtime_mappings(
+        df,
+        {
+            "band": {
+                "type": "keyword",
+                "script": "CASE WHEN price >= 200000 THEN 'high' "
+                "WHEN price >= 100000 THEN 'mid' ELSE 'low' END",
+            },
+            "double_price": {"type": "double", "script": {"source": "price * 2"}},
+        },
+    )
+    got = {r["k"]: r["band"]
+           for r in rt.where(compile_query({"terms": {"band": ["mid", "high"]}}))
+           .collect()}
+    assert got == {1: "mid", 3: "high"}
+    with _pytest.raises(QueryCompileError):
+        apply_runtime_mappings(df, {"x": {"type": "geo_shape", "script": "1"}})
+    with _pytest.raises(QueryCompileError):
+        apply_runtime_mappings(df, {"x": {"type": "long"}})

@@ -212,3 +212,25 @@ def test_bucket_script_no_extra_exchange(spark):
     assert _plan(out).count("Exchange") == _plan(buckets).count("Exchange")
     row = {r["k"]: r["ratio"] for r in out.collect()}
     assert row[0] == pytest.approx(sum(range(0, 100, 5)) / 20, abs=1e-6)
+
+
+def test_intra_doc_dedup_map_only(spark):
+    """The within-doc dedup must be a pure projection — no exchange, no
+    Python stage (it precedes the corpus-level passes precisely to avoid
+    shuffle load)."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        intra_doc_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "para one is long\npara one is long\nzz") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    out = intra_doc_dedup(df, "doc_id", "text")
+    out.count()
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    row = out.first()
+    assert row["text_dedup"] == "para one is long\nzz"
+    assert row["n_dropped"] == 1
