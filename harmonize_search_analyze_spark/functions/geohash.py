@@ -51,14 +51,16 @@ def _quantize_sql(lat: str, lon: str, precision: int) -> tuple[str, str, int, in
     bits = 5 * precision
     nx = (bits + 1) // 2  # lon bits (lon gets the extra bit)
     ny = bits // 2  # lat bits
-    # Clamp to the top cell so lat=90/lon=180 stay in range.
+    # Clamp BOTH sides (like geotile_sql) so lat=90/lon=180 stay in the top
+    # cell and out-of-range coordinates pin to an edge cell instead of
+    # sign-extending negative shift bits into legitimate-looking buckets.
     x = (
-        f"LEAST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {1 << nx}) AS BIGINT), "
-        f"{(1 << nx) - 1})"
+        f"LEAST(GREATEST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {1 << nx}) "
+        f"AS BIGINT), 0), {(1 << nx) - 1})"
     )
     y = (
-        f"LEAST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * {1 << ny}) AS BIGINT), "
-        f"{(1 << ny) - 1})"
+        f"LEAST(GREATEST(CAST(FLOOR((({lat}) + 90.0) / 180.0 * {1 << ny}) "
+        f"AS BIGINT), 0), {(1 << ny) - 1})"
     )
     return x, y, nx, ny
 
@@ -103,7 +105,6 @@ def geohash_encode_sql(lat: str, lon: str, precision: int = 2) -> str:
     # Inline x/y via a correlated scalar — portable across Spark/DuckDB — is
     # clunky; instead substitute the quantization expressions textually.
     body = body.replace("__GH_X__", f"({x_sql})").replace("__GH_Y__", f"({y_sql})")
-    assert bits == 5 * precision
     return f"({body})"
 
 
@@ -129,11 +130,21 @@ def _geohash_encode_cols(lat: Column, lon: Column, precision: int) -> Column:
     nx = (bits + 1) // 2
     ny = bits // 2
     x = F.least(
-        F.floor((lon + F.lit(180.0)) / 360.0 * F.lit(float(1 << nx))).cast("bigint"),
+        F.greatest(
+            F.floor(
+                (lon + F.lit(180.0)) / 360.0 * F.lit(float(1 << nx))
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
         F.lit((1 << nx) - 1).cast("bigint"),
     )
     y = F.least(
-        F.floor((lat + F.lit(90.0)) / 180.0 * F.lit(float(1 << ny))).cast("bigint"),
+        F.greatest(
+            F.floor(
+                (lat + F.lit(90.0)) / 180.0 * F.lit(float(1 << ny))
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
         F.lit((1 << ny) - 1).cast("bigint"),
     )
     chars = []
@@ -244,10 +255,13 @@ def hex_qr_sql(lat: str, lon: str, size_deg: float) -> tuple[str, str]:
 
 def hex_key_sql(lat: str, lon: str, size_deg: float) -> str:
     """``'q:r'`` text key for :func:`hex_qr_sql` (the bucket key the
-    hex_grid agg groups by)."""
+    hex_grid agg groups by). ``||`` instead of concat(): Spark's concat
+    propagates NULL but DuckDB's SKIPS NULL arguments (inventing a
+    phantom ':' bucket for missing coordinates) — the ``||`` operator
+    propagates NULL identically in both engines."""
     q, r = hex_qr_sql(lat, lon, size_deg)
     return (
-        f"concat(CAST({q} AS STRING), ':', CAST({r} AS STRING))"
+        f"(CAST({q} AS STRING) || ':' || CAST({r} AS STRING))"
     )
 
 

@@ -1251,12 +1251,14 @@ def hex_grid(
 
 def long_to_ip_sql(expr: str) -> str:
     """BIGINT → dotted-quad IPv4 text, engine-portable (FLOOR + ``%`` +
-    CAST AS STRING parse identically on Spark and DuckDB)."""
+    CAST AS STRING parse identically on Spark and DuckDB; ``||`` rather
+    than concat() so a NULL input yields NULL in BOTH engines — DuckDB's
+    concat skips NULL arguments)."""
     octets = [
         f"CAST(CAST(FLOOR({expr} / {1 << s}) AS BIGINT) % 256 AS STRING)"
         for s in (24, 16, 8, 0)
     ]
-    return f"concat({octets[0]}, '.', {octets[1]}, '.', {octets[2]}, '.', {octets[3]})"
+    return f"({octets[0]} || '.' || {octets[1]} || '.' || {octets[2]} || '.' || {octets[3]})"
 
 
 def ip_prefix_agg(

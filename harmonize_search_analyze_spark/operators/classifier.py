@@ -52,11 +52,16 @@ def nb_quality_classifier(
     counts are exact, the only float work is the final log-sum (rounded
     once, the repo's cross-engine discipline).
 
-    Both classes must be non-empty (``ln(D1/D0)`` is the prior) — the
-    caller picks a proxy that covers both, else the plan raises on the
-    0-count log.
+    Both classes must be non-empty (``ln(D1/D0)`` is the prior) — a
+    one-class proxy raises an explicit in-plan error in BOTH engines
+    (without the guard the failure modes diverge AND can be silent:
+    all-false → Spark ln(0) = NULL logits with no error / DuckDB raises;
+    all-true → Spark ANSI DIVIDE_BY_ZERO / DuckDB NULL logits). A NULL
+    label is pinned to false in BOTH engines (coalesce) — without the
+    pin Spark's ``otherwise()`` counts NULL as class 0 while SQL
+    ``CASE WHEN NOT y`` counts it as neither.
     """
-    lab = F.expr(label_expr).cast("boolean")
+    lab = F.coalesce(F.expr(label_expr).cast("boolean"), F.lit(False))
     toks = docs.select(
         doc_id,
         lab.alias("__y"),
@@ -71,11 +76,18 @@ def nb_quality_classifier(
         F.sum("c0").alias("n0"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
+    d1 = F.sum(F.when(lab, 1).otherwise(0)).cast("double")
+    d0 = F.sum(F.when(lab, 0).otherwise(1)).cast("double")
     prior = docs.agg(
-        F.log(
-            F.sum(F.when(lab, 1).otherwise(0)).cast("double")
-            / F.sum(F.when(lab, 0).otherwise(1)).cast("double")
-        ).alias("prior")
+        F.when(
+            (d1 == 0) | (d0 == 0),
+            F.expr(
+                "raise_error('nb_quality_classifier: label_expr selects "
+                "only one class; both classes must be non-empty')"
+            ).cast("double"),
+        )
+        .otherwise(F.log(d1 / d0))
+        .alias("prior")
     )
     a = F.lit(float(alpha))
     w = (
@@ -95,7 +107,12 @@ def nb_quality_classifier(
             doc_id,
             "n_tokens",
             F.round(F.col("prior") + F.col("__sw"), 6).alias("logit"),
-            ((F.col("prior") + F.col("__sw")) > 0).alias("pred_quality"),
+            # predict from the ROUNDED logit so the published
+            # (logit, pred) pair is self-consistent: a +4e-7 score must
+            # not print as (0.0, true)
+            (F.round(F.col("prior") + F.col("__sw"), 6) > 0).alias(
+                "pred_quality"
+            ),
         )
     )
 
@@ -114,7 +131,7 @@ def nb_quality_oracle_sql(
     a = float(alpha)
     return f"""
 WITH t AS (
-  SELECT {doc_id}, ({label_expr}) AS y, unnest({toks}) AS tok
+  SELECT {doc_id}, COALESCE(({label_expr}), FALSE) AS y, unnest({toks}) AS tok
   FROM {doc_table}
 ), cnt AS (
   SELECT tok,
@@ -125,9 +142,14 @@ WITH t AS (
   SELECT SUM(c1) AS n1, SUM(c0) AS n0, CAST(COUNT(*) AS DOUBLE) AS v
   FROM cnt
 ), pri AS (
-  SELECT LN(CAST(COUNT(CASE WHEN ({label_expr}) THEN 1 END) AS DOUBLE)
-            / COUNT(CASE WHEN NOT ({label_expr}) THEN 1 END)) AS prior
-  FROM {doc_table}
+  SELECT CASE WHEN d1 = 0 OR d0 = 0
+              THEN error('nb_quality_classifier: label_expr selects only one class; both classes must be non-empty')
+              ELSE LN(d1 / d0) END AS prior
+  FROM (
+    SELECT CAST(COUNT(CASE WHEN COALESCE(({label_expr}), FALSE) THEN 1 END) AS DOUBLE) AS d1,
+           CAST(COUNT(CASE WHEN NOT COALESCE(({label_expr}), FALSE) THEN 1 END) AS DOUBLE) AS d0
+    FROM {doc_table}
+  )
 ), w AS (
   SELECT tok,
          LN((c1 + {a}) / (n1 + {a} * v))
@@ -137,7 +159,7 @@ WITH t AS (
 SELECT {doc_id},
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(prior + SUM(w), 6) AS logit,
-       (prior + SUM(w)) > 0 AS pred_quality
+       ROUND(prior + SUM(w), 6) > 0 AS pred_quality
 FROM t JOIN w USING (tok) CROSS JOIN pri
 GROUP BY {doc_id}, prior
 """

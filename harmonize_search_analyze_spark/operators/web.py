@@ -49,12 +49,8 @@ __all__ = [
 ]
 
 
-def _pat(p: str, dialect: str) -> str:
-    """Quote a regex for a SQL string literal: Spark string literals process
-    backslash escapes (double them), DuckDB's do not."""
-    if dialect == "spark":
-        return "'" + p.replace("\\", "\\\\") + "'"
-    return "'" + p + "'"
+# one canonical dialect-aware regex-literal quoter for the whole package
+from harmonize_search_analyze_spark.operators.curation import _pat  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -99,12 +95,12 @@ def html_to_text_sql(expr: str, dialect: str) -> str:
     return f"trim({out})"
 
 
-def html_to_text(col: str | Column) -> Column:
-    """Column form of :func:`html_to_text_sql` (spark dialect)."""
-    name = col if isinstance(col, str) else None
-    if name is None:
+def html_to_text(col: str) -> Column:
+    """Column form of :func:`html_to_text_sql` (spark dialect; takes a
+    column NAME — it builds SQL text, matching normalize_url)."""
+    if not isinstance(col, str):
         raise TypeError("html_to_text takes a column NAME (it builds SQL)")
-    return F.expr(html_to_text_sql(name, "spark"))
+    return F.expr(html_to_text_sql(col, "spark"))
 
 
 # ---------------------------------------------------------------------------
@@ -146,12 +142,11 @@ def _sorted_params_sql(q: str, dialect: str) -> str:
 def normalize_url_sql(expr: str, dialect: str) -> str:
     """Canonical URL for dedup keys, as one dual-dialect expression.
 
-    scheme+host lowercased; default port (80/443 for its scheme) and
-    leading ``www.`` stripped; fragment dropped; tracking query params
-    dropped and the survivors sorted; empty path → ``/``. Path case,
-    non-default ports and credentials are preserved (paths are
-    case-sensitive per RFC 3986; anything more aggressive merges distinct
-    resources).
+    scheme+host lowercased; userinfo, the default port (80/443 for its
+    scheme), leading ``www.`` and the fragment stripped; tracking query
+    params dropped and the survivors sorted; empty path → ``/``. Path
+    case and non-default ports are preserved (paths are case-sensitive
+    per RFC 3986; anything more aggressive merges distinct resources).
 
     ``regexp_extract`` returns '' on no-match in BOTH engines, so a
     scheme-less input degrades to ``'://'``-prefixed garbage rather than
@@ -159,8 +154,12 @@ def normalize_url_sql(expr: str, dialect: str) -> str:
     non-URLs (the rollup queries do).
     """
     scheme = f"lower(regexp_extract({expr}, {_pat(_SCHEME_PAT, dialect)}, 1))"
+    # strip userinfo up to the LAST '@' first (hostport can't contain '/',
+    # so greedy is safe) — 'http://example.com@evil.io/' must resolve to
+    # evil.io, not a credentials-bearing pseudo-host
     hostport = (
-        f"lower(regexp_extract({expr}, {_pat(_HOSTPORT_PAT, dialect)}, 1))"
+        f"regexp_replace(lower(regexp_extract({expr}, "
+        f"{_pat(_HOSTPORT_PAT, dialect)}, 1)), '^.*@', '')"
     )
     www_pat = _pat(r"^www\.", dialect)
     host = (
@@ -177,9 +176,12 @@ def normalize_url_sql(expr: str, dialect: str) -> str:
     q_pat = _pat(r"\?(.*)$", dialect)
     q = f"regexp_extract({rest}, {q_pat}, 1)"
     qnorm = _sorted_params_sql(q, dialect)
+    # '||' rather than concat(): DuckDB's concat SKIPS NULL arguments
+    # (a NULL url would yield the garbage key '://' in the oracle while
+    # Spark returns NULL); '||' propagates NULL identically in both
     return (
-        f"concat({scheme}, '://', {host}, {path}, "
-        f"CASE WHEN {qnorm} = '' THEN '' ELSE concat('?', {qnorm}) END)"
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qnorm} = '' THEN '' ELSE '?' || {qnorm} END)"
     )
 
 
@@ -189,11 +191,16 @@ def normalize_url(col: str) -> Column:
 
 
 def url_host_sql(expr: str, dialect: str) -> str:
-    """Lowercased host (port stripped unconditionally) from a raw URL."""
+    """Lowercased host (userinfo and port stripped) from a raw URL —
+    userinfo first so credentials/spoof text never reach the domain
+    rollup ('http://example.com@evil.io/' → 'evil.io')."""
     hostport = (
         f"lower(regexp_extract({expr}, {_pat(_HOSTPORT_PAT, dialect)}, 1))"
     )
-    return f"regexp_replace({hostport}, ':[0-9]+$', '')"
+    return (
+        f"regexp_replace(regexp_replace({hostport}, '^.*@', ''), "
+        f"':[0-9]+$', '')"
+    )
 
 
 # ---------------------------------------------------------------------------

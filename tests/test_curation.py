@@ -180,3 +180,37 @@ def test_nb_classifier_plan_shape(spark):
     assert "Python" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_nb_classifier_null_label_pinned(spark):
+    """NULL proxy labels are class 0 in BOTH the engine and the oracle
+    (the coalesce pin) — counts must match a hand computation."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.classifier import (
+        nb_quality_classifier,
+        nb_quality_oracle_sql,
+    )
+
+    rows = [
+        (0, "good prose text", "good"),
+        (1, "spam words here", None),
+        (2, "spam words here", "bad"),
+        (3, "good prose text", "good"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got_s = sorted(
+        (r["doc_id"], r["logit"], r["pred_quality"])
+        for r in nb_quality_classifier(docs, "source = 'good'").collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    got_d = sorted(
+        (i, lg, bool(p)) for i, _, lg, p in
+        con.sql(nb_quality_oracle_sql("documents", "source = 'good'"))
+        .fetchall()
+    )
+    assert got_s == got_d

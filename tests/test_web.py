@@ -234,3 +234,79 @@ def test_intra_doc_dedup_map_only(spark):
     row = out.first()
     assert row["text_dedup"] == "para one is long\nzz"
     assert row["n_dropped"] == 1
+
+
+def test_review_fixes_null_userinfo_and_clamp(spark):
+    """Round-3 session-4 review regressions: (1) NULL url → NULL in BOTH
+    engines (DuckDB concat would skip NULLs and mint '://'); (2) userinfo
+    never reaches the host/domain ('http://example.com@evil.io/' resolves
+    to evil.io); (3) hex key is NULL for NULL coordinates in both
+    engines; (4) out-of-range coordinates pin to edge geohash cells
+    instead of sign-aliasing onto interior cells."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.functions.geohash import (
+        geohash_encode_sql,
+        hex_key_sql,
+    )
+
+    urls = [None, "http://alice@example.com/x", "http://example.com@evil.io/x"]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    s_norm = [r[0] for r in df.selectExpr(
+        normalize_url_sql("url", "spark")).collect()]
+    s_dom = [r[0] for r in df.selectExpr(
+        registered_domain_sql(url_host_sql("url", "spark"), "spark")
+    ).collect()]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u in urls])
+    d_norm = [r[0] for r in con.sql(
+        f"SELECT {normalize_url_sql('url', 'duckdb')} FROM u").fetchall()]
+    d_dom = [r[0] for r in con.sql(
+        "SELECT "
+        + registered_domain_sql(url_host_sql("url", "duckdb"), "duckdb")
+        + " FROM u").fetchall()]
+    assert s_norm == d_norm == [
+        None, "http://example.com/x", "http://evil.io/x"]
+    assert s_dom == d_dom == [None, "example.com", "evil.io"]
+
+    hk = hex_key_sql("lat", "lon", 5.0)
+    pts = spark.createDataFrame([(None, None), (0.0, 0.0)],
+                                "lat double, lon double")
+    s_hex = [r[0] for r in pts.selectExpr(hk).collect()]
+    d_hex = [r[0] for r in duckdb.sql(
+        f"SELECT {hk} FROM (VALUES (CAST(NULL AS DOUBLE), CAST(NULL AS "
+        "DOUBLE)), (0.0, 0.0)) t(lat, lon)").fetchall()]
+    assert s_hex == d_hex == [None, "0:0"]
+
+    # out-of-range lon pins to the edge cell, same as the legal extreme
+    gh_bad = spark.sql(
+        f"SELECT {geohash_encode_sql('10.0', '-180.5', 5)} AS g").collect()[0][0]
+    gh_edge = spark.sql(
+        f"SELECT {geohash_encode_sql('10.0', '-180.0', 5)} AS g").collect()[0][0]
+    assert gh_bad == gh_edge
+
+
+def test_nb_classifier_one_class_raises(spark):
+    """One-class label proxies must fail loudly in-plan, not silently
+    NULL out (Spark) or diverge from the oracle (DuckDB)."""
+    import duckdb
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.classifier import (
+        nb_quality_classifier,
+        nb_quality_oracle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "all same class", "good"), (1, "still same", "good")],
+        ["doc_id", "text", "source"],
+    )
+    with _pytest.raises(Exception, match="one class"):
+        nb_quality_classifier(docs, "source = 'good'").collect()
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.sql("INSERT INTO documents VALUES (0, 'all same class', 'good'),"
+            " (1, 'still same', 'good')")
+    with _pytest.raises(Exception, match="one class"):
+        con.sql(nb_quality_oracle_sql("documents", "source = 'good'")).fetchall()
