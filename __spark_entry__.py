@@ -5117,6 +5117,33 @@ def _sql_intra_doc_dedup() -> str:
     )
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIM training-sample construction (Bavarian et al. 2022): half the
+    corpus re-emitted in <PRE> prefix <SUF> suffix <MID> middle order,
+    cut points drawn deterministically from the portable doc-id hash —
+    map-only per-row string arithmetic, no shuffle."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        fim_transform,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return fim_transform(docs, fim_rate=0.5)
+
+
+def _sql_fim_transform() -> str:
+    from harmonize_search_analyze_spark.operators.packing import (
+        fim_transform_sql,
+    )
+
+    applied, sample = fim_transform_sql(
+        "doc_id", "text", "duckdb", fim_rate=0.5
+    )
+    return (
+        f"SELECT doc_id, {applied} AS fim_applied, {sample} AS sample "
+        "FROM documents"
+    )
+
+
 def q_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES runtime_mappings: script-derived fields (order year, price
     band) materialized at query time, then searched with an ordinary
@@ -5375,6 +5402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_grid": q_hex_grid,
         "intra_doc_dedup": q_intra_doc_dedup,
         "runtime_fields": q_runtime_fields,
+        "fim_transform": q_fim_transform,
     }
 
 
@@ -5541,4 +5569,5 @@ def oracle_sql() -> dict[str, str]:
         "hex_grid": _sql_hex_grid(),
         "intra_doc_dedup": _sql_intra_doc_dedup(),
         "runtime_fields": _sql_runtime_fields(),
+        "fim_transform": _sql_fim_transform(),
     }

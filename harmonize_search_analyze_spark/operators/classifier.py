@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.operators.text import tokens_sql
 
-__all__ = ["nb_quality_classifier", "nb_quality_oracle_sql"]
+__all__ = ["nb_quality_classifier", "nb_quality_oracle_sql", "nb_train", "nb_score"]
 
 
 def nb_quality_classifier(
@@ -163,3 +163,94 @@ SELECT {doc_id},
 FROM t JOIN w USING (tok) CROSS JOIN pri
 GROUP BY {doc_id}, prior
 """
+
+
+# -- split train / score (model reuse + streaming scoring) -------------------
+
+
+def nb_train(
+    docs: DataFrame,
+    label_expr: str,
+    *,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Training half of :func:`nb_quality_classifier`: returns
+    ``(weights, prior)`` — weights is (tok, w DOUBLE), vocab-sized; prior
+    is ONE row (prior DOUBLE). Save weights as a table and re-join to
+    score any corpus (or a stream — see nb_score) with a single shuffle.
+    Same guards as the fused form: NULL labels pin to class 0, one-class
+    proxies raise in-plan."""
+    lab = F.coalesce(F.expr(label_expr).cast("boolean"), F.lit(False))
+    toks = docs.select(
+        lab.alias("__y"),
+        F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("double").alias("c1"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("double").alias("c0"),
+    )
+    totals = counts.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c0").alias("n0"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    d1 = F.sum(F.when(lab, 1).otherwise(0)).cast("double")
+    d0 = F.sum(F.when(lab, 0).otherwise(1)).cast("double")
+    prior = docs.agg(
+        F.when(
+            (d1 == 0) | (d0 == 0),
+            F.expr(
+                "raise_error('nb_quality_classifier: label_expr selects "
+                "only one class; both classes must be non-empty')"
+            ).cast("double"),
+        )
+        .otherwise(F.log(d1 / d0))
+        .alias("prior")
+    )
+    a = F.lit(float(alpha))
+    w = (
+        F.log((F.col("c1") + a) / (F.col("n1") + a * F.col("v")))
+        - F.log((F.col("c0") + a) / (F.col("n0") + a * F.col("v")))
+    ).alias("w")
+    weights = counts.crossJoin(F.broadcast(totals)).select("tok", w)
+    return weights, prior
+
+
+def nb_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame | float,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scoring half: per-doc logit over saved ``weights``. ``prior`` may
+    be the 1-row frame from nb_train or a plain float — the float form is
+    what a STREAMING scorer needs (stream-static equi-join on tok is
+    supported by Structured Streaming; a stream-static cross join of the
+    prior frame is not, and one scalar is model metadata, not data).
+
+    Out-of-vocabulary tokens drop out of the inner join — they carry no
+    evidence either way, matching the smoothed-model convention for
+    unseen-at-train tokens.
+    """
+    toks = docs.select(
+        doc_id, F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("tok")
+    )
+    scored = toks.join(weights, "tok").groupBy(doc_id).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").alias("__sw"),
+    )
+    if isinstance(prior, DataFrame):
+        scored = scored.crossJoin(F.broadcast(prior))
+    else:
+        scored = scored.withColumn("prior", F.lit(float(prior)))
+    return scored.select(
+        doc_id,
+        "n_tokens",
+        F.round(F.col("prior") + F.col("__sw"), 6).alias("logit"),
+        (F.round(F.col("prior") + F.col("__sw"), 6) > 0).alias(
+            "pred_quality"
+        ),
+    )

@@ -252,3 +252,77 @@ FROM s
 WHERE len(toks[start + 1:start + {chunk_tokens}]) > 0
 ORDER BY {doc_id}, chunk_idx
 """
+
+
+# -- fill-in-the-middle (FIM) transformation ---------------------------------
+
+
+def fim_transform_sql(
+    doc_id: str,
+    text_col: str,
+    dialect: str,
+    *,
+    fim_rate: float = 0.5,
+    pre_tok: str = "<PRE>",
+    mid_tok: str = "<MID>",
+    suf_tok: str = "<SUF>",
+) -> tuple[str, str]:
+    """FIM training-sample construction (Bavarian et al. 2022: "Efficient
+    Training of Language Models to Fill in the Middle"): with probability
+    ``fim_rate`` a document is split at two uniform character positions
+    and re-emitted in PSM order — ``<PRE> prefix <SUF> suffix <MID>
+    middle`` — teaching the model to infill; the rest pass through
+    unchanged.
+
+    The paper draws the gate and both cut points from an RNG; here they
+    derive from the portable 60-bit hash of the doc id (three salted
+    draws), so the transform is deterministic, reproducible across
+    engines, and embarrassingly parallel — pure per-row string
+    arithmetic, map-only, no shuffle, scan-bound at 100 TB.
+
+    Returns (applied_sql BOOLEAN, sample_sql STRING) for the dialect.
+    """
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError("fim_rate must be in [0, 1]")
+    for tok in (pre_tok, mid_tok, suf_tok):
+        if "'" in tok:
+            raise ValueError("sentinel tokens must not contain quotes")
+    gate = hash64_sql(f"(CAST({doc_id} AS STRING) || ':fim')", dialect)
+    u1 = hash64_sql(f"(CAST({doc_id} AS STRING) || ':fim:a')", dialect)
+    u2 = hash64_sql(f"(CAST({doc_id} AS STRING) || ':fim:b')", dialect)
+    applied = f"(({gate}) % 1000 < {int(round(fim_rate * 1000))})"
+    ln = f"length({text_col})"
+    p1 = f"(({u1}) % ({ln} + 1))"
+    p2 = f"(({u2}) % ({ln} + 1))"
+    c1 = f"LEAST({p1}, {p2})"
+    c2 = f"GREATEST({p1}, {p2})"
+    prefix = f"substr({text_col}, 1, {c1})"
+    middle = f"substr({text_col}, {c1} + 1, {c2} - {c1})"
+    suffix = f"substr({text_col}, {c2} + 1, {ln})"
+    psm = (
+        f"('{pre_tok}' || {prefix} || '{suf_tok}' || {suffix} || "
+        f"'{mid_tok}' || {middle})"
+    )
+    sample = f"(CASE WHEN {applied} THEN {psm} ELSE {text_col} END)"
+    return applied, sample
+
+
+def fim_transform(
+    df: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    fim_rate: float = 0.5,
+) -> DataFrame:
+    """DataFrame form of :func:`fim_transform_sql`: returns
+    (id, fim_applied, sample)."""
+    applied, sample = fim_transform_sql(
+        doc_id, text_col, "spark", fim_rate=fim_rate
+    )
+    return df.select(
+        doc_id,
+        F.expr(applied).alias("fim_applied"),
+        F.expr(sample).alias("sample"),
+    )

@@ -85,3 +85,50 @@ def test_pack_validation(sized):
         pack_documents(sized, "doc_id", "n_tok", 0)
     with pytest.raises(ValueError):
         pack_documents(sized, "doc_id", "n_tok", 100, n_shards=0)
+
+
+def test_fim_transform_reassembles_and_is_map_only(spark):
+    """FIM property: for transformed rows, the three PSM segments
+    reassemble the original text exactly (prefix+middle+suffix partition
+    the doc); untransformed rows pass through; the plan is map-only; and
+    the gate rate tracks fim_rate."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        fim_transform,
+    )
+
+    rows = [(i, f"doc {i} " + "word " * (i % 11)) for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = fim_transform(docs, fim_rate=0.5)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    orig = dict(rows)
+    applied = 0
+    for i, r in got.items():
+        if not r["fim_applied"]:
+            assert r["sample"] == orig[i]
+            continue
+        applied += 1
+        s = r["sample"]
+        assert s.startswith("<PRE>")
+        pre, rest = s[len("<PRE>"):].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == orig[i], (i, s)
+    assert 0.35 < applied / len(rows) < 0.65  # hash gate tracks the rate
+
+
+def test_fim_transform_deterministic(spark):
+    from harmonize_search_analyze_spark.operators.packing import (
+        fim_transform,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    a = fim_transform(docs).collect()
+    b = fim_transform(docs).collect()
+    assert a == b

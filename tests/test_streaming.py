@@ -709,3 +709,58 @@ def test_bloom_dedup_stream_exact_history_dedup(spark, tmp_path):
     digests = spark.read.parquet(str(tmp_path / "bstate/digests"))
     assert digests.count() == 4
     assert digests.distinct().count() == 4
+
+
+def test_streaming_nb_scoring_matches_batch(spark, tmp_path):
+    """Model-reuse contract: nb_train once in batch, score a document
+    STREAM against the saved weights (stream-static equi-join on tok,
+    scalar prior) — per-doc results must equal batch nb_score."""
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.classifier import (
+        nb_score,
+        nb_train,
+    )
+
+    rows = [
+        (i,
+         ("clean prose sentence structure" if i % 3 else "spam click buy"),
+         "good" if i % 3 else "bad")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    weights, prior_df = nb_train(docs, "source = 'good'")
+    prior_val = prior_df.collect()[0]["prior"]  # model metadata, 1 row
+    weights = weights.cache()
+
+    batch = {r["doc_id"]: (r["logit"], r["pred_quality"])
+             for r in nb_score(docs, weights, prior_val).collect()}
+
+    d = tmp_path / "docs_stream"
+    docs.select("doc_id", "text").repartition(3).write.parquet(str(d))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    assert stream.isStreaming
+    out = nb_score(stream, weights, prior_val)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nb_stream_scores")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["logit"], r["pred_quality"])
+               for r in spark.sql(
+                   "SELECT * FROM nb_stream_scores").collect()}
+    finally:
+        q.stop()
+    assert got == batch
+    weights.unpersist()
