@@ -5144,6 +5144,55 @@ def _sql_fim_transform() -> str:
     )
 
 
+def q_latest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _transform 'latest': newest event per user (row_number over a
+    ts-desc window, event_id tie-break for the oracle-stable contract) —
+    one key-hash exchange, O(1) window state per key."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        latest_transform,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_transform(
+        ev, ["user_id"], "ts", tiebreak="event_id"
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def _sql_latest_transform() -> str:
+    return """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type, value
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption denoising samples (Raffel et al. 2020 §3.1.4):
+    ~15% of tokens masked by the portable hash gate, consecutive runs
+    collapsed to <extra_id_K> sentinels, masked spans emitted as the
+    target — posexplode -> ONE doc-keyed window/agg exchange."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        span_corruption,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corruption(docs, mask_rate=0.15)
+
+
+def _sql_span_corruption() -> str:
+    from harmonize_search_analyze_spark.operators.packing import (
+        span_corruption_sql,
+    )
+
+    return span_corruption_sql("documents", mask_rate=0.15)
+
+
 def q_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES runtime_mappings: script-derived fields (order year, price
     band) materialized at query time, then searched with an ordinary
@@ -5403,6 +5452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_dedup": q_intra_doc_dedup,
         "runtime_fields": q_runtime_fields,
         "fim_transform": q_fim_transform,
+        "span_corruption": q_span_corruption,
+        "latest_transform": q_latest_transform,
     }
 
 
@@ -5570,4 +5621,6 @@ def oracle_sql() -> dict[str, str]:
         "intra_doc_dedup": _sql_intra_doc_dedup(),
         "runtime_fields": _sql_runtime_fields(),
         "fim_transform": _sql_fim_transform(),
+        "span_corruption": _sql_span_corruption(),
+        "latest_transform": _sql_latest_transform(),
     }

@@ -186,3 +186,34 @@ def assign_split_sql(
     case = f"(CASE {branches}ELSE '{bounds[-1][0]}' END)"
     cols = ", ".join(columns)
     return f"SELECT {cols}, {case} AS {out_col} FROM {table}"
+
+
+def latest_transform(
+    df: DataFrame,
+    keys: list[str],
+    sort_col: str,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """ES ``_transform`` ``latest`` function: materialize the newest
+    document per unique key (transform docs: "latest composes the most
+    recent document for each unique key"). row_number over
+    (partition keys ORDER BY sort_col DESC [, tiebreak DESC]) = 1 — ONE
+    key-hash exchange; with a ``tiebreak`` column the winner is pinned
+    deterministic when sort values collide (ES resolves by internal doc
+    order, which is not reproducible — callers wanting the oracle-stable
+    contract pass a unique column).
+
+    At scale this is the standard dedup-keep-newest shape: the window
+    state per key is O(1) (row_number short-circuits), the exchange is
+    the one shuffle, and AQE handles key skew.
+    """
+    order = [F.col(sort_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -326,3 +326,153 @@ def fim_transform(
         F.expr(applied).alias("fim_applied"),
         F.expr(sample).alias("sample"),
     )
+
+
+# -- T5 span corruption -------------------------------------------------------
+
+
+def span_corruption(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    mask_rate: float = 0.15,
+) -> DataFrame:
+    """T5 denoising objective (Raffel et al. 2020 §3.1.4): mask ~15% of
+    tokens, collapse each consecutive masked run to one sentinel
+    ``<extra_id_K>`` in the input, and emit the masked spans (each led by
+    its sentinel) as the target.
+
+    The per-token mask gate derives from the portable doc-id:position
+    hash (deterministic; the paper uses an RNG + mean-span-3 geometric —
+    i.i.d. per-token gives mean span 1/(1-rate), the documented
+    difference). Span structure needs run detection, so unlike
+    :func:`fim_transform` this is not map-only: posexplode → per-doc
+    window (lag for run starts, running sum for span ids) → ordered
+    reassembly agg. Both window and agg key on doc_id — ONE exchange
+    total, high-cardinality key, no skew; this is the scalable shape (an
+    array-fold alternative would be O(tokens²) per row in-plan).
+
+    Returns (doc_id, input_masked, target, n_spans BIGINT).
+    """
+    from pyspark.sql import Window
+
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    if not 0.0 < mask_rate < 1.0:
+        raise ValueError("mask_rate must be in (0, 1)")
+    pct = int(round(mask_rate * 100))
+    toks = docs.select(
+        doc_id,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    gate = hash64_sql(
+        f"(CAST({doc_id} AS STRING) || ':' || CAST(pos AS STRING))", "spark"
+    )
+    w = Window.partitionBy(doc_id).orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    masked = toks.withColumn("m", F.expr(f"({gate}) % 100 < {pct}"))
+    spans = (
+        masked.withColumn(
+            "start", F.col("m") & ~F.coalesce(F.lag("m", 1).over(w), F.lit(False))
+        )
+        .withColumn(
+            "span_id",
+            F.sum(F.when(F.col("start"), 1).otherwise(0)).over(run),
+        )
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("span_id") - 1).cast("string"), F.lit(">")
+    )
+    pieces = spans.select(
+        doc_id,
+        "pos",
+        F.when(~F.col("m"), F.col("tok"))
+        .when(F.col("start"), sentinel)
+        .alias("in_piece"),  # NULL for masked non-start tokens
+        F.when(
+            F.col("start"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+        )
+        .when(F.col("m"), F.col("tok"))
+        .alias("tgt_piece"),
+        F.col("start").cast("int").alias("is_start"),
+    )
+    return (
+        pieces.groupBy(doc_id)
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(CASE WHEN in_piece "
+                    "IS NOT NULL THEN struct(pos, in_piece) END)), "
+                    "s -> s.in_piece)"
+                ),
+                " ",
+            ).alias("input_masked"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(CASE WHEN tgt_piece "
+                    "IS NOT NULL THEN struct(pos, tgt_piece) END)), "
+                    "s -> s.tgt_piece)"
+                ),
+                " ",
+            ).alias("target"),
+            F.sum("is_start").cast("bigint").alias("n_spans"),
+        )
+    )
+
+
+def span_corruption_sql(
+    doc_table: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    mask_rate: float = 0.15,
+) -> str:
+    """DuckDB replay of :func:`span_corruption` (same hash gate, same
+    window shapes, ordered string_agg reassembly)."""
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    pct = int(round(mask_rate * 100))
+    gate = hash64_sql(
+        f"(CAST({doc_id} AS STRING) || ':' || CAST(pos AS STRING))", "duckdb"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {doc_id},
+         CAST(generate_subscripts(string_split({text_col}, ' '), 1) - 1
+           AS BIGINT) AS pos,
+         unnest(string_split({text_col}, ' ')) AS tok
+  FROM {doc_table}
+), gated AS (
+  SELECT *, ({gate}) % 100 < {pct} AS m FROM toks
+), runs AS (
+  SELECT *,
+         m AND NOT COALESCE(
+           LAG(m) OVER (PARTITION BY {doc_id} ORDER BY pos), FALSE
+         ) AS start
+  FROM gated
+), spans AS (
+  SELECT *,
+         SUM(CASE WHEN start THEN 1 ELSE 0 END) OVER (
+           PARTITION BY {doc_id} ORDER BY pos
+           ROWS UNBOUNDED PRECEDING
+         ) AS span_id
+  FROM runs
+), pieces AS (
+  SELECT {doc_id}, pos,
+         CASE WHEN NOT m THEN tok
+              WHEN start THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+         END AS in_piece,
+         CASE WHEN start THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '> ' || tok
+              WHEN m THEN tok
+         END AS tgt_piece,
+         CASE WHEN start THEN 1 ELSE 0 END AS is_start
+  FROM spans
+)
+SELECT {doc_id},
+       COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_masked,
+       COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target,
+       CAST(SUM(is_start) AS BIGINT) AS n_spans
+FROM pieces
+GROUP BY {doc_id}
+"""

@@ -115,3 +115,29 @@ def test_assign_split_is_map_only(docs):
     plan = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_latest_transform_keeps_newest_with_tiebreak(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.ordering import (
+        latest_transform,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0, "a"),
+        (2, 11, t0 + dt.timedelta(hours=1), "b"),
+        (3, 10, t0 + dt.timedelta(hours=2), "c"),   # newest for key 10
+        (4, 11, t0 + dt.timedelta(hours=1), "d"),   # ts tie: event_id wins
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {r["user_id"]: (r["event_id"], r["event_type"])
+           for r in latest_transform(df, ["user_id"], "ts",
+                                     tiebreak="event_id").collect()}
+    assert got == {10: (3, "c"), 11: (4, "d")}
+    out = latest_transform(df, ["user_id"], "ts", tiebreak="event_id")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan

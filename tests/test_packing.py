@@ -132,3 +132,43 @@ def test_fim_transform_deterministic(spark):
     a = fim_transform(docs).collect()
     b = fim_transform(docs).collect()
     assert a == b
+
+
+def test_span_corruption_invertible_and_single_exchange(spark):
+    """Properties: (1) replacing each input sentinel with its target span
+    reconstructs the original token sequence; (2) sentinels are numbered
+    0..n_spans-1 in order; (3) the plan carries ONE doc-keyed exchange
+    (window + reassembly agg share the partitioning)."""
+    import re
+
+    from harmonize_search_analyze_spark.operators.packing import (
+        span_corruption,
+    )
+
+    rows = [(i, " ".join(f"w{i}t{j}" for j in range(12))) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = span_corruption(docs, mask_rate=0.3)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+    orig = dict(rows)
+    some_masked = False
+    for r in out.collect():
+        # parse target into {sentinel: span tokens}
+        tgt = re.split(r"(<extra_id_\d+>)", r["target"])
+        spans = {}
+        for j in range(1, len(tgt), 2):
+            spans[tgt[j]] = tgt[j + 1].strip()
+        assert list(spans) == [f"<extra_id_{k}>" for k in range(r["n_spans"])]
+        rebuilt = " ".join(
+            spans[t] if t in spans else t
+            for t in r["input_masked"].split(" ")
+            if t != "" or r["input_masked"] == ""
+        )
+        assert rebuilt.split() == orig[r["doc_id"]].split(), (
+            r["doc_id"], r["input_masked"], r["target"])
+        some_masked = some_masked or r["n_spans"] > 0
+    assert some_masked
