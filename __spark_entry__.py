@@ -5144,6 +5144,35 @@ def _sql_fim_transform() -> str:
     )
 
 
+_EQL_STEPS = [
+    "event_type = 'view'",
+    "event_type = 'click'",
+    "event_type = 'purchase'",
+]
+
+
+def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES EQL 'sequence by user_id [view] [click] [purchase] with
+    maxspan=1h': ordered per-user event chains, each step strictly after
+    the previous (ties pinned on (ts, event_id)) — one window pass
+    computes every event's next-step pointer, then pointer-chasing
+    equi-joins realize the chain."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        eql_sequence,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return eql_sequence(ev, _EQL_STEPS, maxspan_seconds=3600)
+
+
+def _sql_eql_sequence() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        eql_sequence_sql,
+    )
+
+    return eql_sequence_sql("events", _EQL_STEPS, maxspan_seconds=3600)
+
+
 def q_latest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _transform 'latest': newest event per user (row_number over a
     ts-desc window, event_id tie-break for the oracle-stable contract) —
@@ -5454,6 +5483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "span_corruption": q_span_corruption,
         "latest_transform": q_latest_transform,
+        "eql_sequence": q_eql_sequence,
     }
 
 
@@ -5623,4 +5653,5 @@ def oracle_sql() -> dict[str, str]:
         "fim_transform": _sql_fim_transform(),
         "span_corruption": _sql_span_corruption(),
         "latest_transform": _sql_latest_transform(),
+        "eql_sequence": _sql_eql_sequence(),
     }

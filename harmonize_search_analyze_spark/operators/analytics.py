@@ -27,6 +27,7 @@ DuckDB oracle:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
@@ -307,4 +308,151 @@ SELECT bucket, doc_count,
                 >= {threshold}, FALSE) AS is_anomaly
 FROM buckets CROSS JOIN stats
 ORDER BY bucket
+"""
+
+
+# -- EQL sequence -------------------------------------------------------------
+
+
+def eql_sequence(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    by: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    maxspan_seconds: int | None = None,
+) -> DataFrame:
+    """ES EQL ``sequence by <key> [step1] [step2] ... with maxspan=Ns``:
+    ordered event chains per key, each step strictly after the previous
+    one, the whole chain inside ``maxspan`` of its first event.
+
+    One row per step-1 event that completes the chain, with the time and
+    id of every step: (by, t1, id1, ..., tn, idn). "Strictly after" is
+    pinned lexicographically on (time, id) so ties are deterministic in
+    both engines. Each step-1 anchor matches independently to the
+    EARLIEST qualifying followers — ES's engine additionally retires
+    consumed events from other pending sequences (stateful, run-order
+    dependent, not reproducible relationally); the independent-anchor
+    variant is the documented difference and an upper bound on ES's
+    match set.
+
+    Scale shape: ONE key-hash exchange feeds a single window pass that
+    computes, for EVERY event, the (time, id) of the next step-i event
+    after it (a DESC scan with per-step conditional running ``last``,
+    O(steps) state per row); the chain is then realized with n-2
+    pointer-chasing equi-joins on (key, time, id) that AQE co-locates on
+    the same partitioning. No self-join explosion, no per-anchor scans.
+    """
+    if len(steps) < 2:
+        raise ValueError("a sequence needs at least 2 steps")
+    n = len(steps)
+    ev = df.select(
+        by,
+        F.col(time_col).alias("__t"),
+        F.col(id_col).alias("__id"),
+        *[F.expr(p).alias(f"__s{i+1}") for i, p in enumerate(steps)],
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("__t").desc(), F.col("__id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for i in range(2, n + 1):
+        ev = ev.withColumn(
+            f"__nt{i}",
+            F.last(F.when(F.col(f"__s{i}"), F.col("__t")), True).over(w),
+        ).withColumn(
+            f"__nid{i}",
+            F.last(F.when(F.col(f"__s{i}"), F.col("__id")), True).over(w),
+        )
+    ev = ev.cache() if n > 2 else ev
+    seq = ev.where("__s1").select(
+        by,
+        F.col("__t").alias("t1"),
+        F.col("__id").alias("id1"),
+        F.col("__nt2").alias("t2"),
+        F.col("__nid2").alias("id2"),
+    )
+    for i in range(3, n + 1):
+        nxt = ev.select(
+            by,
+            F.col("__t").alias(f"t{i-1}"),
+            F.col("__id").alias(f"id{i-1}"),
+            F.col(f"__nt{i}").alias(f"t{i}"),
+            F.col(f"__nid{i}").alias(f"id{i}"),
+        )
+        seq = seq.join(nxt, [by, f"t{i-1}", f"id{i-1}"])
+    out = seq.where(F.col(f"t{n}").isNotNull())
+    if maxspan_seconds is not None:
+        out = out.where(
+            F.col(f"t{n}")
+            <= F.col("t1") + F.expr(f"INTERVAL {int(maxspan_seconds)} SECOND")
+        )
+    cols = [by] + [c for i in range(1, n + 1) for c in (f"t{i}", f"id{i}")]
+    return out.select(*cols)
+
+
+def eql_sequence_sql(
+    table: str,
+    steps: list[str],
+    *,
+    by: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    maxspan_seconds: int | None = None,
+) -> str:
+    """DuckDB SQL replay of :func:`eql_sequence` — same flags, same
+    DESC-scan windows, same pointer-chasing joins. DuckDB-dialect only:
+    the two engines disagree on IGNORE NULLS placement (DuckDB
+    ``LAST_VALUE(x IGNORE NULLS)`` vs Spark ``LAST_VALUE(x) IGNORE
+    NULLS``), and the DataFrame op IS the Spark side. Two-level CTE:
+    flags first, windows second (a window cannot reference a same-SELECT
+    lateral alias portably)."""
+    if len(steps) < 2:
+        raise ValueError("a sequence needs at least 2 steps")
+    n = len(steps)
+    flags = ",\n         ".join(
+        f"({p}) AS s{i+1}" for i, p in enumerate(steps)
+    )
+    frame = (
+        f"OVER (PARTITION BY {by} ORDER BY t DESC, id DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    nexts = ",\n         ".join(
+        f"LAST_VALUE(CASE WHEN s{i} THEN t END IGNORE NULLS) {frame} AS nt{i},\n"
+        f"         LAST_VALUE(CASE WHEN s{i} THEN id END IGNORE NULLS) {frame} AS nid{i}"
+        for i in range(2, n + 1)
+    )
+    sel = [f"a.{by}", "a.t AS t1", "a.id AS id1",
+           "a.nt2 AS t2", "a.nid2 AS id2"]
+    joins = []
+    for i in range(3, n + 1):
+        pt = "a.nt2" if i == 3 else f"j{i-1}.nt{i-1}"
+        pid = "a.nid2" if i == 3 else f"j{i-1}.nid{i-1}"
+        joins.append(
+            f"JOIN ev j{i} ON j{i}.{by} = a.{by} "
+            f"AND j{i}.t = {pt} AND j{i}.id = {pid}"
+        )
+        sel += [f"j{i}.nt{i} AS t{i}", f"j{i}.nid{i} AS id{i}"]
+    join_sql = ("\n  " + "\n  ".join(joins)) if joins else ""
+    tn = "a.nt2" if n == 2 else f"j{n}.nt{n}"
+    span = (
+        f" AND {tn} <= a.t + INTERVAL {int(maxspan_seconds)} SECOND"
+        if maxspan_seconds is not None
+        else ""
+    )
+    return f"""
+WITH ev0 AS (
+  SELECT {by}, {time_col} AS t, {id_col} AS id,
+         {flags}
+  FROM {table}
+), ev AS (
+  SELECT *,
+         {nexts}
+  FROM ev0
+)
+SELECT {', '.join(sel)}
+FROM ev a{join_sql}
+WHERE a.s1 AND {tn} IS NOT NULL{span}
 """

@@ -332,3 +332,42 @@ def test_intervals_match_against_python_reference(
         compile_query({"intervals": {"text.split": rule}})).collect())
     want = sorted(i for i, d in enumerate(docs) if ref_match(d))
     assert got == want, (qwords, max_gaps, ordered, docs, got, want)
+
+
+def test_eql_sequence_semantics_and_plan(spark):
+    """EQL sequence: full chains found, out-of-order and out-of-maxspan
+    chains rejected, overlapping anchors both match (documented
+    independent-anchor variant), and the window+joins share ONE key
+    partitioning (no extra exchange per step)."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        eql_sequence,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, sec, typ):
+        return (i, u, t0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        ev(1, 1, 0, "a"), ev(2, 1, 10, "b"), ev(3, 1, 20, "c"),
+        ev(4, 2, 0, "a"), ev(5, 2, 5, "c"), ev(6, 2, 10, "b"),
+        ev(7, 2, 15, "c"),
+        ev(8, 3, 0, "a"), ev(9, 3, 4000, "b"),      # outside maxspan (2-step)
+        ev(10, 4, 0, "b"), ev(11, 4, 5, "a"),        # wrong order
+        ev(12, 5, 0, "a"), ev(13, 5, 2, "a"),        # overlapping anchors
+        ev(14, 5, 5, "b"), ev(15, 5, 9, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    steps = ["event_type='a'", "event_type='b'", "event_type='c'"]
+    out = eql_sequence(df, steps, maxspan_seconds=3600)
+    got = sorted((r["user_id"], r["id1"], r["id2"], r["id3"])
+                 for r in out.collect())
+    assert got == [(1, 1, 2, 3), (2, 4, 6, 7), (5, 12, 14, 15),
+                   (5, 13, 14, 15)]
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    # the single user_id window exchange; pointer joins reuse or broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
