@@ -5173,6 +5173,48 @@ def _sql_eql_sequence() -> str:
     return eql_sequence_sql("events", _EQL_STEPS, maxspan_seconds=3600)
 
 
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification probe over the embeddings table (the standard
+    embedding-quality eval): 10% hash-held-out vectors, labels predicted
+    by 5-NN cosine majority vote (ties toward the smaller label) —
+    ONE corpus scan for the neighbor search, vote exchanges carry
+    (id, label, count) rows only."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_classify(emb, k=5, test_pct=10)
+
+
+def _sql_knn_classify() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        knn_classify_oracle_sql,
+    )
+
+    return knn_classify_oracle_sql("embeddings", k=5, test_pct=10)
+
+
+def q_denoiser_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UL2 mixture-of-denoisers (Tay et al. 2022): hash-routed [R]/[X]
+    span corruption + [S] PrefixLM split over the corpus, one objective
+    per document, unioned with mode sentinels."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        denoiser_mix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return denoiser_mix(docs)
+
+
+def _sql_denoiser_mix() -> str:
+    from harmonize_search_analyze_spark.operators.packing import (
+        denoiser_mix_sql,
+    )
+
+    return denoiser_mix_sql("documents")
+
+
 def q_latest_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _transform 'latest': newest event per user (row_number over a
     ts-desc window, event_id tie-break for the oracle-stable contract) —
@@ -5484,6 +5526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "latest_transform": q_latest_transform,
         "eql_sequence": q_eql_sequence,
+        "denoiser_mix": q_denoiser_mix,
+        "knn_classify": q_knn_classify,
     }
 
 
@@ -5654,4 +5698,6 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": _sql_span_corruption(),
         "latest_transform": _sql_latest_transform(),
         "eql_sequence": _sql_eql_sequence(),
+        "denoiser_mix": _sql_denoiser_mix(),
+        "knn_classify": _sql_knn_classify(),
     }

@@ -476,3 +476,114 @@ SELECT {doc_id},
 FROM pieces
 GROUP BY {doc_id}
 """
+
+
+# -- prefix-LM split + UL2 denoiser mixture ----------------------------------
+
+
+def prefix_lm_split_sql(
+    doc_id: str,
+    text_col: str,
+    dialect: str,
+    *,
+    min_prefix_frac: float = 0.25,
+    max_prefix_frac: float = 0.75,
+) -> tuple[str, str]:
+    """UL2's S-denoiser (Tay et al. 2022: sequential denoising = PrefixLM):
+    split each document at one hash-derived character position inside
+    [min_prefix_frac, max_prefix_frac] of its length; the prefix is the
+    conditioning input, the suffix is the generation target.
+
+    Returns (input_sql, target_sql) — map-only, deterministic, dual-
+    dialect (same portable-hash draw as fim_transform).
+    """
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    if not 0.0 <= min_prefix_frac < max_prefix_frac <= 1.0:
+        raise ValueError("need 0 <= min_prefix_frac < max_prefix_frac <= 1")
+    u = hash64_sql(f"(CAST({doc_id} AS STRING) || ':plm')", dialect)
+    ln = f"length({text_col})"
+    lo = f"CAST(FLOOR({ln} * {min_prefix_frac}) AS BIGINT)"
+    hi = f"CAST(FLOOR({ln} * {max_prefix_frac}) AS BIGINT)"
+    cut = f"({lo} + (CASE WHEN {hi} > {lo} THEN ({u}) % ({hi} - {lo} + 1) ELSE 0 END))"
+    return (
+        f"substr({text_col}, 1, {cut})",
+        f"substr({text_col}, {cut} + 1, {ln})",
+    )
+
+
+def denoiser_mix(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """UL2 mixture-of-denoisers routing (Tay et al. 2022 §3.2): each
+    document is deterministically routed by the portable hash to one
+    objective — [R]egular span corruption, e[X]treme corruption (higher
+    rate), or [S]equential PrefixLM — and tagged with the paper's mode
+    sentinel. Routing and the S-denoiser are map-only; the R/X spans
+    come from :func:`span_corruption`'s one-exchange shape, applied to
+    each routed partition of the corpus and unioned back.
+
+    Returns (doc_id, denoiser, input, target).
+    """
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    route = F.expr(
+        hash64_sql(f"(CAST({doc_id} AS STRING) || ':ul2')", "spark")
+    ) % 3
+    routed = docs.withColumn("__route", route)
+    inp, tgt = prefix_lm_split_sql(doc_id, text_col, "spark")
+    s_part = routed.where("__route = 2").select(
+        doc_id,
+        F.lit("[S]").alias("denoiser"),
+        F.expr(inp).alias("input"),
+        F.expr(tgt).alias("target"),
+    )
+    out = [s_part]
+    for tag, rate, flag in (("[R]", 0.15, 0), ("[X]", 0.5, 1)):
+        part = span_corruption(
+            routed.where(f"__route = {flag}"),
+            doc_id=doc_id,
+            text_col=text_col,
+            mask_rate=rate,
+        ).select(
+            doc_id,
+            F.lit(tag).alias("denoiser"),
+            F.col("input_masked").alias("input"),
+            F.col("target"),
+        )
+        out.append(part)
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+def denoiser_mix_sql(
+    doc_table: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`denoiser_mix` (same routing hash, same
+    per-branch formulas, UNION ALL)."""
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    keyed = f"(CAST({doc_id} AS STRING) || ':ul2')"
+    route = f"({hash64_sql(keyed, 'duckdb')}) % 3"
+    inp, tgt = prefix_lm_split_sql(doc_id, text_col, "duckdb")
+    branches = [
+        f"SELECT {doc_id}, '[S]' AS denoiser, {inp} AS input, {tgt} AS target "
+        f"FROM {doc_table} WHERE {route} = 2"
+    ]
+    for tag, rate, flag in (("[R]", 0.15, 0), ("[X]", 0.5, 1)):
+        sub = span_corruption_sql(
+            f"(SELECT * FROM {doc_table} WHERE {route} = {flag})",
+            doc_id=doc_id,
+            text_col=text_col,
+            mask_rate=rate,
+        )
+        branches.append(
+            f"SELECT {doc_id}, '{tag}' AS denoiser, "
+            f"input_masked AS input, target FROM ({sub})"
+        )
+    return "\nUNION ALL\n".join(branches)

@@ -2000,3 +2000,134 @@ ranked AS (
 SELECT anchor_id, negative_id, negative_label, cosine, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# -- k-NN label classification (embedding-quality eval) ----------------------
+
+
+def knn_classify(
+    emb: DataFrame,
+    *,
+    k: int = 5,
+    test_pct: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 7,
+) -> DataFrame:
+    """k-NN classification probe — the standard embedding-quality eval
+    (Papernot & McDaniel 2018's deep k-NN form of it): hold out
+    ``test_pct`` percent of vectors by portable hash, predict each
+    held-out label by majority vote of its k nearest training vectors
+    (cosine), report per-vector truth vs prediction.
+
+    Majority ties break toward the smallest label; the split is the
+    deterministic hash gate (same rows on any engine/partitioning).
+    Returns (vec_id, true_label, pred_label, votes BIGINT, correct).
+
+    Scale shape: inherits :func:`similarity_join`'s ONE-corpus-scan
+    broadcast contract for the neighbor search; voting is a
+    (query, label)-keyed agg + per-query rank window — exchanges carry
+    (id, label, count) rows only, never vectors. For test sets beyond a
+    few thousand route through ivf_search, same as similarity_join's
+    guidance.
+    """
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    if not 0 < test_pct < 100:
+        raise ValueError("test_pct must be in 1..99")
+    gate = hash64_sql(
+        f"('{int(seed)}:knn:' || CAST({id_col} AS STRING))", "spark"
+    )
+    is_test = F.expr(f"({gate}) % 100 < {int(test_pct)}")
+    test = emb.where(is_test)
+    train = emb.where(~is_test)
+    nn = similarity_join(
+        train,
+        test.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        k=k,
+        corpus_id=id_col,
+        corpus_vec=vec_col,
+        query_vec=vec_col,
+    )
+    votes = (
+        nn.join(
+            train.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col(label_col).alias("nn_label"),
+            ),
+            "corpus_id",
+        )
+        .groupBy("query_id", "nn_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("nn_label")
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        pred.join(
+            test.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("true_label"),
+            ),
+            "query_id",
+        )
+        .select(
+            F.col("query_id").alias(id_col),
+            "true_label",
+            F.col("nn_label").alias("pred_label"),
+            "votes",
+            (F.col("nn_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def knn_classify_oracle_sql(
+    table: str,
+    *,
+    k: int = 5,
+    test_pct: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    seed: int = 7,
+) -> str:
+    """DuckDB replay of :func:`knn_classify` (same gate, same neighbor
+    formula via similarity_join_sql, same vote/tie rules)."""
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    gate = hash64_sql(
+        f"('{int(seed)}:knn:' || CAST({id_col} AS VARCHAR))", "duckdb"
+    )
+    train = f"(SELECT * FROM {table} WHERE ({gate}) % 100 >= {int(test_pct)})"
+    test = (
+        f"(SELECT {id_col} AS query_id, {vec_col} FROM {table} "
+        f"WHERE ({gate}) % 100 < {int(test_pct)})"
+    )
+    nn = similarity_join_sql(train, test, k, corpus_id=id_col,
+                             corpus_vec=vec_col, query_vec=vec_col)
+    return f"""
+WITH nn AS ({nn}),
+votes AS (
+  SELECT nn.query_id, t.{label_col} AS nn_label,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM nn JOIN {train} t ON nn.corpus_id = t.{id_col}
+  GROUP BY nn.query_id, t.{label_col}
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, nn_label ASC
+  ) AS rn
+  FROM votes
+)
+SELECT r.query_id AS {id_col}, q.{label_col} AS true_label,
+       r.nn_label AS pred_label, r.votes,
+       r.nn_label = q.{label_col} AS correct
+FROM ranked r
+JOIN {table} q ON r.query_id = q.{id_col}
+WHERE r.rn = 1
+"""

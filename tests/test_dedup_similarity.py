@@ -941,3 +941,30 @@ def test_pair_metrics_empty_sides(spark):
     truth = spark.createDataFrame([(1, 2)], ["id1", "id2"])
     r = pair_metrics(empty, truth).collect()[0]
     assert (r.precision, r.recall, r.f1) == (0.0, 0.0, 0.0)
+
+
+def test_knn_classify_separable_clusters(spark):
+    """Two well-separated embedding clusters: k-NN vote must recover
+    every held-out label."""
+    import numpy as np
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(120):
+        lab = i % 2
+        base = np.zeros(8)
+        base[lab] = 10.0
+        v = (base + rng.normal(0, 0.1, 8)).tolist()
+        rows.append((i, [float(x) for x in v], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_classify(emb, k=5, test_pct=20).collect()
+    assert len(out) > 10
+    assert all(r["correct"] for r in out), [
+        (r["vec_id"], r["true_label"], r["pred_label"]) for r in out
+        if not r["correct"]]

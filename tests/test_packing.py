@@ -172,3 +172,50 @@ def test_span_corruption_invertible_and_single_exchange(spark):
             r["doc_id"], r["input_masked"], r["target"])
         some_masked = some_masked or r["n_spans"] > 0
     assert some_masked
+
+
+def test_prefix_lm_split_partitions_text(spark):
+    from harmonize_search_analyze_spark.operators.packing import (
+        prefix_lm_split_sql,
+    )
+
+    rows = [(i, f"document number {i} with some words") for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    inp, tgt = prefix_lm_split_sql("doc_id", "text", "spark")
+    got = docs.selectExpr("doc_id", "text", f"{inp} AS i", f"{tgt} AS t").collect()
+    fracs = []
+    for r in got:
+        assert r["i"] + r["t"] == r["text"]
+        fracs.append(len(r["i"]) / len(r["text"]))
+    # cut index is floor-quantized, so the realized fraction can undershoot
+    # min_prefix_frac by up to 1/len
+    assert 0.2 <= min(fracs) and max(fracs) <= 0.8
+    assert max(fracs) - min(fracs) > 0.1  # the cut actually varies
+
+
+def test_denoiser_mix_routes_and_tags(spark):
+    from harmonize_search_analyze_spark.operators.packing import (
+        denoiser_mix,
+    )
+
+    rows = [(i, " ".join(f"tok{i}x{j}" for j in range(10)))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = denoiser_mix(docs).collect()
+    assert len(out) == 120                      # each doc exactly once
+    by_tag = {}
+    for r in out:
+        by_tag.setdefault(r["denoiser"], []).append(r)
+    assert set(by_tag) == {"[R]", "[X]", "[S]"}
+    for tag, rs in by_tag.items():
+        assert len(rs) > 20                     # hash routing ~ 1/3 each
+    # [X] (rate .5) must mask more than [R] (rate .15) on average
+    import re
+
+    def masked_frac(rs):
+        tot = sum(len(r["target"].split()) - len(
+            re.findall(r"<extra_id_\d+>", r["target"])) for r in rs)
+        n = sum(10 for _ in rs)
+        return tot / n
+
+    assert masked_frac(by_tag["[X]"]) > masked_frac(by_tag["[R]"]) + 0.1
