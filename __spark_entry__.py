@@ -5337,6 +5337,240 @@ def _sql_quality_classifier() -> str:
     return nb_quality_oracle_sql("documents", "source = 'src0'")
 
 
+_SPAN_AST = {
+    "bool": {
+        "should": [
+            {"span_first": {
+                "match": {"span_term": {"text.split": "spark"}}, "end": 5,
+            }},
+            {"span_near": {
+                "clauses": [
+                    {"span_term": {"text.split": "fast"}},
+                    {"span_term": {"text.split": "table"}},
+                ],
+                "slop": 1, "in_order": True,
+            }},
+        ],
+        "minimum_should_match": 1,
+    }
+}
+
+
+def q_span_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene span queries via the position machinery: span_first
+    ("spark" among the first 5 tokens) OR span_near (fast..table in
+    order, slop 1), counted per lang. Both spans compile to ONE
+    codegen'd nested-EXISTS projection — no explode, no join."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(compile_query(_SPAN_AST))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def _sql_span_search() -> str:
+    from harmonize_search_analyze_spark.functions.intervals import (
+        span_first_sql,
+        span_near_sql,
+    )
+
+    first = span_first_sql("text", "spark", 5, "duckdb")
+    near = span_near_sql(
+        "text", ["fast", "table"], "duckdb", slop=1, in_order=True
+    )
+    return f"""
+SELECT lang, COUNT(*) AS doc_count FROM documents
+WHERE ({first}) OR ({near})
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature query (saturation curve over a static feature
+    field): top-10 documents by n_chars / (n_chars + pivot). One
+    codegen'd projection + TakeOrderedAndProject; only (doc_id, n_chars)
+    are read from the scan."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rank_feature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return rank_feature(
+        docs, "n_chars", function="saturation", pivot=150.0, boost=2.0,
+        k=10, id_col="doc_id",
+    )
+
+
+def _sql_rank_feature() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rank_feature_sql,
+    )
+
+    score = rank_feature_sql(
+        "n_chars", function="saturation", pivot=150.0, boost=2.0
+    )
+    return f"""
+SELECT doc_id, n_chars, {score} AS score FROM documents
+WHERE {score} IS NOT NULL
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+_DF_ORIGIN = "1995-06-15"
+_DF_PIVOT_DAYS = 30.0
+
+
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature query (date origin): recency-boost orders by
+    proximity of o_orderdate to an origin day — score = boost * pivot /
+    (pivot + |days from origin|). Distance stays in the row (integer day
+    arithmetic, exact on both engines); top-k is
+    TakeOrderedAndProject, no shuffle before the reduction."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        distance_feature,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    dist = F.abs(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.to_date(F.lit(_DF_ORIGIN)),
+        )
+    )
+    return distance_feature(
+        orders.withColumn("__d", dist),
+        F.col("__d"),
+        pivot=_DF_PIVOT_DAYS,
+        boost=1.5,
+        k=10,
+        id_col="o_orderkey",
+    )
+
+
+def _sql_distance_feature() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        distance_feature_sql,
+    )
+
+    d = f"abs(datediff('day', DATE '{_DF_ORIGIN}', CAST(o_orderdate AS DATE)))"
+    score = distance_feature_sql(d, pivot=_DF_PIVOT_DAYS, boost=1.5)
+    return f"""
+SELECT o_orderkey, {score} AS score FROM orders
+ORDER BY score DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child query (join-field): customers with at least TWO
+    qualifying child orders (status F, total > 100k), rolled up per
+    market segment. The child side aggregates to one (key, count) row
+    per parent BEFORE the semi join — a hot parent arrives as one row,
+    and the filtered-count frame broadcasts."""
+    from harmonize_search_analyze_spark.operators.joins import has_child
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    hits = has_child(
+        customer, orders,
+        parent_key="c_custkey", child_key="o_custkey",
+        child_pred=(F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 100000.0),
+        min_children=2,
+    )
+    return (
+        hits.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_HAS_CHILD = """
+SELECT c_mktsegment, COUNT(*) AS customers FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+    AND o_custkey IS NOT NULL
+  GROUP BY o_custkey HAVING COUNT(*) >= 2
+)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent query: orders whose parent customer matches
+    (BUILDING segment, acctbal > 5000) — one LEFT SEMI join against the
+    filtered, dimension-sized, broadcastable parent side; top-10 by
+    total price."""
+    from harmonize_search_analyze_spark.operators.joins import has_parent
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        has_parent(
+            orders, customer,
+            parent_key="c_custkey", child_key="o_custkey",
+            parent_pred=(F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 5000.0),
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_HAS_PARENT = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000.0
+)
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES nested terms + reverse_nested sub-agg: per-customer order
+    arrays (built in-plan), inner objects bucketed by (status,
+    priority) key with BOTH the nested doc count and the parent doc
+    count (distinct root customers owning >= 1 such object). Explode is
+    map-side; one hash agg with a bounded partial-distinct."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        reverse_nested_terms,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct(
+                # null-propagating concat (matches SQL ||): a null status
+                # or priority yields a NULL bucket, which the agg drops —
+                # concat_ws would silently skip the null part instead
+                F.concat(
+                    F.col("o_orderstatus"),
+                    F.lit("/"),
+                    F.col("o_orderpriority"),
+                ).alias("bucket"),
+            )
+        ).alias("items")
+    )
+    return reverse_nested_terms(
+        nested, "items", "bucket", id_col="o_custkey", k=10
+    )
+
+
+SQL_REVERSE_NESTED = """
+SELECT o_orderstatus || '/' || o_orderpriority AS bucket,
+       COUNT(*) AS doc_count,
+       COUNT(DISTINCT o_custkey) AS parent_count
+FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+GROUP BY bucket
+ORDER BY doc_count DESC, bucket ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -5528,6 +5762,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence": q_eql_sequence,
         "denoiser_mix": q_denoiser_mix,
         "knn_classify": q_knn_classify,
+        "span_search": q_span_search,
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
+        "has_child": q_has_child,
+        "has_parent": q_has_parent,
+        "reverse_nested": q_reverse_nested,
     }
 
 
@@ -5700,4 +5940,10 @@ def oracle_sql() -> dict[str, str]:
         "eql_sequence": _sql_eql_sequence(),
         "denoiser_mix": _sql_denoiser_mix(),
         "knn_classify": _sql_knn_classify(),
+        "span_search": _sql_span_search(),
+        "rank_feature": _sql_rank_feature(),
+        "distance_feature": _sql_distance_feature(),
+        "has_child": SQL_HAS_CHILD,
+        "has_parent": SQL_HAS_PARENT,
+        "reverse_nested": SQL_REVERSE_NESTED,
     }

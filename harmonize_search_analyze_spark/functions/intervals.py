@@ -138,3 +138,56 @@ def intervals_sql(rule: dict, field_expr: str, dialect: str) -> str:
         joiner = " OR " if kind == "any_of" else " AND "
         return joiner.join(parts)
     raise ValueError(f"unsupported intervals rule: {kind!r}")
+
+
+def span_first_sql(
+    field_expr: str, term: str, end: int, dialect: str
+) -> str:
+    """ES ``span_first`` query over a ``span_term`` clause: the term must
+    occur with its span END at or before position ``end``. ES positions
+    are 0-based and a single-term span at 0-based position p has
+    end = p + 1, so the contract is "the term appears among the first
+    ``end`` tokens". Our position arrays are 1-based: condition
+    ``p <= end``.
+
+    Reference shape: Lucene SpanFirstQuery (public Lucene semantics; the
+    ES reference exposes it verbatim). One codegen'd expression over the
+    pinned tokenization — the position array is built once and scanned;
+    no explode, no join.
+    """
+    if end < 1:
+        raise ValueError(f"span_first end must be >= 1, got {end}")
+    pos = _positions_sql(tokens_sql(field_expr, dialect), term, dialect)
+    return _exists_sql(pos, "p", f"p <= {int(end)}", dialect)
+
+
+def span_near_sql(
+    field_expr: str,
+    terms: list[str],
+    dialect: str,
+    *,
+    slop: int = 0,
+    in_order: bool = True,
+) -> str:
+    """ES ``span_near`` over ``span_term`` clauses: all terms occur with
+    total slack (span width minus term count) at most ``slop``,
+    optionally in clause order.
+
+    For single-term clauses Lucene's span_near slack is EXACTLY the
+    intervals ``match`` rule's ``max_gaps`` measure — (max_pos - min_pos
+    + 1) - n <= slop — so this compiles through
+    :func:`intervals_match_sql` rather than re-deriving the nested-EXISTS
+    shape (same 3-term combination cap applies; compose bool/must of
+    spans beyond that).
+    """
+    if slop < 0:
+        raise ValueError(f"span_near slop must be >= 0, got {slop}")
+    if not terms:
+        raise ValueError("span_near requires at least one span_term clause")
+    return intervals_match_sql(
+        field_expr,
+        " ".join(terms),
+        dialect,
+        max_gaps=int(slop),
+        ordered=bool(in_order),
+    )

@@ -19,9 +19,21 @@ from harmonize_search_analyze_spark.operators.dsir import (
     dsir_sample,
     dsir_weights,
 )
+from harmonize_search_analyze_spark.operators.joins import (
+    has_child,
+    has_parent,
+)
 from harmonize_search_analyze_spark.operators.profiler import build_data_dict
+from harmonize_search_analyze_spark.operators.ranking import (
+    distance_feature,
+    rank_feature,
+)
 
 __all__ = [
+    "distance_feature",
+    "has_child",
+    "has_parent",
+    "rank_feature",
     "bloom_build",
     "bloom_dedup",
     "bloom_merge",

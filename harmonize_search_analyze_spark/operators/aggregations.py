@@ -1974,3 +1974,42 @@ def diversified_sampler(
         .orderBy(*inner)
         .limit(shard_size)
     )
+
+
+def reverse_nested_terms(
+    df: DataFrame,
+    path: str,
+    inner_field: str,
+    *,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``nested`` terms aggregation with a ``reverse_nested``
+    sub-aggregation: bucket the INNER objects of an array-of-structs
+    column by ``inner_field``, reporting per bucket both the nested doc
+    count (``doc_count`` — how many inner objects) and the PARENT doc
+    count (``parent_count`` — how many distinct root documents own at
+    least one such object). The reverse_nested step is exactly the join
+    back to root context ES documents under nested mappings.
+
+    Plan: explode is map-side (one pass over the parents, inner objects
+    never materialize as a table); then ONE hash aggregation keyed by the
+    inner term computing count(*) and count(DISTINCT parent id) — the
+    distinct runs as Spark's standard two-phase partial-distinct expand,
+    bounded per bucket by the parents that actually own the term, not the
+    corpus. Ties pinned doc_count DESC, term ASC.
+    """
+    inner = df.select(
+        F.col(id_col).alias("__parent"),
+        F.explode(F.col(path)).alias("__obj"),
+    ).select("__parent", F.col(f"__obj.{inner_field}").alias(inner_field))
+    return (
+        inner.where(F.col(inner_field).isNotNull())
+        .groupBy(inner_field)
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.countDistinct("__parent").alias("parent_count"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc(inner_field))
+        .limit(k)
+    )

@@ -250,3 +250,79 @@ def interval_join(
     if drops_obs is not None:
         out._interval_join_drops = drops_obs
     return out
+
+
+def has_child(
+    parent: DataFrame,
+    child: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    child_pred: F.Column | None = None,
+    min_children: int = 1,
+    max_children: int | None = None,
+) -> DataFrame:
+    """ES ``has_child`` query, relationally: parent docs having between
+    ``min_children`` and ``max_children`` children matching
+    ``child_pred`` (the ES join-field semantics — min_children/
+    max_children are the query's own parameters).
+
+    Scale shape — two plans by contract:
+
+    - the common ``min_children=1, max_children=None`` case is a LEFT
+      SEMI join on the filtered child side: no child aggregation at all,
+      the child predicate pushes into its scan, and the semi join
+      short-circuits per parent key (never materializes the match list);
+    - counted windows aggregate the filtered child to ONE row per key
+      first (map-side partial combine), so the join input is bounded by
+      distinct parents, not child rows — a hot parent with 10^6 matching
+      children arrives as a single (key, count) row.
+
+    Both shapes broadcast the smaller side under the session threshold.
+    Parent columns pass through unchanged (ES returns parent docs).
+    """
+    if min_children < 1:
+        raise ValueError("min_children must be >= 1")
+    kids = child if child_pred is None else child.where(child_pred)
+    if min_children == 1 and max_children is None:
+        return parent.join(
+            kids.select(F.col(child_key).alias(parent_key)).where(
+                F.col(parent_key).isNotNull()
+            ),
+            on=parent_key,
+            how="left_semi",
+        )
+    counts = (
+        kids.where(F.col(child_key).isNotNull())
+        .groupBy(F.col(child_key).alias(parent_key))
+        .agg(F.count(F.lit(1)).alias("__n_children"))
+        .where(F.col("__n_children") >= min_children)
+    )
+    if max_children is not None:
+        counts = counts.where(F.col("__n_children") <= max_children)
+    return parent.join(counts.select(parent_key), on=parent_key, how="left_semi")
+
+
+def has_parent(
+    child: DataFrame,
+    parent: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    parent_pred: F.Column | None = None,
+) -> DataFrame:
+    """ES ``has_parent`` query: child docs whose parent matches
+    ``parent_pred``. One LEFT SEMI join against the filtered parent side
+    — the parent predicate pushes to its scan, the (usually dimension-
+    sized) filtered parent broadcasts, and child columns pass through
+    unchanged. No aggregation: parent keys are unique by construction in
+    the ES join-field model, so a semi join cannot duplicate children.
+    """
+    folks = parent if parent_pred is None else parent.where(parent_pred)
+    return child.join(
+        folks.select(F.col(parent_key).alias(child_key)).where(
+            F.col(child_key).isNotNull()
+        ),
+        on=child_key,
+        how="left_semi",
+    )

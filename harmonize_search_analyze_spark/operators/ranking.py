@@ -955,3 +955,147 @@ def rank_eval(
         )
         .orderBy(query_col)
     )
+
+
+_RANK_FEATURE_FUNCTIONS = ("saturation", "log", "sigmoid")
+
+
+def rank_feature_sql(
+    expr: str,
+    *,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float | None = None,
+    exponent: float | None = None,
+    boost: float = 1.0,
+) -> str:
+    """ES ``rank_feature`` query score as dialect-neutral ANSI SQL
+    (identical text on Spark and DuckDB — pure IEEE arithmetic on a
+    shared ROUND'd input).
+
+    ES formulas (rank_feature query docs, boost multiplied in):
+
+    - ``saturation``: ``v / (v + pivot)`` — pivot REQUIRED here (ES's
+      implicit default is an index-statistics estimate we don't model);
+    - ``log``: ``ln(scaling_factor + v)``;
+    - ``sigmoid``: ``v^exp / (v^exp + pivot^exp)``.
+
+    rank_feature fields are positive by construction in ES; negative or
+    NULL inputs score NULL (hit drops from the ranking) — guarded in the
+    generated text because the engines disagree on e.g. ``pow`` of a
+    negative base with fractional exponent (NaN vs error)."""
+    if function not in _RANK_FEATURE_FUNCTIONS:
+        raise ValueError(
+            f"function must be one of {_RANK_FEATURE_FUNCTIONS}"
+        )
+    v = f"CAST({expr} AS DOUBLE)"
+    if function == "saturation":
+        if pivot is None or pivot <= 0:
+            raise ValueError("saturation requires a positive pivot")
+        s = f"({v} / ({v} + {float(pivot)!r}))"
+    elif function == "log":
+        sf = 1.0 if scaling_factor is None else float(scaling_factor)
+        s = f"(CASE WHEN {sf!r} + {v} > 0.0 THEN LN({sf!r} + {v}) END)"
+    else:  # sigmoid
+        if pivot is None or pivot <= 0:
+            raise ValueError("sigmoid requires a positive pivot")
+        e = 1.0 if exponent is None else float(exponent)
+        s = (
+            f"(POW({v}, {e!r}) / "
+            f"(POW({v}, {e!r}) + {float(pivot) ** (1.0 if exponent is None else float(exponent))!r}))"
+        )
+    return (
+        f"ROUND(CASE WHEN {v} >= 0.0 THEN {float(boost)!r} * {s} END, 6)"
+    )
+
+
+def rank_feature(
+    df: DataFrame,
+    field: str,
+    *,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float | None = None,
+    exponent: float | None = None,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``rank_feature`` query: rank documents by a static feature
+    field through a saturation/log/sigmoid transfer curve — the standard
+    "boost by pagerank / url_length / popularity" shape.
+
+    Scale shape: the score is one codegen'd projection over the scan
+    (pushdown applies — only ``id_col`` and ``field`` are read), top-k is
+    sort+limit (TakeOrderedAndProject), never a full sort. Ties pinned
+    score DESC, id ASC on both engines."""
+    score = F.expr(
+        rank_feature_sql(
+            field,
+            function=function,
+            pivot=pivot,
+            scaling_factor=scaling_factor,
+            exponent=exponent,
+            boost=boost,
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.col(field), score.alias("score"))
+        .where(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def distance_feature_sql(
+    dist_expr: str, *, pivot: float, boost: float = 1.0
+) -> str:
+    """ES ``distance_feature`` query score over a precomputed
+    non-negative distance expression: ``boost * pivot / (pivot +
+    distance)`` (the exact published formula for date, geo and numeric
+    origins alike — only the distance metric differs). Dialect-neutral
+    text; compose with ``abs(field - origin)`` for numerics/dates or
+    :func:`~harmonize_search_analyze_spark.operators.aggregations.haversine_sql`
+    for geo points. NULL distance scores NULL."""
+    if pivot <= 0:
+        raise ValueError(f"pivot must be positive, got {pivot}")
+    d = f"CAST({dist_expr} AS DOUBLE)"
+    return (
+        f"ROUND({float(boost)!r} * {float(pivot)!r} / "
+        f"({float(pivot)!r} + {d}), 6)"
+    )
+
+
+def distance_feature(
+    df: DataFrame,
+    dist: Column | str,
+    *,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES ``distance_feature`` query: rank by proximity to an origin —
+    recency boosts (date origin), geo proximity, numeric closeness.
+    ``dist`` is the distance column/SQL-expression (non-negative);
+    score = ``boost * pivot / (pivot + dist)``.
+
+    Scale shape: one codegen'd projection + TakeOrderedAndProject; the
+    distance never leaves the row, so there is no shuffle before the
+    top-k reduction. Ties pinned score DESC, id ASC."""
+    if pivot <= 0:
+        raise ValueError(f"pivot must be positive, got {pivot}")
+    d = F.expr(dist) if isinstance(dist, str) else dist
+    score = F.round(
+        F.lit(float(boost)) * F.lit(float(pivot))
+        / (F.lit(float(pivot)) + d.cast("double")),
+        6,
+    )
+    cols = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
+    return (
+        df.select(*cols, score.alias("score"))
+        .where(F.col("score").isNotNull())
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

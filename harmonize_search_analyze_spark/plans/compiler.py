@@ -543,6 +543,66 @@ def _nested(body: dict[str, Any]) -> Column:
     return F.expr(nested_exists_sql(path, query, "spark"))
 
 
+def _span_term_of(clause: dict[str, Any]) -> tuple[str, str]:
+    if not isinstance(clause, dict) or list(clause.keys()) != ["span_term"]:
+        raise QueryCompileError(
+            f"span clause must be a span_term: {clause!r}"
+        )
+    (field, spec), = clause["span_term"].items()
+    value = spec["value"] if isinstance(spec, dict) else spec
+    return _strip_split(field), str(value)
+
+
+def _span_near(body: dict[str, Any]) -> Column:
+    """ES ``span_near`` over span_term clauses: all terms within ``slop``
+    total slack, optionally ``in_order``. Single-term spans make Lucene's
+    slack measure coincide with the intervals ``max_gaps`` measure, so
+    this compiles through the same nested-EXISTS position machinery —
+    one codegen'd expression, no explode/join."""
+    from harmonize_search_analyze_spark.functions.intervals import (
+        span_near_sql,
+    )
+
+    clauses = body.get("clauses") or []
+    pairs = [_span_term_of(c) for c in clauses]
+    if not pairs:
+        raise QueryCompileError("span_near requires clauses")
+    fields = {f for f, _ in pairs}
+    if len(fields) != 1:
+        raise QueryCompileError(
+            f"span_near clauses must share one field, got {sorted(fields)}"
+        )
+    try:
+        sql = span_near_sql(
+            fields.pop(),
+            [t for _, t in pairs],
+            "spark",
+            slop=int(body.get("slop", 0)),
+            in_order=bool(body.get("in_order", True)),
+        )
+    except ValueError as e:
+        raise QueryCompileError(str(e)) from e
+    return F.expr(sql)
+
+
+def _span_first(body: dict[str, Any]) -> Column:
+    """ES ``span_first``: the inner span_term must occur among the first
+    ``end`` tokens (Lucene SpanFirstQuery)."""
+    from harmonize_search_analyze_spark.functions.intervals import (
+        span_first_sql,
+    )
+
+    match = body.get("match")
+    if not match:
+        raise QueryCompileError("span_first requires a match clause")
+    field, term = _span_term_of(match)
+    try:
+        sql = span_first_sql(field, term, int(body.get("end", 1)), "spark")
+    except ValueError as e:
+        raise QueryCompileError(str(e)) from e
+    return F.expr(sql)
+
+
 def geo_polygon_sql(
     points: list[tuple[float, float]],
     lat_expr: str,
@@ -634,6 +694,8 @@ _HANDLERS = {
     "intervals": _intervals,
     "nested": _nested,
     "geo_polygon": _geo_polygon,
+    "span_near": _span_near,
+    "span_first": _span_first,
 }
 
 

@@ -1165,3 +1165,26 @@ def test_terms_partition_paging_enumerates_everything(spark):
         terms(df, "t", partition=1)
     with pytest.raises(ValueError):
         terms(df, "t", partition=5, num_partitions=3)
+
+
+def test_reverse_nested_terms(spark):
+    """nested terms + reverse_nested: doc_count counts inner objects,
+    parent_count counts distinct roots owning >= 1; NULL inner terms
+    dropped; ties pinned doc_count DESC, term ASC."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        reverse_nested_terms,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, [("red",), ("red",), ("blue",)]),
+            (2, [("red",)]),
+            (3, [("blue",), (None,)]),
+            (4, []),
+        ],
+        "id long, items array<struct<color string>>",
+    )
+    got = reverse_nested_terms(df, "items", "color", id_col="id", k=10)
+    rows = [(r.color, r.doc_count, r.parent_count) for r in got.collect()]
+    assert rows == [("red", 3, 2), ("blue", 2, 2)]

@@ -516,3 +516,72 @@ def test_runtime_mappings_basic(spark):
         apply_runtime_mappings(df, {"x": {"type": "geo_shape", "script": "1"}})
     with _pytest.raises(QueryCompileError):
         apply_runtime_mappings(df, {"x": {"type": "long"}})
+
+
+def test_span_queries(spark):
+    """Lucene span_first / span_near semantics over the pinned
+    tokenization, including the unordered variant and the DuckDB twin."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.functions.intervals import (
+        span_first_sql,
+        span_near_sql,
+    )
+
+    rows = [
+        (1, "spark runs the query"),            # spark at pos 1
+        (2, "the big engine is spark here"),    # spark at pos 5
+        (3, "the big engine is not spark yet"), # spark at pos 6
+        (4, "fast shiny table"),                # fast..table gap 1
+        (5, "fast very shiny table"),           # gap 2
+        (6, "table fast"),                      # wrong order
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+
+    first = compile_query(
+        {"span_first": {"match": {"span_term": {"text.split": "spark"}},
+                        "end": 5}}
+    )
+    assert {r.id for r in df.where(first).collect()} == {1, 2}
+
+    near = compile_query(
+        {"span_near": {"clauses": [
+            {"span_term": {"text.split": "fast"}},
+            {"span_term": {"text.split": "table"}},
+        ], "slop": 1, "in_order": True}}
+    )
+    assert {r.id for r in df.where(near).collect()} == {4}
+
+    anyorder = compile_query(
+        {"span_near": {"clauses": [
+            {"span_term": {"text.split": "fast"}},
+            {"span_term": {"text.split": "table"}},
+        ], "slop": 1, "in_order": False}}
+    )
+    assert {r.id for r in df.where(anyorder).collect()} == {4, 6}
+
+    # DuckDB twin produces the identical match set
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(id INT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, s) for i, s in rows]
+    )
+    f = span_first_sql("text", "spark", 5, "duckdb")
+    n = span_near_sql("text", ["fast", "table"], "duckdb",
+                      slop=1, in_order=True)
+    assert {r[0] for r in con.sql(f"SELECT id FROM t WHERE {f}").fetchall()} \
+        == {1, 2}
+    assert {r[0] for r in con.sql(f"SELECT id FROM t WHERE {n}").fetchall()} \
+        == {4}
+
+    import pytest as _pytest
+    with _pytest.raises(QueryCompileError):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"a.split": "x"}},
+            {"span_term": {"b.split": "y"}},
+        ]}})
+    with _pytest.raises(QueryCompileError):
+        compile_query({"span_near": {"clauses": [{"term": {"a": "x"}}]}})
+    with _pytest.raises(QueryCompileError):
+        compile_query({"span_first": {"end": 3}})

@@ -501,28 +501,36 @@ def test_simhash_banded_pruning_power(spark):
     assert cands < 0.10 * all_pairs, (cands, all_pairs)
 
 
+def _persisted_ids(spark) -> set:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {k for k in jmap.keySet().toArray()}
+
+
 def test_scoped_release_no_gc(spark, docs, vectors):
     """VERDICT r2 item 5: explicit-scope runs of the LSH / simhash /
     embedding-LSH operators leave ZERO persisted RDDs behind without any
-    garbage-collector involvement."""
+    garbage-collector involvement. Asserted on persisted RDD IDS, not
+    counts: earlier tests' GC-tethered frames may unpersist at any
+    allocation-triggered collection mid-test, so a global count is racy —
+    the invariant under test is that no id NEW to this scope survives it."""
     from harmonize_search_analyze_spark.functions.caching import scoped
 
-    base = persisted_count(spark)
+    base = _persisted_ids(spark)
     with scoped(simhash_near_dup_pairs_banded(
             docs, "doc_id", "text", max_hamming=3)) as pairs:
         assert pairs.count() >= 0
-        assert persisted_count(spark) > base
-    assert persisted_count(spark) == base
+        assert _persisted_ids(spark) - base
+    assert not _persisted_ids(spark) - base
 
     with scoped(near_dup_pairs_lsh(docs, "doc_id", "text", threshold=0.5,
                                    k=8, n=2, rows_per_band=2)) as pairs:
         pairs.collect()
-    assert persisted_count(spark) == base
+    assert not _persisted_ids(spark) - base
 
     with scoped(embedding_near_dup_lsh(vectors, threshold=0.99, dim=16,
                                        n_bands=4, bits_per_band=4)) as pairs:
         pairs.collect()
-    assert persisted_count(spark) == base
+    assert not _persisted_ids(spark) - base
 
 
 def test_substring_dedup_removes_duplicated_spans(spark):

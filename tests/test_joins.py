@@ -198,3 +198,50 @@ def test_interval_join_timestamp_columns(spark):
         grain_seconds=31 * 86400,
     )
     assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 9)]
+
+
+def test_has_child_has_parent(spark):
+    """ES join-field queries: min/max children window, the semi-join
+    fast path, null-key hygiene, and child passthrough."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.joins import (
+        has_child,
+        has_parent,
+    )
+    from pyspark.sql import functions as F
+
+    parent = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["pk", "seg"]
+    )
+    child = spark.createDataFrame(
+        [(10, 1, "x"), (11, 1, "x"), (12, 1, "x"),
+         (13, 2, "x"), (14, 3, "y"), (15, None, "x")],
+        ["ck", "fk", "tag"],
+    )
+    x = F.col("tag") == "x"
+
+    # semi-join fast path: >= 1 matching child
+    got = has_child(parent, child, parent_key="pk", child_key="fk",
+                    child_pred=x)
+    assert {r.pk for r in got.collect()} == {1, 2}
+
+    # counted window: between 2 and 3 children
+    got = has_child(parent, child, parent_key="pk", child_key="fk",
+                    child_pred=x, min_children=2, max_children=3)
+    assert {r.pk for r in got.collect()} == {1}
+
+    # max only excludes the over-full parent
+    got = has_child(parent, child, parent_key="pk", child_key="fk",
+                    child_pred=x, min_children=1, max_children=2)
+    assert {r.pk for r in got.collect()} == {2}
+
+    with _pytest.raises(ValueError):
+        has_child(parent, child, parent_key="pk", child_key="fk",
+                  min_children=0)
+
+    # has_parent: children of parents in segment a/c; null-fk child dropped
+    got = has_parent(child, parent, parent_key="pk", child_key="fk",
+                     parent_pred=F.col("seg").isin("a", "c"))
+    assert {r.ck for r in got.collect()} == {10, 11, 12, 14}
+    assert set(got.columns) == {"ck", "fk", "tag"}

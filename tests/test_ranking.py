@@ -352,3 +352,67 @@ def test_phrase_suggest_degrades_on_uncorrectable_position(spark):
     got = phrase_suggest(df, "text", "fsat xq7zzz", k=3).collect()
     phrases = [r.phrase for r in got]
     assert "fast xq7zzz" in phrases  # corrected first token, typed second
+
+
+def test_rank_feature_functions(spark):
+    """ES rank_feature transfer curves: saturation/log/sigmoid values,
+    negative inputs dropped, parameter validation."""
+    import math
+
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rank_feature,
+        rank_feature_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, 300.0), (3, 0.0), (4, -5.0), (5, None)],
+        ["doc_id", "feat"],
+    )
+    sat = {r.doc_id: r.score for r in rank_feature(
+        df, "feat", pivot=100.0, k=10, id_col="doc_id").collect()}
+    assert sat == {1: 0.5, 2: 0.75, 3: 0.0}  # negative + NULL dropped
+
+    log = {r.doc_id: r.score for r in rank_feature(
+        df, "feat", function="log", scaling_factor=1.0, k=10,
+        id_col="doc_id").collect()}
+    assert abs(log[1] - round(math.log(101.0), 6)) < 1e-9
+    assert log[3] == 0.0
+
+    sig = {r.doc_id: r.score for r in rank_feature(
+        df, "feat", function="sigmoid", pivot=100.0, exponent=2.0,
+        k=10, id_col="doc_id").collect()}
+    assert sig[1] == 0.5
+    assert abs(sig[2] - round(9.0 / 10.0, 6)) < 1e-9
+
+    with _pytest.raises(ValueError):
+        rank_feature_sql("f", function="saturation")
+    with _pytest.raises(ValueError):
+        rank_feature_sql("f", function="sigmoid", pivot=-1.0)
+    with _pytest.raises(ValueError):
+        rank_feature_sql("f", function="nope")
+
+
+def test_distance_feature_score(spark):
+    """distance_feature: exact published formula, NULL distance dropped,
+    pivot validated."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.ranking import (
+        distance_feature,
+        distance_feature_sql,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 90.0), (4, None)], ["doc_id", "d"]
+    )
+    got = {r.doc_id: r.score for r in distance_feature(
+        df, F.col("d"), pivot=10.0, boost=2.0, k=10).collect()}
+    assert got == {1: 2.0, 2: 1.0, 3: 0.2}
+
+    with _pytest.raises(ValueError):
+        distance_feature(df, F.col("d"), pivot=0.0)
+    with _pytest.raises(ValueError):
+        distance_feature_sql("d", pivot=-3.0)
