@@ -5571,6 +5571,129 @@ ORDER BY doc_count DESC, bucket ASC LIMIT 10
 """
 
 
+_SCRIPT_Q = "value > 200.0 AND hour(ts) >= 12"
+
+
+def q_script_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script query: keep docs where a painless-mapped SQL boolean
+    holds (value > 200 and afternoon hour), counted per event_type. The
+    script is ONE in-plan codegen'd expression — no UDF, no shuffle
+    before the agg."""
+    events = _t(spark, sf_dir, "events")
+    pred = compile_query({"script": {"script": {"source": _SCRIPT_Q}}})
+    return (
+        events.where(pred)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+SQL_SCRIPT_FILTER = f"""
+SELECT event_type, COUNT(*) AS doc_count FROM events
+WHERE {_SCRIPT_Q}
+GROUP BY event_type ORDER BY event_type
+"""
+
+_SM_MAP = (
+    "CASE WHEN o_orderpriority LIKE '1-%' THEN "
+    "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) "
+    "ELSE -CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END"
+)
+
+
+def q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric agg (the docs' canonical profit example,
+    restricted to the associative contract): per order status, urgent
+    orders contribute +price, the rest -price. Map is integer cents
+    (exact cross-engine sums); ONE hash agg with map-side combine;
+    reduce is a post-agg projection."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        scripted_metric,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return scripted_metric(
+        orders,
+        _SM_MAP,
+        combine="sum",
+        # CAST keeps the division DOUBLE on both engines — a bare 100000.0
+        # literal is DECIMAL in Spark AND DuckDB, and BIGINT/DECIMAL stays
+        # DECIMAL (a driver wire-type mismatch even on equal values)
+        reduce_script="ROUND(state / CAST(100000.0 AS DOUBLE), 2)",
+        group_by=["o_orderstatus"],
+        alias="net_urgent_k",
+    )
+
+
+SQL_SCRIPTED_METRIC = f"""
+SELECT o_orderstatus,
+       ROUND(CAST(SUM({_SM_MAP}) AS BIGINT) / CAST(100000.0 AS DOUBLE), 2)
+         AS net_urgent_k
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+_PINNED_IDS = [42, 7]
+
+
+def q_pinned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: ids [42, 7] rank first in list order (even if
+    they fail the organic query), organic src1 hits follow by n_chars
+    DESC. Pin rank is one CASE expression — no ids join; top-k is
+    TakeOrderedAndProject."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        pinned_query,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pinned_query(
+        docs, _PINNED_IDS, F.col("source") == "src1",
+        id_col="doc_id", sort_col="n_chars", ascending=False, k=10,
+    ).select("doc_id", "source", "n_chars")
+
+
+SQL_PINNED_SEARCH = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT *, CASE WHEN doc_id = 42 THEN 0 WHEN doc_id = 7 THEN 1
+                 ELSE 2 END AS pin
+  FROM documents
+  WHERE doc_id IN (42, 7) OR source = 'src1'
+)
+ORDER BY pin ASC, n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+_LB_BOUNDS = [150, 300, 450]
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training batch assembly: bucket documents by
+    n_chars, form batches of 16 WITHIN (bucket, shard) — the shard hash
+    keeps the window n_shards-way parallel per bucket (no hot global
+    rank) while the bucket bound keeps batches padding-homogeneous.
+    Deterministic: portable shard hash + (length, id) order."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        batch_by_length,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return batch_by_length(
+        docs, "doc_id", "n_chars",
+        boundaries=_LB_BOUNDS, batch_size=16, n_shards=8,
+    ).orderBy("doc_id")
+
+
+def _sql_length_batching() -> str:
+    from harmonize_search_analyze_spark.operators.packing import (
+        batch_by_length_sql,
+    )
+
+    inner = batch_by_length_sql(
+        "documents", "doc_id", "n_chars",
+        boundaries=_LB_BOUNDS, batch_size=16, n_shards=8,
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -5768,6 +5891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_child": q_has_child,
         "has_parent": q_has_parent,
         "reverse_nested": q_reverse_nested,
+        "script_filter": q_script_filter,
+        "scripted_metric": q_scripted_metric,
+        "pinned_search": q_pinned_search,
+        "length_batching": q_length_batching,
     }
 
 
@@ -5946,4 +6073,8 @@ def oracle_sql() -> dict[str, str]:
         "has_child": SQL_HAS_CHILD,
         "has_parent": SQL_HAS_PARENT,
         "reverse_nested": SQL_REVERSE_NESTED,
+        "script_filter": SQL_SCRIPT_FILTER,
+        "scripted_metric": SQL_SCRIPTED_METRIC,
+        "pinned_search": SQL_PINNED_SEARCH,
+        "length_batching": _sql_length_batching(),
     }

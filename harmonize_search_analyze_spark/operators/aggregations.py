@@ -2013,3 +2013,56 @@ def reverse_nested_terms(
         .orderBy(F.desc("doc_count"), F.asc(inner_field))
         .limit(k)
     )
+
+
+_SM_COMBINES = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": lambda c: F.count(c),
+}
+
+
+def scripted_metric(
+    df: DataFrame,
+    map_script: str,
+    *,
+    combine: str = "sum",
+    reduce_script: str | None = None,
+    group_by: list[str] | None = None,
+    alias: str = "value",
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation, restricted to the shape that
+    distributes: ``map_script`` is a per-document SQL expression (the
+    map_script's ``state`` accumulation), ``combine`` is an ASSOCIATIVE
+    builtin (sum/min/max/avg/count — ES's combine_script contract is
+    exactly "reduce per-shard state to one value"), and the optional
+    ``reduce_script`` is a final expression over the combined value,
+    exposed as ``state``.
+
+    This deliberately does NOT model arbitrary stateful scripts: a
+    non-associative combine cannot run map-side and would serialize every
+    document through one reducer — the anti-pattern the published ES docs
+    themselves warn about at scale. The canonical profit example
+    (map: doc.type == 'sale' ? doc.amount : -doc.amount, combine: sum)
+    fits exactly.
+
+    Plan: one codegen'd projection + ONE hash aggregation with map-side
+    partial combine; ``reduce_script`` is a post-agg projection over
+    group-count-sized data.
+    """
+    fn = _SM_COMBINES.get(combine)
+    if fn is None:
+        raise ValueError(
+            f"combine must be one of {sorted(_SM_COMBINES)}, got {combine!r}"
+        )
+    mapped = df.withColumn("__mapped", F.expr(map_script))
+    keys = group_by or []
+    agg = (
+        mapped.groupBy(*keys).agg(fn(F.col("__mapped")).alias("state"))
+    )
+    out = F.expr(reduce_script) if reduce_script else F.col("state")
+    cols = [F.col(k) for k in keys] + [out.alias(alias)]
+    res = agg.select(*cols)
+    return res.orderBy(*keys) if keys else res

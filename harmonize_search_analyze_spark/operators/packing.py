@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -587,3 +587,122 @@ def denoiser_mix_sql(
             f"input_masked AS input, target FROM ({sub})"
         )
     return "\nUNION ALL\n".join(branches)
+
+
+def batch_by_length(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    boundaries: list[int],
+    batch_size: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Length-bucketed training batch assembly: group sequences of
+    similar length into fixed-size batches so per-batch padding waste is
+    bounded by the bucket width (the standard bucketed-batching trick in
+    LLM/NMT data loaders, e.g. the published bucket_by_sequence_length
+    pattern).
+
+    ``boundaries`` are ascending upper bounds; sequence with length L
+    lands in the first bucket whose bound is >= L (one overflow bucket
+    past the last bound). Batches are formed WITHIN (bucket, shard),
+    shard = portable_hash(id) % n_shards: batch membership never crosses
+    shards, so no per-bucket global order is needed — the row_number
+    window partitions on (bucket, shard), giving n_shards-way parallelism
+    per bucket instead of the hot single reducer a global per-bucket rank
+    would serialize on (the 100 TB guard; batches stay length-homogeneous
+    because the bucket, not the rank, bounds padding). Fully deterministic:
+    shard hash and the (length, id) order are engine-portable.
+
+    Returns (id, length, bucket, batch_key, pos_in_batch) where batch_key
+    is 'bucket/shard/seq'. Runts (the last under-filled batch per shard)
+    are kept and flagged ``is_runt`` — dropping or rebalancing them is the
+    caller's policy.
+    """
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if not boundaries or sorted(boundaries) != list(boundaries):
+        raise ValueError("boundaries must be a non-empty ascending list")
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    bucket = F.lit(len(boundaries))
+    for i in reversed(range(len(boundaries))):
+        bucket = F.when(
+            F.col(len_col) <= boundaries[i], F.lit(i)
+        ).otherwise(bucket)
+    shard = F.expr(
+        f"{hash64_sql(f'CAST({id_col} AS STRING)', 'spark')} % {n_shards}"
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(len_col),
+        bucket.alias("bucket"),
+        shard.alias("__shard"),
+    )
+    w = Window.partitionBy("bucket", "__shard").orderBy(
+        F.col(len_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("bucket", "__shard")
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    seq = ((F.col("__rn") - 1) / batch_size).cast("bigint")
+    return ranked.select(
+        F.col(id_col),
+        F.col(len_col),
+        F.col("bucket"),
+        F.concat_ws(
+            "/",
+            F.col("bucket").cast("string"),
+            F.col("__shard").cast("string"),
+            seq.cast("string"),
+        ).alias("batch_key"),
+        ((F.col("__rn") - 1) % batch_size).alias("pos_in_batch"),
+        (
+            (seq == ((F.col("__n") - 1) / batch_size).cast("bigint"))
+            & (F.col("__n") % batch_size != 0)
+        ).alias("is_runt"),
+    )
+
+
+def batch_by_length_sql(
+    table: str,
+    id_col: str,
+    len_col: str,
+    *,
+    boundaries: list[int],
+    batch_size: int,
+    n_shards: int = 32,
+) -> str:
+    """DuckDB twin of :func:`batch_by_length` (same formula text apart
+    from the dialect hash)."""
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    cases = " ".join(
+        f"WHEN {len_col} <= {b} THEN {i}"
+        for i, b in enumerate(boundaries)
+    )
+    bucket = f"(CASE {cases} ELSE {len(boundaries)} END)"
+    shard = f"({hash64_sql(f'CAST({id_col} AS VARCHAR)', 'duckdb')} % {n_shards})"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {len_col}, {bucket} AS bucket, {shard} AS shard
+  FROM {table}
+), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                       ORDER BY {len_col} ASC, {id_col} ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY bucket, shard) AS n
+  FROM base
+)
+SELECT {id_col}, {len_col}, bucket,
+  bucket::VARCHAR || '/' || shard::VARCHAR || '/' ||
+    ((rn - 1) // {batch_size})::VARCHAR AS batch_key,
+  (rn - 1) % {batch_size} AS pos_in_batch,
+  ((rn - 1) // {batch_size} = (n - 1) // {batch_size}
+   AND n % {batch_size} <> 0) AS is_runt
+FROM ranked
+"""

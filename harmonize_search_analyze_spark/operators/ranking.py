@@ -1099,3 +1099,44 @@ def distance_feature(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pinned_query(
+    df: DataFrame,
+    ids: list,
+    organic_pred: Column,
+    *,
+    id_col: str = "doc_id",
+    sort_col: str | None = None,
+    ascending: bool = False,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``pinned`` query: the listed ids rank first, IN LIST ORDER,
+    above every organic hit; organic hits follow under their own order.
+    A pinned doc appears even if it fails the organic query (the ES
+    contract), and never duplicates.
+
+    Plan: the pin rank is one codegen'd CASE over the id column — no join
+    against an ids table (the list is query-sized); the filter is
+    ``pin_rank < n OR organic`` so predicate pushdown still applies to
+    the organic side; top-k is TakeOrderedAndProject. Ties among organic
+    hits pinned by (sort, id)."""
+    if not ids:
+        raise ValueError("pinned query needs at least one id")
+    rank = F.lit(len(ids))
+    for i in reversed(range(len(ids))):
+        rank = F.when(F.col(id_col) == F.lit(ids[i]), F.lit(i)).otherwise(
+            rank
+        )
+    organic_order = (
+        []
+        if sort_col is None
+        else [F.asc(sort_col) if ascending else F.desc(sort_col)]
+    )
+    return (
+        df.withColumn("__pin", rank)
+        .where((F.col("__pin") < len(ids)) | organic_pred)
+        .orderBy(F.asc("__pin"), *organic_order, F.asc(id_col))
+        .drop("__pin")
+        .limit(k)
+    )

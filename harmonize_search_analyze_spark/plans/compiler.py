@@ -543,6 +543,20 @@ def _nested(body: dict[str, Any]) -> Column:
     return F.expr(nested_exists_sql(path, query, "spark"))
 
 
+def _script(body: dict[str, Any]) -> Column:
+    """ES ``script`` query: keep documents where the script evaluates
+    true. The painless body maps to one SQL boolean expression (the same
+    restricted contract as ``runtime_mappings``); evaluated in-plan, so
+    it stays inside whole-stage codegen and composes with sargable
+    siblings in the enclosing bool (Catalyst still pushes THOSE to the
+    scan)."""
+    script = body.get("script", body)
+    src = script.get("source") if isinstance(script, dict) else script
+    if not src or not isinstance(src, str):
+        raise QueryCompileError("script query needs a script source")
+    return F.expr(src).cast("boolean")
+
+
 def _span_term_of(clause: dict[str, Any]) -> tuple[str, str]:
     if not isinstance(clause, dict) or list(clause.keys()) != ["span_term"]:
         raise QueryCompileError(
@@ -696,6 +710,7 @@ _HANDLERS = {
     "geo_polygon": _geo_polygon,
     "span_near": _span_near,
     "span_first": _span_first,
+    "script": _script,
 }
 
 

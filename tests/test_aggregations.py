@@ -1188,3 +1188,33 @@ def test_reverse_nested_terms(spark):
     got = reverse_nested_terms(df, "items", "color", id_col="id", k=10)
     rows = [(r.color, r.doc_count, r.parent_count) for r in got.collect()]
     assert rows == [("red", 3, 2), ("blue", 2, 2)]
+
+
+def test_scripted_metric_restricted(spark):
+    """scripted_metric: associative-combine contract, grouped and global
+    shapes, reduce projection, invalid combine rejected."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        scripted_metric,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "sale", 10), ("a", "cost", 4), ("b", "sale", 7)],
+        ["g", "kind", "amt"],
+    )
+    m = "CASE WHEN kind = 'sale' THEN amt ELSE -amt END"
+    got = {(r.g, r.profit) for r in scripted_metric(
+        df, m, combine="sum", group_by=["g"], alias="profit").collect()}
+    assert got == {("a", 6), ("b", 7)}
+
+    # global (no group), with reduce
+    row = scripted_metric(
+        df, m, combine="sum",
+        reduce_script="state * 2", alias="doubled").collect()
+    assert row[0].doubled == 26
+
+    assert scripted_metric(df, "amt", combine="max").collect()[0].value == 10
+
+    with _pytest.raises(ValueError):
+        scripted_metric(df, m, combine="median")

@@ -585,3 +585,14 @@ def test_span_queries(spark):
         compile_query({"span_near": {"clauses": [{"term": {"a": "x"}}]}})
     with _pytest.raises(QueryCompileError):
         compile_query({"span_first": {"end": 3}})
+
+
+def test_script_query(spark):
+    """ES script query: SQL boolean in-plan; missing source rejected."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 5), (2, 50)], ["id", "v"])
+    pred = compile_query({"script": {"script": {"source": "v * 2 > 50"}}})
+    assert [r.id for r in df.where(pred).collect()] == [2]
+    with _pytest.raises(QueryCompileError):
+        compile_query({"script": {"script": {}}})

@@ -219,3 +219,57 @@ def test_denoiser_mix_routes_and_tags(spark):
         return tot / n
 
     assert masked_frac(by_tag["[X]"]) > masked_frac(by_tag["[R]"]) + 0.1
+
+
+def test_batch_by_length_invariants(spark):
+    """batch_by_length: every batch is within one bucket, no batch
+    exceeds batch_size, positions are dense from 0, exactly the
+    under-filled last-per-shard batches are flagged runts, and the
+    assignment is deterministic."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.packing import (
+        batch_by_length,
+    )
+
+    rows = [(i, 10 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    out = batch_by_length(
+        df, "doc_id", "n", boundaries=[100, 250], batch_size=8, n_shards=4
+    ).collect()
+    assert len(out) == 200
+
+    by_batch = {}
+    for r in out:
+        by_batch.setdefault(r.batch_key, []).append(r)
+    for key, members in by_batch.items():
+        assert len(members) <= 8
+        assert {m.bucket for m in members} == {int(key.split("/")[0])}
+        assert sorted(m.pos_in_batch for m in members) == list(
+            range(len(members))
+        )
+        runt = {m.is_runt for m in members}
+        assert len(runt) == 1  # runt flag is per-batch uniform
+        if len(members) < 8:
+            assert runt == {True}
+
+    # deterministic across runs
+    again = batch_by_length(
+        df, "doc_id", "n", boundaries=[100, 250], batch_size=8, n_shards=4
+    ).collect()
+    assert sorted((r.doc_id, r.batch_key, r.pos_in_batch) for r in out) == \
+        sorted((r.doc_id, r.batch_key, r.pos_in_batch) for r in again)
+
+    # bucket bound: batch length spread never crosses a boundary
+    for members in by_batch.values():
+        b = members[0].bucket
+        lo = [0, 101, 251][b]
+        hi = [100, 250, 10**9][b]
+        assert all(lo <= m.n <= hi for m in members)
+
+    with _pytest.raises(ValueError):
+        batch_by_length(df, "doc_id", "n", boundaries=[], batch_size=8)
+    with _pytest.raises(ValueError):
+        batch_by_length(df, "doc_id", "n", boundaries=[5, 3], batch_size=8)
+    with _pytest.raises(ValueError):
+        batch_by_length(df, "doc_id", "n", boundaries=[5], batch_size=0)

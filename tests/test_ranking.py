@@ -416,3 +416,27 @@ def test_distance_feature_score(spark):
         distance_feature(df, F.col("d"), pivot=0.0)
     with _pytest.raises(ValueError):
         distance_feature_sql("d", pivot=-3.0)
+
+
+def test_pinned_query(spark):
+    """ES pinned semantics: pins first in list order even when failing
+    the organic query, organic follow in their own order, no dupes."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.ranking import (
+        pinned_query,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "x", 50), (2, "y", 90), (3, "x", 70), (4, "x", 60), (5, "y", 99)],
+        ["doc_id", "src", "n"],
+    )
+    got = [r.doc_id for r in pinned_query(
+        df, [5, 3], F.col("src") == "x",
+        id_col="doc_id", sort_col="n", ascending=False, k=10).collect()]
+    # 5 (pinned, fails organic), 3 (pinned), then organic x by n desc: 4, 1
+    assert got == [5, 3, 4, 1]
+
+    with _pytest.raises(ValueError):
+        pinned_query(df, [], F.lit(True))
