@@ -436,3 +436,93 @@ def test_term_suggest_vocab_agg_broadcast_queries(docs):
     # the vocab agg + the per-token rank window over candidates
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
     assert "Python" not in p, p
+
+
+def test_has_child_semi_join_fast_path(spark, tmp_path):
+    """min_children=1 must be ONE LeftSemi join with the child predicate
+    pushed to the child scan — no aggregation exchange at all."""
+    from harmonize_search_analyze_spark.operators.joins import has_child
+
+    pdir = str(tmp_path / "p")
+    cdir = str(tmp_path / "c")
+    spark.createDataFrame(
+        [(i, "s") for i in range(100)], ["pk", "seg"]
+    ).write.parquet(pdir)
+    spark.createDataFrame(
+        [(i, i % 50, "x" if i % 2 else "y") for i in range(400)],
+        ["ck", "fk", "tag"],
+    ).write.parquet(cdir)
+    parent = spark.read.parquet(pdir)
+    child = spark.read.parquet(cdir)
+
+    out = has_child(parent, child, parent_key="pk", child_key="fk",
+                    child_pred=F.col("tag") == "x")
+    out.count()
+    p = _plan(out)
+    assert "LeftSemi" in p, p
+    assert "HashAggregate" not in p, p
+    assert "PushedFilters: [IsNotNull(tag), EqualTo(tag,x)" in p, p
+
+    # counted path: the child aggregates BEFORE the join (bounded by
+    # distinct parents), still semi-join output
+    out2 = has_child(parent, child, parent_key="pk", child_key="fk",
+                     child_pred=F.col("tag") == "x", min_children=2,
+                     max_children=5)
+    out2.count()
+    p2 = _plan(out2)
+    assert "LeftSemi" in p2, p2
+    assert "HashAggregate" in p2, p2
+
+
+def test_rank_feature_scan_prunes_columns(spark, tmp_path):
+    """The score projection must read ONLY (id, field) from the scan and
+    end in TakeOrderedAndProject — never a full sort."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rank_feature,
+    )
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"t{i}", "s", i * 3) for i in range(300)],
+        ["doc_id", "text", "source", "n_chars"],
+    ).write.parquet(d)
+    out = rank_feature(spark.read.parquet(d), "n_chars", pivot=100.0, k=5)
+    out.count()
+    p = _plan(out)
+    assert "TakeOrderedAndProject" in p, p
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in p, p
+    assert "Python" not in p, p
+
+
+def test_batch_by_length_window_keyed_by_shard(docs):
+    """The rank window must partition on (bucket, shard) — ONE exchange
+    on the composite key, no global per-bucket sort."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        batch_by_length,
+    )
+
+    df = docs.withColumn("n", F.length("text"))
+    out = batch_by_length(df, "doc_id", "n", boundaries=[20, 30],
+                          batch_size=8, n_shards=4)
+    out.count()
+    p = _plan(out)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "bucket" in p and "__shard" in p, p
+    assert "Python" not in p, p
+
+
+def test_scripted_metric_single_agg_map_side(docs):
+    """One hash aggregation (partial + final = same operator twice), the
+    map script inside the projection, no extra exchange."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        scripted_metric,
+    )
+
+    out = scripted_metric(
+        docs, "CASE WHEN source = 'src0' THEN 1 ELSE -1 END",
+        combine="sum", group_by=["source"],
+    )
+    out.count()
+    p = _plan(out)
+    assert p.count("Exchange hashpartitioning") <= 2, p  # agg + sort
+    assert "Python" not in p, p
