@@ -5694,6 +5694,98 @@ def _sql_length_batching() -> str:
     return f"SELECT * FROM ({inner}) ORDER BY doc_id"
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate resolution: the LSH near-dup clusters of
+    q_dedup_clusters, but each cluster keeps its LONGEST document
+    (n_chars DESC, ties to smallest id) — the retention policy web-corpus
+    dedup actually ships, vs. min-id canonicalization. One label join +
+    ONE cluster-keyed window."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        connected_components,
+        near_dup_pairs_lsh,
+        resolve_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    pairs = near_dup_pairs_lsh(
+        docs, "doc_id", "text", threshold=0.9, k=8, n=1, rows_per_band=2
+    )
+    labels = connected_components(pairs)
+    return (
+        resolve_duplicates(
+            docs.select("doc_id", "n_chars"), labels,
+            id_col="doc_id", quality_col="n_chars",
+        )
+        .select("doc_id", "cluster_id", "n_chars", "keep")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dedup_keep_best() -> str:
+    pairs = _sql_lsh_near_dup()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+d AS (
+  SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0
+),
+lab AS (
+  SELECT d.doc_id, d.n_chars,
+         COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM d LEFT JOIN labels l ON l.id = d.doc_id
+)
+SELECT doc_id, cluster_id, n_chars,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id ASC) = 1 AS keep
+FROM lab ORDER BY doc_id
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus reshuffle (2 epochs): map-side
+    epoch fan-out + portable hash shuffle key + the distributed
+    contiguous-rank machinery (range exchange + per-partition windows,
+    no single-reducer global window)."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        epoch_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        epoch_shuffle(
+            docs.select("doc_id"), "doc_id", epochs=2, seed=11, rank=True
+        )
+        .select("epoch", "doc_id", "shuffle_key", "pos")
+        .orderBy("pos")
+    )
+
+
+def _sql_epoch_shuffle() -> str:
+    from harmonize_search_analyze_spark.operators.ordering import (
+        epoch_shuffle_sql,
+    )
+
+    inner = epoch_shuffle_sql(
+        "(SELECT doc_id FROM documents) t", "doc_id", ["doc_id"],
+        epochs=2, seed=11, rank=True,
+    )
+    return (
+        f"SELECT epoch, doc_id, shuffle_key, pos FROM ({inner}) "
+        "ORDER BY pos"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -5895,6 +5987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scripted_metric": q_scripted_metric,
         "pinned_search": q_pinned_search,
         "length_batching": q_length_batching,
+        "dedup_keep_best": q_dedup_keep_best,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
@@ -6077,4 +6171,6 @@ def oracle_sql() -> dict[str, str]:
         "scripted_metric": SQL_SCRIPTED_METRIC,
         "pinned_search": SQL_PINNED_SEARCH,
         "length_batching": _sql_length_batching(),
+        "dedup_keep_best": _sql_dedup_keep_best(),
+        "epoch_shuffle": _sql_epoch_shuffle(),
     }

@@ -1222,3 +1222,48 @@ def intra_doc_dedup(
         F.expr(joined).alias("text_dedup"),
         F.expr(dropped).alias("n_dropped"),
     )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str,
+    quality_col: str,
+    quality_ascending: bool = False,
+) -> DataFrame:
+    """Quality-aware canonical selection over near-dup clusters: within
+    each cluster keep the BEST document (highest ``quality_col``, ties
+    to smallest id), not the smallest-id one — the retention policy
+    production web-corpus dedup actually uses (keep the longest /
+    highest-quality variant of a duplicated page, drop the truncated
+    mirrors).
+
+    ``labels`` is :func:`connected_components` output (id, cluster_id);
+    unlabeled rows are their own singleton cluster. Returns every input
+    row with (cluster_id, keep BOOLEAN) — filtering ``keep`` is the
+    dedup, keeping both is the audit view.
+
+    Scale shape: one equi-join onto the (pair-graph-sized, usually tiny
+    relative to the corpus) label frame, then ONE row_number window
+    keyed by cluster_id. Cluster sizes bound the window groups — the
+    pathological giant cluster is a data-quality signal the near-dup
+    graph already surfaced, not something this operator amplifies.
+    """
+    from pyspark.sql import Window
+
+    order = (
+        F.col(quality_col).asc() if quality_ascending
+        else F.col(quality_col).desc()
+    )
+    joined = df.join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(order, F.col(id_col).asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn("keep", F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -217,3 +217,89 @@ def latest_transform(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    epochs: int = 1,
+    seed: int = 42,
+    rank: bool = False,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training-data
+    delivery: every epoch sees the full corpus in a DIFFERENT
+    pseudo-random permutation, reproducible from (seed, epoch, id) on
+    any engine/partitioning — the standard epoch-reshuffle contract of
+    training data loaders, without materializing a permutation table.
+
+    Each row emits once per epoch with a portable ``shuffle_key``; the
+    consumer range-partitions/sorts on (epoch, shuffle_key) at read
+    time. With ``rank=True`` the contiguous 0-based epoch-major global
+    position (epoch e's rows occupy [e*N, (e+1)*N)) is materialized via the :func:`global_order` machinery (range
+    exchange + per-partition windows — no single-reducer global window).
+
+    Scale shape: the epoch fan-out is a map-side ``explode`` (no
+    shuffle); the key is one codegen'd hash; ordering cost is paid only
+    when requested, as ONE range exchange.
+    """
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    fanned = df.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(epochs) - 1))
+        ).alias("__e"),
+        "*",
+    ).select(
+        # BIGINT: match the oracle's generate_series wire type
+        F.col("__e").cast("bigint").alias("epoch"),
+        *df.columns,
+    )
+    key = hash64_sql(
+        f"('{int(seed)}:' || CAST(epoch AS STRING) || ':' || "
+        f"CAST({id_col} AS STRING))",
+        "spark",
+    )
+    out = fanned.withColumn("shuffle_key", F.expr(key))
+    if not rank:
+        return out
+    return global_order(
+        out,
+        ["epoch", "shuffle_key", id_col],
+        out_col="pos",
+    )
+
+
+def epoch_shuffle_sql(
+    table: str,
+    id_col: str,
+    columns: list[str],
+    *,
+    epochs: int = 1,
+    seed: int = 42,
+    rank: bool = False,
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle` (single-window rank form at
+    oracle scale)."""
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    key = hash64_sql(
+        f"('{int(seed)}:' || CAST(e.epoch AS VARCHAR) || ':' || "
+        f"CAST({id_col} AS VARCHAR))",
+        "duckdb",
+    )
+    cols = ", ".join(columns)
+    base = f"""
+SELECT e.epoch, {cols}, {key} AS shuffle_key
+FROM {table}
+CROSS JOIN (SELECT unnest(generate_series(0, {int(epochs) - 1})) AS epoch) e
+"""
+    if not rank:
+        return base
+    return f"""
+SELECT *, CAST(ROW_NUMBER() OVER (
+    ORDER BY epoch ASC, shuffle_key ASC, {id_col} ASC) - 1 AS BIGINT) AS pos
+FROM ({base})
+"""

@@ -976,3 +976,28 @@ def test_knn_classify_separable_clusters(spark):
     assert all(r["correct"] for r in out), [
         (r["vec_id"], r["true_label"], r["pred_label"]) for r in out
         if not r["correct"]]
+
+
+def test_resolve_duplicates_keeps_best(spark):
+    """Quality policy: within a cluster the highest-quality doc (ties to
+    lowest id) is kept; singletons keep themselves; ascending flag
+    inverts the policy."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (9, 10)], ["doc_id", "q"]
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["id", "cluster_id"]
+    )
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in resolve_duplicates(
+        docs, labels, id_col="doc_id", quality_col="q").collect()}
+    assert got == {1: (1, False), 2: (1, True), 3: (1, False),
+                   9: (9, True)}
+
+    worst = {r.doc_id: r.keep for r in resolve_duplicates(
+        docs, labels, id_col="doc_id", quality_col="q",
+        quality_ascending=True).collect()}
+    assert worst == {1: True, 2: False, 3: False, 9: True}

@@ -141,3 +141,39 @@ def test_latest_transform_keeps_newest_with_tiebreak(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().split(
         "== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_epoch_shuffle_determinism_and_coverage(spark):
+    """Each epoch is a full, differently-ordered copy; positions are
+    epoch-major contiguous; identical across runs; epochs validated."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.ordering import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    out = epoch_shuffle(df, "doc_id", epochs=3, seed=5, rank=True).collect()
+    assert len(out) == 120
+    assert sorted(r.pos for r in out) == list(range(120))
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    for e, rows in by_epoch.items():
+        assert sorted(r.doc_id for r in rows) == list(range(40))
+        assert sorted(r.pos for r in rows) == list(
+            range(e * 40, (e + 1) * 40)
+        )
+    orders = [
+        [r.doc_id for r in sorted(rows, key=lambda r: r.pos)]
+        for _, rows in sorted(by_epoch.items())
+    ]
+    assert orders[0] != orders[1] and orders[1] != orders[2]
+
+    again = epoch_shuffle(df, "doc_id", epochs=3, seed=5, rank=True).collect()
+    assert sorted((r.epoch, r.doc_id, r.pos) for r in again) == \
+        sorted((r.epoch, r.doc_id, r.pos) for r in out)
+
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", epochs=0)
