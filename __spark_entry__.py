@@ -1391,6 +1391,53 @@ ORDER BY score DESC, event_type LIMIT 10
 """
 
 
+def q_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms under the chi_square heuristic (Lucene's signed
+    2x2 statistic, superset-adjusted): same one-agg + broadcast-totals
+    plan as the JLH query, different pure-arithmetic score."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        significant_terms,
+    )
+
+    return significant_terms(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        foreground=F.col("value") > 250,
+        heuristic="chi_square",
+    )
+
+
+SQL_SIGNIFICANT_CHI2 = """
+WITH t AS (
+  SELECT event_type, COUNT(*) AS bg_count,
+         COUNT(CASE WHEN value > 250 THEN 1 END) AS fg_count
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+), tot AS (
+  SELECT SUM(bg_count) AS bg_total, SUM(fg_count) AS fg_total FROM t
+), c AS (
+  SELECT event_type, fg_count, bg_count,
+         CAST(fg_count AS DOUBLE) AS n11,
+         CAST(bg_count - fg_count AS DOUBLE) AS n01,
+         CAST(fg_total - fg_count AS DOUBLE) AS n10,
+         CAST(bg_total - bg_count - (fg_total - fg_count) AS DOUBLE) AS n00,
+         CAST(bg_total AS DOUBLE) AS n
+  FROM t, tot
+)
+SELECT event_type, fg_count, bg_count,
+       ROUND(
+         (CASE WHEN n11 * (n01 + n00) < n01 * (n11 + n10)
+               THEN -1.0 ELSE 1.0 END)
+         * CASE WHEN (n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00)
+                     <> 0.0
+                THEN n * (n11 * n00 - n01 * n10) * (n11 * n00 - n01 * n10)
+                     / ((n11 + n01) * (n11 + n10) * (n10 + n00)
+                        * (n01 + n00))
+           END, 6) AS score
+FROM c WHERE fg_count > 0
+ORDER BY score DESC, event_type LIMIT 10
+"""
+
+
 def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py): attribute every purchase event to
     the same user's latest click at-or-before it — single key-shuffle
@@ -5989,6 +6036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_batching": q_length_batching,
         "dedup_keep_best": q_dedup_keep_best,
         "epoch_shuffle": q_epoch_shuffle,
+        "significant_chi2": q_significant_chi2,
     }
 
 
@@ -6173,4 +6221,5 @@ def oracle_sql() -> dict[str, str]:
         "length_batching": _sql_length_batching(),
         "dedup_keep_best": _sql_dedup_keep_best(),
         "epoch_shuffle": _sql_epoch_shuffle(),
+        "significant_chi2": SQL_SIGNIFICANT_CHI2,
     }

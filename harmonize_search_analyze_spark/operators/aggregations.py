@@ -601,17 +601,32 @@ def significant_terms(
     field: str,
     foreground: Column,
     k: int = 10,
+    *,
+    heuristic: str = "jlh",
 ) -> DataFrame:
-    """ES ``significant_terms`` agg with the JLH score: terms over-represented
-    in the ``foreground`` subset relative to the whole frame (background).
+    """ES ``significant_terms`` agg: terms over-represented in the
+    ``foreground`` subset relative to the whole frame (background,
+    treated as the superset — ES's ``background_is_superset`` default).
 
-    score = (fg_rate - bg_rate) * (fg_rate / bg_rate); terms absent from the
-    foreground are dropped (ES emits no bucket for them). One hash agg
-    computes fg+bg counts per term (conditional count, no second scan); the
-    two totals ride along as a 1-row cross join (broadcast, no shuffle).
-    The quotient shape is identical on both engines, so the 6-decimal
-    rounding never sits on an engine-dependent tie.
+    Significance ``heuristic`` (the published ES options this engine
+    models — all pure arithmetic over the same four counts):
+
+    - ``jlh`` (ES default): ``(fg_rate - bg_rate) * (fg_rate/bg_rate)``;
+    - ``chi_square``: the signed 2x2 chi-squared statistic over the
+      superset-adjusted contingency table (Lucene's ChiSquare with
+      include_negatives — a term RARER in the foreground scores
+      negative);
+    - ``percentage``: ``fg_count / bg_count`` (the docs' simple ratio).
+
+    Terms absent from the foreground are dropped (ES emits no bucket for
+    them). One hash agg computes fg+bg counts per term (conditional
+    count, no second scan); the two totals ride along as a 1-row cross
+    join (broadcast, no shuffle). Every quotient shape is identical on
+    both engines, so the 6-decimal rounding never sits on an
+    engine-dependent tie.
     """
+    if heuristic not in ("jlh", "chi_square", "percentage"):
+        raise ValueError(f"unsupported heuristic: {heuristic!r}")
     per_term = (
         df.where(F.col(field).isNotNull())
         .groupBy(field)
@@ -628,6 +643,27 @@ def significant_terms(
     # NULL scores, not an ANSI DIVIDE_BY_ZERO
     fg_rate = F.try_divide(F.col("fg_count"), F.col("fg_total"))
     bg_rate = F.try_divide(F.col("bg_count"), F.col("bg_total"))
+    if heuristic == "jlh":
+        score = (fg_rate - bg_rate) * F.try_divide(fg_rate, bg_rate)
+    elif heuristic == "percentage":
+        score = F.try_divide(F.col("fg_count"), F.col("bg_count"))
+    else:  # chi_square, superset-adjusted contingency
+        n11 = F.col("fg_count").cast("double")
+        n01 = (F.col("bg_count") - F.col("fg_count")).cast("double")
+        n10 = (F.col("fg_total") - F.col("fg_count")).cast("double")
+        n00 = (
+            F.col("bg_total") - F.col("bg_count")
+            - (F.col("fg_total") - F.col("fg_count"))
+        ).cast("double")
+        n = F.col("bg_total").cast("double")
+        num = n * (n11 * n00 - n01 * n10) * (n11 * n00 - n01 * n10)
+        den = (n11 + n01) * (n11 + n10) * (n10 + n00) * (n01 + n00)
+        # cross-multiplied rate comparison: division-free, so the sign is
+        # exact on both engines even at degenerate zero marginals
+        sign = F.when(
+            n11 * (n01 + n00) < n01 * (n11 + n10), F.lit(-1.0)
+        ).otherwise(F.lit(1.0))
+        score = sign * F.try_divide(num, den)
     return (
         per_term.crossJoin(F.broadcast(totals))
         .where(F.col("fg_count") > 0)
@@ -635,9 +671,7 @@ def significant_terms(
             field,
             "fg_count",
             "bg_count",
-            F.round(
-                (fg_rate - bg_rate) * F.try_divide(fg_rate, bg_rate), 6
-            ).alias("score"),
+            F.round(score, 6).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(field))
         .limit(k)

@@ -1218,3 +1218,35 @@ def test_scripted_metric_restricted(spark):
 
     with _pytest.raises(ValueError):
         scripted_metric(df, m, combine="median")
+
+
+def test_significant_terms_heuristics(spark):
+    """chi_square: hand-computed 2x2 statistic (superset-adjusted) with
+    the negative sign for under-represented terms; percentage = simple
+    ratio; unknown heuristic rejected."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        significant_terms,
+    )
+    from pyspark.sql import functions as F
+
+    # 10 docs: term a appears 4x (3 in fg), term b 6x (1 in fg); fg = 4
+    rows = [("a", True)] * 3 + [("a", False)] + \
+           [("b", True)] + [("b", False)] * 5
+    df = spark.createDataFrame(rows, ["term", "hot"])
+
+    got = {r.term: r.score for r in significant_terms(
+        df, "term", F.col("hot"), heuristic="chi_square").collect()}
+    # a: n11=3 n01=1 n10=1 n00=5, N=10 ->
+    #    10*(15-1)^2 / (4*4*6*6) = 1960/576
+    assert got["a"] == round(10 * 14 * 14 / (4 * 4 * 6 * 6), 6)
+    # b is under-represented in fg -> negative score, same magnitude
+    assert got["b"] == -got["a"]
+
+    pct = {r.term: r.score for r in significant_terms(
+        df, "term", F.col("hot"), heuristic="percentage").collect()}
+    assert pct == {"a": 0.75, "b": round(1 / 6, 6)}
+
+    with _pytest.raises(ValueError):
+        significant_terms(df, "term", F.col("hot"), heuristic="gnd")
