@@ -5833,6 +5833,40 @@ def _sql_epoch_shuffle() -> str:
     )
 
 
+def q_pivot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _transform pivot: entity-centric summary of events per
+    event_type (sum as exact integer cents, value_count, exact
+    cardinality, max). The cardinality agg runs in its OWN aggregation
+    joined back on the same key — the Expand-plan cliff never appears."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        pivot_transform,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    )
+    return pivot_transform(
+        ev, ["event_type"],
+        {
+            "total_cents": ("sum", "cents"),
+            "n": ("value_count", "value"),
+            "users": ("cardinality", "user_id"),
+            "peak": ("max", "value"),
+        },
+    )
+
+
+SQL_PIVOT_SUMMARY = """
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       COUNT(value) AS n,
+       COUNT(DISTINCT user_id) AS users,
+       MAX(value) AS peak
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6037,6 +6071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "epoch_shuffle": q_epoch_shuffle,
         "significant_chi2": q_significant_chi2,
+        "pivot_summary": q_pivot_summary,
     }
 
 
@@ -6222,4 +6257,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _sql_dedup_keep_best(),
         "epoch_shuffle": _sql_epoch_shuffle(),
         "significant_chi2": SQL_SIGNIFICANT_CHI2,
+        "pivot_summary": SQL_PIVOT_SUMMARY,
     }

@@ -303,3 +303,64 @@ SELECT *, CAST(ROW_NUMBER() OVER (
     ORDER BY epoch ASC, shuffle_key ASC, {id_col} ASC) - 1 AS BIGINT) AS pos
 FROM ({base})
 """
+
+
+def pivot_transform(
+    df: DataFrame,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    catalog=None,
+    dest: str | None = None,
+) -> DataFrame:
+    """ES ``_transform`` ``pivot`` function: the OTHER transform mode
+    (alongside :func:`latest_transform`) — summarize a source index into
+    an entity-centric destination: one row per unique ``group_by`` key
+    with the requested aggregations (transform docs: "pivot composes a
+    summary of the data").
+
+    ``aggs`` maps output column -> (function, source column); functions
+    are the ES pivot set that reduces associatively: value_count, sum,
+    min, max, avg, cardinality (exact here — swap HLL via
+    ``approx_count_distinct`` at corpus scale). ONE hash aggregation,
+    map-side combined; with ``catalog``/``dest`` the summary is
+    registered (and persisted by the caller via the catalog's sink), the
+    batch equivalent of the transform's checkpointed destination index.
+    """
+    _FNS = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "avg": F.avg,
+        "value_count": lambda c: F.count(c).cast("bigint"),
+        "cardinality": lambda c: F.countDistinct(c).cast("bigint"),
+    }
+    if not group_by:
+        raise ValueError("pivot transform needs at least one group_by")
+    if not aggs:
+        raise ValueError("pivot transform needs at least one aggregation")
+    plain, distinct = [], []
+    for out_col, (fn, src) in aggs.items():
+        f = _FNS.get(fn)
+        if f is None:
+            raise ValueError(
+                f"unsupported pivot aggregation {fn!r} "
+                f"(supported: {sorted(_FNS)})"
+            )
+        (distinct if fn == "cardinality" else plain).append(
+            f(F.col(src)).alias(out_col)
+        )
+    # cardinality aggs run in their OWN aggregation: mixing
+    # count_distinct with plain aggs in one .agg() triggers Spark's
+    # Expand plan (one input replica per distinct clause — the measured
+    # ~150x cliff, operators/profiler.py). Both aggs hash on the same
+    # keys, so the join is co-partitioned — no extra data exchange.
+    first = plain or distinct[:1]
+    rest = distinct if plain else distinct[1:]
+    res = df.groupBy(*group_by).agg(*first)
+    for d in rest:  # one agg PER distinct clause — never two in one
+        res = res.join(df.groupBy(*group_by).agg(d), group_by)
+    res = res.orderBy(*group_by)
+    if catalog is not None and dest is not None:
+        catalog.register(dest, res)
+    return res

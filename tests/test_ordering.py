@@ -177,3 +177,43 @@ def test_epoch_shuffle_determinism_and_coverage(spark):
 
     with _pytest.raises(ValueError):
         epoch_shuffle(df, "doc_id", epochs=0)
+
+
+def test_pivot_transform(spark):
+    """ES pivot transform: entity summary with the associative agg set;
+    cardinality split into its own aggregation (no Expand cliff); dest
+    registration; validation."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.ordering import (
+        pivot_transform,
+    )
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    df = spark.createDataFrame(
+        [("a", "x", 10.0), ("a", "y", 30.0), ("b", "x", 5.0),
+         ("a", "x", 20.0)],
+        ["ent", "dev", "v"],
+    )
+    out = pivot_transform(
+        df, ["ent"],
+        {"total": ("sum", "v"), "n": ("value_count", "v"),
+         "devices": ("cardinality", "dev"), "peak": ("max", "v")},
+    )
+    rows = {r.ent: (r.total, r.n, r.devices, r.peak) for r in out.collect()}
+    assert rows == {"a": (60.0, 3, 2, 30.0), "b": (5.0, 1, 1, 5.0)}
+    # the Expand anti-pattern never appears in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+
+    cat = Catalog(spark)
+    pivot_transform(df, ["ent"], {"total": ("sum", "v")},
+                    catalog=cat, dest="ent_summary")
+    assert cat.resolve("ent_summary").count() == 2
+
+    with _pytest.raises(ValueError):
+        pivot_transform(df, [], {"t": ("sum", "v")})
+    with _pytest.raises(ValueError):
+        pivot_transform(df, ["ent"], {})
+    with _pytest.raises(ValueError):
+        pivot_transform(df, ["ent"], {"t": ("median", "v")})
