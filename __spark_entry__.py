@@ -5505,6 +5505,7 @@ def _sql_distance_feature() -> str:
     score = distance_feature_sql(d, pivot=_DF_PIVOT_DAYS, boost=1.5)
     return f"""
 SELECT o_orderkey, {score} AS score FROM orders
+WHERE {score} IS NOT NULL
 ORDER BY score DESC, o_orderkey ASC LIMIT 10
 """
 

@@ -184,6 +184,15 @@ def span_near_sql(
         raise ValueError(f"span_near slop must be >= 0, got {slop}")
     if not terms:
         raise ValueError("span_near requires at least one span_term clause")
+    for t in terms:
+        # one alnum token per span_term clause — a non-alnum value would
+        # re-split to ZERO words inside intervals_match_sql and compile
+        # to literal TRUE (match-all); a multi-word value would silently
+        # become several clauses sharing the slop budget
+        if not re.fullmatch(r"[a-zA-Z0-9]+", t):
+            raise ValueError(
+                f"span_term value must be one alnum token: {t!r}"
+            )
     return intervals_match_sql(
         field_expr,
         " ".join(terms),

@@ -245,6 +245,13 @@ def epoch_shuffle(
     """
     if epochs < 1:
         raise ValueError(f"epochs must be >= 1, got {epochs}")
+    taken = {"epoch", "shuffle_key"} | ({"pos"} if rank else set())
+    clash = taken & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"epoch_shuffle output columns collide with input columns "
+            f"{sorted(clash)}; rename them first"
+        )
     from harmonize_search_analyze_spark.functions.hashing import hash64_sql
 
     fanned = df.select(
@@ -327,11 +334,14 @@ def pivot_transform(
     registered (and persisted by the caller via the catalog's sink), the
     batch equivalent of the transform's checkpointed destination index.
     """
+    # the associative base set is shared with scripted_metric — one
+    # registry to maintain; pivot adds the ES transform names on top
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        _SM_COMBINES,
+    )
+
     _FNS = {
-        "sum": F.sum,
-        "min": F.min,
-        "max": F.max,
-        "avg": F.avg,
+        **{k: v for k, v in _SM_COMBINES.items() if k != "count"},
         "value_count": lambda c: F.count(c).cast("bigint"),
         "cardinality": lambda c: F.countDistinct(c).cast("bigint"),
     }
@@ -358,8 +368,21 @@ def pivot_transform(
     first = plain or distinct[:1]
     rest = distinct if plain else distinct[1:]
     res = df.groupBy(*group_by).agg(*first)
-    for d in rest:  # one agg PER distinct clause — never two in one
-        res = res.join(df.groupBy(*group_by).agg(d), group_by)
+    for i, d in enumerate(rest):  # one agg PER distinct clause
+        other = df.groupBy(*group_by).agg(d)
+        # null-SAFE key equality: a NULL group key is a real ES bucket
+        # (terms missing-handling aside) and the plain-agg path keeps it;
+        # a bare equi-join would silently drop it only when a
+        # cardinality agg happens to be present
+        for g in group_by:
+            other = other.withColumnRenamed(g, f"__pj{i}_{g}")
+        cond = None
+        for g in group_by:
+            c = F.col(g).eqNullSafe(F.col(f"__pj{i}_{g}"))
+            cond = c if cond is None else (cond & c)
+        res = res.join(other, cond).drop(
+            *[f"__pj{i}_{g}" for g in group_by]
+        )
     res = res.orderBy(*group_by)
     if catalog is not None and dest is not None:
         catalog.register(dest, res)

@@ -1002,7 +1002,7 @@ def rank_feature_sql(
         e = 1.0 if exponent is None else float(exponent)
         s = (
             f"(POW({v}, {e!r}) / "
-            f"(POW({v}, {e!r}) + {float(pivot) ** (1.0 if exponent is None else float(exponent))!r}))"
+            f"(POW({v}, {e!r}) + {float(pivot) ** e!r}))"
         )
     return (
         f"ROUND(CASE WHEN {v} >= 0.0 THEN {float(boost)!r} * {s} END, 6)"

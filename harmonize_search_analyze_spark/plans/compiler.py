@@ -562,9 +562,19 @@ def _span_term_of(clause: dict[str, Any]) -> tuple[str, str]:
         raise QueryCompileError(
             f"span clause must be a span_term: {clause!r}"
         )
-    (field, spec), = clause["span_term"].items()
-    value = spec["value"] if isinstance(spec, dict) else spec
-    return _strip_split(field), str(value)
+    body = clause["span_term"]
+    if not isinstance(body, dict) or len(body) != 1:
+        raise QueryCompileError(
+            f"span_term must map exactly one field: {body!r}"
+        )
+    (field, spec), = body.items()
+    if isinstance(spec, dict):
+        if "value" not in spec:
+            raise QueryCompileError(
+                f"span_term object form needs a 'value': {spec!r}"
+            )
+        spec = spec["value"]
+    return _strip_split(field), str(spec)
 
 
 def _span_near(body: dict[str, Any]) -> Column:

@@ -596,3 +596,24 @@ def test_script_query(spark):
     assert [r.id for r in df.where(pred).collect()] == [2]
     with _pytest.raises(QueryCompileError):
         compile_query({"script": {"script": {}}})
+
+
+def test_span_malformed_clauses_raise_compile_errors(spark):
+    """Review findings: non-alnum span_term values must NOT compile to
+    match-all; malformed span_term bodies raise QueryCompileError, never
+    raw ValueError/KeyError."""
+    import pytest as _pytest
+
+    with _pytest.raises(QueryCompileError):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text.split": "!!!"}}]}})
+    with _pytest.raises(QueryCompileError):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"text.split": "two words"}}]}})
+    with _pytest.raises(QueryCompileError):
+        compile_query({"span_near": {"clauses": [
+            {"span_term": {"a.split": "x", "b.split": "y"}}]}})
+    with _pytest.raises(QueryCompileError):
+        compile_query({"span_first": {
+            "match": {"span_term": {"text.split": {"boost": 2}}},
+            "end": 3}})

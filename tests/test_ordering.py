@@ -217,3 +217,34 @@ def test_pivot_transform(spark):
         pivot_transform(df, ["ent"], {})
     with _pytest.raises(ValueError):
         pivot_transform(df, ["ent"], {"t": ("median", "v")})
+
+
+def test_pivot_transform_null_group_key_survives_cardinality(spark):
+    """Review finding: a NULL group key must survive the per-distinct
+    join back (null-safe equality), matching the plain-agg path."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        pivot_transform,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), (None, "y", 2.0), (None, "z", 3.0)],
+        ["ent", "dev", "v"],
+    )
+    out = pivot_transform(
+        df, ["ent"],
+        {"total": ("sum", "v"), "devices": ("cardinality", "dev")},
+    ).collect()
+    rows = {r.ent: (r.total, r.devices) for r in out}
+    assert rows == {"a": (1.0, 1), None: (5.0, 2)}
+
+
+def test_epoch_shuffle_column_collision_rejected(spark):
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.ordering import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame([(1, 0)], ["doc_id", "epoch"])
+    with _pytest.raises(ValueError, match="collide"):
+        epoch_shuffle(df, "doc_id", epochs=2)
