@@ -687,6 +687,10 @@ def batch_by_length_sql(
     )
     bucket = f"(CASE {cases} ELSE {len(boundaries)} END)"
     shard = f"({hash64_sql(f'CAST({id_col} AS VARCHAR)', 'duckdb')} % {n_shards})"
+    # internal aliases are __-prefixed: a bare ``rn``/``n`` would collide
+    # with (and silently shadow or be shadowed by) same-named user
+    # columns — the sweep caught ``len_col='n'`` resolving the runt
+    # formula against the LENGTH column
     return f"""
 WITH base AS (
   SELECT {id_col}, {len_col}, {bucket} AS bucket, {shard} AS shard
@@ -694,15 +698,15 @@ WITH base AS (
 ), ranked AS (
   SELECT *,
     ROW_NUMBER() OVER (PARTITION BY bucket, shard
-                       ORDER BY {len_col} ASC, {id_col} ASC) AS rn,
-    COUNT(*) OVER (PARTITION BY bucket, shard) AS n
+                       ORDER BY {len_col} ASC, {id_col} ASC) AS __rn,
+    COUNT(*) OVER (PARTITION BY bucket, shard) AS __n
   FROM base
 )
 SELECT {id_col}, {len_col}, bucket,
   bucket::VARCHAR || '/' || shard::VARCHAR || '/' ||
-    ((rn - 1) // {batch_size})::VARCHAR AS batch_key,
-  (rn - 1) % {batch_size} AS pos_in_batch,
-  ((rn - 1) // {batch_size} = (n - 1) // {batch_size}
-   AND n % {batch_size} <> 0) AS is_runt
+    ((__rn - 1) // {batch_size})::VARCHAR AS batch_key,
+  (__rn - 1) % {batch_size} AS pos_in_batch,
+  ((__rn - 1) // {batch_size} = (__n - 1) // {batch_size}
+   AND __n % {batch_size} <> 0) AS is_runt
 FROM ranked
 """

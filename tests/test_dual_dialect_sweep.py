@@ -569,3 +569,116 @@ def test_web_generators(spark):
     _sweep(spark, html_to_text_sql)
     _sweep(spark, normalize_url_sql)
     _sweep(spark, registered_domain_sql)
+
+
+def test_span_generators_on_edge_corpus(edge_tables):
+    """span_first / span_near on the edge corpus, all flag combos."""
+    spark, con = edge_tables
+    from harmonize_search_analyze_spark.functions.intervals import (
+        span_first_sql,
+        span_near_sql,
+    )
+
+    cases = []
+    for term, end in (("a", 1), ("me", 3), ("word", 1), ("x", 2)):
+        cases.append(lambda d, t=term, e=end: span_first_sql("text", t, e, d))
+    for terms, slop, order in (
+        (["repeat", "me"], 0, True),
+        (["me", "repeat"], 1, False),
+        (["a", "b", "c"], 2, True),
+        (["one"], 0, True),
+    ):
+        cases.append(
+            lambda d, ts=terms, s=slop, o=order: span_near_sql(
+                "text", ts, d, slop=s, in_order=o
+            )
+        )
+    for gen in cases:
+        s = _rows(spark, "SELECT doc_id FROM edge_docs WHERE " + gen("spark"),
+                  "spark")
+        d = _rows(con, "SELECT doc_id FROM edge_docs WHERE " + gen("duckdb"),
+                  "duckdb")
+        assert s == d, (gen("duckdb"), s, d)
+
+
+def test_feature_score_generators_on_numeric_edges(spark):
+    """rank_feature (all curves) and distance_feature score text must
+    agree on the numeric edge set, including negatives and NULL."""
+    import math
+
+    from harmonize_search_analyze_spark.operators.ranking import (
+        distance_feature_sql,
+        rank_feature_sql,
+    )
+
+    con = duckdb.connect()
+    exprs = [
+        rank_feature_sql("v", function="saturation", pivot=2.0, boost=3.0),
+        rank_feature_sql("v", function="log", scaling_factor=1.0),
+        rank_feature_sql("v", function="sigmoid", pivot=2.0, exponent=0.5),
+        distance_feature_sql("abs(v - 1.0)", pivot=2.0, boost=1.5),
+    ]
+    for expr in exprs:
+        df = spark.createDataFrame([(x,) for x in EDGE_NUMBERS], "v double")
+        got_s = [r[0] for r in df.selectExpr(expr).collect()]
+        for x, s in zip(EDGE_NUMBERS, got_s):
+            lit = "CAST(NULL AS DOUBLE)" if x is None else repr(x)
+            d = con.sql(f"SELECT {expr} FROM (SELECT {lit} AS v)").fetchall()[0][0]
+            if s is not None and d is not None and math.isnan(s) and math.isnan(d):
+                continue
+            assert _norm(s) == _norm(d), (expr, x, s, d)
+
+
+def test_batching_and_shuffle_generators_on_edge_corpus(edge_tables):
+    """batch_by_length / epoch_shuffle twins over degenerate length
+    distributions (all one bucket, every boundary exactly hit)."""
+    spark, con = edge_tables
+    from harmonize_search_analyze_spark.operators.ordering import (
+        epoch_shuffle,
+        epoch_shuffle_sql,
+    )
+    from harmonize_search_analyze_spark.operators.packing import (
+        batch_by_length,
+        batch_by_length_sql,
+    )
+
+    docs = spark.table("edge_docs").selectExpr(
+        "doc_id", "length(text) AS n"
+    )
+    for bounds, bs, shards in ([1, 10, 300], 2, 2), ([5], 3, 1):
+        got = sorted(
+            (r.doc_id, r.batch_key, r.pos_in_batch, r.is_runt)
+            for r in batch_by_length(
+                docs, "doc_id", "n",
+                boundaries=bounds, batch_size=bs, n_shards=shards,
+            ).collect()
+        )
+        want = sorted(
+            (r[0], r[3], r[4], r[5])
+            for r in con.sql(batch_by_length_sql(
+                "(SELECT doc_id, length(text) AS n FROM edge_docs)",
+                "doc_id", "n",
+                boundaries=bounds, batch_size=bs, n_shards=shards,
+            )).fetchall()
+        )
+        assert got == want, (bounds, bs, shards)
+
+    for epochs in (1, 3):
+        got = sorted(
+            (r.epoch, r.doc_id, r.shuffle_key, r.pos)
+            for r in epoch_shuffle(
+                spark.table("edge_docs").select("doc_id"), "doc_id",
+                epochs=epochs, seed=3, rank=True,
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in con.sql(
+                "SELECT epoch, doc_id, shuffle_key, pos FROM ("
+                + epoch_shuffle_sql(
+                    "(SELECT doc_id FROM edge_docs) t", "doc_id",
+                    ["doc_id"], epochs=epochs, seed=3, rank=True,
+                )
+                + ")"
+            ).fetchall()
+        )
+        assert got == want, epochs
