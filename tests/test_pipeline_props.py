@@ -371,3 +371,68 @@ def test_eql_sequence_semantics_and_plan(spark):
         "== Initial Plan ==")[0]
     # the single user_id window exchange; pointer joins reuse or broadcast
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lens=st.lists(st.integers(0, 600), min_size=1, max_size=60),
+    bounds=st.lists(st.integers(1, 500), min_size=1, max_size=4,
+                    unique=True).map(sorted),
+    bs=st.integers(1, 9),
+    shards=st.integers(1, 5),
+)
+def test_batch_by_length_partition_property(spark, lens, bounds, bs, shards):
+    """ANY input: every row lands in exactly one batch; every batch stays
+    inside one (bucket, shard); no batch exceeds batch_size; at most one
+    runt batch per (bucket, shard); positions dense."""
+    from harmonize_search_analyze_spark.operators.packing import (
+        batch_by_length,
+    )
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n long"
+    )
+    out = batch_by_length(
+        df, "doc_id", "n", boundaries=bounds, batch_size=bs,
+        n_shards=shards,
+    ).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(lens)))
+    groups: dict = {}
+    for r in out:
+        groups.setdefault(r.batch_key, []).append(r)
+    runts_per_shard: dict = {}
+    for key, members in groups.items():
+        bucket, shard, _ = key.split("/")
+        assert len(members) <= bs
+        assert sorted(m.pos_in_batch for m in members) == list(
+            range(len(members))
+        )
+        if members[0].is_runt:
+            assert len(members) < bs
+            runts_per_shard[(bucket, shard)] = (
+                runts_per_shard.get((bucket, shard), 0) + 1
+            )
+    assert all(v == 1 for v in runts_per_shard.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(1, 60),
+    epochs=st.integers(1, 4),
+    seed=st.integers(0, 1000),
+)
+def test_epoch_shuffle_permutation_property(spark, n, epochs, seed):
+    """ANY (corpus, epochs, seed): each epoch is a full permutation,
+    positions are globally contiguous, and two different seeds give a
+    different interleaving for any non-trivial corpus."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = epoch_shuffle(df, "doc_id", epochs=epochs, seed=seed,
+                        rank=True).collect()
+    assert sorted(r.pos for r in out) == list(range(n * epochs))
+    for e in range(epochs):
+        ids = sorted(r.doc_id for r in out if r.epoch == e)
+        assert ids == list(range(n))
