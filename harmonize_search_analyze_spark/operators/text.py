@@ -485,3 +485,94 @@ SELECT token, occurrences,
 FROM top CROSS JOIN total
 ORDER BY occurrences DESC, token ASC
 """
+
+
+def term_vectors(
+    df: DataFrame,
+    doc_ids: list,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES ``_termvectors`` / ``_mtermvectors`` API: for each requested
+    document, its terms with per-doc ``term_freq`` and 1-based
+    ``positions``, plus the corpus-wide ``doc_freq`` and ``ttf`` (total
+    term frequency) term statistics — the exact field set the ES API
+    returns with ``term_statistics: true`` under the pinned
+    tokenization.
+
+    Scale shape: the requested docs (an API-call-sized list) tokenize
+    and posexplode alone; the corpus statistics pass explodes the full
+    corpus ONCE but is pre-filtered by a broadcast semi join on the
+    requested docs' distinct terms, so the two stat aggregations (df and
+    ttf are SEPARATE aggs — one count-distinct per agg, never the Expand
+    plan) reduce only the matching slice. Output ordered (doc_id, term).
+    """
+    if not doc_ids:
+        raise ValueError("term_vectors needs at least one doc id")
+    toks = F.expr(tokens_sql(text_col, "spark"))
+    tgt = (
+        df.where(F.col(id_col).isin(doc_ids))
+        .select(F.col(id_col), F.posexplode(toks).alias("__p", "term"))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.sort_array(F.collect_list(F.col("__p") + 1)).alias(
+                "positions"
+            ),
+        )
+    )
+    terms = tgt.select("term").distinct()
+    corpus = df.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("term"),
+    ).join(F.broadcast(terms), "term", "left_semi")
+    ttf = corpus.groupBy("term").agg(
+        F.count(F.lit(1)).alias("ttf")
+    )
+    dfreq = corpus.groupBy("term").agg(
+        F.countDistinct("__cid").alias("doc_freq")
+    )
+    return (
+        tgt.join(dfreq, "term").join(ttf, "term")
+        .select(
+            id_col, "term", "term_freq", "positions", "doc_freq", "ttf"
+        )
+        .orderBy(id_col, "term")
+    )
+
+
+def term_vectors_sql(
+    table: str,
+    doc_ids: list,
+    dialect: str = "duckdb",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of :func:`term_vectors` (single-query form)."""
+    ids = ", ".join(str(int(i)) for i in doc_ids)
+    toks = tokens_sql(text_col, dialect)
+    return f"""
+WITH tgt_tok AS (
+  SELECT {id_col}, t.term, t.pos
+  FROM {table},
+       LATERAL (SELECT unnest({toks}) AS term,
+                       generate_subscripts({toks}, 1) AS pos) t
+  WHERE {id_col} IN ({ids})
+), tgt AS (
+  SELECT {id_col}, term, COUNT(*) AS term_freq,
+         list_sort(list(pos)) AS positions
+  FROM tgt_tok GROUP BY {id_col}, term
+), corpus AS (
+  SELECT {id_col} AS cid, unnest({toks}) AS term FROM {table}
+), stats AS (
+  SELECT term, COUNT(*) AS ttf, COUNT(DISTINCT cid) AS doc_freq
+  FROM corpus WHERE term IN (SELECT DISTINCT term FROM tgt)
+  GROUP BY term
+)
+SELECT tgt.{id_col}, tgt.term, tgt.term_freq, tgt.positions,
+       stats.doc_freq, stats.ttf
+FROM tgt JOIN stats ON tgt.term = stats.term
+ORDER BY tgt.{id_col}, tgt.term
+"""

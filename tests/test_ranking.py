@@ -440,3 +440,26 @@ def test_pinned_query(spark):
 
     with _pytest.raises(ValueError):
         pinned_query(df, [], F.lit(True))
+
+
+def test_term_vectors_stats(spark):
+    """_termvectors: tf counts repeats, positions are 1-based and
+    ordered, df/ttf are corpus-wide (include docs OUTSIDE the request),
+    empty request rejected."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.text import term_vectors
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog bird"), (3, "cat fish")],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_id, r.term): (r.term_freq, list(r.positions),
+                                r.doc_freq, r.ttf)
+           for r in term_vectors(df, [1]).collect()}
+    assert got == {
+        (1, "cat"): (2, [1, 3], 2, 3),   # df/ttf see doc 3's cat too
+        (1, "dog"): (1, [2], 2, 2),
+    }
+    with _pytest.raises(ValueError):
+        term_vectors(df, [])
