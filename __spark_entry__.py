@@ -5800,6 +5800,60 @@ FROM lab ORDER BY doc_id
 """
 
 
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup reweighting: near-dup clusters emit sampling weight
+    size^-1 instead of dropping rows — each cluster contributes one
+    document's worth of expected training mass. One label join + one
+    cluster-keyed count, no windows."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        connected_components,
+        near_dup_pairs_lsh,
+        soft_dedup_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    pairs = near_dup_pairs_lsh(
+        docs, "doc_id", "text", threshold=0.9, k=8, n=1, rows_per_band=2
+    )
+    labels = connected_components(pairs)
+    return (
+        soft_dedup_weights(docs.select("doc_id"), labels, id_col="doc_id")
+        .select("doc_id", "cluster_id", "cluster_size", "weight")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_soft_dedup() -> str:
+    pairs = _sql_lsh_near_dup()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (
+  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+  LEFT JOIN labels l ON l.id = d.doc_id
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
+       ROUND(POW(CAST(sizes.cluster_size AS DOUBLE), -1.0), 6) AS weight
+FROM lab JOIN sizes ON lab.cluster_id = sizes.cluster_id
+ORDER BY lab.doc_id
+"""
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch corpus reshuffle (2 epochs): map-side
     epoch fan-out + portable hash shuffle key + the distributed
@@ -6093,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_chi2": q_significant_chi2,
         "pivot_summary": q_pivot_summary,
         "term_vectors": q_term_vectors,
+        "soft_dedup": q_soft_dedup,
     }
 
 
@@ -6280,4 +6335,5 @@ def oracle_sql() -> dict[str, str]:
         "significant_chi2": SQL_SIGNIFICANT_CHI2,
         "pivot_summary": SQL_PIVOT_SUMMARY,
         "term_vectors": _sql_term_vectors(),
+        "soft_dedup": _sql_soft_dedup(),
     }

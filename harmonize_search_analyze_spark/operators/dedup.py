@@ -1267,3 +1267,45 @@ def resolve_duplicates(
         .withColumn("keep", F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    labels: DataFrame,
+    *,
+    id_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, emit a
+    per-document sampling weight ``cluster_size ** -alpha`` so training
+    downweights repeated content proportionally (the published SoftDedup
+    reweighting idea — hard removal is ``alpha -> keep-one``, ``alpha=0``
+    is no dedup; 1/size makes each cluster contribute ONE document's
+    worth of expected mass).
+
+    ``labels`` is :func:`connected_components` output; unlabeled rows are
+    singletons (weight 1.0). Returns every row with (cluster_id,
+    cluster_size, weight ROUND 6).
+
+    Scale shape: one equi-join onto the label frame, one count keyed by
+    cluster_id (map-side combined, bounded by cluster count), one
+    co-partitioned join back — no windows, no per-cluster state beyond a
+    counter.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    joined = df.join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    sizes = joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return joined.join(sizes, "cluster_id").withColumn(
+        "weight",
+        F.round(
+            F.pow(F.col("cluster_size").cast("double"), F.lit(-float(alpha))),
+            6,
+        ),
+    )

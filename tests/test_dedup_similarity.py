@@ -1001,3 +1001,29 @@ def test_resolve_duplicates_keeps_best(spark):
         docs, labels, id_col="doc_id", quality_col="q",
         quality_ascending=True).collect()}
     assert worst == {1: True, 2: False, 3: False, 9: True}
+
+
+def test_soft_dedup_weights(spark):
+    """SoftDedup reweighting: weight = size^-alpha; cluster mass sums to
+    1 at alpha=1; singletons weigh 1; alpha=0 disables; validation."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], ["doc_id"])
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["id", "cluster_id"]
+    )
+    got = {r.doc_id: (r.cluster_size, r.weight) for r in
+           soft_dedup_weights(docs, labels, id_col="doc_id").collect()}
+    assert got == {1: (3, round(1 / 3, 6)), 2: (3, round(1 / 3, 6)),
+                   3: (3, round(1 / 3, 6)), 9: (1, 1.0)}
+
+    flat = {r.doc_id: r.weight for r in soft_dedup_weights(
+        docs, labels, id_col="doc_id", alpha=0.0).collect()}
+    assert set(flat.values()) == {1.0}
+
+    with _pytest.raises(ValueError):
+        soft_dedup_weights(docs, labels, id_col="doc_id", alpha=-1.0)
