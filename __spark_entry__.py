@@ -2329,7 +2329,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dedup_clusters() -> str:
+def _sql_cluster_labels_cte() -> str:
+    """Shared WITH RECURSIVE prefix for every LSH-cluster oracle
+    (dedup_clusters / dedup_keep_best / soft_dedup): transitive closure
+    of the near-dup pair graph + min-reachable-id labeling. ONE source of
+    truth — the three oracles must never diverge on the closure logic."""
     pairs = _sql_lsh_near_dup()
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
@@ -2344,7 +2348,11 @@ reach AS (
 ),
 labels AS (
   SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
-)
+)"""
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""{_sql_cluster_labels_cte()}
 SELECT d.doc_id,
        COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
        COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
@@ -5770,21 +5778,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_keep_best() -> str:
-    pairs = _sql_lsh_near_dup()
-    return f"""
-WITH RECURSIVE pairs AS ({pairs}),
-sym AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION SELECT id2, id1 FROM pairs
-),
-reach AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-),
-labels AS (
-  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
-),
+    return f"""{_sql_cluster_labels_cte()},
 d AS (
   SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 0
 ),
@@ -5824,21 +5818,7 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_soft_dedup() -> str:
-    pairs = _sql_lsh_near_dup()
-    return f"""
-WITH RECURSIVE pairs AS ({pairs}),
-sym AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION SELECT id2, id1 FROM pairs
-),
-reach AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-),
-labels AS (
-  SELECT a AS id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
-),
+    return f"""{_sql_cluster_labels_cte()},
 lab AS (
   SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
   FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d

@@ -1224,6 +1224,21 @@ def intra_doc_dedup(
     )
 
 
+def _reject_label_collisions(
+    df: DataFrame, id_col: str, outputs: set
+) -> None:
+    """Output columns of the cluster-resolution operators are fixed; an
+    input frame already carrying one would make the label join ambiguous
+    (AnalysisException at best, wrong binding at worst) — reject up
+    front with an actionable message."""
+    clash = outputs & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with output columns {sorted(clash)}; "
+            f"rename them first"
+        )
+
+
 def resolve_duplicates(
     df: DataFrame,
     labels: DataFrame,
@@ -1252,6 +1267,7 @@ def resolve_duplicates(
     """
     from pyspark.sql import Window
 
+    _reject_label_collisions(df, id_col, {"cluster_id", "keep"})
     order = (
         F.col(quality_col).asc() if quality_ascending
         else F.col(quality_col).desc()
@@ -1294,6 +1310,9 @@ def soft_dedup_weights(
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    _reject_label_collisions(
+        df, id_col, {"cluster_id", "cluster_size", "weight"}
+    )
     joined = df.join(
         labels.withColumnRenamed("id", id_col), id_col, "left"
     ).withColumn(

@@ -620,12 +620,8 @@ def batch_by_length(
     are kept and flagged ``is_runt`` — dropping or rebalancing them is the
     caller's policy.
     """
-    if batch_size <= 0:
-        raise ValueError(f"batch_size must be positive, got {batch_size}")
-    if n_shards <= 0:
-        raise ValueError(f"n_shards must be positive, got {n_shards}")
-    if not boundaries or sorted(boundaries) != list(boundaries):
-        raise ValueError("boundaries must be a non-empty ascending list")
+    _batch_by_length_validate(id_col, len_col, boundaries, batch_size,
+                              n_shards)
     from harmonize_search_analyze_spark.functions.hashing import hash64_sql
 
     bucket = F.lit(len(boundaries))
@@ -668,6 +664,37 @@ def batch_by_length(
     )
 
 
+_BATCH_RESERVED = frozenset(
+    {"bucket", "shard", "__shard", "__rn", "__n",
+     "batch_key", "pos_in_batch", "is_runt"}
+)
+
+
+def _batch_by_length_validate(
+    id_col: str,
+    len_col: str,
+    boundaries: list[int],
+    batch_size: int,
+    n_shards: int,
+) -> None:
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if not boundaries or sorted(boundaries) != list(boundaries):
+        raise ValueError("boundaries must be a non-empty ascending list")
+    # output/internal names are fixed in BOTH twins; a same-named input
+    # column silently shadows them (the sweep caught len_col='n' binding
+    # the runt formula to the LENGTH column before the aliases were
+    # __-prefixed) — reject up front rather than return wrong batches
+    clash = {id_col, len_col} & _BATCH_RESERVED
+    if clash:
+        raise ValueError(
+            f"id/length column names collide with batch output columns "
+            f"{sorted(clash)}; rename them first"
+        )
+
+
 def batch_by_length_sql(
     table: str,
     id_col: str,
@@ -679,6 +706,8 @@ def batch_by_length_sql(
 ) -> str:
     """DuckDB twin of :func:`batch_by_length` (same formula text apart
     from the dialect hash)."""
+    _batch_by_length_validate(id_col, len_col, boundaries, batch_size,
+                              n_shards)
     from harmonize_search_analyze_spark.functions.hashing import hash64_sql
 
     cases = " ".join(
@@ -693,17 +722,17 @@ def batch_by_length_sql(
     # formula against the LENGTH column
     return f"""
 WITH base AS (
-  SELECT {id_col}, {len_col}, {bucket} AS bucket, {shard} AS shard
+  SELECT {id_col}, {len_col}, {bucket} AS bucket, {shard} AS __shard
   FROM {table}
 ), ranked AS (
   SELECT *,
-    ROW_NUMBER() OVER (PARTITION BY bucket, shard
+    ROW_NUMBER() OVER (PARTITION BY bucket, __shard
                        ORDER BY {len_col} ASC, {id_col} ASC) AS __rn,
-    COUNT(*) OVER (PARTITION BY bucket, shard) AS __n
+    COUNT(*) OVER (PARTITION BY bucket, __shard) AS __n
   FROM base
 )
 SELECT {id_col}, {len_col}, bucket,
-  bucket::VARCHAR || '/' || shard::VARCHAR || '/' ||
+  bucket::VARCHAR || '/' || __shard::VARCHAR || '/' ||
     ((__rn - 1) // {batch_size})::VARCHAR AS batch_key,
   (__rn - 1) % {batch_size} AS pos_in_batch,
   ((__rn - 1) // {batch_size} = (__n - 1) // {batch_size}

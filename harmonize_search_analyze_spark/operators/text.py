@@ -503,10 +503,11 @@ def term_vectors(
 
     Scale shape: the requested docs (an API-call-sized list) tokenize
     and posexplode alone; the corpus statistics pass explodes the full
-    corpus ONCE but is pre-filtered by a broadcast semi join on the
-    requested docs' distinct terms, so the two stat aggregations (df and
-    ttf are SEPARATE aggs — one count-distinct per agg, never the Expand
-    plan) reduce only the matching slice. Output ordered (doc_id, term).
+    corpus ONCE, pre-filtered by a broadcast semi join on the requested
+    docs' distinct terms, then reduces in two stages — per (term, doc)
+    counts first, then per-term sum/count — so ttf AND doc_freq come out
+    of the single explode with no count-distinct (never the Expand plan)
+    and no second pass. Output ordered (doc_id, term).
     """
     if not doc_ids:
         raise ValueError("term_vectors needs at least one doc id")
@@ -523,18 +524,21 @@ def term_vectors(
         )
     )
     terms = tgt.select("term").distinct()
-    corpus = df.select(
-        F.col(id_col).alias("__cid"),
-        F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("term"),
-    ).join(F.broadcast(terms), "term", "left_semi")
-    ttf = corpus.groupBy("term").agg(
-        F.count(F.lit(1)).alias("ttf")
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("__cid"),
+            F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("term"),
+        )
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy("term", "__cid")
+        .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    dfreq = corpus.groupBy("term").agg(
-        F.countDistinct("__cid").alias("doc_freq")
+    stats = per_doc.groupBy("term").agg(
+        F.sum("__tf").cast("bigint").alias("ttf"),
+        F.count(F.lit(1)).alias("doc_freq"),
     )
     return (
-        tgt.join(dfreq, "term").join(ttf, "term")
+        tgt.join(stats, "term")
         .select(
             id_col, "term", "term_freq", "positions", "doc_freq", "ttf"
         )
@@ -551,6 +555,8 @@ def term_vectors_sql(
     text_col: str = "text",
 ) -> str:
     """Oracle twin of :func:`term_vectors` (single-query form)."""
+    if not doc_ids:
+        raise ValueError("term_vectors needs at least one doc id")
     ids = ", ".join(str(int(i)) for i in doc_ids)
     toks = tokens_sql(text_col, dialect)
     return f"""

@@ -1027,3 +1027,21 @@ def test_soft_dedup_weights(spark):
 
     with _pytest.raises(ValueError):
         soft_dedup_weights(docs, labels, id_col="doc_id", alpha=-1.0)
+
+
+def test_cluster_resolution_rejects_output_collisions(spark):
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        resolve_duplicates,
+        soft_dedup_weights,
+    )
+
+    labels = spark.createDataFrame([(1, 1)], ["id", "cluster_id"])
+    bad = spark.createDataFrame([(1, 2, 0.5)],
+                                ["doc_id", "cluster_id", "weight"])
+    with _pytest.raises(ValueError, match="collide"):
+        resolve_duplicates(bad, labels, id_col="doc_id",
+                           quality_col="weight")
+    with _pytest.raises(ValueError, match="collide"):
+        soft_dedup_weights(bad, labels, id_col="doc_id")

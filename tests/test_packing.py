@@ -273,3 +273,24 @@ def test_batch_by_length_invariants(spark):
         batch_by_length(df, "doc_id", "n", boundaries=[5, 3], batch_size=8)
     with _pytest.raises(ValueError):
         batch_by_length(df, "doc_id", "n", boundaries=[5], batch_size=0)
+
+
+def test_batch_by_length_rejects_reserved_column_names(spark):
+    """Review finding: reserved output/internal names as id/length
+    columns must be rejected in BOTH twins, not silently shadowed."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.packing import (
+        batch_by_length,
+        batch_by_length_sql,
+    )
+
+    df = spark.createDataFrame([(1, 5)], ["doc_id", "shard"])
+    with _pytest.raises(ValueError, match="collide"):
+        batch_by_length(df, "doc_id", "shard", boundaries=[4], batch_size=2)
+    with _pytest.raises(ValueError, match="collide"):
+        batch_by_length_sql("t", "doc_id", "bucket",
+                            boundaries=[4], batch_size=2)
+    with _pytest.raises(ValueError, match="collide"):
+        batch_by_length_sql("t", "batch_key", "n_chars",
+                            boundaries=[4], batch_size=2)

@@ -423,8 +423,8 @@ def test_batch_by_length_partition_property(spark, lens, bounds, bs, shards):
 )
 def test_epoch_shuffle_permutation_property(spark, n, epochs, seed):
     """ANY (corpus, epochs, seed): each epoch is a full permutation,
-    positions are globally contiguous, and two different seeds give a
-    different interleaving for any non-trivial corpus."""
+    positions are globally contiguous, and a DIFFERENT seed produces a
+    different order for any non-trivial corpus."""
     from harmonize_search_analyze_spark.operators.ordering import (
         epoch_shuffle,
     )
@@ -436,3 +436,9 @@ def test_epoch_shuffle_permutation_property(spark, n, epochs, seed):
     for e in range(epochs):
         ids = sorted(r.doc_id for r in out if r.epoch == e)
         assert ids == list(range(n))
+    if n >= 10:
+        other = epoch_shuffle(df, "doc_id", epochs=epochs,
+                              seed=seed + 1, rank=True).collect()
+        order_a = [r.doc_id for r in sorted(out, key=lambda r: r.pos)]
+        order_b = [r.doc_id for r in sorted(other, key=lambda r: r.pos)]
+        assert order_a != order_b  # seed reaches the hash key
