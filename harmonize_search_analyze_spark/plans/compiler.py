@@ -640,6 +640,20 @@ def geo_polygon_sql(
     the standard half-open edge rule. O(edges) codegen'd terms per row —
     no join, no UDF, sargable-adjacent (a bounding-box pre-filter can be
     AND-ed in front for scan pruning)."""
+    total = _crossing_sum_sql(points, lat_expr, lon_expr)
+    if total is None:
+        return "FALSE"  # degenerate all-horizontal ring
+    return f"(({total}) % 2 = 1)"
+
+
+def _crossing_sum_sql(
+    points: list[tuple[float, float]],
+    lat_expr: str,
+    lon_expr: str,
+) -> str | None:
+    """Crossing-count SUM expression for one ring (None if the ring is
+    degenerate — every edge horizontal). Shared by the single-ring
+    geo_polygon test and the multi-ring even-odd geo_shape test."""
     if len(points) < 3:
         raise QueryCompileError("geo_polygon needs at least 3 vertices")
     terms = []
@@ -655,8 +669,8 @@ def geo_polygon_sql(
             f"/ ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END)"
         )
     if not terms:
-        return "FALSE"  # degenerate all-horizontal ring
-    return f"(({' + '.join(terms)}) % 2 = 1)"
+        return None
+    return " + ".join(terms)
 
 
 def _geo_polygon(body: dict[str, Any]) -> Column:
@@ -669,6 +683,56 @@ def _geo_polygon(body: dict[str, Any]) -> Column:
         for p in (body.get("points") or [])
     ]
     return F.expr(geo_polygon_sql(pts, lat, lon))
+
+
+def geo_shape_sql(
+    rings: list[list[tuple[float, float]]],
+    lat_expr: str,
+    lon_expr: str,
+) -> str:
+    """Point-in-polygon-with-holes: the even-odd rule over ALL rings —
+    crossing counts XOR across outer boundary and holes, so a point
+    inside the outer ring but inside a hole counts even (outside). Same
+    pure-arithmetic crossing-number terms as :func:`geo_polygon_sql`,
+    concatenated across rings (GeoJSON polygon semantics: first ring
+    exterior, rest holes — the even-odd test needs no orientation
+    convention). O(total edges) codegen'd terms per row, no join/UDF."""
+    if not rings:
+        raise QueryCompileError("geo_shape needs at least one ring")
+    parts = []
+    for ring in rings:
+        s = _crossing_sum_sql(ring, lat_expr, lon_expr)
+        if s is not None:
+            parts.append(f"({s})")
+    if not parts:
+        return "FALSE"
+    return f"((({') + ('.join(parts)})) % 2 = 1)"
+
+
+def _geo_shape(body: dict[str, Any]) -> Column:
+    """ES ``geo_shape`` query over an indexed point field: relation
+    ``intersects``/``within`` of a point against an inline ``polygon``
+    shape (GeoJSON [lon, lat] coordinate order, outer ring + holes).
+    For points the two supported relations coincide (a point intersects
+    a polygon iff it lies within it); ``disjoint`` is the negation."""
+    f = body.get("fields") or {}
+    lat, lon = f.get("lat", "lat"), f.get("lon", "lon")
+    shape = body.get("shape") or {}
+    if str(shape.get("type", "")).lower() != "polygon":
+        raise QueryCompileError(
+            f"geo_shape supports polygon shapes, got {shape.get('type')!r}"
+        )
+    rings = [
+        [(float(pt[1]), float(pt[0])) for pt in ring]  # GeoJSON lon,lat
+        for ring in (shape.get("coordinates") or [])
+    ]
+    relation = str(body.get("relation", "intersects")).lower()
+    inside = F.expr(geo_shape_sql(rings, lat, lon))
+    if relation in ("intersects", "within"):
+        return inside
+    if relation == "disjoint":
+        return ~inside
+    raise QueryCompileError(f"unsupported geo_shape relation: {relation!r}")
 
 
 def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
@@ -721,6 +785,7 @@ _HANDLERS = {
     "span_near": _span_near,
     "span_first": _span_first,
     "script": _script,
+    "geo_shape": _geo_shape,
 }
 
 

@@ -617,3 +617,37 @@ def test_span_malformed_clauses_raise_compile_errors(spark):
         compile_query({"span_first": {
             "match": {"span_term": {"text.split": {"boost": 2}}},
             "end": 3}})
+
+
+def test_geo_shape_polygon_with_hole(spark):
+    """Even-odd over rings: inside exterior = hit; inside the hole =
+    excluded; disjoint is the exact complement; GeoJSON lon,lat order;
+    validation."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 0.0),     # inside the hole -> excluded
+         (2, 40.0, 0.0),    # inside exterior, outside hole -> hit
+         (3, 80.0, 0.0),    # outside everything
+         (4, 10.0, 50.0)],  # inside exterior, east of hole -> hit
+        ["id", "lat", "lon"],
+    )
+    shape = {
+        "type": "polygon",
+        "coordinates": [
+            [[-100.0, 50.0], [0.0, 60.0], [100.0, 50.0],
+             [60.0, -20.0], [0.0, -40.0], [-60.0, -20.0]],
+            [[-30.0, 25.0], [30.0, 25.0], [30.0, -5.0], [-30.0, -5.0]],
+        ],
+    }
+    hit = compile_query({"geo_shape": {"shape": shape}})
+    assert {r.id for r in df.where(hit).collect()} == {2, 4}
+    out = compile_query({"geo_shape": {"shape": shape,
+                                       "relation": "disjoint"}})
+    assert {r.id for r in df.where(out).collect()} == {1, 3}
+
+    with _pytest.raises(QueryCompileError):
+        compile_query({"geo_shape": {"shape": {"type": "circle"}}})
+    with _pytest.raises(QueryCompileError):
+        compile_query({"geo_shape": {"shape": shape,
+                                     "relation": "contains"}})
