@@ -5970,6 +5970,41 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+_SCRIPT_SCORE = (
+    "CASE WHEN n_chars >= 0 THEN LN(1.0 + CAST(n_chars AS DOUBLE)) "
+    "* (1.0 + CAST(doc_id % 7 AS DOUBLE) / 10.0) END"
+)
+
+
+def q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score query: filter (source src0/src1), score by an
+    arbitrary expression, min_score cut, top-10. One codegen'd
+    projection over the filtered scan + TakeOrderedAndProject."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        script_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return script_score(
+        docs,
+        F.col("source").isin("src0", "src1"),
+        _SCRIPT_SCORE,
+        min_score=5.0,
+        k=10,
+        id_col="doc_id",
+    )
+
+
+SQL_SCRIPT_SCORE = f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id, ROUND(CAST(({_SCRIPT_SCORE}) AS DOUBLE), 6) AS score
+  FROM documents WHERE source IN ('src0', 'src1')
+)
+WHERE score IS NOT NULL AND score >= 5.0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6178,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "soft_dedup": q_soft_dedup,
         "geo_shape": q_geo_shape,
+        "script_score": q_script_score,
     }
 
 
@@ -6367,4 +6403,5 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _sql_term_vectors(),
         "soft_dedup": _sql_soft_dedup(),
         "geo_shape": _sql_geo_shape(),
+        "script_score": SQL_SCRIPT_SCORE,
     }

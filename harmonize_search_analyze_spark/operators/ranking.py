@@ -1140,3 +1140,35 @@ def pinned_query(
         .drop("__pin")
         .limit(k)
     )
+
+
+def script_score(
+    df: DataFrame,
+    query_pred: Column,
+    script: str,
+    *,
+    min_score: float | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``script_score`` query: filter by the inner query, score each
+    hit with an arbitrary expression (the painless body under the same
+    restricted painless->SQL contract as the ``script`` query and
+    ``runtime_mappings``), optionally drop hits under ``min_score``, and
+    return the top-k.
+
+    ES contract details kept: a script_score score must not be negative
+    — negative scores raise there; here they (and NULL scores) drop from
+    the ranking, the relational equivalent used across this module's
+    score guards. Plan: one codegen'd projection over the filtered scan
+    (the inner query's sargable parts still push down) +
+    TakeOrderedAndProject. Ties pinned score DESC, id ASC."""
+    score = F.round(F.expr(script).cast("double"), 6)
+    out = (
+        df.where(query_pred)
+        .select(F.col(id_col), score.alias("score"))
+        .where(F.col("score").isNotNull() & (F.col("score") >= 0.0))
+    )
+    if min_score is not None:
+        out = out.where(F.col("score") >= float(min_score))
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -463,3 +463,25 @@ def test_term_vectors_stats(spark):
     }
     with _pytest.raises(ValueError):
         term_vectors(df, [])
+
+
+def test_script_score_semantics(spark):
+    """script_score: query filters first, negative/NULL scores drop (ES
+    raises on negatives; relational twin excludes), min_score cut."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        script_score,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", -3.0), (3, "b", 99.0), (4, "a", None),
+         (5, "a", 2.0)],
+        ["doc_id", "src", "v"],
+    )
+    got = {r.doc_id: r.score for r in script_score(
+        df, F.col("src") == "a", "v * 2", k=10).collect()}
+    assert got == {1: 20.0, 5: 4.0}   # 3 filtered, 2 negative, 4 NULL
+
+    cut = {r.doc_id for r in script_score(
+        df, F.col("src") == "a", "v * 2", min_score=10.0).collect()}
+    assert cut == {1}
