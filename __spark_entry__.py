@@ -6005,6 +6005,78 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff pipeline agg (lag=7: week-over-week change on daily
+    buckets) + bucket_sort paging (sorted by the diff, from=2/size=10).
+    Both windows run over the BUCKET frame — rows bounded by span/interval,
+    never by raw data volume."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        bucket_sort,
+        date_histogram,
+        serial_diff,
+    )
+
+    daily = date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+    wow = serial_diff(daily, "bucket", "doc_count", lag=7)
+    page = bucket_sort(
+        wow,
+        [F.desc_nulls_last("serial_diff"), F.asc("bucket")],
+        size=10,
+        offset=2,
+    )
+    return page.orderBy(F.desc_nulls_last("serial_diff"), F.asc("bucket"))
+
+
+SQL_SERIAL_DIFF = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT bucket, doc_count,
+         doc_count - LAG(doc_count, 7) OVER (ORDER BY bucket) AS serial_diff
+  FROM b
+)
+SELECT bucket, doc_count, serial_diff FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      ORDER BY serial_diff DESC NULLS LAST, bucket ASC) AS rn
+  FROM d
+) WHERE rn > 2 AND rn <= 12
+ORDER BY serial_diff DESC NULLS LAST, bucket ASC
+"""
+
+
+def q_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_selector + sibling stats_bucket family: keep daily
+    buckets with doc_count >= 330, then one stats row over the surviving
+    buckets (avg/min/max/sum_bucket) — the ES avg_bucket/max_bucket/...
+    siblings in a single agg over the bucket-level frame."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        bucket_selector,
+        bucket_stats,
+        date_histogram,
+    )
+
+    daily = date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+    busy = bucket_selector(daily, F.col("doc_count") >= 330)
+    return bucket_stats(busy, "doc_count")
+
+
+SQL_BUCKET_STATS = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT CAST(COUNT(doc_count) AS BIGINT) AS bucket_count,
+       ROUND(AVG(doc_count), 6) AS avg_bucket,
+       MIN(doc_count) AS min_bucket,
+       MAX(doc_count) AS max_bucket,
+       CAST(SUM(doc_count) AS BIGINT) AS sum_bucket
+FROM b WHERE doc_count >= 330
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6214,6 +6286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "geo_shape": q_geo_shape,
         "script_score": q_script_score,
+        "serial_diff_page": q_serial_diff,
+        "bucket_stats": q_bucket_stats,
     }
 
 
@@ -6404,4 +6478,6 @@ def oracle_sql() -> dict[str, str]:
         "soft_dedup": _sql_soft_dedup(),
         "geo_shape": _sql_geo_shape(),
         "script_score": SQL_SCRIPT_SCORE,
+        "serial_diff_page": SQL_SERIAL_DIFF,
+        "bucket_stats": SQL_BUCKET_STATS,
     }
