@@ -1,0 +1,93 @@
+"""ES ``_analyze`` chain semantics: tokenizers, token filters, the
+``POST /_analyze`` response shape, and chain composition order."""
+
+from __future__ import annotations
+
+import pytest
+
+from harmonize_search_analyze_spark.functions.analyze import (
+    ENGLISH_STOP,
+    analyze,
+    analyze_api,
+    analyze_sql,
+)
+
+
+def _run(spark, text: str, **chain) -> list:
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(analyze("t", **chain).alias("toks")).collect()[0].toks
+
+
+def test_tokenizers(spark):
+    s = "The quick-brown Fox42 jumps\tover  naïve café!"
+    assert _run(spark, s, tokenizer="standard") == [
+        "The", "quick", "brown", "Fox42", "jumps", "over", "naïve", "café",
+    ]
+    assert _run(spark, s, tokenizer="whitespace") == [
+        "The", "quick-brown", "Fox42", "jumps", "over", "naïve", "café!",
+    ]
+    assert _run(spark, s, tokenizer="letter") == [
+        "The", "quick", "brown", "Fox", "jumps", "over", "naïve", "café",
+    ]
+    assert _run(spark, s, tokenizer="keyword") == [s]
+    with pytest.raises(ValueError):
+        analyze_sql("t", "spark", tokenizer="icu")
+
+
+def test_filter_chain_order_and_semantics(spark):
+    # lowercase -> fold -> stop -> unique -> shingle, the composed pipeline
+    toks = _run(
+        spark,
+        "The Café is the best café, truly the BEST!",
+        filters=[
+            "lowercase", "asciifolding", ("stop", {}),
+            ("length", {"min": 2}), "unique",
+            ("shingle", {"min_shingle_size": 2, "max_shingle_size": 2}),
+        ],
+    )
+    assert toks == ["cafe", "best", "truly", "cafe best", "best truly"]
+    # stop uses the ES `_english_` list by default, custom list overrides
+    assert "the" in ENGLISH_STOP
+    assert _run(
+        spark, "keep the word", filters=[("stop", {"words": ["word"]})]
+    ) == ["keep", "the"]
+
+
+def test_edge_ngram_and_shingle_bounds(spark):
+    # tokens shorter than min_gram emit nothing (ES edge_ngram contract)
+    assert _run(
+        spark, "ab spark", filters=[("edge_ngram", {"min_gram": 3, "max_gram": 5})]
+    ) == ["spa", "spar", "spark"]
+    # shingle without unigrams; doc shorter than n emits no shingles
+    assert _run(
+        spark, "one two three",
+        filters=[("shingle", {"min_shingle_size": 2, "max_shingle_size": 3,
+                              "output_unigrams": False})],
+    ) == ["one two", "two three", "one two three"]
+    assert _run(
+        spark, "solo",
+        filters=[("shingle", {"output_unigrams": False})],
+    ) == []
+    with pytest.raises(ValueError):
+        analyze_sql("t", "spark", filters=[("edge_ngram", {"min_gram": 0})])
+    with pytest.raises(ValueError):
+        analyze_sql("t", "spark", filters=[("shingle", {"min_shingle_size": 1})])
+    with pytest.raises(ValueError):
+        analyze_sql("t", "spark", filters=["stemmer"])
+
+
+def test_misc_filters(spark):
+    assert _run(spark, "aa bbbb cc", filters=[("length", {"min": 3})]) == ["bbbb"]
+    assert _run(spark, "abcdef", filters=[("truncate", {"length": 4})]) == ["abcd"]
+    assert _run(spark, "ab cd", filters=["reverse", "uppercase"]) == ["BA", "DC"]
+    assert _run(spark, "b a b c a", filters=["unique"]) == ["b", "a", "c"]
+
+
+def test_analyze_api_positions(spark):
+    df = spark.createDataFrame([(1, "Foo bar foo")], ["id", "t"])
+    rows = analyze_api(
+        df, "t", filters=["lowercase"], id_col="id"
+    ).collect()
+    assert [(r.id, r.position, r.token) for r in rows] == [
+        (1, 0, "foo"), (1, 1, "bar"), (1, 2, "foo"),
+    ]

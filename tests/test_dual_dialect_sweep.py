@@ -682,3 +682,26 @@ def test_batching_and_shuffle_generators_on_edge_corpus(edge_tables):
             ).fetchall()
         )
         assert got == want, epochs
+
+
+def test_analyze_chains(spark):
+    from harmonize_search_analyze_spark.functions.analyze import analyze_sql
+
+    # tokenizers alone
+    for tok in ("standard", "whitespace", "letter", "keyword"):
+        _sweep(spark, analyze_sql, tokenizer=tok)
+    # representative filter chains, including the boundary-heavy ones
+    _sweep(spark, analyze_sql, filters=[
+        "lowercase", "asciifolding", ("stop", {}), ("length", {"min": 2}),
+        "unique", ("shingle", {"min_shingle_size": 2, "max_shingle_size": 3}),
+    ])
+    _sweep(spark, analyze_sql, filters=[
+        ("edge_ngram", {"min_gram": 2, "max_gram": 5}), "uppercase",
+    ])
+    _sweep(spark, analyze_sql, tokenizer="whitespace", filters=[
+        "trim", "reverse", ("truncate", {"length": 3}), "unique",
+    ])
+    _sweep(spark, analyze_sql, filters=[
+        ("shingle", {"min_shingle_size": 2, "max_shingle_size": 2,
+                     "output_unigrams": False}),
+    ])
