@@ -6119,6 +6119,131 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_count FROM (
 """
 
 
+_INGEST_PIPE = [
+    {"json": {"field": "props", "fields": {"k_str": "$.k"}}},
+    {"convert": {"field": "k_str", "type": "long", "target_field": "k_val"}},
+    {"lowercase": {"field": "event_type"}},
+    {"drop": {"if": "k_val IS NULL OR k_val < 5"}},
+    {"script": {"target_field": "k_sq", "source": "k_val * k_val"}},
+]
+
+
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest pipeline (json -> convert -> lowercase -> drop -> script)
+    as a data-driven processor chain, then a rollup of the surviving docs.
+    The whole pipeline compiles to one map-only projection+filter fused
+    into the scan; only the final agg shuffles."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    out = run_pipeline(_t(spark, sf_dir, "events"), _INGEST_PIPE)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("k_val").alias("sum_k"),
+            F.sum("k_sq").alias("sum_ksq"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INGEST_PIPELINE = """
+WITH p AS (
+  SELECT lower(event_type) AS event_type,
+         try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+  FROM events
+), f AS (
+  SELECT *, k_val * k_val AS k_sq
+  FROM p WHERE NOT (k_val IS NULL OR k_val < 5)
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(k_val) AS BIGINT) AS sum_k,
+       CAST(SUM(k_sq) AS BIGINT) AS sum_ksq
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
+_GROK_LOG_PATTERN = (
+    "%{WORD:etype} \\[%{TIMESTAMP_ISO8601:at}\\]"
+    " user=%{INT:uid} cents=%{INT:valc}"
+)
+
+# value is rendered as integer cents, not %f: Java's Formatter rounds
+# float output HALF_UP while C's printf rounds half-even, so a %.2f
+# round-trip diverges on exact halves — ROUND() then %d is identical in
+# both engines.
+_GROK_PIPE = [
+    {"drop": {"if": "ts IS NULL OR user_id IS NULL OR value IS NULL"
+                    " OR event_type IS NULL"}},
+    {"script": {"target_field": "line",
+                "source": "format_string('%s [%s] user=%d cents=%d',"
+                          " event_type,"
+                          " date_format(ts, 'yyyy-MM-dd HH:mm:ss'),"
+                          " user_id,"
+                          " CAST(ROUND(value * 100) AS BIGINT))"}},
+    {"grok": {"field": "line", "pattern": _GROK_LOG_PATTERN}},
+    {"convert": {"field": "uid", "type": "long", "target_field": "uid_l"}},
+    {"convert": {"field": "valc", "type": "long",
+                 "target_field": "valc_l"}},
+]
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok/dissect layer: render each event as a log line IN-PLAN, grok
+    it back apart (WORD/TIMESTAMP_ISO8601/INT library patterns), convert
+    the captures, and aggregate — the parse is a codegen'd regexp_extract
+    chain, no UDF."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    out = run_pipeline(_t(spark, sf_dir, "events"), _GROK_PIPE)
+    return (
+        out.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("uid_l").alias("sum_uid"),
+            F.sum("valc_l").alias("sum_cents"),
+        )
+        .orderBy("etype")
+    )
+
+
+def _sql_grok_parse() -> str:
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        grok_to_regex,
+    )
+
+    rx, fields = grok_to_regex(_GROK_LOG_PATTERN)
+    assert fields == ["etype", "at", "uid", "valc"]
+    # DuckDB regular strings do NOT process backslash escapes — only
+    # quotes need doubling; \d etc. pass through verbatim.
+    rx_lit = rx.replace("'", "''")
+    return f"""
+WITH lines AS (
+  SELECT printf('%s [%s] user=%d cents=%d', event_type,
+                strftime(ts, '%Y-%m-%d %H:%M:%S'), user_id,
+                CAST(ROUND(value * 100) AS BIGINT)) AS line
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+    AND event_type IS NOT NULL
+), g AS (
+  SELECT nullif(regexp_extract(line, '{rx_lit}', 1), '') AS etype,
+         try_cast(nullif(regexp_extract(line, '{rx_lit}', 3), '')
+                  AS BIGINT) AS uid_l,
+         try_cast(nullif(regexp_extract(line, '{rx_lit}', 4), '')
+                  AS BIGINT) AS valc_l
+  FROM lines
+)
+SELECT etype, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(uid_l) AS BIGINT) AS sum_uid,
+       CAST(SUM(valc_l) AS BIGINT) AS sum_cents
+FROM g GROUP BY etype ORDER BY etype
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6331,6 +6456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serial_diff_page": q_serial_diff,
         "bucket_stats": q_bucket_stats,
         "analyze_chain": q_analyze_chain,
+        "ingest_pipeline": q_ingest_pipeline,
+        "grok_parse": q_grok_parse,
     }
 
 
@@ -6524,4 +6651,6 @@ def oracle_sql() -> dict[str, str]:
         "serial_diff_page": SQL_SERIAL_DIFF,
         "bucket_stats": SQL_BUCKET_STATS,
         "analyze_chain": _sql_analyze_chain(),
+        "ingest_pipeline": SQL_INGEST_PIPELINE,
+        "grok_parse": _sql_grok_parse(),
     }

@@ -1,0 +1,281 @@
+"""ES ingest pipelines: data-driven processor chains over DataFrames.
+
+ES nodes run documents through ingest pipelines — an ordered list of
+processors declared as JSON — before indexing. The reference stack leans on
+its harmonization layer for the same job (SURVEY §2.2/§2.9,
+``notebooks/lib/harmonizeCrimeIncidents.py``); this module implements the
+*ES-shaped* surface so a pipeline definition is data, not code — the same
+design as the Kibana saved-object loader (`operators/kibana.py`).
+
+Supported processors (the common core of the public ES set), each an entry
+``{type: {config...}}`` applied in order:
+
+    set (value or copy_from), rename, remove, trim, lowercase, uppercase,
+    gsub, split, join, convert, date, json, kv, csv, dissect, grok,
+    script (restricted SQL-expression form, same contract as the `script`
+    query in plans/compiler.py), drop
+
+Every processor supports ES's ``if`` conditional — a restricted
+painless-as-SQL boolean over the current columns; when false the processor
+is a per-row no-op (``drop`` keeps the row).
+
+Scale: every processor is a column expression — the whole pipeline
+compiles to ONE map-only projection/filter chain fused into the scan by
+Catalyst: no shuffle, no UDF, no Python in the row path, at any data size.
+``drop`` becomes a plain Filter (pushdown-eligible when it references only
+scanned columns).
+
+Failure semantics: ES processors abort the document (or pipeline) on
+failure unless ``ignore_failure`` is set; a relational plan has no per-row
+abort, so conversion-style processors use try-cast NULL-on-failure
+semantics (= ES ``ignore_failure: true``), the same mapping the engine's
+script query documents. ``on_failure`` handlers are out of scope.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Grok's core pattern library (public logstash-patterns subset, pinned).
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IPORHOST": r"(?:\d{1,3}\.){3}\d{1,3}|[a-zA-Z0-9.\-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL|CRITICAL)",
+    "TIMESTAMP_ISO8601":
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:[.,]\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "HTTPMETHOD": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH)",
+    "QS": r'"[^"]*"',
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(
+    pattern: str, extra: dict[str, str] | None = None
+) -> tuple[str, list[str]]:
+    """Compile a grok pattern to (java/RE2-safe regex, captured field names
+    in group order). ``%{NAME:field}`` captures, ``%{NAME}`` matches
+    without capturing. Text between references passes through UNESCAPED —
+    grok's contract is that the pattern outside ``%{}`` is itself regex
+    (``\\[`` in a pattern matches a literal bracket), unlike dissect's
+    literal separators. ``extra`` adds/overrides pattern definitions (ES
+    ``pattern_definitions``). Nested %{...} inside definitions is expanded
+    recursively (depth-capped)."""
+    lib = {**GROK_PATTERNS, **(extra or {})}
+
+    def compile_part(p: str, depth: int, fields: list[str] | None) -> str:
+        if depth > 5:
+            raise ValueError("grok pattern nesting too deep")
+        out, last = [], 0
+        for m in _GROK_REF.finditer(p):
+            out.append(p[last:m.start()])
+            name, field = m.group(1), m.group(2)
+            if name not in lib:
+                raise ValueError(f"unknown grok pattern %{{{name}}}")
+            body = compile_part(lib[name], depth + 1, None)
+            if field and fields is not None:
+                fields.append(field)
+                out.append(f"({body})")
+            else:
+                out.append(f"(?:{body})")
+            last = m.end()
+        out.append(p[last:])
+        return "".join(out)
+
+    fields: list[str] = []
+    return compile_part(pattern, 0, fields), fields
+
+
+def dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Compile an ES dissect pattern (``%{key}`` split by literal
+    separators) to an anchored regex. Keys match lazily up to the next
+    literal; the final key is greedy; ``%{}`` skips; ``%{?key}`` matches
+    without capturing (dissect's named-skip)."""
+    parts = re.split(r"(%\{[^}]*\})", pattern)
+    out, fields = ["^"], []
+    keys = [p for p in parts if p.startswith("%{")]
+    seen = 0
+    for p in parts:
+        if not p:
+            continue
+        if p.startswith("%{"):
+            seen += 1
+            key = p[2:-1]
+            greedy = seen == len(keys)
+            body = ".*" if greedy else ".*?"
+            if key and not key.startswith("?"):
+                fields.append(key)
+                out.append(f"({body})")
+            else:
+                out.append(f"(?:{body})")
+        else:
+            out.append(re.escape(p))
+    out.append("$")
+    return "".join(out), fields
+
+
+def _cond(config: dict, then: Column, otherwise: Column) -> Column:
+    """Apply the processor-level ``if`` conditional."""
+    if "if" not in config:
+        return then
+    return F.when(F.expr(config["if"]), then).otherwise(otherwise)
+
+
+_CONVERT_TYPES = {
+    "integer": "int", "long": "bigint", "float": "float",
+    "double": "double", "string": "string", "boolean": "boolean",
+}
+
+
+def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
+    """One ES ingest processor as a DataFrame transform."""
+    fld = config.get("field")
+
+    def setcol(col: Column) -> DataFrame:
+        target = config.get("target_field", fld)
+        prev = F.col(target) if target in df.columns else F.lit(None)
+        return df.withColumn(target, _cond(config, col, prev))
+
+    if ptype == "set":
+        target = config["field"]
+        val = (
+            F.col(config["copy_from"])
+            if "copy_from" in config
+            else F.lit(config["value"])
+        )
+        if not config.get("override", True) and target in df.columns:
+            val = F.coalesce(F.col(target), val)
+        prev = F.col(target) if target in df.columns else F.lit(None)
+        return df.withColumn(target, _cond(config, val, prev))
+    if ptype == "rename":
+        return df.withColumnRenamed(fld, config["target_field"])
+    if ptype == "remove":
+        fields = fld if isinstance(fld, list) else [fld]
+        return df.drop(*fields)
+    if ptype == "trim":
+        return setcol(F.trim(F.col(fld)))
+    if ptype == "lowercase":
+        return setcol(F.lower(F.col(fld)))
+    if ptype == "uppercase":
+        return setcol(F.upper(F.col(fld)))
+    if ptype == "gsub":
+        return setcol(
+            F.regexp_replace(
+                F.col(fld), config["pattern"], config["replacement"]
+            )
+        )
+    if ptype == "split":
+        return setcol(F.split(F.col(fld), config["separator"]))
+    if ptype == "join":
+        return setcol(F.array_join(F.col(fld), config["separator"]))
+    if ptype == "convert":
+        t = _CONVERT_TYPES[config["type"]]
+        return setcol(F.col(fld).try_cast(t))
+    if ptype == "date":
+        formats = config.get("formats", ["ISO8601"])
+        tries = [
+            F.to_timestamp(F.col(fld))
+            if f in ("ISO8601", "strict_date_optional_time")
+            else F.expr(
+                f"try_to_timestamp({fld}, '{f}')"
+            )
+            for f in formats
+        ]
+        target = config.get("target_field", "@timestamp")
+        prev = F.col(target) if target in df.columns else F.lit(None)
+        return df.withColumn(
+            target, _cond(config, F.coalesce(*tries), prev)
+        )
+    if ptype == "json":
+        # relational form: surface the listed paths as columns
+        out = df
+        for name, path in config["fields"].items():
+            out = out.withColumn(
+                name, F.get_json_object(F.col(fld), path)
+            )
+        return out
+    if ptype == "kv":
+        fs, vs = config["field_split"], config["value_split"]
+        prefix = config.get("target_prefix", "")
+        out = df
+        m = F.map_from_entries(
+            F.expr(
+                f"filter(transform(split({fld}, '{fs}'),"
+                f" p -> (split_part(p, '{vs}', 1),"
+                f" substr(p, length(split_part(p, '{vs}', 1)) + 2))),"
+                " e -> e.col1 <> '')"
+            )
+        )
+        for key in config["include_keys"]:
+            out = out.withColumn(prefix + key, m.getItem(key))
+        return out
+    if ptype == "csv":
+        sep = config.get("separator", ",")
+        parts = F.split(F.col(fld), re.escape(sep))
+        out = df
+        for i, name in enumerate(config["target_fields"]):
+            out = out.withColumn(name, parts.getItem(i))
+        return out
+    if ptype == "dissect":
+        rx, fields = dissect_to_regex(config["pattern"])
+        out = df
+        for i, name in enumerate(fields, start=1):
+            out = out.withColumn(
+                name,
+                F.nullif(F.regexp_extract(F.col(fld), rx, i), F.lit("")),
+            )
+        return out
+    if ptype == "grok":
+        rx, fields = grok_to_regex(
+            config["pattern"], config.get("pattern_definitions")
+        )
+        out = df
+        for i, name in enumerate(fields, start=1):
+            out = out.withColumn(
+                name,
+                F.nullif(F.regexp_extract(F.col(fld), rx, i), F.lit("")),
+            )
+        return out
+    if ptype == "script":
+        # restricted painless->SQL expression, same contract as the
+        # `script` query (plans/compiler.py::_script)
+        return df.withColumn(
+            config["target_field"],
+            _cond(
+                config,
+                F.expr(config["source"]),
+                F.col(config["target_field"])
+                if config["target_field"] in df.columns
+                else F.lit(None),
+            ),
+        )
+    if ptype == "drop":
+        # ES drop discards the doc when `if` holds
+        return df.where(~F.expr(config["if"]))
+    raise ValueError(f"unknown ingest processor: {ptype!r}")
+
+
+def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
+    """Run an ES-style ingest pipeline definition (ordered processor
+    list, each ``{type: {config}}``) over a DataFrame."""
+    out = df
+    for proc in processors:
+        if len(proc) != 1:
+            raise ValueError(
+                "each processor must be a single {type: config} entry"
+            )
+        (ptype, config), = proc.items()
+        out = apply_processor(out, ptype, config)
+    return out

@@ -1,0 +1,115 @@
+"""ES ingest-pipeline processors: grok/dissect compilation, per-processor
+semantics (try-cast failures, conditionals, drop), chain composition."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+    dissect_to_regex,
+    grok_to_regex,
+    run_pipeline,
+)
+
+
+def test_grok_compile():
+    rx, fields = grok_to_regex(
+        "%{WORD:verb} \\[%{TIMESTAMP_ISO8601:when}\\] took %{NUMBER:ms}ms"
+    )
+    assert fields == ["verb", "when", "ms"]
+    import re
+
+    m = re.match(rx, "GET [2024-01-01T10:00:00.123Z] took 41.5ms")
+    assert m and m.group(1) == "GET" and m.group(3) == "41.5"
+    # unnamed refs match without capturing; custom definitions override
+    rx2, f2 = grok_to_regex(
+        "%{SEV:level} %{WORD}", extra={"SEV": "(?:LOW|HIGH)"}
+    )
+    assert f2 == ["level"]
+    assert re.match(rx2, "HIGH x").group(1) == "HIGH"
+    with pytest.raises(ValueError):
+        grok_to_regex("%{NOPE:x}")
+
+
+def test_dissect_compile():
+    import re
+
+    rx, fields = dissect_to_regex("%{client} - %{?skip} [%{msg}]")
+    assert fields == ["client", "msg"]
+    m = re.match(rx, "10.0.0.1 - xx [hello [nested] world]")
+    # final key is greedy: nested brackets stay inside msg
+    assert m.group(1) == "10.0.0.1" and m.group(2) == "hello [nested] world"
+
+
+def test_processor_semantics(spark):
+    df = spark.createDataFrame(
+        [("a=1,b=x,c=9", "42", "2024-01-02 03:04:05", " Pad ", "u,v,w")],
+        ["kvs", "num", "when", "pad", "csvline"],
+    )
+    out = run_pipeline(df, [
+        {"kv": {"field": "kvs", "field_split": ",", "value_split": "=",
+                "include_keys": ["a", "c"]}},
+        {"convert": {"field": "num", "type": "long",
+                     "target_field": "num_l"}},
+        {"date": {"field": "when", "formats": ["yyyy-MM-dd HH:mm:ss"],
+                  "target_field": "ts"}},
+        {"trim": {"field": "pad"}},
+        {"csv": {"field": "csvline", "target_fields": ["c1", "c2", "c3"]}},
+        {"set": {"field": "tag", "value": "ingested"}},
+        {"script": {"target_field": "num2", "source": "num_l * 2"}},
+    ]).collect()[0]
+    assert (out.a, out.c) == ("1", "9")
+    assert out.num_l == 42 and out.num2 == 84
+    assert out.ts == datetime.datetime(2024, 1, 2, 3, 4, 5)
+    assert out.pad == "Pad" and (out.c1, out.c3) == ("u", "w")
+    assert out.tag == "ingested"
+
+
+def test_convert_failure_and_conditional_and_drop(spark):
+    df = spark.createDataFrame(
+        [("x", "keep"), ("7", "keep"), ("8", "drop-me")], ["v", "flag"]
+    )
+    rows = run_pipeline(df, [
+        {"convert": {"field": "v", "type": "long", "target_field": "n"}},
+        # conditional set: only rows where n is parsed
+        {"set": {"field": "parsed", "value": "y", "if": "n IS NOT NULL"}},
+        {"drop": {"if": "flag = 'drop-me'"}},
+    ]).collect()
+    got = {(r.v): (r.n, r.parsed) for r in rows}
+    assert got == {"x": (None, None), "7": (7, "y")}
+
+
+def test_grok_dissect_processors_and_rename(spark):
+    df = spark.createDataFrame(
+        [("ERROR 2024-05-05T01:02:03 disk full on node-3",)], ["line"]
+    )
+    out = run_pipeline(df, [
+        {"grok": {"field": "line",
+                  "pattern": "%{LOGLEVEL:level} %{TIMESTAMP_ISO8601:at} "
+                             "%{GREEDYDATA:msg}"}},
+        {"dissect": {"field": "msg", "pattern": "%{what} on %{node}"}},
+        {"rename": {"field": "level", "target_field": "severity"}},
+        {"remove": {"field": "line"}},
+        {"uppercase": {"field": "node"}},
+        {"gsub": {"field": "what", "pattern": " ", "replacement": "_"}},
+        {"split": {"field": "what", "separator": "_",
+                   "target_field": "what_parts"}},
+        {"join": {"field": "what_parts", "separator": "+"}},
+    ]).collect()[0]
+    assert out.severity == "ERROR" and out.node == "NODE-3"
+    assert out.what == "disk_full" and out.what_parts == "disk+full"
+    assert "line" not in out.asDict()
+
+
+def test_set_copy_and_override(spark):
+    df = spark.createDataFrame([("a", None), ("b", "has")], ["src", "dst"])
+    rows = run_pipeline(df, [
+        {"set": {"field": "dst", "copy_from": "src", "override": False}},
+    ]).collect()
+    assert {(r.src, r.dst) for r in rows} == {("a", "a"), ("b", "has")}
+    with pytest.raises(ValueError):
+        run_pipeline(df, [{"nope": {}}])
+    with pytest.raises(ValueError):
+        run_pipeline(df, [{"a": {}, "b": {}}])
