@@ -6244,6 +6244,45 @@ FROM g GROUP BY etype ORDER BY etype
 """
 
 
+def q_bbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (ES BBQ shape): 1-bit sign quantization ->
+    Hamming shortlist (popcount over packed BIGINT words, unrolled
+    codegen) -> exact cosine rerank of the 100-row shortlist."""
+    from harmonize_search_analyze_spark.operators.similarity import bbq_topk
+
+    return bbq_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, shortlist=100
+    )
+
+
+def _sql_bbq_topk() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        bbq_topk_oracle_sql,
+    )
+
+    return bbq_topk_oracle_sql(_QUERY_VEC, k=10, shortlist=100)
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity scoring (JM smoothing, first
+    token unigram-backed) — the pair stream is zip-with-shift inside each
+    row, so no per-document window shuffle exists in the plan."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        bigram_lm_score,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, lam=0.8).orderBy("doc_id")
+
+
+def _sql_bigram_lm() -> str:
+    from harmonize_search_analyze_spark.operators.contamination import (
+        bigram_lm_oracle_sql,
+    )
+
+    return bigram_lm_oracle_sql("documents", lam=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6458,6 +6497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analyze_chain": q_analyze_chain,
         "ingest_pipeline": q_ingest_pipeline,
         "grok_parse": q_grok_parse,
+        "bbq_topk": q_bbq_topk,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -6653,4 +6694,6 @@ def oracle_sql() -> dict[str, str]:
         "analyze_chain": _sql_analyze_chain(),
         "ingest_pipeline": SQL_INGEST_PIPELINE,
         "grok_parse": _sql_grok_parse(),
+        "bbq_topk": _sql_bbq_topk(),
+        "bigram_lm": _sql_bigram_lm(),
     }

@@ -175,6 +175,142 @@ ORDER BY {doc_id}
 """
 
 
+def _pair_stream_sql(text_col: str, dialect: str) -> str:
+    """(prev, cur) adjacent-token pairs of a document as ONE map-only
+    expression — prev is NULL on the first token. Built from the token
+    array directly (zip with its own shift) so NO per-document window or
+    positional self-join is needed: the usual bigram shuffle disappears,
+    only the count aggregations shuffle. Let-bound (array(...)[0] trick,
+    see functions/analyze.py::_let) so the tokenizer runs once per row."""
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        body = (
+            "transform(sequence(1, greatest(size(A0), 1)), i -> "
+            "named_struct("
+            "'prev', CASE WHEN i <= 1 THEN CAST(NULL AS STRING)"
+            " ELSE try_element_at(A0, i - 1) END, "
+            "'cur', try_element_at(A0, i)))"
+        )
+        return (
+            f"filter(transform(array({toks}), A0 -> {body})[0], "
+            "s -> s.cur IS NOT NULL)"
+        )
+    body = (
+        "list_transform(range(1, greatest(len(A0), 1) + 1), i -> "
+        "struct_pack(prev := CASE WHEN i <= 1 THEN NULL ELSE A0[i - 1] END, "
+        "cur := A0[i]))"
+    )
+    return (
+        f"list_filter(list_transform([{toks}], A0 -> {body})[1], "
+        "s -> s.cur IS NOT NULL)"
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Mean negative log-likelihood of each document under an interpolated
+    bigram model trained on the scored corpus itself — the KenLM-shaped
+    upgrade of unigram_lm_score (CCNet uses a 5-gram LM; two orders with
+    Jelinek-Mercer interpolation is the same quality signal family
+    without shipping a model file).
+
+    P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c_ctx(w_{i-1})
+                       + (1 - lam) * c(w_i) / N
+    with the document's first token scored by the unigram term alone.
+    Every n-gram is in-vocabulary by construction; ``lam`` < 1 keeps
+    unseen *transitions* finite exactly like JM smoothing.
+
+    Returns (doc_id, n_tokens BIGINT, nll DOUBLE rounded 6; lower =
+    closer to corpus phrasing).
+
+    Scale shape: ONE map-only pair explode feeds every count (no
+    per-document window, no positional self-join — the pair stream is
+    zip-with-shift inside the row, _pair_stream_sql). Three hash aggs
+    build the tables (bigram |B| rows, context+unigram |V| rows), joined
+    back by token keys, then one regroup by doc. The 1-row corpus total
+    is a broadcast cross join."""
+    pairs = docs.select(
+        doc_id,
+        F.explode(F.expr(_pair_stream_sql(text_col, "spark"))).alias("p"),
+    ).select(doc_id, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+
+    uni = pairs.groupBy("cur").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.agg(F.sum("cu").alias("n"))
+    big = (
+        pairs.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = (
+        pairs.where(F.col("prev").isNotNull())
+        .groupBy("prev")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    lam_ = F.lit(float(lam))
+    p_uni = F.col("cu").cast("double") / F.col("n").cast("double")
+    p_big = F.col("cb").cast("double") / F.col("cc").cast("double")
+    p = F.when(
+        F.col("prev").isNull(), p_uni
+    ).otherwise(lam_ * p_big + (F.lit(1.0) - lam_) * p_uni)
+    return (
+        pairs.join(uni, "cur")
+        .join(big, ["prev", "cur"], "left")
+        .join(ctx, ["prev"], "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(doc_id)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum(-F.log(p)) / F.count(F.lit(1)), 6).alias("nll"),
+        )
+    )
+
+
+def bigram_lm_oracle_sql(
+    doc_table: str,
+    *,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+) -> str:
+    """DuckDB SQL replaying bigram_lm_score exactly."""
+    pairs = _pair_stream_sql(text_col, "duckdb")
+    return f"""
+WITH pr AS (
+  SELECT {doc_id}, u.prev AS prev, u.cur AS cur
+  FROM (SELECT {doc_id}, unnest({pairs}) AS u FROM {doc_table})
+), uni AS (
+  SELECT cur, COUNT(*) AS cu FROM pr GROUP BY cur
+), tot AS (
+  SELECT SUM(cu) AS n FROM uni
+), big AS (
+  SELECT prev, cur, COUNT(*) AS cb FROM pr WHERE prev IS NOT NULL
+  GROUP BY prev, cur
+), ctx AS (
+  SELECT prev, COUNT(*) AS cc FROM pr WHERE prev IS NOT NULL GROUP BY prev
+)
+SELECT {doc_id},
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(-LN(
+         CASE WHEN pr.prev IS NULL
+              THEN CAST(cu AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE {lam!r} * (CAST(cb AS DOUBLE) / CAST(cc AS DOUBLE))
+                   + (1.0 - {lam!r}) * (CAST(cu AS DOUBLE) / CAST(n AS DOUBLE))
+         END)) / COUNT(*), 6) AS nll
+FROM pr
+JOIN uni USING (cur)
+LEFT JOIN big USING (prev, cur)
+LEFT JOIN ctx USING (prev)
+CROSS JOIN tot
+GROUP BY {doc_id}
+ORDER BY {doc_id}
+"""
+
+
 # -- fuzzy (near-dup) decontamination -----------------------------------------
 
 

@@ -1005,6 +1005,168 @@ ORDER BY cosine_q DESC, {id_col} ASC LIMIT {k}
 """
 
 
+# -- binary (1-bit) quantization + Hamming-shortlist ANN --------------------
+#
+# The BBQ pattern (ES 8.x "better binary quantization", Jégou et al.'s
+# sign-bit sketch lineage): keep ONE BIT per dimension (the sign), rank by
+# Hamming distance to the query's sign pattern, then exactly re-rank a
+# small shortlist with true cosine. 32 dims pack per BIGINT word — not 64,
+# deliberately: a 64-bit shift-accumulate overflows the sign bit and both
+# engines' overflow checks (Spark ANSI, DuckDB) make that a runtime trap,
+# while 32-bit packing costs one extra word per 64 dims and stays exact
+# everywhere. The pack/xor/bit_count pipeline is fully unrolled at plan
+# build (dims are known), so it is straight codegen arithmetic — no
+# lambdas, no UDF.
+
+_BBQ_WORD = 32
+
+
+def _pack_word_sql(emb: str, j: int, dim: int, dialect: str) -> str:
+    """BIGINT word j of the sign bitmap: bit (32-1-i) set iff dim
+    j*32+i > 0. NULL elements count as 0 (sign bit clear)."""
+    terms = []
+    for i in range(_BBQ_WORD):
+        k = j * _BBQ_WORD + i + 1  # 1-based element index
+        if k > dim:
+            break
+        w = 1 << (_BBQ_WORD - 1 - i)
+        el = (
+            f"element_at({emb}, {k})"
+            if dialect == "spark"
+            else f"({emb})[{k}]"  # parens: x::DOUBLE[][k] parses as a TYPE
+        )
+        terms.append(
+            f"CASE WHEN {el} > 0 THEN CAST({w} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def sign_words(qvec: list[float]) -> list[int]:
+    """The query vector's packed sign words (driver-side twin of
+    _pack_word_sql)."""
+    words = []
+    for j in range(0, len(qvec), _BBQ_WORD):
+        w = 0
+        for i, v in enumerate(qvec[j:j + _BBQ_WORD]):
+            if v > 0:
+                w |= 1 << (_BBQ_WORD - 1 - i)
+        words.append(w)
+    return words
+
+
+def binary_quantize(
+    df: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """1-bit sign quantization: (id, bits ARRAY<BIGINT>) with ceil(dim/32)
+    packed words — a 32x storage/shuffle reduction over float32, the
+    index representation for bbq_topk. Map-only projection."""
+    emb = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    n_words = (dim + _BBQ_WORD - 1) // _BBQ_WORD
+    words = ", ".join(
+        _pack_word_sql(emb, j, dim, "spark") for j in range(n_words)
+    )
+    return df.select(
+        F.col(id_col), F.expr(f"array({words})").alias("bits")
+    )
+
+
+def _hamming_sql(bits_words: list[str], qwords: list[int], dialect: str) -> str:
+    """Σ_j popcount(word_j XOR qword_j) — unrolled."""
+    parts = []
+    for expr, qw in zip(bits_words, qwords):
+        if dialect == "spark":
+            parts.append(f"bit_count(({expr}) ^ CAST({qw} AS BIGINT))")
+        else:
+            parts.append(f"bit_count(xor({expr}, CAST({qw} AS BIGINT)))")
+    return "(" + " + ".join(parts) + ")"
+
+
+def bbq_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Binary-quantized ANN: Hamming shortlist -> exact cosine rerank.
+
+    Stage 1 computes the sign-bitmap Hamming distance to the query in the
+    scan projection and takes the ``shortlist`` closest rows
+    (TakeOrderedAndProject — ties pinned hamming ASC, id ASC), carrying
+    the raw vector through. Stage 2 exactly re-ranks those ``shortlist``
+    rows by cosine. At 100 TB the stage-1 ranking moves ONE BIGINT word
+    per 32 dims per row through the top-k machinery instead of the float
+    vector, and stage 2 touches only ``shortlist`` rows; recall is the
+    standard sign-sketch tradeoff, tunable via ``shortlist``."""
+    emb = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    dim = len(qvec)
+    n_words = (dim + _BBQ_WORD - 1) // _BBQ_WORD
+    word_exprs = [_pack_word_sql(emb, j, dim, "spark") for j in range(n_words)]
+    ham = _hamming_sql(word_exprs, sign_words(qvec), "spark")
+    short = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(ham).cast("int").alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            id_col,
+            "hamming",
+            F.round(cosine_score(vec_col, qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def bbq_topk_oracle_sql(
+    qvec: list[float],
+    k: int = 10,
+    *,
+    shortlist: int = 100,
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB SQL replaying bbq_topk end-to-end (pack -> hamming
+    shortlist -> exact cosine rerank, same tie-breaks)."""
+    import math
+
+    emb = f"{vec_col}::DOUBLE[]"
+    dim = len(qvec)
+    n_words = (dim + _BBQ_WORD - 1) // _BBQ_WORD
+    word_exprs = [
+        _pack_word_sql(emb, j, dim, "duckdb") for j in range(n_words)
+    ]
+    ham = _hamming_sql(word_exprs, sign_words(qvec), "duckdb")
+    qv = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in qvec) + "]"
+    qnorm = math.sqrt(sum(v * v for v in qvec))
+    return f"""
+WITH short AS (
+  SELECT {id_col}, {emb} AS v, CAST({ham} AS INTEGER) AS hamming
+  FROM {table}
+  ORDER BY hamming ASC, {id_col} ASC LIMIT {shortlist}
+)
+SELECT {id_col}, hamming,
+       ROUND(list_sum(list_transform(list_zip(v, {qv}), p -> p[1] * p[2]))
+             / NULLIF(sqrt(list_sum(list_transform(v, x -> x * x))), 0.0)
+             / CAST({qnorm!r} AS DOUBLE), 6) AS cosine
+FROM short
+ORDER BY cosine DESC, {id_col} ASC LIMIT {k}
+"""
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -283,3 +283,28 @@ def test_perplexity_buckets_approx_scale_twin(spark):
         assert abs(approx[k] - exact[k]) <= 5, (k, exact[k], approx[k])
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_bigram_lm_score_hand_values(spark):
+    """JM-interpolated bigram NLL against hand-computed probabilities;
+    first token scored by the unigram term alone."""
+    import math
+
+    from harmonize_search_analyze_spark.operators.contamination import (
+        bigram_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.nll)
+        for r in bigram_lm_score(docs, lam=0.5).collect()
+    }
+    # corpus: uni a=3 b=2 N=5; big (a,b)=1 (b,a)=2; ctx a=1 b=2
+    d1 = -(math.log(3 / 5) + math.log(0.5 * 1 + 0.5 * 2 / 5)
+           + math.log(0.5 * 1 + 0.5 * 3 / 5)) / 3
+    d2 = -(math.log(2 / 5) + math.log(0.5 * 1 + 0.5 * 3 / 5)) / 2
+    assert got[1] == (3, round(d1, 6))
+    assert got[2] == (2, round(d2, 6))
+    assert 3 not in got  # empty doc emits no tokens, no row

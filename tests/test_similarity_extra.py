@@ -1,0 +1,35 @@
+
+
+def test_bbq_pack_and_rerank(spark):
+    """Binary quantization: Spark-side packed words equal the driver-side
+    sign_words twin; hamming(self)=0; with shortlist covering the whole
+    corpus the rerank equals exact cosine_topk."""
+    import math
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        bbq_topk,
+        binary_quantize,
+        cosine_topk,
+        sign_words,
+    )
+
+    vecs = [
+        [math.sin(i * 7 + j) for j in range(40)] for i in range(30)
+    ] + [[0.0] * 40]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    packed = {
+        r.vec_id: list(r.bits)
+        for r in binary_quantize(df, 40).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert packed[i] == sign_words(v), i
+
+    q = vecs[3]
+    got = bbq_topk(df, q, k=5, shortlist=31).collect()
+    exact = cosine_topk(df, "embedding", q, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
+    assert got[0].vec_id == 3 and got[0].hamming == 0
