@@ -1172,3 +1172,87 @@ def script_score(
     if min_score is not None:
         out = out.where(F.col("score") >= float(min_score))
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def explain_score_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    doc_id_value: int,
+    dialect: str,
+) -> str:
+    """ES ``_explain`` API for the BM25 ranking: the per-term score
+    breakdown for ONE document — term frequency, corpus doc-freq, idf,
+    the tf saturation factor, and each term's contribution (their product;
+    the document's _score is the sum, exactly bm25_search's formula with
+    the same K1/B).
+
+    ES returns a nested explanation tree; the relational shape is one row
+    per matched query term, ``ORDER BY term``. Corpus statistics (n_docs,
+    avgdl, doc_freq) are computed over the WHOLE corpus while the tf rows
+    collapse to the explained document — the same CTE pipeline as
+    bm25_search so an explain can never drift from the ranking it
+    explains. Cost: one corpus scan + the |terms|-row join, regardless of
+    corpus size (the doc filter lands before the final join)."""
+    toks = tokens_sql(text_col, dialect)
+    tlist = _terms_list_sql(terms)
+    size_fn = "size" if dialect == "spark" else "len"
+    if dialect == "spark":
+        unnest = f"SELECT {id_col} AS doc_id, dl, explode(toks) AS t FROM d"
+    else:
+        unnest = f"SELECT {id_col} AS doc_id, dl, unnest(toks) AS t FROM d"
+    idf = "LN(1.0 + (stats.n_docs - dfreq.dft + 0.5) / (dfreq.dft + 0.5))"
+    tf_norm = (
+        f"(tf.tf * ({K1} + 1.0))"
+        f" / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / stats.avgdl))"
+    )
+    return f"""
+WITH d AS (
+  SELECT {id_col}, {toks} AS toks, {size_fn}({toks}) AS dl
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, ROUND(AVG(dl), 6) AS avgdl FROM d
+),
+tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM ({unnest}) x
+  WHERE t IN ({tlist})
+  GROUP BY doc_id, dl, t
+),
+dfreq AS (
+  SELECT t, COUNT(*) AS dft FROM tf GROUP BY t
+)
+SELECT tf.t AS term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfreq.dft AS BIGINT) AS doc_freq,
+       CAST(tf.dl AS BIGINT) AS doc_len,
+       ROUND({idf}, 6) AS idf,
+       ROUND({tf_norm}, 6) AS tf_norm,
+       ROUND(({idf}) * ({tf_norm}), 6) AS contribution
+FROM tf
+JOIN dfreq ON tf.t = dfreq.t
+CROSS JOIN stats
+WHERE tf.doc_id = {int(doc_id_value)}
+ORDER BY term
+"""
+
+
+def explain_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    doc_id_value: int,
+) -> DataFrame:
+    """Run the _explain breakdown over a DataFrame (spark dialect of
+    explain_score_sql via a uniquely-named temp view)."""
+    spark: SparkSession = df.sparkSession
+    view = f"__explain_corpus_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    out = spark.sql(
+        explain_score_sql(view, id_col, text_col, terms, doc_id_value, "spark")
+    )
+    spark.catalog.dropTempView(view)
+    return out

@@ -949,3 +949,50 @@ def apply_runtime_mappings(
             raise QueryCompileError(f"runtime field {field} needs a script")
         df = df.withColumn(field, F.expr(src).cast(typ))
     return df
+
+
+def msearch(
+    df,
+    searches: dict[str, dict[str, Any] | None],
+    *,
+    sort_field: str,
+    id_col: str,
+    k: int = 3,
+    now: _dt.datetime | None = None,
+):
+    """ES ``_msearch``: N independent searches answered in ONE scan.
+
+    ES clients batch searches to amortize round-trips; the engine-side win
+    here is bigger — all compiled predicates evaluate in a single
+    projection (the percolate machinery, chunked against the codegen
+    cliff), so N searches cost one corpus pass instead of N. Each search's
+    response is summarized relationally: total hit count plus the top-k
+    hits by ``sort_field`` (ties pinned value DESC, id ASC; hit_rank
+    1-based).
+
+    Returns (query_name, doc_count, hit_rank, {id_col}, {sort_field})
+    ordered by (query_name, hit_rank).
+
+    Scale: one scan + ONE exchange on query_name for the per-search
+    ranking window; the count rides the same partition (count-over-window,
+    no second aggregation pass). The window input is every matching row,
+    so pre-filter broad searches — same contract as top_hits. With few
+    searches the exchange has few keys; doc_count stays exact either way.
+    """
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    matches = percolate(df, searches, [id_col, sort_field], now=now)
+    w = _W.partitionBy("query_id")
+    wr = w.orderBy(_F.desc(sort_field), _F.asc(id_col))
+    return (
+        matches.select(
+            _F.col("query_id").alias("query_name"),
+            _F.count(_F.lit(1)).over(w).alias("doc_count"),
+            _F.row_number().over(wr).alias("hit_rank"),
+            id_col,
+            sort_field,
+        )
+        .where(_F.col("hit_rank") <= k)
+        .orderBy("query_name", "hit_rank")
+    )

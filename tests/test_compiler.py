@@ -651,3 +651,32 @@ def test_geo_shape_polygon_with_hole(spark):
     with _pytest.raises(QueryCompileError):
         compile_query({"geo_shape": {"shape": shape,
                                      "relation": "contains"}})
+
+
+def test_msearch_one_scan(spark):
+    """_msearch: per-search counts + top-k hits from one scan; pinned
+    ties; searches with zero hits produce no rows (ES: empty hits)."""
+    from harmonize_search_analyze_spark.plans.compiler import msearch
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "b", 20.0), (4, "a", 30.0)],
+        ["id", "cat", "price"],
+    )
+    out = msearch(
+        df,
+        {
+            "all_a": {"match": {"cat": "a"}},
+            "pricey": {"range": {"price": {"gte": 15}}},
+            "none": {"range": {"price": {"gte": 999}}},
+        },
+        sort_field="price",
+        id_col="id",
+        k=2,
+    ).collect()
+    got = [(r.query_name, r.doc_count, r.hit_rank, r.id) for r in out]
+    assert got == [
+        ("all_a", 3, 1, 2),   # 30.0, id 2 < id 4 tie-break
+        ("all_a", 3, 2, 4),
+        ("pricey", 3, 1, 2),
+        ("pricey", 3, 2, 4),
+    ]
