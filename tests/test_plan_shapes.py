@@ -526,3 +526,101 @@ def test_scripted_metric_single_agg_map_side(docs):
     p = _plan(out)
     assert p.count("Exchange hashpartitioning") <= 2, p  # agg + sort
     assert "Python" not in p, p
+
+
+def test_analyze_chain_single_projection(docs):
+    """The whole analyzer chain is one codegen'd projection: no Python
+    stage, no exchange before the explode+agg, and the let-binding keeps
+    it a single Generate over the scan."""
+    from harmonize_search_analyze_spark.functions.analyze import analyze
+
+    out = docs.select(F.explode(analyze("text", filters=[
+        "lowercase", ("stop", {}), ("shingle", {}),
+    ])).alias("tok"))
+    out.count()
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+    assert p.count("Generate") == 1, p
+
+
+def test_ingest_pipeline_map_only_filter_fused(docs):
+    """A processor chain is one projection+filter over the scan — zero
+    exchanges, zero Python; drop compiles to a plain Filter."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    out = run_pipeline(docs, [
+        {"grok": {"field": "text",
+                  "pattern": "%{WORD:w1} %{GREEDYDATA:rest}"}},
+        {"uppercase": {"field": "w1"}},
+        {"convert": {"field": "doc_id", "type": "string",
+                     "target_field": "id_s"}},
+        {"drop": {"if": "source = 'src2'"}},
+    ])
+    out.count()
+    p = _plan(out)
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+    assert "Filter" in p, p
+
+
+def test_bbq_two_takeordered_stages(spark):
+    """bbq_topk = Hamming TakeOrdered shortlist -> cosine TakeOrdered
+    rerank; no global sort, no Python."""
+    import math
+
+    from harmonize_search_analyze_spark.operators.similarity import bbq_topk
+
+    df = spark.createDataFrame(
+        [(i, [math.sin(i + j) for j in range(8)]) for i in range(100)],
+        ["vec_id", "embedding"],
+    )
+    out = bbq_topk(df, [0.5] * 8, k=3, shortlist=10)
+    out.count()
+    p = _plan(out)
+    assert p.count("TakeOrderedAndProject") == 2, p
+    assert "Sort " not in p, p
+    assert "Python" not in p, p
+
+
+def test_bigram_lm_no_per_doc_window(docs):
+    """The bigram pair stream is zip-with-shift inside the row: the plan
+    must contain NO Window (the usual bigram shape) — only the count
+    aggs' exchanges."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        bigram_lm_score,
+    )
+
+    out = bigram_lm_score(docs)
+    out.count()
+    p = _plan(out)
+    assert "Window" not in p, p
+    assert "Python" not in p, p
+
+
+def test_msearch_single_scan_one_ranking_exchange(docs):
+    """All msearch predicates share one percolate projection; the only
+    exchange partitions by query_name for the ranking window."""
+    from harmonize_search_analyze_spark.plans.compiler import msearch
+
+    out = msearch(
+        docs,
+        {"a": {"prefix": {"text": "alpha"}},
+         "b": {"match": {"source": "src1"}}},
+        sort_field="doc_id",
+        id_col="doc_id",
+        k=2,
+    )
+    out.count()
+    p = _plan(out)
+    assert p.count("Scan ExistingRDD") == 1, p
+    # exactly two exchanges: ONE hash partition on query_id for the
+    # ranking window (count rides it), plus the presentation range sort
+    assert p.count("Exchange") == 2, p
+    assert p.count("hashpartitioning(query_id") == 1, p
+    assert "rangepartitioning" in p, p
+    # Spark 4's WindowGroupLimit prunes each query's rows to k before the
+    # full window evaluates — keep that optimization locked in
+    assert "WindowGroupLimit" in p, p
