@@ -188,9 +188,7 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
         tries = [
             F.to_timestamp(F.col(fld))
             if f in ("ISO8601", "strict_date_optional_time")
-            else F.expr(
-                f"try_to_timestamp({fld}, '{f}')"
-            )
+            else F.try_to_timestamp(F.col(fld), F.lit(f))
             for f in formats
         ]
         target = config.get("target_field", "@timestamp")

@@ -108,6 +108,46 @@ class Catalog:
         """alias -> target pattern (filters not shown)."""
         return {a: t for a, (t, _f) in sorted(self._aliases.items())}
 
+    def field_caps(self, pattern: str = "*") -> DataFrame:
+        """ES ``_field_caps`` API: per-field capabilities across every
+        index matching the pattern — the field's type per index, whether
+        the type is consistent (ES reports conflicting fields with one
+        entry per type + the index lists), and ES's searchable /
+        aggregatable flags (here: every present field is searchable;
+        aggregatable maps to "not a nested array/struct", mirroring
+        doc_values availability).
+
+        Pure catalog metadata — schemas only, NO data scan at any corpus
+        size. Returns (field, type, indices ARRAY<STRING>, searchable,
+        aggregatable, is_conflict), ordered (field, type)."""
+        names = self.resolve_names(pattern)
+        by_field: dict[str, dict[str, list[str]]] = {}
+        aggable: dict[tuple[str, str], bool] = {}
+        for n in names:
+            for f in self._datasets[n].schema.fields:
+                t = f.dataType.simpleString()
+                by_field.setdefault(f.name, {}).setdefault(t, []).append(n)
+                aggable[(f.name, t)] = not t.startswith(
+                    ("array", "struct", "map")
+                )
+        rows = [
+            (
+                field,
+                t,
+                sorted(idxs),
+                True,
+                aggable[(field, t)],
+                len(types) > 1,
+            )
+            for field, types in sorted(by_field.items())
+            for t, idxs in sorted(types.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "field string, type string, indices array<string>, "
+            "searchable boolean, aggregatable boolean, is_conflict boolean",
+        )
+
     # -- schema (database) DDL (S4: Baltimore-notebook.ipynb:893-899) ------
     def create_schema(self, name: str, comment: str = "") -> None:
         """``CREATE SCHEMA`` with optional comment (idempotent). The comment

@@ -1250,3 +1250,29 @@ def test_significant_terms_heuristics(spark):
 
     with _pytest.raises(ValueError):
         significant_terms(df, "term", F.col("hot"), heuristic="gnd")
+
+
+def test_field_caps_conflicts_and_flags(spark):
+    """_field_caps: per-field types across matching indices, conflict
+    marking, aggregatable=false for nested types; metadata only."""
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("logs-1", spark.createDataFrame(
+        [(1, "x", [1.0])], "id long, msg string, emb array<double>"))
+    cat.register("logs-2", spark.createDataFrame(
+        [("1", "y")], "id string, msg string"))
+    cat.register("other", spark.createDataFrame([(0,)], "z long"))
+
+    rows = {(r.field, r.type): r for r in cat.field_caps("logs-*").collect()}
+    assert set(rows) == {
+        ("id", "bigint"), ("id", "string"), ("msg", "string"),
+        ("emb", "array<double>"),
+    }
+    assert rows[("id", "bigint")].is_conflict
+    assert rows[("id", "bigint")].indices == ["logs-1"]
+    assert rows[("id", "string")].indices == ["logs-2"]
+    assert not rows[("msg", "string")].is_conflict
+    assert rows[("msg", "string")].indices == ["logs-1", "logs-2"]
+    assert not rows[("emb", "array<double>")].aggregatable
+    assert rows[("msg", "string")].aggregatable

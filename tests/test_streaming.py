@@ -764,3 +764,59 @@ def test_streaming_nb_scoring_matches_batch(spark, tmp_path):
         q.stop()
     assert got == batch
     weights.unpersist()
+
+
+def test_streaming_ingest_pipeline(spark, tmp_path):
+    """Ingest-pipeline processors are stateless column transforms, so the
+    SAME run_pipeline runs unchanged on a stream — the ES ingest-node
+    shape (parse/convert/drop per document as micro-batches land)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("line", T.StringType()),
+    ])
+    rows = [
+        (1, "INFO 2025-01-01T10:00:00 boot ok"),
+        (2, "ERROR 2025-01-01T10:01:00 disk full"),
+        (3, "not a log line"),
+    ]
+    src = tmp_path / "log_stream"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(src)
+    )
+    stream = read_document_stream(spark, str(src), schema)
+    out = run_pipeline(stream, [
+        {"grok": {"field": "line",
+                  "pattern": "%{LOGLEVEL:level} %{TIMESTAMP_ISO8601:at} "
+                             "%{GREEDYDATA:msg}"}},
+        {"drop": {"if": "level IS NULL"}},
+        {"lowercase": {"field": "msg"}},
+        {"date": {"field": "at", "formats": ["yyyy-MM-dd'T'HH:mm:ss"],
+                  "target_field": "ts"}},
+    ])
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ingested_logs")
+        .option("checkpointLocation", str(tmp_path / "ck_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["event_id"]: (r["level"], r["msg"], r["ts"])
+        for r in spark.sql("SELECT * FROM ingested_logs").collect()
+    }
+    assert set(got) == {1, 2}  # the unparseable line was dropped
+    assert got[2] == ("ERROR", "disk full",
+                      dt.datetime(2025, 1, 1, 10, 1))
