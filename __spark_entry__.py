@@ -6352,6 +6352,34 @@ FROM r WHERE hit_rank <= 3 ORDER BY query_name, hit_rank
 """
 
 
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece): seed
+    substrings -> Viterbi hard-EM -> prune to vocab, all on the distinct
+    word-count table (one corpus pass total). Iterative like bpe_train —
+    rows-only gate; the returned (rank, piece, logprob) table IS the
+    model, with the encoded corpus piece total as a self-consistency
+    check."""
+    from harmonize_search_analyze_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = unigram_train(
+        docs, "text", vocab_size=120, seed_size=1500, n_iters=2
+    )
+    enc = unigram_encode(docs, model, "text", "doc_id")
+    total = int(
+        enc.agg(F.sum("n_pieces").alias("t")).collect()[0]["t"]
+    )
+    rows = [
+        (i, piece, lp, total) for i, (piece, lp) in enumerate(model)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, piece string, logprob double, corpus_pieces long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6570,6 +6598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "explain_score": q_explain_score,
         "msearch": q_msearch,
+        "unigram_train": q_unigram_train,
     }
 
 
