@@ -15,9 +15,11 @@ Supported processors (the common core of the public ES set), each an entry
     script (restricted SQL-expression form, same contract as the `script`
     query in plans/compiler.py), drop
 
-Every processor supports ES's ``if`` conditional — a restricted
+Every VALUE processor supports ES's ``if`` conditional — a restricted
 painless-as-SQL boolean over the current columns; when false the processor
-is a per-row no-op (``drop`` keeps the row).
+is a per-row no-op (``drop`` keeps the row). The structural processors
+(rename/remove — schema changes that cannot vary per row) REJECT ``if``
+with a ValueError rather than silently ignoring it.
 
 Scale: every processor is a column expression — the whole pipeline
 compiles to ONE map-only projection/filter chain fused into the scan by
@@ -61,18 +63,35 @@ GROK_PATTERNS: dict[str, str] = {
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
+# an unescaped "(" that does not open a (?...) construct — i.e. a
+# CAPTURING group the user wrote in a definition or literal segment
+_BARE_GROUP = re.compile(r"(?<!\\)\((?!\?)")
+
+
+def _neutralize_groups(fragment: str) -> str:
+    """Turn user-written capturing groups into non-capturing ones.
+
+    Field extraction relies on NUMBERED groups, so a bare ``(...)``
+    inside a pattern definition or between %{} references would shift
+    every later field's group index and silently extract wrong values —
+    neutralizing keeps the grouping semantics while preserving the
+    field-only numbering."""
+    return _BARE_GROUP.sub("(?:", fragment)
+
 
 def grok_to_regex(
     pattern: str, extra: dict[str, str] | None = None
 ) -> tuple[str, list[str]]:
     """Compile a grok pattern to (java/RE2-safe regex, captured field names
     in group order). ``%{NAME:field}`` captures, ``%{NAME}`` matches
-    without capturing. Text between references passes through UNESCAPED —
+    without capturing. Text between references passes through unescaped —
     grok's contract is that the pattern outside ``%{}`` is itself regex
     (``\\[`` in a pattern matches a literal bracket), unlike dissect's
-    literal separators. ``extra`` adds/overrides pattern definitions (ES
-    ``pattern_definitions``). Nested %{...} inside definitions is expanded
-    recursively (depth-capped)."""
+    literal separators — EXCEPT that capturing groups are rewritten to
+    non-capturing (``_neutralize_groups``): only ``%{NAME:field}``
+    allocates a numbered group. ``extra`` adds/overrides pattern
+    definitions (ES ``pattern_definitions``). Nested %{...} inside
+    definitions is expanded recursively (depth-capped)."""
     lib = {**GROK_PATTERNS, **(extra or {})}
 
     def compile_part(p: str, depth: int, fields: list[str] | None) -> str:
@@ -80,7 +99,7 @@ def grok_to_regex(
             raise ValueError("grok pattern nesting too deep")
         out, last = [], 0
         for m in _GROK_REF.finditer(p):
-            out.append(p[last:m.start()])
+            out.append(_neutralize_groups(p[last:m.start()]))
             name, field = m.group(1), m.group(2)
             if name not in lib:
                 raise ValueError(f"unknown grok pattern %{{{name}}}")
@@ -91,7 +110,7 @@ def grok_to_regex(
             else:
                 out.append(f"(?:{body})")
             last = m.end()
-        out.append(p[last:])
+        out.append(_neutralize_groups(p[last:]))
         return "".join(out)
 
     fields: list[str] = []
@@ -139,14 +158,30 @@ _CONVERT_TYPES = {
 }
 
 
+_STRUCTURAL = ("rename", "remove")
+
+
 def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
     """One ES ingest processor as a DataFrame transform."""
     fld = config.get("field")
+    if ptype in _STRUCTURAL and "if" in config:
+        # a per-ROW condition cannot decide whether a COLUMN exists;
+        # refuse loudly rather than silently running unconditionally
+        raise ValueError(
+            f"'if' is not supported on the structural {ptype!r} processor "
+            "(a relational schema change cannot vary per row); guard the "
+            "pipeline choice outside the processor list instead"
+        )
 
     def setcol(col: Column) -> DataFrame:
         target = config.get("target_field", fld)
         prev = F.col(target) if target in df.columns else F.lit(None)
         return df.withColumn(target, _cond(config, col, prev))
+
+    def set_extracted(out: DataFrame, name: str, col: Column) -> DataFrame:
+        """Extraction-processor column assignment honoring ``if``."""
+        prev = F.col(name) if name in out.columns else F.lit(None)
+        return out.withColumn(name, _cond(config, col, prev))
 
     if ptype == "set":
         target = config["field"]
@@ -185,8 +220,11 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
         return setcol(F.col(fld).try_cast(t))
     if ptype == "date":
         formats = config.get("formats", ["ISO8601"])
+        # try_to_timestamp on EVERY branch: under ANSI (Spark 4 default)
+        # plain to_timestamp aborts the job on one malformed document,
+        # violating the module's NULL-on-failure contract
         tries = [
-            F.to_timestamp(F.col(fld))
+            F.try_to_timestamp(F.col(fld))
             if f in ("ISO8601", "strict_date_optional_time")
             else F.try_to_timestamp(F.col(fld), F.lit(f))
             for f in formats
@@ -200,37 +238,55 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
         # relational form: surface the listed paths as columns
         out = df
         for name, path in config["fields"].items():
-            out = out.withColumn(
-                name, F.get_json_object(F.col(fld), path)
+            out = set_extracted(
+                out, name, F.get_json_object(F.col(fld), path)
             )
         return out
     if ptype == "kv":
         fs, vs = config["field_split"], config["value_split"]
         prefix = config.get("target_prefix", "")
-        out = df
-        m = F.map_from_entries(
-            F.expr(
-                f"filter(transform(split({fld}, '{fs}'),"
-                f" p -> (split_part(p, '{vs}', 1),"
-                f" substr(p, length(split_part(p, '{vs}', 1)) + 2))),"
-                " e -> e.col1 <> '')"
-            )
+        # field_split is a regex (ES contract); value_split here is a
+        # LITERAL separator of any length — the value starts after the
+        # key plus the separator's own width. First occurrence of a
+        # repeated key wins (a map would abort on duplicates under
+        # Spark's default DUPLICATED_MAP_KEY policy; ES collects dups —
+        # the divergence is documented, not a crash).
+        entries = (
+            f"filter(transform(split({fld}, '{fs}'),"
+            f" p -> (split_part(p, '{vs}', 1),"
+            f" substr(p, length(split_part(p, '{vs}', 1))"
+            f" + {len(vs) + 1}))),"
+            " e -> e.col1 <> '')"
         )
+        out = df
         for key in config["include_keys"]:
-            out = out.withColumn(prefix + key, m.getItem(key))
+            k = key.replace("\\", "\\\\").replace("'", "\\'")
+            out = set_extracted(
+                out,
+                prefix + key,
+                F.expr(
+                    f"try_element_at(filter({entries},"
+                    f" e -> e.col1 = '{k}'), 1).col2"
+                ),
+            )
         return out
     if ptype == "csv":
         sep = config.get("separator", ",")
         parts = F.split(F.col(fld), re.escape(sep))
         out = df
         for i, name in enumerate(config["target_fields"]):
-            out = out.withColumn(name, parts.getItem(i))
+            # try_element_at: a ragged line leaves the column NULL
+            # instead of aborting under ANSI's INVALID_ARRAY_INDEX
+            out = set_extracted(
+                out, name, F.try_element_at(parts, F.lit(i + 1))
+            )
         return out
     if ptype == "dissect":
         rx, fields = dissect_to_regex(config["pattern"])
         out = df
         for i, name in enumerate(fields, start=1):
-            out = out.withColumn(
+            out = set_extracted(
+                out,
                 name,
                 F.nullif(F.regexp_extract(F.col(fld), rx, i), F.lit("")),
             )
@@ -241,7 +297,8 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
         )
         out = df
         for i, name in enumerate(fields, start=1):
-            out = out.withColumn(
+            out = set_extracted(
+                out,
                 name,
                 F.nullif(F.regexp_extract(F.col(fld), rx, i), F.lit("")),
             )
@@ -260,7 +317,10 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
             ),
         )
     if ptype == "drop":
-        # ES drop discards the doc when `if` holds
+        # ES drop discards the doc when `if` holds; with no condition
+        # ES drops EVERY document — same here
+        if "if" not in config:
+            return df.where(F.lit(False))
         return df.where(~F.expr(config["if"]))
     raise ValueError(f"unknown ingest processor: {ptype!r}")
 

@@ -46,16 +46,23 @@ def _terms_list_sql(terms: list[str]) -> str:
     return ", ".join(f"'{t.lower()}'" for t in terms)
 
 
-def bm25_search_sql(
-    table: str,
-    id_col: str,
-    text_col: str,
-    terms: list[str],
-    dialect: str,
-    k: int = 10,
+# BM25's score decomposes as idf(t) * tf_norm(t, doc); BOTH the ranking
+# (bm25_search_sql) and the _explain breakdown (explain_score_sql) are
+# generated from these single definitions + _bm25_ctes, so an explain can
+# never drift from the ranking it explains.
+_BM25_IDF = "LN(1.0 + (stats.n_docs - dfreq.dft + 0.5) / (dfreq.dft + 0.5))"
+_BM25_TF_NORM = (
+    f"(tf.tf * ({K1} + 1.0))"
+    f" / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / stats.avgdl))"
+)
+
+
+def _bm25_ctes(
+    table: str, id_col: str, text_col: str, terms: list[str], dialect: str
 ) -> str:
-    """Dual-dialect BM25 ranking query (identical math on Spark and DuckDB;
-    see module docstring for the determinism argument)."""
+    """The shared WITH-prefix of every BM25-family query: tokenized docs
+    (d), corpus stats, per-doc term frequencies (tf), doc frequencies
+    (dfreq)."""
     toks = tokens_sql(text_col, dialect)
     tlist = _terms_list_sql(terms)
     size_fn = "size" if dialect == "spark" else "len"
@@ -81,13 +88,23 @@ tf AS (
 ),
 dfreq AS (
   SELECT t, COUNT(*) AS dft FROM tf GROUP BY t
-)
+)"""
+
+
+def bm25_search_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    dialect: str,
+    k: int = 10,
+) -> str:
+    """Dual-dialect BM25 ranking query (identical math on Spark and DuckDB;
+    see module docstring for the determinism argument)."""
+    ctes = _bm25_ctes(table, id_col, text_col, terms, dialect)
+    return f"""{ctes}
 SELECT tf.doc_id,
-       ROUND(SUM(
-         LN(1.0 + (stats.n_docs - dfreq.dft + 0.5) / (dfreq.dft + 0.5))
-         * (tf.tf * ({K1} + 1.0))
-         / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / stats.avgdl))
-       ), 6) AS score
+       ROUND(SUM(({_BM25_IDF}) * ({_BM25_TF_NORM})), 6) AS score
 FROM tf
 JOIN dfreq ON tf.t = dfreq.t
 CROSS JOIN stats
@@ -1191,46 +1208,21 @@ def explain_score_sql(
     ES returns a nested explanation tree; the relational shape is one row
     per matched query term, ``ORDER BY term``. Corpus statistics (n_docs,
     avgdl, doc_freq) are computed over the WHOLE corpus while the tf rows
-    collapse to the explained document — the same CTE pipeline as
-    bm25_search so an explain can never drift from the ranking it
-    explains. Cost: one corpus scan + the |terms|-row join, regardless of
-    corpus size (the doc filter lands before the final join)."""
-    toks = tokens_sql(text_col, dialect)
-    tlist = _terms_list_sql(terms)
-    size_fn = "size" if dialect == "spark" else "len"
-    if dialect == "spark":
-        unnest = f"SELECT {id_col} AS doc_id, dl, explode(toks) AS t FROM d"
-    else:
-        unnest = f"SELECT {id_col} AS doc_id, dl, unnest(toks) AS t FROM d"
-    idf = "LN(1.0 + (stats.n_docs - dfreq.dft + 0.5) / (dfreq.dft + 0.5))"
-    tf_norm = (
-        f"(tf.tf * ({K1} + 1.0))"
-        f" / (tf.tf + {K1} * (1.0 - {B} + {B} * tf.dl / stats.avgdl))"
-    )
-    return f"""
-WITH d AS (
-  SELECT {id_col}, {toks} AS toks, {size_fn}({toks}) AS dl
-  FROM {table} WHERE {text_col} IS NOT NULL
-),
-stats AS (
-  SELECT COUNT(*) AS n_docs, ROUND(AVG(dl), 6) AS avgdl FROM d
-),
-tf AS (
-  SELECT doc_id, dl, t, COUNT(*) AS tf
-  FROM ({unnest}) x
-  WHERE t IN ({tlist})
-  GROUP BY doc_id, dl, t
-),
-dfreq AS (
-  SELECT t, COUNT(*) AS dft FROM tf GROUP BY t
-)
+    collapse to the explained document — the CTE pipeline and the
+    idf/tf_norm formulas are the SAME strings bm25_search_sql is built
+    from (_bm25_ctes/_BM25_IDF/_BM25_TF_NORM), so an explain cannot
+    drift from the ranking it explains. Cost: one corpus scan + the
+    |terms|-row join, regardless of corpus size (the doc filter lands
+    before the final join)."""
+    ctes = _bm25_ctes(table, id_col, text_col, terms, dialect)
+    return f"""{ctes}
 SELECT tf.t AS term,
        CAST(tf.tf AS BIGINT) AS tf,
        CAST(dfreq.dft AS BIGINT) AS doc_freq,
        CAST(tf.dl AS BIGINT) AS doc_len,
-       ROUND({idf}, 6) AS idf,
-       ROUND({tf_norm}, 6) AS tf_norm,
-       ROUND(({idf}) * ({tf_norm}), 6) AS contribution
+       ROUND({_BM25_IDF}, 6) AS idf,
+       ROUND({_BM25_TF_NORM}, 6) AS tf_norm,
+       ROUND(({_BM25_IDF}) * ({_BM25_TF_NORM}), 6) AS contribution
 FROM tf
 JOIN dfreq ON tf.t = dfreq.t
 CROSS JOIN stats

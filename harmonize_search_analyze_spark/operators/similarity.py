@@ -1031,7 +1031,10 @@ def _pack_word_sql(emb: str, j: int, dim: int, dialect: str) -> str:
             break
         w = 1 << (_BBQ_WORD - 1 - i)
         el = (
-            f"element_at({emb}, {k})"
+            # try_element_at: a ragged (shorter-than-dim) embedding scores
+            # its missing dims as clear sign bits instead of aborting
+            # under ANSI's INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+            f"try_element_at({emb}, {k})"
             if dialect == "spark"
             else f"({emb})[{k}]"  # parens: x::DOUBLE[][k] parses as a TYPE
         )

@@ -185,12 +185,15 @@ def unigram_train(
         "transform(sequence(j, least(j + {L} - 1, length(word))), k -> "
         "substr(word, j, k - j + 1))))"
     ).format(L=max_piece_len)
+    # checkpoint: the chars + multi collects below would otherwise each
+    # re-run the all-substrings explode (the most expensive seed stage)
     seeded = (
         words.select(
             F.col("weight"), F.explode(F.expr(sub)).alias("piece")
         )
         .groupBy("piece")
         .agg(F.sum("weight").alias("c"))
+        .localCheckpoint(eager=True)
     )
     chars = {
         r["piece"]: int(r["c"])

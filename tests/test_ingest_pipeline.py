@@ -113,3 +113,73 @@ def test_set_copy_and_override(spark):
         run_pipeline(df, [{"nope": {}}])
     with pytest.raises(ValueError):
         run_pipeline(df, [{"a": {}, "b": {}}])
+
+
+def test_grok_group_neutralization():
+    """User-written capturing groups (in pattern_definitions or literal
+    regex) must not shift field group numbering."""
+    import re
+
+    rx, fields = grok_to_regex(
+        "%{SEV:level} %{WORD:w}", extra={"SEV": "(LOW|HIGH)"}
+    )
+    assert fields == ["level", "w"]
+    m = re.match(rx, "HIGH abc")
+    assert (m.group(1), m.group(2)) == ("HIGH", "abc")
+    # capturing group in the literal segment between references
+    rx2, f2 = grok_to_regex("(x|y)=%{INT:n}")
+    assert f2 == ["n"]
+    assert re.match(rx2, "x=42").group(1) == "42"
+
+
+def test_failure_tolerance_ansi(spark):
+    """One malformed document must NULL its fields, never abort the job
+    (ANSI is on by default in Spark 4): date garbage, ragged csv,
+    duplicate kv keys, multi-char value_split."""
+    df = spark.createDataFrame(
+        [("garbage", "a,b", "k=>1;k=>2;m=>33")], ["when", "line", "kvs"]
+    )
+    out = run_pipeline(df, [
+        {"date": {"field": "when", "target_field": "ts"}},
+        {"csv": {"field": "line", "target_fields": ["c1", "c2", "c3"]}},
+        {"kv": {"field": "kvs", "field_split": ";", "value_split": "=>",
+                "include_keys": ["k", "m", "absent"]}},
+    ]).collect()[0]
+    assert out.ts is None
+    assert (out.c1, out.c2, out.c3) == ("a", "b", None)
+    assert out.k == "1"          # first occurrence wins, no map crash
+    assert out.m == "33"         # multi-char separator handled
+    assert out.absent is None
+
+
+def test_conditional_extract_and_structural_if(spark):
+    """`if` gates extraction processors per row; structural processors
+    reject it loudly; drop with no condition drops everything."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "n=5"), (2, "n=6")], ["id", "kvs"]
+    )
+    rows = {r.id: r.n for r in run_pipeline(df, [
+        {"kv": {"field": "kvs", "field_split": ",", "value_split": "=",
+                "include_keys": ["n"], "if": "id = 1"}},
+    ]).collect()}
+    assert rows == {1: "5", 2: None}
+    with _pytest.raises(ValueError, match="structural"):
+        run_pipeline(df, [{"rename": {"field": "kvs",
+                                      "target_field": "x", "if": "id=1"}}])
+    assert run_pipeline(df, [{"drop": {}}]).count() == 0
+
+
+def test_bbq_ragged_embedding_scores_as_zero_bits(spark):
+    """A shorter-than-dim embedding must rank (missing dims = clear sign
+    bits), not abort the query under ANSI."""
+    from harmonize_search_analyze_spark.operators.similarity import bbq_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 1.0]), (2, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r.vec_id: r.hamming for r in
+           bbq_topk(df, [1.0, 1.0, 1.0, 1.0], k=5, shortlist=5).collect()}
+    assert got[1] == 0 and got[2] == 2
