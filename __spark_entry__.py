@@ -6380,6 +6380,188 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETRIEVER_SPEC = {
+    "rrf": {
+        "rank_window_size": 50,
+        "rank_constant": 60,
+        "retrievers": [
+            {"standard": {"query": {"match": {"text": "spark join stream"}}}},
+            {"knn": {"query_vector": None, "k": 50,  # filled at call time
+                     "filter": {"range": {"label": {"gte": 1}}}}},
+        ],
+    }
+}
+
+
+def q_retriever_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES retriever tree (8.x retriever API): the spec is DATA — an rrf
+    root fusing a standard (BM25) retriever with a filtered knn
+    retriever, executed through the engine's gated bm25/knn_filtered/rrf
+    operators. Returns the fused (doc_id, rank) top-10."""
+    import copy
+
+    from harmonize_search_analyze_spark.operators.retriever import (
+        run_retriever,
+    )
+
+    spec = copy.deepcopy(_RETRIEVER_SPEC)
+    spec["rrf"]["retrievers"][1]["knn"]["query_vector"] = _QUERY_VEC
+    return run_retriever(
+        spec,
+        docs=_t(spark, sf_dir, "documents"),
+        embeddings=_t(spark, sf_dir, "embeddings"),
+        k=10,
+    )
+
+
+def _sql_retriever_rrf() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        bm25_search_sql,
+    )
+
+    bm25 = bm25_search_sql(
+        "documents", "doc_id", "text", _BM25_TERMS, "duckdb", 50
+    )
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _QUERY_VEC) + "]"
+    qnorm = math.sqrt(sum(v * v for v in _QUERY_VEC))
+    dot = (
+        "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+        f"{qlit}), p -> p[1] * p[2]))"
+    )
+    nrm = "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))"
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ({bm25}) b
+), sem_scored AS (
+  SELECT vec_id AS doc_id,
+         ROUND({dot} / ({nrm} * {qnorm!r}), 6) AS cosine
+  FROM embeddings WHERE label >= 1
+  ORDER BY cosine DESC, doc_id ASC LIMIT 50
+), sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM sem_scored
+), u AS (
+  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM sem
+), fused AS (
+  SELECT doc_id, ROUND(SUM(1.0 / (60.0 + rank)), 6) AS rrf_score
+  FROM u GROUP BY doc_id
+  ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM fused ORDER BY rank
+"""
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration PR sweep: cosine-to-query as the score
+    (rounded to 2 decimals to bound the threshold count), label==1 as the
+    positive class. Raw rows collapse to per-threshold counts BEFORE the
+    cumulative window — the window input is threshold-level, never
+    row-level."""
+    from harmonize_search_analyze_spark.operators.analytics import pr_curve
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_score,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.round(cosine_score("embedding", _QUERY_VEC), 2).alias("score"),
+        (F.col("label") == 1).cast("int").alias("y"),
+    )
+    return pr_curve(emb, "score", "y")
+
+
+def _sql_pr_curve() -> str:
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _QUERY_VEC) + "]"
+    qnorm = math.sqrt(sum(v * v for v in _QUERY_VEC))
+    dot = (
+        "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+        f"{qlit}), p -> p[1] * p[2]))"
+    )
+    nrm = "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))"
+    return f"""
+WITH scored AS (
+  SELECT ROUND({dot} / NULLIF({nrm} * {qnorm!r}, 0.0), 2) AS score,
+         CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+), per AS (
+  SELECT score AS threshold, COUNT(*) AS n, SUM(y) AS np
+  FROM scored WHERE score IS NOT NULL AND y IS NOT NULL
+  GROUP BY score
+), tot AS (SELECT SUM(np) AS total_pos FROM per)
+SELECT threshold,
+       CAST(SUM(np) OVER w AS BIGINT) AS tp,
+       CAST(SUM(n - np) OVER w AS BIGINT) AS fp,
+       ROUND(CAST(SUM(np) OVER w AS DOUBLE)
+             / CAST(SUM(n) OVER w AS DOUBLE), 6) AS precision,
+       ROUND(CAST(SUM(np) OVER w AS DOUBLE)
+             / NULLIF(CAST(total_pos AS DOUBLE), 0.0), 6) AS recall,
+       ROUND(2.0 * (CAST(SUM(np) OVER w AS DOUBLE) / CAST(SUM(n) OVER w AS DOUBLE))
+                 * (CAST(SUM(np) OVER w AS DOUBLE) / NULLIF(CAST(total_pos AS DOUBLE), 0.0))
+             / NULLIF((CAST(SUM(np) OVER w AS DOUBLE) / CAST(SUM(n) OVER w AS DOUBLE))
+                 + (CAST(SUM(np) OVER w AS DOUBLE) / NULLIF(CAST(total_pos AS DOUBLE), 0.0)),
+               0.0), 6) AS f1
+FROM per CROSS JOIN tot
+WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)
+ORDER BY threshold DESC
+"""
+
+
+def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _terms_enum: alphabetical prefix enumeration of distinct
+    keyword terms (autocomplete primitive) — sargable startswith filter
+    pushed to the scan, distinct, TakeOrdered."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_enum,
+    )
+
+    return terms_enum(
+        _t(spark, sf_dir, "part"), "p_type", prefix="STANDARD", size=15
+    )
+
+
+SQL_TERMS_ENUM = """
+SELECT DISTINCT p_type AS term FROM part
+WHERE p_type IS NOT NULL AND p_type LIKE 'STANDARD%'
+ORDER BY term ASC LIMIT 15
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard assignment + manifest: deterministic hash-shuffled
+    global positions (distributed contiguous rank — range partition +
+    windows + broadcast offsets, no single-reducer sort), 200 docs/shard,
+    per-shard doc and byte totals."""
+    from harmonize_search_analyze_spark.operators.sharding import (
+        assign_shards,
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a = assign_shards(docs, "doc_id", docs_per_shard=200)
+    return shard_manifest(a, size_col="n_chars")
+
+
+def _sql_shard_manifest() -> str:
+    from harmonize_search_analyze_spark.operators.sharding import (
+        assign_shards_sql,
+    )
+
+    inner = assign_shards_sql(
+        "documents", "doc_id", ["doc_id", "n_chars"], docs_per_shard=200
+    )
+    return f"""
+WITH a AS ({inner})
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+FROM a GROUP BY shard_id ORDER BY shard_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6599,6 +6781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": q_explain_score,
         "msearch": q_msearch,
         "unigram_train": q_unigram_train,
+        "retriever_rrf": q_retriever_rrf,
+        "pr_curve": q_pr_curve,
+        "terms_enum": q_terms_enum,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -6798,4 +6984,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": _sql_bigram_lm(),
         "explain_score": _sql_explain_score(),
         "msearch": SQL_MSEARCH,
+        "retriever_rrf": _sql_retriever_rrf(),
+        "pr_curve": _sql_pr_curve(),
+        "terms_enum": SQL_TERMS_ENUM,
+        "shard_manifest": _sql_shard_manifest(),
     }

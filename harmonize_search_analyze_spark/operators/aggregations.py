@@ -2100,3 +2100,37 @@ def scripted_metric(
     cols = [F.col(k) for k in keys] + [out.alias(alias)]
     res = agg.select(*cols)
     return res.orderBy(*keys) if keys else res
+
+
+def terms_enum(
+    df: DataFrame,
+    field: str,
+    *,
+    prefix: str = "",
+    size: int = 10,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """ES ``_terms_enum`` API: enumerate up to ``size`` distinct index
+    terms of a keyword field that start with ``prefix``, alphabetically —
+    the low-latency autocomplete primitive (unlike ``suggest`` it ranks
+    lexicographically, not by popularity, and unlike ``terms`` it never
+    counts).
+
+    Plan: distinct (partial agg + one exchange) under a sargable
+    startswith filter (prefix pushdown to the scan) + TakeOrdered. With
+    ``case_insensitive`` the match folds case but the ORIGINAL terms
+    return, per ES."""
+    col = F.col(field)
+    if prefix:
+        if case_insensitive:
+            pred = F.lower(col).startswith(prefix.lower())
+        else:
+            pred = col.startswith(prefix)
+        df = df.where(pred)
+    return (
+        df.where(col.isNotNull())
+        .select(col.alias("term"))
+        .distinct()
+        .orderBy(F.asc("term"))
+        .limit(size)
+    )

@@ -456,3 +456,56 @@ SELECT {', '.join(sel)}
 FROM ev a{join_sql}
 WHERE a.s1 AND {tn} IS NOT NULL{span}
 """
+
+
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    positive_col: str,
+    *,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Precision/recall curve for a binary scorer (quality-classifier /
+    dedup-verifier calibration): one row per distinct score threshold t —
+    predictions are "score >= t" — with tp/fp counts, precision, recall
+    and F1. Ordered threshold DESC (the standard sweep direction).
+
+    Scale shape: the raw rows collapse FIRST to one row per distinct
+    score (hash agg with map-side combine); the cumulative window then
+    runs over that threshold-level frame — bounded by distinct scores,
+    never raw rows (round scores upstream to bound it; same single-task
+    window contract as bucket_pipeline). The positive total is a 1-row
+    broadcast cross join.
+    """
+    s, p = F.col(score_col), F.col(positive_col).cast("long")
+    per = (
+        df.where(s.isNotNull() & p.isNotNull())
+        .groupBy(s.alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(p).alias("np"),
+        )
+    )
+    totals = per.agg(
+        F.sum("np").alias("total_pos")
+    )
+    w = Window.orderBy(F.desc("threshold")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tp = F.sum("np").over(w)
+    fp = F.sum(F.col("n") - F.col("np")).over(w)
+    prec = tp.cast("double") / (tp + fp).cast("double")
+    rec = F.try_divide(tp.cast("double"), F.col("total_pos").cast("double"))
+    f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            tp.cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            F.round(prec, round_scale).alias("precision"),
+            F.round(rec, round_scale).alias("recall"),
+            F.round(f1, round_scale).alias("f1"),
+        )
+        .orderBy(F.desc("threshold"))
+    )

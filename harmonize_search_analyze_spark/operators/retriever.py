@@ -1,0 +1,158 @@
+"""ES retriever trees (the 8.x ``retriever`` search API): data-driven
+composition of lexical, vector, and fusion retrieval.
+
+A retriever spec is JSON, exactly the ES wire shape:
+
+    {"standard": {"query": {...DSL...}, "filter": {...DSL...}?}}
+    {"knn": {"query_vector": [...], "k": N, "filter": {...DSL...}?}}
+    {"rrf": {"retrievers": [spec, ...],
+             "rank_window_size": 50, "rank_constant": 60}}
+
+``run_retriever`` walks the tree and returns a ranked frame
+(``id, rank`` with rank starting at 1) built ONLY from operators this
+engine already gates: ``standard`` scores with bm25_search (its
+deterministic tokenizer + K1/B), ``knn`` dispatches through
+``knn_filtered`` (exact under the brute threshold, IVF above), and
+``rrf`` fuses child rankings with ``rrf_fuse``. Like the Kibana
+saved-object loader and the ingest-pipeline processors, the point is
+that the COMPOSITION is data, not code — an ES retriever body ports
+verbatim.
+
+Pinned semantics: a ``standard`` retriever whose query has a
+``{"match": {<text_col>: "..."}}`` clause (possibly inside bool/must)
+ranks by BM25 over those terms; any other query is filter-only and
+ranks by id ASC (constant score — ES's match_all/filter scoring
+degenerates the same way). Every rank is totally ordered (score DESC,
+id ASC), so trees are deterministic end-to-end.
+
+Scale: each leaf is the already-shaped operator (one corpus scan /
+TakeOrdered); fusion unions bounded top-``rank_window_size`` lists —
+metadata-sized work after the retrievals, any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _match_terms(query: dict, text_col: str) -> list[str] | None:
+    """Extract the scoring terms of a {"match": {text_col: "..."}} clause,
+    searching through bool/must/should nesting."""
+    if not isinstance(query, dict):
+        return None
+    if "match" in query:
+        body = query["match"]
+        if text_col in body:
+            val = body[text_col]
+            text = val["query"] if isinstance(val, dict) else val
+            if isinstance(text, str):
+                return [t for t in text.lower().split() if t.isalnum()]
+        return None
+    if "bool" in query:
+        for key in ("must", "should"):
+            clauses = query["bool"].get(key, [])
+            if isinstance(clauses, dict):
+                clauses = [clauses]
+            for c in clauses:
+                terms = _match_terms(c, text_col)
+                if terms:
+                    return terms
+    return None
+
+
+def run_retriever(
+    spec: dict,
+    *,
+    docs: DataFrame,
+    embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Execute a retriever tree. Returns (``id_col``, rank) — the top-k
+    of the root retriever, rank 1-based and totally ordered."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    if len(spec) != 1:
+        raise ValueError("a retriever spec has exactly one root key")
+    (kind, body), = spec.items()
+
+    if kind == "standard":
+        base = docs
+        if body.get("filter") is not None:
+            base = base.where(compile_query(body["filter"]))
+        terms = _match_terms(body.get("query") or {}, text_col)
+        if terms:
+            from harmonize_search_analyze_spark.operators.ranking import (
+                bm25_search,
+            )
+
+            ranked = bm25_search(base, id_col, text_col, terms, k=k)
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            return ranked.select(
+                F.col("doc_id").alias(id_col),
+                F.row_number().over(w).alias("rank"),
+            )
+        # filter-only: constant score, rank by id (pinned)
+        if body.get("query") is not None:
+            base = base.where(compile_query(body["query"]))
+        w = Window.orderBy(F.asc(id_col))
+        return (
+            base.select(id_col)
+            .orderBy(F.asc(id_col))
+            .limit(k)
+            .select(id_col, F.row_number().over(w).alias("rank"))
+        )
+
+    if kind == "knn":
+        if embeddings is None:
+            raise ValueError("knn retriever needs the embeddings frame")
+        from harmonize_search_analyze_spark.operators.similarity import (
+            knn_filtered,
+        )
+
+        ranked = knn_filtered(
+            embeddings,
+            vec_col,
+            list(body["query_vector"]),
+            body.get("filter"),
+            k=int(body.get("k", k)),
+            id_col=vec_id_col,
+        )
+        score = [c for c in ranked.columns if c != vec_id_col][0]
+        w = Window.orderBy(F.desc(score), F.asc(vec_id_col))
+        return ranked.select(
+            F.col(vec_id_col).alias(id_col),
+            F.row_number().over(w).alias("rank"),
+        )
+
+    if kind == "rrf":
+        from harmonize_search_analyze_spark.operators.ranking import rrf_fuse
+
+        window = int(body.get("rank_window_size", 50))
+        const = int(body.get("rank_constant", 60))
+        children = [
+            run_retriever(
+                child,
+                docs=docs,
+                embeddings=embeddings,
+                id_col=id_col,
+                text_col=text_col,
+                vec_col=vec_col,
+                vec_id_col=vec_id_col,
+                k=window,
+            )
+            for child in body["retrievers"]
+        ]
+        fused = rrf_fuse(
+            children, rrf_k=const, id_col=id_col, rank_col="rank", k=k
+        )
+        w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+        return fused.select(
+            id_col, F.row_number().over(w).alias("rank")
+        )
+
+    raise ValueError(f"unknown retriever kind: {kind!r}")

@@ -1276,3 +1276,21 @@ def test_field_caps_conflicts_and_flags(spark):
     assert rows[("msg", "string")].indices == ["logs-1", "logs-2"]
     assert not rows[("emb", "array<double>")].aggregatable
     assert rows[("msg", "string")].aggregatable
+
+
+def test_terms_enum(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_enum,
+    )
+
+    df = spark.createDataFrame(
+        [("Apple",), ("apricot",), ("Avocado",), ("banana",), (None,),
+         ("Apple",)],
+        ["fruit"],
+    )
+    assert [r.term for r in terms_enum(df, "fruit", prefix="Ap").collect()] \
+        == ["Apple"]
+    got = [r.term for r in
+           terms_enum(df, "fruit", prefix="a", case_insensitive=True,
+                      size=2).collect()]
+    assert got == ["Apple", "Avocado"]  # original case, alphabetical

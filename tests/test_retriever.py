@@ -1,0 +1,110 @@
+"""ES retriever-tree composition: spec parsing, leaf semantics, rrf
+equivalence with the hand-composed fusion."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from harmonize_search_analyze_spark.operators.retriever import run_retriever
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join stream fast", "a"),
+            (2, "spark spark join", "a"),
+            (3, "slow table scan", "b"),
+            (4, "join the stream", "b"),
+            (5, "spark", "a"),
+        ],
+        ["doc_id", "text", "src"],
+    )
+    emb = spark.createDataFrame(
+        [(i, [math.sin(i + j) for j in range(4)], i % 2)
+         for i in range(1, 6)],
+        ["vec_id", "embedding", "label"],
+    )
+    return docs, emb
+
+
+def test_standard_retriever_matches_bm25(corpus, spark):
+    from harmonize_search_analyze_spark.operators.ranking import bm25_search
+
+    docs, _ = corpus
+    got = run_retriever(
+        {"standard": {"query": {"match": {"text": "spark join"}}}},
+        docs=docs, k=5,
+    ).collect()
+    want = [r.doc_id for r in
+            bm25_search(docs, "doc_id", "text", ["spark", "join"], 5)
+            .collect()]
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == want
+
+
+def test_standard_filter_only_ranks_by_id(corpus):
+    docs, _ = corpus
+    got = run_retriever(
+        {"standard": {"query": {"match_all": {}},
+                      "filter": {"match": {"src": "b"}}}},
+        docs=docs, k=5,
+    ).collect()
+    assert [(r.doc_id, r.rank) for r in sorted(got, key=lambda r: r.rank)] \
+        == [(3, 1), (4, 2)]
+
+
+def test_knn_retriever_with_filter(corpus):
+    docs, emb = corpus
+    got = run_retriever(
+        {"knn": {"query_vector": [1.0, 0.5, 0.0, -0.5], "k": 3,
+                 "filter": {"range": {"label": {"gte": 1}}}}},
+        docs=docs, embeddings=emb, k=3,
+    ).collect()
+    ids = {r.doc_id for r in got}
+    assert ids <= {1, 3, 5} and len(got) == 3  # only odd labels survive
+
+
+def test_rrf_tree_equals_manual_fusion(corpus):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.ranking import (
+        bm25_search,
+        rrf_fuse,
+    )
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs, emb = corpus
+    spec = {"rrf": {"rank_window_size": 4, "rank_constant": 10,
+                    "retrievers": [
+        {"standard": {"query": {"match": {"text": "spark join"}}}},
+        {"knn": {"query_vector": [1.0, 0.5, 0.0, -0.5], "k": 4}},
+    ]}}
+    got = [(r.doc_id, r.rank) for r in sorted(
+        run_retriever(spec, docs=docs, embeddings=emb, k=3).collect(),
+        key=lambda r: r.rank)]
+
+    w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = bm25_search(docs, "doc_id", "text", ["spark", "join"], 4) \
+        .select("doc_id", F.row_number().over(w1).alias("rank"))
+    w2 = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    sem = cosine_topk(emb, "embedding", [1.0, 0.5, 0.0, -0.5], 4) \
+        .select(F.col("vec_id").alias("doc_id"),
+                F.row_number().over(w2).alias("rank"))
+    fused = rrf_fuse([lex, sem], rrf_k=10, k=3).collect()
+    want = [(r.doc_id, i + 1) for i, r in enumerate(fused)]
+    assert got == want
+
+
+def test_spec_validation(corpus):
+    docs, _ = corpus
+    with pytest.raises(ValueError, match="exactly one"):
+        run_retriever({"rrf": {}, "knn": {}}, docs=docs)
+    with pytest.raises(ValueError, match="unknown retriever"):
+        run_retriever({"semantic": {}}, docs=docs)
+    with pytest.raises(ValueError, match="embeddings"):
+        run_retriever({"knn": {"query_vector": [1.0]}}, docs=docs)
