@@ -603,6 +603,7 @@ def significant_terms(
     k: int = 10,
     *,
     heuristic: str = "jlh",
+    background_filter: Column | None = None,
 ) -> DataFrame:
     """ES ``significant_terms`` agg: terms over-represented in the
     ``foreground`` subset relative to the whole frame (background,
@@ -624,14 +625,26 @@ def significant_terms(
     join (broadcast, no shuffle). Every quotient shape is identical on
     both engines, so the 6-decimal rounding never sits on an
     engine-dependent tie.
+
+    ``background_filter`` (ES param of the same name) narrows the
+    background to its matching subset instead of the whole frame; rows
+    matching neither it nor the foreground leave the scan entirely (the
+    filter is sargable and pushes down).
     """
     if heuristic not in ("jlh", "chi_square", "percentage"):
         raise ValueError(f"unsupported heuristic: {heuristic!r}")
+    # ES background_filter: significance is computed against a NARROWED
+    # background set instead of the whole index ("commonly appearing in
+    # reviews" vs "commonly appearing anywhere"). Rows in neither the
+    # background nor the foreground are pre-filtered out of the scan.
+    bg = F.lit(True) if background_filter is None else background_filter
+    base = df.where(F.col(field).isNotNull())
+    if background_filter is not None:
+        base = base.where(bg | foreground)
     per_term = (
-        df.where(F.col(field).isNotNull())
-        .groupBy(field)
+        base.groupBy(field)
         .agg(
-            F.count(F.lit(1)).alias("bg_count"),
+            F.count(F.when(bg, F.lit(1))).alias("bg_count"),
             F.count(F.when(foreground, F.lit(1))).alias("fg_count"),
         )
     )

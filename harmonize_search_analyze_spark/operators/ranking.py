@@ -1248,3 +1248,82 @@ def explain_score(
     )
     spark.catalog.dropTempView(view)
     return out
+
+
+def sparse_vector_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_weights: dict[str, float],
+    dialect: str,
+    k: int = 10,
+) -> str:
+    """ES ``sparse_vector`` query (the ELSER/SPLADE learned-sparse
+    retrieval shape): rank documents by the dot product of a sparse
+    term->weight QUERY vector against sparse DOCUMENT term weights.
+
+    Without a learned model in the engine, document-side weights use the
+    standard sublinear tf (``1 + ln(tf)``) — the public lexical form of
+    the same dot-product scoring; a model-produced doc-weight table
+    plugs into the identical join+sum plan. Query weights arrive as a
+    VALUES relation (vocabulary-sized, broadcast), so the token explode
+    is pre-filtered to query terms with a sargable IN list — the scan
+    never materializes non-query tokens past the filter.
+
+    Pinned: tokens by the engine tokenizer; score DESC, id ASC; ROUND 6.
+    """
+    for t in query_weights:
+        if not t.isalnum():
+            raise ValueError(f"query terms must be alnum tokens: {t!r}")
+    if not query_weights:
+        raise ValueError("query_weights must be non-empty")
+    toks = tokens_sql(text_col, dialect)
+    tlist = ", ".join(f"'{t.lower()}'" for t in query_weights)
+    vals = ", ".join(
+        f"('{t.lower()}', CAST({float(w)!r} AS DOUBLE))"
+        for t, w in sorted(query_weights.items())
+    )
+    if dialect == "spark":
+        unnest = (
+            f"SELECT {id_col} AS doc_id, explode({toks}) AS t"
+            f" FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+    else:
+        unnest = (
+            f"SELECT {id_col} AS doc_id, unnest({toks}) AS t"
+            f" FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf
+  FROM ({unnest}) x
+  WHERE t IN ({tlist})
+  GROUP BY doc_id, t
+),
+q(t, w) AS (VALUES {vals})
+SELECT tf.doc_id,
+       ROUND(SUM(q.w * (1.0 + LN(tf.tf))), 6) AS score
+FROM tf JOIN q ON tf.t = q.t
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT {k}
+"""
+
+
+def sparse_vector_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """Run the sparse_vector ranking over a DataFrame (spark dialect of
+    sparse_vector_sql via a uniquely-named temp view)."""
+    spark: SparkSession = df.sparkSession
+    view = f"__sparse_corpus_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    out = spark.sql(
+        sparse_vector_sql(view, id_col, text_col, query_weights, "spark", k)
+    )
+    spark.catalog.dropTempView(view)
+    return out

@@ -7,6 +7,9 @@ A retriever spec is JSON, exactly the ES wire shape:
     {"knn": {"query_vector": [...], "k": N, "filter": {...DSL...}?}}
     {"rrf": {"retrievers": [spec, ...],
              "rank_window_size": 50, "rank_constant": 60}}
+    {"linear": {"retrievers": [{"retriever": spec, "weight": w,
+                                "normalizer": "minmax" | "none"}, ...],
+                "rank_window_size": 50}}
 
 ``run_retriever`` walks the tree and returns a ranked frame
 (``id, rank`` with rank starting at 1) built ONLY from operators this
@@ -74,11 +77,48 @@ def run_retriever(
 ) -> DataFrame:
     """Execute a retriever tree. Returns (``id_col``, rank) — the top-k
     of the root retriever, rank 1-based and totally ordered."""
+    return _run(
+        spec,
+        docs=docs,
+        embeddings=embeddings,
+        id_col=id_col,
+        text_col=text_col,
+        vec_col=vec_col,
+        vec_id_col=vec_id_col,
+        k=k,
+    ).select(id_col, "rank")
+
+
+def _run(
+    spec: dict,
+    *,
+    docs: DataFrame,
+    embeddings: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    vec_col: str,
+    vec_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Internal form: (id, rank, score DOUBLE) — combiners (rrf ranks,
+    linear scores) consume whichever signal they fuse on."""
     from harmonize_search_analyze_spark.plans.compiler import compile_query
 
     if len(spec) != 1:
         raise ValueError("a retriever spec has exactly one root key")
     (kind, body), = spec.items()
+
+    def recurse(child: dict, child_k: int) -> DataFrame:
+        return _run(
+            child,
+            docs=docs,
+            embeddings=embeddings,
+            id_col=id_col,
+            text_col=text_col,
+            vec_col=vec_col,
+            vec_id_col=vec_id_col,
+            k=child_k,
+        )
 
     if kind == "standard":
         base = docs
@@ -95,6 +135,7 @@ def run_retriever(
             return ranked.select(
                 F.col("doc_id").alias(id_col),
                 F.row_number().over(w).alias("rank"),
+                F.col("score").cast("double").alias("score"),
             )
         # filter-only: constant score, rank by id (pinned)
         if body.get("query") is not None:
@@ -104,7 +145,11 @@ def run_retriever(
             base.select(id_col)
             .orderBy(F.asc(id_col))
             .limit(k)
-            .select(id_col, F.row_number().over(w).alias("rank"))
+            .select(
+                id_col,
+                F.row_number().over(w).alias("rank"),
+                F.lit(1.0).alias("score"),
+            )
         )
 
     if kind == "knn":
@@ -127,6 +172,7 @@ def run_retriever(
         return ranked.select(
             F.col(vec_id_col).alias(id_col),
             F.row_number().over(w).alias("rank"),
+            F.col(score).cast("double").alias("score"),
         )
 
     if kind == "rrf":
@@ -134,25 +180,63 @@ def run_retriever(
 
         window = int(body.get("rank_window_size", 50))
         const = int(body.get("rank_constant", 60))
-        children = [
-            run_retriever(
-                child,
-                docs=docs,
-                embeddings=embeddings,
-                id_col=id_col,
-                text_col=text_col,
-                vec_col=vec_col,
-                vec_id_col=vec_id_col,
-                k=window,
-            )
-            for child in body["retrievers"]
-        ]
+        children = [recurse(c, window) for c in body["retrievers"]]
         fused = rrf_fuse(
             children, rrf_k=const, id_col=id_col, rank_col="rank", k=k
         )
         w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
         return fused.select(
-            id_col, F.row_number().over(w).alias("rank")
+            id_col,
+            F.row_number().over(w).alias("rank"),
+            F.col("rrf_score").cast("double").alias("score"),
+        )
+
+    if kind == "linear":
+        # ES linear retriever: weighted sum of per-child normalized
+        # scores; a doc missing from a child's window contributes 0
+        # there. minmax collapses to 1.0 when a child's window has a
+        # single score value (ES: max==min => all 1).
+        window = int(body.get("rank_window_size", 50))
+        parts = []
+        for entry in body["retrievers"]:
+            child = entry["retriever"]
+            weight = float(entry.get("weight", 1.0))
+            norm = entry.get("normalizer", "none")
+            ranked = recurse(child, window)
+            if norm == "minmax":
+                bounds = ranked.agg(
+                    F.min("score").alias("__lo"),
+                    F.max("score").alias("__hi"),
+                )
+                ranked = ranked.crossJoin(F.broadcast(bounds)).select(
+                    id_col,
+                    F.when(
+                        F.col("__hi") == F.col("__lo"), F.lit(1.0)
+                    ).otherwise(
+                        (F.col("score") - F.col("__lo"))
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).alias("score"),
+                )
+            elif norm != "none":
+                raise ValueError(f"unknown normalizer: {norm!r}")
+            parts.append(
+                ranked.select(
+                    id_col,
+                    (F.col("score") * F.lit(weight)).alias("__ws"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        fused = (
+            u.groupBy(id_col)
+            .agg(F.round(F.sum("__ws"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        return fused.select(
+            id_col, F.row_number().over(w).alias("rank"), "score"
         )
 
     raise ValueError(f"unknown retriever kind: {kind!r}")

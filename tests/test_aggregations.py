@@ -1294,3 +1294,27 @@ def test_terms_enum(spark):
            terms_enum(df, "fruit", prefix="a", case_insensitive=True,
                       size=2).collect()]
     assert got == ["Apple", "Avocado"]  # original case, alphabetical
+
+
+def test_significant_terms_background_filter(spark):
+    """background_filter narrows the background set: a term common in
+    the full index but absent from the filtered background scores as
+    maximally over-represented rather than ordinary."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        significant_terms,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 1, 0), ("b", 0, 1), ("b", 0, 1), ("b", 0, 0)],
+        ["term", "fg", "in_bg"],
+    )
+    plain = {r.term: (r.fg_count, r.bg_count) for r in significant_terms(
+        df, "term", F.col("fg") == 1).collect()}
+    assert plain == {"a": (2, 2)}
+    narrowed = {r.term: (r.fg_count, r.bg_count) for r in significant_terms(
+        df, "term", F.col("fg") == 1,
+        background_filter=F.col("in_bg") == 1).collect()}
+    # background counts only in_bg rows; fg rows stay counted
+    assert narrowed == {"a": (2, 1)}

@@ -108,3 +108,30 @@ def test_spec_validation(corpus):
         run_retriever({"semantic": {}}, docs=docs)
     with pytest.raises(ValueError, match="embeddings"):
         run_retriever({"knn": {"query_vector": [1.0]}}, docs=docs)
+
+
+def test_linear_combiner_minmax(corpus):
+    """linear retriever: minmax-normalized weighted sum, missing docs
+    contribute 0; degenerate single-value window normalizes to 1."""
+    from harmonize_search_analyze_spark.operators.retriever import _run
+
+    docs, emb = corpus
+    spec = {"linear": {"rank_window_size": 4, "retrievers": [
+        {"retriever": {"standard": {"query": {"match": {"text": "spark join"}}}},
+         "weight": 2.0, "normalizer": "minmax"},
+        {"retriever": {"knn": {"query_vector": [1.0, 0.5, 0.0, -0.5],
+                               "k": 4}},
+         "weight": 1.0, "normalizer": "minmax"},
+    ]}}
+    rows = _run(spec, docs=docs, embeddings=emb, id_col="doc_id",
+                text_col="text", vec_col="embedding", vec_id_col="vec_id",
+                k=10).collect()
+    by_id = {r.doc_id: r.score for r in rows}
+    # the best lexical doc gets 2.0 * 1.0 from the bm25 leg
+    assert max(by_id.values()) <= 3.0
+    top = sorted(rows, key=lambda r: r.rank)[0]
+    assert top.score == max(by_id.values())
+    with pytest.raises(ValueError, match="normalizer"):
+        run_retriever({"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match": {"text": "x"}}}},
+             "normalizer": "zscore"}]}}, docs=docs)
