@@ -148,6 +148,111 @@ class Catalog:
             "searchable boolean, aggregatable boolean, is_conflict boolean",
         )
 
+    # -- document-level index management (ES _reindex / _update_by_query /
+    # _delete_by_query / rollover) -----------------------------------------
+    def reindex(
+        self,
+        source_pattern: str,
+        dest: str,
+        *,
+        query: dict | None = None,
+        pipeline: list[dict] | None = None,
+    ) -> int:
+        """ES ``_reindex``: copy the documents matching ``query`` from
+        every index matching ``source_pattern`` into ``dest``, optionally
+        through an ingest pipeline (the same processor-list format
+        ``operators.ingest_pipeline.run_pipeline`` executes — exactly
+        ES's ``dest.pipeline`` parameter). Lazy/relational: the
+        destination is the TRANSFORMED PLAN, so Catalyst fuses
+        filter+pipeline into the eventual scan; the returned doc count is
+        the only materialization this call performs."""
+        df = self.resolve(source_pattern)
+        if query is not None:
+            from harmonize_search_analyze_spark.plans.compiler import (
+                compile_query,
+            )
+
+            df = df.where(compile_query(query))
+        if pipeline:
+            from harmonize_search_analyze_spark.operators.ingest_pipeline import (  # noqa: E501
+                run_pipeline,
+            )
+
+            df = run_pipeline(df, pipeline)
+        self.register(dest, df)
+        return df.count()
+
+    def update_by_query(
+        self, name: str, query: dict, set_exprs: dict[str, str]
+    ) -> int:
+        """ES ``_update_by_query`` with a script: re-register ``name``
+        with ``set_exprs`` (column -> restricted SQL expression, the
+        engine's painless mapping) applied to the rows matching
+        ``query``; other rows pass through unchanged — one conditional
+        projection, no per-row mutation machinery. Returns the matched
+        count."""
+        from pyspark.sql import functions as _F
+
+        from harmonize_search_analyze_spark.plans.compiler import (
+            compile_query,
+        )
+
+        df = self._datasets[name]
+        pred = compile_query(query)
+        out = df
+        for col, expr in set_exprs.items():
+            prev = (
+                _F.col(col) if col in df.columns else _F.lit(None)
+            )
+            out = out.withColumn(
+                col, _F.when(pred, _F.expr(expr)).otherwise(prev)
+            )
+        self._datasets[name] = out
+        return df.where(pred).count()
+
+    def delete_by_query(self, name: str, query: dict) -> int:
+        """ES ``_delete_by_query``: re-register ``name`` without the rows
+        matching ``query`` (an anti-filter — deletion in a relational
+        engine is exclusion from the plan). Returns the deleted count."""
+        from harmonize_search_analyze_spark.plans.compiler import (
+            compile_query,
+        )
+
+        df = self._datasets[name]
+        pred = compile_query(query)
+        deleted = df.where(pred).count()
+        self._datasets[name] = df.where(~pred)
+        return deleted
+
+    def rollover(
+        self, alias: str, *, max_docs: int
+    ) -> tuple[str, bool]:
+        """ES ILM-style ``_rollover``: when the alias's CURRENT write
+        index holds >= ``max_docs`` documents, create the next
+        ``<base>-NNNNNN`` generation (empty, same schema) and repoint the
+        alias at it. Returns (write_index_name, rolled). The alias must
+        target a single concrete index (the ES rollover contract)."""
+        if alias not in self._aliases:
+            raise ValueError(f"unknown alias: {alias!r}")
+        target, filter_ast = self._aliases[alias]
+        if filter_ast is not None:
+            raise ValueError("cannot roll over a filtered alias")
+        if target not in self._datasets:
+            raise ValueError(
+                "rollover alias must point at one concrete index"
+            )
+        cur = self._datasets[target]
+        if cur.count() < max_docs:
+            return target, False
+        base, _, gen = target.rpartition("-")
+        if base and gen.isdigit():
+            nxt = f"{base}-{int(gen) + 1:06d}"
+        else:
+            nxt = f"{target}-000002"
+        self.register(nxt, cur.limit(0))
+        self._aliases[alias] = (nxt, None)
+        return nxt, True
+
     # -- schema (database) DDL (S4: Baltimore-notebook.ipynb:893-899) ------
     def create_schema(self, name: str, comment: str = "") -> None:
         """``CREATE SCHEMA`` with optional comment (idempotent). The comment

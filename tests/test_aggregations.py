@@ -1318,3 +1318,47 @@ def test_significant_terms_background_filter(spark):
         background_filter=F.col("in_bg") == 1).collect()}
     # background counts only in_bg rows; fg rows stay counted
     assert narrowed == {"a": (2, 1)}
+
+
+def test_reindex_update_delete_rollover(spark):
+    """ES document-level index management: _reindex (+pipeline),
+    _update_by_query, _delete_by_query, ILM rollover."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("logs-000001", spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "a", 55.0)],
+        "id long, src string, v double"))
+
+    # reindex with query + ingest pipeline
+    n = cat.reindex(
+        "logs-*", "hot",
+        query={"range": {"v": {"gte": 50}}},
+        pipeline=[{"set": {"field": "tier", "value": "hot"}}],
+    )
+    assert n == 2
+    assert {(r.id, r.tier) for r in cat.resolve("hot").collect()} == {
+        (2, "hot"), (3, "hot")}
+
+    # update_by_query: conditional projection
+    n = cat.update_by_query(
+        "logs-000001", {"match": {"src": "a"}}, {"v": "v * 2"})
+    assert n == 2
+    assert {(r.id, r.v) for r in cat.resolve("logs-000001").collect()} == {
+        (1, 20.0), (2, 99.0), (3, 110.0)}
+
+    # delete_by_query: anti-filter
+    assert cat.delete_by_query("logs-000001", {"match": {"id": 1}}) == 1
+    assert cat.resolve("logs-000001").count() == 2
+
+    # rollover: under threshold no-op, over threshold new generation
+    cat.create_alias("logs-write", "logs-000001")
+    assert cat.rollover("logs-write", max_docs=10) == ("logs-000001", False)
+    name, rolled = cat.rollover("logs-write", max_docs=2)
+    assert (name, rolled) == ("logs-000002", True)
+    assert cat.resolve("logs-000002").count() == 0
+    assert cat.resolve("logs-write").count() == 0  # alias repointed
+    # pattern search still unions every generation
+    assert cat.resolve("logs-*").count() == 2

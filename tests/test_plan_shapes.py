@@ -624,3 +624,40 @@ def test_msearch_single_scan_one_ranking_exchange(docs):
     # Spark 4's WindowGroupLimit prunes each query's rows to k before the
     # full window evaluates — keep that optimization locked in
     assert "WindowGroupLimit" in p, p
+
+
+def test_sparse_vector_single_scan_takeordered(docs):
+    """sparse_vector: token explode pre-filtered to query terms, one tf
+    agg, broadcast VALUES weights, TakeOrdered — no Python, no sort."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        sparse_vector_search,
+    )
+
+    out = sparse_vector_search(
+        docs, "doc_id", "text", {"alpha": 2.0, "beta": 1.0}, k=5
+    )
+    out.count()
+    p = _plan(out)
+    assert "Python" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("Scan ExistingRDD") == 1, p
+
+
+def test_assign_shards_no_global_window(docs):
+    """Shard assignment rides global_order: a range exchange + per-
+    partition windows keyed by pid — never an unpartitioned window over
+    the rows."""
+    from harmonize_search_analyze_spark.operators.sharding import (
+        assign_shards,
+    )
+
+    out = assign_shards(docs, "doc_id", docs_per_shard=50)
+    out.count()
+    p = _plan(out)
+    assert "rangepartitioning" in p, p
+    # every Window in the plan is partitioned (windowspecdefinition
+    # always lists the pid key before the ordering spec)
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "__pid" in m.group(1), m.group(0)
