@@ -1,0 +1,145 @@
+"""Property tests for the session-6 operators (hypothesis):
+
+- analyzer chains: edge_ngram emits only prefixes within gram bounds;
+  shingle count law (max(n-k+1, 0) per order, + unigrams); unique is
+  idempotent and order-preserving — all checked via the PYTHON reference
+  below against the engine expression on random texts.
+- grok/dissect: compile-then-match round-trips on composed inputs.
+- viterbi: segmentation concatenates to the input; its score is >= any
+  greedy segmentation's score under the same model.
+- pr_curve: as the threshold decreases, tp and fp are non-decreasing and
+  recall is non-decreasing; final recall is 1 when positives exist.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdeXY01", min_size=1, max_size=8),
+    min_size=0, max_size=8,
+)
+
+
+def _spark_tokens(spark, text, **chain):
+    from harmonize_search_analyze_spark.functions.analyze import analyze
+
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(analyze("t", **chain).alias("x")).collect()[0].x
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_words, st.integers(1, 3), st.integers(3, 6))
+def test_edge_ngram_prefix_law(spark, words, lo, hi):
+    text = " ".join(words)
+    got = _spark_tokens(
+        spark, text,
+        filters=[("edge_ngram", {"min_gram": lo, "max_gram": hi})],
+    )
+    toks = [w for w in re.split(r"[^A-Za-z0-9]+", text) if w]
+    want = [w[:n] for w in toks for n in range(lo, hi + 1) if n <= len(w)]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_words, st.integers(2, 3), st.booleans())
+def test_shingle_count_law(spark, words, n, unigrams):
+    text = " ".join(words)
+    got = _spark_tokens(
+        spark, text,
+        filters=[("shingle", {"min_shingle_size": n, "max_shingle_size": n,
+                              "output_unigrams": unigrams})],
+    )
+    toks = [w for w in re.split(r"[^A-Za-z0-9]+", text) if w]
+    expect = (toks if unigrams else []) + [
+        " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+    ]
+    assert got == expect
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_words)
+def test_unique_idempotent_order_preserving(spark, words):
+    text = " ".join(words)
+    once = _spark_tokens(spark, text, filters=["unique"])
+    twice = _spark_tokens(spark, text, filters=["unique", "unique"])
+    assert once == twice
+    toks = [w for w in re.split(r"[^A-Za-z0-9]+", text) if w]
+    seen, want = set(), []
+    for t in toks:
+        if t not in seen:
+            seen.add(t)
+            want.append(t)
+    assert once == want
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.text(alphabet="abc XY=,:", min_size=0, max_size=20),
+       st.text(alphabet="abc09", min_size=1, max_size=6))
+def test_dissect_round_trip(prefix, tail):
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        dissect_to_regex,
+    )
+
+    line = prefix + "|" + tail
+    rx, fields = dissect_to_regex("%{head}|%{rest}")
+    assert fields == ["head", "rest"]
+    m = re.match(rx, line)
+    # final key greedy: head takes up to the FIRST pipe (lazy)
+    assert m.group(1) == prefix.split("|")[0]
+    assert line == m.group(1) + "|" + m.group(2)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.sampled_from(["ab", "abc", "a", "b", "c", "bc"]),
+                min_size=1, max_size=6))
+def test_viterbi_concatenation_and_optimality(pieces):
+    from harmonize_search_analyze_spark.operators.unigram import _viterbi
+
+    word = "".join(pieces)
+    logp = {"a": math.log(0.2), "b": math.log(0.15), "c": math.log(0.1),
+            "ab": math.log(0.3), "bc": math.log(0.15), "abc": math.log(0.1)}
+    seg = _viterbi(word, logp, 3)
+    assert seg is not None and "".join(seg) == word
+    score = sum(logp[p] for p in seg)
+    # greedy longest-first reference must never beat Viterbi
+    i, greedy = 0, []
+    while i < len(word):
+        for n in (3, 2, 1):
+            if word[i:i + n] in logp:
+                greedy.append(word[i:i + n])
+                i += n
+                break
+    gscore = sum(logp[p] for p in greedy)
+    assert score >= gscore - 1e-12
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 5), st.booleans()),
+                min_size=1, max_size=30))
+def test_pr_curve_monotonicity(spark, rows):
+    from harmonize_search_analyze_spark.operators.analytics import pr_curve
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in rows], ["score", "y"]
+    )
+    out = pr_curve(df, "score", "y").collect()
+    tps = [r.tp for r in out]
+    fps = [r.fp for r in out]
+    assert tps == sorted(tps) and fps == sorted(fps)
+    recalls = [r.recall for r in out if r.recall is not None]
+    assert recalls == sorted(recalls)
+    n_pos = sum(y for _, y in rows)
+    if n_pos:
+        assert out[-1].recall == 1.0
+        assert out[-1].tp == n_pos
