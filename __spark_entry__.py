@@ -6629,6 +6629,42 @@ ORDER BY score DESC, event_type LIMIT 10
 """
 
 
+_CURATION_STAGES = [
+    {"lang_filter": {"keep": ["en"]}},
+    {"quality_filter": {"min_score": 0.4}},
+    {"length_filter": {"min_chars": 100, "max_chars": 5000}},
+    {"exact_dedup": {}},
+    {"sample": {"fraction": 0.5}},
+]
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven curation pipeline (Dolma/datatrove config shape):
+    lang-ID -> quality -> length -> exact-dedup -> deterministic sample,
+    compiled from ONE dual-dialect stage generator. Filters fuse into the
+    scan; the dedup window is the single wide stage."""
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        run_corpus_pipeline(docs, _CURATION_STAGES)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_corpus_pipeline() -> str:
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        corpus_pipeline_sql,
+    )
+
+    return corpus_pipeline_sql(
+        "documents", _CURATION_STAGES, ["doc_id", "lang", "n_chars"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6854,6 +6890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "sparse_search": q_sparse_search,
         "significant_bg": q_significant_bg,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -7059,4 +7096,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": _sql_shard_manifest(),
         "sparse_search": _sql_sparse_search(),
         "significant_bg": SQL_SIGNIFICANT_BG,
+        "corpus_pipeline": _sql_corpus_pipeline(),
     }

@@ -308,3 +308,45 @@ def test_bigram_lm_score_hand_values(spark):
     assert got[1] == (3, round(d1, 6))
     assert got[2] == (2, round(d2, 6))
     assert 3 not in got  # empty doc emits no tokens, no row
+
+
+def test_corpus_pipeline_stage_semantics(spark):
+    """Curation pipeline: stages apply in order; exact_dedup keeps the
+    min id; spark path equals the duckdb oracle on the same frame."""
+    import duckdb
+
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        corpus_pipeline_sql,
+        run_corpus_pipeline,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again today"),
+        (3, "  THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN TODAY"),
+        (4, "tiny"),
+        (5, None),
+        (6, "another perfectly reasonable english sentence with words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stages = [
+        {"length_filter": {"min_chars": 10}},
+        {"exact_dedup": {}},
+    ]
+    got = sorted(r.doc_id for r in
+                 run_corpus_pipeline(df, stages).collect())
+    assert got == [1, 6]  # 2 and 3 are case/space dups of 1; 4 short; 5 null
+
+    con = duckdb.connect()
+    con.register("docs_t", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text"]))
+    want = [r[0] for r in con.sql(corpus_pipeline_sql(
+        "docs_t", stages, ["doc_id", "text"])).fetchall()]
+    assert got == want
+
+    with _pytest.raises(ValueError, match="unknown curation stage"):
+        run_corpus_pipeline(df, [{"dedupe": {}}])
+    with _pytest.raises(ValueError, match="single"):
+        run_corpus_pipeline(df, [{"a": {}, "b": {}}])

@@ -661,3 +661,22 @@ def test_assign_shards_no_global_window(docs):
 
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
         assert "__pid" in m.group(1), m.group(0)
+
+
+def test_corpus_pipeline_filters_fuse_one_exchange(docs):
+    """Curation pipeline: every filter stage fuses into the scan; the
+    exact_dedup window (+WindowGroupLimit prune) is the only exchange."""
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    out = run_corpus_pipeline(docs, [
+        {"length_filter": {"min_chars": 5}},
+        {"sample": {"fraction": 0.9}},
+        {"exact_dedup": {}},
+    ])
+    out.count()
+    p = _plan(out)
+    assert p.count("Exchange") == 1, p
+    assert "Python" not in p, p
+    assert "WindowGroupLimit" in p, p
