@@ -6665,6 +6665,106 @@ def _sql_corpus_pipeline() -> str:
     )
 
 
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB counter rate (ES time_series rate / PromQL semantics):
+    per-series reset-aware increase per 60s — one series-keyed window
+    sharing its exchange with the per-series agg."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        counter_rate,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    return counter_rate(ev, "event_type", "ts", "value", per_seconds=60)
+
+
+SQL_COUNTER_RATE = """
+WITH s AS (
+  SELECT event_type AS series, epoch(ts) AS e, CAST(value AS DOUBLE) AS v,
+         LAG(CAST(value AS DOUBLE), 1) OVER (
+           PARTITION BY event_type ORDER BY ts ASC, value ASC) AS pv
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT series, CAST(COUNT(*) AS BIGINT) AS samples,
+       ROUND(SUM(CASE WHEN pv IS NULL THEN NULL
+                      WHEN v >= pv THEN v - pv ELSE v END), 6) AS increase,
+       ROUND(SUM(CASE WHEN pv IS NULL THEN NULL
+                      WHEN v >= pv THEN v - pv ELSE v END) * 60.0
+             / NULLIF(MAX(e) - MIN(e), 0.0), 6) AS rate
+FROM s GROUP BY series ORDER BY series
+"""
+
+
+def q_composite_datehist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite agg with a date_histogram value source: (day,
+    event_type) buckets paged after ('2024-01-08', 'signup') — derived
+    keys computed in-plan, after-key inequality below the agg."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        composite_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return composite_agg(
+        ev,
+        sources=[
+            ("day", {"date_histogram": {"field": "ts",
+                                        "interval": "1 day"}}),
+            ("event_type", None),
+        ],
+        size=8,
+        after={"day": dt.datetime(2024, 1, 8), "event_type": "signup"},
+    )
+
+
+SQL_COMPOSITE_DATEHIST = """
+WITH k AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT day, event_type, COUNT(*) AS doc_count
+FROM k
+WHERE day > TIMESTAMP '2024-01-08'
+   OR (day = TIMESTAMP '2024-01-08' AND event_type > 'signup')
+GROUP BY day, event_type
+ORDER BY day, event_type
+LIMIT 8
+"""
+
+
+def q_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES children aggregation: order buckets (by orderpriority) with
+    the lineitem child doc count per bucket — parent-side bucket agg +
+    key-projected broadcast join + child agg."""
+    from harmonize_search_analyze_spark.operators.joins import children_agg
+
+    return children_agg(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        bucket_field="o_orderpriority",
+        k=10,
+    )
+
+
+SQL_CHILDREN_AGG = """
+WITH pc AS (
+  SELECT o_orderpriority AS bucket, COUNT(*) AS parent_count
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+), cc AS (
+  SELECT o.o_orderpriority AS bucket, COUNT(*) AS child_count
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority IS NOT NULL GROUP BY 1
+)
+SELECT pc.bucket, CAST(parent_count AS BIGINT) AS parent_count,
+       CAST(COALESCE(child_count, 0) AS BIGINT) AS child_count
+FROM pc LEFT JOIN cc ON pc.bucket = cc.bucket
+ORDER BY child_count DESC, pc.bucket ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -6891,6 +6991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_search": q_sparse_search,
         "significant_bg": q_significant_bg,
         "corpus_pipeline": q_corpus_pipeline,
+        "counter_rate": q_counter_rate,
+        "composite_datehist": q_composite_datehist,
+        "children_agg": q_children_agg,
     }
 
 
@@ -7097,4 +7200,7 @@ def oracle_sql() -> dict[str, str]:
         "sparse_search": _sql_sparse_search(),
         "significant_bg": SQL_SIGNIFICANT_BG,
         "corpus_pipeline": _sql_corpus_pipeline(),
+        "counter_rate": SQL_COUNTER_RATE,
+        "composite_datehist": SQL_COMPOSITE_DATEHIST,
+        "children_agg": SQL_CHILDREN_AGG,
     }

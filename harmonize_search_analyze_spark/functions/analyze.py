@@ -140,6 +140,15 @@ def _filter_sql(
             f"{tr}({toks}, t -> translate(t, {_q(_FOLD_SRC)},"
             f" {_q(_FOLD_DST)}))"
         )
+    if name == "stemmer_minimal_english":
+        # Lucene's EnglishMinimalStemFilter contract: strip one plural
+        # 's' from words when the stem keeps >= 3 chars and the char
+        # before the 's' is none of s/u/a/i (-ss, -us, -ais, -is keep
+        # their s). Same regex both engines; only the backreference
+        # SYNTAX differs (Java $1 vs RE2 \1).
+        rx = "^(.{2,}?[^suai])s$"
+        rep = "'$1'" if spark else "'\\1'"
+        return f"{tr}({toks}, t -> regexp_replace(t, '{rx}', {rep}))"
     if name == "stop":
         words = params.get("words", ENGLISH_STOP)
         lst = ", ".join(_q(w) for w in words)

@@ -975,30 +975,62 @@ def bucket_stats(
 
 def composite_agg(
     df: DataFrame,
-    fields: list[str],
+    fields: list[str] | None = None,
     size: int = 100,
     after: dict | None = None,
+    *,
+    sources: list[tuple[str, dict | None]] | None = None,
 ) -> DataFrame:
-    """ES ``composite`` agg: exhaustive multi-field buckets streamed in
+    """ES ``composite`` agg: exhaustive multi-source buckets streamed in
     pages of ``size``, resumable from the ``after`` key (the last bucket of
     the previous page). Buckets are ordered by the natural (lexicographic)
     key order, so pagination = a tuple-inequality filter pushed *below* the
     top-k — each page costs one hash agg + TakeOrderedAndProject, never a
-    full materialization of all buckets on the driver."""
+    full materialization of all buckets on the driver.
+
+    Sources follow the ES value-source forms: ``fields`` is shorthand for
+    raw ``terms`` sources; ``sources`` additionally accepts derived keys —
+    ``(name, {"date_histogram": {"field": ts, "interval": "1 day"}})``
+    (fixed-interval, epoch-aligned like date_histogram) and
+    ``(name, {"histogram": {"field": v, "interval": w}})`` — computed
+    in-plan, so the after-key inequality still rides below the agg on the
+    derived columns."""
+    if (fields is None) == (sources is None):
+        raise ValueError("pass exactly one of fields / sources")
+    if sources is None:
+        sources = [(f, None) for f in fields]
+    keyed = df
+    names: list[str] = []
+    for name, spec in sources:
+        if spec is None:
+            col = F.col(name)
+        elif "date_histogram" in spec:
+            cfg = spec["date_histogram"]
+            col = F.window(F.col(cfg["field"]), cfg["interval"])["start"]
+        elif "histogram" in spec:
+            cfg = spec["histogram"]
+            iv = float(cfg["interval"])
+            col = (
+                F.floor(F.col(cfg["field"]) / F.lit(iv)) * F.lit(iv)
+            ).cast("double")
+        else:
+            raise ValueError(f"unknown composite source: {spec!r}")
+        keyed = keyed.withColumn(name, col)
+        names.append(name)
     out = (
-        df.na.drop(subset=fields)
-        .groupBy(*fields)
+        keyed.na.drop(subset=names)
+        .groupBy(*names)
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
     if after:
         pred = F.lit(False)
         eq = F.lit(True)
-        for f in fields:
+        for f in names:
             if f in after:
                 pred = pred | (eq & (F.col(f) > F.lit(after[f])))
                 eq = eq & (F.col(f) == F.lit(after[f]))
         out = out.where(pred)
-    return out.orderBy(*fields).limit(size)
+    return out.orderBy(*names).limit(size)
 
 
 def haversine_sql(lat: str, lon: str, origin: tuple[float, float]) -> str:
@@ -2146,4 +2178,56 @@ def terms_enum(
         .distinct()
         .orderBy(F.asc("term"))
         .limit(size)
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    series_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    per_seconds: float = 1.0,
+) -> DataFrame:
+    """TSDB counter ``rate``: per-series increase of a MONOTONIC counter
+    per ``per_seconds``, reset-aware (ES time_series rate / PromQL rate
+    semantics): a sample LOWER than its predecessor is a counter reset,
+    and the post-reset value itself counts as increase from zero —
+    increase = Σ (v_i - v_{i-1} if v_i >= v_{i-1} else v_i).
+
+    Returns (series, samples BIGINT, increase DOUBLE, rate DOUBLE rounded
+    6 — NULL for series with < 2 samples or a zero time span, per the
+    undefined-rate contract).
+
+    Shape: one series-keyed window (lag) sharing its exchange with the
+    per-series aggregation — a single shuffle; per-series state is one
+    lag row, never a collected array."""
+    w = Window.partitionBy(series_col).orderBy(F.asc(ts_col), F.asc(value_col))
+    v = F.col(value_col).cast("double")
+    prev = F.lag(v, 1).over(w)
+    inc = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(v >= prev, v - prev).otherwise(v)
+    )
+    e = F.col(ts_col).cast("double")
+    stepped = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(series_col).alias("series"),
+        e.alias("__e"),
+        inc.alias("__inc"),
+    )
+    span = F.max("__e") - F.min("__e")
+    return (
+        stepped.groupBy("series")
+        .agg(
+            F.count(F.lit(1)).alias("samples"),
+            F.round(F.sum("__inc"), 6).alias("increase"),
+            F.round(
+                F.try_divide(
+                    F.sum("__inc") * F.lit(float(per_seconds)), span
+                ),
+                6,
+            ).alias("rate"),
+        )
+        .orderBy("series")
     )

@@ -326,3 +326,50 @@ def has_parent(
         on=child_key,
         how="left_semi",
     )
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    bucket_field: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``children`` aggregation (join-field families): bucket the
+    PARENT documents by ``bucket_field``, then count the CHILD documents
+    that belong to each bucket's parents — the parent_count/child_count
+    pair ES renders as the bucket doc_count plus its ``children``
+    sub-agg doc_count. Ties pinned child_count DESC, bucket ASC.
+
+    Shape: one parent-side bucket agg; the child side joins ONLY the
+    (parent_key, bucket) projection — broadcast when parents are
+    dimension-sized — then aggregates by bucket. Two hash aggs + one
+    key join; no row ever carries more than the join key and bucket."""
+    pb = F.col(bucket_field)
+    parent_counts = (
+        parents.where(pb.isNotNull())
+        .groupBy(pb.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("parent_count"))
+    )
+    keyed = parents.where(pb.isNotNull()).select(
+        F.col(parent_key).alias("__pk"), pb.alias("bucket")
+    )
+    child_counts = (
+        children.join(
+            keyed, children[child_key] == keyed["__pk"], "inner"
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("child_count"))
+    )
+    return (
+        parent_counts.join(child_counts, "bucket", "left")
+        .select(
+            "bucket",
+            "parent_count",
+            F.coalesce("child_count", F.lit(0)).alias("child_count"),
+        )
+        .orderBy(F.desc("child_count"), F.asc("bucket"))
+        .limit(k)
+    )

@@ -1362,3 +1362,57 @@ def test_reindex_update_delete_rollover(spark):
     assert cat.resolve("logs-write").count() == 0  # alias repointed
     # pattern search still unions every generation
     assert cat.resolve("logs-*").count() == 2
+
+
+def test_counter_rate_reset_aware(spark):
+    """PromQL/ES-TSDB rate semantics: resets contribute the post-reset
+    value; <2 samples or zero span => NULL rate."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        counter_rate,
+    )
+
+    t = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)
+    df = spark.createDataFrame(
+        [("a", t(0), 10.0), ("a", t(10), 25.0), ("a", t(20), 5.0),
+         ("a", t(30), 8.0),
+         ("b", t(0), 1.0)],
+        ["host", "ts", "ctr"],
+    )
+    rows = {r.series: r for r in
+            counter_rate(df, "host", "ts", "ctr", per_seconds=10).collect()}
+    # a: +15, reset->+5, +3 = 23 over 30s -> 23*10/30
+    assert rows["a"].increase == 23.0
+    assert rows["a"].rate == round(23.0 * 10 / 30, 6)
+    assert rows["b"].samples == 1 and rows["b"].rate is None
+
+
+def test_composite_derived_sources(spark):
+    """composite with date_histogram + histogram sources: derived bucket
+    keys, after-key pagination on the derived values."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        composite_agg,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + d, h), float(v))
+         for d, h, v in [(0, 1, 1), (0, 2, 9), (1, 1, 14), (1, 2, 16),
+                         (2, 1, 5)]],
+        ["ts", "v"],
+    )
+    srcs = [("day", {"date_histogram": {"field": "ts",
+                                        "interval": "1 day"}}),
+            ("bin", {"histogram": {"field": "v", "interval": 10.0}})]
+    page1 = [(r.day.day, r.bin, r.doc_count) for r in
+             composite_agg(df, sources=srcs, size=2).collect()]
+    assert page1 == [(1, 0.0, 2), (2, 10.0, 2)]
+    page2 = [(r.day.day, r.bin, r.doc_count) for r in
+             composite_agg(df, sources=srcs, size=2,
+                           after={"day": dt.datetime(2024, 1, 2),
+                                  "bin": 10.0}).collect()]
+    assert page2 == [(3, 0.0, 1)]
+    with pytest.raises(ValueError):
+        composite_agg(df, fields=["v"], sources=srcs)

@@ -91,3 +91,12 @@ def test_analyze_api_positions(spark):
     assert [(r.id, r.position, r.token) for r in rows] == [
         (1, 0, "foo"), (1, 1, "bar"), (1, 2, "foo"),
     ]
+
+
+def test_minimal_english_stemmer(spark):
+    got = _run(spark, "dogs pass bus curious his cats s as axis",
+               filters=["lowercase", "stemmer_minimal_english"])
+    #         dogs->dog, pass stays (ss), bus stays (us), curious stays,
+    #         his stays (is), cats->cat, short words stay
+    assert got == ["dog", "pass", "bus", "curious", "his", "cat", "s",
+                   "as", "axis"]

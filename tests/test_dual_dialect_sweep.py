@@ -705,3 +705,10 @@ def test_analyze_chains(spark):
         ("shingle", {"min_shingle_size": 2, "max_shingle_size": 2,
                      "output_unigrams": False}),
     ])
+
+
+def test_analyze_stemmer_chain(spark):
+    from harmonize_search_analyze_spark.functions.analyze import analyze_sql
+
+    _sweep(spark, analyze_sql,
+           filters=["lowercase", "stemmer_minimal_english", "unique"])

@@ -245,3 +245,20 @@ def test_has_child_has_parent(spark):
                      parent_pred=F.col("seg").isin("a", "c"))
     assert {r.ck for r in got.collect()} == {10, 11, 12, 14}
     assert set(got.columns) == {"ck", "fk", "tag"}
+
+
+def test_children_agg_counts(spark):
+    """ES children agg: parent buckets with child doc counts; bucket
+    with no children keeps child_count 0."""
+    from harmonize_search_analyze_spark.operators.joins import children_agg
+
+    parents = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], ["pid", "grp"]
+    )
+    children = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], ["cid", "parent"]
+    )
+    got = [(r.bucket, r.parent_count, r.child_count) for r in children_agg(
+        parents, children, parent_key="pid", child_key="parent",
+        bucket_field="grp").collect()]
+    assert got == [("a", 2, 3), ("b", 1, 1), ("c", 1, 0)]
