@@ -6486,7 +6486,8 @@ def _sql_pr_curve() -> str:
     return f"""
 WITH scored AS (
   SELECT ROUND({dot} / NULLIF({nrm} * {qnorm!r}, 0.0), 2) AS score,
-         CASE WHEN label = 1 THEN 1 ELSE 0 END AS y
+         CASE WHEN label IS NULL THEN NULL
+              WHEN label = 1 THEN 1 ELSE 0 END AS y
   FROM embeddings
 ), per AS (
   SELECT score AS threshold, COUNT(*) AS n, SUM(y) AS np

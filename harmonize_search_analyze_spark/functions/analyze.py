@@ -141,14 +141,27 @@ def _filter_sql(
             f" {_q(_FOLD_DST)}))"
         )
     if name == "stemmer_minimal_english":
-        # Lucene's EnglishMinimalStemFilter contract: strip one plural
-        # 's' from words when the stem keeps >= 3 chars and the char
-        # before the 's' is none of s/u/a/i (-ss, -us, -ais, -is keep
-        # their s). Same regex both engines; only the backreference
-        # SYNTAX differs (Java $1 vs RE2 \1).
-        rx = "^(.{2,}?[^suai])s$"
-        rep = "'$1'" if spark else "'\\1'"
-        return f"{tr}({toks}, t -> regexp_replace(t, '{rx}', {rep}))"
+        # Lucene EnglishMinimalStemFilter (Harman's S-stemmer), the exact
+        # published decision tree so terms match an ES-analyzed index:
+        #   len < 3 or no trailing 's'        -> keep
+        #   ends -us / -ss                    -> keep
+        #   ends -ies, len > 3, char before
+        #     the suffix not a/e              -> ies -> y  (ponies->pony)
+        #   ends -Xes with X in {i,a,o,u}     -> keep      (goes, ies)
+        #   otherwise                         -> strip the 's'
+        ln = "length(t)"
+        ch = lambda back: f"substr(t, {ln} - {back}, 1)"  # noqa: E731
+        body = (
+            f"CASE WHEN {ln} < 3 OR {ch(0)} <> 's' THEN t"
+            f" WHEN {ch(1)} IN ('u', 's') THEN t"
+            f" WHEN {ch(1)} = 'e' AND {ln} > 3 AND {ch(2)} = 'i'"
+            f" AND {ch(3)} NOT IN ('a', 'e')"
+            f" THEN concat(substr(t, 1, {ln} - 3), 'y')"
+            f" WHEN {ch(1)} = 'e' AND {ch(2)} IN ('i', 'a', 'o', 'u')"
+            " THEN t"
+            f" ELSE substr(t, 1, {ln} - 1) END"
+        )
+        return f"{tr}({toks}, t -> {body})"
     if name == "stop":
         words = params.get("words", ENGLISH_STOP)
         lst = ", ".join(_q(w) for w in words)

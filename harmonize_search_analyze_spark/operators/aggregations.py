@@ -661,6 +661,20 @@ def significant_terms(
     elif heuristic == "percentage":
         score = F.try_divide(F.col("fg_count"), F.col("bg_count"))
     else:  # chi_square, superset-adjusted contingency
+        if background_filter is not None:
+            # a foreground row outside the narrowed background makes
+            # fg_count > bg_count and the 2x2 table's cells negative; ES
+            # throws (subsetFreq > supersetFreq) — fail IN-PLAN rather
+            # than emit a wrong-signed score (the interval_join pattern)
+            guard = F.when(
+                F.col("fg_count") > F.col("bg_count"),
+                F.raise_error(F.lit(
+                    "significant_terms chi_square: foreground is not a "
+                    "subset of the filtered background — add the "
+                    "background_filter to the foreground predicate or "
+                    "use the jlh/percentage heuristics"
+                )).cast("double"),
+            )
         n11 = F.col("fg_count").cast("double")
         n01 = (F.col("bg_count") - F.col("fg_count")).cast("double")
         n10 = (F.col("fg_total") - F.col("fg_count")).cast("double")
@@ -677,6 +691,8 @@ def significant_terms(
             n11 * (n01 + n00) < n01 * (n11 + n10), F.lit(-1.0)
         ).otherwise(F.lit(1.0))
         score = sign * F.try_divide(num, den)
+        if background_filter is not None:
+            score = guard.otherwise(score)
     return (
         per_term.crossJoin(F.broadcast(totals))
         .where(F.col("fg_count") > 0)

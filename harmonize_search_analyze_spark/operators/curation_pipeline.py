@@ -51,7 +51,7 @@ def _q(s: str) -> str:
 
 
 def _stage_predicate(
-    kind: str, cfg: dict, text_col: str, dialect: str
+    kind: str, cfg: dict, text_col: str, dialect: str, id_col: str
 ) -> str | None:
     """The boolean fragment of a filter-shaped stage (None for stages
     that are not plain predicates)."""
@@ -76,7 +76,7 @@ def _stage_predicate(
             raise ValueError(f"fraction must be in [0, 1], got {frac}")
         seed = int(cfg.get("seed", 42))
         thr = int(frac * HASH_BUCKETS)
-        key = cfg.get("key", "doc_id")
+        key = cfg.get("key", id_col)  # default: the PIPELINE's id column
         return f"({sample_hash_sql(key, dialect, seed=seed)}) < {thr}"
     return None
 
@@ -100,7 +100,7 @@ def run_corpus_pipeline(
         if len(stage) != 1:
             raise ValueError("each stage must be a single {kind: config}")
         (kind, cfg), = stage.items()
-        pred = _stage_predicate(kind, cfg, text_col, "spark")
+        pred = _stage_predicate(kind, cfg, text_col, "spark", id_col)
         if pred is not None:
             out = out.where(F.expr(pred))
             continue
@@ -138,7 +138,7 @@ def corpus_pipeline_sql(
     for i, stage in enumerate(stages, start=1):
         (kind, cfg), = stage.items()
         name = f"s{i}"
-        pred = _stage_predicate(kind, cfg, text_col, "duckdb")
+        pred = _stage_predicate(kind, cfg, text_col, "duckdb", id_col)
         if pred is not None:
             ctes.append(
                 f"{name} AS (SELECT * FROM {cur} WHERE {pred})"

@@ -1277,6 +1277,14 @@ def sparse_vector_sql(
             raise ValueError(f"query terms must be alnum tokens: {t!r}")
     if not query_weights:
         raise ValueError("query_weights must be non-empty")
+    folded = {t.lower() for t in query_weights}
+    if len(folded) != len(query_weights):
+        # two case-variants would BOTH join each tf row, silently summing
+        # their weights — reject rather than inflate
+        raise ValueError(
+            "query_weights terms collide after lowercasing; "
+            "provide one weight per folded term"
+        )
     toks = tokens_sql(text_col, dialect)
     tlist = ", ".join(f"'{t.lower()}'" for t in query_weights)
     vals = ", ".join(

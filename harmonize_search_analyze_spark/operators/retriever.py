@@ -39,29 +39,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _match_terms(query: dict, text_col: str) -> list[str] | None:
-    """Extract the scoring terms of a {"match": {text_col: "..."}} clause,
-    searching through bool/must/should nesting."""
-    if not isinstance(query, dict):
+import re as _re
+
+_TOKEN_RE = _re.compile(r"[^a-z0-9]+")
+
+
+def _split_query(
+    query: dict, text_col: str
+) -> tuple[list[str] | None, dict | None]:
+    """Split a standard-retriever query into (scoring terms, residual
+    filter query). The SCORING clause is a ``{"match": {text_col: ...}}``
+    found standalone or inside ``bool.must``; its text is tokenized with
+    the ENGINE tokenizer ([a-z0-9] runs — "spark-join" scores as two
+    terms, matching the document side), and every sibling clause remains
+    in the residual, which the caller compiles and applies as a filter —
+    ES semantics: the other must/filter/must_not clauses restrict, the
+    match clause scores."""
+
+    def terms_of(clause: dict) -> list[str] | None:
+        if isinstance(clause, dict) and "match" in clause:
+            body = clause["match"]
+            if text_col in body:
+                val = body[text_col]
+                text = val["query"] if isinstance(val, dict) else val
+                if isinstance(text, str):
+                    return [
+                        t for t in _TOKEN_RE.split(text.lower()) if t
+                    ]
         return None
-    if "match" in query:
-        body = query["match"]
-        if text_col in body:
-            val = body[text_col]
-            text = val["query"] if isinstance(val, dict) else val
-            if isinstance(text, str):
-                return [t for t in text.lower().split() if t.isalnum()]
-        return None
-    if "bool" in query:
-        for key in ("must", "should"):
-            clauses = query["bool"].get(key, [])
-            if isinstance(clauses, dict):
-                clauses = [clauses]
-            for c in clauses:
-                terms = _match_terms(c, text_col)
-                if terms:
-                    return terms
-    return None
+
+    direct = terms_of(query)
+    if direct is not None:
+        return direct, None
+    if isinstance(query, dict) and "bool" in query:
+        must = query["bool"].get("must", [])
+        if isinstance(must, dict):
+            must = [must]
+        for i, clause in enumerate(must):
+            terms = terms_of(clause)
+            if terms is not None:
+                residual_must = must[:i] + must[i + 1:]
+                residual_bool = {
+                    k: v for k, v in query["bool"].items() if k != "must"
+                }
+                if residual_must:
+                    residual_bool["must"] = residual_must
+                residual = {"bool": residual_bool} if residual_bool else None
+                return terms, residual
+    return None, query
 
 
 def run_retriever(
@@ -77,7 +102,7 @@ def run_retriever(
 ) -> DataFrame:
     """Execute a retriever tree. Returns (``id_col``, rank) — the top-k
     of the root retriever, rank 1-based and totally ordered."""
-    return _run(
+    out = _run(
         spec,
         docs=docs,
         embeddings=embeddings,
@@ -86,7 +111,10 @@ def run_retriever(
         vec_col=vec_col,
         vec_id_col=vec_id_col,
         k=k,
-    ).select(id_col, "rank")
+    )
+    # the root ALWAYS honors the caller's k — a knn leaf's own body["k"]
+    # (its candidate count) may exceed it
+    return out.where(F.col("rank") <= k).select(id_col, "rank")
 
 
 def _run(
@@ -124,7 +152,10 @@ def _run(
         base = docs
         if body.get("filter") is not None:
             base = base.where(compile_query(body["filter"]))
-        terms = _match_terms(body.get("query") or {}, text_col)
+        terms, residual = _split_query(body.get("query") or {}, text_col)
+        if residual is not None and terms:
+            # sibling bool clauses RESTRICT while the match clause scores
+            base = base.where(compile_query(residual))
         if terms:
             from harmonize_search_analyze_spark.operators.ranking import (
                 bm25_search,

@@ -1416,3 +1416,31 @@ def test_composite_derived_sources(spark):
     assert page2 == [(3, 0.0, 1)]
     with pytest.raises(ValueError):
         composite_agg(df, fields=["v"], sources=srcs)
+
+
+def test_significant_chi2_background_filter_guard(spark):
+    """chi_square + background_filter with a non-subset foreground must
+    fail in-plan (ES subsetFreq > supersetFreq contract), not emit a
+    wrong-signed score."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        significant_terms,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("a", 1, 1), ("b", 0, 1)], ["term", "fg", "bg"]
+    )
+    out = significant_terms(
+        df, "term", F.col("fg") == 1, heuristic="chi_square",
+        background_filter=F.col("bg") == 1,
+    )
+    with pytest.raises(Exception, match="not a subset"):
+        out.collect()
+    # subset foreground works fine
+    ok = significant_terms(
+        df, "term", (F.col("fg") == 1) & (F.col("bg") == 1),
+        heuristic="chi_square", background_filter=F.col("bg") == 1,
+    ).collect()
+    assert len(ok) == 1

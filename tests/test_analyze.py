@@ -94,9 +94,12 @@ def test_analyze_api_positions(spark):
 
 
 def test_minimal_english_stemmer(spark):
-    got = _run(spark, "dogs pass bus curious his cats s as axis",
-               filters=["lowercase", "stemmer_minimal_english"])
-    #         dogs->dog, pass stays (ss), bus stays (us), curious stays,
-    #         his stays (is), cats->cat, short words stay
-    assert got == ["dog", "pass", "bus", "curious", "his", "cat", "s",
-                   "as", "axis"]
+    """Exact Lucene EnglishMinimalStemmer (Harman S-stemmer) outputs —
+    including its deliberately crude cases (his->hi, dies->dy)."""
+    got = _run(
+        spark,
+        "dogs pass bus curious his cats s as ponies goes dies makes ies",
+        filters=["lowercase", "stemmer_minimal_english"],
+    )
+    assert got == ["dog", "pass", "bus", "curious", "hi", "cat", "s",
+                   "as", "pony", "goes", "dy", "make", "ies"]

@@ -135,3 +135,35 @@ def test_linear_combiner_minmax(corpus):
         run_retriever({"linear": {"retrievers": [
             {"retriever": {"standard": {"query": {"match": {"text": "x"}}}},
              "normalizer": "zscore"}]}}, docs=docs)
+
+
+def test_standard_sibling_clauses_restrict(corpus):
+    """Review finding: bool siblings of the scoring match clause must
+    FILTER (ES semantics), and hyphenated query text tokenizes like the
+    document side."""
+    docs, _ = corpus
+    got = {r.doc_id for r in run_retriever(
+        {"standard": {"query": {"bool": {"must": [
+            {"match": {"text": "spark join"}},
+            {"match": {"src": "b"}},
+        ]}}}},
+        docs=docs, k=5,
+    ).collect()}
+    assert got == {4}  # only src='b' docs can rank; doc 3 has no terms
+    # engine tokenization of the query text: spark-join == spark join
+    a = [r.doc_id for r in run_retriever(
+        {"standard": {"query": {"match": {"text": "spark-join"}}}},
+        docs=docs, k=5).collect()]
+    b = [r.doc_id for r in run_retriever(
+        {"standard": {"query": {"match": {"text": "spark join"}}}},
+        docs=docs, k=5).collect()]
+    assert a == b
+
+
+def test_root_k_caps_knn_candidates(corpus):
+    docs, emb = corpus
+    got = run_retriever(
+        {"knn": {"query_vector": [1.0, 0.5, 0.0, -0.5], "k": 4}},
+        docs=docs, embeddings=emb, k=2,
+    ).collect()
+    assert len(got) == 2
