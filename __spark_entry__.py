@@ -6634,16 +6634,20 @@ _CURATION_STAGES = [
     {"lang_filter": {"keep": ["en"]}},
     {"quality_filter": {"min_score": 0.4}},
     {"length_filter": {"min_chars": 100, "max_chars": 5000}},
+    {"pii_redact": {}},
     {"exact_dedup": {}},
+    {"line_dedup": {"min_line_chars": 10}},
     {"sample": {"fraction": 0.5}},
 ]
 
 
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven curation pipeline (Dolma/datatrove config shape):
-    lang-ID -> quality -> length -> exact-dedup -> deterministic sample,
-    compiled from ONE dual-dialect stage generator. Filters fuse into the
-    scan; the dedup window is the single wide stage."""
+    lang-ID -> quality -> length -> PII redaction -> exact dedup ->
+    corpus-wide line dedup -> deterministic sample, compiled from ONE
+    dual-dialect stage generator. Filters fuse into the scan; the dedup
+    windows are the wide stages. final_chars witnesses the text
+    transforms end-to-end."""
     from harmonize_search_analyze_spark.operators.curation_pipeline import (
         run_corpus_pipeline,
     )
@@ -6651,7 +6655,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
         run_corpus_pipeline(docs, _CURATION_STAGES)
-        .select("doc_id", "lang", "n_chars")
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.length("text").cast("bigint").alias("final_chars"),
+        )
         .orderBy("doc_id")
     )
 
@@ -6661,9 +6668,15 @@ def _sql_corpus_pipeline() -> str:
         corpus_pipeline_sql,
     )
 
-    return corpus_pipeline_sql(
-        "documents", _CURATION_STAGES, ["doc_id", "lang", "n_chars"]
+    inner = corpus_pipeline_sql(
+        "documents", _CURATION_STAGES,
+        ["doc_id", "lang", "n_chars", "text"],
     )
+    return f"""
+SELECT doc_id, lang, n_chars,
+       CAST(length(text) AS BIGINT) AS final_chars
+FROM ({inner}) ORDER BY doc_id
+"""
 
 
 def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,7 +12,9 @@ ingest pipelines):
     {"quality_filter": {"min_score": 0.5}}
     {"length_filter":  {"min_chars": 100, "max_chars": 20000}}
     {"clean":          {}}                      # C4 text normalization
+    {"pii_redact":     {}}                      # [EMAIL]/[SSN]/[PHONE]/[IP]
     {"exact_dedup":    {}}                      # keep min-id per digest
+    {"line_dedup":     {"min_line_chars": 10}}  # corpus-wide line dedup
     {"sample":         {"fraction": 0.1, "seed": 42}}
 
 Every stage compiles from ONE dual-dialect fragment generator
@@ -108,6 +110,26 @@ def run_corpus_pipeline(
             out = out.withColumn(
                 text_col, F.expr(clean_text_sql(text_col, "spark"))
             )
+        elif kind == "pii_redact":
+            from harmonize_search_analyze_spark.operators.curation import (
+                redact_pii_sql,
+            )
+
+            out = out.withColumn(
+                text_col, F.expr(redact_pii_sql(text_col, "spark"))
+            )
+        elif kind == "line_dedup":
+            from harmonize_search_analyze_spark.operators.dedup import (
+                line_dedup,
+            )
+
+            ld = line_dedup(
+                out.select(id_col, text_col),
+                id_col,
+                text_col,
+                min_line_chars=int(cfg.get("min_line_chars", 10)),
+            ).select(id_col, text_col)
+            out = out.drop(text_col).join(ld, id_col)
         elif kind == "exact_dedup":
             w = Window.partitionBy(
                 F.expr(_digest_sql(text_col))
@@ -143,15 +165,43 @@ def corpus_pipeline_sql(
             ctes.append(
                 f"{name} AS (SELECT * FROM {cur} WHERE {pred})"
             )
-        elif kind == "clean":
+        elif kind in ("clean", "pii_redact"):
+            if kind == "clean":
+                repl = clean_text_sql(text_col, "duckdb")
+            else:
+                from harmonize_search_analyze_spark.operators.curation import (  # noqa: E501
+                    redact_pii_sql,
+                )
+
+                repl = redact_pii_sql(text_col, "duckdb")
             others = ", ".join(
                 c for c in columns if c != text_col
             )
             sel = (others + ", ") if others else ""
             ctes.append(
                 f"{name} AS (SELECT {sel}"
-                f"{clean_text_sql(text_col, 'duckdb')} AS {text_col}"
+                f"{repl} AS {text_col}"
                 f" FROM {cur})"
+            )
+        elif kind == "line_dedup":
+            from harmonize_search_analyze_spark.operators.dedup import (
+                line_dedup_sql,
+            )
+
+            inner = line_dedup_sql(
+                cur,
+                id_col,
+                text_col,
+                min_line_chars=int(cfg.get("min_line_chars", 10)),
+            )
+            others = ", ".join(
+                f"o.{c}" for c in columns if c != text_col
+            )
+            sel = (others + ", ") if others else ""
+            ctes.append(
+                f"{name} AS (SELECT {sel}ld.{text_col} AS {text_col}"
+                f" FROM {cur} o JOIN ({inner}) ld"
+                f" ON o.{id_col} = ld.{id_col})"
             )
         elif kind == "exact_dedup":
             ctes.append(

@@ -350,3 +350,33 @@ def test_corpus_pipeline_stage_semantics(spark):
         run_corpus_pipeline(df, [{"dedupe": {}}])
     with _pytest.raises(ValueError, match="single"):
         run_corpus_pipeline(df, [{"a": {}, "b": {}}])
+
+
+def test_corpus_pipeline_redact_and_line_dedup(spark):
+    """pii_redact + line_dedup stages: text transforms thread through the
+    pipeline and match the oracle composition."""
+    import duckdb
+    import pandas as pd
+
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        corpus_pipeline_sql,
+        run_corpus_pipeline,
+    )
+
+    rows = [
+        (1, "contact me at bob@example.com now\nthis line repeats often"),
+        (2, "totally original content here\nthis line repeats often"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stages = [{"pii_redact": {}}, {"line_dedup": {"min_line_chars": 5}}]
+    got = {r.doc_id: r.text for r in
+           run_corpus_pipeline(df, stages).collect()}
+    assert "[EMAIL]" in got[1] and "bob@" not in got[1]
+    assert "repeats often" in got[1]          # first occurrence kept
+    assert "repeats often" not in got[2]      # dropped downstream
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = dict(con.sql(corpus_pipeline_sql(
+        "docs_t", stages, ["doc_id", "text"])).fetchall())
+    assert got == want
