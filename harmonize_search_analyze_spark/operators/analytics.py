@@ -509,3 +509,108 @@ def pr_curve(
         )
         .orderBy(F.desc("threshold"))
     )
+
+
+def step_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """User-path transition edges (the Sankey/next-step panel): count the
+    (from_step, to_step) pairs of CONSECUTIVE events per user, ranked by
+    frequency (ties pinned from ASC, to ASC).
+
+    Windowless pair construction (the bigram_lm_score trick): each user's
+    events collapse to ONE sorted array via a hash agg, and the adjacent
+    pairs come from zip-with-shift inside the row — no per-user
+    row_number window, so the only exchanges are the per-user agg and
+    the final edge count. Per-user state is the user's event count
+    (bounded by sessions, same contract as sessionize_batch — pre-filter
+    pathological users first at extreme scale)."""
+    ordered = (
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(event_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("t"),
+                        F.col(event_col).alias("e"),
+                    )
+                )
+            ).alias("__seq")
+        )
+    )
+    pairs = ordered.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__seq) >= 2 THEN"
+                " transform(sequence(1, size(__seq) - 1),"
+                " i -> struct(__seq[i - 1].e AS from_step,"
+                " __seq[i].e AS to_step))"
+                " ELSE array() END"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.from_step", "p.to_step")
+        .groupBy("from_step", "to_step")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+        .orderBy(F.desc("transitions"), F.asc("from_step"),
+                 F.asc("to_step"))
+        .limit(k)
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Seasonality-aware rate anomalies: hourly event counts scored
+    against the SAME-HOUR-OF-DAY profile (mean/stddev over the series),
+    flagging |z| >= threshold — the seasonal twin of rate_anomalies
+    (which scores against the whole-series distribution and therefore
+    flags every rush hour). Returns the flagged buckets
+    (bucket, doc_count, hour_of_day, expected, z) ordered by bucket.
+
+    Shape: one hourly hash agg over the raw rows; the 24-row profile
+    aggregates FROM the bucket frame and broadcast-joins back — raw data
+    is scanned once, everything after is bucket-level."""
+    hourly = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    hod = F.hour("bucket").alias("hour_of_day")
+    prof = (
+        hourly.groupBy(hod)
+        .agg(
+            F.avg("doc_count").alias("__mu"),
+            F.stddev_pop("doc_count").alias("__sd"),
+        )
+    )
+    z = F.try_divide(
+        F.col("doc_count") - F.col("__mu"), F.col("__sd")
+    )
+    return (
+        hourly.select("bucket", "doc_count", hod)
+        .join(F.broadcast(prof), "hour_of_day")
+        .select(
+            "bucket",
+            "doc_count",
+            "hour_of_day",
+            F.round("__mu", 6).alias("expected"),
+            F.round(z, 6).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= float(threshold))
+        .orderBy("bucket")
+    )

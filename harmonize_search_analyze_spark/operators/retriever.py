@@ -270,4 +270,33 @@ def _run(
             id_col, F.row_number().over(w).alias("rank"), "score"
         )
 
+    if kind == "rescorer":
+        # ES 8.x rescorer retriever: re-score the child's top window with
+        # a second scorer and re-rank — here the rescore query is the
+        # engine's restricted script form (a SQL expression over the doc
+        # columns, same contract as script_score), combined as
+        # query_weight * child_score + rescore_query_weight * script.
+        rs = body["rescore"]
+        window = int(rs.get("window_size", 50))
+        qw = float(rs.get("query_weight", 1.0))
+        rqw = float(rs.get("rescore_query_weight", 1.0))
+        child = recurse(body["retriever"], window)
+        joined = child.where(F.col("rank") <= window).join(
+            docs, id_col, "inner"
+        )
+        new_score = F.round(
+            F.lit(qw) * F.col("score")
+            + F.lit(rqw) * F.expr(rs["script"]).cast("double"),
+            6,
+        )
+        rescored = (
+            joined.select(id_col, new_score.alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        return rescored.select(
+            id_col, F.row_number().over(w).alias("rank"), "score"
+        )
+
     raise ValueError(f"unknown retriever kind: {kind!r}")

@@ -23,3 +23,45 @@ def test_pr_curve_hand_values(spark):
     none_pos = spark.createDataFrame([(0.9, 0), (0.1, 0)], ["score", "y"])
     r = pr_curve(none_pos, "score", "y").collect()
     assert all(x.recall is None and x.f1 is None for x in r)
+
+
+def test_step_transitions_hand_counts(spark):
+    """Consecutive-event edges per user; single-event users emit none;
+    ties pinned."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        step_transitions,
+    )
+
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)
+    df = spark.createDataFrame(
+        [(1, t(0), "view"), (1, t(1), "click"), (1, t(2), "buy"),
+         (2, t(0), "view"), (2, t(5), "click"),
+         (3, t(0), "view")],
+        ["uid", "ts", "ev"],
+    )
+    got = [(r.from_step, r.to_step, r.transitions) for r in
+           step_transitions(df, "uid", "ts", "ev").collect()]
+    assert got == [("view", "click", 2), ("click", "buy", 1)]
+
+
+def test_seasonal_anomalies_same_hour_profile(spark):
+    """A spike flags against its own hour's profile; a consistently busy
+    hour does NOT flag (the rate_anomalies failure mode)."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        seasonal_anomalies,
+    )
+
+    rows = []
+    for day in range(1, 11):
+        rows += [(dt.datetime(2025, 1, day, 9, m),) for m in range(30)]
+        rows += [(dt.datetime(2025, 1, day, 3, m),) for m in range(2)]
+    rows += [(dt.datetime(2025, 1, 11, 3, m % 60),) for m in range(40)]
+    df = spark.createDataFrame(rows, ["ts"])
+    got = seasonal_anomalies(df, "ts", threshold=2.0).collect()
+    flagged = {(r.bucket, r.hour_of_day) for r in got}
+    assert (dt.datetime(2025, 1, 11, 3), 3) in flagged
+    assert all(h == 3 for _, h in flagged)  # busy-but-normal 9am not flagged

@@ -167,3 +167,27 @@ def test_root_k_caps_knn_candidates(corpus):
         docs=docs, embeddings=emb, k=2,
     ).collect()
     assert len(got) == 2
+
+
+def test_rescorer_retriever(corpus):
+    """rescorer kind: re-rank the child's top window by a combined
+    query_weight * child_score + rescore_query_weight * script."""
+    from harmonize_search_analyze_spark.operators.retriever import _run
+
+    docs, _ = corpus
+    spec = {"rescorer": {
+        "retriever": {"standard": {"query": {"match": {"text": "spark join"}}}},
+        "rescore": {"window_size": 4, "script": "doc_id * 10.0",
+                    "query_weight": 0.0, "rescore_query_weight": 1.0},
+    }}
+    rows = sorted(
+        _run(spec, docs=docs, embeddings=None, id_col="doc_id",
+             text_col="text", vec_col="embedding", vec_id_col="vec_id",
+             k=3).collect(),
+        key=lambda r: r.rank,
+    )
+    # with query_weight 0 the rescore script (id*10) dominates: highest
+    # ids among the bm25 top-4 window win
+    ids = [r.doc_id for r in rows]
+    assert ids == sorted(ids, reverse=True)
+    assert rows[0].score == rows[0].doc_id * 10.0
