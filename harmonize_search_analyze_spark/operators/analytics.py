@@ -614,3 +614,104 @@ def seasonal_anomalies(
         .where(F.abs(F.col("z")) >= float(threshold))
         .orderBy("bucket")
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two groups'
+    distributions of a numeric column — the corpus-snapshot drift check
+    (did src A's length/quality distribution move vs src B's?), the
+    nonparametric sibling of the engine's t_test.
+
+    D = max over observed values of |F_a(x) - F_b(x)| with F the
+    empirical CDFs. Returns ONE row: (n_a, n_b, ks_stat, ks_at — the
+    value where the gap peaks, smallest such value on ties).
+
+    Shape: raw rows collapse to per-(value) counts for each group in one
+    conditional agg (map-side combine); the CDF difference is a window
+    over the DISTINCT-VALUE frame (bounded by value cardinality — round
+    upstream for continuous data); the max is a 1-row reduce. Raw data
+    is scanned once."""
+    a = F.col(group_col) == group_a
+    b = F.col(group_col) == group_b
+    per = (
+        df.where(F.col(value_col).isNotNull() & (a | b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.count(F.when(a, 1)).alias("ca"),
+            F.count(F.when(b, 1)).alias("cb"),
+        )
+    )
+    tot = per.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap = F.abs(
+        F.try_divide(F.sum("ca").over(w), F.col("na"))
+        - F.try_divide(F.sum("cb").over(w), F.col("nb"))
+    )
+    gaps = per.crossJoin(F.broadcast(tot)).select(
+        "v", "na", "nb", gap.alias("g")
+    )
+    best = gaps.orderBy(F.desc("g"), F.asc("v")).limit(1)
+    return best.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round("g", 6).alias("ks_stat"),
+        F.col("v").alias("ks_at"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns (the dashboard-era "are these fields related" check; the
+    contingency sibling of t_test/matrix_stats). Returns ONE row:
+    (n BIGINT, dof BIGINT, chi2 DOUBLE rounded 6) where
+    chi2 = Σ (observed - expected)^2 / expected over the table and
+    dof = (|A| - 1) * (|B| - 1).
+
+    Shape: one (a, b) hash agg builds the contingency cells; marginals
+    aggregate FROM the cell frame (bounded by category product) and join
+    back by key — the raw rows are scanned once, everything after is
+    category-sized."""
+    cells = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_m = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_m = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    # category counts come from the marginal frames, NOT a countDistinct
+    # mixed into the sum agg (the Expand-plan cliff, PERFORMANCE.md §2)
+    tot = cells.agg(F.sum("o").alias("n"))
+    ka = row_m.agg(F.count(F.lit(1)).alias("ka"))
+    kb = col_m.agg(F.count(F.lit(1)).alias("kb"))
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o") - e) / e
+    return (
+        cells.join(F.broadcast(row_m), "a")
+        .join(F.broadcast(col_m), "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            ((F.max("ka") - 1) * (F.max("kb") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            F.round(F.sum(term), 6).alias("chi2"),
+        )
+    )

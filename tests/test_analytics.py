@@ -65,3 +65,43 @@ def test_seasonal_anomalies_same_hour_profile(spark):
     flagged = {(r.bucket, r.hour_of_day) for r in got}
     assert (dt.datetime(2025, 1, 11, 3), 3) in flagged
     assert all(h == 3 for _, h in flagged)  # busy-but-normal 9am not flagged
+
+
+def test_ks_drift_hand_values(spark):
+    """KS statistic vs a hand-computed CDF gap; identical distributions
+    give ~0."""
+    from harmonize_search_analyze_spark.operators.analytics import ks_drift
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + \
+           [("b", v) for v in [3.0, 4.0, 5.0, 6.0]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ks_drift(df, "v", "g", "a", "b").collect()[0]
+    # F_a(2)=0.5, F_b(2)=0 -> gap .5 ; same at v=4 (1.0 vs 0.5): tie ->
+    # smallest value wins
+    assert (r.n_a, r.n_b, r.ks_stat, r.ks_at) == (4, 4, 0.5, 2.0)
+
+    same = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0), ("a", 2.0), ("b", 2.0)], ["g", "v"]
+    )
+    assert ks_drift(same, "v", "g", "a", "b").collect()[0].ks_stat == 0.0
+
+
+def test_chi2_independence_hand_values(spark):
+    """2x2 contingency chi2 against the textbook formula; independent
+    columns give ~0."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        chi2_independence,
+    )
+
+    rows = [("x", "p")] * 30 + [("x", "q")] * 10 + \
+           [("y", "p")] * 10 + [("y", "q")] * 30
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = chi2_independence(df, "a", "b").collect()[0]
+    # expected all cells 20 -> chi2 = 4 * (10^2/20) = 20
+    assert (r.n, r.dof, r.chi2) == (80, 1, 20.0)
+
+    ind = spark.createDataFrame(
+        [("x", "p")] * 9 + [("x", "q")] * 3 + [("y", "p")] * 3
+        + [("y", "q")] * 1, ["a", "b"]
+    )
+    assert chi2_independence(ind, "a", "b").collect()[0].chi2 == 0.0
