@@ -680,3 +680,40 @@ def test_corpus_pipeline_filters_fuse_one_exchange(docs):
     assert p.count("Exchange") == 1, p
     assert "Python" not in p, p
     assert "WindowGroupLimit" in p, p
+
+
+def test_step_transitions_no_window(spark):
+    """The per-user pair stream is zip-with-shift over ONE collected
+    array per user — no Window operator anywhere in the plan."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        step_transitions,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, dt.datetime(2025, 1, 1 + i % 20), "e" + str(i % 3))
+         for i in range(100)],
+        ["uid", "ts", "ev"],
+    )
+    out = step_transitions(df, "uid", "ts", "ev")
+    out.count()
+    p = _plan(out)
+    assert "Window" not in p, p
+    assert "Python" not in p, p
+
+
+def test_ks_drift_single_scan_bounded_window(spark):
+    """Raw rows collapse to per-value counts before the CDF window; one
+    scan, window input is the distinct-value frame."""
+    from harmonize_search_analyze_spark.operators.analytics import ks_drift
+
+    df = spark.createDataFrame(
+        [("a" if i % 2 else "b", float(i % 13)) for i in range(200)],
+        ["g", "v"],
+    )
+    out = ks_drift(df, "v", "g", "a", "b")
+    out.collect()
+    p = _plan(out)
+    assert p.count("Scan ExistingRDD") == 1, p
+    assert "Python" not in p, p
