@@ -6912,6 +6912,25 @@ CROSS JOIN tot CROSS JOIN ks
 """
 
 
+def q_rollup_answered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate query rewrite: the daily date_histogram is
+    answered FROM the hourly rollup (coarsest dividing grain), never the
+    raw events — the oracle is the raw-scan daily answer, so the gate
+    proves rewrite exactness."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+        rollup_rewrite,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = date_histogram(ev, "ts", "1 hour")
+    out, src = rollup_rewrite(
+        ev, "ts", "1 day", {"1 hour": hourly}
+    )
+    assert src == "1 hour"
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -7145,6 +7164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "ks_drift": q_ks_drift,
         "chi2_independence": q_chi2_independence,
+        "rollup_answered": q_rollup_answered,
     }
 
 
@@ -7358,4 +7378,6 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
         "ks_drift": SQL_KS_DRIFT,
         "chi2_independence": SQL_CHI2_INDEPENDENCE,
+        # the rewrite must equal the RAW daily answer — that is the gate
+        "rollup_answered": SQL_DATE_HISTOGRAM,
     }

@@ -2247,3 +2247,58 @@ def counter_rate(
         )
         .orderBy("series")
     )
+
+
+# -- continuous-aggregate query rewrite -------------------------------------
+
+_GRAIN_SECONDS = {
+    "1 minute": 60, "5 minutes": 300, "15 minutes": 900,
+    "30 minutes": 1800, "1 hour": 3600, "3 hours": 10800,
+    "6 hours": 21600, "12 hours": 43200, "1 day": 86400,
+    "7 days": 604800,
+}
+
+
+def rollup_rewrite(
+    raw: DataFrame,
+    ts_field: str,
+    interval: str,
+    rollups: dict[str, DataFrame],
+    *,
+    count_col: str = "doc_count",
+) -> tuple[DataFrame, str]:
+    """Continuous-aggregate query rewrite (the TimescaleDB/ES-rollup
+    read path): answer a ``date_histogram(interval)`` from the COARSEST
+    pre-aggregated rollup whose grain divides the requested interval,
+    falling back to the raw rows only when none does.
+
+    ``rollups`` maps grain ("1 hour") -> a (bucket TIMESTAMP,
+    {count_col}) frame as produced by date_histogram at that grain (the
+    continuous aggregate). Re-bucketing a rollup is exact because counts
+    are decomposable and every fine bucket nests inside one coarse
+    bucket when grain | interval (both epoch-aligned fixed durations).
+
+    Returns (result frame, source used — the grain string or "raw").
+    At 100 TB this is the difference between scanning a day-level
+    aggregate (thousands of rows) and the events themselves; the rewrite
+    is pure plan composition, no data moves until the caller executes."""
+    want = _GRAIN_SECONDS.get(interval)
+    chosen = None
+    if want is not None:
+        divisors = [
+            g for g, s in _GRAIN_SECONDS.items()
+            if g in rollups and want % s == 0
+        ]
+        if divisors:
+            chosen = max(divisors, key=lambda g: _GRAIN_SECONDS[g])
+    if chosen is None:
+        return date_histogram(raw, ts_field, interval), "raw"
+    src = rollups[chosen]
+    out = (
+        src.groupBy(
+            F.window("bucket", interval)["start"].alias("bucket")
+        )
+        .agg(F.sum(count_col).alias(count_col))
+        .orderBy("bucket")
+    )
+    return out, chosen

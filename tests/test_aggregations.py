@@ -1444,3 +1444,37 @@ def test_significant_chi2_background_filter_guard(spark):
         heuristic="chi_square", background_filter=F.col("bg") == 1,
     ).collect()
     assert len(ok) == 1
+
+
+def test_rollup_rewrite_picks_coarsest_dividing_grain(spark):
+    """Query rewrite answers from the coarsest dividing rollup and the
+    re-bucketed answer equals the raw answer exactly."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+        rollup_rewrite,
+    )
+
+    rows = [(dt.datetime(2025, 1, 1 + d, h, m),)
+            for d in range(3) for h in (0, 5, 13) for m in (0, 30, 45)]
+    raw = spark.createDataFrame(rows, ["ts"])
+    rollups = {
+        "1 hour": date_histogram(raw, "ts", "1 hour"),
+        "1 day": date_histogram(raw, "ts", "1 day"),
+        "7 days": date_histogram(raw, "ts", "7 days"),
+    }
+    out, src = rollup_rewrite(raw, "ts", "1 day", rollups)
+    assert src == "1 day"  # coarsest divisor of 1 day present
+    want = [(r.bucket, r.doc_count) for r in
+            date_histogram(raw, "ts", "1 day").collect()]
+    assert sorted((r.bucket, r.doc_count) for r in out.collect()) == want
+
+    out6, src6 = rollup_rewrite(raw, "ts", "6 hours", rollups)
+    assert src6 == "1 hour"  # 1 day does not divide 6 hours
+    want6 = {(r.bucket, r.doc_count) for r in
+             date_histogram(raw, "ts", "6 hours").collect()}
+    assert {(r.bucket, r.doc_count) for r in out6.collect()} == want6
+
+    _, src_raw = rollup_rewrite(raw, "ts", "5 minutes", rollups)
+    assert src_raw == "raw"  # no registered grain divides 5 minutes...
