@@ -6841,7 +6841,7 @@ SELECT bucket, doc_count,
        ROUND(mu, 6) AS expected,
        ROUND((doc_count - mu) / NULLIF(sd, 0.0), 6) AS z
 FROM hourly JOIN prof ON EXTRACT(hour FROM bucket) = prof.hour_of_day
-WHERE ABS((doc_count - mu) / NULLIF(sd, 0.0)) >= 2.0
+WHERE ABS(ROUND((doc_count - mu) / NULLIF(sd, 0.0), 6)) >= 2.0
 ORDER BY bucket
 """
 
@@ -6892,13 +6892,18 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CHI2_INDEPENDENCE = """
-WITH cells AS (
+WITH obs AS (
   SELECT event_type AS a, user_id % 3 AS b, COUNT(*) AS o
   FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
   GROUP BY 1, 2
-), rm AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
-cm AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
-tot AS (SELECT SUM(o) AS n FROM cells),
+), rm AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY a),
+cm AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY b),
+cells AS (
+  SELECT rm.a, cm.b, ra, cb, COALESCE(o, 0) AS o
+  FROM rm CROSS JOIN cm
+  LEFT JOIN obs ON obs.a = rm.a AND obs.b = cm.b
+),
+tot AS (SELECT SUM(o) AS n FROM obs),
 ks AS (SELECT (SELECT COUNT(*) FROM rm) AS ka,
               (SELECT COUNT(*) FROM cm) AS kb)
 SELECT CAST(MAX(n) AS BIGINT) AS n,
@@ -6907,8 +6912,7 @@ SELECT CAST(MAX(n) AS BIGINT) AS n,
          (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
          * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n)
          / (CAST(ra AS DOUBLE) * cb / n)), 6) AS chi2
-FROM cells JOIN rm USING (a) JOIN cm USING (b)
-CROSS JOIN tot CROSS JOIN ks
+FROM cells CROSS JOIN tot CROSS JOIN ks
 """
 
 

@@ -2251,12 +2251,21 @@ def counter_rate(
 
 # -- continuous-aggregate query rewrite -------------------------------------
 
-_GRAIN_SECONDS = {
-    "1 minute": 60, "5 minutes": 300, "15 minutes": 900,
-    "30 minutes": 1800, "1 hour": 3600, "3 hours": 10800,
-    "6 hours": 21600, "12 hours": 43200, "1 day": 86400,
-    "7 days": 604800,
+_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
 }
+_GRAIN_RE = __import__("re").compile(
+    r"^\s*(\d+)\s+(second|minute|hour|day|week)s?\s*$"
+)
+
+
+def _grain_seconds(interval: str) -> int | None:
+    """Seconds of a fixed-duration interval string ('2 hours'); None for
+    calendar units (month/year) — those never enter the rewrite."""
+    m = _GRAIN_RE.match(interval)
+    if not m:
+        return None
+    return int(m.group(1)) * _UNIT_SECONDS[m.group(2)]
 
 
 def rollup_rewrite(
@@ -2282,17 +2291,22 @@ def rollup_rewrite(
     At 100 TB this is the difference between scanning a day-level
     aggregate (thousands of rows) and the events themselves; the rewrite
     is pure plan composition, no data moves until the caller executes."""
-    want = _GRAIN_SECONDS.get(interval)
+    want = _grain_seconds(interval)
     chosen = None
     if want is not None:
-        divisors = [
-            g for g, s in _GRAIN_SECONDS.items()
-            if g in rollups and want % s == 0
-        ]
+        # ANY registered fixed-duration grain qualifies, not a fixed menu
+        divisors = {
+            g: s
+            for g in rollups
+            if (s := _grain_seconds(g)) is not None and want % s == 0
+        }
         if divisors:
-            chosen = max(divisors, key=lambda g: _GRAIN_SECONDS[g])
+            chosen = max(divisors, key=divisors.get)
     if chosen is None:
-        return date_histogram(raw, ts_field, interval), "raw"
+        out = date_histogram(raw, ts_field, interval)
+        if count_col != "doc_count":  # fallback keeps the caller's schema
+            out = out.withColumnRenamed("doc_count", count_col)
+        return out, "raw"
     src = rollups[chosen]
     out = (
         src.groupBy(

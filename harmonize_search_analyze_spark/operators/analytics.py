@@ -683,16 +683,27 @@ def chi2_independence(
     aggregate FROM the cell frame (bounded by category product) and join
     back by key — the raw rows are scanned once, everything after is
     category-sized."""
-    cells = (
+    observed = (
         df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
         .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    row_m = cells.groupBy("a").agg(F.sum("o").alias("ra"))
-    col_m = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    row_m = observed.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_m = observed.groupBy("b").agg(F.sum("o").alias("cb"))
+    # the FULL |A| x |B| grid: a structurally empty cell still contributes
+    # (0 - e)^2 / e = e to the statistic — omitting unobserved cells
+    # deflates chi2 (category-sized cross join, marginal frames only)
+    cells = (
+        row_m.crossJoin(col_m)
+        .join(observed, ["a", "b"], "left")
+        .select(
+            "a", "b", "ra", "cb",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
     # category counts come from the marginal frames, NOT a countDistinct
     # mixed into the sum agg (the Expand-plan cliff, PERFORMANCE.md §2)
-    tot = cells.agg(F.sum("o").alias("n"))
+    tot = observed.agg(F.sum("o").alias("n"))
     ka = row_m.agg(F.count(F.lit(1)).alias("ka"))
     kb = col_m.agg(F.count(F.lit(1)).alias("kb"))
     e = (
@@ -702,9 +713,7 @@ def chi2_independence(
     )
     term = (F.col("o").cast("double") - e) * (F.col("o") - e) / e
     return (
-        cells.join(F.broadcast(row_m), "a")
-        .join(F.broadcast(col_m), "b")
-        .crossJoin(F.broadcast(tot))
+        cells.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(ka))
         .crossJoin(F.broadcast(kb))
         .agg(

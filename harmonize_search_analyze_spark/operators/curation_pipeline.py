@@ -153,7 +153,20 @@ def corpus_pipeline_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB oracle twin: the same stages as chained CTEs, built from
-    the SAME fragment generators as the Spark path."""
+    the SAME fragment generators as the Spark path.
+
+    ``columns`` must enumerate EVERY column of ``table`` — the
+    text-transform stages (clean / pii_redact / line_dedup) re-project
+    the frame from this list, so a column omitted here is unavailable to
+    later stages on the SQL side while the Spark path (which carries the
+    whole frame) would still see it. Narrow the OUTPUT by wrapping this
+    SQL in an outer SELECT, not by shortening ``columns``."""
+    if text_col not in columns or id_col not in columns:
+        raise ValueError(
+            "columns must list every column of the table, including "
+            f"{id_col!r} and {text_col!r} (narrow output by wrapping "
+            "the generated SQL instead)"
+        )
     cols = ", ".join(columns)
     ctes = [f"s0 AS (SELECT * FROM {table} WHERE {text_col} IS NOT NULL)"]
     cur = "s0"

@@ -280,8 +280,10 @@ def _run(
         window = int(rs.get("window_size", 50))
         qw = float(rs.get("query_weight", 1.0))
         rqw = float(rs.get("rescore_query_weight", 1.0))
-        child = recurse(body["retriever"], window)
-        joined = child.where(F.col("rank") <= window).join(
+        # fetch enough child rows for BOTH the window and the tail — ES
+        # keeps ranks beyond the window at their original scores/order
+        child = recurse(body["retriever"], max(k, window))
+        head = child.where(F.col("rank") <= window).join(
             docs, id_col, "inner"
         )
         new_score = F.round(
@@ -289,14 +291,18 @@ def _run(
             + F.lit(rqw) * F.expr(rs["script"]).cast("double"),
             6,
         )
-        rescored = (
-            joined.select(id_col, new_score.alias("score"))
-            .orderBy(F.desc("score"), F.asc(id_col))
-            .limit(k)
+        wh = Window.orderBy(F.desc("score"), F.asc(id_col))
+        rescored = head.select(
+            id_col, new_score.alias("score")
+        ).select(
+            id_col, F.row_number().over(wh).alias("rank"), "score"
         )
-        w = Window.orderBy(F.desc("score"), F.asc(id_col))
-        return rescored.select(
-            id_col, F.row_number().over(w).alias("rank"), "score"
+        # tail docs keep their original rank (already > window and
+        # consecutive: a non-empty tail implies a FULL window) and score
+        tail = child.where(F.col("rank") > window).select(
+            id_col, "rank", "score"
         )
+        out = rescored.unionByName(tail).where(F.col("rank") <= k)
+        return out.orderBy("rank")
 
     raise ValueError(f"unknown retriever kind: {kind!r}")

@@ -105,3 +105,20 @@ def test_chi2_independence_hand_values(spark):
         + [("y", "q")] * 1, ["a", "b"]
     )
     assert chi2_independence(ind, "a", "b").collect()[0].chi2 == 0.0
+
+
+def test_chi2_zero_cell_counted(spark):
+    """Review finding: a structurally empty contingency cell still
+    contributes its expected count to chi2 (scipy agreement)."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        chi2_independence,
+    )
+
+    rows = [("x", "p")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = chi2_independence(df, "a", "b").collect()[0]
+    # marginals: x=5,y=10 ; p=10,q=5 ; n=15
+    # e(x,p)=10/3 e(x,q)=5/3 e(y,p)=20/3 e(y,q)=10/3
+    want = ((5 - 10/3) ** 2 / (10/3) + (0 - 5/3) ** 2 / (5/3)
+            + (5 - 20/3) ** 2 / (20/3) + (5 - 10/3) ** 2 / (10/3))
+    assert r.chi2 == round(want, 6)

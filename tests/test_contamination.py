@@ -380,3 +380,32 @@ def test_corpus_pipeline_redact_and_line_dedup(spark):
     want = dict(con.sql(corpus_pipeline_sql(
         "docs_t", stages, ["doc_id", "text"])).fetchall())
     assert got == want
+
+
+def test_corpus_pipeline_columns_flow_past_text_stages(spark):
+    """Review finding: a stage keyed on a non-id column downstream of a
+    text-transform stage must work identically in both twins when
+    columns enumerates the full frame."""
+    import duckdb
+    import pandas as pd
+
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        corpus_pipeline_sql,
+        run_corpus_pipeline,
+    )
+
+    rows = [(i, f"line one repeated\nunique {i}", "s" + str(i % 2))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    stages = [{"line_dedup": {"min_line_chars": 5}},
+              {"sample": {"fraction": 0.5, "key": "source"}}]
+    got = sorted((r.doc_id, r.source) for r in
+                 run_corpus_pipeline(df, stages).collect())
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(
+        rows, columns=["doc_id", "text", "source"]))
+    want = sorted((r[0], r[2]) for r in con.sql(corpus_pipeline_sql(
+        "docs_t", stages, ["doc_id", "text", "source"])).fetchall())
+    assert got == want
+    with __import__("pytest").raises(ValueError, match="every column"):
+        corpus_pipeline_sql("docs_t", stages, ["doc_id"])

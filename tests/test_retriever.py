@@ -191,3 +191,27 @@ def test_rescorer_retriever(corpus):
     ids = [r.doc_id for r in rows]
     assert ids == sorted(ids, reverse=True)
     assert rows[0].score == rows[0].doc_id * 10.0
+
+
+def test_rescorer_preserves_tail_beyond_window(corpus):
+    """Review finding: with k > window_size the below-window docs stay at
+    their ORIGINAL rank/score below the rescored window (ES contract)."""
+    from harmonize_search_analyze_spark.operators.retriever import _run
+
+    docs, _ = corpus
+    spec = {"rescorer": {
+        "retriever": {"standard": {"query": {"match": {"text": "spark join"}}}},
+        "rescore": {"window_size": 2, "script": "-CAST(doc_id AS DOUBLE)",
+                    "query_weight": 0.0, "rescore_query_weight": 1.0},
+    }}
+    rows = sorted(
+        _run(spec, docs=docs, embeddings=None, id_col="doc_id",
+             text_col="text", vec_col="embedding", vec_id_col="vec_id",
+             k=4).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(rows) == 4  # window 2 rescored + 2 tail docs kept
+    assert [r.rank for r in rows] == [1, 2, 3, 4]
+    # the rescored head (lower id wins with -id scoring) sits above the
+    # untouched tail
+    assert rows[0].doc_id < rows[1].doc_id
