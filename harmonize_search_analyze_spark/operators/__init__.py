@@ -1,3 +1,19 @@
+from harmonize_search_analyze_spark.operators.curation_pipeline import (
+    run_corpus_pipeline,
+)
+from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+    run_pipeline,
+)
+from harmonize_search_analyze_spark.operators.retriever import run_retriever
+from harmonize_search_analyze_spark.operators.sharding import (
+    assign_shards,
+    shard_manifest,
+    write_webdataset_shards,
+)
+from harmonize_search_analyze_spark.operators.unigram import (
+    unigram_encode,
+    unigram_train,
+)
 from harmonize_search_analyze_spark.operators.aggregations import (
     count_metric,
     geohash_grid,
@@ -30,6 +46,14 @@ from harmonize_search_analyze_spark.operators.ranking import (
 )
 
 __all__ = [
+    "assign_shards",
+    "run_corpus_pipeline",
+    "run_pipeline",
+    "run_retriever",
+    "shard_manifest",
+    "unigram_encode",
+    "unigram_train",
+    "write_webdataset_shards",
     "distance_feature",
     "has_child",
     "has_parent",

@@ -2316,3 +2316,40 @@ def rollup_rewrite(
         .orderBy("bucket")
     )
     return out, chosen
+
+
+def terms_ordered_by_metric(
+    df: DataFrame,
+    field: str,
+    metric_field: str,
+    *,
+    metric: str = "sum",
+    k: int = 10,
+    ascending: bool = False,
+) -> DataFrame:
+    """ES ``terms`` agg with a metric ``order`` (the Kibana "order by
+    sum/avg of field" panel): buckets ranked by a sub-aggregation value
+    instead of doc_count. Ties pinned metric, then key ASC.
+
+    One hash agg computes doc_count AND the ordering metric (no second
+    pass); ranking is TakeOrderedAndProject. ``metric``: sum | avg |
+    min | max. Metric rounded to 6 so cross-engine float summation order
+    cannot flip a rank."""
+    fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+    if metric not in fns:
+        raise ValueError(f"unsupported metric: {metric!r}")
+    m = F.round(fns[metric](F.col(metric_field)), 6)
+    out = (
+        df.where(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            m.alias("metric"),
+        )
+    )
+    order = (
+        [F.asc_nulls_last("metric"), F.asc(field)]
+        if ascending
+        else [F.desc_nulls_last("metric"), F.asc(field)]
+    )
+    return out.orderBy(*order).limit(k)

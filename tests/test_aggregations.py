@@ -1478,3 +1478,22 @@ def test_rollup_rewrite_picks_coarsest_dividing_grain(spark):
 
     _, src_raw = rollup_rewrite(raw, "ts", "5 minutes", rollups)
     assert src_raw == "raw"  # no registered grain divides 5 minutes...
+
+
+def test_terms_ordered_by_metric(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_ordered_by_metric,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", None), ("c", 4.0)],
+        ["k", "v"],
+    )
+    got = [(r.k, r.doc_count, r.metric) for r in
+           terms_ordered_by_metric(df, "k", "v", metric="sum").collect()]
+    assert got == [("b", 1, 10.0), ("c", 2, 4.0), ("a", 2, 3.0)]
+    avg = [(r.k, r.metric) for r in terms_ordered_by_metric(
+        df, "k", "v", metric="avg", ascending=True).collect()]
+    assert avg == [("a", 1.5), ("c", 4.0), ("b", 10.0)]
+    with pytest.raises(ValueError):
+        terms_ordered_by_metric(df, "k", "v", metric="median")
