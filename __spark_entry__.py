@@ -6959,6 +6959,46 @@ ORDER BY metric DESC NULLS LAST, l_returnflag ASC LIMIT 5
 """
 
 
+def q_span_not_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene span_not + sloppy match_phrase: docs where 'spark' occurs
+    outside a +-1 window of 'slow' AND 'query plan' appears in order
+    within 2 gaps — both position-array expressions, no explode."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    docs = _t(spark, sf_dir, "documents")
+    q = {"bool": {"must": [
+        {"span_not": {
+            "include": {"span_term": {"text": "spark"}},
+            "exclude": {"span_term": {"text": "slow"}},
+            "pre": 1, "post": 1,
+        }},
+        {"match_phrase": {"text": {"query": "query plan", "slop": 2}}},
+    ]}}
+    return (
+        docs.where(compile_query(q))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+def _sql_span_not_search() -> str:
+    from harmonize_search_analyze_spark.functions.intervals import (
+        intervals_match_sql,
+        span_not_sql,
+    )
+
+    sn = span_not_sql("text", "spark", "slow", "duckdb", pre=1, post=1)
+    ph = intervals_match_sql(
+        "text", "query plan", "duckdb", max_gaps=2, ordered=True
+    )
+    return f"""
+SELECT doc_id FROM documents
+WHERE ({sn}) AND ({ph})
+ORDER BY doc_id LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -7194,6 +7234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": q_chi2_independence,
         "rollup_answered": q_rollup_answered,
         "terms_by_metric": q_terms_by_metric,
+        "span_not_search": q_span_not_search,
     }
 
 
@@ -7410,4 +7451,5 @@ def oracle_sql() -> dict[str, str]:
         # the rewrite must equal the RAW daily answer — that is the gate
         "rollup_answered": SQL_DATE_HISTOGRAM,
         "terms_by_metric": SQL_TERMS_BY_METRIC,
+        "span_not_search": _sql_span_not_search(),
     }

@@ -200,3 +200,39 @@ def span_near_sql(
         max_gaps=int(slop),
         ordered=bool(in_order),
     )
+
+
+def span_not_sql(
+    field_expr: str,
+    include_term: str,
+    exclude_term: str,
+    dialect: str,
+    *,
+    pre: int = 0,
+    post: int = 0,
+) -> str:
+    """ES ``span_not`` over ``span_term`` clauses: the include term must
+    occur at some position whose surrounding window — ``pre`` tokens
+    before through ``post`` tokens after — contains NO occurrence of the
+    exclude term (Lucene SpanNotQuery with pre/post, public semantics;
+    pre=post=0 excludes only overlap, which for single-term spans means
+    the default span_not degenerates to plain presence — pass pre/post
+    for the useful "not adjacent to" forms).
+
+    Same machinery as the rest of the span family: both position arrays
+    built once per row from the pinned tokenization, one nested
+    NOT-EXISTS — codegen'd on both engines, no explode."""
+    if pre < 0 or post < 0:
+        raise ValueError("span_not pre/post must be >= 0")
+    for t in (include_term, exclude_term):
+        if not re.fullmatch(r"[a-zA-Z0-9]+", t):
+            raise ValueError(
+                f"span_term value must be one alnum token: {t!r}"
+            )
+    toks = tokens_sql(field_expr, dialect)
+    inc = _positions_sql(toks, include_term, dialect)
+    exc = _positions_sql(toks, exclude_term, dialect)
+    bad = _exists_sql(
+        exc, "q", f"q >= p - {int(pre)} AND q <= p + {int(post)}", dialect
+    )
+    return _exists_sql(inc, "p", f"NOT ({bad})", dialect)

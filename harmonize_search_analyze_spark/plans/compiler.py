@@ -205,11 +205,30 @@ def _exists(body: dict[str, Any]) -> Column:
 
 
 def _match_phrase(body: dict[str, Any]) -> Column:
-    """ES ``match_phrase`` (slop=0) under the pinned ``.split`` tokenizer:
-    all words present consecutively as full tokens."""
+    """ES ``match_phrase`` under the pinned ``.split`` tokenizer. The
+    default slop=0 ("all words consecutive") stays on the sargable regex
+    path; ``{"query": ..., "slop": n}`` with n > 0 routes through the
+    intervals position machinery (ordered, max_gaps=slop — Lucene's
+    sloppy-phrase measure for non-transposed terms; the transposition
+    case counts 2 per swap in Lucene, approximated as gap slack here and
+    documented as the deviation)."""
     (field, value), = body.items()
     if field.endswith(SPLIT_SUFFIX):
         field = field[: -len(SPLIT_SUFFIX)]
+    slop = 0
+    if isinstance(value, dict):
+        slop = int(value.get("slop", 0))
+        value = value["query"]
+    if slop > 0:
+        from harmonize_search_analyze_spark.functions.intervals import (
+            intervals_match_sql,
+        )
+
+        return F.expr(
+            intervals_match_sql(
+                field, str(value), "spark", max_gaps=slop, ordered=True
+            )
+        )
     return phrase_predicate(field, str(value))
 
 
@@ -627,6 +646,37 @@ def _span_first(body: dict[str, Any]) -> Column:
     return F.expr(sql)
 
 
+def _span_not(body: dict[str, Any]) -> Column:
+    """ES ``span_not``: the include span_term occurs somewhere its
+    pre/post token window contains no exclude-term occurrence (Lucene
+    SpanNotQuery)."""
+    from harmonize_search_analyze_spark.functions.intervals import (
+        span_not_sql,
+    )
+
+    include = body.get("include")
+    exclude = body.get("exclude")
+    if not include or not exclude:
+        raise QueryCompileError(
+            "span_not requires include and exclude clauses"
+        )
+    fi, ti = _span_term_of(include)
+    fe, te = _span_term_of(exclude)
+    if fi != fe:
+        raise QueryCompileError(
+            f"span_not clauses must share one field, got {fi!r}/{fe!r}"
+        )
+    try:
+        sql = span_not_sql(
+            fi, ti, te, "spark",
+            pre=int(body.get("pre", 0)),
+            post=int(body.get("post", 0)),
+        )
+    except ValueError as e:
+        raise QueryCompileError(str(e)) from e
+    return F.expr(sql)
+
+
 def geo_polygon_sql(
     points: list[tuple[float, float]],
     lat_expr: str,
@@ -784,6 +834,7 @@ _HANDLERS = {
     "geo_polygon": _geo_polygon,
     "span_near": _span_near,
     "span_first": _span_first,
+    "span_not": _span_not,
     "script": _script,
     "geo_shape": _geo_shape,
 }

@@ -680,3 +680,50 @@ def test_msearch_one_scan(spark):
         ("pricey", 3, 1, 2),
         ("pricey", 3, 2, 4),
     ]
+
+
+def test_span_not_window_exclusion(spark):
+    """span_not: include term kept only where the pre/post window has no
+    exclude occurrence; pre/post default 0 degenerates to presence."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    df = spark.createDataFrame(
+        [(1, "big apple pie"), (2, "small apple tart"),
+         (3, "apple big apple"), (4, "no fruit here")],
+        ["id", "text"],
+    )
+    q = {"span_not": {
+        "include": {"span_term": {"text": "apple"}},
+        "exclude": {"span_term": {"text": "big"}},
+        "pre": 1,
+    }}
+    got = {r.id for r in df.where(compile_query(q)).collect()}
+    # doc 1: only apple is right after big -> excluded; doc 3 has a
+    # second apple NOT preceded by big (position 3 window [2,3] has
+    # 'big' at 2!) -> pos1 apple window [0,1]: no big -> keeps
+    assert got == {2, 3}
+    # default pre/post: presence of include suffices
+    q0 = {"span_not": {
+        "include": {"span_term": {"text": "apple"}},
+        "exclude": {"span_term": {"text": "big"}},
+    }}
+    assert {r.id for r in df.where(compile_query(q0)).collect()} == {1, 2, 3}
+
+
+def test_match_phrase_slop(spark):
+    """match_phrase slop>0 routes through the intervals machinery:
+    ordered terms within slop total gaps."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick red brown fox"),
+         (3, "quick very red brown fox"), (4, "fox quick")],
+        ["id", "text"],
+    )
+    exact = {"match_phrase": {"text": "quick brown"}}
+    assert {r.id for r in df.where(compile_query(exact)).collect()} == {1}
+    sloppy = {"match_phrase": {"text": {"query": "quick brown", "slop": 1}}}
+    assert {r.id for r in df.where(compile_query(sloppy)).collect()} == {1, 2}
+    sloppy2 = {"match_phrase": {"text": {"query": "quick brown", "slop": 2}}}
+    assert {r.id for r in
+            df.where(compile_query(sloppy2)).collect()} == {1, 2, 3}
