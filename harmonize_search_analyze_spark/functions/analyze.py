@@ -288,3 +288,58 @@ def analyze_api(
     toks = analyze(text_col, tokenizer=tokenizer, filters=filters)
     keep = [F.col(id_col)] if id_col else []
     return df.select(*keep, F.posexplode(toks).alias("position", "token"))
+
+
+# ES index-settings wire-format filter spellings -> this module's names.
+_ES_FILTER_ALIASES = {
+    "asciifolding": "asciifolding",
+    "lowercase": "lowercase",
+    "uppercase": "uppercase",
+    "trim": "trim",
+    "reverse": "reverse",
+    "unique": "unique",
+    "stop": "stop",
+    "length": "length",
+    "truncate": "truncate",
+    "edge_ngram": "edge_ngram",
+    "shingle": "shingle",
+    "stemmer": "stemmer_minimal_english",
+}
+
+
+def analyzer_from_settings(spec: dict) -> dict:
+    """Adapt an ES index-settings custom-analyzer definition (the wire
+    JSON under ``settings.analysis.analyzer.<name>`` plus its referenced
+    ``filter`` definitions) into ``analyze()`` kwargs — the same
+    data-not-code loading contract as the Kibana/ingest/curation spec
+    loaders.
+
+    ``spec`` shape::
+
+        {"tokenizer": "standard",
+         "filter": ["lowercase",
+                    {"type": "stop", "stopwords": ["a", "the"]},
+                    {"type": "edge_ngram", "min_gram": 2, "max_gram": 5}]}
+
+    String entries are parameterless filters; dict entries carry their ES
+    parameter names (stopwords -> stop words; min_gram/max_gram,
+    min_shingle_size/..., length min/max, truncate length pass through).
+    ``stemmer`` maps to the minimal-english stemmer (the one stemmer this
+    engine pins); unknown filters raise."""
+    filters: list = []
+    for f in spec.get("filter", []):
+        if isinstance(f, str):
+            name, params = f, {}
+        else:
+            name = f.get("type")
+            params = {k: v for k, v in f.items() if k != "type"}
+        mapped = _ES_FILTER_ALIASES.get(name)
+        if mapped is None:
+            raise ValueError(f"unsupported token filter: {name!r}")
+        if mapped == "stop" and "stopwords" in params:
+            params = {"words": params["stopwords"]}
+        filters.append((mapped, params) if params else mapped)
+    return {
+        "tokenizer": spec.get("tokenizer", "standard"),
+        "filters": filters,
+    }

@@ -677,6 +677,23 @@ def _span_not(body: dict[str, Any]) -> Column:
     return F.expr(sql)
 
 
+def _span_or(body: dict[str, Any]) -> Column:
+    """ES ``span_or`` over span_term clauses: any clause's span matches.
+    Standalone form only (this engine's span family compiles flat
+    predicates, not composable span trees — nest bool/should for
+    combinations)."""
+    clauses = body.get("clauses") or []
+    pairs = [_span_term_of(c) for c in clauses]
+    if not pairs:
+        raise QueryCompileError("span_or requires clauses")
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        phrase_predicate,
+    )
+
+    preds = [phrase_predicate(f, t) for f, t in pairs]
+    return reduce(lambda a, b: a | b, preds)
+
+
 def geo_polygon_sql(
     points: list[tuple[float, float]],
     lat_expr: str,
@@ -835,6 +852,7 @@ _HANDLERS = {
     "span_near": _span_near,
     "span_first": _span_first,
     "span_not": _span_not,
+    "span_or": _span_or,
     "script": _script,
     "geo_shape": _geo_shape,
 }

@@ -103,3 +103,23 @@ def test_minimal_english_stemmer(spark):
     )
     assert got == ["dog", "pass", "bus", "curious", "hi", "cat", "s",
                    "as", "pony", "goes", "dy", "make", "ies"]
+
+
+def test_analyzer_from_settings_wire_format(spark):
+    """ES settings.analysis JSON adapts to analyze() kwargs — same chain
+    result as the hand-built spec."""
+    from harmonize_search_analyze_spark.functions.analyze import (
+        analyzer_from_settings,
+    )
+
+    spec = {"tokenizer": "standard", "filter": [
+        "lowercase",
+        {"type": "stop", "stopwords": ["the"]},
+        {"type": "edge_ngram", "min_gram": 2, "max_gram": 3},
+    ]}
+    kw = analyzer_from_settings(spec)
+    assert kw["filters"][1] == ("stop", {"words": ["the"]})
+    got = _run(spark, "The Spark", **kw)
+    assert got == ["sp", "spa"]
+    with pytest.raises(ValueError, match="unsupported"):
+        analyzer_from_settings({"filter": [{"type": "phonetic"}]})

@@ -143,3 +143,39 @@ def test_pr_curve_monotonicity(spark, rows):
     if n_pos:
         assert out[-1].recall == 1.0
         assert out[-1].tp == n_pos
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(0, 60 * 24 * 6 - 1), min_size=1, max_size=40),
+       st.sampled_from(["1 hour", "2 hours", "6 hours", "1 day"]),
+       st.sampled_from(["15 minutes", "1 hour", "3 hours"]))
+def test_rollup_rewrite_always_equals_raw(spark, minutes, interval, grain):
+    """For ANY data and any registered dividing grain, the rewritten
+    answer equals the raw-scan answer exactly; non-dividing grains fall
+    back to raw (also exact by construction)."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        _grain_seconds,
+        date_histogram,
+        rollup_rewrite,
+    )
+
+    base = dt.datetime(2025, 3, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=m),) for m in minutes], ["ts"]
+    )
+    rollups = {grain: date_histogram(df, "ts", grain)}
+    out, src = rollup_rewrite(df, "ts", interval, rollups)
+    want_src = (
+        grain
+        if _grain_seconds(interval) % _grain_seconds(grain) == 0
+        else "raw"
+    )
+    assert src == want_src
+    want = sorted(
+        (r.bucket, r.doc_count)
+        for r in date_histogram(df, "ts", interval).collect()
+    )
+    assert sorted((r.bucket, r.doc_count) for r in out.collect()) == want
