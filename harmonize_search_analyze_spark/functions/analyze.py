@@ -326,6 +326,12 @@ def analyzer_from_settings(spec: dict) -> dict:
     min_shingle_size/..., length min/max, truncate length pass through).
     ``stemmer`` maps to the minimal-english stemmer (the one stemmer this
     engine pins); unknown filters raise."""
+    if spec.get("char_filter"):
+        # fail loudly: dropping html_strip etc. would silently diverge
+        # from what the same settings produce in ES
+        raise ValueError(
+            "char_filter is not supported by this analyzer surface"
+        )
     filters: list = []
     for f in spec.get("filter", []):
         if isinstance(f, str):
@@ -337,7 +343,24 @@ def analyzer_from_settings(spec: dict) -> dict:
         if mapped is None:
             raise ValueError(f"unsupported token filter: {name!r}")
         if mapped == "stop" and "stopwords" in params:
-            params = {"words": params["stopwords"]}
+            words = params["stopwords"]
+            if isinstance(words, str):
+                # ES's named-list wire form; only the default English
+                # list is modeled — other languages must raise, not
+                # iterate the NAME character-by-character
+                if words != "_english_":
+                    raise ValueError(
+                        f"unsupported named stopword list: {words!r}"
+                    )
+                words = ENGLISH_STOP
+            params = {"words": list(words)}
+        if mapped == "stemmer_minimal_english":
+            lang = params.pop("language", "english")
+            if lang not in ("english", "minimal_english"):
+                raise ValueError(
+                    f"unsupported stemmer language: {lang!r} (only the "
+                    "minimal English stemmer is pinned)"
+                )
         filters.append((mapped, params) if params else mapped)
     return {
         "tokenizer": spec.get("tokenizer", "standard"),

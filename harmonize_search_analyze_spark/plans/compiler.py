@@ -218,17 +218,21 @@ def _match_phrase(body: dict[str, Any]) -> Column:
     slop = 0
     if isinstance(value, dict):
         slop = int(value.get("slop", 0))
+        if "query" not in value:
+            raise QueryCompileError("match_phrase object form needs 'query'")
         value = value["query"]
     if slop > 0:
         from harmonize_search_analyze_spark.functions.intervals import (
             intervals_match_sql,
         )
 
-        return F.expr(
-            intervals_match_sql(
+        try:
+            sql = intervals_match_sql(
                 field, str(value), "spark", max_gaps=slop, ordered=True
             )
-        )
+        except ValueError as e:  # e.g. the 3-term combination cap
+            raise QueryCompileError(str(e)) from e
+        return F.expr(sql)
     return phrase_predicate(field, str(value))
 
 
@@ -681,15 +685,25 @@ def _span_or(body: dict[str, Any]) -> Column:
     """ES ``span_or`` over span_term clauses: any clause's span matches.
     Standalone form only (this engine's span family compiles flat
     predicates, not composable span trees — nest bool/should for
-    combinations)."""
+    combinations). Same validation as the other span handlers: one alnum
+    token per clause (a non-alnum value would regex-degenerate to
+    match-all), one shared field."""
+    import re as _re
+
     clauses = body.get("clauses") or []
     pairs = [_span_term_of(c) for c in clauses]
     if not pairs:
         raise QueryCompileError("span_or requires clauses")
-    from harmonize_search_analyze_spark.functions.tokenize import (
-        phrase_predicate,
-    )
-
+    fields = {f for f, _ in pairs}
+    if len(fields) != 1:
+        raise QueryCompileError(
+            f"span_or clauses must share one field, got {sorted(fields)}"
+        )
+    for _, t in pairs:
+        if not _re.fullmatch(r"[a-zA-Z0-9]+", t):
+            raise QueryCompileError(
+                f"span_term value must be one alnum token: {t!r}"
+            )
     preds = [phrase_predicate(f, t) for f, t in pairs]
     return reduce(lambda a, b: a | b, preds)
 

@@ -123,3 +123,30 @@ def test_analyzer_from_settings_wire_format(spark):
     assert got == ["sp", "spa"]
     with pytest.raises(ValueError, match="unsupported"):
         analyzer_from_settings({"filter": [{"type": "phonetic"}]})
+
+
+def test_analyzer_settings_guards(spark):
+    """Review findings: named stopword lists resolve (not char-iterate),
+    foreign stemmer languages raise, char_filter raises."""
+    from harmonize_search_analyze_spark.functions.analyze import (
+        ENGLISH_STOP,
+        analyzer_from_settings,
+    )
+
+    kw = analyzer_from_settings(
+        {"filter": [{"type": "stop", "stopwords": "_english_"}]}
+    )
+    assert kw["filters"][0] == ("stop", {"words": ENGLISH_STOP})
+    got = _run(spark, "the cat is good", **kw)
+    assert got == ["cat", "good"]
+    with pytest.raises(ValueError, match="named stopword"):
+        analyzer_from_settings(
+            {"filter": [{"type": "stop", "stopwords": "_german_"}]})
+    with pytest.raises(ValueError, match="stemmer language"):
+        analyzer_from_settings(
+            {"filter": [{"type": "stemmer", "language": "german"}]})
+    assert analyzer_from_settings(
+        {"filter": [{"type": "stemmer", "language": "english"}]}
+    )["filters"] == ["stemmer_minimal_english"]
+    with pytest.raises(ValueError, match="char_filter"):
+        analyzer_from_settings({"char_filter": ["html_strip"]})

@@ -727,3 +727,31 @@ def test_match_phrase_slop(spark):
     sloppy2 = {"match_phrase": {"text": {"query": "quick brown", "slop": 2}}}
     assert {r.id for r in
             df.where(compile_query(sloppy2)).collect()} == {1, 2, 3}
+
+
+def test_span_or_and_slop_error_contract(spark):
+    """Review findings: span_or validates terms/fields like its span
+    siblings; match_phrase slop failures surface as QueryCompileError."""
+    from harmonize_search_analyze_spark.plans.compiler import (
+        QueryCompileError,
+        compile_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "red fox"), (2, "blue bird"), (3, "no match")], ["id", "text"]
+    )
+    q = {"span_or": {"clauses": [
+        {"span_term": {"text": "fox"}}, {"span_term": {"text": "bird"}},
+    ]}}
+    assert {r.id for r in df.where(compile_query(q)).collect()} == {1, 2}
+    with pytest.raises(QueryCompileError, match="alnum"):
+        compile_query({"span_or": {"clauses": [
+            {"span_term": {"text": "!!!"}}]}})
+    with pytest.raises(QueryCompileError, match="share one field"):
+        compile_query({"span_or": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"other": "b"}}]}})
+    with pytest.raises(QueryCompileError, match="query"):
+        compile_query({"match_phrase": {"text": {"slop": 1}}})
+    with pytest.raises(QueryCompileError):
+        compile_query({"match_phrase": {"text": {"query": "a b c d",
+                                                 "slop": 1}}})
