@@ -6999,6 +6999,41 @@ ORDER BY doc_id LIMIT 20
 """
 
 
+def q_highlight_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight with number_of_fragments: first-3 'spark' snippets
+    per doc (one lowercase split per row, let-bound), docs with >= 2
+    fragments."""
+    from harmonize_search_analyze_spark.operators.text import (
+        highlight_fragments_sql,
+    )
+
+    e = highlight_fragments_sql(
+        "text", "spark", "spark", window=20, n_fragments=3
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(e).alias("fragments"))
+        .where(F.size("fragments") >= 2)
+        .orderBy("doc_id")
+        .limit(15)
+    )
+
+
+def _sql_highlight_multi() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        highlight_fragments_sql,
+    )
+
+    e = highlight_fragments_sql(
+        "text", "duckdb", "spark", window=20, n_fragments=3
+    )
+    return f"""
+SELECT doc_id, {e} AS fragments FROM documents
+WHERE len({e}) >= 2
+ORDER BY doc_id LIMIT 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -7235,6 +7270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_answered": q_rollup_answered,
         "terms_by_metric": q_terms_by_metric,
         "span_not_search": q_span_not_search,
+        "highlight_multi": q_highlight_multi,
     }
 
 
@@ -7452,4 +7488,5 @@ def oracle_sql() -> dict[str, str]:
         "rollup_answered": SQL_DATE_HISTOGRAM,
         "terms_by_metric": SQL_TERMS_BY_METRIC,
         "span_not_search": _sql_span_not_search(),
+        "highlight_multi": _sql_highlight_multi(),
     }

@@ -582,3 +582,79 @@ SELECT tgt.{id_col}, tgt.term, tgt.term_freq, tgt.positions,
 FROM tgt JOIN stats ON tgt.term = stats.term
 ORDER BY tgt.{id_col}, tgt.term
 """
+
+
+def highlight_fragments_sql(
+    expr: str,
+    dialect: str,
+    term: str,
+    *,
+    window: int = 30,
+    n_fragments: int = 3,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> str:
+    """ES ``highlight`` with ``number_of_fragments``: up to
+    ``n_fragments`` snippets, one per successive case-insensitive
+    occurrence of ``term``, each with ``window`` characters of context
+    (first-N occurrences pinned — ES's fragment scorer ranks, this stays
+    deterministic/oracle-checkable; the single-fragment highlight_sql
+    remains the top-fragment fast path). Empty array when absent.
+
+    All positions derive from ONE lowercase split of the text: occurrence
+    i starts after the first i segments plus the i-1 matched terms, a
+    prefix-sum computed per emitted fragment only (bounded by
+    ``n_fragments``, never by occurrence count). Let-bound so the split
+    happens once per row; codegen'd on both engines, no UDF."""
+    if not term.replace(" ", "").isalnum():
+        raise ValueError(
+            "highlight term must be alnum (it doubles as a literal "
+            "split separator)"
+        )
+    t = term.lower()
+    tl = len(t)
+    spark = dialect == "spark"
+    if spark:
+        segs = f"split(lower({expr}), '{t}')"
+        inner_pos = (
+            "aggregate(slice(S0, 1, i), 0, (a, s) -> a + length(s))"
+            f" + (i - 1) * {tl} + 1"
+        )
+        body = (
+            f"transform(sequence(1, least(size(S0) - 1, {n_fragments})),"
+            f" i -> {inner_pos})"
+        )
+        positions = (
+            f"CASE WHEN size({segs}) >= 2 THEN"
+            f" transform(array({segs}), S0 -> {body})[0]"
+            " ELSE array() END"
+        )
+        frag = (
+            f"substr({expr}, GREATEST(1, p - {window}),"
+            f" p - GREATEST(1, p - {window}))"
+            f" || '{pre_tag}' || substr({expr}, p, {tl}) || '{post_tag}'"
+            f" || substr({expr}, p + {tl}, {window})"
+        )
+        return f"transform({positions}, p -> {frag})"
+    segs = f"string_split(lower({expr}), '{t}')"
+    inner_pos = (  # CAST: list_sum yields HUGEINT, substr wants BIGINT
+        "CAST(list_sum(list_transform(list_slice(S0, 1, i),"
+        " s -> length(s)))"
+        f" + (i - 1) * {tl} + 1 AS BIGINT)"
+    )
+    body = (
+        f"list_transform(range(1, least(len(S0) - 1, {n_fragments}) + 1),"
+        f" i -> {inner_pos})"
+    )
+    positions = (
+        f"CASE WHEN len({segs}) >= 2 THEN"
+        f" list_transform([{segs}], S0 -> {body})[1]"
+        " ELSE [] END"
+    )
+    frag = (
+        f"substr({expr}, GREATEST(1, p - {window}),"
+        f" p - GREATEST(1, p - {window}))"
+        f" || '{pre_tag}' || substr({expr}, p, {tl}) || '{post_tag}'"
+        f" || substr({expr}, p + {tl}, {window})"
+    )
+    return f"list_transform({positions}, p -> CAST({frag} AS VARCHAR))"

@@ -712,3 +712,12 @@ def test_analyze_stemmer_chain(spark):
 
     _sweep(spark, analyze_sql,
            filters=["lowercase", "stemmer_minimal_english", "unique"])
+
+
+def test_highlight_fragments(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        highlight_fragments_sql,
+    )
+
+    _sweep(spark, highlight_fragments_sql, "a", window=5, n_fragments=3)
+    _sweep(spark, highlight_fragments_sql, "one", window=10, n_fragments=2)

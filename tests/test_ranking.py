@@ -485,3 +485,30 @@ def test_script_score_semantics(spark):
     cut = {r.doc_id for r in script_score(
         df, F.col("src") == "a", "v * 2", min_score=10.0).collect()}
     assert cut == {1}
+
+
+def test_highlight_fragments_semantics(spark):
+    """Multi-fragment highlight: first-N occurrences, case preserved,
+    empty array when absent, fragment cap respected."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.text import (
+        highlight_fragments_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the Fox ran and the fox hid and another fox"),
+         (2, "no animals")],
+        ["id", "t"],
+    )
+    e = highlight_fragments_sql("t", "spark", "fox", window=8,
+                                n_fragments=2)
+    got = {r.id: list(r.frags) for r in
+           df.select("id", F.expr(e).alias("frags")).collect()}
+    assert got[1] == ["the <em>Fox</em> ran and",
+                      "and the <em>fox</em> hid and"]
+    assert got[2] == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        highlight_fragments_sql("t", "spark", "a'b")
