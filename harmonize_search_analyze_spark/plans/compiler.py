@@ -76,6 +76,38 @@ def _match_all(_body: Any) -> Column:
     return F.lit(True)
 
 
+def _match_none(_body: Any) -> Column:
+    """ES ``match_none``: the empty result set (the filter-context dual
+    of match_all)."""
+    return F.lit(False)
+
+
+def _constant_score(body: dict[str, Any]) -> Column:
+    """ES ``constant_score``: in a filter context the boost is scoring
+    metadata — the wrapped filter IS the predicate."""
+    inner = body.get("filter")
+    if inner is None:
+        raise QueryCompileError("constant_score requires a filter clause")
+    return compile_query(inner)
+
+
+def _wrapper(body: dict[str, Any]) -> Column:
+    """ES ``wrapper`` query: a base64-encoded JSON query (the wire form
+    clients use to smuggle raw DSL through typed APIs) — decoded and
+    compiled like any other clause."""
+    import base64 as _b64
+    import json as _json
+
+    raw = body.get("query")
+    if not raw:
+        raise QueryCompileError("wrapper requires a base64 query")
+    try:
+        decoded = _json.loads(_b64.b64decode(raw))
+    except Exception as e:
+        raise QueryCompileError(f"wrapper query does not decode: {e}") from e
+    return compile_query(decoded)
+
+
 def _range(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
     (field, spec), = body.items()
     col = F.col(field)
@@ -835,6 +867,9 @@ def _bool(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
 
 _HANDLERS = {
     "match_all": _match_all,
+    "match_none": _match_none,
+    "constant_score": _constant_score,
+    "wrapper": _wrapper,
     "range": _range,
     "match": _match,
     "match_phrase": _match_phrase,

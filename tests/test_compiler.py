@@ -755,3 +755,29 @@ def test_span_or_and_slop_error_contract(spark):
     with pytest.raises(QueryCompileError):
         compile_query({"match_phrase": {"text": {"query": "a b c d",
                                                  "slop": 1}}})
+
+
+def test_constant_score_match_none_wrapper(spark):
+    """Wrapper-family queries: constant_score unwraps its filter,
+    match_none matches nothing, wrapper decodes base64 DSL."""
+    import base64
+    import json
+
+    from harmonize_search_analyze_spark.plans.compiler import (
+        QueryCompileError,
+        compile_query,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    cs = {"constant_score": {"filter": {"match": {"v": "a"}}, "boost": 2}}
+    assert [r.id for r in df.where(compile_query(cs)).collect()] == [1]
+    assert df.where(compile_query({"match_none": {}})).count() == 0
+    wrapped = base64.b64encode(
+        json.dumps({"match": {"v": "b"}}).encode()
+    ).decode()
+    assert [r.id for r in df.where(
+        compile_query({"wrapper": {"query": wrapped}})).collect()] == [2]
+    with pytest.raises(QueryCompileError, match="decode"):
+        compile_query({"wrapper": {"query": "!!notb64!!"}})
+    with pytest.raises(QueryCompileError, match="filter"):
+        compile_query({"constant_score": {}})
