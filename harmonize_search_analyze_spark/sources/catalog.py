@@ -148,6 +148,54 @@ class Catalog:
             "searchable boolean, aggregatable boolean, is_conflict boolean",
         )
 
+    def compile_with_lookups(self, query: dict):
+        """Compile a query AST after resolving ES ``terms`` LOOKUPS —
+        ``{"terms": {field: {"index": ..., "id": ..., "path": ...}}}``
+        fetches the value list from document ``id`` of a registered
+        index (matched on its ``id`` column by convention, ``path``
+        naming the list-bearing column) and substitutes a plain terms
+        list before compilation.
+
+        The fetch is ONE driver-side row per lookup (the justified
+        metadata collect — ES itself fetches the lookup doc on the
+        coordinating node); the substituted query then compiles to the
+        ordinary sargable IN-list predicate."""
+        from pyspark.sql import functions as _F
+
+        from harmonize_search_analyze_spark.plans.compiler import (
+            compile_query,
+        )
+
+        def resolve(node):
+            if isinstance(node, list):
+                return [resolve(n) for n in node]
+            if not isinstance(node, dict):
+                return node
+            if "terms" in node and isinstance(node["terms"], dict):
+                body = node["terms"]
+                if len(body) == 1:
+                    (field, spec), = body.items()
+                    if isinstance(spec, dict) and "index" in spec:
+                        src = self.resolve(spec["index"])
+                        rows = (
+                            src.where(
+                                _F.col("id") == _F.lit(spec["id"])
+                            )
+                            .select(spec["path"])
+                            .limit(1)
+                            .collect()
+                        )
+                        if not rows:
+                            raise ValueError(
+                                f"terms lookup doc {spec['id']!r} not "
+                                f"found in {spec['index']!r}"
+                            )
+                        vals = rows[0][0] or []
+                        return {"terms": {field: list(vals)}}
+            return {k: resolve(v) for k, v in node.items()}
+
+        return compile_query(resolve(query))
+
     # -- document-level index management (ES _reindex / _update_by_query /
     # _delete_by_query / rollover) -----------------------------------------
     def reindex(

@@ -1497,3 +1497,28 @@ def test_terms_ordered_by_metric(spark):
     assert avg == [("a", 1.5), ("c", 4.0), ("b", 10.0)]
     with pytest.raises(ValueError):
         terms_ordered_by_metric(df, "k", "v", metric="median")
+
+
+def test_terms_lookup_query(spark):
+    """ES terms lookup: the value list comes from a document in another
+    registered index; nested bool shapes resolve too."""
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("allowlists", spark.createDataFrame(
+        [(1, ["click", "view"]), (2, [])],
+        "id long, events array<string>"))
+    data = spark.createDataFrame(
+        [(1, "click"), (2, "buy"), (3, "view")], ["rid", "ev"]
+    )
+    q = {"bool": {"must": [{"terms": {"ev": {
+        "index": "allowlists", "id": 1, "path": "events"}}}]}}
+    got = {r.rid for r in data.where(cat.compile_with_lookups(q)).collect()}
+    assert got == {1, 3}
+    # empty lookup list matches nothing; missing doc raises
+    q2 = {"terms": {"ev": {"index": "allowlists", "id": 2,
+                           "path": "events"}}}
+    assert data.where(cat.compile_with_lookups(q2)).count() == 0
+    with pytest.raises(ValueError, match="not found"):
+        cat.compile_with_lookups({"terms": {"ev": {
+            "index": "allowlists", "id": 99, "path": "events"}}})

@@ -179,3 +179,29 @@ def test_rollup_rewrite_always_equals_raw(spark, minutes, interval, grain):
         for r in date_histogram(df, "ts", interval).collect()
     )
     assert sorted((r.bucket, r.doc_count) for r in out.collect()) == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100),
+                          st.sampled_from(["a", "b", "c"])),
+                min_size=0, max_size=40))
+def test_step_transitions_conservation(spark, rows):
+    """Edge conservation: total transitions == Σ per-user max(n_i - 1, 0)
+    over users with distinct (ts, event) multisets as generated."""
+    import datetime as dt
+    from collections import Counter
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        step_transitions,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    data = [(u, base + dt.timedelta(minutes=m), e) for u, m, e in rows]
+    if not data:
+        return
+    df = spark.createDataFrame(data, ["uid", "ts", "ev"])
+    got = step_transitions(df, "uid", "ts", "ev", k=10**6).collect()
+    per_user = Counter(u for u, _, _ in rows)
+    want_total = sum(max(n - 1, 0) for n in per_user.values())
+    assert sum(r.transitions for r in got) == want_total
