@@ -57,6 +57,8 @@ def terms(
     missing: str | None = None,
     partition: int | None = None,
     num_partitions: int | None = None,
+    include: str | None = None,
+    exclude: str | None = None,
 ) -> DataFrame:
     """Top-k terms by doc count (ES terms aggregation).
 
@@ -73,6 +75,10 @@ def terms(
     result, where a giant single top-k would not. The filter is a
     codegen'd hash compare before the agg (each call scans once; n calls
     total — the same contract ES documents).
+
+    ``include``/``exclude`` are the ES regex forms (full-value anchored,
+    like Lucene's RegExp): sargable-adjacent rlike filters applied BEFORE
+    the aggregation, so excluded terms never enter the hash table.
     """
     if (partition is None) != (num_partitions is None):
         raise ValueError("partition and num_partitions go together")
@@ -91,6 +97,10 @@ def terms(
         df = df.withColumn(field, F.coalesce(F.col(field), F.lit(missing)))
     elif skip_nulls:
         df = df.where(F.col(field).isNotNull())
+    if include is not None:
+        df = df.where(F.col(field).rlike(f"^(?:{include})$"))
+    if exclude is not None:
+        df = df.where(~F.col(field).rlike(f"^(?:{exclude})$"))
     return (
         df.groupBy(field)
         .agg(F.count(F.lit(1)).alias("doc_count"))

@@ -197,6 +197,7 @@ def _run(
             body.get("filter"),
             k=int(body.get("k", k)),
             id_col=vec_id_col,
+            similarity=body.get("similarity"),
         )
         score = [c for c in ranked.columns if c != vec_id_col][0]
         w = Window.orderBy(F.desc(score), F.asc(vec_id_col))

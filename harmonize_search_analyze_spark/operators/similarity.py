@@ -1995,6 +1995,7 @@ def knn_filtered(
     index: tuple[DataFrame, DataFrame] | None = None,
     nprobe: int = 4,
     brute_threshold: int = 100_000,
+    similarity: float | None = None,
 ) -> DataFrame:
     """ES filtered kNN (``knn`` clause with ``filter``): the k nearest
     vectors AMONG the documents matching the filter — pre-filter
@@ -2027,18 +2028,26 @@ def knn_filtered(
         else filter_pred
     )
     survivors = df.where(pred)
+    def _cut(ranked: DataFrame) -> DataFrame:
+        # ES knn `similarity`: hits under the cosine floor drop even if
+        # fewer than k remain (a post-rank filter on the score column)
+        if similarity is None:
+            return ranked
+        score = [c for c in ranked.columns if c != id_col][0]
+        return ranked.where(F.col(score) >= float(similarity))
+
     if index is None:
-        return cosine_topk(survivors, vec_col, qvec, k, id_col)
+        return _cut(cosine_topk(survivors, vec_col, qvec, k, id_col))
     if brute_threshold > 0 and survivors.count() <= brute_threshold:
-        return cosine_topk(survivors, vec_col, qvec, k, id_col)
+        return _cut(cosine_topk(survivors, vec_col, qvec, k, id_col))
     centroids, assignments = index
     filtered_assign = assignments.join(
         survivors.select(id_col), id_col, "left_semi"
     )
-    return ivf_search(
+    return _cut(ivf_search(
         survivors, centroids, filtered_assign, qvec,
         k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
-    )
+    ))
 
 
 def mine_hard_negatives(

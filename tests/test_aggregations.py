@@ -1522,3 +1522,15 @@ def test_terms_lookup_query(spark):
     with pytest.raises(ValueError, match="not found"):
         cat.compile_with_lookups({"terms": {"ev": {
             "index": "allowlists", "id": 99, "path": "events"}}})
+
+
+def test_terms_include_exclude_regex(frame):
+    from harmonize_search_analyze_spark.operators.aggregations import terms
+
+    inc = [r.k for r in terms(frame, "k", include="a|b").collect()]
+    assert inc == ["a", "b"]
+    exc = [r.k for r in terms(frame, "k", exclude="a").collect()]
+    assert exc == ["b", "c"]
+    both = [r.k for r in terms(frame, "k", include="[ab]",
+                               exclude="b").collect()]
+    assert both == ["a"]

@@ -33,3 +33,22 @@ def test_bbq_pack_and_rerank(spark):
         (r.vec_id, r.cosine) for r in exact
     ]
     assert got[0].vec_id == 3 and got[0].hamming == 0
+
+
+def test_knn_similarity_threshold(spark):
+    """ES knn `similarity`: hits under the cosine floor drop even when
+    fewer than k remain."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        knn_filtered,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    all_hits = knn_filtered(df, "embedding", [1.0, 0.0], None, k=3)
+    assert all_hits.count() == 3
+    cut = knn_filtered(
+        df, "embedding", [1.0, 0.0], None, k=3, similarity=0.9
+    ).collect()
+    assert {r.vec_id for r in cut} == {1, 2}
