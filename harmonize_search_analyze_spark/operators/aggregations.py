@@ -59,6 +59,7 @@ def terms(
     num_partitions: int | None = None,
     include: str | None = None,
     exclude: str | None = None,
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """Top-k terms by doc count (ES terms aggregation).
 
@@ -101,9 +102,13 @@ def terms(
         df = df.where(F.col(field).rlike(f"^(?:{include})$"))
     if exclude is not None:
         df = df.where(~F.col(field).rlike(f"^(?:{exclude})$"))
+    out = df.groupBy(field).agg(F.count(F.lit(1)).alias("doc_count"))
+    if min_doc_count > 1:
+        # ES terms min_doc_count: buckets under the floor drop (a HAVING
+        # filter after the agg — map-side combine already happened)
+        out = out.where(F.col("doc_count") >= min_doc_count)
     return (
-        df.groupBy(field)
-        .agg(F.count(F.lit(1)).alias("doc_count"))
+        out
         .orderBy(F.desc("doc_count"), F.asc(field))
         .limit(k)
     )

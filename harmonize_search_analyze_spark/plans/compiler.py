@@ -1114,3 +1114,16 @@ def msearch(
         .where(_F.col("hit_rank") <= k)
         .orderBy("query_name", "hit_rank")
     )
+
+
+def validate_query(query: dict[str, Any]) -> tuple[bool, str | None]:
+    """ES ``_validate/query`` API: compile-check a query AST without
+    executing it. Returns (valid, explanation) — explanation carries the
+    compile error text when invalid (ES's explain=true shape). Catalyst
+    analysis (column existence) still happens at bind time like ES's
+    shard-level rewrite; this validates the DSL layer."""
+    try:
+        compile_query(query)
+        return True, None
+    except QueryCompileError as e:
+        return False, str(e)

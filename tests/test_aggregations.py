@@ -1534,3 +1534,11 @@ def test_terms_include_exclude_regex(frame):
     both = [r.k for r in terms(frame, "k", include="[ab]",
                                exclude="b").collect()]
     assert both == ["a"]
+
+
+def test_terms_min_doc_count(frame):
+    from harmonize_search_analyze_spark.operators.aggregations import terms
+
+    got = [(r.k, r.doc_count) for r in
+           terms(frame, "k", min_doc_count=2).collect()]
+    assert got == [("a", 8), ("b", 7)]  # c (1 doc) dropped

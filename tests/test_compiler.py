@@ -781,3 +781,14 @@ def test_constant_score_match_none_wrapper(spark):
         compile_query({"wrapper": {"query": "!!notb64!!"}})
     with pytest.raises(QueryCompileError, match="filter"):
         compile_query({"constant_score": {}})
+
+
+def test_validate_query_api(spark):
+    from harmonize_search_analyze_spark.plans.compiler import validate_query
+
+    ok, err = validate_query({"match_all": {}})
+    assert ok and err is None
+    ok, err = validate_query({"nope_query": {}})
+    assert not ok and "nope_query" in err
+    ok, err = validate_query({"constant_score": {}})
+    assert not ok and "filter" in err
