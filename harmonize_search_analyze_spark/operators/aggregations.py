@@ -77,9 +77,17 @@ def terms(
     codegen'd hash compare before the agg (each call scans once; n calls
     total — the same contract ES documents).
 
-    ``include``/``exclude`` are the ES regex forms (full-value anchored,
-    like Lucene's RegExp): sargable-adjacent rlike filters applied BEFORE
-    the aggregation, so excluded terms never enter the hash table.
+    ``include``/``exclude`` take both ES forms: a regex string
+    (full-value anchored, like Lucene's RegExp) or a list of exact
+    values. Either way they filter BEFORE the aggregation, so excluded
+    terms never enter the hash table; null keys are untouched by the
+    filters (ES applies include/exclude to bucket KEYS — missing-value
+    handling stays orthogonal to ``skip_nulls``/``missing``).
+
+    ``min_doc_count`` follows ES where a relational engine can: > 1 is a
+    HAVING floor; 0 (emit zero-doc buckets) is only meaningful against a
+    known term universe, so it requires the list form of ``include`` and
+    emits those values with doc_count 0 when absent.
     """
     if (partition is None) != (num_partitions is None):
         raise ValueError("partition and num_partitions go together")
@@ -98,15 +106,36 @@ def terms(
         df = df.withColumn(field, F.coalesce(F.col(field), F.lit(missing)))
     elif skip_nulls:
         df = df.where(F.col(field).isNotNull())
+    if min_doc_count == 0 and not isinstance(include, (list, tuple)):
+        raise ValueError(
+            "min_doc_count=0 needs the list form of include (the term "
+            "universe to zero-fill) — a relational scan has no term "
+            "dictionary beyond the data"
+        )
+
+    def _key_match(spec) -> Column:
+        if isinstance(spec, (list, tuple)):
+            return F.col(field).isin(list(spec))
+        return F.col(field).rlike(f"^(?:{spec})$")
+
+    # null keys pass through the key filters untouched (ES semantics)
     if include is not None:
-        df = df.where(F.col(field).rlike(f"^(?:{include})$"))
+        df = df.where(F.col(field).isNull() | _key_match(include))
     if exclude is not None:
-        df = df.where(~F.col(field).rlike(f"^(?:{exclude})$"))
+        df = df.where(F.col(field).isNull() | ~_key_match(exclude))
     out = df.groupBy(field).agg(F.count(F.lit(1)).alias("doc_count"))
     if min_doc_count > 1:
         # ES terms min_doc_count: buckets under the floor drop (a HAVING
         # filter after the agg — map-side combine already happened)
         out = out.where(F.col("doc_count") >= min_doc_count)
+    elif min_doc_count == 0:
+        spark_ = df.sparkSession
+        grid = spark_.createDataFrame(
+            [(v,) for v in include], f"{field} string"
+        )
+        out = grid.join(out, field, "left").select(
+            field, F.coalesce("doc_count", F.lit(0)).alias("doc_count")
+        )
     return (
         out
         .orderBy(F.desc("doc_count"), F.asc(field))

@@ -67,7 +67,8 @@ def compile_query(
     handler = _HANDLERS.get(kind)
     if handler is None:
         raise QueryCompileError(f"unsupported query kind: {kind}")
-    if handler in (_range, _bool, _dis_max, _boosting):
+    if handler in (_range, _bool, _dis_max, _boosting,
+                   _constant_score, _wrapper):
         return handler(body, now=now)
     return handler(body)
 
@@ -82,19 +83,24 @@ def _match_none(_body: Any) -> Column:
     return F.lit(False)
 
 
-def _constant_score(body: dict[str, Any]) -> Column:
+def _constant_score(
+    body: dict[str, Any], *, now: _dt.datetime | None = None
+) -> Column:
     """ES ``constant_score``: in a filter context the boost is scoring
-    metadata — the wrapped filter IS the predicate."""
+    metadata — the wrapped filter IS the predicate. ``now`` threads
+    through so pinned date-math inside the filter stays pinned."""
     inner = body.get("filter")
     if inner is None:
         raise QueryCompileError("constant_score requires a filter clause")
-    return compile_query(inner)
+    return compile_query(inner, now=now)
 
 
-def _wrapper(body: dict[str, Any]) -> Column:
+def _wrapper(
+    body: dict[str, Any], *, now: _dt.datetime | None = None
+) -> Column:
     """ES ``wrapper`` query: a base64-encoded JSON query (the wire form
     clients use to smuggle raw DSL through typed APIs) — decoded and
-    compiled like any other clause."""
+    compiled like any other clause (``now`` threads through)."""
     import base64 as _b64
     import json as _json
 
@@ -105,7 +111,9 @@ def _wrapper(body: dict[str, Any]) -> Column:
         decoded = _json.loads(_b64.b64decode(raw))
     except Exception as e:
         raise QueryCompileError(f"wrapper query does not decode: {e}") from e
-    return compile_query(decoded)
+    if not isinstance(decoded, dict):
+        raise QueryCompileError("wrapper query must decode to an object")
+    return compile_query(decoded, now=now)
 
 
 def _range(body: dict[str, Any], *, now: _dt.datetime | None = None) -> Column:
@@ -159,6 +167,13 @@ def _match_phrase_prefix(body: dict[str, Any]) -> Column:
 
 def _terms(body: dict[str, Any]) -> Column:
     (field, values), = body.items()
+    if isinstance(values, dict):
+        # the terms-LOOKUP wire form — list(dict) would silently compile
+        # to isin of the spec KEYS ('index', 'id', 'path')
+        raise QueryCompileError(
+            "terms lookup requires the catalog: use "
+            "Catalog.compile_with_lookups"
+        )
     return F.col(field).isin(list(values))
 
 
@@ -1125,5 +1140,7 @@ def validate_query(query: dict[str, Any]) -> tuple[bool, str | None]:
     try:
         compile_query(query)
         return True, None
-    except QueryCompileError as e:
-        return False, str(e)
+    except (QueryCompileError, ValueError, TypeError, KeyError) as e:
+        # malformed bodies raise raw unpack/type errors from handlers —
+        # the validation API reports rather than re-raises them
+        return False, f"{type(e).__name__}: {e}"

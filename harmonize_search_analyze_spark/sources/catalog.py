@@ -148,7 +148,7 @@ class Catalog:
             "searchable boolean, aggregatable boolean, is_conflict boolean",
         )
 
-    def compile_with_lookups(self, query: dict):
+    def compile_with_lookups(self, query: dict, *, now=None):
         """Compile a query AST after resolving ES ``terms`` LOOKUPS —
         ``{"terms": {field: {"index": ..., "id": ..., "path": ...}}}``
         fetches the value list from document ``id`` of a registered
@@ -182,7 +182,7 @@ class Catalog:
                                 _F.col("id") == _F.lit(spec["id"])
                             )
                             .select(spec["path"])
-                            .limit(1)
+                            .limit(2)
                             .collect()
                         )
                         if not rows:
@@ -190,11 +190,18 @@ class Catalog:
                                 f"terms lookup doc {spec['id']!r} not "
                                 f"found in {spec['index']!r}"
                             )
+                        if len(rows) > 1:
+                            # a silent limit(1) would pick a partition-
+                            # order-dependent document
+                            raise ValueError(
+                                f"terms lookup id {spec['id']!r} is "
+                                f"ambiguous in {spec['index']!r}"
+                            )
                         vals = rows[0][0] or []
                         return {"terms": {field: list(vals)}}
             return {k: resolve(v) for k, v in node.items()}
 
-        return compile_query(resolve(query))
+        return compile_query(resolve(query), now=now)
 
     # -- document-level index management (ES _reindex / _update_by_query /
     # _delete_by_query / rollover) -----------------------------------------

@@ -1542,3 +1542,24 @@ def test_terms_min_doc_count(frame):
     got = [(r.k, r.doc_count) for r in
            terms(frame, "k", min_doc_count=2).collect()]
     assert got == [("a", 8), ("b", 7)]  # c (1 doc) dropped
+
+
+def test_terms_list_include_zero_fill_and_null_semantics(spark):
+    """Review fixes: list include/exclude, min_doc_count=0 zero-fill
+    against the list universe, null keys untouched by key filters."""
+    from harmonize_search_analyze_spark.operators.aggregations import terms
+
+    df = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",), (None,)], ["k"]
+    )
+    got = [(r.k, r.doc_count) for r in
+           terms(df, "k", include=["alpha", "gamma"],
+                 min_doc_count=0).collect()]
+    assert got == [("alpha", 2), ("gamma", 0)]
+    # null bucket survives exclude when skip_nulls=False + missing
+    got2 = [(r.k, r.doc_count) for r in
+            terms(df, "k", missing="(missing)",
+                  exclude="beta").collect()]
+    assert got2 == [("alpha", 2), ("(missing)", 1)]
+    with pytest.raises(ValueError, match="list form"):
+        terms(df, "k", min_doc_count=0)

@@ -792,3 +792,17 @@ def test_validate_query_api(spark):
     assert not ok and "nope_query" in err
     ok, err = validate_query({"constant_score": {}})
     assert not ok and "filter" in err
+
+
+def test_terms_lookup_rejected_without_catalog(spark):
+    from harmonize_search_analyze_spark.plans.compiler import (
+        QueryCompileError,
+        compile_query,
+        validate_query,
+    )
+
+    with pytest.raises(QueryCompileError, match="compile_with_lookups"):
+        compile_query({"terms": {"f": {"index": "x", "id": 1,
+                                       "path": "p"}}})
+    ok, err = validate_query({"range": {}})
+    assert not ok and "ValueError" in err
