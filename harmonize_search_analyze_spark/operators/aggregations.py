@@ -816,6 +816,71 @@ def missing_agg(df: DataFrame, field: str) -> DataFrame:
     )
 
 
+_GLOBAL_AGG_FNS = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def global_agg(
+    df: DataFrame,
+    query: Column,
+    metrics: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """ES ``global`` aggregation: inside a filtered search, a ``global``
+    sub-agg escapes the query and aggregates over the WHOLE index — the
+    "this slice vs. everything" comparison (e.g. category avg price next
+    to the corpus-wide avg price).
+
+    ``metrics`` maps output column name -> (fn, field) with fn in
+    ``count|sum|avg|min|max``.  Returns two rows keyed by ``scope``:
+    ``'query'`` (documents matching ``query``) and ``'global'`` (all
+    documents), one column per metric.
+
+    Scale note (100 TB): ES evaluates this as two aggregation contexts
+    over one index scan; the naive relational translation is two scans
+    (filtered + unfiltered) unioned.  This is ONE scan — the query-scoped
+    value of every metric is a conditional aggregate
+    (``fn(CASE WHEN query THEN field END)``) computed next to its
+    unconditional twin in the same partial+final hash agg, then the 1-row
+    result is exploded to the two scope rows.  No second exchange, no
+    second scan; the predicate never gates the scan so nothing is read
+    twice.
+    """
+    if not metrics:
+        raise ValueError("global_agg needs at least one metric")
+    aggs = []
+    for name, (fn, field) in metrics.items():
+        try:
+            f = _GLOBAL_AGG_FNS[fn]
+        except KeyError:
+            raise ValueError(
+                f"unsupported global_agg fn {fn!r}; "
+                f"expected one of {sorted(_GLOBAL_AGG_FNS)}"
+            ) from None
+        col = F.lit(1) if fn == "count" and field == "*" else F.col(field)
+        aggs.append(f(F.when(query, col)).alias(f"__q_{name}"))
+        aggs.append(f(col).alias(f"__g_{name}"))
+    row = df.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("query").alias("scope"),
+                    *[F.col(f"__q_{n}").alias(n) for n in metrics],
+                ),
+                F.struct(
+                    F.lit("global").alias("scope"),
+                    *[F.col(f"__g_{n}").alias(n) for n in metrics],
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
 def date_range_agg(
     df: DataFrame,
     ts_field: str,

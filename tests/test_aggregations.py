@@ -301,6 +301,44 @@ def test_missing_agg(spark):
     assert missing_agg(df, "v").collect()[0]["doc_count"] == 2
 
 
+def test_global_agg_one_scan(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        global_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], "k STRING, v DOUBLE"
+    )
+    out = global_agg(
+        df,
+        F.col("k") == "a",
+        {"n": ("count", "*"), "avg_v": ("avg", "v"), "max_v": ("max", "v")},
+    )
+    rows = {r["scope"]: r for r in out.collect()}
+    assert rows["query"]["n"] == 2 and rows["query"]["avg_v"] == 2.0
+    assert rows["global"]["n"] == 3 and rows["global"]["max_v"] == 10.0
+    # the global scope escapes the query in the SAME scan: one aggregate,
+    # no union of a filtered and an unfiltered pass
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Union" not in final
+    assert final.count("Exchange") == 1, final
+
+
+def test_global_agg_rejects_unknown_fn(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        global_agg,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "v DOUBLE")
+    try:
+        global_agg(df, F.lit(True), {"x": ("median", "v")})
+    except ValueError as e:
+        assert "median" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
 def test_bucket_pipeline_semantics(spark):
     from harmonize_search_analyze_spark.operators.aggregations import (
         bucket_pipeline,
