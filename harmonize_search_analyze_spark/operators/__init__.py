@@ -43,6 +43,7 @@ from harmonize_search_analyze_spark.operators.profiler import build_data_dict
 from harmonize_search_analyze_spark.operators.ranking import (
     distance_feature,
     rank_feature,
+    scroll_pages,
 )
 
 __all__ = [
@@ -58,6 +59,7 @@ __all__ = [
     "has_child",
     "has_parent",
     "rank_feature",
+    "scroll_pages",
     "bloom_build",
     "bloom_dedup",
     "bloom_merge",

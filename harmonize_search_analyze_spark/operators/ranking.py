@@ -493,6 +493,51 @@ def search_after(
 
 
 
+def scroll_pages(
+    df: DataFrame,
+    sort_col: str,
+    *,
+    id_col: str = "doc_id",
+    size: int = 1000,
+    ascending: bool = True,
+    max_pages: int | None = None,
+):
+    """ES ``scroll`` / point-in-time paged export: iterate the ENTIRE
+    sorted result set as a generator of row pages.
+
+    PIT semantics come free: a batch DataFrame is an immutable snapshot
+    of its source files at plan time, so every page reads the same data a
+    PIT-pinned scroll would — no keep-alive, no segment refcounting.
+    Each page is a :func:`search_after` keyset fetch (sargable cursor
+    filter + TakeOrderedAndProject), so page N costs the same as page 1
+    and there is no ES-style 10k depth wall.
+
+    Scale note (100 TB): a scroll is by definition a CLIENT-side export —
+    rows leave the cluster one page at a time, exactly like ES's scroll
+    API, which is why this is a driver-side generator around per-page
+    ``collect()``. Bulk cluster-side export should never scroll: use
+    ``df.write`` (one distributed job) and let the sink parallelize.
+    This exists for API parity with consumers that stream pages.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    after = None
+    pages = 0
+    while max_pages is None or pages < max_pages:
+        rows = search_after(
+            df, sort_col, after, id_col=id_col, size=size,
+            ascending=ascending,
+        ).collect()
+        if not rows:
+            return
+        yield rows
+        pages += 1
+        if len(rows) < size:
+            return
+        last = rows[-1]
+        after = (last[sort_col], last[id_col])
+
+
 def _suggest_candidates(vocab, qdf, prefix_len: int, max_edits: int):
     """Shared candidate generation for both suggesters: prefix as an
     explicit EQUI-join key — a combined on-clause plans as a

@@ -25,6 +25,7 @@ import fnmatch
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class Catalog:
@@ -51,6 +52,18 @@ class Catalog:
 
     def names(self) -> list[str]:
         return sorted(self._datasets)
+
+    def mget(
+        self, pattern: str, ids: list, *, id_col: str = "doc_id"
+    ) -> DataFrame:
+        """ES ``_mget``: fetch documents by id from the indices matching
+        ``pattern``. Compiles to one sargable IN-list filter over the
+        resolved union — at scale the id list prunes row groups via
+        parquet min/max stats, the multi-get never becomes N point
+        queries."""
+        if not ids:
+            raise ValueError("mget needs at least one id")
+        return self.resolve(pattern).where(F.col(id_col).isin(list(ids)))
 
     # -- pattern resolution (config.js:16,22 wildcard semantics) -----------
     def resolve_names(self, pattern: str) -> list[str]:

@@ -170,6 +170,55 @@ def test_rescore_validation(spark):
         rescore(None, "s", "x", window_size=0)
 
 
+def test_scroll_pages_full_export(spark):
+    from harmonize_search_analyze_spark.operators.ranking import scroll_pages
+
+    df = spark.createDataFrame(
+        [(i, float(i % 5) if i % 11 else None) for i in range(1, 40)],
+        ["doc_id", "s"],
+    )
+    pages = list(scroll_pages(df, "s", id_col="doc_id", size=7))
+    rows = [r for p in pages for r in p]
+    # every row exactly once, pages full except possibly the last,
+    # NULL-sort rows included (the tail), total order stable
+    assert len(rows) == 39 and len({r.doc_id for r in rows}) == 39
+    assert all(len(p) == 7 for p in pages[:-1])
+    keys = [
+        (r.s is None, r.s if r.s is not None else 0.0, r.doc_id)
+        for r in rows
+    ]
+    assert keys == sorted(keys)
+    # re-scroll yields byte-identical pages (PIT snapshot semantics)
+    again = [r for p in scroll_pages(df, "s", id_col="doc_id", size=7)
+             for r in p]
+    assert [r.doc_id for r in again] == [r.doc_id for r in rows]
+
+
+def test_scroll_pages_max_pages_and_validation(spark):
+    from harmonize_search_analyze_spark.operators.ranking import scroll_pages
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)],
+                               ["doc_id", "s"])
+    assert sum(len(p) for p in
+               scroll_pages(df, "s", size=3, max_pages=2)) == 6
+    with pytest.raises(ValueError):
+        next(scroll_pages(df, "s", size=0))
+
+
+def test_catalog_mget(spark):
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("docs-a", spark.createDataFrame(
+        [(1, "x"), (2, "y")], ["doc_id", "t"]))
+    cat.register("docs-b", spark.createDataFrame(
+        [(3, "z")], ["doc_id", "t"]))
+    got = sorted(r.doc_id for r in cat.mget("docs-*", [2, 3, 99]).collect())
+    assert got == [2, 3]
+    with pytest.raises(ValueError):
+        cat.mget("docs-*", [])
+
+
 def test_search_after_pages_partition_result_list(spark):
     from harmonize_search_analyze_spark.operators.ranking import search_after
 
