@@ -7100,6 +7100,44 @@ ORDER BY event_id LIMIT 50
 """
 
 
+def q_inference_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES inference ingest processor: a supplied logistic model scored
+    in-plan over event features (NULL features contribute 0), with the
+    threshold label column."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    model = {
+        "type": "logistic_regression",
+        "coefficients": {"value": 0.01, "user_id": -0.001},
+        "intercept": -1.0,
+        "classification_labels": ["cold", "hot"],
+    }
+    return (
+        run_pipeline(ev, [
+            {"inference": {"model": model, "target_field": "p"}},
+        ])
+        .select("event_id", F.round("p", 9).alias("p"), "p_label")
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+SQL_INFERENCE_SCORE = """
+WITH scored AS (
+  SELECT event_id,
+         1.0 / (1.0 + exp(-(-1.0 + 0.01 * COALESCE(value, 0.0)
+                            + -0.001 * COALESCE(user_id, 0.0)))) AS raw
+  FROM events
+)
+SELECT event_id, ROUND(raw, 9) AS p,
+       CASE WHEN raw >= 0.5 THEN 'hot' ELSE 'cold' END AS p_label
+FROM scored ORDER BY event_id LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  Round-3 rotation (VERDICT r2, "Next round" #1):
@@ -7339,6 +7377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_multi": q_highlight_multi,
         "global_agg": q_global_agg,
         "kql_search": q_kql_search,
+        "inference_score": q_inference_score,
     }
 
 
@@ -7559,4 +7598,5 @@ def oracle_sql() -> dict[str, str]:
         "highlight_multi": _sql_highlight_multi(),
         "global_agg": SQL_GLOBAL_AGG,
         "kql_search": SQL_KQL_SEARCH,
+        "inference_score": SQL_INFERENCE_SCORE,
     }

@@ -1658,6 +1658,8 @@ def dashboard(
     cache: bool = True,
     now=None,
     global_panels: dict[str, "callable"] | None = None,
+    kql: str | None = None,
+    kql_default_fields: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Run a panel set over one shared filter context (viz 9 dashboard +
     ``views.js:97-115`` query injection): base query AND UI query AND global
@@ -1673,8 +1675,19 @@ def dashboard(
     evaluate against the UNFILTERED frame — the "3 of 120 incidents match"
     denominator every Kibana total widget needs — while sharing the same
     result dict.
+
+    ``kql`` is the Kibana search bar on top of the dashboard: KQL text
+    compiled through ``plans.kql`` and ANDed into the shared filter
+    context exactly like the UI's query-bar filter joins the dashboard's
+    own query (``now`` pins its date-math too).
     """
     filtered = df
+    if kql is not None:
+        from harmonize_search_analyze_spark.plans.kql import kql_query
+
+        filtered = filtered.where(
+            kql_query(kql, default_fields=kql_default_fields, now=now)
+        )
     if query is not None:
         filtered = filtered.where(query)
     if time_field is not None:

@@ -322,7 +322,69 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
         if "if" not in config:
             return df.where(F.lit(False))
         return df.where(~F.expr(config["if"]))
+    if ptype == "inference":
+        return _inference(df, config)
     raise ValueError(f"unknown ingest processor: {ptype!r}")
+
+
+def _inference(df: DataFrame, config: dict) -> DataFrame:
+    """ES ``inference`` processor: apply a TRAINED linear-family model to
+    document fields and write the prediction — the portable subset of
+    ES's trained-model wire format (a linear/logistic model is fully
+    specified by its coefficient map; tree ensembles need the model
+    artifact and are out of scope, use ``nb_quality_classifier`` /
+    ``nb_score`` for the in-engine trained path).
+
+    Config::
+
+        {"model": {"type": "logistic_regression" | "linear_regression",
+                   "coefficients": {field: weight, ...},
+                   "intercept": b,
+                   "classification_labels": [neg, pos],   # logistic only
+                   "threshold": 0.5},                     # logistic only
+         "target_field": "ml_inference"}                  # default
+
+    Writes ``<target>`` (DOUBLE prediction: raw value for linear,
+    probability for logistic) and, when ``classification_labels`` are
+    given, ``<target>_label``. NULL feature values contribute 0 (ES's
+    missing-field behavior for regression feature maps); the whole thing
+    is one codegen'd column expression — map-only at any scale.
+    """
+    model = config.get("model") or {}
+    mtype = model.get("type")
+    if mtype not in ("logistic_regression", "linear_regression"):
+        raise ValueError(
+            f"inference model type must be logistic_regression or "
+            f"linear_regression, got {mtype!r}"
+        )
+    coeffs = model.get("coefficients") or {}
+    if not coeffs:
+        raise ValueError("inference model needs a non-empty coefficients map")
+    target = config.get("target_field", "ml_inference")
+    score = F.lit(float(model.get("intercept", 0.0)))
+    for field, w in coeffs.items():
+        score = score + F.lit(float(w)) * F.coalesce(
+            F.col(field).cast("double"), F.lit(0.0)
+        )
+    if mtype == "logistic_regression":
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
+        out = df.withColumn(target, _cond(config, prob, F.lit(None)))
+        labels = model.get("classification_labels")
+        if labels:
+            if len(labels) != 2:
+                raise ValueError(
+                    "classification_labels must be [negative, positive]"
+                )
+            thr = float(model.get("threshold", 0.5))
+            # label follows the probability's nullity (an `if`-skipped row
+            # has a NULL probability, so both whens miss -> NULL label)
+            out = out.withColumn(
+                f"{target}_label",
+                F.when(F.col(target) >= F.lit(thr), F.lit(labels[1]))
+                .when(F.col(target) < F.lit(thr), F.lit(labels[0])),
+            )
+        return out
+    return df.withColumn(target, _cond(config, score, F.lit(None)))
 
 
 def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:

@@ -114,6 +114,18 @@ def test_dashboard_shared_filter(frame):
     assert got == {"a": 5, "b": 5, "c": 1}
 
 
+def test_dashboard_kql_search_bar(frame):
+    """The Kibana query bar: KQL text ANDs into the shared filter context
+    next to the dashboard's own query."""
+    panels = {"total": lambda d: count_metric(d)}
+    out = dashboard(frame, panels, query=F.col("j") == "x", kql="k:a",
+                    cache=False)
+    # j == 'x' (13 rows) AND k == 'a' (5 of them)
+    assert out["total"].collect()[0]["doc_count"] == 5
+    out2 = dashboard(frame, panels, kql="k:(a or b)", cache=False)
+    assert out2["total"].collect()[0]["doc_count"] == 15  # a=8 + b=7
+
+
 # -- catalog wildcard union (U2/Q9) -----------------------------------------
 
 def test_catalog_wildcard_union_missing_columns(spark):

@@ -171,6 +171,62 @@ def test_conditional_extract_and_structural_if(spark):
     assert run_pipeline(df, [{"drop": {}}]).count() == 0
 
 
+def test_inference_processor_logistic_and_linear(spark):
+    import math
+
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 1.0), (2, -4.0, 0.0), (3, None, 1.0)],
+        ["id", "x", "y"],
+    )
+    model = {
+        "type": "logistic_regression",
+        "coefficients": {"x": 1.0, "y": 0.5},
+        "intercept": -0.5,
+        "classification_labels": ["low", "high"],
+    }
+    out = {r.id: r for r in run_pipeline(df, [
+        {"inference": {"model": model, "target_field": "p"}},
+    ]).collect()}
+    assert abs(out[1]["p"] - 1 / (1 + math.exp(-2.0))) < 1e-12
+    assert out[1]["p_label"] == "high" and out[2]["p_label"] == "low"
+    # NULL feature contributes 0 (x=None -> logit = -0.5 + 0.5 = 0 -> 0.5)
+    assert abs(out[3]["p"] - 0.5) < 1e-12 and out[3]["p_label"] == "high"
+
+    lin = {"type": "linear_regression",
+           "coefficients": {"x": 2.0}, "intercept": 1.0}
+    got = {r.id: r.yhat for r in run_pipeline(df, [
+        {"inference": {"model": lin, "target_field": "yhat"}},
+    ]).collect()}
+    assert got[1] == 5.0 and got[2] == -7.0 and got[3] == 1.0
+
+
+def test_inference_processor_if_and_validation(spark):
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame([(1, 1.0), (2, 1.0)], ["id", "x"])
+    model = {"type": "logistic_regression", "coefficients": {"x": 10.0},
+             "classification_labels": ["n", "y"]}
+    rows = {r.id: r for r in run_pipeline(df, [
+        {"inference": {"model": model, "target_field": "p", "if": "id = 1"}},
+    ]).collect()}
+    assert rows[1]["p"] is not None and rows[1]["p_label"] == "y"
+    assert rows[2]["p"] is None and rows[2]["p_label"] is None
+    with _pytest.raises(ValueError, match="model type"):
+        run_pipeline(df, [{"inference": {"model": {"type": "boosted_tree",
+                                                   "coefficients": {"x": 1}}}}])
+    with _pytest.raises(ValueError, match="coefficients"):
+        run_pipeline(df, [{"inference": {"model": {
+            "type": "linear_regression", "coefficients": {}}}}])
+
+
 def test_bbq_ragged_embedding_scores_as_zero_bits(spark):
     """A shorter-than-dim embedding must rank (missing dims = clear sign
     bits), not abort the query under ANSI."""
