@@ -2188,6 +2188,9 @@ def knn_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     seed: int = 7,
+    method: str = "exact",
+    nprobe: int = 4,
+    n_centroids: int = 16,
 ) -> DataFrame:
     """k-NN classification probe — the standard embedding-quality eval
     (Papernot & McDaniel 2018's deep k-NN form of it): hold out
@@ -2199,31 +2202,52 @@ def knn_classify(
     deterministic hash gate (same rows on any engine/partitioning).
     Returns (vec_id, true_label, pred_label, votes BIGINT, correct).
 
-    Scale shape: inherits :func:`similarity_join`'s ONE-corpus-scan
-    broadcast contract for the neighbor search; voting is a
+    Scale shape: ``method`` picks the neighbor search. ``"exact"``
+    (default, the oracle) inherits :func:`similarity_join`'s
+    ONE-corpus-scan broadcast contract — but scored pairs are
+    |test| x |train|, BOTH sides growing with the corpus, so the probe is
+    quadratic by construction (measured 82x time at 10x data,
+    PERFORMANCE.md). ``"ivf"`` routes the same voting pipeline through
+    :func:`similarity_join_ivf` (probe-pruned candidates,
+    nprobe/n_centroids of the pairs, recall < 1 with the exact path as
+    its recall oracle) — the production setting for held-out sets beyond
+    a few thousand vectors. Voting is identical either way: a
     (query, label)-keyed agg + per-query rank window — exchanges carry
-    (id, label, count) rows only, never vectors. For test sets beyond a
-    few thousand route through ivf_search, same as similarity_join's
-    guidance.
+    (id, label, count) rows only, never vectors.
     """
     from harmonize_search_analyze_spark.functions.hashing import hash64_sql
 
     if not 0 < test_pct < 100:
         raise ValueError("test_pct must be in 1..99")
+    if method not in ("exact", "ivf"):
+        raise ValueError(f"method must be 'exact' or 'ivf', got {method!r}")
     gate = hash64_sql(
         f"('{int(seed)}:knn:' || CAST({id_col} AS STRING))", "spark"
     )
     is_test = F.expr(f"({gate}) % 100 < {int(test_pct)}")
     test = emb.where(is_test)
     train = emb.where(~is_test)
-    nn = similarity_join(
-        train,
-        test.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
-        k=k,
-        corpus_id=id_col,
-        corpus_vec=vec_col,
-        query_vec=vec_col,
-    )
+    tq = test.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    if method == "ivf":
+        nn = similarity_join_ivf(
+            train,
+            tq,
+            k=k,
+            nprobe=nprobe,
+            n_centroids=n_centroids,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            query_vec=vec_col,
+        )
+    else:
+        nn = similarity_join(
+            train,
+            tq,
+            k=k,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            query_vec=vec_col,
+        )
     votes = (
         nn.join(
             train.select(

@@ -1,0 +1,322 @@
+"""ES|QL — Elasticsearch's piped query language, compiled to DataFrames.
+
+The third query grammar over the one engine (after the DSL JSON in
+``plans/compiler.py`` and KQL in ``plans/kql.py``): ES|QL is the
+``FROM idx | WHERE ... | STATS ... BY ... | SORT ... | LIMIT n`` pipe
+language ES ships for analyst workflows. Each pipe command maps to
+exactly one DataFrame transformation, so the whole pipeline stays one
+declarative Catalyst plan — WHERE right after FROM pushes to the scan,
+STATS is a hash aggregate, SORT+LIMIT fuses to TakeOrderedAndProject.
+Nothing is interpreted row-by-row.
+
+Scalar and aggregate EXPRESSIONS use the engine's restricted
+SQL-expression contract (the same one the ``script`` query and
+``runtime_mappings`` document, plans/compiler.py::_script): an ES|QL
+expression is evaluated as a Spark SQL expression. The core ES|QL
+function set (ABS, CONCAT, SUBSTRING, LENGTH, ROUND, DATE_TRUNC, CASE,
+arithmetic, comparisons, LIKE/RLIKE...) is name-compatible under this
+mapping; divergent names are the caller's to spell Spark-side, and the
+contract is documented rather than shimmed.
+
+Supported commands::
+
+    FROM pattern[, pattern...]      source: catalog-resolved index union
+    ROW a = 1, b = "x"              literal one-row source
+    WHERE <expr>                    filter
+    EVAL name = expr, ...           computed columns (later may use earlier)
+    STATS [n =] agg(expr), ... [BY [k =] expr, ...]   aggregate
+    SORT expr [ASC|DESC] [NULLS FIRST|LAST], ...      sort
+    LIMIT n
+    KEEP col-or-wildcard, ...       projection (ES|QL wildcard rules)
+    DROP col-or-wildcard, ...
+    RENAME old AS new, ...
+    DISSECT field "pattern"         reuse of the ingest dissect compiler
+    GROK field "pattern"            reuse of the ingest grok compiler
+    MV_EXPAND col                   one row per array element
+    LOOKUP JOIN index ON col        broadcast left join (lookup indexes
+                                    are small by ES|QL's own contract)
+
+ES|QL null-sort semantics are pinned: nulls sort as LARGER than any
+value (the ES|QL default), so ASC puts them last and DESC first unless
+an explicit NULLS FIRST/LAST overrides.
+
+Reference scope note: the reference stack predates ES|QL; this exists
+for engine completeness next to KQL (the same "a user of ES could run
+their query here" bar the DSL surface meets).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ESQLError", "run_esql"]
+
+
+class ESQLError(ValueError):
+    """Malformed or unsupported ES|QL."""
+
+
+def _split_top(text: str, sep: str) -> list[str]:
+    """Split on ``sep`` (a single char) outside quotes and parens."""
+    parts, buf, depth, q = [], [], 0, None
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if q:
+            buf.append(c)
+            if c == "\\" and i + 1 < len(text):
+                buf.append(text[i + 1]); i += 2
+                continue
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c; buf.append(c)
+        elif c == "(":
+            depth += 1; buf.append(c)
+        elif c == ")":
+            depth -= 1; buf.append(c)
+        elif c == sep and depth == 0:
+            parts.append("".join(buf)); buf = []
+        else:
+            buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _split_kw(text: str, kw: str) -> tuple[str, str | None]:
+    """Split ``text`` at the first top-level occurrence of word ``kw``
+    (case-insensitive, outside quotes/parens). Returns (head, tail|None).
+    """
+    pat = re.compile(rf"\b{kw}\b", re.IGNORECASE)
+    depth, q = 0, None
+    i = 0
+    while i < len(text):
+        c = text[i]
+        if q:
+            if c == "\\":
+                i += 2; continue
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(text, i)
+            if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+                return text[:i].strip(), text[m.end():].strip()
+        i += 1
+    return text.strip(), None
+
+
+def _assignment(item: str, *, auto_name: bool = True) -> tuple[str, str]:
+    """``name = expr`` -> (name, expr); bare expr -> (its text, expr)
+    (ES|QL names unaliased columns by their source text). The ``=`` must
+    be top-level and not part of ==, <=, >=, !=."""
+    depth, q = 0, None
+    i = 0
+    while i < len(item):
+        c = item[i]
+        if q:
+            if c == "\\":
+                i += 2; continue
+            if c == q:
+                q = None
+        elif c in "\"'":
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "=" and depth == 0:
+            prev = item[i - 1] if i else ""
+            nxt = item[i + 1] if i + 1 < len(item) else ""
+            if prev not in "<>!=" and nxt != "=":
+                name = item[:i].strip()
+                if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", name):
+                    break  # not a simple name: treat whole item as expr
+                return name, item[i + 1:].strip()
+        i += 1
+    if not auto_name:
+        raise ESQLError(f"expected 'name = expr', got: {item!r}")
+    return item.strip(), item.strip()
+
+
+def _expand_cols(specs: list[str], columns: list[str], cmd: str) -> list[str]:
+    out: list[str] = []
+    for spec in specs:
+        spec = spec.strip()
+        if "*" in spec or "?" in spec:
+            hits = [c for c in columns if fnmatch.fnmatchcase(c, spec)]
+            if not hits:
+                raise ESQLError(f"{cmd}: pattern {spec!r} matches no column")
+            out.extend(h for h in hits if h not in out)
+        else:
+            if spec not in columns:
+                raise ESQLError(f"{cmd}: unknown column {spec!r}")
+            if spec not in out:
+                out.append(spec)
+    return out
+
+
+def _sort_col(item: str) -> Column:
+    item = item.strip()
+    nulls = None
+    m = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", item, re.IGNORECASE)
+    if m:
+        nulls = m.group(1).upper()
+        item = item[: m.start()].strip()
+    direction = "ASC"
+    m = re.search(r"\b(ASC|DESC)\s*$", item, re.IGNORECASE)
+    if m:
+        direction = m.group(1).upper()
+        item = item[: m.start()].strip()
+    col = F.expr(item)
+    # ES|QL: nulls are larger than any value
+    if direction == "ASC":
+        return col.asc_nulls_first() if nulls == "FIRST" else col.asc_nulls_last()
+    return col.desc_nulls_last() if nulls == "LAST" else col.desc_nulls_first()
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        return s[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    raise ESQLError(f"expected a double-quoted pattern, got: {s!r}")
+
+
+def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
+    """Execute an ES|QL pipe query against a
+    :class:`~harmonize_search_analyze_spark.sources.catalog.Catalog`
+    (``FROM``/``LOOKUP JOIN`` resolve index patterns through it; pass
+    ``spark`` explicitly only for catalog-less ``ROW`` pipelines)."""
+    pipes = [p.strip() for p in _split_top(query, "|")]
+    if not pipes or not pipes[0]:
+        raise ESQLError("empty query")
+    spark = spark if spark is not None else getattr(catalog, "spark", None)
+
+    df: DataFrame | None = None
+    for idx, cmd in enumerate(pipes):
+        m = re.match(r"([A-Za-z_]+)(?:\s+(.*))?$", cmd, re.DOTALL)
+        if not m:
+            raise ESQLError(f"cannot parse command: {cmd!r}")
+        word = m.group(1).upper()
+        rest = (m.group(2) or "").strip()
+        if idx == 0:
+            if word not in ("FROM", "ROW"):
+                raise ESQLError(
+                    f"query must start with FROM or ROW, got {word}"
+                )
+        elif word in ("FROM", "ROW"):
+            raise ESQLError(f"{word} is only valid as the first command")
+
+        if word == "FROM":
+            if catalog is None:
+                raise ESQLError("FROM requires a catalog")
+            parts = [p.strip() for p in _split_top(rest, ",")]
+            frames = [catalog.resolve(p) for p in parts]
+            df = frames[0]
+            for fr in frames[1:]:
+                df = df.unionByName(fr, allowMissingColumns=True)
+        elif word == "ROW":
+            if spark is None:
+                raise ESQLError("ROW requires a SparkSession")
+            items = [_assignment(i) for i in _split_top(rest, ",")]
+            df = spark.range(1).select(
+                *[F.expr(e).alias(n) for n, e in items]
+            )
+        elif word == "WHERE":
+            df = df.where(F.expr(rest))
+        elif word == "EVAL":
+            for n, e in [_assignment(i) for i in _split_top(rest, ",")]:
+                df = df.withColumn(n, F.expr(e))
+        elif word == "STATS":
+            aggs_txt, by_txt = _split_kw(rest, "BY")
+            aggs = [
+                _assignment(i) for i in _split_top(aggs_txt, ",") if i.strip()
+            ]
+            if not aggs:
+                raise ESQLError("STATS needs at least one aggregate")
+            agg_cols = [F.expr(e).alias(n) for n, e in aggs]
+            if by_txt:
+                keys = [_assignment(i) for i in _split_top(by_txt, ",")]
+                key_cols = [F.expr(e).alias(n) for n, e in keys]
+                df = df.groupBy(*key_cols).agg(*agg_cols)
+            else:
+                df = df.agg(*agg_cols)
+        elif word == "SORT":
+            df = df.orderBy(*[_sort_col(i) for i in _split_top(rest, ",")])
+        elif word == "LIMIT":
+            try:
+                n = int(rest)
+            except ValueError:
+                raise ESQLError(f"LIMIT needs an integer, got {rest!r}")
+            df = df.limit(n)
+        elif word == "KEEP":
+            cols = _expand_cols(_split_top(rest, ","), df.columns, "KEEP")
+            df = df.select(*cols)
+        elif word == "DROP":
+            cols = _expand_cols(_split_top(rest, ","), df.columns, "DROP")
+            df = df.drop(*cols)
+        elif word == "RENAME":
+            for item in _split_top(rest, ","):
+                mm = re.fullmatch(
+                    r"\s*(\S+)\s+AS\s+(\S+)\s*", item, re.IGNORECASE
+                )
+                if not mm:
+                    raise ESQLError(f"RENAME needs 'old AS new': {item!r}")
+                df = df.withColumnRenamed(mm.group(1), mm.group(2))
+        elif word in ("DISSECT", "GROK"):
+            mm = re.match(r"(\S+)\s+(\".*\")\s*$", rest, re.DOTALL)
+            if not mm:
+                raise ESQLError(f'{word} needs: {word} field "pattern"')
+            field, pattern = mm.group(1), _unquote(mm.group(2))
+            from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+                dissect_to_regex,
+                grok_to_regex,
+            )
+
+            rx, fields = (
+                dissect_to_regex(pattern)
+                if word == "DISSECT"
+                else grok_to_regex(pattern, None)
+            )
+            for i, name in enumerate(fields, start=1):
+                df = df.withColumn(
+                    name,
+                    F.nullif(F.regexp_extract(F.col(field), rx, i), F.lit("")),
+                )
+        elif word == "MV_EXPAND":
+            col = rest.strip()
+            if col not in df.columns:
+                raise ESQLError(f"MV_EXPAND: unknown column {col!r}")
+            others = [c for c in df.columns if c != col]
+            # explode_outer: a null/empty multivalue keeps its row with a
+            # NULL element (ES|QL's own mv_expand null behavior)
+            df = df.select(*others, F.explode_outer(F.col(col)).alias(col))
+        elif word == "LOOKUP":
+            mm = re.match(r"JOIN\s+(\S+)\s+ON\s+(\S+)\s*$", rest, re.IGNORECASE)
+            if not mm:
+                raise ESQLError("LOOKUP needs: LOOKUP JOIN index ON col")
+            if catalog is None:
+                raise ESQLError("LOOKUP JOIN requires a catalog")
+            lookup = catalog.resolve(mm.group(1))
+            key = mm.group(2)
+            # lookup indexes are small by ES|QL contract -> broadcast;
+            # left join keeps unmatched rows (ES|QL join semantics)
+            df = df.join(F.broadcast(lookup), on=key, how="left")
+        elif word == "ENRICH":
+            raise ESQLError(
+                "ENRICH needs an enrich-policy store; use LOOKUP JOIN"
+            )
+        else:
+            raise ESQLError(f"unsupported command: {word}")
+    return df

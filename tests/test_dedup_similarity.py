@@ -978,6 +978,39 @@ def test_knn_classify_separable_clusters(spark):
         if not r["correct"]]
 
 
+def test_knn_classify_ivf_path_agrees(spark):
+    """The probe-pruned IVF neighbor search feeds the same voting
+    pipeline: on separable clusters it must classify every held-out
+    vector correctly too (and reject unknown methods)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(120):
+        lab = i % 2
+        base = np.zeros(8)
+        base[lab] = 10.0
+        v = (base + rng.normal(0, 0.1, 8)).tolist()
+        rows.append((i, [float(x) for x in v], lab))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = knn_classify(emb, k=5, test_pct=20, method="ivf",
+                       nprobe=2, n_centroids=4).collect()
+    assert len(out) > 10
+    assert all(r["correct"] for r in out)
+    exact_ids = {r["vec_id"] for r in
+                 knn_classify(emb, k=5, test_pct=20).collect()}
+    assert {r["vec_id"] for r in out} == exact_ids  # same hash holdout
+    with _pytest.raises(ValueError, match="method"):
+        knn_classify(emb, method="annoy")
+
+
 def test_resolve_duplicates_keeps_best(spark):
     """Quality policy: within a cluster the highest-quality doc (ties to
     lowest id) is kept; singletons keep themselves; ascending flag

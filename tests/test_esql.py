@@ -1,0 +1,176 @@
+"""ES|QL pipe-language compiler: command coverage, plan shape, errors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from harmonize_search_analyze_spark.plans.esql import ESQLError, run_esql
+from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+
+@pytest.fixture()
+def cat(spark):
+    c = Catalog(spark)
+    c.register(
+        "events-a",
+        spark.createDataFrame(
+            [
+                (1, "click", 10.0, "u1"),
+                (2, "view", 20.0, "u1"),
+                (3, "click", 30.0, "u2"),
+                (4, "buy", None, "u2"),
+            ],
+            ["id", "etype", "v", "user"],
+        ),
+    )
+    c.register(
+        "events-b",
+        spark.createDataFrame([(5, "click", 50.0)], ["id", "etype", "v"]),
+    )
+    c.register(
+        "users",
+        spark.createDataFrame([("u1", "nl"), ("u2", "de")],
+                              ["user", "country"]),
+    )
+    return c
+
+
+def test_from_where_stats_by_sort_limit(cat):
+    out = run_esql(cat, """
+        FROM events-a
+        | WHERE v IS NOT NULL
+        | STATS n = count(*), total = sum(v) BY etype
+        | SORT total DESC
+        | LIMIT 2
+    """)
+    rows = [(r.etype, r.n, r.total) for r in out.collect()]
+    assert rows == [("click", 2, 40.0), ("view", 1, 20.0)]
+
+
+def test_from_wildcard_union_missing_columns(cat):
+    out = run_esql(cat, "FROM events-* | STATS n = count(*)")
+    assert out.collect()[0].n == 5
+    # user column null-padded for events-b
+    out2 = run_esql(cat, "FROM events-a, events-b | WHERE user IS NULL "
+                         "| STATS n = count(*)")
+    assert out2.collect()[0].n == 1
+
+
+def test_eval_keep_drop_rename(cat):
+    out = run_esql(cat, """
+        FROM events-a
+        | EVAL v2 = v * 2, tag = concat(etype, '!')
+        | RENAME etype AS kind
+        | KEEP id, kind, v2, tag
+        | SORT id
+        | LIMIT 1
+    """)
+    r = out.collect()[0]
+    assert (r.id, r.kind, r.v2, r.tag) == (1, "click", 20.0, "click!")
+    assert out.columns == ["id", "kind", "v2", "tag"]
+    dropped = run_esql(cat, "FROM events-a | DROP v, user")
+    assert dropped.columns == ["id", "etype"]
+
+
+def test_keep_wildcard_order_and_unknown(cat):
+    out = run_esql(cat, "FROM events-a | KEEP e*, id")
+    assert out.columns == ["etype", "id"]
+    with pytest.raises(ESQLError, match="matches no column"):
+        run_esql(cat, "FROM events-a | KEEP z*")
+    with pytest.raises(ESQLError, match="unknown column"):
+        run_esql(cat, "FROM events-a | DROP nope")
+
+
+def test_sort_null_semantics(cat):
+    # ES|QL: nulls are larger than any value -> ASC last, DESC first
+    asc = [r.id for r in run_esql(cat, "FROM events-a | SORT v").collect()]
+    assert asc == [1, 2, 3, 4]
+    desc = [r.id for r in
+            run_esql(cat, "FROM events-a | SORT v DESC").collect()]
+    assert desc == [4, 3, 2, 1]
+    forced = [r.id for r in run_esql(
+        cat, "FROM events-a | SORT v DESC NULLS LAST").collect()]
+    assert forced == [3, 2, 1, 4]
+
+
+def test_row_source_and_mv_expand(cat, spark):
+    out = run_esql(None, "ROW a = 1, xs = array(10, 20)", spark=spark)
+    r = out.collect()[0]
+    assert r.a == 1 and list(r.xs) == [10, 20]
+    exp = run_esql(None, "ROW a = 1, xs = array(10, 20) | MV_EXPAND xs",
+                   spark=spark)
+    assert [x.xs for x in exp.collect()] == [10, 20]
+
+
+def test_lookup_join_broadcast(cat):
+    out = run_esql(cat, """
+        FROM events-a
+        | LOOKUP JOIN users ON user
+        | STATS n = count(*) BY country
+        | SORT country
+    """)
+    assert [(r.country, r.n) for r in out.collect()] == [("de", 2), ("nl", 2)]
+    plan = run_esql(
+        cat, "FROM events-a | LOOKUP JOIN users ON user"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dissect_command(cat, spark):
+    c = Catalog(spark)
+    c.register("logs", spark.createDataFrame(
+        [("alice 42",), ("bob 7",)], ["msg"]))
+    out = run_esql(c, 'FROM logs | DISSECT msg "%{name} %{num}" '
+                      "| WHERE cast(num AS int) > 10")
+    assert [r.name for r in out.collect()] == ["alice"]
+
+
+def test_where_pushdown_reaches_scan(cat, spark, tmp_path):
+    p = str(tmp_path / "ev.parquet")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["id", "v"]
+    ).write.parquet(p)
+    c = Catalog(spark)
+    c.register("ev", spark.read.parquet(p))
+    plan = run_esql(c, "FROM ev | WHERE v >= 50 | KEEP id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(v,50" in plan
+    # projection pruned to the two referenced columns
+    assert "ReadSchema: struct<id:bigint,v:double>" in plan
+
+
+def test_sort_limit_fuses_to_takeordered(cat):
+    plan = run_esql(cat, "FROM events-a | SORT v DESC NULLS LAST | LIMIT 2") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_errors(cat, spark):
+    with pytest.raises(ESQLError, match="start with FROM or ROW"):
+        run_esql(cat, "WHERE x > 1")
+    with pytest.raises(ESQLError, match="first command"):
+        run_esql(cat, "FROM events-a | FROM events-b")
+    with pytest.raises(ESQLError, match="LIMIT needs an integer"):
+        run_esql(cat, "FROM events-a | LIMIT ten")
+    with pytest.raises(ESQLError, match="unsupported command"):
+        run_esql(cat, "FROM events-a | FROBNICATE x")
+    with pytest.raises(ESQLError, match="ENRICH"):
+        run_esql(cat, "FROM events-a | ENRICH policy")
+    with pytest.raises(ESQLError, match="at least one aggregate"):
+        run_esql(cat, "FROM events-a | STATS BY etype")
+
+
+def test_stats_by_expression_key(cat):
+    out = run_esql(cat, """
+        FROM events-a
+        | STATS n = count(*) BY bucket = floor(coalesce(v, 0) / 20)
+        | SORT bucket
+    """)
+    assert [(r.bucket, r.n) for r in out.collect()] == [(0, 2), (1, 2)]
+
+
+def test_pipe_in_string_literal_not_split(cat):
+    out = run_esql(
+        cat, "FROM events-a | EVAL s = concat(etype, '|', user) | SORT id "
+             "| LIMIT 1"
+    )
+    assert out.collect()[0].s == "click|u1"
