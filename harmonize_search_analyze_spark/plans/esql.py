@@ -24,7 +24,13 @@ Supported commands::
     ROW a = 1, b = "x"              literal one-row source
     WHERE <expr>                    filter
     EVAL name = expr, ...           computed columns (later may use earlier)
-    STATS [n =] agg(expr), ... [BY [k =] expr, ...]   aggregate
+    STATS [n =] agg(expr) [WHERE cond], ... [BY [k =] expr, ...]
+                                    aggregate (filtered aggs = Spark
+                                    FILTER clause, one hash agg)
+    INLINESTATS ... [BY ...]        aggregates joined back onto rows
+                                    (hash agg + broadcast join-back:
+                                    bucket-sized exchange, map-only on
+                                    the data path)
     SORT expr [ASC|DESC] [NULLS FIRST|LAST], ...      sort
     LIMIT n
     KEEP col-or-wildcard, ...       projection (ES|QL wildcard rules)
@@ -167,6 +173,18 @@ def _expand_cols(specs: list[str], columns: list[str], cmd: str) -> list[str]:
     return out
 
 
+def _agg_item(item: str) -> tuple[str, Column]:
+    """A STATS/INLINESTATS aggregate: ``[name =] agg(expr) [WHERE cond]``.
+    The per-aggregate WHERE (ES|QL 8.16 filtered aggregates) compiles to
+    Spark's ``FILTER (WHERE ...)`` aggregate clause — still one hash agg,
+    the filter never forks the scan."""
+    name, expr = _assignment(item)
+    expr, cond = _split_kw(expr, "WHERE")
+    if cond:
+        expr = f"{expr} FILTER (WHERE {cond})"
+    return name, F.expr(expr)
+
+
 def _sort_col(item: str) -> Column:
     item = item.strip()
     nulls = None
@@ -238,20 +256,51 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
         elif word == "EVAL":
             for n, e in [_assignment(i) for i in _split_top(rest, ",")]:
                 df = df.withColumn(n, F.expr(e))
-        elif word == "STATS":
+        elif word in ("STATS", "INLINESTATS"):
             aggs_txt, by_txt = _split_kw(rest, "BY")
             aggs = [
-                _assignment(i) for i in _split_top(aggs_txt, ",") if i.strip()
+                _agg_item(i)
+                for i in _split_top(aggs_txt, ",")
+                if i.strip()
             ]
             if not aggs:
-                raise ESQLError("STATS needs at least one aggregate")
-            agg_cols = [F.expr(e).alias(n) for n, e in aggs]
-            if by_txt:
-                keys = [_assignment(i) for i in _split_top(by_txt, ",")]
-                key_cols = [F.expr(e).alias(n) for n, e in keys]
-                df = df.groupBy(*key_cols).agg(*agg_cols)
+                raise ESQLError(f"{word} needs at least one aggregate")
+            agg_cols = [c.alias(n) for n, c in aggs]
+            if word == "STATS":
+                if by_txt:
+                    keys = [_assignment(i) for i in _split_top(by_txt, ",")]
+                    key_cols = [F.expr(e).alias(n) for n, e in keys]
+                    df = df.groupBy(*key_cols).agg(*agg_cols)
+                else:
+                    df = df.agg(*agg_cols)
             else:
-                df = df.agg(*agg_cols)
+                # INLINESTATS: the aggregates JOIN BACK onto every input
+                # row instead of replacing them. Not a window function —
+                # a window would (a) shuffle EVERY input row on the keys
+                # and (b) reject composite agg expressions like
+                # round(avg(v), 6) (OVER attaches to the outermost call).
+                # Instead: one hash aggregate (bucket-sized exchange,
+                # map-side combine) broadcast-joined back — map-only on
+                # the data path, and arbitrary aggregate expressions
+                # (including FILTER'd ones) evaluate in the agg.
+                if by_txt:
+                    keys = [_assignment(i) for i in _split_top(by_txt, ",")]
+                    for n, e in keys:
+                        df = df.withColumn(n, F.expr(e))
+                    stats = df.groupBy(
+                        *[F.col(n) for n, _ in keys]
+                    ).agg(*agg_cols)
+                    # eqNullSafe: a NULL group key is a real bucket in
+                    # the agg; plain equality would orphan its rows
+                    cond = None
+                    for n, _ in keys:
+                        c = df[n].eqNullSafe(stats[n])
+                        cond = c if cond is None else cond & c
+                    df = df.join(F.broadcast(stats), cond, "left").drop(
+                        *[stats[n] for n, _ in keys]
+                    )
+                else:
+                    df = df.crossJoin(F.broadcast(df.agg(*agg_cols)))
         elif word == "SORT":
             df = df.orderBy(*[_sort_col(i) for i in _split_top(rest, ",")])
         elif word == "LIMIT":

@@ -168,6 +168,56 @@ def test_stats_by_expression_key(cat):
     assert [(r.bucket, r.n) for r in out.collect()] == [(0, 2), (1, 2)]
 
 
+def test_stats_filtered_aggregate(cat):
+    out = run_esql(cat, """
+        FROM events-a
+        | STATS n = count(*), clicks = count(*) WHERE etype == 'click',
+                big = count(*) WHERE coalesce(v, 0) >= 20 BY user
+        | SORT user
+    """)
+    rows = [(r.user, r.n, r.clicks, r.big) for r in out.collect()]
+    assert rows == [("u1", 2, 1, 1), ("u2", 2, 1, 1)]
+    # still ONE aggregate: no union/self-join fork for the filtered aggs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Union" not in final
+
+
+def test_inlinestats_joins_back_onto_rows(cat):
+    out = run_esql(cat, """
+        FROM events-a
+        | INLINESTATS avg_v = avg(v) BY etype
+        | EVAL above = v > avg_v
+        | SORT id
+    """)
+    rows = [(r.id, r.avg_v, r.above) for r in out.collect()]
+    assert rows[0] == (1, 20.0, False) and rows[2] == (3, 20.0, True)
+    assert len(rows) == 4  # rows preserved, not collapsed
+    # the join-back is a BROADCAST of the bucket-sized agg, never a
+    # shuffle join of the input against itself
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final or "BroadcastNestedLoop" in final
+    assert "SortMergeJoin" not in final
+    # composite agg expressions and filtered aggs evaluate in the agg
+    # (a window-function encoding rejects both)
+    comp = run_esql(cat, """
+        FROM events-a
+        | INLINESTATS r = round(avg(v), 1),
+                      nc = count(*) WHERE etype == 'click' BY user
+        | SORT id | LIMIT 1
+    """).collect()[0]
+    assert comp.r == 15.0 and comp.nc == 1
+    # NULL group keys keep their aggregates (eqNullSafe join-back)
+    nullkey = run_esql(cat, """
+        FROM events-a
+        | EVAL g = CASE WHEN id <= 2 THEN 'a' END
+        | INLINESTATS n = count(*) BY g
+        | SORT id
+    """).collect()
+    assert [r.n for r in nullkey] == [2, 2, 2, 2]
+
+
 def test_pipe_in_string_literal_not_split(cat):
     out = run_esql(
         cat, "FROM events-a | EVAL s = concat(etype, '|', user) | SORT id "
