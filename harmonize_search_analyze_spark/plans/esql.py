@@ -55,7 +55,6 @@ from __future__ import annotations
 
 import fnmatch
 import re
-from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -87,6 +86,10 @@ def _split_top(text: str, sep: str) -> list[str]:
         elif c == ")":
             depth -= 1; buf.append(c)
         elif c == sep and depth == 0:
+            if i + 1 < len(text) and text[i + 1] == sep:
+                # `||` (SQL string concat / OR) is an atom, not two pipes
+                buf.append(sep); buf.append(sep); i += 2
+                continue
             parts.append("".join(buf)); buf = []
         else:
             buf.append(c)
@@ -180,7 +183,11 @@ def _agg_item(item: str) -> tuple[str, Column]:
     the filter never forks the scan."""
     name, expr = _assignment(item)
     expr, cond = _split_kw(expr, "WHERE")
-    if cond:
+    if cond is not None:
+        if not cond.strip():
+            raise ESQLError(
+                f"per-aggregate WHERE needs a condition: {item!r}"
+            )
         expr = f"{expr} FILTER (WHERE {cond})"
     return name, F.expr(expr)
 
@@ -197,6 +204,11 @@ def _sort_col(item: str) -> Column:
     if m:
         direction = m.group(1).upper()
         item = item[: m.start()].strip()
+    if not item:
+        raise ESQLError(
+            "SORT key has no expression (a bare column literally named "
+            "asc/desc/nulls needs backticks to disambiguate)"
+        )
     col = F.expr(item)
     # ES|QL: nulls are larger than any value
     if direction == "ASC":
@@ -265,6 +277,8 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
             ]
             if not aggs:
                 raise ESQLError(f"{word} needs at least one aggregate")
+            if by_txt is not None and not by_txt.strip():
+                raise ESQLError(f"{word} BY needs at least one key")
             agg_cols = [c.alias(n) for n, c in aggs]
             if word == "STATS":
                 if by_txt:
@@ -328,21 +342,15 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
             if not mm:
                 raise ESQLError(f'{word} needs: {word} field "pattern"')
             field, pattern = mm.group(1), _unquote(mm.group(2))
+            # one extraction implementation: the ingest pipeline's own
+            # dissect/grok processors (semantics fixes land once)
             from harmonize_search_analyze_spark.operators.ingest_pipeline import (
-                dissect_to_regex,
-                grok_to_regex,
+                apply_processor,
             )
 
-            rx, fields = (
-                dissect_to_regex(pattern)
-                if word == "DISSECT"
-                else grok_to_regex(pattern, None)
+            df = apply_processor(
+                df, word.lower(), {"field": field, "pattern": pattern}
             )
-            for i, name in enumerate(fields, start=1):
-                df = df.withColumn(
-                    name,
-                    F.nullif(F.regexp_extract(F.col(field), rx, i), F.lit("")),
-                )
         elif word == "MV_EXPAND":
             col = rest.strip()
             if col not in df.columns:
@@ -359,6 +367,14 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
                 raise ESQLError("LOOKUP JOIN requires a catalog")
             lookup = catalog.resolve(mm.group(1))
             key = mm.group(2)
+            # ES|QL shadowing: on a name collision the lookup index's
+            # column REPLACES the input's — drop the input twin first so
+            # the joined schema never carries ambiguous duplicates
+            shadowed = [
+                c for c in lookup.columns if c != key and c in df.columns
+            ]
+            if shadowed:
+                df = df.drop(*shadowed)
             # lookup indexes are small by ES|QL contract -> broadcast;
             # left join keeps unmatched rows (ES|QL join semantics)
             df = df.join(F.broadcast(lookup), on=key, how="left")

@@ -219,6 +219,9 @@ class _Parser:
             if v.kind not in ("word", "quoted"):
                 raise KQLParseError(f"range needs a value at {v.pos}")
             return {"range": {t.text: {_RANGE_OPS[nxt.text]: _coerce(v.text)}}}
+        # bare `*` is Kibana's match-everything query, field list or not
+        if t.kind == "word" and t.wildcard and t.text == "*":
+            return {"match_all": {}}
         # bare term -> default-field multi_match
         if self.default_fields is None:
             raise KQLParseError(
@@ -229,6 +232,18 @@ class _Parser:
                 "bool": {
                     "should": [
                         {"match_phrase": {f: t.text}}
+                        for f in self.default_fields
+                    ],
+                    "minimum_should_match": 1,
+                }
+            }
+        if t.kind == "word" and t.wildcard:
+            # keep wildcard semantics on the bare path too (a multi_match
+            # would compile to literal equality and silently match nothing)
+            return {
+                "bool": {
+                    "should": [
+                        {"wildcard": {f: {"value": t.text}}}
                         for f in self.default_fields
                     ],
                     "minimum_should_match": 1,

@@ -218,6 +218,40 @@ def test_inlinestats_joins_back_onto_rows(cat):
     assert [r.n for r in nullkey] == [2, 2, 2, 2]
 
 
+def test_concat_operator_not_split_as_pipes(cat):
+    out = run_esql(
+        cat, "FROM events-a | EVAL s = etype || '-' || user | SORT id "
+             "| LIMIT 1"
+    )
+    assert out.collect()[0].s == "click-u1"
+    # and in WHERE position (Spark SQL `||` is string concat)
+    n = run_esql(
+        cat, "FROM events-a | WHERE etype || user == 'clicku1' "
+             "| STATS n = count(*)"
+    ).collect()[0].n
+    assert n == 1
+
+
+def test_trailing_by_and_empty_where_rejected(cat):
+    with pytest.raises(ESQLError, match="BY needs"):
+        run_esql(cat, "FROM events-a | STATS n = count(*) BY")
+    with pytest.raises(ESQLError, match="WHERE needs a condition"):
+        run_esql(cat, "FROM events-a | STATS n = count(*) WHERE")
+    with pytest.raises(ESQLError, match="SORT key"):
+        run_esql(cat, "FROM events-a | SORT desc")
+
+
+def test_lookup_join_shadows_colliding_columns(cat, spark):
+    c = Catalog(spark)
+    c.register("ev", spark.createDataFrame(
+        [(1, "u1", "stale")], ["id", "user", "country"]))
+    c.register("users", spark.createDataFrame(
+        [("u1", "nl")], ["user", "country"]))
+    out = run_esql(c, "FROM ev | LOOKUP JOIN users ON user | KEEP country")
+    assert out.columns == ["country"]
+    assert out.collect()[0].country == "nl"  # lookup value replaces input
+
+
 def test_pipe_in_string_literal_not_split(cat):
     out = run_esql(
         cat, "FROM events-a | EVAL s = concat(etype, '|', user) | SORT id "

@@ -90,6 +90,22 @@ def test_bare_term_needs_default_fields():
     }
 
 
+def test_bare_wildcard_terms():
+    # `*` alone is Kibana's match-everything, default fields or not
+    assert parse_kql("*") == {"match_all": {}}
+    assert parse_kql("*", default_fields=["a"]) == {"match_all": {}}
+    # a bare wildcard term keeps wildcard semantics across default fields
+    assert parse_kql("err*", default_fields=["msg", "tag"]) == {
+        "bool": {
+            "should": [
+                {"wildcard": {"msg": {"value": "err*"}}},
+                {"wildcard": {"tag": {"value": "err*"}}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+
+
 def test_empty_query_is_match_all():
     assert parse_kql("") == {"match_all": {}}
     assert parse_kql("   ") == {"match_all": {}}
