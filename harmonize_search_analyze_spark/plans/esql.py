@@ -41,6 +41,12 @@ Supported commands::
     MV_EXPAND col                   one row per array element
     LOOKUP JOIN index ON col        broadcast left join (lookup indexes
                                     are small by ES|QL's own contract)
+    CHANGE_POINT value ON key       step-change detection over the piped
+                                    series (documented deviation: returns
+                                    the single best step row from the
+                                    deterministic detector core, not
+                                    ES|QL's per-row type/p-value
+                                    annotations from its detector battery)
 
 ES|QL null-sort semantics are pinned: nulls sort as LARGER than any
 value (the ES|QL default), so ASC puts them last and DESC first unless
@@ -378,6 +384,17 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
             # lookup indexes are small by ES|QL contract -> broadcast;
             # left join keeps unmatched rows (ES|QL join semantics)
             df = df.join(F.broadcast(lookup), on=key, how="left")
+        elif word == "CHANGE_POINT":
+            mm = re.match(r"(\S+)\s+ON\s+(\S+)\s*$", rest, re.IGNORECASE)
+            if not mm:
+                raise ESQLError(
+                    "CHANGE_POINT needs: CHANGE_POINT value ON key"
+                )
+            from harmonize_search_analyze_spark.operators.aggregations import (
+                change_point,
+            )
+
+            df = change_point(df, mm.group(2), mm.group(1))
         elif word == "ENRICH":
             raise ESQLError(
                 "ENRICH needs an enrich-policy store; use LOOKUP JOIN"

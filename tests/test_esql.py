@@ -252,6 +252,18 @@ def test_lookup_join_shadows_colliding_columns(cat, spark):
     assert out.collect()[0].country == "nl"  # lookup value replaces input
 
 
+def test_change_point_command(cat, spark):
+    c = Catalog(spark)
+    vals = [10.0] * 6 + [50.0] * 6
+    c.register("series", spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["t", "v"]))
+    out = run_esql(c, "FROM series | CHANGE_POINT v ON t")
+    r = out.collect()[0]
+    assert r.change_bucket == 6 and r.mean_before == 10.0
+    with pytest.raises(ESQLError, match="CHANGE_POINT needs"):
+        run_esql(cat, "FROM events-a | CHANGE_POINT v")
+
+
 def test_pipe_in_string_literal_not_split(cat):
     out = run_esql(
         cat, "FROM events-a | EVAL s = concat(etype, '|', user) | SORT id "

@@ -820,3 +820,52 @@ def test_streaming_ingest_pipeline(spark, tmp_path):
     assert set(got) == {1, 2}  # the unparseable line was dropped
     assert got[2] == ("ERROR", "disk full",
                       dt.datetime(2025, 1, 1, 10, 1))
+
+
+def test_streaming_kql_and_esql_map_commands(spark, tmp_path):
+    """KQL predicates and the map-only ES|QL commands (WHERE/EVAL/KEEP)
+    are stateless column transforms, so the same compilers run unchanged
+    on a streaming frame — the Kibana-search-bar-over-a-stream shape."""
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.plans.kql import kql_query
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+    from harmonize_search_analyze_spark.streaming.windows import (
+        read_document_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("etype", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    rows = [(1, "click", 10.0), (2, "view", 300.0), (3, "click", 400.0)]
+    src = tmp_path / "kql_stream"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(src)
+    )
+    stream = read_document_stream(spark, str(src), schema)
+    cat = Catalog(spark)
+    cat.register("stream", stream)
+    out = run_esql(cat, """
+        FROM stream
+        | WHERE v >= 200
+        | EVAL flag = etype || '!'
+        | KEEP id, flag
+    """).where(kql_query("flag:click*"))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kql_esql_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_kql"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [(r.id, r.flag) for r in
+           spark.sql("SELECT * FROM kql_esql_stream").collect()]
+    assert got == [(3, "click!")]
