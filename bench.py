@@ -95,12 +95,42 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 4)
+
+    # The driver's artifact capture keeps only the LAST ~2 KB of output:
+    # a single giant JSON line with 200+ per-query timings gets its head
+    # (metric/value) truncated away and records "parsed": null
+    # (BENCH_r02/BENCH_r03 — VERDICT r3 finding #3).  So: per-query map
+    # goes to a FILE (committed as BENCHLOCAL_r{N}.json for round-over-
+    # round comparison) and one line per query to stdout for humans,
+    # then the LAST stdout line is one compact, always-parseable totals
+    # JSON whose "queries" map carries only the 10 slowest.
+    full = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCHLOCAL.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    for name in sorted(timings, key=timings.get, reverse=True):
+        print(f"# {timings[name]:8.3f}s  {name}", file=sys.stderr)
+    slowest = dict(sorted(
+        timings.items(), key=lambda kv: kv[1], reverse=True
+    )[:10])
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_file": "BENCHLOCAL.json",
+        "sf": sf_val,
     }))
 
 

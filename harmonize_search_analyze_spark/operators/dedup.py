@@ -163,6 +163,12 @@ def minhash_signatures(
     # skip the array_distinct pass entirely
     sh = grams_sql(text_col, "spark", n)
     exploded = df.select(F.col(id_col), F.explode(F.expr(sh)).alias("_s"))
+    return _signatures_from_exploded(exploded, id_col, k=k, seed=seed)
+
+
+def _signatures_from_exploded(
+    exploded: DataFrame, id_col: str, *, k: int, seed: int
+) -> DataFrame:
     hashed = exploded.select(
         F.col(id_col),
         F.expr(hash64_sql("_s", "spark")).alias("_h"),
@@ -172,6 +178,28 @@ def minhash_signatures(
         for i, (a, b) in enumerate(minhash_params(k, seed))
     ]
     return hashed.groupBy(id_col).agg(*mh_aggs)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    *,
+    shingle_col: str = "shingles",
+    k: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Signatures from an ALREADY-MATERIALIZED shingle-set frame — the
+    MIN of a universal hash is invariant under duplicates, so the
+    distinct set yields byte-identical signatures to the raw gram stream
+    (pinned by test). Lets a caller that also needs the shingle sets
+    (the LSH verify join) tokenize the corpus ONCE: at 100 TB the
+    tokenize+shingle projection is a full scan's worth of work, and
+    running it twice (signature build + verify probe) was the dominant
+    redundant cost in the near-dup pipeline (PERFORMANCE.md, round 4)."""
+    exploded = sh.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("_s")
+    )
+    return _signatures_from_exploded(exploded, id_col, k=k, seed=seed)
 
 
 def lsh_candidate_pairs(
@@ -241,15 +269,20 @@ def near_dup_pairs_lsh(
     # parquet input would otherwise run the whole signature pipeline (and
     # both verify-join probes) in one task
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-    sigs = minhash_signatures(df, id_col, text_col, k=k, n=n, seed=seed)
-    cands = lsh_candidate_pairs(sigs, id_col, k=k, rows_per_band=rows_per_band)
-    # both verify-join probes reference the shingle frame; without the
-    # persist the tokenize+shingle projection runs twice (no CSE across
-    # join branches — same reason the band frame persists)
+    # ONE tokenization pass for the whole pipeline: the persisted shingle
+    # frame feeds the signature build AND both verify-join probes (three
+    # readers; without it the tokenize+shingle projection runs per reader
+    # — no CSE across join branches). Signatures from the distinct set
+    # are byte-identical to the raw-gram-stream path (MIN is duplicate-
+    # invariant; pinned by test).
     sh = df.select(
         F.col(id_col),
         F.expr(shingles_sql(text_col, "spark", n)).alias("shingles"),
     ).persist()
+    sigs = minhash_signatures_from_shingles(
+        sh, id_col, k=k, seed=seed
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, k=k, rows_per_band=rows_per_band)
     j = jaccard_sql("l_sh", "r_sh", "spark")
     out = (
         cands.join(sh.select(F.col(id_col).alias("id1"), F.col("shingles").alias("l_sh")), "id1")

@@ -243,7 +243,14 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
             )
         return out
     if ptype == "kv":
-        fs, vs = config["field_split"], config["value_split"]
+        # separators are user config interpolated into SQL text — apply
+        # the same quote-escaping discipline as include_keys below (a
+        # quote in a separator must not break the generated expression);
+        # len() widths are taken on the RAW value_split, the escaping
+        # only protects the SQL string-literal layer
+        fs = config["field_split"].replace("\\", "\\\\").replace("'", "\\'")
+        vs_raw = config["value_split"]
+        vs = vs_raw.replace("\\", "\\\\").replace("'", "\\'")
         prefix = config.get("target_prefix", "")
         # field_split is a regex (ES contract); value_split here is a
         # LITERAL separator of any length — the value starts after the
@@ -255,7 +262,7 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
             f"filter(transform(split({fld}, '{fs}'),"
             f" p -> (split_part(p, '{vs}', 1),"
             f" substr(p, length(split_part(p, '{vs}', 1))"
-            f" + {len(vs) + 1}))),"
+            f" + {len(vs_raw) + 1}))),"
             " e -> e.col1 <> '')"
         )
         out = df
@@ -361,6 +368,14 @@ def _inference(df: DataFrame, config: dict) -> DataFrame:
     if not coeffs:
         raise ValueError("inference model needs a non-empty coefficients map")
     target = config.get("target_field", "ml_inference")
+    # `if`-skipped rows keep the PRE-EXISTING target value (ES skips the
+    # processor, leaving the document unchanged — same contract as every
+    # other value processor here), not a NULL overwrite
+    prev = (
+        F.col(target).cast("double")
+        if target in df.columns
+        else F.lit(None).cast("double")
+    )
     score = F.lit(float(model.get("intercept", 0.0)))
     for field, w in coeffs.items():
         score = score + F.lit(float(w)) * F.coalesce(
@@ -368,7 +383,7 @@ def _inference(df: DataFrame, config: dict) -> DataFrame:
         )
     if mtype == "logistic_regression":
         prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-score))
-        out = df.withColumn(target, _cond(config, prob, F.lit(None)))
+        out = df.withColumn(target, _cond(config, prob, prev))
         labels = model.get("classification_labels")
         if labels:
             if len(labels) != 2:
@@ -376,15 +391,16 @@ def _inference(df: DataFrame, config: dict) -> DataFrame:
                     "classification_labels must be [negative, positive]"
                 )
             thr = float(model.get("threshold", 0.5))
-            # label follows the probability's nullity (an `if`-skipped row
-            # has a NULL probability, so both whens miss -> NULL label)
+            # label follows the target's value: an `if`-skipped row keeps
+            # its pre-existing probability (NULL when there was none, so
+            # both whens miss -> NULL label)
             out = out.withColumn(
                 f"{target}_label",
                 F.when(F.col(target) >= F.lit(thr), F.lit(labels[1]))
                 .when(F.col(target) < F.lit(thr), F.lit(labels[0])),
             )
         return out
-    return df.withColumn(target, _cond(config, score, F.lit(None)))
+    return df.withColumn(target, _cond(config, score, prev))
 
 
 def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:

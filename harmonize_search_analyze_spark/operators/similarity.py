@@ -726,7 +726,7 @@ def similarity_join_ivf(
     k: int = 10,
     *,
     nprobe: int = 4,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -752,6 +752,18 @@ def similarity_join_ivf(
     """
     import numpy as np
 
+    if n_centroids is None:
+        # IVF sizing must GROW with the corpus or the per-probe candidate
+        # list is Θ(n) and the join stays quadratic — the round-4 scale
+        # rig measured exactly that with a pinned 16 (20.5x time at 10x
+        # data). sqrt(n) is the classic IVF-flat balance point: probe
+        # selection costs |Q|·sqrt(n), candidates nprobe·sqrt(n) per
+        # query — O(n^1.5) overall instead of O(n²). One count() pass,
+        # scan-bound, to size it.
+        import math as _math
+
+        n_corpus = corpus.count()
+        n_centroids = max(16, _math.isqrt(max(n_corpus, 1)))
     centroids, assignments = ivf_assign(
         corpus, corpus_vec, corpus_id, n_centroids=n_centroids
     )
@@ -2190,7 +2202,7 @@ def knn_classify(
     seed: int = 7,
     method: str = "exact",
     nprobe: int = 4,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """k-NN classification probe — the standard embedding-quality eval
     (Papernot & McDaniel 2018's deep k-NN form of it): hold out
@@ -2211,7 +2223,10 @@ def knn_classify(
     :func:`similarity_join_ivf` (probe-pruned candidates,
     nprobe/n_centroids of the pairs, recall < 1 with the exact path as
     its recall oracle) — the production setting for held-out sets beyond
-    a few thousand vectors. Voting is identical either way: a
+    a few thousand vectors. ``n_centroids=None`` (the default) auto-sizes
+    the index to ~sqrt(n_train) so the candidate volume stays O(n^1.5)
+    as the corpus grows — a pinned centroid count re-introduces the
+    quadratic term (measured, PERFORMANCE.md round 4). Voting is identical either way: a
     (query, label)-keyed agg + per-query rank window — exchanges carry
     (id, label, count) rows only, never vectors.
     """

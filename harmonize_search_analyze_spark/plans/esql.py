@@ -126,7 +126,13 @@ def _split_kw(text: str, kw: str) -> tuple[str, str | None]:
             depth -= 1
         elif depth == 0:
             m = pat.match(text, i)
-            if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")):
+            # word boundary on BOTH sides including '.': a dotted
+            # identifier segment that equals the keyword (``v.by``,
+            # ``x.where``) is part of the name, not a command keyword
+            if m and (
+                i == 0
+                or not (text[i - 1].isalnum() or text[i - 1] in "_.")
+            ) and (m.end() >= len(text) or text[m.end()] != "."):
                 return text[:i].strip(), text[m.end():].strip()
         i += 1
     return text.strip(), None
@@ -342,6 +348,13 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
                 )
                 if not mm:
                     raise ESQLError(f"RENAME needs 'old AS new': {item!r}")
+                # withColumnRenamed silently no-ops on a missing source —
+                # a typo would sail through and fail confusingly later;
+                # match KEEP/DROP/MV_EXPAND's unknown-column contract
+                if mm.group(1) not in df.columns:
+                    raise ESQLError(
+                        f"RENAME: unknown column {mm.group(1)!r}"
+                    )
                 df = df.withColumnRenamed(mm.group(1), mm.group(2))
         elif word in ("DISSECT", "GROK"):
             mm = re.match(r"(\S+)\s+(\".*\")\s*$", rest, re.DOTALL)

@@ -218,7 +218,11 @@ class _Parser:
             v = self.next()
             if v.kind not in ("word", "quoted"):
                 raise KQLParseError(f"range needs a value at {v.pos}")
-            return {"range": {t.text: {_RANGE_OPS[nxt.text]: _coerce(v.text)}}}
+            # KQL quoting pins the literal as a STRING: `price >= "10"`
+            # compares lexicographically against a string column; only
+            # bare tokens get numeric coercion
+            rv = v.text if v.kind == "quoted" else _coerce(v.text)
+            return {"range": {t.text: {_RANGE_OPS[nxt.text]: rv}}}
         # bare `*` is Kibana's match-everything query, field list or not
         if t.kind == "word" and t.wildcard and t.text == "*":
             return {"match_all": {}}

@@ -51,6 +51,13 @@ def get_spark(
         # Cap in-memory partition bytes so a 100 TB scan yields sane tasks.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    avro_jar = os.environ.get("SPARK_GRAFT_AVRO_JAR")
+    if avro_jar:
+        # jar-path escape hatch for the S9 avro gate: this container has
+        # no network (spark.jars.packages can't resolve), but a runtime
+        # that DOES have the spark-avro jar on disk can point at it here
+        # and sources.ingest.read_avro becomes functional
+        builder = builder.config("spark.jars", avro_jar)
     if driver_memory is not None:
         # local mode: the driver heap IS the whole JVM (all executor
         # threads); the 1g default OOMs multi-GB local runs. Only effective

@@ -53,6 +53,9 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         if "avro" in str(exc).lower():
             raise NotImplementedError(
                 "the spark-avro module is not on this runtime's classpath; "
-                "add org.apache.spark:spark-avro to spark.jars.packages"
+                "add org.apache.spark:spark-avro to spark.jars.packages, "
+                "or point $SPARK_GRAFT_AVRO_JAR at a local spark-avro jar "
+                "BEFORE the session starts (session.get_spark wires it "
+                "into spark.jars)"
             ) from exc
         raise

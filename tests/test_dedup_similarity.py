@@ -1078,3 +1078,77 @@ def test_cluster_resolution_rejects_output_collisions(spark):
                            quality_col="weight")
     with _pytest.raises(ValueError, match="collide"):
         soft_dedup_weights(bad, labels, id_col="doc_id")
+
+
+def test_signatures_from_shingles_identical_to_raw_stream(spark):
+    """MIN is duplicate-invariant: signatures built from the distinct
+    shingle SET must be byte-identical to the raw-gram-stream build —
+    the invariant that lets near_dup_pairs_lsh tokenize once."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_from_shingles,
+        shingles_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog the quick"),
+            (2, "pack my box with five dozen liquor jugs pack my box"),
+            (3, "the quick brown fox jumps over the lazy dog the quick"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    raw = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in minhash_signatures(df, "doc_id", "text", k=8, n=3).collect()
+    }
+    sh = df.select(
+        "doc_id", F.expr(shingles_sql("text", "spark", 3)).alias("shingles")
+    )
+    via_set = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in minhash_signatures_from_shingles(
+            sh, "doc_id", k=8
+        ).collect()
+    }
+    assert raw == via_set and set(raw) == {1, 2, 3}
+
+
+def test_lsh_pipeline_single_tokenization_pass(spark):
+    """The near-dup pipeline must tokenize ONCE: the signature build
+    reads the persisted shingle frame (InMemoryTableScan), and the final
+    plan's verify probes + band self-join all read caches (>= 4 cache
+    scans); the only zip_with shingle chains in the plan are the cached
+    relation's own definition printout."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        minhash_signatures_from_shingles,
+        near_dup_pairs_lsh,
+        shingles_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i % 3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    # wiring: a materialized shingle cache feeds the signature build
+    sh = df.select(
+        "doc_id", F.expr(shingles_sql("text", "spark", 3)).alias("shingles")
+    ).persist()
+    sh.count()
+    sig_plan = (
+        minhash_signatures_from_shingles(sh, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in sig_plan
+    sh.unpersist()
+
+    # end-to-end: band self-join (2 scans) + verify probes (2 scans)
+    out = near_dup_pairs_lsh(df, "doc_id", "text", threshold=0.5)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4

@@ -270,3 +270,27 @@ def test_pipe_in_string_literal_not_split(cat):
              "| LIMIT 1"
     )
     assert out.collect()[0].s == "click|u1"
+
+
+def test_stats_alias_with_dotted_by_segment_not_split(cat):
+    """A dotted alias whose segment equals a keyword (``v.by``) is an
+    identifier, not a BY split point."""
+    out = run_esql(cat, "FROM events-a | STATS v.by = count(*) BY etype "
+                        "| SORT etype")
+    assert out.columns == ["etype", "v.by"]
+    assert {r["etype"]: r["v.by"] for r in out.collect()} == {
+        "buy": 1, "click": 2, "view": 1,
+    }
+
+
+def test_agg_where_not_split_inside_dotted_name(cat):
+    out = run_esql(
+        cat, "FROM events-a | STATS n.where = count(*) WHERE v > 15"
+    )
+    assert out.columns == ["n.where"]
+    assert out.collect()[0]["n.where"] == 2
+
+
+def test_rename_unknown_column_raises(cat):
+    with pytest.raises(ESQLError, match="RENAME: unknown column"):
+        run_esql(cat, "FROM events-a | RENAME nope AS x")

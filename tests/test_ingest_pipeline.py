@@ -239,3 +239,44 @@ def test_bbq_ragged_embedding_scores_as_zero_bits(spark):
     got = {r.vec_id: r.hamming for r in
            bbq_topk(df, [1.0, 1.0, 1.0, 1.0], k=5, shortlist=5).collect()}
     assert got[1] == 0 and got[2] == 2
+
+
+def test_kv_separator_with_quote_is_escaped(spark):
+    """A single quote inside field_split/value_split must not break the
+    generated SQL expression (same escaping contract as include_keys)."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame([(1, "a'1;b'2")], ["id", "kvs"])
+    out = run_pipeline(df, [
+        {"kv": {"field": "kvs", "field_split": ";", "value_split": "'",
+                "include_keys": ["a", "b"]}},
+    ]).collect()[0]
+    assert out["a"] == "1" and out["b"] == "2"
+
+
+def test_inference_if_preserves_preexisting_target(spark):
+    """`if`-skipped rows keep the document unchanged (ES contract): a
+    pre-existing target column is preserved, not overwritten with NULL."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 0.25), (2, 1.0, 0.75)], ["id", "x", "p"]
+    )
+    model = {"type": "logistic_regression", "coefficients": {"x": 10.0},
+             "classification_labels": ["n", "y"]}
+    rows = {r.id: r for r in run_pipeline(df, [
+        {"inference": {"model": model, "target_field": "p", "if": "id = 1"}},
+    ]).collect()}
+    assert rows[1]["p"] > 0.99 and rows[1]["p_label"] == "y"
+    assert rows[2]["p"] == 0.75 and rows[2]["p_label"] == "y"
+
+    lin = {"type": "linear_regression", "coefficients": {"x": 2.0},
+           "intercept": 1.0}
+    rows = {r.id: r for r in run_pipeline(df, [
+        {"inference": {"model": lin, "target_field": "p", "if": "id = 1"}},
+    ]).collect()}
+    assert rows[1]["p"] == 3.0 and rows[2]["p"] == 0.75

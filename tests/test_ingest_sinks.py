@@ -98,3 +98,16 @@ def test_catalog_alias_cycle_raises(spark):
     cat.create_alias("b", "a")
     with pytest.raises(ValueError, match="cycle"):
         cat.resolve("a")
+
+
+def test_avro_gate_raises_with_env_var_guidance(spark, tmp_path):
+    """S9: without spark-avro on the classpath read_avro must raise the
+    documented gate error, which names BOTH escape hatches (the maven
+    coordinate and the $SPARK_GRAFT_AVRO_JAR local-jar path wired through
+    session.get_spark)."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.sources.ingest import read_avro
+
+    with _pytest.raises(NotImplementedError, match="SPARK_GRAFT_AVRO_JAR"):
+        read_avro(spark, str(tmp_path / "x.avro"))

@@ -174,3 +174,9 @@ def test_kql_pushdown_sargable(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "IsNotNull(k)" in plan or "EqualTo(k,a)" in plan, plan
+
+
+def test_range_quoted_value_stays_string():
+    # KQL quoting pins the literal: no numeric coercion for "10"
+    assert parse_kql('v >= "10"') == {"range": {"v": {"gte": "10"}}}
+    assert parse_kql("v >= 10") == {"range": {"v": {"gte": 10}}}
