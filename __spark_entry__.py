@@ -7393,6 +7393,99 @@ ORDER BY event_id LIMIT 60
 """
 
 
+def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH: customers enriched with their nation name through a
+    registered enrich policy (the .enrich-* materialized-index
+    equivalent: broadcast left join, enrich columns shadow input
+    columns), then a rollup by the enriched field."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("customer", _t(spark, sf_dir, "customer"))
+    cat.register_enrich(
+        "nations",
+        _t(spark, sf_dir, "nation"),
+        match_field="n_nationkey",
+        enrich_fields=["n_name"],
+    )
+    return run_esql(cat, """
+        FROM customer
+        | ENRICH nations ON c_nationkey WITH nation_name = n_name
+        | STATS n = count(*), acct = round(sum(c_acctbal), 2)
+            BY nation_name
+        | SORT nation_name
+    """)
+
+
+SQL_ESQL_ENRICH = """
+SELECT n.n_name AS nation_name, COUNT(*) AS n,
+       ROUND(SUM(c_acctbal), 2) AS acct
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY nation_name ORDER BY nation_name
+"""
+
+
+def q_esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FORK: two aggregate branches over one shared input subtree,
+    unioned with the _fork discriminator — one Catalyst plan, the WHERE
+    pushed below both branches."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("events", _t(spark, sf_dir, "events"))
+    return run_esql(cat, """
+        FROM events
+        | WHERE value IS NOT NULL
+        | FORK (WHERE event_type == "purchase"
+                  | STATS n = count(*), v = round(sum(value), 2))
+               (WHERE event_type == "refund"
+                  | STATS n = count(*), v = round(sum(value), 2))
+        | SORT _fork
+    """)
+
+
+SQL_ESQL_FORK = """
+SELECT n, v, _fork FROM (
+  SELECT COUNT(*) AS n, ROUND(SUM(value), 2) AS v, 'fork1' AS _fork
+  FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+  UNION ALL
+  SELECT COUNT(*), ROUND(SUM(value), 2), 'fork2'
+  FROM events WHERE value IS NOT NULL AND event_type = 'refund'
+) f ORDER BY _fork
+"""
+
+
+def q_esql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL function-name translation in a gated plan: DATE_FORMAT's
+    (format, date) order, TO_UPPER, TO_LONG — rewritten to Spark SQL
+    forms before Catalyst sees them, still one hash agg."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("events", _t(spark, sf_dir, "events"))
+    return run_esql(cat, """
+        FROM events
+        | WHERE value IS NOT NULL
+        | EVAL day = DATE_FORMAT("yyyy-MM-dd", ts),
+               t = TO_UPPER(event_type),
+               vb = TO_LONG(floor(value / 250))
+        | STATS n = count(*) BY day, t, vb
+        | SORT day, t, vb
+        | LIMIT 60
+    """)
+
+
+SQL_ESQL_FUNCTIONS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, upper(event_type) AS t,
+       TRY_CAST(floor(value / 250) AS BIGINT) AS vb, COUNT(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY day, t, vb ORDER BY day, t, vb LIMIT 60
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-4 ROTATION (VERDICT r3, "Next round" #1/#3/#5):
@@ -7468,6 +7561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation queue: never driver-verified, covered by the
         # local parity mirror (tests/test_oracle_parity.py) until their
         # window slot comes up
+        "esql_enrich": q_esql_enrich,
+        "esql_fork": q_esql_fork,
+        "esql_functions": q_esql_functions,
         "rescore_topk": q_rescore_topk,
         "knn_filtered": q_knn_filtered,
         "intervals_search": q_intervals_search,
@@ -7869,4 +7965,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": SQL_KMEANS_ASSIGN,
         "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "unigram_seed": SQL_UNIGRAM_SEED,
+        "esql_enrich": SQL_ESQL_ENRICH,
+        "esql_fork": SQL_ESQL_FORK,
+        "esql_functions": SQL_ESQL_FUNCTIONS,
     }

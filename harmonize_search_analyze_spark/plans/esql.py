@@ -47,10 +47,26 @@ Supported commands::
                                     deterministic detector core, not
                                     ES|QL's per-row type/p-value
                                     annotations from its detector battery)
+    ENRICH policy [ON field] [WITH [new =] field, ...]
+                                    broadcast left join against a
+                                    registered enrich policy
+                                    (Catalog.register_enrich); enrich
+                                    columns shadow input columns
+    SAMPLE probability [seed]       Bernoulli row sample (map-only)
+    FORK (pipe...) (pipe...)        run each branch on the current input,
+                                    union byName with a _fork
+                                    discriminator column
 
 ES|QL null-sort semantics are pinned: nulls sort as LARGER than any
 value (the ES|QL default), so ASC puts them last and DESC first unless
 an explicit NULLS FIRST/LAST overrides.
+
+Divergent ES|QL function names are translated to their Spark SQL forms
+before evaluation (``_translate_fns``): the TO_* conversion family
+(null-on-failure via TRY_CAST), the MV_* multivalue family (arrays),
+DATE_FORMAT's (format, date) argument order, DATE_EXTRACT/DATE_DIFF
+unit keywords, STARTS_WITH/ENDS_WITH. Name-compatible functions pass
+through untouched.
 
 Reference scope note: the reference stack predates ES|QL; this exists
 for engine completeness next to KQL (the same "a user of ES could run
@@ -188,6 +204,176 @@ def _expand_cols(specs: list[str], columns: list[str], cmd: str) -> list[str]:
     return out
 
 
+# -- ES|QL -> Spark SQL function translation ---------------------------------
+# Most of the core ES|QL function set is name-compatible with Spark SQL
+# (ABS, CONCAT, SUBSTRING, ROUND, DATE_TRUNC, CASE, LIKE/RLIKE, ...); the
+# divergent names below are rewritten textually BEFORE the expression
+# reaches F.expr, recursively through nested calls, never inside string
+# literals. Renames keep the argument list; templates re-shape it
+# ({0},{1},... are the translated argument texts, {0:kw} strips a quoted
+# literal into a bare keyword for EXTRACT/timestampdiff units).
+
+_FN_RENAMES = {
+    "MV_MIN": "array_min",
+    "MV_MAX": "array_max",
+    "MV_DEDUPE": "array_distinct",
+    "MV_COUNT": "cardinality",
+    "MV_CONCAT": "array_join",
+    "MV_SLICE": "slice",
+    "STARTS_WITH": "startswith",
+    "ENDS_WITH": "endswith",
+    "TO_LOWER": "lower",
+    "TO_UPPER": "upper",
+}
+
+_FN_TEMPLATES = {
+    "TO_STRING": ("CAST({0} AS STRING)", 1),
+    "TO_INTEGER": ("TRY_CAST({0} AS INT)", 1),
+    "TO_INT": ("TRY_CAST({0} AS INT)", 1),
+    "TO_LONG": ("TRY_CAST({0} AS BIGINT)", 1),
+    "TO_DOUBLE": ("TRY_CAST({0} AS DOUBLE)", 1),
+    "TO_BOOLEAN": ("TRY_CAST({0} AS BOOLEAN)", 1),
+    "TO_DATETIME": ("TRY_CAST({0} AS TIMESTAMP)", 1),
+    "MV_SUM": ("aggregate({0}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)", 1),
+    "MV_AVG": (
+        "(aggregate({0}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        " / cardinality({0}))",
+        1,
+    ),
+    "MV_FIRST": ("try_element_at({0}, 1)", 1),
+    "MV_LAST": ("try_element_at({0}, -1)", 1),
+    # ES|QL DATE_FORMAT takes (format, date); Spark takes (date, format)
+    "DATE_FORMAT": ("date_format({1}, {0})", 2),
+    "DATE_EXTRACT": ("extract({0:kw} FROM {1})", 2),
+    "DATE_DIFF": ("timestampdiff({0:kw}, {1}, {2})", 3),
+}
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _kw_arg(arg: str) -> str:
+    """A quoted (or bare) literal used as a SQL keyword position."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] in "\"'" and a[-1] == a[0]:
+        a = a[1:-1]
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", a):
+        raise ESQLError(f"expected a unit/part keyword, got: {arg!r}")
+    return a
+
+
+def _translate_fns(text: str) -> str:
+    """Rewrite ES|QL function names to their Spark SQL forms (see maps
+    above). Quote-aware, recursive through nested call arguments."""
+    out: list[str] = []
+    i, n = 0, len(text)
+
+    def prev_char() -> str:
+        for frag in reversed(out):
+            if frag:
+                return frag[-1]
+        return ""
+
+    while i < n:
+        c = text[i]
+        if c in "\"'":
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == c:
+                    j += 1
+                    break
+                j += 1
+            out.append(text[i:j])
+            i = j
+            continue
+        m = _IDENT_RE.match(text, i)
+        prev = prev_char()
+        # NB: `prev in "_."` would be True for the empty string
+        if m and not (prev.isalnum() or prev == "_" or prev == "."):
+            name = m.group(0)
+            j = m.end()
+            while j < n and text[j] in " \t\n":
+                j += 1
+            if j < n and text[j] == "(":
+                # balanced, quote-aware argument span
+                depth, q, k = 1, None, j + 1
+                while k < n and depth:
+                    ch = text[k]
+                    if q:
+                        if ch == "\\":
+                            k += 2
+                            continue
+                        if ch == q:
+                            q = None
+                    elif ch in "\"'":
+                        q = ch
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                    k += 1
+                if depth:
+                    raise ESQLError(f"unbalanced parens in: {text!r}")
+                args_text = text[j + 1:k - 1]
+                args = (
+                    [_translate_fns(a).strip()
+                     for a in _split_top(args_text, ",")]
+                    if args_text.strip()
+                    else []
+                )
+                upper = name.upper()
+                if upper in _FN_RENAMES:
+                    out.append(
+                        f"{_FN_RENAMES[upper]}({', '.join(args)})"
+                    )
+                elif upper in _FN_TEMPLATES:
+                    tmpl, arity = _FN_TEMPLATES[upper]
+                    if len(args) != arity:
+                        raise ESQLError(
+                            f"{upper} takes {arity} argument(s), "
+                            f"got {len(args)}"
+                        )
+                    s = tmpl
+                    for ai, a in enumerate(args):
+                        kw_ph = f"{{{ai}:kw}}"
+                        if kw_ph in s:
+                            s = s.replace(kw_ph, _kw_arg(a))
+                        s = s.replace(f"{{{ai}}}", a)
+                    out.append(s)
+                elif upper == "MV_SORT":
+                    if len(args) == 1:
+                        out.append(f"sort_array({args[0]})")
+                    elif len(args) == 2:
+                        order = _kw_arg(args[1]).upper()
+                        if order not in ("ASC", "DESC"):
+                            raise ESQLError(
+                                f"MV_SORT order must be ASC or DESC, "
+                                f"got {args[1]!r}"
+                            )
+                        asc = "true" if order == "ASC" else "false"
+                        out.append(f"sort_array({args[0]}, {asc})")
+                    else:
+                        raise ESQLError("MV_SORT takes 1 or 2 arguments")
+                else:
+                    out.append(f"{name}({', '.join(args)})")
+                i = k
+                continue
+            out.append(name)
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _x(expr: str) -> Column:
+    """Compile one ES|QL expression: function translation, then Spark
+    SQL evaluation (the module's documented expression contract)."""
+    return F.expr(_translate_fns(expr))
+
+
 def _agg_item(item: str) -> tuple[str, Column]:
     """A STATS/INLINESTATS aggregate: ``[name =] agg(expr) [WHERE cond]``.
     The per-aggregate WHERE (ES|QL 8.16 filtered aggregates) compiles to
@@ -195,12 +381,13 @@ def _agg_item(item: str) -> tuple[str, Column]:
     the filter never forks the scan."""
     name, expr = _assignment(item)
     expr, cond = _split_kw(expr, "WHERE")
+    expr = _translate_fns(expr)
     if cond is not None:
         if not cond.strip():
             raise ESQLError(
                 f"per-aggregate WHERE needs a condition: {item!r}"
             )
-        expr = f"{expr} FILTER (WHERE {cond})"
+        expr = f"{expr} FILTER (WHERE {_translate_fns(cond)})"
     return name, F.expr(expr)
 
 
@@ -221,7 +408,7 @@ def _sort_col(item: str) -> Column:
             "SORT key has no expression (a bare column literally named "
             "asc/desc/nulls needs backticks to disambiguate)"
         )
-    col = F.expr(item)
+    col = _x(item)
     # ES|QL: nulls are larger than any value
     if direction == "ASC":
         return col.asc_nulls_first() if nulls == "FIRST" else col.asc_nulls_last()
@@ -238,7 +425,7 @@ def _unquote(s: str) -> str:
 def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
     """Execute an ES|QL pipe query against a
     :class:`~harmonize_search_analyze_spark.sources.catalog.Catalog`
-    (``FROM``/``LOOKUP JOIN`` resolve index patterns through it; pass
+    (``FROM``/``LOOKUP JOIN``/``ENRICH`` resolve through it; pass
     ``spark`` explicitly only for catalog-less ``ROW`` pipelines)."""
     pipes = [p.strip() for p in _split_top(query, "|")]
     if not pipes or not pipes[0]:
@@ -247,11 +434,7 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
 
     df: DataFrame | None = None
     for idx, cmd in enumerate(pipes):
-        m = re.match(r"([A-Za-z_]+)(?:\s+(.*))?$", cmd, re.DOTALL)
-        if not m:
-            raise ESQLError(f"cannot parse command: {cmd!r}")
-        word = m.group(1).upper()
-        rest = (m.group(2) or "").strip()
+        word, rest = _parse_cmd(cmd)
         if idx == 0:
             if word not in ("FROM", "ROW"):
                 raise ESQLError(
@@ -259,159 +442,315 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
                 )
         elif word in ("FROM", "ROW"):
             raise ESQLError(f"{word} is only valid as the first command")
-
-        if word == "FROM":
-            if catalog is None:
-                raise ESQLError("FROM requires a catalog")
-            parts = [p.strip() for p in _split_top(rest, ",")]
-            frames = [catalog.resolve(p) for p in parts]
-            df = frames[0]
-            for fr in frames[1:]:
-                df = df.unionByName(fr, allowMissingColumns=True)
-        elif word == "ROW":
-            if spark is None:
-                raise ESQLError("ROW requires a SparkSession")
-            items = [_assignment(i) for i in _split_top(rest, ",")]
-            df = spark.range(1).select(
-                *[F.expr(e).alias(n) for n, e in items]
-            )
-        elif word == "WHERE":
-            df = df.where(F.expr(rest))
-        elif word == "EVAL":
-            for n, e in [_assignment(i) for i in _split_top(rest, ",")]:
-                df = df.withColumn(n, F.expr(e))
-        elif word in ("STATS", "INLINESTATS"):
-            aggs_txt, by_txt = _split_kw(rest, "BY")
-            aggs = [
-                _agg_item(i)
-                for i in _split_top(aggs_txt, ",")
-                if i.strip()
-            ]
-            if not aggs:
-                raise ESQLError(f"{word} needs at least one aggregate")
-            if by_txt is not None and not by_txt.strip():
-                raise ESQLError(f"{word} BY needs at least one key")
-            agg_cols = [c.alias(n) for n, c in aggs]
-            if word == "STATS":
-                if by_txt:
-                    keys = [_assignment(i) for i in _split_top(by_txt, ",")]
-                    key_cols = [F.expr(e).alias(n) for n, e in keys]
-                    df = df.groupBy(*key_cols).agg(*agg_cols)
-                else:
-                    df = df.agg(*agg_cols)
-            else:
-                # INLINESTATS: the aggregates JOIN BACK onto every input
-                # row instead of replacing them. Not a window function —
-                # a window would (a) shuffle EVERY input row on the keys
-                # and (b) reject composite agg expressions like
-                # round(avg(v), 6) (OVER attaches to the outermost call).
-                # Instead: one hash aggregate (bucket-sized exchange,
-                # map-side combine) broadcast-joined back — map-only on
-                # the data path, and arbitrary aggregate expressions
-                # (including FILTER'd ones) evaluate in the agg.
-                if by_txt:
-                    keys = [_assignment(i) for i in _split_top(by_txt, ",")]
-                    for n, e in keys:
-                        df = df.withColumn(n, F.expr(e))
-                    stats = df.groupBy(
-                        *[F.col(n) for n, _ in keys]
-                    ).agg(*agg_cols)
-                    # eqNullSafe: a NULL group key is a real bucket in
-                    # the agg; plain equality would orphan its rows
-                    cond = None
-                    for n, _ in keys:
-                        c = df[n].eqNullSafe(stats[n])
-                        cond = c if cond is None else cond & c
-                    df = df.join(F.broadcast(stats), cond, "left").drop(
-                        *[stats[n] for n, _ in keys]
-                    )
-                else:
-                    df = df.crossJoin(F.broadcast(df.agg(*agg_cols)))
-        elif word == "SORT":
-            df = df.orderBy(*[_sort_col(i) for i in _split_top(rest, ",")])
-        elif word == "LIMIT":
-            try:
-                n = int(rest)
-            except ValueError:
-                raise ESQLError(f"LIMIT needs an integer, got {rest!r}")
-            df = df.limit(n)
-        elif word == "KEEP":
-            cols = _expand_cols(_split_top(rest, ","), df.columns, "KEEP")
-            df = df.select(*cols)
-        elif word == "DROP":
-            cols = _expand_cols(_split_top(rest, ","), df.columns, "DROP")
-            df = df.drop(*cols)
-        elif word == "RENAME":
-            for item in _split_top(rest, ","):
-                mm = re.fullmatch(
-                    r"\s*(\S+)\s+AS\s+(\S+)\s*", item, re.IGNORECASE
-                )
-                if not mm:
-                    raise ESQLError(f"RENAME needs 'old AS new': {item!r}")
-                # withColumnRenamed silently no-ops on a missing source —
-                # a typo would sail through and fail confusingly later;
-                # match KEEP/DROP/MV_EXPAND's unknown-column contract
-                if mm.group(1) not in df.columns:
-                    raise ESQLError(
-                        f"RENAME: unknown column {mm.group(1)!r}"
-                    )
-                df = df.withColumnRenamed(mm.group(1), mm.group(2))
-        elif word in ("DISSECT", "GROK"):
-            mm = re.match(r"(\S+)\s+(\".*\")\s*$", rest, re.DOTALL)
-            if not mm:
-                raise ESQLError(f'{word} needs: {word} field "pattern"')
-            field, pattern = mm.group(1), _unquote(mm.group(2))
-            # one extraction implementation: the ingest pipeline's own
-            # dissect/grok processors (semantics fixes land once)
-            from harmonize_search_analyze_spark.operators.ingest_pipeline import (
-                apply_processor,
-            )
-
-            df = apply_processor(
-                df, word.lower(), {"field": field, "pattern": pattern}
-            )
-        elif word == "MV_EXPAND":
-            col = rest.strip()
-            if col not in df.columns:
-                raise ESQLError(f"MV_EXPAND: unknown column {col!r}")
-            others = [c for c in df.columns if c != col]
-            # explode_outer: a null/empty multivalue keeps its row with a
-            # NULL element (ES|QL's own mv_expand null behavior)
-            df = df.select(*others, F.explode_outer(F.col(col)).alias(col))
-        elif word == "LOOKUP":
-            mm = re.match(r"JOIN\s+(\S+)\s+ON\s+(\S+)\s*$", rest, re.IGNORECASE)
-            if not mm:
-                raise ESQLError("LOOKUP needs: LOOKUP JOIN index ON col")
-            if catalog is None:
-                raise ESQLError("LOOKUP JOIN requires a catalog")
-            lookup = catalog.resolve(mm.group(1))
-            key = mm.group(2)
-            # ES|QL shadowing: on a name collision the lookup index's
-            # column REPLACES the input's — drop the input twin first so
-            # the joined schema never carries ambiguous duplicates
-            shadowed = [
-                c for c in lookup.columns if c != key and c in df.columns
-            ]
-            if shadowed:
-                df = df.drop(*shadowed)
-            # lookup indexes are small by ES|QL contract -> broadcast;
-            # left join keeps unmatched rows (ES|QL join semantics)
-            df = df.join(F.broadcast(lookup), on=key, how="left")
-        elif word == "CHANGE_POINT":
-            mm = re.match(r"(\S+)\s+ON\s+(\S+)\s*$", rest, re.IGNORECASE)
-            if not mm:
-                raise ESQLError(
-                    "CHANGE_POINT needs: CHANGE_POINT value ON key"
-                )
-            from harmonize_search_analyze_spark.operators.aggregations import (
-                change_point,
-            )
-
-            df = change_point(df, mm.group(2), mm.group(1))
-        elif word == "ENRICH":
-            raise ESQLError(
-                "ENRICH needs an enrich-policy store; use LOOKUP JOIN"
-            )
-        else:
-            raise ESQLError(f"unsupported command: {word}")
+        df = _apply_command(df, word, rest, catalog=catalog, spark=spark)
     return df
+
+
+def _parse_cmd(cmd: str) -> tuple[str, str]:
+    m = re.match(r"([A-Za-z_]+)(?:\s+(.*))?$", cmd, re.DOTALL)
+    if not m:
+        raise ESQLError(f"cannot parse command: {cmd!r}")
+    return m.group(1).upper(), (m.group(2) or "").strip()
+
+
+def _apply_command(
+    df: DataFrame | None,
+    word: str,
+    rest: str,
+    *,
+    catalog,
+    spark,
+    in_fork: bool = False,
+) -> DataFrame:
+    """Apply ONE pipe command to ``df``. FORK recurses through here for
+    its branches (with ``in_fork`` set — ES|QL forbids nested FORK)."""
+
+    if word == "FROM":
+        if catalog is None:
+            raise ESQLError("FROM requires a catalog")
+        parts = [p.strip() for p in _split_top(rest, ",")]
+        frames = [catalog.resolve(p) for p in parts]
+        df = frames[0]
+        for fr in frames[1:]:
+            df = df.unionByName(fr, allowMissingColumns=True)
+    elif word == "ROW":
+        if spark is None:
+            raise ESQLError("ROW requires a SparkSession")
+        items = [_assignment(i) for i in _split_top(rest, ",")]
+        df = spark.range(1).select(
+            *[_x(e).alias(n) for n, e in items]
+        )
+    elif word == "WHERE":
+        df = df.where(_x(rest))
+    elif word == "EVAL":
+        for n, e in [_assignment(i) for i in _split_top(rest, ",")]:
+            df = df.withColumn(n, _x(e))
+    elif word in ("STATS", "INLINESTATS"):
+        aggs_txt, by_txt = _split_kw(rest, "BY")
+        aggs = [
+            _agg_item(i)
+            for i in _split_top(aggs_txt, ",")
+            if i.strip()
+        ]
+        if not aggs:
+            raise ESQLError(f"{word} needs at least one aggregate")
+        if by_txt is not None and not by_txt.strip():
+            raise ESQLError(f"{word} BY needs at least one key")
+        agg_cols = [c.alias(n) for n, c in aggs]
+        if word == "STATS":
+            if by_txt:
+                keys = [_assignment(i) for i in _split_top(by_txt, ",")]
+                key_cols = [_x(e).alias(n) for n, e in keys]
+                df = df.groupBy(*key_cols).agg(*agg_cols)
+            else:
+                df = df.agg(*agg_cols)
+        else:
+            # INLINESTATS: the aggregates JOIN BACK onto every input
+            # row instead of replacing them. Not a window function —
+            # a window would (a) shuffle EVERY input row on the keys
+            # and (b) reject composite agg expressions like
+            # round(avg(v), 6) (OVER attaches to the outermost call).
+            # Instead: one hash aggregate (bucket-sized exchange,
+            # map-side combine) broadcast-joined back — map-only on
+            # the data path, and arbitrary aggregate expressions
+            # (including FILTER'd ones) evaluate in the agg.
+            if by_txt:
+                keys = [_assignment(i) for i in _split_top(by_txt, ",")]
+                for n, e in keys:
+                    df = df.withColumn(n, _x(e))
+                stats = df.groupBy(
+                    *[F.col(n) for n, _ in keys]
+                ).agg(*agg_cols)
+                # eqNullSafe: a NULL group key is a real bucket in
+                # the agg; plain equality would orphan its rows
+                cond = None
+                for n, _ in keys:
+                    c = df[n].eqNullSafe(stats[n])
+                    cond = c if cond is None else cond & c
+                df = df.join(F.broadcast(stats), cond, "left").drop(
+                    *[stats[n] for n, _ in keys]
+                )
+            else:
+                df = df.crossJoin(F.broadcast(df.agg(*agg_cols)))
+    elif word == "SORT":
+        df = df.orderBy(*[_sort_col(i) for i in _split_top(rest, ",")])
+    elif word == "LIMIT":
+        try:
+            n = int(rest)
+        except ValueError:
+            raise ESQLError(f"LIMIT needs an integer, got {rest!r}")
+        df = df.limit(n)
+    elif word == "KEEP":
+        cols = _expand_cols(_split_top(rest, ","), df.columns, "KEEP")
+        df = df.select(*cols)
+    elif word == "DROP":
+        cols = _expand_cols(_split_top(rest, ","), df.columns, "DROP")
+        df = df.drop(*cols)
+    elif word == "RENAME":
+        for item in _split_top(rest, ","):
+            mm = re.fullmatch(
+                r"\s*(\S+)\s+AS\s+(\S+)\s*", item, re.IGNORECASE
+            )
+            if not mm:
+                raise ESQLError(f"RENAME needs 'old AS new': {item!r}")
+            # withColumnRenamed silently no-ops on a missing source —
+            # a typo would sail through and fail confusingly later;
+            # match KEEP/DROP/MV_EXPAND's unknown-column contract
+            if mm.group(1) not in df.columns:
+                raise ESQLError(
+                    f"RENAME: unknown column {mm.group(1)!r}"
+                )
+            df = df.withColumnRenamed(mm.group(1), mm.group(2))
+    elif word in ("DISSECT", "GROK"):
+        mm = re.match(r"(\S+)\s+(\".*\")\s*$", rest, re.DOTALL)
+        if not mm:
+            raise ESQLError(f'{word} needs: {word} field "pattern"')
+        field, pattern = mm.group(1), _unquote(mm.group(2))
+        # one extraction implementation: the ingest pipeline's own
+        # dissect/grok processors (semantics fixes land once)
+        from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+            apply_processor,
+        )
+
+        df = apply_processor(
+            df, word.lower(), {"field": field, "pattern": pattern}
+        )
+    elif word == "MV_EXPAND":
+        col = rest.strip()
+        if col not in df.columns:
+            raise ESQLError(f"MV_EXPAND: unknown column {col!r}")
+        others = [c for c in df.columns if c != col]
+        # explode_outer: a null/empty multivalue keeps its row with a
+        # NULL element (ES|QL's own mv_expand null behavior)
+        df = df.select(*others, F.explode_outer(F.col(col)).alias(col))
+    elif word == "LOOKUP":
+        mm = re.match(r"JOIN\s+(\S+)\s+ON\s+(\S+)\s*$", rest, re.IGNORECASE)
+        if not mm:
+            raise ESQLError("LOOKUP needs: LOOKUP JOIN index ON col")
+        if catalog is None:
+            raise ESQLError("LOOKUP JOIN requires a catalog")
+        lookup = catalog.resolve(mm.group(1))
+        key = mm.group(2)
+        # ES|QL shadowing: on a name collision the lookup index's
+        # column REPLACES the input's — drop the input twin first so
+        # the joined schema never carries ambiguous duplicates
+        shadowed = [
+            c for c in lookup.columns if c != key and c in df.columns
+        ]
+        if shadowed:
+            df = df.drop(*shadowed)
+        # lookup indexes are small by ES|QL contract -> broadcast;
+        # left join keeps unmatched rows (ES|QL join semantics)
+        df = df.join(F.broadcast(lookup), on=key, how="left")
+    elif word == "CHANGE_POINT":
+        mm = re.match(r"(\S+)\s+ON\s+(\S+)\s*$", rest, re.IGNORECASE)
+        if not mm:
+            raise ESQLError(
+                "CHANGE_POINT needs: CHANGE_POINT value ON key"
+            )
+        from harmonize_search_analyze_spark.operators.aggregations import (
+            change_point,
+        )
+
+        df = change_point(df, mm.group(2), mm.group(1))
+    elif word == "ENRICH":
+        # ENRICH policy [ON match_field] [WITH [new =] field, ...]
+        # The policy is a registered lookup frame (Catalog.register_enrich
+        # — the `.enrich-*` materialized-index equivalent): broadcast
+        # left join on the match field, enrich columns SHADOW input
+        # columns (ES's enrich processor semantics, same as LOOKUP JOIN).
+        if catalog is None or not hasattr(catalog, "enrich_policy"):
+            raise ESQLError("ENRICH requires a catalog with enrich policies")
+        head, with_txt = _split_kw(rest, "WITH")
+        head, on_field = _split_kw(head, "ON")
+        policy_name = head.strip()
+        if not policy_name:
+            raise ESQLError("ENRICH needs a policy name")
+        try:
+            lookup, match_field, enrich_fields = catalog.enrich_policy(
+                policy_name
+            )
+        except KeyError:
+            raise ESQLError(f"ENRICH: unknown policy {policy_name!r}")
+        key = (on_field or match_field).strip()
+        if key not in df.columns:
+            raise ESQLError(f"ENRICH: unknown match column {key!r}")
+        picks: list[tuple[str, str]] = []  # (output name, policy field)
+        if with_txt is not None:
+            if not with_txt.strip():
+                raise ESQLError("ENRICH WITH needs at least one field")
+            for item in _split_top(with_txt, ","):
+                new, fld = _assignment(item)
+                if fld not in enrich_fields:
+                    raise ESQLError(
+                        f"ENRICH: {fld!r} is not an enrich field of "
+                        f"policy {policy_name!r}"
+                    )
+                picks.append((new, fld))
+        else:
+            picks = [(f, f) for f in enrich_fields]
+        side = lookup.select(
+            F.col(match_field).alias(key),
+            *[F.col(fld).alias(new) for new, fld in picks],
+        )
+        shadowed = [
+            n for n, _ in picks if n in df.columns and n != key
+        ]
+        if shadowed:
+            df = df.drop(*shadowed)
+        base_cols = df.columns
+        # USING-join puts the key first; ES keeps the input layout with
+        # the enrich fields appended — re-project to that order
+        df = df.join(F.broadcast(side), on=key, how="left").select(
+            *base_cols, *[n for n, _ in picks]
+        )
+    elif word == "SAMPLE":
+        # SAMPLE probability [seed] — Bernoulli row sample. With a seed
+        # the sample is reproducible for a fixed partitioning (Spark's
+        # sample contract); without one ES|QL's own command is random
+        # too. Map-only: the filter rides the scan, no shuffle.
+        parts = rest.split()
+        if not 1 <= len(parts) <= 2:
+            raise ESQLError("SAMPLE needs: SAMPLE probability [seed]")
+        try:
+            p = float(parts[0])
+        except ValueError:
+            raise ESQLError(f"SAMPLE probability must be numeric: {rest!r}")
+        if not 0 < p < 1:
+            raise ESQLError("SAMPLE probability must be in (0, 1)")
+        seed = None
+        if len(parts) == 2:
+            try:
+                seed = int(parts[1])
+            except ValueError:
+                raise ESQLError(f"SAMPLE seed must be an integer: {rest!r}")
+        df = df.sample(p, seed=seed)
+    elif word == "FORK":
+        # FORK (pipeline) (pipeline) ... — run each branch on the current
+        # input and union the results, tagged with a _fork discriminator
+        # ("fork1", "fork2", ... in branch order; ES|QL's column of the
+        # same name). One Catalyst plan: the input subtree is shared by
+        # every branch, the union is byName with null-padding.
+        if in_fork:
+            raise ESQLError("FORK cannot be nested")
+        branches = _fork_branches(rest)
+        if len(branches) < 2:
+            raise ESQLError("FORK needs at least two (branch) pipelines")
+        outs = []
+        for bi, btext in enumerate(branches, 1):
+            bdf = df
+            for bcmd in [p.strip() for p in _split_top(btext, "|")]:
+                if not bcmd:
+                    raise ESQLError("empty command in FORK branch")
+                w2, r2 = _parse_cmd(bcmd)
+                if w2 in ("FROM", "ROW"):
+                    raise ESQLError(
+                        f"{w2} is not valid inside a FORK branch"
+                    )
+                bdf = _apply_command(
+                    bdf, w2, r2, catalog=catalog, spark=spark,
+                    in_fork=True,
+                )
+            outs.append(bdf.withColumn("_fork", F.lit(f"fork{bi}")))
+        df = outs[0]
+        for o in outs[1:]:
+            df = df.unionByName(o, allowMissingColumns=True)
+    else:
+        raise ESQLError(f"unsupported command: {word}")
+    return df
+
+
+def _fork_branches(rest: str) -> list[str]:
+    """Split ``(branch) (branch) ...`` into branch pipeline texts."""
+    branches: list[str] = []
+    i, n = 0, len(rest)
+    while i < n:
+        c = rest[i]
+        if c in " \t\n":
+            i += 1
+            continue
+        if c != "(":
+            raise ESQLError(
+                f"FORK branches must be parenthesized, got: {rest[i:]!r}"
+            )
+        depth, q, j = 1, None, i + 1
+        while j < n and depth:
+            ch = rest[j]
+            if q:
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == q:
+                    q = None
+            elif ch in "\"'":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ESQLError(f"unbalanced parens in FORK: {rest!r}")
+        branches.append(rest[i + 1:j - 1].strip())
+        i = j
+    return branches

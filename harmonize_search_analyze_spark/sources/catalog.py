@@ -35,6 +35,37 @@ class Catalog:
         self.spark = spark
         self._datasets: dict[str, DataFrame] = {}
         self._aliases: dict[str, tuple[str, dict | None]] = {}
+        self._enrich: dict[str, tuple[DataFrame, str, list[str]]] = {}
+
+    # -- enrich policies (ES .enrich-* materialized indexes) ---------------
+    def register_enrich(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        match_field: str,
+        enrich_fields: list[str] | None = None,
+    ) -> None:
+        """ES enrich policy: a small lookup frame keyed by
+        ``match_field`` whose ``enrich_fields`` (default: every other
+        column) are added to documents by the ES|QL ``ENRICH`` command.
+        ES materializes the policy into a ``.enrich-*`` system index on
+        execute; here the registered frame IS the materialization —
+        broadcast-sized by the same contract that makes ES enrich
+        viable."""
+        if match_field not in df.columns:
+            raise ValueError(
+                f"match_field {match_field!r} not in policy columns"
+            )
+        if enrich_fields is None:
+            enrich_fields = [c for c in df.columns if c != match_field]
+        missing = [c for c in enrich_fields if c not in df.columns]
+        if missing:
+            raise ValueError(f"enrich fields not in policy: {missing}")
+        self._enrich[name] = (df, match_field, list(enrich_fields))
+
+    def enrich_policy(self, name: str) -> tuple[DataFrame, str, list[str]]:
+        return self._enrich[name]
 
     # -- index lifecycle (esindex.py:53-114 equivalents) -------------------
     def register(self, name: str, df: DataFrame) -> None:

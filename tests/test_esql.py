@@ -294,3 +294,138 @@ def test_agg_where_not_split_inside_dotted_name(cat):
 def test_rename_unknown_column_raises(cat):
     with pytest.raises(ESQLError, match="RENAME: unknown column"):
         run_esql(cat, "FROM events-a | RENAME nope AS x")
+
+
+# -- round-4 additions: ENRICH / SAMPLE / FORK / function translation -------
+
+
+def test_enrich_policy_join_and_with_rename(cat, spark):
+    c = Catalog(spark)
+    c.register("ev", spark.createDataFrame(
+        [(1, "u1"), (2, "u2"), (3, "u3")], ["id", "user"]))
+    c.register_enrich(
+        "users-policy",
+        spark.createDataFrame(
+            [("u1", "nl", 10), ("u2", "de", 20)],
+            ["user", "country", "score"],
+        ),
+        match_field="user",
+    )
+    out = run_esql(c, "FROM ev | ENRICH users-policy ON user | SORT id")
+    rows = out.collect()
+    assert out.columns == ["id", "user", "country", "score"]
+    assert [r.country for r in rows] == ["nl", "de", None]  # left join
+    # WITH subset + rename
+    out2 = run_esql(
+        c, "FROM ev | ENRICH users-policy ON user WITH geo = country "
+           "| SORT id"
+    )
+    assert out2.columns == ["id", "user", "geo"]
+    assert out2.collect()[0].geo == "nl"
+    with pytest.raises(ESQLError, match="not an enrich field"):
+        run_esql(c, "FROM ev | ENRICH users-policy ON user WITH nope")
+    with pytest.raises(ESQLError, match="unknown policy"):
+        run_esql(c, "FROM ev | ENRICH ghost ON user")
+
+
+def test_enrich_shadows_existing_column(cat, spark):
+    c = Catalog(spark)
+    c.register("ev", spark.createDataFrame(
+        [(1, "u1", "stale")], ["id", "user", "country"]))
+    c.register_enrich(
+        "p", spark.createDataFrame([("u1", "nl")], ["user", "country"]),
+        match_field="user",
+    )
+    out = run_esql(c, "FROM ev | ENRICH p ON user")
+    assert out.collect()[0].country == "nl"
+
+
+def test_sample_filters_rows_and_validates(cat, spark):
+    c = Catalog(spark)
+    c.register("big", spark.range(2000).withColumnRenamed("id", "x"))
+    n = run_esql(c, "FROM big | SAMPLE 0.25 42").count()
+    assert 300 < n < 700  # Bernoulli around 500
+    with pytest.raises(ESQLError, match="probability must be in"):
+        run_esql(c, "FROM big | SAMPLE 1.5")
+    with pytest.raises(ESQLError, match="seed must be an integer"):
+        run_esql(c, "FROM big | SAMPLE 0.5 xyz")
+
+
+def test_fork_unions_branches_with_discriminator(cat):
+    out = run_esql(cat, """
+        FROM events-a
+        | FORK (WHERE etype == "click" | STATS n = count(*))
+               (STATS total_v = round(sum(v), 2))
+        | SORT _fork
+    """)
+    rows = out.collect()
+    assert out.columns == ["n", "_fork", "total_v"]
+    assert [r._fork for r in rows] == ["fork1", "fork2"]
+    assert rows[0].n == 2 and rows[0].total_v is None
+    assert rows[1].total_v == 60.0 and rows[1].n is None
+    with pytest.raises(ESQLError, match="at least two"):
+        run_esql(cat, "FROM events-a | FORK (LIMIT 1)")
+    with pytest.raises(ESQLError, match="cannot be nested"):
+        run_esql(cat, "FROM events-a | FORK (LIMIT 1) "
+                      "(FORK (LIMIT 1) (LIMIT 2))")
+    with pytest.raises(ESQLError, match="not valid inside"):
+        run_esql(cat, "FROM events-a | FORK (LIMIT 1) (FROM events-b)")
+
+
+def test_function_translation_to_family(cat):
+    out = run_esql(cat, """
+        FROM events-a
+        | EVAL s = TO_STRING(id), i = TO_INTEGER("12"),
+               bad = TO_INTEGER("xyz"), d = TO_DOUBLE("1.5")
+        | SORT id | LIMIT 1
+    """)
+    r = out.collect()[0]
+    assert r.s == "1" and r.i == 12 and r.bad is None and r.d == 1.5
+
+
+def test_function_translation_mv_family(cat, spark):
+    c = Catalog(spark)
+    c.register("arr", spark.createDataFrame(
+        [(1, [3.0, 1.0, 2.0]), (2, None)], "id long, xs array<double>"))
+    out = run_esql(c, """
+        FROM arr
+        | EVAL n = MV_COUNT(xs), lo = MV_MIN(xs), hi = MV_MAX(xs),
+               tot = MV_SUM(xs), avg_v = MV_AVG(xs),
+               first_v = MV_FIRST(MV_SORT(xs, "DESC")),
+               joined = MV_CONCAT(MV_SORT(TO_STRING_ARR(xs)), ",")
+        | SORT id
+    """.replace("TO_STRING_ARR(xs)", "transform(xs, v -> CAST(v AS STRING))"))
+    r1, r2 = out.collect()
+    assert (r1.n, r1.lo, r1.hi, r1.tot, r1.avg_v) == (3, 1.0, 3.0, 6.0, 2.0)
+    assert r1.first_v == 3.0 and r1.joined == "1.0,2.0,3.0"
+    assert r2.n is None and r2.tot is None
+
+
+def test_function_translation_date_family(cat, spark):
+    c = Catalog(spark)
+    c.register("t", spark.sql(
+        "SELECT 1 AS id, TIMESTAMP '2024-03-05 10:30:00' AS ts, "
+        "TIMESTAMP '2024-03-07 22:30:00' AS ts2"))
+    out = run_esql(c, """
+        FROM t
+        | EVAL day = DATE_FORMAT("yyyy-MM-dd", ts),
+               yr = DATE_EXTRACT("year", ts),
+               hours = DATE_DIFF("hour", ts, ts2)
+    """)
+    r = out.collect()[0]
+    assert r.day == "2024-03-05" and r.yr == 2024 and r.hours == 60
+    # untranslated names pass through to Spark SQL unchanged
+    out2 = run_esql(c, 'FROM t | EVAL x = concat("a", "b") | KEEP x')
+    assert out2.collect()[0].x == "ab"
+
+
+def test_translation_skips_string_literals_and_prefixed_names(cat):
+    # a literal containing a mapped name must not be rewritten; an
+    # identifier whose SUFFIX matches (my_TO_STRING) must not either
+    out = run_esql(cat, """
+        FROM events-a
+        | EVAL lit = "TO_STRING(9)", up = TO_UPPER(etype)
+        | SORT id | LIMIT 1
+    """)
+    r = out.collect()[0]
+    assert r.lit == "TO_STRING(9)" and r.up == "CLICK"
