@@ -899,6 +899,58 @@ FROM best WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped sampling over the embedding space: at most 20
+    vectors per pinned k-means cluster (the kmeans_assign centroids),
+    hash-ordered — dense semantic regions stop dominating the sample.
+    One Arrow argmin + one bounded window, no pair generation."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    return cluster_balanced_sample(emb, cents, 20).orderBy("vec_id")
+
+
+def _sql_cluster_cap_sample() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    gate = hash64_sql("('42:cbs:' || CAST(vec_id AS STRING))", "duckdb")
+    return f"""
+WITH c AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < 8
+), x AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec
+  FROM embeddings
+), d AS (
+  SELECT x.vec_id, c.centroid_id,
+         ROUND(GREATEST(
+           list_inner_product(dvec, dvec) + list_inner_product(cvec, cvec)
+           - 2 * list_inner_product(dvec, cvec), 0.0), 6) AS d2
+  FROM x CROSS JOIN c
+), best AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+  FROM d
+), capped AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY centroid_id
+           ORDER BY {gate}, vec_id) AS crn
+  FROM best WHERE rn = 1
+)
+SELECT vec_id, centroid_id FROM capped WHERE crn <= 20 ORDER BY vec_id
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style normalization pass: URL/email strip + whitespace collapse;
     returns a digest + length per doc (map-only, scan-bound)."""
@@ -7564,6 +7616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_enrich": q_esql_enrich,
         "esql_fork": q_esql_fork,
         "esql_functions": q_esql_functions,
+        "cluster_cap_sample": q_cluster_cap_sample,
         "rescore_topk": q_rescore_topk,
         "knn_filtered": q_knn_filtered,
         "intervals_search": q_intervals_search,
@@ -7968,4 +8021,5 @@ def oracle_sql() -> dict[str, str]:
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,
+        "cluster_cap_sample": _sql_cluster_cap_sample(),
     }

@@ -210,6 +210,47 @@ def assign_centroids(
     )
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: DataFrame,
+    cap: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity-capped sampling: at most ``cap`` vectors per semantic
+    cluster, chosen by deterministic hash order (ties -> lowest id). The
+    cluster-balanced cousin of ``stratified_sample`` — where that caps
+    per CATEGORICAL stratum, this caps per k-means/IVF region, the
+    standard way to keep a corpus slice semantically diverse instead of
+    letting dense regions dominate (the sampling half of the SemDeDup
+    recipe).
+
+    Scale shape: one map-only Arrow argmin assignment (broadcast
+    centroid matrix, no shuffle) + ONE window keyed by centroid_id whose
+    per-partition state is bounded by the cluster population — no
+    global sort, no pair generation. Returns (id, centroid_id)."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    assigned = assign_centroids(
+        emb, centroids, vec_col=vec_col, id_col=id_col
+    )
+    gate = hash64_sql(
+        f"('{int(seed)}:cbs:' || CAST({id_col} AS STRING))", "spark"
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.expr(gate), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .select(id_col, "centroid_id")
+    )
+
+
 def kmeans_init_farthest(
     df: DataFrame,
     n_centroids: int,

@@ -1152,3 +1152,41 @@ def test_lsh_pipeline_single_tokenization_pass(spark):
     assert out.count() > 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_cluster_balanced_sample_caps_per_cluster(spark):
+    """Diversity cap: no cluster contributes more than `cap` vectors,
+    clusters under the cap keep everything, and the pick is
+    deterministic (hash order, ties to lowest id)."""
+    import numpy as np
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # cluster 0: 40 vecs near e0 (dense); cluster 1: 3 vecs near e1
+    for i in range(40):
+        v = np.zeros(8); v[0] = 10.0
+        rows.append((i, [float(x) for x in v + rng.normal(0, 0.1, 8)]))
+    for i in range(40, 43):
+        v = np.zeros(8); v[1] = 10.0
+        rows.append((i, [float(x) for x in v + rng.normal(0, 0.1, 8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [10.0] + [0.0] * 7), (1, [0.0, 10.0] + [0.0] * 6)],
+        "centroid_id int, cvec array<double>",
+    )
+    out = cluster_balanced_sample(emb, cents, 10)
+    rows1 = out.collect()
+    by_c = {}
+    for r in rows1:
+        by_c.setdefault(r.centroid_id, set()).add(r.vec_id)
+    assert len(by_c[0]) == 10          # dense cluster capped
+    assert by_c[1] == {40, 41, 42}     # sparse cluster intact
+    rows2 = cluster_balanced_sample(emb, cents, 10).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cap"):
+        cluster_balanced_sample(emb, cents, 0)
