@@ -1685,8 +1685,17 @@ def dashboard(
     if kql is not None:
         from harmonize_search_analyze_spark.plans.kql import kql_query
 
+        # field_names=df.columns: the dashboard knows its index pattern's
+        # field list, so KQL field-name wildcards (machine.os*: v) work
+        # here without the caller wiring anything — exactly the mapping
+        # Kibana's query bar consults
         filtered = filtered.where(
-            kql_query(kql, default_fields=kql_default_fields, now=now)
+            kql_query(
+                kql,
+                default_fields=kql_default_fields,
+                field_names=list(df.columns),
+                now=now,
+            )
         )
     if query is not None:
         filtered = filtered.where(query)

@@ -30,6 +30,10 @@ Language"):
 - bare ``value`` (no field) — multi_match over ``default_fields``
   (Kibana searches the index's default fields; the caller supplies them
   here since there is no mapping to consult).
+- ``field-pattern*: value`` / ``field-pattern* >= v`` — field-name
+  wildcards, expanded against the caller-supplied ``field_names`` list
+  and OR-combined (Kibana expands these client-side against the index
+  pattern's field list — the same contract as ``default_fields``).
 - escaping: backslash escapes the reserved chars ``\\ ( ) : < > " * ?``
   inside unquoted values; quoted strings take ``\\"`` and ``\\\\``.
 
@@ -145,10 +149,16 @@ def _coerce(value: str) -> Any:
 
 
 class _Parser:
-    def __init__(self, toks: list[_Tok], default_fields: list[str] | None):
+    def __init__(
+        self,
+        toks: list[_Tok],
+        default_fields: list[str] | None,
+        field_names: list[str] | None = None,
+    ):
         self.toks = toks
         self.i = 0
         self.default_fields = default_fields
+        self.field_names = field_names
 
     def peek(self) -> _Tok:
         return self.toks[self.i]
@@ -207,11 +217,48 @@ class _Parser:
         raise KQLParseError(f"unexpected {t.text or 'end'!r} at {t.pos}")
 
     # -- field clauses ----------------------------------------------------
+    def _expand_field(self, tok: _Tok) -> list[str]:
+        """Kibana field-name wildcards (``machine.os*: v``): expanded
+        client-side against the index-pattern's field list, which the
+        caller supplies as ``field_names`` (there is no mapping to
+        consult here, same contract as ``default_fields``)."""
+        import fnmatch as _fnmatch
+
+        if self.field_names is None:
+            raise KQLParseError(
+                f"field pattern {tok.text!r} at {tok.pos} needs "
+                "field_names (Kibana expands field wildcards against "
+                "the index pattern's field list)"
+            )
+        hits = sorted(
+            f for f in self.field_names
+            if _fnmatch.fnmatchcase(f, tok.text)
+        )
+        if not hits:
+            raise KQLParseError(
+                f"field pattern {tok.text!r} at {tok.pos} matches no field"
+            )
+        return hits
+
     def clause(self) -> dict[str, Any]:
         t = self.next()
         nxt = self.peek()
         if t.kind == "word" and nxt.kind == "colon":
             self.next()
+            if t.wildcard:
+                # replay the value tokens once per expanded field; OR
+                # across fields (Kibana's field-wildcard expansion)
+                fields = self._expand_field(t)
+                i0 = self.i
+                parts = []
+                for f in fields:
+                    self.i = i0
+                    parts.append(self.field_value(f))
+                if len(parts) == 1:
+                    return parts[0]
+                return {
+                    "bool": {"should": parts, "minimum_should_match": 1}
+                }
             return self.field_value(t.text)
         if t.kind == "word" and nxt.kind == "op":
             self.next()
@@ -222,7 +269,18 @@ class _Parser:
             # compares lexicographically against a string column; only
             # bare tokens get numeric coercion
             rv = v.text if v.kind == "quoted" else _coerce(v.text)
-            return {"range": {t.text: {_RANGE_OPS[nxt.text]: rv}}}
+            rng = {_RANGE_OPS[nxt.text]: rv}
+            if t.wildcard:
+                fields = self._expand_field(t)
+                if len(fields) == 1:
+                    return {"range": {fields[0]: rng}}
+                return {
+                    "bool": {
+                        "should": [{"range": {f: dict(rng)}} for f in fields],
+                        "minimum_should_match": 1,
+                    }
+                }
+            return {"range": {t.text: rng}}
         # bare `*` is Kibana's match-everything query, field list or not
         if t.kind == "word" and t.wildcard and t.text == "*":
             return {"match_all": {}}
@@ -337,21 +395,27 @@ class _Parser:
 
 
 def parse_kql(
-    text: str, *, default_fields: list[str] | None = None
+    text: str,
+    *,
+    default_fields: list[str] | None = None,
+    field_names: list[str] | None = None,
 ) -> dict[str, Any]:
     """Parse KQL ``text`` into an ES query-DSL dict (Kibana's own
     client-side compilation step). ``default_fields`` backs bare terms;
-    omitted, bare terms are a parse error (there is no mapping to consult
-    for the index's default search fields)."""
+    ``field_names`` backs field-name wildcards (``machine.os*: v``) —
+    both are Kibana client-side expansions against the index pattern,
+    supplied by the caller since there is no mapping to consult; omitted,
+    the corresponding syntax is a parse error."""
     if not text or not text.strip():
         return {"match_all": {}}
-    return _Parser(_tokenize(text), default_fields).parse()
+    return _Parser(_tokenize(text), default_fields, field_names).parse()
 
 
 def kql_query(
     text: str,
     *,
     default_fields: list[str] | None = None,
+    field_names: list[str] | None = None,
     now: Any = None,
 ):
     """KQL text -> Column predicate, through the one shared DSL compiler
@@ -359,5 +423,8 @@ def kql_query(
     from harmonize_search_analyze_spark.plans.compiler import compile_query
 
     return compile_query(
-        parse_kql(text, default_fields=default_fields), now=now
+        parse_kql(
+            text, default_fields=default_fields, field_names=field_names
+        ),
+        now=now,
     )

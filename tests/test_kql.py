@@ -180,3 +180,33 @@ def test_range_quoted_value_stays_string():
     # KQL quoting pins the literal: no numeric coercion for "10"
     assert parse_kql('v >= "10"') == {"range": {"v": {"gte": "10"}}}
     assert parse_kql("v >= 10") == {"range": {"v": {"gte": 10}}}
+
+
+def test_field_name_wildcard_expansion():
+    # single hit collapses, multi-hit ORs across fields (Kibana's
+    # client-side field-wildcard expansion against field_names)
+    assert parse_kql("event_t*pe : purchase",
+                     field_names=["event_type", "event_id"]) == {
+        "match": {"event_type": "purchase"}
+    }
+    assert parse_kql("v* >= 10", field_names=["v1", "v2"]) == {
+        "bool": {"should": [{"range": {"v1": {"gte": 10}}},
+                            {"range": {"v2": {"gte": 10}}}],
+                 "minimum_should_match": 1}
+    }
+    with pytest.raises(KQLParseError, match="needs field_names"):
+        parse_kql("x*: 1")
+    with pytest.raises(KQLParseError, match="matches no field"):
+        parse_kql("z*: 1", field_names=["a"])
+
+
+def test_field_wildcard_value_group_replays_per_field(spark):
+    from harmonize_search_analyze_spark.plans.kql import kql_query
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "a"), (3, "c", "c")],
+        ["id", "tag_one", "tag_two"],
+    )
+    pred = kql_query("tag_*: (a or b)",
+                     field_names=["tag_one", "tag_two"])
+    assert {r.id for r in df.where(pred).collect()} == {1, 2}
