@@ -899,6 +899,55 @@ FROM best WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _field_caps over three registered indices: the per-(field,
+    type) capability rows Kibana builds index patterns from — pure
+    schema metadata, no data scanned. The library method returns the
+    indices as ARRAY<STRING>; the gated query comma-joins them so the
+    driver canonicalizer can hash the column (the geo_line lesson)."""
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    for t in ("events", "orders", "customer"):
+        cat.register(t, _t(spark, sf_dir, t))
+    return (
+        cat.field_caps("*")
+        .withColumn("indices", F.array_join("indices", ","))
+        .orderBy("field", "type")
+    )
+
+
+SQL_FIELD_CAPS = """
+WITH cols AS (
+  SELECT 'events' AS idx, column_name AS field, column_type AS t
+  FROM (DESCRIBE events)
+  UNION ALL
+  SELECT 'orders', column_name, column_type FROM (DESCRIBE orders)
+  UNION ALL
+  SELECT 'customer', column_name, column_type FROM (DESCRIBE customer)
+), mapped AS (
+  SELECT field,
+         CASE WHEN t LIKE 'TIMESTAMP%' THEN 'timestamp'
+              WHEN t = 'DATE' THEN 'date'
+              WHEN t = 'BIGINT' THEN 'bigint'
+              WHEN t = 'INTEGER' THEN 'int'
+              WHEN t = 'SMALLINT' THEN 'smallint'
+              WHEN t = 'DOUBLE' THEN 'double'
+              WHEN t IN ('FLOAT', 'REAL') THEN 'float'
+              WHEN t = 'BOOLEAN' THEN 'boolean'
+              WHEN t = 'VARCHAR' THEN 'string'
+              ELSE lower(t) END AS type,
+         idx
+  FROM cols
+)
+SELECT field, type,
+       string_agg(idx, ',' ORDER BY idx) AS indices,
+       TRUE AS searchable, TRUE AS aggregatable,
+       (COUNT(*) OVER (PARTITION BY field)) > 1 AS is_conflict
+FROM mapped GROUP BY field, type ORDER BY field, type
+"""
+
+
 def q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-capped sampling over the embedding space: at most 20
     vectors per pinned k-means cluster (the kmeans_assign centroids),
@@ -7617,6 +7666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fork": q_esql_fork,
         "esql_functions": q_esql_functions,
         "cluster_cap_sample": q_cluster_cap_sample,
+        "field_caps": q_field_caps,
         "rescore_topk": q_rescore_topk,
         "knn_filtered": q_knn_filtered,
         "intervals_search": q_intervals_search,
@@ -8022,4 +8072,5 @@ def oracle_sql() -> dict[str, str]:
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,
         "cluster_cap_sample": _sql_cluster_cap_sample(),
+        "field_caps": SQL_FIELD_CAPS,
     }

@@ -67,6 +67,7 @@ class Catalog:
     def enrich_policy(self, name: str) -> tuple[DataFrame, str, list[str]]:
         return self._enrich[name]
 
+
     # -- index lifecycle (esindex.py:53-114 equivalents) -------------------
     def register(self, name: str, df: DataFrame) -> None:
         """createOrReplaceIndex: idempotent (re)registration."""
