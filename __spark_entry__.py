@@ -7587,6 +7587,155 @@ GROUP BY day, t, vb ORDER BY day, t, vb LIMIT 60
 """
 
 
+def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL 'sequence by user_id [view] [purchase] until [error] with
+    maxspan=2h': the view->purchase chain is dropped when an error event
+    for the same user fires strictly inside the chain's span — the
+    until clause costs ONE extra conditional running-last in the same
+    single window pass (operators/analytics.py::eql_sequence)."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        eql_sequence,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return eql_sequence(
+        ev,
+        ["event_type = 'view'", "event_type = 'purchase'"],
+        maxspan_seconds=7200,
+        until="event_type = 'error'",
+    )
+
+
+def _sql_eql_until() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        eql_sequence_sql,
+    )
+
+    return eql_sequence_sql(
+        "events",
+        ["event_type = 'view'", "event_type = 'purchase'"],
+        maxspan_seconds=7200,
+        until="event_type = 'error'",
+    )
+
+
+# The ES search-template source: terms from a toJson param, a range with
+# the {{v}}{{^v}}default{{/v}} idiom, and a conditional user-cap section.
+_TEMPLATE_SRC = (
+    '{"bool": {"must": ['
+    '{"terms": {"event_type": {{#toJson}}types{{/toJson}}}},'
+    '{"range": {"value": {"gte": {{min_v}}{{^min_v}}0{{/min_v}} }}}'
+    '{{#user_cap}},{"range": {"user_id": {"lte": {{user_cap}}}}}'
+    '{{/user_cap}}]}}'
+)
+
+
+def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search template (PUT _scripts + _search/template): a stored
+    mustache-subset source rendered with params (toJson array, default
+    value, conditional section), the result fed to the ONE shared
+    predicate compiler — template rendering is driver-side string work,
+    the executors see plain compiled DSL."""
+    from harmonize_search_analyze_spark.plans.compiler import compile_query
+    from harmonize_search_analyze_spark.plans.templates import ScriptStore
+
+    store = ScriptStore()
+    store.put("by_type_and_value", _TEMPLATE_SRC)
+    body = store.render(
+        "by_type_and_value",
+        {"types": ["purchase", "refund", "signup"], "user_cap": 700},
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(compile_query(body))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SEARCH_TEMPLATE = """
+SELECT event_type, COUNT(*) AS doc_count,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+WHERE event_type IN ('purchase', 'refund', 'signup')
+  AND value >= 0 AND user_id <= 700
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events: one user-keyed hash agg,
+    then ntile(4) tiles per axis over the (corpus-size-independent)
+    user frame with pinned tie-breaks — the classic customer rollup the
+    reference's Kibana panels approximate three-ways."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        rfm_segments,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        rfm_segments(ev, predicate="event_type = 'purchase'")
+        .orderBy("user_key")
+    )
+
+
+def _sql_rfm_segments() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        rfm_segments_sql,
+    )
+
+    sql = rfm_segments_sql("events", where="event_type = 'purchase'")
+    return f"SELECT * FROM ({sql}) ORDER BY user_key"
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 user-journey trigrams (a>b>c): ONE user-key window pass
+    computes two lead() pointers per event, the path count is a
+    map-combinable hash agg, top-k is a TakeOrdered — no explode, no
+    self-join."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        event_paths,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return event_paths(ev, depth=3, k=15)
+
+
+SQL_EVENT_PATHS = """
+WITH hops AS (
+  SELECT event_type AS e0,
+         LEAD(event_type, 1) OVER w AS e1,
+         LEAD(event_type, 2) OVER w AS e2
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT e0 || '>' || e1 || '>' || e2 AS path, COUNT(*) AS doc_count
+FROM hops WHERE e2 IS NOT NULL
+GROUP BY 1 ORDER BY doc_count DESC, path ASC LIMIT 15
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the documents token distribution: token-count
+    pass + top-500 rank cut + built-in regr_* aggregates on
+    (ln rank, ln freq) — the corpus-health slope probe for training
+    data. Only corpus-sized exchange is the token-count agg."""
+    from harmonize_search_analyze_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), "text")
+
+
+def _sql_zipf_fit() -> str:
+    from harmonize_search_analyze_spark.operators.text import zipf_fit_sql
+
+    return zipf_fit_sql("documents", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-4 ROTATION (VERDICT r3, "Next round" #1/#3/#5):
@@ -7741,6 +7890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_search": q_span_not_search,
         "global_agg": q_global_agg,
         "inference_score": q_inference_score,
+        "eql_until": q_eql_until,
+        "search_template": q_search_template,
+        "rfm_segments": q_rfm_segments,
+        "event_paths": q_event_paths,
+        "zipf_fit": q_zipf_fit,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8068,6 +8222,11 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": SQL_KMEANS_ASSIGN,
         "bpe_pair_counts": SQL_BPE_PAIR_COUNTS,
         "unigram_seed": SQL_UNIGRAM_SEED,
+        "eql_until": _sql_eql_until(),
+        "search_template": SQL_SEARCH_TEMPLATE,
+        "rfm_segments": _sql_rfm_segments(),
+        "event_paths": SQL_EVENT_PATHS,
+        "zipf_fit": _sql_zipf_fit(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

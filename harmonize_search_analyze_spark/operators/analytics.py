@@ -322,10 +322,14 @@ def eql_sequence(
     time_col: str = "ts",
     id_col: str = "event_id",
     maxspan_seconds: int | None = None,
+    until: str | None = None,
 ) -> DataFrame:
-    """ES EQL ``sequence by <key> [step1] [step2] ... with maxspan=Ns``:
-    ordered event chains per key, each step strictly after the previous
-    one, the whole chain inside ``maxspan`` of its first event.
+    """ES EQL ``sequence by <key> [step1] [step2] ... until [u] with
+    maxspan=Ns``: ordered event chains per key, each step strictly after
+    the previous one, the whole chain inside ``maxspan`` of its first
+    event; with ``until``, a chain is dropped when an until-event for the
+    same key fires strictly inside its ((t1,id1), (tn,idn)) span — the
+    relational pin of EQL's "until expires pending sequences".
 
     One row per step-1 event that completes the chain, with the time and
     id of every step: (by, t1, id1, ..., tn, idn). "Strictly after" is
@@ -347,11 +351,13 @@ def eql_sequence(
     if len(steps) < 2:
         raise ValueError("a sequence needs at least 2 steps")
     n = len(steps)
+    ucols = [F.expr(until).alias("__su")] if until is not None else []
     ev = df.select(
         by,
         F.col(time_col).alias("__t"),
         F.col(id_col).alias("__id"),
         *[F.expr(p).alias(f"__s{i+1}") for i, p in enumerate(steps)],
+        *ucols,
     )
     w = (
         Window.partitionBy(by)
@@ -366,6 +372,15 @@ def eql_sequence(
             f"__nid{i}",
             F.last(F.when(F.col(f"__s{i}"), F.col("__id")), True).over(w),
         )
+    if until is not None:
+        # earliest until-event strictly after each row — same single
+        # window pass, one extra conditional running-last per row
+        ev = ev.withColumn(
+            "__ntu", F.last(F.when(F.col("__su"), F.col("__t")), True).over(w)
+        ).withColumn(
+            "__nidu",
+            F.last(F.when(F.col("__su"), F.col("__id")), True).over(w),
+        )
     ev = ev.cache() if n > 2 else ev
     seq = ev.where("__s1").select(
         by,
@@ -373,6 +388,8 @@ def eql_sequence(
         F.col("__id").alias("id1"),
         F.col("__nt2").alias("t2"),
         F.col("__nid2").alias("id2"),
+        *([F.col("__ntu").alias("__ntu"), F.col("__nidu").alias("__nidu")]
+          if until is not None else []),
     )
     for i in range(3, n + 1):
         nxt = ev.select(
@@ -389,6 +406,14 @@ def eql_sequence(
             F.col(f"t{n}")
             <= F.col("t1") + F.expr(f"INTERVAL {int(maxspan_seconds)} SECOND")
         )
+    if until is not None:
+        # drop chains whose earliest until after the anchor lands
+        # strictly inside the span: (tu,idu) < (tn,idn) lexicographic
+        out = out.where(
+            F.col("__ntu").isNull()
+            | (F.struct(F.col("__ntu"), F.col("__nidu"))
+               >= F.struct(F.col(f"t{n}"), F.col(f"id{n}")))
+        )
     cols = [by] + [c for i in range(1, n + 1) for c in (f"t{i}", f"id{i}")]
     return out.select(*cols)
 
@@ -401,6 +426,7 @@ def eql_sequence_sql(
     time_col: str = "ts",
     id_col: str = "event_id",
     maxspan_seconds: int | None = None,
+    until: str | None = None,
 ) -> str:
     """DuckDB SQL replay of :func:`eql_sequence` — same flags, same
     DESC-scan windows, same pointer-chasing joins. DuckDB-dialect only:
@@ -415,6 +441,8 @@ def eql_sequence_sql(
     flags = ",\n         ".join(
         f"({p}) AS s{i+1}" for i, p in enumerate(steps)
     )
+    if until is not None:
+        flags += f",\n         ({until}) AS su"
     frame = (
         f"OVER (PARTITION BY {by} ORDER BY t DESC, id DESC "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
@@ -424,6 +452,13 @@ def eql_sequence_sql(
         f"         LAST_VALUE(CASE WHEN s{i} THEN id END IGNORE NULLS) {frame} AS nid{i}"
         for i in range(2, n + 1)
     )
+    if until is not None:
+        nexts += (
+            f",\n         LAST_VALUE(CASE WHEN su THEN t END IGNORE NULLS)"
+            f" {frame} AS ntu,\n"
+            f"         LAST_VALUE(CASE WHEN su THEN id END IGNORE NULLS)"
+            f" {frame} AS nidu"
+        )
     sel = [f"a.{by}", "a.t AS t1", "a.id AS id1",
            "a.nt2 AS t2", "a.nid2 AS id2"]
     joins = []
@@ -437,11 +472,16 @@ def eql_sequence_sql(
         sel += [f"j{i}.nt{i} AS t{i}", f"j{i}.nid{i} AS id{i}"]
     join_sql = ("\n  " + "\n  ".join(joins)) if joins else ""
     tn = "a.nt2" if n == 2 else f"j{n}.nt{n}"
+    idn = "a.nid2" if n == 2 else f"j{n}.nid{n}"
     span = (
         f" AND {tn} <= a.t + INTERVAL {int(maxspan_seconds)} SECOND"
         if maxspan_seconds is not None
         else ""
     )
+    if until is not None:
+        span += (
+            f" AND (a.ntu IS NULL OR (a.ntu, a.nidu) >= ({tn}, {idn}))"
+        )
     return f"""
 WITH ev0 AS (
   SELECT {by}, {time_col} AS t, {id_col} AS id,
@@ -723,4 +763,142 @@ def chi2_independence(
             .alias("dof"),
             F.round(F.sum(term), 6).alias("chi2"),
         )
+    )
+
+
+# -- RFM segmentation ----------------------------------------------------------
+
+
+def rfm_segments(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    predicate: str | Column | None = None,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation (the classic
+    customer-analytics rollup the reference's Kibana dashboards
+    approximate with three separate panels): one hash agg per user, then
+    ``ntile`` tiles on each axis over the user frame.
+
+    Tile orderings are pinned for cross-engine determinism: recency by
+    (last_seen DESC, user) — tile 1 = most recent; frequency by
+    (n DESC, user); monetary by (total DESC, user). Segment is the
+    concatenated "r-f-m" digit string.
+
+    Scale shape: the per-user agg shuffles once on the user key; the
+    three ntiles run over the *user-level* frame (corpus-size-independent
+    at ~|users| rows) in a single unpartitioned sort per axis — at 100 TB
+    of raw events the user frame is the small output side, and an
+    approx-quantile cut (percentile_approx on the agg frame) is the
+    documented switch if |users| itself outgrows one partition sort.
+    """
+    if predicate is not None:
+        df = df.where(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    users = (
+        df.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user_key"))
+        .agg(
+            F.max(time_col).alias("last_seen"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(value_col).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("last_seen").desc(), F.col("user_key").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_key").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_key").asc())
+    return (
+        users.withColumn("r", F.ntile(n_tiles).over(wr))
+        .withColumn("f", F.ntile(n_tiles).over(wf))
+        .withColumn("m", F.ntile(n_tiles).over(wm))
+        .withColumn(
+            "segment",
+            F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")),
+        )
+        .select(
+            "user_key", "last_seen", "frequency",
+            F.round("monetary", 6).alias("monetary"),
+            "r", "f", "m", "segment",
+        )
+    )
+
+
+def rfm_segments_sql(
+    table: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    where: str | None = None,
+    n_tiles: int = 4,
+) -> str:
+    """DuckDB replay of :func:`rfm_segments` — same pinned orderings."""
+    w = f"AND ({where})" if where else ""
+    return f"""
+WITH u AS (
+  SELECT {user_col} AS user_key, MAX({time_col}) AS last_seen,
+         COUNT(*) AS frequency, SUM({value_col}) AS monetary
+  FROM {table} WHERE {user_col} IS NOT NULL {w}
+  GROUP BY 1
+)
+SELECT user_key, last_seen, frequency, ROUND(monetary, 6) AS monetary,
+       NTILE({n_tiles}) OVER (ORDER BY last_seen DESC, user_key ASC) AS r,
+       NTILE({n_tiles}) OVER (ORDER BY frequency DESC, user_key ASC) AS f,
+       NTILE({n_tiles}) OVER (ORDER BY monetary DESC, user_key ASC) AS m,
+       NTILE({n_tiles}) OVER (ORDER BY last_seen DESC, user_key ASC)
+       || '-' || NTILE({n_tiles}) OVER (ORDER BY frequency DESC, user_key ASC)
+       || '-' || NTILE({n_tiles}) OVER (ORDER BY monetary DESC, user_key ASC)
+         AS segment
+FROM u
+"""
+
+
+# -- event path analysis -------------------------------------------------------
+
+
+def event_paths(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    depth: int = 3,
+    k: int = 15,
+) -> DataFrame:
+    """Top-k user-journey paths: each user's events ordered by
+    (time, id), every consecutive ``depth``-gram of event types becomes
+    one path (``a>b>c``), counted corpus-wide.
+
+    Scale shape: ONE user-key exchange feeds the lead() window (the same
+    partitioning a sessionize would use), the path count is a
+    map-combinable hash agg, and the top-k is a TakeOrdered — no
+    explode, no self-join, state per row is ``depth-1`` lead pointers.
+    """
+    if depth < 2:
+        raise ValueError("a path needs depth >= 2")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(time_col).asc(), F.col(id_col).asc())
+    )
+    # null types are dropped up front, so a non-null FINAL lead implies
+    # every intermediate hop is present too
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    parts = [F.col(type_col)]
+    for i in range(1, depth):
+        ev = ev.withColumn(f"__n{i}", F.lead(type_col, i).over(w))
+        parts.append(F.col(f"__n{i}"))
+    full = ev.where(parts[-1].isNotNull())
+    path = F.concat_ws(">", *parts)
+    return (
+        full.groupBy(path.alias("path"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("path").asc())
+        .limit(k)
     )

@@ -12,7 +12,7 @@ return SQL text; Spark-side wrappers turn the spark-dialect text into Columns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.functions.hashing import hash64_sql
@@ -658,3 +658,74 @@ def highlight_fragments_sql(
         f" || substr({expr}, p + {tl}, {window})"
     )
     return f"list_transform({positions}, p -> CAST({frag} AS VARCHAR))"
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_ranks: int = 500,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: token
+    frequencies ranked (freq DESC, token ASC), the top ``top_ranks``
+    ranks fit by OLS on (ln rank, ln freq).  The slope is the Zipf
+    exponent (s ~ -1 for natural language) — a standard corpus-health
+    probe for LLM training data (a too-shallow slope flags boilerplate /
+    template spam, too-steep flags vocabulary collapse).
+
+    Returns one row: (n_ranks, slope, intercept, r2), rounded to 6.
+
+    Scale shape: explode + one map-combinable token count (the same
+    single pass vocab_build does), a TakeOrdered-sized top-``top_ranks``
+    cut, and the regression reduces 500 rows with built-in regr_*
+    aggregates — the only corpus-sized exchange is the token-count agg.
+    """
+    toks = df.select(
+        F.explode(
+            F.expr(tokens_sql(text_col, "spark"))
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = (
+        freq.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(top_ranks)
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+            )
+            .alias("rank"),
+            "freq",
+        )
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )
+
+
+def zipf_fit_sql(table: str, text_col: str = "text", *, top_ranks: int = 500) -> str:
+    """DuckDB replay of :func:`zipf_fit` — same tokenization, ranking
+    pins, and regr_* aggregates."""
+    return f"""
+WITH toks AS (
+  SELECT unnest({tokens_sql(text_col, 'duckdb')}) AS token FROM {table}
+), freq AS (
+  SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+  ORDER BY freq DESC, token ASC LIMIT {top_ranks}
+), ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank, freq
+  FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       ROUND(regr_slope(ln(freq), ln(rank)), 6) AS slope,
+       ROUND(regr_intercept(ln(freq), ln(rank)), 6) AS intercept,
+       ROUND(regr_r2(ln(freq), ln(rank)), 6) AS r2
+FROM ranked
+"""

@@ -122,3 +122,77 @@ def test_chi2_zero_cell_counted(spark):
     want = ((5 - 10/3) ** 2 / (10/3) + (0 - 5/3) ** 2 / (5/3)
             + (5 - 20/3) ** 2 / (20/3) + (5 - 10/3) ** 2 / (10/3))
     assert r.chi2 == round(want, 6)
+
+
+def test_rfm_segments_tiles_and_pins(spark):
+    """RFM: per-user agg is right; ntile boundaries follow the pinned
+    (metric, user_key) orderings; segment string concatenates r-f-m."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        rfm_segments,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user, day-offset, value
+        (1, 0, 10.0), (1, 5, 30.0),          # freq 2, monetary 40, last d5
+        (2, 9, 5.0),                          # freq 1, monetary 5, last d9
+        (3, 1, 100.0), (3, 2, 1.0), (3, 3, 1.0),  # freq 3, mon 102, last d3
+        (4, 7, 50.0),                         # freq 1, monetary 50, last d7
+    ]
+    df = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(days=d), v) for u, d, v in rows],
+        ["user_id", "ts", "value"],
+    )
+    out = {r["user_key"]: r for r in rfm_segments(df, n_tiles=4).collect()}
+    assert out[1]["frequency"] == 2 and out[1]["monetary"] == 40.0
+    # recency order: u2(d9) r=1, u4(d7) r=2, u1(d5) r=3, u3(d3) r=4
+    assert [out[u]["r"] for u in (2, 4, 1, 3)] == [1, 2, 3, 4]
+    # frequency order: u3(3) f=1, u1(2) f=2, u2,u4 tie(1) -> user asc
+    assert [out[u]["f"] for u in (3, 1, 2, 4)] == [1, 2, 3, 4]
+    # monetary order: u3(102) m=1, u4(50) m=2, u1(40) m=3, u2(5) m=4
+    assert [out[u]["m"] for u in (3, 4, 1, 2)] == [1, 2, 3, 4]
+    assert out[3]["segment"] == "4-1-1"
+
+
+def test_event_paths_order_and_ties(spark):
+    """Paths follow the per-user (ts, event_id) order; incomplete tails
+    drop; counts aggregate across users; top-k ties pin on path asc."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        event_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # (id, user, sec, type): u1 a,b,c,d -> paths a>b>c, b>c>d
+        (1, 1, 0, "a"), (2, 1, 1, "b"), (3, 1, 2, "c"), (4, 1, 3, "d"),
+        # u2 a,b,c -> a>b>c (same ts tie broken by id: 5 then 6 then 7)
+        (5, 2, 0, "a"), (6, 2, 0, "b"), (7, 2, 0, "c"),
+        # u3 only two events -> no trigram
+        (8, 3, 0, "a"), (9, 3, 1, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t0 + dt.timedelta(seconds=s), t) for i, u, s, t in rows],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    got = [(r["path"], r["doc_count"])
+           for r in event_paths(df, depth=3, k=10).collect()]
+    assert got == [("a>b>c", 2), ("b>c>d", 1)]
+
+
+def test_zipf_fit_known_distribution(spark):
+    """An exactly Zipfian corpus (freq = 60/rank) fits slope ~ -1 with
+    r2 ~ 1; n_ranks counts the distinct tokens."""
+    from harmonize_search_analyze_spark.operators.text import zipf_fit
+
+    words = []
+    for rank, tok in enumerate(["aa", "bb", "cc", "dd", "ee", "ff"], 1):
+        words += [tok] * (60 // rank)
+    df = spark.createDataFrame([(" ".join(words),)], ["text"])
+    row = zipf_fit(df, "text", top_ranks=6).collect()[0]
+    assert row["n_ranks"] == 6
+    assert abs(row["slope"] - (-1.0)) < 0.05, row
+    assert row["r2"] > 0.99

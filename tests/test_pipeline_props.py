@@ -373,6 +373,49 @@ def test_eql_sequence_semantics_and_plan(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_eql_sequence_until(spark):
+    """EQL `until`: a chain is dropped when the until-event fires strictly
+    inside its span; until at-or-after completion (or before the anchor)
+    leaves the chain alone. Spark result == DuckDB twin."""
+    import datetime as dt
+
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        eql_sequence,
+        eql_sequence_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, sec, typ):
+        return (i, u, t0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        # u1: a,b with until x INSIDE the span -> dropped
+        ev(1, 1, 0, "a"), ev(2, 1, 5, "x"), ev(3, 1, 10, "b"),
+        # u2: until after completion -> kept
+        ev(4, 2, 0, "a"), ev(5, 2, 10, "b"), ev(6, 2, 20, "x"),
+        # u3: until before the anchor -> kept
+        ev(7, 3, 0, "x"), ev(8, 3, 5, "a"), ev(9, 3, 10, "b"),
+        # u4: no until at all -> kept
+        ev(10, 4, 0, "a"), ev(11, 4, 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    steps = ["event_type='a'", "event_type='b'"]
+    out = eql_sequence(df, steps, until="event_type='x'")
+    got = sorted((r["user_id"], r["id1"], r["id2"]) for r in out.collect())
+    assert got == [(2, 4, 5), (3, 8, 9), (4, 10, 11)]
+
+    con = duckdb.connect()
+    con.register("events", out.sparkSession.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]).toPandas())
+    sql = eql_sequence_sql("events", steps, until="event_type='x'")
+    ora = sorted(tuple(r) for r in con.execute(
+        f"SELECT user_id, id1, id2 FROM ({sql})").fetchall())
+    assert ora == got
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     lens=st.lists(st.integers(0, 600), min_size=1, max_size=60),
