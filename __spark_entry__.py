@@ -7736,6 +7736,81 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent aggregation (children's inverse): lineitem (child)
+    buckets by returnflag with the DISTINCT parent-order count per bucket —
+    child count and count_distinct kept in SEPARATE aggs (the
+    Expand-plan cliff), joined at bucket size."""
+    from harmonize_search_analyze_spark.operators.joins import parent_agg
+
+    return parent_agg(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        bucket_field="l_returnflag",
+        k=10,
+    )
+
+
+SQL_PARENT_AGG = """
+WITH cc AS (
+  SELECT l_returnflag AS bucket, COUNT(*) AS child_count
+  FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1
+), pc AS (
+  SELECT l.l_returnflag AS bucket,
+         COUNT(DISTINCT l.l_orderkey) AS parent_count
+  FROM lineitem l
+  JOIN (SELECT DISTINCT o_orderkey FROM orders
+        WHERE o_orderkey IS NOT NULL) o
+    ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag IS NOT NULL GROUP BY 1
+)
+SELECT cc.bucket, CAST(child_count AS BIGINT) AS child_count,
+       CAST(COALESCE(parent_count, 0) AS BIGINT) AS parent_count
+FROM cc LEFT JOIN pc ON cc.bucket = pc.bucket
+ORDER BY child_count DESC, cc.bucket ASC LIMIT 10
+"""
+
+
+def q_extended_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats_bucket sibling pipeline agg: the
+    variance/std/±2σ-bounds row over the daily date_histogram's
+    doc_counts — one reduce over the already-bucket-sized frame."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+        extended_stats_bucket,
+    )
+
+    daily = date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+    return extended_stats_bucket(daily, "doc_count", sigma=2.0)
+
+
+SQL_EXTENDED_STATS_BUCKET = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT CAST(COUNT(doc_count) AS BIGINT) AS bucket_count,
+       CAST(MIN(doc_count) AS DOUBLE) AS min_bucket,
+       CAST(MAX(doc_count) AS DOUBLE) AS max_bucket,
+       ROUND(SUM(CAST(doc_count AS DOUBLE)), 6) AS sum_bucket,
+       ROUND(SUM(CAST(doc_count AS DOUBLE) * doc_count), 6)
+         AS sum_of_squares,
+       ROUND(AVG(CAST(doc_count AS DOUBLE)), 6) AS avg_bucket,
+       ROUND(var_pop(CAST(doc_count AS DOUBLE)), 6) AS variance,
+       ROUND(stddev_pop(CAST(doc_count AS DOUBLE)), 6) AS std_deviation,
+       ROUND(AVG(CAST(doc_count AS DOUBLE))
+             + 2.0 * stddev_pop(CAST(doc_count AS DOUBLE)), 6)
+         AS upper_bound,
+       ROUND(AVG(CAST(doc_count AS DOUBLE))
+             - 2.0 * stddev_pop(CAST(doc_count AS DOUBLE)), 6)
+         AS lower_bound
+FROM daily
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-4 ROTATION (VERDICT r3, "Next round" #1/#3/#5):
@@ -7895,6 +7970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "event_paths": q_event_paths,
         "zipf_fit": q_zipf_fit,
+        "parent_agg": q_parent_agg,
+        "extended_stats_bucket": q_extended_stats_bucket,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8227,6 +8304,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": _sql_rfm_segments(),
         "event_paths": SQL_EVENT_PATHS,
         "zipf_fit": _sql_zipf_fit(),
+        "parent_agg": SQL_PARENT_AGG,
+        "extended_stats_bucket": SQL_EXTENDED_STATS_BUCKET,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -1098,6 +1098,31 @@ def bucket_stats(
     )
 
 
+def extended_stats_bucket(
+    buckets: DataFrame, value_col: str = "doc_count", *, sigma: float = 2.0
+) -> DataFrame:
+    """ES ``extended_stats_bucket`` sibling pipeline agg: the
+    extended-stats row (population variance/std, sum of squares, and the
+    ±``sigma`` std-deviation bounds) over the bucket frame's metric —
+    one reduce over an already-bucket-sized frame, no extra exchange
+    beyond the single-row agg."""
+    v = F.col(value_col).cast("double")
+    avg = F.avg(v)
+    std = F.stddev_pop(v)
+    return buckets.agg(
+        F.count(v).cast("bigint").alias("bucket_count"),
+        F.min(v).alias("min_bucket"),
+        F.max(v).alias("max_bucket"),
+        F.round(F.sum(v), 6).alias("sum_bucket"),
+        F.round(F.sum(v * v), 6).alias("sum_of_squares"),
+        F.round(avg, 6).alias("avg_bucket"),
+        F.round(F.var_pop(v), 6).alias("variance"),
+        F.round(std, 6).alias("std_deviation"),
+        F.round(avg + F.lit(float(sigma)) * std, 6).alias("upper_bound"),
+        F.round(avg - F.lit(float(sigma)) * std, 6).alias("lower_bound"),
+    )
+
+
 def composite_agg(
     df: DataFrame,
     fields: list[str] | None = None,

@@ -373,3 +373,53 @@ def children_agg(
         .orderBy(F.desc("child_count"), F.asc("bucket"))
         .limit(k)
     )
+
+
+def parent_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    *,
+    parent_key: str,
+    child_key: str,
+    bucket_field: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``parent`` aggregation (the ``children`` agg's inverse): bucket
+    the CHILD documents by ``bucket_field``, then count the DISTINCT
+    parent documents those children belong to — ES renders the bucket
+    doc_count (children) plus the ``parent`` sub-agg doc_count (each
+    parent counted once per bucket). Ties pinned child_count DESC,
+    bucket ASC.
+
+    Shape: the child side projects to (child_key, bucket) once; the
+    child count is one map-combinable hash agg; the parent count joins
+    only the parent-KEY projection (broadcast at dimension size) and
+    runs count_distinct in its OWN agg — never mixed into the plain
+    count (the Expand-plan cliff, PERFORMANCE.md §2). Two bucket-sized
+    frames join at the end.
+    """
+    cb = F.col(bucket_field)
+    keyed = children.where(cb.isNotNull()).select(
+        F.col(child_key).alias("__ck"), cb.alias("bucket")
+    )
+    child_counts = keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("child_count")
+    )
+    pk = parents.select(
+        F.col(parent_key).alias("__ck")
+    ).where(F.col("__ck").isNotNull()).distinct()
+    parent_counts = (
+        keyed.join(pk, "__ck", "inner")
+        .groupBy("bucket")
+        .agg(F.count_distinct(F.col("__ck")).alias("parent_count"))
+    )
+    return (
+        child_counts.join(parent_counts, "bucket", "left")
+        .select(
+            "bucket",
+            "child_count",
+            F.coalesce("parent_count", F.lit(0)).alias("parent_count"),
+        )
+        .orderBy(F.desc("child_count"), F.asc("bucket"))
+        .limit(k)
+    )

@@ -1613,3 +1613,22 @@ def test_terms_list_include_zero_fill_and_null_semantics(spark):
     assert got2 == [("alpha", 2), ("(missing)", 1)]
     with pytest.raises(ValueError, match="list form"):
         terms(df, "k", min_doc_count=0)
+
+
+def test_extended_stats_bucket_values(spark):
+    """extended_stats_bucket: population variance/std and the ±2σ bounds
+    over the bucket metric."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        extended_stats_bucket,
+    )
+
+    buckets = spark.createDataFrame(
+        [(i, c) for i, c in enumerate([2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0])],
+        ["bucket", "doc_count"],
+    )
+    row = extended_stats_bucket(buckets, "doc_count", sigma=2.0).collect()[0]
+    assert row.bucket_count == 8 and row.min_bucket == 2.0
+    assert row.avg_bucket == 5.0 and row.variance == 4.0
+    assert row.std_deviation == 2.0
+    assert row.upper_bound == 9.0 and row.lower_bound == 1.0
+    assert row.sum_of_squares == 232.0

@@ -262,3 +262,24 @@ def test_children_agg_counts(spark):
         parents, children, parent_key="pid", child_key="parent",
         bucket_field="grp").collect()]
     assert got == [("a", 2, 3), ("b", 1, 1), ("c", 1, 0)]
+
+
+def test_parent_agg_orphans_and_distinct(spark):
+    """parent agg: child rows count per bucket; parent_count counts each
+    parent ONCE per bucket and ignores orphan children."""
+    from harmonize_search_analyze_spark.operators.joins import parent_agg
+
+    parents = spark.createDataFrame([(1,), (2,)], ["pk"])
+    children = spark.createDataFrame(
+        [  # bucket a: children of p1 (x2) and p2, plus an orphan
+            (1, "a"), (1, "a"), (2, "a"), (99, "a"),
+            # bucket b: one child of p1
+            (1, "b"),
+        ],
+        ["ck", "bucket"],
+    )
+    got = [(r.bucket, r.child_count, r.parent_count) for r in parent_agg(
+        parents, children, parent_key="pk", child_key="ck",
+        bucket_field="bucket",
+    ).collect()]
+    assert got == [("a", 4, 2), ("b", 1, 1)]
