@@ -7736,6 +7736,37 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SQL (the _sql endpoint) — the FOURTH grammar over the one
+    engine: the ANSI body passes straight to Catalyst, the MATCH()
+    full-text call compiles through the same pinned tokenizer as the
+    DSL/KQL/ES|QL grammars and lands as a hidden marker predicate that
+    pushes into the scan (plans/es_sql.py)."""
+    from harmonize_search_analyze_spark.plans.es_sql import run_es_sql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("documents", _t(spark, sf_dir, "documents"))
+    return run_es_sql(cat, """
+        SELECT source, COUNT(*) AS doc_count,
+               ROUND(AVG(n_chars), 6) AS avg_chars
+        FROM documents
+        WHERE MATCH(text, 'spark merge') AND n_chars > 100
+        GROUP BY source ORDER BY source
+    """)
+
+
+# the pinned full-token containment regex, spelled for DuckDB
+SQL_ES_SQL = r"""
+SELECT source, COUNT(*) AS doc_count, ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents
+WHERE (regexp_matches(lower(text), '(^|[^a-z0-9])spark($|[^a-z0-9])')
+       OR regexp_matches(lower(text), '(^|[^a-z0-9])merge($|[^a-z0-9])'))
+  AND n_chars > 100
+GROUP BY source ORDER BY source
+"""
+
+
 def q_parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES parent aggregation (children's inverse): lineitem (child)
     buckets by returnflag with the DISTINCT parent-order count per bucket —
@@ -7972,6 +8003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "parent_agg": q_parent_agg,
         "extended_stats_bucket": q_extended_stats_bucket,
+        "es_sql": q_es_sql,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8306,6 +8338,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _sql_zipf_fit(),
         "parent_agg": SQL_PARENT_AGG,
         "extended_stats_bucket": SQL_EXTENDED_STATS_BUCKET,
+        "es_sql": SQL_ES_SQL,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,
