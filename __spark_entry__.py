@@ -7736,6 +7736,59 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn pipeline agg (MovingFunctions.stdDev): trailing-7
+    population deviation over the daily histogram, ES's shift=0 window
+    (current bucket EXCLUDED; empty first window -> NULL)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+        moving_fn,
+    )
+
+    daily = date_histogram(_t(spark, sf_dir, "events"), "ts", "1 day")
+    return moving_fn(daily, "bucket", "doc_count", fn="stdDev", window=7)
+
+
+SQL_MOVING_FN = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT bucket, doc_count,
+       ROUND(stddev_pop(CAST(doc_count AS DOUBLE)) OVER (
+         ORDER BY bucket ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6)
+         AS moving_fn
+FROM daily ORDER BY bucket
+"""
+
+
+def q_suggest_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester with category contexts: source
+    suggestions restricted to en/fr docs, boosts 2.0/1.5 compounding
+    multiplicatively into the score — one sargable-filtered scan, one
+    hash agg, TakeOrdered."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        suggest_completion,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest_completion(
+        docs, "source",
+        contexts={"lang": {"en": 2.0, "fr": 1.5}},
+        k=10,
+    )
+
+
+SQL_SUGGEST_CONTEXTS = """
+SELECT source AS term, COUNT(*) AS doc_count,
+       ROUND(SUM(CAST(CASE WHEN lang = 'en' THEN 2.0 ELSE 1.5 END AS DOUBLE)), 6) AS score
+FROM documents
+WHERE source IS NOT NULL AND lang IN ('en', 'fr')
+GROUP BY source ORDER BY score DESC, term ASC LIMIT 10
+"""
+
+
 def q_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES SQL (the _sql endpoint) — the FOURTH grammar over the one
     engine: the ANSI body passes straight to Catalyst, the MATCH()
@@ -8004,6 +8057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parent_agg": q_parent_agg,
         "extended_stats_bucket": q_extended_stats_bucket,
         "es_sql": q_es_sql,
+        "moving_fn": q_moving_fn,
+        "suggest_contexts": q_suggest_contexts,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8339,6 +8394,8 @@ def oracle_sql() -> dict[str, str]:
         "parent_agg": SQL_PARENT_AGG,
         "extended_stats_bucket": SQL_EXTENDED_STATS_BUCKET,
         "es_sql": SQL_ES_SQL,
+        "moving_fn": SQL_MOVING_FN,
+        "suggest_contexts": SQL_SUGGEST_CONTEXTS,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

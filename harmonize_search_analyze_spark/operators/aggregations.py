@@ -1005,6 +1005,52 @@ def bucket_pipeline(
     ).orderBy(bucket_col)
 
 
+_MOVING_FNS = {
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "unweightedAvg": F.avg,
+    "avg": F.avg,
+    "stdDev": F.stddev_pop,
+}
+
+
+def moving_fn(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    fn: str = "unweightedAvg",
+    window: int = 7,
+    shift: int = 0,
+) -> DataFrame:
+    """ES ``moving_fn`` pipeline agg with the named MovingFunctions
+    (min/max/sum/unweightedAvg/stdDev) over a sliding window of buckets.
+
+    ``shift`` follows ES exactly: the window covers buckets
+    ``[i - window + shift, i - 1 + shift]`` — the default shift=0
+    EXCLUDES the current bucket; an empty window yields NULL (ES's gap
+    policy). stdDev is the population deviation, per MovingFunctions.
+
+    Bucket-level window: same single-task sort contract as
+    bucket_pipeline (input is bucket-sized, never raw rows)."""
+    if fn not in _MOVING_FNS:
+        raise ValueError(
+            f"unknown moving_fn {fn!r}; one of {sorted(_MOVING_FNS)}"
+        )
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    w = Window.orderBy(bucket_col).rowsBetween(
+        -window + shift, -1 + shift
+    )
+    v = F.col(value_col).cast("double")
+    return buckets.select(
+        bucket_col,
+        value_col,
+        F.round(_MOVING_FNS[fn](v).over(w), 6).alias("moving_fn"),
+    ).orderBy(bucket_col)
+
+
 def serial_diff(
     buckets: DataFrame,
     bucket_col: str,
@@ -1671,6 +1717,53 @@ def suggest(
     if prefix:
         df = df.where(phrase_prefix_predicate(field, prefix))
     return terms(df, field, k)
+
+
+def suggest_completion(
+    df: DataFrame,
+    field: str,
+    prefix: str | None = None,
+    *,
+    contexts: dict[str, dict[str, float]] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """ES completion suggester with category contexts: suggestions
+    restricted to documents matching at least one supplied context value
+    per context, each value carrying a boost. Score pins: a document's
+    weight is the PRODUCT over contexts of its matched value's boost
+    (ES compounds context boosts multiplicatively); the suggestion score
+    is the summed weight, rounded to 6; ties pin score DESC, term ASC.
+
+    One scan: context filters are plain IN-list predicates (sargable),
+    the weight is a CASE projection, the rollup is a single
+    map-combinable hash agg + TakeOrdered."""
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        phrase_prefix_predicate,
+    )
+
+    out = df.where(F.col(field).isNotNull())
+    if prefix:
+        out = out.where(phrase_prefix_predicate(field, prefix))
+    weight = F.lit(1.0)
+    for ctx_field, boosts in (contexts or {}).items():
+        if not boosts:
+            raise ValueError(f"context {ctx_field!r} needs values")
+        out = out.where(F.col(ctx_field).isin(list(boosts)))
+        expr = F.lit(None).cast("double")
+        for val, boost in boosts.items():
+            expr = F.when(
+                F.col(ctx_field) == F.lit(val), F.lit(float(boost))
+            ).otherwise(expr)
+        weight = weight * expr
+    return (
+        out.groupBy(F.col(field).alias("term"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.sum(weight), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(k)
+    )
 
 
 def dashboard(

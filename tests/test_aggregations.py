@@ -1632,3 +1632,51 @@ def test_extended_stats_bucket_values(spark):
     assert row.std_deviation == 2.0
     assert row.upper_bound == 9.0 and row.lower_bound == 1.0
     assert row.sum_of_squares == 232.0
+
+
+def test_moving_fn_shift_and_gap_policy(spark):
+    """moving_fn: shift=0 excludes the current bucket (first window empty
+    -> NULL); named fns dispatch; bad fn raises."""
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        moving_fn,
+    )
+
+    buckets = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 30, 40])],
+        ["bucket", "doc_count"],
+    )
+    got = [r.moving_fn for r in moving_fn(
+        buckets, "bucket", "doc_count", fn="max", window=2, shift=0
+    ).collect()]
+    assert got == [None, 10.0, 20.0, 30.0]
+    inc = [r.moving_fn for r in moving_fn(
+        buckets, "bucket", "doc_count", fn="sum", window=2, shift=1
+    ).collect()]
+    assert inc == [10.0, 30.0, 50.0, 70.0]
+    with _pytest.raises(ValueError, match="unknown moving_fn"):
+        moving_fn(buckets, "bucket", fn="mystery")
+
+
+def test_suggest_completion_context_boosts(spark):
+    """completion contexts: rows outside the context drop; boosts
+    compound multiplicatively across contexts; ties pin on term asc."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        suggest_completion,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("alpha", "en", "web"), ("alpha", "en", "web"),
+            ("beta", "fr", "web"), ("gamma", "de", "web"),
+            ("beta", "en", "book"),
+        ],
+        ["term_f", "lang", "kind"],
+    )
+    got = [(r.term, r.doc_count, r.score) for r in suggest_completion(
+        df, "term_f",
+        contexts={"lang": {"en": 2.0, "fr": 1.0}, "kind": {"web": 3.0}},
+    ).collect()]
+    # alpha: 2 docs * (2.0*3.0) = 12; beta: fr web 1*3 = 3 (book drops)
+    assert got == [("alpha", 2, 12.0), ("beta", 1, 3.0)]
