@@ -7736,6 +7736,34 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing TF-IDF sparse vectors (the hashing-trick
+    featurizer) over a doc subset: exploded (doc, bucket, weight) rows —
+    one (doc,bucket) hash agg, a <=n_buckets broadcast idf join, no
+    array columns crossing an exchange."""
+    from harmonize_search_analyze_spark.operators.text import (
+        feature_hash_vectors,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return (
+        feature_hash_vectors(docs, "doc_id", "text", n_buckets=256)
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def _sql_feature_hash() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        feature_hash_vectors_sql,
+    )
+
+    inner = feature_hash_vectors_sql(
+        "(SELECT * FROM documents WHERE doc_id < 60)",
+        "doc_id", "text", n_buckets=256,
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY doc_id, bucket"
+
+
 def q_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES moving_fn pipeline agg (MovingFunctions.stdDev): trailing-7
     population deviation over the daily histogram, ES's shift=0 window
@@ -8059,6 +8087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sql": q_es_sql,
         "moving_fn": q_moving_fn,
         "suggest_contexts": q_suggest_contexts,
+        "feature_hash": q_feature_hash,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8396,6 +8425,7 @@ def oracle_sql() -> dict[str, str]:
         "es_sql": SQL_ES_SQL,
         "moving_fn": SQL_MOVING_FN,
         "suggest_contexts": SQL_SUGGEST_CONTEXTS,
+        "feature_hash": _sql_feature_hash(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -729,3 +729,104 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
        ROUND(regr_r2(ln(freq), ln(rank)), 6) AS r2
 FROM ranked
 """
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1024,
+    weighting: str = "tfidf",
+) -> DataFrame:
+    """Feature-hashing sparse document vectors (the hashing-trick TF /
+    TF-IDF featurizer): every token maps to ``hash(token) % n_buckets``;
+    the output is the EXPLODED sparse form, one row per (doc, bucket)
+    with its weight — the representation sparse_search consumes and the
+    cheapest join-able layout at scale (no array columns cross a
+    shuffle).
+
+    Weights: ``tf`` = raw term count in the doc; ``tfidf`` =
+    ``tf * ln((N + 1) / (df + 1)) + 0`` with N = documents carrying at
+    least one token and df = documents hitting the bucket (the smoothed
+    idf; hash collisions fold into the bucket by construction — the
+    hashing trick's documented bias). Rounded to 6.
+
+    Scale shape: explode -> ONE (doc, bucket) hash agg for tf; the df
+    frame is a second agg over the tf frame keyed by bucket (bounded by
+    n_buckets after reduction); N is a 1-row broadcast; the idf join
+    broadcasts the <= n_buckets df frame. No row ever carries an array
+    across an exchange.
+    """
+    if weighting not in ("tf", "tfidf"):
+        raise ValueError("weighting must be tf or tfidf")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.expr(tokens_sql(text_col, "spark"))).alias("token"),
+    )
+    h = hash64_sql("token", "spark")
+    tf = (
+        toks.select("doc", F.expr(f"{h} % {n_buckets}").alias("bucket"))
+        .groupBy("doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if weighting == "tf":
+        return tf.select(
+            F.col("doc").alias(id_col), "bucket",
+            F.col("tf").cast("double").alias("weight"),
+        )
+    dfreq = tf.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = tf.select("doc").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("doc").alias(id_col),
+            "bucket",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                ),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def feature_hash_vectors_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1024,
+    weighting: str = "tfidf",
+) -> str:
+    """DuckDB replay of :func:`feature_hash_vectors` — same tokenizer,
+    same 60-bit hash, same smoothed idf."""
+    h = hash64_sql("token", "duckdb")
+    base = f"""
+WITH toks AS (
+  SELECT {id_col} AS doc, unnest({tokens_sql(text_col, 'duckdb')}) AS token
+  FROM {table}
+), tf AS (
+  SELECT doc, {h} % {n_buckets} AS bucket, COUNT(*) AS tf
+  FROM toks GROUP BY 1, 2
+)"""
+    if weighting == "tf":
+        return base + f"""
+SELECT doc AS {id_col}, bucket, CAST(tf AS DOUBLE) AS weight FROM tf
+"""
+    return base + f""", dfreq AS (
+  SELECT bucket, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (SELECT COUNT(DISTINCT doc) AS n FROM tf)
+SELECT tf.doc AS {id_col}, tf.bucket,
+       ROUND(tf * ln((n + 1.0) / (df + 1.0)), 6) AS weight
+FROM tf JOIN dfreq ON tf.bucket = dfreq.bucket CROSS JOIN nd
+"""

@@ -196,3 +196,31 @@ def test_zipf_fit_known_distribution(spark):
     assert row["n_ranks"] == 6
     assert abs(row["slope"] - (-1.0)) < 0.05, row
     assert row["r2"] > 0.99
+
+
+def test_feature_hash_vectors_semantics(spark):
+    """Hashing-trick featurizer: tf counts per (doc,bucket); identical
+    tokens share a bucket; tfidf downweights corpus-wide buckets; tf
+    weighting returns raw counts."""
+    from harmonize_search_analyze_spark.operators.text import (
+        feature_hash_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "durian")],
+        ["doc_id", "text"],
+    )
+    tf = {(r.doc_id, r.bucket): r.weight for r in feature_hash_vectors(
+        df, weighting="tf", n_buckets=64).collect()}
+    # doc1 has apple twice -> one bucket with weight 2, banana weight 1
+    assert sorted(v for (d, _), v in tf.items() if d == 1) == [1.0, 2.0]
+    ti = {(r.doc_id, r.bucket): r.weight for r in feature_hash_vectors(
+        df, weighting="tfidf", n_buckets=64).collect()}
+    import math
+    # apple: df=2, N=3 -> idf ln(4/3); banana/cherry/durian: df=1 -> ln(2)
+    apple_w = round(2 * math.log(4 / 3), 6)
+    rare_w = round(math.log(2.0), 6)
+    assert sorted(v for (d, _), v in ti.items() if d == 1) == sorted(
+        [apple_w, rare_w]
+    )
+    assert all(v == rare_w for (d, _), v in ti.items() if d == 3)
