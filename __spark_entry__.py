@@ -7736,6 +7736,42 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT rank_vectors maxSimDotProduct) top-10:
+    multi-vector docs (vec_id % 50 groups), query = the vec 0/1 pair,
+    score = sum of per-query-vector max dots — broadcast query side,
+    vectors never cross a shuffle."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        (F.col("vec_id") % 50).alias("doc_id"), "embedding"
+    )
+    query = emb.where(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return maxsim_topk(corpus, query, k=10)
+
+
+SQL_MAXSIM = """
+WITH corpus AS (
+  SELECT vec_id % 50 AS doc, embedding::DOUBLE[] AS dv FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1)
+), best AS (
+  SELECT doc, qid,
+         MAX(list_sum(list_transform(list_zip(dv, qv), p -> p[1] * p[2])))
+           AS b
+  FROM corpus CROSS JOIN q GROUP BY doc, qid
+)
+SELECT doc AS doc_id, ROUND(SUM(b), 6) AS maxsim
+FROM best GROUP BY 1 ORDER BY maxsim DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing TF-IDF sparse vectors (the hashing-trick
     featurizer) over a doc subset: exploded (doc, bucket, weight) rows —
@@ -8088,6 +8124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_fn": q_moving_fn,
         "suggest_contexts": q_suggest_contexts,
         "feature_hash": q_feature_hash,
+        "maxsim": q_maxsim,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8426,6 +8463,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_fn": SQL_MOVING_FN,
         "suggest_contexts": SQL_SUGGEST_CONTEXTS,
         "feature_hash": _sql_feature_hash(),
+        "maxsim": SQL_MAXSIM,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

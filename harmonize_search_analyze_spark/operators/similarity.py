@@ -2385,3 +2385,56 @@ FROM ranked r
 JOIN {table} q ON r.query_id = q.{id_col}
 WHERE r.rn = 1
 """
+
+
+def maxsim_topk(
+    df: DataFrame,
+    query: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style ``rank_vectors`` maxSimDotProduct)
+    retrieval: documents are MULTI-vector (several rows per ``id_col``);
+    the score is the sum over query vectors of the max dot product
+    against any of the document's vectors.
+
+    All arithmetic in double with sequential left-folds (the engine's
+    cross-engine float discipline); the final score rounds to 6; ties
+    pin id ASC.
+
+    Scale shape: the query side is token-count-sized and BROADCAST; the
+    corpus scan computes |Q| codegen'd dot products per vector row, then
+    two map-combinable hash aggs ((id, qid) max -> id sum) on the doc
+    key. No shuffle ever carries a vector — only (id, qid, score) rows
+    move. At 100 TB the cost is the one corpus scan; an IVF/BBQ
+    shortlist (``similarity_ivf`` / ``bbq_topk``) in front is the
+    documented two-stage switch, with this as the exact reranker.
+    """
+    dot = (
+        "aggregate(zip_with(__dv, __qv, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    corpus = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__dv"),
+    )
+    qs = query.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    best = (
+        corpus.join(F.broadcast(qs))
+        .select("__id", "__qid", F.expr(dot).alias("__dot"))
+        .groupBy("__id", "__qid")
+        .agg(F.max("__dot").alias("__best"))
+    )
+    return (
+        best.groupBy(F.col("__id").alias(id_col))
+        .agg(F.round(F.sum("__best"), 6).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -52,3 +52,30 @@ def test_knn_similarity_threshold(spark):
         df, "embedding", [1.0, 0.0], None, k=3, similarity=0.9
     ).collect()
     assert {r.vec_id for r in cut} == {1, 2}
+
+
+def test_maxsim_topk_late_interaction(spark):
+    """maxsim: per-query-vector best dot then summed; broadcast query
+    side; vectors never cross a shuffle (plan has no vector exchange)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        maxsim_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # doc 1: one vector aligned with q0, one with q1 -> score 2
+            (1, [1.0, 0.0]), (1, [0.0, 1.0]),
+            # doc 2: only q0-aligned -> best q0 = 1, best q1 = 0
+            (2, [1.0, 0.0]), (2, [0.5, 0.0]),
+        ],
+        ["doc_id", "embedding"],
+    )
+    query = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["qid", "embedding"]
+    )
+    out = maxsim_topk(corpus, query, k=5)
+    got = [(r.doc_id, r.maxsim) for r in out.collect()]
+    assert got == [(1, 2.0), (2, 1.0)]
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
