@@ -7736,6 +7736,52 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_ingest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 ingest processors (script/bytes/fingerprint/
+    user_agent/append) in ONE data-driven pipeline over documents — the
+    whole chain is a single map-only projection fused into the scan."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    out = run_pipeline(docs, [
+        {"script": {"target_field": "sz",
+                    "source": "concat(cast(n_chars AS string), 'kb')"}},
+        {"bytes": {"field": "sz", "target_field": "sz_bytes"}},
+        {"fingerprint": {"fields": ["source", "lang"], "method": "MD5"}},
+        {"script": {"target_field": "ua", "source": (
+            "CASE WHEN lang = 'en' THEN"
+            " 'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0 Safari/537.36'"
+            " WHEN lang = 'fr' THEN"
+            " 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X)"
+            " Version/17.0 Mobile/15E148 Safari/604.1'"
+            " ELSE 'curl/8.4.0' END")}},
+        {"user_agent": {"field": "ua", "target_field": "agent"}},
+    ])
+    return (
+        out.select(
+            "doc_id", "sz_bytes", "fingerprint",
+            "agent_name", "agent_os", "agent_device",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_INGEST_ENRICH = """
+SELECT doc_id, CAST(n_chars * 1024 AS BIGINT) AS sz_bytes,
+       md5(COALESCE(source, '') || '|' || COALESCE(lang, ''))
+         AS fingerprint,
+       CASE WHEN lang = 'en' THEN 'Chrome'
+            WHEN lang = 'fr' THEN 'Safari' ELSE 'Other' END AS agent_name,
+       CASE WHEN lang = 'en' THEN 'Windows'
+            WHEN lang = 'fr' THEN 'iOS' ELSE 'Other' END AS agent_os,
+       CASE WHEN lang = 'fr' THEN 'Mobile' ELSE 'Desktop' END
+         AS agent_device
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
 def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction (ColBERT rank_vectors maxSimDotProduct) top-10:
     multi-vector docs (vec_id % 50 groups), query = the vec 0/1 pair,
@@ -8125,6 +8171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_contexts": q_suggest_contexts,
         "feature_hash": q_feature_hash,
         "maxsim": q_maxsim,
+        "ingest_enrich": q_ingest_enrich,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8464,6 +8511,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_contexts": SQL_SUGGEST_CONTEXTS,
         "feature_hash": _sql_feature_hash(),
         "maxsim": SQL_MAXSIM,
+        "ingest_enrich": SQL_INGEST_ENRICH,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -13,7 +13,9 @@ Supported processors (the common core of the public ES set), each an entry
     set (value or copy_from), rename, remove, trim, lowercase, uppercase,
     gsub, split, join, convert, date, json, kv, csv, dissect, grok,
     script (restricted SQL-expression form, same contract as the `script`
-    query in plans/compiler.py), drop
+    query in plans/compiler.py), drop, append, bytes, urldecode,
+    html_strip, fingerprint, user_agent (pinned ua-parser-family subset,
+    relational output columns), inference
 
 Every VALUE processor supports ES's ``if`` conditional — a restricted
 painless-as-SQL boolean over the current columns; when false the processor
@@ -329,9 +331,126 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
         if "if" not in config:
             return df.where(F.lit(False))
         return df.where(~F.expr(config["if"]))
+    if ptype == "append":
+        vals = config["value"]
+        if not isinstance(vals, list):
+            vals = [vals]
+        lits = F.array(*[F.lit(v) for v in vals])
+        base = (
+            F.coalesce(F.col(fld), F.array().cast("array<string>"))
+            if fld in df.columns
+            else F.array().cast("array<string>")
+        )
+        merged = F.concat(base, lits)
+        if not config.get("allow_duplicates", True):
+            merged = F.array_distinct(merged)
+        prev = F.col(fld) if fld in df.columns else F.lit(None)
+        return df.withColumn(fld, _cond(config, merged, prev))
+    if ptype == "bytes":
+        # ES bytes: human size string -> bytes; NULL on malformed (the
+        # module's NULL-on-failure contract, vs ES's hard error)
+        num = F.regexp_extract(
+            F.col(fld), r"(?i)^\s*([0-9.]+)\s*(b|kb|mb|gb|tb|pb)\s*$", 1
+        ).try_cast("double")
+        unit = F.lower(F.regexp_extract(
+            F.col(fld), r"(?i)^\s*([0-9.]+)\s*(b|kb|mb|gb|tb|pb)\s*$", 2
+        ))
+        mult = (
+            F.when(unit == "b", F.lit(1.0))
+            .when(unit == "kb", F.lit(1024.0))
+            .when(unit == "mb", F.lit(1024.0 ** 2))
+            .when(unit == "gb", F.lit(1024.0 ** 3))
+            .when(unit == "tb", F.lit(1024.0 ** 4))
+            .when(unit == "pb", F.lit(1024.0 ** 5))
+        )
+        return setcol(F.floor(num * mult).try_cast("bigint"))
+    if ptype == "urldecode":
+        return setcol(F.call_function("try_url_decode", F.col(fld)))
+    if ptype == "html_strip":
+        # the pinned subset of Lucene's HTMLStripCharFilter: tags drop,
+        # the five standard entities unescape
+        stripped = F.regexp_replace(F.col(fld), r"<[^>]*>", "")
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&amp;", "&")):
+            stripped = F.regexp_replace(stripped, ent, ch)
+        return setcol(stripped)
+    if ptype == "fingerprint":
+        # ES fingerprint processor: hash over the listed fields' values
+        # joined with '|' (the processor's own separator), NULL-safe
+        fields = config["fields"]
+        method = config.get("method", "SHA-1").upper().replace("-", "")
+        joined = F.concat_ws(
+            "|", *[F.coalesce(F.col(f).cast("string"), F.lit("")) for f in fields]
+        )
+        if method == "MD5":
+            h = F.md5(joined)
+        elif method == "SHA1":
+            h = F.sha1(joined)
+        elif method in ("SHA256", "SHA512"):
+            h = F.sha2(joined, int(method[3:]))
+        else:
+            raise ValueError(f"unknown fingerprint method {method!r}")
+        target = config.get("target_field", "fingerprint")
+        prev = F.col(target) if target in df.columns else F.lit(None)
+        return df.withColumn(target, _cond(config, h, prev))
+    if ptype == "user_agent":
+        return _user_agent(df, config)
     if ptype == "inference":
         return _inference(df, config)
     raise ValueError(f"unknown ingest processor: {ptype!r}")
+
+
+# the pinned user_agent ruleset: the high-traffic families of the
+# ua-parser corpus, matched in THIS order (Edge/Opera carry "Chrome" in
+# their UA string, so they must test first; same for Chrome vs Safari)
+_UA_BROWSERS = [
+    ("Edge", r"Edg(?:e|A|iOS)?/([0-9.]+)"),
+    ("Opera", r"OPR/([0-9.]+)"),
+    ("Chrome", r"Chrome/([0-9.]+)"),
+    ("Firefox", r"Firefox/([0-9.]+)"),
+    ("Safari", r"Version/([0-9.]+).*Safari"),
+]
+_UA_OS = [
+    ("Windows", r"Windows NT"),
+    ("iOS", r"iPhone|iPad"),
+    ("Mac OS X", r"Mac OS X"),
+    ("Android", r"Android"),
+    ("Linux", r"Linux"),
+]
+
+
+def _user_agent(df: DataFrame, config: dict) -> DataFrame:
+    """ES ``user_agent`` processor (pinned subset of the ua-parser
+    ruleset, families above): relational output columns
+    ``<target>_name/_version/_os/_device`` instead of ES's object field.
+    Pure regexp projections — order is load-bearing (Edge before
+    Chrome, Chrome before Safari)."""
+    fld = config["field"]
+    target = config.get("target_field", "user_agent")
+    ua = F.col(fld)
+    name = F.lit("Other")
+    version = F.lit(None).cast("string")
+    for fam, pat in reversed(_UA_BROWSERS):
+        hit = ua.rlike(pat.replace("([0-9.]+)", "[0-9.]+"))
+        name = F.when(hit, F.lit(fam)).otherwise(name)
+        version = F.when(
+            hit, F.regexp_extract(ua, pat, 1)
+        ).otherwise(version)
+    os_col = F.lit("Other")
+    for fam, pat in reversed(_UA_OS):
+        os_col = F.when(ua.rlike(pat), F.lit(fam)).otherwise(os_col)
+    device = F.when(
+        ua.rlike(r"Mobile|iPhone|Android"), F.lit("Mobile")
+    ).otherwise(F.lit("Desktop"))
+    out = df
+    for suffix, col in (
+        ("name", name), ("version", version),
+        ("os", os_col), ("device", device),
+    ):
+        cname = f"{target}_{suffix}"
+        prev = F.col(cname) if cname in out.columns else F.lit(None)
+        out = out.withColumn(cname, _cond(config, col, prev))
+    return out
 
 
 def _inference(df: DataFrame, config: dict) -> DataFrame:

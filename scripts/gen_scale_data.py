@@ -106,6 +106,50 @@ def gen_embeddings(outdir: str, mult: int, rng: np.random.Generator) -> None:
     pq.write_table(tbl, os.path.join(outdir, "embeddings.parquet"))
 
 
+BASE_EVENTS = 100_000
+BASE_USERS = 1_500
+
+
+def gen_events(outdir: str, mult: int, rng: np.random.Generator) -> None:
+    """Events stats-matched to sf0.1: same type mix and 30-day span;
+    users scale with the multiplier (so per-user history depth stays
+    fixed — the window-partition size a user-keyed operator actually
+    sees), event volume scales linearly."""
+    import duckdb
+
+    mix = duckdb.sql(
+        f"SELECT event_type, COUNT(*) FROM "
+        f"read_parquet('{BASE}/events.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    types = [t for t, _ in mix]
+    p = np.array([c for _, c in mix], dtype=float)
+    p /= p.sum()
+    n = BASE_EVENTS * mult
+    n_users = BASE_USERS * mult
+    base_ts = np.datetime64("2024-01-01T00:00:00")
+    ts = base_ts + rng.integers(
+        0, 30 * 86400, size=n
+    ).astype("timedelta64[s]")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n).tolist(), pa.int64()
+            ),
+            "event_type": pa.array(
+                [types[i] for i in rng.choice(len(types), size=n, p=p)]
+            ),
+            "value": pa.array(
+                np.round(rng.exponential(120.0, size=n), 2).tolist(),
+                pa.float64(),
+            ),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, os.path.join(outdir, "events.parquet"))
+
+
 def main() -> None:
     outdir = sys.argv[1]
     mult = int(sys.argv[2])
@@ -114,7 +158,11 @@ def main() -> None:
     rng = np.random.default_rng(seed)
     gen_documents(outdir, mult, rng)
     gen_embeddings(outdir, mult, rng)
-    print(f"wrote {outdir}: {BASE_DOCS * mult} docs, {BASE_VECS * mult} vecs")
+    gen_events(outdir, mult, rng)
+    print(
+        f"wrote {outdir}: {BASE_DOCS * mult} docs, {BASE_VECS * mult} vecs, "
+        f"{BASE_EVENTS * mult} events"
+    )
 
 
 if __name__ == "__main__":

@@ -55,6 +55,12 @@ FAMILY = [
     "soft_dedup",
     "retriever_rrf",
     "knn_classify_ivf",  # synthetic entry, see EXTRA below
+    # round-4 session-2 additions (scan+agg-shaped; expect ~linear)
+    "feature_hash_full",  # synthetic: the gated query caps doc_id < 60
+    "maxsim",
+    "event_paths",
+    "zipf_fit",
+    "rfm_segments",
 ]
 
 # knn_classify's GATED query runs the exact method (it is the recall
@@ -71,7 +77,19 @@ def _knn_classify_ivf(spark, sf_dir):
     return knn_classify(emb, k=5, test_pct=10, method="ivf")
 
 
-EXTRA = {"knn_classify_ivf": _knn_classify_ivf}
+def _feature_hash_full(spark, sf_dir):
+    from harmonize_search_analyze_spark.operators.text import (
+        feature_hash_vectors,
+    )
+
+    docs = entry._t(spark, sf_dir, "documents")
+    return feature_hash_vectors(docs, "doc_id", "text", n_buckets=1024)
+
+
+EXTRA = {
+    "knn_classify_ivf": _knn_classify_ivf,
+    "feature_hash_full": _feature_hash_full,
+}
 
 # CLI override: pass query names to validate a subset instead of FAMILY
 if len(sys.argv) > 1:

@@ -280,3 +280,101 @@ def test_inference_if_preserves_preexisting_target(spark):
         {"inference": {"model": lin, "target_field": "p", "if": "id = 1"}},
     ]).collect()}
     assert rows[1]["p"] == 3.0 and rows[2]["p"] == 0.75
+
+
+def test_append_processor(spark):
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame([(1, ["a"]), (2, None)], ["id", "tags"])
+    out = run_pipeline(df, [
+        {"append": {"field": "tags", "value": ["b", "a"]}},
+    ])
+    got = {r.id: r.tags for r in out.collect()}
+    assert got == {1: ["a", "b", "a"], 2: ["b", "a"]}
+    nodup = run_pipeline(df, [
+        {"append": {"field": "tags", "value": ["b", "a"],
+                    "allow_duplicates": False}},
+    ])
+    assert {r.id: r.tags for r in nodup.collect()}[1] == ["a", "b"]
+
+
+def test_bytes_processor(spark):
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "1kb"), (2, "2.5MB"), (3, "10b"), (4, "nonsense"), (5, "3gb")],
+        ["id", "sz"],
+    )
+    out = run_pipeline(df, [
+        {"bytes": {"field": "sz", "target_field": "n"}},
+    ])
+    got = {r.id: r.n for r in out.collect()}
+    assert got == {1: 1024, 2: 2621440, 3: 10, 4: None, 5: 3 * 1024 ** 3}
+
+
+def test_urldecode_and_html_strip(spark):
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a%20b%3Dc", "<p>Hi &amp; <b>bye</b></p>")],
+        ["id", "url", "html"],
+    )
+    out = run_pipeline(df, [
+        {"urldecode": {"field": "url"}},
+        {"html_strip": {"field": "html"}},
+    ]).collect()[0]
+    assert out.url == "a b=c"
+    assert out.html == "Hi & bye"
+
+
+def test_fingerprint_processor(spark):
+    import hashlib
+
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", None)], "id INT, a STRING, b STRING"
+    )
+    out = run_pipeline(df, [
+        {"fingerprint": {"fields": ["a", "b"], "method": "SHA-256"}},
+    ]).collect()[0]
+    assert out.fingerprint == hashlib.sha256(b"x|").hexdigest()
+
+
+def test_user_agent_processor(spark):
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    uas = [
+        (1, "Mozilla/5.0 (Windows NT 10.0; Win64) AppleWebKit/537.36 "
+            "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36"),
+        (2, "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, "
+            "like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91"),
+        (3, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+            "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 "
+            "Safari/605.1.15"),
+        (4, "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) "
+            "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 "
+            "Mobile/15E148 Safari/604.1"),
+        (5, "curl/8.4.0"),
+    ]
+    df = spark.createDataFrame(uas, ["id", "ua"])
+    out = {r.id: r for r in run_pipeline(df, [
+        {"user_agent": {"field": "ua", "target_field": "b"}},
+    ]).collect()}
+    assert (out[1].b_name, out[1].b_os, out[1].b_device) == (
+        "Chrome", "Windows", "Desktop")
+    assert out[1].b_version.startswith("120.")
+    assert out[2].b_name == "Edge"          # Edge wins over its Chrome token
+    assert (out[3].b_name, out[3].b_os) == ("Safari", "Mac OS X")
+    assert (out[4].b_os, out[4].b_device) == ("iOS", "Mobile")
+    assert (out[5].b_name, out[5].b_os) == ("Other", "Other")
