@@ -7736,6 +7736,65 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+_ANNEAL_PHASES = [
+    ("bulk", {"src0": 0.9, "src1": 0.9, "src2": 0.6}),
+    ("anneal", {"src0": 0.1, "src3": 1.0, "src4": 1.0}),
+]
+
+
+def q_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annealed/curriculum data schedule: two phases with different
+    per-source keep rates, ONE corpus scan (qualify bits + order keys
+    are projections, qualifying phase structs explode with fan-out <=
+    n_phases). Gated as the per-(phase, source) composition rollup."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        anneal_schedule,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sched = anneal_schedule(docs, "source", "doc_id", _ANNEAL_PHASES)
+    return (
+        sched.groupBy("phase_idx", "phase", "source")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("phase_idx", "source")
+    )
+
+
+def _sql_anneal_schedule() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        anneal_schedule_sql,
+    )
+
+    inner = anneal_schedule_sql(
+        "documents", "source", "doc_id", _ANNEAL_PHASES,
+        ["doc_id", "source"], "duckdb",
+    )
+    return f"""
+SELECT phase_idx, phase, source, COUNT(*) AS doc_count
+FROM ({inner}) GROUP BY 1, 2, 3 ORDER BY phase_idx, source
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (7-day churn gap,
+    right-censoring at observation end): one user-keyed agg, a 1-row
+    broadcast, and a bucket-level product-limit window via
+    exp-sum-of-logs."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        kaplan_meier,
+    )
+
+    return kaplan_meier(_t(spark, sf_dir, "events"), churn_gap_days=7)
+
+
+def _sql_kaplan_meier() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        kaplan_meier_sql,
+    )
+
+    return kaplan_meier_sql("events", churn_gap_days=7)
+
+
 def q_ingest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-4 ingest processors (script/bytes/fingerprint/
     user_agent/append) in ONE data-driven pipeline over documents — the
@@ -8172,6 +8231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "maxsim": q_maxsim,
         "ingest_enrich": q_ingest_enrich,
+        "anneal_schedule": q_anneal_schedule,
+        "kaplan_meier": q_kaplan_meier,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8512,6 +8573,8 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": _sql_feature_hash(),
         "maxsim": SQL_MAXSIM,
         "ingest_enrich": SQL_INGEST_ENRICH,
+        "anneal_schedule": _sql_anneal_schedule(),
+        "kaplan_meier": _sql_kaplan_meier(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -902,3 +902,138 @@ def event_paths(
         .orderBy(F.col("doc_count").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+# -- survival analysis ---------------------------------------------------------
+
+
+def kaplan_meier(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes: a user's
+    duration is (last event - first event) in whole days; the user
+    CHURNED (the event fired) when their last activity sits more than
+    ``churn_gap_days`` before the corpus's observation end (max ts),
+    otherwise the lifetime is right-censored. The estimator is the
+    standard product-limit S(t) = prod_{t_i <= t} (1 - d_i / n_i) over
+    distinct churn times, computed as exp(running-sum of ln) — an exact
+    bucket-level window, no iteration.
+
+    Returns one row per distinct duration with (n_risk, n_churned,
+    n_censored, survival) — survival carried at non-churn durations too
+    (the curve's step values), rounded to 6.
+
+    Scale shape: one user-keyed hash agg (lifetimes), a 1-row broadcast
+    (observation end), one duration-keyed agg (the bucket frame, bounded
+    by the time range in days), and one bucket-level running window.
+    Raw event volume only touches the first agg.
+    """
+    lives = (
+        df.where(F.col(user_col).isNotNull() & F.col(time_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.min(time_col).alias("__first"),
+            F.max(time_col).alias("__last"),
+        )
+    )
+    end = df.agg(F.max(time_col).alias("__end"))
+    per_user = lives.crossJoin(F.broadcast(end)).select(
+        F.datediff(F.col("__last"), F.col("__first")).alias("duration"),
+        (
+            F.datediff(F.col("__end"), F.col("__last"))
+            > F.lit(int(churn_gap_days))
+        ).cast("int").alias("churned"),
+    )
+    buckets = per_user.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("churned").alias("n_churned"),
+    )
+    run = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = (
+        F.sum("n_total").over(
+            Window.orderBy("duration").rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+        )
+    )
+    step = F.log(
+        F.lit(1.0)
+        - F.col("n_churned").cast("double") / F.col("n_risk")
+    )
+    return (
+        buckets.withColumn("n_risk", at_risk)
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.when(F.col("n_churned") > 0, step).otherwise(
+                            F.lit(0.0)
+                        )
+                    ).over(run)
+                ),
+                6,
+            ),
+        )
+        .select(
+            "duration",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("n_churned").cast("bigint").alias("n_churned"),
+            (F.col("n_total") - F.col("n_churned"))
+            .cast("bigint")
+            .alias("n_censored"),
+            "survival",
+        )
+        .orderBy("duration")
+    )
+
+
+def kaplan_meier_sql(
+    table: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    churn_gap_days: int = 7,
+) -> str:
+    """DuckDB replay of :func:`kaplan_meier` — same censoring rule and
+    product-limit-as-exp-sum-of-logs formulation."""
+    return f"""
+WITH lives AS (
+  SELECT {user_col} AS u, MIN({time_col}) AS f, MAX({time_col}) AS l
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+  GROUP BY 1
+), endt AS (SELECT MAX({time_col}) AS e FROM {table}),
+per_user AS (
+  SELECT date_diff('day', f, l) AS duration,
+         CASE WHEN date_diff('day', l, e) > {int(churn_gap_days)}
+              THEN 1 ELSE 0 END AS churned
+  FROM lives CROSS JOIN endt
+), buckets AS (
+  SELECT duration, COUNT(*) AS n_total, SUM(churned) AS n_churned
+  FROM per_user GROUP BY 1
+), risked AS (
+  SELECT duration, n_total, n_churned,
+         SUM(n_total) OVER (ORDER BY duration
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM buckets
+), curve AS (
+  SELECT duration, n_total, n_churned, n_risk,
+         SUM(CASE WHEN n_churned > 0
+             THEN ln(1.0 - CAST(n_churned AS DOUBLE) / n_risk)
+             ELSE 0.0 END) OVER (ORDER BY duration
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns
+  FROM risked
+)
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_churned AS BIGINT) AS n_churned,
+       CAST(n_total - n_churned AS BIGINT) AS n_censored,
+       ROUND(exp(lns), 6) AS survival
+FROM curve ORDER BY duration
+"""

@@ -735,3 +735,107 @@ repped AS (
 )
 {tail}
 """
+
+
+def anneal_schedule(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    phases: list[tuple[str, dict[str, float]]],
+    *,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Annealed / curriculum data schedule (the modern mid-training
+    pattern: early phases heavy on bulk web, the final anneal phase
+    upweighting high-quality sources): each phase is its own
+    deterministic per-source mix of the corpus, emitted with
+    (phase_idx, phase) tags and a within-phase ``order_key`` — reading
+    the result ordered by (phase_idx, order_key) IS the schedule.
+
+    ``phases`` is ``[(name, {source: keep_rate}), ...]``; rates are
+    mix_sources semantics (deterministic hash-threshold keeps, absent
+    sources get ``default_rate``). Each phase re-seeds the sampling hash
+    (seed + phase index), so phases draw independent subsets — a row can
+    appear in several phases (that is what an epoch schedule does), never
+    twice in one phase.
+
+    Scale shape: ONE corpus scan — every phase's qualify bit and order
+    key are codegen'd projections; qualifying (phase, order) structs
+    collect into an array and explode with fan-out <= n_phases. No
+    shuffle at all; the P-pass union formulation this replaces would
+    re-read the corpus P times.
+    """
+    if not phases:
+        raise ValueError("anneal_schedule needs at least one phase")
+    for _, rates in phases:
+        for s, r in rates.items():
+            if not 0.0 <= r <= 1.0:
+                raise ValueError(
+                    f"rate for {s!r} must be in [0, 1], got {r}"
+                )
+    entries = []
+    for i, (name, rates) in enumerate(phases):
+        h = F.expr(sample_hash_sql(key_col, "spark", seed=seed + i))
+        order_h = F.expr(
+            sample_hash_sql(key_col, "spark", seed=seed + 1000 + i)
+        )
+        thr: Column = F.lit(int(default_rate * HASH_BUCKETS))
+        for s, r in sorted(rates.items()):
+            thr = F.when(
+                F.col(source_col) == F.lit(s),
+                F.lit(int(r * HASH_BUCKETS)),
+            ).otherwise(thr)
+        entries.append(
+            F.when(
+                h < thr,
+                F.struct(
+                    F.lit(i).alias("phase_idx"),
+                    F.lit(name).alias("phase"),
+                    order_h.alias("order_key"),
+                ),
+            )
+        )
+    arr = F.filter(F.array(*entries), lambda e: e.isNotNull())
+    return (
+        df.withColumn("__ph", F.explode(arr))
+        .select(
+            "*",
+            F.col("__ph.phase_idx").alias("phase_idx"),
+            F.col("__ph.phase").alias("phase"),
+            F.col("__ph.order_key").alias("order_key"),
+        )
+        .drop("__ph")
+    )
+
+
+def anneal_schedule_sql(
+    table: str,
+    source_col: str,
+    key_col: str,
+    phases: list[tuple[str, dict[str, float]]],
+    columns: list[str],
+    dialect: str,
+    *,
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> str:
+    """Dual-dialect twin of :func:`anneal_schedule` — the oracle uses
+    the transparent per-phase UNION ALL formulation (correctness over
+    the single-scan plan, which is the Spark side's job)."""
+    cols = ", ".join(columns)
+    selects = []
+    for i, (name, rates) in enumerate(phases):
+        h = sample_hash_sql(key_col, dialect, seed=seed + i)
+        oh = sample_hash_sql(key_col, dialect, seed=seed + 1000 + i)
+        thr = f"CAST({int(default_rate * HASH_BUCKETS)} AS BIGINT)"
+        for s, r in sorted(rates.items()):
+            thr = (
+                f"CASE WHEN {source_col} = '{s}' "
+                f"THEN {int(r * HASH_BUCKETS)} ELSE {thr} END"
+            )
+        selects.append(
+            f"SELECT {cols}, {i} AS phase_idx, '{name}' AS phase, "
+            f"{oh} AS order_key FROM {table} WHERE {h} < ({thr})"
+        )
+    return "\nUNION ALL\n".join(selects)

@@ -224,3 +224,37 @@ def test_feature_hash_vectors_semantics(spark):
         [apple_w, rare_w]
     )
     assert all(v == rare_w for (d, _), v in ti.items() if d == 3)
+
+
+def test_kaplan_meier_known_curve(spark):
+    """KM product-limit on a hand-computed cohort: churned users step the
+    curve down by (1 - d/n); censored-only durations keep the previous
+    survival value."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        kaplan_meier,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, d0, d1):
+        return [(u, t0 + dt.timedelta(days=d0)), (u, t0 + dt.timedelta(days=d1))]
+
+    rows = []
+    # observation end = day 30 (u5's last event)
+    rows += ev(1, 0, 5)    # duration 5, last day 5  -> churned
+    rows += ev(2, 0, 5)    # duration 5              -> churned
+    rows += ev(3, 0, 10)   # duration 10             -> churned
+    rows += ev(4, 20, 25)  # duration 5, last day 25 -> censored (gap 5)
+    rows += ev(5, 10, 30)  # duration 20, last day 30 -> censored
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r.duration: r for r in kaplan_meier(df, churn_gap_days=7).collect()}
+    # duration 5: n_risk 5, churned 2 -> S = 1 - 2/5 = 0.6
+    assert (got[5].n_risk, got[5].n_churned, got[5].n_censored) == (5, 2, 1)
+    assert got[5].survival == 0.6
+    # duration 10: n_risk 2, churned 1 -> S = 0.6 * (1 - 1/2) = 0.3
+    assert (got[10].n_risk, got[10].n_churned) == (2, 1)
+    assert got[10].survival == 0.3
+    # duration 20: censored only -> survival carries at 0.3
+    assert (got[20].n_churned, got[20].survival) == (0, 0.3)

@@ -427,3 +427,32 @@ def test_unimax_equal_sources_split_evenly(spark):
     assert set(counts) == {"src0", "src1", "src2"}
     for s, c in counts.items():
         assert 32 <= c <= 68, (s, c, counts)
+
+
+def test_anneal_schedule_single_scan_and_composition(spark):
+    """Anneal schedule: per-phase rates independent (phase reseeds);
+    absent sources drop; the plan reads the corpus ONCE (one scan node,
+    no union of scans)."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        anneal_schedule,
+    )
+
+    rows = [(i, "web" if i % 2 == 0 else "books") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    phases = [("bulk", {"web": 1.0}), ("anneal", {"books": 1.0, "web": 0.2})]
+    out = anneal_schedule(df, "source", "doc_id", phases)
+    rolled = {(r.phase, r.source): r.n for r in out.groupBy(
+        "phase", "source").agg(__import__("pyspark").sql.functions.count(
+            "*").alias("n")).collect()}
+    assert rolled[("bulk", "web")] == 200          # rate 1.0 keeps all
+    assert rolled[("anneal", "books")] == 200
+    assert 10 <= rolled.get(("anneal", "web"), 0) <= 80  # ~20% of 200
+    assert ("bulk", "books") not in rolled         # default_rate drops
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert plan.count("Scan") == 1, plan           # single corpus scan
+    # order keys exist and are deterministic across invocations
+    a = sorted(r.order_key for r in out.where("phase = 'bulk'").collect())
+    b = sorted(r.order_key for r in anneal_schedule(
+        df, "source", "doc_id", phases).where("phase = 'bulk'").collect())
+    assert a == b
