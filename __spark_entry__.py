@@ -7736,6 +7736,33 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_eql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL 'join by user_id [signup] [purchase] [error]': keys with at
+    least one event of EVERY type in any order, each step's first
+    (ts, id) — ONE key-hash agg of conditional struct-mins, no joins
+    (strictly cheaper than sequence; the natural 100 TB pre-screen)."""
+    from harmonize_search_analyze_spark.operators.analytics import eql_join
+
+    ev = _t(spark, sf_dir, "events")
+    return eql_join(
+        ev,
+        ["event_type = 'signup'", "event_type = 'purchase'",
+         "event_type = 'error'"],
+    )
+
+
+def _sql_eql_join() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        eql_join_sql,
+    )
+
+    return eql_join_sql(
+        "events",
+        ["event_type = 'signup'", "event_type = 'purchase'",
+         "event_type = 'error'"],
+    )
+
+
 _ANNEAL_PHASES = [
     ("bulk", {"src0": 0.9, "src1": 0.9, "src2": 0.6}),
     ("anneal", {"src0": 0.1, "src3": 1.0, "src4": 1.0}),
@@ -8233,6 +8260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_enrich": q_ingest_enrich,
         "anneal_schedule": q_anneal_schedule,
         "kaplan_meier": q_kaplan_meier,
+        "eql_join": q_eql_join,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8575,6 +8603,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_enrich": SQL_INGEST_ENRICH,
         "anneal_schedule": _sql_anneal_schedule(),
         "kaplan_meier": _sql_kaplan_meier(),
+        "eql_join": _sql_eql_join(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -1037,3 +1037,81 @@ SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
        ROUND(exp(lns), 6) AS survival
 FROM curve ORDER BY duration
 """
+
+
+def eql_join(
+    df: DataFrame,
+    steps: list[str],
+    *,
+    by: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES EQL ``join by <key> [s1] [s2] ...``: keys where EVERY step has
+    at least one matching event, in ANY order (sequence without the
+    ordering constraint). One row per key with each step's FIRST
+    (time, id) — "first" pinned lexicographically on (time, id).
+
+    ONE key-hash agg: per step a conditional min over a (time, id)
+    struct, then a HAVING that every step matched — no joins at all, so
+    this is strictly cheaper than sequence and the natural screen before
+    it at 100 TB (join-qualified keys are a superset of
+    sequence-qualified ones).
+    """
+    if len(steps) < 2:
+        raise ValueError("a join needs at least 2 steps")
+    ev = df.where(F.col(by).isNotNull()).select(
+        by,
+        F.col(time_col).alias("__t"),
+        F.col(id_col).alias("__id"),
+        *[F.expr(p).alias(f"__s{i+1}") for i, p in enumerate(steps)],
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col(f"__s{i+1}"),
+                F.struct(F.col("__t"), F.col("__id")),
+            )
+        ).alias(f"__m{i+1}")
+        for i in range(len(steps))
+    ]
+    out = ev.groupBy(by).agg(*aggs)
+    for i in range(len(steps)):
+        out = out.where(F.col(f"__m{i+1}").isNotNull())
+    sel = [F.col(by)]
+    for i in range(1, len(steps) + 1):
+        sel += [
+            F.col(f"__m{i}.__t").alias(f"t{i}"),
+            F.col(f"__m{i}.__id").alias(f"id{i}"),
+        ]
+    return out.select(*sel)
+
+
+def eql_join_sql(
+    table: str,
+    steps: list[str],
+    *,
+    by: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB replay of :func:`eql_join` — the same lexicographic
+    struct-min per step (DuckDB compares named structs field-wise like
+    Spark), spelled as per-step GROUP BY CTEs joined on the key (oracle
+    clarity; the single-agg plan is the Spark side's job)."""
+    if len(steps) < 2:
+        raise ValueError("a join needs at least 2 steps")
+    ctes, joins, sel = [], [], [f"s1.{by}"]
+    for i, p in enumerate(steps, 1):
+        ctes.append(
+            f"s{i} AS (SELECT {by}, "
+            f"MIN(struct_pack(t := {time_col}, i := {id_col})) AS m "
+            f"FROM {table} WHERE ({p}) AND {by} IS NOT NULL GROUP BY {by})"
+        )
+        if i > 1:
+            joins.append(f"JOIN s{i} ON s{i}.{by} = s1.{by}")
+        sel += [f"(s{i}.m).t AS t{i}", f"(s{i}.m).i AS id{i}"]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {', '.join(sel)} FROM s1\n" + "\n".join(joins)
+    )

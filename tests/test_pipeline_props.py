@@ -485,3 +485,30 @@ def test_epoch_shuffle_permutation_property(spark, n, epochs, seed):
         order_a = [r.doc_id for r in sorted(out, key=lambda r: r.pos)]
         order_b = [r.doc_id for r in sorted(other, key=lambda r: r.pos)]
         assert order_a != order_b  # seed reaches the hash key
+
+
+def test_eql_join_unordered_semantics(spark):
+    """EQL join: any order qualifies; missing a step disqualifies; each
+    step reports its FIRST (t,id); single hash agg (one exchange)."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import eql_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, sec, typ):
+        return (i, u, t0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        # u1: b before a (order must not matter); two a's -> first wins
+        ev(1, 1, 0, "b"), ev(2, 1, 5, "a"), ev(3, 1, 9, "a"),
+        # u2: only a -> no row
+        ev(4, 2, 0, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = eql_join(df, ["event_type='a'", "event_type='b'"])
+    got = [(r.user_id, r.id1, r.id2) for r in out.collect()]
+    assert got == [(1, 2, 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
