@@ -7736,6 +7736,58 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+_GEOIP_RANGES = [
+    # non-overlapping MaxMind-shaped rows (inclusive bounds)
+    ("10.0.0.0", "10.0.255.255", "US", "Denver"),
+    ("10.1.0.0", "10.1.127.255", "DE", "Berlin"),
+    ("10.1.128.0", "10.2.255.255", "JP", "Osaka"),
+]
+
+
+def q_geoip_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geoip processor with a supplied ranges table: IPs synthesized
+    from user_id enriched country/city via the bucketed range join
+    (ranges explode into /16 blocks -> broadcast equi-join + residual
+    between — never a per-row nested loop), rolled up by country."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("ip", F.expr(_IP_EXPR))
+    ranges = spark.createDataFrame(
+        _GEOIP_RANGES, "start_ip STRING, end_ip STRING, country STRING, city STRING"
+    )
+    out = run_pipeline(ev, [{"geoip": {"field": "ip", "ranges": ranges}}])
+    return (
+        out.groupBy("country", "city")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc_nulls_last("country"))
+    )
+
+
+def _sql_geoip_route() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        ip_to_long_sql,
+    )
+
+    vals = ", ".join(
+        f"('{s}', '{e}', '{c}', '{ci}')" for s, e, c, ci in _GEOIP_RANGES
+    )
+    ipl = ip_to_long_sql(_IP_EXPR_DUCK)
+    return f"""
+WITH ranges(start_ip, end_ip, country, city) AS (VALUES {vals}),
+r AS (
+  SELECT {ip_to_long_sql('start_ip')} AS s,
+         {ip_to_long_sql('end_ip')} AS e, country, city
+  FROM ranges
+), ev AS (SELECT {ipl} AS ipl FROM events)
+SELECT r.country, r.city, COUNT(*) AS doc_count
+FROM ev LEFT JOIN r ON ev.ipl >= r.s AND ev.ipl <= r.e
+GROUP BY r.country, r.city
+ORDER BY doc_count DESC, r.country ASC NULLS LAST
+"""
+
+
 def q_eql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQL 'join by user_id [signup] [purchase] [error]': keys with at
     least one event of EVERY type in any order, each step's first
@@ -8261,6 +8313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anneal_schedule": q_anneal_schedule,
         "kaplan_meier": q_kaplan_meier,
         "eql_join": q_eql_join,
+        "geoip_route": q_geoip_route,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8604,6 +8657,7 @@ def oracle_sql() -> dict[str, str]:
         "anneal_schedule": _sql_anneal_schedule(),
         "kaplan_meier": _sql_kaplan_meier(),
         "eql_join": _sql_eql_join(),
+        "geoip_route": _sql_geoip_route(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

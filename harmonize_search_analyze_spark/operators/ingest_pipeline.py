@@ -395,6 +395,28 @@ def apply_processor(df: DataFrame, ptype: str, config: dict) -> DataFrame:
         return df.withColumn(target, _cond(config, h, prev))
     if ptype == "user_agent":
         return _user_agent(df, config)
+    if ptype == "geoip":
+        # ES geoip with a SUPPLIED ranges DataFrame (config["ranges"]) —
+        # see joins.geoip_enrich for the bucketed-range-join scale shape
+        from harmonize_search_analyze_spark.operators.joins import (
+            geoip_enrich,
+        )
+
+        ranges = config["ranges"]
+        out = geoip_enrich(
+            df, fld, ranges,
+            start_col=config.get("start_col", "start_ip"),
+            end_col=config.get("end_col", "end_ip"),
+        )
+        if "if" in config:
+            # `if`-skipped rows get no geo attributes (ES skips the
+            # processor; the attr columns exist relationally, as NULL)
+            for c in out.columns:
+                if c not in df.columns:
+                    out = out.withColumn(
+                        c, _cond(config, F.col(c), F.lit(None))
+                    )
+        return out
     if ptype == "inference":
         return _inference(df, config)
     raise ValueError(f"unknown ingest processor: {ptype!r}")

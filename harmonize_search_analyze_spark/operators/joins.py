@@ -423,3 +423,65 @@ def parent_agg(
         .orderBy(F.desc("child_count"), F.asc("bucket"))
         .limit(k)
     )
+
+
+def geoip_enrich(
+    df: DataFrame,
+    ip_col: str,
+    ranges: DataFrame,
+    *,
+    start_col: str = "start_ip",
+    end_col: str = "end_ip",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """GeoIP-style range enrichment (the ES ``geoip`` processor with a
+    SUPPLIED ranges table — MaxMind-shaped (start_ip, end_ip, attrs...)
+    rows, dotted-quad IPv4, inclusive bounds — instead of the bundled
+    .mmdb this runtime cannot read): every attribute column of
+    ``ranges`` is appended to rows whose IP falls in a range; non-
+    matching rows keep NULLs. Ranges are REQUIRED to be non-overlapping
+    (the GeoIP database contract) — overlaps would duplicate rows.
+
+    Scale shape: a naive IP-between-range join is a broadcast NESTED
+    LOOP (every row probes every range — dead at 100 TB). Instead each
+    range explodes into the /``bucket_bits`` blocks it spans (GeoIP
+    ranges rarely span many), the exploded frame BROADCASTS, and the
+    probe becomes an EQUI-join on the row's block plus a residual
+    between filter — hash lookup per row, exactly the shard-prefix trick
+    the LSH/banded operators use.
+    """
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        ip_to_long_sql,
+    )
+
+    block = 2 ** (32 - bucket_bits)
+    attrs = [
+        c for c in ranges.columns if c not in (start_col, end_col)
+    ]
+    r = ranges.select(
+        F.expr(ip_to_long_sql(start_col)).alias("__s"),
+        F.expr(ip_to_long_sql(end_col)).alias("__e"),
+        *attrs,
+    ).where(F.col("__s") <= F.col("__e"))
+    exploded = r.select(
+        F.explode(
+            F.sequence(
+                (F.col("__s") / block).cast("bigint"),
+                (F.col("__e") / block).cast("bigint"),
+            )
+        ).alias("__blk"),
+        "__s", "__e", *attrs,
+    )
+    probe = df.withColumn(
+        "__ipl", F.expr(ip_to_long_sql(ip_col))
+    ).withColumn("__blk", (F.col("__ipl") / block).cast("bigint"))
+    joined = probe.join(
+        F.broadcast(exploded),
+        on=(
+            (probe["__blk"] == exploded["__blk"])
+            & (probe["__ipl"] >= exploded["__s"])
+            & (probe["__ipl"] <= exploded["__e"])
+        ),
+        how="left",
+    )
+    return joined.select(*df.columns, *attrs)

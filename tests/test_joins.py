@@ -283,3 +283,28 @@ def test_parent_agg_orphans_and_distinct(spark):
         bucket_field="bucket",
     ).collect()]
     assert got == [("a", 4, 2), ("b", 1, 1)]
+
+
+def test_geoip_enrich_bucketed_join(spark):
+    """geoip: inclusive bounds; non-matching IPs keep NULL attrs; ranges
+    spanning several /16 blocks still match; plan is a BROADCAST
+    equi-join, not a nested loop."""
+    from harmonize_search_analyze_spark.operators.joins import geoip_enrich
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.255.255"), (3, "10.3.0.1"),
+         (4, "10.1.200.9")],
+        ["id", "ip"],
+    )
+    ranges = spark.createDataFrame(
+        [("10.0.0.0", "10.1.255.255", "US"),  # spans two /16 blocks
+         ("10.2.0.0", "10.2.0.255", "DE")],
+        ["start_ip", "end_ip", "country"],
+    )
+    out = geoip_enrich(df, "ip", ranges)
+    got = {r.id: r.country for r in out.collect()}
+    assert got == {1: "US", 2: "US", 3: None, 4: "US"}
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
