@@ -7736,6 +7736,40 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_lucene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic Lucene query_string (the FULL syntax, round 4 — the fifth
+    text entry point over the one predicate engine): +/- clauses,
+    bracket range, wildcard, phrase and fuzzy forms in one expression,
+    compiled through plans/lucene.py -> shared DSL -> one scan."""
+    from harmonize_search_analyze_spark.plans.lucene import lucene_query
+
+    ev = _t(spark, sf_dir, "events")
+    pred = lucene_query(
+        "+event_type:(purchase OR sign*) +value:[100 TO 900} "
+        "-user_id:[950 TO *]"
+    )
+    return (
+        ev.where(pred)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_LUCENE_SEARCH = """
+SELECT event_type, COUNT(*) AS doc_count,
+       ROUND(SUM(value), 6) AS total_value
+FROM events
+WHERE (event_type = 'purchase' OR regexp_full_match(event_type, 'sign.*'))
+  AND value >= 100 AND value < 900
+  AND NOT user_id >= 950
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 _GEOIP_RANGES = [
     # non-overlapping MaxMind-shaped rows (inclusive bounds)
     ("10.0.0.0", "10.0.255.255", "US", "Denver"),
@@ -8314,6 +8348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "eql_join": q_eql_join,
         "geoip_route": q_geoip_route,
+        "lucene_search": q_lucene_search,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8658,6 +8693,7 @@ def oracle_sql() -> dict[str, str]:
         "kaplan_meier": _sql_kaplan_meier(),
         "eql_join": _sql_eql_join(),
         "geoip_route": _sql_geoip_route(),
+        "lucene_search": SQL_LUCENE_SEARCH,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -178,16 +178,30 @@ def _terms(body: dict[str, Any]) -> Column:
 
 
 def _query_string(body: dict[str, Any]) -> Column:
-    # Only two shapes occur in the reference (collections.js:78-80 and the
-    # Kibana searchSource base query): 'field:*' -> IS NOT NULL, '*' -> true.
+    """ES ``query_string``. The reference only ever issues '*' and
+    'field:*' (collections.js:78-80) — those stay on their original fast
+    paths; any OTHER text routes through the full classic-Lucene parser
+    (plans/lucene.py, round 4) with ``fields``/``default_field`` backing
+    bare terms, then recursively through this compiler."""
     q = body.get("query", "*").strip()
     if q in ("*", ""):
         return F.lit(True)
-    if q.endswith(":*") and ":" not in q[:-2]:
+    if q.endswith(":*") and ":" not in q[:-2] and "(" not in q \
+            and " " not in q:
         return F.col(q[:-2]).isNotNull()
-    raise QueryCompileError(
-        f"query_string supports only '*' and 'field:*' forms, got: {q!r}"
+    from harmonize_search_analyze_spark.plans.lucene import (
+        LuceneParseError,
+        parse_lucene,
     )
+
+    fields = body.get("fields") or (
+        [body["default_field"]] if body.get("default_field") else None
+    )
+    try:
+        ast = parse_lucene(q, default_fields=fields)
+    except LuceneParseError as exc:
+        raise QueryCompileError(f"query_string parse error: {exc}") from exc
+    return compile_query(ast)
 
 
 def _term_level_value(spec: Any) -> tuple[str, dict[str, Any]]:

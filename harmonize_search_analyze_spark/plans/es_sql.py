@@ -191,17 +191,16 @@ def _match_predicate(fields_arg: str, query: str, options: str) -> Column:
 
 
 def _query_predicate(query: str, options: str, field_names: list[str]) -> Column:
-    """ES SQL QUERY(): the Lucene query-string syntax, served by the KQL
-    parser's Lucene-compatible subset (field:value, AND/OR/NOT,
-    wildcards, ranges). ``default_field`` option supported."""
-    from harmonize_search_analyze_spark.plans.kql import kql_query
+    """ES SQL QUERY(): the classic Lucene query-string syntax, served by
+    the full parser (plans/lucene.py — fuzzy, phrases+slop, bracket
+    ranges, +/- clauses). ``default_field`` option supported."""
+    from harmonize_search_analyze_spark.plans.lucene import lucene_query
 
     opts = _parse_options(options)
     default = opts.get("default_field")
-    return kql_query(
+    return lucene_query(
         query,
         default_fields=[default] if default else None,
-        field_names=field_names,
     )
 
 

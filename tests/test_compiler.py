@@ -84,11 +84,19 @@ def test_phrase_prefix(frame):
 
 
 def test_query_string_forms(frame):
-    # Q7: only '*' and 'field:*' occur in the reference
+    # Q7: the reference's two shapes stay on their fast paths...
     assert ids(frame, {"query_string": {"query": "*"}}) == [1, 2, 3, 4]
     assert ids(frame, {"query_string": {"query": "descr:*"}}) == [1, 2, 3]
-    with pytest.raises(QueryCompileError):
+    # ...anything else routes through the full Lucene parser (round 4):
+    # a bare term still errors without fields to bind to
+    with pytest.raises(QueryCompileError, match="default_fields"):
         compile_query({"query_string": {"query": "descr:foo AND bar"}})
+    # and works with default_field / fields supplied
+    assert ids(frame, {"query_string": {
+        "query": "descr:foo AND bar", "default_field": "descr"}}) == []
+    got = ids(frame, {"query_string": {
+        "query": "qty:[20 TO 30] OR flag:N", "fields": ["descr"]}})
+    assert got == [1, 3, 4]
 
 
 def test_bool_must_composition(frame):
