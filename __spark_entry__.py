@@ -7736,6 +7736,34 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_esql_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL full-text WHERE functions (8.17): QSTR routes through the
+    Lucene grammar, MATCH through the shared token predicate — both as
+    hidden marker predicates in the one Catalyst plan, composed with a
+    plain comparison and a STATS rollup."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("events", _t(spark, sf_dir, "events"))
+    return run_esql(cat, '''
+        FROM events
+        | WHERE QSTR("event_type:purch* OR event_type:refund")
+            AND value >= 500 AND user_id IS NOT NULL
+        | STATS n = count(*), v = round(sum(value), 2) BY event_type
+        | SORT event_type
+    ''')
+
+
+SQL_ESQL_FULLTEXT = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+FROM events
+WHERE (regexp_full_match(event_type, 'purch.*') OR event_type = 'refund')
+  AND value >= 500 AND user_id IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_lucene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic Lucene query_string (the FULL syntax, round 4 — the fifth
     text entry point over the one predicate engine): +/- clauses,
@@ -8349,6 +8377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_join": q_eql_join,
         "geoip_route": q_geoip_route,
         "lucene_search": q_lucene_search,
+        "esql_fulltext": q_esql_fulltext,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8694,6 +8723,7 @@ def oracle_sql() -> dict[str, str]:
         "eql_join": _sql_eql_join(),
         "geoip_route": _sql_geoip_route(),
         "lucene_search": SQL_LUCENE_SEARCH,
+        "esql_fulltext": SQL_ESQL_FULLTEXT,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -374,6 +374,85 @@ def _x(expr: str) -> Column:
     return F.expr(_translate_fns(expr))
 
 
+# -- full-text functions (ES|QL 8.17 WHERE extensions) -------------------------
+
+_FTQ_RE = re.compile(r"\b(QSTR|MATCH|KQL)\s*\(", re.IGNORECASE)
+
+
+def _fulltext_markers(
+    expr: str, field_names: list[str]
+) -> tuple[str, list[Column]]:
+    """Rewrite ES|QL full-text calls — ``QSTR("lucene")``,
+    ``MATCH(field, "text"[, "options"])``, ``KQL("kql")`` — to hidden
+    marker-column references (the same technique the ES SQL front-end
+    uses), returning (rewritten expr, marker Columns). Each call
+    compiles through the corresponding grammar's parser into the ONE
+    shared predicate engine; Catalyst pushes the marker like any
+    predicate. ES|QL string literals are double-quoted."""
+    markers: list[Column] = []
+    while True:
+        m = _FTQ_RE.search(expr)
+        if m is None:
+            return expr, markers
+        name = m.group(1).upper()
+        # balanced-paren, quote-aware walk ("" strings, \" escapes)
+        depth, j, q = 1, m.end(), False
+        n = len(expr)
+        while j < n and depth:
+            c = expr[j]
+            if q:
+                if c == "\\":
+                    j += 2
+                    continue
+                if c == '"':
+                    q = False
+            elif c == '"':
+                q = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ESQLError(f"unbalanced parens in {name}() call")
+        argtext = expr[m.end():j - 1]
+        args = [a.strip() for a in _split_top(argtext, ",")]
+
+        def _txt(a: str) -> str:
+            if len(a) >= 2 and a[0] == '"' and a[-1] == '"':
+                return a[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            return a
+
+        if name == "QSTR":
+            if len(args) != 1:
+                raise ESQLError("QSTR takes one string argument")
+            from harmonize_search_analyze_spark.plans.lucene import (
+                lucene_query,
+            )
+
+            col = lucene_query(_txt(args[0]))
+        elif name == "KQL":
+            if len(args) != 1:
+                raise ESQLError("KQL takes one string argument")
+            from harmonize_search_analyze_spark.plans.kql import kql_query
+
+            col = kql_query(_txt(args[0]), field_names=field_names)
+        else:  # MATCH
+            if len(args) < 2 or len(args) > 3:
+                raise ESQLError("MATCH takes (field, query[, options])")
+            from harmonize_search_analyze_spark.plans.es_sql import (
+                _match_predicate,
+            )
+
+            col = _match_predicate(
+                args[0], _txt(args[1]),
+                _txt(args[2]) if len(args) == 3 else "",
+            )
+        idx = len(markers)
+        markers.append(col)
+        expr = expr[:m.start()] + f"__esql_ftq{idx}" + expr[j:]
+
+
 def _agg_item(item: str) -> tuple[str, Column]:
     """A STATS/INLINESTATS aggregate: ``[name =] agg(expr) [WHERE cond]``.
     The per-aggregate WHERE (ES|QL 8.16 filtered aggregates) compiles to
@@ -481,7 +560,16 @@ def _apply_command(
             *[_x(e).alias(n) for n, e in items]
         )
     elif word == "WHERE":
-        df = df.where(_x(rest))
+        cond, markers = _fulltext_markers(rest, df.columns)
+        if markers:
+            tmp = df
+            for i, col in enumerate(markers):
+                tmp = tmp.withColumn(f"__esql_ftq{i}", col)
+            df = tmp.where(_x(cond)).drop(
+                *[f"__esql_ftq{i}" for i in range(len(markers))]
+            )
+        else:
+            df = df.where(_x(rest))
     elif word == "EVAL":
         for n, e in [_assignment(i) for i in _split_top(rest, ",")]:
             df = df.withColumn(n, _x(e))

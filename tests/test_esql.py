@@ -429,3 +429,44 @@ def test_translation_skips_string_literals_and_prefixed_names(cat):
     """)
     r = out.collect()[0]
     assert r.lit == "TO_STRING(9)" and r.up == "CLICK"
+
+
+def test_esql_fulltext_functions(spark):
+    """QSTR/MATCH/KQL in WHERE: each call compiles through its grammar
+    into a hidden marker predicate; composes with plain conditions; the
+    marker columns never reach the output schema."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("docs", spark.createDataFrame(
+        [
+            (1, "spark makes queries fast", "eng", 5.0),
+            (2, "slow queries hurt", "eng", 50.0),
+            (3, "fast spark engine", "fra", 7.0),
+        ],
+        ["id", "title", "lang", "v"],
+    ))
+    out = run_esql(cat, '''
+        FROM docs
+        | WHERE QSTR("lang:eng") AND v < 20
+        | KEEP id | SORT id
+    ''')
+    assert [r.id for r in out.collect()] == [1]
+    assert out.columns == ["id"]
+    out2 = run_esql(cat, '''
+        FROM docs
+        | WHERE MATCH(title, "spark slow") | KEEP id | SORT id
+    ''')
+    assert [r.id for r in out2.collect()] == [1, 2, 3]
+    out3 = run_esql(cat, '''
+        FROM docs
+        | WHERE KQL("lang:fra or v >= 50") | KEEP id | SORT id
+    ''')
+    assert [r.id for r in out3.collect()] == [2, 3]
+    out4 = run_esql(cat, '''
+        FROM docs
+        | WHERE MATCH(title, "fast spark", "operator=and") AND NOT lang == "fra"
+        | KEEP id
+    ''')
+    assert [r.id for r in out4.collect()] == [1]
