@@ -7748,8 +7748,8 @@ def q_esql_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.register("events", _t(spark, sf_dir, "events"))
     return run_esql(cat, '''
         FROM events
-        | WHERE QSTR("event_type:purch* OR event_type:refund")
-            AND value >= 500 AND user_id IS NOT NULL
+        | WHERE QSTR("event_type:purch* OR event_type:signup")
+            AND value >= 150 AND user_id IS NOT NULL
         | STATS n = count(*), v = round(sum(value), 2) BY event_type
         | SORT event_type
     ''')
@@ -7758,8 +7758,8 @@ def q_esql_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ESQL_FULLTEXT = """
 SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
 FROM events
-WHERE (regexp_full_match(event_type, 'purch.*') OR event_type = 'refund')
-  AND value >= 500 AND user_id IS NOT NULL
+WHERE (regexp_full_match(event_type, 'purch.*') OR event_type = 'signup')
+  AND value >= 150 AND user_id IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
 
