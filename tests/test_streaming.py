@@ -869,3 +869,56 @@ def test_streaming_kql_and_esql_map_commands(spark, tmp_path):
     got = [(r.id, r.flag) for r in
            spark.sql("SELECT * FROM kql_esql_stream").collect()]
     assert got == [(3, "click!")]
+
+
+def test_ingest_pipeline_runs_on_stream(spark, events_stream_dir, tmp_path):
+    """The data-driven ingest pipeline (incl. the round-4 processors:
+    bytes, fingerprint, user_agent, geoip) is map-only, so the SAME
+    processor list runs unchanged on a streaming frame — stream output
+    equals the batch run row-for-row."""
+    from harmonize_search_analyze_spark.operators.ingest_pipeline import (
+        run_pipeline,
+    )
+
+    ranges = spark.createDataFrame(
+        [("10.0.0.0", "10.1.255.255", "US"), ("10.2.0.0", "10.3.255.255", "EU")],
+        ["start_ip", "end_ip", "country"],
+    )
+    pipeline = [
+        {"script": {"target_field": "ip", "source": (
+            "concat('10.', CAST(user_id % 4 AS STRING), '.0.1')")}},
+        {"geoip": {"field": "ip", "ranges": ranges}},
+        {"script": {"target_field": "sz",
+                    "source": "concat(CAST(CAST(value AS INT) AS STRING), 'kb')"}},
+        {"bytes": {"field": "sz", "target_field": "sz_bytes"}},
+        {"fingerprint": {"fields": ["event_type", "country"],
+                         "method": "MD5"}},
+    ]
+    stream = read_document_stream(spark, events_stream_dir, EVENTS_SCHEMA)
+    out = run_pipeline(stream, pipeline).select(
+        "event_id", "country", "sz_bytes", "fingerprint"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ingest_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ingest_stream").collect()
+    )
+    batch = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    want = sorted(
+        tuple(r) for r in run_pipeline(batch, pipeline).select(
+            "event_id", "country", "sz_bytes", "fingerprint"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
