@@ -103,26 +103,28 @@ WHERE l_quantity >= 10 AND l_quantity <= 25
 
 
 def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q6: match_phrase_prefix over the pinned .split tokenization."""
-    ast = {"match_phrase_prefix": {"p_type.split": "PROMO BUR"}}
-    df = _t(spark, sf_dir, "part").where(compile_query(ast))
-    return terms(df, "p_type", k=10)
+    """Q6: match_phrase_prefix over the pinned .split tokenization —
+    'merge so' matches 'merge sort...' mid-document (multi-word phrase,
+    last word as a prefix), rolled up by source."""
+    ast = {"match_phrase_prefix": {"text.split": "merge so"}}
+    df = _t(spark, sf_dir, "documents").where(compile_query(ast))
+    return terms(df, "source", k=10)
 
 
 def _sql_phrase_prefix() -> str:
-    pattern = phrase_prefix_regex("PROMO BUR")
+    pattern = phrase_prefix_regex("merge so")
     return f"""
-SELECT p_type, COUNT(*) AS doc_count FROM part
-WHERE regexp_matches(LOWER(p_type), '{pattern}') AND p_type IS NOT NULL
-GROUP BY p_type ORDER BY doc_count DESC, p_type ASC LIMIT 10
+SELECT source, COUNT(*) AS doc_count FROM documents
+WHERE regexp_matches(LOWER(text), '{pattern}') AND source IS NOT NULL
+GROUP BY source ORDER BY doc_count DESC, source ASC LIMIT 10
 """
 
 
 def q_datetime_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3+Q8: datetime range filter (epoch-millis form the webapp emits) ->
     status breakdown."""
-    frm = 1704067200000  # 2024-01-01T00:00:00Z
-    to = 1717200000000   # 2024-06-01T00:00:00Z
+    frm = 804556800000   # 1995-07-01T00:00:00Z (the corpus spans 1995-2001)
+    to = 852076800000    # 1997-01-01T00:00:00Z
     ast = {"bool": {"must": [
         {"range": {"o_orderdate": {"from": frm, "to": to, "format": "epoch_millis"}}},
     ]}}
@@ -141,8 +143,8 @@ SQL_DATETIME_RANGE = """
 SELECT o_orderstatus, COUNT(*) AS cnt,
        ROUND(SUM(o_totalprice), 2) AS sum_total
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
-  AND o_orderdate <= TIMESTAMP '2024-06-01 00:00:00'
+WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -179,7 +181,10 @@ SELECT dayofweek, hour, doc_count, outer_count FROM ranked WHERE outer_rank <= 1
 """
 
 
-_LAT_EXPR = "((CAST(l_partkey % 18000 AS DOUBLE) / 100.0) - 90.0)"
+# *97 spreads small-SF partkeys over the full latitude range —
+# without it, sf0.01 keys (<2000) cluster at -90..-70 and every
+# geo FILTER query matches zero rows (a weak gate)
+_LAT_EXPR = "((CAST((l_partkey * 97) % 18000 AS DOUBLE) / 100.0) - 90.0)"
 _LON_EXPR = "((CAST(l_orderkey % 36000 AS DOUBLE) / 100.0) - 180.0)"
 
 
@@ -817,7 +822,9 @@ def _sql_simhash_hamming() -> str:
     )
 
     sigs = simhash_select_sql(
-        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 "
+        "UNION ALL SELECT doc_id + 100000, text || ' zz' "
+        "FROM documents WHERE doc_id % 10 = 0)",
         "doc_id", "text", "duckdb",
     )
     ham = hamming_sql("a.simhash", "b.simhash", "duckdb")
@@ -1257,7 +1264,15 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_dup_pairs_banded,
     )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    # the synthetic corpus has no natural dups at small SF — plant
+    # deterministic near-dup twins (one appended token) so the gate
+    # verifies nonzero pairs, not an empty set
+    twins = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(twins)
     return simhash_near_dup_pairs_banded(
         docs, "doc_id", "text", max_hamming=6
     ).orderBy("id1", "id2")
@@ -1270,7 +1285,9 @@ def _sql_simhash_banded() -> str:
     )
 
     sigs = simhash_select_sql(
-        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)",
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 "
+        "UNION ALL SELECT doc_id + 100000, text || ' zz' "
+        "FROM documents WHERE doc_id % 10 = 0)",
         "doc_id", "text", "duckdb",
     )
     ham = hamming_sql("a.simhash", "b.simhash", "duckdb")
@@ -1290,7 +1307,12 @@ def q_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_pairs_brute,
     )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    twins = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(twins)
     return near_dup_pairs_brute(
         docs, "doc_id", "text", threshold=0.8, n=3
     ).orderBy("id1", "id2")
@@ -1305,7 +1327,10 @@ def _sql_jaccard_brute() -> str:
     sh = shingles_sql("text", "duckdb", 3)
     j = jaccard_sql("a.shingles", "b.shingles", "duckdb")
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 100000, text || ' zz'
+              FROM documents WHERE doc_id % 10 = 0),
 sh AS (SELECT doc_id, {sh} AS shingles FROM docs)
 SELECT id1, id2, jaccard FROM (
   SELECT a.doc_id AS id1, b.doc_id AS id2, {j} AS jaccard
@@ -5435,7 +5460,7 @@ _EQL_STEPS = [
 
 def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES EQL 'sequence by user_id [view] [click] [purchase] with
-    maxspan=1h': ordered per-user event chains, each step strictly after
+    maxspan=1d': ordered per-user event chains, each step strictly after
     the previous (ties pinned on (ts, event_id)) — one window pass
     computes every event's next-step pointer, then pointer-chasing
     equi-joins realize the chain."""
@@ -5444,7 +5469,7 @@ def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    return eql_sequence(ev, _EQL_STEPS, maxspan_seconds=3600)
+    return eql_sequence(ev, _EQL_STEPS, maxspan_seconds=86400)
 
 
 def _sql_eql_sequence() -> str:
@@ -5452,7 +5477,7 @@ def _sql_eql_sequence() -> str:
         eql_sequence_sql,
     )
 
-    return eql_sequence_sql("events", _EQL_STEPS, maxspan_seconds=3600)
+    return eql_sequence_sql("events", _EQL_STEPS, maxspan_seconds=86400)
 
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7261,7 +7286,7 @@ def q_span_not_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exclude": {"span_term": {"text": "slow"}},
             "pre": 1, "post": 1,
         }},
-        {"match_phrase": {"text": {"query": "query plan", "slop": 2}}},
+        {"match_phrase": {"text": {"query": "merge sort", "slop": 2}}},
     ]}}
     return (
         docs.where(compile_query(q))
@@ -7279,7 +7304,7 @@ def _sql_span_not_search() -> str:
 
     sn = span_not_sql("text", "spark", "slow", "duckdb", pre=1, post=1)
     ph = intervals_match_sql(
-        "text", "query plan", "duckdb", max_gaps=2, ordered=True
+        "text", "merge sort", "duckdb", max_gaps=2, ordered=True
     )
     return f"""
 SELECT doc_id FROM documents
