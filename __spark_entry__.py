@@ -804,12 +804,19 @@ def q_vartype_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 12 over the 64-bit sketch) on
-    the 1-in-10 doc sample."""
+    the 1-in-10 doc sample plus its planted one-token twins (same
+    construction as simhash_banded — guarantees true near-dup pairs at
+    every SF)."""
     from harmonize_search_analyze_spark.operators.dedup import (
         simhash_near_dup_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    twins = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(twins)
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=12).orderBy(
         "id1", "id2"
     )
