@@ -7768,6 +7768,46 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease curation signal (pinned vowel-run syllable
+    approximation): per-source readability distribution — one map-only
+    projection + one hash agg."""
+    from harmonize_search_analyze_spark.operators.text import (
+        readability_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    r = F.expr(readability_sql("text", "spark"))
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("source", r.alias("fre"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("fre"), 6).alias("avg_fre"),
+            F.round(F.min("fre"), 6).alias("min_fre"),
+            F.round(F.max("fre"), 6).alias("max_fre"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_readability() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        readability_sql,
+    )
+
+    r = readability_sql("text", "duckdb")
+    return f"""
+SELECT source, COUNT(*) AS doc_count,
+       ROUND(AVG(fre), 6) AS avg_fre,
+       ROUND(MIN(fre), 6) AS min_fre,
+       ROUND(MAX(fre), 6) AS max_fre
+FROM (SELECT source, {r} AS fre FROM documents WHERE text IS NOT NULL)
+GROUP BY source ORDER BY source
+"""
+
+
 def q_esql_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL full-text WHERE functions (8.17): QSTR routes through the
     Lucene grammar, MATCH through the shared token predicate — both as
@@ -8410,6 +8450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip_route": q_geoip_route,
         "lucene_search": q_lucene_search,
         "esql_fulltext": q_esql_fulltext,
+        "readability": q_readability,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8756,6 +8797,7 @@ def oracle_sql() -> dict[str, str]:
         "geoip_route": _sql_geoip_route(),
         "lucene_search": SQL_LUCENE_SEARCH,
         "esql_fulltext": SQL_ESQL_FULLTEXT,
+        "readability": _sql_readability(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -830,3 +830,36 @@ SELECT tf.doc AS {id_col}, tf.bucket,
        ROUND(tf * ln((n + 1.0) / (df + 1.0)), 6) AS weight
 FROM tf JOIN dfreq ON tf.bucket = dfreq.bucket CROSS JOIN nd
 """
+
+
+def readability_sql(expr: str, dialect: str) -> str:
+    """Flesch reading-ease score, pinned deterministic form:
+
+        206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    with sentences = periods/!/? runs (min 1), words = the pinned alnum
+    tokens, and syllables approximated as VOWEL RUNS per word (min 1 per
+    word) — the standard cheap approximation; real hyphenation
+    dictionaries are out of scope and this pin is cross-engine exact.
+    Clamped to [-100, 121.22] and rounded to 6. Pure column expression —
+    map-only at any scale."""
+    toks = tokens_sql(expr, dialect)
+    if dialect == "spark":
+        n_words = f"size({toks})"
+        syl = (
+            f"aggregate({toks}, 0L, (acc, t) -> acc + "
+            f"greatest(size(regexp_extract_all(t, '[aeiouy]+', 0)), 1))"
+        )
+        n_sent = f"greatest(size(regexp_extract_all({expr}, '[.!?]+', 0)), 1)"
+    else:
+        n_words = f"len({toks})"
+        syl = (
+            f"COALESCE(list_sum(list_transform({toks}, t -> "
+            f"greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))), 0)"
+        )
+        n_sent = f"greatest(len(regexp_extract_all({expr}, '[.!?]+')), 1)"
+    score = (
+        f"(206.835 - 1.015 * (CAST({n_words} AS DOUBLE) / {n_sent}) "
+        f"- 84.6 * (CAST({syl} AS DOUBLE) / NULLIF({n_words}, 0)))"
+    )
+    return f"ROUND(LEAST(GREATEST({score}, -100.0), 121.22), 6)"

@@ -258,3 +258,27 @@ def test_kaplan_meier_known_curve(spark):
     assert got[10].survival == 0.3
     # duration 20: censored only -> survival carries at 0.3
     assert (got[20].n_churned, got[20].survival) == (0, 0.3)
+
+
+def test_readability_known_text(spark):
+    """Flesch score on hand-computable text: 'the cat sat. the dog ran.'
+    -> 6 words, 2 sentences, 6 one-syllable words: 206.835 - 1.015*3
+    - 84.6*1 = 119.19."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.text import (
+        readability_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran.")], ["id", "text"]
+    )
+    got = df.select(
+        F.expr(readability_sql("text", "spark")).alias("fre")
+    ).collect()[0].fre
+    assert got == 119.19
+    import duckdb
+    want = duckdb.connect().execute(
+        "SELECT " + readability_sql("'the cat sat. the dog ran.'", "duckdb")
+    ).fetchone()[0]
+    assert want == got
