@@ -804,14 +804,14 @@ def q_vartype_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 12 over the 64-bit sketch) on
-    the 1-in-10 doc sample plus its planted one-token twins (same
+    the 1-in-20 doc sample plus its planted one-token twins (same
     construction as simhash_banded — guarantees true near-dup pairs at
-    every SF)."""
+    every SF; the sample keeps the brute pair join's cost flat)."""
     from harmonize_search_analyze_spark.operators.dedup import (
         simhash_near_dup_pairs,
     )
 
-    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
     twins = base.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
@@ -829,9 +829,9 @@ def _sql_simhash_hamming() -> str:
     )
 
     sigs = simhash_select_sql(
-        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 "
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0 "
         "UNION ALL SELECT doc_id + 100000, text || ' zz' "
-        "FROM documents WHERE doc_id % 10 = 0)",
+        "FROM documents WHERE doc_id % 20 = 0)",
         "doc_id", "text", "duckdb",
     )
     ham = hamming_sql("a.simhash", "b.simhash", "duckdb")
@@ -1309,12 +1309,14 @@ SELECT id1, id2, hamming FROM (
 
 def q_jaccard_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard brute-force near-dup pairs (the LSH oracle path) on
-    the 1-in-10 doc sample, 3-gram shingles, threshold 0.8."""
+    the 1-in-20 doc sample, 3-gram shingles, threshold 0.8 (the sample
+    keeps the brute O(n^2) oracle's pair count flat after the planted
+    twins doubled the corpus)."""
     from harmonize_search_analyze_spark.operators.dedup import (
         near_dup_pairs_brute,
     )
 
-    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    base = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
     twins = base.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
@@ -1334,10 +1336,10 @@ def _sql_jaccard_brute() -> str:
     sh = shingles_sql("text", "duckdb", 3)
     j = jaccard_sql("a.shingles", "b.shingles", "duckdb")
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
               UNION ALL
               SELECT doc_id + 100000, text || ' zz'
-              FROM documents WHERE doc_id % 10 = 0),
+              FROM documents WHERE doc_id % 20 = 0),
 sh AS (SELECT doc_id, {sh} AS shingles FROM docs)
 SELECT id1, id2, jaccard FROM (
   SELECT a.doc_id AS id1, b.doc_id AS id2, {j} AS jaccard
