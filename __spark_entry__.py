@@ -7770,6 +7770,52 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (lambda=0.7, pool=30, top-10): distributed
+    relevance top-pool + the irreducibly-sequential greedy on the
+    driver's metadata-sized pool — scored bit-identically to the
+    DuckDB recursive-CTE oracle (same left-fold dot order)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, _QUERY_VEC, id_col="vec_id", k=10, pool=30, lam=0.7
+    )
+
+
+def _sql_mmr_rerank() -> str:
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _QUERY_VEC) + "]"
+    return f"""
+WITH RECURSIVE pool AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], {qlit}) AS rel
+  FROM embeddings
+  ORDER BY rel DESC, vec_id ASC LIMIT 30
+),
+sel AS (
+  (SELECT 1 AS rank, vec_id, rel AS score, [vec_id] AS chosen
+   FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1)
+  UNION ALL
+  (SELECT s.rank + 1, nxt.vec_id, nxt.score,
+          list_append(s.chosen, nxt.vec_id)
+   FROM sel s, LATERAL (
+     SELECT p.vec_id,
+            0.7 * p.rel - 0.3 * (
+              SELECT MAX(list_dot_product(p.v, c.v)) FROM pool c
+              WHERE list_contains(s.chosen, c.vec_id)
+            ) AS score
+     FROM pool p WHERE NOT list_contains(s.chosen, p.vec_id)
+     ORDER BY score DESC, p.vec_id ASC LIMIT 1
+   ) nxt
+   WHERE s.rank < 10)
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, ROUND(score, 6) AS score
+FROM sel ORDER BY rank
+"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease curation signal (pinned vowel-run syllable
     approximation): per-source readability distribution — one map-only
@@ -8453,6 +8499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lucene_search": q_lucene_search,
         "esql_fulltext": q_esql_fulltext,
         "readability": q_readability,
+        "mmr_rerank": q_mmr_rerank,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8800,6 +8847,7 @@ def oracle_sql() -> dict[str, str]:
         "lucene_search": SQL_LUCENE_SEARCH,
         "esql_fulltext": SQL_ESQL_FULLTEXT,
         "readability": _sql_readability(),
+        "mmr_rerank": _sql_mmr_rerank(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

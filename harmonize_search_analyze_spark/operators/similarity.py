@@ -2438,3 +2438,90 @@ def maxsim_topk(
         .orderBy(F.desc("maxsim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (the standard retrieval
+    diversifier): greedily pick documents maximizing
+    ``lam * rel(d, q) - (1 - lam) * max_sim(d, selected)``.
+
+    Two stages with the same contract as ``rescore_topk``: stage 1 is
+    the DISTRIBUTED relevance top-``pool`` (one corpus scan, codegen'd
+    double fold, TakeOrdered — ties pinned (rel DESC, id ASC)); stage 2
+    collects the pool (metadata-sized by construction: ``pool`` rows,
+    never corpus-scaled) and runs the inherently-sequential greedy
+    argmax on the driver with plain left-fold double dot products — the
+    SAME accumulation order as the distributed fold and the DuckDB
+    oracle's ``list_dot_product``, so scores are bit-identical across
+    engines. Ties pin to the smaller id. Returns (rank, id, score
+    rounded 6).
+
+    At 100 TB only stage 1 touches the corpus; MMR's data dependence
+    (every pick depends on all previous picks) makes the greedy loop
+    irreducibly sequential, so the right scale design is exactly this:
+    distribute the candidate generation, bound the pool, never the loop.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k > pool:
+        raise ValueError("k must be <= pool")
+    qlit = "array(" + ", ".join(
+        f"CAST({float(v)!r} AS DOUBLE)" for v in query_vec
+    ) + ")"
+    dot = (
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {qlit}, "
+        "(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    cand = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            F.expr(dot).alias("__rel"),
+        )
+        .orderBy(F.desc("__rel"), F.asc("__id"))
+        .limit(pool)
+        .collect()
+    )
+    if not cand:
+        return df.sparkSession.createDataFrame(
+            [], f"rank INT, {id_col} BIGINT, score DOUBLE"
+        )
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):  # left fold, same order as both engines
+            acc += x * y
+        return acc
+
+    chosen: list[tuple[int, int, float]] = []
+    chosen_vecs: list[list[float]] = []
+    remaining = {r["__id"]: r for r in cand}
+    # first pick: pure relevance (ties already pinned by the sort)
+    first = cand[0]
+    chosen.append((1, first["__id"], first["__rel"]))
+    chosen_vecs.append(first["__v"])
+    del remaining[first["__id"]]
+    while len(chosen) < k and remaining:
+        best_id, best_score = None, None
+        for rid in sorted(remaining):
+            r = remaining[rid]
+            max_sim = max(_dot(r["__v"], cv) for cv in chosen_vecs)
+            score = lam * r["__rel"] - (1.0 - lam) * max_sim
+            if best_score is None or score > best_score:
+                best_id, best_score = rid, score
+        r = remaining.pop(best_id)
+        chosen.append((len(chosen) + 1, best_id, best_score))
+        chosen_vecs.append(r["__v"])
+    rows = [(rank, rid, round(s, 6)) for rank, rid, s in chosen]
+    return df.sparkSession.createDataFrame(
+        rows, f"rank INT, {id_col} BIGINT, score DOUBLE"
+    )

@@ -79,3 +79,30 @@ def test_maxsim_topk_late_interaction(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().split(
         "== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR: with two near-identical top-relevance vectors, rank 2 skips
+    the duplicate in favor of a diverse candidate; lam=1 degenerates to
+    pure relevance order."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    q = [1.0, 0.0]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),      # rel 1.0
+            (2, [0.999, 0.01]),   # rel ~0.999, near-dup of 1
+            (3, [0.2, 0.98]),     # rel 0.2, nearly orthogonal to 1
+        ],
+        ["vec_id", "embedding"],
+    )
+    # lam=0.3 weighs diversity: the near-dup scores 0.3*0.999-0.7*0.999
+    # = -0.4 while the diverse vec scores 0.3*0.2-0.7*0.2 = -0.08
+    got = [(r["rank"], r.vec_id) for r in
+           mmr_rerank(df, q, k=3, pool=3, lam=0.3).collect()]
+    assert got == [(1, 1), (2, 3), (3, 2)]
+    pure = [(r["rank"], r.vec_id) for r in
+            mmr_rerank(df, q, k=3, pool=3, lam=1.0).collect()]
+    assert pure == [(1, 1), (2, 2), (3, 3)]
