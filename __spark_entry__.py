@@ -7770,6 +7770,32 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned quantile sketch over lineitem prices — two
+    map-combinable aggs + bin-level interpolation, the petabyte-scale
+    alternative to the exact global-sort percentiles (which remains the
+    accuracy oracle elsewhere)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles_sketch,
+    )
+
+    return percentiles_sketch(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.95, 0.99], n_bins=256,
+    )
+
+
+def _sql_percentiles_sketch() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles_sketch_sql,
+    )
+
+    return percentiles_sketch_sql(
+        "lineitem", "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.95, 0.99], n_bins=256,
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification (lambda=0.7, pool=30, top-10): distributed
     relevance top-pool + the irreducibly-sequential greedy on the
@@ -8500,6 +8526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fulltext": q_esql_fulltext,
         "readability": q_readability,
         "mmr_rerank": q_mmr_rerank,
+        "percentiles_sketch": q_percentiles_sketch,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8848,6 +8875,7 @@ def oracle_sql() -> dict[str, str]:
         "esql_fulltext": SQL_ESQL_FULLTEXT,
         "readability": _sql_readability(),
         "mmr_rerank": _sql_mmr_rerank(),
+        "percentiles_sketch": _sql_percentiles_sketch(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -2602,3 +2602,130 @@ def terms_ordered_by_metric(
         else [F.desc_nulls_last("metric"), F.asc(field)]
     )
     return out.orderBy(*order).limit(k)
+
+
+def percentiles_sketch(
+    df: DataFrame,
+    field: str,
+    probs: list[float] | None = None,
+    *,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Mergeable binned quantile sketch — the 100 TB percentile path.
+
+    The exact ``percentiles`` operator needs a global sort (fine as the
+    oracle; a bottleneck at petabyte scale). This sketch is two
+    map-combinable aggs: a (min, max) pass sizes ``n_bins`` equal-width
+    bins, a bin-count pass histograms the column; each quantile then
+    interpolates linearly inside the bin where the cumulative count
+    crosses q*n. Bin counts merge by addition — the sketch distributes
+    and re-aggregates freely (the t-digest property, with deterministic
+    equal-width bins instead of adaptive centroids so the DuckDB oracle
+    reproduces it bit-for-bit). Error is bounded by the bin width
+    (range/n_bins), the documented accuracy knob.
+
+    Returns (percentile, value) rows, value rounded to 6.
+    """
+    probs = probs or [0.25, 0.5, 0.75, 0.95, 0.99]
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {p} outside [0, 1]")
+    v = F.col(field).cast("double")
+    base = df.where(v.isNotNull()).select(v.alias("__v"))
+    bounds = base.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    binned = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_bins)
+                ).cast("int"),
+            ).alias("__bin"),
+            "__lo", "__hi",
+        )
+        .groupBy("__bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = binned.select(
+        "__bin", "__cnt", "__lo", "__hi",
+        F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__before"),
+        F.sum("__cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    rows = []
+    for p in probs:
+        target = F.lit(float(p)) * F.col("__n")
+        # the first bin whose cumulative count reaches the target
+        hit = (
+            cum.where(F.col("__before") + F.col("__cnt") >= target)
+            .orderBy("__bin")
+            .limit(1)
+            .select(
+                F.lit(float(p)).alias("percentile"),
+                F.round(
+                    F.col("__lo")
+                    + F.col("__bin") * width
+                    + F.greatest(
+                        F.lit(0.0),
+                        (target - F.col("__before")) / F.col("__cnt"),
+                    ) * width,
+                    6,
+                ).alias("value"),
+            )
+        )
+        rows.append(hit)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("percentile")
+
+
+def percentiles_sketch_sql(
+    table: str,
+    field: str,
+    probs: list[float] | None = None,
+    *,
+    n_bins: int = 256,
+) -> str:
+    """DuckDB replay of :func:`percentiles_sketch` — same bins, same
+    crossing rule, same interpolation."""
+    probs = probs or [0.25, 0.5, 0.75, 0.95, 0.99]
+    picks = "\nUNION ALL\n".join(
+        f"""(SELECT CAST({p!r} AS DOUBLE) AS percentile,
+       ROUND(lo + bin * width
+             + GREATEST(0.0, ({p!r} * n - before) / cnt) * width, 6)
+         AS value
+ FROM cum WHERE before + cnt >= {p!r} * n ORDER BY bin LIMIT 1)"""
+        for p in probs
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST({field} AS DOUBLE) AS v FROM {table}
+  WHERE {field} IS NOT NULL
+), bounds AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM base),
+binned AS (
+  SELECT LEAST({n_bins} - 1,
+               CAST(FLOOR((v - lo) / ((hi - lo) / {n_bins})) AS INT))
+           AS bin, lo, hi, COUNT(*) AS cnt
+  FROM base CROSS JOIN bounds GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT bin, cnt, lo, hi, (hi - lo) / {n_bins} AS width,
+         COALESCE(SUM(cnt) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         SUM(cnt) OVER () AS n
+  FROM binned
+)
+SELECT percentile, value FROM ({picks}) ORDER BY percentile
+"""

@@ -1680,3 +1680,26 @@ def test_suggest_completion_context_boosts(spark):
     ).collect()]
     # alpha: 2 docs * (2.0*3.0) = 12; beta: fr web 1*3 = 3 (book drops)
     assert got == [("alpha", 2, 12.0), ("beta", 1, 3.0)]
+
+
+def test_percentiles_sketch_accuracy_and_merge_shape(spark):
+    """Sketch quantiles land within one bin width of the exact answer;
+    the plan is two hash aggs (no global sort of raw rows)."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles_sketch,
+    )
+
+    df = spark.range(0, 10001).select(
+        (F.col("id").cast("double")).alias("x")
+    )
+    out = percentiles_sketch(df, "x", [0.5, 0.9], n_bins=100)
+    got = {r.percentile: r.value for r in out.collect()}
+    width = 10000.0 / 100
+    assert abs(got[0.5] - 5000.0) <= width
+    assert abs(got[0.9] - 9000.0) <= width
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    # raw rows only feed HashAggregates; the only Sort is bin-level
+    assert "HashAggregate" in plan
