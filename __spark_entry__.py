@@ -7770,6 +7770,29 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-exact HyperLogLog over part keys (the 100 TB
+    cardinality path — register sketch merges by MAX, one
+    map-combinable agg instead of the exact distinct's full shuffle).
+    Unlike approx_count_distinct, BOTH engines compute the identical
+    estimate from the shared hash."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        hll_cardinality,
+    )
+
+    return hll_cardinality(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", p=12
+    )
+
+
+def _sql_hll_cardinality() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hll_cardinality_sql,
+    )
+
+    return hll_cardinality_sql("lineitem", "l_partkey", "duckdb", p=12)
+
+
 def q_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable binned quantile sketch over lineitem prices — two
     map-combinable aggs + bin-level interpolation, the petabyte-scale
@@ -8527,6 +8550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "mmr_rerank": q_mmr_rerank,
         "percentiles_sketch": q_percentiles_sketch,
+        "hll_cardinality": q_hll_cardinality,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8876,6 +8900,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _sql_readability(),
         "mmr_rerank": _sql_mmr_rerank(),
         "percentiles_sketch": _sql_percentiles_sketch(),
+        "hll_cardinality": _sql_hll_cardinality(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

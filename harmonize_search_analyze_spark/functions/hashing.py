@@ -72,3 +72,51 @@ def minhash_term_sql(hash_expr: str, a: int, b: int) -> str:
     (a * (h mod P) + b) mod P with a < P and (h mod P) < P => product < 2^62.
     """
     return f"(({a} * (({hash_expr}) % {MERSENNE_P}) + {b}) % {MERSENNE_P})"
+
+
+def hll_cardinality_sql(
+    table: str, field: str, dialect: str, *, p: int = 12
+) -> str:
+    """HyperLogLog distinct-count estimate, built from the shared 60-bit
+    hash so BOTH engines compute the IDENTICAL estimate — unlike the
+    engines' built-in approx_count_distinct sketches, which disagree by
+    construction. The 100 TB ``cardinality`` path: one map-combinable
+    (bucket, max rho) agg over <= 2^p register rows, merge = MAX.
+
+    Layout: bucket = hash % m (m = 2^p); z = hash DIV m (the remaining
+    ~48 bits); rho = 49 - bitlength(z) (leading-zero rank in the 48-bit
+    window, via length(bin(z)) — exact integer path, no float log).
+    Estimate: alpha_m * m^2 / (sum 2^-r + zero-registers), with the
+    standard linear-counting small-range correction (E <= 2.5m). The
+    upper-range correction is omitted — the 60-bit hash space makes
+    hash collisions negligible at any corpus this engine targets
+    (documented pin). Rounded to 4 (float-sum association slack across
+    engines is ~1e-10 relative; 4 decimals is far outside it).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # hash the value's decimal/string rendering (same text both engines)
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    h = hash64_sql(f"CAST({field} AS {cast})", dialect)
+    # integer division must stay on the int64 path: h / float(m) would
+    # round the 60-bit hash to 53 bits first
+    z = f"(({h}) DIV {m})" if dialect == "spark" else f"(({h}) // {m})"
+    return f"""
+WITH regs AS (
+  SELECT ({h}) % {m} AS bucket,
+         MAX(CASE WHEN {z} = 0 THEN 49
+                  ELSE 49 - length(bin({z})) END) AS r
+  FROM {table} WHERE {field} IS NOT NULL
+  GROUP BY 1
+), s AS (
+  SELECT SUM(POWER(2.0, -r)) AS sum2, COUNT(*) AS nreg FROM regs
+)
+SELECT ROUND(
+  CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / (sum2 + ({m} - nreg))
+            <= 2.5 * {m}
+        AND {m} - nreg > 0
+       THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - nreg))
+       ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / (sum2 + ({m} - nreg))
+  END, 4) AS estimate
+FROM s
+"""

@@ -2729,3 +2729,47 @@ cum AS (
 )
 SELECT percentile, value FROM ({picks}) ORDER BY percentile
 """
+
+
+def hll_cardinality(df: DataFrame, field: str, *, p: int = 12) -> DataFrame:
+    """HyperLogLog distinct-count estimate as DataFrame ops — the same
+    register layout and estimator as
+    ``functions.hashing.hll_cardinality_sql`` (shared 60-bit hash ->
+    cross-engine-identical estimates; see that docstring for the pins).
+    One map-combinable (bucket, MAX rho) agg over <= 2^p register rows;
+    registers merge by MAX, so sketches union across partitions, days,
+    or clusters for free — the 100 TB ``cardinality`` path where the
+    exact count_distinct's full shuffle is the bottleneck."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = F.expr(hash64_sql(f"CAST({field} AS STRING)", "spark"))
+    z = F.expr(
+        f"({hash64_sql(f'CAST({field} AS STRING)', 'spark')}) DIV {m}"
+    )
+    rho = F.when(z == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.expr(f"bin({hash64_sql(f'CAST({field} AS STRING)', 'spark')} DIV {m})"))
+    )
+    regs = (
+        df.where(F.col(field).isNotNull())
+        .select((h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    s = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum2"),
+        F.count(F.lit(1)).alias("nreg"),
+    )
+    raw = (
+        F.lit(alpha) * m * m
+        / (F.col("sum2") + (F.lit(m) - F.col("nreg")))
+    )
+    zeros = F.lit(m) - F.col("nreg")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return s.select(F.round(est, 4).alias("estimate"))

@@ -1703,3 +1703,23 @@ def test_percentiles_sketch_accuracy_and_merge_shape(spark):
         "== Initial Plan ==")[0]
     # raw rows only feed HashAggregates; the only Sort is bin-level
     assert "HashAggregate" in plan
+
+
+def test_hll_cardinality_accuracy_and_merge(spark):
+    """HLL estimate within ~3% of truth at 10k distinct; sketches built
+    on disjoint halves MERGE (register max) to the same estimate as the
+    one-pass sketch."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        hll_cardinality,
+    )
+
+    df = spark.range(0, 10000).select(F.col("id").alias("k"))
+    est = hll_cardinality(df, "k", p=12).collect()[0].estimate
+    assert abs(est - 10000) / 10000 < 0.05, est
+    # split-and-merge: same registers -> same estimate
+    lo = hll_cardinality(df.where("k < 7000"), "k", p=12)
+    hi = hll_cardinality(df.where("k >= 7000"), "k", p=12)
+    assert lo.collect()[0].estimate < est
+    assert hi.collect()[0].estimate < est
