@@ -721,3 +721,47 @@ def test_highlight_fragments(spark):
 
     _sweep(spark, highlight_fragments_sql, "a", window=5, n_fragments=3)
     _sweep(spark, highlight_fragments_sql, "one", window=10, n_fragments=2)
+
+
+def test_readability_generator(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        readability_sql,
+    )
+
+    _sweep(spark, readability_sql)
+
+
+def test_hll_generator_edge_values(spark):
+    """hll_cardinality_sql over edge-case VALUE domains (empty, single,
+    nulls, negatives, long strings): identical estimates both engines."""
+    import duckdb as _d
+
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hll_cardinality_sql,
+    )
+
+    cases = [
+        [],
+        ["x"],
+        [None, None],
+        [str(i) for i in range(500)],
+        ["-1", "0", "1"] * 7,
+        ["long" * 100, "long" * 100],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame(
+            [(v,) for v in vals] or [(None,)], "k STRING"
+        )
+        df.createOrReplaceTempView("hll_t")
+        got = spark.sql(
+            hll_cardinality_sql("hll_t", "k", "spark")
+        ).collect()[0][0]
+        con = _d.connect()
+        con.execute("CREATE TABLE hll_t (k VARCHAR)")
+        con.executemany(
+            "INSERT INTO hll_t VALUES (?)", [(v,) for v in (vals or [None])]
+        )
+        want = con.execute(
+            hll_cardinality_sql("hll_t", "k", "duckdb")
+        ).fetchone()[0]
+        assert got == want, (vals[:3], got, want)
