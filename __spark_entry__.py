@@ -7770,6 +7770,46 @@ def _sql_zipf_fit() -> str:
     return zipf_fit_sql("documents", "text")
 
 
+def q_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step domain-mixture reweighting (DoReMi shape, deterministic
+    core): per-source mean quality feeds a temperature-0.5 softmax with
+    a 2% floor — one domain-keyed agg + broadcast corpus mean, softmax
+    over the bounded domain frame."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        domain_reweight,
+    )
+    from harmonize_search_analyze_spark.operators.text import (
+        quality_score_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_reweight(
+        docs, "source", quality_score_sql("text", "spark"),
+        temperature=0.5, floor=0.02,
+    )
+
+
+def _sql_domain_reweight() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        quality_score_sql,
+    )
+
+    q = quality_score_sql("text", "duckdb")
+    return f"""
+WITH per AS (
+  SELECT source AS domain, COUNT(*) AS n_docs, AVG({q}) AS m
+  FROM documents WHERE source IS NOT NULL GROUP BY 1
+), o AS (SELECT AVG({q}) AS overall FROM documents WHERE source IS NOT NULL),
+e AS (
+  SELECT domain, n_docs, m, exp((m - overall) / 0.5) AS ev
+  FROM per CROSS JOIN o
+), z AS (SELECT SUM(ev) AS zz, COUNT(*) AS k FROM e)
+SELECT domain, n_docs, ROUND(m, 6) AS mean_score,
+       ROUND(ev / zz * (1.0 - 0.02 * k) + 0.02, 6) AS weight
+FROM e CROSS JOIN z ORDER BY domain
+"""
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-exact HyperLogLog over part keys (the 100 TB
     cardinality path — register sketch merges by MAX, one
@@ -8551,6 +8591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "percentiles_sketch": q_percentiles_sketch,
         "hll_cardinality": q_hll_cardinality,
+        "domain_reweight": q_domain_reweight,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8901,6 +8942,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _sql_mmr_rerank(),
         "percentiles_sketch": _sql_percentiles_sketch(),
         "hll_cardinality": _sql_hll_cardinality(),
+        "domain_reweight": _sql_domain_reweight(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

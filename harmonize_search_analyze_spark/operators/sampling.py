@@ -839,3 +839,67 @@ def anneal_schedule_sql(
             f"{oh} AS order_key FROM {table} WHERE {h} < ({thr})"
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def domain_reweight(
+    df: DataFrame,
+    domain_col: str,
+    score_col: str | Column,
+    *,
+    temperature: float = 1.0,
+    floor: float = 0.0,
+) -> DataFrame:
+    """One-step domain-mixture reweighting (the DoReMi-family shape,
+    collapsed to its deterministic core): each domain's mean excess
+    score (mean minus the corpus mean) feeds a temperature softmax; the
+    output weights are the new sampling mixture. ``floor`` lower-bounds
+    every domain's weight (then renormalizes) so no domain starves —
+    the practical guardrail every mixture-tuning run wants.
+
+    Returns (domain, n_docs, mean_score, weight) with weight rounded 6,
+    weights summing to ~1 (up to rounding).
+
+    Shape: ONE domain-keyed hash agg (mean/count) + a 1-row broadcast
+    corpus mean; the softmax runs over the domain frame (bounded by
+    domain count, corpus-size-independent). Feed the weights into
+    ``mix_sources``/``anneal_schedule`` rates to apply the mixture.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not 0.0 <= floor < 1.0:
+        raise ValueError("floor must be in [0, 1)")
+    sc = F.expr(score_col) if isinstance(score_col, str) else score_col
+    per = (
+        df.where(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(sc).alias("__mean"),
+        )
+    )
+    overall = df.where(F.col(domain_col).isNotNull()).agg(
+        F.avg(sc).alias("__overall")
+    )
+    scored = per.crossJoin(F.broadcast(overall)).select(
+        "domain", "n_docs", "__mean",
+        F.exp(
+            (F.col("__mean") - F.col("__overall")) / F.lit(float(temperature))
+        ).alias("__e"),
+    )
+    tot = scored.agg(F.sum("__e").alias("__z"))
+    n_domains = scored.agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_domains))
+        .select(
+            "domain",
+            "n_docs",
+            F.round("__mean", 6).alias("mean_score"),
+            F.round(
+                (F.col("__e") / F.col("__z") * (1.0 - floor * F.col("__k"))
+                 + F.lit(float(floor))),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("domain")
+    )

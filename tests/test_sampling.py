@@ -456,3 +456,26 @@ def test_anneal_schedule_single_scan_and_composition(spark):
     b = sorted(r.order_key for r in anneal_schedule(
         df, "source", "doc_id", phases).where("phase = 'bulk'").collect())
     assert a == b
+
+
+def test_domain_reweight_softmax_and_floor(spark):
+    """Weights sum to 1, order follows mean score, the floor binds, and
+    temperature -> inf flattens toward uniform."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.sampling import (
+        domain_reweight,
+    )
+
+    rows = [("good", 0.9)] * 5 + [("mid", 0.5)] * 5 + [("bad", 0.1)] * 5
+    df = spark.createDataFrame(rows, ["source", "q"])
+    out = {r.domain: r.weight for r in domain_reweight(
+        df, "source", F.col("q"), temperature=0.2, floor=0.05
+    ).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    assert out["good"] > out["mid"] > out["bad"] >= 0.05
+    flat = {r.domain: r.weight for r in domain_reweight(
+        df, "source", F.col("q"), temperature=1e9
+    ).collect()}
+    for w in flat.values():
+        assert abs(w - 1.0 / 3) < 1e-3
