@@ -7859,6 +7859,38 @@ def _sql_percentiles_sketch() -> str:
     )
 
 
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter tokens (third mergeable sketch: counts
+    merge by cell addition, fixed depth*width memory at any corpus
+    size). width=8 deliberately forces collisions at this SF so the
+    gate verifies the min-over-rows estimate, not just the hashing."""
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        split_tokens,
+    )
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        countmin_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(split_tokens("text")).alias("item")
+    )
+    return countmin_topk(toks, "item", k=20, depth=4, width=8, seed=7)
+
+
+def _sql_countmin_topk() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        countmin_topk_sql,
+    )
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    src = (
+        f"SELECT unnest({tokens_sql('text', 'duckdb')}) AS item "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+    return countmin_topk_sql(src, "duckdb", k=20, depth=4, width=8, seed=7)
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification (lambda=0.7, pool=30, top-10): distributed
     relevance top-pool + the irreducibly-sequential greedy on the
@@ -8592,6 +8624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_sketch": q_percentiles_sketch,
         "hll_cardinality": q_hll_cardinality,
         "domain_reweight": q_domain_reweight,
+        "countmin_topk": q_countmin_topk,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8943,6 +8976,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_sketch": _sql_percentiles_sketch(),
         "hll_cardinality": _sql_hll_cardinality(),
         "domain_reweight": _sql_domain_reweight(),
+        "countmin_topk": _sql_countmin_topk(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

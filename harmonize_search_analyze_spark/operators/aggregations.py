@@ -2773,3 +2773,151 @@ def hll_cardinality(df: DataFrame, field: str, *, p: int = 12) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return s.select(F.round(est, 4).alias("estimate"))
+
+
+def _countmin_cell_sql(
+    item_expr: str, a: int, b: int, width: int, dialect: str
+) -> str:
+    """Column index of one Count-Min row for ``item_expr``: universal
+    hash ``(a*(h%P) + b) % P`` over the shared cross-engine 60-bit hash,
+    folded to ``width`` buckets. a, b < P = 2^31 and h%P < 2^31 keep
+    every partial product under 2^62 — no int64 overflow on either
+    engine."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        MERSENNE_P,
+        hash64_sql,
+    )
+
+    h = hash64_sql(item_expr, dialect)
+    return f"CAST((({a} * (({h}) % {MERSENNE_P}) + {b}) % {MERSENNE_P}) % {width} AS INT)"
+
+
+def countmin_sketch(
+    df: DataFrame,
+    field: str,
+    *,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-Min sketch cells ``(r, c, n)`` — the fixed-memory frequency
+    summary for the 100 TB heavy-hitter path (Cormode & Muthukrishnan
+    2005). One scan: each value fans out to its ``depth`` (row, column)
+    cells via ``inline`` (codegen'd, no Python), then ONE map-combinable
+    count — shuffle volume is bounded by depth*width cells per map task
+    regardless of input size, and sketches MERGE by (r, c) addition
+    across partitions, days, or clusters. Point-estimate guarantee:
+    min over rows >= true count (never under), with overestimate
+    bounded by e*N/width at probability 1 - e^-depth."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        minhash_params,
+    )
+
+    item = f"CAST({field} AS STRING)"
+    structs = ", ".join(
+        f"named_struct('r', {i}, 'c', "
+        f"{_countmin_cell_sql(item, a, b, width, 'spark')})"
+        for i, (a, b) in enumerate(minhash_params(depth, seed))
+    )
+    return (
+        df.where(F.col(field).isNotNull())
+        .selectExpr(f"inline(array({structs}))")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def countmin_topk(
+    df: DataFrame,
+    field: str,
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Heavy hitters answered FROM the Count-Min sketch: each candidate
+    item probes its ``depth`` cells and takes the row-minimum count.
+    ``candidates`` defaults to the input's distinct values (the batch
+    shape the oracle replays); at 100 TB pass a cheap sample-derived
+    candidate frame instead and the sketch — depth*width cells,
+    broadcast below — prices every candidate without rescanning the
+    corpus. Returns (item, est) with est >= the true count, ordered
+    (est DESC, item ASC), top k."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        minhash_params,
+    )
+
+    sketch = countmin_sketch(
+        df, field, depth=depth, width=width, seed=seed
+    )
+    cand = (
+        candidates
+        if candidates is not None
+        else df.where(F.col(field).isNotNull())
+        .select(F.col(field).cast("string").alias("item"))
+        .distinct()
+    )
+    probes = ", ".join(
+        f"named_struct('r', {i}, 'c', "
+        f"{_countmin_cell_sql('item', a, b, width, 'spark')})"
+        for i, (a, b) in enumerate(minhash_params(depth, seed))
+    )
+    probed = cand.selectExpr(
+        "item", f"inline(array({probes}))"
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("item")
+        .agg(F.min("n").alias("est"))
+        .orderBy(F.desc("est"), F.asc("item"))
+        .limit(k)
+    )
+
+
+def countmin_topk_sql(
+    source_sql: str,
+    dialect: str,
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> str:
+    """Dual-dialect twin of :func:`countmin_topk`. ``source_sql`` is a
+    subquery yielding one TEXT column ``item`` per occurrence; the
+    sketch build is a UNION ALL of ``depth`` single-row aggs (an oracle
+    rendering — the Spark operator fans out with ``inline`` in one
+    scan)."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        minhash_params,
+    )
+
+    params = minhash_params(depth, seed)
+    cells = "\n  UNION ALL ".join(
+        f"SELECT {i} AS r, "
+        f"{_countmin_cell_sql('item', a, b, width, dialect)} AS c, "
+        f"COUNT(*) AS n FROM items GROUP BY 2"
+        for i, (a, b) in enumerate(params)
+    )
+    probes = "\n  UNION ALL ".join(
+        f"SELECT item, {i} AS r, "
+        f"{_countmin_cell_sql('item', a, b, width, dialect)} AS c "
+        f"FROM cand"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH items AS ({source_sql}),
+cells AS (
+  {cells}
+),
+cand AS (SELECT DISTINCT item FROM items),
+probes AS (
+  {probes}
+)
+SELECT item, CAST(MIN(n) AS BIGINT) AS est
+FROM probes JOIN cells USING (r, c)
+GROUP BY item
+ORDER BY est DESC, item ASC LIMIT {k}
+"""

@@ -1723,3 +1723,67 @@ def test_hll_cardinality_accuracy_and_merge(spark):
     hi = hll_cardinality(df.where("k >= 7000"), "k", p=12)
     assert lo.collect()[0].estimate < est
     assert hi.collect()[0].estimate < est
+
+
+def test_countmin_guarantee_and_merge(spark):
+    """est >= true count for every item (never under); exact at a
+    collision-free width; sketches over disjoint halves merge by (r,c)
+    addition to the one-pass sketch."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        countmin_sketch,
+        countmin_topk,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 37).cast("string").alias("k")
+    )
+    truth = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # narrow width: collisions guaranteed (37 items -> 8 buckets)
+    got = countmin_topk(df, "k", k=100, depth=4, width=8, seed=7).collect()
+    assert len(got) == 37
+    assert all(r.est >= truth[r.item] for r in got)
+    # wide width: no collisions -> exact
+    exact = countmin_topk(
+        df, "k", k=100, depth=4, width=1 << 16, seed=7
+    ).collect()
+    assert all(r.est == truth[r.item] for r in exact)
+    # mergeability: cell-wise addition of half sketches == full sketch
+    lo = countmin_sketch(df.where("id < 1500"), "k", width=64)
+    hi = countmin_sketch(df.where("id >= 1500"), "k", width=64)
+    merged = {
+        (r.r, r.c): r.s
+        for r in lo.unionByName(hi)
+        .groupBy("r", "c")
+        .agg(F.sum("n").alias("s"))
+        .collect()
+    }
+    full = {
+        (r.r, r.c): r.n for r in countmin_sketch(df, "k", width=64).collect()
+    }
+    assert merged == full
+
+
+def test_countmin_plan_shape(spark):
+    """The sketch build is one scan feeding a map-combinable
+    HashAggregate (inline fan-out, no Python, no join); the probe join
+    broadcasts the metadata-sized sketch."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        countmin_topk,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
+    out = countmin_topk(df, "k", k=5, depth=4, width=16, seed=7)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
