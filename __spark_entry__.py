@@ -7891,6 +7891,32 @@ def _sql_countmin_topk() -> str:
     return countmin_topk_sql(src, "duckdb", k=20, depth=4, width=8, seed=7)
 
 
+def q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _graph/explore two-wave co-occurrence spider from seed
+    'spark' (use_significance:false mode): wave-1 vertices are the top
+    co-occurring terms, edges count distinct docs joining each wave-1
+    vertex to its wave-2 discoveries."""
+    from harmonize_search_analyze_spark.operators.graph import (
+        graph_explore,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return graph_explore(
+        docs, "text", "spark", size=5, conn_size=20, min_doc_count=2
+    )
+
+
+def _sql_graph_explore() -> str:
+    from harmonize_search_analyze_spark.operators.graph import (
+        graph_explore_sql,
+    )
+
+    return graph_explore_sql(
+        "documents", "text", "spark", "duckdb",
+        size=5, conn_size=20, min_doc_count=2,
+    )
+
+
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification (lambda=0.7, pool=30, top-10): distributed
     relevance top-pool + the irreducibly-sequential greedy on the
@@ -8625,6 +8651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "domain_reweight": q_domain_reweight,
         "countmin_topk": q_countmin_topk,
+        "graph_explore": q_graph_explore,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -8977,6 +9004,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_cardinality": _sql_hll_cardinality(),
         "domain_reweight": _sql_domain_reweight(),
         "countmin_topk": _sql_countmin_topk(),
+        "graph_explore": _sql_graph_explore(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -1,0 +1,57 @@
+"""ES _graph/explore: two-wave co-occurrence spider semantics."""
+
+from __future__ import annotations
+
+from harmonize_search_analyze_spark.operators.graph import graph_explore
+
+
+def test_graph_explore_semantics(spark):
+    """Hand-built corpus: wave-1 vertices come only from seed docs,
+    wave-2 targets exclude the seed and wave-1 set, edge counts are
+    distinct-doc co-occurrences (multiplicity inside a doc ignored)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "seed alpha beta"),
+            (2, "seed alpha gamma"),
+            (3, "alpha delta delta"),   # non-seed doc: explores alpha
+            (4, "beta epsilon"),        # non-seed doc: explores beta
+            (5, "zeta eta"),            # disconnected
+        ],
+        ["doc_id", "text"],
+    )
+    out = graph_explore(
+        docs, "text", "seed", size=2, conn_size=10, min_doc_count=1
+    )
+    got = [(r.source, r.target, r.doc_count) for r in out.collect()]
+    # wave-1 = top-2 terms in seed docs {1,2}: alpha(2), beta(1) —
+    # gamma loses the (dc, term) tie-break to beta.
+    assert {s for s, _, _ in got} == {"alpha", "beta"}
+    # alpha's docs {1,2,3}: targets delta(1 doc; multiplicity ignored),
+    # gamma(1) — 'beta' is wave-1 so excluded, 'seed' excluded.
+    assert ("alpha", "delta", 1) in got
+    assert ("alpha", "gamma", 1) in got
+    assert not any(t in ("seed", "alpha", "beta") for _, t, _ in got)
+    # beta's docs {1,4}: epsilon from doc 4
+    assert ("beta", "epsilon", 1) in got
+    # disconnected doc 5 contributes nothing
+    assert not any("zeta" in (s, t) for s, t, _ in got)
+
+
+def test_graph_explore_min_doc_count_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "seed a b"),
+            (2, "seed a b"),
+            (3, "a c"),
+            (4, "a c"),
+            (5, "a d"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = graph_explore(
+        docs, "text", "seed", size=1, conn_size=10, min_doc_count=2
+    )
+    got = [(r.source, r.target, r.doc_count) for r in out.collect()]
+    # only edges seen in >= 2 docs survive: a-b (docs 1,2), a-c (3,4);
+    # a-d (1 doc) filtered. Ordered doc_count DESC then target ASC.
+    assert got == [("a", "b", 2), ("a", "c", 2)]
