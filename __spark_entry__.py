@@ -6535,6 +6535,27 @@ def _sql_bbq_topk() -> str:
     return bbq_topk_oracle_sql(_QUERY_VEC, k=10, shortlist=100)
 
 
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES int8 scalar-quantized ANN: global (min,max) quantization
+    params from one agg, corrected int-domain dot shortlist (the
+    1-byte/dim index representation), exact cosine rerank."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        int8_topk,
+    )
+
+    return int8_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_VEC, k=10, shortlist=100
+    )
+
+
+def _sql_int8_topk() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        int8_topk_oracle_sql,
+    )
+
+    return int8_topk_oracle_sql(_QUERY_VEC, k=10, shortlist=100)
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity scoring (JM smoothing, first
     token unigram-backed) — the pair stream is zip-with-shift inside each
@@ -8652,6 +8673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_reweight": q_domain_reweight,
         "countmin_topk": q_countmin_topk,
         "graph_explore": q_graph_explore,
+        "int8_topk": q_int8_topk,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9005,6 +9027,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_reweight": _sql_domain_reweight(),
         "countmin_topk": _sql_countmin_topk(),
         "graph_explore": _sql_graph_explore(),
+        "int8_topk": _sql_int8_topk(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

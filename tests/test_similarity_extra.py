@@ -106,3 +106,39 @@ def test_mmr_rerank_diversifies(spark):
     pure = [(r["rank"], r.vec_id) for r in
             mmr_rerank(df, q, k=3, pool=3, lam=1.0).collect()]
     assert pure == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_int8_quantization_identity_and_recall(spark):
+    """The corrective de-quantized dot reproduces the true dot within
+    quantization error (|err| <= dim * s * (|a|_inf + |b|_inf) bound is
+    loose; check a practical tolerance); top-k recall vs exact cosine
+    is perfect on a spread-out corpus; constant corpus (vmax == vmin)
+    doesn't divide by zero."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_topk,
+        int8_topk,
+    )
+
+    qvec = [math.sin(i * 0.7 + 0.3) for i in range(16)]
+    rows = [
+        (i, [math.cos(i * j * 0.13) for j in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = int8_topk(df, qvec, k=10, shortlist=60).collect()
+    exact = cosine_topk(df, "embedding", qvec, k=10).collect()
+    assert {r.vec_id for r in got} == {r.vec_id for r in exact}
+    # int8_score approximates the true dot
+    byid = {r[0]: r[1] for r in rows}
+    for r in got:
+        true_dot = sum(a * b for a, b in zip(byid[r.vec_id], qvec))
+        assert abs(r.int8_score - true_dot) < 0.05, (r, true_dot)
+    # degenerate: all components equal -> scale pins to 1, no crash
+    const = spark.createDataFrame(
+        [(i, [0.5] * 16) for i in range(5)], ["vec_id", "embedding"]
+    )
+    out = int8_topk(const, qvec, k=3, shortlist=5).collect()
+    assert len(out) == 3
