@@ -6556,6 +6556,67 @@ def _sql_int8_topk() -> str:
     return int8_topk_oracle_sql(_QUERY_VEC, k=10, shortlist=100)
 
 
+_ZORDER_COLS = ["l_quantity", "l_extendedprice"]
+
+
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (Delta OPTIMIZE ZORDER BY shape, rebuilt as
+    pure column expressions): Morton-interleave the two columns' 16-bit
+    ranks, then per-top-8-bit-bucket stats — the gate proves the
+    interleaving puts BOTH columns' values in tight per-bucket spans,
+    which is exactly the per-file min-max property the parquet pruner
+    exploits at 100 TB."""
+    from harmonize_search_analyze_spark.operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = zorder_key(li, _ZORDER_COLS, bits=16)
+    return (
+        keyed.groupBy(
+            F.expr("shiftright(zkey, 24)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 6).alias("q_lo"),
+            F.round(F.max("l_quantity"), 6).alias("q_hi"),
+            F.round(F.min("l_extendedprice"), 6).alias("p_lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("p_hi"),
+        )
+        .orderBy("bucket")
+        .limit(30)
+    )
+
+
+def _sql_zorder_cluster() -> str:
+    from harmonize_search_analyze_spark.operators.layout import (
+        zorder_key_sql,
+    )
+
+    bounds = {
+        "l_quantity": ("lo_q", "hi_q"),
+        "l_extendedprice": ("lo_p", "hi_p"),
+    }
+    key = zorder_key_sql(_ZORDER_COLS, bounds, "duckdb", bits=16)
+    return f"""
+WITH b AS (
+  SELECT MIN(CAST(l_quantity AS DOUBLE)) AS lo_q,
+         MAX(CAST(l_quantity AS DOUBLE)) AS hi_q,
+         MIN(CAST(l_extendedprice AS DOUBLE)) AS lo_p,
+         MAX(CAST(l_extendedprice AS DOUBLE)) AS hi_p
+  FROM lineitem
+),
+keyed AS (
+  SELECT {key} AS zkey, l_quantity, l_extendedprice
+  FROM lineitem CROSS JOIN b
+)
+SELECT (zkey >> 24) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(l_quantity), 6) AS q_lo,
+       ROUND(MAX(l_quantity), 6) AS q_hi,
+       ROUND(MIN(l_extendedprice), 6) AS p_lo,
+       ROUND(MAX(l_extendedprice), 6) AS p_hi
+FROM keyed GROUP BY 1 ORDER BY bucket LIMIT 30
+"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity scoring (JM smoothing, first
     token unigram-backed) — the pair stream is zip-with-shift inside each
@@ -8674,6 +8735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_topk": q_countmin_topk,
         "graph_explore": q_graph_explore,
         "int8_topk": q_int8_topk,
+        "zorder_cluster": q_zorder_cluster,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9028,6 +9090,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_topk": _sql_countmin_topk(),
         "graph_explore": _sql_graph_explore(),
         "int8_topk": _sql_int8_topk(),
+        "zorder_cluster": _sql_zorder_cluster(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,
