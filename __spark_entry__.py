@@ -6617,6 +6617,29 @@ FROM keyed GROUP BY 1 ORDER BY bucket LIMIT 30
 """
 
 
+def q_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projected ANN (64 -> 16 dims on the
+    deterministic gaussian family): rank in the projected space — 4x
+    fewer floats through the top-k machinery — exact cosine rerank of
+    the shortlist."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        rp_topk,
+    )
+
+    return rp_topk(
+        _t(spark, sf_dir, "embeddings"), _QUERY_VEC,
+        k=10, out_dim=16, shortlist=100,
+    )
+
+
+def _sql_rp_topk() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        rp_topk_oracle_sql,
+    )
+
+    return rp_topk_oracle_sql(_QUERY_VEC, k=10, out_dim=16, shortlist=100)
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity scoring (JM smoothing, first
     token unigram-backed) — the pair stream is zip-with-shift inside each
@@ -8736,6 +8759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_explore": q_graph_explore,
         "int8_topk": q_int8_topk,
         "zorder_cluster": q_zorder_cluster,
+        "rp_topk": q_rp_topk,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9091,6 +9115,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_explore": _sql_graph_explore(),
         "int8_topk": _sql_int8_topk(),
         "zorder_cluster": _sql_zorder_cluster(),
+        "rp_topk": _sql_rp_topk(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -142,3 +142,57 @@ def test_int8_quantization_identity_and_recall(spark):
     )
     out = int8_topk(const, qvec, k=3, shortlist=5).collect()
     assert len(out) == 3
+
+
+def test_random_projection_jl_property(spark):
+    """Pairwise squared distances are preserved in expectation: with
+    out_dim=64 over 32-d inputs, every sampled pair's distance ratio
+    lands within the eps ~ sqrt(8 ln n / k) JL envelope; the projection
+    plan is map-only (no shuffle)."""
+    import math
+    import itertools
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        random_project,
+    )
+
+    rows = [
+        (i, [math.sin(0.7 * i * j + 0.2 * j) for j in range(32)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = random_project(df, 32, 64, seed=11)
+    got = {r.vec_id: list(r.projected) for r in out.collect()}
+    byid = dict(rows)
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    for i, j in itertools.combinations(range(20), 2):
+        orig = d2(byid[i], byid[j])
+        proj = d2(got[i], got[j])
+        assert 0.4 < proj / orig < 1.9, (i, j, proj / orig)
+    # map-only: no exchange in the projection plan
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_random_projection_deterministic(spark):
+    """Same (in_dim, out_dim, seed) -> identical projection across
+    sessions/calls (the literal-plane pin)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        _project_vec,
+        random_project,
+    )
+
+    v = [float(j % 5) - 2.0 for j in range(16)]
+    df = spark.createDataFrame([(0, v)], ["vec_id", "embedding"])
+    a = list(random_project(df, 16, 8, seed=3).collect()[0].projected)
+    b = list(random_project(df, 16, 8, seed=3).collect()[0].projected)
+    assert a == b
+    # the driver-side twin matches the distributed expression exactly
+    c = _project_vec(v, 8, 3)
+    assert all(abs(x - y) < 1e-12 for x, y in zip(a, c))
