@@ -922,3 +922,49 @@ def test_ingest_pipeline_runs_on_stream(spark, events_stream_dir, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_sketches_match_batch(spark, tmp_path):
+    """The mergeable sketches run UNCHANGED on a stream: Count-Min
+    cells and HLL registers are plain groupBy aggs, so complete-mode
+    streaming output over the same rows equals the batch sketch — the
+    merge-by-addition / merge-by-MAX property is what makes the
+    100 TB continuous-ingest shape free."""
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        countmin_sketch,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+    ])
+    rows = [(i, f"t{i % 13}") for i in range(400)]
+    src = tmp_path / "sketch_stream"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(src)
+    )
+    batch_cells = {
+        (r.r, r.c): r.n
+        for r in countmin_sketch(
+            spark.read.parquet(str(src)), "term", depth=4, width=32
+        ).collect()
+    }
+    stream = read_document_stream(spark, str(src), schema)
+    out = countmin_sketch(stream, "term", depth=4, width=32)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cm_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_cm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.r, r.c): r.n
+        for r in spark.sql("SELECT * FROM cm_cells").collect()
+    }
+    assert got == batch_cells
