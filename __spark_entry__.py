@@ -6640,6 +6640,30 @@ def _sql_rp_topk() -> str:
     return rp_topk_oracle_sql(_QUERY_VEC, k=10, out_dim=16, shortlist=100)
 
 
+def q_hll_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog (distinct events per event_type): one
+    (group, bucket, MAX rho) map-combinable agg — the 100 TB 'distinct
+    per segment' path where per-group exact distincts shuffle the
+    world; registers merge by MAX across days/clusters."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        hll_cardinality_by,
+    )
+
+    return hll_cardinality_by(
+        _t(spark, sf_dir, "events"), "event_type", "event_id", p=10
+    )
+
+
+def _sql_hll_by() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hll_cardinality_by_sql,
+    )
+
+    return hll_cardinality_by_sql(
+        "events", "event_type", "event_id", "duckdb", p=10
+    )
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram-LM perplexity scoring (JM smoothing, first
     token unigram-backed) — the pair stream is zip-with-shift inside each
@@ -8760,6 +8784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_topk": q_int8_topk,
         "zorder_cluster": q_zorder_cluster,
         "rp_topk": q_rp_topk,
+        "hll_by": q_hll_by,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9116,6 +9141,7 @@ def oracle_sql() -> dict[str, str]:
         "int8_topk": _sql_int8_topk(),
         "zorder_cluster": _sql_zorder_cluster(),
         "rp_topk": _sql_rp_topk(),
+        "hll_by": _sql_hll_by(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -120,3 +120,35 @@ SELECT ROUND(
   END, 4) AS estimate
 FROM s
 """
+
+
+def hll_cardinality_by_sql(
+    table: str, group_col: str, field: str, dialect: str, *, p: int = 12
+) -> str:
+    """Per-group twin of :func:`hll_cardinality_sql` (same registers,
+    same estimator, keyed by ``group_col``)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    h = hash64_sql(f"CAST({field} AS {cast})", dialect)
+    z = f"(({h}) DIV {m})" if dialect == "spark" else f"(({h}) // {m})"
+    return f"""
+WITH regs AS (
+  SELECT {group_col} AS grp, ({h}) % {m} AS bucket,
+         MAX(CASE WHEN {z} = 0 THEN 49
+                  ELSE 49 - length(bin({z})) END) AS r
+  FROM {table} WHERE {field} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+), s AS (
+  SELECT grp, SUM(POWER(2.0, -r)) AS sum2, COUNT(*) AS nreg
+  FROM regs GROUP BY grp
+)
+SELECT grp AS {group_col}, ROUND(
+  CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / (sum2 + ({m} - nreg))
+            <= 2.5 * {m}
+        AND {m} - nreg > 0
+       THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - nreg))
+       ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m} / (sum2 + ({m} - nreg))
+  END, 4) AS estimate
+FROM s ORDER BY {group_col}
+"""

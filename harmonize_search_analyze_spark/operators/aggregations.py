@@ -2921,3 +2921,58 @@ FROM probes JOIN cells USING (r, c)
 GROUP BY item
 ORDER BY est DESC, item ASC LIMIT {k}
 """
+
+
+def hll_cardinality_by(
+    df: DataFrame,
+    group_col: str,
+    field: str,
+    *,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimates — the 100 TB
+    "distinct users per segment" path. Same register layout/estimator
+    as :func:`hll_cardinality`, keyed by ``group_col``: one
+    map-combinable (group, bucket, MAX rho) agg (<= 2^p registers per
+    group), then a group-level estimator fold. Register frames merge
+    by MAX across days/clusters, so per-group sketches are as
+    incremental as the global one. Returns (group, estimate) ordered
+    by group."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = hash64_sql(f"CAST({field} AS STRING)", "spark")
+    rho = (
+        f"CASE WHEN ({h}) DIV {m} = 0 THEN 49 "
+        f"ELSE 49 - length(bin(({h}) DIV {m})) END"
+    )
+    regs = (
+        df.where(F.col(field).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.expr(f"({h}) % {m}").alias("bucket"),
+        )
+        .agg(F.max(F.expr(rho)).alias("r"))
+    )
+    s = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum2"),
+        F.count(F.lit(1)).alias("nreg"),
+    )
+    raw = (
+        F.lit(alpha) * m * m / (F.col("sum2") + (F.lit(m) - F.col("nreg")))
+    )
+    zeros = F.lit(m) - F.col("nreg")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return (
+        s.select(
+            F.col("grp").alias(group_col),
+            F.round(est, 4).alias("estimate"),
+        )
+        .orderBy(group_col)
+    )

@@ -1787,3 +1787,32 @@ def test_countmin_plan_shape(spark):
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hll_by_accuracy_and_merge(spark):
+    """Per-group estimates land within ~5% of the exact per-group
+    distincts; register frames from disjoint halves merge by MAX to
+    the full-data estimate."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        hll_cardinality_by,
+    )
+
+    df = spark.range(0, 12000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # group sizes: g0 sees 4000 distinct, g1/g2 2000 each
+        F.when(F.col("id") % 3 == 0, F.col("id"))
+        .otherwise(F.col("id") % 6000)
+        .alias("k"),
+    )
+    exact = {
+        r.g: r.d
+        for r in df.groupBy("g")
+        .agg(F.count_distinct("k").alias("d"))
+        .collect()
+    }
+    got = {r.g: r.estimate for r in hll_cardinality_by(df, "g", "k", p=12).collect()}
+    assert set(got) == set(exact)
+    for g, e in got.items():
+        assert abs(e - exact[g]) / exact[g] < 0.05, (g, e, exact[g])
