@@ -6640,6 +6640,64 @@ def _sql_rp_topk() -> str:
     return rp_topk_oracle_sql(_QUERY_VEC, k=10, out_dim=16, shortlist=100)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 fixed iterations, dangling-mass corrected)
+    over the token co-occurrence graph of the top-30 corpus tokens —
+    the crawl-graph centrality signal curation pipelines use for
+    URL/domain quality; fixed iterations keep the whole run one
+    deterministic Catalyst plan the oracle unrolls CTE-for-CTE."""
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        split_tokens,
+    )
+    from harmonize_search_analyze_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.array_distinct(split_tokens("text"))).alias("term"),
+    )
+    topn = (
+        tok.groupBy("term")
+        .agg(F.count_distinct("doc").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(30)
+        .select("term")
+    )
+    t2 = tok.join(F.broadcast(topn), "term")
+    a, b = t2.alias("a"), t2.alias("b")
+    edges = (
+        a.join(b, "doc")
+        .where(F.col("a.term") != F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("src"), F.col("b.term").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(edges, iters=3, weight_col="w")
+
+
+def _sql_pagerank() -> str:
+    from harmonize_search_analyze_spark.operators.graph import pagerank_sql
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("text", "duckdb")
+    edges_sql = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest(list_distinct({toks})) AS term
+  FROM documents WHERE text IS NOT NULL
+),
+topn AS (
+  SELECT term FROM tok GROUP BY term
+  ORDER BY COUNT(DISTINCT doc) DESC, term ASC LIMIT 30
+),
+t2 AS (SELECT t.doc, t.term FROM tok t JOIN topn USING (term))
+SELECT a.term AS src, b.term AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+FROM t2 a JOIN t2 b ON a.doc = b.doc AND a.term <> b.term
+GROUP BY 1, 2
+"""
+    return pagerank_sql(edges_sql, "duckdb", iters=3)
+
+
 def q_hll_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HyperLogLog (distinct events per event_type): one
     (group, bucket, MAX rho) map-combinable agg — the 100 TB 'distinct
@@ -8785,6 +8843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": q_zorder_cluster,
         "rp_topk": q_rp_topk,
         "hll_by": q_hll_by,
+        "pagerank": q_pagerank,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9142,6 +9201,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_cluster": _sql_zorder_cluster(),
         "rp_topk": _sql_rp_topk(),
         "hll_by": _sql_hll_by(),
+        "pagerank": _sql_pagerank(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

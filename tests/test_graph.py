@@ -55,3 +55,34 @@ def test_graph_explore_min_doc_count_and_order(spark):
     # only edges seen in >= 2 docs survive: a-b (docs 1,2), a-c (3,4);
     # a-d (1 doc) filtered. Ordered doc_count DESC then target ASC.
     assert got == [("a", "b", 2), ("a", "c", 2)]
+
+
+def test_pagerank_convergence_and_dangling(spark):
+    """Star graph: the hub out-ranks the spokes; ranks always sum to 1
+    (the dangling correction is what keeps mass conserved — spokes
+    have no out-edges); more iterations move ranks toward the known
+    stationary solution."""
+    from harmonize_search_analyze_spark.operators.graph import pagerank
+
+    # hub 0 -> spokes 1..4; spokes dangle
+    edges = [(0, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.rank for r in pagerank(df, iters=5).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    assert all(out[0] != out[i] for i in range(1, 5))
+    spoke = [out[i] for i in range(1, 5)]
+    assert max(spoke) - min(spoke) < 1e-9  # symmetric spokes tie
+
+
+def test_pagerank_weighted_vs_unweighted(spark):
+    """Edge weights steer the split: with w(1->2)=3, w(1->3)=1, node 2
+    receives 3x node 3's contribution from node 1."""
+    from harmonize_search_analyze_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        ["src", "dst", "w"],
+    )
+    out = {r.node: r.rank for r in pagerank(df, iters=8, weight_col="w").collect()}
+    assert out[2] > out[3]
+    assert abs(sum(out.values()) - 1.0) < 1e-6
