@@ -6698,6 +6698,57 @@ GROUP BY 1, 2
     return pagerank_sql(edges_sql, "duckdb", iters=3)
 
 
+def q_esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL RERANK + COMPLETION (8.18 inference commands): the rerank
+    endpoint is the deterministic term_overlap stand-in, the completion
+    endpoint the echo_template stand-in — command plumbing (parse,
+    endpoint registry, _score wiring) is the real surface under test."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("documents", _t(spark, sf_dir, "documents"))
+    cat.register_inference(
+        "overlap-rerank", {"task_type": "rerank", "type": "term_overlap"}
+    )
+    cat.register_inference(
+        "echo", {
+            "task_type": "completion", "type": "echo_template",
+            "template": "note[{prompt}]",
+        },
+    )
+    return run_esql(cat, """
+        FROM documents
+        | WHERE text IS NOT NULL
+        | SORT doc_id ASC
+        | LIMIT 50
+        | RERANK "fast spark scan join" ON text WITH overlap-rerank
+        | COMPLETION note = SUBSTRING(text, 1, 10) WITH echo
+        | KEEP doc_id, _score, note
+        | SORT _score DESC, doc_id ASC
+        | LIMIT 20
+    """)
+
+
+def _sql_esql_rerank() -> str:
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("text", "duckdb")
+    return f"""
+WITH top50 AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  ORDER BY doc_id LIMIT 50
+)
+SELECT doc_id,
+       ROUND(CAST(len(list_filter(['fast', 'join', 'scan', 'spark'],
+                                  t -> list_contains({toks}, t)))
+                  AS DOUBLE) / 4, 6) AS _score,
+       'note[' || substring(text, 1, 10) || ']' AS note
+FROM top50
+ORDER BY _score DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_hll_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HyperLogLog (distinct events per event_type): one
     (group, bucket, MAX rho) map-combinable agg — the 100 TB 'distinct
@@ -8844,6 +8895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_topk": q_rp_topk,
         "hll_by": q_hll_by,
         "pagerank": q_pagerank,
+        "esql_rerank": q_esql_rerank,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9202,6 +9254,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_topk": _sql_rp_topk(),
         "hll_by": _sql_hll_by(),
         "pagerank": _sql_pagerank(),
+        "esql_rerank": _sql_esql_rerank(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -53,6 +53,16 @@ Supported commands::
                                     (Catalog.register_enrich); enrich
                                     columns shadow input columns
     SAMPLE probability [seed]       Bernoulli row sample (map-only)
+    RERANK [t =] "q" ON f,... WITH <endpoint>
+                                    inference re-scoring (8.18); the
+                                    in-engine model is the deterministic
+                                    term_overlap stand-in, registered
+                                    via Catalog.register_inference
+    COMPLETION [t =] expr WITH <endpoint>
+                                    LLM completion column; in-engine
+                                    only the echo_template stand-in
+                                    (real LLMs are env-gated with
+                                    guidance)
     FORK (pipe...) (pipe...)        run each branch on the current input,
                                     union byName with a _fork
                                     discriminator column
@@ -773,6 +783,104 @@ def _apply_command(
             except ValueError:
                 raise ESQLError(f"SAMPLE seed must be an integer: {rest!r}")
         df = df.sample(p, seed=seed)
+    elif word == "RERANK":
+        # RERANK [target =] "query" ON f1, f2 WITH <endpoint|{json}>
+        # (8.18 inference re-scoring). The endpoint resolves through
+        # Catalog.register_inference; the supported rerank model is the
+        # deterministic term_overlap stand-in (matched distinct query
+        # tokens / total query tokens over the concatenated ON fields,
+        # pinned tokenizer) — neural re-rankers can't run here, and the
+        # registry raises with guidance for any other type. Docs
+        # recommend LIMIT before RERANK; like ES|QL, no implicit sort —
+        # follow with SORT <target> DESC.
+        m = re.match(
+            r'(?:([A-Za-z_][\w.]*)\s*=\s*)?"((?:[^"\\]|\\.)*)"\s+'
+            r"ON\s+(.*?)\s+WITH\s+(.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ESQLError(
+                'RERANK needs: RERANK [target =] "query" ON fields '
+                f"WITH endpoint — got {rest!r}"
+            )
+        target = m.group(1) or "_score"
+        qtext = m.group(2).replace('\\"', '"').replace("\\\\", "\\")
+        fields = [f.strip() for f in _split_top(m.group(3), ",")]
+        for f_ in fields:
+            if f_ not in df.columns:
+                raise ESQLError(f"RERANK: unknown column {f_!r}")
+        endpoint = _inference_endpoint(catalog, m.group(4))
+        if endpoint.get("task_type") != "rerank":
+            raise ESQLError(
+                "RERANK endpoint must have task_type=rerank"
+            )
+        mtype = endpoint.get("type", "term_overlap")
+        if mtype != "term_overlap":
+            raise ESQLError(
+                f"rerank model type {mtype!r} needs an external "
+                "inference service; only the deterministic "
+                "term_overlap stand-in runs in-engine"
+            )
+        qtoks = sorted({
+            t for t in re.split(r"[^a-z0-9]+", qtext.lower()) if t
+        })
+        if not qtoks:
+            raise ESQLError("RERANK query has no tokens")
+        lit = "array(" + ", ".join(
+            "'" + t.replace("'", "\\'") + "'" for t in qtoks
+        ) + ")"
+        joined = "concat_ws(' ', " + ", ".join(
+            f"coalesce(CAST(`{f_}` AS STRING), '')" for f_ in fields
+        ) + ")"
+        toks = f"filter(split(lower({joined}), '[^a-z0-9]+'), t -> t != '')"
+        score = (
+            f"round(CAST(size(array_intersect({lit}, {toks})) AS DOUBLE)"
+            f" / {len(qtoks)}, 6)"
+        )
+        df = df.withColumn(target, F.expr(score))
+    elif word == "COMPLETION":
+        # COMPLETION [target =] prompt_expr WITH <endpoint|{json}>.
+        # A real completion needs an LLM; the in-engine stand-in is the
+        # echo_template endpoint ({"task_type": "completion", "type":
+        # "echo_template", "template": "... {prompt} ..."}) — the
+        # command plumbing (expression compile, column wiring) is real
+        # and tested, the model deterministically templates the prompt.
+        m = re.match(
+            r"(?:([A-Za-z_][\w.]*)\s*=\s*)?(.*?)\s+WITH\s+(.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ESQLError(
+                "COMPLETION needs: COMPLETION [target =] prompt "
+                f"WITH endpoint — got {rest!r}"
+            )
+        target = m.group(1) or "completion"
+        prompt = _x(m.group(2))
+        endpoint = _inference_endpoint(catalog, m.group(3))
+        if endpoint.get("task_type") != "completion":
+            raise ESQLError(
+                "COMPLETION endpoint must have task_type=completion"
+            )
+        if endpoint.get("type") != "echo_template":
+            raise NotImplementedError(
+                "completion inference needs an external LLM endpoint; "
+                "only the deterministic echo_template stand-in runs "
+                "in-engine (register_inference(..., {'task_type': "
+                "'completion', 'type': 'echo_template', 'template': "
+                "'... {prompt} ...'}))"
+            )
+        template = endpoint.get("template", "{prompt}")
+        if template.count("{prompt}") != 1:
+            raise ESQLError(
+                "echo_template needs exactly one {prompt} placeholder"
+            )
+        pre, post = template.split("{prompt}")
+        df = df.withColumn(
+            target,
+            F.concat(F.lit(pre), prompt.cast("string"), F.lit(post)),
+        )
     elif word == "FORK":
         # FORK (pipeline) (pipeline) ... — run each branch on the current
         # input and union the results, tagged with a _fork discriminator
@@ -842,3 +950,27 @@ def _fork_branches(rest: str) -> list[str]:
         branches.append(rest[i + 1:j - 1].strip())
         i = j
     return branches
+
+
+def _inference_endpoint(catalog, spec: str) -> dict:
+    """Resolve a RERANK/COMPLETION WITH clause: either a bare endpoint
+    id or the ES JSON form ``{"inference_id": "..."}``."""
+    import json as _json
+
+    if catalog is None:
+        raise ESQLError("RERANK/COMPLETION require a catalog")
+    spec = spec.strip()
+    if spec.startswith("{"):
+        try:
+            obj = _json.loads(spec)
+        except ValueError as exc:
+            raise ESQLError(f"bad WITH spec: {spec!r}") from exc
+        ident = obj.get("inference_id")
+        if not ident:
+            raise ESQLError("WITH object needs inference_id")
+    else:
+        ident = spec.strip("`\"'")
+    try:
+        return catalog.inference_endpoint(ident)
+    except KeyError as exc:
+        raise ESQLError(str(exc)) from exc

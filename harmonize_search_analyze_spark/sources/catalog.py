@@ -36,6 +36,7 @@ class Catalog:
         self._datasets: dict[str, DataFrame] = {}
         self._aliases: dict[str, tuple[str, dict | None]] = {}
         self._enrich: dict[str, tuple[DataFrame, str, list[str]]] = {}
+        self._inference: dict[str, dict] = {}
 
     # -- enrich policies (ES .enrich-* materialized indexes) ---------------
     def register_enrich(
@@ -66,6 +67,33 @@ class Catalog:
 
     def enrich_policy(self, name: str) -> tuple[DataFrame, str, list[str]]:
         return self._enrich[name]
+
+    # -- inference endpoints (the ES _inference API registry) --------------
+    def register_inference(self, inference_id: str, model: dict) -> None:
+        """ES inference endpoint: the id ES|QL ``RERANK``/``COMPLETION``
+        name in their WITH clause. ``model`` is the endpoint config:
+        ``task_type`` must be ``rerank`` or ``completion``. A neural
+        re-ranker/LLM cannot run in this engine; the supported model
+        types are the deterministic stand-ins (``term_overlap`` rerank,
+        ``echo_template`` completion) — the command plumbing (parse,
+        column wiring, scoring shape) is real, the model is honestly
+        pinned, and anything else raises with guidance (same contract
+        as the multimodal decode gates)."""
+        task = model.get("task_type")
+        if task not in ("rerank", "completion"):
+            raise ValueError(
+                f"inference task_type must be rerank or completion, "
+                f"got {task!r}"
+            )
+        self._inference[inference_id] = dict(model)
+
+    def inference_endpoint(self, inference_id: str) -> dict:
+        if inference_id not in self._inference:
+            raise KeyError(
+                f"unknown inference endpoint {inference_id!r} — "
+                "register it with Catalog.register_inference"
+            )
+        return self._inference[inference_id]
 
 
     # -- index lifecycle (esindex.py:53-114 equivalents) -------------------

@@ -470,3 +470,62 @@ def test_esql_fulltext_functions(spark):
         | KEEP id
     ''')
     assert [r.id for r in out4.collect()] == [1]
+
+
+def test_rerank_term_overlap_and_target(spark):
+    """RERANK scores = matched distinct query tokens / total query
+    tokens over the ON fields; custom target name; unknown column and
+    unregistered endpoint raise."""
+    import pytest
+
+    from harmonize_search_analyze_spark.plans.esql import ESQLError, run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("d", spark.createDataFrame(
+        [(1, "alpha beta", "x"), (2, "gamma", "alpha")],
+        ["id", "t1", "t2"],
+    ))
+    cat.register_inference(
+        "rr", {"task_type": "rerank", "type": "term_overlap"}
+    )
+    out = run_esql(cat, """
+        FROM d
+        | RERANK s = "alpha gamma" ON t1, t2 WITH rr
+        | KEEP id, s | SORT id
+    """).collect()
+    # doc 1: alpha matches (t1), gamma absent -> 1/2; doc 2: both
+    # (gamma in t1, alpha in t2) -> 2/2
+    assert [(r.id, r.s) for r in out] == [(1, 0.5), (2, 1.0)]
+    with pytest.raises(ESQLError, match="unknown column"):
+        run_esql(cat, 'FROM d | RERANK "q" ON missing WITH rr')
+    with pytest.raises(ESQLError, match="unknown inference endpoint"):
+        run_esql(cat, 'FROM d | RERANK "q" ON t1 WITH nope')
+
+
+def test_completion_echo_template_and_gate(spark):
+    """COMPLETION templates the compiled prompt expression; non-stub
+    model types raise the documented NotImplementedError gate; JSON
+    WITH form resolves inference_id."""
+    import pytest
+
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("d", spark.createDataFrame([(1, "ab")], ["id", "t"]))
+    cat.register_inference("llm", {
+        "task_type": "completion", "type": "echo_template",
+        "template": "<{prompt}>",
+    })
+    cat.register_inference("real-llm", {
+        "task_type": "completion", "type": "openai_chat",
+    })
+    out = run_esql(cat, """
+        FROM d
+        | COMPLETION c = CONCAT(t, "!") WITH {"inference_id": "llm"}
+        | KEEP id, c
+    """).collect()
+    assert [(r.id, r.c) for r in out] == [(1, "<ab!>")]
+    with pytest.raises(NotImplementedError, match="external LLM"):
+        run_esql(cat, "FROM d | COMPLETION c = t WITH real-llm")
