@@ -6731,18 +6731,17 @@ def q_esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_esql_rerank() -> str:
-    from harmonize_search_analyze_spark.operators.text import tokens_sql
+    from harmonize_search_analyze_spark.operators.text import (
+        term_overlap_sql,
+    )
 
-    toks = tokens_sql("text", "duckdb")
+    score = term_overlap_sql("fast spark scan join", ["text"], "duckdb")
     return f"""
 WITH top50 AS (
   SELECT doc_id, text FROM documents WHERE text IS NOT NULL
   ORDER BY doc_id LIMIT 50
 )
-SELECT doc_id,
-       ROUND(CAST(len(list_filter(['fast', 'join', 'scan', 'spark'],
-                                  t -> list_contains({toks}, t)))
-                  AS DOUBLE) / 4, 6) AS _score,
+SELECT doc_id, {score} AS _score,
        'note[' || substring(text, 1, 10) || ']' AS note
 FROM top50
 ORDER BY _score DESC, doc_id ASC LIMIT 20

@@ -306,4 +306,52 @@ def _run(
         out = rescored.unionByName(tail).where(F.col("rank") <= k)
         return out.orderBy("rank")
 
+    if kind == "text_similarity_reranker":
+        # ES 8.15 semantic re-ranking retriever: re-score the child's
+        # top rank_window_size by a rerank inference endpoint over
+        # `field` vs `inference_text`, re-rank by the new score. The
+        # in-engine model is the deterministic term_overlap stand-in
+        # (shared with ES|QL RERANK, operators/text.py); the
+        # inference_id is looked up in the spec's own `inference`
+        # registry dict (the Catalog.register_inference map, passed
+        # data-side so retriever bodies stay pure JSON + one registry).
+        from harmonize_search_analyze_spark.operators.text import (
+            term_overlap_sql,
+        )
+
+        window = int(body.get("rank_window_size", 10))
+        registry = body.get("inference") or {}
+        endpoint = registry.get(body["inference_id"])
+        if endpoint is None:
+            raise ValueError(
+                f"unknown inference endpoint {body['inference_id']!r} — "
+                "pass Catalog's registry as body['inference']"
+            )
+        if endpoint.get("task_type") != "rerank":
+            raise ValueError("reranker endpoint must be task_type=rerank")
+        if endpoint.get("type", "term_overlap") != "term_overlap":
+            raise ValueError(
+                "only the deterministic term_overlap rerank stand-in "
+                "runs in-engine"
+            )
+        field = body.get("field", text_col)
+        score = term_overlap_sql(
+            body["inference_text"], [f"`{field}`"], "spark"
+        )
+        child = recurse(body["retriever"], max(k, window))
+        head = child.where(F.col("rank") <= window).join(
+            docs, id_col, "inner"
+        )
+        wh = Window.orderBy(F.desc("score"), F.asc(id_col))
+        return (
+            head.select(id_col, F.expr(score).alias("score"))
+            .select(
+                id_col,
+                F.row_number().over(wh).alias("rank"),
+                "score",
+            )
+            .where(F.col("rank") <= k)
+            .orderBy("rank")
+        )
+
     raise ValueError(f"unknown retriever kind: {kind!r}")

@@ -863,3 +863,36 @@ def readability_sql(expr: str, dialect: str) -> str:
         f"- 84.6 * (CAST({syl} AS DOUBLE) / NULLIF({n_words}, 0)))"
     )
     return f"ROUND(LEAST(GREATEST({score}, -100.0), 121.22), 6)"
+
+
+def term_overlap_sql(
+    query_text: str, cols: list[str], dialect: str
+) -> str:
+    """The deterministic rerank stand-in shared by the ES|QL ``RERANK``
+    command and the ``text_similarity_reranker`` retriever: matched
+    DISTINCT query tokens / total query tokens over the concatenated
+    columns (pinned tokenizer, score in [0, 1], rounded 6). A neural
+    re-ranker can't run in-engine; this is the registered
+    ``term_overlap`` model type."""
+    import re as _re
+
+    toks = sorted({
+        t for t in _re.split(r"[^a-z0-9]+", query_text.lower()) if t
+    })
+    if not toks:
+        raise ValueError("rerank query has no tokens")
+    qt = lambda t: "'" + t.replace("'", "''") + "'"  # noqa: E731
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    joined = "concat_ws(' ', " + ", ".join(
+        f"coalesce(CAST({c} AS {cast}), '')" for c in cols
+    ) + ")"
+    dtoks = tokens_sql(joined, dialect)
+    if dialect == "spark":
+        lit = "array(" + ", ".join(qt(t) for t in toks) + ")"
+        matched = f"size(array_intersect({lit}, {dtoks}))"
+    else:
+        lit = "[" + ", ".join(qt(t) for t in toks) + "]"
+        matched = (
+            f"len(list_filter({lit}, __qtok -> list_contains({dtoks}, __qtok)))"
+        )
+    return f"ROUND(CAST({matched} AS DOUBLE) / {len(toks)}, 6)"

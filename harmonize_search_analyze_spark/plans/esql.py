@@ -822,22 +822,16 @@ def _apply_command(
                 "inference service; only the deterministic "
                 "term_overlap stand-in runs in-engine"
             )
-        qtoks = sorted({
-            t for t in re.split(r"[^a-z0-9]+", qtext.lower()) if t
-        })
-        if not qtoks:
-            raise ESQLError("RERANK query has no tokens")
-        lit = "array(" + ", ".join(
-            "'" + t.replace("'", "\\'") + "'" for t in qtoks
-        ) + ")"
-        joined = "concat_ws(' ', " + ", ".join(
-            f"coalesce(CAST(`{f_}` AS STRING), '')" for f_ in fields
-        ) + ")"
-        toks = f"filter(split(lower({joined}), '[^a-z0-9]+'), t -> t != '')"
-        score = (
-            f"round(CAST(size(array_intersect({lit}, {toks})) AS DOUBLE)"
-            f" / {len(qtoks)}, 6)"
+        from harmonize_search_analyze_spark.operators.text import (
+            term_overlap_sql,
         )
+
+        try:
+            score = term_overlap_sql(
+                qtext, [f"`{f_}`" for f_ in fields], "spark"
+            )
+        except ValueError as exc:
+            raise ESQLError(f"RERANK: {exc}") from exc
         df = df.withColumn(target, F.expr(score))
     elif word == "COMPLETION":
         # COMPLETION [target =] prompt_expr WITH <endpoint|{json}>.

@@ -215,3 +215,51 @@ def test_rescorer_preserves_tail_beyond_window(corpus):
     # the rescored head (lower id wins with -id scoring) sits above the
     # untouched tail
     assert rows[0].doc_id < rows[1].doc_id
+
+
+def test_text_similarity_reranker_kind(spark):
+    """The reranker kind re-orders the child's window by term-overlap
+    score against inference_text; rows beyond the window drop (ES
+    semantics: the reranker RETURNS its window); endpoint validation
+    raises on missing/typed-wrong endpoints."""
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.retriever import (
+        run_retriever,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "spark fast scan"),
+            (3, "fast spark join scan"),
+            (4, "nothing relevant"),
+        ],
+        ["doc_id", "text"],
+    )
+    registry = {"rr": {"task_type": "rerank", "type": "term_overlap"}}
+    spec = {
+        "text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match_all": {}}}},
+            "field": "text",
+            "inference_id": "rr",
+            "inference_text": "fast spark scan join",
+            "rank_window_size": 4,
+            "inference": registry,
+        }
+    }
+    got = [(r.doc_id, r.rank) for r in run_retriever(
+        spec, docs=docs, k=3
+    ).collect()]
+    # doc 3 matches 4/4, doc 2 3/4, docs 1/4 score 0 -> id ASC tiebreak
+    assert got == [(3, 1), (2, 2), (1, 3)]
+    bad = {
+        "text_similarity_reranker": {
+            "retriever": {"standard": {"query": {"match_all": {}}}},
+            "inference_id": "nope",
+            "inference_text": "x",
+            "inference": registry,
+        }
+    }
+    with pytest.raises(ValueError, match="unknown inference endpoint"):
+        run_retriever(bad, docs=docs, k=3)
