@@ -765,3 +765,36 @@ def test_hll_generator_edge_values(spark):
             hll_cardinality_sql("hll_t", "k", "duckdb")
         ).fetchone()[0]
         assert got == want, (vals[:3], got, want)
+
+
+def test_term_overlap_edge_texts(spark):
+    """term_overlap_sql (the rerank stand-in) over the edge corpus and
+    several query shapes — including a query whose tokens collide with
+    lambda-variable names (the shadowing class of bug the inline
+    version had) and a column literally named ``t``."""
+    from harmonize_search_analyze_spark.operators.text import (
+        term_overlap_sql,
+    )
+
+    for q in ("one two", "a", "t __qtok x", "dig1ts 42", "UPPER lower"):
+        got_s = _spark_eval(
+            spark, term_overlap_sql(q, ["text"], "spark")
+        )
+        out = []
+        for t in EDGE_TEXTS:
+            lit = "'" + t.replace("'", "''").replace("\\", "\\\\") + "'"
+            out.append(
+                duckdb.sql(
+                    "SELECT "
+                    + term_overlap_sql(q, ["text"], "duckdb").replace(
+                        "CAST(text AS VARCHAR)", f"CAST({lit} AS VARCHAR)"
+                    )
+                ).fetchall()[0][0]
+            )
+        for t, s, d in zip(EDGE_TEXTS, got_s, out):
+            assert _norm(s) == _norm(d), (q, t[:40], s, d)
+    # empty query raises on both construction paths
+    import pytest
+
+    with pytest.raises(ValueError, match="no tokens"):
+        term_overlap_sql("!!!", ["text"], "spark")
