@@ -6748,6 +6748,32 @@ ORDER BY _score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TSDB _downsample: per (event_type, 3h bucket) gauge
+    pre-aggregates (min/max/sum/value_count recompose any downstream
+    metric exactly) + counter last_value via one struct-max — the
+    retention path where the raw series index drops."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        downsample,
+    )
+
+    return downsample(
+        _t(spark, sf_dir, "events"), "ts", "3 hours",
+        dims=["event_type"], gauges=["value"], counters=["event_id"],
+    )
+
+
+def _sql_downsample() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        downsample_sql,
+    )
+
+    return downsample_sql(
+        "events", "ts", "3 hours", "duckdb",
+        dims=["event_type"], gauges=["value"], counters=["event_id"],
+    )
+
+
 def q_hll_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group HyperLogLog (distinct events per event_type): one
     (group, bucket, MAX rho) map-combinable agg — the 100 TB 'distinct
@@ -8895,6 +8921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by": q_hll_by,
         "pagerank": q_pagerank,
         "esql_rerank": q_esql_rerank,
+        "downsample": q_downsample,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9254,6 +9281,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_by": _sql_hll_by(),
         "pagerank": _sql_pagerank(),
         "esql_rerank": _sql_esql_rerank(),
+        "downsample": _sql_downsample(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -2976,3 +2976,96 @@ def hll_cardinality_by(
         )
         .orderBy(group_col)
     )
+
+
+def downsample(
+    df: DataFrame,
+    ts_col: str,
+    interval: str,
+    *,
+    dims: list[str],
+    gauges: list[str] | None = None,
+    counters: list[str] | None = None,
+) -> DataFrame:
+    """ES TSDB ``_downsample`` API: one document per (dimensions, fixed
+    time bucket) carrying, for each GAUGE metric, the min/max/sum/
+    value_count pre-aggregates ES stores (any downstream avg/min/max/
+    sum/count over the downsampled index recomposes exactly), and for
+    each COUNTER its last value in the bucket (at the max timestamp;
+    ties pinned to the max value — one struct-max, no window). ONE hash
+    agg over (dims, bucket): the 100 TB retention path — the raw
+    time-series index drops, queries re-target the downsampled one
+    (see ``rollup_rewrite`` for the query-rewrite side)."""
+    gauges = gauges or []
+    counters = counters or []
+    aggs = [F.count(F.lit(1)).alias("_doc_count")]
+    for g in gauges:
+        v = F.col(g).cast("double")
+        aggs += [
+            F.round(F.min(v), 6).alias(f"{g}_min"),
+            F.round(F.max(v), 6).alias(f"{g}_max"),
+            F.round(F.sum(v), 6).alias(f"{g}_sum"),
+            F.count(v).alias(f"{g}_value_count"),
+        ]
+    for c in counters:
+        aggs.append(
+            F.max(F.struct(F.col(ts_col), F.col(c)))[c].alias(
+                f"{c}_last_value"
+            )
+        )
+    out = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            *dims,
+            F.window(ts_col, interval)["start"].alias("bucket"),
+        )
+        .agg(*aggs)
+    )
+    return out.orderBy(*[F.asc(d) for d in dims], F.asc("bucket"))
+
+
+def downsample_sql(
+    table: str,
+    ts_col: str,
+    interval: str,
+    dialect: str,
+    *,
+    dims: list[str],
+    gauges: list[str] | None = None,
+    counters: list[str] | None = None,
+) -> str:
+    """Dual-dialect twin of :func:`downsample`. ``interval`` must be an
+    epoch-aligned fixed width (hours/minutes) so Spark's window() and
+    DuckDB's time_bucket() agree on bucket starts."""
+    gauges = gauges or []
+    counters = counters or []
+    cols = [f"{d}" for d in dims]
+    if dialect == "spark":
+        bucket = f"window({ts_col}, '{interval}').start"
+    else:
+        bucket = f"time_bucket(INTERVAL '{interval}', {ts_col})"
+    sel = [*cols, f"{bucket} AS bucket", "COUNT(*) AS _doc_count"]
+    for g in gauges:
+        v = f"CAST({g} AS DOUBLE)"
+        sel += [
+            f"ROUND(MIN({v}), 6) AS {g}_min",
+            f"ROUND(MAX({v}), 6) AS {g}_max",
+            f"ROUND(SUM({v}), 6) AS {g}_sum",
+            f"COUNT({g}) AS {g}_value_count",
+        ]
+    for c in counters:
+        if dialect == "spark":
+            sel.append(
+                f"max(struct({ts_col}, {c})).{c} AS {c}_last_value"
+            )
+        else:
+            sel.append(
+                f"MAX(ROW({ts_col}, {c}))[2] AS {c}_last_value"
+            )
+    dim_list = ", ".join(cols) + (", " if cols else "")
+    order = ", ".join([*(f"{d} ASC" for d in dims), "bucket ASC"])
+    return (
+        f"SELECT {', '.join(sel)} FROM {table} "
+        f"WHERE {ts_col} IS NOT NULL "
+        f"GROUP BY {dim_list}bucket ORDER BY {order}"
+    )

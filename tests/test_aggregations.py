@@ -1816,3 +1816,49 @@ def test_hll_by_accuracy_and_merge(spark):
     assert set(got) == set(exact)
     for g, e in got.items():
         assert abs(e - exact[g]) / exact[g] < 0.05, (g, e, exact[g])
+
+
+def test_downsample_recomposition_and_counter(spark):
+    """The stored gauge pre-aggregates recompose downstream metrics
+    exactly (avg over the downsampled index == avg over raw); counter
+    last_value is the value at the bucket's max timestamp, ties pinned
+    to the larger value."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        downsample,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=m), float(v), c)
+        for m, v, c in [
+            (0, 10.0, 100), (30, 20.0, 101), (59, 5.0, 102),
+            (60, 7.0, 103), (90, 7.0, 104),
+        ]
+    ]
+    # tie on max ts inside bucket 2: two rows at the same instant
+    rows.append(("a", t0 + dt.timedelta(minutes=90), 9.0, 99))
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "cnt"])
+    out = {
+        r.bucket: r
+        for r in downsample(
+            df, "ts", "1 hour", dims=["k"], gauges=["v"], counters=["cnt"]
+        ).collect()
+    }
+    b0 = out[t0]
+    assert (b0.v_min, b0.v_max, b0.v_sum, b0.v_value_count) == (
+        5.0, 20.0, 35.0, 3
+    )
+    assert b0.cnt_last_value == 102
+    b1 = out[t0 + dt.timedelta(hours=1)]
+    # tie at minute 90: struct-max picks the larger counter value
+    assert b1.cnt_last_value == 104
+    # recomposition: avg over raw == sum/value_count from the rollup
+    raw_avg = df.agg(F.avg("v")).collect()[0][0]
+    re_avg = sum(r.v_sum for r in out.values()) / sum(
+        r.v_value_count for r in out.values()
+    )
+    assert abs(raw_avg - re_avg) < 1e-9
