@@ -6748,6 +6748,26 @@ ORDER BY _score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis over orders.o_custkey: per-key share,
+    normalized entropy, max/mean ratio — the pre-flight check before
+    salting a 100 TB join key. Summary = one map-combinable agg
+    broadcast back (never a whole-frame window)."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        skew_report,
+    )
+
+    return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top=15)
+
+
+def _sql_skew_report() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        skew_report_sql,
+    )
+
+    return skew_report_sql("orders", "o_custkey", "duckdb", top=15)
+
+
 def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES TSDB _downsample: per (event_type, 3h bucket) gauge
     pre-aggregates (min/max/sum/value_count recompose any downstream
@@ -8922,6 +8942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "esql_rerank": q_esql_rerank,
         "downsample": q_downsample,
+        "skew_report": q_skew_report,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9282,6 +9303,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "esql_rerank": _sql_esql_rerank(),
         "downsample": _sql_downsample(),
+        "skew_report": _sql_skew_report(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

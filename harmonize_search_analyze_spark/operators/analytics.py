@@ -1115,3 +1115,88 @@ def eql_join_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT {', '.join(sel)} FROM s1\n" + "\n".join(joins)
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew diagnosis — the pre-flight check before any
+    100 TB join/groupBy on ``key_col``. One key-count agg, then
+    key-count-sized work: per-key share of rows, normalized Shannon
+    entropy (1 = uniform), and the max-key/mean-key ratio — the number
+    that says how much longer the hottest reducer runs than the
+    average one (the salting-factor starting point; AQE's skew-join
+    handles joins, but groupBy hotspots need salting by hand). Returns
+    the ``top`` hottest keys with the summary columns repeated per row
+    (one frame, driver-gate friendly). NULL keys count as a key."""
+    # key-count frame: built once, consumed twice (summary + output) —
+    # localCheckpoint so the raw scan doesn't run twice; the frame is
+    # key-cardinality-sized, never row-sized
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")).alias(
+            "key"
+        )
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    # the summary is ONE map-combinable agg + a broadcast back — NOT a
+    # whole-frame window (which would move every key count to a single
+    # task; key spaces at 100 TB are themselves large). Entropy
+    # decomposes as ln(tot) - sum(n*ln n)/tot, so tot never needs a
+    # separate pass.
+    summary = F.broadcast(
+        counts.agg(
+            F.count(F.lit(1)).alias("__k"),
+            F.max("n").alias("__max"),
+            F.sum("n").cast("double").alias("__tot"),
+            F.sum(F.col("n") * F.log("n")).alias("__s"),
+        ).select(
+            "__k", "__max", "__tot",
+            (F.log("__tot") - F.col("__s") / F.col("__tot")).alias("__h"),
+        )
+    )
+    stats = counts.crossJoin(summary)
+    return (
+        stats.select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+            F.round(
+                F.when(F.col("__k") > 1, F.col("__h") / F.log("__k"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("entropy"),
+            F.round(
+                F.col("__max") / (F.col("__tot") / F.col("__k")), 6
+            ).alias("max_over_mean"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top)
+    )
+
+
+def skew_report_sql(
+    table: str, key_col: str, dialect: str, *, top: int = 10
+) -> str:
+    """Dual-dialect twin of :func:`skew_report`."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+WITH counts AS (
+  SELECT COALESCE(CAST({key_col} AS {cast}), '<null>') AS key,
+         COUNT(*) AS n
+  FROM {table} GROUP BY 1
+), s AS (
+  SELECT SUM(n) AS tot, COUNT(*) AS k, MAX(n) AS mx,
+         -SUM((CAST(n AS DOUBLE) / (SELECT SUM(n) FROM counts))
+              * ln(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM counts))) AS h
+  FROM counts
+)
+SELECT key, n,
+       ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
+       ROUND(CASE WHEN k > 1 THEN h / ln(k) ELSE 0.0 END, 6) AS entropy,
+       ROUND(CAST(mx AS DOUBLE) / (CAST(tot AS DOUBLE) / k), 6)
+         AS max_over_mean
+FROM counts CROSS JOIN s
+ORDER BY n DESC, key ASC LIMIT {top}
+"""

@@ -282,3 +282,53 @@ def test_readability_known_text(spark):
         "SELECT " + readability_sql("'the cat sat. the dog ran.'", "duckdb")
     ).fetchone()[0]
     assert want == got
+
+
+def test_skew_report_metrics(spark):
+    """Known distribution: 80/10/10 over three keys + NULLs counted as
+    a key. Shares exact; entropy normalized (uniform -> 1); the
+    max/mean ratio is the hot-reducer multiple; plan has no
+    whole-frame window and broadcasts the summary."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        skew_report,
+    )
+
+    rows = (
+        [("hot",)] * 80 + [("warm",)] * 10 + [(None,)] * 10
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.key: r for r in skew_report(df, "k", top=10).collect()}
+    assert set(got) == {"hot", "warm", "<null>"}
+    assert got["hot"].share == 0.8
+    # entropy of (0.8, 0.1, 0.1) normalized by ln(3)
+    h = -(0.8 * math.log(0.8) + 0.2 * math.log(0.1)) / math.log(3)
+    assert abs(got["hot"].entropy - round(h, 6)) < 1e-6
+    # hottest key holds 80 rows vs mean 100/3
+    assert abs(got["hot"].max_over_mean - round(80 / (100 / 3), 6)) < 1e-6
+    out = skew_report(df, "k", top=10)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_skew_report_uniform_and_single_key(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        skew_report,
+    )
+
+    uni = spark.createDataFrame(
+        [(str(i % 5),) for i in range(100)], "k string"
+    )
+    got = skew_report(uni, "k").collect()
+    assert all(r.entropy == 1.0 and r.max_over_mean == 1.0 for r in got)
+    one = spark.createDataFrame([("a",)] * 7, "k string")
+    r = skew_report(one, "k").collect()[0]
+    # single key: entropy pinned 0, ratio 1
+    assert (r.entropy, r.max_over_mean, r.share) == (0.0, 1.0, 1.0)
