@@ -6748,6 +6748,58 @@ ORDER BY _score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_significant_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms under mutual_information (2x2 pointwise-MI sum
+    in bits, include_negatives sign) — same one-agg + broadcast-totals
+    plan as the jlh/chi_square gates, different pure arithmetic."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        significant_terms,
+    )
+
+    return significant_terms(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        foreground=F.col("value") > 250,
+        heuristic="mutual_information",
+    )
+
+
+SQL_SIGNIFICANT_MI = """
+WITH t AS (
+  SELECT event_type, COUNT(*) AS bg_count,
+         COUNT(CASE WHEN value > 250 THEN 1 END) AS fg_count
+  FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+), tot AS (
+  SELECT SUM(bg_count) AS bg_total, SUM(fg_count) AS fg_total FROM t
+), c AS (
+  SELECT event_type, fg_count, bg_count,
+         CAST(fg_count AS DOUBLE) AS n11,
+         CAST(bg_count - fg_count AS DOUBLE) AS n01,
+         CAST(fg_total - fg_count AS DOUBLE) AS n10,
+         CAST(bg_total - bg_count - (fg_total - fg_count) AS DOUBLE) AS n00,
+         CAST(bg_total AS DOUBLE) AS n
+  FROM t, tot
+), m AS (
+  SELECT event_type, fg_count, bg_count,
+         ((CASE WHEN n11 <= 0 THEN 0.0
+                ELSE (n11 / n) * ln((n * n11) / ((n11 + n10) * (n11 + n01))) END)
+        + (CASE WHEN n10 <= 0 THEN 0.0
+                ELSE (n10 / n) * ln((n * n10) / ((n11 + n10) * (n10 + n00))) END)
+        + (CASE WHEN n01 <= 0 THEN 0.0
+                ELSE (n01 / n) * ln((n * n01) / ((n01 + n00) * (n11 + n01))) END)
+        + (CASE WHEN n00 <= 0 THEN 0.0
+                ELSE (n00 / n) * ln((n * n00) / ((n01 + n00) * (n10 + n00))) END))
+         / ln(2.0) AS mi,
+         CASE WHEN n11 * (n01 + n00) < n01 * (n11 + n10)
+              THEN -1.0 ELSE 1.0 END AS sgn
+  FROM c
+)
+SELECT event_type, fg_count, bg_count, ROUND(sgn * mi, 6) AS score
+FROM m WHERE fg_count > 0
+ORDER BY score DESC, event_type ASC LIMIT 10
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis over orders.o_custkey: per-key share,
     normalized entropy, max/mean ratio — the pre-flight check before
@@ -8943,6 +8995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rerank": q_esql_rerank,
         "downsample": q_downsample,
         "skew_report": q_skew_report,
+        "significant_mi": q_significant_mi,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9304,6 +9357,7 @@ def oracle_sql() -> dict[str, str]:
         "esql_rerank": _sql_esql_rerank(),
         "downsample": _sql_downsample(),
         "skew_report": _sql_skew_report(),
+        "significant_mi": SQL_SIGNIFICANT_MI,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -661,7 +661,15 @@ def significant_terms(
       superset-adjusted contingency table (Lucene's ChiSquare with
       include_negatives — a term RARER in the foreground scores
       negative);
-    - ``percentage``: ``fg_count / bg_count`` (the docs' simple ratio).
+    - ``percentage``: ``fg_count / bg_count`` (the docs' simple ratio);
+    - ``mutual_information``: the 2x2 pointwise-MI sum in bits over the
+      superset-adjusted table (zero cells contribute 0 — the x*log(x)
+      limit), negated for terms RARER in the foreground
+      (include_negatives, same division-free sign test as chi_square);
+    - ``gnd``: Google Normalized Distance between the term and the
+      foreground class (NGD over doc frequencies); scored as ``-NGD``
+      so higher = more associated, matching the other heuristics'
+      ordering (documented transform — Lucene's GND heuristic family).
 
     Terms absent from the foreground are dropped (ES emits no bucket for
     them). One hash agg computes fg+bg counts per term (conditional
@@ -675,7 +683,8 @@ def significant_terms(
     matching neither it nor the foreground leave the scan entirely (the
     filter is sargable and pushes down).
     """
-    if heuristic not in ("jlh", "chi_square", "percentage"):
+    if heuristic not in ("jlh", "chi_square", "percentage",
+                     "mutual_information", "gnd"):
         raise ValueError(f"unsupported heuristic: {heuristic!r}")
     # ES background_filter: significance is computed against a NARROWED
     # background set instead of the whole index ("commonly appearing in
@@ -704,6 +713,44 @@ def significant_terms(
         score = (fg_rate - bg_rate) * F.try_divide(fg_rate, bg_rate)
     elif heuristic == "percentage":
         score = F.try_divide(F.col("fg_count"), F.col("bg_count"))
+    elif heuristic == "mutual_information":
+        n11 = F.col("fg_count").cast("double")
+        n01 = (F.col("bg_count") - F.col("fg_count")).cast("double")
+        n10 = (F.col("fg_total") - F.col("fg_count")).cast("double")
+        n00 = (
+            F.col("bg_total") - F.col("bg_count")
+            - (F.col("fg_total") - F.col("fg_count"))
+        ).cast("double")
+        n = F.col("bg_total").cast("double")
+        rx1 = n11 + n10  # foreground row
+        rx0 = n01 + n00
+        cy1 = n11 + n01  # term column
+        cy0 = n10 + n00
+
+        def _mi_term(nxy, rx, cy):
+            return F.when(nxy <= 0, F.lit(0.0)).otherwise(
+                (nxy / n) * F.log((n * nxy) / (rx * cy))
+            )
+
+        mi = (
+            _mi_term(n11, rx1, cy1) + _mi_term(n10, rx1, cy0)
+            + _mi_term(n01, rx0, cy1) + _mi_term(n00, rx0, cy0)
+        ) / F.log(F.lit(2.0))
+        sign = F.when(
+            n11 * (n01 + n00) < n01 * (n11 + n10), F.lit(-1.0)
+        ).otherwise(F.lit(1.0))
+        score = sign * mi
+    elif heuristic == "gnd":
+        # NGD(term, fg-class) over doc frequencies: fx = bg_count,
+        # fy = fg_total, fxy = fg_count, N = bg_total; zero-fg terms are
+        # already dropped below, so every log is finite
+        fx = F.log(F.col("bg_count").cast("double"))
+        fy = F.log(F.col("fg_total").cast("double"))
+        fxy = F.log(F.col("fg_count").cast("double"))
+        n = F.log(F.col("bg_total").cast("double"))
+        score = -F.try_divide(
+            F.greatest(fx, fy) - fxy, n - F.least(fx, fy)
+        )
     else:  # chi_square, superset-adjusted contingency
         if background_filter is not None:
             # a foreground row outside the narrowed background makes

@@ -1862,3 +1862,44 @@ def test_downsample_recomposition_and_counter(spark):
         r.v_value_count for r in out.values()
     )
     assert abs(raw_avg - re_avg) < 1e-9
+
+
+def test_significant_terms_mi_and_gnd(spark):
+    """MI: a perfectly-associated term gets positive bits, a term
+    rarer in the foreground scores negative (include_negatives); GND:
+    the tighter-coupled term ranks above the looser one (-NGD
+    ordering)."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        significant_terms,
+    )
+
+    # fg = flagged rows; 'assoc' appears ONLY in fg, 'anti' only
+    # outside, 'common' everywhere
+    rows = (
+        [("assoc", 1)] * 20
+        + [("anti", 0)] * 20
+        + [("common", 1)] * 10
+        + [("common", 0)] * 10
+    )
+    df = spark.createDataFrame(rows, ["term", "flag"])
+    mi = {
+        r.term: r.score
+        for r in significant_terms(
+            df, "term", F.col("flag") == 1, heuristic="mutual_information"
+        ).collect()
+    }
+    assert mi["assoc"] > 0
+    # 'common' is rarer in fg (10/30 fg vs 20/30 bg-rate? fg_rate 1/3
+    # vs overall 1/3) — exactly proportional: MI ~ 0
+    assert abs(mi["common"]) < 1e-6
+    # 'anti' has fg_count 0 -> dropped (ES emits no bucket)
+    assert "anti" not in mi
+    gnd = {
+        r.term: r.score
+        for r in significant_terms(
+            df, "term", F.col("flag") == 1, heuristic="gnd"
+        ).collect()
+    }
+    assert gnd["assoc"] > gnd["common"]
