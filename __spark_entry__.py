@@ -6748,6 +6748,31 @@ ORDER BY _score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_percentiles_sketch_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group binned quantile sketch ("p95 per segment" at 100 TB):
+    two map-combinable aggs + bin-level windows; bin counts merge by
+    addition across days/clusters."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles_sketch_by,
+    )
+
+    return percentiles_sketch_by(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        [0.5, 0.95], n_bins=128,
+    )
+
+
+def _sql_percentiles_sketch_by() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles_sketch_by_sql,
+    )
+
+    return percentiles_sketch_by_sql(
+        "lineitem", "l_returnflag", "l_extendedprice",
+        [0.5, 0.95], n_bins=128,
+    )
+
+
 def q_significant_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms under mutual_information (2x2 pointwise-MI sum
     in bits, include_negatives sign) — same one-agg + broadcast-totals
@@ -8996,6 +9021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample": q_downsample,
         "skew_report": q_skew_report,
         "significant_mi": q_significant_mi,
+        "percentiles_sketch_by": q_percentiles_sketch_by,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9358,6 +9384,7 @@ def oracle_sql() -> dict[str, str]:
         "downsample": _sql_downsample(),
         "skew_report": _sql_skew_report(),
         "significant_mi": SQL_SIGNIFICANT_MI,
+        "percentiles_sketch_by": _sql_percentiles_sketch_by(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

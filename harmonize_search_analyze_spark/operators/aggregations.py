@@ -3116,3 +3116,139 @@ def downsample_sql(
         f"WHERE {ts_col} IS NOT NULL "
         f"GROUP BY {dim_list}bucket ORDER BY {order}"
     )
+
+
+def percentiles_sketch_by(
+    df: DataFrame,
+    group_col: str,
+    field: str,
+    probs: list[float] | None = None,
+    *,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group binned quantile sketch — "p95 latency per segment" at
+    100 TB, where per-group exact percentiles would global-sort every
+    group. Same construction as :func:`percentiles_sketch`, keyed by
+    ``group_col``: per-group (min, max) bounds (one map-combinable agg,
+    broadcast back — group cardinality is broadcast-sized by the same
+    contract as every dimension table here), per-(group, bin) counts
+    (the second map-combinable agg), then bin-LEVEL windows and one
+    struct-min per (group, percentile) for the interpolation. Bin
+    counts merge by addition. Returns (group, percentile, value)."""
+    probs = probs or [0.25, 0.5, 0.75, 0.95, 0.99]
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {p} outside [0, 1]")
+    v = F.col(field).cast("double")
+    base = df.where(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+    bounds = base.groupBy("__g").agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    binned = (
+        base.join(F.broadcast(bounds), "__g")
+        .select(
+            "__g",
+            F.least(
+                F.lit(n_bins - 1),
+                F.coalesce(
+                    F.floor(
+                        F.try_divide(
+                            F.col("__v") - F.col("__lo"),
+                            (F.col("__hi") - F.col("__lo")) / n_bins,
+                        )
+                    ).cast("int"),
+                    F.lit(0),  # degenerate single-value group: hi == lo
+                ),
+            ).alias("__bin"),
+            "__lo", "__hi",
+        )
+        .groupBy("__g", "__bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wg = Window.partitionBy("__g").orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wn = Window.partitionBy("__g")
+    cum = binned.select(
+        "__g", "__bin", "__cnt", "__lo", "__hi",
+        F.coalesce(F.sum("__cnt").over(wg), F.lit(0)).alias("__before"),
+        F.sum("__cnt").over(wn).alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    rows = []
+    for p in probs:
+        target = F.lit(float(p)) * F.col("__n")
+        interp = F.round(
+            F.col("__lo")
+            + F.col("__bin") * width
+            + F.greatest(
+                F.lit(0.0),
+                (target - F.col("__before")) / F.col("__cnt"),
+            ) * width,
+            6,
+        )
+        rows.append(
+            cum.where(F.col("__before") + F.col("__cnt") >= target)
+            .groupBy("__g")
+            .agg(
+                F.lit(float(p)).alias("percentile"),
+                F.min_by(interp, F.col("__bin")).alias("value"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        F.col("__g").alias(group_col), "percentile", "value"
+    ).orderBy(group_col, "percentile")
+
+
+def percentiles_sketch_by_sql(
+    table: str,
+    group_col: str,
+    field: str,
+    probs: list[float] | None = None,
+    *,
+    n_bins: int = 256,
+) -> str:
+    """DuckDB twin of :func:`percentiles_sketch_by`."""
+    probs = probs or [0.25, 0.5, 0.75, 0.95, 0.99]
+    arms = "\n  UNION ALL ".join(
+        f"""SELECT g AS {group_col}, CAST({p!r} AS DOUBLE) AS percentile,
+       arg_min(ROUND(lo + bin * w
+                     + GREATEST(0.0, ({p!r} * n - bef) / cnt) * w, 6),
+               bin) AS value
+    FROM cum WHERE bef + cnt >= {p!r} * n GROUP BY g"""
+        for p in probs
+    )
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, CAST({field} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {field} IS NOT NULL AND {group_col} IS NOT NULL
+),
+bounds AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi FROM base GROUP BY g),
+binned AS (
+  SELECT base.g,
+         LEAST({n_bins - 1},
+               CASE WHEN hi = lo THEN 0
+                    ELSE CAST(FLOOR((v - lo) / ((hi - lo) / {n_bins}))
+                              AS INTEGER) END) AS bin,
+         lo, hi, COUNT(*) AS cnt
+  FROM base JOIN bounds ON base.g = bounds.g
+  GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT g, bin, cnt, lo, hi, (hi - lo) / {n_bins} AS w,
+         COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING), cnt) - cnt
+           AS bef,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM binned
+)
+SELECT * FROM (
+  {arms}
+) ORDER BY {group_col}, percentile
+"""

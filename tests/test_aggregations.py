@@ -1903,3 +1903,33 @@ def test_significant_terms_mi_and_gnd(spark):
         ).collect()
     }
     assert gnd["assoc"] > gnd["common"]
+
+
+def test_percentiles_sketch_by_accuracy_and_degenerate(spark):
+    """Per-group sketch quantiles land within one bin width of each
+    group's exact answer; a single-value group returns that value
+    (zero-width guard, no ANSI divide-by-zero)."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        percentiles_sketch_by,
+    )
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        # group 0: 0..1999-ish scaled; group 1: shifted by 10000
+        (F.col("id") + F.when(F.col("id") % 2 == 1, 10000).otherwise(0))
+        .cast("double")
+        .alias("x"),
+    )
+    got = {
+        (r.g, r.percentile): r.value
+        for r in percentiles_sketch_by(df, "g", "x", [0.5], n_bins=100)
+        .collect()
+    }
+    # group medians: ~1999 (g0: even ids 0..3998), ~12000 (g1)
+    assert abs(got[("0", 0.5)] - 1999.0) <= 3998 / 100 + 1
+    assert abs(got[("1", 0.5)] - 12000.0) <= 3998 / 100 + 1
+    single = spark.createDataFrame([("s", 7.5)] * 3, ["g", "x"])
+    out = percentiles_sketch_by(single, "g", "x", [0.25, 0.99]).collect()
+    assert all(r.value == 7.5 for r in out)
