@@ -968,3 +968,58 @@ def test_streaming_sketches_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cm_cells").collect()
     }
     assert got == batch_cells
+
+
+def test_streaming_downsample_matches_batch(spark, tmp_path):
+    """TSDB downsampling runs UNCHANGED on a stream (complete mode):
+    the continuous-rollup ingest shape — gauge pre-aggregates per
+    (dims, bucket) equal the batch downsample over the same rows."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        downsample,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=7 * i), float(i % 13))
+        for i in range(200)
+    ] + [
+        ("b", t0 + dt.timedelta(minutes=11 * i), float(i % 7))
+        for i in range(120)
+    ]
+    src = tmp_path / "ds_stream"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(src)
+    )
+    batch = {
+        (r.k, r.bucket): (r._doc_count, r.v_min, r.v_max, r.v_sum)
+        for r in downsample(
+            spark.read.parquet(str(src)), "ts", "1 hour",
+            dims=["k"], gauges=["v"],
+        ).collect()
+    }
+    stream = read_document_stream(spark, str(src), schema)
+    out = downsample(stream, "ts", "1 hour", dims=["k"], gauges=["v"])
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ds_rollup")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_ds"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.k, r.bucket): (r._doc_count, r.v_min, r.v_max, r.v_sum)
+        for r in spark.sql("SELECT * FROM ds_rollup").collect()
+    }
+    assert got == batch
