@@ -6773,6 +6773,43 @@ def _sql_percentiles_sketch_by() -> str:
     )
 
 
+def q_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_fn ewma over daily event counts (the ES-documented
+    recursion folded over the window's collected array — codegen'd
+    fold, bucket-level window, ES shift/gap semantics)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        date_histogram,
+        moving_fn,
+    )
+
+    daily = date_histogram(
+        _t(spark, sf_dir, "events"), "ts", "1 day"
+    ).select(F.col("bucket"), F.col("doc_count"))
+    return moving_fn(
+        daily, "bucket", "doc_count", fn="ewma", window=7, alpha=0.3
+    )
+
+
+SQL_MOVING_EWMA = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), arrs AS (
+  SELECT bucket, doc_count,
+         list(CAST(doc_count AS DOUBLE)) OVER (
+           ORDER BY bucket ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+         ) AS arr
+  FROM daily
+)
+SELECT bucket, doc_count,
+       CASE WHEN arr IS NULL THEN NULL
+            ELSE ROUND(list_reduce(arr,
+                   (acc, x) -> x * 0.3 + acc * 0.7), 6) END AS moving_fn
+FROM arrs ORDER BY bucket
+"""
+
+
 def q_significant_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms under mutual_information (2x2 pointwise-MI sum
     in bits, include_negatives sign) — same one-agg + broadcast-totals
@@ -9022,6 +9059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "significant_mi": q_significant_mi,
         "percentiles_sketch_by": q_percentiles_sketch_by,
+        "moving_ewma": q_moving_ewma,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9385,6 +9423,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_report": _sql_skew_report(),
         "significant_mi": SQL_SIGNIFICANT_MI,
         "percentiles_sketch_by": _sql_percentiles_sketch_by(),
+        "moving_ewma": SQL_MOVING_EWMA,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

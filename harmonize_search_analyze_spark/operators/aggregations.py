@@ -1070,9 +1070,18 @@ def moving_fn(
     fn: str = "unweightedAvg",
     window: int = 7,
     shift: int = 0,
+    alpha: float = 0.3,
 ) -> DataFrame:
     """ES ``moving_fn`` pipeline agg with the named MovingFunctions
-    (min/max/sum/unweightedAvg/stdDev) over a sliding window of buckets.
+    (min/max/sum/unweightedAvg/stdDev, plus the sequential
+    ``linearWeightedAvg`` and ``ewma`` — both the ES-documented
+    recursions: linear weights 1..n oldest-to-newest; ewma folds
+    ``avg = v*alpha + avg*(1-alpha)`` seeded with the window's first
+    value). The sequential pair runs as a fold over the window's
+    collected array — the window is ``window``-bounded by contract, so
+    the array is tiny and the fold is codegen'd, not Python. holt /
+    holtWinters are NOT modeled (their Lucene initialization is not
+    published as a stable contract; use ewma or a custom fold).
 
     ``shift`` follows ES exactly: the window covers buckets
     ``[i - window + shift, i - 1 + shift]`` — the default shift=0
@@ -1081,9 +1090,11 @@ def moving_fn(
 
     Bucket-level window: same single-task sort contract as
     bucket_pipeline (input is bucket-sized, never raw rows)."""
-    if fn not in _MOVING_FNS:
+    seq_fns = ("linearWeightedAvg", "ewma")
+    if fn not in _MOVING_FNS and fn not in seq_fns:
         raise ValueError(
-            f"unknown moving_fn {fn!r}; one of {sorted(_MOVING_FNS)}"
+            f"unknown moving_fn {fn!r}; one of "
+            f"{sorted([*_MOVING_FNS, *seq_fns])}"
         )
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -1091,6 +1102,38 @@ def moving_fn(
         -window + shift, -1 + shift
     )
     v = F.col(value_col).cast("double")
+    if fn == "linearWeightedAvg":
+        arr = F.collect_list(v).over(w)
+        expr = F.expr(
+            "CASE WHEN size(__arr) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            "aggregate(zip_with(__arr, sequence(1, size(__arr)),"
+            " (x, i) -> x * i), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            " / (CAST(size(__arr) AS DOUBLE) * (size(__arr) + 1) / 2)"
+            " END"
+        )
+        out = buckets.select(
+            bucket_col, value_col, arr.alias("__arr")
+        ).select(
+            bucket_col, value_col,
+            F.round(expr, 6).alias("moving_fn"),
+        )
+        return out.orderBy(bucket_col)
+    if fn == "ewma":
+        arr = F.collect_list(v).over(w)
+        expr = F.expr(
+            "CASE WHEN size(__arr) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            "aggregate(slice(__arr, 2, size(__arr) - 1),"
+            " __arr[0],"
+            f" (acc, x) -> x * CAST({alpha!r} AS DOUBLE)"
+            f" + acc * CAST({1.0 - alpha!r} AS DOUBLE)) END"
+        )
+        out = buckets.select(
+            bucket_col, value_col, arr.alias("__arr")
+        ).select(
+            bucket_col, value_col,
+            F.round(expr, 6).alias("moving_fn"),
+        )
+        return out.orderBy(bucket_col)
     return buckets.select(
         bucket_col,
         value_col,

@@ -1933,3 +1933,35 @@ def test_percentiles_sketch_by_accuracy_and_degenerate(spark):
     single = spark.createDataFrame([("s", 7.5)] * 3, ["g", "x"])
     out = percentiles_sketch_by(single, "g", "x", [0.25, 0.99]).collect()
     assert all(r.value == 7.5 for r in out)
+
+
+def test_moving_fn_sequential_variants(spark):
+    """linearWeightedAvg weights 1..n oldest->newest; ewma folds
+    v*alpha + acc*(1-alpha) seeded with the window's first value;
+    empty window (first bucket, shift=0) yields NULL; holt raises as
+    unmodeled."""
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        moving_fn,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50])],
+        ["b", "v"],
+    )
+    lwa = {r.b: r.moving_fn for r in moving_fn(
+        df, "b", "v", fn="linearWeightedAvg", window=3
+    ).collect()}
+    assert lwa[0] is None
+    assert lwa[1] == 10.0
+    # window for b=3: [10,20,30] -> (10*1+20*2+30*3)/6
+    assert abs(lwa[3] - round(140 / 6, 6)) < 1e-9
+    ew = {r.b: r.moving_fn for r in moving_fn(
+        df, "b", "v", fn="ewma", window=3, alpha=0.5
+    ).collect()}
+    assert ew[0] is None and ew[1] == 10.0
+    # b=3 window [10,20,30]: 10 -> 15 -> 22.5
+    assert ew[3] == 22.5
+    with pytest.raises(ValueError, match="unknown moving_fn"):
+        moving_fn(df, "b", "v", fn="holt")
