@@ -6773,6 +6773,42 @@ def _sql_percentiles_sketch_by() -> str:
     )
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script character profile per document (multilingual
+    curation routing signal): per-script non-whitespace ratios + the
+    dominant script, all map-only codegen regex counts (Java and RE2
+    script classes verified to count identically)."""
+    from harmonize_search_analyze_spark.operators.text import (
+        script_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return script_profile(docs).orderBy("doc_id")
+
+
+def _sql_script_profile() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        SCRIPT_NAMES,
+        script_ratios_sql,
+    )
+
+    ratios = script_ratios_sql("text", "duckdb")
+    sel = ", ".join(f"{sql} AS {n}" for n, sql in ratios.items())
+    names = list(SCRIPT_NAMES)
+    arms = []
+    for i, n in enumerate(names):
+        others = ", ".join(m for m in names if m != n)
+        arms.append(f"WHEN {n} >= GREATEST({others}) THEN '{n}'")
+    case = "CASE " + " ".join(arms) + " END"
+    return f"""
+WITH r AS (
+  SELECT doc_id, {sel} FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, {', '.join(names)}, {case} AS dominant
+FROM r ORDER BY doc_id
+"""
+
+
 def q_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """moving_fn ewma over daily event counts (the ES-documented
     recursion folded over the window's collected array — codegen'd
@@ -9060,6 +9096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_mi": q_significant_mi,
         "percentiles_sketch_by": q_percentiles_sketch_by,
         "moving_ewma": q_moving_ewma,
+        "script_profile": q_script_profile,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9424,6 +9461,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_mi": SQL_SIGNIFICANT_MI,
         "percentiles_sketch_by": _sql_percentiles_sketch_by(),
         "moving_ewma": SQL_MOVING_EWMA,
+        "script_profile": _sql_script_profile(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -896,3 +896,70 @@ def term_overlap_sql(
             f"len(list_filter({lit}, __qtok -> list_contains({dtoks}, __qtok)))"
         )
     return f"ROUND(CAST({matched} AS DOUBLE) / {len(toks)}, 6)"
+
+
+_SCRIPT_CLASSES = {
+    # name -> (java/Spark class, RE2/DuckDB class)
+    "latin": (r"\\p{IsLatin}", r"\p{Latin}"),
+    "han": (r"\\p{IsHan}", r"\p{Han}"),
+    "cyrillic": (r"\\p{IsCyrillic}", r"\p{Cyrillic}"),
+    "arabic": (r"\\p{IsArabic}", r"\p{Arabic}"),
+    "digit": ("[0-9]", "[0-9]"),
+}
+SCRIPT_NAMES = tuple(_SCRIPT_CLASSES)  # the tie-break priority order
+
+
+def script_ratios_sql(expr: str, dialect: str) -> dict[str, str]:
+    """Per-unicode-script character ratios (multilingual-curation
+    signal): for each of latin/han/cyrillic/arabic/digit, the fraction
+    of NON-WHITESPACE characters in that script (0.0 for an empty or
+    all-space text). Both engines' regex classes verified to count the
+    same characters (Java \\p{IsX} vs RE2 \\p{X})."""
+    if dialect == "spark":
+        total = f"regexp_count({expr}, '\\\\S')"
+
+        def cnt(cls: str) -> str:
+            return f"regexp_count({expr}, '{cls}')"
+
+        idx = 0
+    else:
+        total = f"len(regexp_extract_all({expr}, '\\S'))"
+
+        def cnt(cls: str) -> str:
+            return f"len(regexp_extract_all({expr}, '{cls}'))"
+
+        idx = 1
+    return {
+        name: (
+            f"ROUND(COALESCE(CAST({cnt(classes[idx])} AS DOUBLE)"
+            f" / NULLIF({total}, 0), 0.0), 6)"
+        )
+        for name, classes in _SCRIPT_CLASSES.items()
+    }
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document script profile: one ratio column per script plus
+    the ``dominant`` script (highest ratio; ties resolve in
+    ``SCRIPT_NAMES`` priority order — latin first). Map-only codegen
+    regex counts, the multilingual routing signal (language-family
+    sharding, mixed-script spam flags) upstream of lang-ID."""
+    ratios = script_ratios_sql(text_col, "spark")
+    out = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        *[F.expr(sql).alias(name) for name, sql in ratios.items()],
+    )
+    names = list(_SCRIPT_CLASSES)
+    dom = F
+    expr = None
+    for i, name in enumerate(names):
+        others = [F.col(n) for n in names[:i] + names[i + 1:]]
+        cond = F.col(name) >= F.greatest(*others)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return out.withColumn("dominant", expr)

@@ -214,3 +214,32 @@ def test_nb_classifier_null_label_pinned(spark):
         .fetchall()
     )
     assert got_s == got_d
+
+
+def test_script_profile_multilingual(spark):
+    """Per-script ratios on known multilingual strings; dominant
+    resolves ties in SCRIPT_NAMES priority order (latin first);
+    all-space text -> all ratios 0."""
+    from harmonize_search_analyze_spark.operators.text import (
+        script_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello world"),
+            (2, "мир"),
+            (3, "世界你好"),
+            (4, "مرحبا"),
+            (5, "ab 12"),        # latin 2, digit 2 -> tie -> latin
+            (6, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    assert got[1].latin == 1.0 and got[1].dominant == "latin"
+    assert got[2].cyrillic == 1.0 and got[2].dominant == "cyrillic"
+    assert got[3].han == 1.0 and got[3].dominant == "han"
+    assert got[4].arabic == 1.0 and got[4].dominant == "arabic"
+    assert got[5].latin == 0.5 and got[5].digit == 0.5
+    assert got[5].dominant == "latin"  # tie -> priority order
+    assert got[6].latin == 0.0 and got[6].dominant == "latin"
