@@ -13,12 +13,19 @@ plan strings.
 
 Checks (each with the rule it encodes):
 
-- ``cartesian``      a logical cross/condition-less join where NEITHER
-                     side is provably small (``maxRows`` unknown or
-                     above ``small_rows``) — all-pairs work. A scalar-
-                     aggregate bounds frame broadcast back (the
-                     engine's standard (min,max) pattern, maxRows=1)
-                     does NOT trip this.
+- ``cartesian``      a physical CartesianProduct with no limit-bounded
+                     side — genuine all-pairs over two large inputs.
+                     Hard rule: only declared row-capped oracles may
+                     do it. A cartesian whose side subtrees carry
+                     GlobalLimit/TakeOrdered (k-candidate combination
+                     frames) downgrades to ``cartesian_small``.
+- ``cross_broadcast``
+                     (warning class) a condition-less join where no
+                     side has PROVABLE maxRows <= ``small_rows`` but
+                     the planner broadcast one side anyway — bounded
+                     by construction at THIS data size (centroid/query
+                     frames), worth re-checking at 100 TB. A scalar-
+                     aggregate bounds frame (maxRows=1) stays silent.
 - ``python_eval``    BatchEvalPython (row-at-a-time Python UDF) in the
                      physical plan; Arrow stages (ArrowEvalPython,
                      MapInPandas, ...) are allowed and NOT flagged.
@@ -70,33 +77,78 @@ def lint_plan(
     findings: list[tuple[str, str]] = []
     qe = df._jdf.queryExecution()
 
-    # -- logical: cross joins with two possibly-large sides ---------------
-    for node in _walk(qe.optimizedPlan()):
-        if node.nodeName() != "Join":
-            continue
-        try:
-            jt = str(node.joinType().sql()).upper()
-            has_cond = node.condition().isDefined()
-        except Exception:
-            continue
-        if has_cond or "CROSS" not in jt and "INNER" not in jt:
-            continue
-        sides = []
-        ch = node.children()
-        for i in range(ch.length()):
-            mr = _max_rows(ch.apply(i))
-            sides.append(mr is not None and mr <= small_rows)
-        if not any(sides):
-            findings.append((
-                "cartesian",
-                "condition-less join where neither side is provably "
-                f"small (<= {small_rows} rows) — all-pairs work; only "
-                "declared row-capped oracles may do this",
-            ))
-
-    # -- physical checks ---------------------------------------------------
+    # -- physical plan text (post-AQE once executed) -----------------------
     phys = qe.executedPlan()
     text = phys.toString().split("== Initial Plan ==")[0]
+
+    # hard rule: a physical CartesianProduct with NO limit-bounded side
+    # means genuine all-pairs work over two large inputs. A cartesian
+    # whose side subtrees carry GlobalLimit/TakeOrdered (phrase-suggest
+    # style k-candidate combination frames) is bounded by construction
+    # and downgrades to the warning class.
+    _LIMIT_NODES = ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit")
+
+    def _side_bounded(node) -> bool:
+        for sub in _walk(node):
+            nm = sub.nodeName()
+            if any(ln in nm for ln in _LIMIT_NODES):
+                return True
+            if "Join" in nm or "Cartesian" in nm:
+                # stop at the next join boundary — bounds beyond it
+                # belong to that join's own analysis
+                return False
+        return False
+
+    cart_nodes = [
+        n for n in _walk(phys) if "CartesianProduct" in n.nodeName()
+    ]
+    hard = False
+    for n in cart_nodes:
+        ch = n.children()
+        sides = [
+            _side_bounded(ch.apply(i)) for i in range(ch.length())
+        ]
+        if not any(sides):
+            hard = True
+            break
+    if cart_nodes and hard:
+        findings.append((
+            "cartesian",
+            "CartesianProduct in plan — all-pairs over two large "
+            "sides; only declared row-capped oracles may do this",
+        ))
+    elif cart_nodes:
+        findings.append((
+            "cartesian_small",
+            "CartesianProduct over limit-bounded sides (k-candidate "
+            "combination frames) — bounded by construction",
+        ))
+    else:
+        # warning class: condition-less joins whose smallness is only
+        # the planner's ESTIMATE (broadcast), not a provable maxRows
+        for node in _walk(qe.optimizedPlan()):
+            if node.nodeName() != "Join":
+                continue
+            try:
+                jt = str(node.joinType().sql()).upper()
+                has_cond = node.condition().isDefined()
+            except Exception:
+                continue
+            if has_cond or "CROSS" not in jt and "INNER" not in jt:
+                continue
+            sides = []
+            ch = node.children()
+            for i in range(ch.length()):
+                mr = _max_rows(ch.apply(i))
+                sides.append(mr is not None and mr <= small_rows)
+            if not any(sides):
+                findings.append((
+                    "cross_broadcast",
+                    "condition-less join with no PROVABLY-small side "
+                    "(broadcast is the planner's size estimate) — "
+                    "bounded here, re-check the bound at scale",
+                ))
+                break
     if "BatchEvalPython" in text:
         findings.append((
             "python_eval",

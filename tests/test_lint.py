@@ -23,19 +23,25 @@ def test_clean_plan_passes(spark):
     assert lint_plan(df) == []
 
 
-def test_cartesian_flagged(spark):
-    a = spark.range(0, 5000)
-    b = spark.range(0, 5000).withColumnRenamed("id", "id2")
-    df = a.crossJoin(b)
-    # not collected — 25M rows; the linter reads the PLAN, which is
-    # available without executing
+def test_cartesian_and_cross_broadcast(spark):
+    # both sides above the broadcast threshold -> physical
+    # CartesianProduct -> the HARD flag. Never collected (the linter
+    # reads plans).
+    big_a = spark.range(0, 30_000_000)  # ~240MB stats, above the session's 64MB broadcast cap
+    big_b = spark.range(0, 30_000_000).withColumnRenamed("id", "id2")
+    df = big_a.crossJoin(big_b)
     assert "cartesian" in _codes(lint_plan(df))
-    # a scalar-aggregate bounds frame broadcast back (maxRows=1) is the
-    # engine's standard pattern and must NOT trip the check
-    bounds = a.agg(F.max("id").alias("hi"))
-    ok = a.crossJoin(bounds)
-    ok.collect()
-    assert "cartesian" not in _codes(lint_plan(ok))
+    # one small-ESTIMATED side -> BNLJ -> the warning class only
+    small = spark.range(0, 5000).withColumnRenamed("id", "id2")
+    est = big_a.crossJoin(small)
+    codes = _codes(lint_plan(est))
+    assert "cartesian" not in codes
+    assert "cross_broadcast" in codes
+    # a scalar-aggregate bounds frame (maxRows=1) stays fully silent
+    bounds = big_a.agg(F.max("id").alias("hi"))
+    ok = big_a.crossJoin(bounds)  # plan-only, 30M rows never collected
+    got = _codes(lint_plan(ok))
+    assert "cartesian" not in got and "cross_broadcast" not in got
 
 
 def test_python_udf_flagged_arrow_allowed(spark):
