@@ -6809,6 +6809,62 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-data ops (the SFT pipeline stage): deterministic
+    2-turn conversations built from each document (first/second half),
+    then validate -> ChatML render -> per-role stats, all map-only
+    array HOFs. The oracle re-derives every column from the substrings
+    directly, so the gate proves the HOF pipeline, not the synthetic
+    construction."""
+    from harmonize_search_analyze_spark.operators.chat import (
+        chat_render,
+        chat_stats,
+        chat_validate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    msgs = docs.select(
+        "doc_id",
+        F.expr(
+            "array(named_struct('role', 'user', 'content',"
+            " substring(text, 1, length(text) DIV 2)),"
+            " named_struct('role', 'assistant', 'content',"
+            " substring(text, length(text) DIV 2 + 1,"
+            " length(text))))"
+        ).alias("messages"),
+    )
+    out = chat_stats(
+        chat_render(chat_validate(msgs), "messages", out_col="rendered"),
+        "messages",
+    )
+    return out.select(
+        "doc_id", "n_turns", "valid",
+        "n_user", "n_assistant", "n_chars", "rendered",
+    ).orderBy("doc_id")
+
+
+def _sql_chat_render() -> str:
+    return r"""
+WITH halves AS (
+  SELECT doc_id,
+         substring(text, 1, length(text) // 2) AS u,
+         substring(text, length(text) // 2 + 1, length(text)) AS a
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       2 AS n_turns,
+       (length(u) > 0 AND length(a) > 0) AS valid,
+       1 AS n_user, 1 AS n_assistant,
+       CAST(length(u) + length(a) AS BIGINT) AS n_chars,
+       '<|im_start|>user' || chr(10) || u || '<|im_end|>' || chr(10)
+         || '<|im_start|>assistant' || chr(10) || a || '<|im_end|>'
+         AS rendered
+FROM halves ORDER BY doc_id
+"""
+
+
 def q_moving_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """moving_fn ewma over daily event counts (the ES-documented
     recursion folded over the window's collected array — codegen'd
@@ -9097,6 +9153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_sketch_by": q_percentiles_sketch_by,
         "moving_ewma": q_moving_ewma,
         "script_profile": q_script_profile,
+        "chat_render": q_chat_render,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9462,6 +9519,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_sketch_by": _sql_percentiles_sketch_by(),
         "moving_ewma": SQL_MOVING_EWMA,
         "script_profile": _sql_script_profile(),
+        "chat_render": _sql_chat_render(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,
