@@ -6809,6 +6809,32 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_es_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SQL PIVOT clause (the _sql endpoint's pivot syntax) through
+    the fourth grammar: rides Catalyst's native PIVOT — one hash agg
+    with conditional partials, never N scans. Oracle is the standard
+    conditional-aggregation rewrite."""
+    from harmonize_search_analyze_spark.plans.es_sql import run_es_sql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("lineitem", _t(spark, sf_dir, "lineitem"))
+    return run_es_sql(cat, """
+SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity
+               FROM lineitem)
+PIVOT (ROUND(SUM(l_quantity), 2) FOR l_linestatus IN ('O' AS o, 'F' AS f))
+ORDER BY l_returnflag
+""")
+
+
+SQL_ES_SQL_PIVOT = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instruction-data ops (the SFT pipeline stage): deterministic
     2-turn conversations built from each document (first/second half),
@@ -9154,6 +9180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_ewma": q_moving_ewma,
         "script_profile": q_script_profile,
         "chat_render": q_chat_render,
+        "es_sql_pivot": q_es_sql_pivot,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9520,6 +9547,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_ewma": SQL_MOVING_EWMA,
         "script_profile": _sql_script_profile(),
         "chat_render": _sql_chat_render(),
+        "es_sql_pivot": SQL_ES_SQL_PIVOT,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

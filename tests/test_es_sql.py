@@ -120,3 +120,29 @@ def test_translate_marker_rewrite_text():
 def test_unknown_index_raises(cat):
     with pytest.raises(KeyError):
         run_es_sql(cat, "SELECT * FROM missing_idx")
+
+
+def test_pivot_clause_passes_through(spark):
+    """PIVOT rides Catalyst's native clause through the _sql grammar —
+    one hash agg with conditional partials (plan-asserted), never N
+    scans of the input."""
+    from harmonize_search_analyze_spark.plans.es_sql import run_es_sql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("t", spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0),
+         ("a", "x", 4.0)],
+        ["k", "p", "v"],
+    ))
+    out = run_es_sql(cat, """
+SELECT * FROM (SELECT k, p, v FROM t)
+PIVOT (SUM(v) FOR p IN ('x' AS x, 'y' AS y)) ORDER BY k
+""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("a", 5.0, 2.0), ("b", 3.0, None)
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("HashAggregate") <= 4  # one partial+final agg pair
