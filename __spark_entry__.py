@@ -9061,7 +9061,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         # round-5 rotation queue: never driver-verified, covered by the
         # local parity mirror (tests/test_oracle_parity.py) until their
-        # window slot comes up
+        # window slot comes up. The round-4 session-2 additions
+        # (countmin_topk ... es_sql_pivot, registered further down just
+        # before the trainers) belong to this queue too — prefer them
+        # plus the oldest entries here when building the round-5 window.
         "esql_enrich": q_esql_enrich,
         "esql_fork": q_esql_fork,
         "esql_functions": q_esql_functions,
