@@ -6809,6 +6809,46 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (dataset versioning): two deterministic
+    views of documents — ids ending 9 only in 'new' (added), ids
+    ending 0 only in 'old' (removed), ids ending 2 edited (changed) —
+    one digest projection per side + one co-located full outer join."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        corpus_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    old = docs.where(F.col("doc_id") % 10 != 9)
+    new = docs.where(F.col("doc_id") % 10 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new, "doc_id", "text")
+
+
+def _sql_corpus_diff() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        corpus_diff_sql,
+    )
+
+    inner = corpus_diff_sql("o_side", "n_side", "doc_id", "text", "duckdb")
+    # splice the twin's own CTE chain onto the view-construction CTEs
+    inner = inner.replace("WITH ", "", 1).lstrip()
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+o_side AS (SELECT * FROM base WHERE doc_id % 10 <> 9),
+n_side AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END AS text
+  FROM base WHERE doc_id % 10 <> 0
+),
+{inner}
+"""
+
+
 def q_es_sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES SQL PIVOT clause (the _sql endpoint's pivot syntax) through
     the fourth grammar: rides Catalyst's native PIVOT — one hash agg
@@ -9184,6 +9224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "chat_render": q_chat_render,
         "es_sql_pivot": q_es_sql_pivot,
+        "corpus_diff": q_corpus_diff,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9551,6 +9592,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _sql_script_profile(),
         "chat_render": _sql_chat_render(),
         "es_sql_pivot": SQL_ES_SQL_PIVOT,
+        "corpus_diff": _sql_corpus_diff(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -1361,3 +1361,87 @@ def soft_dedup_weights(
             6,
         ),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning primitive: per
+    document id, whether it was ``added``, ``removed``, ``changed``
+    (same id, different normalized content digest — the exact_dedup
+    digest, so whitespace/case-only edits do NOT count as changes), or
+    ``unchanged`` between two corpus versions. One full outer join on
+    id comparing two map-side digests; at 100 TB both sides bucket by
+    id so the join is co-located, and the output is the audit/refresh
+    work-list (retrain deltas, incremental index updates). Returns
+    (id, status) ordered by id."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    def digests(df: DataFrame, side: str) -> DataFrame:
+        norm = (
+            f"lower(regexp_replace(CAST({text_col} AS STRING),"
+            " '\\\\s+', ' '))"
+        )
+        return df.where(F.col(id_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            F.expr(hash64_sql(f"trim({norm})", "spark")).alias(
+                f"__d_{side}"
+            ),
+        )
+    o = digests(old, "old")
+    n = digests(new, "new")
+    status = (
+        F.when(F.col("__d_old").isNull(), F.lit("added"))
+        .when(F.col("__d_new").isNull(), F.lit("removed"))
+        .when(F.col("__d_old") == F.col("__d_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, "__id", "full_outer")
+        .select(F.col("__id").alias(id_col), status.alias("status"))
+        .orderBy(id_col)
+    )
+
+
+def corpus_diff_sql(
+    old_table: str,
+    new_table: str,
+    id_col: str,
+    text_col: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`corpus_diff`."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    norm = (
+        f"trim(lower(regexp_replace(CAST({text_col} AS {cast}),"
+        " '\\s+', ' ', 'g')))"
+        if dialect == "duckdb"
+        else f"trim(lower(regexp_replace(CAST({text_col} AS {cast}),"
+        " '\\\\s+', ' ')))"
+    )
+    h = hash64_sql(norm, dialect)
+    return f"""
+WITH o AS (
+  SELECT {id_col} AS id, {h} AS d FROM {old_table}
+  WHERE {id_col} IS NOT NULL
+), n AS (
+  SELECT {id_col} AS id, {h} AS d FROM {new_table}
+  WHERE {id_col} IS NOT NULL
+)
+SELECT COALESCE(o.id, n.id) AS {id_col},
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            WHEN o.d = n.d THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.id = n.id
+ORDER BY {id_col}
+"""

@@ -1298,8 +1298,10 @@ def test_significant_terms_heuristics(spark):
         df, "term", F.col("hot"), heuristic="percentage").collect()}
     assert pct == {"a": 0.75, "b": round(1 / 6, 6)}
 
+    # gnd/mutual_information are supported since round 4 — an unknown
+    # name still raises
     with _pytest.raises(ValueError):
-        significant_terms(df, "term", F.col("hot"), heuristic="gnd")
+        significant_terms(df, "term", F.col("hot"), heuristic="nope")
 
 
 def test_field_caps_conflicts_and_flags(spark):

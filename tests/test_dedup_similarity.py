@@ -1190,3 +1190,27 @@ def test_cluster_balanced_sample_caps_per_cluster(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cap"):
         cluster_balanced_sample(emb, cents, 0)
+
+
+def test_corpus_diff_statuses(spark):
+    """added/removed/changed/unchanged truth table; whitespace/case-only
+    edits do NOT count as changes (the exact_dedup digest contract)."""
+    from harmonize_search_analyze_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "gets removed"),
+         (4, "Case  And   Spaces")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "case and spaces")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(
+        old, new, "doc_id", "text"
+    ).collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "unchanged", 5: "added",
+    }
