@@ -6809,6 +6809,47 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction: per source domain, the
+    highest- and lowest-quality document (shared quality-score
+    generator) become (chosen, rejected) with the score margin — ONE
+    hash agg via struct max/min, no window over candidates."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        preference_pairs,
+    )
+    from harmonize_search_analyze_spark.operators.text import (
+        quality_score_sql,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return preference_pairs(
+        docs, "source", "text", quality_score_sql("text", "spark")
+    )
+
+
+def _sql_preference_pairs() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        quality_score_sql,
+    )
+
+    q = quality_score_sql("text", "duckdb")
+    return f"""
+WITH keyed AS (
+  SELECT source AS prompt, CAST({q} AS DOUBLE) AS s, text AS r
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+), agg AS (
+  SELECT prompt,
+         MAX(ROW(s, r)) AS best, MIN(ROW(s, r)) AS worst,
+         COUNT(*) AS n_candidates
+  FROM keyed GROUP BY prompt
+)
+SELECT prompt, best[2] AS chosen, worst[2] AS rejected,
+       ROUND(best[1] - worst[1], 6) AS margin, n_candidates
+FROM agg WHERE ROUND(best[1] - worst[1], 6) > 0.0
+ORDER BY prompt
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (dataset versioning): two deterministic
     views of documents — ids ending 9 only in 'new' (added), ids
@@ -9225,6 +9266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_render": q_chat_render,
         "es_sql_pivot": q_es_sql_pivot,
         "corpus_diff": q_corpus_diff,
+        "preference_pairs": q_preference_pairs,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9593,6 +9635,7 @@ def oracle_sql() -> dict[str, str]:
         "chat_render": _sql_chat_render(),
         "es_sql_pivot": SQL_ES_SQL_PIVOT,
         "corpus_diff": _sql_corpus_diff(),
+        "preference_pairs": _sql_preference_pairs(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -903,3 +903,52 @@ def domain_reweight(
         )
         .orderBy("domain")
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    response_col: str,
+    score_col,
+    *,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF data prep): per
+    ``group_col`` (the prompt / prompt-id), pick the highest-scoring
+    response as ``chosen`` and the lowest as ``rejected``, with
+    ``margin`` = score gap; groups whose margin is <= ``min_margin``
+    drop (a pair needs a real preference). ONE hash agg — chosen and
+    rejected come from struct max/min in the same pass, never a window
+    over the candidate set; ties pin to the lexicographically larger
+    (max side) / smaller (min side) response text so the pair is
+    deterministic under equal scores. ``score_col`` may be a column
+    name or an expression string (e.g. a quality-score generator)."""
+    score = (
+        F.expr(score_col) if isinstance(score_col, str) else score_col
+    ).cast("double")
+    keyed = df.where(
+        F.col(group_col).isNotNull() & F.col(response_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("prompt"),
+        F.struct(
+            score.alias("s"), F.col(response_col).alias("r")
+        ).alias("__sr"),
+    )
+    agg = keyed.groupBy("prompt").agg(
+        F.max("__sr").alias("__best"),
+        F.min("__sr").alias("__worst"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        agg.select(
+            "prompt",
+            F.col("__best.r").alias("chosen"),
+            F.col("__worst.r").alias("rejected"),
+            F.round(
+                F.col("__best.s") - F.col("__worst.s"), 6
+            ).alias("margin"),
+            "n_candidates",
+        )
+        .where(F.col("margin") > min_margin)
+        .orderBy("prompt")
+    )

@@ -479,3 +479,32 @@ def test_domain_reweight_softmax_and_floor(spark):
     ).collect()}
     for w in flat.values():
         assert abs(w - 1.0 / 3) < 1e-3
+
+
+def test_preference_pairs_semantics(spark):
+    """Best/worst per group become (chosen, rejected); zero-margin
+    groups (single candidate, exact ties) drop; score ties pin to the
+    lexicographically larger/smaller response; one hash agg (no
+    Window) in the plan."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        preference_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("p1", "bad", 0.1), ("p1", "good", 0.9), ("p1", "mid", 0.5),
+         ("p2", "only", 0.7),
+         ("p3", "tie_a", 0.5), ("p3", "tie_b", 0.5),
+         ("p4", "zz", 0.5), ("p4", "aa", 0.5), ("p4", "top", 0.8)],
+        ["prompt", "resp", "score"],
+    )
+    out = preference_pairs(df, "prompt", "resp", "score")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        ("p1", "good", "bad", 0.8, 3),
+        # p4: worst is the tie (0.5, aa) < (0.5, zz) by struct order
+        ("p4", "top", "aa", 0.3, 3),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Window" not in plan
