@@ -6850,6 +6850,44 @@ ORDER BY prompt
 """
 
 
+def q_es_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT through the _sql grammar (Catalyst's native clause —
+    map-only Expand, no shuffle): per-region metric rows from the
+    nation rollup's wide columns."""
+    from harmonize_search_analyze_spark.plans.es_sql import run_es_sql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("customer", _t(spark, sf_dir, "customer"))
+    return run_es_sql(cat, """
+SELECT * FROM (
+  SELECT c_nationkey,
+         ROUND(SUM(c_acctbal), 2) AS total_bal,
+         ROUND(AVG(c_acctbal), 2) AS avg_bal,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM customer GROUP BY c_nationkey
+) UNPIVOT (val FOR metric IN (total_bal, avg_bal, n))
+ORDER BY c_nationkey, metric
+""")
+
+
+SQL_ES_SQL_UNPIVOT = """
+WITH w AS (
+  SELECT c_nationkey,
+         ROUND(SUM(c_acctbal), 2) AS total_bal,
+         ROUND(AVG(c_acctbal), 2) AS avg_bal,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, metric, val FROM (
+  SELECT c_nationkey, 'total_bal' AS metric, total_bal AS val FROM w
+  UNION ALL SELECT c_nationkey, 'avg_bal', avg_bal FROM w
+  UNION ALL SELECT c_nationkey, 'n', n FROM w
+)
+ORDER BY c_nationkey, metric
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (dataset versioning): two deterministic
     views of documents — ids ending 9 only in 'new' (added), ids
@@ -9267,6 +9305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sql_pivot": q_es_sql_pivot,
         "corpus_diff": q_corpus_diff,
         "preference_pairs": q_preference_pairs,
+        "es_sql_unpivot": q_es_sql_unpivot,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9636,6 +9675,7 @@ def oracle_sql() -> dict[str, str]:
         "es_sql_pivot": SQL_ES_SQL_PIVOT,
         "corpus_diff": _sql_corpus_diff(),
         "preference_pairs": _sql_preference_pairs(),
+        "es_sql_unpivot": SQL_ES_SQL_UNPIVOT,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -146,3 +146,26 @@ PIVOT (SUM(v) FOR p IN ('x' AS x, 'y' AS y)) ORDER BY k
         "== Initial Plan =="
     )[0]
     assert plan.count("HashAggregate") <= 4  # one partial+final agg pair
+
+
+def test_unpivot_clause_passes_through(spark):
+    """UNPIVOT rides Catalyst's native clause (map-only Expand — no
+    exchange below the sort)."""
+    from harmonize_search_analyze_spark.plans.es_sql import run_es_sql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("t", spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, 4.0)], ["k", "x", "y"]
+    ))
+    out = run_es_sql(cat, """
+SELECT * FROM t UNPIVOT (val FOR metric IN (x, y)) ORDER BY k, metric
+""")
+    assert [tuple(r) for r in out.collect()] == [
+        ("a", "x", 1.0), ("a", "y", 2.0),
+        ("b", "x", 3.0), ("b", "y", 4.0),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "Expand" in plan
