@@ -3013,6 +3013,38 @@ ORDER BY est DESC, item ASC LIMIT {k}
 """
 
 
+def hll_registers_by(
+    df: DataFrame,
+    group_col: str,
+    field: str,
+    *,
+    p: int = 12,
+) -> DataFrame:
+    """The register stage of :func:`hll_cardinality_by` on its own:
+    (grp, bucket, r) rows — ONE map-combinable agg, so it runs
+    unchanged on a stream (the continuous shape: registers ARE the
+    state, merging by MAX; estimates are a batch view over them —
+    chained aggregations don't stream, and shouldn't)."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    m = 1 << p
+    h = hash64_sql(f"CAST({field} AS STRING)", "spark")
+    rho = (
+        f"CASE WHEN ({h}) DIV {m} = 0 THEN 49 "
+        f"ELSE 49 - length(bin(({h}) DIV {m})) END"
+    )
+    return (
+        df.where(F.col(field).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.expr(f"({h}) % {m}").alias("bucket"),
+        )
+        .agg(F.max(F.expr(rho)).alias("r"))
+    )
+
+
 def hll_cardinality_by(
     df: DataFrame,
     group_col: str,
@@ -3028,25 +3060,9 @@ def hll_cardinality_by(
     by MAX across days/clusters, so per-group sketches are as
     incremental as the global one. Returns (group, estimate) ordered
     by group."""
-    from harmonize_search_analyze_spark.functions.hashing import (
-        hash64_sql,
-    )
-
+    regs = hll_registers_by(df, group_col, field, p=p)
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    h = hash64_sql(f"CAST({field} AS STRING)", "spark")
-    rho = (
-        f"CASE WHEN ({h}) DIV {m} = 0 THEN 49 "
-        f"ELSE 49 - length(bin(({h}) DIV {m})) END"
-    )
-    regs = (
-        df.where(F.col(field).isNotNull() & F.col(group_col).isNotNull())
-        .groupBy(
-            F.col(group_col).alias("grp"),
-            F.expr(f"({h}) % {m}").alias("bucket"),
-        )
-        .agg(F.max(F.expr(rho)).alias("r"))
-    )
     s = regs.groupBy("grp").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum2"),
         F.count(F.lit(1)).alias("nreg"),

@@ -1023,3 +1023,70 @@ def test_streaming_downsample_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ds_rollup").collect()
     }
     assert got == batch
+
+
+def test_streaming_hll_by_matches_batch(spark, tmp_path):
+    """Per-group HLL registers are a plain (group, bucket, MAX rho)
+    agg, so the sketch runs UNCHANGED on a stream (complete mode) and
+    equals the batch estimates over the same rows — registers merge by
+    MAX, the continuous distinct-per-segment shape."""
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        hll_cardinality_by,
+        hll_registers_by,
+    )
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("k", T.LongType()),
+    ])
+    rows = [(f"g{i % 3}", (i * 7919) % 500) for i in range(3000)]
+    src = tmp_path / "hll_stream"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(src)
+    )
+    batch = {
+        r.g: r.estimate
+        for r in hll_cardinality_by(
+            spark.read.parquet(str(src)), "g", "k", p=10
+        ).collect()
+    }
+    # the REGISTER stage streams (one agg); estimates are a batch view
+    # over the streamed state — chained aggregations don't stream, and
+    # the mergeable-register design means they don't need to
+    stream = read_document_stream(spark, str(src), schema)
+    regs = hll_registers_by(stream, "g", "k", p=10)
+    assert regs.isStreaming
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM hll_regs")
+    # estimator fold over the streamed registers (same arithmetic as
+    # the batch operator's second stage)
+    import math
+
+    m = 1 << 10
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per = {}
+    for r in streamed.collect():
+        per.setdefault(r.grp, []).append(r.r)
+    got = {}
+    for g, rs in per.items():
+        s2 = sum(2.0 ** -x for x in rs)
+        nreg = len(rs)
+        raw = alpha * m * m / (s2 + (m - nreg))
+        zeros = m - nreg
+        est = (
+            m * math.log(m / zeros)
+            if raw <= 2.5 * m and zeros > 0
+            else raw
+        )
+        got[g] = round(est, 4)
+    assert got == batch
