@@ -6850,6 +6850,37 @@ ORDER BY prompt
 """
 
 
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score gauss decay over document length: score 1
+    within offset of the origin, exactly `decay` at origin+offset+scale
+    (the published formula as pure arithmetic); map-only + TakeOrdered."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        decay_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decay_rank(
+        docs, "n_chars", origin=200.0, scale=80.0, offset=20.0,
+        decay=0.5, kind="gauss", k=15,
+    )
+
+
+def _sql_decay_score() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        decay_score_sql,
+    )
+
+    expr = decay_score_sql(
+        "n_chars", origin=200.0, scale=80.0, offset=20.0,
+        decay=0.5, kind="gauss", dialect="duckdb",
+    )
+    return f"""
+SELECT doc_id, n_chars, ROUND({expr}, 6) AS score
+FROM documents WHERE n_chars IS NOT NULL
+ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
 def q_es_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT through the _sql grammar (Catalyst's native clause —
     map-only Expand, no shuffle): per-region metric rows from the
@@ -9306,6 +9337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "preference_pairs": q_preference_pairs,
         "es_sql_unpivot": q_es_sql_unpivot,
+        "decay_score": q_decay_score,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9676,6 +9708,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _sql_corpus_diff(),
         "preference_pairs": _sql_preference_pairs(),
         "es_sql_unpivot": SQL_ES_SQL_UNPIVOT,
+        "decay_score": _sql_decay_score(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

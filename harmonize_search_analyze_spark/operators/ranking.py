@@ -1380,3 +1380,84 @@ def sparse_vector_search(
     )
     spark.catalog.dropTempView(view)
     return out
+
+
+def decay_score_sql(
+    field: str,
+    *,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    kind: str = "gauss",
+    dialect: str = "spark",
+) -> str:
+    """ES function_score DECAY functions (numeric fields) — the exact
+    published formulas, as pure dual-dialect arithmetic:
+
+    - ``gauss``:  exp(-d^2 / (2*sigma^2)), sigma^2 = -scale^2/(2 ln decay)
+    - ``exp``:    exp(lambda * d),          lambda = ln(decay)/scale
+    - ``linear``: max((s - d)/s, 0),        s = scale/(1 - decay)
+
+    with d = max(0, |value - origin| - offset), so the score is 1
+    inside ``offset`` of the origin and exactly ``decay`` at
+    origin +- (offset + scale). NULL values score NULL (ES skips the
+    function; compose with coalesce for a different policy)."""
+    import math
+
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay kind: {kind!r}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError("decay must be in (0, 1)")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    d = (
+        f"GREATEST(CAST(0 AS DOUBLE),"
+        f" ABS(CAST({field} AS DOUBLE) - CAST({origin!r} AS DOUBLE))"
+        f" - CAST({offset!r} AS DOUBLE))"
+    )
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        return (
+            f"EXP(-(({d}) * ({d})) / CAST({2.0 * sigma2!r} AS DOUBLE))"
+        )
+    if kind == "exp":
+        lam = math.log(decay) / scale
+        return f"EXP(CAST({lam!r} AS DOUBLE) * ({d}))"
+    s = scale / (1.0 - decay)
+    return (
+        f"GREATEST((CAST({s!r} AS DOUBLE) - ({d}))"
+        f" / CAST({s!r} AS DOUBLE), CAST(0 AS DOUBLE))"
+    )
+
+
+def decay_rank(
+    df: DataFrame,
+    field: str,
+    *,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    kind: str = "gauss",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """function_score with one decay function: rank documents by
+    proximity to ``origin`` (recency boosts, price targeting, geo
+    distance on a projected coordinate). Map-only score + TakeOrdered;
+    ties pin (score DESC, id ASC). Returns (id, field, score)."""
+    expr = decay_score_sql(
+        field, origin=origin, scale=scale, offset=offset,
+        decay=decay, kind=kind, dialect="spark",
+    )
+    return (
+        df.where(F.col(field).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(field),
+            F.round(F.expr(expr), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -561,3 +561,40 @@ def test_highlight_fragments_semantics(spark):
 
     with _pytest.raises(ValueError):
         highlight_fragments_sql("t", "spark", "a'b")
+
+
+def test_decay_functions_pinned_values(spark):
+    """All three decay kinds: score 1 inside the offset, exactly
+    `decay` at origin +- (offset + scale); validation raises on bad
+    params; NULL values drop from the ranking."""
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.ranking import (
+        decay_rank,
+        decay_score_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, 105.0), (3, 160.0), (4, 40.0), (5, None),
+         (6, 500.0)],
+        "doc_id int, x double",
+    )
+    for kind in ("gauss", "exp", "linear"):
+        got = {r.doc_id: r.score for r in decay_rank(
+            df, "x", origin=100.0, scale=50.0, offset=10.0,
+            decay=0.33, kind=kind, k=10,
+        ).collect()}
+        assert got[1] == 1.0 and got[2] == 1.0
+        assert got[3] == 0.33 and got[4] == 0.33
+        assert 5 not in got          # NULL drops
+        assert got[6] < 0.33         # far point decays further
+    # linear hits EXACT zero beyond s = scale/(1-decay)
+    lin = {r.doc_id: r.score for r in decay_rank(
+        df, "x", origin=100.0, scale=50.0, offset=10.0,
+        decay=0.33, kind="linear", k=10,
+    ).collect()}
+    assert lin[6] == 0.0
+    with pytest.raises(ValueError, match="decay must be"):
+        decay_score_sql("x", origin=0, scale=1, decay=1.5)
+    with pytest.raises(ValueError, match="unknown decay kind"):
+        decay_score_sql("x", origin=0, scale=1, kind="cosine")
