@@ -6850,6 +6850,25 @@ ORDER BY prompt
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source domain (pieces/word,
+    chars/piece — the tokenizer-eval metric behind sequence-budget
+    mixing decisions): one map-combinable agg over map-side counts."""
+    from harmonize_search_analyze_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+def _sql_tokenizer_fertility() -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        tokenizer_fertility_sql,
+    )
+
+    return tokenizer_fertility_sql("documents", "text", "source", "duckdb")
+
+
 def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES function_score gauss decay over document length: score 1
     within offset of the origin, exactly `decay` at origin+offset+scale
@@ -9338,6 +9357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "es_sql_unpivot": q_es_sql_unpivot,
         "decay_score": q_decay_score,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9709,6 +9729,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": _sql_preference_pairs(),
         "es_sql_unpivot": SQL_ES_SQL_UNPIVOT,
         "decay_score": _sql_decay_score(),
+        "tokenizer_fertility": _sql_tokenizer_fertility(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -963,3 +963,70 @@ def script_profile(
             else expr.when(cond, F.lit(name))
         )
     return out.withColumn("dominant", expr)
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility per group — the standard tokenizer-eval
+    metric for mixing decisions (a domain whose fertility is 2x pays
+    2x the sequence length for the same words): per ``group_col``,
+    total words (pinned whitespace-alnum tokens), total BPE-ish pieces
+    (the deterministic stand-in tokenizer), total characters, and the
+    two ratios — pieces/word (fertility) and chars/piece (compression).
+    ONE map-combinable agg over map-side counts."""
+    words = token_count_sql(text_col, "spark")
+    pieces = bpe_ish_token_count_sql(text_col, "spark")
+    out = (
+        df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(words)).alias("n_words"),
+            F.sum(F.expr(pieces)).alias("n_pieces"),
+            F.sum(F.length(text_col)).alias("n_chars"),
+        )
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs", "n_words", "n_pieces", "n_chars",
+        F.round(
+            F.try_divide(F.col("n_pieces"), F.col("n_words")), 6
+        ).alias("fertility"),
+        F.round(
+            F.try_divide(F.col("n_chars"), F.col("n_pieces")), 6
+        ).alias("chars_per_piece"),
+    ).orderBy(group_col)
+
+
+def tokenizer_fertility_sql(
+    table: str,
+    text_col: str,
+    group_col: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`tokenizer_fertility`."""
+    words = token_count_sql(text_col, dialect)
+    pieces = bpe_ish_token_count_sql(text_col, dialect)
+    return f"""
+WITH agg AS (
+  SELECT {group_col} AS grp, COUNT(*) AS n_docs,
+         SUM({words}) AS n_words,
+         SUM({pieces}) AS n_pieces,
+         SUM(length({text_col})) AS n_chars
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1
+)
+SELECT grp AS {group_col}, n_docs,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_pieces AS BIGINT) AS n_pieces,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(CAST(n_pieces AS DOUBLE) / NULLIF(n_words, 0), 6)
+         AS fertility,
+       ROUND(CAST(n_chars AS DOUBLE) / NULLIF(n_pieces, 0), 6)
+         AS chars_per_piece
+FROM agg ORDER BY {group_col}
+"""

@@ -243,3 +243,26 @@ def test_script_profile_multilingual(spark):
     assert got[5].latin == 0.5 and got[5].digit == 0.5
     assert got[5].dominant == "latin"  # tie -> priority order
     assert got[6].latin == 0.0 and got[6].dominant == "latin"
+
+
+def test_tokenizer_fertility_exact(spark):
+    """Hand-computed fertility on a tiny corpus: 'hello world' = 2
+    words, pieces ceil(5/4)+ceil(5/4)=4, 11 chars; empty-token docs
+    yield NULL ratios via try_divide, not a crash."""
+    from harmonize_search_analyze_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "hello world"), ("a", "hi"), ("b", "!!!")],
+        ["source", "text"],
+    )
+    got = {r.source: r for r in tokenizer_fertility(df).collect()}
+    a = got["a"]
+    # words: 2 + 1; pieces: (2+2) + 1; chars: 11 + 2
+    assert (a.n_docs, a.n_words, a.n_pieces, a.n_chars) == (2, 3, 5, 13)
+    assert a.fertility == round(5 / 3, 6)
+    assert a.chars_per_piece == round(13 / 5, 6)
+    b = got["b"]  # punctuation-only: 0 words, 1 punct-run piece
+    assert (b.n_words, b.n_pieces) == (0, 1)
+    assert b.fertility is None
