@@ -2811,3 +2811,61 @@ SELECT {id_col}, rp_cosine,
 FROM short
 ORDER BY cosine DESC, {id_col} ASC LIMIT {k}
 """
+
+
+def ivf_write(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF index: vectors written to parquet PARTITIONED BY
+    centroid_id (plus the centroid table alongside). This is the
+    claim ivf_search's docstring makes, made real: probing nprobe
+    lists becomes PARTITION PRUNING at the file listing — the scan
+    never opens the other lists' files (asserted by test via the
+    scan's file count). At 100 TB the unprobed data isn't just
+    unfiltered, it's unread."""
+    assigned = assign_centroids(
+        df, centroids, vec_col=vec_col, id_col=id_col
+    ).select(id_col, "centroid_id")
+    (
+        df.join(assigned, id_col)
+        .write.mode(mode)
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+    centroids.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    qvec: list[float],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a persisted IVF index: rank centroids (metadata-sized
+    collect), then scan ONLY the nprobe partitions — the
+    `centroid_id IN (...)` filter prunes at the parquet partition
+    level, so the other lists' files are never opened."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probe_ids = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id",
+            F.round(cosine_score("cvec", qvec), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    vectors = spark.read.parquet(f"{path}/vectors")
+    shortlist = vectors.where(F.col("centroid_id").isin(probe_ids))
+    return cosine_topk(shortlist, vec_col, qvec, k, id_col)

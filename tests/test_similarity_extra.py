@@ -196,3 +196,71 @@ def test_random_projection_deterministic(spark):
     # the driver-side twin matches the distributed expression exactly
     c = _project_vec(v, 8, 3)
     assert all(abs(x - y) < 1e-12 for x, y in zip(a, c))
+
+
+def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index makes probing a PARTITION PRUNE: the
+    executed scan opens only the nprobe partitions' files (counted via
+    input_file_name on the same filtered frame), and the indexed
+    search returns exactly the in-memory ivf_search answer."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        assign_centroids,
+        ivf_search,
+        ivf_search_indexed,
+        ivf_write,
+        kmeans_train,
+    )
+
+    rows = [
+        (i, [math.sin(0.31 * i * j + 0.17 * j) for j in range(16)])
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qvec = [math.cos(0.23 * j) for j in range(16)]
+    cents = kmeans_train(df, n_centroids=8, n_iters=4, vec_col="embedding")
+    path = str(tmp_path / "ivf")
+    ivf_write(df, cents, path)
+    got = [
+        (r.vec_id, r.cosine)
+        for r in ivf_search_indexed(
+            spark, path, qvec, k=10, nprobe=2
+        ).collect()
+    ]
+    assigned = assign_centroids(df, cents)
+    want = [
+        (r.vec_id, r.cosine)
+        for r in ivf_search(
+            df, cents, assigned, qvec, k=10, nprobe=2
+        ).collect()
+    ]
+    assert got == want
+    # pruning: the probed scan touches files from exactly 2 partitions
+    vectors = spark.read.parquet(f"{path}/vectors")
+    all_parts = {
+        r.centroid_id for r in vectors.select("centroid_id").distinct().collect()
+    }
+    assert len(all_parts) > 2
+    centroids = spark.read.parquet(f"{path}/centroids")
+    from harmonize_search_analyze_spark.operators.similarity import (
+        cosine_score,
+    )
+
+    probe = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id",
+            F.round(cosine_score("cvec", qvec), 6).alias("s"),
+        ).orderBy(F.desc("s"), F.asc("centroid_id")).limit(2).collect()
+    ]
+    touched = (
+        vectors.where(F.col("centroid_id").isin(probe))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dirs = {r.f.rsplit("/", 2)[-2] for r in touched}
+    assert dirs == {f"centroid_id={p}" for p in probe}
