@@ -264,3 +264,44 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
     )
     dirs = {r.f.rsplit("/", 2)[-2] for r in touched}
     assert dirs == {f"centroid_id={p}" for p in probe}
+
+
+def test_int8_persisted_index_storage_and_answer(spark, tmp_path):
+    """The persisted quantized index is genuinely ~4x smaller on disk
+    than the raw float vectors (TINYINT physical type), and the
+    indexed search returns EXACTLY the in-memory int8_topk answer."""
+    import math
+    import pathlib
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        int8_search_indexed,
+        int8_topk,
+        int8_write,
+    )
+
+    rows = [
+        (i, [math.sin(0.41 * i * j + 0.05 * j) for j in range(64)])
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qvec = [math.cos(0.19 * j) for j in range(64)]
+    base = str(tmp_path / "idx")
+    int8_write(df, base)
+    raw_path = str(tmp_path / "raw")
+    df.write.mode("overwrite").parquet(raw_path)
+
+    def du(p):
+        return sum(
+            f.stat().st_size
+            for f in pathlib.Path(p).rglob("*.parquet")
+        )
+
+    ratio = du(raw_path) / du(f"{base}/q")
+    assert ratio > 3.0, ratio
+    got = [tuple(r) for r in int8_search_indexed(
+        spark, base, df, qvec, k=10, shortlist=100
+    ).collect()]
+    want = [tuple(r) for r in int8_topk(
+        df, qvec, k=10, shortlist=100
+    ).collect()]
+    assert got == want
