@@ -6850,6 +6850,40 @@ ORDER BY prompt
 """
 
 
+_MULTILINGUAL_STAGES = [
+    {"script_filter": {"script": "latin", "min_ratio": 0.8}},
+    {"fertility_filter": {"max_fertility": 1.5}},
+    {"length_filter": {"min_chars": 40}},
+    {"exact_dedup": {}},
+]
+
+
+def q_multilingual_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven curation pipeline exercising the round-4 stages:
+    unicode-script floor + tokenizer-fertility cap (both cut ~half the
+    corpus at these settings) + length + exact dedup, Spark path and
+    oracle compiled from the SAME stage generator."""
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_corpus_pipeline(docs, _MULTILINGUAL_STAGES).select(
+        "doc_id", "source", "lang"
+    ).orderBy("doc_id")
+
+
+def _sql_multilingual_pipeline() -> str:
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        corpus_pipeline_sql,
+    )
+
+    inner = corpus_pipeline_sql(
+        "documents", _MULTILINGUAL_STAGES, ["doc_id", "source", "lang", "text"]
+    )
+    return f"SELECT doc_id, source, lang FROM ({inner}) ORDER BY doc_id"
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per source domain (pieces/word,
     chars/piece — the tokenizer-eval metric behind sequence-budget
@@ -9358,6 +9392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_sql_unpivot": q_es_sql_unpivot,
         "decay_score": q_decay_score,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "multilingual_pipeline": q_multilingual_pipeline,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9730,6 +9765,7 @@ def oracle_sql() -> dict[str, str]:
         "es_sql_unpivot": SQL_ES_SQL_UNPIVOT,
         "decay_score": _sql_decay_score(),
         "tokenizer_fertility": _sql_tokenizer_fertility(),
+        "multilingual_pipeline": _sql_multilingual_pipeline(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -72,6 +72,36 @@ def _stage_predicate(
         return (
             f"(length({text_col}) >= {lo} AND length({text_col}) <= {hi})"
         )
+    if kind == "script_filter":
+        # keep documents whose given unicode-script ratio clears the
+        # floor (multilingual routing: {"script_filter": {"script":
+        # "latin", "min_ratio": 0.9}}) — shares text.script_ratios_sql
+        from harmonize_search_analyze_spark.operators.text import (
+            script_ratios_sql,
+        )
+
+        ratios = script_ratios_sql(text_col, dialect)
+        script = cfg["script"]
+        if script not in ratios:
+            raise ValueError(
+                f"unknown script {script!r}; one of {sorted(ratios)}"
+            )
+        lo = float(cfg.get("min_ratio", 0.5))
+        return f"({ratios[script]}) >= {lo!r}"
+    if kind == "fertility_filter":
+        # drop documents whose BPE-ish fertility (pieces/word) exceeds
+        # the cap — the standard tokenizer-budget guard
+        from harmonize_search_analyze_spark.operators.text import (
+            bpe_ish_token_count_sql,
+            token_count_sql,
+        )
+
+        hi = float(cfg["max_fertility"])
+        w = token_count_sql(text_col, dialect)
+        p_ = bpe_ish_token_count_sql(text_col, dialect)
+        return (
+            f"({w}) > 0 AND CAST({p_} AS DOUBLE) / ({w}) <= {hi!r}"
+        )
     if kind == "sample":
         frac = float(cfg["fraction"])
         if not 0.0 <= frac <= 1.0:

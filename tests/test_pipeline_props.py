@@ -512,3 +512,36 @@ def test_eql_join_unordered_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().split(
         "== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_script_and_fertility_stages(spark):
+    """The round-4 pipeline stages: script_filter keeps high-latin
+    docs, fertility_filter drops long-word docs; unknown script raises."""
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.curation_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain english words here"),
+            (2, "мир труд май россия"),
+            (3, "supercalifragilistic extraordinarily"),  # fertility > 2
+        ],
+        ["doc_id", "text"],
+    )
+    kept = run_corpus_pipeline(
+        df, [{"script_filter": {"script": "latin", "min_ratio": 0.9}}]
+    )
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
+    # doc1: 7 pieces / 4 words = 1.75; doc3: 9/2 = 4.5; doc2 has ZERO
+    # pinned-tokenizer words (cyrillic) so the w > 0 guard drops it
+    kept2 = run_corpus_pipeline(
+        df, [{"fertility_filter": {"max_fertility": 1.8}}]
+    )
+    assert {r.doc_id for r in kept2.collect()} == {1}
+    with pytest.raises(ValueError, match="unknown script"):
+        run_corpus_pipeline(
+            df, [{"script_filter": {"script": "klingon"}}]
+        ).collect()
