@@ -6884,6 +6884,42 @@ def _sql_multilingual_pipeline() -> str:
     return f"SELECT doc_id, source, lang FROM ({inner}) ORDER BY doc_id"
 
 
+def q_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES collapse with inner_hits: top-5 event types by their best
+    value, each expanded to its 3 best hits with in-group rank — one
+    collapse-key window + a broadcast k-sized winners frame."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        collapse_inner_hits,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.round("value", 6).alias("value")
+    )
+    return collapse_inner_hits(
+        ev, "event_type", "value", k=5, size=3, tie_col="event_id"
+    )
+
+
+SQL_COLLAPSE_INNER = """
+WITH ranked AS (
+  SELECT event_type, event_id, ROUND(value, 6) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ROUND(value, 6) DESC, event_id ASC)
+           AS rn
+  FROM events WHERE event_type IS NOT NULL
+), tops AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS best
+  FROM ranked WHERE rn = 1
+  ORDER BY best DESC, grp ASC LIMIT 5
+)
+SELECT r.event_type, r.rn AS inner_rank, ROUND(t.best, 6) AS group_best,
+       r.event_id, r.value
+FROM ranked r JOIN tops t ON r.event_type = t.grp
+WHERE r.rn <= 3
+ORDER BY group_best DESC, r.event_type ASC, inner_rank ASC
+"""
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per source domain (pieces/word,
     chars/piece — the tokenizer-eval metric behind sequence-budget
@@ -9393,6 +9429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_score": q_decay_score,
         "tokenizer_fertility": q_tokenizer_fertility,
         "multilingual_pipeline": q_multilingual_pipeline,
+        "collapse_inner": q_collapse_inner,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9766,6 +9803,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_score": _sql_decay_score(),
         "tokenizer_fertility": _sql_tokenizer_fertility(),
         "multilingual_pipeline": _sql_multilingual_pipeline(),
+        "collapse_inner": SQL_COLLAPSE_INNER,
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

@@ -3311,3 +3311,56 @@ SELECT * FROM (
   {arms}
 ) ORDER BY {group_col}, percentile
 """
+
+
+def collapse_inner_hits(
+    df: DataFrame,
+    field: str,
+    sort_col: str,
+    *,
+    k: int = 10,
+    size: int = 3,
+    ascending: bool = False,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """ES search ``collapse`` with ``inner_hits``: the top-``k``
+    collapsed groups (ranked by their best hit, like :func:`collapse`)
+    each expanded to their ``size`` best hits, with the in-group
+    ``inner_rank``. One window shuffle keyed by the collapse field;
+    the winning-groups frame is k-sized and broadcast back — the
+    expansion never re-sorts all hits. Ordered (group's best first,
+    then inner_rank)."""
+    order = F.asc(sort_col) if ascending else F.desc(sort_col)
+    inner = [order] + ([F.asc(tie_col)] if tie_col else [])
+    w = Window.partitionBy(field).orderBy(*inner)
+    ranked = df.where(F.col(field).isNotNull()).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    tops = (
+        ranked.where(F.col("__rn") == 1)
+        .select(
+            F.col(field).alias("__grp"),
+            F.col(sort_col).cast("double").alias("__best"),
+        )
+        .orderBy(
+            F.asc("__best") if ascending else F.desc("__best"),
+            F.asc("__grp"),
+        )
+        .limit(k)
+    )
+    keep = [c for c in df.columns if c != field]
+    return (
+        ranked.where(F.col("__rn") <= size)
+        .join(F.broadcast(tops), ranked[field] == F.col("__grp"))
+        .select(
+            F.col(field),
+            F.col("__rn").alias("inner_rank"),
+            F.round(F.col("__best"), 6).alias("group_best"),
+            *keep,
+        )
+        .orderBy(
+            F.asc("group_best") if ascending else F.desc("group_best"),
+            F.asc(field),
+            F.asc("inner_rank"),
+        )
+    )

@@ -1967,3 +1967,25 @@ def test_moving_fn_sequential_variants(spark):
     assert ew[3] == 22.5
     with pytest.raises(ValueError, match="unknown moving_fn"):
         moving_fn(df, "b", "v", fn="holt")
+
+
+def test_collapse_inner_hits(spark):
+    """Top-k groups by best hit, each expanded to `size` hits with
+    in-group rank; groups outside the top-k drop entirely; ties pin by
+    tie_col."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        collapse_inner_hits,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 9.0), ("a", 3, 8.0),
+         ("b", 5, 20.0), ("b", 6, 1.0), ("c", 7, 5.0)],
+        ["g", "id", "score"],
+    )
+    got = [
+        (r.g, r.inner_rank, r.id)
+        for r in collapse_inner_hits(
+            df, "g", "score", k=2, size=2, tie_col="id"
+        ).collect()
+    ]
+    assert got == [("b", 1, 5), ("b", 2, 6), ("a", 1, 1), ("a", 2, 2)]
