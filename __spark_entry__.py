@@ -6884,6 +6884,65 @@ def _sql_multilingual_pipeline() -> str:
     return f"SELECT doc_id, source, lang FROM ({inner}) ORDER BY doc_id"
 
 
+def q_terms_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg SHARD semantics (the approximation the exact
+    `terms` avoids): deterministic hash shards contribute only their
+    local top shard_size terms; doc_count_error_upper_bound = the sum
+    of non-reporting shards' cut-off lines — the published ES bound,
+    exercised for real (shard_size=3 undercounts at this SF and the
+    oracle replays truncation+merge+bound exactly)."""
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        split_tokens,
+    )
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_approx,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(split_tokens("text")).alias("term")
+    )
+    return terms_approx(
+        toks, "term", k=5, n_shards=8, shard_size=3, id_col="doc_id"
+    )
+
+
+def _sql_terms_approx() -> str:
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    h = hash64_sql("CAST(doc_id AS VARCHAR)", "duckdb")
+    toks = tokens_sql("text", "duckdb")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term
+  FROM documents WHERE text IS NOT NULL
+), per AS (
+  SELECT ({h}) % 8 AS shard, term, COUNT(*) AS n
+  FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT shard, term, n,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY n DESC, term ASC) AS rn,
+         LEAST(3, COUNT(*) OVER (PARTITION BY shard)) AS last_rn
+  FROM per
+), sent AS (SELECT * FROM ranked WHERE rn <= 3),
+cutoff AS (SELECT shard, n AS cut FROM ranked WHERE rn = last_rn),
+merged AS (SELECT term, SUM(n) AS doc_count FROM sent GROUP BY term),
+seen_cut AS (
+  SELECT s.term, SUM(c.cut) AS sc
+  FROM sent s JOIN cutoff c ON s.shard = c.shard GROUP BY s.term
+),
+all_cut AS (SELECT SUM(cut) AS ac FROM cutoff)
+SELECT m.term, CAST(m.doc_count AS BIGINT) AS doc_count,
+       CAST(ac - sc AS BIGINT) AS doc_count_error_upper_bound
+FROM merged m JOIN seen_cut USING (term) CROSS JOIN all_cut
+ORDER BY doc_count DESC, term ASC LIMIT 5
+"""
+
+
 def q_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES collapse with inner_hits: top-5 event types by their best
     value, each expanded to its 3 best hits with in-group rank — one
@@ -9430,6 +9489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "multilingual_pipeline": q_multilingual_pipeline,
         "collapse_inner": q_collapse_inner,
+        "terms_approx": q_terms_approx,
         # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
         # no SQL oracle EXISTS for the sequential argmax recursion, so
         # they stay OUT of the driver window (an in-window entry would
@@ -9804,6 +9864,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _sql_tokenizer_fertility(),
         "multilingual_pipeline": _sql_multilingual_pipeline(),
         "collapse_inner": SQL_COLLAPSE_INNER,
+        "terms_approx": _sql_terms_approx(),
         "esql_enrich": SQL_ESQL_ENRICH,
         "esql_fork": SQL_ESQL_FORK,
         "esql_functions": SQL_ESQL_FUNCTIONS,

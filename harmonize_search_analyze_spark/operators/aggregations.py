@@ -3364,3 +3364,82 @@ def collapse_inner_hits(
             F.asc("inner_rank"),
         )
     )
+
+
+def terms_approx(
+    df: DataFrame,
+    field: str,
+    *,
+    k: int = 10,
+    n_shards: int = 8,
+    shard_size: int | None = None,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES terms agg with SHARD semantics — the approximation ES
+    actually ships (and this engine's exact `terms` avoids): each
+    shard contributes only its local top ``shard_size`` terms, the
+    coordinator sums what it received, and
+    ``doc_count_error_upper_bound`` = the sum of the cut-off line
+    (each non-reporting shard's last reported count) — the published
+    bound on how much a returned count may undercount.
+
+    Shards here are DETERMINISTIC (hash(id) % n_shards computed
+    in-query), so the whole algorithm — truncation, merge, error
+    bound — is replayable by the SQL oracle; on a real cluster the
+    physical partitioning plays the shard role and the shape is the
+    same per-shard agg + k-sized merge, which is the point at 100 TB:
+    shuffle volume is n_shards*shard_size rows, not every distinct
+    term. Returns (field, doc_count, doc_count_error_upper_bound),
+    top-k by merged count."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    shard_size = shard_size if shard_size is not None else k + 4
+    shard = f"({hash64_sql(f'CAST({id_col} AS STRING)', 'spark')}) % {n_shards}"
+    per = (
+        df.where(F.col(field).isNotNull())
+        .groupBy(
+            F.expr(shard).alias("__shard"), F.col(field).alias("term")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("__shard").orderBy(
+        F.desc("n"), F.asc("term")
+    )
+    ranked = per.withColumn("__rn", F.row_number().over(w))
+    sent = ranked.where(F.col("__rn") <= shard_size)
+    # each shard's cut-off line: the count of the LAST term it reported
+    cutoff = (
+        ranked.withColumn(
+            "__last",
+            F.least(
+                F.lit(shard_size),
+                F.max("__rn").over(Window.partitionBy("__shard")),
+            ),
+        )
+        .where(F.col("__rn") == F.col("__last"))
+        .select("__shard", F.col("n").alias("__cut"))
+    )
+    merged = sent.groupBy("term").agg(F.sum("n").alias("doc_count"))
+    total_cut = cutoff.agg(
+        F.sum("__cut").alias("__all_cut")
+    )
+    seen_cut = (
+        sent.join(cutoff, "__shard")
+        .groupBy("term")
+        .agg(F.sum("__cut").alias("__seen_cut"))
+    )
+    return (
+        merged.join(seen_cut, "term")
+        .crossJoin(F.broadcast(total_cut))
+        .select(
+            F.col("term").alias(field),
+            "doc_count",
+            (F.col("__all_cut") - F.col("__seen_cut")).alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+        .orderBy(F.desc("doc_count"), F.asc(field))
+        .limit(k)
+    )

@@ -1989,3 +1989,35 @@ def test_collapse_inner_hits(spark):
         ).collect()
     ]
     assert got == [("b", 1, 5), ("b", 2, 6), ("a", 1, 1), ("a", 2, 2)]
+
+
+def test_terms_approx_error_bound_contract(spark):
+    """The ES shard-approximation invariant: for every returned term,
+    approx <= exact <= approx + doc_count_error_upper_bound; with
+    shard_size >= distinct terms the result IS exact with zero error."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_approx,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 23).cast("string").alias("term"),
+    )
+    exact = {
+        r.term: r.n
+        for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    approx = terms_approx(
+        df, "term", k=8, n_shards=8, shard_size=3, id_col="doc_id"
+    ).collect()
+    for r in approx:
+        assert r.doc_count <= exact[r.term] <= (
+            r.doc_count + r.doc_count_error_upper_bound
+        )
+    full = terms_approx(
+        df, "term", k=30, n_shards=8, shard_size=23, id_col="doc_id"
+    ).collect()
+    assert all(r.doc_count == exact[r.term] for r in full)
+    assert all(r.doc_count_error_upper_bound == 0 for r in full)
