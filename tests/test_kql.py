@@ -210,3 +210,34 @@ def test_field_wildcard_value_group_replays_per_field(spark):
     pred = kql_query("tag_*: (a or b)",
                      field_names=["tag_one", "tag_two"])
     assert {r.id for r in df.where(pred).collect()} == {1, 2}
+
+
+def test_percolate_with_kql_stored_queries(spark):
+    """Saved-search alerting with KQL-authored queries: parse_kql
+    output plugs straight into percolate() (one grammar front-end,
+    one predicate engine) — the Kibana alert-rule shape."""
+    from harmonize_search_analyze_spark.plans.compiler import percolate
+    from harmonize_search_analyze_spark.plans.kql import parse_kql
+
+    df = spark.createDataFrame(
+        [
+            (1, "error", 500.0),
+            (2, "view", 10.0),
+            (3, "error", 5.0),
+            (4, "purchase", 900.0),
+        ],
+        ["event_id", "event_type", "value"],
+    )
+    stored = {
+        "errors": parse_kql("event_type: error"),
+        "big_spend": parse_kql("event_type: purchase and value >= 100"),
+        "anything_high": parse_kql("value > 400"),
+    }
+    got = sorted(
+        (r.event_id, r.query_id)
+        for r in percolate(df, stored, ["event_id"]).collect()
+    )
+    assert got == [
+        (1, "anything_high"), (1, "errors"), (3, "errors"),
+        (4, "anything_high"), (4, "big_spend"),
+    ]
