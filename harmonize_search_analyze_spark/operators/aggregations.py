@@ -2028,11 +2028,13 @@ def normalize_pipeline(
     *,
     method: str = "percent_of_sum",
 ) -> DataFrame:
-    """ES ``normalize`` pipeline agg: rescale bucket values by
-    ``percent_of_sum`` (v/Σv), ``mean`` (z-score, population stddev — ES's
-    formula), or ``range`` (min-max to [0,1]). Bucket-level window over the
-    already-aggregated frame — same single-task contract as
-    bucket_pipeline (rows bounded by the interval, not data volume)."""
+    """ES ``normalize`` pipeline agg — the FULL published method set:
+    ``percent_of_sum`` (v/Σv), ``percent_of_max``, ``mean`` (z-score,
+    population stddev — ES's formula), ``range``/``rescale_0_1``
+    (min-max to [0,1]), ``rescale_0_100``, and ``softmax``
+    (e^v / Σ e^v). Bucket-level window over the already-aggregated
+    frame — same single-task contract as bucket_pipeline (rows bounded
+    by the interval, not data volume)."""
     w = Window.partitionBy()
     v = F.col(value_col)
     # try_divide throughout: an all-zero series (percent_of_sum) or a
@@ -2043,13 +2045,25 @@ def normalize_pipeline(
         norm = F.try_divide(v, F.sum(v).over(w))
     elif method == "mean":
         norm = F.try_divide(v - F.avg(v).over(w), F.stddev_pop(v).over(w))
-    elif method == "range":
+    elif method in ("range", "rescale_0_1"):
         norm = F.try_divide(
             v - F.min(v).over(w), F.max(v).over(w) - F.min(v).over(w)
         )
+    elif method == "rescale_0_100":
+        norm = F.lit(100.0) * F.try_divide(
+            v - F.min(v).over(w), F.max(v).over(w) - F.min(v).over(w)
+        )
+    elif method == "percent_of_max":
+        norm = F.try_divide(v, F.max(v).over(w))
+    elif method == "softmax":
+        norm = F.try_divide(
+            F.exp(v.cast("double")),
+            F.sum(F.exp(v.cast("double"))).over(w),
+        )
     else:
         raise ValueError(
-            "method must be percent_of_sum, mean, or range"
+            "method must be one of percent_of_sum, percent_of_max, "
+            "mean, range/rescale_0_1, rescale_0_100, softmax"
         )
     return buckets.select(
         bucket_col, value_col, F.round(norm, 6).alias("normalized")

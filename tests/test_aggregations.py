@@ -658,8 +658,9 @@ def test_normalize_pipeline_methods(spark):
     rng = {r["bucket"]: r["normalized"] for r in normalize_pipeline(
         b, "bucket", "doc_count", method="range").collect()}
     assert rng == {1: 0.0, 2: 0.4, 3: 1.0}
+    # softmax is supported since round 4 — an unknown method raises
     with pytest.raises(ValueError, match="method"):
-        normalize_pipeline(b, "bucket", "doc_count", method="softmax")
+        normalize_pipeline(b, "bucket", "doc_count", method="nope")
 
 
 def test_geotile_known_vectors(spark):
@@ -2021,3 +2022,29 @@ def test_terms_approx_error_bound_contract(spark):
     ).collect()
     assert all(r.doc_count == exact[r.term] for r in full)
     assert all(r.doc_count_error_upper_bound == 0 for r in full)
+
+
+def test_normalize_full_method_set(spark):
+    """The round-4 completions of the normalize pipeline agg:
+    percent_of_max, rescale_0_100, softmax — exact values on a tiny
+    series."""
+    import math
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        normalize_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 5.0)], ["b", "v"]
+    )
+    pm = {r.b: r.normalized for r in normalize_pipeline(
+        df, "b", "v", method="percent_of_max").collect()}
+    assert pm == {1: 0.2, 2: 0.4, 3: 1.0}
+    r100 = {r.b: r.normalized for r in normalize_pipeline(
+        df, "b", "v", method="rescale_0_100").collect()}
+    assert r100 == {1: 0.0, 2: 25.0, 3: 100.0}
+    sm = {r.b: r.normalized for r in normalize_pipeline(
+        df, "b", "v", method="softmax").collect()}
+    z = sum(math.exp(x) for x in (1.0, 2.0, 5.0))
+    for b, x in ((1, 1.0), (2, 2.0), (3, 5.0)):
+        assert abs(sm[b] - round(math.exp(x) / z, 6)) < 1e-9
