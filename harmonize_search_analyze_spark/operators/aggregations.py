@@ -2032,7 +2032,8 @@ def normalize_pipeline(
     ``percent_of_sum`` (v/Σv), ``percent_of_max``, ``mean`` (z-score,
     population stddev — ES's formula), ``range``/``rescale_0_1``
     (min-max to [0,1]), ``rescale_0_100``, and ``softmax``
-    (e^v / Σ e^v). Bucket-level window over the already-aggregated
+    (e^v / Σ e^v, computed max-shifted so real-world magnitudes don't
+    overflow to NaN). Bucket-level window over the already-aggregated
     frame — same single-task contract as bucket_pipeline (rows bounded
     by the interval, not data volume)."""
     w = Window.partitionBy()
@@ -2056,9 +2057,12 @@ def normalize_pipeline(
     elif method == "percent_of_max":
         norm = F.try_divide(v, F.max(v).over(w))
     elif method == "softmax":
+        # max-shifted for numeric stability: e^(v-max)/Σe^(v-max) is
+        # algebraically ES's e^v/Σe^v but stays finite where raw
+        # exponentials overflow double range (real-world doc counts do)
+        shifted = v.cast("double") - F.max(v.cast("double")).over(w)
         norm = F.try_divide(
-            F.exp(v.cast("double")),
-            F.sum(F.exp(v.cast("double"))).over(w),
+            F.exp(shifted), F.sum(F.exp(shifted)).over(w)
         )
     else:
         raise ValueError(
