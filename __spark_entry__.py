@@ -6926,10 +6926,15 @@ WITH tok AS (
   SELECT shard, term, n,
          ROW_NUMBER() OVER (PARTITION BY shard
                             ORDER BY n DESC, term ASC) AS rn,
-         LEAST(3, COUNT(*) OVER (PARTITION BY shard)) AS last_rn
+         COUNT(*) OVER (PARTITION BY shard) AS total
   FROM per
 ), sent AS (SELECT * FROM ranked WHERE rn <= 3),
-cutoff AS (SELECT shard, n AS cut FROM ranked WHERE rn = last_rn),
+-- an exhausted shard (returned ALL its terms) hides nothing: ES pins
+-- its error contribution to 0; only truncated shards contribute.
+cutoff AS (
+  SELECT shard, CASE WHEN total < 3 THEN 0 ELSE n END AS cut
+  FROM ranked WHERE rn = LEAST(3, total)
+),
 merged AS (SELECT term, SUM(n) AS doc_count FROM sent GROUP BY term),
 seen_cut AS (
   SELECT s.term, SUM(c.cut) AS sc

@@ -3427,17 +3427,23 @@ def terms_approx(
     )
     ranked = per.withColumn("__rn", F.row_number().over(w))
     sent = ranked.where(F.col("__rn") <= shard_size)
-    # each shard's cut-off line: the count of the LAST term it reported
+    # each shard's cut-off line: the count of the LAST term it
+    # reported — but a shard that returned ALL of its terms (fewer
+    # than shard_size distinct) cannot be hiding anything, so ES pins
+    # its error contribution to 0 (only truncated shards contribute).
     cutoff = (
         ranked.withColumn(
-            "__last",
-            F.least(
-                F.lit(shard_size),
-                F.max("__rn").over(Window.partitionBy("__shard")),
-            ),
+            "__total", F.max("__rn").over(Window.partitionBy("__shard"))
         )
-        .where(F.col("__rn") == F.col("__last"))
-        .select("__shard", F.col("n").alias("__cut"))
+        .where(
+            F.col("__rn") == F.least(F.lit(shard_size), F.col("__total"))
+        )
+        .select(
+            "__shard",
+            F.when(F.col("__total") < shard_size, F.lit(0))
+            .otherwise(F.col("n"))
+            .alias("__cut"),
+        )
     )
     merged = sent.groupBy("term").agg(F.sum("n").alias("doc_count"))
     total_cut = cutoff.agg(

@@ -966,19 +966,32 @@ def kaplan_meier(
         F.lit(1.0)
         - F.col("n_churned").cast("double") / F.col("n_risk")
     )
+    # d == n_risk (a bucket's at-risk population fully churns — the
+    # ordinary shape for the longest-lived cohort) would feed log(0):
+    # Spark returns NULL (silently skipped by SUM), DuckDB raises.  The
+    # product-limit estimate is exactly 0 from that bucket onward, so
+    # short-circuit OUTSIDE the log: a running max of the wipe flag
+    # pins survival to 0 and the log step only fires for 0 < d < n.
+    wiped = F.max(
+        F.when(F.col("n_churned") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(run)
     return (
         buckets.withColumn("n_risk", at_risk)
         .withColumn(
             "survival",
-            F.round(
-                F.exp(
-                    F.sum(
-                        F.when(F.col("n_churned") > 0, step).otherwise(
-                            F.lit(0.0)
-                        )
-                    ).over(run)
-                ),
-                6,
+            F.when(wiped == 1, F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                (F.col("n_churned") > 0)
+                                & (F.col("n_churned") < F.col("n_risk")),
+                                step,
+                            ).otherwise(F.lit(0.0))
+                        ).over(run)
+                    ),
+                    6,
+                )
             ),
         )
         .select(
@@ -1024,17 +1037,24 @@ per_user AS (
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
   FROM buckets
 ), curve AS (
+  -- d == n_risk would feed ln(0) (DuckDB raises): short-circuit via a
+  -- running wipe flag, matching the Spark operator — survival is 0 from
+  -- the fully-churned bucket onward and the log only sees 0 < d < n.
   SELECT duration, n_total, n_churned, n_risk,
-         SUM(CASE WHEN n_churned > 0
+         SUM(CASE WHEN n_churned > 0 AND n_churned < n_risk
              THEN ln(1.0 - CAST(n_churned AS DOUBLE) / n_risk)
              ELSE 0.0 END) OVER (ORDER BY duration
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lns,
+         MAX(CASE WHEN n_churned >= n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY duration
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wiped
   FROM risked
 )
 SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
        CAST(n_churned AS BIGINT) AS n_churned,
        CAST(n_total - n_churned AS BIGINT) AS n_censored,
-       ROUND(exp(lns), 6) AS survival
+       CASE WHEN wiped = 1 THEN 0.0
+            ELSE ROUND(exp(lns), 6) END AS survival
 FROM curve ORDER BY duration
 """
 

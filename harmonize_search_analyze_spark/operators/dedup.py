@@ -302,9 +302,22 @@ def near_dup_pairs_brute(
     *,
     threshold: float = 0.8,
     n: int = 3,
+    max_rows: int = 100_000,
 ) -> DataFrame:
-    """O(n^2) exact-Jaccard pairs — the oracle/baseline path. Guard with a
-    sample at scale; the LSH path above is the production plan."""
+    """O(n^2) exact-Jaccard pairs — the oracle/baseline path, guarded at
+    ``max_rows`` input rows (same contract as
+    ``similarity.embedding_near_dup_pairs``): brute all-pairs is a
+    recall oracle for bounded samples by design, never a corpus path —
+    an unguarded full-corpus launch would be a quadratic job. The count
+    is one cheap action before the n^2 join it protects; the LSH path
+    above is the production plan."""
+    n_rows = df.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"brute exact-Jaccard is a recall oracle for samples; got "
+            f"{n_rows} rows > max_rows={max_rows} — sample the input "
+            "or use near_dup_pairs_lsh for full-corpus runs"
+        )
     sh = df.select(
         F.col(id_col),
         F.expr(shingles_sql(text_col, "spark", n)).alias("shingles"),
@@ -1383,21 +1396,28 @@ def corpus_diff(
     )
 
     def digests(df: DataFrame, side: str) -> DataFrame:
+        # coalesce text to '' BEFORE hashing: hash64(NULL) is NULL, and
+        # presence inferred from digest nullness would report a
+        # NULL-text doc as added/removed.  With the coalesce,
+        # NULL-vs-NULL compares 'unchanged' and presence is carried by
+        # an explicit flag per side (matching the SQL twin's
+        # o.id/n.id IS NULL test).
         norm = (
-            f"lower(regexp_replace(CAST({text_col} AS STRING),"
-            " '\\\\s+', ' '))"
+            f"lower(regexp_replace(COALESCE(CAST({text_col} AS STRING),"
+            " ''), '\\\\s+', ' '))"
         )
         return df.where(F.col(id_col).isNotNull()).select(
             F.col(id_col).alias("__id"),
             F.expr(hash64_sql(f"trim({norm})", "spark")).alias(
                 f"__d_{side}"
             ),
+            F.lit(True).alias(f"__in_{side}"),
         )
     o = digests(old, "old")
     n = digests(new, "new")
     status = (
-        F.when(F.col("__d_old").isNull(), F.lit("added"))
-        .when(F.col("__d_new").isNull(), F.lit("removed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
         .when(F.col("__d_old") == F.col("__d_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
@@ -1421,12 +1441,15 @@ def corpus_diff_sql(
     )
 
     cast = "STRING" if dialect == "spark" else "VARCHAR"
+    # COALESCE to '' mirrors the operator: NULL text hashes like the
+    # empty string, so NULL-vs-NULL is 'unchanged', not a phantom
+    # added/removed pair.
     norm = (
-        f"trim(lower(regexp_replace(CAST({text_col} AS {cast}),"
-        " '\\s+', ' ', 'g')))"
+        f"trim(lower(regexp_replace(COALESCE(CAST({text_col} AS {cast}),"
+        " ''), '\\s+', ' ', 'g')))"
         if dialect == "duckdb"
-        else f"trim(lower(regexp_replace(CAST({text_col} AS {cast}),"
-        " '\\\\s+', ' ')))"
+        else f"trim(lower(regexp_replace(COALESCE(CAST({text_col} AS"
+        f" {cast}), ''), '\\\\s+', ' ')))"
     )
     h = hash64_sql(norm, dialect)
     return f"""

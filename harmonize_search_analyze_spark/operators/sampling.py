@@ -888,6 +888,20 @@ def domain_reweight(
     )
     tot = scored.agg(F.sum("__e").alias("__z"))
     n_domains = scored.agg(F.count(F.lit(1)).alias("__k"))
+    # floor renormalization scales the softmax by (1 - floor*k): with
+    # floor*k > 1 the scale goes negative, inverting the softmax
+    # ordering and breaking sum-to-1.  The domain count is only known
+    # in-plan, so the guard is an in-plan assert_true (still one pass):
+    # it returns NULL when the invariant holds (coalesce passes the
+    # real weight through) and raises the job otherwise.
+    guard = F.assert_true(
+        F.lit(float(floor)) * F.col("__k") <= F.lit(1.0),
+        F.concat(
+            F.lit(f"domain_reweight: floor={floor} * n_domains="),
+            F.col("__k").cast("string"),
+            F.lit(" exceeds 1 — floor must be <= 1/n_domains"),
+        ),
+    )
     return (
         scored.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(n_domains))
@@ -896,8 +910,12 @@ def domain_reweight(
             "n_docs",
             F.round("__mean", 6).alias("mean_score"),
             F.round(
-                (F.col("__e") / F.col("__z") * (1.0 - floor * F.col("__k"))
-                 + F.lit(float(floor))),
+                F.coalesce(
+                    guard.cast("double"),
+                    (F.col("__e") / F.col("__z")
+                     * (1.0 - floor * F.col("__k"))
+                     + F.lit(float(floor))),
+                ),
                 6,
             ).alias("weight"),
         )

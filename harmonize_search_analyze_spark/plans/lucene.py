@@ -20,6 +20,11 @@ onto filter-context semantics:
   scores — same contract as the rest of the engine; explain/bm25 live
   in operators/ranking.py)
 - ``\\`` escapes any special character inside a term
+- ``+``/``-`` are operators only at CLAUSE START (start of input,
+  after whitespace, ``(`` or another operator) — the classic
+  ``_TERM_CHAR`` rule: mid-word they are literal
+  (``field:2024-01-01``, ``foo-bar``), and directly after a field
+  colon they begin the value (``field:-5`` is a negative number)
 
 Pinned deviations from classic Lucene (documented, deterministic):
 
@@ -68,6 +73,18 @@ class _Tok:
 def _lex(text: str) -> list[_Tok]:
     toks: list[_Tok] = []
     i, n = 0, len(text)
+
+    def _clause_start(idx: int) -> bool:
+        # classic QueryParser treats +/- as operators ONLY at clause
+        # start: start of input, after whitespace, '(' or another
+        # operator; mid-word (field:2024-01-01, foo-bar) they are term
+        # characters (_TERM_CHAR includes them in the JavaCC grammar).
+        if idx == 0 or text[idx - 1].isspace():
+            return True
+        return bool(toks) and toks[-1].kind in (
+            "lparen", "and", "or", "not", "plus", "minus"
+        )
+
     while i < n:
         c = text[i]
         if c.isspace():
@@ -79,9 +96,9 @@ def _lex(text: str) -> list[_Tok]:
             toks.append(_Tok("rparen", c, i)); i += 1; continue
         if c == ":":
             toks.append(_Tok("colon", c, i)); i += 1; continue
-        if c == "+":
+        if c == "+" and _clause_start(i):
             toks.append(_Tok("plus", c, i)); i += 1; continue
-        if c == "-":
+        if c == "-" and _clause_start(i):
             toks.append(_Tok("minus", c, i)); i += 1; continue
         if c == "!":
             toks.append(_Tok("not", c, i)); i += 1; continue
@@ -119,13 +136,15 @@ def _lex(text: str) -> list[_Tok]:
             i = j + m.end()
             continue
         # word: runs of non-special chars, backslash-escapes allowed;
-        # * and ? stay IN the word (wildcards)
+        # * and ? stay IN the word (wildcards); + and - reach here only
+        # when NOT at clause start, where they are term characters
+        # (hyphenated dates/identifiers, field:-5 negative numbers)
         j, out = i, []
         while j < n:
             cj = text[j]
             if cj == "\\" and j + 1 < n:
                 out.append(text[j + 1]); j += 2; continue
-            if cj in "*?":
+            if cj in "*?+-":
                 out.append(cj); j += 1; continue
             if cj in _SPECIALS:
                 break
@@ -211,9 +230,19 @@ class _Parser:
             if t.kind == "plus":
                 self.next()
                 musts.append(self.unary())
+                # classic: a conjunction after a modifier clause makes
+                # the following clauses required too (+foo AND bar ==
+                # +foo +bar), so consume the AND chain here instead of
+                # leaving the AND token to die unexpected
+                while self.peek().kind == "and":
+                    self.next()
+                    musts.append(self.unary())
             elif t.kind == "minus":
                 self.next()
                 must_nots.append(self.unary())
+                while self.peek().kind == "and":
+                    self.next()
+                    musts.append(self.unary())
             elif t.kind in ("word", "quoted", "lparen", "not"):
                 shoulds.append(self.and_expr())
             elif first:

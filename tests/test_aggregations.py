@@ -2048,3 +2048,25 @@ def test_normalize_full_method_set(spark):
     z = sum(math.exp(x) for x in (1.0, 2.0, 5.0))
     for b, x in ((1, 1.0), (2, 2.0), (3, 5.0)):
         assert abs(sm[b] - round(math.exp(x) / z, 6)) < 1e-9
+
+
+def test_terms_approx_exhausted_shards_zero_error(spark):
+    """ADVICE r4: a shard that returned ALL of its terms cannot be
+    hiding any — ES pins its error contribution to 0. With every term
+    unique (each shard exhausted under a large shard_size), every
+    returned count is exact with a zero bound."""
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        terms_approx,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("term"),
+    )
+    got = terms_approx(
+        df, "term", k=10, n_shards=8, shard_size=200, id_col="doc_id"
+    ).collect()
+    assert all(r.doc_count == 1 for r in got)
+    assert all(r.doc_count_error_upper_bound == 0 for r in got)

@@ -332,3 +332,47 @@ def test_skew_report_uniform_and_single_key(spark):
     r = skew_report(one, "k").collect()[0]
     # single key: entropy pinned 0, ratio 1
     assert (r.entropy, r.max_over_mean, r.share) == (0.0, 1.0, 1.0)
+
+
+def test_kaplan_meier_fully_churned_bucket(spark):
+    """ADVICE r4: a bucket whose whole at-risk population churns
+    (d == n_risk — the ordinary shape for the longest-lived cohort)
+    must drop survival to 0 from that bucket onward, not feed log(0)
+    (silently-skipped NULL on Spark, a raise on DuckDB). Both dialects."""
+    import datetime as dt
+
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        kaplan_meier,
+        kaplan_meier_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, d0, d1):
+        return [
+            (u, t0 + dt.timedelta(days=d0)),
+            (u, t0 + dt.timedelta(days=d1)),
+        ]
+
+    # end = day 30 (u3); u1/u2 gap 10 > 7 -> churned, u3 gap 0 -> censored
+    rows = ev(1, 0, 20) + ev(2, 0, 20) + ev(3, 28, 30)
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        r.duration: r for r in kaplan_meier(df, churn_gap_days=7).collect()
+    }
+    assert (got[2].n_risk, got[2].n_churned, got[2].survival) == (3, 0, 1.0)
+    # duration 20: n_risk 2, churned 2 -> the bucket fully churns
+    assert (got[20].n_risk, got[20].n_churned) == (2, 2)
+    assert got[20].survival == 0.0
+    con = duckdb.connect()
+    con.register("ev", df.toPandas())
+    want = {
+        r[0]: r
+        for r in con.execute(
+            kaplan_meier_sql("ev", churn_gap_days=7)
+        ).fetchall()
+    }
+    assert want[2][4] == 1.0
+    assert want[20][4] == 0.0

@@ -1214,3 +1214,63 @@ def test_corpus_diff_statuses(spark):
         1: "unchanged", 2: "changed", 3: "removed",
         4: "unchanged", 5: "added",
     }
+
+
+def test_corpus_diff_null_text(spark):
+    """ADVICE r4: presence comes from explicit per-side flags, not
+    digest nullness — a NULL-text doc present on both sides is
+    'unchanged' (text coalesced to '' before hashing), NULL-vs-text is
+    'changed', and added/removed track row existence only. Operator and
+    DuckDB twin agree."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        corpus_diff,
+        corpus_diff_sql,
+    )
+
+    schema = "doc_id int, text string"
+    old = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, None), (4, "stays")], schema
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, "stays"), (5, None)], schema
+    )
+    got = {
+        r.doc_id: r.status
+        for r in corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "unchanged", 5: "added",
+    }
+    con = duckdb.connect()
+    con.register("old_t", old.toPandas())
+    con.register("new_t", new.toPandas())
+    want = dict(
+        con.execute(
+            corpus_diff_sql("old_t", "new_t", "doc_id", "text", "duckdb")
+        ).fetchall()
+    )
+    assert want == got
+
+
+def test_near_dup_pairs_brute_guard(spark):
+    """The brute exact-Jaccard oracle raises above max_rows (same
+    contract as embedding_near_dup_pairs) instead of launching an
+    unguarded quadratic job."""
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        near_dup_pairs_brute,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"some text number {i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        near_dup_pairs_brute(df, "doc_id", "text", max_rows=5)
+    assert near_dup_pairs_brute(
+        df, "doc_id", "text", max_rows=10
+    ).count() >= 0

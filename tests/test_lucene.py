@@ -143,3 +143,29 @@ def test_end_to_end_filter(spark):
     assert sorted(r.id for r in df.where(opt).collect()) == [1, 3]
     pred2 = lucene_query('"big data"', default_fields=["text.split"])
     assert sorted(r.id for r in df.where(pred2).collect()) == [1, 4]
+
+
+def test_hyphenated_terms_are_literal_mid_word():
+    """ADVICE r4: +/- are operators only at CLAUSE START (the classic
+    _TERM_CHAR rule) — hyphenated dates/identifiers stay one term and
+    field:-5 is a negative number, not a prohibit clause."""
+    assert parse_lucene("when:2024-01-01") == {
+        "match": {"when": "2024-01-01"}
+    }
+    assert parse_lucene("name:foo-bar") == {"match": {"name": "foo-bar"}}
+    assert parse_lucene("delta:-5") == {"match": {"delta": -5}}
+    # still operators at clause start
+    ast = parse_lucene("a:1 -b:2")
+    assert ast["bool"]["must_not"] == [{"match": {"b": 2}}]
+
+
+def test_plus_clause_followed_by_and():
+    """ADVICE r4: '+foo AND bar' must parse — classic makes the
+    AND-conjoined clause required alongside the + clause."""
+    ast = parse_lucene("+a:1 AND b:2")
+    assert ast == {
+        "bool": {"must": [{"match": {"a": 1}}, {"match": {"b": 2}}]}
+    }
+    ast = parse_lucene("-a:1 AND b:2")
+    assert ast["bool"]["must_not"] == [{"match": {"a": 1}}]
+    assert ast["bool"]["must"] == [{"match": {"b": 2}}]

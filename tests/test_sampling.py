@@ -508,3 +508,23 @@ def test_preference_pairs_semantics(spark):
         "== Initial Plan =="
     )[0]
     assert "Window" not in plan
+
+
+def test_domain_reweight_floor_guard(spark):
+    """ADVICE r4: floor * n_domains > 1 makes the renormalization scale
+    negative (weights invert and stop summing to 1) — the in-plan
+    assert_true guard must raise instead."""
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.sampling import (
+        domain_reweight,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], ["domain", "score"]
+    )
+    ok = domain_reweight(df, "domain", "score", floor=0.2).collect()
+    assert abs(sum(r.weight for r in ok) - 1.0) < 1e-4
+    assert all(r.weight >= 0.2 - 1e-9 for r in ok)
+    with pytest.raises(Exception, match="floor"):
+        domain_reweight(df, "domain", "score", floor=0.4).collect()
