@@ -9292,33 +9292,83 @@ FROM daily
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
-    # first 50 entries.  ROUND-4 ROTATION (VERDICT r3, "Next round" #1/#3/#5):
-    # 3 canaries + the fixed geo_line + the grammar front-ends
-    # (kql_search/esql_stats/esql_inlinestats/change_point) + the trainers'
-    # new oracle twins (kmeans_assign/bpe_pair_counts) + the 14 agg
-    # variants deferred from round 3 + 26 round-3 additions.  The two
-    # err:no_oracle trainers (kmeans_ivf/bpe_train) are rotated OUT per
-    # VERDICT #3.  Entries 51+ are grouped: the round-5 rotation queue
-    # (never driver-verified), then the no-oracle trainers, then the
-    # r01/r02/r03 driver-green set.
+    # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
+    # 3 canaries + 47 FIRST-TIME rows — the es_sql/lucene grammar entry
+    # points, the ES|QL tail, the whole round-4 session-2 batch, the
+    # subsystem anchors (retriever trees, curation pipeline, analyzer,
+    # ingest pipeline, EQL), the five queries touched by this round's
+    # review fixes (corpus_diff, terms_approx, lucene_search,
+    # kaplan_meier, domain_reweight), and the head of the old queue.
+    # Entries 51+ : the remaining never-verified queue, then the
+    # no-oracle trainers, then the r1-r4 driver-green set.
     return {
-        # -- canaries (driver-green in r1 AND r2 AND r3) ------------
+        # -- canaries (driver-green in r1 AND r2 AND r3 AND r4) -----
         "profile_dict": q_profile_dict,
         "nested_terms": q_nested_terms,
         "harmonize_rollup": q_harmonize_rollup,
-        # -- round-3's one red defect row, fixed: array track is now
-        #    a pipe-joined string on both engines ---------------------
+        # -- ES SQL + Lucene grammar entry points, never driver-run ----
+        "es_sql": q_es_sql,
+        "es_sql_pivot": q_es_sql_pivot,
+        "es_sql_unpivot": q_es_sql_unpivot,
+        "lucene_search": q_lucene_search,
+        # -- ES|QL command tail ----------------------------------------
+        "esql_fork": q_esql_fork,
+        "esql_enrich": q_esql_enrich,
+        "esql_functions": q_esql_functions,
+        "esql_fulltext": q_esql_fulltext,
+        "esql_rerank": q_esql_rerank,
+        # -- round-4 session-2 batch -----------------------------------
+        "countmin_topk": q_countmin_topk,
+        "graph_explore": q_graph_explore,
+        "int8_topk": q_int8_topk,
+        "zorder_cluster": q_zorder_cluster,
+        "rp_topk": q_rp_topk,
+        "hll_by": q_hll_by,
+        "pagerank": q_pagerank,
+        "downsample": q_downsample,
+        "skew_report": q_skew_report,
+        "significant_mi": q_significant_mi,
+        "percentiles_sketch_by": q_percentiles_sketch_by,
+        "moving_ewma": q_moving_ewma,
+        "script_profile": q_script_profile,
+        "chat_render": q_chat_render,
+        "corpus_diff": q_corpus_diff,
+        "preference_pairs": q_preference_pairs,
+        "decay_score": q_decay_score,
+        "terms_approx": q_terms_approx,
+        "collapse_inner": q_collapse_inner,
+        # -- subsystem anchors (retrievers/curation/analyzer/EQL) ------
+        "retriever_rrf": q_retriever_rrf,
+        "corpus_pipeline": q_corpus_pipeline,
+        "bbq_topk": q_bbq_topk,
+        "maxsim": q_maxsim,
+        "analyze_chain": q_analyze_chain,
+        "ingest_pipeline": q_ingest_pipeline,
+        "grok_parse": q_grok_parse,
+        "eql_sequence": q_eql_sequence,
+        "eql_join": q_eql_join,
+        # -- round-5 review-fix verification + queue head --------------
+        "kaplan_meier": q_kaplan_meier,
+        "domain_reweight": q_domain_reweight,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "multilingual_pipeline": q_multilingual_pipeline,
+        "dedup_eval": q_dedup_eval,
+        "cluster_cap_sample": q_cluster_cap_sample,
+        "field_caps": q_field_caps,
+        "rescore_topk": q_rescore_topk,
+        "knn_filtered": q_knn_filtered,
+        "intervals_search": q_intervals_search,
+        # -- window boundary (driver reads the 50 entries above) -------
+        # remaining never-driver-verified queue (local parity mirror
+        # keeps them green; round-6 window pulls from here first),
+        # then the no-SQL-oracle trainers, then the driver-green set.
         "geo_line": q_geo_line,
-        # -- the three query grammars' entry points (KQL, ES|QL) plus
-        #    the INLINESTATS/CHANGE_POINT commands ---------------------
         "kql_search": q_kql_search,
         "esql_stats": q_esql_stats,
         "esql_inlinestats": q_esql_inlinestats,
         "change_point": q_change_point,
-        # -- SQL-expressible oracle twins of the iterative trainers ----
         "kmeans_assign": q_kmeans_assign,
         "bpe_pair_counts": q_bpe_pair_counts,
-        # -- the 14 agg variants deferred from the round-3 rotation ----
         "rare_terms": q_rare_terms,
         "adjacency_matrix": q_adjacency_matrix,
         "geo_distance": q_geo_distance,
@@ -9333,7 +9383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_agg": q_rate_agg,
         "geotile_grid": q_geotile_grid,
         "ip_range": q_ip_range,
-        # -- round-3 additions: first driver verification --------------
         "substring_dedup": q_substring_dedup,
         "temperature_mix": q_temperature_mix,
         "cumulative_cardinality": q_cumulative_cardinality,
@@ -9360,22 +9409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "unimax": q_unimax,
         "unigram_seed": q_unigram_seed,
-        # -- window boundary (driver reads the 50 entries above) -------
         "search_after": q_search_after,
-        # round-5 rotation queue: never driver-verified, covered by the
-        # local parity mirror (tests/test_oracle_parity.py) until their
-        # window slot comes up. The round-4 session-2 additions
-        # (countmin_topk ... es_sql_pivot, registered further down just
-        # before the trainers) belong to this queue too — prefer them
-        # plus the oldest entries here when building the round-5 window.
-        "esql_enrich": q_esql_enrich,
-        "esql_fork": q_esql_fork,
-        "esql_functions": q_esql_functions,
-        "cluster_cap_sample": q_cluster_cap_sample,
-        "field_caps": q_field_caps,
-        "rescore_topk": q_rescore_topk,
-        "knn_filtered": q_knn_filtered,
-        "intervals_search": q_intervals_search,
         "term_suggest": q_term_suggest,
         "phrase_suggest": q_phrase_suggest,
         "nested_query": q_nested_query,
@@ -9386,7 +9420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_partition": q_terms_partition,
         "audio_profile": q_audio_profile,
         "geo_polygon": q_geo_polygon,
-        "dedup_eval": q_dedup_eval,
         "html_extract": q_html_extract,
         "url_normalize": q_url_normalize,
         "ccnet_buckets": q_ccnet_buckets,
@@ -9399,7 +9432,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": q_fim_transform,
         "span_corruption": q_span_corruption,
         "latest_transform": q_latest_transform,
-        "eql_sequence": q_eql_sequence,
         "denoiser_mix": q_denoiser_mix,
         "knn_classify": q_knn_classify,
         "span_search": q_span_search,
@@ -9421,20 +9453,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_score": q_script_score,
         "serial_diff_page": q_serial_diff,
         "bucket_stats": q_bucket_stats,
-        "analyze_chain": q_analyze_chain,
-        "ingest_pipeline": q_ingest_pipeline,
-        "grok_parse": q_grok_parse,
-        "bbq_topk": q_bbq_topk,
         "bigram_lm": q_bigram_lm,
         "explain_score": q_explain_score,
         "msearch": q_msearch,
-        "retriever_rrf": q_retriever_rrf,
         "pr_curve": q_pr_curve,
         "terms_enum": q_terms_enum,
         "shard_manifest": q_shard_manifest,
         "sparse_search": q_sparse_search,
         "significant_bg": q_significant_bg,
-        "corpus_pipeline": q_corpus_pipeline,
         "counter_rate": q_counter_rate,
         "composite_datehist": q_composite_datehist,
         "children_agg": q_children_agg,
@@ -9454,57 +9480,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "parent_agg": q_parent_agg,
         "extended_stats_bucket": q_extended_stats_bucket,
-        "es_sql": q_es_sql,
         "moving_fn": q_moving_fn,
         "suggest_contexts": q_suggest_contexts,
         "feature_hash": q_feature_hash,
-        "maxsim": q_maxsim,
         "ingest_enrich": q_ingest_enrich,
         "anneal_schedule": q_anneal_schedule,
-        "kaplan_meier": q_kaplan_meier,
-        "eql_join": q_eql_join,
         "geoip_route": q_geoip_route,
-        "lucene_search": q_lucene_search,
-        "esql_fulltext": q_esql_fulltext,
         "readability": q_readability,
         "mmr_rerank": q_mmr_rerank,
         "percentiles_sketch": q_percentiles_sketch,
         "hll_cardinality": q_hll_cardinality,
-        "domain_reweight": q_domain_reweight,
-        "countmin_topk": q_countmin_topk,
-        "graph_explore": q_graph_explore,
-        "int8_topk": q_int8_topk,
-        "zorder_cluster": q_zorder_cluster,
-        "rp_topk": q_rp_topk,
-        "hll_by": q_hll_by,
-        "pagerank": q_pagerank,
-        "esql_rerank": q_esql_rerank,
-        "downsample": q_downsample,
-        "skew_report": q_skew_report,
-        "significant_mi": q_significant_mi,
-        "percentiles_sketch_by": q_percentiles_sketch_by,
-        "moving_ewma": q_moving_ewma,
-        "script_profile": q_script_profile,
-        "chat_render": q_chat_render,
-        "es_sql_pivot": q_es_sql_pivot,
-        "corpus_diff": q_corpus_diff,
-        "preference_pairs": q_preference_pairs,
-        "es_sql_unpivot": q_es_sql_unpivot,
-        "decay_score": q_decay_score,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "multilingual_pipeline": q_multilingual_pipeline,
-        "collapse_inner": q_collapse_inner,
-        "terms_approx": q_terms_approx,
-        # iterative trainers (Lloyd / BPE / unigram-EM merge loops) —
-        # no SQL oracle EXISTS for the sequential argmax recursion, so
-        # they stay OUT of the driver window (an in-window entry would
-        # record an err:no_oracle row indistinguishable from broken).
-        # Verified by: fixed-seed property tests, rows-checks, and the
-        # kmeans_assign / bpe_pair_counts oracle twins in the window.
         "kmeans_ivf": q_kmeans_ivf,
         "bpe_train": q_bpe_train,
         "unigram_train": q_unigram_train,
-        # driver-green in CORRECTNESS_r01/r02/r03
         "simhash_banded": q_simhash_banded,
         "semantic_dedup": q_semantic_dedup,
         "pq_search": q_pq_search,
