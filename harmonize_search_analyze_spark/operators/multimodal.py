@@ -12,12 +12,19 @@ What is REAL here (pure Python over bytes, no media libraries):
 - header parsing: PNG IHDR width/height/bit depth, GIF/BMP dimensions, WAV
   fmt-chunk channels/sample-rate/duration — straight struct reads.
 
-What is STUBBED (the container has no codec libraries — PIL/ffmpeg/etc.):
+Pixel decode (``decode_image``) is REAL for 8-bit non-interlaced PNG via
+the pure-stdlib codec in ``functions/png.py`` (zlib inflate + scanline
+unfilter), and for every Pillow-supported format when Pillow is
+importable — including via the ``$SPARK_GRAFT_PIL`` site-dir escape
+hatch, so a runtime with codecs gets real tensors with no code change.
 
-- pixel decode (``decode_image``) raises ``NotImplementedError`` unless
-  ``fake=True``, which produces a DETERMINISTIC fake decode (pixel stats
-  derived from the payload digest) so downstream plumbing is testable;
-- likewise audio sample decode and video frame extraction.
+What remains STUBBED (needs an entropy codec the container lacks):
+
+- JPEG/WebP/GIF pixel decode without Pillow raises
+  ``NotImplementedError`` with guidance; the ``fake=True`` paths keep a
+  DETERMINISTIC digest-derived decode so digest-lineage plumbing is
+  testable on any payload;
+- likewise audio sample decode beyond PCM WAV and video frame extraction.
 
 The Spark-side shapes — schemas, batch iteration, partition behavior,
 column pruning — are real and tested either way; swapping the stub for a
@@ -178,7 +185,8 @@ def attach_media_metadata(
     return df.mapInPandas(run, out_schema)
 
 
-# -- decode (STUB: no codec libs in this container) -------------------------
+# -- decode (REAL for PNG via the stdlib codec; Pillow probe for the
+#    long tail; deterministic fake paths remain for digest-lineage tests)
 
 
 def _fake_pixels_stats(payload: bytes, digest: str) -> tuple[float, float]:
@@ -196,12 +204,60 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def _probe_pil():
+    """Pillow probe with the ``$SPARK_GRAFT_PIL`` escape hatch
+    (mirroring ``$SPARK_GRAFT_AVRO_JAR`` in sources/ingest.py): a
+    runtime that has Pillow importable — or points the env var at a
+    site directory containing it — gets real decode for EVERY format
+    with no code change. Returns the ``PIL.Image`` module or None."""
+    import os
+    import sys
+
+    extra = os.environ.get("SPARK_GRAFT_PIL")
+    if extra and extra not in sys.path:
+        sys.path.insert(0, extra)
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes):
-    """Decode image payload to a pixel array. STUB — the execution
-    environment ships no codec; the Spark plumbing around it is real."""
+    """Decode an image payload to ``(height, width, channels)`` uint8
+    pixels. REAL for:
+
+    - any Pillow-supported format when Pillow is importable (optionally
+      via the ``$SPARK_GRAFT_PIL`` site-dir escape hatch), and
+    - 8-bit non-interlaced PNG via the pure-stdlib codec in
+      ``functions/png.py`` (chunk walk + zlib inflate + unfilter) —
+      zero dependencies, works in this hermetic container.
+
+    Other formats (JPEG entropy decode needs a real codec) raise
+    ``NotImplementedError`` with guidance."""
+    import numpy as np
+
+    from harmonize_search_analyze_spark.functions.png import (
+        PNG_SIGNATURE,
+        png_decode,
+    )
+
+    Image = _probe_pil()
+    if Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            if im.mode not in ("L", "LA", "RGB", "RGBA"):
+                im = im.convert("RGB")
+            arr = np.asarray(im, dtype=np.uint8)
+        return arr[:, :, None] if arr.ndim == 2 else arr
+    if payload[:8] == PNG_SIGNATURE:
+        return png_decode(payload)
     raise NotImplementedError(
-        "no image codec in this environment; use fake=True paths or plug a "
-        "codec into the mapInPandas stage"
+        "no codec for this image format in the environment: PNG decodes "
+        "via the built-in stdlib codec; for JPEG/GIF/WebP install Pillow "
+        "or point SPARK_GRAFT_PIL at a directory containing it"
     )
 
 
@@ -214,14 +270,19 @@ def extract_image_features(
     """Per-image feature extraction as a ``mapInPandas`` stage: pixel-stat
     scalars + a ``dim``-float embedding. With ``fake=True`` features derive
     deterministically from the payload digest (identical bytes => identical
-    features, the property dedup/similarity need); with ``fake=False`` it
-    calls ``decode_image`` (NotImplementedError until a codec exists)."""
+    features, the property dedup/similarity need); with ``fake=False`` the
+    payload is DECODED (stdlib PNG codec or Pillow via the
+    ``$SPARK_GRAFT_PIL`` hatch — see ``decode_image``) and the features
+    are real pixel statistics: mean/std of the [0,1]-normalized pixels
+    plus a ``dim``-bin average-pool of the grayscale plane."""
     out_schema = T.StructType(
         df.schema.fields
         + [T.StructField(f.name, f.dataType) for f in IMAGE_FEATURES_SCHEMA.fields]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             means, stds, embs = [], [], []
             for p in pdf[binary_col]:
@@ -229,7 +290,16 @@ def extract_image_features(
                     means.append(None); stds.append(None); embs.append(None)
                     continue
                 if not fake:
-                    decode_image(p)  # raises: stub documented above
+                    arr = decode_image(p).astype("float64") / 255.0
+                    means.append(float(arr.mean()))
+                    stds.append(float(arr.std()))
+                    plane = arr.mean(axis=2) if arr.ndim == 3 else arr
+                    flat = plane.ravel()
+                    embs.append([
+                        float(b.mean()) if b.size else 0.0
+                        for b in np.array_split(flat, dim)
+                    ])
+                    continue
                 digest = hashlib.md5(p).hexdigest()
                 m, s = _fake_pixels_stats(p, digest)
                 means.append(m)
@@ -257,13 +327,14 @@ def resize_images(
     ``resized`` (binary) plus ``resized_width``/``resized_height``.
 
     The Spark plumbing — Arrow batch in/out, binary column handling,
-    schema evolution, null passthrough — is real; the pixel transform is
-    env-gated like ``decode_image``. With ``fake=True`` the resized
-    payload is a deterministic digest-derived stand-in sized
-    proportionally to ``width*height`` (identical input bytes => identical
-    output bytes, preserving the dedup-by-digest property downstream
-    stages rely on); ``fake=False`` calls ``decode_image`` and raises
-    until a codec is plugged in."""
+    schema evolution, null passthrough — is real either way. With
+    ``fake=True`` the resized payload is a deterministic digest-derived
+    stand-in sized proportionally to ``width*height`` (identical input
+    bytes => identical output bytes, preserving the dedup-by-digest
+    property downstream stages rely on); with ``fake=False`` the
+    payload is decoded (``decode_image``: stdlib PNG codec or Pillow
+    via ``$SPARK_GRAFT_PIL``), nearest-neighbor resampled with numpy
+    index arithmetic, and re-encoded as a real PNG."""
     if width < 1 or height < 1:
         raise ValueError("width and height must be >= 1")
     out_schema = T.StructType([
@@ -281,7 +352,22 @@ def resize_images(
                     payloads.append(None); ws.append(None); hs.append(None)
                     continue
                 if not fake:
-                    decode_image(p)  # raises: stub documented above
+                    import numpy as np
+
+                    from harmonize_search_analyze_spark.functions.png import (
+                        png_encode,
+                    )
+
+                    px = decode_image(p)
+                    if px.ndim == 2:
+                        px = px[:, :, None]
+                    h0, w0 = px.shape[:2]
+                    yi = np.arange(height) * h0 // height
+                    xi = np.arange(width) * w0 // width
+                    payloads.append(png_encode(px[yi][:, xi]))
+                    ws.append(width)
+                    hs.append(height)
+                    continue
                 digest = hashlib.md5(p).hexdigest().encode()
                 # stand-in bitmap: digest repeated to ~3 bytes/pixel
                 n = max(width * height * 3, 1)

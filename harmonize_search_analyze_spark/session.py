@@ -18,6 +18,38 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def find_spark_avro_jar() -> str | None:
+    """Bundled-jar probe for the S9 avro gate (spark-avro is an
+    external module Spark does not ship on the classpath). First hit
+    wins: the ``$SPARK_GRAFT_AVRO_JAR`` escape hatch, then the standard
+    on-disk locations a runtime would stage the jar in —
+    ``$SPARK_HOME/jars``, the ivy2 cache, ``/opt/spark/jars``. The gate
+    self-heals the session a runtime gains the jar, no code change.
+    (pyspark's own ``jars/`` dir needs no wiring — anything there is
+    already on the classpath.)"""
+    explicit = os.environ.get("SPARK_GRAFT_AVRO_JAR")
+    if explicit:
+        return explicit
+    import glob
+
+    patterns = []
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        patterns.append(os.path.join(spark_home, "jars", "spark-avro*.jar"))
+    patterns += [
+        os.path.expanduser("~/.ivy2/jars/*spark-avro*.jar"),
+        os.path.expanduser(
+            "~/.ivy2/cache/org.apache.spark/spark-avro*/jars/*.jar"
+        ),
+        "/opt/spark/jars/spark-avro*.jar",
+    ]
+    for pat in patterns:
+        hits = sorted(glob.glob(pat))
+        if hits:
+            return hits[0]
+    return None
+
+
 def get_spark(
     app_name: str = "harmonize-search-analyze-spark",
     master: str | None = None,
@@ -51,12 +83,14 @@ def get_spark(
         # Cap in-memory partition bytes so a 100 TB scan yields sane tasks.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
-    avro_jar = os.environ.get("SPARK_GRAFT_AVRO_JAR")
+    avro_jar = find_spark_avro_jar()
     if avro_jar:
-        # jar-path escape hatch for the S9 avro gate: this container has
-        # no network (spark.jars.packages can't resolve), but a runtime
-        # that DOES have the spark-avro jar on disk can point at it here
-        # and sources.ingest.read_avro becomes functional
+        # jar-path escape hatch + bundled-jar probe for the S9 avro
+        # gate: this container has no network (spark.jars.packages
+        # can't resolve), but a runtime that has the spark-avro jar on
+        # disk — explicitly via $SPARK_GRAFT_AVRO_JAR or in a standard
+        # location — gets a functional sources.ingest.read_avro with
+        # no code change
         builder = builder.config("spark.jars", avro_jar)
     if driver_memory is not None:
         # local mode: the driver heap IS the whole JVM (all executor

@@ -111,3 +111,23 @@ def test_avro_gate_raises_with_env_var_guidance(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="SPARK_GRAFT_AVRO_JAR"):
         read_avro(spark, str(tmp_path / "x.avro"))
+
+
+def test_find_spark_avro_jar_probe(tmp_path, monkeypatch):
+    """The S9 gate's bundled-jar probe: explicit env var wins; then a
+    $SPARK_HOME/jars hit; with neither present it reports absence."""
+    from harmonize_search_analyze_spark.session import find_spark_avro_jar
+
+    monkeypatch.setenv("SPARK_GRAFT_AVRO_JAR", "/explicit/spark-avro.jar")
+    assert find_spark_avro_jar() == "/explicit/spark-avro.jar"
+
+    monkeypatch.delenv("SPARK_GRAFT_AVRO_JAR", raising=False)
+    jars = tmp_path / "jars"
+    jars.mkdir()
+    jar = jars / "spark-avro_2.13-4.0.0.jar"
+    jar.write_bytes(b"PK")
+    monkeypatch.setenv("SPARK_HOME", str(tmp_path))
+    assert find_spark_avro_jar() == str(jar)
+
+    monkeypatch.setenv("SPARK_HOME", str(tmp_path / "empty"))
+    assert find_spark_avro_jar() is None

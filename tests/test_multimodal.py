@@ -154,11 +154,18 @@ def test_extract_image_features_deterministic(spark, media_df):
     assert again[1]["embedding"] == rows[1]["embedding"]
 
 
-def test_decode_is_an_explicit_stub(spark, media_df):
-    with pytest.raises(NotImplementedError):
-        decode_image(make_png(2, 2))
+def test_decode_gates_by_format(spark, media_df):
+    """PNG now decodes for REAL via the stdlib codec; a header-only PNG
+    fails loudly as a format error; JPEG without Pillow is the
+    documented env gate pointing at SPARK_GRAFT_PIL."""
+    from harmonize_search_analyze_spark.functions.png import PngFormatError
+
+    with pytest.raises(PngFormatError, match="IDAT"):
+        decode_image(make_png(2, 2))  # header-only fixture: no pixel data
+    with pytest.raises(NotImplementedError, match="SPARK_GRAFT_PIL"):
+        decode_image(b"\xff\xd8\xff\xe0jpegbytes")
     with pytest.raises(Exception):
-        # fake=False routes through the stub and the job fails loudly
+        # fake=False over undecodable payloads fails the job loudly
         extract_image_features(media_df.limit(1), fake=False).collect()
 
 
@@ -335,3 +342,152 @@ def test_decode_wav_rejects_compressed_and_truncated(spark):
     assert decode_wav_pcm(wav[:30]) is None
     assert decode_wav_pcm(b"") is None
     assert decode_wav_pcm(None) is None
+
+
+# -- real PNG codec (round-5: stdlib decode + Pillow escape hatch) ----------
+
+
+def _filtered_png(pixels, filters):
+    """Hand-build a PNG whose row y uses filter type filters[y], applying
+    the PNG spec's forward filter so the decoder must invert it."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(int)
+    scan = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        row = list(flat[y])
+        ft = filters[y]
+        scan.append(ft)
+        for i in range(stride):
+            left = row[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (
+                    up if pb <= pc else ul
+                )
+            scan.append((row[i] - pred) & 0xFF)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[ch],
+                       0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_filters():
+    """Encode->decode is the identity, and the decoder inverts every
+    filter type (None/Sub/Up/Average/Paeth) on hand-filtered scanlines."""
+    import numpy as np
+
+    from harmonize_search_analyze_spark.functions.png import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert (png_decode(png_encode(px)) == px).all()
+    # grayscale round-trip keeps the channel axis
+    g = rng.integers(0, 256, size=(3, 6, 1), dtype=np.uint8)
+    assert (png_decode(png_encode(g)) == g).all()
+    # all five filter types on the same pixel data
+    payload = _filtered_png(px, filters=[0, 1, 2, 3, 4])
+    assert (png_decode(payload) == px).all()
+
+
+def test_extract_image_features_real_decode(spark):
+    """fake=False computes REAL pixel statistics through mapInPandas:
+    a half-black/half-white PNG has mean 0.5 and a known 2-bin pool."""
+    import numpy as np
+
+    from harmonize_search_analyze_spark.functions.png import png_encode
+
+    px = np.zeros((2, 4, 3), dtype=np.uint8)
+    px[1, :, :] = 255  # bottom row white
+    df = spark.createDataFrame([(1, png_encode(px))], ["item_id", "payload"])
+    row = extract_image_features(df, dim=2, fake=False).collect()[0]
+    assert row["feat_mean"] == 0.5 and row["feat_std"] == 0.5
+    # row-major ravel: first bin = black row, second = white row
+    assert row["embedding"] == [0.0, 1.0]
+
+
+def test_resize_images_real_decode(spark):
+    """fake=False decodes, nearest-neighbor resamples, and re-encodes a
+    REAL PNG at the target dims."""
+    import numpy as np
+
+    from harmonize_search_analyze_spark.functions.png import (
+        png_decode,
+        png_encode,
+    )
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, 2:, :] = 200  # right half gray
+    df = spark.createDataFrame([(1, png_encode(px))], ["media_id", "payload"])
+    row = resize_images(df, 2, 2, fake=False).collect()[0]
+    assert (row["resized_width"], row["resized_height"]) == (2, 2)
+    out = png_decode(bytes(row["resized"]))
+    assert out.shape == (2, 2, 3)
+    assert (out[:, 0, :] == 0).all() and (out[:, 1, :] == 200).all()
+
+
+def test_pil_escape_hatch(tmp_path, monkeypatch):
+    """SPARK_GRAFT_PIL points at a site dir; a runtime with Pillow there
+    decodes ANY format through the same decode_image call — exercised
+    with a minimal stand-in PIL package."""
+    import sys
+
+    pkg = tmp_path / "PIL"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "Image.py").write_text(
+        "import numpy as np\n"
+        "class _Im:\n"
+        "    mode = 'RGB'\n"
+        "    def __enter__(self): return self\n"
+        "    def __exit__(self, *a): return False\n"
+        "    def __array__(self, dtype=None, copy=None):\n"
+        "        return np.full((2, 3, 3), 7, dtype='uint8')\n"
+        "def open(fp):\n"
+        "    return _Im()\n"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PIL", str(tmp_path))
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "PIL" or k.startswith("PIL.")}
+    try:
+        out = decode_image(b"\xff\xd8\xff\xe0anything")
+        assert out.shape == (2, 3, 3) and (out == 7).all()
+    finally:
+        for k in list(sys.modules):
+            if k == "PIL" or k.startswith("PIL."):
+                del sys.modules[k]
+        sys.modules.update(saved)
+        if str(tmp_path) in sys.path:
+            sys.path.remove(str(tmp_path))
