@@ -7231,6 +7231,84 @@ FROM arrs ORDER BY bucket
 """
 
 
+def q_moving_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_fn holt (double-exponential smoothing, textbook init —
+    the round-5 completion of the MovingFunctions family): one-step
+    forecast of daily event counts from the trailing 7-day window,
+    as a struct-accumulator fold both engines run identically."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        moving_fn,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    return moving_fn(
+        daily, "bucket", "doc_count", fn="holt", window=7,
+        alpha=0.3, beta=0.1,
+    )
+
+
+def holt_weights(n: int, alpha: float, beta: float) -> list[float]:
+    """Holt smoothing is a LINEAR filter: the one-step forecast over a
+    window of length n is a fixed dot product sum_i w_i * x_i. Derive
+    the weights by folding the recursion over unit basis vectors —
+    this powers the DuckDB twin as pure closed-form arithmetic, which
+    sidesteps DuckDB 1.0's list_reduce struct-accumulator quirk
+    (struct fields update PROGRESSIVELY inside the lambda, so a field
+    expression referencing an already-assigned field reads the new
+    value — measured, not theorized)."""
+    def fold(xs: list[float]) -> float:
+        s, b, cnt = xs[0], 0.0, 1
+        for x in xs[1:]:
+            if cnt == 1:
+                s, b, cnt = x, x - s, 2
+            else:
+                s2 = x * alpha + (s + b) * (1.0 - alpha)
+                b = (s2 - s) * beta + b * (1.0 - beta)
+                s = s2
+                cnt += 1
+        return s + b
+
+    return [
+        fold([1.0 if j == i else 0.0 for j in range(n)]) for i in range(n)
+    ]
+
+
+def _sql_moving_holt(
+    *, window: int = 7, alpha: float = 0.3, beta: float = 0.1
+) -> str:
+    cases = []
+    for n in range(1, window + 1):
+        terms = " + ".join(
+            f"({w!r}) * arr[{i + 1}]"
+            for i, w in enumerate(holt_weights(n, alpha, beta))
+        )
+        cases.append(f"WHEN {n} THEN {terms}")
+    branch = "\n            ".join(cases)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), arrs AS (
+  SELECT bucket, doc_count,
+         list(CAST(doc_count AS DOUBLE)) OVER (
+           ORDER BY bucket ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING
+         ) AS arr
+  FROM daily
+)
+SELECT bucket, doc_count,
+       ROUND(CASE len(arr)
+            {branch}
+            ELSE NULL END, 6) AS moving_fn
+FROM arrs ORDER BY bucket
+"""
+
+
 def q_significant_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms under mutual_information (2x2 pointwise-MI sum
     in bits, include_negatives sign) — same one-agg + broadcast-totals
@@ -9362,6 +9440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining never-driver-verified queue (local parity mirror
         # keeps them green; round-6 window pulls from here first),
         # then the no-SQL-oracle trainers, then the driver-green set.
+        "moving_holt": q_moving_holt,
         "geo_line": q_geo_line,
         "kql_search": q_kql_search,
         "esql_stats": q_esql_stats,
@@ -9847,6 +9926,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_mi": SQL_SIGNIFICANT_MI,
         "percentiles_sketch_by": _sql_percentiles_sketch_by(),
         "moving_ewma": SQL_MOVING_EWMA,
+        "moving_holt": _sql_moving_holt(),
         "script_profile": _sql_script_profile(),
         "chat_render": _sql_chat_render(),
         "es_sql_pivot": SQL_ES_SQL_PIVOT,

@@ -1071,17 +1071,25 @@ def moving_fn(
     window: int = 7,
     shift: int = 0,
     alpha: float = 0.3,
+    beta: float = 0.1,
 ) -> DataFrame:
     """ES ``moving_fn`` pipeline agg with the named MovingFunctions
     (min/max/sum/unweightedAvg/stdDev, plus the sequential
     ``linearWeightedAvg`` and ``ewma`` — both the ES-documented
     recursions: linear weights 1..n oldest-to-newest; ewma folds
     ``avg = v*alpha + avg*(1-alpha)`` seeded with the window's first
-    value). The sequential pair runs as a fold over the window's
+    value). The sequential family runs as a fold over the window's
     collected array — the window is ``window``-bounded by contract, so
-    the array is tiny and the fold is codegen'd, not Python. holt /
-    holtWinters are NOT modeled (their Lucene initialization is not
-    published as a stable contract; use ewma or a custom fold).
+    the array is tiny and the fold is codegen'd, not Python.
+
+    ``holt`` (double-exponential / Holt linear smoothing) is modeled
+    with the TEXTBOOK initialization — s1 = x0, b1 = x1 - x0, then
+    s_t = alpha*x_t + (1-alpha)*(s + b), b_t = beta*(s_t - s) +
+    (1-beta)*b — returning the one-step-ahead forecast ``s + b`` (a
+    perfectly linear window forecasts its next point exactly). PINNED
+    DEVIATION: ES's MovingFunctions.holt seeding is not re-derived
+    here; this is the standard formulation, deterministic on both
+    engines. holtWinters (seasonal) remains unmodeled.
 
     ``shift`` follows ES exactly: the window covers buckets
     ``[i - window + shift, i - 1 + shift]`` — the default shift=0
@@ -1090,7 +1098,7 @@ def moving_fn(
 
     Bucket-level window: same single-task sort contract as
     bucket_pipeline (input is bucket-sized, never raw rows)."""
-    seq_fns = ("linearWeightedAvg", "ewma")
+    seq_fns = ("linearWeightedAvg", "ewma", "holt")
     if fn not in _MOVING_FNS and fn not in seq_fns:
         raise ValueError(
             f"unknown moving_fn {fn!r}; one of "
@@ -1110,6 +1118,37 @@ def moving_fn(
             " (x, i) -> x * i), CAST(0 AS DOUBLE), (a, x) -> a + x)"
             " / (CAST(size(__arr) AS DOUBLE) * (size(__arr) + 1) / 2)"
             " END"
+        )
+        out = buckets.select(
+            bucket_col, value_col, arr.alias("__arr")
+        ).select(
+            bucket_col, value_col,
+            F.round(expr, 6).alias("moving_fn"),
+        )
+        return out.orderBy(bucket_col)
+    if fn == "holt":
+        arr = F.collect_list(v).over(w)
+        # struct-accumulator fold: (s, b, n); the n=1 branch performs
+        # the textbook seeding (s=x1, b=x1-x0 — applying the recursion
+        # to x1 under s=x0, b=x1-x0 is the identity, so seeding at the
+        # second element is exact), later steps run the Holt recursion
+        sp = (
+            f"(x * CAST({alpha!r} AS DOUBLE)"
+            f" + (acc.s + acc.b) * CAST({1.0 - alpha!r} AS DOUBLE))"
+        )
+        expr = F.expr(
+            "CASE WHEN size(__arr) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            "aggregate(slice(__arr, 2, size(__arr) - 1),"
+            " named_struct('s', CAST(__arr[0] AS DOUBLE),"
+            "              'b', CAST(0.0 AS DOUBLE), 'n', 1),"
+            " (acc, x) -> IF(acc.n = 1,"
+            "   named_struct('s', CAST(x AS DOUBLE),"
+            "                'b', CAST(x AS DOUBLE) - acc.s, 'n', 2),"
+            f"  named_struct('s', {sp},"
+            f"               'b', ({sp} - acc.s) * CAST({beta!r} AS DOUBLE)"
+            f"                    + acc.b * CAST({1.0 - beta!r} AS DOUBLE),"
+            "                'n', acc.n + 1)),"
+            " acc -> acc.s + acc.b) END"
         )
         out = buckets.select(
             bucket_col, value_col, arr.alias("__arr")

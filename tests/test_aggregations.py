@@ -2070,3 +2070,51 @@ def test_terms_approx_exhausted_shards_zero_error(spark):
     ).collect()
     assert all(r.doc_count == 1 for r in got)
     assert all(r.doc_count_error_upper_bound == 0 for r in got)
+
+
+def test_moving_fn_holt_textbook(spark):
+    """Holt double-exponential smoothing, textbook init (s1=x0,
+    b1=x1-x0), one-step forecast s+b: a perfectly linear window
+    forecasts its next point exactly; single-value windows return the
+    value; empty windows NULL. DuckDB twin folds identically."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        moving_fn,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([10.0, 12.0, 14.0, 13.0, 9.0])],
+        ["bucket", "doc_count"],
+    )
+    got = {
+        r.bucket: r.moving_fn
+        for r in moving_fn(
+            df, "bucket", "doc_count", fn="holt", window=3,
+            alpha=0.5, beta=0.5,
+        ).collect()
+    }
+    assert got[0] is None          # empty window
+    assert got[1] == 10.0          # [10]: s=10, b=0
+    assert got[2] == 14.0          # [10,12]: s=12, b=2
+    assert got[3] == 16.0          # [10,12,14]: linear -> exact forecast
+    # Holt is a linear filter: the oracle generator's closed-form
+    # weights (derived from unit-vector folds — the formulation the
+    # DuckDB twin ships, immune to DuckDB's list_reduce struct quirk)
+    # must reproduce the Spark fold exactly
+    import __spark_entry__ as entrymod
+
+    vals = [10.0, 12.0, 14.0, 13.0, 9.0]
+    for i in range(1, 5):
+        win = vals[max(0, i - 3):i]
+        w = entrymod.holt_weights(len(win), 0.5, 0.5)
+        assert abs(sum(a * b for a, b in zip(w, win)) - got[i]) < 1e-9
+    con = duckdb.connect()
+    # and the generated CASE arithmetic evaluates identically in DuckDB
+    w3 = entrymod.holt_weights(3, 0.5, 0.5)
+    expr = " + ".join(f"({w!r}) * v{i}" for i, w in enumerate(w3))
+    want = con.execute(
+        f"SELECT {expr} FROM (SELECT 10.0::DOUBLE AS v0,"
+        " 12.0::DOUBLE AS v1, 14.0::DOUBLE AS v2)"
+    ).fetchone()[0]
+    assert abs(want - 16.0) < 1e-9
