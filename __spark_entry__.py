@@ -7231,6 +7231,65 @@ FROM arrs ORDER BY bucket
 """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC round trip — the Common Crawl ingestion shape: the
+    documents table is exported as per-record-gzipped WARC shards (a
+    distributed foreachPartition sink), read back with the binaryFile +
+    Arrow-map source (parallelism = archive files, zero shuffle), and
+    WET-converted with the map-only HTML→text expression. Output is
+    (url, text_len); the oracle derives the same rows straight from
+    documents with the dual-dialect html_to_text — so the whole
+    serialize/gzip/parse/extract path must be lossless to match."""
+    import hashlib
+    import shutil
+
+    from harmonize_search_analyze_spark.sources.warc import (
+        read_warc,
+        warc_to_documents,
+        write_warc_shards,
+    )
+
+    out = "/tmp/sparkgraft_warc_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    shutil.rmtree(out, ignore_errors=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.concat(
+                F.lit("http://corpus.local/doc/"), F.col("doc_id")
+            ).alias("url"),
+            F.concat(
+                F.lit("<html><body>"), F.col("text"),
+                F.lit("</body></html>"),
+            ).alias("payload"),
+        )
+        .repartition(4)
+    )
+    write_warc_shards(docs, out)
+    return (
+        warc_to_documents(read_warc(spark, out))
+        .select("url", F.length("text").cast("bigint").alias("text_len"))
+        .orderBy("url")
+    )
+
+
+def _sql_warc_ingest() -> str:
+    from harmonize_search_analyze_spark.operators.web import (
+        html_to_text_sql,
+    )
+
+    wrapped = "'<html><body>' || text || '</body></html>'"
+    txt = html_to_text_sql(wrapped, "duckdb")
+    return f"""
+SELECT 'http://corpus.local/doc/' || doc_id AS url,
+       CAST(LENGTH({txt}) AS BIGINT) AS text_len
+FROM documents WHERE text IS NOT NULL
+ORDER BY url
+"""
+
+
 def q_moving_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """moving_fn holt (double-exponential smoothing, textbook init —
     the round-5 completion of the MovingFunctions family): one-step
@@ -9440,6 +9499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining never-driver-verified queue (local parity mirror
         # keeps them green; round-6 window pulls from here first),
         # then the no-SQL-oracle trainers, then the driver-green set.
+        "warc_ingest": q_warc_ingest,
         "moving_holt": q_moving_holt,
         "geo_line": q_geo_line,
         "kql_search": q_kql_search,
@@ -9927,6 +9987,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_sketch_by": _sql_percentiles_sketch_by(),
         "moving_ewma": SQL_MOVING_EWMA,
         "moving_holt": _sql_moving_holt(),
+        "warc_ingest": _sql_warc_ingest(),
         "script_profile": _sql_script_profile(),
         "chat_render": _sql_chat_render(),
         "es_sql_pivot": SQL_ES_SQL_PIVOT,
