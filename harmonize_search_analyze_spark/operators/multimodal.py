@@ -542,3 +542,135 @@ def extract_audio_features(
             yield pdf
 
     return df.mapInPandas(run, out_schema)
+
+
+# -- perceptual image hashing + near-duplicate detection ---------------------
+
+
+def phash64(pixels, method: str = "dhash") -> int:
+    """64-bit perceptual hash of a decoded ``(h, w, c)`` uint8 pixel
+    array. ``dhash``: grayscale, nearest-neighbor downsample to 9x8,
+    bit = right neighbor brighter (gradient sign — robust to global
+    brightness/contrast shifts). ``ahash``: 8x8, bit = above the mean.
+    Bits pack MSB-first into a SIGNED 64-bit int (two's complement —
+    the same storage convention as the SimHash sketch, so the banded
+    candidate machinery applies unchanged)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.float64)
+    plane = arr.mean(axis=2) if arr.ndim == 3 else arr
+    h0, w0 = plane.shape
+
+    def shrink(ph: int, pw: int):
+        yi = np.arange(ph) * h0 // ph
+        xi = np.arange(pw) * w0 // pw
+        return plane[yi][:, xi]
+
+    if method == "dhash":
+        g = shrink(8, 9)
+        bits = (g[:, 1:] > g[:, :-1]).ravel()
+    elif method == "ahash":
+        g = shrink(8, 8)
+        bits = (g > g.mean()).ravel()
+    else:
+        raise ValueError(f"unknown phash method {method!r}")
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_phash(
+    df: DataFrame,
+    binary_col: str = "payload",
+    *,
+    method: str = "dhash",
+    skip_undecodable: bool = True,
+) -> DataFrame:
+    """Append a ``phash`` (BIGINT) column: perceptual hash of the
+    DECODED image (``decode_image`` — stdlib PNG codec or Pillow via
+    ``$SPARK_GRAFT_PIL``). Arrow ``mapInPandas``, map-only.
+    ``skip_undecodable=True`` nulls the hash for payloads no codec
+    handles (the operational choice mid-pipeline); False re-raises so
+    a curation run fails loudly."""
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"unknown phash method {method!r}")
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("phash", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[binary_col]:
+                if p is None:
+                    hashes.append(None)
+                    continue
+                try:
+                    hashes.append(phash64(decode_image(bytes(p)), method))
+                except (NotImplementedError, ValueError):
+                    if not skip_undecodable:
+                        raise
+                    hashes.append(None)
+            pdf = pdf.copy()
+            pdf["phash"] = pd.array(hashes, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str = "payload",
+    *,
+    max_hamming: int = 4,
+    method: str = "dhash",
+) -> DataFrame:
+    """Perceptual-hash image near-duplicate pairs — the image analogue
+    of ``dedup.simhash_near_dup_pairs_banded``, and it REUSES that
+    machinery: the phash sketch frame feeds the same banded candidate
+    join (pigeonhole-exact at ``max_hamming``) and bit_count-XOR
+    verification, so the scale story is identical — one Arrow decode
+    pass, band-key shuffle, verify only candidates, never all pairs.
+    Returns (id1, id2, hamming)."""
+    from harmonize_search_analyze_spark.functions.caching import (
+        tether,
+        transfer,
+    )
+    from harmonize_search_analyze_spark.operators.dedup import (
+        hamming_sql,
+        simhash_candidate_pairs,
+    )
+
+    sk = (
+        image_phash(
+            df.select(id_col, binary_col), binary_col, method=method
+        )
+        .where(F.col("phash").isNotNull())
+        .select(id_col, F.col("phash").alias("simhash"))
+        .persist()
+    )
+    cands = simhash_candidate_pairs(
+        sk, id_col, max_hamming=max_hamming, bits=64
+    )
+    ham = F.expr(hamming_sql("sh1", "sh2", "spark"))
+    out = (
+        cands.join(
+            sk.select(
+                F.col(id_col).alias("id1"), F.col("simhash").alias("sh1")
+            ),
+            "id1",
+        )
+        .join(
+            sk.select(
+                F.col(id_col).alias("id2"), F.col("simhash").alias("sh2")
+            ),
+            "id2",
+        )
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+    transfer(cands, out)
+    return tether(out, sk)

@@ -491,3 +491,83 @@ def test_pil_escape_hatch(tmp_path, monkeypatch):
         sys.modules.update(saved)
         if str(tmp_path) in sys.path:
             sys.path.remove(str(tmp_path))
+
+
+# -- perceptual hashing + image near-dup (round 5) ---------------------------
+
+
+def _noisy(px, n_pixels, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = px.copy()
+    for _ in range(n_pixels):
+        y = int(rng.integers(0, px.shape[0]))
+        x = int(rng.integers(0, px.shape[1]))
+        out[y, x] = np.clip(out[y, x].astype(int) + 6, 0, 255)
+    return out
+
+
+def test_phash64_properties():
+    """dhash is invariant to global brightness shifts and small noise,
+    far from a structurally different image; ahash differs from dhash;
+    unknown method raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        phash64,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    h = phash64(base)
+    assert isinstance(h, int) and -(1 << 63) <= h < (1 << 63)
+    # global brightness shift: gradient signs unchanged -> same dhash
+    brighter = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    assert phash64(brighter) == h
+    # small perturbation: within a few bits
+    near = _noisy(base, 4, seed=3)
+    xor = (phash64(near) ^ h) & ((1 << 64) - 1)
+    assert bin(xor).count("1") <= 6
+    # structurally different image: far
+    other = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    xor2 = (phash64(other) ^ h) & ((1 << 64) - 1)
+    assert bin(xor2).count("1") > 12
+    assert phash64(base, "ahash") != phash64(base, "dhash")
+    with _pytest.raises(ValueError, match="method"):
+        phash64(base, "blockhash")
+
+
+def test_image_near_dup_pairs_banded(spark):
+    """End-to-end: PNG payloads -> Arrow decode+phash -> banded
+    candidate join (reusing the SimHash machinery) -> verified hamming
+    pairs. Near-dups pair up; distinct images do not; undecodable
+    payloads drop out with skip_undecodable."""
+    import numpy as np
+
+    from harmonize_search_analyze_spark.functions.png import png_encode
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        image_phash,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = {}
+    for g in range(3):
+        base = rng.integers(0, 200, size=(24, 24, 3), dtype=np.uint8)
+        imgs[g * 10] = base
+        imgs[g * 10 + 1] = _noisy(base, 3, seed=g)
+    rows = [(i, png_encode(px)) for i, px in imgs.items()]
+    rows.append((99, b"\xff\xd8\xff\xe0not-decodable-jpeg"))
+    df = spark.createDataFrame(rows, "img_id int, payload binary")
+    hashed = image_phash(df).collect()
+    assert {r.img_id: r.phash is None for r in hashed}[99] is True
+    pairs = image_near_dup_pairs(
+        df, "img_id", max_hamming=6
+    ).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+    assert {(0, 1), (10, 11), (20, 21)} <= got
+    # no cross-group pairs
+    assert all(a // 10 == b // 10 for a, b in got)
+    assert all(r.hamming <= 6 for r in pairs)
