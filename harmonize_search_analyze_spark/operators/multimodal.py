@@ -674,3 +674,124 @@ def image_near_dup_pairs(
     )
     transfer(cands, out)
     return tether(out, sk)
+
+
+# -- audio fingerprinting + near-duplicate detection -------------------------
+
+
+def audio_fingerprint64(samples, rate: int, n_channels: int = 1) -> int:
+    """64-bit audio fingerprint from decoded PCM: mono-mix, split into
+    65 equal frames, per-frame RMS energy, bit i = frame i+1 louder
+    than frame i (energy-delta sign — the dHash idea on the time axis).
+    Invariant to global gain (energy scales uniformly, delta signs
+    don't) and to sample-rate-preserving container changes; a different
+    waveform flips about half the bits. Packed two's-complement like
+    the SimHash/phash sketches so the banded machinery applies."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if n_channels > 1:
+        usable = len(x) - (len(x) % n_channels)
+        x = x[:usable].reshape(-1, n_channels).mean(axis=1)
+    n_frames = 65
+    if len(x) < n_frames:
+        x = np.pad(x, (0, n_frames - len(x)))
+    bounds = (np.arange(n_frames + 1) * len(x)) // n_frames
+    energy = np.array([
+        float(np.sqrt(np.mean(np.square(x[bounds[i]:bounds[i + 1]]))))
+        if bounds[i + 1] > bounds[i] else 0.0
+        for i in range(n_frames)
+    ])
+    bits = energy[1:] > energy[:-1]
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def audio_phash(
+    df: DataFrame,
+    binary_col: str = "payload",
+    *,
+    skip_undecodable: bool = True,
+) -> DataFrame:
+    """Append an ``aphash`` (BIGINT) column: energy-delta fingerprint of
+    the decoded PCM (``decode_wav_pcm`` — real, stdlib-only). Arrow
+    ``mapInPandas``, map-only. Non-PCM payloads null out (or raise via
+    ``skip_undecodable=False``)."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("aphash", T.LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[binary_col]:
+                decoded = decode_wav_pcm(bytes(p)) if p is not None else None
+                if decoded is None:
+                    if p is not None and not skip_undecodable:
+                        raise NotImplementedError(
+                            "non-PCM audio needs a codec; only RIFF/WAVE "
+                            "PCM decodes in this environment"
+                        )
+                    hashes.append(None)
+                    continue
+                samples, rate, n_ch = decoded
+                hashes.append(audio_fingerprint64(samples, rate, n_ch))
+            pdf = pdf.copy()
+            pdf["aphash"] = pd.array(hashes, dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str = "payload",
+    *,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Audio near-duplicate pairs over the energy-delta fingerprint —
+    same banded-candidates + bit_count-verify shape as
+    ``image_near_dup_pairs`` (and the same 100 TB story: one Arrow
+    decode pass, band-key shuffle, never all pairs). Returns
+    (id1, id2, hamming)."""
+    from harmonize_search_analyze_spark.functions.caching import (
+        tether,
+        transfer,
+    )
+    from harmonize_search_analyze_spark.operators.dedup import (
+        hamming_sql,
+        simhash_candidate_pairs,
+    )
+
+    sk = (
+        audio_phash(df.select(id_col, binary_col), binary_col)
+        .where(F.col("aphash").isNotNull())
+        .select(id_col, F.col("aphash").alias("simhash"))
+        .persist()
+    )
+    cands = simhash_candidate_pairs(
+        sk, id_col, max_hamming=max_hamming, bits=64
+    )
+    ham = F.expr(hamming_sql("sh1", "sh2", "spark"))
+    out = (
+        cands.join(
+            sk.select(
+                F.col(id_col).alias("id1"), F.col("simhash").alias("sh1")
+            ),
+            "id1",
+        )
+        .join(
+            sk.select(
+                F.col(id_col).alias("id2"), F.col("simhash").alias("sh2")
+            ),
+            "id2",
+        )
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+    transfer(cands, out)
+    return tether(out, sk)

@@ -571,3 +571,76 @@ def test_image_near_dup_pairs_banded(spark):
     # no cross-group pairs
     assert all(a // 10 == b // 10 for a, b in got)
     assert all(r.hamming <= 6 for r in pairs)
+
+
+def _make_env_wav(seed, gain=0.5, rate=4000, seconds=0.65, flips=0):
+    """WAV whose per-segment amplitude envelope is a seeded random walk
+    — a distinctive energy profile for fingerprinting. ``gain`` scales
+    globally (fingerprint-invariant); ``flips`` perturbs that many
+    envelope segments (small hamming damage)."""
+    import math
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = int(rate * seconds)
+    env = rng.uniform(0.1, 1.0, size=65)
+    if flips:
+        fr = np.random.default_rng(seed + 1000)
+        for i in fr.integers(0, 65, size=flips):
+            env[i] = 1.1 - env[i]
+    frames = b""
+    for i in range(n):
+        seg = min(64, i * 65 // n)
+        v = gain * env[seg] * math.sin(2 * math.pi * 440.0 * i / rate)
+        frames += struct.pack("<h", int(v * 20000))
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(frames))
+    )
+    return hdr + frames
+
+
+def test_audio_fingerprint_properties():
+    """Gain-invariant, stable under tiny envelope damage, far for a
+    different envelope."""
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        audio_fingerprint64,
+        decode_wav_pcm,
+    )
+
+    def fp(payload):
+        s, r, c = decode_wav_pcm(payload)
+        return audio_fingerprint64(s, r, c)
+
+    a = fp(_make_env_wav(1, gain=0.5))
+    assert a == fp(_make_env_wav(1, gain=0.05))  # 10x quieter: same
+    near = fp(_make_env_wav(1, gain=0.5, flips=2))
+    assert bin(((a ^ near) & ((1 << 64) - 1))).count("1") <= 8
+    other = fp(_make_env_wav(2, gain=0.5))
+    assert bin(((a ^ other) & ((1 << 64) - 1))).count("1") > 12
+
+
+def test_audio_near_dup_pairs_banded(spark):
+    """End-to-end banded audio near-dup: gain-scaled copies pair up,
+    different envelopes do not, non-PCM payloads null out."""
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        audio_phash,
+    )
+
+    rows = []
+    for g in range(3):
+        rows.append((g * 10, _make_env_wav(g, gain=0.6)))
+        rows.append((g * 10 + 1, _make_env_wav(g, gain=0.15)))
+    rows.append((99, b"\x00\x01not audio at all" * 4))
+    df = spark.createDataFrame(rows, "clip_id int, payload binary")
+    hashed = {r.clip_id: r.aphash for r in audio_phash(df).collect()}
+    assert hashed[99] is None
+    pairs = audio_near_dup_pairs(df, "clip_id", max_hamming=4).collect()
+    got = {(r.id1, r.id2) for r in pairs}
+    assert {(0, 1), (10, 11), (20, 21)} <= got
+    assert all(a // 10 == b // 10 for a, b in got)
