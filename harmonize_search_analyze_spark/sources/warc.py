@@ -45,6 +45,7 @@ __all__ = [
     "read_warc",
     "warc_to_documents",
     "write_warc_shards",
+    "write_wet_shards",
 ]
 
 # a fixed date keeps record bytes deterministic for digest lineage; a
@@ -254,6 +255,42 @@ def write_warc_shards(
                     payload = payload.encode("utf-8")
                 rec = build_record(
                     target_uri=row[uri_col], payload=payload or b""
+                )
+                fh.write(gzip.compress(rec, 6))
+                wrote = True
+        if not wrote:
+            os.remove(path)
+        return iter(())
+
+    df.rdd.mapPartitionsWithIndex(write_partition).count()
+
+
+def write_wet_shards(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    uri_col: str = "url",
+    text_col: str = "text",
+) -> None:
+    """WET sink: ``conversion`` records carrying bare extracted text —
+    the companion format Common Crawl ships alongside WARC (and what a
+    text-only training pipeline re-exports after curation). Same
+    distributed per-record-gzip shard layout as ``write_warc_shards``."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(idx: int, rows: Iterator) -> Iterator:
+        path = os.path.join(out_dir, f"part-{idx:05d}.warc.wet.gz")
+        wrote = False
+        with open(path, "wb") as fh:
+            for row in rows:
+                text = row[text_col] or ""
+                rec = build_record(
+                    target_uri=row[uri_col],
+                    payload=text.encode("utf-8"),
+                    warc_type="conversion",
+                    http_status=None,
                 )
                 fh.write(gzip.compress(rec, 6))
                 wrote = True

@@ -124,3 +124,26 @@ def test_warc_to_documents_wet_step(spark, tmp_path):
     # no shuffle in the whole source->WET plan
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_wet_sink_roundtrip(spark, tmp_path):
+    """WET conversion records round-trip: bare UTF-8 text payloads,
+    warc_type=conversion, no HTTP block; unicode survives byte-exact."""
+    rows = [
+        ("http://a.com/1", "plain extracted text"),
+        ("http://a.com/2", "unicode: naïve café — 日本語"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "text"]).coalesce(1)
+    out = str(tmp_path / "wet")
+    from harmonize_search_analyze_spark.sources.warc import (
+        write_wet_shards,
+    )
+
+    write_wet_shards(df, out)
+    back = read_warc(spark, out)
+    got = {
+        r.target_uri: (r.warc_type, r.http_status,
+                       bytes(r.payload).decode("utf-8"))
+        for r in back.collect()
+    }
+    assert got == {u: ("conversion", None, t) for u, t in rows}
