@@ -57,12 +57,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 def png_decode(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to a ``(height, width, channels)`` uint8
     array. Pure stdlib: chunk walk, zlib inflate, scanline unfilter
-    (types 0-4 including Paeth)."""
+    (types 0-4 including Paeth). Coverage: 8-bit gray/RGB/gray+alpha/
+    RGBA, 8-bit palette (PLTE lookup -> RGB), and 16-bit samples
+    (downconverted PIL-style to the high byte). Sub-8-bit depths and
+    Adam7 interlacing raise with guidance."""
     if payload[:8] != PNG_SIGNATURE:
         raise PngFormatError("not a PNG payload")
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte: bytes | None = None
     for ctype, data in _chunks(payload):
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _, _, interlace = (
@@ -70,25 +74,39 @@ def png_decode(payload: bytes) -> np.ndarray:
             )
         elif ctype == b"IDAT":
             idat.extend(data)
+        elif ctype == b"PLTE":
+            plte = data
     if width is None:
         raise PngFormatError("missing IHDR")
-    if bit_depth != 8:
+    if color_type == 3:
+        samples = 1
+        if bit_depth != 8:
+            raise PngFormatError(
+                f"unsupported palette bit depth {bit_depth} (8 only; "
+                "use the SPARK_GRAFT_PIL escape hatch for packed "
+                "palettes)"
+            )
+        if plte is None or len(plte) % 3:
+            raise PngFormatError("palette PNG missing a valid PLTE")
+    elif color_type in _CHANNELS:
+        samples = _CHANNELS[color_type]
+        if bit_depth not in (8, 16):
+            raise PngFormatError(
+                f"unsupported bit depth {bit_depth} (8/16 only; use "
+                "the SPARK_GRAFT_PIL escape hatch for the long tail)"
+            )
+    else:
         raise PngFormatError(
-            f"unsupported bit depth {bit_depth} (8 only; use the "
-            "SPARK_GRAFT_PIL escape hatch for the long tail)"
-        )
-    if color_type not in _CHANNELS:
-        raise PngFormatError(
-            f"unsupported color type {color_type} (0/2/4/6 only; use "
-            "the SPARK_GRAFT_PIL escape hatch for palette images)"
+            f"unsupported color type {color_type}"
         )
     if interlace != 0:
         raise PngFormatError("interlaced PNGs unsupported")
-    ch = _CHANNELS[color_type]
     if not idat:
         raise PngFormatError("missing IDAT (header-only PNG)")
+    bps = 2 if bit_depth == 16 else 1
+    bpp = samples * bps  # the unfilter left-neighbor offset is in BYTES
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
+    stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise PngFormatError("scanline data size mismatch")
     out = np.empty((height, stride), dtype=np.uint8)
@@ -98,25 +116,35 @@ def png_decode(payload: bytes) -> np.ndarray:
         ftype = raw[off]
         row = bytearray(raw[off + 1: off + 1 + stride])
         if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                left = row[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
+                left = row[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise PngFormatError(f"unknown filter type {ftype}")
         out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
         prev = row
-    return out.reshape(height, width, ch)
+    if bit_depth == 16:
+        # big-endian sample pairs: keep the high byte (PIL I;16 -> L)
+        out = out.reshape(height, width * samples, 2)[:, :, 0]
+        return np.ascontiguousarray(out).reshape(height, width, samples)
+    if color_type == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(height, width)
+        if int(idx.max()) >= len(pal):
+            raise PngFormatError("palette index out of range")
+        return pal[idx]
+    return out.reshape(height, width, samples)
 
 
 def png_encode(pixels: np.ndarray) -> bytes:

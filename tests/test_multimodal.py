@@ -644,3 +644,55 @@ def test_audio_near_dup_pairs_banded(spark):
     got = {(r.id1, r.id2) for r in pairs}
     assert {(0, 1), (10, 11), (20, 21)} <= got
     assert all(a // 10 == b // 10 for a, b in got)
+
+
+def test_png_palette_and_16bit_decode():
+    """Round-5 codec extensions: 8-bit palette PNGs decode through the
+    PLTE lookup to RGB; 16-bit samples downconvert to the high byte;
+    out-of-range palette indices raise."""
+    import numpy as np
+
+    from harmonize_search_analyze_spark.functions.png import (
+        PngFormatError,
+        png_decode,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # palette: 2x2 image, indices [[0,1],[2,0]] over a 3-color palette
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    scan = b"\x00\x00\x01" + b"\x00\x02\x00"
+    png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    )
+    out = png_decode(png)
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0]
+    assert out[0, 1].tolist() == [0, 255, 0]
+    assert out[1, 0].tolist() == [0, 0, 255]
+    # out-of-range index
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal[:6])
+        + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngFormatError, match="index"):
+        png_decode(bad)
+
+    # 16-bit grayscale 1x2: samples 0xABCD, 0x1234 -> high bytes AB, 12
+    ihdr16 = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    scan16 = b"\x00" + b"\xab\xcd\x12\x34"
+    png16 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(scan16)) + chunk(b"IEND", b"")
+    )
+    out16 = png_decode(png16)
+    assert out16.shape == (1, 2, 1)
+    assert out16.ravel().tolist() == [0xAB, 0x12]
