@@ -8547,6 +8547,54 @@ SELECT n, v, _fork FROM (
 """
 
 
+def q_esql_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FUSE (9.x): two FORK retrieval branches — one ranked by
+    event value, one by recency — fused with reciprocal-rank fusion
+    into a single ranking. Per-branch rank windows + one hash agg;
+    non-key columns keep the first-branch occurrence."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("events", _t(spark, sf_dir, "events"))
+    return run_esql(cat, """
+        FROM events
+        | WHERE value IS NOT NULL AND event_type == "purchase"
+        | FORK (EVAL _score = round(value, 2) | SORT _score DESC, event_id ASC | LIMIT 20)
+               (EVAL _score = round(cast(unix_timestamp(ts) AS DOUBLE) / 1000000000, 6)
+                  | SORT _score DESC, event_id ASC | LIMIT 20)
+        | FUSE rrf KEY BY event_id WITH k = 60
+        | KEEP event_id, _score
+        | LIMIT 15
+    """)
+
+
+SQL_ESQL_FUSE = """
+WITH base AS (
+  SELECT event_id, value, ts FROM events
+  WHERE value IS NOT NULL AND event_type = 'purchase'
+), b1 AS (
+  SELECT event_id, ROUND(value, 2) AS _score FROM base
+  ORDER BY _score DESC, event_id ASC LIMIT 20
+), b2 AS (
+  SELECT event_id, ROUND(epoch(ts) / 1000000000, 6) AS _score FROM base
+  ORDER BY _score DESC, event_id ASC LIMIT 20
+), u AS (
+  SELECT event_id, _score, 'fork1' AS _fork FROM b1
+  UNION ALL
+  SELECT event_id, _score, 'fork2' FROM b2
+), ranked AS (
+  SELECT event_id, _fork,
+         ROW_NUMBER() OVER (PARTITION BY _fork
+                            ORDER BY _score DESC, event_id ASC) AS rnk
+  FROM u
+)
+SELECT event_id, ROUND(SUM(1.0 / (60 + rnk)), 6) AS _score
+FROM ranked GROUP BY event_id
+ORDER BY _score DESC, event_id ASC LIMIT 15
+"""
+
+
 def q_esql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL function-name translation in a gated plan: DATE_FORMAT's
     (format, date) order, TO_UPPER, TO_LONG — rewritten to Spark SQL
@@ -9499,6 +9547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # remaining never-driver-verified queue (local parity mirror
         # keeps them green; round-6 window pulls from here first),
         # then the no-SQL-oracle trainers, then the driver-green set.
+        "esql_fuse": q_esql_fuse,
         "warc_ingest": q_warc_ingest,
         "moving_holt": q_moving_holt,
         "geo_line": q_geo_line,
@@ -9988,6 +10037,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_ewma": SQL_MOVING_EWMA,
         "moving_holt": _sql_moving_holt(),
         "warc_ingest": _sql_warc_ingest(),
+        "esql_fuse": SQL_ESQL_FUSE,
         "script_profile": _sql_script_profile(),
         "chat_render": _sql_chat_render(),
         "es_sql_pivot": SQL_ES_SQL_PIVOT,

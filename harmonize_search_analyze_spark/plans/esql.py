@@ -66,6 +66,13 @@ Supported commands::
     FORK (pipe...) (pipe...)        run each branch on the current input,
                                     union byName with a _fork
                                     discriminator column
+    FUSE [rrf|linear] [KEY BY c,..] [WITH k = N]
+                                    merge FORK branches into one fused
+                                    ranking: per-branch rank windows +
+                                    one hash agg; rrf = sum 1/(k+rank),
+                                    linear = sum of _score; non-key
+                                    columns keep the first-branch
+                                    occurrence (lowest rank, _fork)
 
 ES|QL null-sort semantics are pinned: nulls sort as LARGER than any
 value (the ES|QL default), so ASC puts them last and DESC first unless
@@ -905,9 +912,85 @@ def _apply_command(
         df = outs[0]
         for o in outs[1:]:
             df = df.unionByName(o, allowMissingColumns=True)
+    elif word == "FUSE":
+        df = _fuse(df, rest)
     else:
         raise ESQLError(f"unsupported command: {word}")
     return df
+
+
+def _fuse(df: DataFrame, rest: str) -> DataFrame:
+    """``FUSE [rrf|linear] [KEY BY col, ...] [WITH k = <int>]`` — merge
+    FORK branch results into one fused ranking (the 9.x command that
+    closes the FORK story): per branch, rank = dense order of ``_score``
+    descending; rrf fuses by sum 1/(k + rank) (Cormack et al. 2009 —
+    the same arithmetic as operators/ranking.rrf_fuse), linear by
+    summing raw ``_score``. One window + one hash agg, both keyed by
+    bounded branch output — fusion is metadata-sized work after the
+    retrievals, same as the retriever tree.
+
+    Pinned details: key defaults to ``_id`` (raise with guidance when
+    absent); non-key columns carry the value from the row with the
+    LOWEST (branch rank, _fork) — the first-branch-occurrence rule;
+    output replaces ``_score`` with the fused score (rounded 6), drops
+    ``_fork``, sorts score DESC then keys ASC."""
+    from pyspark.sql import Window
+
+    toks = rest.strip()
+    method = "rrf"
+    m = re.match(r"^(rrf|linear)\b(.*)$", toks, re.I | re.S)
+    if m:
+        method = m.group(1).lower()
+        toks = m.group(2).strip()
+    keys: list[str] | None = None
+    m = re.match(r"^KEY\s+BY\s+(.*?)(?:\bWITH\b.*)?$", toks, re.I | re.S)
+    if m:
+        keys = [c.strip() for c in m.group(1).strip().split(",")]
+    rrf_k = 60
+    m = re.search(r"\bWITH\s+k\s*=\s*(\d+)\s*$", toks, re.I)
+    if m:
+        rrf_k = int(m.group(1))
+    if "_fork" not in df.columns:
+        raise ESQLError("FUSE requires FORK output (no _fork column)")
+    if "_score" not in df.columns:
+        raise ESQLError(
+            "FUSE requires a _score column — EVAL one per branch"
+        )
+    if keys is None:
+        if "_id" not in df.columns:
+            raise ESQLError(
+                "FUSE needs a key: no _id column — use KEY BY <cols>"
+            )
+        keys = ["_id"]
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ESQLError(f"FUSE KEY BY unknown columns: {missing}")
+    wb = Window.partitionBy("_fork").orderBy(
+        F.desc("_score"), *[F.asc(k) for k in keys]
+    )
+    ranked = df.withColumn("__rank", F.row_number().over(wb))
+    contrib = (
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("__rank"))
+        if method == "rrf"
+        else F.col("_score").cast("double")
+    )
+    passthru = [
+        c for c in df.columns if c not in (*keys, "_fork", "_score")
+    ]
+    first = F.min(
+        F.struct("__rank", "_fork", *passthru)
+    ).alias("__first")
+    fused = (
+        ranked.groupBy(*keys)
+        .agg(F.round(F.sum(contrib), 6).alias("_score"), first)
+        .select(
+            *keys,
+            *[F.col(f"__first.{c}").alias(c) for c in passthru],
+            "_score",
+        )
+        .orderBy(F.desc("_score"), *[F.asc(k) for k in keys])
+    )
+    return fused
 
 
 def _fork_branches(rest: str) -> list[str]:

@@ -529,3 +529,68 @@ def test_completion_echo_template_and_gate(spark):
     assert [(r.id, r.c) for r in out] == [(1, "<ab!>")]
     with pytest.raises(NotImplementedError, match="external LLM"):
         run_esql(cat, "FROM d | COMPLETION c = t WITH real-llm")
+
+
+def test_fuse_rrf_and_linear(spark):
+    """FUSE merges FORK branches: rrf = sum 1/(k+rank) per branch,
+    linear = sum of scores; non-key columns keep the first-branch
+    occurrence; _fork disappears."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 5.0, "b"), (3, 1.0, "c")],
+        ["_id", "v", "tag"],
+    )
+    cat.register("t", df)
+    out = run_esql(cat, """
+        FROM t
+        | FORK (EVAL _score = v)
+               (EVAL _score = CASE WHEN _id = 3 THEN 9.0 ELSE 0.5 END)
+        | FUSE rrf WITH k = 10
+    """).collect()
+    got = {r._id: r._score for r in out}
+    # branch1 ranks: 1,2,3 -> ranks 1,2,3; branch2: id3 rank1, id1 rank2, id2 rank3
+    assert got[1] == round(1/11 + 1/12, 6)
+    assert got[2] == round(1/12 + 1/13, 6)
+    assert got[3] == round(1/13 + 1/11, 6)
+    assert "_fork" not in {c for r in out for c in r.asDict()}
+    # first-occurrence rule keeps tag from the better-ranked branch row
+    tags = {r._id: r.tag for r in out}
+    assert tags == {1: "a", 2: "b", 3: "c"}
+    lin = run_esql(cat, """
+        FROM t
+        | FORK (EVAL _score = v) (EVAL _score = v * 2)
+        | FUSE linear
+    """).collect()
+    assert {r._id: r._score for r in lin} == {1: 30.0, 2: 15.0, 3: 3.0}
+
+
+def test_fuse_errors(spark):
+    import pytest
+
+    from harmonize_search_analyze_spark.plans.esql import (
+        ESQLError,
+        run_esql,
+    )
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("t", spark.createDataFrame([(1, 2.0)], ["_id", "v"]))
+    with pytest.raises(ESQLError, match="_fork"):
+        run_esql(cat, "FROM t | EVAL _score = v | FUSE")
+    with pytest.raises(ESQLError, match="_score"):
+        run_esql(cat, "FROM t | FORK (WHERE v > 0) (WHERE v > 1) | FUSE")
+    with pytest.raises(ESQLError, match="KEY BY"):
+        run_esql(cat, """
+            FROM t | RENAME _id AS k
+            | FORK (EVAL _score = v) (EVAL _score = v)
+            | FUSE
+        """)
+    with pytest.raises(ESQLError, match="unknown columns"):
+        run_esql(cat, """
+            FROM t
+            | FORK (EVAL _score = v) (EVAL _score = v)
+            | FUSE rrf KEY BY nope
+        """)
