@@ -397,11 +397,48 @@ class Catalog:
 
     # -- persistence (harmonizeCrimeIncidents.py:408-422) ------------------
     def save_parquet(
-        self, df: DataFrame, path: str, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        path: str,
+        partition_by: list[str] | None = None,
+        *,
+        bloom_filter_ndv: dict[str, int] | None = None,
+        bloom_max_bytes: int = 64 * 1024,
+        sort_within_partitions: list[str] | None = None,
     ) -> None:
         """Parquet sink, overwrite mode. ``partition_by`` (e.g. city/year)
-        buys partition pruning for the dashboard's global time filter."""
+        buys partition pruning for the dashboard's global time filter.
+
+        Scan-side skipping levers for 100 TB point lookups:
+
+        - ``bloom_filter_ndv`` ({column: expected distinct values})
+          writes parquet bloom filters so an equality probe on a
+          high-cardinality key (doc_id, user_id, url hash) can skip row
+          groups min-max stats can't discriminate. MEASURED quirk of
+          the bundled parquet-java: the per-column
+          ``parquet.bloom.filter.enabled#col`` toggle is ignored (via
+          writer options AND hadoop conf), so enabling is GLOBAL — the
+          listed columns get right-sized filters from their NDV and
+          ``bloom_max_bytes`` caps every other column's filter so the
+          global toggle can't bloat the file (parquet's default cap is
+          1 MB per column chunk).
+        - ``sort_within_partitions`` clusters rows per file WITHOUT a
+          shuffle so min-max column indexes actually discriminate —
+          the cheap cousin of ``layout.zorder_cluster`` (which range-
+          partitions first for multi-column locality).
+        """
+        if sort_within_partitions:
+            df = df.sortWithinPartitions(*sort_within_partitions)
         writer = df.write.mode("overwrite")
+        if bloom_filter_ndv:
+            writer = writer.option("parquet.bloom.filter.enabled", "true")
+            writer = writer.option(
+                "parquet.bloom.filter.max.bytes", str(int(bloom_max_bytes))
+            )
+            for col, ndv in bloom_filter_ndv.items():
+                writer = writer.option(
+                    f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv))
+                )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)

@@ -131,3 +131,42 @@ def test_find_spark_avro_jar_probe(tmp_path, monkeypatch):
 
     monkeypatch.setenv("SPARK_HOME", str(tmp_path / "empty"))
     assert find_spark_avro_jar() is None
+
+
+def test_save_parquet_bloom_and_sorted(spark, tmp_path):
+    """Bloom-filter writing is observable as footer growth shaped by the
+    declared NDV; sort_within_partitions orders rows per file (min-max
+    index discrimination) without adding an exchange."""
+    import glob
+    import os
+
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    df = spark.range(0, 100_000).selectExpr(
+        "id", "cast(id % 997 as string) as k"
+    ).repartition(2)
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloom")
+    cat.save_parquet(df, plain)
+    cat.save_parquet(
+        df, bloomed, bloom_filter_ndv={"k": 1000}, bloom_max_bytes=16384
+    )
+
+    def total(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(p + "/*.parquet")
+        )
+
+    grew = total(bloomed) - total(plain)
+    assert grew > 500, f"bloom filters not written (delta {grew})"
+    # data survives identically
+    assert spark.read.parquet(bloomed).count() == 100_000
+
+    srt = str(tmp_path / "sorted")
+    cat.save_parquet(df, srt, sort_within_partitions=["k"])
+    import pyarrow.parquet as pq
+
+    one = glob.glob(srt + "/*.parquet")[0]
+    ks = pq.read_table(one, columns=["k"]).column("k").to_pylist()
+    assert ks == sorted(ks)
