@@ -8547,6 +8547,50 @@ SELECT n, v, _fork FROM (
 """
 
 
+def q_esql_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL TS (9.x time-series mode): STATS avg(rate(value)) runs the
+    two-level TSDB rollup — reset-aware per-series rate inside each day
+    bucket (lag window sharing the inner agg's exchange), then the
+    outer avg across series. The oracle replays both levels."""
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("events", _t(spark, sf_dir, "events"))
+    return run_esql(cat, """
+        TS events ON ts BY event_type
+        | WHERE ts IS NOT NULL AND value IS NOT NULL
+        | STATS r = avg(rate(value)), m = max(max_over_time(value))
+          BY day = DATE_TRUNC("day", ts)
+        | EVAL r = ROUND(r * 1000, 6), m = ROUND(m, 6)
+        | SORT day
+        | LIMIT 30
+    """)
+
+
+SQL_ESQL_TS = """
+WITH base AS (
+  SELECT event_type, ts, CAST(value AS DOUBLE) AS v,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), lagged AS (
+  SELECT event_type, day, epoch(ts) AS e, v,
+         LAG(v) OVER (PARTITION BY event_type, day
+                      ORDER BY ts, v) AS prev
+  FROM base
+), per_series AS (
+  SELECT event_type, day,
+         SUM(CASE WHEN prev IS NULL THEN NULL
+                  WHEN v >= prev THEN v - prev ELSE v END)
+           / NULLIF(MAX(e) - MIN(e), 0) AS r,
+         MAX(v) AS mx
+  FROM lagged GROUP BY 1, 2
+)
+SELECT day, ROUND(AVG(r) * 1000, 6) AS r, ROUND(MAX(mx), 6) AS m
+FROM per_series GROUP BY day ORDER BY day LIMIT 30
+"""
+
+
 def q_esql_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL FUSE (9.x): two FORK retrieval branches — one ranked by
     event value, one by recency — fused with reciprocal-rank fusion
@@ -9548,6 +9592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeps them green; round-6 window pulls from here first),
         # then the no-SQL-oracle trainers, then the driver-green set.
         "esql_fuse": q_esql_fuse,
+        "esql_ts": q_esql_ts,
         "warc_ingest": q_warc_ingest,
         "moving_holt": q_moving_holt,
         "geo_line": q_geo_line,
@@ -10038,6 +10083,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_holt": _sql_moving_holt(),
         "warc_ingest": _sql_warc_ingest(),
         "esql_fuse": SQL_ESQL_FUSE,
+        "esql_ts": SQL_ESQL_TS,
         "script_profile": _sql_script_profile(),
         "chat_render": _sql_chat_render(),
         "es_sql_pivot": SQL_ES_SQL_PIVOT,

@@ -22,6 +22,14 @@ Supported commands::
 
     FROM pattern[, pattern...]      source: catalog-resolved index union
     ROW a = 1, b = "x"              literal one-row source
+    TS pattern ON ts BY dims        time-series source (9.x TS/METRICS):
+                                    a following STATS may use
+                                    rate()/*_over_time() — a two-level
+                                    rollup (per-series inner agg, outer
+                                    across series per bucket); series
+                                    identity is declared ON/BY inline
+                                    (pinned deviation — no TSDB
+                                    mappings to read it from)
     WHERE <expr>                    filter
     EVAL name = expr, ...           computed columns (later may use earlier)
     STATS [n =] agg(expr) [WHERE cond], ... [BY [k =] expr, ...]
@@ -529,17 +537,167 @@ def run_esql(catalog, query: str, *, spark=None) -> DataFrame:
     spark = spark if spark is not None else getattr(catalog, "spark", None)
 
     df: DataFrame | None = None
+    ts_ctx: tuple[str, list[str]] | None = None
     for idx, cmd in enumerate(pipes):
         word, rest = _parse_cmd(cmd)
         if idx == 0:
+            if word == "TS":
+                df, ts_ctx = _ts_source(catalog, rest)
+                continue
             if word not in ("FROM", "ROW"):
                 raise ESQLError(
-                    f"query must start with FROM or ROW, got {word}"
+                    f"query must start with FROM, ROW or TS, got {word}"
                 )
-        elif word in ("FROM", "ROW"):
+        elif word in ("FROM", "ROW", "TS"):
             raise ESQLError(f"{word} is only valid as the first command")
+        if word == "STATS" and ts_ctx is not None and _TS_FN_RE.search(rest):
+            df = _ts_stats(df, rest, ts_ctx)
+            # the rollup consumes the series context: downstream
+            # commands see ordinary grouped rows
+            ts_ctx = None
+            continue
         df = _apply_command(df, word, rest, catalog=catalog, spark=spark)
     return df
+
+
+_TS_FNS = (
+    "rate", "avg_over_time", "min_over_time", "max_over_time",
+    "sum_over_time", "count_over_time", "last_over_time",
+    "first_over_time",
+)
+_TS_FN_RE = re.compile(
+    r"\b(" + "|".join(_TS_FNS) + r")\s*\(", re.IGNORECASE
+)
+_TS_OUTER = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+             "count": F.count}
+
+
+def _ts_source(catalog, rest: str):
+    """``TS pattern ON ts_col BY dim[, dim...]`` — the time-series
+    source command (ES 9.x ``TS``, né METRICS). PINNED DEVIATION: real
+    ES derives the timestamp and dimension fields from TSDB index
+    mappings; this engine has no mappings, so the series identity is
+    declared inline with ON/BY."""
+    if catalog is None:
+        raise ESQLError("TS requires a catalog")
+    m = re.match(
+        r"(\S+)\s+ON\s+(\S+)\s+BY\s+(.*)$", rest, re.I | re.S
+    )
+    if not m:
+        raise ESQLError("TS needs: TS pattern ON ts_col BY dims")
+    df = catalog.resolve(m.group(1))
+    ts_col = m.group(2)
+    dims = [c.strip() for c in m.group(3).split(",") if c.strip()]
+    missing = [c for c in (ts_col, *dims) if c not in df.columns]
+    if missing:
+        raise ESQLError(f"TS: unknown columns {missing}")
+    return df, (ts_col, dims)
+
+
+def _ts_stats(df: DataFrame, rest: str, ctx) -> DataFrame:
+    """TS-mode ``STATS outer(ts_fn(col)) [, ...] BY keys``: the
+    two-level time-series rollup — an inner per-(series, bucket)
+    aggregation applying the ``*_over_time`` / ``rate`` function to
+    each series, then the outer function combining series within the
+    bucket (exactly ES's TSDB semantics: rate is per-series first, the
+    outer agg never mixes counters from different series).
+
+    ``rate`` is the reset-aware counter rate (a sample lower than its
+    predecessor restarts from zero, matching
+    operators.aggregations.counter_rate / PromQL): one lag window
+    partitioned on (series, bucket) — the same keys as the inner hash
+    agg, so the exchange is shared — then sum(increase)/timespan per
+    second; series with < 2 samples in the bucket contribute NULL
+    (undefined rate), which the outer agg skips like ES does."""
+    from pyspark.sql import Window
+
+    ts_col, dims = ctx
+    aggs_txt, by_txt = _split_kw(rest, "BY")
+    if not by_txt or not by_txt.strip():
+        raise ESQLError("TS STATS needs BY bucket keys")
+    keys = [_assignment(i) for i in _split_top(by_txt, ",")]
+    for n, e in keys:
+        df = df.withColumn(n, _x(e))
+    key_names = [n for n, _ in keys]
+    specs = []  # (out_name, outer, fn, col)
+    for i, item in enumerate(_split_top(aggs_txt, ",")):
+        item = item.strip()
+        if not item:
+            continue
+        mm = re.fullmatch(
+            r"(?:([A-Za-z_][\w.]*)\s*=\s*)?"
+            r"([A-Za-z_]+)\s*\(\s*([A-Za-z_]+)\s*\(\s*"
+            r"([A-Za-z_][\w.]*)\s*\)\s*\)",
+            item,
+        )
+        if not mm:
+            raise ESQLError(
+                "TS STATS aggregates must be outer(ts_fn(col)) — e.g. "
+                f"avg(rate(counter)); got {item!r}"
+            )
+        name = mm.group(1) or re.sub(r"\s+", "", item)
+        outer, fn, col = (
+            mm.group(2).lower(), mm.group(3).lower(), mm.group(4)
+        )
+        if outer not in _TS_OUTER:
+            raise ESQLError(
+                f"TS STATS outer fn must be one of "
+                f"{sorted(_TS_OUTER)}; got {outer!r}"
+            )
+        if fn not in _TS_FNS:
+            raise ESQLError(
+                f"unknown time-series fn {fn!r}; one of {_TS_FNS}"
+            )
+        if col not in df.columns:
+            raise ESQLError(f"TS STATS: unknown column {col!r}")
+        specs.append((name, outer, fn, col))
+    if not specs:
+        raise ESQLError("TS STATS needs at least one aggregate")
+
+    series_keys = [*dims, *key_names]
+    inner_aggs = []
+    if any(fn == "rate" for _, _, fn, _ in specs):
+        df = df.withColumn("__ts_e", F.col(ts_col).cast("double"))
+    for i, (name, outer, fn, col) in enumerate(specs):
+        v = F.col(col).cast("double")
+        tag = f"__ts{i}"
+        if fn == "rate":
+            # tie-stable ordering (ts, value) — same pin as
+            # counter_rate, so equal timestamps can't flip the delta
+            w = Window.partitionBy(*series_keys).orderBy(
+                F.asc(ts_col), F.asc(v)
+            )
+            prev = F.lag(v, 1).over(w)
+            inc = F.when(prev.isNull(), F.lit(None)).otherwise(
+                F.when(v >= prev, v - prev).otherwise(v)
+            )
+            df = df.withColumn(f"{tag}_inc", inc)
+            inner_aggs.append(
+                F.try_divide(
+                    F.sum(f"{tag}_inc"),
+                    F.max("__ts_e") - F.min("__ts_e"),
+                ).alias(tag)
+            )
+        elif fn == "avg_over_time":
+            inner_aggs.append(F.avg(v).alias(tag))
+        elif fn == "min_over_time":
+            inner_aggs.append(F.min(v).alias(tag))
+        elif fn == "max_over_time":
+            inner_aggs.append(F.max(v).alias(tag))
+        elif fn == "sum_over_time":
+            inner_aggs.append(F.sum(v).alias(tag))
+        elif fn == "count_over_time":
+            inner_aggs.append(F.count(v).cast("double").alias(tag))
+        elif fn == "last_over_time":
+            inner_aggs.append(F.max_by(v, F.col(ts_col)).alias(tag))
+        elif fn == "first_over_time":
+            inner_aggs.append(F.min_by(v, F.col(ts_col)).alias(tag))
+    per_series = df.groupBy(*series_keys).agg(*inner_aggs)
+    outer_aggs = [
+        _TS_OUTER[outer](F.col(f"__ts{i}")).alias(name)
+        for i, (name, outer, _, _) in enumerate(specs)
+    ]
+    return per_series.groupBy(*key_names).agg(*outer_aggs)
 
 
 def _parse_cmd(cmd: str) -> tuple[str, str]:

@@ -145,7 +145,7 @@ def test_sort_limit_fuses_to_takeordered(cat):
 
 
 def test_errors(cat, spark):
-    with pytest.raises(ESQLError, match="start with FROM or ROW"):
+    with pytest.raises(ESQLError, match="start with FROM, ROW or TS"):
         run_esql(cat, "WHERE x > 1")
     with pytest.raises(ESQLError, match="first command"):
         run_esql(cat, "FROM events-a | FROM events-b")
@@ -594,3 +594,78 @@ def test_fuse_errors(spark):
             | FORK (EVAL _score = v) (EVAL _score = v)
             | FUSE rrf KEY BY nope
         """)
+
+
+def test_ts_rate_two_level_rollup(spark):
+    """TS + STATS avg(rate(counter)): per-series reset-aware rate, then
+    the outer avg across series — hand-computed on two hosts with one
+    counter reset; single-sample series contribute NULL (skipped)."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.plans.esql import run_esql
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # host a: 0 -> 5 -> reset to 2: increase 5 + 2 = 7, span 20
+        ("a", at(0), 0.0, 1.0),
+        ("a", at(10), 5.0, 3.0),
+        ("a", at(20), 2.0, 2.0),
+        # host b: 10 -> 30: increase 20, span 10 -> rate 2.0
+        ("b", at(0), 10.0, 10.0),
+        ("b", at(10), 30.0, 20.0),
+        # host c: single sample -> undefined rate, skipped by avg
+        ("c", at(5), 99.0, 7.0),
+    ]
+    cat = Catalog(spark)
+    cat.register(
+        "metrics",
+        spark.createDataFrame(rows, ["host", "ts", "counter", "gauge"]),
+    )
+    out = run_esql(cat, """
+        TS metrics ON ts BY host
+        | STATS r = avg(rate(counter)),
+                g = max(avg_over_time(gauge)),
+                last = sum(last_over_time(gauge))
+          BY day = DATE_TRUNC("day", ts)
+    """).collect()
+    assert len(out) == 1
+    row = out[0]
+    # rates: a = 7/20 = 0.35, b = 20/10 = 2.0; avg = 1.175
+    assert abs(row.r - 1.175) < 1e-9
+    # per-series gauge means: a = 2.0, b = 15.0, c = 7.0 -> max 15
+    assert row.g == 15.0
+    # last gauge per series: a = 2.0 (ts 20), b = 20.0, c = 7.0 -> 29
+    assert row.last == 29.0
+
+
+def test_ts_errors(spark):
+    import pytest
+
+    from harmonize_search_analyze_spark.plans.esql import (
+        ESQLError,
+        run_esql,
+    )
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register(
+        "m", spark.createDataFrame([("a", 1, 2.0)], ["h", "ts", "v"])
+    )
+    with pytest.raises(ESQLError, match="ON"):
+        run_esql(cat, "TS m | LIMIT 1")
+    with pytest.raises(ESQLError, match="unknown columns"):
+        run_esql(cat, "TS m ON nope BY h | LIMIT 1")
+    with pytest.raises(ESQLError, match="outer"):
+        run_esql(cat, "TS m ON ts BY h | STATS rate(v) BY k = h")
+    with pytest.raises(ESQLError, match="BY bucket"):
+        run_esql(cat, "TS m ON ts BY h | STATS s = sum(rate(v))")
+    # plain STATS after TS (no ts functions) behaves normally
+    got = run_esql(
+        cat, "TS m ON ts BY h | STATS n = count(*) BY h"
+    ).collect()
+    assert got[0].n == 1
