@@ -43,6 +43,7 @@ __all__ = [
     "build_record",
     "parse_warc_bytes",
     "read_warc",
+    "read_warc_stream",
     "warc_to_documents",
     "write_warc_shards",
     "write_wet_shards",
@@ -211,6 +212,40 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     archive file. Parallelism = archive files (the CC sharding design);
     no shuffle — pure scan + Arrow map fan-out."""
     files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(bytes(content)):
+                    rec["warc_file"] = fpath
+                    rows.append(tuple(rec[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(
+        run, WARC_RECORD_SCHEMA
+    )
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WARC source — continuous crawl ingestion: the
+    ``binaryFile`` file-stream source picks up each archive exactly
+    once as it lands in ``path`` and the SAME Arrow record fan-out used
+    by the batch reader parses it, so a crawler dropping .warc.gz files
+    becomes a live record stream (compose with warc_to_documents +
+    the streaming dedup/window operators downstream). Parallelism and
+    shuffle story are identical to ``read_warc``: one task per archive
+    file, zero shuffle."""
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+    files = (
+        spark.readStream.format("binaryFile").schema(schema).load(path)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_RECORD_SCHEMA.fields]

@@ -147,3 +147,56 @@ def test_wet_sink_roundtrip(spark, tmp_path):
         for r in back.collect()
     }
     assert got == {u: ("conversion", None, t) for u, t in rows}
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """Continuous crawl ingestion: archives landing in a directory
+    stream through the same record fan-out + WET conversion; each file
+    is picked up exactly once across micro-batches."""
+    import os
+
+    from harmonize_search_analyze_spark.sources.warc import (
+        read_warc_stream,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+
+    def drop(i):
+        rec = build_record(
+            target_uri=f"http://crawl.example/{i}",
+            payload=f"<p>page {i}</p>".encode(),
+        )
+        with open(os.path.join(in_dir, f"crawl-{i}.warc.gz"), "wb") as fh:
+            fh.write(gzip.compress(rec))
+
+    drop(0)
+    drop(1)
+    docs = warc_to_documents(read_warc_stream(spark, in_dir))
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            docs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run_once()
+    got = {
+        r.url: r.text for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        "http://crawl.example/0": "page 0",
+        "http://crawl.example/1": "page 1",
+    }
+    # a new archive lands: the checkpoint resumes and processes ONLY it
+    drop(2)
+    run_once()
+    got2 = {
+        r.url: r.text for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got2) == 3 and got2["http://crawl.example/2"] == "page 2"
