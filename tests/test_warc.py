@@ -200,3 +200,53 @@ def test_streaming_warc_ingest(spark, tmp_path):
         r.url: r.text for r in spark.read.parquet(out_dir).collect()
     }
     assert len(got2) == 3 and got2["http://crawl.example/2"] == "page 2"
+
+
+def test_warc_roundtrip_property():
+    """Property: ANY batch of (uri, payload-bytes) round-trips through
+    serialize -> per-record gzip -> concatenate -> parse, byte-exact
+    and order-preserving — including empty payloads, high bytes, and
+    payloads containing WARC/HTTP-looking delimiters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    uri = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x21, max_codepoint=0x7E, exclude_characters=""
+        ),
+        min_size=1,
+        max_size=40,
+    ).map(lambda s: "http://h.test/" + s)
+    payload = st.binary(min_size=0, max_size=300)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(uri, payload), min_size=1, max_size=6))
+    def check(items):
+        data = b"".join(
+            gzip.compress(build_record(target_uri=u, payload=p))
+            for u, p in items
+        )
+        got = list(parse_warc_bytes(data))
+        assert [(r["target_uri"], r["payload"]) for r in got] == [
+            (u, p) for u, p in items
+        ]
+        assert all(r["http_status"] == 200 for r in got)
+
+    check()
+
+
+def test_warc_adversarial_payloads():
+    """Payloads that LOOK like record boundaries must not confuse the
+    parser: Content-Length framing wins over content sniffing."""
+    nasty = [
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n",
+        b"HTTP/1.1 500 Broken\r\n\r\nfake",
+        b"Content-Length: 99999\r\n",
+        b"\x1f\x8b\x08fake-gzip-magic",
+    ]
+    recs = [
+        build_record(target_uri=f"http://x.test/{i}", payload=p)
+        for i, p in enumerate(nasty)
+    ]
+    got = list(parse_warc_bytes(b"".join(recs)))
+    assert [r["payload"] for r in got] == nasty
