@@ -1078,14 +1078,16 @@ def _apply_command(
 
 
 def _fuse(df: DataFrame, rest: str) -> DataFrame:
-    """``FUSE [rrf|linear] [KEY BY col, ...] [WITH k = <int>]`` — merge
-    FORK branch results into one fused ranking (the 9.x command that
-    closes the FORK story): per branch, rank = dense order of ``_score``
-    descending; rrf fuses by sum 1/(k + rank) (Cormack et al. 2009 —
-    the same arithmetic as operators/ranking.rrf_fuse), linear by
-    summing raw ``_score``. One window + one hash agg, both keyed by
-    bounded branch output — fusion is metadata-sized work after the
-    retrievals, same as the retriever tree.
+    """``FUSE [rrf|linear [minmax]] [KEY BY col, ...] [WITH k = <int>]``
+    — merge FORK branch results into one fused ranking (the 9.x command
+    that closes the FORK story): per branch, rank = dense order of
+    ``_score`` descending; rrf fuses by sum 1/(k + rank) (Cormack et
+    al. 2009 — the same arithmetic as operators/ranking.rrf_fuse),
+    linear by summing ``_score`` — raw, or per-branch minmax-rescaled
+    to [0, 1] (the ES linear-retriever normalizer, for uncalibrated
+    scorers). One window + one hash agg, both keyed by bounded branch
+    output — fusion is metadata-sized work after the retrievals, same
+    as the retriever tree.
 
     Pinned details: key defaults to ``_id`` (raise with guidance when
     absent); non-key columns carry the value from the row with the
@@ -1099,6 +1101,15 @@ def _fuse(df: DataFrame, rest: str) -> DataFrame:
     m = re.match(r"^(rrf|linear)\b(.*)$", toks, re.I | re.S)
     if m:
         method = m.group(1).lower()
+        toks = m.group(2).strip()
+    normalizer = "none"
+    m = re.match(r"^(minmax|none)\b(.*)$", toks, re.I | re.S)
+    if m:
+        if method != "linear":
+            raise ESQLError(
+                "FUSE: a normalizer only applies to linear fusion"
+            )
+        normalizer = m.group(1).lower()
         toks = m.group(2).strip()
     keys: list[str] | None = None
     m = re.match(r"^KEY\s+BY\s+(.*?)(?:\bWITH\b.*)?$", toks, re.I | re.S)
@@ -1127,11 +1138,26 @@ def _fuse(df: DataFrame, rest: str) -> DataFrame:
         F.desc("_score"), *[F.asc(k) for k in keys]
     )
     ranked = df.withColumn("__rank", F.row_number().over(wb))
-    contrib = (
-        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("__rank"))
-        if method == "rrf"
-        else F.col("_score").cast("double")
-    )
+    if method == "rrf":
+        contrib = F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("__rank"))
+    elif normalizer == "minmax":
+        # ES linear-retriever minmax: each branch's scores rescale to
+        # [0, 1] before summing, so uncalibrated scorers (BM25 vs
+        # cosine) weigh equally; a constant-score branch contributes 1
+        # (its max). Two more window aggs on the SAME _fork partition
+        # — no extra exchange.
+        wf = Window.partitionBy("_fork")
+        s = F.col("_score").cast("double")
+        lo, hi = F.min(s).over(wf), F.max(s).over(wf)
+        ranked = ranked.withColumn(
+            "__contrib",
+            F.when(hi == lo, F.lit(1.0)).otherwise(
+                (s - lo) / (hi - lo)
+            ),
+        )
+        contrib = F.col("__contrib")
+    else:
+        contrib = F.col("_score").cast("double")
     passthru = [
         c for c in df.columns if c not in (*keys, "_fork", "_score")
     ]

@@ -1966,8 +1966,9 @@ def test_moving_fn_sequential_variants(spark):
     assert ew[0] is None and ew[1] == 10.0
     # b=3 window [10,20,30]: 10 -> 15 -> 22.5
     assert ew[3] == 22.5
+    # holt joined the modeled set in round 5; holtWinters stays out
     with pytest.raises(ValueError, match="unknown moving_fn"):
-        moving_fn(df, "b", "v", fn="holt")
+        moving_fn(df, "b", "v", fn="holtWinters")
 
 
 def test_collapse_inner_hits(spark):

@@ -669,3 +669,38 @@ def test_ts_errors(spark):
         cat, "TS m ON ts BY h | STATS n = count(*) BY h"
     ).collect()
     assert got[0].n == 1
+
+
+def test_fuse_linear_minmax(spark):
+    """linear minmax rescales each branch to [0,1] before summing (the
+    ES linear-retriever normalizer); constant-score branches contribute
+    1; normalizer on rrf is rejected."""
+    import pytest
+
+    from harmonize_search_analyze_spark.plans.esql import (
+        ESQLError,
+        run_esql,
+    )
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("t", spark.createDataFrame(
+        [(1, 100.0), (2, 300.0), (3, 200.0)], ["_id", "v"]
+    ))
+    out = run_esql(cat, """
+        FROM t
+        | FORK (EVAL _score = v)
+               (EVAL _score = CASE WHEN _id = 1 THEN 0.9 ELSE 0.1 END)
+               (EVAL _score = 5.0)
+        | FUSE linear minmax
+    """).collect()
+    got = {r._id: r._score for r in out}
+    # branch1 minmax: id1 0, id2 1, id3 0.5; branch2: id1 1, others 0;
+    # branch3 constant -> 1 each
+    assert got[1] == 2.0 and got[2] == 2.0 and got[3] == 1.5
+    with pytest.raises(ESQLError, match="normalizer"):
+        run_esql(cat, """
+            FROM t
+            | FORK (EVAL _score = v) (EVAL _score = v)
+            | FUSE rrf minmax
+        """)
