@@ -7231,6 +7231,42 @@ FROM arrs ORDER BY bucket
 """
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk / CCMatrix):
+    mutual-nearest pairs across two embedding spaces (labels split by
+    parity) scored by the ratio margin that suppresses hub vectors.
+    Two k-NN passes + k-bounded mean aggs; nothing quadratic past the
+    k-NN step."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        bitext_mine,
+    )
+
+    # 1-in-5 deterministic sample: exact mining is the DECLARED recall
+    # oracle (O(|S|x|T|)); method="ivf" is the unsampled scale path
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    return bitext_mine(
+        emb.where(F.col("label") % 2 == 0),
+        emb.where(F.col("label") % 2 == 1),
+        k=4,
+        threshold=1.0,
+        strategy="intersect",
+    )
+
+
+def _sql_bitext_mine() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        bitext_mine_sql,
+    )
+
+    return bitext_mine_sql(
+        "(SELECT * FROM embeddings WHERE vec_id % 5 = 0 AND label % 2 = 0)",
+        "(SELECT * FROM embeddings WHERE vec_id % 5 = 0 AND label % 2 = 1)",
+        k=4,
+        threshold=1.0,
+        strategy="intersect",
+    )
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC round trip — the Common Crawl ingestion shape: the
     documents table is exported as per-record-gzipped WARC shards (a
@@ -9593,6 +9629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # then the no-SQL-oracle trainers, then the driver-green set.
         "esql_fuse": q_esql_fuse,
         "esql_ts": q_esql_ts,
+        "bitext_mine": q_bitext_mine,
         "warc_ingest": q_warc_ingest,
         "moving_holt": q_moving_holt,
         "geo_line": q_geo_line,
@@ -10084,6 +10121,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _sql_warc_ingest(),
         "esql_fuse": SQL_ESQL_FUSE,
         "esql_ts": SQL_ESQL_TS,
+        "bitext_mine": _sql_bitext_mine(),
         "script_profile": _sql_script_profile(),
         "chat_render": _sql_chat_render(),
         "es_sql_pivot": SQL_ES_SQL_PIVOT,

@@ -305,3 +305,49 @@ def test_int8_persisted_index_storage_and_answer(spark, tmp_path):
         df, qvec, k=10, shortlist=100
     ).collect()]
     assert got == want
+
+
+def test_bitext_mine_margin_and_strategies(spark):
+    """Margin scoring demotes hub vectors (high raw cosine to
+    everything, low margin); intersect keeps mutual nearest pairs only;
+    threshold filters; bad args raise."""
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        bitext_mine,
+    )
+
+    # src 1 and tgt 11 are a clean pair; tgt 12 is a HUB (close to both
+    # sources but closer to src 2's direction); src 2 pairs with it
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    tgt = spark.createDataFrame(
+        [(11, [0.98, 0.1, 0.0]), (12, [0.5, 0.85, 0.0]),
+         (13, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    fwd = {
+        (r.src_id, r.tgt_id): (r.cosine, r.margin)
+        for r in bitext_mine(
+            src, tgt, k=2, threshold=0.0, strategy="forward"
+        ).collect()
+    }
+    assert set(fwd) == {(1, 11), (2, 12)}
+    # the clean pair's margin beats the hub-mediated pair's
+    assert fwd[(1, 11)][1] > fwd[(2, 12)][1]
+    inter = bitext_mine(
+        src, tgt, k=2, threshold=0.0, strategy="intersect"
+    ).collect()
+    assert {(r.src_id, r.tgt_id) for r in inter} == {(1, 11), (2, 12)}
+    # a high threshold drops the weaker pair
+    strict = bitext_mine(
+        src, tgt, k=2, threshold=fwd[(2, 12)][1] + 1e-6,
+        strategy="forward",
+    ).collect()
+    assert {(r.src_id, r.tgt_id) for r in strict} == {(1, 11)}
+    with pytest.raises(ValueError, match="strategy"):
+        bitext_mine(src, tgt, strategy="union")
+    with pytest.raises(ValueError, match="k"):
+        bitext_mine(src, tgt, k=0)
