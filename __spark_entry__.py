@@ -7231,6 +7231,36 @@ FROM arrs ORDER BY bucket
 """
 
 
+def q_cat_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _cat/indices admin listing: per index doc count + field count
+    + aliases, as ONE unioned metadata plan (count(*) reads parquet
+    footer statistics after column pruning — no data scan, no per-index
+    driver loop)."""
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    for t in ("events", "documents", "embeddings", "nation"):
+        cat.register(t, _t(spark, sf_dir, t))
+    cat.create_alias("corpus", "documents")
+    return cat.cat_indices("*").withColumn(
+        "aliases", F.concat_ws("|", "aliases")
+    )
+
+
+SQL_CAT_INDICES = """
+SELECT * FROM (
+  SELECT 'documents' AS index, COUNT(*) AS docs, 5 AS fields,
+         'corpus' AS aliases FROM documents
+  UNION ALL
+  SELECT 'embeddings', COUNT(*), 3, '' FROM embeddings
+  UNION ALL
+  SELECT 'events', COUNT(*), 6, '' FROM events
+  UNION ALL
+  SELECT 'nation', COUNT(*), 3, '' FROM nation
+) ORDER BY index
+"""
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk / CCMatrix):
     mutual-nearest pairs across two embedding spaces (labels split by
@@ -9630,6 +9660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fuse": q_esql_fuse,
         "esql_ts": q_esql_ts,
         "bitext_mine": q_bitext_mine,
+        "cat_indices": q_cat_indices,
         "warc_ingest": q_warc_ingest,
         "moving_holt": q_moving_holt,
         "geo_line": q_geo_line,
@@ -10122,6 +10153,7 @@ def oracle_sql() -> dict[str, str]:
         "esql_fuse": SQL_ESQL_FUSE,
         "esql_ts": SQL_ESQL_TS,
         "bitext_mine": _sql_bitext_mine(),
+        "cat_indices": SQL_CAT_INDICES,
         "script_profile": _sql_script_profile(),
         "chat_render": _sql_chat_render(),
         "es_sql_pivot": SQL_ES_SQL_PIVOT,

@@ -221,6 +221,47 @@ class Catalog:
             "searchable boolean, aggregatable boolean, is_conflict boolean",
         )
 
+    def cat_indices(self, pattern: str = "*") -> DataFrame:
+        """ES ``_cat/indices`` API: one row per matching index with its
+        doc count, field count, and alias list — the admin listing every
+        ES operator reads first. Unlike ``field_caps`` this scans for
+        counts, but as ONE union of metadata-only count aggregates: each
+        index contributes a count(*) (column-pruned to nothing by
+        Catalyst — parquet answers from footer statistics), unioned into
+        a single small plan, never collected per-index in a driver loop.
+        Returns (index, docs BIGINT, fields INT, aliases ARRAY<STRING>),
+        ordered by index name."""
+        names = self.resolve_names(pattern)
+        if not names:
+            return self.spark.createDataFrame(
+                [],
+                "index string, docs bigint, fields int, "
+                "aliases array<string>",
+            )
+        alias_of: dict[str, list[str]] = {}
+        for a, (t, _f) in self._aliases.items():
+            alias_of.setdefault(t, []).append(a)
+        parts = []
+        for n in names:
+            df = self._datasets[n]
+            parts.append(
+                df.agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+                .select(
+                    F.lit(n).alias("index"),
+                    "docs",
+                    F.lit(len(df.schema.fields)).cast("int").alias(
+                        "fields"
+                    ),
+                    F.array(
+                        *[F.lit(a) for a in sorted(alias_of.get(n, []))]
+                    ).cast("array<string>").alias("aliases"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("index")
+
     def compile_with_lookups(self, query: dict, *, now=None):
         """Compile a query AST after resolving ES ``terms`` LOOKUPS —
         ``{"terms": {field: {"index": ..., "id": ..., "path": ...}}}``

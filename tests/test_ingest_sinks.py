@@ -170,3 +170,22 @@ def test_save_parquet_bloom_and_sorted(spark, tmp_path):
     one = glob.glob(srt + "/*.parquet")[0]
     ks = pq.read_table(one, columns=["k"]).column("k").to_pylist()
     assert ks == sorted(ks)
+
+
+def test_cat_indices_listing(spark):
+    """_cat/indices: counts + field counts + aliases per matching
+    index, one unioned metadata plan; empty pattern -> empty frame."""
+    from harmonize_search_analyze_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register("idx_a", spark.createDataFrame([(1, "x")], ["id", "v"]))
+    cat.register(
+        "idx_b", spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    )
+    cat.create_alias("current", "idx_b")
+    rows = {r["index"]: r for r in cat.cat_indices("idx_*").collect()}
+    assert rows["idx_a"].docs == 1 and rows["idx_a"].fields == 2
+    assert rows["idx_b"].docs == 3 and rows["idx_b"].fields == 1
+    assert list(rows["idx_b"].aliases) == ["current"]
+    assert list(rows["idx_a"].aliases) == []
+    assert cat.cat_indices("zzz*").count() == 0
