@@ -696,3 +696,33 @@ def test_png_palette_and_16bit_decode():
     out16 = png_decode(png16)
     assert out16.shape == (1, 2, 1)
     assert out16.ravel().tolist() == [0xAB, 0x12]
+
+
+def test_png_roundtrip_property():
+    """Property: encode->decode is the identity for every supported
+    shape — 1/2/3/4 channels, degenerate 1-pixel rows/columns, random
+    content."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from harmonize_search_analyze_spark.functions.png import (
+        png_decode,
+        png_encode,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.sampled_from([1, 2, 3, 4]),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        out = png_decode(png_encode(px))
+        assert out.shape == (h, w, ch)
+        assert (out == px).all()
+
+    check()
