@@ -1799,6 +1799,114 @@ def frequent_item_sets(
     return pairs
 
 
+def association_rules(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    *,
+    min_support: float = 0.1,
+    min_confidence: float = 0.0,
+    k: int = 20,
+) -> DataFrame:
+    """Market-basket association rules on top of the
+    :func:`frequent_item_sets` pair mining: every directed rule
+    ``antecedent -> consequent`` whose PAIR clears ``min_support``,
+    scored with the classic triple (support, confidence, lift).
+
+    - support    = P(a, b)        (fraction of groups containing both)
+    - confidence = P(b | a)       (pair count / antecedent count)
+    - lift       = P(a, b) / (P(a) * P(b))  — > 1 means genuinely
+      associated, not just both frequent.
+
+    All three are computed from INTEGER counts with an identical
+    division expression on both engines (``n * pair / (ca * cb)``), so
+    the oracle comparison is bit-stable; ties in the ``lift DESC,
+    confidence DESC`` ranking are pinned by ``(antecedent, consequent)``
+    ASC, making the top-k selection a total order.
+
+    Scale shape: the only quadratic step is the within-group pair join
+    (bounded by per-group distinct items, never corpus size — same as
+    frequent_item_sets); item counts are vocabulary-sized and
+    broadcast into the rule frame; the final ranking is
+    TakeOrderedAndProject, never a global sort.
+    """
+    items = df.where(F.col(item_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    n_groups = items.select("g").distinct().count()
+    item_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("item_count")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(
+            F.col("pair_count") / F.lit(float(n_groups)) >= min_support
+        )
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "pair_count",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "pair_count",
+        )
+    )
+    ca = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("item_count").alias("__ca")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("consequent"), F.col("item_count").alias("__cb")
+    )
+    n = F.lit(n_groups).cast("double")
+    out = (
+        directed.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .withColumn(
+            "support",
+            F.round(F.col("pair_count") / n, 6),
+        )
+        .withColumn(
+            "confidence",
+            F.round(
+                F.col("pair_count")
+                / F.col("__ca").cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "lift",
+            F.round(
+                (F.lit(n_groups) * F.col("pair_count")).cast("double")
+                / (F.col("__ca") * F.col("__cb")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("confidence") >= min_confidence)
+        .select(
+            "antecedent", "consequent",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            "support", "confidence", "lift",
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("confidence"),
+            F.asc("antecedent"), F.asc("consequent"),
+        )
+        .limit(k)
+    )
+    return out
+
+
 def collapse(
     df: DataFrame,
     field: str,

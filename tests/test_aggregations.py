@@ -2119,3 +2119,56 @@ def test_moving_fn_holt_textbook(spark):
         " 12.0::DOUBLE AS v1, 14.0::DOUBLE AS v2)"
     ).fetchone()[0]
     assert abs(want - 16.0) < 1e-9
+
+
+def test_association_rules_metrics(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "eggs"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"), (3, "bread"),
+        (4, "milk"), (4, "eggs"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = {(r["antecedent"], r["consequent"]):
+           (r["pair_count"], r["support"], r["confidence"], r["lift"])
+           for r in association_rules(
+               df, "item", "basket", min_support=0.5).collect()}
+    # counts: milk 4, bread 3, eggs 2; pairs: (bread,milk) 3, (eggs,milk) 2
+    # lift(a,b) = n*pair/(ca*cb) is symmetric; confidence is directional
+    assert out == {
+        ("bread", "milk"): (3, 0.75, 1.0, 1.0),
+        ("milk", "bread"): (3, 0.75, 0.75, 1.0),
+        ("eggs", "milk"): (2, 0.5, 1.0, 1.0),
+        ("milk", "eggs"): (2, 0.5, 0.5, 1.0),
+    }
+
+
+def test_association_rules_min_confidence_and_k(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "milk"), (1, "bread"),
+        (2, "milk"), (2, "bread"),
+        (3, "milk"),
+        (4, "milk"), (4, "bread"),
+    ]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    # bread->milk confidence 1.0; milk->bread 0.75 — threshold drops it
+    out = association_rules(
+        df, "item", "basket", min_support=0.5, min_confidence=0.9
+    ).collect()
+    assert [(r["antecedent"], r["consequent"]) for r in out] == [
+        ("bread", "milk")
+    ]
+    # lift > 1 when the pair beats independence: milk 4/4, bread 3/4,
+    # pair 3/4 -> lift = 4*3/(4*3) = 1.0 exactly here; assert the value
+    assert out[0]["lift"] == 1.0
+    assert association_rules(
+        df, "item", "basket", min_support=0.5, k=1
+    ).count() == 1
