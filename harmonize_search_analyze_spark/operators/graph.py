@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from harmonize_search_analyze_spark.functions.caching import tether
 from harmonize_search_analyze_spark.functions.tokenize import split_tokens
 
 
@@ -253,3 +254,155 @@ def pagerank_sql(
         + f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iters}"
         " ORDER BY rank DESC, node ASC"
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle census of an undirected graph — the classic
+    MapReduce-era scale benchmark (Suri & Vassilvitskii's degree-ordered
+    orientation), and the signal behind graph-quality curation metrics
+    (clustering coefficient of a crawl/co-occurrence graph).
+
+    Input is an edge LIST (either orientation, duplicates and self-loops
+    tolerated): edges are canonicalized to ``u < v`` + distinct, so every
+    undirected edge counts once. Returns ONE row: ``(n_vertices,
+    n_edges, n_triangles, n_wedges, transitivity)`` where ``n_wedges`` =
+    sum over vertices of C(deg, 2) (open + closed paths of length 2) and
+    ``transitivity`` = 3 * triangles / wedges (the global clustering
+    coefficient), rounded 6.
+
+    Scale shape — the whole point of the operator: each edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, a total
+    order, so every triangle is generated EXACTLY once from its
+    lowest-degree corner and per-source join fan-out is bounded by
+    O(sqrt(m)) out-degree (never a hub's full neighborhood — the
+    all-pairs-per-vertex naive plan melts on power-law graphs). The
+    wedge enumeration is one self-equi-join on the oriented source and
+    the closure check one more equi-join; degrees are node-sized and
+    broadcast onto the edge frame.
+    """
+    # the canonical edge frame feeds FIVE consumers (degree build, the
+    # orientation join, the closure probe, and two summary counts) and
+    # the degree frame four — persist both or the (often expensive)
+    # upstream edge derivation replays per consumer (no CSE across join
+    # branches); lifetimes tether to the returned frame
+    e = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = e.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("td"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.select(
+        F.col("s").alias("ws"), F.col("t").alias("wt")
+    ).alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.s") == F.col("e2.s"))
+        & (
+            (F.col("e1.td") < F.col("e2.td"))
+            | ((F.col("e1.td") == F.col("e2.td"))
+               & (F.col("e1.t") < F.col("e2.t")))
+        ),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e1.t") == F.col("ws")) & (F.col("e2.t") == F.col("wt")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    wedge_total = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
+            "n_wedges"
+        )
+    )
+    summary = (
+        deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+        .crossJoin(wedge_total)
+    )
+    out = summary.select(
+        F.col("n_vertices").cast("bigint"),
+        F.col("n_edges").cast("bigint"),
+        F.col("n_triangles").cast("bigint"),
+        F.col("n_wedges").cast("bigint"),
+        F.round(
+            3.0 * F.col("n_triangles")
+            / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("transitivity"),
+    )
+    return tether(out, e, deg)
+
+
+def triangle_count_sql(edges_sql: str, dialect: str) -> str:
+    """Dual-dialect twin of :func:`triangle_count`. ``edges_sql`` yields
+    (src, dst) in either orientation; identical text runs on both
+    engines (explicit boolean lexicographic compares — no row-value
+    syntax)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH raw AS ({edges_sql}),
+edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) both_ends GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN dv.d ELSE du.d END AS td
+  FROM edges e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM oe e1
+  JOIN oe e2 ON e1.s = e2.s
+            AND (e1.td < e2.td OR (e1.td = e2.td AND e1.t < e2.t))
+  JOIN oe e3 ON e3.s = e1.t AND e3.t = e2.t
+),
+wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       (SELECT n_wedges FROM wed) AS n_wedges,
+       ROUND(3.0 * n_triangles
+             / NULLIF(CAST((SELECT n_wedges FROM wed) AS DOUBLE), 0.0),
+             6) AS transitivity
+FROM tri
+"""

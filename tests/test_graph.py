@@ -86,3 +86,53 @@ def test_pagerank_weighted_vs_unweighted(spark):
     out = {r.node: r.rank for r in pagerank(df, iters=8, weight_col="w").collect()}
     assert out[2] > out[3]
     assert abs(sum(out.values()) - 1.0) < 1e-6
+
+
+def test_triangle_count_hand_graph(spark):
+    from harmonize_search_analyze_spark.operators.graph import triangle_count
+
+    # K4 minus edge {3,4}: triangles {1,2,3} and {1,2,4}; degrees
+    # 3,3,2,2 -> wedges 3+3+1+1 = 8; transitivity 3*2/8 = 0.75.
+    # Includes a self-loop and a duplicate reversed edge to exercise
+    # canonicalization.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (2, 2), (3, 2)],
+        ["src", "dst"],
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"],
+            row["n_wedges"], row["transitivity"]) == (4, 5, 2, 8, 0.75)
+
+
+def test_triangle_count_triangle_free(spark):
+    from harmonize_search_analyze_spark.operators.graph import triangle_count
+
+    # star graph: no triangles, transitivity 0
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], ["src", "dst"]
+    )
+    row = triangle_count(edges).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 6
+    assert row["transitivity"] == 0.0
+
+
+def test_triangle_count_sql_matches_dataframe(spark):
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.graph import (
+        triangle_count, triangle_count_sql,
+    )
+
+    # deterministic pseudo-random graph on 30 nodes
+    raw = [((i * 7 + j * 13) % 30, (i * 11 + j) % 30)
+           for i in range(30) for j in range(6)]
+    df_row = triangle_count(
+        spark.createDataFrame(raw, ["src", "dst"])
+    ).collect()[0]
+    values = ", ".join(f"({s}, {d})" for s, d in raw)
+    sql = triangle_count_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", "duckdb"
+    )
+    want = duckdb.sql(sql).fetchall()[0]
+    assert tuple(df_row) == want
