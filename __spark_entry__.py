@@ -9681,6 +9681,36 @@ def _sql_triangle_count() -> str:
     return triangle_count_sql(edges, "duckdb")
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch overlap between the single-digit sources
+    (src0-src9) and the double-digit sources (src10-src19): estimated
+    distinct texts per side, union, Jaccard, intersection — corpus
+    contamination estimated from two 64-row sketches, never a corpus
+    join."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        kmv_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.length("source") == 4)
+    b = docs.where(F.length("source") == 5)
+    return kmv_overlap(a, b, "text", k=64)
+
+
+def _sql_kmv_overlap() -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        kmv_overlap_sql,
+    )
+
+    return kmv_overlap_sql(
+        "(SELECT * FROM documents WHERE LENGTH(source) = 4) ta",
+        "(SELECT * FROM documents WHERE LENGTH(source) = 5) tb",
+        "text",
+        "duckdb",
+        k=64,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -9983,6 +10013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad": q_mad,
         "association_rules": q_association_rules,
         "triangle_count": q_triangle_count,
+        "kmv_overlap": q_kmv_overlap,
     }
 
 
@@ -10044,6 +10075,7 @@ def oracle_sql() -> dict[str, str]:
         "mad": SQL_MAD,
         "association_rules": SQL_ASSOCIATION_RULES,
         "triangle_count": _sql_triangle_count(),
+        "kmv_overlap": _sql_kmv_overlap(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -3030,6 +3030,157 @@ def hll_cardinality(df: DataFrame, field: str, *, p: int = 12) -> DataFrame:
     return s.select(F.round(est, 4).alias("estimate"))
 
 
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    field: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (bottom-k / K-Minimum-Values, Beyer et al. 2007) sketch
+    overlap between two corpora: estimated distinct counts per side,
+    estimated distinct union, Jaccard, and intersection — the
+    "how contaminated is corpus B with corpus A?" estimator that never
+    joins the corpora, only their k-row sketches.
+
+    Estimator pins (identical arithmetic on both engines, so the oracle
+    comparison is exact):
+    - sketch = k smallest DISTINCT 60-bit hashes (shared md5 family) —
+      fully deterministic, mergeable by re-taking the k smallest of a
+      sketch union (exactly how the union sketch is built here);
+    - distinct estimate = (k-1) / (theta / 2^60) with theta the sketch
+      max when the sketch is FULL, else the exact (sub-k) count;
+    - Jaccard = |union-sketch members present in BOTH side sketches|
+      / |union sketch| (the KMV set-operation rule: the union sketch is
+      a uniform sample of the union's distinct values);
+    - intersection = Jaccard * union estimate, from the UNROUNDED
+      intermediates.
+
+    Returns ONE row: (sketch_a, sketch_b, sketch_union, est_distinct_a,
+    est_distinct_b, est_union, jaccard, est_intersection).
+
+    Scale shape: per side one partial-agg distinct + TakeOrdered(k) —
+    map-side heaps, no global sort; everything downstream operates on
+    <= k-row frames (broadcast membership joins, single-row agg
+    crossJoins). At 100 TB the sketches are also the incremental path:
+    persist them per partition/day and merge by re-sketching the union.
+    """
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    two60 = 1152921504606846976.0  # 2^60, the hash family's range
+    h = hash64_sql(f"CAST({field} AS STRING)", "spark")
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(field).isNotNull())
+            .select(F.expr(h).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    # each k-row sketch feeds 2 consumers (stats agg + membership join),
+    # the union sketch 2 — persist all three, tethered to the result
+    sa = sketch(df_a).persist()
+    sb = sketch(df_b).persist()
+    su = (
+        sa.unionAll(sb).distinct().orderBy("h").limit(k).persist()
+    )
+    stats = (
+        sa.agg(F.count(F.lit(1)).alias("na"), F.max("h").alias("tha"))
+        .crossJoin(
+            sb.agg(F.count(F.lit(1)).alias("nb"), F.max("h").alias("thb"))
+        )
+        .crossJoin(
+            su.agg(F.count(F.lit(1)).alias("nu"), F.max("h").alias("thu"))
+        )
+        .crossJoin(
+            su.join(sa, "h").join(sb, "h").agg(
+                F.count(F.lit(1)).alias("c_both")
+            )
+        )
+    )
+
+    def est(n: str, theta: str) -> Column:
+        return F.when(
+            F.col(n) < k, F.col(n).cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(two60)
+            / F.col(theta).cast("double")
+        )
+
+    jac = F.when(F.col("nu") == 0, F.lit(0.0)).otherwise(
+        F.col("c_both") / F.col("nu").cast("double")
+    )
+    out = stats.select(
+        F.col("na").cast("bigint").alias("sketch_a"),
+        F.col("nb").cast("bigint").alias("sketch_b"),
+        F.col("nu").cast("bigint").alias("sketch_union"),
+        F.round(est("na", "tha"), 4).alias("est_distinct_a"),
+        F.round(est("nb", "thb"), 4).alias("est_distinct_b"),
+        F.round(est("nu", "thu"), 4).alias("est_union"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(jac * est("nu", "thu"), 4).alias("est_intersection"),
+    )
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    return tether(out, sa, sb, su)
+
+
+def kmv_overlap_sql(
+    table_a: str, table_b: str, field: str, dialect: str, *, k: int = 256
+) -> str:
+    """Dual-dialect twin of :func:`kmv_overlap` — identical sketches,
+    identical estimator arithmetic on both engines."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    h = hash64_sql(f"CAST({field} AS {cast})", dialect)
+    two60 = "1152921504606846976.0"
+    est = lambda n, th: (  # noqa: E731
+        f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+        f" ELSE {float(k - 1)!r} * {two60} / CAST({th} AS DOUBLE) END"
+    )
+    jac = "CASE WHEN nu = 0 THEN 0.0 ELSE c_both / CAST(nu AS DOUBLE) END"
+    return f"""
+WITH sa AS (
+  SELECT DISTINCT {h} AS h FROM {table_a}
+  WHERE {field} IS NOT NULL ORDER BY h LIMIT {k}
+),
+sb AS (
+  SELECT DISTINCT {h} AS h FROM {table_b}
+  WHERE {field} IS NOT NULL ORDER BY h LIMIT {k}
+),
+su AS (
+  SELECT DISTINCT h FROM
+    (SELECT h FROM sa UNION ALL SELECT h FROM sb) u
+  ORDER BY h LIMIT {k}
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM sa) AS na, (SELECT MAX(h) FROM sa) AS tha,
+         (SELECT COUNT(*) FROM sb) AS nb, (SELECT MAX(h) FROM sb) AS thb,
+         (SELECT COUNT(*) FROM su) AS nu, (SELECT MAX(h) FROM su) AS thu,
+         (SELECT COUNT(*) FROM su
+          JOIN sa ON su.h = sa.h JOIN sb ON su.h = sb.h) AS c_both
+)
+SELECT CAST(na AS BIGINT) AS sketch_a,
+       CAST(nb AS BIGINT) AS sketch_b,
+       CAST(nu AS BIGINT) AS sketch_union,
+       ROUND({est('na', 'tha')}, 4) AS est_distinct_a,
+       ROUND({est('nb', 'thb')}, 4) AS est_distinct_b,
+       ROUND({est('nu', 'thu')}, 4) AS est_union,
+       ROUND({jac}, 6) AS jaccard,
+       ROUND(({jac}) * ({est('nu', 'thu')}), 4) AS est_intersection
+FROM stats
+"""
+
+
 def _countmin_cell_sql(
     item_expr: str, a: int, b: int, width: int, dialect: str
 ) -> str:

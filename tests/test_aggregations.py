@@ -2172,3 +2172,75 @@ def test_association_rules_min_confidence_and_k(spark):
     assert association_rules(
         df, "item", "basket", min_support=0.5, k=1
     ).count() == 1
+
+
+def test_kmv_overlap_exact_when_under_k(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        kmv_overlap,
+    )
+
+    a = spark.createDataFrame([(f"v{i}",) for i in range(20)], ["t"])
+    b = spark.createDataFrame([(f"v{i}",) for i in range(10, 30)], ["t"])
+    row = kmv_overlap(a, b, "t", k=256).collect()[0]
+    # both sketches sub-k: every figure is exact
+    assert row["sketch_a"] == 20 and row["sketch_b"] == 20
+    assert row["est_distinct_a"] == 20.0
+    assert row["est_union"] == 30.0
+    assert row["jaccard"] == round(10 / 30, 6)
+    assert row["est_intersection"] == 10.0
+
+
+def test_kmv_overlap_identical_and_disjoint(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        kmv_overlap,
+    )
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(500)], ["t"])
+    same = kmv_overlap(a, a, "t", k=64).collect()[0]
+    assert same["jaccard"] == 1.0
+    assert same["est_distinct_a"] == same["est_union"]
+    b = spark.createDataFrame([(f"y{i}",) for i in range(500)], ["t"])
+    disj = kmv_overlap(a, b, "t", k=64).collect()[0]
+    assert disj["jaccard"] == 0.0
+    assert disj["est_intersection"] == 0.0
+
+
+def test_kmv_overlap_estimate_accuracy(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        kmv_overlap,
+    )
+
+    # 2000 distinct per side, 1000 shared -> union 3000, jaccard 1/3.
+    # k=256 gives ~1/sqrt(k) ≈ 6% relative error; assert 20% bands.
+    a = spark.createDataFrame([(f"k{i}",) for i in range(2000)], ["t"])
+    b = spark.createDataFrame([(f"k{i}",) for i in range(1000, 3000)], ["t"])
+    row = kmv_overlap(a, b, "t", k=256).collect()[0]
+    assert abs(row["est_union"] - 3000) / 3000 < 0.2
+    assert abs(row["est_distinct_a"] - 2000) / 2000 < 0.2
+    assert abs(row["jaccard"] - 1 / 3) < 0.1
+    assert abs(row["est_intersection"] - 1000) / 1000 < 0.35
+
+
+def test_kmv_overlap_sql_matches_dataframe(spark):
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        kmv_overlap, kmv_overlap_sql,
+    )
+
+    a_vals = [f"a{i}" for i in range(300)] + [f"s{i}" for i in range(100)]
+    b_vals = [f"b{i}" for i in range(200)] + [f"s{i}" for i in range(100)]
+    df_row = kmv_overlap(
+        spark.createDataFrame([(v,) for v in a_vals], ["t"]),
+        spark.createDataFrame([(v,) for v in b_vals], ["t"]),
+        "t", k=128,
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (t VARCHAR)")
+    con.executemany("INSERT INTO ta VALUES (?)", [(v,) for v in a_vals])
+    con.execute("CREATE TABLE tb (t VARCHAR)")
+    con.executemany("INSERT INTO tb VALUES (?)", [(v,) for v in b_vals])
+    want = con.execute(
+        kmv_overlap_sql("ta", "tb", "t", "duckdb", k=128)
+    ).fetchall()[0]
+    assert tuple(df_row) == want
