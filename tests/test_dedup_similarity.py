@@ -1274,3 +1274,56 @@ def test_near_dup_pairs_brute_guard(spark):
     assert near_dup_pairs_brute(
         df, "doc_id", "text", max_rows=10
     ).count() >= 0
+
+
+def test_record_linkage_block_and_verify(spark):
+    from harmonize_search_analyze_spark.operators.dedup import record_linkage
+
+    rows = [
+        (1, "jon smith", "smith"), (2, "john smith", "smith"),
+        (3, "john smyth", "smyth"),           # near-dup of 2 but blocked apart
+        (4, "mary jones", "jones"), (5, "marie jones", "jones"),
+        (6, None, "x"), (7, "ok", None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "blk_src"])
+    out = record_linkage(df, "id", "name", "blk_src", max_edit=2).collect()
+    got = [(r["id1"], r["id2"], r["edit_distance"], r["similarity"])
+           for r in out]
+    # (1,2) d=1 sim 1-1/10; (4,5) d=2 sim 1-2/11; (2,3) excluded by block
+    assert got == [(1, 2, 1, 0.9), (4, 5, 2, 0.818182)]
+
+
+def test_record_linkage_max_block_size_skips_hot_block(spark):
+    from harmonize_search_analyze_spark.operators.dedup import record_linkage
+
+    rows = [(i, f"name{i}", "hot") for i in range(10)] + [
+        (100, "abc", "cold"), (101, "abd", "cold")]
+    df = spark.createDataFrame(rows, ["id", "name", "blk"])
+    capped = record_linkage(
+        df, "id", "name", "blk", max_edit=5, max_block_size=5
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in capped] == [(100, 101)]
+    # without the cap the hot block contributes its 45 pairs
+    assert record_linkage(df, "id", "name", "blk", max_edit=5).count() == 46
+
+
+def test_record_linkage_sql_matches_dataframe(spark):
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        record_linkage, record_linkage_sql,
+    )
+
+    rows = [(i, f"rec-{i % 7}-{(i * i) % 13}", f"b{i % 3}")
+            for i in range(60)]
+    df_rows = record_linkage(
+        spark.createDataFrame(rows, ["id", "name", "blk"]),
+        "id", "name", "blk", max_edit=2, max_block_size=30,
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, name VARCHAR, blk VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.execute(record_linkage_sql(
+        "t", "id", "name", "blk", "duckdb", max_edit=2, max_block_size=30,
+    )).fetchall()
+    assert [tuple(r) for r in df_rows] == want
