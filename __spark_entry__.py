@@ -9745,6 +9745,89 @@ def _sql_record_linkage() -> str:
     )
 
 
+def q_moving_holtwinters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_fn holtWinters (triple-exponential, additive weekly
+    seasonality — completes the MovingFunctions family): one-step
+    forecast of daily event counts from the trailing 14-day window
+    (two seasons seed level/trend/seasonals)."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        moving_fn,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    return moving_fn(
+        daily, "bucket", "doc_count", fn="holtWinters", window=14,
+        period=7, alpha=0.3, beta=0.1, gamma=0.2,
+    )
+
+
+def holtwinters_weights(
+    n: int, alpha: float, beta: float, gamma: float, m: int
+) -> list[float] | None:
+    """Additive Holt-Winters is a LINEAR filter (init means, seasonal
+    deviations and all three recursions are linear in the
+    observations), so the one-step forecast over a window of length n
+    is a fixed dot product — derived, like ``holt_weights``, by folding
+    the recursion over unit basis vectors. None for n < 2m (the
+    operator's NULL branch)."""
+    if n < 2 * m:
+        return None
+
+    def fold(xs: list[float]) -> float:
+        l = sum(xs[:m]) / m
+        b = (sum(xs[m:2 * m]) / m - sum(xs[:m]) / m) / m
+        c = [x - l for x in xs[:m]]
+        for t in range(m, len(xs)):
+            x = xs[t]
+            slot = t % m
+            lp = alpha * (x - c[slot]) + (1 - alpha) * (l + b)
+            b = beta * (lp - l) + (1 - beta) * b
+            c[slot] = gamma * (x - lp) + (1 - gamma) * c[slot]
+            l = lp
+        return l + b + c[len(xs) % m]
+
+    return [
+        fold([1.0 if j == i else 0.0 for j in range(n)]) for i in range(n)
+    ]
+
+
+def _sql_moving_holtwinters(
+    *, window: int = 14, period: int = 7,
+    alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2,
+) -> str:
+    cases = []
+    for n in range(2 * period, window + 1):
+        ws = holtwinters_weights(n, alpha, beta, gamma, period)
+        terms = " + ".join(
+            f"({w!r}) * arr[{i + 1}]" for i, w in enumerate(ws)
+        )
+        cases.append(f"WHEN {n} THEN {terms}")
+    branch = "\n            ".join(cases)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         COUNT(*) AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), arrs AS (
+  SELECT bucket, doc_count,
+         list(CAST(doc_count AS DOUBLE)) OVER (
+           ORDER BY bucket ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING
+         ) AS arr
+  FROM daily
+)
+SELECT bucket, doc_count,
+       ROUND(CASE len(arr)
+            {branch}
+            ELSE NULL END, 6) AS moving_fn
+FROM arrs ORDER BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10049,6 +10132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "kmv_overlap": q_kmv_overlap,
         "record_linkage": q_record_linkage,
+        "moving_holtwinters": q_moving_holtwinters,
     }
 
 
@@ -10112,6 +10196,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _sql_triangle_count(),
         "kmv_overlap": _sql_kmv_overlap(),
         "record_linkage": _sql_record_linkage(),
+        "moving_holtwinters": _sql_moving_holtwinters(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

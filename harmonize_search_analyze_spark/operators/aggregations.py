@@ -1072,6 +1072,8 @@ def moving_fn(
     shift: int = 0,
     alpha: float = 0.3,
     beta: float = 0.1,
+    gamma: float = 0.1,
+    period: int = 7,
 ) -> DataFrame:
     """ES ``moving_fn`` pipeline agg with the named MovingFunctions
     (min/max/sum/unweightedAvg/stdDev, plus the sequential
@@ -1089,7 +1091,20 @@ def moving_fn(
     perfectly linear window forecasts its next point exactly). PINNED
     DEVIATION: ES's MovingFunctions.holt seeding is not re-derived
     here; this is the standard formulation, deterministic on both
-    engines. holtWinters (seasonal) remains unmodeled.
+    engines.
+
+    ``holtWinters`` (triple-exponential, ADDITIVE seasonality of
+    ``period`` m) uses the TEXTBOOK initialization over the first two
+    seasons — level = mean(season 1), trend = (mean(season 2) -
+    mean(season 1)) / m, seasonals = season-1 deviations from the
+    level — then the standard additive recursion, returning the
+    one-step forecast ``l + b + s_{t+1-m}``. Windows shorter than
+    2 * period yield NULL (not enough data to seed). PINNED DEVIATION:
+    additive only (ES's default is multiplicative with a ``pad``
+    epsilon); ES's unpublished seeding is not re-derived. Every step is
+    LINEAR in the observations, which is what lets the DuckDB oracle
+    twin replay it as closed-form dot-product weights derived by
+    folding unit vectors (see ``__spark_entry__.holtwinters_weights``).
 
     ``shift`` follows ES exactly: the window covers buckets
     ``[i - window + shift, i - 1 + shift]`` — the default shift=0
@@ -1098,7 +1113,7 @@ def moving_fn(
 
     Bucket-level window: same single-task sort contract as
     bucket_pipeline (input is bucket-sized, never raw rows)."""
-    seq_fns = ("linearWeightedAvg", "ewma", "holt")
+    seq_fns = ("linearWeightedAvg", "ewma", "holt", "holtWinters")
     if fn not in _MOVING_FNS and fn not in seq_fns:
         raise ValueError(
             f"unknown moving_fn {fn!r}; one of "
@@ -1149,6 +1164,58 @@ def moving_fn(
             f"                    + acc.b * CAST({1.0 - beta!r} AS DOUBLE),"
             "                'n', acc.n + 1)),"
             " acc -> acc.s + acc.b) END"
+        )
+        out = buckets.select(
+            bucket_col, value_col, arr.alias("__arr")
+        ).select(
+            bucket_col, value_col,
+            F.round(expr, 6).alias("moving_fn"),
+        )
+        return out.orderBy(bucket_col)
+    if fn == "holtWinters":
+        if period < 2:
+            raise ValueError("period must be >= 2")
+        if window < 2 * period:
+            raise ValueError(
+                f"holtWinters needs window >= 2 * period "
+                f"({window} < {2 * period}) — two full seasons seed the "
+                "level/trend/seasonal state"
+            )
+        m = period
+        arr = F.collect_list(v).over(w)
+        l0 = (
+            f"(aggregate(slice(__arr, 1, {m}), CAST(0.0 AS DOUBLE),"
+            f" (a, x) -> a + x) / {m})"
+        )
+        avg2 = (
+            f"(aggregate(slice(__arr, {m + 1}, {m}), CAST(0.0 AS DOUBLE),"
+            f" (a, x) -> a + x) / {m})"
+        )
+        # new level, expanded wherever it is read (the struct fields must
+        # be pure functions of acc and x)
+        lp = (
+            f"(CAST({alpha!r} AS DOUBLE)"
+            f" * (x - element_at(acc.c, pmod(acc.i, {m}) + 1))"
+            f" + CAST({1.0 - alpha!r} AS DOUBLE) * (acc.l + acc.b))"
+        )
+        expr = F.expr(
+            f"CASE WHEN size(__arr) < {2 * m} THEN CAST(NULL AS DOUBLE)"
+            " ELSE aggregate("
+            f"slice(__arr, {m + 1}, size(__arr) - {m}),"
+            f" named_struct('l', {l0},"
+            f"  'b', ({avg2} - {l0}) / {m},"
+            f"  'c', transform(slice(__arr, 1, {m}), x -> x - {l0}),"
+            f"  'i', {m}),"
+            " (acc, x) -> named_struct("
+            f"  'l', {lp},"
+            f"  'b', CAST({beta!r} AS DOUBLE) * ({lp} - acc.l)"
+            f"       + CAST({1.0 - beta!r} AS DOUBLE) * acc.b,"
+            f"  'c', transform(acc.c, (sv, j) -> IF(j = pmod(acc.i, {m}),"
+            f"       CAST({gamma!r} AS DOUBLE) * (x - {lp})"
+            f"       + CAST({1.0 - gamma!r} AS DOUBLE) * sv, sv)),"
+            "  'i', acc.i + 1),"
+            f" acc -> acc.l + acc.b"
+            f"        + element_at(acc.c, pmod(acc.i, {m}) + 1)) END"
         )
         out = buckets.select(
             bucket_col, value_col, arr.alias("__arr")

@@ -1966,9 +1966,10 @@ def test_moving_fn_sequential_variants(spark):
     assert ew[0] is None and ew[1] == 10.0
     # b=3 window [10,20,30]: 10 -> 15 -> 22.5
     assert ew[3] == 22.5
-    # holt joined the modeled set in round 5; holtWinters stays out
-    with pytest.raises(ValueError, match="unknown moving_fn"):
-        moving_fn(df, "b", "v", fn="holtWinters")
+    # holt joined the modeled set in round 5; holtWinters followed —
+    # but it refuses windows too short to seed two seasons
+    with pytest.raises(ValueError, match="window >= 2 \\* period"):
+        moving_fn(df, "b", "v", fn="holtWinters", window=7, period=7)
 
 
 def test_collapse_inner_hits(spark):
@@ -2244,3 +2245,81 @@ def test_kmv_overlap_sql_matches_dataframe(spark):
         kmv_overlap_sql("ta", "tb", "t", "duckdb", k=128)
     ).fetchall()[0]
     assert tuple(df_row) == want
+
+
+def _hw_forecast(xs, alpha, beta, gamma, m):
+    if len(xs) < 2 * m:
+        return None
+    l = sum(xs[:m]) / m
+    b = (sum(xs[m:2 * m]) / m - sum(xs[:m]) / m) / m
+    c = [x - l for x in xs[:m]]
+    for t in range(m, len(xs)):
+        x = xs[t]
+        slot = t % m
+        lp = alpha * (x - c[slot]) + (1 - alpha) * (l + b)
+        b = beta * (lp - l) + (1 - beta) * b
+        c[slot] = gamma * (x - lp) + (1 - gamma) * c[slot]
+        l = lp
+    return l + b + c[len(xs) % m]
+
+
+def test_moving_fn_holtwinters_textbook(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        moving_fn,
+    )
+
+    xs = [10 + 0.5 * t + [3.0, -1.0, -2.0][t % 3] + 0.137 * ((t * 7) % 5)
+          for t in range(20)]
+    rows = [(dt.datetime(2025, 1, 1) + dt.timedelta(days=i), float(x))
+            for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["bucket", "doc_count"])
+    out = moving_fn(
+        df, "bucket", "doc_count", fn="holtWinters", window=9, period=3,
+        alpha=0.4, beta=0.2, gamma=0.3,
+    ).collect()
+    for i, r in enumerate(out):
+        want = _hw_forecast(xs[max(0, i - 9):i], 0.4, 0.2, 0.3, 3)
+        if want is None:
+            assert r["moving_fn"] is None
+        else:
+            assert abs(r["moving_fn"] - round(want, 6)) < 1e-6, i
+
+
+def test_moving_fn_holtwinters_perfect_seasonal_series(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        moving_fn,
+    )
+
+    # a pure seasonal series (no trend) is forecast EXACTLY by additive
+    # HW: the init recovers level/seasonals exactly, trend = 0, and every
+    # recursion step is then the identity. (With a trend the textbook
+    # init folds intra-season drift into the seasonals, so exactness
+    # holds only season-free — the recursion-match test above covers the
+    # general case.)
+    season = [5.0, -3.0, -2.0, 0.0]
+    xs = [100 + season[t % 4] for t in range(16)]
+    rows = [(dt.datetime(2025, 1, 1) + dt.timedelta(days=i), float(x))
+            for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["bucket", "doc_count"])
+    out = moving_fn(
+        df, "bucket", "doc_count", fn="holtWinters", window=8, period=4,
+        alpha=0.3, beta=0.1, gamma=0.2,
+    ).collect()
+    for i, r in enumerate(out):
+        if i >= 8:
+            assert abs(r["moving_fn"] - xs[i]) < 1e-6
+
+
+def test_holtwinters_weights_reconstruct_fold():
+    from __spark_entry__ import holtwinters_weights
+
+    xs = [7.0, 3.5, 9.1, 4.4, 8.8, 2.2, 6.6, 5.5, 1.1, 9.9, 3.3, 7.7]
+    ws = holtwinters_weights(len(xs), 0.3, 0.1, 0.2, 3)
+    got = sum(w * x for w, x in zip(ws, xs))
+    want = _hw_forecast(xs, 0.3, 0.1, 0.2, 3)
+    assert abs(got - want) < 1e-9
+    assert holtwinters_weights(5, 0.3, 0.1, 0.2, 3) is None
