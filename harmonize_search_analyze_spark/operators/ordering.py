@@ -387,3 +387,148 @@ def pivot_transform(
     if catalog is not None and dest is not None:
         catalog.register(dest, res)
     return res
+
+
+def scd2_merge(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    id_col: str,
+    tracked: list[str],
+    as_of: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge — the snapshot-versioning
+    primitive a training-corpus registry needs (which document/source
+    rows were live for the March run?). ``dim`` is the current SCD2
+    table (``id_col``, ``tracked`` columns, ``valid_from``,
+    ``valid_to`` with NULL = open); ``snapshot`` is today's full
+    extract (``id_col`` + ``tracked``). Returns the NEW dimension:
+
+    - closed history rows pass through untouched;
+    - an open row whose id is missing from the snapshot closes at
+      ``as_of`` (delete);
+    - an open row whose tracked values changed (null-safe comparison,
+      column order irrelevant) closes at ``as_of`` AND the snapshot
+      row opens at ``as_of`` (update);
+    - unchanged open rows stay open;
+    - snapshot ids with no open row open at ``as_of`` (insert).
+
+    One full-outer equi-join on the id (AQE-skew-safe) + a history
+    passthrough union — no windows, no collects; history never joins.
+    Ordered (id, valid_from) for reproducibility.
+    """
+    ts = F.lit(as_of).cast("timestamp")
+    hist = dim.where(F.col(valid_to).isNotNull()).select(
+        id_col, *tracked, valid_from, valid_to
+    )
+    cur = dim.where(F.col(valid_to).isNull()).select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__c_{c}") for c in tracked],
+        F.col(valid_from).alias("__vf"),
+    )
+    snap = snapshot.select(
+        F.col(id_col).alias("__sid"),
+        *[F.col(c).alias(f"__s_{c}") for c in tracked],
+    )
+    j = cur.join(snap, cur["__id"] == snap["__sid"], "full_outer")
+    unchanged = F.lit(True)
+    for c in tracked:
+        unchanged = unchanged & F.col(f"__c_{c}").eqNullSafe(
+            F.col(f"__s_{c}")
+        )
+    in_both = F.col("__id").isNotNull() & F.col("__sid").isNotNull()
+    null_ts = F.lit(None).cast("timestamp")
+
+    # ONE pass over the joined frame: each row emits 0-2 output
+    # variants as an array of structs + explode — three filtered
+    # branches over `j` would replay the join subtree per branch
+    # (no CSE across union arms)
+    def variant(cond: Column, idc: Column, side: str,
+                vf: Column, vt: Column) -> Column:
+        return F.when(
+            cond,
+            F.struct(
+                idc.alias(id_col),
+                *[F.col(f"__{side}_{c}").alias(c) for c in tracked],
+                vf.alias(valid_from),
+                vt.alias(valid_to),
+            ),
+        )
+
+    closed_v = variant(
+        F.col("__id").isNotNull() & ~(in_both & unchanged),
+        F.col("__id"), "c", F.col("__vf"), ts,
+    )
+    keep_v = variant(
+        in_both & unchanged, F.col("__id"), "c", F.col("__vf"), null_ts
+    )
+    new_v = variant(
+        F.col("__sid").isNotNull() & ~(in_both & unchanged),
+        F.col("__sid"), "s", ts, null_ts,
+    )
+    exploded = j.select(
+        F.explode(
+            F.filter(
+                F.array(closed_v, keep_v, new_v), lambda x: x.isNotNull()
+            )
+        ).alias("__r")
+    ).select("__r.*")
+    return hist.unionByName(exploded).orderBy(
+        id_col, valid_from, valid_to
+    )
+
+
+def scd2_merge_sql(
+    dim_sql: str,
+    snapshot_sql: str,
+    id_col: str,
+    tracked: list[str],
+    as_of: str,
+    dialect: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> str:
+    """Dual-dialect twin of :func:`scd2_merge` (IS NOT DISTINCT FROM is
+    the shared null-safe comparison; identical text both engines)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    cols = ", ".join(tracked)
+    same = " AND ".join(
+        f"c.{c} IS NOT DISTINCT FROM s.{c}" for c in tracked
+    )
+    c_cols = ", ".join(f"c.{c} AS c_{c}" for c in tracked)
+    s_cols = ", ".join(f"s.{c} AS s_{c}" for c in tracked)
+    ts = f"CAST('{as_of}' AS TIMESTAMP)"
+    return f"""
+WITH dim AS ({dim_sql}),
+snap AS ({snapshot_sql}),
+hist AS (
+  SELECT {id_col}, {cols}, {valid_from}, {valid_to}
+  FROM dim WHERE {valid_to} IS NOT NULL
+),
+cur AS (SELECT * FROM dim WHERE {valid_to} IS NULL),
+j AS (
+  SELECT c.{id_col} AS cid, s.{id_col} AS sid,
+         {c_cols}, {s_cols},
+         c.{valid_from} AS vf,
+         CASE WHEN c.{id_col} IS NOT NULL AND s.{id_col} IS NOT NULL
+               AND {same} THEN TRUE ELSE FALSE END AS unchanged
+  FROM cur c FULL OUTER JOIN snap s ON c.{id_col} = s.{id_col}
+)
+SELECT * FROM hist
+UNION ALL
+SELECT cid, {', '.join(f'c_{c}' for c in tracked)}, vf, {ts}
+FROM j WHERE cid IS NOT NULL AND NOT unchanged
+UNION ALL
+SELECT cid, {', '.join(f'c_{c}' for c in tracked)}, vf,
+       CAST(NULL AS TIMESTAMP)
+FROM j WHERE unchanged
+UNION ALL
+SELECT sid, {', '.join(f's_{c}' for c in tracked)}, {ts},
+       CAST(NULL AS TIMESTAMP)
+FROM j WHERE sid IS NOT NULL AND NOT unchanged
+ORDER BY {id_col}, {valid_from}, {valid_to} NULLS FIRST
+"""

@@ -248,3 +248,98 @@ def test_epoch_shuffle_column_collision_rejected(spark):
     df = spark.createDataFrame([(1, 0)], ["doc_id", "epoch"])
     with _pytest.raises(ValueError, match="collide"):
         epoch_shuffle(df, "doc_id", epochs=2)
+
+
+def test_scd2_merge_all_branches(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.ordering import scd2_merge
+
+    t = dt.datetime
+    dim = spark.createDataFrame(
+        [
+            # closed history row: passes through untouched
+            (1, "a", t(2024, 1, 1), t(2025, 1, 1)),
+            # open rows
+            (1, "b", t(2025, 1, 1), None),   # unchanged in snapshot
+            (2, "x", t(2025, 1, 1), None),   # changed -> close + reopen
+            (3, "z", t(2025, 1, 1), None),   # missing -> close (delete)
+        ],
+        ["id", "seg", "valid_from", "valid_to"],
+    )
+    snap = spark.createDataFrame(
+        [(1, "b"), (2, "y"), (4, "new")], ["id", "seg"]
+    )
+    out = scd2_merge(dim, snap, "id", ["seg"], "2025-06-01").collect()
+    rows = {(r["id"], r["seg"], r["valid_from"], r["valid_to"])
+            for r in out}
+    assert rows == {
+        (1, "a", t(2024, 1, 1), t(2025, 1, 1)),      # history
+        (1, "b", t(2025, 1, 1), None),               # unchanged, open
+        (2, "x", t(2025, 1, 1), t(2025, 6, 1)),      # closed old version
+        (2, "y", t(2025, 6, 1), None),               # reopened new value
+        (3, "z", t(2025, 1, 1), t(2025, 6, 1)),      # delete-closed
+        (4, "new", t(2025, 6, 1), None),             # insert
+    }
+    assert len(out) == 6
+
+
+def test_scd2_merge_null_safe_change_detection(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.ordering import scd2_merge
+
+    t = dt.datetime
+    dim = spark.createDataFrame(
+        [(1, None, t(2025, 1, 1), None), (2, "v", t(2025, 1, 1), None)],
+        "id int, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    snap = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, seg string"
+    )
+    out = scd2_merge(dim, snap, "id", ["seg"], "2025-06-01").collect()
+    # NULL == NULL is "unchanged" (null-safe); value -> NULL is a change
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0]["valid_to"] is None
+    assert len(by_id[2]) == 2
+
+
+def test_scd2_merge_sql_matches_dataframe(spark):
+    import duckdb
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.ordering import (
+        scd2_merge, scd2_merge_sql,
+    )
+
+    t = dt.datetime
+    dim_rows = [
+        (i, f"s{i % 4}", float(i), t(2025, 1, 1),
+         t(2025, 3, 1) if i % 9 == 0 else None)
+        for i in range(40)
+    ]
+    snap_rows = [
+        (i, f"s{(i + (1 if i % 5 == 0 else 0)) % 4}", float(i))
+        for i in range(5, 45)
+    ]
+    df = scd2_merge(
+        spark.createDataFrame(
+            dim_rows,
+            "id int, seg string, bal double, valid_from timestamp,"
+            " valid_to timestamp"),
+        spark.createDataFrame(snap_rows, "id int, seg string, bal double"),
+        "id", ["seg", "bal"], "2025-06-01",
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (id INT, seg VARCHAR, bal DOUBLE,"
+                " valid_from TIMESTAMP, valid_to TIMESTAMP)")
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", dim_rows)
+    con.execute("CREATE TABLE s (id INT, seg VARCHAR, bal DOUBLE)")
+    con.executemany("INSERT INTO s VALUES (?,?,?)", snap_rows)
+    want = con.execute(scd2_merge_sql(
+        "SELECT * FROM d", "SELECT * FROM s", "id", ["seg", "bal"],
+        "2025-06-01", "duckdb",
+    )).fetchall()
+    assert sorted(tuple(r) for r in df) == sorted(tuple(r) for r in want)
