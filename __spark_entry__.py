@@ -9904,6 +9904,36 @@ def _sql_scd2_merge() -> str:
     )
 
 
+_LTR_TERMS = ["customer", "order", "filter"]
+
+
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank feature logging (ES LTR plugin sltr shape): the
+    per-(query, doc) feature vector — BM25, match counts, coverage, IDF
+    mass, doc length, plus the n_chars numeric feature — for the top-50
+    BM25 candidates."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        ltr_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ltr_features(
+        docs, "doc_id", "text", _LTR_TERMS,
+        numeric_features={"f_n_chars": "n_chars"}, k=50,
+    )
+
+
+def _sql_ltr_features() -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        ltr_features_sql,
+    )
+
+    return ltr_features_sql(
+        "documents", "doc_id", "text", _LTR_TERMS, "duckdb",
+        numeric_features={"f_n_chars": "n_chars"}, k=50,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10210,6 +10240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "moving_holtwinters": q_moving_holtwinters,
         "scd2_merge": q_scd2_merge,
+        "ltr_features": q_ltr_features,
     }
 
 
@@ -10275,6 +10306,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": _sql_record_linkage(),
         "moving_holtwinters": _sql_moving_holtwinters(),
         "scd2_merge": _sql_scd2_merge(),
+        "ltr_features": _sql_ltr_features(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -1461,3 +1461,83 @@ def decay_rank(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ltr_features_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    dialect: str,
+    *,
+    numeric_features: dict[str, str] | None = None,
+    k: int = 100,
+) -> str:
+    """Learning-to-rank feature logging (the ES LTR plugin's ``sltr``
+    rescore-logging shape): for the top-``k`` BM25 candidates of a term
+    query, emit the per-(query, doc) feature vector a ranking model
+    trains on — text-match features derived from the shared BM25 CTEs
+    plus caller-supplied ``numeric_features`` (name -> SQL expression
+    over the base table row: recency, popularity, price, ...).
+
+    Feature columns (all rounded 6 for cross-engine stability):
+    ``f_bm25`` (the full BM25 score), ``f_matched_terms``,
+    ``f_total_tf``, ``f_coverage`` (matched / |query terms|),
+    ``f_doc_len``, ``f_sum_idf`` (IDF mass of the matched terms), then
+    one column per numeric feature. Candidates are BM25-ranked with the
+    (score DESC, doc_id ASC) pinned tie order — feature logging follows
+    retrieval, exactly like the plugin.
+
+    Scale: the text features reuse the one-scan BM25 aggregation
+    (corpus stats broadcast); numeric features join the base table by
+    id AFTER the top-k cut, so the join probes k rows, not the corpus.
+    """
+    ctes = _bm25_ctes(table, id_col, text_col, terms, dialect)
+    nf = numeric_features or {}
+    nf_cols = "".join(
+        f",\n       ROUND(CAST({expr} AS DOUBLE), 6) AS {name}"
+        for name, expr in nf.items()
+    )
+    return f"""{ctes},
+feats AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(({_BM25_IDF}) * ({_BM25_TF_NORM})), 6) AS f_bm25,
+         CAST(COUNT(*) AS BIGINT) AS f_matched_terms,
+         CAST(SUM(tf.tf) AS BIGINT) AS f_total_tf,
+         ROUND(COUNT(*) / CAST({len(terms)} AS DOUBLE), 6) AS f_coverage,
+         CAST(MIN(tf.dl) AS BIGINT) AS f_doc_len,
+         ROUND(SUM({_BM25_IDF}), 6) AS f_sum_idf
+  FROM tf
+  JOIN dfreq ON tf.t = dfreq.t
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  ORDER BY f_bm25 DESC, tf.doc_id ASC
+  LIMIT {k}
+)
+SELECT feats.doc_id, f_bm25, f_matched_terms, f_total_tf, f_coverage,
+       f_doc_len, f_sum_idf{nf_cols}
+FROM feats JOIN {table} b ON feats.doc_id = b.{id_col}
+ORDER BY f_bm25 DESC, feats.doc_id ASC
+"""
+
+
+def ltr_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    *,
+    numeric_features: dict[str, str] | None = None,
+    k: int = 100,
+) -> DataFrame:
+    """Run :func:`ltr_features_sql` over a DataFrame (temp view +
+    spark-dialect SQL, like :func:`bm25_search`)."""
+    spark: SparkSession = df.sparkSession
+    view = f"__ltr_corpus_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    out = spark.sql(ltr_features_sql(
+        view, id_col, text_col, terms, "spark",
+        numeric_features=numeric_features, k=k,
+    ))
+    spark.catalog.dropTempView(view)
+    return out

@@ -598,3 +598,53 @@ def test_decay_functions_pinned_values(spark):
         decay_score_sql("x", origin=0, scale=1, decay=1.5)
     with pytest.raises(ValueError, match="unknown decay kind"):
         decay_score_sql("x", origin=0, scale=1, kind="cosine")
+
+
+def test_ltr_features_values(spark):
+    from harmonize_search_analyze_spark.operators.ranking import (
+        ltr_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple", 10),
+            (2, "apple cherry", 20),
+            (3, "durian durian", 30),
+        ],
+        ["doc_id", "text", "pop"],
+    )
+    out = {r["doc_id"]: r for r in ltr_features(
+        docs, "doc_id", "text", ["apple", "banana"],
+        numeric_features={"f_pop": "pop"}, k=10,
+    ).collect()}
+    # doc 3 matches nothing -> absent; doc 1 matches both terms
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1["f_matched_terms"] == 2
+    assert r1["f_total_tf"] == 3        # apple x2 + banana x1
+    assert r1["f_coverage"] == 1.0
+    assert r1["f_doc_len"] == 3
+    assert r1["f_pop"] == 10.0
+    r2 = out[2]
+    assert r2["f_matched_terms"] == 1
+    assert r2["f_coverage"] == 0.5
+    assert r2["f_pop"] == 20.0
+    # feature logging follows retrieval order: doc 1 outranks doc 2
+    assert r1["f_bm25"] > r2["f_bm25"]
+
+
+def test_ltr_features_matches_bm25_score(spark):
+    from harmonize_search_analyze_spark.operators.ranking import (
+        bm25_search, ltr_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} shared", ) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    terms = ["tok1", "shared"]
+    bm = {r["doc_id"]: r["score"]
+          for r in bm25_search(docs, "doc_id", "text", terms, k=30).collect()}
+    lt = {r["doc_id"]: r["f_bm25"]
+          for r in ltr_features(docs, "doc_id", "text", terms, k=30).collect()}
+    assert lt == bm
