@@ -9934,6 +9934,40 @@ def _sql_ltr_features() -> str:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit of the customer table
+    under the (nation, balance-band) quasi-identifier with market
+    segment as the sensitive attribute — the governance gate before a
+    corpus release."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        k_anonymity,
+    )
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.expr("CAST(FLOOR(c_acctbal / 2000) AS BIGINT)")
+    )
+    return k_anonymity(
+        cust, ["c_nationkey", "bal_band"], k=5,
+        sensitive_col="c_mktsegment", l=2,
+    )
+
+
+def _sql_k_anonymity() -> str:
+    from harmonize_search_analyze_spark.operators.curation import (
+        k_anonymity_sql,
+    )
+
+    return k_anonymity_sql(
+        "(SELECT c_nationkey, CAST(FLOOR(c_acctbal / 2000) AS BIGINT)"
+        " AS bal_band, c_mktsegment FROM customer) t",
+        ["c_nationkey", "bal_band"],
+        "duckdb",
+        k=5,
+        sensitive_expr="c_mktsegment",
+        l=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10241,6 +10275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_holtwinters": q_moving_holtwinters,
         "scd2_merge": q_scd2_merge,
         "ltr_features": q_ltr_features,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -10307,6 +10342,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_holtwinters": _sql_moving_holtwinters(),
         "scd2_merge": _sql_scd2_merge(),
         "ltr_features": _sql_ltr_features(),
+        "k_anonymity": _sql_k_anonymity(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -266,3 +266,61 @@ def test_tokenizer_fertility_exact(spark):
     b = got["b"]  # punctuation-only: 0 words, 1 punct-run piece
     assert (b.n_words, b.n_pieces) == (0, 1)
     assert b.fertility is None
+
+
+def test_k_anonymity_summary(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        k_anonymity,
+    )
+
+    rows = (
+        [("a", 1, "s1")] * 5          # class (a,1): size 5, 1 sensitive
+        + [("a", 2, "s1"), ("a", 2, "s2")]   # size 2: k-violating, l=2
+        + [("b", 1, "s3")]                   # size 1: violating, l=1
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2", "sens"])
+    r = k_anonymity(
+        df, ["q1", "q2"], k=5, sensitive_col="sens", l=2
+    ).collect()[0]
+    assert r["n_rows"] == 8 and r["n_classes"] == 3
+    assert r["min_class_size"] == 1
+    assert r["violating_classes"] == 2 and r["violating_rows"] == 3
+    assert r["violating_fraction"] == 0.375
+    assert r["k_anonymous"] is False
+    # class (a,1) has l=1 < 2, class (b,1) l=1 -> 2 violators
+    assert r["min_l"] == 1 and r["l_violating_classes"] == 2
+    assert r["l_diverse"] is False
+
+
+def test_k_anonymity_nulls_group_as_values(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        k_anonymity,
+    )
+
+    rows = [(None, "x"), (None, "y"), ("a", "x")]
+    df = spark.createDataFrame(rows, "q1 string, sens string")
+    r = k_anonymity(df, ["q1"], k=2, sensitive_col="sens").collect()[0]
+    # NULL quasi forms its own class of 2; 'a' violates
+    assert r["n_classes"] == 2 and r["violating_classes"] == 1
+    assert r["min_l"] == 1  # the 'a' class has one sensitive value
+
+
+def test_k_anonymity_sql_matches_dataframe(spark):
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.curation import (
+        k_anonymity, k_anonymity_sql,
+    )
+
+    rows = [(i % 7, (i * i) % 5, f"s{i % 3}") for i in range(100)]
+    df_row = k_anonymity(
+        spark.createDataFrame(rows, ["q1", "q2", "sens"]),
+        ["q1", "q2"], k=4, sensitive_col="sens", l=3,
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (q1 INT, q2 INT, sens VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.execute(k_anonymity_sql(
+        "t", ["q1", "q2"], "duckdb", k=4, sensitive_expr="sens", l=3,
+    )).fetchall()[0]
+    assert tuple(df_row) == want
