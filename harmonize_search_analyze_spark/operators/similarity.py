@@ -3150,3 +3150,206 @@ JOIN ab ON ab.id = c.tgt_id
 WHERE ROUND(c.cosine / ((af.a + ab.a) / 2), 6) >= {threshold}
 ORDER BY margin DESC, c.src_id ASC
 """
+
+
+# -- distributed PCA / whitening ----------------------------------------------
+
+
+def embedding_gram_partials(df: DataFrame, vec_col: str, d: int):
+    """One partial-Gram row PER PARTITION: (n, s = column sums, g = the
+    flattened d x d Gram matrix X^T X accumulated in float64 numpy).
+    This is the MLlib-style distributed covariance shape: the reduce
+    side merges ~num_partitions metadata-sized rows, never the vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        g = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["dvec"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("dvec")
+    )
+    return vecs.mapInPandas(
+        partial, "n long, s array<double>, g array<double>"
+    )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str, *, d: int
+) -> DataFrame:
+    """Population covariance matrix of an embedding column, distributed:
+    per-partition float64 Gram partials (Arrow map stage), elementwise
+    merge IN-PLAN (posexplode + sum keyed by flat index — the partials
+    frame is partition-count-sized, so this is metadata work), then
+    ``cov_ij = G_ij / n - mean_i * mean_j``. Returns the upper triangle
+    as rows ``(i, j, cov)`` rounded 6 — row form (not a nested array)
+    so the oracle comparison is canonical.
+
+    The covariance is the SQL-expressible half of PCA — the oracle twin
+    pins it exactly (same trainer-pattern split as kmeans_assign /
+    bpe_pair_counts); the eigendecomposition lives in
+    :func:`embedding_pca` as the rows-only step.
+    """
+    parts = embedding_gram_partials(df, vec_col, d)
+    n_tot = parts.agg(F.sum("n").alias("n"))
+    s_tot = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i").agg(F.sum("v").alias("s"))
+    )
+    g_tot = (
+        parts.select(F.posexplode("g").alias("k", "v"))
+        .groupBy("k").agg(F.sum("v").alias("g"))
+        .select(
+            (F.col("k") / d).cast("int").alias("i"),
+            (F.col("k") % d).alias("j"),
+            "g",
+        )
+        .where(F.col("i") <= F.col("j"))
+    )
+    si = s_tot.select(F.col("i"), F.col("s").alias("si"))
+    sj = s_tot.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    return (
+        g_tot.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(n_tot)
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            # + 0.0 folds IEEE negative zero into positive zero — DuckDB
+            # ROUND keeps -0.0, Spark does not, and the driver
+            # canonicalizer renders them differently
+            (
+                F.round(
+                    F.col("g") / F.col("n")
+                    - (F.col("si") / F.col("n"))
+                    * (F.col("sj") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def embedding_covariance_sql(
+    table: str, vec_col: str, dialect: str, *, d: int
+) -> str:
+    """Dual-dialect twin of :func:`embedding_covariance`: the vectors
+    unrolled against a 1..d index range, pairwise products aggregated by
+    (i, j) — exact same estimator, pure SQL."""
+    if dialect == "spark":
+        vals = (
+            f"SELECT rid, i0 + 1 AS i, v FROM (SELECT"
+            " monotonically_increasing_id() AS rid,"
+            f" {vec_col} AS e FROM {table} WHERE {vec_col} IS NOT"
+            " NULL) t LATERAL VIEW posexplode(e) x AS i0, v"
+        )
+    elif dialect == "duckdb":
+        vals = (
+            f"SELECT rid, t.i, e[t.i] AS v FROM (SELECT row_number()"
+            f" OVER () AS rid, {vec_col} AS e FROM {table} WHERE"
+            f" {vec_col} IS NOT NULL) s, range(1, {d + 1}) t(i)"
+        )
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH vals AS ({vals}),
+n AS (SELECT COUNT(DISTINCT rid) AS n FROM vals),
+sums AS (SELECT i, SUM(v) AS s FROM vals GROUP BY i),
+prods AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS g
+  FROM vals a JOIN vals b ON a.rid = b.rid AND a.i <= b.i
+  GROUP BY a.i, b.i
+)
+SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j,
+       ROUND(p.g / n.n - (si.s / n.n) * (sj.s / n.n), 6) + 0.0 AS cov
+FROM prods p
+JOIN sums si ON p.i = si.i
+JOIN sums sj ON p.j = sj.i
+CROSS JOIN n
+ORDER BY i, j
+"""
+
+
+def embedding_pca(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    d: int,
+    k: int = 8,
+    whiten: bool = False,
+) -> DataFrame:
+    """PCA projection of an embedding column to ``k`` components (MRL's
+    learned-truncation cousin, and the whitening step dense retrievers
+    apply post-hoc): covariance from the distributed Gram partials, the
+    k leading eigenvectors solved DRIVER-SIDE on the d x d matrix
+    (metadata-sized — d^2 floats, justified collect, exactly like the
+    kmeans centroid collects), then a broadcast Arrow matmul projects
+    every vector. ``whiten=True`` scales components by 1/sqrt(eigval).
+
+    Determinism pin: eigenvector SIGN is fixed so each component's
+    largest-|coefficient| entry is positive (numpy's sign is otherwise
+    arbitrary), making outputs reproducible run-to-run. Returns
+    ``(id, components array<double> rounded 6)`` plus each component's
+    ``explained_variance_ratio`` carried in the operator's companion
+    :func:`embedding_covariance` (the oracle-pinned half; the eig step
+    itself is the rows-only trainer-shaped remainder).
+    """
+    import numpy as np
+    import pandas as pd
+
+    parts = embedding_gram_partials(df, vec_col, d).collect()
+    if not parts:
+        raise ValueError("no vectors to fit PCA on")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    g = np.sum(
+        [np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0
+    )
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:k]
+    w = evecs[:, order]                     # d x k
+    # sign pin: largest-|coeff| entry of each component positive
+    for c in range(w.shape[1]):
+        j = int(np.abs(w[:, c]).argmax())
+        if w[j, c] < 0:
+            w[:, c] = -w[:, c]
+    if whiten:
+        w = w / np.sqrt(np.maximum(evals[order], 1e-12))[None, :]
+    mean_b = mean.copy()
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["dvec"].to_numpy()).astype(np.float64)
+            p = np.round((x - mean_b) @ w, 6)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(),
+                 "components": list(p.tolist())}
+            )
+
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("dvec")
+    )
+    return vecs.mapInPandas(
+        project, f"{id_col} long, components array<double>"
+    )

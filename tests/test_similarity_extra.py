@@ -351,3 +351,94 @@ def test_bitext_mine_margin_and_strategies(spark):
         bitext_mine(src, tgt, strategy="union")
     with pytest.raises(ValueError, match="k"):
         bitext_mine(src, tgt, k=0)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(200, 5)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "id long, embedding array<double>",
+    )
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in embedding_covariance(df, "embedding", d=5).collect()}
+    want = np.cov(x, rowvar=False, bias=True)
+    assert len(got) == 15
+    for (i, j), v in got.items():
+        assert abs(v - want[i, j]) < 1e-6, (i, j)
+
+
+def test_embedding_pca_recovers_dominant_direction(spark):
+    import numpy as np
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_pca,
+    )
+
+    rng = np.random.RandomState(3)
+    # variance concentrated on a known direction
+    direction = np.array([3.0, 1.0, 0.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    t = rng.randn(300)
+    x = np.outer(t * 10.0, direction) + rng.randn(300, 4) * 0.1
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "id long, embedding array<double>",
+    )
+    rows = embedding_pca(df, "id", "embedding", d=4, k=1).collect()
+    comp = {r["id"]: r["components"][0] for r in rows}
+    proj = np.array([comp[i] for i in range(300)])
+    # PC1 scores correlate ~1 with the generating coefficient
+    corr = np.corrcoef(proj, t)[0, 1]
+    assert abs(corr) > 0.99
+    # sign pin: largest-|coeff| axis positive means proj sign tracks
+    # the direction's dominant (first) axis -> positive correlation
+    assert corr > 0
+
+
+def test_embedding_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_pca,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(500, 6) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(x)],
+        "id long, embedding array<double>",
+    )
+    rows = embedding_pca(
+        df, "id", "embedding", d=6, k=3, whiten=True
+    ).collect()
+    p = np.array([r["components"] for r in rows])
+    v = p.var(axis=0)
+    assert np.all(np.abs(v - 1.0) < 0.05), v
+
+
+def test_embedding_pca_deterministic_across_partitionings(spark):
+    import numpy as np
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_pca,
+    )
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(120, 4)
+    rows = [(i, r.tolist()) for i, r in enumerate(x)]
+    a = spark.createDataFrame(rows, "id long, embedding array<double>")
+    b = spark.createDataFrame(rows, "id long, embedding array<double>") \
+        .repartition(7)
+    pa = {r["id"]: r["components"]
+          for r in embedding_pca(a, "id", "embedding", d=4, k=2).collect()}
+    pb = {r["id"]: r["components"]
+          for r in embedding_pca(b, "id", "embedding", d=4, k=2).collect()}
+    # rounded-6 outputs identical under different partitionings
+    assert pa == pb
