@@ -1327,3 +1327,46 @@ def test_record_linkage_sql_matches_dataframe(spark):
         "t", "id", "name", "blk", "duckdb", max_edit=2, max_block_size=30,
     )).fetchall()
     assert [tuple(r) for r in df_rows] == want
+
+
+def test_containment_pairs_asymmetric(spark):
+    from harmonize_search_analyze_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),                     # full doc
+        (2, base + " iota kappa"),     # superset: 1 contained in 2
+        (3, "totally different words here entirely unrelated"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = containment_pairs(
+        df, "doc_id", "text", threshold=0.99, n=1, k=8, rows_per_band=2
+    ).collect()
+    got = {(r["id1"], r["id2"]): (r["c12"], r["c21"]) for r in out}
+    assert (1, 2) in got
+    c12, c21 = got[(1, 2)]
+    assert c12 == 1.0          # all of doc 1's tokens appear in doc 2
+    assert c21 == 0.8          # 8 of doc 2's 10 tokens appear in doc 1
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_containment_sql_cross_engine(spark):
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        containment_sql,
+    )
+
+    s = spark.sql(
+        "SELECT "
+        + containment_sql("array('a','b')", "array('a','b','c')", "spark")
+        + " AS c"
+    ).collect()[0]["c"]
+    d = duckdb.sql(
+        "SELECT "
+        + containment_sql("['a','b']", "['a','b','c']", "duckdb")
+        + " AS c"
+    ).fetchall()[0][0]
+    assert s == d == round(2 / 2, 6)
