@@ -10012,13 +10012,14 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (quote/subset detection,
     c >= 0.9 either direction) through the SAME deterministic
-    MinHash-LSH banding as lsh_near_dup — token shingles, 1-in-10
-    sample."""
+    MinHash-LSH banding as lsh_near_dup — token shingles, 1-in-20
+    sample (pair output is cluster-quadratic; the tighter sample keeps
+    the bench pair frame bounded)."""
     from harmonize_search_analyze_spark.operators.dedup import (
         containment_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
     return containment_pairs(
         docs, "doc_id", "text", threshold=0.9, k=8, n=1, rows_per_band=2
     ).orderBy("id1", "id2")
@@ -10053,7 +10054,7 @@ def _sql_containment_pairs() -> str:
     j = jaccard_sql("sa.shingles", "sb.shingles", "duckdb")
     return f"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
 ), sigs AS (
   SELECT doc_id, {', '.join(mh)} FROM docs
 ), bands AS ({bands}),
