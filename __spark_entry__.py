@@ -10073,6 +10073,41 @@ SELECT id1, id2, c12, c21, jaccard FROM (
 """
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the high-quantity co-purchase graph by fixed-iteration
+    peeling (6 rounds, the pagerank-style unrollable pin) — the dense
+    core a crawl-quality curator keeps."""
+    from harmonize_search_analyze_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.alias("a")
+    b = pp.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"),
+        F.col("b.l_partkey").alias("dst"),
+    )
+    return k_core(edges, k=3, iters=6)
+
+
+def _sql_k_core() -> str:
+    from harmonize_search_analyze_spark.operators.graph import k_core_sql
+
+    edges = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+        " WHERE l_quantity >= 45) a JOIN "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+        " WHERE l_quantity >= 45) b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    return k_core_sql(edges, "duckdb", k=3, iters=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10384,6 +10419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "containment_pairs": q_containment_pairs,
+        "k_core": q_k_core,
     }
 
 
@@ -10456,6 +10492,7 @@ def oracle_sql() -> dict[str, str]:
         # covariance input is the oracle-pinned step, mirroring the
         # kmeans_ivf / kmeans_assign trainer pairing
         "containment_pairs": _sql_containment_pairs(),
+        "k_core": _sql_k_core(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

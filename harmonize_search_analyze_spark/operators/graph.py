@@ -406,3 +406,105 @@ SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
              6) AS transitivity
 FROM tri
 """
+
+
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    iters: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by FIXED-ITERATION peeling: repeatedly drop
+    vertices with degree < k and the edges they carry — the
+    graph-quality core extractor (crawl-graph curation keeps the dense
+    core, link-farm tendrils peel away). A fixed ``iters`` keeps the
+    recursion unrollable and oracle-replayable (same pin as
+    :func:`pagerank`); graphs whose peeling hasn't converged by then
+    return the iters-times-peeled subgraph on BOTH engines identically,
+    so the contract stays deterministic. Returns surviving
+    ``(node, core_degree)`` ordered by node.
+
+    Scale shape: each iteration is one degree agg + one two-sided
+    semi-join of edges onto surviving nodes (node frame << edges,
+    broadcast); the edge frame SHRINKS monotonically and is
+    localCheckpoint'd per iteration — without truncation Catalyst
+    replays the whole (often expensive) upstream edge derivation once
+    per unrolled level, the same trap pagerank documents.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+        )
+        nu = deg.select(F.col("node").alias("u"))
+        nv = deg.select(F.col("node").alias("v"))
+        e = (
+            e.join(F.broadcast(nu), "u")
+            .join(F.broadcast(nv), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+def k_core_sql(
+    edges_sql: str, dialect: str, *, k: int = 3, iters: int = 6
+) -> str:
+    """Dual-dialect twin of :func:`k_core`. DuckDB 1.0 INLINES chained
+    CTEs, which re-evaluates this recursion tree exponentially — the
+    duckdb dialect therefore pins every level ``AS MATERIALIZED``
+    (measured: the inlined form never finishes at 6 levels; the
+    materialized form runs in milliseconds). Spark's dialect omits the
+    keyword (unsupported; the DataFrame path with localCheckpoint is
+    the production plan there)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    ctes = [
+        f"""e0 AS{mat} (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({edges_sql}) raw WHERE src <> dst
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS{mat} (SELECT node FROM (SELECT u AS node FROM e{p}"
+            f" UNION ALL SELECT v AS node FROM e{p}) t GROUP BY node"
+            f" HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS{mat} (SELECT e.u, e.v FROM e{p} e"
+            f" JOIN d{i} x ON e.u = x.node JOIN d{i} y ON e.v = y.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM e{iters}
+      UNION ALL SELECT v AS node FROM e{iters}) t
+GROUP BY node ORDER BY node
+"""
+    )

@@ -136,3 +136,52 @@ def test_triangle_count_sql_matches_dataframe(spark):
     )
     want = duckdb.sql(sql).fetchall()[0]
     assert tuple(df_row) == want
+
+
+def test_k_core_peels_tendrils(spark):
+    from harmonize_search_analyze_spark.operators.graph import k_core
+
+    # K4 core {1,2,3,4} + a path tendril 4-5-6 that must peel away
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        ["src", "dst"],
+    )
+    out = {r["node"]: r["core_degree"]
+           for r in k_core(edges, k=3, iters=4).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above the densest core empties the graph
+    assert k_core(edges, k=4, iters=4).count() == 0
+
+
+def test_k_core_cascading_peel_needs_iterations(spark):
+    from harmonize_search_analyze_spark.operators.graph import k_core
+
+    # a chain peels one vertex per round from each end under k=2;
+    # after 1 iteration the interior survives, after enough it is gone
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    assert k_core(chain, k=2, iters=1).count() == 7  # ends dropped once
+    assert k_core(chain, k=2, iters=6).count() == 0  # fully cascaded
+
+
+def test_k_core_sql_matches_dataframe(spark):
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.graph import (
+        k_core, k_core_sql,
+    )
+
+    raw = [((i * 5 + j) % 25, (i + j * 7) % 25)
+           for i in range(25) for j in range(4)]
+    df_rows = sorted(
+        tuple(r) for r in k_core(
+            spark.createDataFrame(raw, ["src", "dst"]), k=3, iters=5
+        ).collect()
+    )
+    values = ", ".join(f"({s}, {d})" for s, d in raw)
+    want = sorted(duckdb.sql(k_core_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", "duckdb",
+        k=3, iters=5,
+    )).fetchall())
+    assert df_rows == want
