@@ -1220,3 +1220,170 @@ SELECT key, n,
 FROM counts CROSS JOIN s
 ORDER BY n DESC, key ASC LIMIT {top}
 """
+
+
+def psi_drift(
+    reference: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    *,
+    bins: int = 10,
+    floor: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index — the industry-standard
+    feature/score-drift monitor (PSI < 0.1 stable, 0.1-0.25 shifting,
+    > 0.25 drifted): fixed-width bins over the REFERENCE min/max
+    (fixed-width rather than quantile edges keeps the binning exactly
+    reproducible cross-engine), actual values clamped into the edge
+    bins, per-bin proportions floored at ``floor`` before the log (the
+    standard empty-bin smoothing, pinned), contribution
+    ``(a - e) * ln(a / e)``.
+
+    Returns one row per bin: ``(bin, lo, hi, ref_frac, act_frac,
+    contrib)`` ordered by bin, plus the total as every row's ``psi``
+    column (a bucket-count-sized window — consumers read it off any
+    row without a second pass).
+
+    Scale shape: two map-combinable bin-count aggs (one per side) over
+    a broadcast 1-row stats frame; everything after the two aggs is
+    bin-count-sized.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    stats = reference.agg(
+        F.min(F.col(value_col).cast("double")).alias("__lo"),
+        F.max(F.col(value_col).cast("double")).alias("__hi"),
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        width = (F.col("__hi") - F.col("__lo")) / bins
+        idx = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("__lo"))
+                    / width
+                ).cast("int"),
+            ),
+        )
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .select(idx.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    r = binned(reference, "ref_n")
+    a = binned(actual, "act_n")
+    all_bins = reference.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        all_bins.join(r, "bin", "left")
+        .join(a, "bin", "left")
+        .na.fill({"ref_n": 0, "act_n": 0})
+        .crossJoin(
+            F.broadcast(
+                reference.where(F.col(value_col).isNotNull()).agg(
+                    F.count(F.lit(1)).alias("__rt")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                actual.where(F.col(value_col).isNotNull()).agg(
+                    F.count(F.lit(1)).alias("__at")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    rf = F.greatest(F.col("ref_n") / F.col("__rt"), F.lit(floor))
+    af = F.greatest(F.col("act_n") / F.col("__at"), F.lit(floor))
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    out = joined.select(
+        "bin",
+        F.round(F.col("__lo") + F.col("bin") * width, 6).alias("lo"),
+        F.round(F.col("__lo") + (F.col("bin") + 1) * width, 6).alias("hi"),
+        F.round(rf, 6).alias("ref_frac"),
+        F.round(af, 6).alias("act_frac"),
+        F.round((af - rf) * F.log(af / rf), 6).alias("contrib"),
+    )
+    # total PSI = sum of the (rounded) per-bin contribs, carried on
+    # every row by a bucket-count-sized global window
+    return out.withColumn(
+        "psi",
+        F.round(
+            F.sum(F.col("contrib")).over(Window.partitionBy()), 6
+        ),
+    ).orderBy("bin")
+
+
+def psi_drift_sql(
+    ref_sql: str,
+    act_sql: str,
+    value_col: str,
+    dialect: str,
+    *,
+    bins: int = 10,
+    floor: float = 1e-6,
+) -> str:
+    """Dual-dialect twin of :func:`psi_drift` (identical binning,
+    flooring and log arithmetic; the bin spine comes from a generated
+    range so empty bins appear on both engines)."""
+    if dialect == "spark":
+        spine = f"SELECT explode(sequence(0, {bins - 1})) AS bin"
+    elif dialect == "duckdb":
+        spine = f"SELECT CAST(t.i AS INT) AS bin FROM range(0, {bins}) t(i)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    v = f"CAST({value_col} AS DOUBLE)"
+    idx = (
+        f"LEAST({bins - 1}, GREATEST(0, CAST(FLOOR(({v} - s.lo)"
+        f" / ((s.hi - s.lo) / {bins})) AS INT)))"
+    )
+    return f"""
+WITH ref AS ({ref_sql}),
+act AS ({act_sql}),
+s AS (SELECT MIN({v}) AS lo, MAX({v}) AS hi FROM ref),
+rb AS (
+  SELECT {idx} AS bin, COUNT(*) AS ref_n
+  FROM ref CROSS JOIN s WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+ab AS (
+  SELECT {idx} AS bin, COUNT(*) AS act_n
+  FROM act CROSS JOIN s WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+spine AS ({spine}),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM ref WHERE {value_col} IS NOT NULL) AS rt,
+         (SELECT COUNT(*) FROM act WHERE {value_col} IS NOT NULL) AS at
+),
+d AS (
+  SELECT spine.bin,
+         ROUND(s.lo + spine.bin * ((s.hi - s.lo) / {bins}), 6) AS lo,
+         ROUND(s.lo + (spine.bin + 1) * ((s.hi - s.lo) / {bins}), 6)
+           AS hi,
+         ROUND(GREATEST(COALESCE(rb.ref_n, 0) / CAST(tot.rt AS DOUBLE),
+                        {floor!r}), 6) AS ref_frac,
+         ROUND(GREATEST(COALESCE(ab.act_n, 0) / CAST(tot.at AS DOUBLE),
+                        {floor!r}), 6) AS act_frac,
+         ROUND((GREATEST(COALESCE(ab.act_n, 0) / CAST(tot.at AS DOUBLE),
+                         {floor!r})
+                - GREATEST(COALESCE(rb.ref_n, 0) / CAST(tot.rt AS DOUBLE),
+                           {floor!r}))
+               * LN(GREATEST(COALESCE(ab.act_n, 0) / CAST(tot.at AS
+                             DOUBLE), {floor!r})
+                    / GREATEST(COALESCE(rb.ref_n, 0) / CAST(tot.rt AS
+                               DOUBLE), {floor!r})), 6) AS contrib
+  FROM spine
+  LEFT JOIN rb ON spine.bin = rb.bin
+  LEFT JOIN ab ON spine.bin = ab.bin
+  CROSS JOIN s CROSS JOIN tot
+)
+SELECT bin, lo, hi, ref_frac, act_frac, contrib,
+       ROUND(SUM(contrib) OVER (), 6) AS psi
+FROM d ORDER BY bin
+"""

@@ -376,3 +376,51 @@ def test_kaplan_meier_fully_churned_bucket(spark):
     }
     assert want[2][4] == 1.0
     assert want[20][4] == 0.0
+
+
+def test_psi_drift_identical_distributions_zero(spark):
+    from harmonize_search_analyze_spark.operators.analytics import psi_drift
+
+    rows = [(float(i % 50),) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = psi_drift(df, df, "v", bins=10).collect()
+    assert len(out) == 10
+    assert all(r["psi"] == 0.0 for r in out)
+    assert all(r["contrib"] == 0.0 for r in out)
+    assert abs(sum(r["ref_frac"] for r in out) - 1.0) < 1e-6
+
+
+def test_psi_drift_detects_shift(spark):
+    from harmonize_search_analyze_spark.operators.analytics import psi_drift
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(2000)],
+                                ["v"])
+    # actual shifted + clamped into edge bins (values beyond ref max)
+    act = spark.createDataFrame(
+        [(float(i % 100) + 60.0,) for i in range(2000)], ["v"]
+    )
+    out = psi_drift(ref, act, "v", bins=10).collect()
+    psi = out[0]["psi"]
+    assert psi > 0.25  # "drifted" per the standard rule of thumb
+    # clamping: the top bin absorbs everything above ref max
+    assert out[-1]["act_frac"] > out[-1]["ref_frac"]
+
+
+def test_psi_drift_hand_computed(spark):
+    import math
+
+    from harmonize_search_analyze_spark.operators.analytics import psi_drift
+
+    # 2 bins over ref [0, 10): ref 50/50, act 25/75
+    ref = spark.createDataFrame(
+        [(2.0,), (3.0,), (7.0,), (8.0,)], ["v"]
+    )
+    act = spark.createDataFrame(
+        [(1.0,), (6.0,), (7.0,), (9.0,)], ["v"]
+    )
+    out = psi_drift(ref, act, "v", bins=2).collect()
+    want = round(
+        (0.25 - 0.5) * math.log(0.25 / 0.5)
+        + (0.75 - 0.5) * math.log(0.75 / 0.5), 6
+    )
+    assert out[0]["psi"] == want
