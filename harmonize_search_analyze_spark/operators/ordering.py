@@ -398,6 +398,7 @@ def scd2_merge(
     *,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    close_missing: bool = True,
 ) -> DataFrame:
     """Slowly-changing-dimension Type 2 merge — the snapshot-versioning
     primitive a training-corpus registry needs (which document/source
@@ -418,6 +419,12 @@ def scd2_merge(
     One full-outer equi-join on the id (AQE-skew-safe) + a history
     passthrough union — no windows, no collects; history never joins.
     Ordered (id, valid_from) for reproducibility.
+
+    ``close_missing=False`` switches to PARTIAL-snapshot (upsert)
+    semantics: an open row absent from the snapshot stays open instead
+    of closing — the contract a streaming micro-batch needs (a batch
+    carries changes, not the world), and what makes replaying a batch
+    idempotent (re-merging an already-applied batch is a no-op).
     """
     ts = F.lit(as_of).cast("timestamp")
     hist = dim.where(F.col(valid_to).isNotNull()).select(
@@ -457,12 +464,22 @@ def scd2_merge(
             ),
         )
 
+    closed_cond = (
+        F.col("__id").isNotNull() & ~(in_both & unchanged)
+        if close_missing
+        else in_both & ~unchanged
+    )
+    keep_cond = (
+        in_both & unchanged
+        if close_missing
+        else F.col("__id").isNotNull()
+        & (F.col("__sid").isNull() | unchanged)
+    )
     closed_v = variant(
-        F.col("__id").isNotNull() & ~(in_both & unchanged),
-        F.col("__id"), "c", F.col("__vf"), ts,
+        closed_cond, F.col("__id"), "c", F.col("__vf"), ts,
     )
     keep_v = variant(
-        in_both & unchanged, F.col("__id"), "c", F.col("__vf"), null_ts
+        keep_cond, F.col("__id"), "c", F.col("__vf"), null_ts
     )
     new_v = variant(
         F.col("__sid").isNotNull() & ~(in_both & unchanged),
@@ -490,11 +507,20 @@ def scd2_merge_sql(
     *,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    close_missing: bool = True,
 ) -> str:
     """Dual-dialect twin of :func:`scd2_merge` (IS NOT DISTINCT FROM is
     the shared null-safe comparison; identical text both engines)."""
     if dialect not in ("spark", "duckdb"):
         raise ValueError(f"unknown dialect: {dialect}")
+    if close_missing:
+        close_where = "cid IS NOT NULL AND NOT unchanged"
+        keep_where = "unchanged"
+    else:
+        close_where = (
+            "cid IS NOT NULL AND sid IS NOT NULL AND NOT unchanged"
+        )
+        keep_where = "cid IS NOT NULL AND (sid IS NULL OR unchanged)"
     cols = ", ".join(tracked)
     same = " AND ".join(
         f"c.{c} IS NOT DISTINCT FROM s.{c}" for c in tracked
@@ -521,11 +547,11 @@ j AS (
 SELECT * FROM hist
 UNION ALL
 SELECT cid, {', '.join(f'c_{c}' for c in tracked)}, vf, {ts}
-FROM j WHERE cid IS NOT NULL AND NOT unchanged
+FROM j WHERE {close_where}
 UNION ALL
 SELECT cid, {', '.join(f'c_{c}' for c in tracked)}, vf,
        CAST(NULL AS TIMESTAMP)
-FROM j WHERE unchanged
+FROM j WHERE {keep_where}
 UNION ALL
 SELECT sid, {', '.join(f's_{c}' for c in tracked)}, {ts},
        CAST(NULL AS TIMESTAMP)

@@ -621,3 +621,71 @@ def bloom_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def scd2_upsert_stream(
+    stream: DataFrame,
+    dim_path: str,
+    checkpoint: str,
+    *,
+    id_col: str,
+    tracked: list[str],
+    ts_col: str,
+) -> "StreamingQuery":
+    """Streaming SCD2 dimension maintenance: every micro-batch upserts
+    into a versioned parquet dimension via
+    ``operators/ordering.py::scd2_merge(close_missing=False)`` — the
+    always-on corpus registry (which version of every document/source
+    row was live at time T?).
+
+    Per epoch: the batch collapses to its newest row per id
+    (``latest_transform`` with the id as tiebreak), ``as_of`` is the
+    batch's MAX event timestamp — DATA-derived, so a replayed epoch
+    computes the identical merge, and partial-snapshot semantics make
+    re-applying an already-applied batch a no-op: exactly-once without
+    a transactional sink. The merged dimension is localCheckpoint'd
+    BEFORE the overwrite (reading and overwriting the same path in one
+    lazy plan would race); a production deployment swaps the parquet
+    overwrite for a transactional table format, the merge plan is
+    unchanged.
+
+    Scale: the merge is one full-outer id join per epoch; history rows
+    pass through untouched, so epoch cost tracks open-row count +
+    batch size, not history length.
+    """
+    from harmonize_search_analyze_spark.operators.ordering import (
+        latest_transform,
+        scd2_merge,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        latest = latest_transform(
+            batch_df, [id_col], ts_col, tiebreak=id_col
+        ).select(id_col, *tracked, ts_col)
+        as_of = latest.agg(F.max(ts_col)).collect()[0][0]
+        dim = _read_state_or_none(spark, dim_path)
+        if dim is None:
+            dim = spark.createDataFrame(
+                [],
+                latest.select(id_col, *tracked).schema.add(
+                    "valid_from", "timestamp"
+                ).add("valid_to", "timestamp"),
+            )
+        merged = scd2_merge(
+            dim,
+            latest.select(id_col, *tracked),
+            id_col,
+            tracked,
+            str(as_of),
+            close_missing=False,
+        ).localCheckpoint()
+        merged.write.mode("overwrite").parquet(dim_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1090,3 +1090,87 @@ def test_streaming_hll_by_matches_batch(spark, tmp_path):
         )
         got[g] = round(est, 4)
     assert got == batch
+
+
+def test_scd2_upsert_stream_versions_dimension(spark, tmp_path):
+    """Streaming SCD2 registry: two micro-batches (insert wave, then a
+    mixed update/new wave) produce the same dimension as two sequential
+    batch merges; rows absent from a batch stay open (partial-snapshot
+    semantics)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.streaming.windows import (
+        scd2_upsert_stream,
+    )
+
+    t = dt.datetime
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("seg", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    wave1 = [(1, "a", t(2025, 1, 1)), (2, "b", t(2025, 1, 1)),
+             (2, "b2", t(2025, 1, 2))]     # in-batch newer version wins
+    wave2 = [(2, "c", t(2025, 2, 1)), (3, "new", t(2025, 2, 1))]
+    src = tmp_path / "src"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src))
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    dim_path = str(tmp_path / "dim")
+    q = scd2_upsert_stream(
+        stream, dim_path, str(tmp_path / "ckpt"),
+        id_col="id", tracked=["seg"], ts_col="ts",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r["id"], r["seg"], r["valid_to"] is None)
+        for r in spark.read.parquet(dim_path).collect()
+    }
+    # id 1 untouched by wave 2 -> STILL OPEN (partial snapshot);
+    # id 2: b2 closed, c open (b never materialized — in-batch collapse);
+    # id 3 inserted open
+    assert rows == {
+        (1, "a", True),
+        (2, "b2", False),
+        (2, "c", True),
+        (3, "new", True),
+    }
+
+
+def test_scd2_upsert_stream_replay_idempotent(spark, tmp_path):
+    """Re-merging an already-applied batch (the foreachBatch replay
+    case) is a no-op: data-derived as_of + close_missing=False."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.ordering import (
+        scd2_merge,
+    )
+
+    t = dt.datetime
+    dim = spark.createDataFrame(
+        [(1, "a", t(2025, 1, 1), None), (2, "b", t(2025, 1, 1), None)],
+        "id long, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    batch = spark.createDataFrame([(2, "c")], "id long, seg string")
+    once = scd2_merge(dim, batch, "id", ["seg"], "2025-02-01",
+                      close_missing=False)
+    twice = scd2_merge(once, batch, "id", ["seg"], "2025-02-01",
+                       close_missing=False)
+    assert sorted(map(tuple, once.collect())) == \
+        sorted(map(tuple, twice.collect()))
+    # and id 1 (absent from the batch) stayed open
+    assert [r for r in once.collect()
+            if r["id"] == 1][0]["valid_to"] is None
