@@ -10138,6 +10138,39 @@ def _sql_psi_drift() -> str:
     )
 
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over elapsed days (shared
+    SQL-standard REGR_* aggregates; one map-combinable agg)."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        ols_trend,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return ols_trend(
+        ev,
+        "datediff(CAST(ts AS DATE), DATE '2024-01-01')",
+        "value",
+        by="event_type",
+    )
+
+
+def _sql_ols_trend() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        ols_trend_sql,
+    )
+
+    return ols_trend_sql(
+        "events",
+        "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))",
+        "value",
+        "duckdb",
+        by="event_type",
+        where="ts IS NOT NULL AND event_type IS NOT NULL",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10451,6 +10484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "k_core": q_k_core,
         "psi_drift": q_psi_drift,
+        "ols_trend": q_ols_trend,
     }
 
 
@@ -10525,6 +10559,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _sql_containment_pairs(),
         "k_core": _sql_k_core(),
         "psi_drift": _sql_psi_drift(),
+        "ols_trend": _sql_ols_trend(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -1387,3 +1387,74 @@ SELECT bin, lo, hi, ref_frac, act_frac, contrib,
        ROUND(SUM(contrib) OVER (), 6) AS psi
 FROM d ORDER BY bin
 """
+
+
+def ols_trend(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    *,
+    by: str | None = None,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) — the trend-fitting
+    primitive behind "is this metric drifting?" panels: slope,
+    intercept, R² and n of ``y`` on ``x`` (both Spark SQL expressions),
+    via the engines' SHARED closed-form REGR_* aggregates — one
+    map-combinable agg, no windows, no collects.
+
+    Degenerate-group pins (verified identical on both engines):
+    zero y-variance gives R² = 1.0 (the flat line fits perfectly);
+    zero x-variance gives NULL slope/intercept/R². Rounded 6; ordered
+    by group.
+    """
+    y = F.expr(y_expr).cast("double")
+    x = F.expr(x_expr).cast("double")
+    aggs = [
+        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).cast(
+            "bigint"
+        ).alias("n"),
+        F.round(F.expr(
+            f"regr_slope(CAST({y_expr} AS DOUBLE),"
+            f" CAST({x_expr} AS DOUBLE))"
+        ), 6).alias("slope"),
+        F.round(F.expr(
+            f"regr_intercept(CAST({y_expr} AS DOUBLE),"
+            f" CAST({x_expr} AS DOUBLE))"
+        ), 6).alias("intercept"),
+        F.round(F.expr(
+            f"regr_r2(CAST({y_expr} AS DOUBLE),"
+            f" CAST({x_expr} AS DOUBLE))"
+        ), 6).alias("r2"),
+    ]
+    if by is None:
+        return df.agg(*aggs)
+    return df.groupBy(by).agg(*aggs).orderBy(by)
+
+
+def ols_trend_sql(
+    table: str,
+    x_expr: str,
+    y_expr: str,
+    dialect: str,
+    *,
+    by: str | None = None,
+    where: str | None = None,
+) -> str:
+    """Dual-dialect twin of :func:`ols_trend` (REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 are shared SQL-standard aggregates)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    y = f"CAST({y_expr} AS DOUBLE)"
+    x = f"CAST({x_expr} AS DOUBLE)"
+    sel = f"{by}, " if by else ""
+    grp = f"GROUP BY {by} ORDER BY {by}" if by else ""
+    w = f"WHERE {where}" if where else ""
+    return f"""
+SELECT {sel}CAST(COUNT(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL
+                 THEN 1 END) AS BIGINT) AS n,
+       ROUND(REGR_SLOPE({y}, {x}), 6) AS slope,
+       ROUND(REGR_INTERCEPT({y}, {x}), 6) AS intercept,
+       ROUND(REGR_R2({y}, {x}), 6) AS r2
+FROM {table} {w}
+{grp}
+"""

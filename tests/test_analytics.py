@@ -424,3 +424,31 @@ def test_psi_drift_hand_computed(spark):
         + (0.75 - 0.5) * math.log(0.75 / 0.5), 6
     )
     assert out[0]["psi"] == want
+
+
+def test_ols_trend_exact_line(spark):
+    from harmonize_search_analyze_spark.operators.analytics import ols_trend
+
+    rows = [("a", float(i), 2.0 * i + 5.0) for i in range(20)] + \
+           [("b", float(i), -1.5 * i + 3.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r["g"]: r for r in ols_trend(df, "x", "y", by="g").collect()}
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 5.0
+    assert out["a"]["r2"] == 1.0 and out["a"]["n"] == 20
+    assert out["b"]["slope"] == -1.5 and out["b"]["intercept"] == 3.0
+
+
+def test_ols_trend_degenerate_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import ols_trend
+
+    flat_y = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(5)], ["x", "y"]
+    )
+    r = ols_trend(flat_y, "x", "y").collect()[0]
+    assert r["slope"] == 0.0
+    assert r["r2"] == 1.0  # zero y-variance: both engines return 1.0
+    flat_x = spark.createDataFrame(
+        [(2.0, float(i)) for i in range(5)], ["x", "y"]
+    )
+    r = ols_trend(flat_x, "x", "y").collect()[0]
+    assert r["slope"] is None and r["r2"] is None
