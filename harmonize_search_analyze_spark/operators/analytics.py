@@ -1458,3 +1458,87 @@ SELECT {sel}CAST(COUNT(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL
 FROM {table} {w}
 {grp}
 """
+
+
+def xcorr_lags(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    bucket_col: str = "bucket",
+    a_col: str = "va",
+    b_col: str = "vb",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation of two (already bucketed) daily series at lags
+    -max_lag..+max_lag — the lead/lag detector ("do signups follow
+    campaigns by 3 days?"). Positive lag means ``b`` SHIFTED FORWARD:
+    corr(a[t], b[t - lag]), so a peak at lag +3 reads "a follows b by
+    3 buckets". Pearson corr via the engines' shared CORR aggregate;
+    returns (lag, n, corr) rounded 6, NULL corr where a lag's overlap
+    is constant or empty (the shared CORR contract).
+
+    Scale shape: inputs are bucket frames (tiny by contract — same
+    single-task caveat as every bucket_pipeline consumer); the lag
+    spine is 2*max_lag+1 rows crossJoined onto one side, one equi-join
+    on (bucket+lag), one group-by-lag agg.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    spark = a.sparkSession
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    left = a.select(
+        F.col(bucket_col).alias("__ab"), F.col(a_col).cast("double")
+        .alias("__va")
+    ).crossJoin(F.broadcast(lags))
+    right = b.select(
+        F.col(bucket_col).alias("__bb"), F.col(b_col).cast("double")
+        .alias("__vb")
+    )
+    joined = left.join(
+        right,
+        F.col("__bb") == F.expr("__ab - make_interval(0,0,0,lag,0,0,0)"),
+    )
+    return (
+        joined.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.corr("__va", "__vb"), 6).alias("corr"),
+        )
+        .orderBy("lag")
+    )
+
+
+def xcorr_lags_sql(
+    a_sql: str,
+    b_sql: str,
+    dialect: str,
+    *,
+    max_lag: int = 7,
+) -> str:
+    """Dual-dialect twin of :func:`xcorr_lags`. ``a_sql``/``b_sql``
+    yield (bucket TIMESTAMP, v DOUBLE)."""
+    if dialect == "spark":
+        spine = (
+            f"SELECT explode(sequence({-max_lag}, {max_lag})) AS lag"
+        )
+        shift = "a.bucket - make_interval(0,0,0,l.lag,0,0,0)"
+    elif dialect == "duckdb":
+        spine = (
+            f"SELECT CAST(t.i AS INT) AS lag"
+            f" FROM range({-max_lag}, {max_lag + 1}) t(i)"
+        )
+        shift = "a.bucket - to_days(l.lag)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH sa AS ({a_sql}),
+sb AS ({b_sql}),
+lags AS ({spine})
+SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CORR(a.v, b.v), 6) AS corr
+FROM sa a CROSS JOIN lags l
+JOIN sb b ON b.bucket = {shift}
+GROUP BY l.lag ORDER BY l.lag
+"""

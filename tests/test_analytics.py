@@ -452,3 +452,48 @@ def test_ols_trend_degenerate_pins(spark):
     )
     r = ols_trend(flat_x, "x", "y").collect()[0]
     assert r["slope"] is None and r["r2"] is None
+
+
+def test_xcorr_lags_detects_known_lag(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        xcorr_lags,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [float(v) for v in
+            [5, 9, 2, 8, 1, 7, 3, 9, 4, 6, 2, 8, 5, 1, 9, 3]]
+    a = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i), v) for i, v in enumerate(vals)],
+        ["bucket", "va"],
+    )
+    # b leads a by 3 days: a[t] == b[t-3] -> peak at lag +3
+    b = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i - 3), v) for i, v in enumerate(vals)],
+        ["bucket", "vb"],
+    )
+    out = {r["lag"]: r["corr"] for r in xcorr_lags(
+        a, b, a_col="va", b_col="vb", max_lag=4
+    ).collect()}
+    assert out[3] == 1.0
+    assert all(v is None or v < 1.0 for lag, v in out.items() if lag != 3)
+
+
+def test_xcorr_lags_zero_lag_self_correlation(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        xcorr_lags,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    s = spark.createDataFrame(
+        [(t0 + dt.timedelta(days=i), float((i * 7) % 5)) for i in range(20)],
+        ["bucket", "v"],
+    )
+    out = {r["lag"]: (r["n"], r["corr"]) for r in xcorr_lags(
+        s, s, a_col="v", b_col="v", max_lag=2
+    ).collect()}
+    assert out[0] == (20, 1.0)
+    assert out[1][0] == 19  # one bucket falls off per lag step
