@@ -10210,6 +10210,38 @@ def _sql_xcorr_lags() -> str:
                           max_lag=5)
 
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the recorded language label and a derived
+    second 'annotator' (lang with a deterministic 1-in-7 disagreement)
+    — the labeling-QA agreement gate."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cohens_kappa,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("rater_a"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("rater_b"),
+    )
+    return cohens_kappa(docs, "rater_a", "rater_b")
+
+
+def _sql_cohens_kappa() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cohens_kappa_sql,
+    )
+
+    return cohens_kappa_sql(
+        "(SELECT lang AS rater_a,"
+        " CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS rater_b"
+        " FROM documents) t",
+        "rater_a",
+        "rater_b",
+        "duckdb",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10525,6 +10557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ols_trend": q_ols_trend,
         "xcorr_lags": q_xcorr_lags,
+        "cohens_kappa": q_cohens_kappa,
     }
 
 
@@ -10601,6 +10634,7 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _sql_psi_drift(),
         "ols_trend": _sql_ols_trend(),
         "xcorr_lags": _sql_xcorr_lags(),
+        "cohens_kappa": _sql_cohens_kappa(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

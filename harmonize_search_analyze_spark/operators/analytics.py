@@ -1542,3 +1542,109 @@ FROM sa a CROSS JOIN lags l
 JOIN sb b ON b.bucket = {shift}
 GROUP BY l.lag ORDER BY l.lag
 """
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement, the
+    labeling-QA gate for any human- or model-annotated training set:
+    ``kappa = (p_o - p_e) / (1 - p_e)`` with observed agreement ``p_o``
+    and the chance agreement ``p_e`` = sum over categories of the two
+    raters' marginal proportions' product. Rows where either rating is
+    NULL drop (a non-rating is not a category). Returns ONE row:
+    ``(n, p_o, p_e, kappa)`` rounded 6; perfect chance-agreement
+    (p_e = 1, both raters constant and equal) pins kappa = 1.0 rather
+    than 0/0 — the degenerate-but-agreeing case.
+
+    Scale shape: one (a, b) pair-count agg (category-pair-sized), then
+    marginals and the kappa arithmetic over that tiny frame — the
+    corpus is scanned once.
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    # the category-pair-sized count frame feeds FOUR consumers (n, p_o,
+    # both marginals) — persist it or the corpus agg replays per branch
+    pairs = (
+        df.where(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
+        .groupBy(
+            F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    n = pairs.agg(F.sum("__c").alias("__n"))
+    po = pairs.where(F.col("__a") == F.col("__b")).agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("__agree")
+    )
+    ma = pairs.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    mb = pairs.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    pe = (
+        ma.join(mb, ma["__a"] == mb["__b"])
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    (F.col("__ca") / F.col("__n"))
+                    * (F.col("__cb") / F.col("__n"))
+                ),
+                F.lit(0.0),
+            ).alias("__pe")
+        )
+    )
+    out = (
+        n.crossJoin(po).crossJoin(pe)
+        .select(
+            F.col("__n").cast("bigint").alias("n"),
+            F.round(F.col("__agree") / F.col("__n"), 6).alias("p_o"),
+            F.round(F.col("__pe"), 6).alias("p_e"),
+            F.round(
+                F.when(
+                    F.col("__pe") >= 1.0,
+                    F.when(
+                        F.col("__agree") == F.col("__n"), F.lit(1.0)
+                    ).otherwise(F.lit(0.0)),
+                ).otherwise(
+                    (F.col("__agree") / F.col("__n") - F.col("__pe"))
+                    / (1.0 - F.col("__pe"))
+                ),
+                6,
+            ).alias("kappa"),
+        )
+    )
+    return tether(out, pairs)
+
+
+def cohens_kappa_sql(
+    table: str, rater_a: str, rater_b: str, dialect: str
+) -> str:
+    """Dual-dialect twin of :func:`cohens_kappa` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH pairs AS (
+  SELECT {rater_a} AS a, {rater_b} AS b, COUNT(*) AS c
+  FROM {table}
+  WHERE {rater_a} IS NOT NULL AND {rater_b} IS NOT NULL
+  GROUP BY 1, 2
+),
+n AS (SELECT SUM(c) AS n FROM pairs),
+po AS (SELECT COALESCE(SUM(c), 0) AS agree FROM pairs WHERE a = b),
+ma AS (SELECT a, SUM(c) AS ca FROM pairs GROUP BY a),
+mb AS (SELECT b, SUM(c) AS cb FROM pairs GROUP BY b),
+pe AS (
+  SELECT COALESCE(SUM((ca / CAST(n.n AS DOUBLE))
+                      * (cb / CAST(n.n AS DOUBLE))), 0.0) AS pe
+  FROM ma JOIN mb ON ma.a = mb.b CROSS JOIN n
+)
+SELECT CAST(n.n AS BIGINT) AS n,
+       ROUND(po.agree / CAST(n.n AS DOUBLE), 6) AS p_o,
+       ROUND(pe.pe, 6) AS p_e,
+       ROUND(CASE WHEN pe.pe >= 1.0
+                  THEN CASE WHEN po.agree = n.n THEN 1.0 ELSE 0.0 END
+                  ELSE (po.agree / CAST(n.n AS DOUBLE) - pe.pe)
+                       / (1.0 - pe.pe) END, 6) AS kappa
+FROM n CROSS JOIN po CROSS JOIN pe
+"""

@@ -497,3 +497,36 @@ def test_xcorr_lags_zero_lag_self_correlation(spark):
     ).collect()}
     assert out[0] == (20, 1.0)
     assert out[1][0] == 19  # one bucket falls off per lag step
+
+
+def test_cohens_kappa_hand_values(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cohens_kappa,
+    )
+
+    # classic 2x2 example: po = 0.7, marginals a: y=.5/n=.5, b: y=.6/n=.4
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    po = 35 / 50
+    pe = 0.5 * 0.6 + 0.5 * 0.4
+    assert (r["n"], r["p_o"], r["p_e"]) == (50, po, pe)
+    assert r["kappa"] == round((po - pe) / (1 - pe), 6)
+
+
+def test_cohens_kappa_degenerate_and_nulls(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cohens_kappa,
+    )
+
+    # both raters constant and equal: p_e = 1 -> pinned kappa = 1.0
+    const = spark.createDataFrame([("y", "y")] * 5, ["a", "b"])
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] == 1.0
+    # NULL ratings drop from n
+    with_null = spark.createDataFrame(
+        [("y", "y"), ("y", None), (None, "n"), ("n", "n")],
+        "a string, b string",
+    )
+    r = cohens_kappa(with_null, "a", "b").collect()[0]
+    assert r["n"] == 2 and r["kappa"] == 1.0
