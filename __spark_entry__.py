@@ -10242,6 +10242,36 @@ def _sql_cohens_kappa() -> str:
     )
 
 
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard self-join (prefix filtering, AllPairs/PPJoin
+    family) at t=0.9 on the 1-in-20 token-set sample — the
+    no-false-negative counterpart the LSH path trades recall against;
+    integer-exact rational threshold arithmetic on both engines."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return set_similarity_join(
+        docs, "doc_id", "text", threshold=0.9, n=1
+    )
+
+
+def _sql_set_similarity_join() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        set_similarity_join_sql,
+    )
+
+    return set_similarity_join_sql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0) t",
+        "doc_id",
+        "text",
+        "duckdb",
+        threshold=0.9,
+        n=1,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10558,6 +10588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "xcorr_lags": q_xcorr_lags,
         "cohens_kappa": q_cohens_kappa,
+        "set_similarity_join": q_set_similarity_join,
     }
 
 
@@ -10635,6 +10666,7 @@ def oracle_sql() -> dict[str, str]:
         "ols_trend": _sql_ols_trend(),
         "xcorr_lags": _sql_xcorr_lags(),
         "cohens_kappa": _sql_cohens_kappa(),
+        "set_similarity_join": _sql_set_similarity_join(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

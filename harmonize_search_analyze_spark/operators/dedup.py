@@ -1675,3 +1675,204 @@ def containment_pairs(
     )
     transfer(cands, out)
     return tether(out, sh)
+
+
+# -- exact set-similarity join (prefix filtering) ------------------------------
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    n: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join via prefix filtering
+    (AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    the no-false-negative counterpart to the MinHash-LSH path: LSH
+    trades recall for speed; prefix filtering keeps exactness and still
+    never goes all-pairs.
+
+    The filter: order each doc's distinct n-gram tokens by GLOBAL
+    frequency (rarest first, ties by token — the canonical total
+    order); two sets with Jaccard >= t MUST share a token within each
+    other's first ``|x| - ceil(t * |x|) + 1`` tokens, so candidates
+    come from an equi-join on exploded PREFIX tokens only — common
+    tokens (the quadratic hot keys) sit at the ends of the ordering
+    and rarely enter prefixes. A length filter (``t * |x| <= |y|``)
+    prunes size-skewed pairs the Jaccard bound already excludes.
+    Verification computes exact Jaccard on the full token sets.
+
+    Returns ``(id1, id2, jaccard)`` with jaccard >= threshold, ordered.
+
+    Scale shape: token-frequency rank is vocabulary-sized (broadcast);
+    the candidate join's fan-out is bounded by PREFIX token frequency —
+    the rarest tokens by construction; verify joins fetch only
+    candidate ids. The shingle frame persists across its three readers
+    (same discipline as the LSH pipeline).
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(shingles_sql(text_col, "spark", n))
+            ).alias("tok"),
+        )
+        .distinct()
+        .persist()
+    )
+    # global total order: rarest first, ties by token text — carried
+    # as (freq, tok) STRUCT sort inside each doc, NOT a global
+    # row_number over the vocabulary (that would be a single-task
+    # window over every distinct token; the struct compare is the same
+    # total order with zero global state)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__tf"))
+    ranked = toks.join(F.broadcast(vocab), "tok")
+    docs = ranked.groupBy(id_col).agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(__tf, tok))),"
+            " x -> x.tok)"
+        ).alias("rs"),
+        F.count(F.lit(1)).alias("sz"),
+    ).persist()
+    # ALL threshold arithmetic is integer-exact via the rational form
+    # t = p/1000: double 0.8*5 rounds to 4.0000000000000002 (ceil 5!)
+    # while DuckDB's DECIMAL gives exactly 4 — the p/q form removes the
+    # engine divergence. ceil(p*sz/q) = (p*sz + q - 1) DIV q.
+    p = int(round(threshold * 1000))
+    q = 1000
+    pref = docs.select(
+        F.col(id_col),
+        F.col("sz"),
+        F.explode(
+            F.slice(
+                F.col("rs"),
+                1,
+                (
+                    F.col("sz")
+                    - F.expr(f"({p} * sz + {q - 1}) DIV {q}")
+                    + 1
+                ).cast("int"),
+            )
+        ).alias("r"),
+    )
+    lhs = pref.select(
+        F.col(id_col).alias("id1"), F.col("sz").alias("sz1"),
+        F.col("r"),
+    )
+    rhs = pref.select(
+        F.col(id_col).alias("id2"), F.col("sz").alias("sz2"),
+        F.col("r"),
+    )
+    cands = (
+        lhs.join(rhs, ["r"])
+        .where(
+            (F.col("id1") < F.col("id2"))
+            # length filter, integer-exact: t*|x| <= |y| and t*|y| <= |x|
+            & (F.lit(p) * F.col("sz1") <= F.lit(q) * F.col("sz2"))
+            & (F.lit(p) * F.col("sz2") <= F.lit(q) * F.col("sz1"))
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    # verify with the integer cross-multiplied bound, report rounded 6;
+    # ranks are DISTINCT per doc so array_intersect's dedup is a no-op
+    out = (
+        cands.join(
+            docs.select(
+                F.col(id_col).alias("id1"), F.col("rs").alias("a_rs")
+            ),
+            "id1",
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("id2"), F.col("rs").alias("b_rs")
+            ),
+            "id2",
+        )
+        .withColumn(
+            "__i", F.expr("size(array_intersect(a_rs, b_rs))")
+        )
+        .withColumn("__u", F.expr("size(a_rs) + size(b_rs) - __i"))
+        .where(F.lit(q) * F.col("__i") >= F.lit(p) * F.col("__u"))
+        .select(
+            "id1", "id2",
+            F.round(
+                F.col("__i").cast("double") / F.col("__u"), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("id1", "id2")
+    )
+    return tether(out, toks, docs)
+
+
+def set_similarity_join_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    dialect: str,
+    *,
+    threshold: float = 0.8,
+    n: int = 1,
+) -> str:
+    """Dual-dialect twin of :func:`set_similarity_join` — identical
+    ranking, prefix and verification arithmetic. Ranks (not raw token
+    hashes) are the set elements in BOTH engines, so intersection
+    counts agree exactly."""
+    if dialect == "spark":
+        stream = f"explode({shingles_sql(text_col, 'spark', n)})"
+        size_fn, inter = "size", "array_intersect"
+    elif dialect == "duckdb":
+        stream = f"unnest({shingles_sql(text_col, 'duckdb', n)})"
+        size_fn, inter = "len", "list_intersect"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    p = int(round(threshold * 1000))
+    q = 1000
+    idiv = "DIV" if dialect == "spark" else "//"
+    expl = "explode" if dialect == "spark" else "unnest"
+    slc = "slice" if dialect == "spark" else "list_slice"
+    if dialect == "spark":
+        mkrs = ("transform(sort_array(collect_list(struct(tf, tok))),"
+                " x -> x.tok)")
+    else:
+        mkrs = ("list_transform(list_sort(list({'tf': tf, 'tok': tok})),"
+                " x -> x.tok)")
+    return f"""
+WITH toks AS{mat} (
+  SELECT DISTINCT {id_col} AS id, {stream} AS tok FROM {table}
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok
+),
+docs AS{mat} (
+  SELECT id, {mkrs} AS rs, COUNT(*) AS sz
+  FROM toks JOIN vocab USING (tok) GROUP BY id
+),
+pref AS{mat} (
+  SELECT id, sz, {expl}({slc}(rs, 1,
+      CAST(sz - (({p} * sz + {q - 1}) {idiv} {q}) + 1 AS INT))) AS r
+  FROM docs
+),
+cands AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM pref a JOIN pref b ON a.r = b.r AND a.id < b.id
+   AND {p} * a.sz <= {q} * b.sz AND {p} * b.sz <= {q} * a.sz
+),
+verified AS (
+  SELECT id1, id2,
+         {size_fn}({inter}(da.rs, db.rs)) AS i_,
+         {size_fn}(da.rs) + {size_fn}(db.rs)
+           - {size_fn}({inter}(da.rs, db.rs)) AS u_
+  FROM cands
+  JOIN docs da ON da.id = id1
+  JOIN docs db ON db.id = id2
+)
+SELECT id1, id2, ROUND(CAST(i_ AS DOUBLE) / u_, 6) AS jaccard
+FROM verified WHERE {q} * i_ >= {p} * u_
+ORDER BY id1, id2
+"""

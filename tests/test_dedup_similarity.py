@@ -1370,3 +1370,55 @@ def test_containment_sql_cross_engine(spark):
         + " AS c"
     ).fetchall()[0][0]
     assert s == d == round(2 / 2, 6)
+
+
+def test_set_similarity_join_exact_no_false_negatives(spark):
+    """Prefix filtering must return EXACTLY the brute-force pair set —
+    the no-false-negative property LSH gives up."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        near_dup_pairs_brute, set_similarity_join,
+    )
+
+    texts = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),       # j=4/6 vs 0
+        (2, "alpha beta gamma delta epsilon"),    # exact dup of 0
+        (3, "one two three four five"),
+        (4, "one two three four five six"),       # j=5/6 vs 3
+        (5, "unrelated words entirely here now"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    for t in (0.5, 0.8, 0.95):
+        got = {(r["id1"], r["id2"]): r["jaccard"]
+               for r in set_similarity_join(
+                   df, "doc_id", "text", threshold=t, n=1).collect()}
+        want = {(r["id1"], r["id2"]): r["jaccard"]
+                for r in near_dup_pairs_brute(
+                    df, "doc_id", "text", threshold=t, n=1).collect()}
+        assert got == want, t
+    assert (0, 2) in {
+        (r["id1"], r["id2"]) for r in set_similarity_join(
+            df, "doc_id", "text", threshold=0.95, n=1).collect()
+    }
+
+
+def test_set_similarity_join_sql_matches_dataframe(spark):
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        set_similarity_join, set_similarity_join_sql,
+    )
+
+    rows = [(i, f"w{i % 4} w{(i * 3) % 7} w{(i * 5) % 9} common shared")
+            for i in range(40)]
+    df_rows = sorted(tuple(r) for r in set_similarity_join(
+        spark.createDataFrame(rows, ["doc_id", "text"]),
+        "doc_id", "text", threshold=0.6, n=1,
+    ).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    want = sorted(con.execute(set_similarity_join_sql(
+        "t", "doc_id", "text", "duckdb", threshold=0.6, n=1,
+    )).fetchall())
+    assert df_rows == want and len(want) > 0
