@@ -10272,6 +10272,43 @@ def _sql_set_similarity_join() -> str:
     )
 
 
+def q_kcenter_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy seed: the embedding farthest from the corpus
+    mean (tie id ASC) — the oracle-pinned step of kcenter_select
+    (trainer-pattern split)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        kcenter_seed,
+    )
+
+    return kcenter_seed(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+
+
+def _sql_kcenter_seed() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        kcenter_seed_sql,
+    )
+
+    return kcenter_seed_sql(
+        "embeddings", "vec_id", "embedding", "duckdb", d=64
+    )
+
+
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset (Gonzalez farthest-point, k=8) over the
+    embeddings — diversity-maximizing data selection; rows-only (the
+    greedy loop is driver-iterative), seeded by the oracle-pinned
+    kcenter_seed."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    return kcenter_select(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10589,6 +10626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_lags": q_xcorr_lags,
         "cohens_kappa": q_cohens_kappa,
         "set_similarity_join": q_set_similarity_join,
+        "kcenter_seed": q_kcenter_seed,
+        "kcenter_select": q_kcenter_select,
     }
 
 
@@ -10667,6 +10706,9 @@ def oracle_sql() -> dict[str, str]:
         "xcorr_lags": _sql_xcorr_lags(),
         "cohens_kappa": _sql_cohens_kappa(),
         "set_similarity_join": _sql_set_similarity_join(),
+        "kcenter_seed": _sql_kcenter_seed(),
+        # kcenter_select: rows-only (driver-iterative greedy) — its
+        # seed step is the oracle-pinned twin, trainer pattern
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -3353,3 +3353,134 @@ def embedding_pca(
     return vecs.mapInPandas(
         project, f"{id_col} long, components array<double>"
     )
+
+
+# -- k-center greedy coreset selection ----------------------------------------
+
+
+def kcenter_seed(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The deterministic SEED of k-center greedy selection: the vector
+    farthest from the corpus MEAN (ties pinned by id ASC). Returns one
+    row ``(id, d2)`` with the squared distance rounded 6. This is the
+    SQL-expressible step of :func:`kcenter_select` — its oracle twin
+    (same trainer-pattern split as kmeans_assign / embedding_covariance).
+
+    Plan: per-dimension mean via one posexplode agg (dimension-sized),
+    broadcast back, one squared-distance projection, TakeOrdered(1).
+    """
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("dvec")
+    )
+    means = (
+        vecs.select(F.posexplode("dvec").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.avg("v").alias("m"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, m))),"
+                " x -> x.m)"
+            ).alias("mean")
+        )
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(dvec, mean, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        vecs.crossJoin(F.broadcast(means))
+        .select(id_col, F.round(d2, 6).alias("d2"))
+        .orderBy(F.desc("d2"), F.asc(id_col))
+        .limit(1)
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """k-center GREEDY coreset selection (farthest-point traversal,
+    Gonzalez 1985) — the classic diversity-maximizing data-selection
+    method (pick the k most mutually-distant examples; 2-approximation
+    of the optimal k-center cover). Deterministic: the seed is
+    :func:`kcenter_seed`'s farthest-from-mean vector, every tie pins by
+    id ASC. Returns ``(rank, id, d2)`` where d2 is the squared distance
+    from the point to the PREVIOUSLY selected set (the coverage radius
+    at that step; rank 0 carries the seed's distance-from-mean).
+
+    Scale shape: each of the k rounds touches the corpus ONCE with a
+    map-only distance-to-newest-center update (running elementwise MIN
+    — no pairwise anything) and one TakeOrdered(1) argmax; the state
+    frame (id, vec, min-dist) is localCheckpoint'd per round so the
+    unrolled lineage never replays. k driver-side 1-row collects are
+    the metadata-sized exception every trainer here documents.
+    """
+    import numpy as np  # noqa: F401  (parity with the module's trainers)
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("dvec")
+    )
+    seed = kcenter_seed(df, id_col, vec_col).collect()[0]
+    picked = [(0, seed[0], float(seed[1]))]
+    spark = df.sparkSession
+    state = vecs.withColumn("mind", F.lit(float("inf")))
+    for rank in range(1, k):
+        center = vecs.where(
+            F.col(id_col) == picked[-1][1]
+        ).select(F.col("dvec").alias("cvec"))
+        d2 = F.expr(
+            "aggregate(zip_with(dvec, cvec, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        state = (
+            state.crossJoin(F.broadcast(center))
+            .withColumn("mind", F.least(F.col("mind"), d2))
+            .drop("cvec")
+            .localCheckpoint()
+        )
+        nxt = (
+            state.where(~F.col(id_col).isin([p[1] for p in picked]))
+            .orderBy(F.desc("mind"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        picked.append((rank, nxt[0][0], round(float(nxt[0]["mind"]), 6)))
+    return spark.createDataFrame(
+        picked, f"rank INT, {id_col} LONG, d2 DOUBLE"
+    )
+
+
+def kcenter_seed_sql(
+    table: str, id_col: str, vec_col: str, dialect: str, *, d: int
+) -> str:
+    """Dual-dialect twin of :func:`kcenter_seed` (the unrolled-index
+    mean + squared distance, same arithmetic both engines)."""
+    if dialect == "spark":
+        vals = (
+            f"SELECT {id_col} AS id, i0 + 1 AS i, v FROM {table}"
+            f" LATERAL VIEW posexplode({vec_col}) x AS i0, v"
+            f" WHERE {vec_col} IS NOT NULL"
+        )
+    elif dialect == "duckdb":
+        vals = (
+            f"SELECT {id_col} AS id, rng.i, {vec_col}[rng.i] AS v"
+            f" FROM {table}, range(1, {d + 1}) rng(i)"
+            f" WHERE {vec_col} IS NOT NULL"
+        )
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH vals AS ({vals}),
+means AS (SELECT i, AVG(v) AS m FROM vals GROUP BY i)
+SELECT id AS {id_col}, ROUND(SUM((v - m) * (v - m)), 6) AS d2
+FROM vals JOIN means USING (i)
+GROUP BY id
+ORDER BY d2 DESC, id ASC
+LIMIT 1
+"""

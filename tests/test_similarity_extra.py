@@ -442,3 +442,59 @@ def test_embedding_pca_deterministic_across_partitionings(spark):
           for r in embedding_pca(b, "id", "embedding", d=4, k=2).collect()}
     # rounded-6 outputs identical under different partitionings
     assert pa == pb
+
+
+def test_kcenter_select_farthest_point_property(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    # three tight clusters far apart + noise: the first 3 picks must
+    # land in 3 DIFFERENT clusters (the whole point of k-center)
+    pts = (
+        [(i, [0.0 + 0.01 * i, 0.0]) for i in range(10)]
+        + [(100 + i, [100.0 + 0.01 * i, 0.0]) for i in range(10)]
+        + [(200 + i, [50.0, 87.0 + 0.01 * i]) for i in range(10)]
+    )
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    out = kcenter_select(df, "id", "v", k=3).collect()
+    clusters = {r["id"] // 100 for r in out}
+    assert clusters == {0, 1, 2}
+    # ranks are 0..2 and coverage radii non-increasing after the seed
+    assert [r["rank"] for r in out] == [0, 1, 2]
+    assert out[2]["d2"] <= out[1]["d2"]
+
+
+def test_kcenter_select_deterministic_and_seed_matches(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        kcenter_seed, kcenter_select,
+    )
+
+    pts = [(i, [float((i * 7) % 13), float((i * 5) % 11)])
+           for i in range(50)]
+    df = spark.createDataFrame(pts, "id long, v array<double>")
+    a = kcenter_select(df, "id", "v", k=5).collect()
+    b = kcenter_select(df.repartition(7), "id", "v", k=5).collect()
+    assert [r["id"] for r in a] == [r["id"] for r in b]
+    assert a[0]["id"] == kcenter_seed(df, "id", "v").collect()[0][0]
+
+
+def test_kcenter_seed_sql_matches_dataframe(spark):
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        kcenter_seed, kcenter_seed_sql,
+    )
+
+    pts = [(i, [float((i * 3) % 7), float((i * 2) % 5), float(i % 4)])
+           for i in range(30)]
+    df_row = kcenter_seed(
+        spark.createDataFrame(pts, "id long, v array<double>"), "id", "v"
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO t VALUES (?,?)", pts)
+    want = con.execute(
+        kcenter_seed_sql("t", "id", "v", "duckdb", d=3)
+    ).fetchall()[0]
+    assert tuple(df_row) == want
