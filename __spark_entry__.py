@@ -10309,6 +10309,37 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette over the same pinned centroids
+    kmeans_assign uses (vec_id < 8) — the cluster-quality eval the
+    trainer pair reports against."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    return simplified_silhouette(emb, "vec_id", "embedding", cents)
+
+
+def _sql_silhouette() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        simplified_silhouette_sql,
+    )
+
+    return simplified_silhouette_sql(
+        "embeddings",
+        "vec_id",
+        "embedding",
+        "SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS cvec"
+        " FROM embeddings WHERE vec_id < 8",
+        "duckdb",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10628,6 +10659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_similarity_join": q_set_similarity_join,
         "kcenter_seed": q_kcenter_seed,
         "kcenter_select": q_kcenter_select,
+        "silhouette": q_silhouette,
     }
 
 
@@ -10709,6 +10741,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_seed": _sql_kcenter_seed(),
         # kcenter_select: rows-only (driver-iterative greedy) — its
         # seed step is the oracle-pinned twin, trainer pattern
+        "silhouette": _sql_silhouette(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

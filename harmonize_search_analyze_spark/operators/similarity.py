@@ -3484,3 +3484,116 @@ GROUP BY id
 ORDER BY d2 DESC, id ASC
 LIMIT 1
 """
+
+
+def simplified_silhouette(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Simplified silhouette (Hruschka et al.) — the cluster-quality
+    score that replaces the O(n²) pairwise silhouette with
+    centroid distances: per point, ``a`` = distance to its own (nearest)
+    centroid, ``b`` = distance to the runner-up centroid,
+    ``s = (b - a) / max(a, b)`` (ties pinned by centroid id; a == b
+    gives s = 0; distances are Euclidean). Returns per-cluster rows
+    ``(centroid_id, n, avg_silhouette)`` ordered by centroid id.
+
+    Scale shape: centroids broadcast (k-sized), the per-point k
+    distances fold inside ONE codegen'd sort_array(collect over the
+    crossJoin fan-out)... no — bounded fan-out: each point emits k
+    rows (k = cluster count, tiny), one point-keyed agg picks the two
+    smallest (struct-sorted), one cluster-keyed agg averages. No
+    Python, no pairwise anything.
+    """
+    pts = df.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("dvec")
+    )
+    cents = centroids.select(
+        F.col("centroid_id"),
+        F.col("cvec").cast("array<double>").alias("cvec"),
+    )
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(dvec, cvec, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    per_point = (
+        pts.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            F.struct(dist.alias("d"), F.col("centroid_id").alias("c"))
+            .alias("dc"),
+        )
+        .groupBy(id_col)
+        .agg(F.expr("sort_array(collect_list(dc))").alias("ds"))
+        .select(
+            F.expr("ds[0].c").alias("centroid_id"),
+            F.expr(
+                "CASE WHEN greatest(ds[0].d, ds[1].d) = 0.0 THEN 0.0"
+                " ELSE (ds[1].d - ds[0].d) / greatest(ds[0].d, ds[1].d)"
+                " END"
+            ).alias("s"),
+        )
+    )
+    return (
+        per_point.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("s"), 6).alias("avg_silhouette"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def simplified_silhouette_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    centroids_sql: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`simplified_silhouette`.
+    ``centroids_sql`` yields (centroid_id, cvec)."""
+    if dialect == "spark":
+        dist = (
+            f"sqrt(aggregate(zip_with(CAST(p.{vec_col} AS ARRAY<DOUBLE>),"
+            " CAST(c.cvec AS ARRAY<DOUBLE>),"
+            " (a, b) -> (a - b) * (a - b)),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        )
+        mk = "sort_array(collect_list(struct(d, c)))"
+        e0d, e0c, e1d = "ds[0].d", "ds[0].c", "ds[1].d"
+    elif dialect == "duckdb":
+        dist = (
+            f"sqrt(list_sum(list_transform(range(1, len(p.{vec_col}) + 1),"
+            f" i -> (CAST(p.{vec_col}[i] AS DOUBLE)"
+            " - CAST(c.cvec[i] AS DOUBLE))"
+            f" * (CAST(p.{vec_col}[i] AS DOUBLE)"
+            " - CAST(c.cvec[i] AS DOUBLE)))))"
+        )
+        mk = "list_sort(list({'d': d, 'c': c}))"
+        e0d, e0c, e1d = "ds[1].d", "ds[1].c", "ds[2].d"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH cents AS ({centroids_sql}),
+dists AS (
+  SELECT p.{id_col} AS pid, {dist} AS d, c.centroid_id AS c
+  FROM {table} p CROSS JOIN cents c
+  WHERE p.{vec_col} IS NOT NULL
+),
+per_point AS (
+  SELECT pid, {mk} AS ds FROM (SELECT pid, d, c FROM dists) x
+  GROUP BY pid
+),
+scored AS (
+  SELECT {e0c} AS centroid_id,
+         CASE WHEN GREATEST({e0d}, {e1d}) = 0.0 THEN 0.0
+              ELSE ({e1d} - {e0d}) / GREATEST({e0d}, {e1d}) END AS s
+  FROM per_point
+)
+SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(s), 6) AS avg_silhouette
+FROM scored GROUP BY centroid_id ORDER BY centroid_id
+"""

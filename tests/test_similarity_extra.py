@@ -498,3 +498,40 @@ def test_kcenter_seed_sql_matches_dataframe(spark):
         kcenter_seed_sql("t", "id", "v", "duckdb", d=3)
     ).fetchall()[0]
     assert tuple(df_row) == want
+
+
+def test_simplified_silhouette_hand_values(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    # two centroids at x=0 and x=10; points near each
+    pts = spark.createDataFrame(
+        [(1, [1.0]), (2, [0.5]), (3, [9.0]), (4, [10.5])],
+        "id long, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0]), (1, [10.0])], "centroid_id int, cvec array<double>"
+    )
+    out = {r["centroid_id"]: r for r in simplified_silhouette(
+        pts, "id", "v", cents).collect()}
+    # point 1: a=1, b=9 -> s=8/9 ; point 2: a=.5, b=9.5 -> s=9/9.5
+    import statistics
+    want0 = round(statistics.mean([8 / 9, 9 / 9.5]), 6)
+    assert out[0]["n"] == 2 and out[0]["avg_silhouette"] == want0
+    # point exactly between would score 0; these score high
+    assert out[1]["avg_silhouette"] > 0.8
+
+
+def test_simplified_silhouette_equidistant_zero(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    pts = spark.createDataFrame([(1, [5.0])], "id long, v array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0]), (1, [10.0])], "centroid_id int, cvec array<double>"
+    )
+    r = simplified_silhouette(pts, "id", "v", cents).collect()[0]
+    # equidistant: a == b -> s = 0, assigned to the LOWER centroid id
+    assert r["centroid_id"] == 0 and r["avg_silhouette"] == 0.0
