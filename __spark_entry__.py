@@ -10340,6 +10340,18 @@ def _sql_silhouette() -> str:
     )
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio (the Gopher-era machine-text
+    detector the SQL repetition signals approximate) — Arrow-batched
+    zlib, rows-only check (no zlib in the oracle engine; determinism
+    and monotonicity pinned by unit tests)."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    return compression_ratio(_t(spark, sf_dir, "documents"), "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10660,6 +10672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_seed": q_kcenter_seed,
         "kcenter_select": q_kcenter_select,
         "silhouette": q_silhouette,
+        "compression_ratio": q_compression_ratio,
     }
 
 
@@ -10742,6 +10755,8 @@ def oracle_sql() -> dict[str, str]:
         # kcenter_select: rows-only (driver-iterative greedy) — its
         # seed step is the oracle-pinned twin, trainer pattern
         "silhouette": _sql_silhouette(),
+        # compression_ratio: rows-only — zlib has no oracle-engine twin;
+        # determinism + monotonicity pinned by unit tests
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -414,3 +414,61 @@ SELECT CAST(SUM(n_) AS BIGINT) AS n_rows,
        MIN(n_) >= {k} AS k_anonymous{sens_out}
 FROM classes
 """
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    *,
+    id_col: str = "doc_id",
+    level: int = 6,
+    max_ratio: float | None = None,
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic machine-generated/boilerplate detector (low ratio = highly
+    repetitive/templated text; the signal Gopher-era curation thresholds
+    alongside the n-gram repetition fractions, which only approximate
+    it). Deterministic: zlib with a FIXED level is byte-stable across
+    platforms for a given input.
+
+    Arrow path (``mapInPandas``): per-row zlib is inherently Python-side
+    work, batched like the multimodal decoders — this is the documented
+    exception lane, not the hot-path default (the pure-SQL repetition
+    signals remain the first-line filters). NULL/empty text yields NULL
+    ratio. With ``max_ratio`` set, rows above it drop (the filter form).
+
+    Returns ``(id, n_bytes, n_compressed, ratio)`` with ratio rounded 6.
+    """
+    import pandas as pd
+    import zlib
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, nb, nc, ratio = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ids.append(i)
+                if t is None or len(t) == 0:
+                    nb.append(0)
+                    nc.append(0)
+                    ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ratio.append(round(len(comp) / len(raw), 6))
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "n_compressed": nc,
+                 "ratio": ratio}
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(score, out_schema)
+    if max_ratio is not None:
+        out = out.where(F.col("ratio") <= max_ratio)
+    return out.orderBy(id_col)

@@ -324,3 +324,36 @@ def test_k_anonymity_sql_matches_dataframe(spark):
         "t", ["q1", "q2"], "duckdb", k=4, sensitive_expr="sens", l=3,
     )).fetchall()[0]
     assert tuple(df_row) == want
+
+
+def test_compression_ratio_orders_repetitiveness(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam " * 200),                     # highly repetitive
+        (2, " ".join(f"w{i * 37 % 9973}x{i}" for i in range(200))),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df, "text").collect()}
+    assert out[1]["ratio"] < 0.1               # template text crushes
+    assert out[2]["ratio"] > 0.3               # varied text doesn't
+    assert out[3]["ratio"] is None and out[4]["ratio"] is None
+    assert out[2]["n_bytes"] > out[2]["n_compressed"]
+
+
+def test_compression_ratio_filter_form_and_determinism(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    rows = [(i, ("abc " * (i + 1)) + f"tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = compression_ratio(df, "text", max_ratio=0.5)
+    assert kept.count() < 20
+    a = compression_ratio(df, "text").collect()
+    b = compression_ratio(df.repartition(5), "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
