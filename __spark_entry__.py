@@ -10352,6 +10352,37 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_t(spark, sf_dir, "documents"), "text")
 
 
+def q_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: high-value conversion (value > 250) between
+    click and view events — one conditional-agg scan, p-value via the
+    shared A&S erf polynomial."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        prop_ztest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return prop_ztest(
+        ev,
+        F.col("value") > 250,
+        F.col("event_type") == "click",
+        F.col("event_type") == "view",
+    )
+
+
+def _sql_prop_ztest() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        prop_ztest_sql,
+    )
+
+    return prop_ztest_sql(
+        "events",
+        "value > 250",
+        "event_type = 'click'",
+        "event_type = 'view'",
+        "duckdb",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10673,6 +10704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": q_kcenter_select,
         "silhouette": q_silhouette,
         "compression_ratio": q_compression_ratio,
+        "prop_ztest": q_prop_ztest,
     }
 
 
@@ -10757,6 +10789,7 @@ def oracle_sql() -> dict[str, str]:
         "silhouette": _sql_silhouette(),
         # compression_ratio: rows-only — zlib has no oracle-engine twin;
         # determinism + monotonicity pinned by unit tests
+        "prop_ztest": _sql_prop_ztest(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

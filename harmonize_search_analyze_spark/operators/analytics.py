@@ -1648,3 +1648,114 @@ SELECT CAST(n.n AS BIGINT) AS n,
                        / (1.0 - pe.pe) END, 6) AS kappa
 FROM n CROSS JOIN po CROSS JOIN pe
 """
+
+
+# Abramowitz & Stegun 7.1.26 erf polynomial — pure shared arithmetic,
+# |error| < 1.5e-7 (inside the round-6 reporting precision), so BOTH
+# engines compute the identical p-value with no stats library.
+_ERF_A = (0.254829592, -0.284496736, 1.421413741,
+          -1.453152027, 1.061405429)
+_ERF_P = 0.3275911
+
+
+def _erf_sql(x: str) -> str:
+    """erf(x) for x >= 0 as portable SQL text (A&S 7.1.26)."""
+    t = f"(1.0 / (1.0 + {_ERF_P!r} * ({x})))"
+    poly = (
+        f"((((({_ERF_A[4]!r} * {t} + {_ERF_A[3]!r}) * {t}"
+        f" + {_ERF_A[2]!r}) * {t} + {_ERF_A[1]!r}) * {t}"
+        f" + {_ERF_A[0]!r}) * {t})"
+    )
+    return f"(1.0 - {poly} * EXP(-(({x}) * ({x}))))"
+
+
+def prop_ztest(
+    df: DataFrame,
+    success: Column,
+    filter_a: Column,
+    filter_b: Column,
+) -> DataFrame:
+    """Two-proportion z-test — the A/B conversion gate: pooled-variance
+    z statistic between the success rates of two filtered populations,
+    ONE scan (conditional aggregates, the t_test shape), plus the
+    two-sided p-value via the shared A&S erf polynomial (|err| < 1.5e-7
+    — inside the round-6 report; the exact-CDF divergence note on
+    ``t_test`` does not apply since the normal CDF IS portably
+    expressible). Zero pooled variance (all-success or all-failure
+    overall) gives NULL z/p, via try_divide, matching DuckDB's /0.
+
+    Returns ``(n_a, x_a, n_b, x_b, p_a, p_b, z, p_value)`` rounded 6.
+    """
+    xa = F.count(F.when(filter_a & success, 1)).alias("x_a")
+    na = F.count(F.when(filter_a, 1)).alias("n_a")
+    xb = F.count(F.when(filter_b & success, 1)).alias("x_b")
+    nb = F.count(F.when(filter_b, 1)).alias("n_b")
+    one = df.agg(na, xa, nb, xb)
+    pa = F.try_divide(F.col("x_a"), F.col("n_a"))
+    pb = F.try_divide(F.col("x_b"), F.col("n_b"))
+    pp = F.try_divide(
+        F.col("x_a") + F.col("x_b"), F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pp * (1.0 - pp)
+        * (F.try_divide(F.lit(1.0), F.col("n_a"))
+           + F.try_divide(F.lit(1.0), F.col("n_b")))
+    )
+    z = F.try_divide(pa - pb, se)
+    stats = one.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        z.alias("__z"),
+    )
+    pv = F.expr(
+        "1.0 - " + _erf_sql("abs(__z) / 1.4142135623730951")
+    )
+    return stats.select(
+        F.col("n_a").cast("bigint"), F.col("x_a").cast("bigint"),
+        F.col("n_b").cast("bigint"), F.col("x_b").cast("bigint"),
+        "p_a", "p_b",
+        F.round(F.col("__z"), 6).alias("z"),
+        F.round(pv, 6).alias("p_value"),
+    )
+
+
+def prop_ztest_sql(
+    table: str,
+    success: str,
+    filter_a: str,
+    filter_b: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`prop_ztest` (predicates as SQL text;
+    NULLIF division mirrors try_divide)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    pv = "1.0 - " + _erf_sql("ABS(z_) / 1.4142135623730951")
+    return f"""
+WITH counts AS (
+  SELECT COUNT(CASE WHEN {filter_a} THEN 1 END) AS n_a,
+         COUNT(CASE WHEN ({filter_a}) AND ({success}) THEN 1 END) AS x_a,
+         COUNT(CASE WHEN {filter_b} THEN 1 END) AS n_b,
+         COUNT(CASE WHEN ({filter_b}) AND ({success}) THEN 1 END) AS x_b
+  FROM {table}
+),
+stats AS (
+  SELECT n_a, x_a, n_b, x_b,
+         x_a / CAST(NULLIF(n_a, 0) AS DOUBLE) AS pa,
+         x_b / CAST(NULLIF(n_b, 0) AS DOUBLE) AS pb,
+         (x_a + x_b) / CAST(NULLIF(n_a + n_b, 0) AS DOUBLE) AS pp
+  FROM counts
+),
+zed AS (
+  SELECT *,
+         (pa - pb) / NULLIF(SQRT(pp * (1.0 - pp)
+            * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0.0) AS z_
+  FROM stats
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+       ROUND(z_, 6) AS z, ROUND({pv}, 6) AS p_value
+FROM zed
+"""

@@ -530,3 +530,44 @@ def test_cohens_kappa_degenerate_and_nulls(spark):
     )
     r = cohens_kappa(with_null, "a", "b").collect()[0]
     assert r["n"] == 2 and r["kappa"] == 1.0
+
+
+def test_prop_ztest_hand_values(spark):
+    import math
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        prop_ztest,
+    )
+    from pyspark.sql import functions as F
+
+    # group a: 30/100 convert; group b: 20/100
+    rows = ([("a", 1)] * 30 + [("a", 0)] * 70
+            + [("b", 1)] * 20 + [("b", 0)] * 80)
+    df = spark.createDataFrame(rows, ["g", "ok"])
+    r = prop_ztest(
+        df, F.col("ok") == 1, F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (100, 30, 100, 20)
+    pp = 50 / 200
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    z = (0.3 - 0.2) / se
+    assert r["z"] == round(z, 6)
+    # two-sided p via the exact CDF; the A&S poly is within 1.5e-7
+    want_p = 2 * (1 - 0.5 * (1 + math.erf(abs(z) / math.sqrt(2)))) / 1
+    # our formula reports erfc(|z|/sqrt 2) = exactly that two-sided p
+    assert abs(r["p_value"] - want_p) < 1e-5
+
+
+def test_prop_ztest_zero_variance_null(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        prop_ztest,
+    )
+    from pyspark.sql import functions as F
+
+    # everyone converts: pooled p = 1 -> se = 0 -> NULL z and p
+    rows = [("a", 1)] * 5 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, ["g", "ok"])
+    r = prop_ztest(
+        df, F.col("ok") == 1, F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    assert r["z"] is None and r["p_value"] is None
