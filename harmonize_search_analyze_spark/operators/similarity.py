@@ -3507,6 +3507,11 @@ def simplified_silhouette(
     smallest (struct-sorted), one cluster-keyed agg averages. No
     Python, no pairwise anything.
     """
+    # silhouette needs a runner-up centroid; with one centroid ds[1] is
+    # an out-of-bounds NULL and the engines' greatest() NULL semantics
+    # diverge — refuse instead of returning engine-dependent NULLs
+    if centroids.count() < 2:
+        raise ValueError("simplified_silhouette needs >= 2 centroids")
     pts = df.where(F.col(vec_col).isNotNull()).select(
         id_col, F.col(vec_col).cast("array<double>").alias("dvec")
     )

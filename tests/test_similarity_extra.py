@@ -535,3 +535,18 @@ def test_simplified_silhouette_equidistant_zero(spark):
     r = simplified_silhouette(pts, "id", "v", cents).collect()[0]
     # equidistant: a == b -> s = 0, assigned to the LOWER centroid id
     assert r["centroid_id"] == 0 and r["avg_silhouette"] == 0.0
+
+
+def test_simplified_silhouette_single_centroid_refused(spark):
+    import pytest
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        simplified_silhouette,
+    )
+
+    pts = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0])], "centroid_id int, cvec array<double>"
+    )
+    with pytest.raises(ValueError, match=">= 2 centroids"):
+        simplified_silhouette(pts, "id", "v", cents)
