@@ -10383,6 +10383,38 @@ def _sql_prop_ztest() -> str:
     )
 
 
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-random in-corpus negatives (DPR-style contrastive
+    training data): for each customer with custkey < 50, 4 orders they
+    did NOT place, drawn deterministically from the rank-indexed order
+    pool — never a query x corpus cross product."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        negative_sampling,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    positives = orders.where(F.col("o_custkey") < 50).select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("doc_id"),
+    )
+    pool = orders.select(F.col("o_orderkey").alias("doc_id"))
+    return negative_sampling(positives, pool, k=4)
+
+
+def _sql_negative_sampling() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        negative_sampling_sql,
+    )
+
+    return negative_sampling_sql(
+        "SELECT o_custkey AS query_id, o_orderkey AS doc_id"
+        " FROM orders WHERE o_custkey < 50",
+        "SELECT o_orderkey AS doc_id FROM orders",
+        "duckdb",
+        k=4,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10705,6 +10737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette": q_silhouette,
         "compression_ratio": q_compression_ratio,
         "prop_ztest": q_prop_ztest,
+        "negative_sampling": q_negative_sampling,
     }
 
 
@@ -10790,6 +10823,7 @@ def oracle_sql() -> dict[str, str]:
         # compression_ratio: rows-only — zlib has no oracle-engine twin;
         # determinism + monotonicity pinned by unit tests
         "prop_ztest": _sql_prop_ztest(),
+        "negative_sampling": _sql_negative_sampling(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -970,3 +970,158 @@ def preference_pairs(
         .where(F.col("margin") > min_margin)
         .orderBy("prompt")
     )
+
+
+def negative_sampling(
+    positives: DataFrame,
+    docs: DataFrame,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    k: int = 4,
+    oversample: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Random in-corpus negatives per query — the contrastive-training
+    data op (DPR/CLIP-style: every (query, positive) pair trains
+    against k sampled non-relevant documents). Deterministic and
+    re-runnable: draw i for query q targets the document at contiguous
+    rank ``hash(seed, q, i) mod N``, so the SAME (positives, docs,
+    seed) always yields the same negatives on any cluster layout.
+
+    Never builds the query x corpus cross product: each query emits
+    ``k * oversample`` draw rows (the oversample absorbs positive hits
+    and duplicate draws; a query can still come up short if its
+    positives cover much of the pool — raise ``oversample``), draws
+    equi-join the rank-indexed pool, positives drop by anti-join, the
+    first k survivors (draw order) win per query.
+
+    Scale shape: the contiguous 0..N-1 doc rank comes from
+    :func:`operators.ordering.global_order` (range exchange +
+    per-partition offsets — no single-reducer window); everything else
+    is one equi-join keyed by rank + one (query)-windowed top-k over
+    <= k * oversample rows per query. Returns
+    ``(query_col, doc_col, neg_rank)`` ordered.
+
+    Hard negatives (model-scored) are the sibling
+    ``similarity.hard_negatives``; this is the uniform-random baseline
+    every recipe starts from.
+    """
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+    from harmonize_search_analyze_spark.operators.ordering import (
+        global_order,
+    )
+
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    pool = docs.select(F.col(doc_col)).distinct()
+    n_docs = pool.count()
+    if n_docs == 0:
+        raise ValueError("empty document pool")
+    ranked = global_order(pool, [doc_col], out_col="__r")
+    m = k * oversample
+    h = hash64_sql(
+        f"concat('{seed}', ':', CAST({query_col} AS STRING), ':',"
+        " CAST(__i AS STRING))",
+        "spark",
+    )
+    draws = (
+        positives.select(query_col)
+        .distinct()
+        .select(
+            query_col,
+            F.explode(F.expr(f"sequence(0, {m - 1})")).alias("__i"),
+        )
+        .withColumn("__r", F.expr(h) % n_docs)
+    )
+    cand = draws.join(ranked, "__r").select(query_col, doc_col, "__i")
+    neg = cand.join(
+        positives.select(query_col, doc_col), [query_col, doc_col],
+        "left_anti",
+    )
+    # dedupe repeat draws of the same doc (keep the earliest), then the
+    # first k by draw order
+    from pyspark.sql import Window
+
+    first = neg.groupBy(query_col, doc_col).agg(
+        F.min("__i").alias("__i")
+    )
+    w = Window.partitionBy(query_col).orderBy(F.asc("__i"), F.asc(doc_col))
+    return (
+        first.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            query_col, doc_col,
+            (F.col("__rn") - 1).cast("int").alias("neg_rank"),
+        )
+        .orderBy(query_col, "neg_rank")
+    )
+
+
+def negative_sampling_sql(
+    positives_sql: str,
+    docs_sql: str,
+    dialect: str,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    k: int = 4,
+    oversample: int = 3,
+    seed: int = 42,
+) -> str:
+    """Dual-dialect twin of :func:`negative_sampling` (single-window
+    rank is fine at oracle scale; same hash family, same draw rule)."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    m = k * oversample
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    h = hash64_sql(
+        f"concat('{seed}', ':', CAST({query_col} AS {cast}), ':',"
+        f" CAST(i AS {cast}))",
+        dialect,
+    )
+    if dialect == "spark":
+        spine = f"SELECT explode(sequence(0, {m - 1})) AS i"
+    elif dialect == "duckdb":
+        spine = f"SELECT CAST(t.i AS INT) AS i FROM range(0, {m}) t(i)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH pos AS ({positives_sql}),
+pool AS (SELECT DISTINCT {doc_col} FROM ({docs_sql}) d),
+n AS (SELECT COUNT(*) AS n FROM pool),
+ranked AS (
+  SELECT {doc_col}, ROW_NUMBER() OVER (ORDER BY {doc_col}) - 1 AS r
+  FROM pool
+),
+spine AS ({spine}),
+draws AS (
+  SELECT q.{query_col}, s.i, ({h}) % (SELECT n FROM n) AS r
+  FROM (SELECT DISTINCT {query_col} FROM pos) q CROSS JOIN spine s
+),
+cand AS (
+  SELECT d.{query_col}, ranked.{doc_col}, d.i
+  FROM draws d JOIN ranked ON d.r = ranked.r
+),
+neg AS (
+  SELECT c.{query_col}, c.{doc_col}, MIN(c.i) AS i
+  FROM cand c
+  LEFT JOIN pos p
+    ON c.{query_col} = p.{query_col} AND c.{doc_col} = p.{doc_col}
+  WHERE p.{query_col} IS NULL
+  GROUP BY c.{query_col}, c.{doc_col}
+),
+picked AS (
+  SELECT {query_col}, {doc_col},
+         ROW_NUMBER() OVER (PARTITION BY {query_col}
+                            ORDER BY i ASC, {doc_col} ASC) - 1 AS neg_rank
+  FROM neg
+)
+SELECT {query_col}, {doc_col}, CAST(neg_rank AS INT) AS neg_rank
+FROM picked WHERE neg_rank < {k}
+ORDER BY {query_col}, neg_rank
+"""

@@ -528,3 +528,50 @@ def test_domain_reweight_floor_guard(spark):
     assert all(r.weight >= 0.2 - 1e-9 for r in ok)
     with pytest.raises(Exception, match="floor"):
         domain_reweight(df, "domain", "score", floor=0.4).collect()
+
+
+def test_negative_sampling_contract(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        negative_sampling,
+    )
+
+    positives = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12)], ["query_id", "doc_id"]
+    )
+    docs = spark.createDataFrame(
+        [(d,) for d in range(10, 30)], ["doc_id"]
+    )
+    out = negative_sampling(positives, docs, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    pos = {1: {10, 11}, 2: {12}}
+    for q, rows in by_q.items():
+        got_docs = [r["doc_id"] for r in rows]
+        # negatives never collide with that query's positives
+        assert not (set(got_docs) & pos[q])
+        # k per query, distinct, contiguous neg_rank
+        assert len(got_docs) == len(set(got_docs)) == 5
+        assert sorted(r["neg_rank"] for r in rows) == list(range(5))
+    # deterministic across partitionings and reruns
+    again = negative_sampling(
+        positives.repartition(3), docs.repartition(4), k=5
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different seed, different draws (with overwhelming probability)
+    other = negative_sampling(positives, docs, k=5, seed=7).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_negative_sampling_short_when_pool_exhausted(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        negative_sampling,
+    )
+
+    # 3-doc pool, 2 positive: at most 1 negative exists
+    positives = spark.createDataFrame(
+        [(1, 10), (1, 11)], ["query_id", "doc_id"]
+    )
+    docs = spark.createDataFrame([(10,), (11,), (12,)], ["doc_id"])
+    out = negative_sampling(positives, docs, k=4, oversample=20).collect()
+    assert [(r["query_id"], r["doc_id"]) for r in out] == [(1, 12)]
