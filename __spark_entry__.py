@@ -10415,6 +10415,24 @@ def _sql_negative_sampling() -> str:
     )
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) + NMI between document language and
+    source — the feature-redundancy signal over one pair-count scan."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mutual_info,
+    )
+
+    return mutual_info(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _sql_mutual_info() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mutual_info_sql,
+    )
+
+    return mutual_info_sql("documents", "lang", "source", "duckdb")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10738,6 +10756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "prop_ztest": q_prop_ztest,
         "negative_sampling": q_negative_sampling,
+        "mutual_info": q_mutual_info,
     }
 
 
@@ -10824,6 +10843,7 @@ def oracle_sql() -> dict[str, str]:
         # determinism + monotonicity pinned by unit tests
         "prop_ztest": _sql_prop_ztest(),
         "negative_sampling": _sql_negative_sampling(),
+        "mutual_info": _sql_mutual_info(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

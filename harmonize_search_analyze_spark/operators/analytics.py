@@ -1759,3 +1759,107 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
        ROUND(z_, 6) AS z, ROUND({pv}, 6) AS p_value
 FROM zed
 """
+
+
+def mutual_info(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns — the
+    feature-selection / redundancy signal chi2_independence's statistic
+    doesn't directly give: ``I = sum p(a,b) log2(p(a,b)/(p(a)p(b)))``,
+    plus the normalized variant ``nmi = I / min(H(a), H(b))`` (0 when
+    either entropy is 0 — a constant column shares no information,
+    pinned). NULL in either column drops the row (matching
+    chi2_independence). One (a, b) pair-count scan; marginals and the
+    sum run over the persisted category-pair frame (same shape as
+    cohens_kappa). Returns ``(n, mi_bits, h_a, h_b, nmi)`` rounded 6.
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    pairs = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    n = pairs.agg(F.sum("__c").alias("__n"))
+    ma = pairs.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    mb = pairs.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    ln2 = 0.6931471805599453
+    joint = (
+        pairs.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(n))
+    )
+    mi = joint.agg(
+        F.sum(
+            (F.col("__c") / F.col("__n"))
+            * F.log(
+                (F.col("__c") * F.col("__n")).cast("double")
+                / (F.col("__ca") * F.col("__cb"))
+            )
+        ).alias("__mi_nats")
+    )
+    ent = lambda m, c: m.crossJoin(F.broadcast(n)).agg(  # noqa: E731
+        (-F.sum(
+            (F.col(c) / F.col("__n"))
+            * F.log(F.col(c) / F.col("__n"))
+        )).alias(f"__h{c}")
+    )
+    ha = ent(ma, "__ca")
+    hb = ent(mb, "__cb")
+    out = (
+        n.crossJoin(mi).crossJoin(ha).crossJoin(hb)
+        .select(
+            F.col("__n").cast("bigint").alias("n"),
+            F.round(F.col("__mi_nats") / ln2, 6).alias("mi_bits"),
+            F.round(F.col("__h__ca") / ln2, 6).alias("h_a"),
+            F.round(F.col("__h__cb") / ln2, 6).alias("h_b"),
+            F.round(
+                F.when(
+                    F.least("__h__ca", "__h__cb") <= 0.0, F.lit(0.0)
+                ).otherwise(
+                    F.col("__mi_nats") / F.least("__h__ca", "__h__cb")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
+    return tether(out, pairs)
+
+
+def mutual_info_sql(table: str, col_a: str, col_b: str, dialect: str) -> str:
+    """Dual-dialect twin of :func:`mutual_info` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH pairs AS (
+  SELECT {col_a} AS a, {col_b} AS b, COUNT(*) AS c
+  FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+  GROUP BY 1, 2
+),
+n AS (SELECT SUM(c) AS n FROM pairs),
+ma AS (SELECT a, SUM(c) AS ca FROM pairs GROUP BY a),
+mb AS (SELECT b, SUM(c) AS cb FROM pairs GROUP BY b),
+mi AS (
+  SELECT SUM((c / CAST(n.n AS DOUBLE))
+             * LN(CAST(c * n.n AS DOUBLE) / (ca * cb))) AS mi_nats
+  FROM pairs JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n
+),
+ha AS (SELECT -SUM((ca / CAST(n.n AS DOUBLE))
+                   * LN(ca / CAST(n.n AS DOUBLE))) AS h
+       FROM ma CROSS JOIN n),
+hb AS (SELECT -SUM((cb / CAST(n.n AS DOUBLE))
+                   * LN(cb / CAST(n.n AS DOUBLE))) AS h
+       FROM mb CROSS JOIN n)
+SELECT CAST(n.n AS BIGINT) AS n,
+       ROUND(mi.mi_nats / 0.6931471805599453, 6) AS mi_bits,
+       ROUND(ha.h / 0.6931471805599453, 6) AS h_a,
+       ROUND(hb.h / 0.6931471805599453, 6) AS h_b,
+       ROUND(CASE WHEN LEAST(ha.h, hb.h) <= 0.0 THEN 0.0
+                  ELSE mi.mi_nats / LEAST(ha.h, hb.h) END, 6) AS nmi
+FROM n CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+"""

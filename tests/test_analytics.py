@@ -571,3 +571,38 @@ def test_prop_ztest_zero_variance_null(spark):
         df, F.col("ok") == 1, F.col("g") == "a", F.col("g") == "b"
     ).collect()[0]
     assert r["z"] is None and r["p_value"] is None
+
+
+def test_mutual_info_hand_values(spark):
+    import math
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mutual_info,
+    )
+
+    # perfectly dependent: b == a -> I = H(a), NMI = 1
+    rows = [("x", "x")] * 3 + [("y", "y")] * 5 + [("z", "z")] * 2
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = mutual_info(df, "a", "b").collect()[0]
+    h = -sum(p * math.log2(p) for p in (0.3, 0.5, 0.2))
+    assert abs(r["mi_bits"] - h) < 1e-6
+    assert r["h_a"] == r["h_b"] == round(h, 6)
+    assert abs(r["nmi"] - 1.0) < 1e-6
+
+
+def test_mutual_info_independent_and_constant(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mutual_info,
+    )
+
+    # exactly independent 2x2 (uniform product distribution) -> MI = 0
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(5)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = mutual_info(df, "a", "b").collect()[0]
+    assert r["mi_bits"] == 0.0 and r["nmi"] == 0.0
+    # constant column: zero entropy -> NMI pinned 0, not 0/0
+    const = spark.createDataFrame(
+        [("k", v) for v in "pqpq"], ["a", "b"]
+    )
+    rc = mutual_info(const, "a", "b").collect()[0]
+    assert rc["h_a"] == 0.0 and rc["nmi"] == 0.0 and rc["mi_bits"] == 0.0
