@@ -10433,6 +10433,39 @@ def _sql_mutual_info() -> str:
     return mutual_info_sql("documents", "lang", "source", "duckdb")
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 5-gram novelty of double-digit sources vs the
+    single-digit reference corpus — memorization scoring, exact by
+    construction with the Bloom prefilter carrying the scale path."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        ngram_novelty,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.where(F.length("source") == 5),
+        docs.where(F.length("source") == 4),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
+def _sql_ngram_novelty() -> str:
+    from harmonize_search_analyze_spark.operators.contamination import (
+        ngram_novelty_sql,
+    )
+
+    return ngram_novelty_sql(
+        "SELECT doc_id, text FROM documents WHERE LENGTH(source) = 5",
+        "SELECT text FROM documents WHERE LENGTH(source) = 4",
+        "doc_id",
+        "text",
+        "duckdb",
+        n=5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10757,6 +10790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_ztest": q_prop_ztest,
         "negative_sampling": q_negative_sampling,
         "mutual_info": q_mutual_info,
+        "ngram_novelty": q_ngram_novelty,
     }
 
 
@@ -10844,6 +10878,7 @@ def oracle_sql() -> dict[str, str]:
         "prop_ztest": _sql_prop_ztest(),
         "negative_sampling": _sql_negative_sampling(),
         "mutual_info": _sql_mutual_info(),
+        "ngram_novelty": _sql_ngram_novelty(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

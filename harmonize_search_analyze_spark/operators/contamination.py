@@ -543,3 +543,139 @@ SELECT {lang_col},
 FROM tiered
 GROUP BY {lang_col}, tier
 """
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus — the
+    memorization / regurgitation signal (Carlini-style n-gram overlap,
+    inverted): ``novelty = 1 - |doc grams seen in reference| / |doc
+    grams|`` over distinct word n-grams. EXACT by construction, Bloom-
+    ACCELERATED by architecture (same split as ``bloom_dedup``): the
+    reference folds once into a Bloom word table; a doc gram whose
+    probe says "definitely not present" skips the expensive membership
+    join entirely (no false negatives), and only the maybe-present
+    sliver — true overlaps plus the tunable FP rate — is verified with
+    the exact semi-join. The result is therefore identical to the plain
+    anti-join answer the oracle runs, at a fraction of the shuffle.
+
+    Returns ``(id, n_grams, n_seen, novelty)`` rounded 6, ordered;
+    docs with no grams (text shorter than n tokens) report NULL
+    novelty.
+
+    100 TB shape: reference -> <= m/64 bloom words (metadata-sized,
+    reusable parquet); per batch the probe is k broadcast map-side
+    joins; the verify join's left side is only the maybe sliver.
+    """
+    from harmonize_search_analyze_spark.operators.bloom import (
+        bloom_build,
+        bloom_flag_maybe,
+    )
+    from harmonize_search_analyze_spark.operators.dedup import (
+        shingles_sql,
+    )
+
+    # both gram frames feed two consumers each (ref: bloom build +
+    # verify semi-join; doc: probe + totals) — persist or the explode+
+    # distinct replays per reader
+    ref_grams = reference.select(
+        F.explode(F.expr(shingles_sql(text_col, "spark", n)))
+        .alias("gram")
+    ).distinct().persist()
+    words = bloom_build(
+        ref_grams, "gram", m_bits=m_bits, k=k, seed=seed
+    ).persist()
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(shingles_sql(text_col, "spark", n)))
+        .alias("gram"),
+    ).distinct().persist()
+    flagged = bloom_flag_maybe(
+        doc_grams, words, "gram", m_bits=m_bits, k=k, seed=seed
+    )
+    # the maybe sliver verifies exactly; definite-no short-circuits
+    seen = (
+        flagged.where(F.col("__bloom_maybe"))
+        .join(ref_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__seen"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    base = docs.select(id_col).distinct()
+    out = (
+        base.join(totals, id_col, "left")
+        .join(seen, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("bigint")
+            .alias("n_grams"),
+            F.coalesce("__seen", F.lit(0)).cast("bigint")
+            .alias("n_seen"),
+            F.round(
+                1.0
+                - F.coalesce("__seen", F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    return tether(out, words, ref_grams, doc_grams)
+
+
+def ngram_novelty_sql(
+    docs_sql: str,
+    reference_sql: str,
+    id_col: str,
+    text_col: str,
+    dialect: str,
+    *,
+    n: int = 5,
+) -> str:
+    """Oracle twin of :func:`ngram_novelty` — the plain exact form (the
+    Bloom prefilter provably does not change the answer; its word-table
+    arithmetic stays on the engine side)."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        shingles_sql,
+    )
+
+    sh = shingles_sql(text_col, dialect, n)
+    expl = "explode" if dialect == "spark" else "unnest"
+    return f"""
+WITH ref AS (
+  SELECT DISTINCT {expl}({sh}) AS gram FROM ({reference_sql}) r
+),
+dg AS (
+  SELECT DISTINCT {id_col} AS id, {expl}({sh}) AS gram
+  FROM ({docs_sql}) d
+),
+tot AS (SELECT id, COUNT(*) AS n_grams FROM dg GROUP BY id),
+seen AS (
+  SELECT dg.id, COUNT(*) AS n_seen
+  FROM dg JOIN ref ON dg.gram = ref.gram
+  GROUP BY dg.id
+),
+base AS (SELECT DISTINCT {id_col} AS id FROM ({docs_sql}) b)
+SELECT base.id AS {id_col},
+       CAST(COALESCE(tot.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(seen.n_seen, 0) AS BIGINT) AS n_seen,
+       ROUND(1.0 - COALESCE(seen.n_seen, 0)
+             / CAST(tot.n_grams AS DOUBLE), 6) AS novelty
+FROM base
+LEFT JOIN tot ON base.id = tot.id
+LEFT JOIN seen ON base.id = seen.id
+ORDER BY base.id
+"""

@@ -409,3 +409,59 @@ def test_corpus_pipeline_columns_flow_past_text_stages(spark):
     assert got == want
     with __import__("pytest").raises(ValueError, match="every column"):
         corpus_pipeline_sql("docs_t", stages, ["doc_id"])
+
+
+def test_ngram_novelty_exact_vs_python(spark):
+    from harmonize_search_analyze_spark.operators.contamination import (
+        ngram_novelty,
+    )
+
+    ref = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon",),
+         ("one two three four five",)], ["text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # 2 grams, 1 seen
+            (2, "totally novel words here every time ok"),
+            (3, "alpha beta gamma delta epsilon"),       # 1 gram, seen
+            (4, "too short"),    # < n tokens: whole stream = ONE shingle
+            (5, None),           # no text -> no grams -> NULL novelty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(
+        docs, ref, "doc_id", "text", n=5).collect()}
+    assert (out[1]["n_grams"], out[1]["n_seen"]) == (2, 1)
+    assert out[1]["novelty"] == 0.5
+    assert out[2]["n_seen"] == 0 and out[2]["novelty"] == 1.0
+    assert out[3]["novelty"] == 0.0
+    # the pinned short-doc shingle rule (grams_sql): one whole-stream
+    # gram, unseen in the reference
+    assert out[4]["n_grams"] == 1 and out[4]["novelty"] == 1.0
+    assert out[5]["n_grams"] == 0 and out[5]["novelty"] is None
+
+
+def test_ngram_novelty_bloom_invariant_to_filter_size(spark):
+    """The Bloom prefilter must not change the answer — tiny m_bits
+    (high FP rate) and huge m_bits agree exactly."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        ngram_novelty,
+    )
+
+    ref = spark.createDataFrame(
+        [(f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}",) for i in range(0, 40, 2)],
+        ["text"],
+    )
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} w{i+5}")
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    small = ngram_novelty(
+        docs, ref, "doc_id", "text", n=5, m_bits=256, k=2
+    ).collect()
+    big = ngram_novelty(
+        docs, ref, "doc_id", "text", n=5, m_bits=1 << 20, k=5
+    ).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, big))
