@@ -1876,3 +1876,139 @@ SELECT id1, id2, ROUND(CAST(i_ AS DOUBLE) / u_, 6) AS jaccard
 FROM verified WHERE {q} * i_ >= {p} * u_
 ORDER BY id1, id2
 """
+
+
+# -- winnowing fingerprints (partial-copy detection) ---------------------------
+
+
+def winnow_sql(
+    expr: str, dialect: str, *, ngram: int = 8, window: int = 4
+) -> str:
+    """Winnowing fingerprint SET of a text (Schleimer/Wilkerson/Aiken,
+    MOSS): hash every character ``ngram`` of the normalized text
+    (lowercase, whitespace collapsed — same normalization as
+    ``text.fingerprint_sql``), then keep the MINIMUM hash of every
+    sliding window of ``window`` consecutive positions, distinct. The
+    winnowing guarantee: any shared substring of length >=
+    ``window + ngram - 1`` chars between two docs yields at least one
+    SHARED fingerprint — the local version of MinHash that catches
+    PARTIAL copies whole-document sketches miss. Pure per-row HOF
+    chain, identical on both engines (shared 60-bit hash family)."""
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    if dialect == "spark":
+        raise ValueError(
+            "the Spark side stages columns instead of a correlated "
+            "scalar subquery — use winnow_fingerprints()"
+        )
+    if dialect == "duckdb":
+        norm = f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+        h = hash64_sql(f"substring(__t, CAST(i AS INT), {ngram})",
+                       "duckdb")
+        hashes = (
+            f"list_transform(range(1, greatest(length(__t) - {ngram - 1},"
+            f" 1) + 1), i -> {h})"
+        )
+        mins = (
+            f"list_transform(range(1, greatest(len(__h) - {window - 1},"
+            f" 1) + 1), j -> list_min(list_slice(__h, CAST(j AS INT),"
+            f" CAST(j + {window - 1} AS INT))))"
+        )
+        return (
+            f"list_distinct(CASE WHEN {expr} IS NULL THEN CAST([] AS"
+            " BIGINT[]) ELSE"
+            f" (SELECT {mins} FROM (SELECT {hashes} AS __h FROM"
+            f" (SELECT {norm} AS __t))) END)"
+        )
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Exploded winnowing fingerprints per document (see
+    :func:`winnow_sql` for the algorithm and guarantee). Spark side
+    stages the normalized text and the per-position hash array as
+    columns (each computed ONCE per row; a single inlined expression
+    would recompute the normalization per character position — O(L²)).
+    Returns ``(id, fingerprint)`` distinct rows. Map-only until the
+    final distinct's exchange."""
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    h = hash64_sql(f"substring(__t, i, {ngram})", "spark")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn(
+            "__t",
+            F.expr(
+                f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+            ),
+        )
+        .withColumn(
+            "__h",
+            F.expr(
+                f"transform(sequence(1, greatest(length(__t)"
+                f" - {ngram - 1}, 1)), i -> {h})"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1,"
+                    f" greatest(size(__h) - {window - 1}, 1)),"
+                    f" j -> array_min(slice(__h, j, {window}))))"
+                )
+            ).alias("fingerprint"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ngram: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Partial-copy candidate pairs from shared winnowing fingerprints —
+    the MOSS move: docs sharing >= ``min_shared`` fingerprints, with
+    the shared count as the match strength. Any common substring of
+    ``window + ngram - 1`` chars forces >= 1 shared fingerprint, so
+    recall for real partial copies is structural, not probabilistic.
+
+    Scale shape: fingerprints are the join key; a fingerprint posted by
+    more than ``max_postings`` docs is DROPPED before the self-join
+    (the boilerplate stop-fingerprint rule — a ubiquitous window is
+    pure quadratic noise), bounding per-key fan-out. Returns
+    ``(id1, id2, shared)`` ordered (shared DESC, id1, id2)."""
+    fps = winnow_fingerprints(
+        df, id_col, text_col, ngram=ngram, window=window
+    ).persist()
+    postings = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("__p")
+    )
+    kept = fps.join(
+        F.broadcast(postings.where(F.col("__p") <= max_postings)),
+        "fingerprint",
+    ).drop("__p")
+    a = kept.select(F.col(id_col).alias("id1"), "fingerprint")
+    b = kept.select(F.col(id_col).alias("id2"), "fingerprint")
+    out = (
+        a.join(b, ["fingerprint"])
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .orderBy(F.desc("shared"), F.asc("id1"), F.asc("id2"))
+    )
+    return tether(out, fps)

@@ -1422,3 +1422,48 @@ def test_set_similarity_join_sql_matches_dataframe(spark):
         "t", "doc_id", "text", "duckdb", threshold=0.6, n=1,
     )).fetchall())
     assert df_rows == want and len(want) > 0
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: any shared substring of length >=
+    window + ngram - 1 chars yields at least one shared fingerprint."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "copied passage that appears verbatim"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "other intro " + shared + " different tail"),
+        (3, "completely unrelated sentence about weather patterns"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {}
+    for r in winnow_fingerprints(
+        df, "doc_id", "text", ngram=8, window=4
+    ).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[1] & fps[2]            # the guarantee
+    assert not (fps[1] & fps[3] & fps[2] & fps[3])
+
+
+def test_winnow_pairs_stop_fingerprint_cap(spark):
+    from harmonize_search_analyze_spark.operators.dedup import (
+        winnow_pairs,
+    )
+
+    # every doc shares the same boilerplate; only 1-2 truly overlap
+    boiler = "standard footer text appearing everywhere always"
+    rows = [(i, f"unique body {i} {'x' * (i % 5)} " + boiler)
+            for i in range(10)]
+    rows += [(100, "the stolen paragraph sits right here in full"),
+             (101, "intro the stolen paragraph sits right here in full")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap postings at 3: the 10-doc boilerplate fingerprints drop,
+    # the genuine pair survives
+    out = winnow_pairs(
+        df, "doc_id", "text", ngram=8, window=4,
+        min_shared=2, max_postings=3,
+    ).collect()
+    assert (100, 101) in {(r["id1"], r["id2"]) for r in out}
+    assert all(r["id1"] >= 100 or r["shared"] < 10 for r in out)
