@@ -10511,6 +10511,49 @@ ORDER BY shared DESC, id1 ASC, id2 ASC
 """
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the holt one-step forecast over daily event counts
+    (MAE/RMSE/MAPE/MASE vs the naive previous-value baseline) — the
+    eval layer the smoothing knobs tune against."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        forecast_backtest,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    return forecast_backtest(
+        daily, "bucket", "doc_count", fn="holt", window=7,
+        alpha=0.3, beta=0.1,
+    )
+
+
+def _sql_forecast_backtest() -> str:
+    preds = _sql_moving_holt()
+    return f"""
+WITH preds AS ({preds}),
+ev AS (
+  SELECT CAST(doc_count AS DOUBLE) AS v, moving_fn,
+         LAG(CAST(doc_count AS DOUBLE)) OVER (ORDER BY bucket) AS prev
+  FROM preds
+),
+kept AS (
+  SELECT * FROM ev WHERE moving_fn IS NOT NULL AND prev IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(AVG(ABS(v - moving_fn)), 6) AS mae,
+       ROUND(SQRT(AVG((v - moving_fn) * (v - moving_fn))), 6) AS rmse,
+       ROUND(AVG(CASE WHEN v <> 0 THEN ABS(v - moving_fn) / ABS(v)
+                 END), 6) AS mape,
+       ROUND(AVG(ABS(v - moving_fn))
+             / NULLIF(AVG(ABS(v - prev)), 0.0), 6) AS mase
+FROM kept
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
@@ -10837,6 +10880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "ngram_novelty": q_ngram_novelty,
         "winnow_pairs": q_winnow_pairs,
+        "forecast_backtest": q_forecast_backtest,
     }
 
 
@@ -10926,6 +10970,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info": _sql_mutual_info(),
         "ngram_novelty": _sql_ngram_novelty(),
         "winnow_pairs": _sql_winnow_pairs(),
+        "forecast_backtest": _sql_forecast_backtest(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -3832,3 +3832,57 @@ def terms_approx(
         .orderBy(F.desc("doc_count"), F.asc(field))
         .limit(k)
     )
+
+
+def forecast_backtest(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    fn: str = "holt",
+    window: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.1,
+    period: int = 7,
+) -> DataFrame:
+    """One-step forecast BACKTEST of the :func:`moving_fn` family — the
+    eval layer the smoothing knobs are tuned against: every bucket's
+    trailing-window forecast is compared to what actually happened.
+    Returns ONE row: ``(n_eval, mae, rmse, mape, mase)`` rounded 6.
+
+    Pins: the evaluation set is buckets with BOTH a forecast (full
+    enough trailing window) and a previous bucket (the naive
+    denominator's requirement) — the same rows feed every metric, so
+    MASE = MAE / mean|v_t - v_{t-1}| compares like for like (in-sample
+    naive scaling, Hyndman & Koehler 2006). MAPE skips zero actuals
+    (the standard undefined case); all-zero actuals give NULL mape.
+    MASE is NULL when the naive denominator is 0 (a constant series).
+
+    Bucket-level: inherits moving_fn's single-task window contract —
+    the input is an already-aggregated bucket frame, never raw rows.
+    """
+    preds = moving_fn(
+        buckets, bucket_col, value_col, fn=fn, window=window,
+        alpha=alpha, beta=beta, gamma=gamma, period=period,
+    )
+    w = Window.orderBy(bucket_col)
+    v = F.col(value_col).cast("double")
+    evald = (
+        preds.withColumn("__prev", F.lag(v, 1).over(w))
+        .where(F.col("moving_fn").isNotNull()
+               & F.col("__prev").isNotNull())
+    )
+    err = v - F.col("moving_fn")
+    naive = F.abs(v - F.col("__prev"))
+    return evald.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(
+            F.avg(F.when(v != 0, F.abs(err) / F.abs(v))), 6
+        ).alias("mape"),
+        F.round(
+            F.try_divide(F.avg(F.abs(err)), F.avg(naive)), 6
+        ).alias("mase"),
+    )

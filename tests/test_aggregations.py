@@ -2323,3 +2323,51 @@ def test_holtwinters_weights_reconstruct_fold():
     want = _hw_forecast(xs, 0.3, 0.1, 0.2, 3)
     assert abs(got - want) < 1e-9
     assert holtwinters_weights(5, 0.3, 0.1, 0.2, 3) is None
+
+
+def test_forecast_backtest_hand_values(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        forecast_backtest, moving_fn,
+    )
+
+    xs = [10.0, 12.0, 11.0, 15.0, 13.0, 16.0, 14.0, 18.0, 17.0, 20.0]
+    rows = [(dt.datetime(2025, 1, 1) + dt.timedelta(days=i), x)
+            for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["bucket", "doc_count"])
+    r = forecast_backtest(
+        df, "bucket", "doc_count", fn="holt", window=4,
+        alpha=0.4, beta=0.2,
+    ).collect()[0]
+    preds = {str(p["bucket"]): p["moving_fn"] for p in moving_fn(
+        df, "bucket", "doc_count", fn="holt", window=4,
+        alpha=0.4, beta=0.2).collect()}
+    # python reference over the same evaluation set
+    errs, naive = [], []
+    for i, x in enumerate(xs):
+        f = preds[str(dt.datetime(2025, 1, 1) + dt.timedelta(days=i))]
+        if f is not None and i >= 1:
+            errs.append(abs(x - f))
+            naive.append(abs(x - xs[i - 1]))
+    assert r["n_eval"] == len(errs) > 0
+    assert r["mae"] == round(sum(errs) / len(errs), 6)
+    assert r["mase"] == round(
+        (sum(errs) / len(errs)) / (sum(naive) / len(naive)), 6
+    )
+
+
+def test_forecast_backtest_constant_series_null_mase(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        forecast_backtest,
+    )
+
+    rows = [(dt.datetime(2025, 1, 1) + dt.timedelta(days=i), 5.0)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["bucket", "doc_count"])
+    r = forecast_backtest(df, "bucket", "doc_count", window=4).collect()[0]
+    # a constant series: forecasts are exact (mae 0) and the naive
+    # denominator is 0 -> MASE pinned NULL, not a division abort
+    assert r["mae"] == 0.0 and r["mase"] is None
