@@ -689,3 +689,67 @@ def scd2_upsert_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def kmv_cardinality_stream(
+    stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    key_col: str,
+    k: int = 256,
+) -> "StreamingQuery":
+    """Streaming distinct-count estimation via an incremental KMV
+    bottom-k sketch (the streaming face of
+    ``aggregations.kmv_overlap``'s sketch): each micro-batch folds its
+    keys' k smallest distinct hashes into the persisted sketch —
+    merge = re-take the k smallest of the union, the KMV law — and
+    appends one ``(epoch_id, sketch_size, est_distinct)`` row to the
+    output. Exactly-once the KMV way: the merge is IDEMPOTENT (folding
+    the same batch twice changes nothing), so a replayed epoch rewrites
+    the same sketch.
+
+    State is a <= k-row parquet table — metadata-sized forever, the
+    whole point: an infinite stream's distinct count in k rows.
+    """
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    two60 = 1152921504606846976.0
+    h = hash64_sql(f"CAST({key_col} AS STRING)", "spark")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sketch = (
+            batch_df.where(F.col(key_col).isNotNull())
+            .select(F.expr(h).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        state = _read_state_or_none(spark, state_path)
+        merged = (
+            batch_sketch if state is None
+            else batch_sketch.unionByName(state).distinct()
+            .orderBy("h").limit(k)
+        ).localCheckpoint()
+        merged.write.mode("overwrite").parquet(state_path)
+        stats = merged.agg(
+            F.count(F.lit(1)).alias("n"), F.max("h").alias("theta")
+        ).collect()[0]
+        n, theta = stats["n"], stats["theta"]
+        est = float(n) if n < k else (k - 1) * two60 / float(theta)
+        spark.createDataFrame(
+            [(int(epoch_id), int(n), round(est, 4))],
+            "epoch_id long, sketch_size long, est_distinct double",
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1174,3 +1174,86 @@ def test_scd2_upsert_stream_replay_idempotent(spark, tmp_path):
     # and id 1 (absent from the batch) stayed open
     assert [r for r in once.collect()
             if r["id"] == 1][0]["valid_to"] is None
+
+
+def test_kmv_cardinality_stream_converges_to_batch(spark, tmp_path):
+    """Streaming KMV sketch: after all micro-batches the estimate equals
+    the one-shot batch KMV over the concatenated stream (merge law),
+    and sub-k streams are counted exactly."""
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.streaming.windows import (
+        kmv_cardinality_stream,
+    )
+
+    schema = T.StructType([T.StructField("key", T.StringType())])
+    src = tmp_path / "keys"
+    wave1 = [(f"k{i}",) for i in range(120)]
+    wave2 = [(f"k{i}",) for i in range(60, 200)]   # overlaps wave 1
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src))
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = kmv_cardinality_stream(
+        stream, str(tmp_path / "sketch"), str(tmp_path / "est"),
+        str(tmp_path / "ckpt"), key_col="key", k=64,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ests = {r["epoch_id"]: r for r in
+            spark.read.parquet(str(tmp_path / "est")).collect()}
+    assert len(ests) == 2
+    final = ests[max(ests)]
+    # 200 distinct keys, k=64: sketch full, estimate within KMV error
+    assert final["sketch_size"] == 64
+    assert abs(final["est_distinct"] - 200) / 200 < 0.5
+    # the merge law: the final sketch == batch KMV over all keys
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+    both = spark.createDataFrame(wave1 + wave2, schema)
+    want = sorted(
+        r["h"] for r in both.selectExpr(
+            hash64_sql("CAST(key AS STRING)", "spark") + " AS h"
+        ).distinct().orderBy("h").limit(64).collect()
+    )
+    got = sorted(
+        r["h"] for r in spark.read.parquet(
+            str(tmp_path / "sketch")).collect()
+    )
+    assert got == want
+
+
+def test_kmv_cardinality_stream_exact_when_sub_k(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from harmonize_search_analyze_spark.streaming.windows import (
+        kmv_cardinality_stream,
+    )
+
+    schema = T.StructType([T.StructField("key", T.StringType())])
+    src = tmp_path / "keys2"
+    spark.createDataFrame(
+        [(f"v{i}",) for i in range(30)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = kmv_cardinality_stream(
+        stream, str(tmp_path / "sk2"), str(tmp_path / "est2"),
+        str(tmp_path / "ck2"), key_col="key", k=256,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    r = spark.read.parquet(str(tmp_path / "est2")).collect()[0]
+    assert r["sketch_size"] == 30 and r["est_distinct"] == 30.0
