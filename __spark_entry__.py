@@ -10556,32 +10556,152 @@ FROM kept
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
-    # first 50 entries.  ROUND-5 ROTATION (VERDICT r4, "Next round" #1/#4):
-    # 3 canaries + 47 FIRST-TIME rows — the es_sql/lucene grammar entry
-    # points, the ES|QL tail, the whole round-4 session-2 batch, the
-    # subsystem anchors (retriever trees, curation pipeline, analyzer,
-    # ingest pipeline, EQL), the five queries touched by this round's
-    # review fixes (corpus_diff, terms_approx, lucene_search,
-    # kaplan_meier, domain_reweight), and the head of the old queue.
-    # Entries 51+ : the remaining never-verified queue, then the
-    # no-oracle trainers, then the r1-r4 driver-green set.
+    # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
+    # 3 canaries + 47 FIRST-TIME rows (third consecutive rotation).
+    # Entries 51+ : the remaining never-verified queue in stable order
+    # (round-7 pulls from there), then the r1-r5 driver-green set.
     return {
-        # -- canaries (driver-green in r1 AND r2 AND r3 AND r4) -----
+        # -- canaries (driver-green r1-r5) ------------------------------
         "profile_dict": q_profile_dict,
         "nested_terms": q_nested_terms,
         "harmonize_rollup": q_harmonize_rollup,
-        # -- ES SQL + Lucene grammar entry points, never driver-run ----
+        # -- ROUND-6 ROTATION (VERDICT r5 "Next round" #1/#6): 47
+        # first-time rows — the heavy never-verified head, the whole
+        # round-5 session-2 batch, trainer twins ADJACENT to their
+        # rows-only trainers (embedding_covariance/embedding_pca,
+        # kcenter_seed/kcenter_select), the named queue tail, then the
+        # old queue head.
+        "dedup_keep_best": q_dedup_keep_best,
+        "soft_dedup": q_soft_dedup,
+        "knn_classify": q_knn_classify,
+        "phrase_suggest": q_phrase_suggest,
+        "triangle_count": q_triangle_count,
+        "k_core": q_k_core,
+        "set_similarity_join": q_set_similarity_join,
+        "record_linkage": q_record_linkage,
+        "winnow_pairs": q_winnow_pairs,
+        "association_rules": q_association_rules,
+        "kmv_overlap": q_kmv_overlap,
+        "scd2_merge": q_scd2_merge,
+        "moving_holtwinters": q_moving_holtwinters,
+        "ols_trend": q_ols_trend,
+        "psi_drift": q_psi_drift,
+        "xcorr_lags": q_xcorr_lags,
+        "cohens_kappa": q_cohens_kappa,
+        "mutual_info": q_mutual_info,
+        "ngram_novelty": q_ngram_novelty,
+        "negative_sampling": q_negative_sampling,
+        "k_anonymity": q_k_anonymity,
+        "ltr_features": q_ltr_features,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
+        "kcenter_seed": q_kcenter_seed,
+        "kcenter_select": q_kcenter_select,
+        "silhouette": q_silhouette,
+        "prop_ztest": q_prop_ztest,
+        "forecast_backtest": q_forecast_backtest,
+        "containment_pairs": q_containment_pairs,
+        "warc_ingest": q_warc_ingest,
+        "bitext_mine": q_bitext_mine,
+        "ccnet_buckets": q_ccnet_buckets,
+        "hex_grid": q_hex_grid,
+        "bigram_lm": q_bigram_lm,
+        "percentiles_sketch": q_percentiles_sketch,
+        "quality_classifier": q_quality_classifier,
+        "esql_fuse": q_esql_fuse,
+        "esql_ts": q_esql_ts,
+        "cat_indices": q_cat_indices,
+        "moving_holt": q_moving_holt,
+        "search_after": q_search_after,
+        "term_suggest": q_term_suggest,
+        "nested_query": q_nested_query,
+        "global_order": q_global_order,
+        "assign_split": q_assign_split,
+        "rank_eval": q_rank_eval,
+        # -- window boundary (driver reads the 50 entries above) -------
+        # remaining never-driver-verified queue in prior relative order
+        # (round-7 window pulls from here first; local parity mirror
+        # keeps them green), then the r1-r5 driver-green set.
+        "hard_negatives": q_hard_negatives,
+        "terms_partition": q_terms_partition,
+        "audio_profile": q_audio_profile,
+        "geo_polygon": q_geo_polygon,
+        "html_extract": q_html_extract,
+        "url_normalize": q_url_normalize,
+        "bucket_script": q_bucket_script,
+        "ip_prefix": q_ip_prefix,
+        "intra_doc_dedup": q_intra_doc_dedup,
+        "runtime_fields": q_runtime_fields,
+        "fim_transform": q_fim_transform,
+        "span_corruption": q_span_corruption,
+        "latest_transform": q_latest_transform,
+        "denoiser_mix": q_denoiser_mix,
+        "span_search": q_span_search,
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
+        "has_child": q_has_child,
+        "has_parent": q_has_parent,
+        "reverse_nested": q_reverse_nested,
+        "script_filter": q_script_filter,
+        "scripted_metric": q_scripted_metric,
+        "pinned_search": q_pinned_search,
+        "length_batching": q_length_batching,
+        "epoch_shuffle": q_epoch_shuffle,
+        "significant_chi2": q_significant_chi2,
+        "pivot_summary": q_pivot_summary,
+        "geo_shape": q_geo_shape,
+        "script_score": q_script_score,
+        "serial_diff_page": q_serial_diff,
+        "bucket_stats": q_bucket_stats,
+        "explain_score": q_explain_score,
+        "msearch": q_msearch,
+        "pr_curve": q_pr_curve,
+        "terms_enum": q_terms_enum,
+        "shard_manifest": q_shard_manifest,
+        "sparse_search": q_sparse_search,
+        "significant_bg": q_significant_bg,
+        "counter_rate": q_counter_rate,
+        "composite_datehist": q_composite_datehist,
+        "children_agg": q_children_agg,
+        "step_transitions": q_step_transitions,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "ks_drift": q_ks_drift,
+        "chi2_independence": q_chi2_independence,
+        "rollup_answered": q_rollup_answered,
+        "terms_by_metric": q_terms_by_metric,
+        "span_not_search": q_span_not_search,
+        "global_agg": q_global_agg,
+        "inference_score": q_inference_score,
+        "eql_until": q_eql_until,
+        "search_template": q_search_template,
+        "rfm_segments": q_rfm_segments,
+        "event_paths": q_event_paths,
+        "zipf_fit": q_zipf_fit,
+        "parent_agg": q_parent_agg,
+        "extended_stats_bucket": q_extended_stats_bucket,
+        "moving_fn": q_moving_fn,
+        "suggest_contexts": q_suggest_contexts,
+        "feature_hash": q_feature_hash,
+        "ingest_enrich": q_ingest_enrich,
+        "anneal_schedule": q_anneal_schedule,
+        "geoip_route": q_geoip_route,
+        "readability": q_readability,
+        "mmr_rerank": q_mmr_rerank,
+        "hll_cardinality": q_hll_cardinality,
+        "kmeans_ivf": q_kmeans_ivf,
+        "bpe_train": q_bpe_train,
+        "unigram_train": q_unigram_train,
+        "compression_ratio": q_compression_ratio,
+        # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
         "es_sql_unpivot": q_es_sql_unpivot,
         "lucene_search": q_lucene_search,
-        # -- ES|QL command tail ----------------------------------------
         "esql_fork": q_esql_fork,
         "esql_enrich": q_esql_enrich,
         "esql_functions": q_esql_functions,
         "esql_fulltext": q_esql_fulltext,
         "esql_rerank": q_esql_rerank,
-        # -- round-4 session-2 batch -----------------------------------
         "countmin_topk": q_countmin_topk,
         "graph_explore": q_graph_explore,
         "int8_topk": q_int8_topk,
@@ -10601,7 +10721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_score": q_decay_score,
         "terms_approx": q_terms_approx,
         "collapse_inner": q_collapse_inner,
-        # -- subsystem anchors (retrievers/curation/analyzer/EQL) ------
         "retriever_rrf": q_retriever_rrf,
         "corpus_pipeline": q_corpus_pipeline,
         "bbq_topk": q_bbq_topk,
@@ -10611,7 +10730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_parse": q_grok_parse,
         "eql_sequence": q_eql_sequence,
         "eql_join": q_eql_join,
-        # -- round-5 review-fix verification + queue head --------------
         "kaplan_meier": q_kaplan_meier,
         "domain_reweight": q_domain_reweight,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -10622,16 +10740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_topk": q_rescore_topk,
         "knn_filtered": q_knn_filtered,
         "intervals_search": q_intervals_search,
-        # -- window boundary (driver reads the 50 entries above) -------
-        # remaining never-driver-verified queue (local parity mirror
-        # keeps them green; round-6 window pulls from here first),
-        # then the no-SQL-oracle trainers, then the driver-green set.
-        "esql_fuse": q_esql_fuse,
-        "esql_ts": q_esql_ts,
-        "bitext_mine": q_bitext_mine,
-        "cat_indices": q_cat_indices,
-        "warc_ingest": q_warc_ingest,
-        "moving_holt": q_moving_holt,
         "geo_line": q_geo_line,
         "kql_search": q_kql_search,
         "esql_stats": q_esql_stats,
@@ -10679,90 +10787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "unimax": q_unimax,
         "unigram_seed": q_unigram_seed,
-        "search_after": q_search_after,
-        "term_suggest": q_term_suggest,
-        "phrase_suggest": q_phrase_suggest,
-        "nested_query": q_nested_query,
-        "global_order": q_global_order,
-        "assign_split": q_assign_split,
-        "rank_eval": q_rank_eval,
-        "hard_negatives": q_hard_negatives,
-        "terms_partition": q_terms_partition,
-        "audio_profile": q_audio_profile,
-        "geo_polygon": q_geo_polygon,
-        "html_extract": q_html_extract,
-        "url_normalize": q_url_normalize,
-        "ccnet_buckets": q_ccnet_buckets,
-        "bucket_script": q_bucket_script,
-        "ip_prefix": q_ip_prefix,
-        "quality_classifier": q_quality_classifier,
-        "hex_grid": q_hex_grid,
-        "intra_doc_dedup": q_intra_doc_dedup,
-        "runtime_fields": q_runtime_fields,
-        "fim_transform": q_fim_transform,
-        "span_corruption": q_span_corruption,
-        "latest_transform": q_latest_transform,
-        "denoiser_mix": q_denoiser_mix,
-        "knn_classify": q_knn_classify,
-        "span_search": q_span_search,
-        "rank_feature": q_rank_feature,
-        "distance_feature": q_distance_feature,
-        "has_child": q_has_child,
-        "has_parent": q_has_parent,
-        "reverse_nested": q_reverse_nested,
-        "script_filter": q_script_filter,
-        "scripted_metric": q_scripted_metric,
-        "pinned_search": q_pinned_search,
-        "length_batching": q_length_batching,
-        "dedup_keep_best": q_dedup_keep_best,
-        "epoch_shuffle": q_epoch_shuffle,
-        "significant_chi2": q_significant_chi2,
-        "pivot_summary": q_pivot_summary,
-        "soft_dedup": q_soft_dedup,
-        "geo_shape": q_geo_shape,
-        "script_score": q_script_score,
-        "serial_diff_page": q_serial_diff,
-        "bucket_stats": q_bucket_stats,
-        "bigram_lm": q_bigram_lm,
-        "explain_score": q_explain_score,
-        "msearch": q_msearch,
-        "pr_curve": q_pr_curve,
-        "terms_enum": q_terms_enum,
-        "shard_manifest": q_shard_manifest,
-        "sparse_search": q_sparse_search,
-        "significant_bg": q_significant_bg,
-        "counter_rate": q_counter_rate,
-        "composite_datehist": q_composite_datehist,
-        "children_agg": q_children_agg,
-        "step_transitions": q_step_transitions,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "ks_drift": q_ks_drift,
-        "chi2_independence": q_chi2_independence,
-        "rollup_answered": q_rollup_answered,
-        "terms_by_metric": q_terms_by_metric,
-        "span_not_search": q_span_not_search,
-        "global_agg": q_global_agg,
-        "inference_score": q_inference_score,
-        "eql_until": q_eql_until,
-        "search_template": q_search_template,
-        "rfm_segments": q_rfm_segments,
-        "event_paths": q_event_paths,
-        "zipf_fit": q_zipf_fit,
-        "parent_agg": q_parent_agg,
-        "extended_stats_bucket": q_extended_stats_bucket,
-        "moving_fn": q_moving_fn,
-        "suggest_contexts": q_suggest_contexts,
-        "feature_hash": q_feature_hash,
-        "ingest_enrich": q_ingest_enrich,
-        "anneal_schedule": q_anneal_schedule,
-        "geoip_route": q_geoip_route,
-        "readability": q_readability,
-        "mmr_rerank": q_mmr_rerank,
-        "percentiles_sketch": q_percentiles_sketch,
-        "hll_cardinality": q_hll_cardinality,
-        "kmeans_ivf": q_kmeans_ivf,
-        "bpe_train": q_bpe_train,
-        "unigram_train": q_unigram_train,
         "simhash_banded": q_simhash_banded,
         "semantic_dedup": q_semantic_dedup,
         "pq_search": q_pq_search,
@@ -10854,33 +10878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "weighted_avg": q_weighted_avg,
         "mad": q_mad,
-        "association_rules": q_association_rules,
-        "triangle_count": q_triangle_count,
-        "kmv_overlap": q_kmv_overlap,
-        "record_linkage": q_record_linkage,
-        "moving_holtwinters": q_moving_holtwinters,
-        "scd2_merge": q_scd2_merge,
-        "ltr_features": q_ltr_features,
-        "k_anonymity": q_k_anonymity,
-        "embedding_covariance": q_embedding_covariance,
-        "embedding_pca": q_embedding_pca,
-        "containment_pairs": q_containment_pairs,
-        "k_core": q_k_core,
-        "psi_drift": q_psi_drift,
-        "ols_trend": q_ols_trend,
-        "xcorr_lags": q_xcorr_lags,
-        "cohens_kappa": q_cohens_kappa,
-        "set_similarity_join": q_set_similarity_join,
-        "kcenter_seed": q_kcenter_seed,
-        "kcenter_select": q_kcenter_select,
-        "silhouette": q_silhouette,
-        "compression_ratio": q_compression_ratio,
-        "prop_ztest": q_prop_ztest,
-        "negative_sampling": q_negative_sampling,
-        "mutual_info": q_mutual_info,
-        "ngram_novelty": q_ngram_novelty,
-        "winnow_pairs": q_winnow_pairs,
-        "forecast_backtest": q_forecast_backtest,
     }
 
 

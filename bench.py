@@ -8,6 +8,13 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed to full materialization (count of the result), after a
 JVM/session warmup query so we measure the plans, not session startup.
+
+Each query runs ``$SPARK_GRAFT_BENCH_TRIALS`` times (default 2) and the
+MINIMUM is recorded: min-of-N is robust to transient host load, so
+round-over-round deltas reflect plan drift, not machine state (VERDICT r5
+bench-reproducibility item — the r4->r5 "267 of 272 regressed" false alarm
+was host noise that cost a full forensic pass). The 1-and-5-minute load
+averages at start are recorded alongside as a host-state preamble.
 """
 
 from __future__ import annotations
@@ -80,19 +87,31 @@ def main() -> None:
         gc.collect()
         spark.catalog.clearCache()
 
+    trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()[:2]]
+    except OSError:
+        loadavg = None
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
-        # isolate queries: release tether-managed persisted frames (their
-        # unpersist fires on Python GC, which is lazy) and drop any cached
-        # blocks so no query pays storage pressure from a predecessor
-        del df
-        gc.collect()
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            elapsed = time.perf_counter() - t0
+            assert n >= 0
+            if best is None or elapsed < best:
+                best = elapsed
+            # isolate trials/queries: release tether-managed persisted
+            # frames (their unpersist fires on Python GC, which is lazy)
+            # and drop any cached blocks so no run pays storage pressure
+            # from a predecessor
+            del df
+            gc.collect()
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -112,6 +131,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "trials": trials,
+        "loadavg_start": loadavg,
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCHLOCAL.json"
@@ -131,6 +152,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries_file": "BENCHLOCAL.json",
         "sf": sf_val,
+        "trials": trials,
     }))
 
 
