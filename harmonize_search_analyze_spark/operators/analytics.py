@@ -1863,3 +1863,241 @@ SELECT CAST(n.n AS BIGINT) AS n,
                   ELSE mi.mi_nats / LEAST(ha.h, hb.h) END, 6) AS nmi
 FROM n CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
 """
+
+def cusum_change(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """Tabular CUSUM mean-shift monitor over an (already bucketed) metric
+    series — the SEQUENTIAL detector that complements
+    :func:`aggregations.change_point` (one retrospective max-|split|):
+    CUSUM accumulates standardized deviations and flags the bucket where
+    the running excursion first crosses ``h``, catching slow drifts a
+    single-split test dilutes. Values are z-scored against the whole
+    series; ``k`` (slack) and ``h`` (threshold) are in sigma units, the
+    textbook (0.5, 5) defaults.
+
+    The recursions ``C+_i = max(0, C+_{i-1} + z_i - k)`` and
+    ``C-_i = max(0, C-_{i-1} - z_i - k)`` look imperatively stateful but
+    both close over plain windows via the prefix-sum identity
+    ``C_i = P_i - min(0, min_{j<=i} P_j)`` with ``P_i = sum_{t<=i}
+    (+-z_t - k)`` — so the whole operator is two ordered-window passes,
+    no recursion, no Python. A constant series (sigma = 0) pins z = 0
+    everywhere (nothing can drift). Returns per bucket:
+    ``(bucket, value, z, cusum_pos, cusum_neg, alarm)`` rounded 6,
+    ordered by bucket.
+
+    Scale shape: one 1-row mean/std agg broadcast back, then ONE ordered
+    window over the bucket frame (tiny by the bucket_pipeline contract —
+    the single-task window is over thousands of buckets, never corpus
+    rows).
+    """
+    if h <= 0:
+        raise ValueError("h must be > 0")
+    stats = buckets.agg(
+        F.avg(F.col(value_col).cast("double")).alias("__mu"),
+        F.stddev_pop(F.col(value_col).cast("double")).alias("__sigma"),
+    )
+    z = (
+        buckets.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(bucket_col),
+            F.col(value_col).cast("double").alias("value"),
+            F.when(
+                F.col("__sigma") > 0,
+                (F.col(value_col).cast("double") - F.col("__mu"))
+                / F.col("__sigma"),
+            ).otherwise(F.lit(0.0)).alias("__z"),
+        )
+    )
+    w = Window.orderBy(bucket_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    runs = z.select(
+        F.col(bucket_col),
+        "value",
+        "__z",
+        F.sum(F.col("__z") - F.lit(k)).over(w).alias("__p"),
+        F.sum(-F.col("__z") - F.lit(k)).over(w).alias("__n"),
+    )
+    cpos = F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(w))
+    cneg = F.col("__n") - F.least(F.lit(0.0), F.min("__n").over(w))
+    out = runs.select(
+        F.col(bucket_col),
+        "value",
+        # + 0.0 collapses IEEE -0.0 (DuckDB ROUND keeps it, Spark does
+        # not — the dual-dialect pitfall documented in r5)
+        (F.round("__z", 6) + F.lit(0.0)).alias("z"),
+        (F.round(cpos, 6) + F.lit(0.0)).alias("cusum_pos"),
+        (F.round(cneg, 6) + F.lit(0.0)).alias("cusum_neg"),
+        ((cpos > F.lit(h)) | (cneg > F.lit(h))).alias("alarm"),
+    )
+    return out.orderBy(bucket_col)
+
+
+def cusum_change_sql(
+    buckets_sql: str,
+    dialect: str,
+    *,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> str:
+    """Dual-dialect twin of :func:`cusum_change`. ``buckets_sql`` yields
+    ``(bucket, v)``; identical text runs on both engines (named WINDOW
+    clause is shared SQL)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH src AS ({buckets_sql}),
+stats AS (
+  SELECT AVG(CAST(v AS DOUBLE)) AS mu, STDDEV_POP(CAST(v AS DOUBLE)) AS sigma
+  FROM src
+),
+z AS (
+  SELECT bucket, CAST(v AS DOUBLE) AS value,
+         CASE WHEN sigma > 0 THEN (CAST(v AS DOUBLE) - mu) / sigma
+              ELSE 0.0 END AS zv
+  FROM src CROSS JOIN stats
+),
+runs AS (
+  SELECT bucket, value, zv,
+         SUM(zv - {k!r}) OVER w AS p,
+         SUM(-zv - {k!r}) OVER w AS n
+  FROM z
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cus AS (
+  SELECT bucket, value, zv,
+         p - LEAST(0.0, MIN(p) OVER w) AS cpos,
+         n - LEAST(0.0, MIN(n) OVER w) AS cneg
+  FROM runs
+  WINDOW w AS (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, value,
+       ROUND(zv, 6) + 0.0 AS z,
+       ROUND(cpos, 6) + 0.0 AS cusum_pos,
+       ROUND(cneg, 6) + 0.0 AS cusum_neg,
+       (cpos > {h!r} OR cneg > {h!r}) AS alarm
+FROM cus ORDER BY bucket
+"""
+
+
+# chi-square upper critical values at alpha = 0.05, df = 8 (Benford has
+# 9 first-digit categories)
+_BENFORD_CHI2_CRIT = 15.50731
+
+
+def benford_test(
+    df: DataFrame,
+    value_expr: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a numeric column — the
+    data-forensics screen for fabricated or truncated numeric feeds
+    (naturally occurring multi-magnitude quantities follow
+    ``P(d) = log10(1 + 1/d)``; hand-entered or synthesized ones rarely
+    do). Nonzero finite values contribute their first significant digit;
+    returns 9 rows ``(digit, n, share, expected, chi2, reject)`` with
+    the Pearson chi-square statistic (df = 8) and the alpha = 0.05
+    verdict attached to every row (bin-count-sized frame — consumers
+    read the verdict off any row). Digits that never occur still appear
+    with n = 0 via the 1-9 spine.
+
+    Scale shape: one map-combinable 9-bucket count agg over the corpus;
+    everything after is 9 rows. The first digit derives from
+    ``floor(a / 10^floor(log10(a)))`` — identical float ops on both
+    engines, clamped into [1, 9] against boundary rounding.
+    """
+    spark = df.sparkSession
+    a = F.abs(F.expr(value_expr).cast("double"))
+    digit = F.least(
+        F.greatest(
+            F.floor(a / F.pow(F.lit(10.0), F.floor(F.log10(a)))), F.lit(1)
+        ),
+        F.lit(9),
+    ).cast("int")
+    counts = (
+        df.where(a.isNotNull() & (a > 0))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    filled = (
+        spine.join(counts, "digit", "left")
+        .select("digit", F.coalesce("n", F.lit(0)).alias("n"))
+        .crossJoin(
+            F.broadcast(counts.agg(F.sum("n").alias("__tot")))
+        )
+    )
+    expected = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    share = F.col("n") / F.col("__tot")
+    with_parts = filled.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("expected"),
+        (
+            F.pow(F.col("n") - F.col("__tot") * expected, 2)
+            / (F.col("__tot") * expected)
+        ).alias("__part"),
+    )
+    chi2 = with_parts.agg(F.sum("__part").alias("__chi2"))
+    return (
+        with_parts.crossJoin(F.broadcast(chi2))
+        .select(
+            "digit",
+            "n",
+            "share",
+            "expected",
+            F.round("__chi2", 6).alias("chi2"),
+            (F.col("__chi2") > F.lit(_BENFORD_CHI2_CRIT)).alias("reject"),
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_test_sql(table: str, value_expr: str, dialect: str) -> str:
+    """Dual-dialect twin of :func:`benford_test`. The 1-9 spine differs
+    per dialect (sequence vs range); the float arithmetic is identical."""
+    if dialect == "spark":
+        spine = "SELECT explode(sequence(1, 9)) AS digit"
+    elif dialect == "duckdb":
+        spine = "SELECT CAST(t.i AS INT) AS digit FROM range(1, 10) t(i)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    a = f"ABS(CAST({value_expr} AS DOUBLE))"
+    return f"""
+WITH counts AS (
+  SELECT CAST(LEAST(GREATEST(
+           FLOOR({a} / POWER(10.0, FLOOR(LOG10({a})))), 1), 9) AS INT)
+           AS digit,
+         COUNT(*) AS n
+  FROM {table}
+  WHERE {a} IS NOT NULL AND {a} > 0
+  GROUP BY 1
+),
+spine AS ({spine}),
+tot AS (SELECT SUM(n) AS tot FROM counts),
+filled AS (
+  SELECT s.digit, COALESCE(c.n, 0) AS n, tot.tot,
+         LOG10(1.0 + 1.0 / s.digit) AS expected
+  FROM spine s LEFT JOIN counts c ON c.digit = s.digit CROSS JOIN tot
+),
+chi AS (
+  SELECT SUM(POWER(n - tot * expected, 2) / (tot * expected)) AS chi2
+  FROM filled
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(tot AS DOUBLE), 6) AS share,
+       ROUND(expected, 6) AS expected,
+       ROUND(chi.chi2, 6) AS chi2,
+       (chi.chi2 > {_BENFORD_CHI2_CRIT!r}) AS reject
+FROM filled CROSS JOIN chi
+ORDER BY digit
+"""

@@ -2017,3 +2017,74 @@ def winnow_pairs(
         .orderBy(F.desc("shared"), F.asc("id1"), F.asc("id2"))
     )
     return tether(out, fps)
+
+def leakage_check(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: dict[str, float],
+    *,
+    threshold: float = 0.8,
+    k: int = 8,
+    n: int = 3,
+    rows_per_band: int = 2,
+    lsh_seed: int = 42,
+    split_seed: int = 42,
+) -> DataFrame:
+    """Train/test leakage audit: near-duplicate pairs (MinHash-LSH, the
+    :func:`near_dup_pairs_lsh` pipeline) tallied by the split boundary
+    they span under the :func:`ordering.assign_split` hash partitioning
+    — THE pre-training split gate ("how many eval documents have a
+    near-dup in train?"). Returns one row per unordered split pair:
+    ``(split_a, split_b, n_pairs, is_cross, cross_share)`` with
+    ``split_a <= split_b`` lexicographically, ``is_cross`` flagging
+    boundary-spanning pairs, and ``cross_share`` (the overall leaked
+    fraction, rounded 6) repeated on every row of the split-pair-sized
+    frame. No near-dup pairs at all -> empty result (nothing to leak).
+
+    Scale shape: the LSH pipeline's shuffles only — split labels are a
+    PURE hash expression of each pair's ids (``split_case_sql``), so the
+    audit adds zero joins and zero extra scans on top of the dedup pass
+    it rides.
+    """
+    from harmonize_search_analyze_spark.operators.ordering import (
+        split_case_sql,
+    )
+
+    pairs = near_dup_pairs_lsh(
+        df, id_col, text_col,
+        threshold=threshold, k=k, n=n,
+        rows_per_band=rows_per_band, seed=lsh_seed,
+    )
+    s1 = F.expr(split_case_sql("id1", fractions, "spark", seed=split_seed))
+    s2 = F.expr(split_case_sql("id2", fractions, "spark", seed=split_seed))
+    labeled = pairs.select(
+        F.least(s1, s2).alias("split_a"),
+        F.greatest(s1, s2).alias("split_b"),
+    )
+    grouped = (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .persist()
+    )
+    totals = grouped.agg(
+        F.sum("n_pairs").alias("__tot"),
+        F.sum(
+            F.when(F.col("split_a") != F.col("split_b"), F.col("n_pairs"))
+            .otherwise(F.lit(0))
+        ).alias("__cross"),
+    )
+    out = (
+        grouped.crossJoin(F.broadcast(totals))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_cross"),
+            F.round(F.col("__cross") / F.col("__tot"), 6).alias(
+                "cross_share"
+            ),
+        )
+        .orderBy("split_a", "split_b")
+    )
+    return tether(out, grouped)

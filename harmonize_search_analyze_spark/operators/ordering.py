@@ -162,6 +162,30 @@ def assign_split(
     )
 
 
+def split_case_sql(
+    key_col: str,
+    fractions: dict[str, float],
+    dialect: str,
+    *,
+    seed: int = 42,
+) -> str:
+    """The split-label CASE expression of :func:`assign_split` as a plain
+    dual-dialect SQL string — a PURE expression of the key, so consumers
+    (``assign_split_sql``, ``dedup.leakage_check``) can label rows with
+    zero joins and zero shuffles."""
+    h = sample_hash_sql(key_col, dialect, seed=seed)
+    bounds, acc = [], 0.0
+    items = sorted(fractions.items())
+    for label, frac in items:
+        acc += frac
+        bounds.append((label, int(round(acc * HASH_BUCKETS))))
+    bounds[-1] = (bounds[-1][0], HASH_BUCKETS)
+    branches = "".join(
+        f"WHEN {h} < {hi} THEN '{label}' " for label, hi in bounds[:-1]
+    )
+    return f"(CASE {branches}ELSE '{bounds[-1][0]}' END)"
+
+
 def assign_split_sql(
     table: str,
     key_col: str,
@@ -173,17 +197,7 @@ def assign_split_sql(
     seed: int = 42,
 ) -> str:
     """Dual-dialect twin of :func:`assign_split`."""
-    h = sample_hash_sql(key_col, dialect, seed=seed)
-    bounds, acc = [], 0.0
-    items = sorted(fractions.items())
-    for label, frac in items:
-        acc += frac
-        bounds.append((label, int(round(acc * HASH_BUCKETS))))
-    bounds[-1] = (bounds[-1][0], HASH_BUCKETS)
-    branches = "".join(
-        f"WHEN {h} < {hi} THEN '{label}' " for label, hi in bounds[:-1]
-    )
-    case = f"(CASE {branches}ELSE '{bounds[-1][0]}' END)"
+    case = split_case_sql(key_col, fractions, dialect, seed=seed)
     cols = ", ".join(columns)
     return f"SELECT {cols}, {case} AS {out_col} FROM {table}"
 

@@ -1030,3 +1030,213 @@ SELECT grp AS {group_col}, n_docs,
          AS chars_per_piece
 FROM agg ORDER BY {group_col}
 """
+
+# -- corpus-distribution divergence / diversity --------------------------------
+
+def jsd_divergence(
+    df: DataFrame,
+    text_col: str,
+    side_expr: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the term distributions of two
+    corpus slices — the bounded, symmetric drift metric for "did this
+    month's crawl change vocabulary?" and source-vs-source mixing
+    audits (complements :func:`analytics.psi_drift`, which bins a
+    NUMERIC column; JSD compares the whole token distribution).
+    ``side_expr`` is a boolean SQL expression over the input's columns:
+    true rows form side A, false rows side B (NULL rows drop).
+
+    ``JSD = sum_t [ p/2 * log2(p/m) + q/2 * log2(q/m) ]`` with
+    ``m = (p+q)/2`` and the ``0 log 0 = 0`` convention; base 2 bounds
+    it in [0, 1] and ``sqrt(JSD)`` is a true metric (the JS distance).
+    Returns ONE row ``(tokens_a, tokens_b, vocab, jsd_bits,
+    jsd_distance)`` rounded 6; if either side has no tokens the
+    divergence is NULL (nothing to compare), never 0.
+
+    Scale shape: one token explode -> one vocabulary-sized conditional
+    count agg -> a 1-row totals agg broadcast back -> one final fold.
+    The corpus is scanned once; everything after the first agg is
+    vocab-sized. The count frame feeds two consumers (totals + fold) —
+    persisted, lifetime tethered to the result.
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    toks = tokens_sql(text_col, "spark")
+    side = F.expr(side_expr)
+    pairs = (
+        df.where(F.col(text_col).isNotNull() & side.isNotNull())
+        .select(side.alias("__side"), F.explode(F.expr(toks)).alias("__t"))
+        .groupBy("__t")
+        .agg(
+            F.count(F.when(F.col("__side"), 1)).alias("__ca"),
+            F.count(F.when(~F.col("__side"), 1)).alias("__cb"),
+        )
+        .persist()
+    )
+    totals = pairs.agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
+    )
+    # nullif denominators: an empty side has total 0 and under ANSI the
+    # division throws even inside an untaken when() branch — NULL
+    # propagates to the (already NULL-gated) outputs instead
+    p = F.col("__ca") / F.nullif(F.col("__ta"), F.lit(0))
+    q = F.col("__cb") / F.nullif(F.col("__tb"), F.lit(0))
+    m = (p + q) / 2
+    contrib = F.when(
+        F.col("__ca") > 0, p / 2 * F.log2(p / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("__cb") > 0, q / 2 * F.log2(q / m)
+    ).otherwise(F.lit(0.0))
+    folded = (
+        pairs.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("__ta").alias("__ta"),
+            F.max("__tb").alias("__tb"),
+            F.count(F.lit(1)).alias("__vocab"),
+            F.sum(contrib).alias("__jsd"),
+        )
+    )
+    out = folded.select(
+        F.coalesce(F.col("__ta"), F.lit(0)).cast("bigint").alias("tokens_a"),
+        F.coalesce(F.col("__tb"), F.lit(0)).cast("bigint").alias("tokens_b"),
+        F.col("__vocab").cast("bigint").alias("vocab"),
+        F.when(
+            (F.col("__ta") > 0) & (F.col("__tb") > 0),
+            F.round(F.col("__jsd"), 6) + F.lit(0.0),
+        ).alias("jsd_bits"),
+        F.when(
+            (F.col("__ta") > 0) & (F.col("__tb") > 0),
+            F.round(F.sqrt(F.greatest(F.col("__jsd"), F.lit(0.0))), 6),
+        ).alias("jsd_distance"),
+    )
+    return tether(out, pairs)
+
+
+def jsd_divergence_sql(
+    table: str,
+    text_col: str,
+    side_expr: str,
+    dialect: str,
+    *,
+    where: str | None = None,
+) -> str:
+    """Dual-dialect twin of :func:`jsd_divergence`. ``side_expr`` must be
+    valid in both dialects (plain comparisons are)."""
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        unnest = f"SELECT ({side_expr}) AS side, explode({toks}) AS t"
+    elif dialect == "duckdb":
+        unnest = f"SELECT ({side_expr}) AS side, UNNEST({toks}) AS t"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    w = f"AND ({where})" if where else ""
+    return f"""
+WITH tok AS (
+  {unnest}
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND ({side_expr}) IS NOT NULL {w}
+),
+pairs AS (
+  SELECT t,
+         COUNT(CASE WHEN side THEN 1 END) AS ca,
+         COUNT(CASE WHEN NOT side THEN 1 END) AS cb
+  FROM tok GROUP BY t
+),
+tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM pairs),
+fold AS (
+  SELECT MAX(ta) AS ta, MAX(tb) AS tb, COUNT(*) AS vocab,
+         SUM(
+           CASE WHEN ca > 0 THEN (ca / CAST(ta AS DOUBLE)) / 2
+                * LOG2((ca / CAST(ta AS DOUBLE))
+                       / ((ca / CAST(ta AS DOUBLE)
+                           + cb / CAST(tb AS DOUBLE)) / 2))
+                ELSE 0.0 END
+           + CASE WHEN cb > 0 THEN (cb / CAST(tb AS DOUBLE)) / 2
+                * LOG2((cb / CAST(tb AS DOUBLE))
+                       / ((ca / CAST(ta AS DOUBLE)
+                           + cb / CAST(tb AS DOUBLE)) / 2))
+                ELSE 0.0 END
+         ) AS jsd
+  FROM pairs CROSS JOIN tot
+)
+SELECT CAST(COALESCE(ta, 0) AS BIGINT) AS tokens_a,
+       CAST(COALESCE(tb, 0) AS BIGINT) AS tokens_b,
+       CAST(vocab AS BIGINT) AS vocab,
+       CASE WHEN ta > 0 AND tb > 0
+            THEN ROUND(jsd, 6) + 0.0 END AS jsd_bits,
+       CASE WHEN ta > 0 AND tb > 0
+            THEN ROUND(SQRT(GREATEST(jsd, 0.0)), 6) END AS jsd_distance
+FROM fold
+"""
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Distinct-n diversity per group — the repetition/mode-collapse
+    audit for synthetic or deduplicated corpora: the share of n-gram
+    OCCURRENCES that are unique n-grams (distinct-1/distinct-2 in the
+    dialogue-generation literature; low values flag templated or
+    self-repeating sources). Returns per group ``(group, total_ngrams,
+    distinct_ngrams, distinct_ratio)`` rounded 6, ordered by group;
+    groups whose docs are all shorter than ``n`` tokens yield no
+    n-grams and drop (identically on both engines).
+
+    Scale shape: one n-gram explode -> (group, gram) hash agg ->
+    group hash agg. count and count_distinct never share an agg (the
+    Expand-plan trap) — the two-level stack IS the distinct count.
+    """
+    grams = ngrams_sql(text_col, "spark", n)
+    per_gram = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(group_col), F.explode(F.expr(grams)).alias("__g"))
+        .groupBy(group_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        per_gram.groupBy(group_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+            F.round(
+                F.count(F.lit(1)) / F.sum("__c").cast("double"), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def distinct_ngrams_sql(
+    table: str,
+    text_col: str,
+    group_col: str,
+    dialect: str,
+    *,
+    n: int = 2,
+) -> str:
+    """Dual-dialect twin of :func:`distinct_ngrams` (same two-level agg
+    stack; the n-gram construction comes from :func:`ngrams_sql`)."""
+    grams = ngrams_sql(text_col, dialect, n)
+    if dialect == "spark":
+        unnest = f"SELECT {group_col} AS g, explode({grams}) AS gram"
+    elif dialect == "duckdb":
+        unnest = f"SELECT {group_col} AS g, UNNEST({grams}) AS gram"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH exploded AS (
+  {unnest} FROM {table} WHERE {text_col} IS NOT NULL
+),
+per_gram AS (
+  SELECT g, gram, COUNT(*) AS c FROM exploded GROUP BY g, gram
+)
+SELECT g AS {group_col},
+       CAST(SUM(c) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+       ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_ratio
+FROM per_gram GROUP BY g ORDER BY g
+"""
