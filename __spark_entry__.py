@@ -10693,6 +10693,99 @@ ORDER BY split_a, split_b
 """
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between click and purchase event
+    values — the nonparametric two-sample gate beside t_test. Midranks
+    via a value-cardinality-sized window, never a corpus rank."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mann_whitney,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney(
+        ev, "value",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+
+
+def _sql_mann_whitney(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mann_whitney_sql,
+    )
+
+    return mann_whitney_sql(
+        "events", "value",
+        "event_type = 'click'", "event_type = 'purchase'", dialect,
+    )
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE + Brier for a deterministic stand-in
+    score (l_discount * 10 in [0,1]) against the return-flag outcome —
+    the classifier-calibration gate, one bin-keyed agg."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        calibration,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return calibration(
+        li, "l_discount * 10",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END", bins=10,
+    )
+
+
+def _sql_calibration(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        calibration_sql,
+    )
+
+    return calibration_sql(
+        "lineitem", "l_discount * 10",
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END", dialect, bins=10,
+    )
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of per-user inter-arrival gaps by event
+    type — one (type, user) lag window + one group agg."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        burstiness,
+    )
+
+    return burstiness(_t(spark, sf_dir, "events"))
+
+
+def _sql_burstiness(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        burstiness_sql,
+    )
+
+    return burstiness_sql("events", dialect)
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of document lengths onto the
+    global length distribution (20-point grid) — the cross-source
+    score-comparability transform for mixing."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        quantile_norm,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_norm(docs, "doc_id", "n_chars", "source", grid=20)
+
+
+def _sql_quantile_norm(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        quantile_norm_sql,
+    )
+
+    return quantile_norm_sql(
+        "documents", "doc_id", "n_chars", "source", dialect, grid=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
@@ -10837,6 +10930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_divergence": q_jsd_divergence,
         "distinct_ngrams": q_distinct_ngrams,
         "leakage_check": q_leakage_check,
+        "mann_whitney": q_mann_whitney,
+        "calibration": q_calibration,
+        "burstiness": q_burstiness,
+        "quantile_norm": q_quantile_norm,
         # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
@@ -11118,6 +11215,10 @@ def oracle_sql() -> dict[str, str]:
         "jsd_divergence": _sql_jsd_divergence(),
         "distinct_ngrams": _sql_distinct_ngrams(),
         "leakage_check": _sql_leakage_check(),
+        "mann_whitney": _sql_mann_whitney(),
+        "calibration": _sql_calibration(),
+        "burstiness": _sql_burstiness(),
+        "quantile_norm": _sql_quantile_norm(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

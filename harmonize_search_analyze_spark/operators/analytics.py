@@ -2101,3 +2101,320 @@ SELECT digit, CAST(n AS BIGINT) AS n,
 FROM filled CROSS JOIN chi
 ORDER BY digit
 """
+
+def mann_whitney(
+    df: DataFrame,
+    field: str,
+    filter_a: Column,
+    filter_b: Column,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test — the nonparametric two-sample gate
+    beside Welch's :func:`aggregations.t_test` (medians/distribution
+    shift without normality; the robust A/B choice for skewed metrics
+    like latency or doc length). Exact midranks with the tie-corrected
+    normal approximation and NO continuity correction (pinned — both
+    engines compute the identical z); two-sided p via the shared A&S
+    erf polynomial. All-tied inputs (zero rank variance) give NULL z/p.
+
+    Scale shape: midranks never rank the corpus — group by VALUE first
+    (one map-combinable conditional-count agg), then one ordered window
+    over the value-cardinality-sized frame: the midrank of every row
+    with value v is ``(rows below v) + (ties_v + 1)/2``, so the rank sum
+    is ``sum(n_a_v * midrank_v)``. Returns
+    ``(n_a, n_b, u_a, u_b, z, p_value)`` rounded 6.
+    """
+    v = F.col(field).cast("double")
+    vals = (
+        df.where(v.isNotNull() & (filter_a | filter_b))
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.count(F.when(filter_a, 1)).alias("__na"),
+            F.count(F.when(filter_b, 1)).alias("__nb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vals.select(
+        "__na", "__nb",
+        (F.col("__na") + F.col("__nb")).alias("__t"),
+        (
+            F.sum(F.col("__na") + F.col("__nb")).over(w)
+            - (F.col("__na") + F.col("__nb"))
+            + (F.col("__na") + F.col("__nb") + 1) / 2.0
+        ).alias("__midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("__na").alias("__n_a"),
+        F.sum("__nb").alias("__n_b"),
+        F.sum(F.col("__na") * F.col("__midrank")).alias("__ra"),
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("__ties"),
+    )
+    na, nb = F.col("__n_a"), F.col("__n_b")
+    n = na + nb
+    ua = F.col("__ra") - na * (na + 1) / 2.0
+    ub = na.cast("double") * nb - ua
+    var_u = (
+        na.cast("double") * nb / 12.0
+        * ((n + 1) - F.try_divide(F.col("__ties"), n.cast("double") * (n - 1)))
+    )
+    z = F.try_divide(ua - na.cast("double") * nb / 2.0, F.sqrt(var_u))
+    stats = agg.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(ua, 6).alias("u_a"),
+        F.round(ub, 6).alias("u_b"),
+        z.alias("__z"),
+    )
+    pv = F.expr("1.0 - " + _erf_sql("ABS(__z) / 1.4142135623730951"))
+    return stats.select(
+        "n_a", "n_b", "u_a", "u_b",
+        (F.round("__z", 6) + F.lit(0.0)).alias("z"),
+        F.round(pv, 6).alias("p_value"),
+    )
+
+
+def mann_whitney_sql(
+    table: str,
+    field: str,
+    filter_a: str,
+    filter_b: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`mann_whitney` (identical text; the
+    value-level midrank algebra is plain window SQL)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    pv = "1.0 - " + _erf_sql("ABS(z_) / 1.4142135623730951")
+    return f"""
+WITH vals AS (
+  SELECT CAST({field} AS DOUBLE) AS v,
+         COUNT(CASE WHEN {filter_a} THEN 1 END) AS na,
+         COUNT(CASE WHEN {filter_b} THEN 1 END) AS nb
+  FROM {table}
+  WHERE {field} IS NOT NULL AND (({filter_a}) OR ({filter_b}))
+  GROUP BY 1
+),
+ranked AS (
+  SELECT na, nb, na + nb AS t,
+         SUM(na + nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (na + nb) + (na + nb + 1) / 2.0 AS midrank
+  FROM vals
+),
+agg AS (
+  SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+         SUM(na * midrank) AS ra,
+         SUM(CAST(t AS DOUBLE) * t * t - t) AS ties
+  FROM ranked
+),
+stats AS (
+  SELECT n_a, n_b,
+         ra - n_a * (n_a + 1) / 2.0 AS ua,
+         CAST(n_a AS DOUBLE) * n_b - (ra - n_a * (n_a + 1) / 2.0) AS ub,
+         (ra - n_a * (n_a + 1) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+         / NULLIF(SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+             * ((n_a + n_b + 1)
+                - ties / NULLIF(CAST(n_a + n_b AS DOUBLE)
+                                * (n_a + n_b - 1), 0.0))), 0.0) AS z_
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(ua, 6) AS u_a, ROUND(ub, 6) AS u_b,
+       ROUND(z_, 6) + 0.0 AS z, ROUND({pv}, 6) AS p_value
+FROM stats
+"""
+
+
+def calibration(
+    df: DataFrame,
+    prob_expr: str,
+    label_expr: str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + ECE + Brier score for a probabilistic
+    classifier's scores against binary outcomes — the quality-classifier
+    / reward-model calibration gate ("does p=0.9 mean 90%?"). Rows bin
+    by predicted probability (equal-width, the standard ECE binning;
+    p = 1.0 clamps into the top bin); per bin the mean predicted
+    ``conf``, observed rate ``acc``, and ``gap = acc - conf``; the
+    expected calibration error ``ece = sum n_b/N * |gap_b|`` and the
+    Brier score ride every row of the bin-count-sized frame. Empty bins
+    are absent (no confidence to report), identically on both engines.
+
+    Scale shape: ONE map-combinable agg keyed by bin (sums of p, y,
+    (p-y)^2 per bin), then arithmetic over <= ``bins`` rows.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    p = F.expr(prob_expr).cast("double")
+    y = F.expr(label_expr).cast("double")
+    b = F.least(F.floor(p * bins), F.lit(bins - 1)).cast("int")
+    per_bin = (
+        df.where(p.isNotNull() & y.isNotNull() & (p >= 0) & (p <= 1))
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg(p).alias("__conf"),
+            F.avg(y).alias("__acc"),
+            F.sum((p - y) * (p - y)).alias("__sq"),
+        )
+        .persist()
+    )
+    totals = per_bin.agg(
+        F.sum("__n").alias("__tot"),
+        (
+            F.sum(F.col("__n") * F.abs(F.col("__acc") - F.col("__conf")))
+            / F.sum("__n")
+        ).alias("__ece"),
+        (F.sum("__sq") / F.sum("__n")).alias("__brier"),
+    )
+    out = (
+        per_bin.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.col("__n").cast("bigint").alias("n"),
+            F.round("__conf", 6).alias("conf"),
+            F.round("__acc", 6).alias("acc"),
+            (F.round(F.col("__acc") - F.col("__conf"), 6) + F.lit(0.0))
+            .alias("gap"),
+            F.round("__ece", 6).alias("ece"),
+            F.round("__brier", 6).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+    return tether(out, per_bin)
+
+
+def calibration_sql(
+    table: str,
+    prob_expr: str,
+    label_expr: str,
+    dialect: str,
+    *,
+    bins: int = 10,
+) -> str:
+    """Dual-dialect twin of :func:`calibration` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    p = f"CAST({prob_expr} AS DOUBLE)"
+    y = f"CAST({label_expr} AS DOUBLE)"
+    return f"""
+WITH per_bin AS (
+  SELECT CAST(LEAST(FLOOR({p} * {bins}), {bins - 1}) AS INT) AS bin,
+         COUNT(*) AS n,
+         AVG({p}) AS conf,
+         AVG({y}) AS acc,
+         SUM(({p} - {y}) * ({p} - {y})) AS sq
+  FROM {table}
+  WHERE {p} IS NOT NULL AND {y} IS NOT NULL
+    AND {p} >= 0 AND {p} <= 1
+  GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS tot,
+         SUM(n * ABS(acc - conf)) / SUM(n) AS ece,
+         SUM(sq) / SUM(n) AS brier
+  FROM per_bin
+)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       ROUND(conf, 6) AS conf, ROUND(acc, 6) AS acc,
+       ROUND(acc - conf, 6) + 0.0 AS gap,
+       ROUND(tot.ece, 6) AS ece, ROUND(tot.brier, 6) AS brier
+FROM per_bin CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+def burstiness(
+    df: DataFrame,
+    *,
+    by: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Goh-Barabasi burstiness of inter-arrival times per ``by`` group —
+    the temporal-pattern signal behind bot/incident detection and crawl
+    scheduling: ``B = (sigma - mu) / (sigma + mu)`` over the gaps
+    between consecutive events OF THE SAME USER (B -> -1 periodic,
+    0 Poisson, -> +1 bursty). Gaps order by ``(ts, id_col)`` so
+    same-timestamp ties are deterministic; each user's first event has
+    no gap and drops. Returns per group ``(group, n_gaps, mean_gap_s,
+    std_gap_s, burstiness)`` rounded 6 ordered by group; a group whose
+    gaps are all zero (sigma = mu = 0) pins NULL burstiness.
+
+    Scale shape: one lag window partitioned by (group, user) — millions
+    of small partitions, the shuffle is the one exchange — then one
+    map-combinable group agg. Population sigma (pinned).
+    """
+    w = (
+        Window.partitionBy(by, user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+    )
+    gap = (
+        F.unix_timestamp(ts_col)
+        - F.unix_timestamp(F.lag(ts_col).over(w))
+    ).cast("double")
+    gaps = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(F.col(by), gap.alias("__gap"))
+        .where(F.col("__gap").isNotNull())
+    )
+    mu, sigma = F.avg("__gap"), F.stddev_pop("__gap")
+    return (
+        gaps.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(sigma, 6).alias("std_gap_s"),
+            F.round(
+                F.try_divide(sigma - mu, sigma + mu), 6
+            ).alias("burstiness"),
+        )
+        .orderBy(by)
+    )
+
+
+def burstiness_sql(
+    table: str,
+    dialect: str,
+    *,
+    by: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """Dual-dialect twin of :func:`burstiness` (epoch-seconds gap; the
+    epoch extraction differs per dialect — Spark's unix_timestamp floors
+    to whole seconds, so the DuckDB side floors epoch() explicitly or
+    sub-second components drift the gap means)."""
+    if dialect == "spark":
+        epoch = f"unix_timestamp({ts_col})"
+    elif dialect == "duckdb":
+        epoch = f"CAST(FLOOR(epoch({ts_col})) AS BIGINT)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH gaps AS (
+  SELECT {by} AS g,
+         CAST({epoch} - LAG({epoch}) OVER (
+           PARTITION BY {by}, {user_col}
+           ORDER BY {ts_col}, {id_col}) AS DOUBLE) AS gap
+  FROM {table} WHERE {ts_col} IS NOT NULL
+)
+SELECT g AS {by},
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap), 6) AS mean_gap_s,
+       ROUND(STDDEV_POP(gap), 6) AS std_gap_s,
+       ROUND((STDDEV_POP(gap) - AVG(gap))
+             / NULLIF(STDDEV_POP(gap) + AVG(gap), 0.0), 6) AS burstiness
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY g ORDER BY g
+"""

@@ -1125,3 +1125,107 @@ SELECT {query_col}, {doc_col}, CAST(neg_rank AS INT) AS neg_rank
 FROM picked WHERE neg_rank < {k}
 ORDER BY {query_col}, neg_rank
 """
+
+# -- cross-source score normalization ------------------------------------------
+
+def quantile_norm(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    *,
+    grid: int = 100,
+) -> DataFrame:
+    """Per-source quantile normalization: map each row's WITHIN-GROUP
+    percentile rank onto the GLOBAL value distribution — the mixing
+    prerequisite when per-source quality scores aren't comparable (one
+    scorer's 0.8 is another's 0.5; rank-normalizing onto the pooled
+    distribution makes one threshold mean the same thing everywhere).
+    ``normalized`` is the global quantile at the row's within-group
+    percent_rank, looked up on a ``grid``-point global quantile array
+    (grid index = round(rank * grid) — pure arithmetic, identical both
+    engines). Returns ``(id, group, value, pct_rank, normalized)``
+    ordered by id.
+
+    Scale shape: the global quantile array is ONE exact-percentile agg
+    (grid+1 doubles, broadcast); the within-group percent_rank is one
+    window partitioned by group (sources are many and bounded — never a
+    whole-frame window); the lookup is a map. Single-value groups pin
+    pct_rank = 0 (the percent_rank contract).
+    """
+    if grid < 2:
+        raise ValueError("grid must be >= 2")
+    fracs = [i / grid for i in range(grid + 1)]
+    v = F.col(value_col).cast("double")
+    qs = df.where(v.isNotNull()).agg(
+        F.percentile(v, F.lit(fracs)).alias("__qs")
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = (
+        df.where(v.isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            v.alias("value"),
+            F.percent_rank().over(w).alias("__pr"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(qs))
+        .select(
+            id_col,
+            group_col,
+            "value",
+            F.round("__pr", 6).alias("pct_rank"),
+            F.round(
+                F.element_at(
+                    "__qs",
+                    (F.round(F.col("__pr") * grid).cast("int") + 1),
+                ),
+                6,
+            ).alias("normalized"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def quantile_norm_sql(
+    table: str,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    dialect: str,
+    *,
+    grid: int = 100,
+) -> str:
+    """Dual-dialect twin of :func:`quantile_norm`. Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation
+    definition; array indexing is 1-based on both."""
+    fracs = "[" + ", ".join(repr(i / grid) for i in range(grid + 1)) + "]"
+    v = f"CAST({value_col} AS DOUBLE)"
+    if dialect == "spark":
+        qagg = f"percentile({v}, array{fracs.replace('[', '(').replace(']', ')')})"
+        idx = "qs[CAST(ROUND(pr * {g}) AS INT) + 1]".format(g=grid)
+        # spark element_at/[] on array literal from agg: use element_at
+        idx = f"element_at(qs, CAST(ROUND(pr * {grid}) AS INT) + 1)"
+    elif dialect == "duckdb":
+        qagg = f"quantile_cont({v}, {fracs})"
+        idx = f"qs[CAST(ROUND(pr * {grid}) AS INT) + 1]"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH qs_t AS (
+  SELECT {qagg} AS qs FROM {table} WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {id_col}, {group_col}, {v} AS value,
+         PERCENT_RANK() OVER (PARTITION BY {group_col}
+                              ORDER BY {value_col}) AS pr
+  FROM {table} WHERE {value_col} IS NOT NULL
+)
+SELECT {id_col}, {group_col}, value,
+       ROUND(pr, 6) AS pct_rank,
+       ROUND({idx}, 6) AS normalized
+FROM ranked CROSS JOIN qs_t
+ORDER BY {id_col}
+"""

@@ -197,3 +197,128 @@ def test_leakage_check_split_algebra(spark):
         want[key] = want.get(key, 0) + 1
     got = {(r.split_a, r.split_b): r.n_pairs for r in out}
     assert got == want
+
+
+def _mw_ref(a, b):
+    """Plain-Python Mann-Whitney (midranks, tie-corrected sigma, no
+    continuity correction)."""
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    n = len(pooled)
+    ra = 0.0
+    ties_sum = 0.0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and pooled[j][0] == pooled[i][0]:
+            j += 1
+        t = j - i
+        midrank = (i + 1 + j) / 2.0
+        ra += midrank * sum(1 for k in range(i, j) if pooled[k][1] == 0)
+        ties_sum += t ** 3 - t
+        i = j
+    na, nb = len(a), len(b)
+    ua = ra - na * (na + 1) / 2.0
+    var = na * nb / 12.0 * ((n + 1) - ties_sum / (n * (n - 1))) if n > 1 else 0.0
+    z = (ua - na * nb / 2.0) / math.sqrt(var) if var > 0 else None
+    return ua, z
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 8), min_size=2, max_size=15),
+    st.lists(st.integers(0, 8), min_size=2, max_size=15),
+)
+def test_mann_whitney_matches_reference(spark, a, b):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mann_whitney,
+    )
+
+    rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, side string")
+    got = mann_whitney(
+        df, "v", F.col("side") == "a", F.col("side") == "b"
+    ).collect()[0]
+    ua, z = _mw_ref(a, b)
+    assert got.n_a == len(a) and got.n_b == len(b)
+    assert abs(got.u_a - ua) < 1e-6
+    assert abs(got.u_a + got.u_b - len(a) * len(b)) < 1e-6
+    if z is None:
+        assert got.z is None and got.p_value is None
+    else:
+        assert abs(got.z - z) < 5e-6
+
+
+def test_calibration_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        calibration,
+    )
+
+    # perfectly calibrated: in each bin the observed rate equals the
+    # (constant) predicted probability -> ece 0
+    rows = []
+    for p, n in ((0.25, 4), (0.75, 4)):
+        pos = int(p * n)
+        rows += [(p, 1.0)] * pos + [(p, 0.0)] * (n - pos)
+    df = spark.createDataFrame(rows, "p double, y double")
+    out = calibration(df, "p", "y", bins=10).collect()
+    assert [r.bin for r in out] == [2, 7]
+    assert all(r.gap == 0.0 and r.ece == 0.0 for r in out)
+    brier = sum((p - y) ** 2 for p, y in rows) / len(rows)
+    assert abs(out[0].brier - brier) < 1e-6
+
+    # p = 1.0 clamps into the top bin; out-of-range and NULL rows drop
+    df2 = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 0.0), (1.5, 1.0), (None, 1.0)],
+        "p double, y double",
+    )
+    out2 = calibration(df2, "p", "y", bins=10).collect()
+    assert len(out2) == 1 and out2[0].bin == 9 and out2[0].n == 2
+    assert out2[0].acc == 0.5 and out2[0].gap == -0.5
+
+
+def test_burstiness_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        burstiness,
+    )
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # periodic user: constant 60s gaps -> sigma 0 -> B = -1
+    for i in range(10):
+        rows.append((i, base + dt.timedelta(seconds=60 * i), 1, "periodic"))
+    # bursty user: 9 tiny gaps + one huge -> B near +1 side (> 0)
+    ts = base
+    for i, g in enumerate([1] * 9 + [10000]):
+        ts = ts + dt.timedelta(seconds=g)
+        rows.append((100 + i, ts, 2, "bursty"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.event_type: r for r in burstiness(df).collect()}
+    assert out["periodic"].burstiness == -1.0
+    assert out["periodic"].n_gaps == 9
+    # 9 tiny + 1 huge gap: B = (sigma - mu)/(sigma + mu) = 0.477245
+    assert out["bursty"].burstiness == 0.477245
+
+
+def test_quantile_norm_pins(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        quantile_norm,
+    )
+
+    # two sources with disjoint ranges: after normalization the same
+    # within-source rank maps to the same global value
+    rows = [(i, float(i), "lo") for i in range(10)]
+    rows += [(100 + i, float(1000 + i), "hi") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v double, src string")
+    out = quantile_norm(df, "id", "v", "src", grid=10).collect()
+    by_id = {r.id: r for r in out}
+    # min of each source -> pct_rank 0 -> global min; max -> global max
+    assert by_id[0].pct_rank == 0.0 and by_id[0].normalized == 0.0
+    assert by_id[100].pct_rank == 0.0 and by_id[100].normalized == 0.0
+    assert by_id[9].pct_rank == 1.0 and by_id[9].normalized == 1009.0
+    assert by_id[109].pct_rank == 1.0 and by_id[109].normalized == 1009.0
+    # same rank -> same normalized value across sources
+    for i in range(10):
+        assert by_id[i].normalized == by_id[100 + i].normalized
