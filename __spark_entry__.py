@@ -10786,6 +10786,80 @@ def _sql_quantile_norm(dialect: str = "duckdb") -> str:
     )
 
 
+def q_source_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise token-distribution JSD between all document sources —
+    the mixture-design matrix. One (source, token) agg + one token-keyed
+    self-join (fan-out bounded by source count)."""
+    from harmonize_search_analyze_spark.operators.text import (
+        source_jsd_matrix,
+    )
+
+    return source_jsd_matrix(
+        _t(spark, sf_dir, "documents"), "text", "source"
+    )
+
+
+def _sql_source_jsd_matrix(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        source_jsd_matrix_sql,
+    )
+
+    return source_jsd_matrix_sql("documents", "text", "source", dialect)
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed/winsorized mean of extended price per return flag — the
+    outlier-robust aggregation. One percentile agg broadcast back + one
+    conditional re-aggregation."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        trimmed_stats,
+    )
+
+    return trimmed_stats(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        by="l_returnflag", lower=0.05, upper=0.95,
+    )
+
+
+def _sql_trimmed_stats(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        trimmed_stats_sql,
+    )
+
+    return trimmed_stats_sql(
+        "lineitem", "l_extendedprice", dialect,
+        by="l_returnflag", lower=0.05, upper=0.95,
+    )
+
+
+def q_acf_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the seasonality fingerprint that picks moving_fn windows."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        acf_series,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    return acf_series(daily, "bucket", "doc_count", max_lag=7)
+
+
+def _sql_acf_series(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        acf_series_sql,
+    )
+
+    buckets = (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, "
+        "COUNT(*) AS v FROM events WHERE ts IS NOT NULL GROUP BY 1"
+    )
+    return acf_series_sql(buckets, dialect, max_lag=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
@@ -10934,6 +11008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "burstiness": q_burstiness,
         "quantile_norm": q_quantile_norm,
+        "source_jsd_matrix": q_source_jsd_matrix,
+        "trimmed_stats": q_trimmed_stats,
+        "acf_series": q_acf_series,
         # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
@@ -11219,6 +11296,9 @@ def oracle_sql() -> dict[str, str]:
         "calibration": _sql_calibration(),
         "burstiness": _sql_burstiness(),
         "quantile_norm": _sql_quantile_norm(),
+        "source_jsd_matrix": _sql_source_jsd_matrix(),
+        "trimmed_stats": _sql_trimmed_stats(),
+        "acf_series": _sql_acf_series(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -2418,3 +2418,222 @@ SELECT g AS {by},
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY g ORDER BY g
 """
+
+def trimmed_stats(
+    df: DataFrame,
+    value_expr: str,
+    *,
+    by: str | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Trimmed and winsorized means — the outlier-robust aggregation for
+    heavy-tailed metrics (latency, doc length, spend) where a plain AVG
+    is whatever the top 0.1% says it is. Per group: the exact
+    ``[lower, upper]`` percentile bounds, the TRIMMED mean (rows outside
+    the bounds drop) and the WINSORIZED mean (rows clamp to the
+    bounds), plus row/trim counts. Returns ``(group?, n, lo, hi,
+    trimmed_mean, winsorized_mean, n_trimmed)`` rounded 6, ordered by
+    group.
+
+    Scale shape: one exact-percentile agg per group (group-sized frame,
+    broadcast back) + one conditional re-aggregation — two scans, both
+    map-combinable; no windows, no sorting the corpus.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    v = F.expr(value_expr).cast("double")
+    keys = [by] if by else []
+    bounds = (
+        df.where(v.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.percentile(v, F.lit(lower)).alias("__lo"),
+            F.percentile(v, F.lit(upper)).alias("__hi"),
+        )
+    )
+    base = df.where(v.isNotNull())
+    joined = (
+        base.join(F.broadcast(bounds), keys) if keys
+        else base.crossJoin(F.broadcast(bounds))
+    )
+    inside = v.between(F.col("__lo"), F.col("__hi"))
+    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    out = (
+        joined.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.max("__lo"), 6).alias("lo"),
+            F.round(F.max("__hi"), 6).alias("hi"),
+            F.round(F.avg(F.when(inside, v)), 6).alias("trimmed_mean"),
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+            F.count(F.when(~inside, 1)).cast("bigint").alias("n_trimmed"),
+        )
+    )
+    return out.orderBy(by) if by else out
+
+
+def trimmed_stats_sql(
+    table: str,
+    value_expr: str,
+    dialect: str,
+    *,
+    by: str | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> str:
+    """Dual-dialect twin of :func:`trimmed_stats` (Spark ``percentile``
+    == DuckDB ``quantile_cont``, shared linear interpolation)."""
+    v = f"CAST({value_expr} AS DOUBLE)"
+    if dialect == "spark":
+        plo = f"percentile({v}, {lower!r})"
+        phi = f"percentile({v}, {upper!r})"
+    elif dialect == "duckdb":
+        plo = f"quantile_cont({v}, {lower!r})"
+        phi = f"quantile_cont({v}, {upper!r})"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    sel = f"{by}, " if by else ""
+    grp = f"GROUP BY {by}" if by else ""
+    on = f"ON b.{by} = t.{by}" if by else "ON TRUE"
+    order = f"ORDER BY t.{by}" if by else ""
+    byout = f"t.{by} AS {by}, " if by else ""
+    return f"""
+WITH bounds AS (
+  SELECT {sel}{plo} AS lo, {phi} AS hi
+  FROM {table} WHERE {value_expr} IS NOT NULL {grp}
+)
+SELECT {byout}CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MAX(b.lo), 6) AS lo,
+       ROUND(MAX(b.hi), 6) AS hi,
+       ROUND(AVG(CASE WHEN {v} BETWEEN b.lo AND b.hi THEN {v} END), 6)
+         AS trimmed_mean,
+       ROUND(AVG(LEAST(GREATEST({v}, b.lo), b.hi)), 6)
+         AS winsorized_mean,
+       CAST(COUNT(CASE WHEN NOT ({v} BETWEEN b.lo AND b.hi) THEN 1 END)
+            AS BIGINT) AS n_trimmed
+FROM {table} t JOIN bounds b {on}
+WHERE {value_expr} IS NOT NULL
+{("GROUP BY t." + by) if by else ""}
+{order}
+"""
+
+
+def acf_series(
+    buckets: DataFrame,
+    bucket_col: str,
+    value_col: str = "doc_count",
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of an (already bucketed) series at lags
+    1..``max_lag`` — the seasonality/persistence fingerprint that picks
+    the window for moving_fn/holt and validates "is there a weekly
+    cycle?" before seasonal_anomalies assumes one. The standard
+    estimator: ``r_l = sum (x_t - xbar)(x_{t+l} - xbar) / sum (x_t -
+    xbar)^2`` with the GLOBAL mean/denominator (not per-lag), so r_0 = 1
+    by construction and |r_l| <= 1. Returns ``(lag, n, acf)`` rounded 6
+    ordered by lag; a constant series (zero variance) pins NULL acf.
+
+    Scale shape: series rows index by one ordered-window row_number
+    (bucket frame, tiny by the bucket_pipeline contract), the lag spine
+    is ``max_lag`` rows crossJoined on, one equi-join on (idx + lag),
+    one group-by-lag agg; mean/variance ride a broadcast 1-row agg.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    spark = buckets.sparkSession
+    v = F.col(value_col).cast("double")
+    # the indexed series feeds four consumers (mean, ss, both join
+    # sides) — persist or the upstream bucket agg replays per branch
+    idx = (
+        buckets.select(
+            F.row_number().over(Window.orderBy(bucket_col)).alias("__i"),
+            v.alias("__v"),
+        )
+        .persist()
+    )
+    mu_row = idx.agg(F.avg("__v").alias("__mu"))
+    stats = (
+        idx.crossJoin(F.broadcast(mu_row))
+        .agg(
+            F.max("__mu").alias("__mu"),
+            F.sum(
+                (F.col("__v") - F.col("__mu"))
+                * (F.col("__v") - F.col("__mu"))
+            ).alias("__ss"),
+        )
+    )
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    left = idx.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("__i") + F.col("lag")).alias("__j"),
+        F.col("__v").alias("__va"),
+    )
+    right = idx.select(F.col("__i").alias("__j"), F.col("__v").alias("__vb"))
+    joined = left.join(right, "__j").crossJoin(F.broadcast(stats))
+    out = (
+        joined.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.round(
+                    F.try_divide(
+                        F.sum(
+                            (F.col("__va") - F.col("__mu"))
+                            * (F.col("__vb") - F.col("__mu"))
+                        ),
+                        F.max("__ss"),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+    return tether(out, idx)
+
+
+def acf_series_sql(
+    buckets_sql: str,
+    dialect: str,
+    *,
+    max_lag: int = 7,
+) -> str:
+    """Dual-dialect twin of :func:`acf_series`. ``buckets_sql`` yields
+    ``(bucket, v)``; the lag spine differs per dialect."""
+    if dialect == "spark":
+        spine = f"SELECT explode(sequence(1, {max_lag})) AS lag"
+    elif dialect == "duckdb":
+        spine = (
+            f"SELECT CAST(t.i AS INT) AS lag"
+            f" FROM range(1, {max_lag + 1}) t(i)"
+        )
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH src AS ({buckets_sql}),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY bucket) AS i,
+         CAST(v AS DOUBLE) AS v
+  FROM src
+),
+stats AS (
+  SELECT AVG(v) AS mu,
+         SUM((v - (SELECT AVG(v) FROM idx))
+             * (v - (SELECT AVG(v) FROM idx))) AS ss
+  FROM idx
+),
+lags AS ({spine})
+SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM((a.v - s.mu) * (b.v - s.mu))
+             / NULLIF(MAX(s.ss), 0.0), 6) + 0.0 AS acf
+FROM idx a CROSS JOIN lags l
+JOIN idx b ON b.i = a.i + l.lag
+CROSS JOIN stats s
+GROUP BY l.lag ORDER BY l.lag
+"""

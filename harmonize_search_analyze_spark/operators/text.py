@@ -1240,3 +1240,136 @@ SELECT g AS {group_col},
        ROUND(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS distinct_ratio
 FROM per_gram GROUP BY g ORDER BY g
 """
+
+def source_jsd_matrix(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between EVERY pair of sources'
+    token distributions — the mixture-design matrix ("which sources are
+    near-duplicates of each other's vocabulary, which add diversity?")
+    generalizing :func:`jsd_divergence` from one split to all pairs.
+    Returns ``(source_a, source_b, jsd_bits, jsd_distance)`` for
+    ``source_a < source_b``, rounded 6, ordered.
+
+    The token-equi-join only sees tokens SHARED by a pair; each side's
+    unshared probability mass contributes exactly ``(1 - shared_p)/2``
+    (at p = 0 the other side's term collapses to q/2), so the full JSD
+    folds from the inner join plus two shared-mass sums — no outer join,
+    no per-pair vocabulary union.
+
+    Scale shape: one explode -> one (source, token) agg (persisted; two
+    consumers), source totals broadcast back, then ONE token-keyed
+    self-join whose fan-out per token is bounded by the number of
+    sources carrying it (sources are bounded by contract — this is a
+    per-SOURCE matrix, never per-document).
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    toks = tokens_sql(text_col, "spark")
+    counts = (
+        df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.explode(F.expr(toks)).alias("__t"))
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    totals = counts.groupBy("__g").agg(F.sum("__c").alias("__tot"))
+    probs = counts.join(F.broadcast(totals), "__g").select(
+        "__g", "__t", (F.col("__c") / F.col("__tot")).alias("__p")
+    )
+    a = probs.select(
+        F.col("__g").alias("source_a"), F.col("__t").alias("__t"),
+        F.col("__p").alias("__pa"),
+    )
+    b = probs.select(
+        F.col("__g").alias("source_b"), F.col("__t").alias("__t"),
+        F.col("__p").alias("__pb"),
+    )
+    m = (F.col("__pa") + F.col("__pb")) / 2
+    shared = (
+        a.join(b, "__t")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.col("__pa") / 2 * F.log2(F.col("__pa") / m)
+                + F.col("__pb") / 2 * F.log2(F.col("__pb") / m)
+            ).alias("__shared_jsd"),
+            F.sum("__pa").alias("__sa"),
+            F.sum("__pb").alias("__sb"),
+        )
+    )
+    # pairs sharing NO token never appear in the join — they are exactly
+    # JSD = 1; build the full pair spine from the (tiny) totals frame
+    ga = totals.select(F.col("__g").alias("source_a"))
+    gb = totals.select(F.col("__g").alias("source_b"))
+    spine = ga.crossJoin(gb).where(F.col("source_a") < F.col("source_b"))
+    jsd = (
+        F.coalesce(F.col("__shared_jsd"), F.lit(0.0))
+        + (1.0 - F.coalesce(F.col("__sa"), F.lit(0.0))) / 2
+        + (1.0 - F.coalesce(F.col("__sb"), F.lit(0.0))) / 2
+    )
+    out = (
+        spine.join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b",
+            (F.round(jsd, 6) + F.lit(0.0)).alias("jsd_bits"),
+            F.round(F.sqrt(F.greatest(jsd, F.lit(0.0))), 6).alias(
+                "jsd_distance"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return tether(out, counts)
+
+
+def source_jsd_matrix_sql(
+    table: str,
+    text_col: str,
+    group_col: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`source_jsd_matrix` (same shared-mass
+    fold; the pair spine left-joins the shared-token aggregate)."""
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        unnest = f"SELECT {group_col} AS g, explode({toks}) AS t"
+    elif dialect == "duckdb":
+        unnest = f"SELECT {group_col} AS g, UNNEST({toks}) AS t"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH tok AS (
+  {unnest} FROM {table}
+  WHERE {text_col} IS NOT NULL AND {group_col} IS NOT NULL
+),
+counts AS (SELECT g, t, COUNT(*) AS c FROM tok GROUP BY g, t),
+tot AS (SELECT g, SUM(c) AS tot FROM counts GROUP BY g),
+probs AS (
+  SELECT counts.g, t, c / CAST(tot AS DOUBLE) AS p
+  FROM counts JOIN tot ON counts.g = tot.g
+),
+shared AS (
+  SELECT a.g AS sa, b.g AS sb,
+         SUM(a.p / 2 * LOG2(a.p / ((a.p + b.p) / 2))
+             + b.p / 2 * LOG2(b.p / ((a.p + b.p) / 2))) AS shared_jsd,
+         SUM(a.p) AS ma, SUM(b.p) AS mb
+  FROM probs a JOIN probs b ON a.t = b.t AND a.g < b.g
+  GROUP BY a.g, b.g
+),
+spine AS (
+  SELECT ta.g AS sa, tb.g AS sb
+  FROM tot ta CROSS JOIN tot tb WHERE ta.g < tb.g
+)
+SELECT spine.sa AS source_a, spine.sb AS source_b,
+       ROUND(COALESCE(shared_jsd, 0.0)
+             + (1.0 - COALESCE(ma, 0.0)) / 2
+             + (1.0 - COALESCE(mb, 0.0)) / 2, 6) + 0.0 AS jsd_bits,
+       ROUND(SQRT(GREATEST(COALESCE(shared_jsd, 0.0)
+             + (1.0 - COALESCE(ma, 0.0)) / 2
+             + (1.0 - COALESCE(mb, 0.0)) / 2, 0.0)), 6) AS jsd_distance
+FROM spine LEFT JOIN shared ON spine.sa = shared.sa AND spine.sb = shared.sb
+ORDER BY source_a, source_b
+"""

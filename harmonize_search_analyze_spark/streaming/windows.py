@@ -753,3 +753,86 @@ def kmv_cardinality_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+def cusum_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    *,
+    ts_col: str,
+    bucket_unit: str = "day",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> None:
+    """One epoch of :func:`cusum_stream` (module-level so replay
+    idempotency is directly testable): fold the batch's bucket counts
+    into per-epoch state partitions, recompute the CUSUM monitor over
+    the full bucket series, snapshot it. BOTH writes are
+    overwrite-at-``epoch=N`` paths — a replayed epoch rewrites the same
+    partitions byte-identically, so recovery never double-counts."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cusum_change,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    counts = (
+        batch_df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc(bucket_unit, ts_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .localCheckpoint()
+    )
+    counts.write.mode("overwrite").parquet(
+        f"{state_path}/epoch={int(epoch_id)}"
+    )
+    totals = (
+        spark.read.parquet(state_path)
+        .groupBy("bucket")
+        .agg(F.sum("doc_count").alias("doc_count"))
+    )
+    monitor = cusum_change(
+        totals, "bucket", "doc_count", k=k, h=h
+    ).localCheckpoint()
+    monitor.write.mode("overwrite").parquet(
+        f"{out_path}/epoch={int(epoch_id)}"
+    )
+
+
+def cusum_stream(
+    stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    ts_col: str = "ts",
+    bucket_unit: str = "day",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> "StreamingQuery":
+    """Streaming CUSUM drift monitor — the always-on face of
+    ``analytics.cusum_change``: every micro-batch folds its bucket
+    counts into epoch-keyed state, recomputes the CUSUM over the whole
+    series (standardization and the prefix-sum fold must see all
+    buckets — CUSUM is a SERIES statistic, not a per-row one), and
+    snapshots the monitor frame under ``out_path/epoch=N``. The latest
+    epoch partition is the current alarm board.
+
+    Exactly-once the recompute way: state is per-epoch bucket-count
+    partitions written with overwrite — a replayed epoch rewrites its
+    own partition and recomputes the identical monitor
+    (:func:`cusum_process_batch` is the testable unit). State size is
+    epochs x live buckets — bucket-level, never event-level.
+    """
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        cusum_process_batch(
+            batch_df, epoch_id, state_path, out_path,
+            ts_col=ts_col, bucket_unit=bucket_unit, k=k, h=h,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -322,3 +322,142 @@ def test_quantile_norm_pins(spark):
     # same rank -> same normalized value across sources
     for i in range(10):
         assert by_id[i].normalized == by_id[100 + i].normalized
+
+
+def test_source_jsd_matrix_pins(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        jsd_divergence,
+        source_jsd_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta", "s1"),
+            (1, "alpha beta", "s2"),     # s2 == s1 -> JSD 0
+            (2, "gamma delta", "s3"),    # disjoint from both -> JSD 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r
+           for r in source_jsd_matrix(docs, "text", "source").collect()}
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    assert out[("s1", "s2")].jsd_bits == 0.0
+    assert out[("s1", "s3")].jsd_bits == 1.0
+    assert out[("s2", "s3")].jsd_bits == 1.0
+
+    # the matrix entry equals the two-slice operator on the same split
+    two = docs.where(F.col("source") != "s2")
+    r = jsd_divergence(two, "text", "source = 's1'").collect()[0]
+    assert r.jsd_bits == out[("s1", "s3")].jsd_bits
+
+
+def test_trimmed_stats_hand_computed(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        trimmed_stats,
+    )
+
+    # 1..10 with lower=0.1, upper=0.9: bounds are the exact percentiles
+    # (1.9, 9.1); trimming drops 1 and 10
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)], "v double"
+    )
+    r = trimmed_stats(df, "v", lower=0.1, upper=0.9).collect()[0]
+    assert r.n == 10 and r.n_trimmed == 2
+    assert r.lo == 1.9 and r.hi == 9.1
+    assert r.trimmed_mean == 5.5            # mean of 2..9
+    # winsorized: 1 -> 1.9, 10 -> 9.1
+    assert r.winsorized_mean == round((1.9 + sum(range(2, 10)) + 9.1) / 10, 6)
+
+
+def test_acf_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        acf_series,
+    )
+
+    # period-2 alternating series: acf(1) ~ -1, acf(2) ~ +1 (finite-n
+    # estimator shrinks toward 0 by (n-lag)/n with the global-ss
+    # denominator)
+    vals = [10.0, 20.0] * 10
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "bucket int, v double"
+    )
+    rows = {r.lag: r for r in
+            acf_series(df, "bucket", "v", max_lag=2).collect()}
+    n = len(vals)
+    assert rows[1].n == n - 1 and rows[2].n == n - 2
+    assert rows[1].acf < -0.9 and rows[2].acf > 0.85
+    # constant series pins NULL
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)], "bucket int, v double"
+    )
+    assert all(r.acf is None for r in
+               acf_series(const, "bucket", "v", max_lag=2).collect())
+
+
+def test_cusum_stream_matches_batch_and_replays(spark, tmp_path):
+    """After all micro-batches the latest epoch snapshot equals the
+    batch cusum_change over the full series; replaying an epoch rewrites
+    identical state (idempotent recovery)."""
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cusum_change,
+    )
+    from harmonize_search_analyze_spark.streaming.windows import (
+        cusum_process_batch,
+        cusum_stream,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    wave1 = [(i, base + dt.timedelta(days=i % 5, hours=i % 7))
+             for i in range(60)]
+    wave2 = [(100 + i, base + dt.timedelta(days=5 + i % 3, hours=i % 5))
+             for i in range(90)]
+    schema = "event_id long, ts timestamp"
+    src = tmp_path / "events"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src))
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = cusum_stream(
+        stream, str(tmp_path / "state"), str(tmp_path / "mon"),
+        str(tmp_path / "ckpt"), ts_col="ts",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    mon = spark.read.parquet(str(tmp_path / "mon"))
+    last = mon.where(
+        F.col("epoch") == mon.agg(F.max("epoch")).collect()[0][0]
+    ).drop("epoch")
+
+    batch = spark.createDataFrame(wave1 + wave2, schema)
+    daily = batch.groupBy(
+        F.date_trunc("day", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("doc_count"))
+    want = cusum_change(daily, "bucket", "doc_count").collect()
+    got = sorted(map(tuple, last.collect()))
+    assert got == sorted(map(tuple, want))
+
+    # replay the last epoch: state and monitor rewrite identically
+    before = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "state")).collect()))
+    replay = spark.createDataFrame(wave2, schema)
+    cusum_process_batch(
+        replay, 1, str(tmp_path / "state"), str(tmp_path / "mon"),
+        ts_col="ts",
+    )
+    after = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "state")).collect()))
+    assert before == after
+    last2 = spark.read.parquet(str(tmp_path / "mon"))
+    last2 = last2.where(F.col("epoch") == 1).drop("epoch")
+    assert sorted(map(tuple, last2.collect())) == got
