@@ -10860,6 +10860,35 @@ def _sql_acf_series(dialect: str = "duckdb") -> str:
     return acf_series_sql(buckets, dialect, max_lag=7)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between the even- and odd-id halves
+    of the embeddings table: cosine/L2 between mean vectors + max
+    per-dimension shift. Nothing bigger than d rows shuffles."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "embedding",
+    )
+
+
+def _sql_embedding_drift(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_drift_sql,
+    )
+
+    return embedding_drift_sql(
+        "SELECT embedding FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT embedding FROM embeddings WHERE vec_id % 2 = 1",
+        "embedding",
+        dialect,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
@@ -11011,6 +11040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jsd_matrix": q_source_jsd_matrix,
         "trimmed_stats": q_trimmed_stats,
         "acf_series": q_acf_series,
+        "embedding_drift": q_embedding_drift,
         # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
@@ -11299,6 +11329,7 @@ def oracle_sql() -> dict[str, str]:
         "source_jsd_matrix": _sql_source_jsd_matrix(),
         "trimmed_stats": _sql_trimmed_stats(),
         "acf_series": _sql_acf_series(),
+        "embedding_drift": _sql_embedding_drift(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

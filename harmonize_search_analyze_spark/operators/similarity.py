@@ -3602,3 +3602,114 @@ SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(AVG(s), 6) AS avg_silhouette
 FROM scored GROUP BY centroid_id ORDER BY centroid_id
 """
+
+# -- embedding distribution drift ----------------------------------------------
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices (old vs
+    new crawl, train vs eval, model-v1 vs model-v2 encodings): the
+    cosine between the two MEAN vectors, the L2 distance between them,
+    and the largest single-dimension mean shift — the cheap first-alarm
+    before anything as heavy as a covariance diff. Returns ONE row
+    ``(n_a, n_b, d, cos_means, l2_means, max_dim_shift)`` rounded 6;
+    a zero mean vector on either side (or an empty side) pins NULL
+    cosine (undefined direction), never 0.
+
+    Scale shape: per side one posexplode -> per-DIMENSION avg (agg
+    state is d rows, the explode is map-side combinable), one d-row
+    equi-join on dimension, one final fold — the corpora are scanned
+    once each and nothing bigger than d rows ever shuffles.
+    """
+    def _means(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("__pos", "__x"))
+            .groupBy("__pos")
+            .agg(
+                F.avg(F.col("__x").cast("double")).alias(f"__m{side}"),
+                F.count(F.lit(1)).alias(f"__n{side}"),
+            )
+        )
+
+    joined = _means(a, "a").join(_means(b, "b"), "__pos")
+    da, db = F.col("__ma"), F.col("__mb")
+    agg = joined.agg(
+        F.max("__na").alias("__n_a"),
+        F.max("__nb").alias("__n_b"),
+        F.count(F.lit(1)).alias("__d"),
+        F.sum(da * db).alias("__dot"),
+        F.sum(da * da).alias("__sa"),
+        F.sum(db * db).alias("__sb"),
+        F.sum((da - db) * (da - db)).alias("__sq"),
+        F.max(F.abs(da - db)).alias("__shift"),
+    )
+    cos = F.col("__dot") / F.nullif(
+        F.sqrt(F.col("__sa")) * F.sqrt(F.col("__sb")), F.lit(0.0)
+    )
+    return agg.select(
+        F.col("__n_a").cast("bigint").alias("n_a"),
+        F.col("__n_b").cast("bigint").alias("n_b"),
+        F.col("__d").cast("bigint").alias("d"),
+        (F.round(cos, 6) + F.lit(0.0)).alias("cos_means"),
+        F.round(F.sqrt("__sq"), 6).alias("l2_means"),
+        F.round("__shift", 6).alias("max_dim_shift"),
+    )
+
+
+def embedding_drift_sql(
+    a_sql: str,
+    b_sql: str,
+    vec_col: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`embedding_drift`. ``a_sql``/``b_sql``
+    yield rows carrying ``vec_col``; the per-dimension unnest differs
+    per dialect (posexplode vs UNNEST WITH ORDINALITY)."""
+    if dialect == "spark":
+        def unnest(src: str, side: str) -> str:
+            return f"""
+  SELECT pos AS p, AVG(CAST(x AS DOUBLE)) AS m{side},
+         COUNT(*) AS n{side}
+  FROM ({src}) LATERAL VIEW posexplode({vec_col}) t AS pos, x
+  WHERE {vec_col} IS NOT NULL
+  GROUP BY pos"""
+    elif dialect == "duckdb":
+        # DuckDB 1.0 has no WITH ORDINALITY and range() rejects lateral
+        # column args — two SAME-LEVEL select-list unnests zip
+        # positionally, which is exactly posexplode
+        def unnest(src: str, side: str) -> str:
+            return f"""
+  SELECT p, AVG(CAST(x AS DOUBLE)) AS m{side}, COUNT(*) AS n{side}
+  FROM (
+    SELECT CAST(unnest(generate_series(1, len(s.{vec_col}))) AS INT) - 1
+             AS p,
+           unnest(s.{vec_col}) AS x
+    FROM ({src}) s WHERE s.{vec_col} IS NOT NULL
+  ) e
+  GROUP BY p"""
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH ma AS ({unnest(a_sql, 'a')}),
+mb AS ({unnest(b_sql, 'b')}),
+folded AS (
+  SELECT MAX(na) AS n_a, MAX(nb) AS n_b, COUNT(*) AS d,
+         SUM(ma.ma * mb.mb) AS dot,
+         SUM(ma.ma * ma.ma) AS sa,
+         SUM(mb.mb * mb.mb) AS sb,
+         SUM((ma.ma - mb.mb) * (ma.ma - mb.mb)) AS sq,
+         MAX(ABS(ma.ma - mb.mb)) AS shift
+  FROM ma JOIN mb ON ma.p = mb.p
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(d AS BIGINT) AS d,
+       ROUND(dot / NULLIF(SQRT(sa) * SQRT(sb), 0.0), 6) + 0.0
+         AS cos_means,
+       ROUND(SQRT(sq), 6) AS l2_means,
+       ROUND(shift, 6) AS max_dim_shift
+FROM folded
+"""

@@ -461,3 +461,33 @@ def test_cusum_stream_matches_batch_and_replays(spark, tmp_path):
     last2 = spark.read.parquet(str(tmp_path / "mon"))
     last2 = last2.where(F.col("epoch") == 1).drop("epoch")
     assert sorted(map(tuple, last2.collect())) == got
+
+
+def test_embedding_drift_pins(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0])], "id long, embedding array<float>"
+    )
+    # identical slices -> cosine 1, l2 0, shift 0
+    r = embedding_drift(a, a).collect()[0]
+    assert (r.cos_means, r.l2_means, r.max_dim_shift) == (1.0, 0.0, 0.0)
+    assert r.n_a == 2 and r.n_b == 2 and r.d == 2
+
+    # orthogonal means -> cosine 0; shifts hand-computed
+    b = spark.createDataFrame(
+        [(0, [0.0, 2.0])], "id long, embedding array<float>"
+    )
+    r = embedding_drift(a, b).collect()[0]
+    assert r.cos_means == 0.0
+    assert r.l2_means == round(math.sqrt(1 + 4), 6)
+    assert r.max_dim_shift == 2.0
+
+    # zero mean vector -> NULL cosine, never 0
+    z = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "id long, embedding array<float>"
+    )
+    r = embedding_drift(a, z).collect()[0]
+    assert r.cos_means is None and r.l2_means == 1.0
