@@ -2637,3 +2637,249 @@ JOIN idx b ON b.i = a.i + l.lag
 CROSS JOIN stats s
 GROUP BY l.lag ORDER BY l.lag
 """
+
+def confusion_eval(
+    df: DataFrame,
+    truth_expr: str,
+    pred_expr: str,
+) -> DataFrame:
+    """Multi-class classifier evaluation from a (truth, prediction)
+    column pair — per-class precision/recall/F1 plus overall accuracy
+    and macro-F1 (the label-quality gate for lang-ID, quality
+    classifiers, any model-annotated corpus column). Rows where either
+    side is NULL drop. Returns one row per class that appears on
+    EITHER side: ``(class, tp, fp, fn, precision, recall, f1,
+    accuracy, macro_f1)`` rounded 6 ordered by class, with the two
+    overall numbers repeated on the class-count-sized frame. A class
+    with no predictions pins NULL precision (undefined), no truths
+    NULL recall; F1 is NULL unless both are defined and nonzero-summed.
+
+    Scale shape: ONE (truth, pred) pair-count scan; everything after is
+    class-pair-sized (same shape as cohens_kappa, persisted for its
+    consumers).
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    t, p = F.expr(truth_expr), F.expr(pred_expr)
+    pairs = (
+        df.where(t.isNotNull() & p.isNotNull())
+        .groupBy(t.alias("__t"), p.alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    classes = (
+        pairs.select(F.col("__t").alias("class"))
+        .unionByName(pairs.select(F.col("__p").alias("class")))
+        .distinct()
+    )
+    tp = pairs.where(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("class"), F.col("__c").alias("__tp")
+    )
+    truths = pairs.groupBy(F.col("__t").alias("class")).agg(
+        F.sum("__c").alias("__truth")
+    )
+    preds = pairs.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__c").alias("__pred")
+    )
+    per_class = (
+        classes.join(tp, "class", "left")
+        .join(truths, "class", "left")
+        .join(preds, "class", "left")
+        .select(
+            "class",
+            F.coalesce("__tp", F.lit(0)).cast("bigint").alias("tp"),
+            (F.coalesce("__pred", F.lit(0)) - F.coalesce("__tp", F.lit(0)))
+            .cast("bigint").alias("fp"),
+            (F.coalesce("__truth", F.lit(0)) - F.coalesce("__tp", F.lit(0)))
+            .cast("bigint").alias("fn"),
+            F.try_divide(
+                F.coalesce("__tp", F.lit(0)), F.col("__pred")
+            ).alias("__prec"),
+            F.try_divide(
+                F.coalesce("__tp", F.lit(0)), F.col("__truth")
+            ).alias("__rec"),
+        )
+        .withColumn(
+            "__f1",
+            F.try_divide(
+                2 * F.col("__prec") * F.col("__rec"),
+                F.col("__prec") + F.col("__rec"),
+            ),
+        )
+        .persist()
+    )
+    overall = per_class.crossJoin(
+        F.broadcast(
+            pairs.agg(
+                F.sum("__c").alias("__n"),
+                F.sum(
+                    F.when(F.col("__t") == F.col("__p"), F.col("__c"))
+                    .otherwise(F.lit(0))
+                ).alias("__agree"),
+            )
+        )
+    ).crossJoin(
+        F.broadcast(per_class.agg(F.avg("__f1").alias("__macro")))
+    )
+    out = overall.select(
+        "class", "tp", "fp", "fn",
+        F.round("__prec", 6).alias("precision"),
+        F.round("__rec", 6).alias("recall"),
+        F.round("__f1", 6).alias("f1"),
+        F.round(F.col("__agree") / F.col("__n"), 6).alias("accuracy"),
+        F.round("__macro", 6).alias("macro_f1"),
+    ).orderBy("class")
+    return tether(out, pairs, per_class)
+
+
+def confusion_eval_sql(
+    table: str,
+    truth_expr: str,
+    pred_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`confusion_eval` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH pairs AS (
+  SELECT {truth_expr} AS t, {pred_expr} AS p, COUNT(*) AS c
+  FROM {table}
+  WHERE {truth_expr} IS NOT NULL AND {pred_expr} IS NOT NULL
+  GROUP BY 1, 2
+),
+classes AS (
+  SELECT t AS cls FROM pairs UNION SELECT p AS cls FROM pairs
+),
+tp AS (SELECT t AS cls, c AS tp FROM pairs WHERE t = p),
+truths AS (SELECT t AS cls, SUM(c) AS truth FROM pairs GROUP BY t),
+preds AS (SELECT p AS cls, SUM(c) AS pred FROM pairs GROUP BY p),
+per_class AS (
+  SELECT classes.cls,
+         COALESCE(tp.tp, 0) AS tp,
+         COALESCE(preds.pred, 0) - COALESCE(tp.tp, 0) AS fp,
+         COALESCE(truths.truth, 0) - COALESCE(tp.tp, 0) AS fn,
+         COALESCE(tp.tp, 0) / CAST(NULLIF(preds.pred, 0) AS DOUBLE)
+           AS prec,
+         COALESCE(tp.tp, 0) / CAST(NULLIF(truths.truth, 0) AS DOUBLE)
+           AS rec
+  FROM classes
+  LEFT JOIN tp ON classes.cls = tp.cls
+  LEFT JOIN truths ON classes.cls = truths.cls
+  LEFT JOIN preds ON classes.cls = preds.cls
+),
+f1d AS (
+  SELECT *, 2 * prec * rec / NULLIF(prec + rec, 0.0) AS f1
+  FROM per_class
+),
+overall AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN t = p THEN c ELSE 0 END) AS agree
+  FROM pairs
+),
+macro AS (SELECT AVG(f1) AS macro_f1 FROM f1d)
+SELECT cls AS class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       ROUND(prec, 6) AS precision, ROUND(rec, 6) AS recall,
+       ROUND(f1, 6) AS f1,
+       ROUND(agree / CAST(n AS DOUBLE), 6) AS accuracy,
+       ROUND(macro_f1, 6) AS macro_f1
+FROM f1d CROSS JOIN overall CROSS JOIN macro
+ORDER BY class
+"""
+
+
+def roc_auc(
+    df: DataFrame,
+    score_expr: str,
+    label_expr: str,
+) -> DataFrame:
+    """Exact ROC AUC from the rank statistic — the threshold-free
+    classifier metric beside :func:`calibration`'s threshold-free
+    calibration: ``AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)``
+    with midranks over the score (ties counted half, the standard
+    definition), so it never materializes a curve. Returns ONE row
+    ``(n_pos, n_neg, auc, gini)`` rounded 6 (gini = 2*AUC - 1);
+    single-class inputs pin NULL (no ranking to measure).
+
+    Scale shape: identical to :func:`mann_whitney` — group by SCORE
+    first, one window over the score-cardinality-sized frame. AUC is
+    the Mann-Whitney statistic normalized; this shares its algebra but
+    reports the ML face.
+    """
+    s = F.expr(score_expr).cast("double")
+    y = F.expr(label_expr).cast("int")
+    vals = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.count(F.when(y == 1, 1)).alias("__np"),
+            F.count(F.when(y == 0, 1)).alias("__nn"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vals.select(
+        "__np", "__nn",
+        (
+            F.sum(F.col("__np") + F.col("__nn")).over(w)
+            - (F.col("__np") + F.col("__nn"))
+            + (F.col("__np") + F.col("__nn") + 1) / 2.0
+        ).alias("__midrank"),
+    )
+    agg = ranked.agg(
+        F.sum("__np").alias("__pos"),
+        F.sum("__nn").alias("__neg"),
+        F.sum(F.col("__np") * F.col("__midrank")).alias("__rp"),
+    )
+    auc = F.try_divide(
+        F.col("__rp") - F.col("__pos") * (F.col("__pos") + 1) / 2.0,
+        F.col("__pos").cast("double") * F.col("__neg"),
+    )
+    return agg.select(
+        F.col("__pos").cast("bigint").alias("n_pos"),
+        F.col("__neg").cast("bigint").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        (F.round(2 * auc - 1, 6) + F.lit(0.0)).alias("gini"),
+    )
+
+
+def roc_auc_sql(
+    table: str,
+    score_expr: str,
+    label_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`roc_auc` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH vals AS (
+  SELECT CAST({score_expr} AS DOUBLE) AS s,
+         COUNT(CASE WHEN CAST({label_expr} AS INT) = 1 THEN 1 END) AS np,
+         COUNT(CASE WHEN CAST({label_expr} AS INT) = 0 THEN 1 END) AS nn
+  FROM {table}
+  WHERE {score_expr} IS NOT NULL AND {label_expr} IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT np, nn,
+         SUM(np + nn) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (np + nn) + (np + nn + 1) / 2.0 AS midrank
+  FROM vals
+),
+agg AS (
+  SELECT SUM(np) AS pos, SUM(nn) AS neg,
+         SUM(np * midrank) AS rp
+  FROM ranked
+)
+SELECT CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+       ROUND((rp - pos * (pos + 1) / 2.0)
+             / NULLIF(CAST(pos AS DOUBLE) * neg, 0.0), 6) AS auc,
+       ROUND(2 * ((rp - pos * (pos + 1) / 2.0)
+             / NULLIF(CAST(pos AS DOUBLE) * neg, 0.0)) - 1, 6) + 0.0
+         AS gini
+FROM agg
+"""

@@ -12,6 +12,8 @@ return SQL text; Spark-side wrappers turn the spark-dialect text into Columns.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1372,4 +1374,242 @@ SELECT spine.sa AS source_a, spine.sb AS source_b,
              + (1.0 - COALESCE(mb, 0.0)) / 2, 0.0)), 6) AS jsd_distance
 FROM spine LEFT JOIN shared ON spine.sa = shared.sa AND spine.sb = shared.sb
 ORDER BY source_a, source_b
+"""
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str,
+    order_col: str,
+    *,
+    buckets: int = 20,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth ``V(n) = K * n^beta`` — the
+    tokenizer/corpus-planning curve ("how much NEW vocabulary does the
+    next TB buy?"; natural text sits near beta ~ 0.5, templated or
+    looping corpora flatten toward 0). Docs order by ``order_col`` into
+    ``buckets`` equal-width rank buckets; the cumulative vocabulary at
+    each bucket boundary counts each token at its FIRST-APPEARANCE
+    bucket (min bucket per token — one agg, no per-prefix distinct
+    pass), and (log n, log V) fits with the shared REGR_* aggregates.
+    Returns ONE row ``(n_tokens, vocab, k, beta, r2)`` rounded 6;
+    degenerate single-bucket/zero-variance fits pin NULL beta (the
+    REGR contract).
+
+    Scale shape: one ntile window for the bucket id (rank-based — the
+    one corpus-ordered pass, same cost class as epoch_shuffle's global
+    order), one explode -> (token -> min bucket) agg, cumulative sums
+    over the ``buckets``-sized frame, one 1-row regression agg.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    toks = tokens_sql(text_col, "spark")
+    w = Window.orderBy(order_col)
+    bucketed = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.ntile(buckets).over(w).alias("__b"),
+            F.explode(F.expr(toks)).alias("__t"),
+        )
+    )
+    # per-token first appearance + per-bucket token totals ride ONE
+    # (bucket, token)-keyed agg; both downstream consumers are
+    # buckets-sized after the second agg
+    per_bt = (
+        bucketed.groupBy("__b", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    first = (
+        per_bt.groupBy("__t").agg(F.min("__b").alias("__fb"))
+        .groupBy("__fb").agg(F.count(F.lit(1)).alias("__new"))
+    )
+    sizes = per_bt.groupBy("__b").agg(F.sum("__c").alias("__nt"))
+    cum = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        sizes.join(first, sizes["__b"] == first["__fb"], "left")
+        .select(
+            sizes["__b"],
+            F.sum("__nt").over(cum).alias("__n"),
+            F.sum(F.coalesce("__new", F.lit(0))).over(cum).alias("__v"),
+        )
+        .where(F.col("__n") > 0)
+    )
+    # r2 pin: a FLAT vocabulary curve (every token seen in bucket 1 —
+    # tiny corpora) zeroes the y-variance, where Spark's regr_r2 returns
+    # 1.0 but DuckDB's returns SSE/SST float-noise junk; the flat line
+    # fits perfectly, so pin 1.0 explicitly on both engines
+    out = curve.agg(
+        F.max("__n").cast("bigint").alias("n_tokens"),
+        F.max("__v").cast("bigint").alias("vocab"),
+        F.round(
+            F.exp(F.expr(
+                "regr_intercept(ln(CAST(__v AS DOUBLE)),"
+                " ln(CAST(__n AS DOUBLE)))"
+            )),
+            6,
+        ).alias("k"),
+        (F.round(F.expr(
+            "regr_slope(ln(CAST(__v AS DOUBLE)),"
+            " ln(CAST(__n AS DOUBLE)))"
+        ), 6) + F.lit(0.0)).alias("beta"),
+        F.round(
+            F.when(F.min("__v") == F.max("__v"), F.lit(1.0)).otherwise(
+                F.expr(
+                    "regr_r2(ln(CAST(__v AS DOUBLE)),"
+                    " ln(CAST(__n AS DOUBLE)))"
+                )
+            ),
+            6,
+        ).alias("r2"),
+    )
+    return tether(out, per_bt)
+
+
+def heaps_law_sql(
+    table: str,
+    text_col: str,
+    order_col: str,
+    dialect: str,
+    *,
+    buckets: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`heaps_law` (NTILE, the min-bucket
+    first-appearance trick, and REGR_* are all shared SQL)."""
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        unnest = (
+            f"SELECT b, explode({toks}) AS t FROM ranked"
+        )
+    elif dialect == "duckdb":
+        unnest = f"SELECT b, UNNEST({toks}) AS t FROM ranked"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH ranked AS (
+  SELECT {text_col}, NTILE({buckets}) OVER (ORDER BY {order_col}) AS b
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+tok AS ({unnest}),
+per_bt AS (SELECT b, t, COUNT(*) AS c FROM tok GROUP BY b, t),
+first AS (
+  SELECT fb, COUNT(*) AS new_tokens FROM (
+    SELECT t, MIN(b) AS fb FROM per_bt GROUP BY t
+  ) f GROUP BY fb
+),
+sizes AS (SELECT b, SUM(c) AS nt FROM per_bt GROUP BY b),
+curve AS (
+  SELECT sizes.b,
+         SUM(nt) OVER (ORDER BY sizes.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+         SUM(COALESCE(new_tokens, 0)) OVER (ORDER BY sizes.b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+  FROM sizes LEFT JOIN first ON sizes.b = first.fb
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(MAX(v) AS BIGINT) AS vocab,
+       ROUND(EXP(REGR_INTERCEPT(LN(CAST(v AS DOUBLE)),
+                                LN(CAST(n AS DOUBLE)))), 6) AS k,
+       ROUND(REGR_SLOPE(LN(CAST(v AS DOUBLE)),
+                        LN(CAST(n AS DOUBLE))), 6) + 0.0 AS beta,
+       ROUND(CASE WHEN MIN(v) = MAX(v) THEN 1.0
+                  ELSE REGR_R2(LN(CAST(v AS DOUBLE)),
+                               LN(CAST(n AS DOUBLE))) END, 6) AS r2
+FROM curve WHERE n > 0
+"""
+
+
+def entropy_rate(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Corpus entropy rate under a bigram model: the conditional entropy
+    ``H(w2 | w1) = H(bigram) - H(unigram)`` in bits/token — the
+    predictability/diversity number that separates natural prose
+    (~6-8 bits under small models) from templated or looping corpora
+    (-> 0) without training anything. Both entropies use empirical ML
+    estimates over the SAME token stream (bigrams within docs, no
+    cross-doc pairs). Returns ONE row ``(n_tokens, n_bigrams,
+    h_unigram, h_bigram, h_rate)`` rounded 6; corpora with no bigrams
+    (all docs < 2 tokens) pin NULL h_bigram/h_rate.
+
+    Scale shape: one explode + vocab-sized agg per order (the n-gram
+    machinery of :func:`ngrams_sql`); entropies fold via
+    ``ln(tot) - sum(c ln c)/tot`` so totals never need a second scan.
+    """
+    uni = ngrams_sql(text_col, "spark", 1)
+    bi = ngrams_sql(text_col, "spark", 2)
+
+    def _h(grams: str) -> DataFrame:
+        counts = (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.explode(F.expr(grams)).alias("__g"))
+            .groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        return counts.agg(
+            F.sum("__c").alias("__tot"),
+            (
+                (
+                    F.log(F.sum("__c"))
+                    - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c")
+                )
+                / F.lit(math.log(2.0))
+            ).alias("__h"),
+        )
+
+    hu = _h(uni).select(
+        F.col("__tot").alias("__nu"), F.col("__h").alias("__h1")
+    )
+    hb = _h(bi).select(
+        F.col("__tot").alias("__nb"), F.col("__h").alias("__h2")
+    )
+    return hu.crossJoin(hb).select(
+        F.coalesce("__nu", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("__nb", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.round("__h1", 6).alias("h_unigram"),
+        F.round("__h2", 6).alias("h_bigram"),
+        (F.round(F.col("__h2") - F.col("__h1"), 6) + F.lit(0.0)).alias(
+            "h_rate"
+        ),
+    )
+
+
+def entropy_rate_sql(table: str, text_col: str, dialect: str) -> str:
+    """Dual-dialect twin of :func:`entropy_rate`."""
+    uni = ngrams_sql(text_col, dialect, 1)
+    bi = ngrams_sql(text_col, dialect, 2)
+    ex = "explode" if dialect == "spark" else "UNNEST"
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH ucounts AS (
+  SELECT g, COUNT(*) AS c FROM (
+    SELECT {ex}({uni}) AS g FROM {table} WHERE {text_col} IS NOT NULL
+  ) e GROUP BY g
+),
+bcounts AS (
+  SELECT g, COUNT(*) AS c FROM (
+    SELECT {ex}({bi}) AS g FROM {table} WHERE {text_col} IS NOT NULL
+  ) e GROUP BY g
+),
+hu AS (
+  SELECT SUM(c) AS nu,
+         (LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) / LN(2.0) AS h1
+  FROM ucounts
+),
+hb AS (
+  SELECT SUM(c) AS nb,
+         (LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) / LN(2.0) AS h2
+  FROM bcounts
+)
+SELECT CAST(COALESCE(nu, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+       ROUND(h1, 6) AS h_unigram,
+       ROUND(h2, 6) AS h_bigram,
+       ROUND(h2 - h1, 6) + 0.0 AS h_rate
+FROM hu CROSS JOIN hb
 """

@@ -491,3 +491,103 @@ def test_embedding_drift_pins(spark):
     )
     r = embedding_drift(a, z).collect()[0]
     assert r.cos_means is None and r.l2_means == 1.0
+
+
+def test_heaps_law_pins(spark):
+    from harmonize_search_analyze_spark.operators.text import heaps_law
+
+    # every doc repeats the same token: vocab is flat at 1 -> beta ~ 0
+    flat = spark.createDataFrame(
+        [(i, "same same same") for i in range(40)],
+        "doc_id long, text string",
+    )
+    r = heaps_law(flat, "text", "doc_id", buckets=4).collect()[0]
+    assert r.vocab == 1 and r.n_tokens == 120
+    assert r.beta == 0.0 and r.k == 1.0
+
+    # every doc introduces fresh tokens: V grows ~ linearly -> beta ~ 1
+    fresh = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c") for i in range(40)],
+        "doc_id long, text string",
+    )
+    r = heaps_law(fresh, "text", "doc_id", buckets=4).collect()[0]
+    assert r.vocab == 120 and r.n_tokens == 120
+    assert abs(r.beta - 1.0) < 1e-6 and r.r2 == 1.0
+
+
+def test_entropy_rate_pins(spark):
+    from harmonize_search_analyze_spark.operators.text import entropy_rate
+
+    # uniform unigram alternation "a b a b ...": H(uni)=1 bit; bigrams
+    # 'a b' and 'b a' near-equally likely -> H(bi) ~ 1 -> rate ~ 0
+    # (fully predictable successor)
+    df = spark.createDataFrame(
+        [(0, "a b " * 50)], "doc_id long, text string"
+    )
+    r = entropy_rate(df, "text").collect()[0]
+    assert r.n_tokens == 100 and r.n_bigrams == 99
+    assert abs(r.h_unigram - 1.0) < 1e-6
+    assert r.h_rate < 0.01
+
+    # all docs too short for bigrams -> NULL h_bigram/h_rate
+    short = spark.createDataFrame(
+        [(0, "one"), (1, "two")], "doc_id long, text string"
+    )
+    r = entropy_rate(short, "text").collect()[0]
+    assert r.n_bigrams == 0
+    assert r.h_bigram is None and r.h_rate is None
+
+
+def test_confusion_eval_hand_computed(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        confusion_eval,
+    )
+
+    # truth: a a a b b c ; pred: a a b b b d ; NULLs drop
+    rows = [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+            ("c", "d"), (None, "a"), ("a", None)]
+    df = spark.createDataFrame(rows, "t string, p string")
+    out = {r["class"]: r for r in confusion_eval(df, "t", "p").collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    a = out["a"]
+    assert (a.tp, a.fp, a.fn) == (2, 0, 1)
+    assert a.precision == 1.0 and a.recall == round(2 / 3, 6)
+    b = out["b"]
+    assert (b.tp, b.fp, b.fn) == (2, 1, 0)
+    assert b.precision == round(2 / 3, 6) and b.recall == 1.0
+    c = out["c"]
+    assert c.recall == 0.0 and c.precision is None and c.f1 is None
+    d = out["d"]
+    assert d.precision == 0.0 and d.recall is None
+    # accuracy = 4/6 on every row; macro over defined f1s only
+    assert all(r.accuracy == round(4 / 6, 6) for r in out.values())
+    f1a = 2 * 1.0 * (2 / 3) / (1.0 + 2 / 3)
+    f1b = 2 * (2 / 3) * 1.0 / (2 / 3 + 1.0)
+    assert abs(a.macro_f1 - round((f1a + f1b) / 2, 6)) < 1e-6
+
+
+def test_roc_auc_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import roc_auc
+
+    # perfectly separating score -> AUC 1
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+    )
+    r = roc_auc(perfect, "s", "y").collect()[0]
+    assert r.auc == 1.0 and r.gini == 1.0
+
+    # anti-separating -> AUC 0
+    r = roc_auc(perfect, "1.0 - s", "y").collect()[0]
+    assert r.auc == 0.0 and r.gini == -1.0
+
+    # all scores tied -> midranks make AUC exactly 0.5
+    tied = spark.createDataFrame(
+        [(0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)], "s double, y int"
+    )
+    r = roc_auc(tied, "s", "y").collect()[0]
+    assert r.auc == 0.5 and r.gini == 0.0
+
+    # single class -> NULL
+    ones = spark.createDataFrame([(0.5, 1), (0.7, 1)], "s double, y int")
+    r = roc_auc(ones, "s", "y").collect()[0]
+    assert r.auc is None and r.gini is None
