@@ -10969,6 +10969,45 @@ def _sql_roc_auc(dialect: str = "duckdb") -> str:
     )
 
 
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of event value across event types (exact
+    (F, df1, df2) reported, CDF left to the caller — the t_test
+    divergence note). One map-combinable group agg."""
+    from harmonize_search_analyze_spark.operators.analytics import anova_f
+
+    return anova_f(_t(spark, sf_dir, "events"), "value", "event_type")
+
+
+def _sql_anova_f(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        anova_f_sql,
+    )
+
+    return anova_f_sql("events", "value", "event_type", dialect)
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and extended
+    price — Pearson on midranks via the value-level rank trick."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        spearman_corr,
+    )
+
+    return spearman_corr(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+def _sql_spearman_corr(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        spearman_corr_sql,
+    )
+
+    return spearman_corr_sql(
+        "lineitem", "l_quantity", "l_extendedprice", dialect
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
@@ -11125,6 +11164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_rate": q_entropy_rate,
         "confusion_eval": q_confusion_eval,
         "roc_auc": q_roc_auc,
+        "anova_f": q_anova_f,
+        "spearman_corr": q_spearman_corr,
         # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
@@ -11418,6 +11459,8 @@ def oracle_sql() -> dict[str, str]:
         "entropy_rate": _sql_entropy_rate(),
         "confusion_eval": _sql_confusion_eval(),
         "roc_auc": _sql_roc_auc(),
+        "anova_f": _sql_anova_f(),
+        "spearman_corr": _sql_spearman_corr(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

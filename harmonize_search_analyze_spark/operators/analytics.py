@@ -2883,3 +2883,181 @@ SELECT CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
          AS gini
 FROM agg
 """
+
+def anova_f(
+    df: DataFrame,
+    value_expr: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic across the groups of ``group_col`` —
+    the k-sample extension of :func:`aggregations.t_test` ("does doc
+    quality differ BY SOURCE at all?" before pairwise tests):
+    ``F = (SSB/(k-1)) / (SSW/(n-k))`` from per-group counts/means/SS.
+    Same CDF divergence note as t_test: the F p-value needs the
+    incomplete beta (not portable SQL), so the exact ``(F, df1, df2)``
+    triple is reported and the CDF left to the caller. Returns ONE row
+    ``(n, k, ss_between, ss_within, df1, df2, f)`` rounded 6; k < 2 or
+    zero within-variance pins NULL F via try_divide.
+
+    Scale shape: ONE map-combinable group agg (count/sum/sum-of-squares
+    per group), then arithmetic over the k-row frame — the corpus is
+    scanned once, no windows.
+    """
+    v = F.expr(value_expr).cast("double")
+    groups = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__ss"),
+        )
+    )
+    agg = groups.agg(
+        F.sum("__n").alias("__N"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__s").alias("__S"),
+        # within-group SS = sum over groups of (ss_g - s_g^2 / n_g)
+        F.sum(
+            F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")
+        ).alias("__ssw"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__sqm"),
+    )
+    ssb = F.col("__sqm") - F.col("__S") * F.col("__S") / F.col("__N")
+    df1 = F.col("__k") - 1
+    df2 = F.col("__N") - F.col("__k")
+    fstat = F.try_divide(
+        F.try_divide(ssb, df1.cast("double")),
+        F.try_divide(F.col("__ssw"), df2.cast("double")),
+    )
+    return agg.select(
+        F.col("__N").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("k"),
+        (F.round(ssb, 6) + F.lit(0.0)).alias("ss_between"),
+        F.round("__ssw", 6).alias("ss_within"),
+        df1.cast("bigint").alias("df1"),
+        df2.cast("bigint").alias("df2"),
+        F.round(fstat, 6).alias("f"),
+    )
+
+
+def anova_f_sql(
+    table: str,
+    value_expr: str,
+    group_col: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`anova_f` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    v = f"CAST({value_expr} AS DOUBLE)"
+    return f"""
+WITH groups AS (
+  SELECT {group_col} AS g, COUNT(*) AS n, SUM({v}) AS s,
+         SUM({v} * {v}) AS ss
+  FROM {table}
+  WHERE {value_expr} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1
+),
+agg AS (
+  SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(s) AS st,
+         SUM(ss - s * s / n) AS ssw,
+         SUM(s * s / n) AS sqm
+  FROM groups
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       ROUND(sqm - st * st / nn, 6) + 0.0 AS ss_between,
+       ROUND(ssw, 6) AS ss_within,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(nn - k AS BIGINT) AS df2,
+       ROUND(((sqm - st * st / nn) / NULLIF(CAST(k - 1 AS DOUBLE), 0.0))
+             / NULLIF(ssw / NULLIF(CAST(nn - k AS DOUBLE), 0.0), 0.0),
+             6) AS f
+FROM agg
+"""
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric expressions — the
+    monotonic-association metric that survives outliers and nonlinear
+    scales where Pearson CORR lies (quality score vs doc length, spend
+    vs latency). With ties it is Pearson correlation ON MIDRANKS (the
+    standard definition). Returns ONE row ``(n, rho)`` rounded 6;
+    constant columns pin NULL (the shared CORR contract).
+
+    Scale shape: midranks come from the :func:`mann_whitney` trick —
+    group by VALUE per side (two value-cardinality-sized frames + one
+    ordered window each), then each row fetches its two ranks by
+    value-equi-join (two joins keyed on values, co-partitioned with the
+    row scan) and one CORR agg. Never a corpus-wide rank window.
+    """
+    x = F.expr(x_expr).cast("double")
+    y = F.expr(y_expr).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+
+    def _ranks(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select(
+                col,
+                (
+                    F.sum("__c").over(w) - F.col("__c")
+                    + (F.col("__c") + 1) / 2.0
+                ).alias(f"__r{col[-1]}"),
+            )
+        )
+
+    ranked = (
+        base.join(_ranks("__x"), "__x")
+        .join(_ranks("__y"), "__y")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.round(F.corr("__rx", "__ry"), 6) + F.lit(0.0)).alias("rho"),
+    )
+
+
+def spearman_corr_sql(
+    table: str,
+    x_expr: str,
+    y_expr: str,
+    dialect: str,
+    *,
+    where: str | None = None,
+) -> str:
+    """Dual-dialect twin of :func:`spearman_corr` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    w = f"AND ({where})" if where else ""
+    return f"""
+WITH base AS (
+  SELECT CAST({x_expr} AS DOUBLE) AS x, CAST({y_expr} AS DOUBLE) AS y
+  FROM {table}
+  WHERE {x_expr} IS NOT NULL AND {y_expr} IS NOT NULL {w}
+),
+rx AS (
+  SELECT x, SUM(c) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c + (c + 1) / 2.0 AS r
+  FROM (SELECT x, COUNT(*) AS c FROM base GROUP BY x) t
+),
+ry AS (
+  SELECT y, SUM(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - c + (c + 1) / 2.0 AS r
+  FROM (SELECT y, COUNT(*) AS c FROM base GROUP BY y) t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CORR(rx.r, ry.r), 6) + 0.0 AS rho
+FROM base JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y
+"""

