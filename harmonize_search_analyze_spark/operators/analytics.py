@@ -1500,11 +1500,19 @@ def xcorr_lags(
         right,
         F.col("__bb") == F.expr("__ab - make_interval(0,0,0,lag,0,0,0)"),
     )
+    # covar/stddev form, not F.corr: Spark 4's ANSI-mode corr THROWS
+    # DIVIDE_BY_ZERO when a lag's overlap is constant-valued; DuckDB's
+    # CORR (the twin) returns NULL there — try_divide restores the
+    # shared NULL-on-undefined contract this docstring promises
+    pearson = F.try_divide(
+        F.covar_pop("__va", "__vb"),
+        F.stddev_pop("__va") * F.stddev_pop("__vb"),
+    )
     return (
         joined.groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.corr("__va", "__vb"), 6).alias("corr"),
+            (F.round(pearson, 6) + F.lit(0.0)).alias("corr"),
         )
         .orderBy("lag")
     )
@@ -1537,7 +1545,7 @@ WITH sa AS ({a_sql}),
 sb AS ({b_sql}),
 lags AS ({spine})
 SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CORR(a.v, b.v), 6) AS corr
+       ROUND(CORR(a.v, b.v), 6) + 0.0 AS corr
 FROM sa a CROSS JOIN lags l
 JOIN sb b ON b.bucket = {shift}
 GROUP BY l.lag ORDER BY l.lag
@@ -3021,9 +3029,16 @@ def spearman_corr(
         base.join(_ranks("__x"), "__x")
         .join(_ranks("__y"), "__y")
     )
+    # covar/stddev form, not F.corr: Spark 4's ANSI-mode corr THROWS
+    # DIVIDE_BY_ZERO on a constant column where DuckDB's CORR returns
+    # NULL — try_divide restores the shared NULL-on-undefined contract
+    rho = F.try_divide(
+        F.covar_pop("__rx", "__ry"),
+        F.stddev_pop("__rx") * F.stddev_pop("__ry"),
+    )
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        (F.round(F.corr("__rx", "__ry"), 6) + F.lit(0.0)).alias("rho"),
+        (F.round(rho, 6) + F.lit(0.0)).alias("rho"),
     )
 
 

@@ -635,14 +635,14 @@ def test_spearman_pins(spark):
     )
     assert spearman_corr(anti, "x", "y").collect()[0].rho == -1.0
 
-    # with ties: scipy-checked reference value for this fixed sample
-    # x = [1,1,2,3], y = [2,3,3,5] -> midranks x [1.5,1.5,3,4],
-    # y [1,2.5,2.5,4]; pearson(rx, ry) = 0.7745966692...
+    # with ties, hand-computed: x = [1,1,2,3] -> midranks
+    # [1.5,1.5,3,4]; y = [2,3,3,5] -> [1,2.5,2.5,4];
+    # pearson(rx, ry) = cov/sqrt(varx*vary) = 3.75/4.5 = 0.833333
     tied = spark.createDataFrame(
         [(1.0, 2.0), (1.0, 3.0), (2.0, 3.0), (3.0, 5.0)],
         "x double, y double",
     )
-    assert spearman_corr(tied, "x", "y").collect()[0].rho == 0.774597
+    assert spearman_corr(tied, "x", "y").collect()[0].rho == 0.833333
 
     # constant column -> NULL
     const = spark.createDataFrame(
