@@ -2088,3 +2088,71 @@ def leakage_check(
         .orderBy("split_a", "split_b")
     )
     return tether(out, grouped)
+
+def cross_source_dups(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Exact-duplicate clusters that SPAN sources — the mixture-hygiene
+    audit behind "source B is just a mirror of source A" and "this
+    benchmark set leaked into two feeds": md5-digest clusters with more
+    than one member AND more than one distinct source. Returns
+    ``(digest, n_docs, n_sources, sources)`` with the source list
+    sorted and comma-joined (deterministic, array-free for the driver
+    canonicalizer), ordered by n_docs desc, digest.
+
+    Scale shape: one (digest, source) hash agg then one digest agg —
+    the two-level stack keeps count and count-distinct out of the same
+    agg (the Expand-plan trap); everything after the first agg is
+    duplicate-cluster-sized.
+    """
+    d = F.md5(F.col(text_col)).alias("digest")
+    per_ds = (
+        df.where(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(d, F.col(group_col).alias("__src"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        per_ds.groupBy("digest")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.array_join(
+                F.sort_array(F.collect_list("__src")), ","
+            ).alias("sources"),
+        )
+        .where((F.col("n_docs") > 1) & (F.col("n_sources") > 1))
+        .orderBy(F.desc("n_docs"), F.asc("digest"))
+    )
+
+
+def cross_source_dups_sql(
+    table: str,
+    text_col: str,
+    group_col: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`cross_source_dups` (string_agg with
+    ORDER BY vs array_join(sort_array(collect_list)))."""
+    if dialect == "spark":
+        srcs = "array_join(sort_array(collect_list(src)), ',')"
+    elif dialect == "duckdb":
+        srcs = "string_agg(src, ',' ORDER BY src)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH per_ds AS (
+  SELECT md5({text_col}) AS digest, {group_col} AS src, COUNT(*) AS c
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT digest, CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       {srcs} AS sources
+FROM per_ds
+GROUP BY digest
+HAVING SUM(c) > 1 AND COUNT(*) > 1
+ORDER BY n_docs DESC, digest ASC
+"""

@@ -1613,3 +1613,73 @@ SELECT CAST(COALESCE(nu, 0) AS BIGINT) AS n_tokens,
        ROUND(h2 - h1, 6) + 0.0 AS h_rate
 FROM hu CROSS JOIN hb
 """
+
+def template_prefixes(
+    df: DataFrame,
+    text_col: str,
+    *,
+    prefix_len: int = 32,
+    k: int = 20,
+) -> DataFrame:
+    """Templated-prefix audit: the top-k most repeated document PREFIXES
+    and the corpus share they claim — the fastest tell for synthetic or
+    boilerplate feeds ("As an AI...", scraped nav headers), upstream of
+    the heavier winnowing/substring passes. Returns ``(prefix, n,
+    share)`` rounded 6, ties pinned (n desc, prefix asc), docs shorter
+    than ``prefix_len`` count with their full text.
+
+    Scale shape: one map-combinable prefix hash agg + TakeOrdered
+    top-k; the total rides a broadcast 1-row agg of the prefix frame
+    (never a second corpus scan).
+    """
+    if prefix_len < 1:
+        raise ValueError("prefix_len must be >= 1")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    counts = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(
+            F.substring(F.col(text_col), 1, prefix_len).alias("prefix")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    total = counts.agg(F.sum("n").alias("__tot"))
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "prefix",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("prefix"))
+        .limit(k)
+    )
+    return tether(out, counts)
+
+
+def template_prefixes_sql(
+    table: str,
+    text_col: str,
+    dialect: str,
+    *,
+    prefix_len: int = 32,
+    k: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`template_prefixes` (SUBSTRING
+    semantics agree for the 1-based fixed-length slice)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH counts AS (
+  SELECT SUBSTRING({text_col}, 1, {prefix_len}) AS prefix, COUNT(*) AS n
+  FROM {table} WHERE {text_col} IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS tot FROM counts)
+SELECT prefix, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(tot AS DOUBLE), 6) AS share
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, prefix ASC
+LIMIT {k}
+"""

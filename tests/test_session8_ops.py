@@ -649,3 +649,43 @@ def test_spearman_pins(spark):
         [(1.0, 2.0), (1.0, 3.0)], "x double, y double"
     )
     assert spearman_corr(const, "x", "y").collect()[0].rho is None
+
+
+def test_cross_source_dups_pins(spark):
+    from harmonize_search_analyze_spark.operators.dedup import (
+        cross_source_dups,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mirrored text", "s1"),
+            (1, "mirrored text", "s2"),
+            (2, "mirrored text", "s2"),   # 3 docs over 2 sources -> in
+            (3, "same-source dup", "s1"),
+            (4, "same-source dup", "s1"),  # 2 docs, 1 source -> OUT
+            (5, "unique", "s3"),           # singleton -> OUT
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = cross_source_dups(docs, "text", "source").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 3 and r.n_sources == 2
+    assert r.sources == "s1,s2"
+
+
+def test_template_prefixes_pins(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        template_prefixes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "As an AI template intro, doc %d" % i) for i in range(6)]
+        + [(100, "short"), (101, "organic text one"), (102, "organic two")],
+        "doc_id long, text string",
+    )
+    rows = template_prefixes(docs, "text", prefix_len=16, k=3).collect()
+    assert rows[0].prefix == "As an AI templat"
+    assert rows[0].n == 6 and rows[0].share == round(6 / 9, 6)
+    # docs shorter than prefix_len count with full text
+    assert any(r.prefix == "short" for r in rows) or len(rows) == 3
