@@ -11051,6 +11051,29 @@ def _sql_template_prefixes(dialect: str = "duckdb") -> str:
     )
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KMV-sketch document overlap between all sources
+    (k=64 sketches over text) — the sketch-based mixture-design matrix;
+    corpora are never joined, only k-row sketches."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(
+        _t(spark, sf_dir, "documents"), "text", "source", k=64
+    )
+
+
+def _sql_source_overlap_matrix(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        source_overlap_matrix_sql,
+    )
+
+    return source_overlap_matrix_sql(
+        "documents", "text", "source", dialect, k=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
@@ -11211,6 +11234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "cross_source_dups": q_cross_source_dups,
         "template_prefixes": q_template_prefixes,
+        "source_overlap_matrix": q_source_overlap_matrix,
         # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
@@ -11508,6 +11532,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_corr": _sql_spearman_corr(),
         "cross_source_dups": _sql_cross_source_dups(),
         "template_prefixes": _sql_template_prefixes(),
+        "source_overlap_matrix": _sql_source_overlap_matrix(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -3886,3 +3886,167 @@ def forecast_backtest(
             F.try_divide(F.avg(F.abs(err)), F.avg(naive)), 6
         ).alias("mase"),
     )
+
+def source_overlap_matrix(
+    df: DataFrame,
+    field: str,
+    group_col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise KMV-sketch overlap between EVERY pair of sources — the
+    sketch-based mixture-design matrix ("which feeds share documents?")
+    that generalizes :func:`kmv_overlap` from one pair to all pairs
+    while still never joining the corpora: each source contributes ONE
+    k-row bottom-k sketch, and every pair estimate derives from the
+    union of two sketches (the KMV set-operation rule). Returns
+    ``(source_a, source_b, sketch_union, est_union, jaccard,
+    est_intersection)`` for ``source_a < source_b``, rounded like
+    kmv_overlap, ordered.
+
+    Scale shape: one (group, hash) distinct agg + one per-group bottom-k
+    window (both shuffles share the group key); the pair stage operates
+    on S^2 * k sketch rows — a per-SOURCE matrix (S bounded by
+    contract, the source_jsd_matrix caveat), never per-document.
+    """
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    two60 = 1152921504606846976.0
+    h = hash64_sql(f"CAST({field} AS STRING)", "spark")
+    wk = Window.partitionBy("__g").orderBy("h")
+    sk = (
+        df.where(F.col(field).isNotNull() & F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.expr(h).alias("h"))
+        .distinct()
+        .withColumn("__rn", F.row_number().over(wk))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .persist()
+    )
+    groups = sk.select("__g").distinct()
+    spine = (
+        groups.select(F.col("__g").alias("source_a"))
+        .crossJoin(groups.select(F.col("__g").alias("source_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    ha = spine.join(
+        sk.select(F.col("__g").alias("source_a"), "h",
+                  F.lit(1).alias("__ia")),
+        "source_a",
+    )
+    hb = spine.join(
+        sk.select(F.col("__g").alias("source_b"), "h",
+                  F.lit(1).alias("__ib")),
+        "source_b",
+    )
+    merged = ha.join(hb, ["source_a", "source_b", "h"], "full").select(
+        "source_a", "source_b", "h",
+        F.coalesce("__ia", F.lit(0)).alias("__ia"),
+        F.coalesce("__ib", F.lit(0)).alias("__ib"),
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("h")
+    kept = merged.withColumn("__rn", F.row_number().over(wp)).where(
+        F.col("__rn") <= k
+    )
+    stats = kept.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("__nu"),
+        F.max("h").alias("__thu"),
+        F.sum(F.col("__ia") * F.col("__ib")).alias("__c_both"),
+    )
+    est_u = F.when(
+        F.col("__nu") < k, F.col("__nu").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(two60) / F.col("__thu").cast("double")
+    )
+    jac = F.when(F.col("__nu") == 0, F.lit(0.0)).otherwise(
+        F.col("__c_both") / F.col("__nu").cast("double")
+    )
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    out = stats.select(
+        "source_a", "source_b",
+        F.col("__nu").cast("bigint").alias("sketch_union"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(jac * est_u, 4).alias("est_intersection"),
+    ).orderBy("source_a", "source_b")
+    return tether(out, sk)
+
+
+def source_overlap_matrix_sql(
+    table: str,
+    field: str,
+    group_col: str,
+    dialect: str,
+    *,
+    k: int = 256,
+) -> str:
+    """Dual-dialect twin of :func:`source_overlap_matrix` (identical
+    text — windows and the KMV estimator arithmetic are shared SQL)."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    h = hash64_sql(f"CAST({field} AS STRING)", dialect)
+    two60 = "1152921504606846976.0"
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT {group_col} AS g, {h} AS h
+  FROM {table}
+  WHERE {field} IS NOT NULL AND {group_col} IS NOT NULL
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashes
+  ) t WHERE rn <= {k}
+),
+groups AS (SELECT DISTINCT g FROM sk),
+spine AS (
+  SELECT a.g AS sa, b.g AS sb
+  FROM groups a CROSS JOIN groups b WHERE a.g < b.g
+),
+merged AS (
+  SELECT COALESCE(ha.sa, hb.sa) AS sa, COALESCE(ha.sb, hb.sb) AS sb,
+         COALESCE(ha.h, hb.h) AS h,
+         CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS ia,
+         CASE WHEN hb.h IS NULL THEN 0 ELSE 1 END AS ib
+  FROM (SELECT spine.sa, spine.sb, sk.h
+        FROM spine JOIN sk ON sk.g = spine.sa) ha
+  FULL OUTER JOIN (SELECT spine.sa, spine.sb, sk.h
+        FROM spine JOIN sk ON sk.g = spine.sb) hb
+    ON ha.sa = hb.sa AND ha.sb = hb.sb AND ha.h = hb.h
+),
+kept AS (
+  SELECT * FROM (
+    SELECT sa, sb, h, ia, ib,
+           ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM merged
+  ) t WHERE rn <= {k}
+),
+stats AS (
+  SELECT sa, sb, COUNT(*) AS nu, MAX(h) AS thu,
+         SUM(ia * ib) AS c_both
+  FROM kept GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(nu AS BIGINT) AS sketch_union,
+       ROUND(CASE WHEN nu < {k} THEN CAST(nu AS DOUBLE)
+                  ELSE {k - 1} * {two60} / CAST(thu AS DOUBLE) END, 4)
+         AS est_union,
+       ROUND(CASE WHEN nu = 0 THEN 0.0
+                  ELSE c_both / CAST(nu AS DOUBLE) END, 6) AS jaccard,
+       ROUND((CASE WHEN nu = 0 THEN 0.0
+                   ELSE c_both / CAST(nu AS DOUBLE) END)
+             * (CASE WHEN nu < {k} THEN CAST(nu AS DOUBLE)
+                     ELSE {k - 1} * {two60} / CAST(thu AS DOUBLE) END), 4)
+         AS est_intersection
+FROM stats
+ORDER BY source_a, source_b
+"""

@@ -689,3 +689,36 @@ def test_template_prefixes_pins(spark):
     assert rows[0].n == 6 and rows[0].share == round(6 / 9, 6)
     # docs shorter than prefix_len count with full text
     assert any(r.prefix == "short" for r in rows) or len(rows) == 3
+
+
+def test_source_overlap_matrix_pins(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        kmv_overlap,
+        source_overlap_matrix,
+    )
+
+    # s1 and s2 share half their docs; s3 disjoint
+    rows = [(i, f"doc {i}", "s1") for i in range(20)]
+    rows += [(100 + i, f"doc {i}", "s2") for i in range(10)]       # shared
+    rows += [(200 + i, f"only-s2 {i}", "s2") for i in range(10)]
+    rows += [(300 + i, f"only-s3 {i}", "s3") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r for r in
+           source_overlap_matrix(df, "text", "source", k=64).collect()}
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    # sub-k sketches are EXACT: |s1 ∪ s2| = 30, |s1 ∩ s2| = 10
+    r = out[("s1", "s2")]
+    assert r.sketch_union == 30 and r.est_union == 30.0
+    assert r.jaccard == round(10 / 30, 6)
+    assert r.est_intersection == 10.0
+    assert out[("s1", "s3")].jaccard == 0.0
+    assert out[("s2", "s3")].est_intersection == 0.0
+
+    # pairwise entry == the dedicated two-corpus kmv_overlap
+    two = kmv_overlap(
+        df.where(F.col("source") == "s1"),
+        df.where(F.col("source") == "s2"),
+        "text", k=64,
+    ).collect()[0]
+    assert two.jaccard == r.jaccard
+    assert two.est_intersection == r.est_intersection
