@@ -180,6 +180,10 @@ def split_case_sql(
         acc += frac
         bounds.append((label, int(round(acc * HASH_BUCKETS))))
     bounds[-1] = (bounds[-1][0], HASH_BUCKETS)
+    if len(bounds) == 1:
+        # a single label owns every bucket — a WHEN-less CASE is a
+        # syntax error on both engines, so emit the bare literal
+        return f"'{bounds[0][0]}'"
     branches = "".join(
         f"WHEN {h} < {hi} THEN '{label}' " for label, hi in bounds[:-1]
     )

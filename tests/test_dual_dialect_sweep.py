@@ -798,3 +798,19 @@ def test_term_overlap_edge_texts(spark):
 
     with pytest.raises(ValueError, match="no tokens"):
         term_overlap_sql("!!!", ["text"], "spark")
+
+
+def test_split_case_generator(spark):
+    """split_case_sql (the leakage_check/assign_split label expression)
+    must hash-bucket identically on both engines over the edge corpus,
+    for several fraction maps."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        split_case_sql,
+    )
+
+    for fr in (
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        {"a": 0.5, "b": 0.5},
+        {"only": 1.0},
+    ):
+        _sweep(spark, lambda e, d, f=fr: split_case_sql(e, f, d))
