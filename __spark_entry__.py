@@ -11074,6 +11074,55 @@ def _sql_source_overlap_matrix(dialect: str = "duckdb") -> str:
     )
 
 
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type journey Markov chain
+    (12 fixed power-iteration steps over a state-sized matrix) — the
+    equilibrium behind step_transitions' Sankey edges."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        markov_stationary,
+    )
+
+    return markov_stationary(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        iters=12,
+    )
+
+
+def _sql_markov_stationary(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        markov_stationary_sql,
+    )
+
+    return markov_stationary_sql(
+        "events", "user_id", "ts", "event_type", dialect, iters=12
+    )
+
+
+_BLOCKLIST_TERMS = ["error", "null", "undefined", "lorem"]
+
+
+def q_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist term hit rates per document source — the cheap policy
+    screen stage; the term list folds inside one column expression."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        blocklist_scan,
+    )
+
+    return blocklist_scan(
+        _t(spark, sf_dir, "documents"), "text", "source", _BLOCKLIST_TERMS
+    )
+
+
+def _sql_blocklist_scan(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        blocklist_scan_sql,
+    )
+
+    return blocklist_scan_sql(
+        "documents", "text", "source", _BLOCKLIST_TERMS, dialect
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
@@ -11235,6 +11284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "template_prefixes": q_template_prefixes,
         "source_overlap_matrix": q_source_overlap_matrix,
+        "markov_stationary": q_markov_stationary,
+        "blocklist_scan": q_blocklist_scan,
         # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
@@ -11533,6 +11584,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dups": _sql_cross_source_dups(),
         "template_prefixes": _sql_template_prefixes(),
         "source_overlap_matrix": _sql_source_overlap_matrix(),
+        "markov_stationary": _sql_markov_stationary(),
+        "blocklist_scan": _sql_blocklist_scan(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -3076,3 +3076,249 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(CORR(rx.r, ry.r), 6) + 0.0 AS rho
 FROM base JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y
 """
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    *,
+    iters: int = 12,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain — where
+    the journeys CONCENTRATE in the long run (the step_transitions
+    Sankey tells you the edges; this tells you the equilibrium): build
+    the row-stochastic transition matrix from consecutive same-user
+    event pairs, then ``iters`` fixed power-iteration steps from the
+    uniform start (fixed count = unrollable, oracle-replayable — the
+    pagerank/k_core pin). States with no outgoing transitions self-loop
+    (the standard absorbing-state patch, applied identically on both
+    engines). Returns ``(state, stationary, out_transitions)`` rounded
+    6 ordered by state.
+
+    Scale shape: one corpus scan builds the pair counts via a per-user
+    lead window ((ts, id) tie order pinned, the burstiness shape — one
+    user-keyed exchange); the matrix and the iterated vector are
+    STATE-sized (k x k and k rows), so every iteration is a k-row join
+    — metadata work after the first agg, like pagerank's rank frame but
+    bounded by the state alphabet. localCheckpoint per iteration pins
+    the loop lineage (the pagerank/k_core replay trap).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+    )
+    nxt = F.lead(event_col).over(w)
+    pairs = (
+        df.where(F.col(event_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(event_col).alias("__from"), nxt.alias("__to")
+        )
+        .where(F.col("__to").isNotNull())
+        .groupBy("__from", "__to")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    states = (
+        pairs.select(F.col("__from").alias("__s"))
+        .unionByName(pairs.select(F.col("__to").alias("__s")))
+        .distinct()
+        .persist()
+    )
+    outs = pairs.groupBy("__from").agg(F.sum("__c").alias("__out"))
+    # row-stochastic P with self-loops for sink states
+    p = (
+        states.join(outs, states["__s"] == outs["__from"], "left")
+        .select(
+            "__s",
+            F.coalesce("__out", F.lit(0)).alias("__out"),
+        )
+        .join(
+            pairs, F.col("__s") == F.col("__from"), "left"
+        )
+        .select(
+            "__s",
+            F.coalesce(
+                F.col("__to"), F.col("__s")
+            ).alias("__t"),
+            F.when(
+                F.col("__out") > 0,
+                F.col("__c") / F.col("__out").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("__p"),
+        )
+        .persist()
+    )
+    n_states = states.count()
+    v = states.select(
+        "__s", (F.lit(1.0) / F.lit(float(n_states))).alias("__v")
+    ).localCheckpoint()
+    for _ in range(iters):
+        v = (
+            p.join(v, "__s")
+            .groupBy(F.col("__t").alias("__s"))
+            .agg(F.sum(F.col("__v") * F.col("__p")).alias("__v"))
+            .localCheckpoint()
+        )
+    out = (
+        v.join(outs, v["__s"] == outs["__from"], "left")
+        .select(
+            F.col("__s").alias("state"),
+            F.round("__v", 6).alias("stationary"),
+            F.coalesce("__out", F.lit(0)).cast("bigint").alias(
+                "out_transitions"
+            ),
+        )
+        .orderBy("state")
+    )
+    return tether(out, pairs, states, p)
+
+
+def markov_stationary_sql(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    dialect: str,
+    *,
+    iters: int = 12,
+    id_col: str = "event_id",
+) -> str:
+    """Dual-dialect twin of :func:`markov_stationary`. The unrolled
+    power iteration pins ``AS MATERIALIZED`` per level on DuckDB (the
+    k_core lesson: DuckDB 1.0 inlines chained CTEs and re-evaluates the
+    recursion exponentially); Spark ignores the hint syntax, so the
+    dialect split is the MATERIALIZED keyword only."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    levels = []
+    prev = "v0"
+    for i in range(1, iters + 1):
+        levels.append(
+            f"v{i} AS {mat}(\n"
+            f"  SELECT p.t AS s, SUM(v.v * p.p) AS v\n"
+            f"  FROM p JOIN {prev} v ON p.s = v.s GROUP BY p.t\n)"
+        )
+        prev = f"v{i}"
+    chain = ",\n".join(levels)
+    return f"""
+WITH pairs AS {mat}(
+  SELECT f, t, COUNT(*) AS c FROM (
+    SELECT {event_col} AS f,
+           LEAD({event_col}) OVER (PARTITION BY {user_col}
+             ORDER BY {ts_col}, {id_col}) AS t
+    FROM {table}
+    WHERE {event_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  ) e WHERE t IS NOT NULL GROUP BY f, t
+),
+states AS {mat}(
+  SELECT f AS s FROM pairs UNION SELECT t AS s FROM pairs
+),
+outs AS {mat}(SELECT f, SUM(c) AS outc FROM pairs GROUP BY f),
+p AS {mat}(
+  SELECT states.s,
+         COALESCE(pairs.t, states.s) AS t,
+         CASE WHEN COALESCE(outs.outc, 0) > 0
+              THEN pairs.c / CAST(outs.outc AS DOUBLE)
+              ELSE 1.0 END AS p
+  FROM states
+  LEFT JOIN outs ON states.s = outs.f
+  LEFT JOIN pairs ON states.s = pairs.f
+),
+n AS {mat}(SELECT COUNT(*) AS n FROM states),
+v0 AS {mat}(
+  SELECT s, 1.0 / n.n AS v FROM states CROSS JOIN n
+),
+{chain}
+SELECT {prev}.s AS state, ROUND({prev}.v, 6) AS stationary,
+       CAST(COALESCE(outs.outc, 0) AS BIGINT) AS out_transitions
+FROM {prev} LEFT JOIN outs ON {prev}.s = outs.f
+ORDER BY state
+"""
+
+
+def blocklist_scan(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    terms: list[str],
+) -> DataFrame:
+    """Blocklist hit audit per source: documents containing any of the
+    listed terms (token-exact, the pinned lowercase-alnum
+    tokenization), total hits, and the hit-document share — the cheap
+    policy/toxicity screen stage before anything model-based. Returns
+    ``(group, n_docs, hit_docs, hit_share, total_hits)`` rounded 6
+    ordered by group.
+
+    Scale shape: the term list is a LITERAL array (metadata-sized by
+    contract) folded per document inside one pure column expression —
+    no join, no explode; one group agg.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    lst = ", ".join("'" + t.lower().replace("'", "''") + "'"
+                    for t in terms)
+    toks = tokens_sql(text_col, "spark")
+    hits = F.expr(f"size(filter({toks}, t -> t IN ({lst})))")
+    per_doc = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col), hits.alias("__hits")
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("__hits") > 0, 1)).cast("bigint").alias(
+                "hit_docs"
+            ),
+            F.round(
+                F.count(F.when(F.col("__hits") > 0, 1))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("hit_share"),
+            F.sum("__hits").cast("bigint").alias("total_hits"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def blocklist_scan_sql(
+    table: str,
+    text_col: str,
+    group_col: str,
+    terms: list[str],
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`blocklist_scan`."""
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lst = ", ".join("'" + t.lower().replace("'", "''") + "'"
+                    for t in terms)
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        hits = f"size(filter({toks}, t -> t IN ({lst})))"
+    elif dialect == "duckdb":
+        hits = f"len(list_filter({toks}, t -> t IN ({lst})))"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH per_doc AS (
+  SELECT {group_col} AS g, {hits} AS hits
+  FROM {table} WHERE {text_col} IS NOT NULL
+)
+SELECT g AS {group_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(CASE WHEN hits > 0 THEN 1 END) AS BIGINT) AS hit_docs,
+       ROUND(COUNT(CASE WHEN hits > 0 THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS hit_share,
+       CAST(SUM(hits) AS BIGINT) AS total_hits
+FROM per_doc GROUP BY g ORDER BY g
+"""

@@ -722,3 +722,83 @@ def test_source_overlap_matrix_pins(spark):
     ).collect()[0]
     assert two.jaccard == r.jaccard
     assert two.est_intersection == r.est_intersection
+
+
+def _stationary_ref(pairs, iters):
+    """Plain-Python power iteration the operator must reproduce."""
+    states = sorted({s for p in pairs for s in p[:2]})
+    outs = {}
+    for f, t, c in pairs:
+        outs[f] = outs.get(f, 0) + c
+    P = {}
+    for f, t, c in pairs:
+        P.setdefault(f, {})[t] = c / outs[f]
+    for s in states:
+        if s not in P:
+            P[s] = {s: 1.0}
+    v = {s: 1.0 / len(states) for s in states}
+    for _ in range(iters):
+        nv = {s: 0.0 for s in states}
+        for s, row in P.items():
+            for t, p in row.items():
+                nv[t] += v[s] * p
+        v = nv
+    return v
+
+
+def test_markov_stationary_matches_reference(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        markov_stationary,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    # user journeys: a->b->a->c, b->c, c absorbs (sink: self-loop)
+    events = []
+    eid = 0
+    for uid, seq in ((1, "abac"), (2, "bc"), (3, "abc"), (4, "aab")):
+        for i, s in enumerate(seq):
+            events.append((eid, uid, base + dt.timedelta(minutes=i), s))
+            eid += 1
+    df = spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r.state: r for r in markov_stationary(
+        df, "user_id", "ts", "event_type", iters=12
+    ).collect()}
+    pairs = {}
+    for uid, seq in ((1, "abac"), (2, "bc"), (3, "abc"), (4, "aab")):
+        for f, t in zip(seq, seq[1:]):
+            pairs[(f, t)] = pairs.get((f, t), 0) + 1
+    ref = _stationary_ref([(f, t, c) for (f, t), c in pairs.items()], 12)
+    assert set(got) == set(ref)
+    for s, v in ref.items():
+        assert abs(got[s].stationary - round(v, 6)) < 2e-6
+    # mass is conserved by the self-loop patch
+    assert abs(sum(r.stationary for r in got.values()) - 1.0) < 1e-5
+    # 'c' is absorbing -> the stationary mass concentrates there
+    assert got["c"].stationary == max(r.stationary for r in got.values())
+    assert got["c"].out_transitions == 0
+
+
+def test_blocklist_scan_hand_computed(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        blocklist_scan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean text here", "s1"),
+            (1, "an ERROR occurred", "s1"),      # case-folded hit
+            (2, "error error again", "s2"),      # 2 hits, 1 doc
+            (3, "errors are fine", "s2"),        # token-exact: no hit
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in blocklist_scan(
+        docs, "text", "source", ["error", "lorem"]
+    ).collect()}
+    assert out["s1"].hit_docs == 1 and out["s1"].total_hits == 1
+    assert out["s1"].hit_share == 0.5
+    assert out["s2"].hit_docs == 1 and out["s2"].total_hits == 2
