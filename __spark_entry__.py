@@ -11123,6 +11123,42 @@ def _sql_blocklist_scan(dialect: str = "duckdb") -> str:
     )
 
 
+def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language diversity per document source (Shannon/normalized
+    entropy + majority share) — the monolingual-source tell."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        group_entropy,
+    )
+
+    return group_entropy(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+def _sql_group_entropy(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        group_entropy_sql,
+    )
+
+    return group_entropy_sql("documents", "source", "lang", dialect)
+
+
+def q_dup_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication factor (docs per distinct digest) —
+    the one-number dedup-pressure gauge."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        dup_factor,
+    )
+
+    return dup_factor(_t(spark, sf_dir, "documents"), "text", "source")
+
+
+def _sql_dup_factor(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        dup_factor_sql,
+    )
+
+    return dup_factor_sql("documents", "text", "source", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
@@ -11286,6 +11322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": q_source_overlap_matrix,
         "markov_stationary": q_markov_stationary,
         "blocklist_scan": q_blocklist_scan,
+        "group_entropy": q_group_entropy,
+        "dup_factor": q_dup_factor,
         # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
@@ -11586,6 +11624,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": _sql_source_overlap_matrix(),
         "markov_stationary": _sql_markov_stationary(),
         "blocklist_scan": _sql_blocklist_scan(),
+        "group_entropy": _sql_group_entropy(),
+        "dup_factor": _sql_dup_factor(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

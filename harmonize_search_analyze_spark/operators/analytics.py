@@ -3322,3 +3322,148 @@ SELECT g AS {group_col},
        CAST(SUM(hits) AS BIGINT) AS total_hits
 FROM per_doc GROUP BY g ORDER BY g
 """
+
+def group_entropy(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Within-group categorical diversity: Shannon entropy (bits),
+    normalized entropy (/log2 of the group's category count; 0 when a
+    group has one category), and the majority-category share of
+    ``cat_col`` per ``group_col`` — "is this source monolingual?",
+    "does one event type dominate this cohort?". Returns ``(group,
+    n, n_categories, entropy_bits, norm_entropy, top_share)`` rounded 6
+    ordered by group.
+
+    Scale shape: one (group, category) hash agg, then one group agg —
+    entropy folds as ``log(tot) - sum(c ln c)/tot`` (the skew_report
+    identity) so group totals never need a second pass.
+    """
+    pairs = (
+        df.where(
+            F.col(group_col).isNotNull() & F.col(cat_col).isNotNull()
+        )
+        .groupBy(group_col, cat_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ln2 = 0.6931471805599453
+    ent = (
+        F.log(F.sum("__c"))
+        - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c")
+    ) / ln2
+    kcats = F.count(F.lit(1))
+    return (
+        pairs.groupBy(group_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n"),
+            kcats.cast("bigint").alias("n_categories"),
+            (F.round(ent, 6) + F.lit(0.0)).alias("entropy_bits"),
+            F.round(
+                F.when(kcats > 1, ent / (F.log(kcats) / ln2))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("norm_entropy"),
+            F.round(
+                F.max("__c") / F.sum("__c").cast("double"), 6
+            ).alias("top_share"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def group_entropy_sql(
+    table: str,
+    group_col: str,
+    cat_col: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`group_entropy` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    ln2 = "0.6931471805599453"
+    ent = f"(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) / {ln2}"
+    return f"""
+WITH pairs AS (
+  SELECT {group_col} AS g, {cat_col} AS cat, COUNT(*) AS c
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {cat_col} IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT g AS {group_col},
+       CAST(SUM(c) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_categories,
+       ROUND({ent}, 6) + 0.0 AS entropy_bits,
+       ROUND(CASE WHEN COUNT(*) > 1
+                  THEN ({ent}) / (LN(COUNT(*)) / {ln2})
+                  ELSE 0.0 END, 6) AS norm_entropy,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
+FROM pairs GROUP BY g ORDER BY g
+"""
+
+
+def dup_factor(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-source duplication factor: documents per DISTINCT md5 digest
+    (1.0 = all unique; 3.0 = every text appears 3x on average), plus
+    the duplicate-document share — the one-number dedup-pressure gauge
+    that decides which sources even need the heavier MinHash pass.
+    Returns ``(group, n_docs, n_distinct, dup_factor, dup_share)``
+    rounded 6 ordered by group.
+
+    Scale shape: one (group, digest) agg then one group agg — the
+    two-level stack (count + count-distinct never share an agg).
+    """
+    per_gd = (
+        df.where(
+            F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(group_col, F.md5(F.col(text_col)).alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        per_gd.groupBy(group_col)
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(
+                F.sum("__c") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_factor"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)
+                ) / F.sum("__c").cast("double"),
+                6,
+            ).alias("dup_share"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def dup_factor_sql(
+    table: str,
+    text_col: str,
+    group_col: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`dup_factor` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH per_gd AS (
+  SELECT {group_col} AS g, md5({text_col}) AS d, COUNT(*) AS c
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {group_col} IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT g AS {group_col},
+       CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_factor,
+       ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+             / CAST(SUM(c) AS DOUBLE), 6) AS dup_share
+FROM per_gd GROUP BY g ORDER BY g
+"""

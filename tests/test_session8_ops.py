@@ -802,3 +802,46 @@ def test_blocklist_scan_hand_computed(spark):
     assert out["s1"].hit_docs == 1 and out["s1"].total_hits == 1
     assert out["s1"].hit_share == 0.5
     assert out["s2"].hit_docs == 1 and out["s2"].total_hits == 2
+
+
+def test_group_entropy_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        group_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "en"), ("s1", "en"),                      # mono -> 0
+            ("s2", "en"), ("s2", "de"),                      # uniform 2 -> 1 bit
+            ("s3", "en"), ("s3", "en"), ("s3", "en"), ("s3", "de"),
+        ],
+        "source string, lang string",
+    )
+    out = {r.source: r for r in
+           group_entropy(docs, "source", "lang").collect()}
+    assert out["s1"].entropy_bits == 0.0
+    assert out["s1"].norm_entropy == 0.0 and out["s1"].top_share == 1.0
+    assert out["s2"].entropy_bits == 1.0 and out["s2"].norm_entropy == 1.0
+    # H(3/4, 1/4) = 0.811278 bits
+    assert out["s3"].entropy_bits == 0.811278
+    assert out["s3"].top_share == 0.75
+
+
+def test_dup_factor_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        dup_factor,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "s1"), (1, "a", "s1"), (2, "a", "s1"), (3, "b", "s1"),
+            (4, "x", "s2"), (5, "y", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in dup_factor(docs, "text", "source").collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_distinct) == (4, 2)
+    assert s1.dup_factor == 2.0 and s1.dup_share == 0.75
+    s2 = out["s2"]
+    assert s2.dup_factor == 1.0 and s2.dup_share == 0.0
