@@ -1545,7 +1545,9 @@ WITH sa AS ({a_sql}),
 sb AS ({b_sql}),
 lags AS ({spine})
 SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CORR(a.v, b.v), 6) + 0.0 AS corr
+       ROUND(COVAR_POP(a.v, b.v)
+             / NULLIF(STDDEV_POP(a.v) * STDDEV_POP(b.v), 0.0), 6)
+         + 0.0 AS corr
 FROM sa a CROSS JOIN lags l
 JOIN sb b ON b.bucket = {shift}
 GROUP BY l.lag ORDER BY l.lag
@@ -3073,7 +3075,9 @@ ry AS (
   FROM (SELECT y, COUNT(*) AS c FROM base GROUP BY y) t
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CORR(rx.r, ry.r), 6) + 0.0 AS rho
+       ROUND(COVAR_POP(rx.r, ry.r)
+             / NULLIF(STDDEV_POP(rx.r) * STDDEV_POP(ry.r), 0.0), 6)
+         + 0.0 AS rho
 FROM base JOIN rx ON base.x = rx.x JOIN ry ON base.y = ry.y
 """
 

@@ -1205,8 +1205,6 @@ def quantile_norm_sql(
     v = f"CAST({value_col} AS DOUBLE)"
     if dialect == "spark":
         qagg = f"percentile({v}, array{fracs.replace('[', '(').replace(']', ')')})"
-        idx = "qs[CAST(ROUND(pr * {g}) AS INT) + 1]".format(g=grid)
-        # spark element_at/[] on array literal from agg: use element_at
         idx = f"element_at(qs, CAST(ROUND(pr * {grid}) AS INT) + 1)"
     elif dialect == "duckdb":
         qagg = f"quantile_cont({v}, {fracs})"
