@@ -11161,72 +11161,19 @@ def _sql_dup_factor(dialect: str = "duckdb") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
-    # first 50 entries.  ROUND-6 ROTATION (VERDICT r5, "Next round" #1/#6):
-    # 3 canaries + 47 FIRST-TIME rows (third consecutive rotation).
-    # Entries 51+ : the remaining never-verified queue in stable order
-    # (round-7 pulls from there), then the r1-r5 driver-green set.
+    # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
+    # canaries + 47 FIRST-TIME oracle-backed rows (fourth consecutive
+    # rotation; zero window slots on no-oracle trainers per the r6
+    # verdict). Entries 51+ : the remaining never-verified queue in
+    # stable order (round-8 pulls from there), then the driver-green
+    # r6 and r1-r5 sets.
     return {
-        # -- canaries (driver-green r1-r5) ------------------------------
+        # -- canaries (driver-green r1-r6) ------------------------------
         "profile_dict": q_profile_dict,
         "nested_terms": q_nested_terms,
         "harmonize_rollup": q_harmonize_rollup,
-        # -- ROUND-6 ROTATION (VERDICT r5 "Next round" #1/#6): 47
-        # first-time rows — the heavy never-verified head, the whole
-        # round-5 session-2 batch, trainer twins ADJACENT to their
-        # rows-only trainers (embedding_covariance/embedding_pca,
-        # kcenter_seed/kcenter_select), the named queue tail, then the
-        # old queue head.
-        "dedup_keep_best": q_dedup_keep_best,
-        "soft_dedup": q_soft_dedup,
-        "knn_classify": q_knn_classify,
-        "phrase_suggest": q_phrase_suggest,
-        "triangle_count": q_triangle_count,
-        "k_core": q_k_core,
-        "set_similarity_join": q_set_similarity_join,
-        "record_linkage": q_record_linkage,
-        "winnow_pairs": q_winnow_pairs,
-        "association_rules": q_association_rules,
-        "kmv_overlap": q_kmv_overlap,
-        "scd2_merge": q_scd2_merge,
-        "moving_holtwinters": q_moving_holtwinters,
-        "ols_trend": q_ols_trend,
-        "psi_drift": q_psi_drift,
-        "xcorr_lags": q_xcorr_lags,
-        "cohens_kappa": q_cohens_kappa,
-        "mutual_info": q_mutual_info,
-        "ngram_novelty": q_ngram_novelty,
-        "negative_sampling": q_negative_sampling,
-        "k_anonymity": q_k_anonymity,
-        "ltr_features": q_ltr_features,
-        "embedding_covariance": q_embedding_covariance,
-        "embedding_pca": q_embedding_pca,
-        "kcenter_seed": q_kcenter_seed,
-        "kcenter_select": q_kcenter_select,
-        "silhouette": q_silhouette,
-        "prop_ztest": q_prop_ztest,
-        "forecast_backtest": q_forecast_backtest,
-        "containment_pairs": q_containment_pairs,
-        "warc_ingest": q_warc_ingest,
-        "bitext_mine": q_bitext_mine,
-        "ccnet_buckets": q_ccnet_buckets,
-        "hex_grid": q_hex_grid,
-        "bigram_lm": q_bigram_lm,
-        "percentiles_sketch": q_percentiles_sketch,
-        "quality_classifier": q_quality_classifier,
-        "esql_fuse": q_esql_fuse,
-        "esql_ts": q_esql_ts,
-        "cat_indices": q_cat_indices,
-        "moving_holt": q_moving_holt,
-        "search_after": q_search_after,
-        "term_suggest": q_term_suggest,
-        "nested_query": q_nested_query,
-        "global_order": q_global_order,
-        "assign_split": q_assign_split,
-        "rank_eval": q_rank_eval,
-        # -- window boundary (driver reads the 50 entries above) -------
-        # remaining never-driver-verified queue in prior relative order
-        # (round-7 window pulls from here first; local parity mirror
-        # keeps them green), then the r1-r5 driver-green set.
+        # -- ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 47 first-time
+        # rows — the never-verified queue head in its stable order.
         "hard_negatives": q_hard_negatives,
         "terms_partition": q_terms_partition,
         "audio_profile": q_audio_profile,
@@ -11274,6 +11221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": q_chi2_independence,
         "rollup_answered": q_rollup_answered,
         "terms_by_metric": q_terms_by_metric,
+        # -- window boundary (driver reads the 50 entries above) -------
+        # remaining never-driver-verified queue in prior relative order
+        # (round-8 window pulls from here first; local parity mirror
+        # keeps them green), then the driver-green r6 and r1-r5 sets.
         "span_not_search": q_span_not_search,
         "global_agg": q_global_agg,
         "inference_score": q_inference_score,
@@ -11324,6 +11275,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_scan": q_blocklist_scan,
         "group_entropy": q_group_entropy,
         "dup_factor": q_dup_factor,
+        # -- driver-green r6 --------------------------------------------
+        "dedup_keep_best": q_dedup_keep_best,
+        "soft_dedup": q_soft_dedup,
+        "knn_classify": q_knn_classify,
+        "phrase_suggest": q_phrase_suggest,
+        "triangle_count": q_triangle_count,
+        "k_core": q_k_core,
+        "set_similarity_join": q_set_similarity_join,
+        "record_linkage": q_record_linkage,
+        "winnow_pairs": q_winnow_pairs,
+        "association_rules": q_association_rules,
+        "kmv_overlap": q_kmv_overlap,
+        "scd2_merge": q_scd2_merge,
+        "moving_holtwinters": q_moving_holtwinters,
+        "ols_trend": q_ols_trend,
+        "psi_drift": q_psi_drift,
+        "xcorr_lags": q_xcorr_lags,
+        "cohens_kappa": q_cohens_kappa,
+        "mutual_info": q_mutual_info,
+        "ngram_novelty": q_ngram_novelty,
+        "negative_sampling": q_negative_sampling,
+        "k_anonymity": q_k_anonymity,
+        "ltr_features": q_ltr_features,
+        "embedding_covariance": q_embedding_covariance,
+        "embedding_pca": q_embedding_pca,
+        "kcenter_seed": q_kcenter_seed,
+        "kcenter_select": q_kcenter_select,
+        "silhouette": q_silhouette,
+        "prop_ztest": q_prop_ztest,
+        "forecast_backtest": q_forecast_backtest,
+        "containment_pairs": q_containment_pairs,
+        "warc_ingest": q_warc_ingest,
+        "bitext_mine": q_bitext_mine,
+        "ccnet_buckets": q_ccnet_buckets,
+        "hex_grid": q_hex_grid,
+        "bigram_lm": q_bigram_lm,
+        "percentiles_sketch": q_percentiles_sketch,
+        "quality_classifier": q_quality_classifier,
+        "esql_fuse": q_esql_fuse,
+        "esql_ts": q_esql_ts,
+        "cat_indices": q_cat_indices,
+        "moving_holt": q_moving_holt,
+        "search_after": q_search_after,
+        "term_suggest": q_term_suggest,
+        "nested_query": q_nested_query,
+        "global_order": q_global_order,
+        "assign_split": q_assign_split,
+        "rank_eval": q_rank_eval,
         # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,

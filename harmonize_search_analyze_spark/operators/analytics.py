@@ -788,12 +788,11 @@ def rfm_segments(
     (n DESC, user); monetary by (total DESC, user). Segment is the
     concatenated "r-f-m" digit string.
 
-    Scale shape: the per-user agg shuffles once on the user key; the
-    three ntiles run over the *user-level* frame (corpus-size-independent
-    at ~|users| rows) in a single unpartitioned sort per axis — at 100 TB
-    of raw events the user frame is the small output side, and an
-    approx-quantile cut (percentile_approx on the agg frame) is the
-    documented switch if |users| itself outgrows one partition sort.
+    Scale shape: the per-user agg shuffles once on the user key; each
+    axis then tiles via :func:`ordering.ntile_scalable` (range exchange
+    + parallel per-partition row_number + broadcast offsets — exact
+    NTILE with no single-task sort, so a billion-user frame tiles in
+    parallel instead of on one partition).
     """
     if predicate is not None:
         df = df.where(
@@ -808,13 +807,24 @@ def rfm_segments(
             F.sum(value_col).alias("monetary"),
         )
     )
-    wr = Window.orderBy(F.col("last_seen").desc(), F.col("user_key").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_key").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_key").asc())
+    from harmonize_search_analyze_spark.operators.ordering import (
+        ntile_multi,
+    )
+
+    # one persist + one fused boundary pass + one bucket exchange per
+    # axis — every axis's bucket id is a pure projection of the user
+    # frame, so the offsets never chain through the window stages
+    tiled = ntile_multi(
+        users,
+        {
+            "r": [("last_seen", False), ("user_key", True)],
+            "f": [("frequency", False), ("user_key", True)],
+            "m": [("monetary", False), ("user_key", True)],
+        },
+        n_tiles,
+    )
     return (
-        users.withColumn("r", F.ntile(n_tiles).over(wr))
-        .withColumn("f", F.ntile(n_tiles).over(wf))
-        .withColumn("m", F.ntile(n_tiles).over(wm))
+        tiled
         .withColumn(
             "segment",
             F.concat_ws("-", F.col("r"), F.col("f"), F.col("m")),
@@ -2127,12 +2137,19 @@ def mann_whitney(
     erf polynomial. All-tied inputs (zero rank variance) give NULL z/p.
 
     Scale shape: midranks never rank the corpus — group by VALUE first
-    (one map-combinable conditional-count agg), then one ordered window
-    over the value-cardinality-sized frame: the midrank of every row
+    (one map-combinable conditional-count agg), then a SCALABLE prefix
+    sum over the value frame (:func:`ordering.prefix_sums`: range
+    exchange + parallel per-partition windows + broadcast offsets — on
+    continuous fields the value frame is corpus-sized, so an
+    unpartitioned window would be one task): the midrank of every row
     with value v is ``(rows below v) + (ties_v + 1)/2``, so the rank sum
     is ``sum(n_a_v * midrank_v)``. Returns
     ``(n_a, n_b, u_a, u_b, z, p_value)`` rounded 6.
     """
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+    )
+
     v = F.col(field).cast("double")
     vals = (
         df.where(v.isNotNull() & (filter_a | filter_b))
@@ -2141,17 +2158,15 @@ def mann_whitney(
             F.count(F.when(filter_a, 1)).alias("__na"),
             F.count(F.when(filter_b, 1)).alias("__nb"),
         )
+        .withColumn("__t", F.col("__na") + F.col("__nb"))
     )
-    w = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = vals.select(
-        "__na", "__nb",
-        (F.col("__na") + F.col("__nb")).alias("__t"),
+    # scalable prefix sum, NOT an unpartitioned window: on continuous
+    # fields the value-cardinality frame is corpus-sized, so the old
+    # SUM() OVER (ORDER BY __v) was one task sorting the planet
+    ranked = prefix_sums(vals, ["__v"], {"__t": "__cum"}).select(
+        "__na", "__nb", "__t",
         (
-            F.sum(F.col("__na") + F.col("__nb")).over(w)
-            - (F.col("__na") + F.col("__nb"))
-            + (F.col("__na") + F.col("__nb") + 1) / 2.0
+            F.col("__cum") - F.col("__t") + (F.col("__t") + 1) / 2.0
         ).alias("__midrank"),
     )
     agg = ranked.agg(
@@ -2813,10 +2828,16 @@ def roc_auc(
     single-class inputs pin NULL (no ranking to measure).
 
     Scale shape: identical to :func:`mann_whitney` — group by SCORE
-    first, one window over the score-cardinality-sized frame. AUC is
+    first, then the scalable prefix sum over the score frame
+    (:func:`ordering.prefix_sums` — continuous scores make that frame
+    corpus-sized, so never an unpartitioned window). AUC is
     the Mann-Whitney statistic normalized; this shares its algebra but
     reports the ML face.
     """
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+    )
+
     s = F.expr(score_expr).cast("double")
     y = F.expr(label_expr).cast("int")
     vals = (
@@ -2826,16 +2847,14 @@ def roc_auc(
             F.count(F.when(y == 1, 1)).alias("__np"),
             F.count(F.when(y == 0, 1)).alias("__nn"),
         )
+        .withColumn("__t", F.col("__np") + F.col("__nn"))
     )
-    w = Window.orderBy("__s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = vals.select(
+    # scalable prefix sum over the score order — continuous scores make
+    # the value frame corpus-sized, so no unpartitioned window here
+    ranked = prefix_sums(vals, ["__s"], {"__t": "__cum"}).select(
         "__np", "__nn",
         (
-            F.sum(F.col("__np") + F.col("__nn")).over(w)
-            - (F.col("__np") + F.col("__nn"))
-            + (F.col("__np") + F.col("__nn") + 1) / 2.0
+            F.col("__cum") - F.col("__t") + (F.col("__t") + 1) / 2.0
         ).alias("__midrank"),
     )
     agg = ranked.agg(
@@ -3000,36 +3019,49 @@ def spearman_corr(
     constant columns pin NULL (the shared CORR contract).
 
     Scale shape: midranks come from the :func:`mann_whitney` trick —
-    group by VALUE per side (two value-cardinality-sized frames + one
-    ordered window each), then each row fetches its two ranks by
+    group by VALUE per side, then a scalable prefix sum per side
+    (:func:`ordering.prefix_sums` — never an unpartitioned window over
+    the value frame, which is corpus-sized on continuous columns), and
+    each row fetches its two ranks by
     value-equi-join (two joins keyed on values, co-partitioned with the
     row scan) and one CORR agg. Never a corpus-wide rank window.
     """
-    x = F.expr(x_expr).cast("double")
-    y = F.expr(y_expr).cast("double")
-    base = df.where(x.isNotNull() & y.isNotNull()).select(
-        x.alias("__x"), y.alias("__y")
+    from harmonize_search_analyze_spark.functions.caching import tether
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+        sample_boundaries,
     )
 
+    x = F.expr(x_expr).cast("double")
+    y = F.expr(y_expr).cast("double")
+    # persisted: base feeds BOTH value-count frames, the boundary
+    # sample, and the final rank join — four consumers, one corpus scan
+    base = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .select(x.alias("__x"), y.alias("__y"))
+        .persist()
+    )
+    # ONE fused percentile_approx pass samples both axes' bucket
+    # boundaries (quantiles of the raw rows bucket the distinct-value
+    # frames just as well — placement only affects balance)
+    bounds = sample_boundaries(base, ["__x", "__y"])
+
     def _ranks(col: str) -> DataFrame:
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        return (
-            base.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .select(
-                col,
-                (
-                    F.sum("__c").over(w) - F.col("__c")
-                    + (F.col("__c") + 1) / 2.0
-                ).alias(f"__r{col[-1]}"),
-            )
+        # scalable prefix sum — continuous x/y make the per-value frame
+        # corpus-sized; the old unpartitioned window was a single task
+        counts = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+        return prefix_sums(
+            counts, [col], {"__c": "__cum"}, boundaries=bounds[col]
+        ).select(
+            col,
+            (
+                F.col("__cum") - F.col("__c") + (F.col("__c") + 1) / 2.0
+            ).alias(f"__r{col[-1]}"),
         )
 
-    ranked = (
-        base.join(_ranks("__x"), "__x")
-        .join(_ranks("__y"), "__y")
+    ranked = tether(
+        base.join(_ranks("__x"), "__x").join(_ranks("__y"), "__y"),
+        base,
     )
     # covar/stddev form, not F.corr: Spark 4's ANSI-mode corr THROWS
     # DIVIDE_BY_ZERO on a constant column where DuckDB's CORR returns
@@ -3470,4 +3502,776 @@ SELECT g AS {group_col},
        ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
              / CAST(SUM(c) AS DOUBLE), 6) AS dup_share
 FROM per_gd GROUP BY g ORDER BY g
+"""
+
+
+# -- round-7 evaluation & audit battery ------------------------------------------
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a: Column,
+    correct_b: Column,
+) -> DataFrame:
+    """McNemar's test on PAIRED classifiers — the eval gate beside
+    :func:`cohens_kappa`: do models A and B disagree more than chance
+    on the SAME examples? Only the discordant cells matter:
+    ``b`` = A right / B wrong, ``c`` = A wrong / B right;
+    ``chi2 = (|b - c| - 1)^2 / (b + c)`` (Edwards continuity
+    correction, the standard form), p two-sided via the 1-dof chi-square
+    tail = ``1 - erf(sqrt(chi2 / 2))`` (shared A&S polynomial). Zero
+    discordant pairs (b + c = 0) pin NULL chi2/p — no disagreement to
+    test. Returns ONE row ``(n, b, c, chi2, p_value)`` rounded 6.
+
+    Scale shape: one map-combinable conditional-count agg; nothing else.
+    """
+    one = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(correct_a & ~correct_b, 1)).alias("__b"),
+        F.count(F.when(~correct_a & correct_b, 1)).alias("__c"),
+    )
+    b, c = F.col("__b"), F.col("__c")
+    chi2 = F.try_divide(
+        (F.abs(b - c) - 1) * (F.abs(b - c) - 1),
+        (b + c).cast("double"),
+    )
+    stats = one.select(
+        F.col("__n").cast("bigint").alias("n"),
+        b.cast("bigint").alias("b"),
+        c.cast("bigint").alias("c"),
+        chi2.alias("__chi2"),
+    )
+    pv = F.expr("1.0 - " + _erf_sql("sqrt(__chi2 / 2.0)"))
+    return stats.select(
+        "n", "b", "c",
+        F.round(F.col("__chi2"), 6).alias("chi2"),
+        F.round(pv, 6).alias("p_value"),
+    )
+
+
+def mcnemar_test_sql(
+    table: str,
+    correct_a: str,
+    correct_b: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`mcnemar_test` (predicates as SQL
+    text; NULLIF division mirrors try_divide)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    pv = "1.0 - " + _erf_sql("SQRT(chi2_ / 2.0)")
+    return f"""
+WITH counts AS (
+  SELECT COUNT(*) AS n,
+         COUNT(CASE WHEN ({correct_a}) AND NOT ({correct_b})
+               THEN 1 END) AS b,
+         COUNT(CASE WHEN NOT ({correct_a}) AND ({correct_b})
+               THEN 1 END) AS c
+  FROM {table}
+),
+stat AS (
+  SELECT n, b, c,
+         (ABS(b - c) - 1) * (ABS(b - c) - 1)
+           / NULLIF(CAST(b + c AS DOUBLE), 0.0) AS chi2_
+  FROM counts
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(b AS BIGINT) AS b,
+       CAST(c AS BIGINT) AS c,
+       ROUND(chi2_, 6) AS chi2,
+       ROUND({pv}, 6) AS p_value
+FROM stat
+"""
+
+
+def wilson_intervals(
+    df: DataFrame,
+    success: Column,
+    group_col: str,
+    *,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-slice success rate with a Wilson score interval — the
+    sliced-eval staple (per-language accuracy, per-source pass rate)
+    that stays honest at small n where the naive +-z*sqrt(pq/n) interval
+    collapses or escapes [0, 1]. Returns one row per group:
+    ``(group, n, successes, rate, lo, hi)`` rounded 6, ordered by
+    group; empty groups cannot occur (groupBy only sees present keys).
+
+    Scale shape: one map-combinable conditional-count agg keyed by the
+    slice; the interval is per-row arithmetic on the group frame.
+    """
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.when(success, 1)).alias("__x"),
+    )
+    n = F.col("__n").cast("double")
+    p = F.col("__x") / n
+    z2 = F.lit(z * z)
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2.0 * n)
+    spread = F.lit(z) * F.sqrt(
+        (p * (1.0 - p) + z2 / (4.0 * n)) / n
+    )
+    return g.select(
+        "group",
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__x").cast("bigint").alias("successes"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - spread) / denom, 6).alias("lo"),
+        F.round((center + spread) / denom, 6).alias("hi"),
+    ).orderBy("group")
+
+
+def wilson_intervals_sql(
+    table: str,
+    success: str,
+    group_expr: str,
+    dialect: str,
+    *,
+    z: float = 1.959963984540054,
+) -> str:
+    """Dual-dialect twin of :func:`wilson_intervals` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH g AS (
+  SELECT {group_expr} AS grp, COUNT(*) AS n,
+         COUNT(CASE WHEN {success} THEN 1 END) AS x
+  FROM {table} GROUP BY 1
+)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+       CAST(x AS BIGINT) AS successes,
+       ROUND(x / CAST(n AS DOUBLE), 6) AS rate,
+       ROUND((x / CAST(n AS DOUBLE) + {z * z!r} / (2.0 * n)
+              - {z!r} * SQRT((x / CAST(n AS DOUBLE)
+                              * (1.0 - x / CAST(n AS DOUBLE))
+                              + {z * z!r} / (4.0 * n)) / n))
+             / (1.0 + {z * z!r} / n), 6) AS lo,
+       ROUND((x / CAST(n AS DOUBLE) + {z * z!r} / (2.0 * n)
+              + {z!r} * SQRT((x / CAST(n AS DOUBLE)
+                              * (1.0 - x / CAST(n AS DOUBLE))
+                              + {z * z!r} / (4.0 * n)) / n))
+             / (1.0 + {z * z!r} / n), 6) AS hi
+FROM g ORDER BY grp
+"""
+
+
+def effect_size(
+    df: DataFrame,
+    value_expr: str,
+    filter_a: Column,
+    filter_b: Column,
+) -> DataFrame:
+    """Cohen's d / Hedges' g between two filtered populations — the
+    "is it LARGE, not just significant" companion to ``t_test`` /
+    :func:`mann_whitney` (a 100 TB corpus makes everything significant;
+    effect size is what survives). Pooled-SD d with the small-sample
+    Hedges correction ``g = d * (1 - 3 / (4*(na+nb) - 9))``. Zero
+    pooled variance pins NULL d/g (try_divide). Returns ONE row
+    ``(n_a, n_b, mean_a, mean_b, pooled_sd, d, g)`` rounded 6.
+
+    Scale shape: one conditional agg (sums/squares per side); pure
+    arithmetic after.
+    """
+    v = F.expr(value_expr).cast("double")
+    one = df.where(v.isNotNull() & (filter_a | filter_b)).agg(
+        F.count(F.when(filter_a, 1)).alias("__na"),
+        F.count(F.when(filter_b, 1)).alias("__nb"),
+        F.avg(F.when(filter_a, v)).alias("__ma"),
+        F.avg(F.when(filter_b, v)).alias("__mb"),
+        F.var_samp(F.when(filter_a, v)).alias("__va"),
+        F.var_samp(F.when(filter_b, v)).alias("__vb"),
+    )
+    na, nb = F.col("__na"), F.col("__nb")
+    pooled = F.sqrt(
+        F.try_divide(
+            (na - 1) * F.col("__va") + (nb - 1) * F.col("__vb"),
+            (na + nb - 2).cast("double"),
+        )
+    )
+    d = F.try_divide(F.col("__ma") - F.col("__mb"), pooled)
+    gcorr = 1.0 - F.try_divide(F.lit(3.0), (4.0 * (na + nb) - 9.0))
+    return one.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(F.col("__ma"), 6).alias("mean_a"),
+        F.round(F.col("__mb"), 6).alias("mean_b"),
+        F.round(pooled, 6).alias("pooled_sd"),
+        (F.round(d, 6) + F.lit(0.0)).alias("d"),
+        (F.round(d * gcorr, 6) + F.lit(0.0)).alias("g"),
+    )
+
+
+def effect_size_sql(
+    table: str,
+    value_expr: str,
+    filter_a: str,
+    filter_b: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`effect_size` (identical text;
+    VAR_SAMP of a CASE mirrors the conditional variance)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    v = f"CAST({value_expr} AS DOUBLE)"
+    return f"""
+WITH s AS (
+  SELECT COUNT(CASE WHEN {filter_a} THEN 1 END) AS na,
+         COUNT(CASE WHEN {filter_b} THEN 1 END) AS nb,
+         AVG(CASE WHEN {filter_a} THEN {v} END) AS ma,
+         AVG(CASE WHEN {filter_b} THEN {v} END) AS mb,
+         VAR_SAMP(CASE WHEN {filter_a} THEN {v} END) AS va,
+         VAR_SAMP(CASE WHEN {filter_b} THEN {v} END) AS vb
+  FROM {table}
+  WHERE {v} IS NOT NULL AND (({filter_a}) OR ({filter_b}))
+),
+eff AS (
+  SELECT na, nb, ma, mb,
+         SQRT(((na - 1) * va + (nb - 1) * vb)
+              / NULLIF(CAST(na + nb - 2 AS DOUBLE), 0.0)) AS pooled,
+         1.0 - 3.0 / NULLIF(4.0 * (na + nb) - 9.0, 0.0) AS gc
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND(pooled, 6) AS pooled_sd,
+       ROUND((ma - mb) / NULLIF(pooled, 0.0), 6) + 0.0 AS d,
+       ROUND((ma - mb) / NULLIF(pooled, 0.0) * gc, 6) + 0.0 AS g
+FROM eff
+"""
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration of ``member_col`` shares
+    within each ``group_col`` — the one-number "is this slice dominated
+    by one source?" gauge beside :func:`group_entropy` (HHI weights the
+    HEAD where entropy weights the tail; regulators cap HHI, data
+    curators should too). ``hhi = sum(share^2)`` in [1/k, 1]; the
+    reciprocal is the effective member count. Returns one row per
+    group: ``(group, n, n_members, hhi, effective_members)`` rounded 6
+    ordered by group.
+
+    Scale shape: one (group, member) count agg, then a group-level agg
+    over that member-cardinality frame — the two-level stack, never
+    count_distinct mixed into a row agg (the Expand cliff).
+    """
+    pairs = df.groupBy(
+        F.col(group_col).alias("group"),
+        F.col(member_col).alias("__m"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    tot = Window.partitionBy("group")
+    shared = pairs.select(
+        "group", "__c",
+        F.sum("__c").over(tot).alias("__n"),
+    )
+    return (
+        shared.groupBy("group")
+        .agg(
+            F.max("__n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(
+                    (F.col("__c") / F.col("__n").cast("double"))
+                    * (F.col("__c") / F.col("__n").cast("double"))
+                ),
+                6,
+            ).alias("hhi"),
+        )
+        .withColumn(
+            "effective_members",
+            F.round(F.try_divide(F.lit(1.0), F.col("hhi")), 6),
+        )
+        .orderBy("group")
+    )
+
+
+def hhi_concentration_sql(
+    table: str,
+    group_expr: str,
+    member_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`hhi_concentration` (identical
+    text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH pairs AS (
+  SELECT {group_expr} AS grp, {member_expr} AS m, COUNT(*) AS c
+  FROM {table} GROUP BY 1, 2
+),
+shared AS (
+  SELECT grp, c, SUM(c) OVER (PARTITION BY grp) AS n FROM pairs
+),
+h AS (
+  SELECT grp, MAX(n) AS n, COUNT(*) AS n_members,
+         SUM((c / CAST(n AS DOUBLE)) * (c / CAST(n AS DOUBLE))) AS hhi_
+  FROM shared GROUP BY grp
+)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+       CAST(n_members AS BIGINT) AS n_members,
+       ROUND(hhi_, 6) AS hhi,
+       ROUND(1.0 / NULLIF(hhi_, 0.0), 6) AS effective_members
+FROM h ORDER BY grp
+"""
+
+
+def theil_index(
+    df: DataFrame,
+    value_expr: str,
+    group_col: str,
+) -> DataFrame:
+    """Theil T inequality index with its exact between/within-group
+    decomposition — the data-mixing gauge that says not just HOW uneven
+    a size/score distribution is but WHERE the unevenness lives
+    (between sources vs inside them): ``T = (1/N) sum (x/mu) ln(x/mu)``;
+    ``T_between = sum s_g ln(mu_g / mu)`` with ``s_g`` the group's mass
+    share; ``T_within = T - T_between``. Rows with ``x <= 0`` drop (the
+    index is defined on positive quantities). Returns ONE row
+    ``(n, n_groups, mean, theil, between, within, between_share)``
+    rounded 6; a constant column pins theil = 0 and NULL between_share.
+
+    Scale shape: one map-combinable agg collecting (sum x, sum x ln x,
+    n) globally and per group (two-level: group agg then a 1-row agg
+    over the group frame) — no row ever sees a second pass.
+    """
+    x = F.expr(value_expr).cast("double")
+    g = (
+        df.where(x.isNotNull() & (x > 0))
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(x).alias("__s"),
+            F.sum(x * F.log(x)).alias("__sl"),
+        )
+    )
+    one = g.agg(
+        F.sum("__n").alias("__nn"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__s").alias("__ss"),
+        F.sum("__sl").alias("__ssl"),
+        F.sum(
+            F.col("__s") * F.log(F.col("__s") / F.col("__n"))
+        ).alias("__sglg"),  # sum_g X_g * ln(mu_g); n >= 1 per group
+    )
+    nn, ss = F.col("__nn").cast("double"), F.col("__ss")
+    mu = ss / nn
+    # T = sum(x ln x) / (N mu) - ln mu ; between = sum s_g ln(mu_g/mu)
+    theil = F.col("__ssl") / ss - F.log(mu)
+    between = F.col("__sglg") / ss - F.log(mu)
+    return one.select(
+        F.col("__nn").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("n_groups"),
+        F.round(mu, 6).alias("mean"),
+        (F.round(theil, 6) + F.lit(0.0)).alias("theil"),
+        (F.round(between, 6) + F.lit(0.0)).alias("between"),
+        (F.round(theil - between, 6) + F.lit(0.0)).alias("within"),
+        (
+            F.round(F.try_divide(between, theil), 6) + F.lit(0.0)
+        ).alias("between_share"),
+    )
+
+
+def theil_index_sql(
+    table: str,
+    value_expr: str,
+    group_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`theil_index` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    x = f"CAST({value_expr} AS DOUBLE)"
+    return f"""
+WITH g AS (
+  SELECT {group_expr} AS grp, COUNT(*) AS n, SUM({x}) AS s,
+         SUM({x} * LN({x})) AS sl
+  FROM {table}
+  WHERE {x} IS NOT NULL AND {x} > 0
+  GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(s) AS ss, SUM(sl) AS ssl,
+         SUM(s * LN(s / n)) AS sglg
+  FROM g
+),
+t AS (
+  SELECT nn, k, ss / CAST(nn AS DOUBLE) AS mu,
+         ssl / ss - LN(ss / CAST(nn AS DOUBLE)) AS theil_,
+         sglg / ss - LN(ss / CAST(nn AS DOUBLE)) AS between_
+  FROM tot
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       ROUND(mu, 6) AS mean,
+       ROUND(theil_, 6) + 0.0 AS theil,
+       ROUND(between_, 6) + 0.0 AS between,
+       ROUND(theil_ - between_, 6) + 0.0 AS within,
+       ROUND(between_ / NULLIF(theil_, 0.0), 6) + 0.0 AS between_share
+FROM t
+"""
+
+
+def jackknife_ci(
+    df: DataFrame,
+    value_expr: str,
+    key_col: str,
+    *,
+    buckets: int = 50,
+    z: float = 1.959963984540054,
+    seed: int = 42,
+) -> DataFrame:
+    """Delete-one-BLOCK jackknife confidence interval for the mean —
+    the resampling CI that actually runs at 100 TB: rows land in
+    ``buckets`` deterministic hash blocks (the portable sampling hash,
+    so the blocks replay identically on any engine/partitioning), the
+    leave-one-block-out means are closed-form from per-block (sum, n),
+    and ``se^2 = (B-1)/B * sum (theta_i - theta_bar)^2`` (Tukey). One
+    corpus pass, B-sized state — a bootstrap would need B full
+    resampled passes for the same answer. Returns ONE row
+    ``(n, buckets, mean, se, lo, hi)`` rounded 6; a single non-empty
+    block pins NULL se/lo/hi (nothing to delete against).
+
+    Scale shape: one map-combinable (block -> sum, n) agg, then the
+    jackknife algebra over the B-row frame (two tiny aggs via a
+    broadcast of the 1-row totals).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    from harmonize_search_analyze_spark.operators.sampling import (
+        sample_hash_sql,
+    )
+
+    v = F.expr(value_expr).cast("double")
+    blk = F.expr(sample_hash_sql(key_col, "spark", seed=seed)) % buckets
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(blk.alias("__b"))
+        .agg(F.sum(v).alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    tot = per.agg(
+        F.sum("__s").alias("__ss"),
+        F.sum("__n").alias("__nn"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    # leave-one-out means per block, against the broadcast totals
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "__ss", "__nn", "__k",
+        F.try_divide(
+            F.col("__ss") - F.col("__s"),
+            (F.col("__nn") - F.col("__n")).cast("double"),
+        ).alias("__loo"),
+    )
+    agg = loo.agg(
+        F.max("__nn").alias("__nn"),
+        F.max("__k").alias("__k"),
+        F.max(F.col("__ss") / F.col("__nn").cast("double")).alias("__mu"),
+        F.var_pop("__loo").alias("__vp"),
+    )
+    k = F.col("__k").cast("double")
+    # (B-1)/B * sum (theta_i - mean)^2  ==  (B-1) * var_pop(theta)
+    se = F.sqrt((k - 1.0) * F.col("__vp"))
+    se = F.when(F.col("__k") > 1, se)
+    return agg.select(
+        F.col("__nn").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("buckets"),
+        F.round(F.col("__mu"), 6).alias("mean"),
+        F.round(se, 6).alias("se"),
+        F.round(F.col("__mu") - F.lit(z) * se, 6).alias("lo"),
+        F.round(F.col("__mu") + F.lit(z) * se, 6).alias("hi"),
+    )
+
+
+def jackknife_ci_sql(
+    table: str,
+    value_expr: str,
+    key_expr: str,
+    dialect: str,
+    *,
+    buckets: int = 50,
+    z: float = 1.959963984540054,
+    seed: int = 42,
+) -> str:
+    """Dual-dialect twin of :func:`jackknife_ci` (same hash blocks,
+    same closed-form algebra; VAR_POP mirrors the Spark reduction)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    from harmonize_search_analyze_spark.operators.sampling import (
+        sample_hash_sql,
+    )
+
+    h = sample_hash_sql(key_expr, dialect, seed=seed)
+    v = f"CAST({value_expr} AS DOUBLE)"
+    return f"""
+WITH per AS (
+  SELECT ({h}) % {buckets} AS b, SUM({v}) AS s, COUNT(*) AS n
+  FROM {table} WHERE {v} IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT SUM(s) AS ss, SUM(n) AS nn, COUNT(*) AS k FROM per),
+loo AS (
+  SELECT ss, nn, k,
+         (ss - s) / NULLIF(CAST(nn - n AS DOUBLE), 0.0) AS theta
+  FROM per CROSS JOIN tot
+),
+jk AS (
+  SELECT MAX(nn) AS nn, MAX(k) AS k,
+         MAX(ss / CAST(nn AS DOUBLE)) AS mu,
+         CASE WHEN MAX(k) > 1
+              THEN SQRT((MAX(k) - 1.0) * VAR_POP(theta)) END AS se
+  FROM loo
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS buckets,
+       ROUND(mu, 6) AS mean, ROUND(se, 6) AS se,
+       ROUND(mu - {z!r} * se, 6) AS lo,
+       ROUND(mu + {z!r} * se, 6) AS hi
+FROM jk
+"""
+
+
+def hazard_rate(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over user lifetimes — the
+    additive twin of :func:`kaplan_meier` (same lifetimes, same
+    censoring rule): ``h(t) = d_t / n_risk(t)`` per distinct duration,
+    ``H(t)`` its running sum, plus ``survival_na = exp(-H)`` (the
+    Fleming-Harrington estimate, which unlike product-limit never hits
+    an exact 0 and so exposes the tail). Returns one row per distinct
+    duration ``(duration, n_risk, n_churned, hazard, cum_hazard,
+    survival_na)`` rounded 6 ordered by duration.
+
+    Scale shape: the kaplan_meier shape — one user-keyed agg, a 1-row
+    broadcast (observation end), one duration-keyed agg and bucket-level
+    windows whose state is bounded by the time range in DAYS (never
+    corpus-sized; an unpartitioned window over a calendar is fine at any
+    corpus scale).
+    """
+    lives = (
+        df.where(F.col(user_col).isNotNull() & F.col(time_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.min(time_col).alias("__first"),
+            F.max(time_col).alias("__last"),
+        )
+    )
+    end = df.agg(F.max(time_col).alias("__end"))
+    per_user = lives.crossJoin(F.broadcast(end)).select(
+        F.datediff(F.col("__last"), F.col("__first")).alias("duration"),
+        (
+            F.datediff(F.col("__end"), F.col("__last"))
+            > F.lit(int(churn_gap_days))
+        ).cast("int").alias("churned"),
+    )
+    buckets = per_user.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("churned").alias("n_churned"),
+    )
+    run = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = F.sum("n_total").over(
+        Window.orderBy("duration").rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+    )
+    hz = F.col("n_churned").cast("double") / F.col("n_risk")
+    return (
+        buckets.withColumn("n_risk", at_risk)
+        .withColumn("__h", hz)
+        .withColumn("__H", F.sum("__h").over(run))
+        .select(
+            "duration",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("n_churned").cast("bigint").alias("n_churned"),
+            F.round(F.col("__h"), 6).alias("hazard"),
+            F.round(F.col("__H"), 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("__H")), 6).alias("survival_na"),
+        )
+        .orderBy("duration")
+    )
+
+
+def hazard_rate_sql(
+    table: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    churn_gap_days: int = 7,
+) -> str:
+    """DuckDB replay of :func:`hazard_rate` — same lifetimes/censoring
+    as kaplan_meier_sql, additive Nelson-Aalen accumulation."""
+    return f"""
+WITH lives AS (
+  SELECT {user_col} AS u, MIN({time_col}) AS f, MAX({time_col}) AS l
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+  GROUP BY 1
+), endt AS (SELECT MAX({time_col}) AS e FROM {table}),
+per_user AS (
+  SELECT date_diff('day', f, l) AS duration,
+         CASE WHEN date_diff('day', l, e) > {int(churn_gap_days)}
+              THEN 1 ELSE 0 END AS churned
+  FROM lives CROSS JOIN endt
+), buckets AS (
+  SELECT duration, COUNT(*) AS n_total, SUM(churned) AS n_churned
+  FROM per_user GROUP BY 1
+), risked AS (
+  SELECT duration, n_total, n_churned,
+         SUM(n_total) OVER (ORDER BY duration
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM buckets
+), curve AS (
+  SELECT duration, n_risk, n_churned,
+         CAST(n_churned AS DOUBLE) / n_risk AS h,
+         SUM(CAST(n_churned AS DOUBLE) / n_risk)
+           OVER (ORDER BY duration
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hh
+  FROM risked
+)
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_churned AS BIGINT) AS n_churned,
+       ROUND(h, 6) AS hazard, ROUND(hh, 6) AS cum_hazard,
+       ROUND(EXP(-hh), 6) AS survival_na
+FROM curve ORDER BY duration
+"""
+
+
+def sprt_monitor(
+    df: DataFrame,
+    success: Column,
+    treatment: Column,
+    time_col: str,
+    *,
+    p0: float = 0.05,
+    p1: float = 0.07,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald sequential probability-ratio test trace over DAYS — the
+    "stop the experiment early" monitor a fixed-horizon z-test can't
+    give: per day, the treatment arm's successes/trials add
+    ``x ln(p1/p0) + (n - x) ln((1-p1)/(1-p0))`` to the running
+    log-likelihood ratio; the decision pins to ``accept_h1`` when the
+    cumulative LLR first crosses ``ln((1-beta)/alpha)``, ``accept_h0``
+    below ``ln(beta/(1-alpha))``, else ``continue`` (decisions are
+    sticky once crossed — a monitor that un-decides is not a monitor).
+    Returns one row per day ``(day, n, x, llr, cum_llr, decision)``
+    rounded 6 ordered by day.
+
+    Scale shape: one map-combinable (day -> x, n) agg over the
+    treatment arm, then day-level running windows — state bounded by
+    the CALENDAR, never the corpus, so the unpartitioned window is fine
+    at any scale.
+    """
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("p0, p1 must be in (0,1) and differ")
+    import math
+
+    win = math.log((1.0 - beta) / alpha)
+    lose = math.log(beta / (1.0 - alpha))
+    ls = math.log(p1 / p0)
+    lf = math.log((1.0 - p1) / (1.0 - p0))
+    days = (
+        df.where(treatment & F.col(time_col).isNotNull())
+        .groupBy(F.to_date(F.col(time_col)).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(success, 1)).alias("__x"),
+        )
+    )
+    llr = F.col("__x") * F.lit(ls) + (F.col("__n") - F.col("__x")) * F.lit(lf)
+    run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    traced = days.select(
+        "day", "__n", "__x",
+        llr.alias("__llr"),
+        F.sum(llr).over(run).alias("__cum"),
+    )
+    crossed_up = F.max(
+        F.when(F.col("__cum") >= win, 1).otherwise(0)
+    ).over(run)
+    crossed_dn = F.max(
+        F.when(F.col("__cum") <= lose, 1).otherwise(0)
+    ).over(run)
+    decision = (
+        F.when(crossed_up == 1, F.lit("accept_h1"))
+        .when(crossed_dn == 1, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    return traced.select(
+        "day",
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__x").cast("bigint").alias("x"),
+        F.round(F.col("__llr"), 6).alias("llr"),
+        F.round(F.col("__cum"), 6).alias("cum_llr"),
+        decision.alias("decision"),
+    ).orderBy("day")
+
+
+def sprt_monitor_sql(
+    table: str,
+    success: str,
+    treatment: str,
+    time_col: str,
+    dialect: str,
+    *,
+    p0: float = 0.05,
+    p1: float = 0.07,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> str:
+    """Dual-dialect twin of :func:`sprt_monitor` (literal log terms
+    computed driver-side so both engines add identical doubles)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    import math
+
+    win = math.log((1.0 - beta) / alpha)
+    lose = math.log(beta / (1.0 - alpha))
+    ls = math.log(p1 / p0)
+    lf = math.log((1.0 - p1) / (1.0 - p0))
+    day = (
+        f"to_date({time_col})" if dialect == "spark"
+        else f"CAST({time_col} AS DATE)"
+    )
+    return f"""
+WITH days AS (
+  SELECT {day} AS day, COUNT(*) AS n,
+         COUNT(CASE WHEN {success} THEN 1 END) AS x
+  FROM {table}
+  WHERE ({treatment}) AND {time_col} IS NOT NULL
+  GROUP BY 1
+),
+traced AS (
+  SELECT day, n, x,
+         x * {ls!r} + (n - x) * {lf!r} AS llr_,
+         SUM(x * {ls!r} + (n - x) * {lf!r})
+           OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_
+  FROM days
+),
+dec AS (
+  SELECT day, n, x, llr_, cum_,
+         MAX(CASE WHEN cum_ >= {win!r} THEN 1 ELSE 0 END)
+           OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS up_,
+         MAX(CASE WHEN cum_ <= {lose!r} THEN 1 ELSE 0 END)
+           OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dn_
+  FROM traced
+)
+SELECT day, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+       ROUND(llr_, 6) AS llr, ROUND(cum_, 6) AS cum_llr,
+       CASE WHEN up_ = 1 THEN 'accept_h1'
+            WHEN dn_ = 1 THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM dec ORDER BY day
 """

@@ -5,12 +5,14 @@ Two pipeline primitives every corpus-to-training handoff needs:
 - ``global_order``: a contiguous 0..N-1 rank in a total order (curriculum
   ordering, reproducible shard assignment, resumable export cursors).
   The naive ``row_number() OVER (ORDER BY ...)`` is a SINGLE-REDUCER
-  window — one task sorts the planet. The scalable classic:
-  range-partition by the sort key, rank WITHIN each partition (parallel —
-  the window is partitioned by partition id), and add per-partition
-  offsets computed from a partition-count pass (metadata: one row per
-  partition, broadcast back). Total cost = the same range shuffle a
-  global sort pays, plus a count pass; no serial stage anywhere.
+  window — one task sorts the planet. The scalable shape: bucket rows by
+  driver-sampled literal key boundaries (a deterministic pure-key
+  expression — see the scalable-primitives note below for why NOT
+  ``spark_partition_id()``), rank WITHIN each bucket (parallel — the
+  window is partitioned by bucket id), and add per-bucket offsets
+  computed from a count pass (metadata: one row per bucket, broadcast
+  back). Total cost = one bucket shuffle, a boundary-sample pass, and a
+  count pass; no serial stage anywhere.
 - ``assign_split``: deterministic train/validation/test labeling from the
   portable sampling hash — a pure map (zero shuffles), reproducible
   across runs/partitionings/engines, independent of row order (the
@@ -45,36 +47,31 @@ def global_order(
     for a total order; otherwise tied rows get an arbitrary-but-
     deterministic order within the tie).
 
-    Plan: ``repartitionByRange(sort_cols)`` -> per-partition
-    ``row_number()`` windows keyed by ``spark_partition_id()`` (all
-    partitions rank in parallel) -> broadcast join of per-partition
-    offsets (one row per partition). The range exchange is the ONLY
-    row-volume shuffle; the offset pass reuses the partitioned frame.
+    Plan: one driver-side boundary sample on the first sort column ->
+    deterministic bucket id as a pure key expression -> per-bucket
+    ``row_number()`` windows (all buckets rank in parallel) -> broadcast
+    join of per-bucket offsets (one row per bucket). The bucket exchange
+    is the ONLY row-volume shuffle. The bucket id deliberately is NOT
+    ``spark_partition_id()`` over ``repartitionByRange`` — that id
+    resamples per evaluation, so the ranked branch and the counts branch
+    are consistent only while the persisted frame stays cached, and
+    Spark's plan-matched cache registry breaks that across repeated
+    same-plan persists (see the scalable-primitives note below; the
+    failure reproduces in tests/test_session9_ops.py).
     """
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
-    order = [
-        F.col(c).asc() if ascending else F.col(c).desc() for c in sort_cols
-    ]
     from harmonize_search_analyze_spark.functions.caching import tether
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # persisted: the ranked branch and the counts branch both consume the
-    # range exchange, and RangePartitioner SAMPLES its boundaries — if
-    # exchange reuse is off (or canonicalization misses), two independent
-    # evaluations can pick DIFFERENT boundaries, making the offsets
-    # describe a partitioning the rows were not ranked in (silent wrong
-    # ranks). The persist pins one materialization for both consumers.
-    ranged = (
-        df.repartitionByRange(n, *order)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    # within-partition rank: window PARTITIONED by pid -> parallel
+    spec = [(c, ascending) for c in sort_cols]
+    order = _sort_columns(spec)
+    src = df.persist()
+    tagged = _with_bucket(src, spec, num_partitions, "__pid")
+    # within-bucket rank: window PARTITIONED by bucket -> parallel
     w = Window.partitionBy("__pid").orderBy(*order)
-    ranked = ranged.withColumn("__local", F.row_number().over(w))
+    ranked = tagged.withColumn("__local", F.row_number().over(w))
     counts = (
-        ranged.groupBy("__pid")
+        tagged.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
     offsets = counts.select(
@@ -98,7 +95,7 @@ def global_order(
         )
         .drop("__pid", "__local", "__offset")
     )
-    return tether(out, ranged)
+    return tether(out, src)
 
 
 def global_order_sql(
@@ -576,3 +573,432 @@ SELECT sid, {', '.join(f's_{c}' for c in tracked)}, {ts},
 FROM j WHERE sid IS NOT NULL AND NOT unchanged
 ORDER BY {id_col}, {valid_from}, {valid_to} NULLS FIRST
 """
+
+
+# -- scalable ordered-frame primitives ------------------------------------------
+#
+# prefix_sums / ntile_scalable replace unpartitioned ``... OVER (ORDER BY
+# ...)`` windows (a SINGLE TASK sorting the whole frame) with a
+# bucket-parallel plan whose bucket id is a PURE FUNCTION of the sort key:
+# boundary values are sampled ONCE driver-side and embedded as literals,
+# so every re-execution of any plan branch assigns identical buckets.
+#
+# This is deliberately NOT the classic ``repartitionByRange +
+# spark_partition_id()`` trick: that id is nondeterministic (the
+# RangePartitioner resamples boundaries per evaluation), so the two
+# consumers of the tagged frame — the local windows and the per-bucket
+# offsets — are only consistent while the persisted frame stays cached.
+# Spark's cache registry matches by canonicalized PLAN, not by instance:
+# persisting two identical-plan frames and unpersisting one (exactly what
+# repeated operator calls in one session do) evicts both, after which the
+# branches resample independently and the offsets describe a partitioning
+# the rows were not ranked in — silent wrong sums, reproduced in
+# tests/test_session9_ops.py. Literal boundaries make correctness
+# independent of caching; balance (not correctness) depends on sample
+# quality.
+
+
+_NUMERIC_DTYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
+def _order_spec(order_cols: list) -> list[tuple[str, bool]]:
+    """Normalize ``["col", ("col", False), ...]`` to (name, asc) pairs."""
+    spec = []
+    for c in order_cols:
+        if isinstance(c, str):
+            spec.append((c, True))
+        else:
+            name, asc = c
+            spec.append((name, bool(asc)))
+    return spec
+
+
+def _sort_columns(spec: list[tuple[str, bool]]) -> list:
+    return [
+        F.col(name).asc() if asc else F.col(name).desc()
+        for name, asc in spec
+    ]
+
+
+def _monotonic_key(dt: str, name: str) -> tuple:
+    """Order-preserving numeric cast for boundary comparisons — MUST be
+    shared by the sampling pass and the bucket expression, or the
+    literals compare against a different scale than they were drawn in.
+    """
+    k = F.col(name)
+    if dt == "timestamp_ntz":
+        k = k.cast("timestamp")
+        dt = "timestamp"
+    if dt == "timestamp":
+        return F.unix_micros(k), "bigint"
+    if dt == "date":
+        return F.datediff(k, F.lit("1970-01-01")), "int"
+    return k, dt
+
+
+def _dedupe(bounds: list) -> list:
+    # dedupe preserving order (heavy ties collapse buckets, never split)
+    seen: set = set()
+    uniq = []
+    for b in bounds:
+        if b not in seen:
+            seen.add(b)
+            uniq.append(b)
+    return uniq
+
+
+def sample_boundaries(
+    df: DataFrame,
+    cols: list,
+    *,
+    num_partitions: int | None = None,
+) -> dict:
+    """ONE ``percentile_approx`` pass sampling bucket boundaries for
+    several (numeric/timestamp/date) sort columns at once — feed the
+    lists to :func:`prefix_sums` / :func:`ntile_scalable` /
+    :func:`global_order` via ``boundaries=`` so an operator that tiles
+    N axes pays one sampling job instead of N. Each entry of ``cols``
+    is a column name (ascending) or ``(name, ascending)`` pair; values
+    come back in the axis's sort direction, monotonic-cast (timestamps
+    as unix micros) and deduped, ready for the bucket expression.
+    """
+    spec = _order_spec(cols)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    fracs = [i / n for i in range(1, n)]
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for name, _asc in spec:
+        k, dt = _monotonic_key(dtypes[name], name)
+        if not (dt in _NUMERIC_DTYPES or dt.startswith("decimal")):
+            raise ValueError(
+                f"sample_boundaries needs a numeric/timestamp/date "
+                f"column, got {name}: {dtypes[name]}"
+            )
+        aggs.append(F.percentile_approx(k, fracs).alias(name))
+    row = df.agg(*aggs).first()
+    out = {}
+    for name, asc in spec:
+        bounds = [] if row is None or row[name] is None else list(row[name])
+        if not asc:
+            bounds = list(reversed(bounds))
+        out[name] = _dedupe(bounds)
+    return out
+
+
+def _bucket_boundaries(
+    df: DataFrame,
+    name: str,
+    asc: bool,
+    n: int,
+) -> tuple:
+    """Sample ``n - 1`` boundary literals for the first sort column.
+
+    Numeric/timestamp/date columns use one ``percentile_approx`` pass
+    (returns the monotonic-cast expression the comparisons must reuse);
+    other orderable types (strings) fall back to count + seeded sample.
+    Boundary placement affects only balance — any boundaries are
+    CORRECT — so approximation/sampling noise is free.
+    """
+    k, dt = _monotonic_key(dict(df.dtypes)[name], name)
+    if dt in _NUMERIC_DTYPES or dt.startswith("decimal"):
+        fracs = [i / n for i in range(1, n)]
+        row = (
+            df.where(F.col(name).isNotNull())
+            .agg(F.percentile_approx(k, fracs).alias("b"))
+            .first()
+        )
+        bounds = [] if row is None or row.b is None else list(row.b)
+    else:
+        cnt = df.count()
+        if cnt == 0:
+            return k, []
+        frac = min(1.0, (n * 64.0) / cnt)
+        sampled = [
+            r[0]
+            for r in df.select(name)
+            .where(F.col(name).isNotNull())
+            .sample(False, frac, seed=42)
+            .collect()
+        ]
+        sampled.sort()
+        if len(sampled) >= n:
+            step = len(sampled) / n
+            bounds = [sampled[int(step * i)] for i in range(1, n)]
+        else:
+            bounds = sampled
+    if not asc:
+        bounds = list(reversed(bounds))
+    return k, _dedupe(bounds)
+
+
+def _with_bucket(
+    df: DataFrame,
+    spec: list[tuple[str, bool]],
+    num_partitions: int | None,
+    pid_col: str,
+    boundaries: list | None = None,
+) -> DataFrame:
+    """Tag every row with its deterministic order-bucket id (a pure
+    projection — the bucket id is ``#boundaries passed`` computed from
+    driver-collected literals, so it never varies across plan branches
+    or re-executions). NULL first keys pin to the bucket their sort
+    direction puts them in (asc = NULLS FIRST -> bucket 0, desc = NULLS
+    LAST -> last bucket), matching Spark's default null ordering.
+    """
+    name, asc = spec[0]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if boundaries is not None:
+        k, _dt = _monotonic_key(dict(df.dtypes)[name], name)
+        bounds = boundaries
+    else:
+        k, bounds = _bucket_boundaries(df, name, asc, n)
+    pid = F.lit(0)
+    for b in bounds:
+        passed = (k > F.lit(b)) if asc else (k < F.lit(b))
+        pid = pid + F.when(passed, 1).otherwise(0)
+    if not asc and bounds:
+        # desc order sorts NULLs last; null comparisons above yield
+        # bucket 0 (the TOP of a desc order), so pin them explicitly
+        pid = F.when(F.col(name).isNull(), F.lit(len(bounds))).otherwise(
+            pid
+        )
+    return df.withColumn(pid_col, pid.cast("int"))
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    sums: dict[str, str],
+    *,
+    num_partitions: int | None = None,
+    boundaries: list | None = None,
+) -> DataFrame:
+    """Inclusive running sums over a distributed total order — the
+    scalable replacement for ``SUM(x) OVER (ORDER BY k ROWS UNBOUNDED
+    PRECEDING)``, whose unpartitioned window is a SINGLE TASK sorting
+    the whole frame (the midrank cliff: on continuous keys the
+    value-cardinality frame is corpus-sized).
+
+    ``order_cols`` entries are column names (ascending) or ``(name,
+    ascending)`` pairs; the key must be DISTINCT per row (pre-aggregate
+    by key first — every caller here groups by value before ranking,
+    which also makes ROWS vs RANGE framing equivalent). ``sums`` maps
+    source column name -> output column name; all run in ONE pass.
+
+    Plan: one driver-side boundary sample on the first sort column ->
+    bucket id as a pure key expression -> per-bucket running sums
+    (window PARTITIONED by bucket — parallel) -> broadcast join of
+    per-bucket prior totals (one row per bucket). Exact for ANY
+    boundary placement: the bucket function is monotone in the sort
+    order, so every row's bucket-local sum plus the prior-bucket total
+    is the global prefix. The input is persisted only so the local and
+    offsets branches share one materialization (perf — correctness no
+    longer depends on it; see the module note on why
+    spark_partition_id() could not give that guarantee).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if not sums:
+        raise ValueError("sums must be non-empty")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    spec = _order_spec(order_cols)
+    order = _sort_columns(spec)
+    src = df.persist()
+    tagged = _with_bucket(src, spec, num_partitions, "__pid", boundaries)
+    wl = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.select(
+        "*",
+        *[
+            F.sum(s).over(wl).alias(f"__loc_{out}")
+            for s, out in sums.items()
+        ],
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(*[F.sum(s).alias(f"__tot_{out}") for s, out in sums.items()])
+        .select(
+            "__pid",
+            *[
+                F.coalesce(
+                    F.sum(f"__tot_{out}").over(woff), F.lit(0)
+                ).alias(f"__off_{out}")
+                for out in sums.values()
+            ],
+        )
+    )
+    out = local.join(F.broadcast(offsets), "__pid").select(
+        *df.columns,
+        *[
+            (F.col(f"__loc_{out}") + F.col(f"__off_{out}")).alias(out)
+            for out in sums.values()
+        ],
+    )
+    return tether(out, src)
+
+
+def ntile_scalable(
+    df: DataFrame,
+    order_cols: list,
+    buckets: int,
+    out_col: str,
+    *,
+    num_partitions: int | None = None,
+    boundaries: list | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(b) OVER (ORDER BY ...)`` without the single-task
+    corpus sort. ``order_cols`` entries are column names (ascending) or
+    ``(name, ascending)`` pairs; the order must be TOTAL (tie-break with
+    a unique key) or the assignment is not well-defined on any engine.
+
+    NTILE's contract: with ``n = q*b + r`` rows, the first ``r`` tiles
+    get ``q+1`` rows, the rest ``q`` — reproduced closed-form from the
+    global rank ``k`` (1-based) and the total ``n``:
+    ``k <= r*(q+1)`` -> ``(k-1) div (q+1) + 1``, else
+    ``r + (k - r*(q+1) - 1) div q + 1``.
+
+    Plan: driver-side boundary sample -> deterministic bucket id (pure
+    key expression; see module note) -> parallel per-bucket row_number
+    -> broadcast offsets/total frame (one row per bucket) -> closed-form
+    tile arithmetic.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    spec = _order_spec(order_cols)
+    order = _sort_columns(spec)
+    src = df.persist()
+    tagged = _with_bucket(src, spec, num_partitions, "__pid", boundaries)
+    wl = Window.partitionBy("__pid").orderBy(*order)
+    local = tagged.withColumn("__local", F.row_number().over(wl))
+    wall = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias(
+                "__offset"
+            ),
+            F.sum("__cnt").over(wall).alias("__n"),
+        )
+    )
+
+    def _idiv(a, d):
+        # exact integer division: (a - a % d) / d divides an exact
+        # multiple, so the double result is exact (plain a/d truncation
+        # can round UP across an integer near 2^53)
+        return ((a - a % d) / d).cast("bigint")
+
+    k = F.col("__offset") + F.col("__local")  # 1-based global rank
+    n, b = F.col("__n"), F.lit(buckets)
+    q = _idiv(n, b)  # n, b >= 1 -> denominators never 0 under ANSI
+    r = n % b
+    # q = 0 (n < b) keeps every row in the first branch (k <= r = n) —
+    # but ANSI evaluates BOTH branches' exprs, so the untaken divide-by-q
+    # still throws: greatest(q, 1) is inert whenever the branch is taken
+    qsafe = F.greatest(q, F.lit(1).cast("bigint"))
+    tile = F.when(
+        k <= r * (q + 1), _idiv(k - 1, q + 1) + 1
+    ).otherwise(r + _idiv(k - r * (q + 1) - 1, qsafe) + 1)
+    out = local.join(F.broadcast(offsets), "__pid").select(
+        *df.columns, tile.cast("int").alias(out_col)
+    )
+    return tether(out, src)
+
+
+def ntile_multi(
+    df: DataFrame,
+    axes: dict[str, list],
+    buckets: int,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact NTILE over SEVERAL sort axes of one frame (``axes`` maps
+    output column -> order spec) — the multi-axis twin of
+    :func:`ntile_scalable` that pays the shared costs once: ONE persist
+    of the input, ONE fused boundary-sample pass, and per-axis offset
+    frames computed from the persisted input directly (every bucket id
+    is a pure projection of the input's columns, so the offsets never
+    depend on the growing window chain — each tile stage has exactly
+    one consumer and nothing else to persist).
+
+    Per axis the plan adds one bucket-partitioned row_number exchange
+    and one broadcast offsets join — the same cost class as a single
+    :func:`ntile_scalable`, minus its persist + sampling job.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if not axes:
+        raise ValueError("axes must be non-empty")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    specs = {out: _order_spec(spec) for out, spec in axes.items()}
+    src = df.persist()
+    bounds = sample_boundaries(
+        src,
+        [spec[0] for spec in specs.values()],
+        num_partitions=num_partitions,
+    )
+
+    def _idiv(a, d):
+        return ((a - a % d) / d).cast("bigint")
+
+    out = src
+    for out_col, spec in specs.items():
+        name, _asc = spec[0]
+        pid_col = f"__pid_{out_col}"
+        tagged = _with_bucket(
+            src, spec, num_partitions, pid_col, bounds[name]
+        )
+        woff = Window.orderBy(pid_col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        wall = Window.orderBy(pid_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = (
+            tagged.groupBy(pid_col)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .select(
+                pid_col,
+                F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias(
+                    "__offset"
+                ),
+                F.sum("__cnt").over(wall).alias("__n"),
+            )
+        )
+        order = _sort_columns(spec)
+        wl = Window.partitionBy(pid_col).orderBy(*order)
+        out = _with_bucket(out, spec, num_partitions, pid_col, bounds[name])
+        out = (
+            out.withColumn("__local", F.row_number().over(wl))
+            .join(F.broadcast(offsets), pid_col)
+        )
+        k = F.col("__offset") + F.col("__local")
+        n, b = F.col("__n"), F.lit(buckets)
+        q = _idiv(n, b)
+        r = n % b
+        qsafe = F.greatest(q, F.lit(1).cast("bigint"))
+        tile = F.when(
+            k <= r * (q + 1), _idiv(k - 1, q + 1) + 1
+        ).otherwise(r + _idiv(k - r * (q + 1) - 1, qsafe) + 1)
+        out = out.withColumn(out_col, tile.cast("int")).drop(
+            pid_col, "__local", "__offset", "__n"
+        )
+    return tether(out, src)

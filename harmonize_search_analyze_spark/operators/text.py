@@ -1395,23 +1395,29 @@ def heaps_law(
     degenerate single-bucket/zero-variance fits pin NULL beta (the
     REGR contract).
 
-    Scale shape: one ntile window for the bucket id (rank-based — the
-    one corpus-ordered pass, same cost class as epoch_shuffle's global
-    order), one explode -> (token -> min bucket) agg, cumulative sums
-    over the ``buckets``-sized frame, one 1-row regression agg.
+    Scale shape: the bucket id comes from :func:`ordering.ntile_scalable`
+    (range exchange + parallel per-partition row_number + broadcast
+    offsets — exact NTILE semantics with no single-task corpus sort;
+    ``order_col`` must be unique for the order to be total), one
+    explode -> (token -> min bucket) agg, cumulative sums over the
+    ``buckets``-sized frame, one 1-row regression agg.
     """
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     from harmonize_search_analyze_spark.functions.caching import tether
+    from harmonize_search_analyze_spark.operators.ordering import (
+        ntile_scalable,
+    )
 
     toks = tokens_sql(text_col, "spark")
-    w = Window.orderBy(order_col)
-    bucketed = (
-        df.where(F.col(text_col).isNotNull())
-        .select(
-            F.ntile(buckets).over(w).alias("__b"),
-            F.explode(F.expr(toks)).alias("__t"),
-        )
+    bucketed = ntile_scalable(
+        df.where(F.col(text_col).isNotNull()).select(order_col, text_col),
+        [order_col],
+        buckets,
+        "__b",
+    ).select(
+        F.col("__b"),
+        F.explode(F.expr(toks)).alias("__t"),
     )
     # per-token first appearance + per-bucket token totals ride ONE
     # (bucket, token)-keyed agg; both downstream consumers are
@@ -1682,4 +1688,107 @@ SELECT prefix, CAST(n AS BIGINT) AS n,
 FROM counts CROSS JOIN tot
 ORDER BY n DESC, prefix ASC
 LIMIT {k}
+"""
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    *,
+    ks: tuple = (100, 500, 1000, 5000),
+) -> DataFrame:
+    """Cumulative token-mass coverage of the top-k vocabulary — the
+    tokenizer-budget curve ("what share of the corpus does a 32k vocab
+    even see?") beside :func:`heaps_law`'s growth fit: tokens rank by
+    (count DESC, token ASC), and each requested ``k`` reports how much
+    of the total token mass the top-k covers. Returns one row per k
+    present in the vocabulary: ``(k, vocab_size, total_tokens,
+    covered_tokens, coverage)`` rounded 6 ordered by k.
+
+    Scale shape: one explode -> token count agg (the vocab frame), then
+    ONE :func:`ordering.prefix_sums` pass computing BOTH the rank (a
+    running count of 1s) and the cumulative mass over the (count DESC,
+    token) order — web-scale vocabularies are ~1e8 rows, so the rank
+    must never be an unpartitioned window; totals ride a broadcast
+    1-row agg.
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+    )
+
+    toks = tokens_sql(text_col, "spark")
+    vocab = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.expr(toks)).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn("__one", F.lit(1))
+        .persist()
+    )
+    tot = vocab.agg(
+        F.sum("__c").alias("__tot"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    ranked = prefix_sums(
+        vocab,
+        [("__c", False), ("__t", True)],
+        {"__c": "__cum", "__one": "__rank"},
+    )
+    out = (
+        ranked.where(
+            F.col("__rank").isin(*[int(k) for k in ks])
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__rank").cast("bigint").alias("k"),
+            F.col("__v").cast("bigint").alias("vocab_size"),
+            F.col("__tot").cast("bigint").alias("total_tokens"),
+            F.col("__cum").cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.col("__cum") / F.col("__tot").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+    return tether(out, vocab)
+
+
+def vocab_coverage_sql(
+    table: str,
+    text_expr: str,
+    dialect: str,
+    *,
+    ks: tuple = (100, 500, 1000, 5000),
+) -> str:
+    """Dual-dialect twin of :func:`vocab_coverage` (single-window form —
+    fine at oracle scale; the Spark side is where the plan shape
+    matters)."""
+    if dialect == "spark":
+        unnest = f"SELECT explode({tokens_sql(text_expr, 'spark')}) AS t"
+    elif dialect == "duckdb":
+        unnest = f"SELECT unnest({tokens_sql(text_expr, 'duckdb')}) AS t"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    klist = ", ".join(str(int(k)) for k in ks)
+    return f"""
+WITH toks AS (
+  {unnest} FROM {table} WHERE {text_expr} IS NOT NULL
+),
+vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT SUM(c) AS total, COUNT(*) AS v FROM vocab),
+ranked AS (
+  SELECT c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rk,
+         SUM(c) OVER (ORDER BY c DESC, t ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vocab
+)
+SELECT CAST(rk AS BIGINT) AS k, CAST(v AS BIGINT) AS vocab_size,
+       CAST(total AS BIGINT) AS total_tokens,
+       CAST(cum AS BIGINT) AS covered_tokens,
+       ROUND(cum / CAST(total AS DOUBLE), 6) AS coverage
+FROM ranked CROSS JOIN tot
+WHERE rk IN ({klist})
+ORDER BY k
 """

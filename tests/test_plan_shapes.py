@@ -644,9 +644,9 @@ def test_sparse_vector_single_scan_takeordered(docs):
 
 
 def test_assign_shards_no_global_window(docs):
-    """Shard assignment rides global_order: a range exchange + per-
-    partition windows keyed by pid — never an unpartitioned window over
-    the rows."""
+    """Shard assignment rides global_order: a deterministic-bucket
+    exchange + per-bucket windows keyed by pid — never an unpartitioned
+    window over the rows."""
     from harmonize_search_analyze_spark.operators.sharding import (
         assign_shards,
     )
@@ -654,7 +654,7 @@ def test_assign_shards_no_global_window(docs):
     out = assign_shards(docs, "doc_id", docs_per_shard=50)
     out.count()
     p = _plan(out)
-    assert "rangepartitioning" in p, p
+    assert "hashpartitioning(__pid" in p, p
     # every Window in the plan is partitioned (windowspecdefinition
     # always lists the pid key before the ordering spec)
     import re as _re
