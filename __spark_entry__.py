@@ -11159,6 +11159,224 @@ def _sql_dup_factor(dialect: str = "duckdb") -> str:
     return dup_factor_sql("documents", "text", "source", dialect)
 
 
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test between two weak high-value-event classifiers
+    (event-type-based vs hour-parity-based) against the value>50 label —
+    only the discordant cells matter."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mcnemar_test,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    label = F.col("value") > 50
+    pred_a = F.col("event_type").isin("purchase", "click")
+    pred_b = F.hour("ts") % 2 == 0
+    return mcnemar_test(ev, pred_a == label, pred_b == label)
+
+
+def _sql_mcnemar(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mcnemar_test_sql,
+    )
+
+    return mcnemar_test_sql(
+        "events",
+        "(event_type IN ('purchase', 'click')) = (value > 50)",
+        "(hour(ts) % 2 = 0) = (value > 50)",
+        dialect,
+    )
+
+
+def q_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language long-document rate with Wilson 95% intervals — the
+    sliced-eval staple that stays honest at small n."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        wilson_intervals,
+    )
+
+    return wilson_intervals(
+        _t(spark, sf_dir, "documents"), F.col("n_chars") > 300, "lang"
+    )
+
+
+def _sql_wilson_intervals(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        wilson_intervals_sql,
+    )
+
+    return wilson_intervals_sql("documents", "n_chars > 300", "lang", dialect)
+
+
+def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g for click vs purchase event values — the
+    "is it LARGE" companion to mann_whitney on the same frames."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        effect_size,
+    )
+
+    return effect_size(
+        _t(spark, sf_dir, "events"), "value",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+
+
+def _sql_effect_size(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        effect_size_sql,
+    )
+
+    return effect_size_sql(
+        "events", "value",
+        "event_type = 'click'", "event_type = 'purchase'", dialect,
+    )
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Herfindahl concentration of source shares — the
+    head-weighted twin of group_entropy's tail-weighted gauge."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        hhi_concentration,
+    )
+
+    return hhi_concentration(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _sql_hhi_concentration(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        hhi_concentration_sql,
+    )
+
+    return hhi_concentration_sql("documents", "lang", "source", dialect)
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of document lengths with the between/within
+    source decomposition — where the size unevenness lives."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        theil_index,
+    )
+
+    return theil_index(_t(spark, sf_dir, "documents"), "n_chars", "source")
+
+
+def _sql_theil_index(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        theil_index_sql,
+    )
+
+    return theil_index_sql("documents", "n_chars", "source", dialect)
+
+
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife CI for the mean event value over 50
+    deterministic hash blocks — the resampling CI that runs in one
+    pass."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        jackknife_ci,
+    )
+
+    return jackknife_ci(_t(spark, sf_dir, "events"), "value", "event_id")
+
+
+def _sql_jackknife_ci(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        jackknife_ci_sql,
+    )
+
+    return jackknife_ci_sql("events", "value", "event_id", dialect)
+
+
+def q_hazard_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over user lifetimes (7-day churn
+    gap) — the additive twin of kaplan_meier with the never-zero
+    Fleming-Harrington survival."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        hazard_rate,
+    )
+
+    return hazard_rate(_t(spark, sf_dir, "events"))
+
+
+def _sql_hazard_rate(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        hazard_rate_sql,
+    )
+
+    return hazard_rate_sql("events")
+
+
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT daily trace for the click arm's value>95 rate
+    (H0 p=0.15 vs H1 p=0.18, alpha 0.05, beta 0.2) — stop-early
+    monitoring with sticky decisions."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        sprt_monitor,
+    )
+
+    return sprt_monitor(
+        _t(spark, sf_dir, "events"),
+        F.col("value") > 95,
+        F.col("event_type") == "click",
+        "ts",
+        p0=0.15, p1=0.18,
+    )
+
+
+def _sql_sprt_monitor(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        sprt_monitor_sql,
+    )
+
+    return sprt_monitor_sql(
+        "events", "value > 95", "event_type = 'click'", "ts", dialect,
+        p0=0.15, p1=0.18,
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-mass coverage at vocab ranks 5/10/20/30 — the
+    tokenizer-budget curve via ONE scalable prefix-sum pass (rank and
+    mass together)."""
+    from harmonize_search_analyze_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(
+        _t(spark, sf_dir, "documents"), "text", ks=(5, 10, 20, 30)
+    )
+
+
+def _sql_vocab_coverage(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        vocab_coverage_sql,
+    )
+
+    return vocab_coverage_sql("documents", "text", dialect, ks=(5, 10, 20, 30))
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked levenshtein<=3 self-join over 16-char document titles —
+    typo/near-variant pairs on the DISTINCT-title frame with prefix
+    blocking and the length-band lower bound."""
+    from harmonize_search_analyze_spark.operators.dedup import fuzzy_join
+
+    return fuzzy_join(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        title_len=16, block_len=4, max_dist=3,
+    )
+
+
+def _sql_fuzzy_join(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.dedup import fuzzy_join_sql
+
+    return fuzzy_join_sql(
+        "documents", "doc_id", "text", dialect,
+        title_len=16, block_len=4, max_dist=3,
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -11275,6 +11493,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_scan": q_blocklist_scan,
         "group_entropy": q_group_entropy,
         "dup_factor": q_dup_factor,
+        # -- round-7 additions (join the never-verified queue) ----------
+        "mcnemar": q_mcnemar,
+        "wilson_intervals": q_wilson_intervals,
+        "effect_size": q_effect_size,
+        "hhi_concentration": q_hhi_concentration,
+        "theil_index": q_theil_index,
+        "jackknife_ci": q_jackknife_ci,
+        "hazard_rate": q_hazard_rate,
+        "sprt_monitor": q_sprt_monitor,
+        "vocab_coverage": q_vocab_coverage,
+        "fuzzy_join": q_fuzzy_join,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -11625,6 +11854,16 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_scan": _sql_blocklist_scan(),
         "group_entropy": _sql_group_entropy(),
         "dup_factor": _sql_dup_factor(),
+        "mcnemar": _sql_mcnemar(),
+        "wilson_intervals": _sql_wilson_intervals(),
+        "effect_size": _sql_effect_size(),
+        "hhi_concentration": _sql_hhi_concentration(),
+        "theil_index": _sql_theil_index(),
+        "jackknife_ci": _sql_jackknife_ci(),
+        "hazard_rate": _sql_hazard_rate(),
+        "sprt_monitor": _sql_sprt_monitor(),
+        "vocab_coverage": _sql_vocab_coverage(),
+        "fuzzy_join": _sql_fuzzy_join(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -3773,17 +3773,18 @@ def hhi_concentration(
         .agg(
             F.max("__n").cast("bigint").alias("n"),
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.round(
-                F.sum(
-                    (F.col("__c") / F.col("__n").cast("double"))
-                    * (F.col("__c") / F.col("__n").cast("double"))
-                ),
-                6,
-            ).alias("hhi"),
+            F.sum(
+                (F.col("__c") / F.col("__n").cast("double"))
+                * (F.col("__c") / F.col("__n").cast("double"))
+            ).alias("__hhi"),
         )
-        .withColumn(
-            "effective_members",
-            F.round(F.try_divide(F.lit(1.0), F.col("hhi")), 6),
+        .select(
+            "group", "n", "n_members",
+            F.round("__hhi", 6).alias("hhi"),
+            # from the UNROUNDED hhi — the twin divides before rounding
+            F.round(F.try_divide(F.lit(1.0), F.col("__hhi")), 6).alias(
+                "effective_members"
+            ),
         )
         .orderBy("group")
     )
@@ -4082,17 +4083,20 @@ def hazard_rate(
         )
     )
     hz = F.col("n_churned").cast("double") / F.col("n_risk")
+    # distinct names, not __h/__H: Spark's resolver is case-insensitive
+    # by default, so those would be ONE column (the second withColumn
+    # silently replacing the first)
     return (
         buckets.withColumn("n_risk", at_risk)
-        .withColumn("__h", hz)
-        .withColumn("__H", F.sum("__h").over(run))
+        .withColumn("__hz", hz)
+        .withColumn("__cumh", F.sum("__hz").over(run))
         .select(
             "duration",
             F.col("n_risk").cast("bigint").alias("n_risk"),
             F.col("n_churned").cast("bigint").alias("n_churned"),
-            F.round(F.col("__h"), 6).alias("hazard"),
-            F.round(F.col("__H"), 6).alias("cum_hazard"),
-            F.round(F.exp(-F.col("__H")), 6).alias("survival_na"),
+            F.round(F.col("__hz"), 6).alias("hazard"),
+            F.round(F.col("__cumh"), 6).alias("cum_hazard"),
+            F.round(F.exp(-F.col("__cumh")), 6).alias("survival_na"),
         )
         .orderBy("duration")
     )
@@ -4242,6 +4246,11 @@ def sprt_monitor_sql(
         f"to_date({time_col})" if dialect == "spark"
         else f"CAST({time_col} AS DATE)"
     )
+    # CAST the log-term literals: DuckDB types long decimal literals as
+    # DECIMAL, and BIGINT * DECIMAL stays DECIMAL — the driver hash then
+    # sees a different wire type than Spark's DOUBLE
+    lsl = f"CAST({ls!r} AS DOUBLE)"
+    lfl = f"CAST({lf!r} AS DOUBLE)"
     return f"""
 WITH days AS (
   SELECT {day} AS day, COUNT(*) AS n,
@@ -4252,8 +4261,8 @@ WITH days AS (
 ),
 traced AS (
   SELECT day, n, x,
-         x * {ls!r} + (n - x) * {lf!r} AS llr_,
-         SUM(x * {ls!r} + (n - x) * {lf!r})
+         x * {lsl} + (n - x) * {lfl} AS llr_,
+         SUM(x * {lsl} + (n - x) * {lfl})
            OVER (ORDER BY day
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_
   FROM days

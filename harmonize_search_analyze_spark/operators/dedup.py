@@ -2156,3 +2156,119 @@ GROUP BY digest
 HAVING SUM(c) > 1 AND COUNT(*) > 1
 ORDER BY n_docs DESC, digest ASC
 """
+
+
+def fuzzy_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    title_len: int = 24,
+    block_len: int = 8,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked edit-distance self-join — typo/near-variant pair
+    detection where the shingle machinery of :func:`near_dup_pairs` is
+    overkill (short titles, names, template slugs): normalize to a
+    lowercased ``title_len``-char title, DISTINCT the titles (the join
+    runs on the title vocabulary, never the corpus), block on the first
+    ``block_len`` chars + a same-length-band predicate, and keep pairs
+    with ``levenshtein <= max_dist``. Each title carries its smallest
+    id and its row count so the pair output sizes the dedup win.
+    Returns ``(title_a, title_b, id_a, id_b, n_a, n_b, dist)`` ordered
+    by (title_a, title_b).
+
+    Scale shape: the corpus touches ONE (title -> min id, count) agg;
+    the quadratic risk lives inside blocks of the DISTINCT-title frame
+    only, bounded by the prefix blocking + the |len(a) - len(b)| <=
+    max_dist band (an edit-distance lower bound, so it prunes nothing
+    valid). A templated corpus with one hot prefix should raise
+    ``block_len`` — blocking is the knob, the join shape is fixed.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    t = F.lower(F.substring(F.col(text_col), 1, title_len))
+    titles = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(t.alias("__title"))
+        .agg(
+            F.min(F.col(id_col)).alias("__id"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn("__block", F.substring(F.col("__title"), 1, block_len))
+        .withColumn("__len", F.length("__title"))
+    )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = titles.select(
+        F.col("__title").alias("title_a"), F.col("__id").alias("id_a"),
+        F.col("__n").alias("n_a"), F.col("__block").alias("__ba"),
+        F.col("__len").alias("__la"),
+    ).repartition(n_parts, "__ba")
+    # REPARTITION_BY_NUM pins the probe-side parallelism: the title
+    # frame is tiny in BYTES, so AQE would coalesce the post-shuffle
+    # side to one partition and run every block's quadratic
+    # levenshtein work on a single task (measured 35x on the decade
+    # rig before the pin; 10x corpus growth grows block POPULATIONS,
+    # and the pair work quadratically — spread the blocks, don't let
+    # byte-size heuristics serialize them)
+    b = titles.select(
+        F.col("__title").alias("title_b"), F.col("__id").alias("id_b"),
+        F.col("__n").alias("n_b"), F.col("__block").alias("__bb"),
+        F.col("__len").alias("__lb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("__ba") == F.col("__bb"))
+            & (F.col("title_a") < F.col("title_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist),
+        )
+        .where(
+            F.levenshtein(F.col("title_a"), F.col("title_b")) <= max_dist
+        )
+    )
+    return pairs.select(
+        "title_a", "title_b",
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+        F.col("n_a").cast("bigint"), F.col("n_b").cast("bigint"),
+        F.levenshtein(F.col("title_a"), F.col("title_b"))
+        .cast("int").alias("dist"),
+    ).orderBy("title_a", "title_b")
+
+
+def fuzzy_join_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    dialect: str,
+    *,
+    title_len: int = 24,
+    block_len: int = 8,
+    max_dist: int = 2,
+) -> str:
+    """Dual-dialect twin of :func:`fuzzy_join` — both engines ship
+    ``levenshtein``; substr/lower/length are shared text."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH titles AS (
+  SELECT LOWER(SUBSTR({text_expr}, 1, {title_len})) AS title,
+         MIN({id_expr}) AS id, COUNT(*) AS n
+  FROM {table} WHERE {text_expr} IS NOT NULL
+  GROUP BY 1
+),
+blocked AS (
+  SELECT title, id, n, SUBSTR(title, 1, {block_len}) AS block,
+         LENGTH(title) AS len
+  FROM titles
+)
+SELECT a.title AS title_a, b.title AS title_b,
+       CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       CAST(levenshtein(a.title, b.title) AS INT) AS dist
+FROM blocked a JOIN blocked b
+  ON a.block = b.block AND a.title < b.title
+ AND ABS(a.len - b.len) <= {max_dist}
+WHERE levenshtein(a.title, b.title) <= {max_dist}
+ORDER BY title_a, title_b
+"""

@@ -214,3 +214,253 @@ def test_prefix_sums_stable_across_repeated_builds(spark):
             expected_total = agg_sum
         assert agg_sum == expected_total
         assert sum(r.cum for r in collected) == agg_sum
+
+
+def test_mcnemar_pins(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        mcnemar_test,
+    )
+
+    # a: right/right/right/wrong/wrong ; b: right/wrong/wrong/right/wrong
+    # b-cell (a right, b wrong) = 2, c-cell = 1
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (True, False),
+         (False, True), (False, False)],
+        "ca boolean, cb boolean",
+    )
+    r = mcnemar_test(df, F.col("ca"), F.col("cb")).collect()[0]
+    assert (r.n, r.b, r.c) == (5, 2, 1)
+    # chi2 = (|2-1|-1)^2 / 3 = 0 -> p = 1 - erf(0) = 1
+    assert r.chi2 == 0.0 and r.p_value == 1.0
+
+    # no discordant pairs -> NULL chi2/p
+    agree = spark.createDataFrame(
+        [(True, True), (False, False)], "ca boolean, cb boolean"
+    )
+    r2 = mcnemar_test(agree, F.col("ca"), F.col("cb")).collect()[0]
+    assert r2.chi2 is None and r2.p_value is None
+
+
+def test_wilson_pins(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        wilson_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 0), ("g", 0), ("g", 0)], "grp string, s int"
+    )
+    r = wilson_intervals(df, F.col("s") == 1, "grp").collect()[0]
+    z = 1.959963984540054
+    n, p = 4.0, 0.25
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    spread = z * math.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    assert (r.n, r.successes, r.rate) == (4, 1, 0.25)
+    assert r.lo == round((center - spread) / denom, 6)
+    assert r.hi == round((center + spread) / denom, 6)
+
+
+def test_effect_size_pins(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        effect_size,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    r = effect_size(
+        df, "v", F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    pooled = math.sqrt((2 * 1.0 + 1 * 2.0) / 3.0)
+    d = (2.0 - 5.0) / pooled
+    g = d * (1 - 3.0 / (4 * 5 - 9))
+    assert (r.n_a, r.n_b, r.mean_a, r.mean_b) == (3, 2, 2.0, 5.0)
+    assert r.pooled_sd == round(pooled, 6)
+    assert r.d == round(d, 6) and r.g == round(g, 6)
+
+    # zero pooled variance -> NULL d/g
+    const = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 1.0)],
+        "g string, v double",
+    )
+    r2 = effect_size(
+        const, "v", F.col("g") == "a", F.col("g") == "b"
+    ).collect()[0]
+    assert r2.d is None and r2.g is None
+
+
+def test_hhi_and_theil_pins(spark):
+    import math
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        hhi_concentration,
+        theil_index,
+    )
+
+    docs = spark.createDataFrame(
+        [("en", "s1", 2.0), ("en", "s1", 2.0), ("en", "s2", 4.0)],
+        "lang string, source string, v double",
+    )
+    h = hhi_concentration(docs, "lang", "source").collect()[0]
+    # shares 2/3, 1/3 -> hhi = 4/9 + 1/9 = 5/9
+    assert (h.n, h.n_members) == (3, 2)
+    assert h.hhi == round(5.0 / 9.0, 6)
+    assert h.effective_members == round(9.0 / 5.0, 6)
+
+    t = theil_index(docs, "v", "source").collect()[0]
+    xs = [2.0, 2.0, 4.0]
+    mu = sum(xs) / 3
+    theil = sum((x / mu) * math.log(x / mu) for x in xs) / 3
+    # groups: s1 mass 4 mean 2; s2 mass 4 mean 4
+    between = (4 / 8) * math.log(2 / mu) + (4 / 8) * math.log(4 / mu)
+    assert (t.n, t.n_groups) == (3, 2)
+    assert t.theil == round(theil, 6)
+    assert t.between == round(between, 6)
+    assert t.within == round(theil - between, 6)
+
+    # constant values -> theil 0, NULL between_share
+    const = spark.createDataFrame(
+        [("a", 3.0), ("b", 3.0)], "source string, v double"
+    )
+    tc = theil_index(const, "v", "source").collect()[0]
+    assert tc.theil == 0.0 and tc.between_share is None
+
+
+def test_jackknife_ci_shape(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        jackknife_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 17)) for i in range(400)], "id bigint, v double"
+    )
+    r = jackknife_ci(df, "v", "id", buckets=20).collect()[0]
+    assert r.n == 400
+    exact_mean = sum(i % 17 for i in range(400)) / 400.0
+    assert r.mean == round(exact_mean, 6)
+    assert r.se is not None and r.se >= 0
+    assert r.lo <= r.mean <= r.hi
+    # deterministic across runs
+    r2 = jackknife_ci(df, "v", "id", buckets=20).collect()[0]
+    assert r == r2
+
+
+def test_hazard_rate_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        hazard_rate,
+    )
+
+    # observation end = 2024-01-20. u1: 0..1 (churned), u2: 0..12
+    # (churned: 20-12=8>7), u3: 10..20 (censored, gap 0)
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"),
+        (2, "2024-01-01"), (2, "2024-01-13"),
+        (3, "2024-01-11"), (3, "2024-01-21"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, d string").selectExpr(
+        "user_id", "CAST(d AS TIMESTAMP) AS ts"
+    )
+    out = {r.duration: r for r in hazard_rate(df).collect()}
+    # durations: u1=1 churn, u2=12 churn, u3=10 censored
+    assert set(out) == {1, 10, 12}
+    assert (out[1].n_risk, out[1].n_churned) == (3, 1)
+    assert out[1].hazard == round(1 / 3, 6)
+    assert (out[10].n_risk, out[10].n_churned) == (2, 0)
+    assert out[10].hazard == 0.0
+    assert (out[12].n_risk, out[12].n_churned) == (1, 1)
+    assert out[12].cum_hazard == round(1 / 3 + 0.0 + 1.0, 6)
+    import math
+
+    assert out[12].survival_na == round(math.exp(-(1 / 3 + 1.0)), 6)
+
+
+def test_sprt_monitor_pins(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        sprt_monitor,
+    )
+
+    # day 1: 2 successes / 2 trials, day 2: 0 / 2 — p0=0.2 p1=0.8 makes
+    # the llr swing hard enough to cross both boundaries in turn
+    rows = [
+        ("2024-01-01", 1), ("2024-01-01", 1),
+        ("2024-01-02", 0), ("2024-01-02", 0),
+    ]
+    df = spark.createDataFrame(rows, "d string, s int").selectExpr(
+        "CAST(d AS TIMESTAMP) AS ts", "s"
+    )
+    out = sprt_monitor(
+        df, F.col("s") == 1, F.lit(True), "ts",
+        p0=0.2, p1=0.8, alpha=0.05, beta=0.2,
+    ).collect()
+    ls, lf = math.log(0.8 / 0.2), math.log(0.2 / 0.8)
+    assert out[0].llr == round(2 * ls, 6)
+    assert out[0].cum_llr == round(2 * ls, 6)
+    # 2*ln4 = 2.77 >= ln(0.8/0.05)=2.77? ln(16)=2.7726, ln(0.8/0.05)=ln(16)
+    assert out[0].decision == "accept_h1"
+    # sticky: day 2 drops cum to 0 but the decision stays
+    assert out[1].cum_llr == round(2 * ls + 2 * lf, 6)
+    assert out[1].decision == "accept_h1"
+
+
+def test_vocab_coverage_pins(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [("a a a b b c",), ("a b c d",)], "text string"
+    )
+    # counts: a=4, b=3, c=2, d=1 ; total 10
+    out = {r.k: r for r in vocab_coverage(
+        docs, "text", ks=(1, 2, 3, 4)
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].covered_tokens == 4 and out[1].coverage == 0.4
+    assert out[2].covered_tokens == 7
+    assert out[4].covered_tokens == 10 and out[4].coverage == 1.0
+    assert out[3].vocab_size == 4 and out[3].total_tokens == 10
+
+
+def test_fuzzy_join_pins(spark):
+    from harmonize_search_analyze_spark.operators.dedup import fuzzy_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine"), (2, "spark engina"),  # dist 1, same block
+            (3, "spark motor"),                        # dist > 3 to both
+            (4, "zzzz other"),                         # different block
+            (5, "spark engine"),                       # dup of 1 -> n=2
+        ],
+        "doc_id bigint, text string",
+    )
+    out = fuzzy_join(
+        docs, "doc_id", "text", title_len=16, block_len=4, max_dist=3
+    ).collect()
+    pairs = {(r.title_a, r.title_b): r for r in out}
+    assert ("spark engina", "spark engine") in pairs
+    r = pairs[("spark engina", "spark engine")]
+    assert r.dist == 1 and r.id_a == 2 and r.id_b == 1
+    assert r.n_a == 1 and r.n_b == 2
+    assert all(
+        not (p[0].startswith("spark motor") or p[1] == "spark motor")
+        or abs(len(p[0]) - len(p[1])) <= 3
+        for p in pairs
+    )
+    assert ("spark engine", "spark motor") not in pairs
