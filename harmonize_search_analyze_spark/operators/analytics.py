@@ -511,12 +511,16 @@ def pr_curve(
     and F1. Ordered threshold DESC (the standard sweep direction).
 
     Scale shape: the raw rows collapse FIRST to one row per distinct
-    score (hash agg with map-side combine); the cumulative window then
-    runs over that threshold-level frame — bounded by distinct scores,
-    never raw rows (round scores upstream to bound it; same single-task
-    window contract as bucket_pipeline). The positive total is a 1-row
-    broadcast cross join.
+    score (hash agg with map-side combine); the cumulative counts then
+    ride a SCALABLE prefix sum over the threshold-level frame
+    (:func:`ordering.prefix_sums` — continuous scores make that frame
+    corpus-sized, so never an unpartitioned window). The positive total
+    is a 1-row broadcast cross join.
     """
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+    )
+
     s, p = F.col(score_col), F.col(positive_col).cast("long")
     per = (
         df.where(s.isNotNull() & p.isNotNull())
@@ -529,16 +533,16 @@ def pr_curve(
     totals = per.agg(
         F.sum("np").alias("total_pos")
     )
-    w = Window.orderBy(F.desc("threshold")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = prefix_sums(
+        per, [("threshold", False)], {"np": "__tp", "n": "__cn"}
     )
-    tp = F.sum("np").over(w)
-    fp = F.sum(F.col("n") - F.col("np")).over(w)
+    tp = F.col("__tp")
+    fp = F.col("__cn") - F.col("__tp")
     prec = tp.cast("double") / (tp + fp).cast("double")
     rec = F.try_divide(tp.cast("double"), F.col("total_pos").cast("double"))
     f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
     return (
-        per.crossJoin(F.broadcast(totals))
+        cum.crossJoin(F.broadcast(totals))
         .select(
             "threshold",
             tp.cast("bigint").alias("tp"),
@@ -673,10 +677,15 @@ def ks_drift(
     value where the gap peaks, smallest such value on ties).
 
     Shape: raw rows collapse to per-(value) counts for each group in one
-    conditional agg (map-side combine); the CDF difference is a window
-    over the DISTINCT-VALUE frame (bounded by value cardinality — round
-    upstream for continuous data); the max is a 1-row reduce. Raw data
-    is scanned once."""
+    conditional agg (map-side combine); the empirical CDFs ride a
+    SCALABLE prefix sum over the distinct-value frame
+    (:func:`ordering.prefix_sums` — corpus-sized on continuous values,
+    so never an unpartitioned window); the max is a 1-row reduce. Raw
+    data is scanned once."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+    )
+
     a = F.col(group_col) == group_a
     b = F.col(group_col) == group_b
     per = (
@@ -690,14 +699,12 @@ def ks_drift(
     tot = per.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    cum = prefix_sums(per, ["v"], {"ca": "__fa", "cb": "__fb"})
     gap = F.abs(
-        F.try_divide(F.sum("ca").over(w), F.col("na"))
-        - F.try_divide(F.sum("cb").over(w), F.col("nb"))
+        F.try_divide(F.col("__fa"), F.col("na"))
+        - F.try_divide(F.col("__fb"), F.col("nb"))
     )
-    gaps = per.crossJoin(F.broadcast(tot)).select(
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
         "v", "na", "nb", gap.alias("g")
     )
     best = gaps.orderBy(F.desc("g"), F.asc("v")).limit(1)
