@@ -11377,6 +11377,94 @@ def _sql_fuzzy_join(dialect: str = "duckdb") -> str:
 
 
 
+def q_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of lineitem.l_orderkey against
+    orders.o_orderkey — orphans, NULL FKs, and childless parents from
+    one distinct-key full-outer join."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        orphan_check,
+    )
+
+    return orphan_check(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey",
+        _t(spark, sf_dir, "orders"), "o_orderkey",
+    )
+
+
+def _sql_orphan_check(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.curation import (
+        orphan_check_sql,
+    )
+
+    return orphan_check_sql(
+        "lineitem", "l_orderkey", "orders", "o_orderkey", dialect
+    )
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity + NMI between source (as clusters) and language (as
+    labels) over documents — is each source language-pure?"""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cluster_purity,
+    )
+
+    return cluster_purity(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+def _sql_cluster_purity(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cluster_purity_sql,
+    )
+
+    return cluster_purity_sql("documents", "source", "lang", dialect)
+
+
+def q_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ curve of event values, click vs purchase, on a 20-point
+    percentile grid — WHERE the distributions diverge, beside
+    ks_drift's single statistic."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        qq_plot,
+    )
+
+    return qq_plot(
+        _t(spark, sf_dir, "events"), "value",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    )
+
+
+def _sql_qq_plot(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        qq_plot_sql,
+    )
+
+    return qq_plot_sql(
+        "events", "value",
+        "event_type = 'click'", "event_type = 'purchase'", dialect,
+    )
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click to first-subsequent-purchase latency distribution
+    (conversion rate + p50/p90/p99/mean seconds) in one user-keyed
+    window pass."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        conversion_lag,
+    )
+
+    return conversion_lag(_t(spark, sf_dir, "events"), "click", "purchase")
+
+
+def _sql_conversion_lag(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        conversion_lag_sql,
+    )
+
+    return conversion_lag_sql("events", "click", "purchase", dialect)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -11504,6 +11592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_monitor": q_sprt_monitor,
         "vocab_coverage": q_vocab_coverage,
         "fuzzy_join": q_fuzzy_join,
+        "orphan_check": q_orphan_check,
+        "cluster_purity": q_cluster_purity,
+        "qq_plot": q_qq_plot,
+        "conversion_lag": q_conversion_lag,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -11864,6 +11956,10 @@ def oracle_sql() -> dict[str, str]:
         "sprt_monitor": _sql_sprt_monitor(),
         "vocab_coverage": _sql_vocab_coverage(),
         "fuzzy_join": _sql_fuzzy_join(),
+        "orphan_check": _sql_orphan_check(),
+        "cluster_purity": _sql_cluster_purity(),
+        "qq_plot": _sql_qq_plot(),
+        "conversion_lag": _sql_conversion_lag(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -4291,3 +4291,355 @@ SELECT day, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
             ELSE 'continue' END AS decision
 FROM dec ORDER BY day
 """
+
+
+def cluster_purity(
+    df: DataFrame,
+    cluster_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Purity + normalized mutual information between a cluster
+    assignment and gold labels — the external clustering eval
+    (kmeans/IVF cells vs language, simhash bands vs source): purity is
+    the majority-label mass ``sum_c max_l n_cl / N``; NMI is
+    ``I(C;L) / sqrt(H(C) H(L))`` (the sqrt normalization, pinned).
+    Rows with NULL cluster or label drop. Returns ONE row
+    ``(n, n_clusters, n_labels, purity, nmi)`` rounded 6; a degenerate
+    single-cluster or single-label side pins NULL nmi (zero entropy —
+    nothing to normalize by).
+
+    Scale shape: one (cluster, label) contingency agg (map-combinable),
+    then marginals and the entropy algebra over that category-product-
+    sized frame — two tiny window-free aggs via per-key sums.
+    """
+    c, l = F.col(cluster_col), F.col(label_col)
+    cells = (
+        df.where(c.isNotNull() & l.isNotNull())
+        .groupBy(c.alias("__c"), l.alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    wc = Window.partitionBy("__c")
+    wl = Window.partitionBy("__l")
+    wall = Window.partitionBy()
+    enriched = cells.select(
+        "__c", "__l", "__n",
+        F.sum("__n").over(wc).alias("__nc"),
+        F.sum("__n").over(wl).alias("__nl"),
+        F.sum("__n").over(wall).alias("__nn"),
+        F.max("__n").over(wc).alias("__maxc"),
+    )
+    n = F.col("__nn").cast("double")
+    # I(C;L) = sum p_cl ln(p_cl / (p_c p_l)); H from marginals (each
+    # marginal term counted once: divide by the cell count per key)
+    mi_term = (F.col("__n") / n) * F.log(
+        (F.col("__n") * n)
+        / (F.col("__nc").cast("double") * F.col("__nl"))
+    )
+    hc_term = (
+        (F.col("__nc") / n) * F.log(F.col("__nc") / n)
+        / F.count(F.lit(1)).over(wc)
+    )
+    hl_term = (
+        (F.col("__nl") / n) * F.log(F.col("__nl") / n)
+        / F.count(F.lit(1)).over(wl)
+    )
+    purity_term = F.when(
+        F.col("__n") == F.col("__maxc"), F.col("__n")
+    ).otherwise(0)
+    # ties inside a cluster would double-count the majority mass: keep
+    # only the first (smallest label) max cell per cluster
+    wfirst = Window.partitionBy("__c").orderBy(
+        F.desc("__n"), F.asc("__l")
+    )
+    first = F.row_number().over(wfirst)
+    scored = enriched.select(
+        "__n", "__nn",
+        mi_term.alias("__mi"),
+        hc_term.alias("__hc"),
+        hl_term.alias("__hl"),
+        F.when(first == 1, F.col("__n")).otherwise(0).alias("__pur"),
+        "__c", "__l",
+    )
+    agg = scored.agg(
+        F.max("__nn").alias("__N"),
+        F.count_distinct("__c").alias("__kc"),
+        F.count_distinct("__l").alias("__kl"),
+        F.sum("__mi").alias("__I"),
+        (-F.sum("__hc")).alias("__Hc"),
+        (-F.sum("__hl")).alias("__Hl"),
+        F.sum("__pur").alias("__P"),
+    )
+    nmi = F.try_divide(
+        F.col("__I"), F.sqrt(F.col("__Hc") * F.col("__Hl"))
+    )
+    return agg.select(
+        F.col("__N").cast("bigint").alias("n"),
+        F.col("__kc").cast("bigint").alias("n_clusters"),
+        F.col("__kl").cast("bigint").alias("n_labels"),
+        F.round(F.col("__P") / F.col("__N").cast("double"), 6).alias(
+            "purity"
+        ),
+        (F.round(nmi, 6) + F.lit(0.0)).alias("nmi"),
+    )
+
+
+def cluster_purity_sql(
+    table: str,
+    cluster_expr: str,
+    label_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`cluster_purity` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH cells AS (
+  SELECT {cluster_expr} AS c, {label_expr} AS l, COUNT(*) AS n
+  FROM {table}
+  WHERE {cluster_expr} IS NOT NULL AND {label_expr} IS NOT NULL
+  GROUP BY 1, 2
+),
+enriched AS (
+  SELECT c, l, n,
+         SUM(n) OVER (PARTITION BY c) AS nc,
+         SUM(n) OVER (PARTITION BY l) AS nl,
+         SUM(n) OVER () AS nn,
+         COUNT(*) OVER (PARTITION BY c) AS cells_c,
+         COUNT(*) OVER (PARTITION BY l) AS cells_l,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY n DESC, l ASC)
+           AS rk
+  FROM cells
+),
+agg AS (
+  SELECT MAX(nn) AS nn, COUNT(DISTINCT c) AS kc,
+         COUNT(DISTINCT l) AS kl,
+         SUM((n / CAST(nn AS DOUBLE))
+             * LN((n * CAST(nn AS DOUBLE)) / (CAST(nc AS DOUBLE) * nl)))
+           AS mi,
+         -SUM((nc / CAST(nn AS DOUBLE)) * LN(nc / CAST(nn AS DOUBLE))
+              / cells_c) AS hc,
+         -SUM((nl / CAST(nn AS DOUBLE)) * LN(nl / CAST(nn AS DOUBLE))
+              / cells_l) AS hl,
+         SUM(CASE WHEN rk = 1 THEN n ELSE 0 END) AS pur
+  FROM enriched
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(kc AS BIGINT) AS n_clusters,
+       CAST(kl AS BIGINT) AS n_labels,
+       ROUND(pur / CAST(nn AS DOUBLE), 6) AS purity,
+       ROUND(mi / NULLIF(SQRT(hc * hl), 0.0), 6) + 0.0 AS nmi
+FROM agg
+"""
+
+
+def qq_plot(
+    df: DataFrame,
+    value_expr: str,
+    filter_a: Column,
+    filter_b: Column,
+    *,
+    grid: int = 20,
+) -> DataFrame:
+    """Quantile-quantile pairs between two filtered populations — the
+    drift DIAGNOSTIC beside :func:`ks_drift`'s single statistic (KS says
+    THAT distributions differ; the QQ curve shows WHERE): both sides'
+    linear-interpolated percentiles at a shared ``grid``, with the gap.
+    Returns one row per grid point ``(p, q_a, q_b, gap)`` rounded 6
+    ordered by p.
+
+    Scale shape: ONE agg computes both percentile arrays (two
+    ``percentile`` sketch-free aggregates — exact, matching DuckDB's
+    quantile_cont interpolation, the quantile_norm pin), then a
+    grid-sized posexplode zip. Raw rows are scanned once.
+    """
+    if grid < 2:
+        raise ValueError("grid must be >= 2")
+    v = F.expr(value_expr).cast("double")
+    fracs = [i / grid for i in range(grid + 1)]
+    one = df.where(v.isNotNull() & (filter_a | filter_b)).agg(
+        F.percentile(F.when(filter_a, v), F.lit(fracs)).alias("__qa"),
+        F.percentile(F.when(filter_b, v), F.lit(fracs)).alias("__qb"),
+    )
+    exploded = one.select(
+        F.posexplode(F.col("__qa")).alias("__i", "__va"),
+        F.col("__qb"),
+    ).select(
+        F.round(F.col("__i") / F.lit(float(grid)), 6).alias("p"),
+        F.round(F.col("__va"), 6).alias("q_a"),
+        F.round(
+            F.element_at(F.col("__qb"), F.col("__i") + 1), 6
+        ).alias("q_b"),
+        F.round(
+            F.element_at(F.col("__qb"), F.col("__i") + 1)
+            - F.col("__va"),
+            6,
+        ).alias("gap"),
+    )
+    return exploded.orderBy("p")
+
+
+def qq_plot_sql(
+    table: str,
+    value_expr: str,
+    filter_a: str,
+    filter_b: str,
+    dialect: str,
+    *,
+    grid: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`qq_plot` — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the interpolation; the duckdb
+    posexplode twin is two SAME-LEVEL unnests (zip positionally — the
+    WITH-ORDINALITY-free pin from quantile_norm)."""
+    v = f"CAST({value_expr} AS DOUBLE)"
+    fracs = "[" + ", ".join(repr(i / grid) for i in range(grid + 1)) + "]"
+    if dialect == "spark":
+        arr = fracs.replace("[", "array(").replace("]", ")")
+        qa = f"percentile(CASE WHEN {filter_a} THEN {v} END, {arr})"
+        qb = f"percentile(CASE WHEN {filter_b} THEN {v} END, {arr})"
+        explode = (
+            "SELECT posexplode(qa) AS (i, va), qb FROM one"
+        )
+        pick = "element_at(qb, i + 1)"
+    elif dialect == "duckdb":
+        qa = f"quantile_cont(CASE WHEN {filter_a} THEN {v} END, {fracs})"
+        qb = f"quantile_cont(CASE WHEN {filter_b} THEN {v} END, {fracs})"
+        explode = (
+            "SELECT unnest(generate_series(0, "
+            f"{grid})) AS i, unnest(qa) AS va, qb FROM one"
+        )
+        pick = "qb[i + 1]"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH one AS (
+  SELECT {qa} AS qa, {qb} AS qb
+  FROM {table}
+  WHERE {v} IS NOT NULL AND (({filter_a}) OR ({filter_b}))
+),
+expl AS ({explode})
+SELECT ROUND(i / {float(grid)!r}, 6) AS p,
+       ROUND(va, 6) AS q_a,
+       ROUND({pick}, 6) AS q_b,
+       ROUND({pick} - va, 6) AS gap
+FROM expl ORDER BY p
+"""
+
+
+def conversion_lag(
+    df: DataFrame,
+    from_type: str,
+    to_type: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution: each user's FIRST ``from_type``
+    event to their first ``to_type`` event AT OR AFTER it — the funnel
+    latency the conversion-rate panels hide. Returns ONE row
+    ``(n_users, n_converted, conversion_rate, p50_s, p90_s, p99_s,
+    mean_s)`` with lags in seconds rounded 6.
+
+    Scale shape: ONE user-keyed window pass (the sessionize exchange):
+    first_from as a min over the user frame, the conversion candidate
+    as a conditional min over the same frame, then one user-level
+    dedup-agg and a 1-row percentile agg. Raw events shuffle once.
+    """
+    w = Window.partitionBy(user_col)
+    t = F.col(time_col)
+    first_from = F.min(
+        F.when(F.col(type_col) == from_type, t)
+    ).over(w)
+    ev = df.where(F.col(user_col).isNotNull() & t.isNotNull())
+    tagged = ev.select(
+        F.col(user_col).alias("__u"),
+        first_from.alias("__ff"),
+        F.when(
+            (F.col(type_col) == to_type) & (t >= first_from), t
+        ).alias("__cand"),
+    )
+    users = (
+        tagged.where(F.col("__ff").isNotNull())
+        .groupBy("__u")
+        .agg(
+            F.min("__ff").alias("__ff"),
+            F.min("__cand").alias("__conv"),
+        )
+        .select(
+            (
+                F.unix_timestamp("__conv") - F.unix_timestamp("__ff")
+            ).cast("double").alias("__lag")
+        )
+    )
+    fr = [0.5, 0.9, 0.99]
+    agg = users.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count("__lag").alias("__nc"),
+        F.percentile(F.col("__lag"), F.lit(fr)).alias("__q"),
+        F.avg("__lag").alias("__mean"),
+    )
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n_users"),
+        F.col("__nc").cast("bigint").alias("n_converted"),
+        F.round(
+            F.try_divide(F.col("__nc"), F.col("__n").cast("double")), 6
+        ).alias("conversion_rate"),
+        F.round(F.element_at("__q", 1), 6).alias("p50_s"),
+        F.round(F.element_at("__q", 2), 6).alias("p90_s"),
+        F.round(F.element_at("__q", 3), 6).alias("p99_s"),
+        F.round(F.col("__mean"), 6).alias("mean_s"),
+    )
+
+
+def conversion_lag_sql(
+    table: str,
+    from_type: str,
+    to_type: str,
+    dialect: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    """Dual-dialect twin of :func:`conversion_lag` — epoch seconds are
+    FLOORED on both engines (DuckDB epoch() keeps microseconds, the
+    burstiness pin); quantile_cont matches percentile."""
+    if dialect == "spark":
+        q = "percentile(lag_, array(0.5, 0.9, 0.99))"
+        pick = lambda i: f"element_at(q, {i})"  # noqa: E731
+        lag = "CAST(unix_timestamp(conv) - unix_timestamp(ff) AS DOUBLE)"
+    elif dialect == "duckdb":
+        q = "quantile_cont(lag_, [0.5, 0.9, 0.99])"
+        pick = lambda i: f"q[{i}]"  # noqa: E731
+        lag = "CAST(FLOOR(epoch(conv)) - FLOOR(epoch(ff)) AS DOUBLE)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH tagged AS (
+  SELECT {user_col} AS u,
+         MIN(CASE WHEN {type_col} = '{from_type}' THEN {time_col} END)
+           OVER (PARTITION BY {user_col}) AS ff,
+         CASE WHEN {type_col} = '{to_type}'
+               AND {time_col} >= MIN(CASE WHEN {type_col} = '{from_type}'
+                   THEN {time_col} END) OVER (PARTITION BY {user_col})
+              THEN {time_col} END AS cand
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+),
+users AS (
+  SELECT u, MIN(ff) AS ff, MIN(cand) AS conv
+  FROM tagged WHERE ff IS NOT NULL GROUP BY 1
+),
+lags AS (SELECT {lag} AS lag_ FROM users),
+agg AS (
+  SELECT COUNT(*) AS n, COUNT(lag_) AS nc, {q} AS q, AVG(lag_) AS mean_
+  FROM lags
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(nc AS BIGINT) AS n_converted,
+       ROUND(nc / NULLIF(CAST(n AS DOUBLE), 0.0), 6) AS conversion_rate,
+       ROUND({pick(1)}, 6) AS p50_s,
+       ROUND({pick(2)}, 6) AS p90_s,
+       ROUND({pick(3)}, 6) AS p99_s,
+       ROUND(mean_, 6) AS mean_s
+FROM agg
+"""

@@ -472,3 +472,109 @@ def compression_ratio(
     if max_ratio is not None:
         out = out.where(F.col("ratio") <= max_ratio)
     return out.orderBy(id_col)
+
+
+def orphan_check(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity audit between a child table's foreign key
+    and its parent — the load-pipeline gate (the reference's harmonize
+    stage assumes city FKs resolve; at 100 TB you verify instead):
+    counts orphaned child rows (FK with no parent), NULL FKs (counted
+    separately — a NULL is a missing link, not a broken one), and
+    childless parents. Returns ONE row ``(n_child, n_null_fk,
+    n_orphans, orphan_rate, n_parent, n_childless, childless_rate)``
+    rounded 6.
+
+    Scale shape: ONE distinct-key agg per side (map-combinable), one
+    full-outer join of the two DISTINCT-KEY frames (key-cardinality
+    sized, never row volume) carrying each side's row counts — both
+    directions of the audit fall out of the same join, where two
+    anti-joins would scan twice.
+    """
+    ck = F.col(child_key)
+    c = (
+        child.where(ck.isNotNull())
+        .groupBy(ck.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__cn"))
+    )
+    nulls = child.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.count(F.when(ck.isNull(), 1)).alias("__nulls"),
+    )
+    p = (
+        parent.where(F.col(parent_key).isNotNull())
+        .groupBy(F.col(parent_key).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__pn"))
+    )
+    j = c.join(p, "__k", "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("__pn").isNull(), F.col("__cn")).otherwise(0))
+        .alias("__orph"),
+        F.count(F.when(F.col("__pn").isNotNull(), 1)).alias("__matched_p"),
+        F.count(F.when(F.col("__cn").isNull(), 1)).alias("__childless"),
+        F.count(F.when(F.col("__pn").isNotNull(), 1)).alias("__np_joined"),
+    )
+    np_tot = p.agg(F.count(F.lit(1)).alias("__np"))
+    out = agg.crossJoin(F.broadcast(nulls)).crossJoin(F.broadcast(np_tot))
+    return out.select(
+        F.col("__total").cast("bigint").alias("n_child"),
+        F.col("__nulls").cast("bigint").alias("n_null_fk"),
+        F.col("__orph").cast("bigint").alias("n_orphans"),
+        F.round(
+            F.try_divide(F.col("__orph"), F.col("__total") - F.col("__nulls")),
+            6,
+        ).alias("orphan_rate"),
+        F.col("__np").cast("bigint").alias("n_parent"),
+        F.col("__childless").cast("bigint").alias("n_childless"),
+        F.round(
+            F.try_divide(F.col("__childless"), F.col("__np")), 6
+        ).alias("childless_rate"),
+    )
+
+
+def orphan_check_sql(
+    child_table: str,
+    child_key: str,
+    parent_table: str,
+    parent_key: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`orphan_check` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH c AS (
+  SELECT {child_key} AS k, COUNT(*) AS cn FROM {child_table}
+  WHERE {child_key} IS NOT NULL GROUP BY 1
+),
+nulls AS (
+  SELECT COUNT(*) AS total,
+         COUNT(CASE WHEN {child_key} IS NULL THEN 1 END) AS nulls
+  FROM {child_table}
+),
+p AS (
+  SELECT {parent_key} AS k, COUNT(*) AS pn FROM {parent_table}
+  WHERE {parent_key} IS NOT NULL GROUP BY 1
+),
+j AS (SELECT c.cn, p.pn FROM c FULL OUTER JOIN p ON c.k = p.k),
+a AS (
+  SELECT SUM(CASE WHEN pn IS NULL THEN cn ELSE 0 END) AS orph,
+         COUNT(CASE WHEN cn IS NULL THEN 1 END) AS childless
+  FROM j
+),
+np AS (SELECT COUNT(*) AS np FROM p)
+SELECT CAST(total AS BIGINT) AS n_child,
+       CAST(nulls AS BIGINT) AS n_null_fk,
+       CAST(orph AS BIGINT) AS n_orphans,
+       ROUND(orph / NULLIF(CAST(total - nulls AS DOUBLE), 0.0), 6)
+         AS orphan_rate,
+       CAST(np AS BIGINT) AS n_parent,
+       CAST(childless AS BIGINT) AS n_childless,
+       ROUND(childless / NULLIF(CAST(np AS DOUBLE), 0.0), 6)
+         AS childless_rate
+FROM a CROSS JOIN nulls CROSS JOIN np
+"""

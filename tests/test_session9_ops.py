@@ -464,3 +464,100 @@ def test_fuzzy_join_pins(spark):
         for p in pairs
     )
     assert ("spark engine", "spark motor") not in pairs
+
+
+def test_orphan_check_pins(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        orphan_check,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = orphan_check(child, "fk", parent, "pk").collect()[0]
+    assert (r.n_child, r.n_null_fk) == (5, 1)
+    assert r.n_orphans == 1  # the fk=9 row
+    assert r.orphan_rate == 0.25  # 1 of 4 non-null
+    assert (r.n_parent, r.n_childless) == (3, 1)  # pk=3
+    assert r.childless_rate == round(1 / 3, 6)
+
+
+def test_cluster_purity_pins(spark):
+    import math
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cluster_purity,
+    )
+
+    # c1: 3x a, 1x b ; c2: 2x b -> purity (3 + 2) / 6
+    rows = [("c1", "a")] * 3 + [("c1", "b")] + [("c2", "b")] * 2
+    df = spark.createDataFrame(rows, "c string, l string")
+    r = cluster_purity(df, "c", "l").collect()[0]
+    assert (r.n, r.n_clusters, r.n_labels) == (6, 2, 2)
+    assert r.purity == round(5 / 6, 6)
+    # NMI by hand
+    n = 6.0
+    cells = {("c1", "a"): 3, ("c1", "b"): 1, ("c2", "b"): 2}
+    nc = {"c1": 4, "c2": 2}
+    nl = {"a": 3, "b": 3}
+    mi = sum(
+        (v / n) * math.log(v * n / (nc[c] * nl[l]))
+        for (c, l), v in cells.items()
+    )
+    hc = -sum((v / n) * math.log(v / n) for v in nc.values())
+    hl = -sum((v / n) * math.log(v / n) for v in nl.values())
+    assert r.nmi == round(mi / math.sqrt(hc * hl), 6)
+
+    # single cluster -> H(C)=0 -> NULL nmi
+    one = spark.createDataFrame(
+        [("c1", "a"), ("c1", "b")], "c string, l string"
+    )
+    assert cluster_purity(one, "c", "l").collect()[0].nmi is None
+
+
+def test_qq_plot_pins(spark):
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        qq_plot,
+    )
+
+    # a = 0..10, b = a + 5 (pure shift) -> every gap 5
+    rows = [("a", float(i)) for i in range(11)] + [
+        ("b", float(i + 5)) for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = qq_plot(
+        df, "v", F.col("g") == "a", F.col("g") == "b", grid=10
+    ).collect()
+    assert len(out) == 11
+    assert [r.p for r in out] == [round(i / 10, 6) for i in range(11)]
+    assert all(r.gap == 5.0 for r in out)
+    assert out[0].q_a == 0.0 and out[-1].q_b == 15.0
+
+
+def test_conversion_lag_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        conversion_lag,
+    )
+
+    rows = [
+        # u1 converts 60s after first click (purchase before first
+        # click must NOT count)
+        (1, "purchase", "2024-01-01 09:59:00"),
+        (1, "click", "2024-01-01 10:00:00"),
+        (1, "purchase", "2024-01-01 10:01:00"),
+        (1, "purchase", "2024-01-01 11:00:00"),
+        # u2 never converts
+        (2, "click", "2024-01-01 10:00:00"),
+        # u3 has no click -> not in the funnel population
+        (3, "purchase", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, d string"
+    ).selectExpr("user_id", "event_type", "CAST(d AS TIMESTAMP) AS ts")
+    r = conversion_lag(df, "click", "purchase").collect()[0]
+    assert (r.n_users, r.n_converted) == (2, 1)
+    assert r.conversion_rate == 0.5
+    assert r.p50_s == 60.0 and r.mean_s == 60.0
