@@ -4183,12 +4183,6 @@ def sprt_monitor(
     """
     if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
         raise ValueError("p0, p1 must be in (0,1) and differ")
-    import math
-
-    win = math.log((1.0 - beta) / alpha)
-    lose = math.log(beta / (1.0 - alpha))
-    ls = math.log(p1 / p0)
-    lf = math.log((1.0 - p1) / (1.0 - p0))
     days = (
         df.where(treatment & F.col(time_col).isNotNull())
         .groupBy(F.to_date(F.col(time_col)).alias("day"))
@@ -4197,6 +4191,27 @@ def sprt_monitor(
             F.count(F.when(success, 1)).alias("__x"),
         )
     )
+    return sprt_trace(days, p0=p0, p1=p1, alpha=alpha, beta=beta)
+
+
+def sprt_trace(
+    days: DataFrame,
+    *,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """The SPRT trace over a pre-aggregated ``(day, __n, __x)`` frame —
+    :func:`sprt_monitor`'s series core, split out so the streaming
+    face (``streaming.windows.sprt_stream``) can recompute it over its
+    merged day-count state each epoch."""
+    import math
+
+    win = math.log((1.0 - beta) / alpha)
+    lose = math.log(beta / (1.0 - alpha))
+    ls = math.log(p1 / p0)
+    lf = math.log((1.0 - p1) / (1.0 - p0))
     llr = F.col("__x") * F.lit(ls) + (F.col("__n") - F.col("__x")) * F.lit(lf)
     run = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -836,3 +836,100 @@ def cusum_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def sprt_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    *,
+    success_expr: str,
+    treatment_expr: str,
+    ts_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> None:
+    """One epoch of :func:`sprt_stream` (module-level so replay
+    idempotency is directly testable, the cusum_process_batch shape):
+    fold the batch's treatment-arm day counts into per-epoch state
+    partitions, recompute the SPRT trace over the merged day series,
+    snapshot it. BOTH writes are overwrite-at-``epoch=N`` paths — a
+    replayed epoch rewrites the same partitions byte-identically."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        sprt_trace,
+    )
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    counts = (
+        batch_df.where(
+            F.expr(treatment_expr) & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.expr(success_expr), 1)).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    counts.write.mode("overwrite").parquet(
+        f"{state_path}/epoch={int(epoch_id)}"
+    )
+    totals = (
+        spark.read.parquet(state_path)
+        .groupBy("day")
+        .agg(F.sum("n").alias("__n"), F.sum("x").alias("__x"))
+    )
+    trace = sprt_trace(
+        totals, p0=p0, p1=p1, alpha=alpha, beta=beta
+    ).localCheckpoint()
+    trace.write.mode("overwrite").parquet(
+        f"{out_path}/epoch={int(epoch_id)}"
+    )
+
+
+def sprt_stream(
+    stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    success_expr: str,
+    treatment_expr: str,
+    ts_col: str = "ts",
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> "StreamingQuery":
+    """Streaming Wald SPRT monitor — the always-on face of
+    ``analytics.sprt_monitor``: every micro-batch folds its treatment-
+    arm day counts into epoch-keyed state, recomputes the sequential
+    trace over the WHOLE day series (the sticky crossing decisions are
+    a series property — a later batch can backfill an earlier day, so
+    per-row incremental state would lie), and snapshots the trace under
+    ``out_path/epoch=N``. The latest epoch partition is the current
+    decision board.
+
+    Exactly-once the recompute way (the cusum_stream contract): state
+    is per-epoch day-count partitions written with overwrite, so a
+    replayed epoch rewrites its own partition and recomputes the
+    identical trace. State size is epochs x live days — calendar-level,
+    never event-level.
+    """
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sprt_process_batch(
+            batch_df, epoch_id, state_path, out_path,
+            success_expr=success_expr, treatment_expr=treatment_expr,
+            ts_col=ts_col, p0=p0, p1=p1, alpha=alpha, beta=beta,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -561,3 +561,86 @@ def test_conversion_lag_pins(spark):
     assert (r.n_users, r.n_converted) == (2, 1)
     assert r.conversion_rate == 0.5
     assert r.p50_s == 60.0 and r.mean_s == 60.0
+
+
+def test_sprt_stream_matches_batch_and_replays(spark, tmp_path):
+    """After all micro-batches the latest epoch snapshot equals the
+    batch sprt_monitor over the full series (including a later batch
+    backfilling an earlier day); replaying an epoch rewrites identical
+    state (idempotent recovery)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        sprt_monitor,
+    )
+    from harmonize_search_analyze_spark.streaming.windows import (
+        sprt_process_batch,
+        sprt_stream,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    wave1 = [
+        (i, "click", float(100 if i % 3 == 0 else 10),
+         base + dt.timedelta(days=i % 4, hours=i % 6))
+        for i in range(50)
+    ]
+    # wave2 backfills day 0-1 and extends to day 5
+    wave2 = [
+        (100 + i, "click" if i % 4 else "view",
+         float(100 if i % 2 == 0 else 10),
+         base + dt.timedelta(days=(i % 6), hours=i % 5))
+        for i in range(70)
+    ]
+    schema = "event_id long, event_type string, value double, ts timestamp"
+    src = tmp_path / "events"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(src))
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    kw = dict(
+        success_expr="value > 50", treatment_expr="event_type = 'click'",
+        ts_col="ts", p0=0.3, p1=0.5,
+    )
+    q = sprt_stream(
+        stream, str(tmp_path / "state"), str(tmp_path / "trace"),
+        str(tmp_path / "ckpt"), **kw,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    tr = spark.read.parquet(str(tmp_path / "trace"))
+    last = tr.where(
+        F.col("epoch") == tr.agg(F.max("epoch")).collect()[0][0]
+    ).drop("epoch")
+
+    batch = spark.createDataFrame(wave1 + wave2, schema)
+    want = sprt_monitor(
+        batch, F.col("value") > 50, F.col("event_type") == "click",
+        "ts", p0=0.3, p1=0.5,
+    ).collect()
+    got = sorted(map(tuple, last.collect()))
+    assert got == sorted(map(tuple, want))
+
+    # replay the last epoch: state and trace rewrite identically
+    before = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "state")).collect()))
+    sprt_process_batch(
+        spark.createDataFrame(wave2, schema), 1,
+        str(tmp_path / "state"), str(tmp_path / "trace"), **kw,
+    )
+    after = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "state")).collect()))
+    assert before == after
+    last2 = spark.read.parquet(str(tmp_path / "trace"))
+    last2 = last2.where(F.col("epoch") == 1).drop("epoch")
+    assert sorted(map(tuple, last2.collect())) == got
