@@ -11465,6 +11465,72 @@ def _sql_conversion_lag(dialect: str = "duckdb") -> str:
 
 
 
+def q_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi*-lite hotspots over the 5-degree hex tiling of the
+    synthesized lineitem coordinates — self+6-neighbor sums via
+    scatter-gather (a 7x explode of the CELL frame), never a neighbor
+    join."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_hotspots,
+    )
+
+    return geo_hotspots(
+        _t(spark, sf_dir, "lineitem"), _LAT_EXPR, _LON_EXPR,
+        size_deg=5.0, k=20,
+    )
+
+
+def _sql_geo_hotspots(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_hotspots_sql,
+    )
+
+    return geo_hotspots_sql(
+        "lineitem", _LAT_EXPR, _LON_EXPR, dialect, size_deg=5.0, k=20
+    )
+
+
+def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-weighted document-length percentiles (the median BYTE lives
+    in how long a doc?) — n_chars weighted by itself, cumulative weight
+    via the scalable prefix-sum primitive."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        weighted_percentile,
+    )
+
+    return weighted_percentile(
+        _t(spark, sf_dir, "documents"), "n_chars", "n_chars"
+    )
+
+
+def _sql_weighted_percentile(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        weighted_percentile_sql,
+    )
+
+    return weighted_percentile_sql("documents", "n_chars", "n_chars", dialect)
+
+
+def q_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting of (lang x source) cell weights to
+    UNIFORM language and source shares (6 sweeps, unrollable) — the
+    raking reweight for corpus balancing."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        ipf_weights,
+    )
+
+    return ipf_weights(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _sql_ipf_weights(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        ipf_weights_sql,
+    )
+
+    return ipf_weights_sql("documents", "lang", "source", dialect)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -11596,6 +11662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_purity": q_cluster_purity,
         "qq_plot": q_qq_plot,
         "conversion_lag": q_conversion_lag,
+        "geo_hotspots": q_geo_hotspots,
+        "weighted_percentile": q_weighted_percentile,
+        "ipf_weights": q_ipf_weights,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -11960,6 +12029,9 @@ def oracle_sql() -> dict[str, str]:
         "cluster_purity": _sql_cluster_purity(),
         "qq_plot": _sql_qq_plot(),
         "conversion_lag": _sql_conversion_lag(),
+        "geo_hotspots": _sql_geo_hotspots(),
+        "weighted_percentile": _sql_weighted_percentile(),
+        "ipf_weights": _sql_ipf_weights(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -4050,3 +4050,285 @@ SELECT sa AS source_a, sb AS source_b,
 FROM stats
 ORDER BY source_a, source_b
 """
+
+
+_HEX_NEIGHBOR_OFFSETS = (
+    (0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1),
+)
+
+
+def geo_hotspots(
+    df: DataFrame,
+    lat: str,
+    lon: str,
+    *,
+    size_deg: float,
+    k: int = 20,
+) -> DataFrame:
+    """Getis-Ord Gi*-lite hotspot detection over the hexagonal grid —
+    the "where does activity CLUSTER, not just count" layer above
+    :func:`hex_grid`: each occupied cell's statistic compares its
+    self+6-neighbor count sum against the occupied-cell mean under the
+    standard Gi* z form with binary weights (W = 7). The study region
+    is pinned to the OCCUPIED cells (absent neighbors contribute 0 to
+    the sum and are not study units — documented, not hidden; a true
+    field study would rasterize the empty frontier too). Returns the
+    top-``k`` cells ``(hex, doc_count, hood_count, gi_z)`` rounded 6,
+    ties pinned ``gi_z DESC, hex ASC``.
+
+    Scale shape: one cell-count hash agg, then SCATTER-GATHER instead
+    of a neighbor join — every cell emits its count to its 7
+    neighborhood keys (a 7x explode of the CELL frame, never the
+    corpus) and one more hash agg gathers the sums; the global
+    mean/std is a 1-row broadcast. Zero joins on the corpus, zero
+    quadratic candidate work.
+    """
+    from harmonize_search_analyze_spark.functions.geohash import hex_qr_sql
+
+    qs, rs = hex_qr_sql(lat, lon, size_deg)
+    cells = (
+        df.groupBy(
+            F.expr(qs).alias("__q"), F.expr(rs).alias("__r")
+        )
+        .agg(F.count(F.lit(1)).alias("__x"))
+        .persist()
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__x").alias("__mean"),
+        F.stddev_pop("__x").alias("__sd"),
+    )
+    scattered = cells.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("__q") + dq).alias("q"),
+                        (F.col("__r") + dr).alias("r"),
+                    )
+                    for dq, dr in _HEX_NEIGHBOR_OFFSETS
+                ]
+            )
+        ).alias("__nb"),
+        "__x",
+    ).select(
+        F.col("__nb.q").alias("__q"), F.col("__nb.r").alias("__r"), "__x"
+    )
+    hoods = scattered.groupBy("__q", "__r").agg(
+        F.sum("__x").alias("__hood")
+    )
+    w = float(len(_HEX_NEIGHBOR_OFFSETS))  # 7 binary weights incl self
+    joined = (
+        cells.join(hoods, ["__q", "__r"])
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("__n").cast("double")
+    # n <= W makes the finite-population term negative (sqrt -> NaN,
+    # which sorts ABOVE every real z under DESC): Gi* needs more study
+    # units than the neighborhood size — pin NULL below that
+    denom = F.when(
+        n > w,
+        F.col("__sd") * F.sqrt((n * w - F.lit(w * w)) / (n - 1.0)),
+    )
+    z = F.try_divide(
+        F.col("__hood") - F.lit(w) * F.col("__mean"), denom
+    )
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    out = (
+        joined.select(
+            F.concat_ws(
+                ":", F.col("__q").cast("string"),
+                F.col("__r").cast("string"),
+            ).alias("hex"),
+            F.col("__x").cast("bigint").alias("doc_count"),
+            F.col("__hood").cast("bigint").alias("hood_count"),
+            (F.round(z, 6) + F.lit(0.0)).alias("gi_z"),
+        )
+        .orderBy(F.desc("gi_z"), F.asc("hex"))
+        .limit(k)
+    )
+    return tether(out, cells)
+
+
+def geo_hotspots_sql(
+    table: str,
+    lat: str,
+    lon: str,
+    dialect: str,
+    *,
+    size_deg: float,
+    k: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`geo_hotspots` — the 7-key scatter is
+    two SAME-LEVEL unnests of fixed offset lists on DuckDB (positional
+    zip, the posexplode pin) vs one explode of a struct array on
+    Spark."""
+    from harmonize_search_analyze_spark.functions.geohash import hex_qr_sql
+
+    qs, rs = hex_qr_sql(lat, lon, size_deg)
+    dqs = ", ".join(str(dq) for dq, _ in _HEX_NEIGHBOR_OFFSETS)
+    drs = ", ".join(str(dr) for _, dr in _HEX_NEIGHBOR_OFFSETS)
+    if dialect == "spark":
+        scatter = f"""
+  SELECT cells.q + o.dq AS q, cells.r + o.dr AS r, cells.x
+  FROM cells
+  LATERAL VIEW inline(arrays_zip(array({dqs}), array({drs}))) o AS dq, dr
+"""
+    elif dialect == "duckdb":
+        scatter = f"""
+  SELECT cells.q + o.dq AS q, cells.r + o.dr AS r, cells.x
+  FROM cells CROSS JOIN (
+    SELECT unnest([{dqs}]) AS dq, unnest([{drs}]) AS dr
+  ) o
+"""
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    w = float(len(_HEX_NEIGHBOR_OFFSETS))
+    return f"""
+WITH cells AS (
+  SELECT {qs} AS q, {rs} AS r, COUNT(*) AS x
+  FROM {table} GROUP BY 1, 2
+),
+stats AS (
+  SELECT COUNT(*) AS n, AVG(x) AS mean_, STDDEV_POP(x) AS sd FROM cells
+),
+scattered AS ({scatter}),
+hoods AS (
+  SELECT q, r, SUM(x) AS hood FROM scattered GROUP BY 1, 2
+)
+SELECT CAST(cells.q AS STRING) || ':' || CAST(cells.r AS STRING) AS hex,
+       CAST(cells.x AS BIGINT) AS doc_count,
+       CAST(hood AS BIGINT) AS hood_count,
+       ROUND((hood - {w!r} * mean_)
+             / NULLIF(CASE WHEN n > {w!r} THEN
+                 sd * SQRT((CAST(n AS DOUBLE) * {w!r} - {w * w!r})
+                           / (n - 1.0)) END, 0.0), 6) + 0.0 AS gi_z
+FROM cells JOIN hoods ON cells.q = hoods.q AND cells.r = hoods.r
+CROSS JOIN stats
+ORDER BY gi_z DESC, hex ASC
+LIMIT {k}
+"""
+
+
+def weighted_percentile(
+    df: DataFrame,
+    value_expr: str,
+    weight_expr: str,
+    *,
+    probs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Weighted percentiles (lower / inverse-CDF rule, NO interpolation
+    — pinned): the smallest value whose cumulative weight reaches
+    ``p * total_weight``. The corpus question percentile() can't
+    answer: "the median BYTE lives in how long a document?" — weight
+    doc length by itself and the mass-percentile emerges. Returns one
+    row per prob ``(p, value, cum_weight, total_weight)`` rounded 6
+    ordered by p. Non-positive and NULL weights drop.
+
+    Scale shape: group by VALUE (one map-combinable agg), then the
+    cumulative weight rides :func:`ordering.prefix_sums` over the value
+    order (continuous values make that frame corpus-sized — never an
+    unpartitioned window); every requested prob resolves in ONE
+    conditional-min agg over the cum frame against the broadcast total.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be in (0, 1]")
+    from harmonize_search_analyze_spark.functions.caching import tether
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+    )
+
+    v = F.expr(value_expr).cast("double")
+    w = F.expr(weight_expr).cast("double")
+    per = (
+        df.where(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(v.alias("__v"))
+        .agg(F.sum(w).alias("__w"))
+    )
+    cum = prefix_sums(per, ["__v"], {"__w": "__cw"}).persist()
+    tot = cum.agg(F.max("__cw").alias("__tot"))
+    hit = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("__tot").alias("__tot"),
+        *[
+            F.min(
+                F.when(
+                    F.col("__cw") >= F.lit(float(p)) * F.col("__tot"),
+                    F.struct(F.col("__v"), F.col("__cw")),
+                )
+            ).alias(f"__hit_{i}")
+            for i, p in enumerate(probs)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                F.col(f"__hit_{i}.__v").alias("value"),
+                F.col(f"__hit_{i}.__cw").alias("cw"),
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    out = (
+        hit.select(F.explode(pairs).alias("__e"), "__tot")
+        .select(
+            F.round(F.col("__e.p"), 6).alias("p"),
+            F.round(F.col("__e.value"), 6).alias("value"),
+            F.round(F.col("__e.cw"), 6).alias("cum_weight"),
+            F.round(F.col("__tot"), 6).alias("total_weight"),
+        )
+        .orderBy("p")
+    )
+    return tether(out, cum)
+
+
+def weighted_percentile_sql(
+    table: str,
+    value_expr: str,
+    weight_expr: str,
+    dialect: str,
+    *,
+    probs: tuple = (0.5, 0.9, 0.99),
+) -> str:
+    """Dual-dialect twin of :func:`weighted_percentile` (single-window
+    form — fine at oracle scale; struct-min is replayed as a
+    min-by-value pair via window rank)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    v = f"CAST({value_expr} AS DOUBLE)"
+    w = f"CAST({weight_expr} AS DOUBLE)"
+    plist = ", ".join(repr(float(p)) for p in probs)
+    if dialect == "spark":
+        pspine = f"SELECT explode(array({plist})) AS p"
+    else:
+        # CAST: DuckDB types decimal literals DECIMAL (the sprt pin)
+        pspine = f"SELECT CAST(unnest([{plist}]) AS DOUBLE) AS p"
+    return f"""
+WITH per AS (
+  SELECT {v} AS v, SUM({w}) AS w
+  FROM {table}
+  WHERE {v} IS NOT NULL AND {w} IS NOT NULL AND {w} > 0
+  GROUP BY 1
+),
+cum AS (
+  SELECT v, SUM(w) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM per
+),
+tot AS (SELECT MAX(cw) AS total FROM cum),
+ps AS ({pspine}),
+hits AS (
+  SELECT ps.p, MIN(cum.v) AS value
+  FROM ps CROSS JOIN tot JOIN cum ON cum.cw >= ps.p * tot.total
+  GROUP BY ps.p
+)
+SELECT ROUND(hits.p, 6) AS p, ROUND(hits.value, 6) AS value,
+       ROUND((SELECT MIN(cw) FROM cum WHERE cum.v = hits.value), 6)
+         AS cum_weight,
+       ROUND(tot.total, 6) AS total_weight
+FROM hits CROSS JOIN tot
+ORDER BY p
+"""

@@ -1227,3 +1227,155 @@ SELECT {id_col}, {group_col}, value,
 FROM ranked CROSS JOIN qs_t
 ORDER BY {id_col}
 """
+
+
+def ipf_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    *,
+    row_targets: dict[str, float] | None = None,
+    col_targets: dict[str, float] | None = None,
+    iters: int = 6,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of corpus weights to
+    TARGET marginal shares on two categorical axes — the
+    survey-statistics classic repurposed for corpus balancing: find
+    per-cell weights so the weighted (lang x source) table hits the
+    requested language shares AND source shares simultaneously, moving
+    each cell as little as possible (IPF converges to the max-entropy
+    fit). ``None`` targets mean UNIFORM shares over the axis's observed
+    values. A fixed ``iters`` sweeps (row-scale then col-scale) keeps
+    the computation unrollable for the oracle (the markov_stationary
+    pin). Returns one row per cell ``(row_key, col_key, n, weight,
+    weighted_share)`` rounded 6 ordered by (row_key, col_key) — weight
+    is the per-ROW multiplier (cells share one weight; multiply into
+    row-level sampling downstream).
+
+    Scale shape: ONE corpus pass builds the (row, col) cell counts;
+    every IPF sweep is two tiny aggs + a cell-frame join — the iterated
+    state is category-product-sized, never row volume. localCheckpoint
+    pins the loop lineage (the pagerank/markov replay trap).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    cells = (
+        df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+        .groupBy(
+            F.col(row_col).cast("string").alias("__rk"),
+            F.col(col_col).cast("string").alias("__ck"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint()
+    )
+
+    def _target_map(targets: dict[str, float] | None, key: str):
+        if targets is None:
+            return None  # uniform: 1/k computed from the frame
+        total = sum(targets.values())
+        if abs(total - 1.0) > 1e-9:
+            raise ValueError("targets must sum to 1")
+        pairs = []
+        for kk, vv in sorted(targets.items()):
+            pairs += [F.lit(kk), F.lit(float(vv))]
+        return F.create_map(*pairs)[F.col(key)]
+
+    rt = _target_map(row_targets, "__rk")
+    ct = _target_map(col_targets, "__ck")
+    total = cells.agg(F.sum("__n")).first()[0]
+    if total is None:
+        total = 0
+    cur = cells.withColumn("__w", F.lit(1.0))
+    for _ in range(iters):
+        for key, tgt in (("__rk", rt), ("__ck", ct)):
+            marg = cur.groupBy(key).agg(
+                F.sum(F.col("__w") * F.col("__n")).alias("__m")
+            )
+            kcount = F.count(F.lit(1)).over(Window.partitionBy())
+            share = (
+                tgt if tgt is not None
+                else F.lit(1.0) / kcount.cast("double")
+            )
+            scale = marg.select(
+                key,
+                F.try_divide(
+                    share * F.lit(float(total)), F.col("__m")
+                ).alias("__s"),
+            )
+            cur = (
+                cur.join(F.broadcast(scale), key)
+                .withColumn("__w", F.col("__w") * F.col("__s"))
+                .drop("__s")
+            ).localCheckpoint(eager=False)
+    wsum = Window.partitionBy()
+    return cur.select(
+        F.col("__rk").alias("row_key"),
+        F.col("__ck").alias("col_key"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round("__w", 6).alias("weight"),
+        F.round(
+            (F.col("__w") * F.col("__n"))
+            / F.sum(F.col("__w") * F.col("__n")).over(wsum),
+            6,
+        ).alias("weighted_share"),
+    ).orderBy("row_key", "col_key")
+
+
+def ipf_weights_sql(
+    table: str,
+    row_expr: str,
+    col_expr: str,
+    dialect: str,
+    *,
+    iters: int = 6,
+) -> str:
+    """Dual-dialect twin of :func:`ipf_weights` (uniform targets; the
+    unrolled sweeps pin ``AS MATERIALIZED`` per level on DuckDB — the
+    k_core/markov lesson — and Spark takes the same text minus the
+    keyword)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    levels = []
+    prev = "w0"
+    step = 0
+    for _ in range(iters):
+        for key in ("rk", "ck"):
+            step += 1
+            cur = f"w{step}"
+            levels.append(
+                f"{cur} AS {mat}(\n"
+                f"  SELECT c.rk, c.ck, c.n,\n"
+                f"         c.w * ((t.total / k.k_{key}) /\n"
+                f"                NULLIF(m.m, 0.0)) AS w\n"
+                f"  FROM {prev} c\n"
+                f"  JOIN (SELECT {key}, SUM(w * n) AS m FROM {prev}\n"
+                f"        GROUP BY 1) m ON c.{key} = m.{key}\n"
+                f"  CROSS JOIN t CROSS JOIN k\n)"
+            )
+            prev = cur
+    chain = ",\n".join(levels)
+    return f"""
+WITH cells AS {mat}(
+  SELECT CAST({row_expr} AS STRING) AS rk,
+         CAST({col_expr} AS STRING) AS ck, COUNT(*) AS n
+  FROM {table}
+  WHERE {row_expr} IS NOT NULL AND {col_expr} IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM cells),
+k AS (
+  SELECT CAST(COUNT(DISTINCT rk) AS DOUBLE) AS k_rk,
+         CAST(COUNT(DISTINCT ck) AS DOUBLE) AS k_ck
+  FROM cells
+),
+w0 AS {mat}(SELECT rk, ck, n, 1.0 AS w FROM cells),
+{chain},
+fin AS (SELECT rk, ck, n, w FROM {prev})
+SELECT rk AS row_key, ck AS col_key, CAST(n AS BIGINT) AS n,
+       ROUND(w, 6) AS weight,
+       ROUND((w * n) / (SELECT SUM(w * n) FROM fin), 6)
+         AS weighted_share
+FROM fin
+ORDER BY row_key, col_key
+"""

@@ -644,3 +644,79 @@ def test_sprt_stream_matches_batch_and_replays(spark, tmp_path):
     last2 = spark.read.parquet(str(tmp_path / "trace"))
     last2 = last2.where(F.col("epoch") == 1).drop("epoch")
     assert sorted(map(tuple, last2.collect())) == got
+
+
+def test_geo_hotspots_pins(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        geo_hotspots,
+    )
+
+    # a dense blob near (0,0) in a sparse field of single points (>7
+    # occupied cells so the Gi* denominator is defined): the blob cell
+    # must carry the top gi_z
+    rows = [(0.1 * i, 0.1 * i) for i in range(20)] + [
+        (float(la), float(lo))
+        for la in (-60.0, -30.0, 30.0, 60.0)
+        for lo in (-60.0, -30.0, 30.0, 60.0)
+    ]
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    out = geo_hotspots(df, "lat", "lon", size_deg=5.0, k=5).collect()
+    assert out, "no cells"
+    top = out[0]
+    assert top.doc_count >= 10  # the blob cell
+    assert top.hood_count >= top.doc_count
+    assert top.gi_z == max(r.gi_z for r in out)
+    # ordering pinned gi_z DESC, hex ASC
+    zs = [r.gi_z for r in out]
+    assert zs == sorted(zs, reverse=True)
+
+
+def test_weighted_percentile_pins(spark):
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        weighted_percentile,
+    )
+
+    # values 1..4 with weights 1,1,1,7 -> total 10; p50 hits value 4
+    # (cum 3 < 5 at value 3), p20 hits value 2 (cum 2 >= 2)
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)],
+        "v double, w double",
+    )
+    out = {r.p: r for r in weighted_percentile(
+        df, "v", "w", probs=(0.2, 0.5, 1.0)
+    ).collect()}
+    assert out[0.2].value == 2.0 and out[0.2].cum_weight == 2.0
+    assert out[0.5].value == 4.0
+    assert out[1.0].value == 4.0 and out[1.0].total_weight == 10.0
+
+    # unweighted (w=1) p50 over 1..9 = lower-median 5
+    u = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(1, 10)], "v double, w double"
+    )
+    assert weighted_percentile(u, "v", "w", probs=(0.5,)).collect()[
+        0
+    ].value == 5.0
+
+
+def test_ipf_weights_pins(spark):
+    from harmonize_search_analyze_spark.operators.sampling import (
+        ipf_weights,
+    )
+
+    # two langs x two sources, heavily skewed; uniform targets ->
+    # weighted marginal shares must converge to 0.5/0.5 on both axes
+    rows = (
+        [("en", "s1")] * 70 + [("en", "s2")] * 10
+        + [("fr", "s1")] * 15 + [("fr", "s2")] * 5
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = ipf_weights(df, "lang", "source", iters=8).collect()
+    assert len(out) == 4
+    share = {(r.row_key, r.col_key): r.weighted_share for r in out}
+    en = share[("en", "s1")] + share[("en", "s2")]
+    s1 = share[("en", "s1")] + share[("fr", "s1")]
+    assert abs(en - 0.5) < 1e-3, en
+    assert abs(s1 - 0.5) < 1e-3, s1
+    # weights positive, total share 1
+    assert all(r.weight > 0 for r in out)
+    assert abs(sum(share.values()) - 1.0) < 1e-6
