@@ -11531,6 +11531,64 @@ def _sql_ipf_weights(dialect: str = "duckdb") -> str:
 
 
 
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive STL-lite decomposition of daily event value: 7-day
+    centered-MA trend, zero-centered day-of-week seasonal, residual,
+    and Hyndman seasonal strength — calendar-bounded windows only."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        stl_decompose,
+    )
+
+    return stl_decompose(_t(spark, sf_dir, "events"), "ts", "value")
+
+
+def _sql_stl_decompose(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        stl_decompose_sql,
+    )
+
+    return stl_decompose_sql("events", "ts", "value", dialect)
+
+
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve (10 population-decile cuts) + exact grouped Gini of
+    document lengths — the top decile carries how much of the byte
+    mass? Cumulative count AND mass in one prefix-sums pass."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        lorenz_gini,
+    )
+
+    return lorenz_gini(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+def _sql_lorenz_gini(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        lorenz_gini_sql,
+    )
+
+    return lorenz_gini_sql("documents", "n_chars", dialect)
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily trend of event value (median pairwise
+    slope over the calendar-bounded day frame) with the OLS slope as
+    the sensitivity comparison."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        theil_sen,
+    )
+
+    return theil_sen(_t(spark, sf_dir, "events"), "ts", "value")
+
+
+def _sql_theil_sen(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        theil_sen_sql,
+    )
+
+    return theil_sen_sql("events", "ts", "value", dialect)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -11665,6 +11723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_hotspots": q_geo_hotspots,
         "weighted_percentile": q_weighted_percentile,
         "ipf_weights": q_ipf_weights,
+        "stl_decompose": q_stl_decompose,
+        "lorenz_gini": q_lorenz_gini,
+        "theil_sen": q_theil_sen,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12032,6 +12093,9 @@ def oracle_sql() -> dict[str, str]:
         "geo_hotspots": _sql_geo_hotspots(),
         "weighted_percentile": _sql_weighted_percentile(),
         "ipf_weights": _sql_ipf_weights(),
+        "stl_decompose": _sql_stl_decompose(),
+        "lorenz_gini": _sql_lorenz_gini(),
+        "theil_sen": _sql_theil_sen(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -4658,3 +4658,416 @@ SELECT CAST(n AS BIGINT) AS n_users, CAST(nc AS BIGINT) AS n_converted,
        ROUND(mean_, 6) AS mean_s
 FROM agg
 """
+
+
+def stl_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_expr: str,
+    *,
+    period: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition of a daily series (the
+    STL-lite every metric dashboard wants): trend = centered moving
+    average over ``trend_window`` days, seasonal = the mean detrended
+    value of each day-of-period slot (re-centered to sum to zero — the
+    additive-identity pin), residual = value - trend - seasonal, plus
+    the variance-explained ``seasonal_strength`` =
+    ``max(0, 1 - var(resid) / var(detrended))`` (Hyndman's measure).
+    Returns one row per day ``(day, value, trend, seasonal, residual,
+    seasonal_strength)`` rounded 6 ordered by day; rows whose centered
+    window is truncated at the series edge still emit (mean over what
+    exists, the moving_fn convention).
+
+    Scale shape: one (day -> sum) hash agg collapses the corpus; every
+    window after runs over the CALENDAR-bounded day frame (the
+    bucket_pipeline contract), the seasonal means are a period-sized
+    agg joined back broadcast, and the strength is a 1-row agg.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    if trend_window < 2:
+        raise ValueError("trend_window must be >= 2")
+    v = F.expr(value_expr).cast("double")
+    days = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.sum(v).alias("__v"))
+    )
+    half = trend_window // 2
+    wtrend = Window.orderBy("day").rowsBetween(-half, half)
+    trended = days.withColumn("__t", F.avg("__v").over(wtrend))
+    slot = F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")), period)
+    detr = trended.withColumn("__slot", slot).withColumn(
+        "__d", F.col("__v") - F.col("__t")
+    )
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    detr = detr.persist()
+    slots = detr.groupBy("__slot").agg(F.avg("__d").alias("__s_raw"))
+    wall = Window.partitionBy()
+    slots = slots.withColumn(
+        "__s", F.col("__s_raw") - F.avg("__s_raw").over(wall)
+    ).select("__slot", "__s")
+    joined = detr.join(F.broadcast(slots), "__slot").withColumn(
+        "__r", F.col("__d") - F.col("__s")
+    )
+    strength = joined.agg(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.try_divide(F.var_pop("__r"), F.var_pop("__d")),
+        ).alias("__fs")
+    )
+    out = (
+        joined.crossJoin(F.broadcast(strength))
+        .select(
+            "day",
+            F.round("__v", 6).alias("value"),
+            F.round("__t", 6).alias("trend"),
+            F.round("__s", 6).alias("seasonal"),
+            F.round("__r", 6).alias("residual"),
+            F.round("__fs", 6).alias("seasonal_strength"),
+        )
+        .orderBy("day")
+    )
+    return tether(out, detr)
+
+
+def stl_decompose_sql(
+    table: str,
+    ts_col: str,
+    value_expr: str,
+    dialect: str,
+    *,
+    period: int = 7,
+    trend_window: int = 7,
+) -> str:
+    """Dual-dialect twin of :func:`stl_decompose`. Slot arithmetic goes
+    through epoch-days so both engines agree on day-of-period; the
+    MOD of a negative epoch-day is pinned positive (pmod semantics)."""
+    if dialect == "spark":
+        day = f"to_date({ts_col})"
+        ep = "datediff(day, DATE '1970-01-01')"
+    elif dialect == "duckdb":
+        day = f"CAST({ts_col} AS DATE)"
+        ep = "date_diff('day', DATE '1970-01-01', day)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    half = trend_window // 2
+    v = f"CAST({value_expr} AS DOUBLE)"
+    return f"""
+WITH days AS (
+  SELECT {day} AS day, SUM({v}) AS v
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {v} IS NOT NULL
+  GROUP BY 1
+),
+trended AS (
+  SELECT day, v,
+         AVG(v) OVER (ORDER BY day
+           ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING) AS t,
+         ((({ep}) % {period}) + {period}) % {period} AS slot
+  FROM days
+),
+detr AS (SELECT day, v, t, slot, v - t AS d FROM trended),
+slots AS (
+  SELECT slot, AVG(d) - (SELECT AVG(x.a) FROM (
+           SELECT AVG(d) AS a FROM detr GROUP BY slot) x) AS s
+  FROM detr GROUP BY slot
+),
+joined AS (
+  SELECT detr.day, detr.v, detr.t, slots.s, detr.d,
+         detr.d - slots.s AS r
+  FROM detr JOIN slots ON detr.slot = slots.slot
+),
+fs AS (
+  SELECT GREATEST(0.0, 1.0 - VAR_POP(r) / NULLIF(VAR_POP(d), 0.0))
+           AS strength
+  FROM joined
+)
+SELECT day, ROUND(v, 6) AS value, ROUND(t, 6) AS trend,
+       ROUND(s, 6) AS seasonal, ROUND(r, 6) AS residual,
+       ROUND(strength, 6) AS seasonal_strength
+FROM joined CROSS JOIN fs
+ORDER BY day
+"""
+
+
+def lorenz_gini(
+    df: DataFrame,
+    value_expr: str,
+    *,
+    points: int = 10,
+) -> DataFrame:
+    """Lorenz curve + exact Gini coefficient of a positive quantity —
+    the distribution-inequality picture beside :func:`theil_index`'s
+    decomposable number (Lorenz shows the SHAPE: "the top decile of
+    docs carries X% of the bytes"). Gini uses the exact grouped
+    rank-weighted identity ``G = 1 - sum_v w_v * (F(v) + F(v-)) / W``
+    over distinct values (population definition, ties exact). Returns
+    one row per curve point ``(p, cum_value_share, gini)`` rounded 6
+    ordered by p — p is the POPULATION share at each of ``points``
+    evenly spaced cuts (lower rule, the weighted_percentile pin).
+
+    Curve points interpolate WITHIN a tied value block (mass spreads
+    uniformly over tied rows), so the curve is the exact per-row Lorenz
+    curve even though the plan never ranks rows.
+
+    Scale shape: group by VALUE, then ONE
+    :func:`ordering.prefix_sums` pass carries cumulative count AND
+    cumulative mass (continuous values make the frame corpus-sized —
+    never an unpartitioned window); the Gini reduction and every curve
+    point are conditional aggs over the cum frame.
+    """
+    if points < 2:
+        raise ValueError("points must be >= 2")
+    from harmonize_search_analyze_spark.functions.caching import tether
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+    )
+
+    v = F.expr(value_expr).cast("double")
+    per = (
+        df.where(v.isNotNull() & (v > 0))
+        .groupBy(v.alias("__v"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(v).alias("__m"),
+        )
+    )
+    cum = prefix_sums(
+        per, ["__v"], {"__c": "__cc", "__m": "__cm"}
+    ).persist()
+    tot = cum.agg(
+        F.max("__cc").alias("__n"), F.max("__cm").alias("__w")
+    )
+    # G = sum over distinct v of (m_v / W) * (F(v) + F(v^-)) - 1 with
+    # F the population CDF — exact under ties (checked against the
+    # pairwise |x_i - x_j| / (2 n^2 mu) definition: all-equal -> 0,
+    # one-owner-of-everything among n -> (n-1)/n)
+    g = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("__n").alias("__n"),
+        F.max("__w").alias("__w"),
+        (
+            F.sum(
+                F.col("__m")
+                * (2.0 * F.col("__cc") - F.col("__c"))
+            ) / (F.max("__n") * F.max("__w"))
+            - F.lit(1.0)
+        ).alias("__g"),
+        *[
+            # the FIRST value block whose cumulative count reaches the
+            # cut: struct-min orders by cc first
+            F.min(
+                F.when(
+                    F.col("__cc")
+                    >= F.lit(float(i) / points) * F.col("__n"),
+                    F.struct(
+                        F.col("__cc"), F.col("__c"),
+                        F.col("__cm"), F.col("__m"),
+                    ),
+                )
+            ).alias(f"__hit_{i}")
+            for i in range(1, points + 1)
+        ],
+    )
+
+    def _share(i: int):
+        h = F.col(f"__hit_{i}")
+        t = F.lit(float(i) / points) * F.col("__n")
+        # mass below the block + the block's pro-rata mass up to t
+        covered = (
+            h["__cm"] - h["__m"]
+            + (t - (h["__cc"] - h["__c"])) * h["__m"] / h["__c"]
+        )
+        return F.coalesce(
+            F.try_divide(covered, F.col("__w")), F.lit(0.0)
+        )
+
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(round(i / points, 6)).alias("p"),
+                _share(i).alias("share"),
+            )
+            for i in range(1, points + 1)
+        ]
+    )
+    out = (
+        g.select(F.explode(arr).alias("__e"), "__g")
+        .select(
+            F.col("__e.p").alias("p"),
+            F.round(F.col("__e.share"), 6).alias("cum_value_share"),
+            F.round(F.col("__g"), 6).alias("gini"),
+        )
+        .orderBy("p")
+    )
+    return tether(out, cum)
+
+
+def lorenz_gini_sql(
+    table: str,
+    value_expr: str,
+    dialect: str,
+    *,
+    points: int = 10,
+) -> str:
+    """Dual-dialect twin of :func:`lorenz_gini` (single-window form at
+    oracle scale)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    v = f"CAST({value_expr} AS DOUBLE)"
+    ps = ", ".join(
+        repr(round(i / points, 6)) for i in range(1, points + 1)
+    )
+    if dialect == "spark":
+        spine = f"SELECT explode(array({ps})) AS p"
+    else:
+        spine = f"SELECT CAST(unnest([{ps}]) AS DOUBLE) AS p"
+    return f"""
+WITH per AS (
+  SELECT {v} AS v, COUNT(*) AS c, SUM({v}) AS m
+  FROM {table} WHERE {v} IS NOT NULL AND {v} > 0 GROUP BY 1
+),
+cum AS (
+  SELECT v, c, m,
+         SUM(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+         SUM(m) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM per
+),
+tot AS (SELECT MAX(cc) AS n, MAX(cm) AS w FROM cum),
+gini AS (
+  SELECT SUM(m * (2.0 * cc - c)) / (MAX(n) * MAX(w)) - 1.0 AS g
+  FROM cum CROSS JOIN tot
+),
+ps AS ({spine}),
+hits AS (
+  SELECT ps.p, MIN(cum.cc) AS cc
+  FROM ps CROSS JOIN tot JOIN cum ON cum.cc >= ps.p * tot.n
+  GROUP BY ps.p
+),
+curve AS (
+  SELECT hits.p,
+         (cum.cm - cum.m
+          + (hits.p * tot.n - (cum.cc - cum.c)) * cum.m / cum.c)
+           / tot.w AS share
+  FROM hits JOIN cum ON cum.cc = hits.cc CROSS JOIN tot
+)
+SELECT ROUND(curve.p, 6) AS p,
+       ROUND(curve.share, 6) AS cum_value_share,
+       ROUND(gini.g, 6) AS gini
+FROM curve CROSS JOIN gini
+ORDER BY p
+"""
+
+
+def theil_sen(
+    df: DataFrame,
+    ts_col: str,
+    value_expr: str,
+) -> DataFrame:
+    """Theil-Sen robust trend over the DAILY series — the
+    outlier-immune alternative to :func:`ols_trend` (one anomalous day
+    can't bend it; breakdown point 29%): the slope is the MEDIAN of
+    all pairwise day-slopes, the intercept the median of
+    ``y - slope * x``. Returns ONE row ``(n_days, slope_per_day,
+    intercept, ols_slope)`` rounded 6 (the OLS slope rides along as
+    the sensitivity comparison); fewer than 2 days pins NULLs.
+
+    Scale shape: the corpus collapses to the CALENDAR-bounded day frame
+    first (one hash agg), so the exact all-pairs slope set is
+    |days|^2/2 — bounded by the time range squared, independent of
+    corpus size (3 years of days = ~600k pairs, trivia) — then two
+    median aggs. Never pairs raw rows.
+    """
+    v = F.expr(value_expr).cast("double")
+    days = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(F.to_date(F.col(ts_col)).alias("__d"))
+        .agg(F.sum(v).alias("__y"))
+        .withColumn(
+            "__x",
+            F.datediff(F.col("__d"), F.lit("1970-01-01")).cast("double"),
+        )
+    )
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    days = days.persist()
+    a = days.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya")
+    )
+    b = days.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb")
+    )
+    pairs = a.join(b, F.col("__xa") < F.col("__xb")).select(
+        (
+            (F.col("__yb") - F.col("__ya"))
+            / (F.col("__xb") - F.col("__xa"))
+        ).alias("__s")
+    )
+    slope = pairs.agg(F.median("__s").alias("__slope"))
+    inter = days.crossJoin(F.broadcast(slope)).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("__slope").alias("__slope"),
+        F.median(
+            F.col("__y") - F.col("__slope") * F.col("__x")
+        ).alias("__b"),
+        F.try_divide(
+            F.covar_pop("__x", "__y"), F.var_pop("__x")
+        ).alias("__ols"),
+    )
+    out = inter.select(
+        F.col("__n").cast("bigint").alias("n_days"),
+        F.round("__slope", 6).alias("slope_per_day"),
+        F.round("__b", 6).alias("intercept"),
+        F.round("__ols", 6).alias("ols_slope"),
+    )
+    return tether(out, days)
+
+
+def theil_sen_sql(
+    table: str,
+    ts_col: str,
+    value_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`theil_sen` (MEDIAN is
+    linear-interpolated on both engines)."""
+    if dialect == "spark":
+        day = f"to_date({ts_col})"
+        ep = "CAST(datediff(d, DATE '1970-01-01') AS DOUBLE)"
+    elif dialect == "duckdb":
+        day = f"CAST({ts_col} AS DATE)"
+        ep = "CAST(date_diff('day', DATE '1970-01-01', d) AS DOUBLE)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    v = f"CAST({value_expr} AS DOUBLE)"
+    return f"""
+WITH days AS (
+  SELECT {day} AS d, SUM({v}) AS y
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {v} IS NOT NULL
+  GROUP BY 1
+),
+pts AS (SELECT {ep} AS x, y FROM days),
+pairs AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS s
+  FROM pts a JOIN pts b ON a.x < b.x
+),
+slope AS (SELECT MEDIAN(s) AS slope FROM pairs),
+fit AS (
+  SELECT COUNT(*) AS n, MAX(slope.slope) AS slope,
+         MEDIAN(pts.y - slope.slope * pts.x) AS b,
+         COVAR_POP(pts.x, pts.y) / NULLIF(VAR_POP(pts.x), 0.0) AS ols
+  FROM pts CROSS JOIN slope
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(slope, 6) AS slope_per_day,
+       ROUND(b, 6) AS intercept,
+       ROUND(ols, 6) AS ols_slope
+FROM fit
+"""

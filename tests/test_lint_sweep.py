@@ -34,6 +34,8 @@ CARTESIAN_ALLOWED = {
     "simhash_hamming",       # brute pair oracle for the banded path
     "matrix_stats",          # fixed column-pair frame (metadata-sized)
     "mmr_rerank",            # driver-side greedy over a bounded pool
+    "theil_sen",             # all-pairs over the CALENDAR-bounded day
+                             # frame (|days|^2 independent of corpus)
 }
 
 

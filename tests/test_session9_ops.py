@@ -720,3 +720,75 @@ def test_ipf_weights_pins(spark):
     # weights positive, total share 1
     assert all(r.weight > 0 for r in out)
     assert abs(sum(share.values()) - 1.0) < 1e-6
+
+
+def test_stl_decompose_pins(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        stl_decompose,
+    )
+
+    # pure weekly signal on a flat base: seasonal absorbs the pattern,
+    # residuals ~0, strength ~1
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(28):
+        v = 100.0 + (50.0 if d % 7 == 0 else 0.0)
+        rows.append((base + dt.timedelta(days=d), v))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = stl_decompose(df, "ts", "v").collect()
+    assert len(out) == 28
+    for r in out:
+        assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 1e-4
+    # interior rows (full centered window): trend is flat 100+50/7 and
+    # residuals small (edge rows pull the slot means slightly)
+    interior = out[3:-3]
+    assert all(abs(r.trend - (100.0 + 50.0 / 7.0)) < 1e-6
+               for r in interior)
+    assert all(abs(r.residual) < 6.0 for r in interior)
+    assert out[0].seasonal_strength > 0.7
+    # the 7 seasonal slot values are zero-centered by construction —
+    # the first 7 days cover each slot exactly once
+    assert abs(sum(r.seasonal for r in out[:7])) < 1e-4
+
+
+def test_lorenz_gini_pins(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        lorenz_gini,
+    )
+
+    # all equal -> gini 0, curve is the diagonal
+    eq = spark.createDataFrame([(5.0,)] * 10, "v double")
+    out = lorenz_gini(eq, "v", points=5).collect()
+    assert all(r.gini == 0.0 for r in out)
+    assert [r.cum_value_share for r in out] == [0.2, 0.4, 0.6, 0.8, 1.0]
+
+    # one owner holds everything among n=10 -> gini = (n-1)/n = 0.9
+    # (population definition; v>0 filter drops the zero owners, so
+    # encode "others" as tiny eps values instead)
+    rows = [(1e-9,)] * 9 + [(100.0,)]
+    sk = spark.createDataFrame(rows, "v double")
+    g = lorenz_gini(sk, "v", points=5).collect()[0].gini
+    assert abs(g - 0.9) < 1e-3
+
+
+def test_theil_sen_pins(spark):
+    import datetime as dt
+
+    from harmonize_search_analyze_spark.operators.analytics import (
+        theil_sen,
+    )
+
+    # clean slope 2/day with ONE wild outlier day: Theil-Sen stays ~2,
+    # OLS gets dragged
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(days=d), 10.0 + 2.0 * d) for d in range(15)
+    ]
+    rows[13] = (base + dt.timedelta(days=13), 10000.0)
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    r = theil_sen(df, "ts", "v").collect()[0]
+    assert r.n_days == 15
+    assert abs(r.slope_per_day - 2.0) < 0.2
+    assert abs(r.ols_slope - 2.0) > 10  # OLS bent by the outlier
