@@ -11602,8 +11602,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_dict": q_profile_dict,
         "nested_terms": q_nested_terms,
         "harmonize_rollup": q_harmonize_rollup,
-        # -- ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 47 first-time
-        # rows — the never-verified queue head in its stable order.
+        # -- ROUND-7 ROTATION (VERDICT r6 "R7 plan" #1): 47 first-time
+        # oracle-backed rows, led by the verdict's NAMED heavy/new set
+        # (the r6 statistical battery, 27 rows, incl. group_entropy +
+        # dup_factor per plan item #5), then the named ES
+        # parent/child/span tail (10), then 10 queue-head fillers incl.
+        # pr_curve (rewired onto the prefix-sum primitive this round).
+        "markov_stationary": q_markov_stationary,
+        "confusion_eval": q_confusion_eval,
+        "leakage_check": q_leakage_check,
+        "spearman_corr": q_spearman_corr,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "source_jsd_matrix": q_source_jsd_matrix,
+        "entropy_rate": q_entropy_rate,
+        "heaps_law": q_heaps_law,
+        "geoip_route": q_geoip_route,
+        "jsd_divergence": q_jsd_divergence,
+        "distinct_ngrams": q_distinct_ngrams,
+        "cusum_change": q_cusum_change,
+        "benford_test": q_benford_test,
+        "mann_whitney": q_mann_whitney,
+        "roc_auc": q_roc_auc,
+        "calibration": q_calibration,
+        "burstiness": q_burstiness,
+        "trimmed_stats": q_trimmed_stats,
+        "acf_series": q_acf_series,
+        "quantile_norm": q_quantile_norm,
+        "anova_f": q_anova_f,
+        "chi2_independence": q_chi2_independence,
+        "ks_drift": q_ks_drift,
+        "cross_source_dups": q_cross_source_dups,
+        "template_prefixes": q_template_prefixes,
+        "group_entropy": q_group_entropy,
+        "dup_factor": q_dup_factor,
+        "children_agg": q_children_agg,
+        "has_child": q_has_child,
+        "has_parent": q_has_parent,
+        "reverse_nested": q_reverse_nested,
+        "span_search": q_span_search,
+        "span_not_search": q_span_not_search,
+        "significant_chi2": q_significant_chi2,
+        "significant_bg": q_significant_bg,
+        "msearch": q_msearch,
+        "explain_score": q_explain_score,
+        "pr_curve": q_pr_curve,
         "hard_negatives": q_hard_negatives,
         "terms_partition": q_terms_partition,
         "audio_profile": q_audio_profile,
@@ -11613,49 +11655,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_script": q_bucket_script,
         "ip_prefix": q_ip_prefix,
         "intra_doc_dedup": q_intra_doc_dedup,
+        # -- window boundary (driver reads the 50 entries above) -------
+        # remaining never-driver-verified queue in prior relative order
+        # (round-8 window pulls from here first; local parity mirror
+        # keeps them green), then the driver-green r6 and r1-r5 sets.
         "runtime_fields": q_runtime_fields,
         "fim_transform": q_fim_transform,
         "span_corruption": q_span_corruption,
         "latest_transform": q_latest_transform,
         "denoiser_mix": q_denoiser_mix,
-        "span_search": q_span_search,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
-        "has_child": q_has_child,
-        "has_parent": q_has_parent,
-        "reverse_nested": q_reverse_nested,
         "script_filter": q_script_filter,
         "scripted_metric": q_scripted_metric,
         "pinned_search": q_pinned_search,
         "length_batching": q_length_batching,
         "epoch_shuffle": q_epoch_shuffle,
-        "significant_chi2": q_significant_chi2,
         "pivot_summary": q_pivot_summary,
         "geo_shape": q_geo_shape,
         "script_score": q_script_score,
         "serial_diff_page": q_serial_diff,
         "bucket_stats": q_bucket_stats,
-        "explain_score": q_explain_score,
-        "msearch": q_msearch,
-        "pr_curve": q_pr_curve,
         "terms_enum": q_terms_enum,
         "shard_manifest": q_shard_manifest,
         "sparse_search": q_sparse_search,
-        "significant_bg": q_significant_bg,
         "counter_rate": q_counter_rate,
         "composite_datehist": q_composite_datehist,
-        "children_agg": q_children_agg,
         "step_transitions": q_step_transitions,
         "seasonal_anomalies": q_seasonal_anomalies,
-        "ks_drift": q_ks_drift,
-        "chi2_independence": q_chi2_independence,
         "rollup_answered": q_rollup_answered,
         "terms_by_metric": q_terms_by_metric,
-        # -- window boundary (driver reads the 50 entries above) -------
-        # remaining never-driver-verified queue in prior relative order
-        # (round-8 window pulls from here first; local parity mirror
-        # keeps them green), then the driver-green r6 and r1-r5 sets.
-        "span_not_search": q_span_not_search,
         "global_agg": q_global_agg,
         "inference_score": q_inference_score,
         "eql_until": q_eql_until,
@@ -11670,7 +11699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash": q_feature_hash,
         "ingest_enrich": q_ingest_enrich,
         "anneal_schedule": q_anneal_schedule,
-        "geoip_route": q_geoip_route,
         "readability": q_readability,
         "mmr_rerank": q_mmr_rerank,
         "hll_cardinality": q_hll_cardinality,
@@ -11678,33 +11706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "unigram_train": q_unigram_train,
         "compression_ratio": q_compression_ratio,
-        # -- round-6 additions (join the never-verified queue) ----------
-        "cusum_change": q_cusum_change,
-        "benford_test": q_benford_test,
-        "jsd_divergence": q_jsd_divergence,
-        "distinct_ngrams": q_distinct_ngrams,
-        "leakage_check": q_leakage_check,
-        "mann_whitney": q_mann_whitney,
-        "calibration": q_calibration,
-        "burstiness": q_burstiness,
-        "quantile_norm": q_quantile_norm,
-        "source_jsd_matrix": q_source_jsd_matrix,
-        "trimmed_stats": q_trimmed_stats,
-        "acf_series": q_acf_series,
+        # -- round-6 additions still in the never-verified queue --------
         "embedding_drift": q_embedding_drift,
-        "heaps_law": q_heaps_law,
-        "entropy_rate": q_entropy_rate,
-        "confusion_eval": q_confusion_eval,
-        "roc_auc": q_roc_auc,
-        "anova_f": q_anova_f,
-        "spearman_corr": q_spearman_corr,
-        "cross_source_dups": q_cross_source_dups,
-        "template_prefixes": q_template_prefixes,
-        "source_overlap_matrix": q_source_overlap_matrix,
-        "markov_stationary": q_markov_stationary,
         "blocklist_scan": q_blocklist_scan,
-        "group_entropy": q_group_entropy,
-        "dup_factor": q_dup_factor,
         # -- round-7 additions (join the never-verified queue) ----------
         "mcnemar": q_mcnemar,
         "wilson_intervals": q_wilson_intervals,
