@@ -11588,6 +11588,178 @@ def _sql_theil_sen(dialect: str = "duckdb") -> str:
     return theil_sen_sql("events", "ts", "value", dialect)
 
 
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (raw + Bergsma bias-corrected) between document
+    language and source — HOW related, where chi2_independence only
+    says whether."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cramers_v,
+    )
+
+    return cramers_v(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+def _sql_cramers_v(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cramers_v_sql,
+    )
+
+    return cramers_v_sql("documents", "lang", "source", dialect)
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (variable-rater generalization) over duplicate-text
+    clusters: do copies of the same text carry the same source label —
+    the annotation-consistency audit in agreement-statistic form."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        fleiss_kappa,
+    )
+
+    return fleiss_kappa(
+        _t(spark, sf_dir, "documents"), "md5(text)", "source"
+    )
+
+
+def _sql_fleiss_kappa(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        fleiss_kappa_sql,
+    )
+
+    return fleiss_kappa_sql("documents", "md5(text)", "source", dialect)
+
+
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up FDR screen over (event_type x hour-of-day) mean value
+    shifts — the multiple-testing gate for hundred-slice drift
+    monitoring."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        benjamini_hochberg,
+    )
+
+    return benjamini_hochberg(
+        _t(spark, sf_dir, "events"),
+        ["event_type", "hour(ts)"],
+        "value",
+    )
+
+
+def _sql_benjamini_hochberg(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        benjamini_hochberg_sql,
+    )
+
+    return benjamini_hochberg_sql(
+        "events", ["event_type", "hour(ts)"], "value", dialect
+    )
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: click/view touches in the 7-day
+    window before each purchase share the conversion credit equally."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_linear,
+    )
+
+    return attribution_linear(
+        _t(spark, sf_dir, "events"), ["click", "view"], "purchase"
+    )
+
+
+def _sql_attribution_linear(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_linear_sql,
+    )
+
+    return attribution_linear_sql(
+        "events", ["click", "view"], "purchase", dialect
+    )
+
+
+def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic bot scoring over the event stream: request rate,
+    inter-event regularity, and type diversity — top 20 suspects."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        bot_score,
+    )
+
+    return bot_score(_t(spark, sf_dir, "events"))
+
+
+def _sql_bot_score(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        bot_score_sql,
+    )
+
+    return bot_score_sql("events", dialect)
+
+
+_FD_AUDIT = [
+    ("doc_id", "lang"),
+    ("md5(text)", "lang"),
+    ("md5(text)", "source"),
+]
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit on documents: does doc_id determine
+    lang (it must), and do duplicate texts keep one lang / one source
+    (label-consistency as an FD check)."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        fd_violations,
+    )
+
+    return fd_violations(_t(spark, sf_dir, "documents"), _FD_AUDIT)
+
+
+def _sql_fd_violations(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.curation import (
+        fd_violations_sql,
+    )
+
+    return fd_violations_sql("documents", _FD_AUDIT, dialect)
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front over events on (value, recency): the events no
+    other event beats on both — the dominance data-selection filter."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        pareto_front,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    front = pareto_front(ev, "value", "ts")
+    return front.select(
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.unix_timestamp("ts").cast("bigint").alias("ts_s"),
+    )
+
+
+def _sql_pareto_front(dialect: str = "duckdb") -> str:
+    if dialect == "spark":
+        sec = "CAST(unix_timestamp(e.ts) AS BIGINT)"
+    else:
+        sec = "CAST(FLOOR(epoch(e.ts)) AS BIGINT)"
+    return f"""
+WITH g AS (
+  SELECT value AS d1, MAX(ts) AS gmax
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+),
+s AS (
+  SELECT d1, gmax,
+         MAX(gmax) OVER (
+           ORDER BY d1 DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS mstrict
+  FROM g
+)
+SELECT e.event_id, ROUND(e.value, 6) AS value, {sec} AS ts_s
+FROM events e JOIN s ON e.value = s.d1
+WHERE e.ts = s.gmax AND (s.mstrict IS NULL OR e.ts > s.mstrict)
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
@@ -11730,6 +11902,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_decompose": q_stl_decompose,
         "lorenz_gini": q_lorenz_gini,
         "theil_sen": q_theil_sen,
+        "cramers_v": q_cramers_v,
+        "fleiss_kappa": q_fleiss_kappa,
+        "benjamini_hochberg": q_benjamini_hochberg,
+        "attribution_linear": q_attribution_linear,
+        "bot_score": q_bot_score,
+        "fd_violations": q_fd_violations,
+        "pareto_front": q_pareto_front,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12100,6 +12279,13 @@ def oracle_sql() -> dict[str, str]:
         "stl_decompose": _sql_stl_decompose(),
         "lorenz_gini": _sql_lorenz_gini(),
         "theil_sen": _sql_theil_sen(),
+        "cramers_v": _sql_cramers_v(),
+        "fleiss_kappa": _sql_fleiss_kappa(),
+        "benjamini_hochberg": _sql_benjamini_hochberg(),
+        "attribution_linear": _sql_attribution_linear(),
+        "bot_score": _sql_bot_score(),
+        "fd_violations": _sql_fd_violations(),
+        "pareto_front": _sql_pareto_front(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

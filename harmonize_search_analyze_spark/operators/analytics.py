@@ -5071,3 +5071,680 @@ SELECT CAST(n AS BIGINT) AS n_days,
        ROUND(ols, 6) AS ols_slope
 FROM fit
 """
+
+
+# -- categorical effect size / agreement / multiple testing ---------------------
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association strength between two categorical columns —
+    the "how related" companion to :func:`chi2_independence`'s "is it
+    related": ``V = sqrt(phi2 / (min(ka, kb) - 1))`` with
+    ``phi2 = chi2 / n``, plus the Bergsma bias-corrected variant
+    ``V~ = sqrt(max(0, phi2 - (ka-1)(kb-1)/(n-1)) / (min(ka~, kb~) - 1))``
+    with ``k~ = k - (k-1)^2/(n-1)`` (raw V inflates toward 1 on sparse
+    high-cardinality tables — the corpus-audit case). Returns ONE row
+    ``(n, ka, kb, chi2, v, v_corrected)`` rounded 6; a single-category
+    axis pins NULL v (association undefined), n <= 1 pins NULL
+    v_corrected.
+
+    Scale shape: identical to chi2_independence — one (a, b) hash agg
+    builds the contingency cells, marginals aggregate FROM the cell
+    frame, the full |A| x |B| grid is category-sized (empty cells still
+    contribute ``e`` to chi2).
+    """
+    observed = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    row_m = observed.groupBy("a").agg(F.sum("o").alias("ra"))
+    col_m = observed.groupBy("b").agg(F.sum("o").alias("cb"))
+    cells = (
+        row_m.crossJoin(col_m)
+        .join(observed, ["a", "b"], "left")
+        .select(
+            "ra", "cb", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    tot = observed.agg(F.sum("o").alias("n"))
+    ka = row_m.agg(F.count(F.lit(1)).alias("ka"))
+    kb = col_m.agg(F.count(F.lit(1)).alias("kb"))
+    e = (
+        F.col("ra").cast("double")
+        * F.col("cb").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o") - e) / e
+    one = (
+        cells.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ka))
+        .crossJoin(F.broadcast(kb))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("ka").cast("bigint").alias("ka"),
+            F.max("kb").cast("bigint").alias("kb"),
+            F.sum(term).alias("__chi2"),
+        )
+    )
+    n = F.col("n").cast("double")
+    kaa, kbb = F.col("ka").cast("double"), F.col("kb").cast("double")
+    phi2 = F.col("__chi2") / n
+    v = F.sqrt(F.try_divide(phi2, F.least(kaa, kbb) - 1.0))
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2 - F.try_divide((kaa - 1.0) * (kbb - 1.0), n - 1.0),
+    )
+    kac = kaa - F.try_divide((kaa - 1.0) * (kaa - 1.0), n - 1.0)
+    kbc = kbb - F.try_divide((kbb - 1.0) * (kbb - 1.0), n - 1.0)
+    vc = F.sqrt(F.try_divide(phi2c, F.least(kac, kbc) - 1.0))
+    return one.select(
+        "n", "ka", "kb",
+        F.round("__chi2", 6).alias("chi2"),
+        (F.round(v, 6) + F.lit(0.0)).alias("v"),
+        (F.round(vc, 6) + F.lit(0.0)).alias("v_corrected"),
+    )
+
+
+def cramers_v_sql(
+    table: str, col_a: str, col_b: str, dialect: str
+) -> str:
+    """Dual-dialect twin of :func:`cramers_v` (identical text; NULLIF
+    division mirrors try_divide, GREATEST(0, ...) clamps the corrected
+    phi2)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH obs AS (
+  SELECT {col_a} AS a, {col_b} AS b, COUNT(*) AS o
+  FROM {table}
+  WHERE {col_a} IS NOT NULL AND {col_b} IS NOT NULL
+  GROUP BY 1, 2
+),
+row_m AS (SELECT a, SUM(o) AS ra FROM obs GROUP BY 1),
+col_m AS (SELECT b, SUM(o) AS cb FROM obs GROUP BY 1),
+cells AS (
+  SELECT r.ra, c.cb, COALESCE(o.o, 0) AS o
+  FROM row_m r CROSS JOIN col_m c
+  LEFT JOIN obs o ON o.a = r.a AND o.b = c.b
+),
+chi AS (
+  SELECT (SELECT SUM(o) FROM obs) AS n,
+         (SELECT COUNT(*) FROM row_m) AS ka,
+         (SELECT COUNT(*) FROM col_m) AS kb,
+         SUM((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb
+              / (SELECT SUM(o) FROM obs))
+             * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb
+                / (SELECT SUM(o) FROM obs))
+             / (CAST(ra AS DOUBLE) * cb / (SELECT SUM(o) FROM obs))
+         ) AS chi2
+  FROM cells
+),
+s AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(ka AS DOUBLE) AS ka,
+         CAST(kb AS DOUBLE) AS kb, chi2, chi2 / n AS phi2,
+         GREATEST(0.0, chi2 / n
+                  - (ka - 1.0) * (kb - 1.0) / NULLIF(n - 1.0, 0.0)
+         ) AS phi2c,
+         ka - (ka - 1.0) * (ka - 1.0) / NULLIF(n - 1.0, 0.0) AS kac,
+         kb - (kb - 1.0) * (kb - 1.0) / NULLIF(n - 1.0, 0.0) AS kbc
+  FROM chi
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS ka,
+       CAST(kb AS BIGINT) AS kb, ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT(phi2 / NULLIF(LEAST(ka, kb) - 1.0, 0.0)), 6)
+         + 0.0 AS v,
+       ROUND(SQRT(phi2c / NULLIF(LEAST(kac, kbc) - 1.0, 0.0)), 6)
+         + 0.0 AS v_corrected
+FROM s
+"""
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_expr: str,
+    category_expr: str,
+    *,
+    min_raters: int = 2,
+) -> DataFrame:
+    """Fleiss' kappa chance-corrected agreement, in the variable-rater
+    generalization — the label-consistency audit for LLM annotation
+    pipelines (N raters per item, e.g. "do duplicate copies of a text
+    carry the same label"): per item ``P_i = sum_j n_ij (n_ij - 1) /
+    (n_i (n_i - 1))``, ``P_bar = mean(P_i)``, chance agreement
+    ``P_e = sum_j p_j^2`` with ``p_j`` the pooled category share, and
+    ``kappa = (P_bar - P_e) / (1 - P_e)``. Items with fewer than
+    ``min_raters`` ratings drop (no pair to agree). Returns ONE row
+    ``(n_items, n_ratings, n_categories, p_bar, p_e, kappa)`` rounded 6;
+    a single pooled category pins NULL kappa (P_e = 1, division by
+    zero — agreement is vacuous).
+
+    Scale shape: one (item, category) hash agg, one item-keyed agg on
+    that frame (same key prefix, AQE keeps it co-partitioned), a
+    category-sized marginal agg, then three 1-row broadcasts — the raw
+    rows are scanned once.
+    """
+    if min_raters < 2:
+        raise ValueError("min_raters must be >= 2")
+    counts = (
+        df.select(
+            F.expr(item_expr).alias("__i"),
+            F.expr(category_expr).alias("__c"),
+        )
+        .where(F.col("__i").isNotNull() & F.col("__c").isNotNull())
+        .groupBy("__i", "__c")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    items = (
+        counts.groupBy("__i")
+        .agg(
+            F.sum("c").alias("ni"),
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("agree"),
+        )
+        .where(F.col("ni") >= min_raters)
+    )
+    pbar = items.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("ni").alias("n_ratings"),
+        F.avg(
+            F.col("agree").cast("double")
+            / (F.col("ni") * (F.col("ni") - F.lit(1)))
+        ).alias("p_bar"),
+    )
+    marg = (
+        counts.join(items.select("__i"), "__i")
+        .groupBy("__c")
+        .agg(F.sum("c").alias("cj"))
+    )
+    pe = marg.crossJoin(F.broadcast(pbar.select("n_ratings"))).agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(
+            (F.col("cj").cast("double") / F.col("n_ratings"))
+            * (F.col("cj") / F.col("n_ratings"))
+        ).alias("p_e"),
+    )
+    one = pbar.crossJoin(F.broadcast(pe))
+    kappa = F.try_divide(
+        F.col("p_bar") - F.col("p_e"), 1.0 - F.col("p_e")
+    )
+    return one.select(
+        F.col("n_items").cast("bigint").alias("n_items"),
+        F.col("n_ratings").cast("bigint").alias("n_ratings"),
+        F.col("n_categories").cast("bigint").alias("n_categories"),
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round("p_e", 6).alias("p_e"),
+        (F.round(kappa, 6) + F.lit(0.0)).alias("kappa"),
+    )
+
+
+def fleiss_kappa_sql(
+    table: str,
+    item_expr: str,
+    category_expr: str,
+    dialect: str,
+    *,
+    min_raters: int = 2,
+) -> str:
+    """Dual-dialect twin of :func:`fleiss_kappa` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH counts AS (
+  SELECT {item_expr} AS i, {category_expr} AS c, COUNT(*) AS cnt
+  FROM {table}
+  WHERE {item_expr} IS NOT NULL AND {category_expr} IS NOT NULL
+  GROUP BY 1, 2
+),
+items AS (
+  SELECT i, SUM(cnt) AS ni, SUM(cnt * (cnt - 1)) AS agree
+  FROM counts GROUP BY 1
+  HAVING SUM(cnt) >= {min_raters}
+),
+pbar AS (
+  SELECT COUNT(*) AS n_items, SUM(ni) AS n_ratings,
+         AVG(CAST(agree AS DOUBLE) / (ni * (ni - 1))) AS p_bar
+  FROM items
+),
+marg AS (
+  SELECT counts.c, SUM(cnt) AS cj
+  FROM counts JOIN items ON counts.i = items.i
+  GROUP BY 1
+),
+pe AS (
+  SELECT COUNT(*) AS n_categories,
+         SUM((CAST(cj AS DOUBLE) / (SELECT n_ratings FROM pbar))
+             * (CAST(cj AS DOUBLE) / (SELECT n_ratings FROM pbar))
+         ) AS p_e
+  FROM marg
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(n_ratings AS BIGINT) AS n_ratings,
+       CAST(n_categories AS BIGINT) AS n_categories,
+       ROUND(p_bar, 6) AS p_bar,
+       ROUND(p_e, 6) AS p_e,
+       ROUND((p_bar - p_e) / NULLIF(1.0 - p_e, 0.0), 6) + 0.0 AS kappa
+FROM pbar CROSS JOIN pe
+"""
+
+
+def benjamini_hochberg(
+    df: DataFrame,
+    group_exprs: list[str],
+    value_expr: str,
+    *,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR screen over per-group mean shifts — the
+    multiple-testing gate the significant_terms family needs once you
+    test HUNDREDS of slices at once (per-source quality drift, per-hour
+    rate shifts): each group's one-sample z against the global mean
+    (``z = (mean_g - mu) / (sd / sqrt(n_g))``, two-sided p via the
+    shared A&S erf polynomial), then the BH step-up: rank p ascending,
+    reject every rank <= k where k is the largest i with
+    ``p_i <= (i/m) q``. Returns one row per group ordered (p ASC, keys
+    ASC): group keys + ``(n, mean, z, p_value, rank, bh_critical,
+    rejected)``, p/z rounded 6.
+
+    Scale shape: one group hash agg + a broadcast 1-row global frame;
+    the rank window and the k fold run over the GROUP frame (bounded by
+    group cardinality, never corpus rows — callers choosing corpus-
+    cardinality keys should tile via ordering.prefix_sums instead).
+    """
+    gs = [F.expr(g).alias(f"__g{i}") for i, g in enumerate(group_exprs)]
+    gkeys = [f"__g{i}" for i in range(len(group_exprs))]
+    v = F.expr(value_expr).cast("double")
+    base = df.where(v.isNotNull()).select(*gs, v.alias("__v"))
+    groups = base.groupBy(*gkeys).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__v").alias("mean")
+    )
+    glob = base.agg(
+        F.avg("__v").alias("__mu"), F.stddev_samp("__v").alias("__sd")
+    )
+    scored = groups.crossJoin(F.broadcast(glob)).select(
+        *gkeys, "n", "mean",
+        F.try_divide(
+            F.col("mean") - F.col("__mu"),
+            F.col("__sd") / F.sqrt(F.col("n").cast("double")),
+        ).alias("__z"),
+    )
+    pv = F.expr("1.0 - " + _erf_sql("abs(__z) / 1.4142135623730951"))
+    scored = scored.withColumn(
+        "__p", F.when(F.col("__z").isNotNull(), pv)
+    )
+    m = scored.agg(F.count(F.lit(1)).alias("__m"))
+    w = Window.orderBy(
+        F.asc_nulls_last("__p"), *[F.asc(k) for k in gkeys]
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "bh_critical",
+            F.col("rank").cast("double") / F.col("__m") * F.lit(q),
+        )
+    )
+    kmax = ranked.agg(
+        F.max(
+            F.when(F.col("__p") <= F.col("bh_critical"), F.col("rank"))
+        ).alias("__k")
+    )
+    out = ranked.crossJoin(F.broadcast(kmax)).select(
+        *[
+            F.col(k).alias(g)
+            for k, g in zip(gkeys, [f"g{i}" for i in range(len(gkeys))])
+        ],
+        "n",
+        F.round("mean", 6).alias("mean"),
+        (F.round("__z", 6) + F.lit(0.0)).alias("z"),
+        (F.round("__p", 6) + F.lit(0.0)).alias("p_value"),
+        "rank",
+        F.round("bh_critical", 6).alias("bh_critical"),
+        F.coalesce(
+            F.col("rank") <= F.col("__k"), F.lit(False)
+        ).alias("rejected"),
+    )
+    return out.orderBy("rank")
+
+
+def benjamini_hochberg_sql(
+    table: str,
+    group_exprs: list[str],
+    value_expr: str,
+    dialect: str,
+    *,
+    q: float = 0.05,
+) -> str:
+    """Dual-dialect twin of :func:`benjamini_hochberg` (identical text;
+    STDDEV_SAMP/erf polynomial shared, NULLIF mirrors try_divide)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    v = f"CAST({value_expr} AS DOUBLE)"
+    gsel = ", ".join(
+        f"{g} AS g{i}" for i, g in enumerate(group_exprs)
+    )
+    gcols = ", ".join(f"g{i}" for i in range(len(group_exprs)))
+    pv = "1.0 - " + _erf_sql("ABS(z_) / 1.4142135623730951")
+    return f"""
+WITH base AS (
+  SELECT {gsel}, {v} AS v
+  FROM {table}
+  WHERE {v} IS NOT NULL
+),
+groups AS (
+  SELECT {gcols}, COUNT(*) AS n, AVG(v) AS mean
+  FROM base GROUP BY {gcols}
+),
+overall AS (
+  SELECT AVG(v) AS mu, STDDEV_SAMP(v) AS sd FROM base
+),
+scored AS (
+  SELECT {gcols}, n, mean,
+         (mean - mu) / NULLIF(sd / SQRT(CAST(n AS DOUBLE)), 0.0) AS z_
+  FROM groups CROSS JOIN overall
+),
+pvals AS (
+  SELECT {gcols}, n, mean, z_,
+         CASE WHEN z_ IS NOT NULL THEN {pv} END AS p_
+  FROM scored
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY p_ ASC NULLS LAST, {gcols}) AS rank,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_ ASC NULLS LAST, {gcols})
+              AS DOUBLE)
+           / (SELECT COUNT(*) FROM pvals) * {q!r} AS bh_critical
+  FROM pvals
+),
+kmax AS (
+  SELECT MAX(CASE WHEN p_ <= bh_critical THEN rank END) AS k FROM ranked
+)
+SELECT {gcols}, n, ROUND(mean, 6) AS mean,
+       ROUND(z_, 6) + 0.0 AS z,
+       ROUND(p_, 6) + 0.0 AS p_value,
+       rank, ROUND(bh_critical, 6) AS bh_critical,
+       COALESCE(rank <= k, FALSE) AS rejected
+FROM ranked CROSS JOIN kmax
+ORDER BY rank
+"""
+
+
+def attribution_linear(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    lookback_s: int = 7 * 86400,
+) -> DataFrame:
+    """Linear multi-touch attribution — the marketing-science upgrade of
+    :func:`operators.joins` as-of (last-touch) attribution: every touch
+    event in the ``lookback_s`` window before a conversion shares the
+    credit EQUALLY (1/k of the conversion and 1/k of its value), so
+    channels that assist early stop being invisible. Returns one row
+    per touch channel ordered (credited_conversions DESC, channel ASC):
+    ``(channel, touches, credited_conversions, credited_value)``
+    rounded 6. Conversions with zero in-window touches carry no credit
+    (reported by the companion ``orphan`` share in the funnel ops).
+
+    Scale shape: one user-keyed equi-join (touches x conversions of the
+    SAME user; the time predicate prunes inside the join), one window
+    partitioned by conversion id (per-conversion k, partition = one
+    conversion's touch set — bounded by a user's activity, never
+    corpus-sized), one channel hash agg. Time math on floored epoch
+    seconds, the cross-engine pin.
+    """
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(time_col).isNotNull()
+    )
+    sec = F.unix_timestamp(F.col(time_col)).cast("double")
+    touches = ev.where(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__channel"),
+        sec.alias("__tt"),
+    )
+    convs = ev.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col("event_id").alias("__cid"),
+        sec.alias("__ct"),
+        F.col(value_col).cast("double").alias("__cv"),
+    )
+    joined = touches.join(convs, "__u").where(
+        (F.col("__tt") <= F.col("__ct"))
+        & (F.col("__tt") > F.col("__ct") - F.lit(float(lookback_s)))
+    )
+    k = F.count(F.lit(1)).over(Window.partitionBy("__cid"))
+    credited = joined.select(
+        "__channel",
+        (F.lit(1.0) / k).alias("__credit"),
+        (F.col("__cv") / k).alias("__vcredit"),
+    )
+    return (
+        credited.groupBy(F.col("__channel").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.round(F.sum("__credit"), 6).alias("credited_conversions"),
+            F.round(F.sum("__vcredit"), 6).alias("credited_value"),
+        )
+        .orderBy(F.desc("credited_conversions"), F.asc("channel"))
+    )
+
+
+def attribution_linear_sql(
+    table: str,
+    touch_types: list[str],
+    conversion_type: str,
+    dialect: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    lookback_s: int = 7 * 86400,
+) -> str:
+    """Dual-dialect twin of :func:`attribution_linear` (floored epoch
+    seconds pin the window arithmetic cross-engine)."""
+    if dialect == "spark":
+        sec = f"CAST(unix_timestamp({time_col}) AS DOUBLE)"
+    elif dialect == "duckdb":
+        sec = f"CAST(FLOOR(epoch({time_col})) AS DOUBLE)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    tlist = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS u, {type_col} AS typ, event_id,
+         {sec} AS sec, CAST({value_col} AS DOUBLE) AS val
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+),
+touches AS (
+  SELECT u, typ AS channel, sec AS tt FROM ev WHERE typ IN ({tlist})
+),
+convs AS (
+  SELECT u, event_id AS cid, sec AS ct, val AS cv
+  FROM ev WHERE typ = '{conversion_type}'
+),
+joined AS (
+  SELECT t.channel, c.cid, c.cv
+  FROM touches t JOIN convs c ON t.u = c.u
+  WHERE t.tt <= c.ct AND t.tt > c.ct - {float(lookback_s)!r}
+),
+credited AS (
+  SELECT channel,
+         1.0 / COUNT(*) OVER (PARTITION BY cid) AS credit,
+         cv / COUNT(*) OVER (PARTITION BY cid) AS vcredit
+  FROM joined
+)
+SELECT channel, COUNT(*) AS touches,
+       ROUND(SUM(credit), 6) AS credited_conversions,
+       ROUND(SUM(vcredit), 6) AS credited_value
+FROM credited
+GROUP BY channel
+ORDER BY credited_conversions DESC, channel ASC
+"""
+
+
+def bot_score(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    min_events: int = 20,
+    top_k: int = 20,
+    rate_per_min: float = 1.0,
+    cv_max: float = 0.4,
+    type_ratio_max: float = 0.02,
+) -> DataFrame:
+    """Heuristic bot/crawler scoring over an event stream — the traffic
+    hygiene gate a training-data pipeline runs before any engagement
+    signal is trusted: per user (with >= ``min_events`` events) three
+    classic automation tells, each worth one point — sustained REQUEST
+    RATE above ``rate_per_min``/min across the active span, inter-event
+    gaps too REGULAR (coefficient of variation below ``cv_max``; humans
+    are bursty, cron is a metronome), and event-type DIVERSITY below
+    ``type_ratio_max`` distinct-types-per-event. Returns the ``top_k``
+    users ordered (score DESC, rate DESC, user ASC):
+    ``(user_id, n_events, n_types, span_s, rate_per_min, gap_cv,
+    type_ratio, score)`` rounded 6; single-gap users pin NULL gap_cv
+    (no regularity evidence, flag not awarded).
+
+    Scale shape: one user-partitioned window pass (lag gaps — partition
+    = one user's events), one user hash agg on its output, the
+    (user, type) distinct count via a two-level agg (never a
+    countDistinct mixed into the metric agg — the Expand cliff), and a
+    top-k sort over the USER frame.
+    """
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(time_col).isNotNull()
+    )
+    sec = F.unix_timestamp(F.col(time_col)).cast("double")
+    wu = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col("event_id").asc()
+    )
+    gaps = ev.select(
+        F.col(user_col).alias("__u"),
+        sec.alias("__s"),
+        (sec - F.lag(sec).over(wu)).alias("__gap"),
+    )
+    users = gaps.groupBy("__u").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("__s") - F.min("__s")).alias("span_s"),
+        F.avg("__gap").alias("__gmean"),
+        F.stddev_samp("__gap").alias("__gsd"),
+    )
+    types = (
+        ev.groupBy(F.col(user_col).alias("__u"), F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__u")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    feat = (
+        users.join(types, "__u")
+        .where(F.col("n_events") >= min_events)
+        .select(
+            "__u", "n_events", "n_types", "span_s",
+            (
+                F.col("n_events")
+                / (F.col("span_s") / 60.0 + F.lit(1.0))
+            ).alias("__rate"),
+            F.try_divide(F.col("__gsd"), F.col("__gmean")).alias(
+                "__cv"
+            ),
+            (
+                F.col("n_types") / F.col("n_events").cast("double")
+            ).alias("__tr"),
+        )
+    )
+    score = (
+        F.when(F.col("__rate") > rate_per_min, 1).otherwise(0)
+        + F.when(F.col("__cv") < cv_max, 1).otherwise(0)
+        + F.when(F.col("__tr") < type_ratio_max, 1).otherwise(0)
+    )
+    return (
+        feat.select(
+            F.col("__u").alias("user_id"),
+            "n_events", "n_types",
+            F.round("span_s", 6).alias("span_s"),
+            F.round("__rate", 6).alias("rate_per_min"),
+            (F.round("__cv", 6) + F.lit(0.0)).alias("gap_cv"),
+            F.round("__tr", 6).alias("type_ratio"),
+            score.cast("int").alias("score"),
+        )
+        .orderBy(
+            F.desc("score"), F.desc("rate_per_min"), F.asc("user_id")
+        )
+        .limit(top_k)
+    )
+
+
+def bot_score_sql(
+    table: str,
+    dialect: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    min_events: int = 20,
+    top_k: int = 20,
+    rate_per_min: float = 1.0,
+    cv_max: float = 0.4,
+    type_ratio_max: float = 0.02,
+) -> str:
+    """Dual-dialect twin of :func:`bot_score` (floored epoch seconds,
+    NULLIF mirrors try_divide; flag comparisons on UNROUNDED features,
+    matching the DataFrame path)."""
+    if dialect == "spark":
+        sec = f"CAST(unix_timestamp({time_col}) AS DOUBLE)"
+    elif dialect == "duckdb":
+        sec = f"CAST(FLOOR(epoch({time_col})) AS DOUBLE)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH gaps AS (
+  SELECT {user_col} AS u, {sec} AS s,
+         {sec} - LAG({sec}) OVER (
+           PARTITION BY {user_col}
+           ORDER BY {time_col} ASC, event_id ASC
+         ) AS gap
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+),
+users AS (
+  SELECT u, COUNT(*) AS n_events, MAX(s) - MIN(s) AS span_s,
+         AVG(gap) AS gmean, STDDEV_SAMP(gap) AS gsd
+  FROM gaps GROUP BY 1
+),
+typ AS (
+  SELECT u, COUNT(*) AS n_types
+  FROM (
+    SELECT {user_col} AS u, {type_col} AS t, COUNT(*) AS c
+    FROM {table}
+    WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+    GROUP BY 1, 2
+  ) GROUP BY 1
+),
+feat AS (
+  SELECT users.u, n_events, n_types, span_s,
+         n_events / (span_s / 60.0 + 1.0) AS rate,
+         gsd / NULLIF(gmean, 0.0) AS cv,
+         n_types / CAST(n_events AS DOUBLE) AS tr
+  FROM users JOIN typ ON users.u = typ.u
+  WHERE n_events >= {min_events}
+)
+SELECT u AS user_id, n_events, n_types,
+       ROUND(span_s, 6) AS span_s,
+       ROUND(rate, 6) AS rate_per_min,
+       ROUND(cv, 6) + 0.0 AS gap_cv,
+       ROUND(tr, 6) AS type_ratio,
+       CAST((CASE WHEN rate > {rate_per_min!r} THEN 1 ELSE 0 END)
+          + (CASE WHEN cv < {cv_max!r} THEN 1 ELSE 0 END)
+          + (CASE WHEN tr < {type_ratio_max!r} THEN 1 ELSE 0 END)
+         AS INT) AS score
+FROM feat
+ORDER BY score DESC, rate_per_min DESC, user_id ASC
+LIMIT {top_k}
+"""

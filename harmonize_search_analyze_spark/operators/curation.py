@@ -578,3 +578,116 @@ SELECT CAST(total AS BIGINT) AS n_child,
          AS childless_rate
 FROM a CROSS JOIN nulls CROSS JOIN np
 """
+
+
+def fd_violations(
+    df: DataFrame,
+    fds: list[tuple[str, str]],
+) -> DataFrame:
+    """Functional-dependency audit — the schema-contract check profilers
+    promise and never run at scale: for each candidate dependency
+    ``lhs -> rhs``, how many determinant groups carry MORE than one
+    distinct dependent value (the dependency is violated), how many
+    rows sit inside those conflicted groups, and the worst fan-out.
+    Returns one row per FD ordered as given:
+    ``(fd, n_groups, violating_groups, violating_rows, violation_rate,
+    max_distinct_rhs)`` with rate = violating_groups / n_groups rounded
+    6. NULLs on either side drop (SQL FD semantics are defined on
+    present values).
+
+    Scale shape: per FD one (lhs, rhs) hash agg, then an lhs-keyed agg
+    OVER THAT FRAME — the distinct-rhs count is the row count of the
+    pair frame, never a countDistinct mixed into a metric agg (the
+    Expand cliff). Per-FD results are FD-count-sized 1-row frames
+    unioned driver-side; the raw table scans once per FD (fds is a
+    short, fixed audit list).
+    """
+    if not fds:
+        raise ValueError("fds must be non-empty")
+    outs = []
+    for lhs, rhs in fds:
+        pairs = (
+            df.where(
+                F.expr(lhs).isNotNull() & F.expr(rhs).isNotNull()
+            )
+            .groupBy(
+                F.expr(lhs).alias("__l"), F.expr(rhs).alias("__r")
+            )
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        grp = pairs.groupBy("__l").agg(
+            F.count(F.lit(1)).alias("__k"),
+            F.sum("__n").alias("__rows"),
+        )
+        one = grp.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.count(F.when(F.col("__k") > 1, 1)).alias(
+                "violating_groups"
+            ),
+            F.sum(
+                F.when(F.col("__k") > 1, F.col("__rows")).otherwise(0)
+            ).alias("violating_rows"),
+            F.max("__k").alias("max_distinct_rhs"),
+        )
+        outs.append(
+            one.select(
+                F.lit(f"{lhs} -> {rhs}").alias("fd"),
+                F.col("n_groups").cast("bigint").alias("n_groups"),
+                F.col("violating_groups")
+                .cast("bigint")
+                .alias("violating_groups"),
+                F.col("violating_rows")
+                .cast("bigint")
+                .alias("violating_rows"),
+                F.round(
+                    F.try_divide(
+                        F.col("violating_groups"),
+                        F.col("n_groups").cast("double"),
+                    ),
+                    6,
+                ).alias("violation_rate"),
+                F.col("max_distinct_rhs")
+                .cast("bigint")
+                .alias("max_distinct_rhs"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def fd_violations_sql(
+    table: str,
+    fds: list[tuple[str, str]],
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`fd_violations` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    if not fds:
+        raise ValueError("fds must be non-empty")
+    parts = []
+    for lhs, rhs in fds:
+        parts.append(f"""
+SELECT '{lhs} -> {rhs}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(CASE WHEN k > 1 THEN 1 END) AS BIGINT)
+         AS violating_groups,
+       CAST(SUM(CASE WHEN k > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+         AS violating_rows,
+       ROUND(COUNT(CASE WHEN k > 1 THEN 1 END)
+             / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
+         AS violation_rate,
+       CAST(MAX(k) AS BIGINT) AS max_distinct_rhs
+FROM (
+  SELECT l, COUNT(*) AS k, SUM(n) AS rows_
+  FROM (
+    SELECT {lhs} AS l, {rhs} AS r, COUNT(*) AS n
+    FROM {table}
+    WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL
+    GROUP BY 1, 2
+  )
+  GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(parts)

@@ -1002,3 +1002,121 @@ def ntile_multi(
             pid_col, "__local", "__offset", "__n"
         )
     return tether(out, src)
+
+
+def prefix_max(
+    df: DataFrame,
+    order_cols: list,
+    maxes: dict[str, str],
+    *,
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+    boundaries: list | None = None,
+) -> DataFrame:
+    """Running MAX over a distributed total order — the :func:`prefix_sums`
+    sibling for ``MAX(x) OVER (ORDER BY k ...)``, same deterministic
+    driver-sampled-boundary buckets, same exactness-for-any-placement
+    argument (max is associative and commutative, so bucket-local max
+    combined with the prior-bucket running max via GREATEST is the
+    global prefix). ``inclusive=False`` gives the strict-predecessor
+    max (frame ``UNBOUNDED PRECEDING .. 1 PRECEDING``): the first row
+    of the order gets NULL — the skyline/dominance primitive.
+
+    ``order_cols`` keys must be DISTINCT per row (pre-aggregate by key
+    first), matching the prefix_sums contract.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if not maxes:
+        raise ValueError("maxes must be non-empty")
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    spec = _order_spec(order_cols)
+    order = _sort_columns(spec)
+    src = df.persist()
+    tagged = _with_bucket(src, spec, num_partitions, "__pid", boundaries)
+    end = Window.currentRow if inclusive else -1
+    wl = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = tagged.select(
+        "*",
+        *[
+            F.max(s).over(wl).alias(f"__loc_{out}")
+            for s, out in maxes.items()
+        ],
+    )
+    woff = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        tagged.groupBy("__pid")
+        .agg(*[F.max(s).alias(f"__tot_{out}") for s, out in maxes.items()])
+        .select(
+            "__pid",
+            *[
+                F.max(f"__tot_{out}").over(woff).alias(f"__off_{out}")
+                for out in maxes.values()
+            ],
+        )
+    )
+    # F.greatest skips NULLs: NULL local (exclusive first row) + non-NULL
+    # offset -> offset; both NULL (global first row, exclusive) -> NULL
+    out = local.join(F.broadcast(offsets), "__pid").select(
+        *df.columns,
+        *[
+            F.greatest(
+                F.col(f"__loc_{out}"), F.col(f"__off_{out}")
+            ).alias(out)
+            for out in maxes.values()
+        ],
+    )
+    return tether(out, src)
+
+
+def pareto_front(
+    df: DataFrame,
+    dim1: str,
+    dim2: str,
+) -> DataFrame:
+    """2-D Pareto front (skyline) — the dominance filter data-selection
+    pipelines run on (quality, freshness)-style tradeoffs: keep every
+    row no other row beats-or-ties on BOTH maximized dimensions while
+    strictly beating it on at least one. Exact duplicates of a frontier
+    point all survive (neither dominates). NULL dimensions drop
+    (dominance is undefined against a missing value).
+
+    Scale shape: the classic sort-scan skyline, distributed: one
+    ``dim1`` hash agg (per-value max of ``dim2``), the strict-
+    predecessor running max over that VALUE frame via
+    :func:`prefix_max` (range-exchange buckets — no single-task sort,
+    even when ``dim1`` is continuous and the value frame is corpus-
+    sized), then one value-keyed join back. A row is frontier iff its
+    ``dim2`` equals its value-group max AND strictly exceeds the
+    running max of every strictly-greater ``dim1`` group — an
+    O(n log n) plan where the textbook pairwise filter is O(n^2).
+    """
+    base = df.where(
+        F.col(dim1).isNotNull() & F.col(dim2).isNotNull()
+    )
+    g = base.groupBy(F.col(dim1).alias("__d1")).agg(
+        F.max(F.col(dim2)).alias("__gmax")
+    )
+    s = prefix_max(
+        g,
+        [("__d1", False)],
+        {"__gmax": "__mstrict"},
+        inclusive=False,
+    )
+    j = base.join(
+        s, base[dim1] == s["__d1"], "inner"
+    ).where(
+        (F.col(dim2) == F.col("__gmax"))
+        & (
+            F.col("__mstrict").isNull()
+            | (F.col(dim2) > F.col("__mstrict"))
+        )
+    )
+    return j.select(*df.columns)

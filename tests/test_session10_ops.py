@@ -1,0 +1,497 @@
+"""Round-7 session-10 tests: categorical effect size / agreement /
+multiple testing / attribution / bot scoring / FD audit / skyline."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+
+def _duck(con, name, rows, decl):
+    con.execute(
+        f"CREATE TABLE {name} AS SELECT * FROM (VALUES "
+        + ",".join(rows)
+        + f") t({decl})"
+    )
+
+
+# -- cramers_v -------------------------------------------------------------
+
+
+def test_cramers_v_hand_computed(spark):
+    """2x2 table: obs (x,1)=1 (x,2)=1 (y,1)=2 -> chi2 = 4/3,
+    V = sqrt((4/3)/4 / 1) = 0.577350; corrected phi2 clamps to 0."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cramers_v,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "1"), ("x", "2"), ("y", "1"), ("y", "1")], "a string, b string"
+    )
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert (r.n, r.ka, r.kb) == (4, 2, 2)
+    assert r.chi2 == pytest.approx(1.333333, abs=1e-6)
+    assert r.v == pytest.approx(0.57735, abs=1e-5)
+    assert r.v_corrected == 0.0
+
+
+def test_cramers_v_perfect_association(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cramers_v,
+    )
+
+    df = spark.createDataFrame(
+        [("u", "p"), ("u", "p"), ("v", "q")], "a string, b string"
+    )
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r.chi2 == pytest.approx(3.0, abs=1e-6)
+    assert r.v == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cramers_v_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        cramers_v,
+        cramers_v_sql,
+    )
+
+    rows = [(f"a{i % 3}", f"b{(i * 2) % 4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    df.createOrReplaceTempView("s10_cv")
+    want = cramers_v(df, "a", "b").collect()[0]
+    got = spark.sql(cramers_v_sql("s10_cv", "a", "b", "spark")).collect()[0]
+    assert (want.n, want.chi2, want.v, want.v_corrected) == (
+        got.n, got.chi2, got.v, got.v_corrected,
+    )
+    con = duckdb.connect()
+    _duck(con, "s10_cv", [f"('{a}','{b}')" for a, b in rows], "a, b")
+    duck = con.execute(
+        cramers_v_sql("s10_cv", "a", "b", "duckdb")
+    ).fetchall()[0]
+    assert duck == (want.n, want.ka, want.kb, want.chi2, want.v,
+                    want.v_corrected)
+
+
+# -- fleiss_kappa ----------------------------------------------------------
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """Items: i1=[a,a,b] P=1/3, i2=[a,a] P=1, i3=[b] dropped.
+    P_bar=2/3; pooled a=4/5, b=1/5 -> P_e=0.68;
+    kappa=(2/3-0.68)/0.32=-0.041667."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        fleiss_kappa,
+    )
+
+    df = spark.createDataFrame(
+        [("i1", "a"), ("i1", "a"), ("i1", "b"),
+         ("i2", "a"), ("i2", "a"), ("i3", "b")],
+        "item string, cat string",
+    )
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r.n_items, r.n_ratings, r.n_categories) == (2, 5, 2)
+    assert r.p_bar == pytest.approx(2 / 3, abs=1e-6)
+    assert r.p_e == pytest.approx(0.68, abs=1e-6)
+    assert r.kappa == pytest.approx(-0.041667, abs=1e-6)
+
+
+def test_fleiss_kappa_perfect_and_vacuous(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        fleiss_kappa,
+    )
+
+    # perfect agreement across two categories -> kappa = 1
+    df = spark.createDataFrame(
+        [("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b")],
+        "item string, cat string",
+    )
+    assert fleiss_kappa(df, "item", "cat").collect()[0].kappa == 1.0
+    # single pooled category -> P_e = 1 -> NULL kappa
+    one = spark.createDataFrame(
+        [("i1", "a"), ("i1", "a")], "item string, cat string"
+    )
+    assert fleiss_kappa(one, "item", "cat").collect()[0].kappa is None
+
+
+def test_fleiss_kappa_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        fleiss_kappa,
+        fleiss_kappa_sql,
+    )
+
+    rows = [(f"i{i % 7}", f"c{(i * 3) % 4}") for i in range(50)]
+    df = spark.createDataFrame(rows, "item string, cat string")
+    df.createOrReplaceTempView("s10_fk")
+    want = fleiss_kappa(df, "item", "cat").collect()[0]
+    got = spark.sql(
+        fleiss_kappa_sql("s10_fk", "item", "cat", "spark")
+    ).collect()[0]
+    assert tuple(want) == tuple(got)
+    con = duckdb.connect()
+    _duck(con, "s10_fk", [f"('{a}','{b}')" for a, b in rows], "item, cat")
+    duck = con.execute(
+        fleiss_kappa_sql("s10_fk", "item", "cat", "duckdb")
+    ).fetchall()[0]
+    assert duck == tuple(want)
+
+
+# -- benjamini_hochberg ------------------------------------------------------
+
+
+def test_benjamini_hochberg_hand_computed(spark):
+    """Two groups [0,0,0,0] vs [10,10,10,10]: global sd = sqrt(200/7),
+    |z| = 5 / (sd/2) = 1.870829, two-sided p = 1 - erf(|z|/sqrt(2))
+    = 0.061368; bh_critical = 0.025 / 0.05 -> nothing rejected."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        benjamini_hochberg,
+    )
+
+    rows = [("a", 0.0)] * 4 + [("b", 10.0)] * 4
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = benjamini_hochberg(df, ["g"], "v").collect()
+    assert [r.rank for r in out] == [1, 2]
+    assert [r.g0 for r in out] == ["a", "b"]  # p-tie broken by key
+    sd = math.sqrt(200.0 / 7.0)
+    z = 5.0 / (sd / 2.0)
+    p = 1.0 - math.erf(z / math.sqrt(2.0))
+    for r in out:
+        assert abs(r.z) == pytest.approx(z, abs=1e-4)
+        assert r.p_value == pytest.approx(p, abs=1e-4)
+        assert not r.rejected
+    assert [r.bh_critical for r in out] == [0.025, 0.05]
+
+
+def test_benjamini_hochberg_rejects_strong_shift(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        benjamini_hochberg,
+    )
+
+    rows = (
+        [("shift", 100.0 + (i % 3) * 0.01) for i in range(50)]
+        + [(f"g{i % 5}", float((i * 7) % 11)) for i in range(250)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = benjamini_hochberg(df, ["g"], "v").collect()
+    byg = {r.g0: r for r in out}
+    assert byg["shift"].rank == 1
+    assert byg["shift"].rejected
+    # step-up property: rejected set is a rank prefix
+    ranks = sorted(r.rank for r in out if r.rejected)
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_benjamini_hochberg_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        benjamini_hochberg,
+        benjamini_hochberg_sql,
+    )
+
+    rows = [(f"g{i % 6}", float((i * 13) % 17)) for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    df.createOrReplaceTempView("s10_bh")
+    want = [tuple(r) for r in benjamini_hochberg(df, ["g"], "v").collect()]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            benjamini_hochberg_sql("s10_bh", ["g"], "v", "spark")
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(con, "s10_bh", [f"('{g}',{v})" for g, v in rows], "g, v")
+    duck = con.execute(
+        benjamini_hochberg_sql("s10_bh", ["g"], "v", "duckdb")
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
+
+
+# -- attribution_linear ------------------------------------------------------
+
+
+def test_attribution_linear_hand_computed(spark):
+    """u1: click+view inside the window before a 10.0 purchase -> each
+    channel gets 0.5 conversions / 5.0 value; u2's click comes AFTER
+    its purchase -> no credit; u3 purchase with no touches -> none."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_linear,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-02 00:00:00", 1, "view", 0.0),
+        (3, "2024-01-03 00:00:00", 1, "purchase", 10.0),
+        (4, "2024-01-05 00:00:00", 2, "purchase", 7.0),
+        (5, "2024-01-06 00:00:00", 2, "click", 0.0),
+        (6, "2024-01-07 00:00:00", 3, "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    out = attribution_linear(df, ["click", "view"], "purchase").collect()
+    got = {r.channel: r for r in out}
+    assert set(got) == {"click", "view"}
+    for ch in ("click", "view"):
+        assert got[ch].touches == 1
+        assert got[ch].credited_conversions == 0.5
+        assert got[ch].credited_value == 5.0
+
+
+def test_attribution_linear_lookback_excludes_old_touches(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_linear,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-20 00:00:00", 1, "purchase", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    assert attribution_linear(df, ["click"], "purchase").count() == 0
+    wide = attribution_linear(
+        df, ["click"], "purchase", lookback_s=30 * 86400
+    ).collect()
+    assert wide[0].credited_conversions == 1.0
+
+
+# -- bot_score ---------------------------------------------------------------
+
+
+def test_bot_score_flags_metronome(spark):
+    """30 same-type events 1 s apart: rate = 30/(29/60+1) > 1, cv = 0,
+    type_ratio = 1/30 > 0.02 -> score 2. The irregular 5-type user
+    scores 0 and sorts after."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        bot_score,
+    )
+
+    import datetime as dt
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"2024-01-01 00:00:{i:02d}", 1, "view", 0.0))
+    offsets = [0, 3600, 7200, 11000, 15000, 16000, 30000, 31000, 50000,
+               50500, 70000, 71000, 90000, 95000, 99000, 120000, 121000,
+               150000, 151000, 180000]
+    types = ["view", "click", "purchase", "signup", "error"]
+    base = dt.datetime(2024, 2, 1)
+    for j, off in enumerate(offsets):
+        ts = (base + dt.timedelta(seconds=off)).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        rows.append((100 + j, ts, 2, types[j % 5], 0.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    out = bot_score(df, min_events=20).collect()
+    byu = {r.user_id: r for r in out}
+    assert byu[1].score == 2
+    assert byu[1].gap_cv == 0.0
+    assert byu[1].n_types == 1
+    assert out[0].user_id == 1  # sorts first on score
+
+
+def test_bot_score_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        bot_score,
+        bot_score_sql,
+    )
+
+    rows = [
+        (i, f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}",
+         i % 4, ["view", "click"][i % 2], float(i % 7))
+        for i in range(0, 7200, 37)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    df.createOrReplaceTempView("s10_bot")
+    want = [tuple(r) for r in bot_score(df, min_events=5).collect()]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            bot_score_sql("s10_bot", "spark", min_events=5)
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_bot",
+        [
+            f"({e},TIMESTAMP '{t}',{u},'{ty}',{v})"
+            for e, t, u, ty, v in rows
+        ],
+        "event_id, ts, user_id, event_type, value",
+    )
+    duck = con.execute(
+        bot_score_sql("s10_bot", "duckdb", min_events=5)
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
+
+
+# -- fd_violations -----------------------------------------------------------
+
+
+def test_fd_violations_hand_computed(spark):
+    """id -> lang holds (3 groups, 0 violations); txt -> lang violated
+    by t1 carrying en+fr (1 of 2 groups, 3 rows inside, fan-out 2)."""
+    from harmonize_search_analyze_spark.operators.curation import (
+        fd_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "t1", "en"), (2, "t1", "fr"), (3, "t1", "en"),
+         (4, "t2", "de")],
+        "id long, txt string, lang string",
+    )
+    out = {
+        r.fd: r
+        for r in fd_violations(
+            df, [("id", "lang"), ("txt", "lang")]
+        ).collect()
+    }
+    hold = out["id -> lang"]
+    assert (hold.n_groups, hold.violating_groups, hold.violating_rows,
+            hold.max_distinct_rhs) == (4, 0, 0, 1)
+    assert hold.violation_rate == 0.0
+    broke = out["txt -> lang"]
+    assert (broke.n_groups, broke.violating_groups, broke.violating_rows,
+            broke.max_distinct_rhs) == (2, 1, 3, 2)
+    assert broke.violation_rate == 0.5
+
+
+def test_fd_violations_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.curation import (
+        fd_violations,
+        fd_violations_sql,
+    )
+
+    rows = [(i, f"t{i % 5}", f"l{(i * 2) % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, txt string, lang string")
+    df.createOrReplaceTempView("s10_fd")
+    fds = [("id", "lang"), ("txt", "lang")]
+    want = sorted(tuple(r) for r in fd_violations(df, fds).collect())
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(fd_violations_sql("s10_fd", fds, "spark"))
+        .collect()
+    )
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_fd",
+        [f"({i},'{t}','{l}')" for i, t, l in rows], "id, txt, lang",
+    )
+    duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            fd_violations_sql("s10_fd", fds, "duckdb")
+        ).fetchall()
+    )
+    assert duck == want
+
+
+# -- prefix_max / pareto_front ------------------------------------------------
+
+
+def test_prefix_max_matches_window(spark):
+    from pyspark.sql import Window, functions as F
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_max,
+    )
+
+    rows = [(float(k), float((k * 17) % 23)) for k in range(60)]
+    df = spark.createDataFrame(rows, "k double, x double")
+    got_inc = {
+        r.k: r.m
+        for r in prefix_max(
+            df, ["k"], {"x": "m"}, num_partitions=5
+        ).collect()
+    }
+    got_exc = {
+        r.k: r.m
+        for r in prefix_max(
+            df, ["k"], {"x": "m"}, inclusive=False, num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy("k")
+    want_inc = {
+        r.k: r.m
+        for r in df.select(
+            "k",
+            F.max("x")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("m"),
+        ).collect()
+    }
+    want_exc = {
+        r.k: r.m
+        for r in df.select(
+            "k",
+            F.max("x")
+            .over(w.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("m"),
+        ).collect()
+    }
+    assert got_inc == want_inc
+    assert got_exc == want_exc
+
+
+def test_pareto_front_hand_computed(spark):
+    """Points (0,9),(1,5),(2,4),(2,6),(3,3)x2: (1,5) and (2,4) are
+    dominated by (2,6); the duplicate (3,3) pair both survive."""
+    from harmonize_search_analyze_spark.operators.ordering import (
+        pareto_front,
+    )
+
+    rows = [
+        (1, 0.0, 9.0), (2, 1.0, 5.0), (3, 2.0, 4.0),
+        (4, 2.0, 6.0), (5, 3.0, 3.0), (6, 3.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, d1 double, d2 double")
+    got = sorted(r.id for r in pareto_front(df, "d1", "d2").collect())
+    assert got == [1, 4, 5, 6]
+
+
+def test_pareto_front_matches_brute_force(spark):
+    from harmonize_search_analyze_spark.operators.ordering import (
+        pareto_front,
+    )
+
+    rows = [
+        (i, float((i * 7) % 13), float((i * 11) % 17)) for i in range(80)
+    ]
+
+    def dominated(p, q):
+        return (
+            q[1] >= p[1] and q[2] >= p[2]
+            and (q[1] > p[1] or q[2] > p[2])
+        )
+
+    want = sorted(
+        p[0]
+        for p in rows
+        if not any(dominated(p, q) for q in rows if q[0] != p[0])
+    )
+    df = spark.createDataFrame(rows, "id long, d1 double, d2 double")
+    got = sorted(r.id for r in pareto_front(df, "d1", "d2").collect())
+    assert got == want
