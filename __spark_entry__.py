@@ -11761,6 +11761,58 @@ WHERE e.ts = s.gmax AND (s.mstrict IS NULL OR e.ts > s.mstrict)
 """
 
 
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (40/20/40) multi-touch attribution over the same
+    click/view -> purchase windows as attribution_linear."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_position,
+    )
+
+    return attribution_position(
+        _t(spark, sf_dir, "events"), ["click", "view"], "purchase"
+    )
+
+
+def _sql_attribution_position(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_position_sql,
+    )
+
+    return attribution_position_sql(
+        "events", ["click", "view"], "purchase", dialect
+    )
+
+
+def q_join_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight for the attribution join: per user_id the touch-side
+    x purchase-side pair contribution — the key that would explode."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        join_skew_probe,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return join_skew_probe(
+        ev.where(F.col("event_type").isin("click", "view")),
+        "user_id",
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
+def _sql_join_skew_probe(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        join_skew_probe_sql,
+    )
+
+    return join_skew_probe_sql(
+        "(SELECT * FROM events WHERE event_type IN ('click', 'view'))",
+        "user_id",
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "user_id",
+        dialect,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -11909,6 +11961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bot_score": q_bot_score,
         "fd_violations": q_fd_violations,
         "pareto_front": q_pareto_front,
+        "attribution_position": q_attribution_position,
+        "join_skew_probe": q_join_skew_probe,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12286,6 +12340,8 @@ def oracle_sql() -> dict[str, str]:
         "bot_score": _sql_bot_score(),
         "fd_violations": _sql_fd_violations(),
         "pareto_front": _sql_pareto_front(),
+        "attribution_position": _sql_attribution_position(),
+        "join_skew_probe": _sql_join_skew_probe(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -5748,3 +5748,249 @@ FROM feat
 ORDER BY score DESC, rate_per_min DESC, user_id ASC
 LIMIT {top_k}
 """
+
+
+def attribution_position(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    lookback_s: int = 7 * 86400,
+    first_w: float = 0.4,
+    last_w: float = 0.4,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    first/last-heavy credit split marketers actually deploy:
+    the FIRST in-window touch earns ``first_w``, the LAST earns
+    ``last_w``, middles share the remainder equally; a single touch
+    takes 1.0, a pair splits 0.5/0.5. Same join/window skeleton as
+    :func:`attribution_linear`; only the credit expression changes.
+    Returns one row per channel ordered (credited_conversions DESC,
+    channel ASC): ``(channel, touches, credited_conversions,
+    credited_value)`` rounded 6.
+
+    Scale shape: one user-keyed equi-join, TWO window functions over
+    the SAME per-conversion partition (position + count — one
+    exchange, Spark fuses same-partitioning windows), one channel
+    hash agg.
+    """
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(time_col).isNotNull()
+    )
+    sec = F.unix_timestamp(F.col(time_col)).cast("double")
+    touches = ev.where(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__channel"),
+        F.col("event_id").alias("__tid"),
+        sec.alias("__tt"),
+    )
+    convs = ev.where(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col("event_id").alias("__cid"),
+        sec.alias("__ct"),
+        F.col(value_col).cast("double").alias("__cv"),
+    )
+    joined = touches.join(convs, "__u").where(
+        (F.col("__tt") <= F.col("__ct"))
+        & (F.col("__tt") > F.col("__ct") - F.lit(float(lookback_s)))
+    )
+    wp = Window.partitionBy("__cid").orderBy(
+        F.col("__tt").asc(), F.col("__tid").asc()
+    )
+    wk = Window.partitionBy("__cid")
+    pos = F.row_number().over(wp)
+    k = F.count(F.lit(1)).over(wk)
+    mid_w = 1.0 - first_w - last_w
+    credit = (
+        F.when(k == 1, F.lit(1.0))
+        .when(pos == 1, F.when(k == 2, F.lit(0.5)).otherwise(first_w))
+        .when(pos == k, F.when(k == 2, F.lit(0.5)).otherwise(last_w))
+        .otherwise(F.lit(mid_w) / (k - 2))
+    )
+    credited = joined.select(
+        "__channel",
+        credit.alias("__credit"),
+        (F.col("__cv") * credit).alias("__vcredit"),
+    )
+    return (
+        credited.groupBy(F.col("__channel").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.round(F.sum("__credit"), 6).alias("credited_conversions"),
+            F.round(F.sum("__vcredit"), 6).alias("credited_value"),
+        )
+        .orderBy(F.desc("credited_conversions"), F.asc("channel"))
+    )
+
+
+def attribution_position_sql(
+    table: str,
+    touch_types: list[str],
+    conversion_type: str,
+    dialect: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    lookback_s: int = 7 * 86400,
+    first_w: float = 0.4,
+    last_w: float = 0.4,
+) -> str:
+    """Dual-dialect twin of :func:`attribution_position`."""
+    if dialect == "spark":
+        sec = f"CAST(unix_timestamp({time_col}) AS DOUBLE)"
+    elif dialect == "duckdb":
+        sec = f"CAST(FLOOR(epoch({time_col})) AS DOUBLE)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    tlist = ", ".join(f"'{t}'" for t in touch_types)
+    mid_w = 1.0 - first_w - last_w
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS u, {type_col} AS typ, event_id,
+         {sec} AS sec, CAST({value_col} AS DOUBLE) AS val
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+),
+touches AS (
+  SELECT u, typ AS channel, event_id AS tid, sec AS tt
+  FROM ev WHERE typ IN ({tlist})
+),
+convs AS (
+  SELECT u, event_id AS cid, sec AS ct, val AS cv
+  FROM ev WHERE typ = '{conversion_type}'
+),
+joined AS (
+  SELECT t.channel, t.tid, t.tt, c.cid, c.cv
+  FROM touches t JOIN convs c ON t.u = c.u
+  WHERE t.tt <= c.ct AND t.tt > c.ct - {float(lookback_s)!r}
+),
+pos AS (
+  SELECT channel, cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY cid ORDER BY tt ASC, tid ASC
+         ) AS p,
+         COUNT(*) OVER (PARTITION BY cid) AS k
+  FROM joined
+),
+credited AS (
+  SELECT channel, cv,
+         CASE WHEN k = 1 THEN 1.0
+              WHEN p = 1 THEN CASE WHEN k = 2 THEN 0.5
+                                   ELSE {first_w!r} END
+              WHEN p = k THEN CASE WHEN k = 2 THEN 0.5
+                                   ELSE {last_w!r} END
+              ELSE {mid_w!r} / (k - 2) END AS credit
+  FROM pos
+)
+SELECT channel, COUNT(*) AS touches,
+       ROUND(SUM(credit), 6) AS credited_conversions,
+       ROUND(SUM(cv * credit), 6) AS credited_value
+FROM credited
+GROUP BY channel
+ORDER BY credited_conversions DESC, channel ASC
+"""
+
+
+def join_skew_probe(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    *,
+    top: int = 10,
+) -> DataFrame:
+    """Join blow-up pre-flight — :func:`skew_report`'s two-sided
+    sibling: per join key the OUTPUT contribution is ``n_left *
+    n_right``, and one hot key on both sides quietly turns a join into
+    a cartesian hotspot no AQE split saves (AQE splits a skewed
+    PARTITION; a single key's pair explosion is irreducible without
+    salting or pre-aggregation). Reports the ``top`` keys by estimated
+    pairs with each side's count, the key's share of total join
+    output, and the total repeated per row. Returns
+    ``(key, n_left, n_right, pairs, pair_share, total_pairs)``.
+
+    Scale shape: one key-count agg per side (map-combinable), an
+    equi-join of the two KEY frames (key-cardinality-sized), one 1-row
+    total broadcast back, top-k. The raw tables are scanned once each;
+    no row-level join ever runs.
+    """
+    lc = (
+        left.groupBy(
+            F.coalesce(
+                F.col(left_key).cast("string"), F.lit("<null>")
+            ).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        right.groupBy(
+            F.coalesce(
+                F.col(right_key).cast("string"), F.lit("<null>")
+            ).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    pairs = lc.join(rc, "key").select(
+        "key", "n_left", "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("pairs"),
+    )
+    tot = pairs.agg(F.sum("pairs").alias("total_pairs"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "key", "n_left", "n_right", "pairs",
+            F.round(
+                F.try_divide(
+                    F.col("pairs").cast("double"), F.col("total_pairs")
+                ),
+                6,
+            ).alias("pair_share"),
+            "total_pairs",
+        )
+        .orderBy(F.desc("pairs"), F.asc("key"))
+        .limit(top)
+    )
+
+
+def join_skew_probe_sql(
+    left_table: str,
+    left_key: str,
+    right_table: str,
+    right_key: str,
+    dialect: str,
+    *,
+    top: int = 10,
+) -> str:
+    """Dual-dialect twin of :func:`join_skew_probe` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH lc AS (
+  SELECT COALESCE(CAST({left_key} AS STRING), '<null>') AS key,
+         COUNT(*) AS n_left
+  FROM {left_table} GROUP BY 1
+),
+rc AS (
+  SELECT COALESCE(CAST({right_key} AS STRING), '<null>') AS key,
+         COUNT(*) AS n_right
+  FROM {right_table} GROUP BY 1
+),
+pairs AS (
+  SELECT lc.key, n_left, n_right, n_left * n_right AS pairs
+  FROM lc JOIN rc ON lc.key = rc.key
+),
+tot AS (SELECT CAST(SUM(pairs) AS BIGINT) AS total_pairs FROM pairs)
+SELECT key, n_left, n_right, pairs,
+       ROUND(CAST(pairs AS DOUBLE) / NULLIF(total_pairs, 0), 6)
+         AS pair_share,
+       total_pairs
+FROM pairs CROSS JOIN tot
+ORDER BY pairs DESC, key ASC
+LIMIT {top}
+"""

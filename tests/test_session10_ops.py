@@ -495,3 +495,154 @@ def test_pareto_front_matches_brute_force(spark):
     df = spark.createDataFrame(rows, "id long, d1 double, d2 double")
     got = sorted(r.id for r in pareto_front(df, "d1", "d2").collect())
     assert got == want
+
+
+# -- attribution_position ------------------------------------------------------
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+
+
+def test_attribution_position_hand_computed(spark):
+    """u1 click/view/click before a 10.0 purchase -> 0.4/0.2/0.4;
+    u2 click+view pair -> 0.5 each; u3 lone view -> 1.0."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_position,
+    )
+
+    df = _events_df(spark, [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-02 00:00:00", 1, "view", 0.0),
+        (3, "2024-01-03 00:00:00", 1, "click", 0.0),
+        (4, "2024-01-04 00:00:00", 1, "purchase", 10.0),
+        (5, "2024-01-01 00:00:00", 2, "click", 0.0),
+        (6, "2024-01-02 00:00:00", 2, "view", 0.0),
+        (7, "2024-01-03 00:00:00", 2, "purchase", 4.0),
+        (8, "2024-01-01 00:00:00", 3, "view", 0.0),
+        (9, "2024-01-02 00:00:00", 3, "purchase", 6.0),
+    ])
+    out = attribution_position(df, ["click", "view"], "purchase").collect()
+    got = {r.channel: r for r in out}
+    assert got["click"].touches == 3
+    assert got["click"].credited_conversions == pytest.approx(1.3)
+    assert got["click"].credited_value == pytest.approx(10.0)
+    assert got["view"].touches == 3
+    assert got["view"].credited_conversions == pytest.approx(1.7)
+    assert got["view"].credited_value == pytest.approx(10.0)
+    assert out[0].channel == "view"  # 1.7 sorts before 1.3
+
+
+def test_attribution_position_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_position,
+        attribution_position_sql,
+    )
+
+    rows = [
+        (i, f"2024-01-{1 + i % 25:02d} 00:00:{i % 60:02d}", i % 9,
+         ["click", "view", "purchase"][i % 3], float(i % 13))
+        for i in range(200)
+    ]
+    df = _events_df(spark, rows)
+    df.createOrReplaceTempView("s10_ap")
+    want = [
+        tuple(r)
+        for r in attribution_position(
+            df, ["click", "view"], "purchase"
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            attribution_position_sql(
+                "s10_ap", ["click", "view"], "purchase", "spark"
+            )
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_ap",
+        [
+            f"({e},TIMESTAMP '2024-01-{1 + e % 25:02d} 00:00:{e % 60:02d}',"
+            f"{u},'{ty}',{v})"
+            for e, _t, u, ty, v in rows
+        ],
+        "event_id, ts, user_id, event_type, value",
+    )
+    duck = con.execute(
+        attribution_position_sql(
+            "s10_ap", ["click", "view"], "purchase", "duckdb"
+        )
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
+
+
+# -- join_skew_probe -----------------------------------------------------------
+
+
+def test_join_skew_probe_hand_computed(spark):
+    """left a,a,a,b x right a,b,b,c -> a: 3 pairs (0.6), b: 2 (0.4)."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        join_skew_probe,
+    )
+
+    left = spark.createDataFrame([("a",)] * 3 + [("b",)], "k string")
+    right = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("c",)], "k string"
+    )
+    out = join_skew_probe(left, "k", right, "k").collect()
+    assert [(r.key, r.n_left, r.n_right, r.pairs, r.pair_share,
+             r.total_pairs) for r in out] == [
+        ("a", 3, 1, 3, 0.6, 5),
+        ("b", 1, 2, 2, 0.4, 5),
+    ]
+
+
+def test_join_skew_probe_counts_nulls_as_key(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        join_skew_probe,
+    )
+
+    left = spark.createDataFrame([(None,), ("a",)], "k string")
+    right = spark.createDataFrame([(None,), (None,)], "k string")
+    out = join_skew_probe(left, "k", right, "k").collect()
+    assert [(r.key, r.pairs) for r in out] == [("<null>", 2)]
+
+
+def test_join_skew_probe_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        join_skew_probe,
+        join_skew_probe_sql,
+    )
+
+    lrows = [(f"k{i % 7}",) for i in range(100)]
+    rrows = [(f"k{(i * 3) % 9}",) for i in range(60)]
+    ldf = spark.createDataFrame(lrows, "k string")
+    rdf = spark.createDataFrame(rrows, "k string")
+    ldf.createOrReplaceTempView("s10_jl")
+    rdf.createOrReplaceTempView("s10_jr")
+    want = [
+        tuple(r) for r in join_skew_probe(ldf, "k", rdf, "k").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            join_skew_probe_sql("s10_jl", "k", "s10_jr", "k", "spark")
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(con, "s10_jl", [f"('{k}')" for (k,) in lrows], "k")
+    _duck(con, "s10_jr", [f"('{k}')" for (k,) in rrows], "k")
+    duck = con.execute(
+        join_skew_probe_sql("s10_jl", "k", "s10_jr", "k", "duckdb")
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
