@@ -11813,6 +11813,30 @@ def _sql_join_skew_probe(dialect: str = "duckdb") -> str:
     )
 
 
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two document rankings (raw length
+    vs a modular reshuffle of it) — the top-weighted retriever-A/B
+    agreement gauge."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rbo_overlap,
+    )
+
+    return rbo_overlap(
+        _t(spark, sf_dir, "documents"), "doc_id",
+        "n_chars", "n_chars % 97", k=50,
+    )
+
+
+def _sql_rbo_overlap(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rbo_overlap_sql,
+    )
+
+    return rbo_overlap_sql(
+        "documents", "doc_id", "n_chars", "n_chars % 97", dialect, k=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -11963,6 +11987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front": q_pareto_front,
         "attribution_position": q_attribution_position,
         "join_skew_probe": q_join_skew_probe,
+        "rbo_overlap": q_rbo_overlap,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12342,6 +12367,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_front": _sql_pareto_front(),
         "attribution_position": _sql_attribution_position(),
         "join_skew_probe": _sql_join_skew_probe(),
+        "rbo_overlap": _sql_rbo_overlap(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

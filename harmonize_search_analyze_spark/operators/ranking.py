@@ -1541,3 +1541,149 @@ def ltr_features(
     ))
     spark.catalog.dropTempView(view)
     return out
+
+
+def rbo_overlap(
+    df: DataFrame,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    *,
+    k: int = 100,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber 2010) between the top-``k`` rankings
+    two scoring functions induce over the same corpus — the retriever
+    A/B gauge that, unlike Kendall/Spearman, is top-weighted and
+    handles non-conjoint lists (a doc only one ranker retrieves just
+    never contributes overlap). Uses the extrapolated point estimate
+    ``RBO_ext = A_k p^k + (1-p)/p * sum_{d=1..k} A_d p^d`` with
+    ``A_d = |top_d(a) ∩ top_d(b)| / d``. Ties pin (score DESC, id ASC)
+    on both engines. Returns ONE row
+    ``(k, p, n_common, agreement_at_k, rbo_ext)`` rounded 6.
+
+    Scale shape: two TakeOrdered top-k passes over the corpus (no full
+    sort), then everything is k-sized: rank windows over the k-row
+    lists, one id equi-join, depth overlaps as a cumulative count over
+    ``max(rank_a, rank_b)`` (the per-depth intersection size equals
+    the count of common docs whose LATER rank has arrived), one
+    k-row weighted fold. The global windows the linter flags here run
+    over k rows by construction.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must be in (0, 1)")
+
+    def _ranked(score: str, rname: str) -> DataFrame:
+        s = F.expr(score).cast("double")
+        top = (
+            df.where(s.isNotNull())
+            .select(F.col(id_col).alias("__id"), s.alias("__s"))
+            .orderBy(F.desc("__s"), F.asc("__id"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("__s"), F.asc("__id"))
+        return top.select(
+            "__id", F.row_number().over(w).alias(rname)
+        )
+    j = _ranked(score_a, "__ra").join(_ranked(score_b, "__rb"), "__id")
+    cnt = j.groupBy(
+        F.greatest("__ra", "__rb").alias("__m")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    depths = (
+        df.sparkSession.range(1, k + 1)
+        .select(F.col("id").cast("int").alias("__d"))
+    )
+    ov = depths.join(
+        cnt, depths["__d"] == cnt["__m"], "left"
+    ).select(
+        "__d",
+        F.sum(F.coalesce("__c", F.lit(0)))
+        .over(
+            Window.orderBy("__d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("__ov"),
+    )
+    ad = F.col("__ov").cast("double") / F.col("__d")
+    one = ov.agg(
+        F.max(F.when(F.col("__d") == k, F.col("__ov"))).alias("__ovk"),
+        F.sum(ad * F.pow(F.lit(p), F.col("__d"))).alias("__terms"),
+    )
+    rbo = (
+        F.col("__ovk").cast("double") / k * (p ** k)
+        + (1.0 - p) / p * F.col("__terms")
+    )
+    return one.select(
+        F.lit(k).alias("k"),
+        F.lit(p).alias("p"),
+        F.col("__ovk").cast("bigint").alias("n_common"),
+        F.round(F.col("__ovk").cast("double") / k, 6).alias(
+            "agreement_at_k"
+        ),
+        F.round(rbo, 6).alias("rbo_ext"),
+    )
+
+
+def rbo_overlap_sql(
+    table: str,
+    id_col: str,
+    score_a: str,
+    score_b: str,
+    dialect: str,
+    *,
+    k: int = 100,
+    p: float = 0.9,
+) -> str:
+    """Dual-dialect twin of :func:`rbo_overlap` (identical structure;
+    the depth series is the one dialect split)."""
+    if dialect == "spark":
+        depths = f"SELECT explode(sequence(1, {k})) AS d"
+    elif dialect == "duckdb":
+        depths = f"SELECT UNNEST(generate_series(1, {k})) AS d"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH ta AS (
+  SELECT {id_col} AS id, CAST({score_a} AS DOUBLE) AS s
+  FROM {table} WHERE {score_a} IS NOT NULL
+  ORDER BY s DESC, id ASC LIMIT {k}
+),
+ra AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r FROM ta
+),
+tb AS (
+  SELECT {id_col} AS id, CAST({score_b} AS DOUBLE) AS s
+  FROM {table} WHERE {score_b} IS NOT NULL
+  ORDER BY s DESC, id ASC LIMIT {k}
+),
+rb AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS r FROM tb
+),
+cnt AS (
+  SELECT GREATEST(ra.r, rb.r) AS m, COUNT(*) AS c
+  FROM ra JOIN rb ON ra.id = rb.id
+  GROUP BY 1
+),
+depths AS ({depths}),
+ov AS (
+  SELECT d,
+         SUM(COALESCE(c, 0)) OVER (
+           ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS ov
+  FROM depths LEFT JOIN cnt ON d = m
+),
+agg AS (
+  SELECT MAX(CASE WHEN d = {k} THEN ov END) AS ovk,
+         SUM(CAST(ov AS DOUBLE) / d * POWER({p!r}, d)) AS terms
+  FROM ov
+)
+SELECT {k} AS k, CAST({p!r} AS DOUBLE) AS p,
+       CAST(ovk AS BIGINT) AS n_common,
+       ROUND(CAST(ovk AS DOUBLE) / {k}, 6) AS agreement_at_k,
+       ROUND(CAST(ovk AS DOUBLE) / {k} * POWER({p!r}, {k})
+             + (1.0 - {p!r}) / {p!r} * terms, 6) AS rbo_ext
+FROM agg
+"""

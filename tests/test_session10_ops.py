@@ -646,3 +646,75 @@ def test_join_skew_probe_sql_twin_both_dialects(spark):
         join_skew_probe_sql("s10_jl", "k", "s10_jr", "k", "duckdb")
     ).fetchall()
     assert [tuple(r) for r in duck] == want
+
+
+# -- rbo_overlap ---------------------------------------------------------------
+
+
+def test_rbo_overlap_hand_computed(spark):
+    """A=[1,2,3], B=[1,3,4] at k=3, p=0.9: overlaps 1,1,2 ->
+    RBO_ext = (2/3)*0.729 + (0.1/0.9)*(0.9 + 0.405 + 0.486) = 0.685."""
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rbo_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 30.0, 30.0), (2, 20.0, 1.0), (3, 10.0, 20.0),
+         (4, 1.0, 10.0)],
+        "id long, sa double, sb double",
+    )
+    r = rbo_overlap(df, "id", "sa", "sb", k=3, p=0.9).collect()[0]
+    assert (r.k, r.p, r.n_common) == (3, 0.9, 2)
+    assert r.agreement_at_k == pytest.approx(2 / 3, abs=1e-6)
+    assert r.rbo_ext == pytest.approx(0.685, abs=1e-6)
+
+
+def test_rbo_overlap_identical_and_disjoint(spark):
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rbo_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(1, 20)],
+        "id long, sa double, sb double",
+    )
+    assert rbo_overlap(df, "id", "sa", "sb", k=10).collect()[0].rbo_ext \
+        == 1.0
+    dj = spark.createDataFrame(
+        [(i, float(100 - i), float(i)) for i in range(1, 41)],
+        "id long, sa double, sb double",
+    )
+    # reversed rankings at k=20 of 40 docs: top-20 sets are disjoint
+    r = rbo_overlap(dj, "id", "sa", "sb", k=20).collect()[0]
+    assert r.n_common == 0
+    assert r.rbo_ext == 0.0
+
+
+def test_rbo_overlap_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.ranking import (
+        rbo_overlap,
+        rbo_overlap_sql,
+    )
+
+    rows = [(i, float((i * 7) % 53), float((i * 11) % 47))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, sa double, sb double")
+    df.createOrReplaceTempView("s10_rbo")
+    want = tuple(
+        rbo_overlap(df, "id", "sa", "sb", k=25).collect()[0]
+    )
+    got = tuple(
+        spark.sql(
+            rbo_overlap_sql("s10_rbo", "id", "sa", "sb", "spark", k=25)
+        ).collect()[0]
+    )
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_rbo",
+        [f"({i},{a},{b})" for i, a, b in rows], "id, sa, sb",
+    )
+    duck = con.execute(
+        rbo_overlap_sql("s10_rbo", "id", "sa", "sb", "duckdb", k=25)
+    ).fetchall()[0]
+    assert duck == want
