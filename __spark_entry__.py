@@ -11837,6 +11837,27 @@ def _sql_rbo_overlap(dialect: str = "duckdb") -> str:
     )
 
 
+def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe weighted log-odds (informative Dirichlet prior): which
+    terms characterize English documents against the rest of the
+    corpus — the statistically careful significant_terms sibling."""
+    from harmonize_search_analyze_spark.operators.text import (
+        log_odds_terms,
+    )
+
+    return log_odds_terms(
+        _t(spark, sf_dir, "documents"), "text", "lang = 'en'"
+    )
+
+
+def _sql_log_odds_terms(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        log_odds_terms_sql,
+    )
+
+    return log_odds_terms_sql("documents", "text", "lang = 'en'", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -11988,6 +12009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_position": q_attribution_position,
         "join_skew_probe": q_join_skew_probe,
         "rbo_overlap": q_rbo_overlap,
+        "log_odds_terms": q_log_odds_terms,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12368,6 +12390,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_position": _sql_attribution_position(),
         "join_skew_probe": _sql_join_skew_probe(),
         "rbo_overlap": _sql_rbo_overlap(),
+        "log_odds_terms": _sql_log_odds_terms(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -1792,3 +1792,148 @@ FROM ranked CROSS JOIN tot
 WHERE rk IN ({klist})
 ORDER BY k
 """
+
+
+def log_odds_terms(
+    df: DataFrame,
+    text_col: str,
+    target,
+    *,
+    alpha0: float = 100.0,
+    top: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Weighted log-odds term ranking with an informative Dirichlet
+    prior (Monroe/Colaresi/Quinn 2008, "Fightin' Words") — the
+    principled replacement for raw tf ratios when asking WHAT WORDS
+    characterize a slice (the significant_terms family's statistically
+    careful sibling): for each term,
+
+        delta_w = ln((y_t + a_w) / (n_t + a0 - y_t - a_w))
+                - ln((y_b + a_w) / (n_b + a0 - y_b - a_w))
+        z_w = delta_w / sqrt(1/(y_t + a_w) + 1/(y_b + a_w))
+
+    where the prior ``a_w = alpha0 * y_w / n`` shrinks rare terms
+    toward the corpus rate (killing the low-frequency noise that
+    dominates plain log-odds) and ``a0 = alpha0``. ``target`` is a
+    boolean Column/SQL predicate splitting rows into target vs
+    background. Terms with total count below ``min_count`` drop.
+    Returns the ``top`` terms by z DESC (term ASC ties):
+    ``(term, y_target, y_background, delta, z)`` rounded 6; a slice
+    holding EVERY occurrence of a term pins NULL z (the log-odds
+    denominator empties — nothing to contrast against).
+
+    Scale shape: one tokenize+explode pass, one term hash agg with
+    conditional sums (never two scans for the two slices), a 1-row
+    totals broadcast, a top-k sort over the VOCAB frame. All
+    map-combinable.
+    """
+    from harmonize_search_analyze_spark.functions.tokenize import (
+        split_tokens,
+    )
+
+    pred = F.expr(target) if isinstance(target, str) else target
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            pred.cast("boolean").alias("__g"),
+            F.explode(split_tokens(text_col)).alias("term"),
+        )
+        .where(F.col("__g").isNotNull())
+    )
+    terms = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("y_t"),
+        F.sum(F.when(F.col("__g"), 0).otherwise(1)).alias("y_b"),
+    )
+    tot = terms.agg(
+        F.sum("y_t").cast("double").alias("__nt"),
+        F.sum("y_b").cast("double").alias("__nb"),
+    )
+    y = (F.col("y_t") + F.col("y_b")).cast("double")
+    n = F.col("__nt") + F.col("__nb")
+    aw = F.lit(alpha0) * y / n
+    num_t = F.col("y_t") + aw
+    den_t = F.col("__nt") + F.lit(alpha0) - num_t
+    num_b = F.col("y_b") + aw
+    den_b = F.col("__nb") + F.lit(alpha0) - num_b
+    delta = F.log(F.try_divide(num_t, F.nullif(den_t, F.lit(0.0)))) - (
+        F.log(F.try_divide(num_b, F.nullif(den_b, F.lit(0.0))))
+    )
+    z = delta / F.sqrt(1.0 / num_t + 1.0 / num_b)
+    return (
+        terms.where(y >= min_count)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("y_t").cast("bigint").alias("y_target"),
+            F.col("y_b").cast("bigint").alias("y_background"),
+            (F.round(delta, 6) + F.lit(0.0)).alias("delta"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        )
+        .orderBy(F.desc_nulls_last("z"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def log_odds_terms_sql(
+    table: str,
+    text_col: str,
+    target: str,
+    dialect: str,
+    *,
+    alpha0: float = 100.0,
+    top: int = 20,
+    min_count: int = 5,
+) -> str:
+    """Dual-dialect twin of :func:`log_odds_terms` (tokens via the
+    shared tokens_sql; NULLIF mirrors try_divide on the degenerate
+    all-in-one-slice denominator)."""
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        expl = (
+            f"SELECT CAST({target} AS BOOLEAN) AS g,"
+            f" explode({toks}) AS term"
+            f" FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+    elif dialect == "duckdb":
+        expl = (
+            f"SELECT CAST({target} AS BOOLEAN) AS g,"
+            f" UNNEST({toks}) AS term"
+            f" FROM {table} WHERE {text_col} IS NOT NULL"
+        )
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH tok AS ({expl}),
+terms AS (
+  SELECT term,
+         SUM(CASE WHEN g THEN 1 ELSE 0 END) AS y_t,
+         SUM(CASE WHEN g THEN 0 ELSE 1 END) AS y_b
+  FROM tok WHERE g IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(y_t) AS DOUBLE) AS nt, CAST(SUM(y_b) AS DOUBLE) AS nb
+  FROM terms
+),
+scored AS (
+  SELECT term, y_t, y_b,
+         LN((y_t + aw) / NULLIF(nt + {alpha0!r} - y_t - aw, 0.0))
+           - LN((y_b + aw) / NULLIF(nb + {alpha0!r} - y_b - aw, 0.0))
+           AS delta,
+         SQRT(1.0 / (y_t + aw) + 1.0 / (y_b + aw)) AS sd
+  FROM (
+    SELECT term, y_t, y_b, nt, nb,
+           {alpha0!r} * CAST(y_t + y_b AS DOUBLE) / (nt + nb) AS aw
+    FROM terms CROSS JOIN tot
+    WHERE y_t + y_b >= {min_count}
+  )
+)
+SELECT term, CAST(y_t AS BIGINT) AS y_target,
+       CAST(y_b AS BIGINT) AS y_background,
+       ROUND(delta, 6) + 0.0 AS delta,
+       ROUND(delta / sd, 6) + 0.0 AS z
+FROM scored
+ORDER BY z DESC NULLS LAST, term ASC
+LIMIT {top}
+"""

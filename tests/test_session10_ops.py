@@ -718,3 +718,96 @@ def test_rbo_overlap_sql_twin_both_dialects(spark):
         rbo_overlap_sql("s10_rbo", "id", "sa", "sb", "duckdb", k=25)
     ).fetchall()[0]
     assert duck == want
+
+
+# -- log_odds_terms ------------------------------------------------------------
+
+
+def test_log_odds_terms_hand_computed(spark):
+    """Target docs say 'cat', background says 'dog', both say 'the':
+    y(cat)=(3,0), y(dog)=(0,3), y(the)=(3,3); n_t=n_b=6, alpha0=12 ->
+    a_cat=a_dog=3, a_the=6. delta(cat) = ln(6/12) - ln(3/15)
+    = ln(2.5) = 0.916291; z = delta / sqrt(1/6 + 1/3) = 1.297771."""
+    import math
+    from harmonize_search_analyze_spark.operators.text import (
+        log_odds_terms,
+    )
+
+    rows = [("t", "cat the"), ("t", "cat the"), ("t", "cat the"),
+            ("b", "dog the"), ("b", "dog the"), ("b", "dog the")]
+    df = spark.createDataFrame(rows, "grp string, text string")
+    out = log_odds_terms(
+        df, "text", "grp = 't'", alpha0=12.0, min_count=1
+    ).collect()
+    byt = {r.term: r for r in out}
+    assert (byt["cat"].y_target, byt["cat"].y_background) == (3, 0)
+    d = math.log(6.0 / 12.0) - math.log(3.0 / 15.0)
+    z = d / math.sqrt(1.0 / 6.0 + 1.0 / 3.0)
+    assert byt["cat"].delta == pytest.approx(d, abs=1e-6)
+    assert byt["cat"].z == pytest.approx(z, abs=1e-6)
+    # symmetric: dog mirrors cat with the opposite sign
+    assert byt["dog"].z == pytest.approx(-z, abs=1e-6)
+    # shared term: identical counts on both sides -> delta exactly 0
+    assert byt["the"].delta == 0.0
+    # ranking: cat first (most target-associated), dog last
+    assert out[0].term == "cat" and out[-1].term == "dog"
+
+
+def test_log_odds_terms_prior_shrinks_rare_terms(spark):
+    """A term seen ONCE in the target should rank below a term seen
+    many times at the same ratio — the whole point of the prior."""
+    from harmonize_search_analyze_spark.operators.text import (
+        log_odds_terms,
+    )
+
+    rows = (
+        [("t", "common rare")] + [("t", "common")] * 19
+        + [("b", "other")] * 20
+    )
+    df = spark.createDataFrame(rows, "grp string, text string")
+    out = log_odds_terms(
+        df, "text", "grp = 't'", alpha0=10.0, min_count=1
+    ).collect()
+    byt = {r.term: r for r in out}
+    assert byt["common"].z > byt["rare"].z > 0
+
+
+def test_log_odds_terms_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        log_odds_terms,
+        log_odds_terms_sql,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (f"g{i % 2}", " ".join(words[j] for j in range((i % 5) + 1)))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "grp string, text string")
+    df.createOrReplaceTempView("s10_lo")
+    want = [
+        tuple(r)
+        for r in log_odds_terms(
+            df, "text", "grp = 'g0'", min_count=1
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            log_odds_terms_sql(
+                "s10_lo", "text", "grp = 'g0'", "spark", min_count=1
+            )
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_lo",
+        [f"('{g}','{t}')" for g, t in rows], "grp, text",
+    )
+    duck = con.execute(
+        log_odds_terms_sql(
+            "s10_lo", "text", "grp = 'g0'", "duckdb", min_count=1
+        )
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
