@@ -11858,6 +11858,25 @@ def _sql_log_odds_terms(dialect: str = "duckdb") -> str:
     return log_odds_terms_sql("documents", "text", "lang = 'en'", dialect)
 
 
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-class embedding outliers: distance-to-own-centroid
+    z-scores — the mislabel/boundary-case audit over the embeddings
+    table."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        label_outliers,
+    )
+
+    return label_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_label_outliers(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        label_outliers_sql,
+    )
+
+    return label_outliers_sql("embeddings", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12010,6 +12029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_probe": q_join_skew_probe,
         "rbo_overlap": q_rbo_overlap,
         "log_odds_terms": q_log_odds_terms,
+        "label_outliers": q_label_outliers,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12391,6 +12411,7 @@ def oracle_sql() -> dict[str, str]:
         "join_skew_probe": _sql_join_skew_probe(),
         "rbo_overlap": _sql_rbo_overlap(),
         "log_odds_terms": _sql_log_odds_terms(),
+        "label_outliers": _sql_label_outliers(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

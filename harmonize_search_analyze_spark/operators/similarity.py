@@ -3713,3 +3713,124 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        ROUND(shift, 6) AS max_dim_shift
 FROM folded
 """
+
+
+def label_outliers(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    top: int = 20,
+) -> DataFrame:
+    """Intra-class embedding outliers — the confident-learning-lite
+    mislabel audit an annotation pipeline runs before training: each
+    vector's Euclidean distance to ITS OWN label's centroid, z-scored
+    against that label's distance distribution. A point far from its
+    class center (relative to classmates) is a labeling-error or
+    boundary-case candidate. Returns the ``top`` rows by z DESC (id ASC
+    ties): ``(id, label, dist, label_mean_dist, z)`` rounded 6;
+    single-member labels pin NULL z (no distribution to stand out
+    from).
+
+    Scale shape: one posexplode pass -> (label, dim) centroid agg
+    (label-count x d rows — broadcastable), the join back is a
+    BROADCAST hash join onto the exploded scan, one id-keyed agg
+    rebuilds per-row distances, one label-keyed stats agg (label-
+    sized) broadcasts back. The corpus is scanned once; nothing
+    pairwise ever forms (the naive mislabel check is all-pairs
+    intra-class distances — O(sum n_l^2)).
+    """
+    base = df.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(F.col(vec_col)).alias("__p", "__x"),
+    ).withColumn("__x", F.col("__x").cast("double"))
+    cent = base.groupBy("__lbl", "__p").agg(
+        F.avg("__x").alias("__m")
+    )
+    d2 = (
+        base.join(F.broadcast(cent), ["__lbl", "__p"])
+        .groupBy("__id", "__lbl")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("__x") - F.col("__m"))
+                    * (F.col("__x") - F.col("__m"))
+                )
+            ).alias("__d")
+        )
+    )
+    stats = d2.groupBy("__lbl").agg(
+        F.avg("__d").alias("__dm"),
+        F.stddev_samp("__d").alias("__ds"),
+    )
+    z = F.try_divide(
+        F.col("__d") - F.col("__dm"), F.nullif("__ds", F.lit(0.0))
+    )
+    return (
+        d2.join(F.broadcast(stats), "__lbl")
+        .select(
+            F.col("__id").alias("id"),
+            F.col("__lbl").alias("label"),
+            F.round("__d", 6).alias("dist"),
+            F.round("__dm", 6).alias("label_mean_dist"),
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        )
+        .orderBy(F.desc_nulls_last("z"), F.asc("id"))
+        .limit(top)
+    )
+
+
+def label_outliers_sql(
+    table: str,
+    dialect: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    top: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`label_outliers` (posexplode vs the
+    DuckDB same-level dual-unnest zip; NULLIF mirrors try_divide)."""
+    if dialect == "spark":
+        expl = f"""
+  SELECT {id_col} AS id, {label_col} AS lbl, pos AS p,
+         CAST(x AS DOUBLE) AS x
+  FROM {table} LATERAL VIEW posexplode({vec_col}) t AS pos, x
+  WHERE {vec_col} IS NOT NULL AND {label_col} IS NOT NULL"""
+    elif dialect == "duckdb":
+        expl = f"""
+  SELECT id, lbl,
+         CAST(unnest(generate_series(1, len(v))) AS INT) - 1 AS p,
+         CAST(unnest(v) AS DOUBLE) AS x
+  FROM (
+    SELECT {id_col} AS id, {label_col} AS lbl, {vec_col} AS v
+    FROM {table}
+    WHERE {vec_col} IS NOT NULL AND {label_col} IS NOT NULL
+  ) s"""
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH base AS ({expl}),
+cent AS (
+  SELECT lbl, p, AVG(x) AS m FROM base GROUP BY 1, 2
+),
+d2 AS (
+  SELECT base.id, base.lbl,
+         SQRT(SUM((base.x - cent.m) * (base.x - cent.m))) AS d
+  FROM base JOIN cent ON base.lbl = cent.lbl AND base.p = cent.p
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT lbl, AVG(d) AS dm, STDDEV_SAMP(d) AS ds FROM d2 GROUP BY 1
+)
+SELECT d2.id AS id, d2.lbl AS label, ROUND(d2.d, 6) AS dist,
+       ROUND(stats.dm, 6) AS label_mean_dist,
+       ROUND((d2.d - stats.dm) / NULLIF(stats.ds, 0.0), 6) + 0.0 AS z
+FROM d2 JOIN stats ON d2.lbl = stats.lbl
+ORDER BY z DESC NULLS LAST, id ASC
+LIMIT {top}
+"""

@@ -811,3 +811,64 @@ def test_log_odds_terms_sql_twin_both_dialects(spark):
         )
     ).fetchall()
     assert [tuple(r) for r in duck] == want
+
+
+# -- label_outliers ------------------------------------------------------------
+
+
+def test_label_outliers_hand_computed(spark):
+    """Label A at x = 0, 2, 10 -> centroid 4, dists 4/2/6, mean 4,
+    sd_samp 2 -> z = 0/-1/+1; the lone label-B point pins NULL z."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        label_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [2.0, 0.0], 0), (3, [10.0, 0.0], 0),
+         (4, [5.0, 5.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = label_outliers(df, top=10).collect()
+    byid = {r.id: r for r in out}
+    assert byid[3].z == 1.0 and byid[3].dist == 6.0
+    assert byid[2].z == -1.0
+    assert byid[1].z == 0.0
+    assert byid[4].z is None
+    assert out[0].id == 3  # the far point ranks first
+
+
+def test_label_outliers_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        label_outliers,
+        label_outliers_sql,
+    )
+
+    rows = [
+        (i, [float((i * 3 + j) % 7) for j in range(4)], i % 3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    df.createOrReplaceTempView("s10_lout")
+    want = [tuple(r) for r in label_outliers(df, top=15).collect()]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            label_outliers_sql("s10_lout", "spark", top=15)
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_lout",
+        [
+            "({},{},{})".format(i, "[" + ",".join(str(x) for x in v) + "]", l)
+            for i, v, l in rows
+        ],
+        "vec_id, embedding, label",
+    )
+    duck = con.execute(
+        label_outliers_sql("s10_lout", "duckdb", top=15)
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
