@@ -11877,6 +11877,43 @@ def _sql_label_outliers(dialect: str = "duckdb") -> str:
     return label_outliers_sql("embeddings", dialect)
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the user -> event-type bipartite graph:
+    power users vs popular actions, the two centralities PageRank
+    conflates (3 fixed iterations, CTE-unrollable)."""
+    from harmonize_search_analyze_spark.operators.graph import (
+        hits_scores,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return hits_scores(edges, weight_col="w")
+
+
+def _sql_hits_scores(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.graph import (
+        hits_scores_sql,
+    )
+
+    edges = (
+        "SELECT 'u:' || CAST(user_id AS STRING) AS src,"
+        " 't:' || event_type AS dst,"
+        " CAST(COUNT(*) AS DOUBLE) AS w"
+        " FROM events WHERE user_id IS NOT NULL"
+        " GROUP BY 1, 2"
+    )
+    return hits_scores_sql(edges, dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12030,6 +12067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_overlap": q_rbo_overlap,
         "log_odds_terms": q_log_odds_terms,
         "label_outliers": q_label_outliers,
+        "hits_scores": q_hits_scores,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12412,6 +12450,7 @@ def oracle_sql() -> dict[str, str]:
         "rbo_overlap": _sql_rbo_overlap(),
         "log_odds_terms": _sql_log_odds_terms(),
         "label_outliers": _sql_label_outliers(),
+        "hits_scores": _sql_hits_scores(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

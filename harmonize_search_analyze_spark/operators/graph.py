@@ -515,3 +515,147 @@ FROM (SELECT u AS node FROM e{iters}
 GROUP BY node ORDER BY node
 """
     )
+
+
+def hits_scores(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    top: int = 20,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) — hubs point at good
+    authorities, authorities are pointed at by good hubs; on a
+    bipartite actor -> action graph the pair separates POWER USERS
+    (high hub) from POPULAR ACTIONS (high authority), the two
+    centralities PageRank's single score conflates. Each iteration is
+    two edge-to-score joins + two L2 normalizations (1-row broadcast
+    aggs); the FIXED count keeps the whole run one deterministic
+    Catalyst plan the SQL oracle unrolls CTE-for-CTE (the
+    :func:`pagerank` discipline). Returns the ``top`` nodes ordered
+    (authority DESC, hub DESC, node ASC):
+    ``(node, hub, authority)`` rounded 6; scoreless sides coalesce
+    to 0.
+
+    Scale shape: score frames are node-sized (<< edges); the edges
+    frame localCheckpoints once and is scanned twice per iteration;
+    per-iteration localCheckpoints keep plan depth flat exactly as in
+    pagerank.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__t"),
+        w.alias("__w"),
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__t").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = nodes.select("node", F.lit(1.0).alias("score"))
+    h = None
+    for _ in range(iters):
+        h_raw = (
+            e.join(a, e.__t == a.node)
+            .groupBy("__s")
+            .agg(F.sum(F.col("__w") * F.col("score")).alias("hs"))
+        )
+        hn = F.broadcast(
+            h_raw.agg(
+                F.sqrt(F.sum(F.col("hs") * F.col("hs"))).alias("__n")
+            )
+        )
+        h = h_raw.crossJoin(hn).select(
+            "__s", (F.col("hs") / F.col("__n")).alias("hs")
+        ).localCheckpoint()
+        a_raw = (
+            e.join(h, "__s")
+            .groupBy("__t")
+            .agg(F.sum(F.col("__w") * F.col("hs")).alias("as_"))
+        )
+        an = F.broadcast(
+            a_raw.agg(
+                F.sqrt(F.sum(F.col("as_") * F.col("as_"))).alias("__n")
+            )
+        )
+        a = a_raw.crossJoin(an).select(
+            F.col("__t").alias("node"),
+            (F.col("as_") / F.col("__n")).alias("score"),
+        ).localCheckpoint()
+    out = (
+        nodes.join(h, nodes.node == h.__s, "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce("hs", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("score", F.lit(0.0)), 6).alias(
+                "authority"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.desc("authority"), F.desc("hub"), F.asc("node")
+    ).limit(top)
+
+
+def hits_scores_sql(
+    edges_sql: str,
+    dialect: str,
+    *,
+    iters: int = 3,
+    top: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`hits_scores`. ``edges_sql`` yields
+    (src, dst, w); the fixed iteration count unrolls to one CTE chain
+    of per-iteration hub/authority aggs + scalar L2 norms."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM edges UNION"
+        " SELECT dst AS node FROM edges)",
+        "a0 AS (SELECT node, 1.0 AS s FROM nodes)",
+    ]
+    prev_a = "a0"
+    h = None
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"h{i}r AS (SELECT e.src, SUM(e.w * a.s) AS s"
+            f" FROM edges e JOIN {prev_a} a ON e.dst = a.node"
+            f" GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT src, s / (SELECT SQRT(SUM(s * s))"
+            f" FROM h{i}r) AS s FROM h{i}r)"
+        )
+        ctes.append(
+            f"a{i}r AS (SELECT e.dst, SUM(e.w * h.s) AS s"
+            f" FROM edges e JOIN h{i} h ON e.src = h.src"
+            f" GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT dst AS node, s / (SELECT SQRT(SUM(s * s))"
+            f" FROM a{i}r) AS s FROM a{i}r)"
+        )
+        prev_a = f"a{i}"
+        h = f"h{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.node,
+       ROUND(COALESCE(h.s, 0.0), 6) AS hub,
+       ROUND(COALESCE(a.s, 0.0), 6) AS authority
+FROM nodes n
+LEFT JOIN {h} h ON n.node = h.src
+LEFT JOIN {prev_a} a ON n.node = a.node
+ORDER BY authority DESC, hub DESC, n.node ASC
+LIMIT {top}
+"""

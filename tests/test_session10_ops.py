@@ -872,3 +872,67 @@ def test_label_outliers_sql_twin_both_dialects(spark):
         label_outliers_sql("s10_lout", "duckdb", top=15)
     ).fetchall()
     assert [tuple(r) for r in duck] == want
+
+
+# -- hits_scores ---------------------------------------------------------------
+
+
+def test_hits_scores_hand_computed(spark):
+    """u1->{x,y}, u2->{x}: after 3 iterations hub(u1) = 13/sqrt(233),
+    hub(u2) = 8/sqrt(233), auth(x) = 21/sqrt(610),
+    auth(y) = 13/sqrt(610)."""
+    import math
+    from harmonize_search_analyze_spark.operators.graph import (
+        hits_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [("u1", "x", 1.0), ("u1", "y", 1.0), ("u2", "x", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = hits_scores(edges, weight_col="w").collect()
+    byn = {r.node: r for r in out}
+    assert byn["u1"].hub == pytest.approx(13 / math.sqrt(233), abs=1e-6)
+    assert byn["u2"].hub == pytest.approx(8 / math.sqrt(233), abs=1e-6)
+    assert byn["x"].authority == pytest.approx(
+        21 / math.sqrt(610), abs=1e-6
+    )
+    assert byn["y"].authority == pytest.approx(
+        13 / math.sqrt(610), abs=1e-6
+    )
+    assert byn["u1"].authority == 0.0 and byn["x"].hub == 0.0
+    assert [r.node for r in out[:2]] == ["x", "y"]  # authority order
+
+
+def test_hits_scores_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.graph import (
+        hits_scores,
+        hits_scores_sql,
+    )
+
+    rows = [
+        (f"u{i % 7}", f"t{(i * 3) % 5}", float(1 + i % 4))
+        for i in range(60)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, w double")
+    edges.createOrReplaceTempView("s10_hits")
+    want = [
+        tuple(r)
+        for r in hits_scores(edges, weight_col="w", top=15).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            hits_scores_sql("SELECT * FROM s10_hits", "spark", top=15)
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_hits",
+        [f"('{s}','{d}',{w})" for s, d, w in rows], "src, dst, w",
+    )
+    duck = con.execute(
+        hits_scores_sql("SELECT * FROM s10_hits", "duckdb", top=15)
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
