@@ -11914,6 +11914,42 @@ def _sql_hits_scores(dialect: str = "duckdb") -> str:
     return hits_scores_sql(edges, dialect)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over adjacent token bigrams — the multiword-
+    unit detector for vocab/tokenizer pipelines."""
+    from harmonize_search_analyze_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), "text")
+
+
+def _sql_pmi_collocations(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        pmi_collocations_sql,
+    )
+
+    return pmi_collocations_sql("documents", "text", dialect)
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords (smoothed idf over the WHOLE
+    corpus; extraction shown for the first 20 doc ids)."""
+    from harmonize_search_analyze_spark.operators.text import (
+        doc_keywords,
+    )
+
+    return doc_keywords(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_doc_keywords(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        doc_keywords_sql,
+    )
+
+    return doc_keywords_sql("documents", "doc_id", "text", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12068,6 +12104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_odds_terms": q_log_odds_terms,
         "label_outliers": q_label_outliers,
         "hits_scores": q_hits_scores,
+        "pmi_collocations": q_pmi_collocations,
+        "doc_keywords": q_doc_keywords,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12451,6 +12489,8 @@ def oracle_sql() -> dict[str, str]:
         "log_odds_terms": _sql_log_odds_terms(),
         "label_outliers": _sql_label_outliers(),
         "hits_scores": _sql_hits_scores(),
+        "pmi_collocations": _sql_pmi_collocations(),
+        "doc_keywords": _sql_doc_keywords(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -1937,3 +1937,283 @@ FROM scored
 ORDER BY z DESC NULLS LAST, term ASC
 LIMIT {top}
 """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token bigrams (Church & Hanks 1990) — the "these words belong
+    together" detector tokenizer/vocab pipelines run before merging
+    multiword units: ``PMI = ln(p(w1,w2) / (p(w1) p(w2)))`` with
+    ``p(w1,w2) = c12/B`` over bigram occurrences and ``p(w) = c/N``
+    over unigrams. Raw PMI promotes rare pairs, so ``min_count`` floors
+    the bigram count (the standard guard). Returns the ``top`` pairs by
+    PMI DESC (w1, w2 ASC ties):
+    ``(w1, w2, c12, c1, c2, pmi)`` rounded 6.
+
+    Scale shape: one tokenize pass; bigrams form INSIDE the token array
+    (zip of two slices — map-only, never a positional self-join), one
+    explode+agg each for bigram and unigram counts, two vocab-frame
+    joins, a 1-row totals broadcast, vocab-sized top-k.
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    # one tokenization pass shared by the unigram, bigram, and totals
+    # consumers (persist + tether: the MinHash discipline)
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'),"
+                " t -> t != '')"
+            ).alias("__t")
+        )
+    ).persist()
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.where(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(element_at(__t, i) AS w1,"
+                    " element_at(__t, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    tots = F.broadcast(
+        uni.agg(F.sum("c").cast("double").alias("__n")).crossJoin(
+            toks.select(
+                F.greatest(
+                    F.size("__t") - 1, F.lit(0)
+                ).alias("__b0")
+            ).agg(F.sum("__b0").cast("double").alias("__b"))
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c12") / F.col("__b"))
+        / ((F.col("c1") / F.col("__n")) * (F.col("c2") / F.col("__n")))
+    )
+    out = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(tots)
+        .select(
+            "w1", "w2", "c12", "c1", "c2",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+    )
+    return tether(out, toks)
+
+
+def pmi_collocations_sql(
+    table: str,
+    text_col: str,
+    dialect: str,
+    *,
+    min_count: int = 5,
+    top: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`pmi_collocations` (bigrams via the
+    same slice-zip inside the token array; Spark sequence(1, 0) would
+    run DESCENDING, so the size >= 2 guard is load-bearing in both
+    texts)."""
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        tlen = "size(t)"
+        bigrams = (
+            "transform(sequence(1, size(t) - 1),"
+            " i -> element_at(t, i) || ' ' || element_at(t, i + 1))"
+        )
+        unn_b = f"explode({bigrams})"
+        unn_u = "explode(t)"
+    elif dialect == "duckdb":
+        tlen = "len(t)"
+        bigrams = (
+            "list_transform(generate_series(1, len(t) - 1),"
+            " i -> t[i] || ' ' || t[i + 1])"
+        )
+        unn_b = f"UNNEST({bigrams})"
+        unn_u = "UNNEST(t)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH toks AS (
+  SELECT {toks} AS t FROM {table} WHERE {text_col} IS NOT NULL
+),
+uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT {unn_u} AS w FROM toks)
+  GROUP BY 1
+),
+bi AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         COUNT(*) AS c12
+  FROM (SELECT {unn_b} AS bg FROM toks WHERE {tlen} >= 2)
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_count}
+),
+tots AS (
+  SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n,
+         (SELECT CAST(SUM(GREATEST({tlen} - 1, 0)) AS DOUBLE)
+          FROM toks) AS b
+)
+SELECT bi.w1, bi.w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+       ROUND(LN((c12 / b) / ((u1.c / n) * (u2.c / n))), 6) AS pmi
+FROM bi
+JOIN uni u1 ON bi.w1 = u1.w
+JOIN uni u2 ON bi.w2 = u2.w
+CROSS JOIN tots
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {top}
+"""
+
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    per_doc: int = 3,
+    top_docs: int = 20,
+) -> DataFrame:
+    """Per-document TF-IDF keywords — the classic what-is-this-doc-about
+    extraction (the per-DOC complement of the slice-level
+    significant_text family): ``score = tf * (ln((1 + D) / (1 + df))
+    + 1)`` (smoothed idf, the scikit-learn convention), top ``per_doc``
+    terms per document. The corpus-wide statistics (D, df) come from
+    EVERY document; the extraction itself is shown for the first
+    ``top_docs`` ids (bounded, driver-gate-friendly output). Returns
+    ``(doc, term, tf, df, score, rk)`` ordered (doc ASC, rk ASC);
+    score rounded 6, ties pinned (score DESC, term ASC).
+
+    Scale shape: one tokenize+explode pass -> (doc, term) tf agg; df
+    aggregates FROM that frame (term-vocab-sized); D is a 1-row
+    broadcast; the per-doc rank window partitions BY DOCUMENT (one
+    doc's vocabulary per partition — bounded by doc length); the
+    top_docs id filter broadcast-joins before the window so only the
+    displayed docs rank.
+    """
+    base = df.where(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    tf = (
+        base.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.expr(
+                    f"filter(split(lower({text_col}), '[^a-z0-9]+'),"
+                    " t -> t != '')"
+                )
+            ).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dd = F.broadcast(
+        base.agg(F.count(F.lit(1)).cast("double").alias("__d"))
+    )
+    picked = F.broadcast(
+        base.select(F.col(id_col).alias("doc"))
+        .orderBy(F.asc("doc"))
+        .limit(top_docs)
+    )
+    idf = F.log((1.0 + F.col("__d")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(picked, "doc")
+        .join(dft, "term")
+        .crossJoin(dd)
+        .select(
+            "doc", "term", "tf", "df",
+            (F.col("tf") * idf).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("__score"), F.asc("term")
+    )
+    out = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= per_doc)
+        .select(
+            "doc", "term", "tf", "df",
+            F.round("__score", 6).alias("score"), "rk",
+        )
+        .orderBy(F.asc("doc"), F.asc("rk"))
+    )
+    return tether(out, tf)
+
+
+def doc_keywords_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    dialect: str,
+    *,
+    per_doc: int = 3,
+    top_docs: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`doc_keywords` (identical text up to
+    the explode/UNNEST split)."""
+    toks = tokens_sql("txt", dialect)
+    if dialect == "spark":
+        unn = f"explode({toks})"
+    elif dialect == "duckdb":
+        unn = f"UNNEST({toks})"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc, {text_col} AS txt
+  FROM {table}
+  WHERE {text_col} IS NOT NULL AND {id_col} IS NOT NULL
+),
+tf AS (
+  SELECT doc, term, COUNT(*) AS tf
+  FROM (SELECT doc, {unn} AS term FROM base)
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+dd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM base),
+picked AS (SELECT doc FROM base ORDER BY doc ASC LIMIT {top_docs}),
+scored AS (
+  SELECT tf.doc, tf.term, tf.tf, dft.df,
+         tf.tf * (LN((1.0 + dd.d) / (1.0 + dft.df)) + 1.0) AS score
+  FROM tf
+  JOIN picked ON tf.doc = picked.doc
+  JOIN dft ON tf.term = dft.term
+  CROSS JOIN dd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc ORDER BY score DESC, term ASC
+  ) AS rk
+  FROM scored
+)
+SELECT doc, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(score, 6) AS score, rk
+FROM ranked
+WHERE rk <= {per_doc}
+ORDER BY doc ASC, rk ASC
+"""

@@ -936,3 +936,135 @@ def test_hits_scores_sql_twin_both_dialects(spark):
         hits_scores_sql("SELECT * FROM s10_hits", "duckdb", top=15)
     ).fetchall()
     assert [tuple(r) for r in duck] == want
+
+
+# -- pmi_collocations ----------------------------------------------------------
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Docs 'a b', 'a b', 'a c': N=6, B=3; PMI(a,b) = ln((2/3) /
+    ((3/6)(2/6))) = ln 4; PMI(a,c) = ln((1/3)/((1/2)(1/6))) = ln 4."""
+    import math
+    from harmonize_search_analyze_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [("a b",), ("a b",), ("a c",)], "text string"
+    )
+    out = pmi_collocations(df, "text", min_count=1).collect()
+    byp = {(r.w1, r.w2): r for r in out}
+    assert byp[("a", "b")].c12 == 2
+    assert byp[("a", "b")].pmi == pytest.approx(math.log(4), abs=1e-6)
+    assert byp[("a", "c")].pmi == pytest.approx(math.log(4), abs=1e-6)
+    assert (byp[("a", "b")].c1, byp[("a", "b")].c2) == (3, 2)
+    # PMI tie broken by (w1, w2)
+    assert [(r.w1, r.w2) for r in out] == [("a", "b"), ("a", "c")]
+
+
+def test_pmi_collocations_min_count_floors(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [("x y",)] * 6 + [("p q",)], "text string"
+    )
+    out = pmi_collocations(df, "text", min_count=5).collect()
+    assert [(r.w1, r.w2) for r in out] == [("x", "y")]
+
+
+def test_pmi_collocations_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        pmi_collocations,
+        pmi_collocations_sql,
+    )
+
+    words = ["red", "blue", "green", "gold"]
+    rows = [
+        (" ".join(words[(i + j) % 4] for j in range((i % 4) + 2)),)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    df.createOrReplaceTempView("s10_pmi")
+    want = [
+        tuple(r)
+        for r in pmi_collocations(df, "text", min_count=2).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            pmi_collocations_sql("s10_pmi", "text", "spark", min_count=2)
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(con, "s10_pmi", [f"('{t}')" for (t,) in rows], "text")
+    duck = con.execute(
+        pmi_collocations_sql("s10_pmi", "text", "duckdb", min_count=2)
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
+
+
+# -- doc_keywords --------------------------------------------------------------
+
+
+def test_doc_keywords_hand_computed(spark):
+    """d1='cat cat dog', d2='dog mouse': idf(cat)=ln(3/2)+1, idf(dog)=1;
+    d1 keywords [cat, dog], d2 [mouse, dog]."""
+    import math
+    from harmonize_search_analyze_spark.operators.text import (
+        doc_keywords,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog mouse")],
+        "doc_id long, text string",
+    )
+    out = doc_keywords(df, "doc_id", "text").collect()
+    assert [(r.doc, r.rk, r.term) for r in out] == [
+        (1, 1, "cat"), (1, 2, "dog"), (2, 1, "mouse"), (2, 2, "dog"),
+    ]
+    byk = {(r.doc, r.term): r for r in out}
+    assert byk[(1, "cat")].score == pytest.approx(
+        2 * (math.log(3 / 2) + 1), abs=1e-6
+    )
+    assert byk[(1, "dog")].score == 1.0
+    assert byk[(1, "cat")].df == 1 and byk[(1, "dog")].df == 2
+
+
+def test_doc_keywords_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        doc_keywords,
+        doc_keywords_sql,
+    )
+
+    words = ["ant", "bee", "cow", "doe", "elk"]
+    rows = [
+        (i, " ".join(words[(i * 3 + j) % 5] for j in range((i % 4) + 1)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("s10_kw")
+    want = [
+        tuple(r)
+        for r in doc_keywords(df, "doc_id", "text", top_docs=10).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            doc_keywords_sql("s10_kw", "doc_id", "text", "spark",
+                             top_docs=10)
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_kw",
+        [f"({i},'{t}')" for i, t in rows], "doc_id, text",
+    )
+    duck = con.execute(
+        doc_keywords_sql("s10_kw", "doc_id", "text", "duckdb",
+                         top_docs=10)
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
