@@ -11950,6 +11950,42 @@ def _sql_doc_keywords(dialect: str = "duckdb") -> str:
     return doc_keywords_sql("documents", "doc_id", "text", dialect)
 
 
+def q_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood collocations — PMI's evidence-weighted
+    fix: pairs that co-occur beyond what their frequencies explain."""
+    from harmonize_search_analyze_spark.operators.text import (
+        llr_collocations,
+    )
+
+    return llr_collocations(_t(spark, sf_dir, "documents"), "text")
+
+
+def _sql_llr_collocations(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.text import (
+        llr_collocations_sql,
+    )
+
+    return llr_collocations_sql("documents", "text", dialect)
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine/L2 matrix over the embeddings table — the
+    class-confusability audit (which labels should merge)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    return centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_centroid_similarity(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        centroid_similarity_sql,
+    )
+
+    return centroid_similarity_sql("embeddings", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12106,6 +12142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "pmi_collocations": q_pmi_collocations,
         "doc_keywords": q_doc_keywords,
+        "llr_collocations": q_llr_collocations,
+        "centroid_similarity": q_centroid_similarity,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12491,6 +12529,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _sql_hits_scores(),
         "pmi_collocations": _sql_pmi_collocations(),
         "doc_keywords": _sql_doc_keywords(),
+        "llr_collocations": _sql_llr_collocations(),
+        "centroid_similarity": _sql_centroid_similarity(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

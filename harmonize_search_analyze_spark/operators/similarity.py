@@ -3834,3 +3834,114 @@ FROM d2 JOIN stats ON d2.lbl = stats.lbl
 ORDER BY z DESC NULLS LAST, id ASC
 LIMIT {top}
 """
+
+
+def centroid_similarity(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-centroid similarity matrix — the class-confusability audit
+    that pairs with :func:`label_outliers`: cosine and L2 distance
+    between every pair of label centroids. Two labels whose centroids
+    nearly coincide are candidates for merging (duplicate taxonomy
+    entries) or for annotation-guideline review (systematic confusion).
+    Returns one row per unordered pair (label_a < label_b) ordered
+    (cosine DESC, label_a ASC, label_b ASC):
+    ``(label_a, label_b, cosine, l2)`` rounded 6; a zero-norm centroid
+    pins NULL cosine.
+
+    Scale shape: one posexplode pass -> (label, dim) centroid agg; the
+    pair join runs on the CENTROID frame (labels x d rows -> labels^2
+    x d work, label-taxonomy-sized, never corpus rows), folded
+    per-pair by one hash agg.
+    """
+    base = df.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(F.col(vec_col)).alias("__p", "__x"),
+    ).withColumn("__x", F.col("__x").cast("double"))
+    cent = base.groupBy("__lbl", "__p").agg(
+        F.avg("__x").alias("__m")
+    )
+    a = cent.select(
+        F.col("__lbl").alias("label_a"),
+        F.col("__p").alias("__p"),
+        F.col("__m").alias("__ma"),
+    )
+    b = cent.select(
+        F.col("__lbl").alias("label_b"),
+        F.col("__p").alias("__p"),
+        F.col("__m").alias("__mb"),
+    )
+    pairs = (
+        a.join(b, "__p")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("__ma") * F.col("__mb")).alias("__dot"),
+            F.sum(F.col("__ma") * F.col("__ma")).alias("__na"),
+            F.sum(F.col("__mb") * F.col("__mb")).alias("__nb"),
+            F.sum(
+                (F.col("__ma") - F.col("__mb"))
+                * (F.col("__ma") - F.col("__mb"))
+            ).alias("__sq"),
+        )
+    )
+    cos = F.try_divide(
+        F.col("__dot"), F.sqrt("__na") * F.sqrt("__nb")
+    )
+    return pairs.select(
+        "label_a", "label_b",
+        (F.round(cos, 6) + F.lit(0.0)).alias("cosine"),
+        F.round(F.sqrt("__sq"), 6).alias("l2"),
+    ).orderBy(F.desc("cosine"), F.asc("label_a"), F.asc("label_b"))
+
+
+def centroid_similarity_sql(
+    table: str,
+    dialect: str,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """Dual-dialect twin of :func:`centroid_similarity`."""
+    if dialect == "spark":
+        expl = f"""
+  SELECT {label_col} AS lbl, pos AS p, CAST(x AS DOUBLE) AS x
+  FROM {table} LATERAL VIEW posexplode({vec_col}) t AS pos, x
+  WHERE {vec_col} IS NOT NULL AND {label_col} IS NOT NULL"""
+    elif dialect == "duckdb":
+        expl = f"""
+  SELECT lbl,
+         CAST(unnest(generate_series(1, len(v))) AS INT) - 1 AS p,
+         CAST(unnest(v) AS DOUBLE) AS x
+  FROM (
+    SELECT {label_col} AS lbl, {vec_col} AS v
+    FROM {table}
+    WHERE {vec_col} IS NOT NULL AND {label_col} IS NOT NULL
+  ) s"""
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH base AS ({expl}),
+cent AS (
+  SELECT lbl, p, AVG(x) AS m FROM base GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.lbl AS label_a, b.lbl AS label_b,
+         SUM(a.m * b.m) AS dot,
+         SUM(a.m * a.m) AS na, SUM(b.m * b.m) AS nb,
+         SUM((a.m - b.m) * (a.m - b.m)) AS sq
+  FROM cent a JOIN cent b ON a.p = b.p AND a.lbl < b.lbl
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       ROUND(dot / NULLIF(SQRT(na) * SQRT(nb), 0.0), 6) + 0.0
+         AS cosine,
+       ROUND(SQRT(sq), 6) AS l2
+FROM pairs
+ORDER BY cosine DESC, label_a ASC, label_b ASC
+"""

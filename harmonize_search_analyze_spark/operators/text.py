@@ -2217,3 +2217,160 @@ FROM ranked
 WHERE rk <= {per_doc}
 ORDER BY doc ASC, rk ASC
 """
+
+
+def llr_collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Collocations by Dunning's log-likelihood ratio (1993) — the
+    significance-weighted fix for :func:`pmi_collocations`' known rare-
+    pair bias: per adjacent bigram the 2x2 contingency over bigram
+    slots (``k11`` = the pair; margins = first-position count of w1 and
+    second-position count of w2) scored ``LLR = 2 sum k_ij ln(k_ij N /
+    (R_i C_j))`` with ``0 ln 0 = 0``. High LLR = the pair co-occurs far
+    beyond what its parts' frequencies explain, with evidence WEIGHT
+    (PMI is evidence-blind). Returns the ``top`` pairs by LLR DESC
+    (w1, w2 ASC ties): ``(w1, w2, c12, r1, c2, llr)`` rounded 6.
+
+    Scale shape: identical to pmi_collocations — one persisted
+    tokenization pass, bigram counts from a slice zip, first/second
+    position margins aggregate FROM the bigram frame (vocab-sized),
+    two vocab joins + a 1-row broadcast.
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'),"
+                " t -> t != '')"
+            ).alias("__t")
+        )
+        .where(F.size("__t") >= 2)
+    ).persist()
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__t) - 1),"
+                    " i -> struct(element_at(__t, i) AS w1,"
+                    " element_at(__t, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    ).persist()
+    r1 = bi.groupBy("w1").agg(F.sum("c12").alias("r1"))
+    c2 = bi.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    nn = F.broadcast(bi.agg(F.sum("c12").cast("double").alias("__n")))
+
+    def h(k, r, c):
+        # k ln(k N / (r c)), with 0 ln 0 = 0
+        k = k.cast("double")
+        return F.when(
+            k > 0, k * F.log(k * F.col("__n") / (r * c))
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("c12").cast("double")
+    rr = F.col("r1").cast("double")
+    cc = F.col("c2").cast("double")
+    k12 = rr - k11
+    k21 = cc - k11
+    k22 = F.col("__n") - rr - cc + k11
+    llr = 2.0 * (
+        h(k11, rr, cc)
+        + h(k12, rr, F.col("__n") - cc)
+        + h(k21, F.col("__n") - rr, cc)
+        + h(k22, F.col("__n") - rr, F.col("__n") - cc)
+    )
+    out = (
+        bi.where(F.col("c12") >= min_count)
+        .join(r1, "w1")
+        .join(c2, "w2")
+        .crossJoin(nn)
+        .select(
+            "w1", "w2", "c12", "r1", "c2",
+            F.round(llr, 6).alias("llr"),
+        )
+        .orderBy(F.desc("llr"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+    )
+    return tether(tether(out, toks), bi)
+
+
+def llr_collocations_sql(
+    table: str,
+    text_col: str,
+    dialect: str,
+    *,
+    min_count: int = 5,
+    top: int = 20,
+) -> str:
+    """Dual-dialect twin of :func:`llr_collocations`."""
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        bigrams = (
+            "transform(sequence(1, size(t) - 1),"
+            " i -> element_at(t, i) || ' ' || element_at(t, i + 1))"
+        )
+        unn_b = f"explode({bigrams})"
+        tlen = "size(t)"
+    elif dialect == "duckdb":
+        bigrams = (
+            "list_transform(generate_series(1, len(t) - 1),"
+            " i -> t[i] || ' ' || t[i + 1])"
+        )
+        unn_b = f"UNNEST({bigrams})"
+        tlen = "len(t)"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    term = (
+        "CASE WHEN {k} > 0 THEN {k} * LN({k} * n / ({r} * {c}))"
+        " ELSE 0.0 END"
+    )
+    k11 = "CAST(c12 AS DOUBLE)"
+    t11 = term.format(k=k11, r="r1", c="c2")
+    t12 = term.format(k=f"(r1 - {k11})", r="r1", c="(n - c2)")
+    t21 = term.format(k=f"(c2 - {k11})", r="(n - r1)", c="c2")
+    t22 = term.format(
+        k=f"(n - r1 - c2 + {k11})", r="(n - r1)", c="(n - c2)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT t FROM (
+    SELECT {toks} AS t FROM {table} WHERE {text_col} IS NOT NULL
+  ) WHERE {tlen} >= 2
+),
+bi AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         COUNT(*) AS c12
+  FROM (SELECT {unn_b} AS bg FROM toks)
+  GROUP BY 1, 2
+),
+r1m AS (SELECT w1, SUM(c12) AS r1 FROM bi GROUP BY 1),
+c2m AS (SELECT w2, SUM(c12) AS c2 FROM bi GROUP BY 1),
+nn AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM bi),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.c12,
+         CAST(r1m.r1 AS DOUBLE) AS r1, CAST(c2m.c2 AS DOUBLE) AS c2,
+         nn.n
+  FROM bi
+  JOIN r1m ON bi.w1 = r1m.w1
+  JOIN c2m ON bi.w2 = c2m.w2
+  CROSS JOIN nn
+  WHERE bi.c12 >= {min_count}
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       CAST(r1 AS BIGINT) AS r1, CAST(c2 AS BIGINT) AS c2,
+       ROUND(2.0 * ({t11} + {t12} + {t21} + {t22}), 6) AS llr
+FROM scored
+ORDER BY llr DESC, w1 ASC, w2 ASC
+LIMIT {top}
+"""

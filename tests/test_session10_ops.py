@@ -1068,3 +1068,129 @@ def test_doc_keywords_sql_twin_both_dialects(spark):
                          top_docs=10)
     ).fetchall()
     assert [tuple(r) for r in duck] == want
+
+
+# -- llr_collocations ----------------------------------------------------------
+
+
+def test_llr_collocations_hand_computed(spark):
+    """Bigrams 'x y' x5, 'x z' x1, 'w z' x4: for (x,y) the 2x2 is
+    k=[[5,1],[0,4]], N=10 -> LLR = 2*(5 ln(50/30) + ln(10/30)
+    + 4 ln(40/20)) = 8.456209. A fully-determined margin (all 'a'
+    starts) yields LLR exactly 0."""
+    import math
+    from harmonize_search_analyze_spark.operators.text import (
+        llr_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [("x y",)] * 5 + [("x z",)] + [("w z",)] * 4, "text string"
+    )
+    out = llr_collocations(df, "text", min_count=1).collect()
+    byp = {(r.w1, r.w2): r for r in out}
+    want = 2 * (
+        5 * math.log(50 / 30) + math.log(10 / 30) + 4 * math.log(2)
+    )
+    assert byp[("x", "y")].llr == pytest.approx(want, abs=1e-6)
+    assert (byp[("x", "y")].c12, byp[("x", "y")].r1,
+            byp[("x", "y")].c2) == (5, 6, 5)
+
+    zero = spark.createDataFrame(
+        [("a b",)] * 2 + [("a c",)], "text string"
+    )
+    z = llr_collocations(zero, "text", min_count=1).collect()
+    assert all(r.llr == 0.0 for r in z)
+
+
+def test_llr_collocations_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.text import (
+        llr_collocations,
+        llr_collocations_sql,
+    )
+
+    words = ["red", "blue", "green", "gold", "iron"]
+    rows = [
+        (" ".join(words[(i * 2 + j) % 5] for j in range((i % 3) + 2)),)
+        for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    df.createOrReplaceTempView("s10_llr")
+    want = [
+        tuple(r)
+        for r in llr_collocations(df, "text", min_count=2).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            llr_collocations_sql("s10_llr", "text", "spark", min_count=2)
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(con, "s10_llr", [f"('{t}')" for (t,) in rows], "text")
+    duck = con.execute(
+        llr_collocations_sql("s10_llr", "text", "duckdb", min_count=2)
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
+
+
+# -- centroid_similarity --------------------------------------------------------
+
+
+def test_centroid_similarity_hand_computed(spark):
+    """Label 0 centroid (1,0) (from (2,0),(0,0)); label 1 centroid
+    (0,2); label 2 centroid (3,0). cos(0,2)=1, l2=2; cos(0,1)=0,
+    l2=sqrt(5)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0], 0), (2, [0.0, 0.0], 0),
+         (3, [0.0, 2.0], 1), (4, [3.0, 0.0], 2)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = centroid_similarity(df).collect()
+    byp = {(r.label_a, r.label_b): r for r in out}
+    assert byp[(0, 2)].cosine == 1.0 and byp[(0, 2)].l2 == 2.0
+    assert byp[(0, 1)].cosine == 0.0
+    assert byp[(0, 1)].l2 == pytest.approx(5 ** 0.5, abs=1e-6)
+    assert byp[(1, 2)].cosine == 0.0
+    assert out[0].label_a == 0 and out[0].label_b == 2  # cos DESC first
+
+
+def test_centroid_similarity_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        centroid_similarity,
+        centroid_similarity_sql,
+    )
+
+    rows = [
+        (i, [float((i * 5 + j) % 9) for j in range(3)], i % 4)
+        for i in range(32)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    df.createOrReplaceTempView("s10_cs")
+    want = [tuple(r) for r in centroid_similarity(df).collect()]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            centroid_similarity_sql("s10_cs", "spark")
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_cs",
+        [
+            "({},{},{})".format(i, "[" + ",".join(map(str, v)) + "]", l)
+            for i, v, l in rows
+        ],
+        "vec_id, embedding, label",
+    )
+    duck = con.execute(
+        centroid_similarity_sql("s10_cs", "duckdb")
+    ).fetchall()
+    assert [tuple(r) for r in duck] == want
