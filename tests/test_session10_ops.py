@@ -1194,3 +1194,67 @@ def test_centroid_similarity_sql_twin_both_dialects(spark):
         centroid_similarity_sql("s10_cs", "duckdb")
     ).fetchall()
     assert [tuple(r) for r in duck] == want
+
+
+# -- prefix_max robustness -------------------------------------------------------
+
+
+def test_prefix_max_string_keys_sampled_boundaries(spark):
+    """String sort keys take the seeded-sample boundary path; the
+    running max must still match the single-window answer exactly."""
+    from pyspark.sql import Window, functions as F
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_max,
+    )
+
+    rows = [(f"k{i:03d}", float((i * 13) % 31)) for i in range(90)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = {
+        r.k: r.m
+        for r in prefix_max(
+            df, ["k"], {"x": "m"}, num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.m
+        for r in df.select("k", F.max("x").over(w).alias("m")).collect()
+    }
+    assert got == want
+
+
+def test_prefix_max_descending_order(spark):
+    from pyspark.sql import Window, functions as F
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_max,
+    )
+
+    rows = [(float(i), float((i * 7) % 19)) for i in range(50)]
+    df = spark.createDataFrame(rows, "k double, x double")
+    got = {
+        r.k: r.m
+        for r in prefix_max(
+            df, [("k", False)], {"x": "m"}, inclusive=False,
+            num_partitions=4,
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        r.k: r.m
+        for r in df.select("k", F.max("x").over(w).alias("m")).collect()
+    }
+    assert got == want
+
+
+def test_prefix_max_single_row_and_empty(spark):
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_max,
+    )
+
+    one = spark.createDataFrame([(1.0, 5.0)], "k double, x double")
+    r = prefix_max(one, ["k"], {"x": "m"}, inclusive=False).collect()
+    assert r[0].m is None  # no predecessor
+    empty = spark.createDataFrame([], "k double, x double")
+    assert prefix_max(empty, ["k"], {"x": "m"}).count() == 0
