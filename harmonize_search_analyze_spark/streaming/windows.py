@@ -933,3 +933,145 @@ def sprt_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def mg_summary(
+    df: DataFrame, key_col: str, m: int
+) -> DataFrame:
+    """Misra-Gries summary of a BATCH (Misra & Gries 1982; the
+    mergeable-summaries form of Agarwal et al. 2013): exact batch
+    counts, then — when more than ``m`` keys survive — subtract the
+    (m+1)-th largest count from every counter and drop the non-
+    positive. At most ``m`` rows; each counter UNDERCOUNTS its key by
+    at most the subtracted offset. Returns ``(key, c, n_batch)`` with
+    the batch row count repeated (the merge needs the total)."""
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("__n"), F.count(F.lit(1)).alias("__k")
+    )
+    # the (m+1)-th largest count, 0 when <= m keys: a top-(m+1) sort
+    # over the KEY frame (key-cardinality-sized, micro-batch scope)
+    offs = (
+        counts.orderBy(F.desc("c"), F.asc("key"))
+        .limit(m + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) > m, F.min("c"))
+            .otherwise(F.lit(0))
+            .alias("__off")
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(offs))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            (F.col("c") - F.col("__off")).alias("c"),
+            F.col("__n").alias("n_batch"),
+        )
+        .where(F.col("c") > 0)
+    )
+
+
+def mg_process_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_path: str,
+    out_path: str,
+    *,
+    key_col: str,
+    m: int = 64,
+    top: int = 10,
+) -> None:
+    """One epoch of :func:`mg_topk_stream` (module-level so replay
+    idempotency is directly testable, the cusum/sprt shape): write the
+    batch's OWN Misra-Gries summary to ``state/epoch=N`` (overwrite —
+    a replayed epoch rewrites the same <= m rows byte-identically),
+    MG-merge every epoch's summary (sum counters per key, re-trim to
+    m), snapshot the top ``top`` to ``out/epoch=N`` with the global
+    undercount bound ``err = N_seen - sum(counters)`` (every counter
+    satisfies ``c <= true <= c + err``; any key with true count >
+    err is GUARANTEED present — the mergeable-summaries theorem)."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    summary = mg_summary(batch_df, key_col, m).localCheckpoint()
+    summary.write.mode("overwrite").parquet(
+        f"{state_path}/epoch={int(epoch_id)}"
+    )
+    # merge ONLY epochs <= N: the epoch-N output is the stream summary
+    # AS OF epoch N, so a replayed middle epoch rewrites its historical
+    # output byte-identically even after later epochs landed
+    allsum = spark.read.parquet(state_path).where(
+        F.col("epoch").cast("long") <= int(epoch_id)
+    )
+    merged = (
+        allsum.groupBy("key")
+        .agg(F.sum("c").alias("c"))
+    )
+    offs = (
+        merged.orderBy(F.desc("c"), F.asc("key"))
+        .limit(m + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) > m, F.min("c"))
+            .otherwise(F.lit(0))
+            .alias("__off")
+        )
+    )
+    trimmed = (
+        merged.crossJoin(F.broadcast(offs))
+        .select("key", (F.col("c") - F.col("__off")).alias("c"))
+        .where(F.col("c") > 0)
+    )
+    n_seen = (
+        allsum.groupBy(F.col("epoch").cast("long").alias("e"))
+        .agg(F.max("n_batch").alias("nb"))
+        .agg(F.sum("nb").alias("__n"))
+    )
+    out = (
+        trimmed.orderBy(F.desc("c"), F.asc("key"))
+        .limit(top)
+        .crossJoin(F.broadcast(trimmed.agg(F.sum("c").alias("__sc"))))
+        .crossJoin(F.broadcast(n_seen))
+        .select(
+            F.lit(int(epoch_id)).alias("epoch_id"),
+            "key",
+            F.col("c").alias("count_min"),
+            (F.col("__n") - F.col("__sc")).alias("err_bound"),
+        )
+    ).localCheckpoint()
+    out.write.mode("overwrite").parquet(f"{out_path}/epoch={int(epoch_id)}")
+
+
+def mg_topk_stream(
+    stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    *,
+    key_col: str,
+    m: int = 64,
+    top: int = 10,
+) -> "StreamingQuery":
+    """Streaming heavy hitters via mergeable Misra-Gries summaries —
+    the bounded-state answer to "what are the top keys so far" on an
+    unbounded stream (countmin_topk's deterministic-undercount
+    sibling): state is one <= m-row summary PER EPOCH (epoch-
+    partitioned parquet, replay-idempotent overwrites), the per-epoch
+    output is the merged top-``top`` with the global error bound.
+    State grows m rows per micro-batch — compact epochs offline by
+    MG-merging them into one partition when the trail gets long."""
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        mg_process_batch(
+            batch_df, epoch_id, state_path, out_path,
+            key_col=key_col, m=m, top=top,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

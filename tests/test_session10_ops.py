@@ -1258,3 +1258,100 @@ def test_prefix_max_single_row_and_empty(spark):
     assert r[0].m is None  # no predecessor
     empty = spark.createDataFrame([], "k double, x double")
     assert prefix_max(empty, ["k"], {"x": "m"}).count() == 0
+
+
+# -- Misra-Gries streaming heavy hitters -----------------------------------------
+
+
+def test_mg_summary_exact_when_few_keys(spark):
+    from harmonize_search_analyze_spark.streaming.windows import (
+        mg_summary,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3, "k string"
+    )
+    rows = {r.key: (r.c, r.n_batch) for r in mg_summary(df, "k", 8).collect()}
+    assert rows == {"a": (5, 8), "b": (3, 8)}
+
+
+def test_mg_summary_trims_to_m(spark):
+    """Counts a=6 b=4 c=3 d=1 at m=2: offset = 3rd largest = 3 ->
+    a=3, b=1 survive (<= m rows, undercount exactly 3)."""
+    from harmonize_search_analyze_spark.streaming.windows import (
+        mg_summary,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 4 + [("c",)] * 3 + [("d",)],
+        "k string",
+    )
+    rows = {r.key: r.c for r in mg_summary(df, "k", 2).collect()}
+    assert rows == {"a": 3, "b": 1}
+
+
+def test_mg_process_batch_guarantee_and_replay(spark, tmp_path):
+    """Across 3 epochs of a skewed stream: every counter undercounts
+    (c <= true <= c + err); the true top key is present; replaying an
+    epoch changes NOTHING (state and output are epoch overwrites)."""
+    import collections
+    from harmonize_search_analyze_spark.streaming.windows import (
+        mg_process_batch,
+    )
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    batches, truth = [], collections.Counter()
+    for e in range(3):
+        keys = (
+            ["hot"] * 40 + [f"warm{e}"] * 10
+            + [f"cold{i}" for i in range(30)]
+        )
+        truth.update(keys)
+        batches.append(
+            spark.createDataFrame([(k,) for k in keys], "k string")
+        )
+    for e, b in enumerate(batches):
+        mg_process_batch(b, e, state, out, key_col="k", m=8, top=5)
+
+    final = {
+        r.key: (r.count_min, r.err_bound)
+        for r in spark.read.parquet(f"{out}/epoch=2").collect()
+    }
+    assert "hot" in final  # true count 120 >> any err bound
+    for key, (c, err) in final.items():
+        assert c <= truth[key] <= c + err
+
+    before_state = sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    )
+    before_out = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    )
+    mg_process_batch(batches[1], 1, state, out, key_col="k", m=8, top=5)
+    after_state = sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    )
+    after_out = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    )
+    assert before_state == after_state
+    assert before_out == after_out
+
+
+def test_mg_process_batch_exact_when_under_m(spark, tmp_path):
+    from harmonize_search_analyze_spark.streaming.windows import (
+        mg_process_batch,
+    )
+
+    state = str(tmp_path / "s")
+    out = str(tmp_path / "o")
+    b1 = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "k string")
+    b2 = spark.createDataFrame([("x",)] * 4 + [("z",)], "k string")
+    mg_process_batch(b1, 0, state, out, key_col="k", m=16, top=5)
+    mg_process_batch(b2, 1, state, out, key_col="k", m=16, top=5)
+    rows = {
+        r.key: (r.count_min, r.err_bound)
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    assert rows == {"x": (7, 0), "y": (2, 0), "z": (1, 0)}
