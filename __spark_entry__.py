@@ -11986,6 +11986,28 @@ def _sql_centroid_similarity(dialect: str = "duckdb") -> str:
     return centroid_similarity_sql("embeddings", dialect)
 
 
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Cox log-rank test: do purchasers' retention curves differ
+    from non-purchasers' — the inferential companion to kaplan_meier
+    (same lifetimes, same censoring)."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        logrank_test,
+    )
+
+    return logrank_test(
+        _t(spark, sf_dir, "events"),
+        F.col("event_type") == "purchase",
+    )
+
+
+def _sql_logrank_test(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        logrank_test_sql,
+    )
+
+    return logrank_test_sql("events", "event_type = 'purchase'", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12144,6 +12166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "llr_collocations": q_llr_collocations,
         "centroid_similarity": q_centroid_similarity,
+        "logrank_test": q_logrank_test,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12531,6 +12554,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": _sql_doc_keywords(),
         "llr_collocations": _sql_llr_collocations(),
         "centroid_similarity": _sql_centroid_similarity(),
+        "logrank_test": _sql_logrank_test(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

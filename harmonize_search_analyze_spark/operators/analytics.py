@@ -5994,3 +5994,199 @@ FROM pairs CROSS JOIN tot
 ORDER BY pairs DESC, key ASC
 LIMIT {top}
 """
+
+
+def logrank_test(
+    df: DataFrame,
+    group_filter: Column,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Log-rank (Mantel-Cox) test comparing the survival curves of two
+    user cohorts — the inferential companion to :func:`kaplan_meier`
+    ("do these retention curves actually differ"): lifetimes and
+    censoring exactly as kaplan_meier (whole-day durations, churned
+    when last activity sits more than ``churn_gap_days`` before the
+    observation end); cohort A is every user with at least one event
+    matching ``group_filter``. At each distinct churn time the observed
+    cohort-A deaths are compared against the hypergeometric expectation
+    ``E1j = d_j n1j / n_j`` with variance ``V1j = d_j (n1j/n_j)
+    (1 - n1j/n_j) (n_j - d_j) / (n_j - 1)``; ``chi2 = (O1 - E1)^2 / V``
+    with the two-sided normal p via the shared A&S erf polynomial.
+    Returns ONE row ``(n_a, n_b, churned_a, churned_b, observed_a,
+    expected_a, chi2, p_value)`` rounded 6; a zero-variance design
+    (one cohort empty, or no churn events) pins NULL chi2/p.
+
+    Scale shape: one user-keyed hash agg (lifetime + cohort flag), a
+    1-row broadcast (observation end), one duration-keyed agg, then
+    suffix-sum windows over the DURATION frame — bounded by the time
+    range in days, the kaplan_meier cost class, never user count.
+    """
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(time_col).isNotNull()
+    )
+    lives = ev.groupBy(user_col).agg(
+        F.min(time_col).alias("__first"),
+        F.max(time_col).alias("__last"),
+        F.max(F.when(group_filter, 1).otherwise(0)).alias("__a"),
+    )
+    end = ev.agg(F.max(time_col).alias("__end"))
+    per_user = lives.crossJoin(F.broadcast(end)).select(
+        F.datediff(F.col("__last"), F.col("__first")).alias("duration"),
+        (
+            F.datediff(F.col("__end"), F.col("__last"))
+            > F.lit(int(churn_gap_days))
+        ).cast("int").alias("churned"),
+        F.col("__a"),
+    )
+    buckets = per_user.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("__a").alias("n1_total"),
+        F.sum("churned").alias("d"),
+        F.sum(F.col("churned") * F.col("__a")).alias("d1"),
+    )
+    wsuf = Window.orderBy("duration").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = buckets.select(
+        "duration", "d", "d1",
+        F.sum("n_total").over(wsuf).alias("__nj"),
+        F.sum("n1_total").over(wsuf).alias("__n1j"),
+    ).where(F.col("d") >= 1)
+    nj = F.col("__nj").cast("double")
+    n1j = F.col("__n1j").cast("double")
+    dj = F.col("d").cast("double")
+    e1 = dj * n1j / nj
+    v1 = F.when(
+        F.col("__nj") > 1,
+        dj * (n1j / nj) * (1.0 - n1j / nj)
+        * (nj - dj) / (nj - 1.0),
+    ).otherwise(F.lit(0.0))
+    folded = risk.agg(
+        F.sum("d1").alias("__o1"),
+        F.sum(e1).alias("__e1"),
+        F.sum(v1).alias("__v"),
+    )
+    totals = per_user.agg(
+        F.sum("__a").alias("__na"),
+        F.sum(1 - F.col("__a")).alias("__nb"),
+        F.sum(F.col("churned") * F.col("__a")).alias("__ca"),
+        F.sum(F.col("churned") * (1 - F.col("__a"))).alias("__cb"),
+    )
+    one = folded.crossJoin(F.broadcast(totals))
+    chi2 = F.try_divide(
+        (F.col("__o1") - F.col("__e1"))
+        * (F.col("__o1") - F.col("__e1")),
+        F.nullif(F.col("__v"), F.lit(0.0)),
+    )
+    z = F.sqrt(chi2)
+    pv = F.expr(
+        "1.0 - " + _erf_sql("__z / 1.4142135623730951")
+    )
+    return (
+        one.select(
+            F.col("__na").cast("bigint").alias("n_a"),
+            F.col("__nb").cast("bigint").alias("n_b"),
+            F.col("__ca").cast("bigint").alias("churned_a"),
+            F.col("__cb").cast("bigint").alias("churned_b"),
+            F.col("__o1").cast("bigint").alias("observed_a"),
+            F.round("__e1", 6).alias("expected_a"),
+            (F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+            z.alias("__z"),
+        )
+        .select(
+            "n_a", "n_b", "churned_a", "churned_b", "observed_a",
+            "expected_a", "chi2",
+            (F.round(F.when(F.col("__z").isNotNull(), pv), 6)
+             + F.lit(0.0)).alias("p_value"),
+        )
+    )
+
+
+def logrank_test_sql(
+    table: str,
+    group_filter: str,
+    dialect: str,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    churn_gap_days: int = 7,
+) -> str:
+    """Dual-dialect twin of :func:`logrank_test` (datediff vs
+    date_diff('day') is the one split; NULLIF mirrors try_divide)."""
+    if dialect == "spark":
+        dd = lambda a, b: f"datediff({a}, {b})"  # noqa: E731
+    elif dialect == "duckdb":
+        dd = lambda a, b: (  # noqa: E731
+            f"date_diff('day', CAST({b} AS DATE), CAST({a} AS DATE))"
+        )
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    pv = "1.0 - " + _erf_sql("SQRT(chi2_) / 1.4142135623730951")
+    return f"""
+WITH lives AS (
+  SELECT {user_col} AS u, MIN({time_col}) AS f, MAX({time_col}) AS l,
+         MAX(CASE WHEN {group_filter} THEN 1 ELSE 0 END) AS a
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+  GROUP BY 1
+),
+obs_end AS (
+  SELECT MAX({time_col}) AS e FROM {table}
+  WHERE {user_col} IS NOT NULL AND {time_col} IS NOT NULL
+),
+per_user AS (
+  SELECT {dd('l', 'f')} AS duration,
+         CASE WHEN {dd('e', 'l')} > {int(churn_gap_days)}
+              THEN 1 ELSE 0 END AS churned,
+         a
+  FROM lives CROSS JOIN obs_end
+),
+buckets AS (
+  SELECT duration, COUNT(*) AS n_total, SUM(a) AS n1_total,
+         SUM(churned) AS d, SUM(churned * a) AS d1
+  FROM per_user GROUP BY 1
+),
+risk AS (
+  SELECT duration, d, d1,
+         SUM(n_total) OVER (
+           ORDER BY duration
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS nj,
+         SUM(n1_total) OVER (
+           ORDER BY duration
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS n1j
+  FROM buckets
+),
+folded AS (
+  SELECT SUM(d1) AS o1,
+         SUM(CAST(d AS DOUBLE) * n1j / nj) AS e1,
+         SUM(CASE WHEN nj > 1
+                  THEN CAST(d AS DOUBLE) * (CAST(n1j AS DOUBLE) / nj)
+                       * (1.0 - CAST(n1j AS DOUBLE) / nj)
+                       * (nj - d) / (nj - 1.0)
+                  ELSE 0.0 END) AS v
+  FROM risk WHERE d >= 1
+),
+totals AS (
+  SELECT SUM(a) AS na, SUM(1 - a) AS nb,
+         SUM(churned * a) AS ca, SUM(churned * (1 - a)) AS cb
+  FROM per_user
+),
+scored AS (
+  SELECT na, nb, ca, cb, o1, e1,
+         (o1 - e1) * (o1 - e1) / NULLIF(v, 0.0) AS chi2_
+  FROM folded CROSS JOIN totals
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ca AS BIGINT) AS churned_a, CAST(cb AS BIGINT) AS churned_b,
+       CAST(o1 AS BIGINT) AS observed_a,
+       ROUND(e1, 6) AS expected_a,
+       ROUND(chi2_, 6) + 0.0 AS chi2,
+       ROUND(CASE WHEN chi2_ IS NOT NULL THEN {pv} END, 6) + 0.0
+         AS p_value
+FROM scored
+"""

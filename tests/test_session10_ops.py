@@ -1355,3 +1355,126 @@ def test_mg_process_batch_exact_when_under_m(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/epoch=1").collect()
     }
     assert rows == {"x": (7, 0), "y": (2, 0), "z": (1, 0)}
+
+
+# -- logrank_test ---------------------------------------------------------------
+
+
+def _lr_events(spark):
+    rows = [
+        # u1: A (purchase), duration 0, churned (gap 18d)
+        (1, "2024-01-01 00:00:00", 1, "purchase", 0.0),
+        # u2: A, duration 2, CENSORED (last = observation end)
+        (2, "2024-01-17 00:00:00", 2, "purchase", 0.0),
+        (3, "2024-01-19 00:00:00", 2, "view", 0.0),
+        # u3: B, duration 0, churned
+        (4, "2024-01-02 00:00:00", 3, "view", 0.0),
+        # u4: B, duration 2, churned
+        (5, "2024-01-05 00:00:00", 4, "view", 0.0),
+        (6, "2024-01-07 00:00:00", 4, "click", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+
+
+def test_logrank_hand_computed(spark):
+    """t=0: d=2 n=4 n1=2 -> E1=1, V=1/3; t=2: d=1 n=2 n1=1 -> E1=0.5,
+    V=1/4. O1=1, E1=1.5, V=7/12 -> chi2=0.428571."""
+    import math
+    from pyspark.sql import functions as F
+    from harmonize_search_analyze_spark.operators.analytics import (
+        logrank_test,
+    )
+
+    r = logrank_test(
+        _lr_events(spark), F.col("event_type") == "purchase"
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.churned_a, r.churned_b) == (2, 2, 1, 2)
+    assert r.observed_a == 1
+    assert r.expected_a == pytest.approx(1.5, abs=1e-6)
+    assert r.chi2 == pytest.approx(3 / 7, abs=1e-6)
+    z = math.sqrt(3 / 7)
+    p = 1.0 - math.erf(z / math.sqrt(2.0))
+    assert r.p_value == pytest.approx(p, abs=1e-4)
+
+
+def test_logrank_identical_cohorts_zero_chi2(spark):
+    """Split by user parity with mirrored lifetimes: O1 == E1 exactly
+    -> chi2 = 0."""
+    from pyspark.sql import functions as F
+    from harmonize_search_analyze_spark.operators.analytics import (
+        logrank_test,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(8):
+        last = 1 + (u // 2) * 2  # pairs (even, odd) share a lifetime
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 0.0))
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-{last:02d} 00:00:00", u, "view", 0.0)
+        )
+        eid += 1
+    # balanced censored pair pinning the observation end
+    rows.append((eid, "2024-01-20 00:00:00", 98, "view", 0.0))
+    rows.append((eid + 1, "2024-01-20 00:00:00", 99, "view", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    r = logrank_test(df, F.col("user_id") % 2 == 0).collect()[0]
+    assert r.chi2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_logrank_sql_twin_both_dialects(spark):
+    from pyspark.sql import functions as F
+    from harmonize_search_analyze_spark.operators.analytics import (
+        logrank_test,
+        logrank_test_sql,
+    )
+
+    rows = [
+        (i, f"2024-01-{1 + (i * 7) % 25:02d} 00:00:00", i % 17,
+         ["view", "click", "purchase"][i % 3], float(i % 5))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    df.createOrReplaceTempView("s10_lr")
+    want = tuple(
+        logrank_test(df, F.col("event_type") == "purchase").collect()[0]
+    )
+    got = tuple(
+        spark.sql(
+            logrank_test_sql("s10_lr", "event_type = 'purchase'", "spark")
+        ).collect()[0]
+    )
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_lr",
+        [
+            f"({e},TIMESTAMP '2024-01-{1 + (e * 7) % 25:02d} 00:00:00',"
+            f"{u},'{ty}',{v})"
+            for e, _t, u, ty, v in rows
+        ],
+        "event_id, ts, user_id, event_type, value",
+    )
+    duck = con.execute(
+        logrank_test_sql("s10_lr", "event_type = 'purchase'", "duckdb")
+    ).fetchall()[0]
+    assert tuple(duck) == want
