@@ -12008,6 +12008,24 @@ def _sql_logrank_test(dialect: str = "duckdb") -> str:
     return logrank_test_sql("events", "event_type = 'purchase'", dialect)
 
 
+def q_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort cumulative LTV curve — cohort_retention's revenue
+    sibling (how much a week-N signup is worth by week N+k)."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        ltv_cohorts,
+    )
+
+    return ltv_cohorts(_t(spark, sf_dir, "events"))
+
+
+def _sql_ltv_cohorts(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        ltv_cohorts_sql,
+    )
+
+    return ltv_cohorts_sql("events", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12167,6 +12185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llr_collocations": q_llr_collocations,
         "centroid_similarity": q_centroid_similarity,
         "logrank_test": q_logrank_test,
+        "ltv_cohorts": q_ltv_cohorts,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12555,6 +12574,7 @@ def oracle_sql() -> dict[str, str]:
         "llr_collocations": _sql_llr_collocations(),
         "centroid_similarity": _sql_centroid_similarity(),
         "logrank_test": _sql_logrank_test(),
+        "ltv_cohorts": _sql_ltv_cohorts(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -6190,3 +6190,151 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
          AS p_value
 FROM scored
 """
+
+
+def ltv_cohorts(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "week",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort lifetime-value curve — :func:`cohort_retention`'s revenue
+    sibling: users grouped by first-seen ``period``, their value summed
+    per (cohort, offset) and ACCUMULATED along the offset axis, per-user
+    normalized — "how much is a week-N signup worth by week N+k", the
+    payback-window question retention percentages can't answer. Returns
+    ``(cohort, period_offset, revenue, cum_revenue, cohort_users, ltv)``
+    ordered (cohort, offset); revenue/ltv rounded 6.
+
+    Scale shape: one user-keyed agg (first-seen), one user-keyed join
+    back (same shuffle key, AQE reuses the exchange), one (cohort,
+    offset) agg, a cohort-sized size frame broadcast back, and the
+    cumulative sum windows PARTITIONED BY COHORT over the matrix frame
+    (bounded by time-range x max_offset, never user count).
+    """
+    ev = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    first_seen = ev.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    diff_expr = {
+        "week": (
+            F.datediff(
+                F.date_trunc(period, F.col(ts_col)), F.col("cohort")
+            )
+            / 7
+        ),
+        "day": F.datediff(
+            F.date_trunc(period, F.col(ts_col)), F.col("cohort")
+        ),
+        "month": F.months_between(
+            F.date_trunc(period, F.col(ts_col)), F.col("cohort")
+        ),
+    }[period]
+    joined = (
+        ev.select(user_col, ts_col, value_col)
+        .join(first_seen, user_col)
+        .withColumn("period_offset", diff_expr.cast("int"))
+        .where(
+            (F.col("period_offset") >= 0)
+            & (F.col("period_offset") <= max_offset)
+        )
+    )
+    matrix = joined.groupBy("cohort", "period_offset").agg(
+        F.sum(value_col).alias("__rev")
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        matrix.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "period_offset",
+            F.round("__rev", 6).alias("revenue"),
+            F.round(F.sum("__rev").over(wc), 6).alias("cum_revenue"),
+            "cohort_users",
+            F.round(
+                F.sum("__rev").over(wc) / F.col("cohort_users"), 6
+            ).alias("ltv"),
+        )
+        .orderBy("cohort", "period_offset")
+    )
+
+
+def ltv_cohorts_sql(
+    table: str,
+    dialect: str,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: str = "week",
+    max_offset: int = 8,
+) -> str:
+    """Dual-dialect twin of :func:`ltv_cohorts`. date_trunc('week')
+    agrees on Monday starts across both engines; the offset arithmetic
+    is day-difference based (the cohort_retention pin)."""
+    if dialect == "spark":
+        trunc = lambda c: f"date_trunc('{period}', {c})"  # noqa: E731
+        dd = lambda a, b: f"datediff({a}, {b})"  # noqa: E731
+    elif dialect == "duckdb":
+        trunc = lambda c: (  # noqa: E731
+            f"CAST(date_trunc('{period}', {c}) AS TIMESTAMP)"
+        )
+        dd = lambda a, b: (  # noqa: E731
+            f"date_diff('day', CAST({b} AS DATE), CAST({a} AS DATE))"
+        )
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    if period == "week":
+        off = f"CAST({dd(trunc(ts_col), 'f.cohort')} / 7 AS INT)"
+    elif period == "day":
+        off = f"CAST({dd(trunc(ts_col), 'f.cohort')} AS INT)"
+    else:
+        raise ValueError("sql twin supports week/day periods")
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS u, {ts_col}, CAST({value_col} AS DOUBLE) AS v
+  FROM {table}
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+    AND {value_col} IS NOT NULL
+),
+first_seen AS (
+  SELECT u, {trunc(f'MIN({ts_col})')} AS cohort FROM ev GROUP BY 1
+),
+joined AS (
+  SELECT f.cohort, {off} AS period_offset, ev.v
+  FROM ev JOIN first_seen f ON ev.u = f.u
+),
+matrix AS (
+  SELECT cohort, period_offset, SUM(v) AS rev
+  FROM joined
+  WHERE period_offset >= 0 AND period_offset <= {max_offset}
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_users FROM first_seen GROUP BY 1)
+SELECT m.cohort, m.period_offset,
+       ROUND(m.rev, 6) AS revenue,
+       ROUND(SUM(m.rev) OVER (
+         PARTITION BY m.cohort ORDER BY m.period_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS cum_revenue,
+       s.cohort_users,
+       ROUND(SUM(m.rev) OVER (
+         PARTITION BY m.cohort ORDER BY m.period_offset
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) / s.cohort_users, 6) AS ltv
+FROM matrix m JOIN sizes s ON m.cohort = s.cohort
+ORDER BY m.cohort, m.period_offset
+"""

@@ -1478,3 +1478,77 @@ def test_logrank_sql_twin_both_dialects(spark):
         logrank_test_sql("s10_lr", "event_type = 'purchase'", "duckdb")
     ).fetchall()[0]
     assert tuple(duck) == want
+
+
+# -- ltv_cohorts ----------------------------------------------------------------
+
+
+def test_ltv_cohorts_hand_computed(spark):
+    """One Monday-anchored cohort of 2 users: week-0 revenue 10+2,
+    week-1 revenue 5 -> cum 12, 17; ltv 6.0, 8.5."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        ltv_cohorts,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 10.0),  # Monday
+        (2, "2024-01-03 10:00:00", 2, "purchase", 2.0),
+        (3, "2024-01-09 10:00:00", 1, "purchase", 5.0),   # week 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    out = ltv_cohorts(df).collect()
+    assert [(r.period_offset, r.revenue, r.cum_revenue, r.cohort_users,
+             r.ltv) for r in out] == [
+        (0, 12.0, 12.0, 2, 6.0),
+        (1, 5.0, 17.0, 2, 8.5),
+    ]
+
+
+def test_ltv_cohorts_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        ltv_cohorts,
+        ltv_cohorts_sql,
+    )
+
+    rows = [
+        (i, f"2024-01-{1 + (i * 3) % 28:02d} 08:00:00", i % 11,
+         "purchase", float(1 + i % 7))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value",
+    )
+    df.createOrReplaceTempView("s10_ltv")
+    want = [tuple(r) for r in ltv_cohorts(df).collect()]
+    got = [
+        tuple(r)
+        for r in spark.sql(ltv_cohorts_sql("s10_ltv", "spark")).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(
+        con, "s10_ltv",
+        [
+            f"({e},TIMESTAMP '2024-01-{1 + (e * 3) % 28:02d} 08:00:00',"
+            f"{u},'p',{v})"
+            for e, _t, u, _ty, v in rows
+        ],
+        "event_id, ts, user_id, event_type, value",
+    )
+    duck = con.execute(ltv_cohorts_sql("s10_ltv", "duckdb")).fetchall()
+    w_vals = [t[1:] for t in want]  # cohort ts compared loosely below
+    d_vals = [tuple(r)[1:] for r in duck]
+    assert w_vals == d_vals
+    assert [str(t[0])[:10] for t in want] == [
+        str(r[0])[:10] for r in duck
+    ]
