@@ -12026,6 +12026,27 @@ def _sql_ltv_cohorts(dialect: str = "duckdb") -> str:
     return ltv_cohorts_sql("events", dialect)
 
 
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types' value
+    distributions — the nonparametric anova_f on the scalable
+    midrank path."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        kruskal_wallis,
+    )
+
+    return kruskal_wallis(
+        _t(spark, sf_dir, "events"), "value", "event_type"
+    )
+
+
+def _sql_kruskal_wallis(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        kruskal_wallis_sql,
+    )
+
+    return kruskal_wallis_sql("events", "value", "event_type", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12186,6 +12207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_similarity": q_centroid_similarity,
         "logrank_test": q_logrank_test,
         "ltv_cohorts": q_ltv_cohorts,
+        "kruskal_wallis": q_kruskal_wallis,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12575,6 +12597,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_similarity": _sql_centroid_similarity(),
         "logrank_test": _sql_logrank_test(),
         "ltv_cohorts": _sql_ltv_cohorts(),
+        "kruskal_wallis": _sql_kruskal_wallis(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -6338,3 +6338,136 @@ SELECT m.cohort, m.period_offset,
 FROM matrix m JOIN sizes s ON m.cohort = s.cohort
 ORDER BY m.cohort, m.period_offset
 """
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    field: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test — :func:`mann_whitney` generalized to k
+    groups (the nonparametric :func:`anova_f`; the robust choice when
+    per-source metric distributions are skewed): ``H = 12/(N(N+1))
+    sum R_g^2/n_g - 3(N+1)`` over exact midranks, with the standard tie
+    correction ``H_c = H / (1 - sum(t^3 - t)/(N^3 - N))``. Like anova_f
+    the statistic triple is reported and the chi2(k-1) CDF left to the
+    caller (no portable chi2 CDF — the anova_f convention). All-tied
+    input (every value identical) pins NULL h_corrected via the zero
+    correction denominator. Returns ONE row
+    ``(k, n, dof, h, h_corrected)`` rounded 6.
+
+    Scale shape: the mann_whitney midrank discipline — ONE
+    (value, group) hash agg, a value-keyed roll-up, a SCALABLE prefix
+    sum over the value frame (:func:`ordering.prefix_sums` — never an
+    unpartitioned corpus-sized window), one value-keyed join back
+    (both sides share the value exchange), one group agg
+    (group-cardinality-sized), one 1-row fold.
+    """
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+    )
+
+    v = F.expr(field).cast("double")
+    pairs = (
+        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(v.alias("__v"), F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vals = pairs.groupBy("__v").agg(F.sum("__c").alias("__t"))
+    ranked = prefix_sums(vals, ["__v"], {"__t": "__cum"}).select(
+        "__v",
+        (
+            F.col("__cum") - F.col("__t") + (F.col("__t") + 1) / 2.0
+        ).alias("__midrank"),
+        "__t",
+    )
+    groups = (
+        pairs.join(ranked.select("__v", "__midrank"), "__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").alias("__ng"),
+            F.sum(F.col("__c") * F.col("__midrank")).alias("__rg"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("__t").cast("double") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        ).alias("__ties")
+    )
+    agg = groups.agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__ng").alias("__n"),
+        F.sum(
+            F.col("__rg") * F.col("__rg") / F.col("__ng")
+        ).alias("__rr"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("__n").cast("double")
+    h = 12.0 / (n * (n + 1.0)) * F.col("__rr") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.try_divide(
+        F.col("__ties"), n * n * n - n
+    )
+    hc = F.try_divide(h, F.nullif(corr, F.lit(0.0)))
+    return agg.select(
+        F.col("__k").cast("bigint").alias("k"),
+        F.col("__n").cast("bigint").alias("n"),
+        (F.col("__k") - 1).cast("bigint").alias("dof"),
+        (F.round(h, 6) + F.lit(0.0)).alias("h"),
+        (F.round(hc, 6) + F.lit(0.0)).alias("h_corrected"),
+    )
+
+
+def kruskal_wallis_sql(
+    table: str,
+    field: str,
+    group_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`kruskal_wallis` (the oracle may use
+    a plain cumulative window — oracle scale is sf0.01; the engine path
+    uses the distributed prefix sum)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    v = f"CAST({field} AS DOUBLE)"
+    return f"""
+WITH pairs AS (
+  SELECT {v} AS v, {group_expr} AS g, COUNT(*) AS c
+  FROM {table}
+  WHERE {v} IS NOT NULL AND {group_expr} IS NOT NULL
+  GROUP BY 1, 2
+),
+vals AS (SELECT v, SUM(c) AS t FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT v,
+         SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+           - t + (t + 1) / 2.0 AS midrank,
+         t
+  FROM vals
+),
+groups AS (
+  SELECT pairs.g, SUM(pairs.c) AS ng,
+         SUM(pairs.c * ranked.midrank) AS rg
+  FROM pairs JOIN ranked ON pairs.v = ranked.v
+  GROUP BY 1
+),
+ties AS (
+  SELECT SUM(CAST(t AS DOUBLE) * t * t - t) AS tt FROM ranked
+),
+agg AS (
+  SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(rg * rg / ng) AS rr
+  FROM groups
+),
+s AS (
+  SELECT k, n, CAST(n AS DOUBLE) AS nd, rr, tt
+  FROM agg CROSS JOIN ties
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(k - 1 AS BIGINT) AS dof,
+       ROUND(12.0 / (nd * (nd + 1.0)) * rr - 3.0 * (nd + 1.0), 6)
+         + 0.0 AS h,
+       ROUND((12.0 / (nd * (nd + 1.0)) * rr - 3.0 * (nd + 1.0))
+             / NULLIF(1.0 - tt / (nd * nd * nd - nd), 0.0), 6)
+         + 0.0 AS h_corrected
+FROM s
+"""

@@ -1552,3 +1552,62 @@ def test_ltv_cohorts_sql_twin_both_dialects(spark):
     assert [str(t[0])[:10] for t in want] == [
         str(r[0])[:10] for r in duck
     ]
+
+
+# -- kruskal_wallis -------------------------------------------------------------
+
+
+def test_kruskal_wallis_hand_computed(spark):
+    """A=[1,2] B=[3,4]: ranks 1..4, R_A=3 R_B=7 -> H = 0.6*29 - 15
+    = 2.4 (no ties). A=[1,1] B=[2]: midranks 1.5,1.5,3 -> H=1.5,
+    tie correction 0.75 -> H_c = 2.0."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert (r.k, r.n, r.dof) == (2, 4, 1)
+    assert r.h == pytest.approx(2.4, abs=1e-6)
+    assert r.h_corrected == pytest.approx(2.4, abs=1e-6)
+
+    tied = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    t = kruskal_wallis(tied, "v", "g").collect()[0]
+    assert t.h == pytest.approx(1.5, abs=1e-6)
+    assert t.h_corrected == pytest.approx(2.0, abs=1e-6)
+
+    const = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 5.0)], "g string, v double"
+    )
+    c = kruskal_wallis(const, "v", "g").collect()[0]
+    assert c.h == pytest.approx(0.0, abs=1e-9)
+    assert c.h_corrected is None  # zero tie-correction denominator
+
+
+def test_kruskal_wallis_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.analytics import (
+        kruskal_wallis,
+        kruskal_wallis_sql,
+    )
+
+    rows = [(f"g{i % 4}", float((i * 13) % 23)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    df.createOrReplaceTempView("s10_kw2")
+    want = tuple(kruskal_wallis(df, "v", "g").collect()[0])
+    got = tuple(
+        spark.sql(
+            kruskal_wallis_sql("s10_kw2", "v", "g", "spark")
+        ).collect()[0]
+    )
+    assert want == got
+    con = duckdb.connect()
+    _duck(con, "s10_kw2", [f"('{g}',{v})" for g, v in rows], "g, v")
+    duck = con.execute(
+        kruskal_wallis_sql("s10_kw2", "v", "g", "duckdb")
+    ).fetchall()[0]
+    assert tuple(duck) == want
