@@ -12047,6 +12047,25 @@ def _sql_kruskal_wallis(dialect: str = "duckdb") -> str:
     return kruskal_wallis_sql("events", "value", "event_type", dialect)
 
 
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 distinct-document estimate + Good-Turing coverage from the
+    duplicate-cluster profile — how many unique docs the population
+    holds and how much of it the sample has seen."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        chao1_richness,
+    )
+
+    return chao1_richness(_t(spark, sf_dir, "documents"), "md5(text)")
+
+
+def _sql_chao1_richness(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        chao1_richness_sql,
+    )
+
+    return chao1_richness_sql("documents", "md5(text)", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12208,6 +12227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_test": q_logrank_test,
         "ltv_cohorts": q_ltv_cohorts,
         "kruskal_wallis": q_kruskal_wallis,
+        "chao1_richness": q_chao1_richness,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12598,6 +12618,7 @@ def oracle_sql() -> dict[str, str]:
         "logrank_test": _sql_logrank_test(),
         "ltv_cohorts": _sql_ltv_cohorts(),
         "kruskal_wallis": _sql_kruskal_wallis(),
+        "chao1_richness": _sql_chao1_richness(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -2272,3 +2272,89 @@ FROM blocked a JOIN blocked b
 WHERE levenshtein(a.title, b.title) <= {max_dist}
 ORDER BY title_a, title_b
 """
+
+
+def chao1_richness(
+    df: DataFrame,
+    key_expr: str,
+) -> DataFrame:
+    """Chao1 species-richness estimate over duplicate clusters — the
+    corpus-planning question dedup counts can't answer: from THIS
+    sample's duplicate profile, how many DISTINCT documents does the
+    underlying population hold, and how much of it have we seen?
+    Treats each distinct ``key_expr`` (a content digest) as a species:
+    with ``F1`` singletons and ``F2`` doubletons,
+    ``chao1 = S_obs + F1 (F1 - 1) / (2 (F2 + 1))`` (the bias-corrected
+    form, defined even at F2 = 0 — Chao 1984/1987), plus the
+    Good-Turing sample coverage ``1 - F1/N`` (the probability the next
+    document drawn is a duplicate of something already seen). Returns
+    ONE row ``(n, s_obs, f1, f2, chao1, coverage)`` rounded 6.
+
+    Scale shape: one key hash agg (digest counts), one
+    frequency-of-frequency agg OVER THAT FRAME (count-of-count —
+    bounded by max multiplicity), one 1-row fold. Map-combinable end
+    to end; the raw corpus is scanned once.
+    """
+    counts = (
+        df.where(F.expr(key_expr).isNotNull())
+        .groupBy(F.expr(key_expr).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    fof = counts.groupBy("__c").agg(F.count(F.lit(1)).alias("__f"))
+    one = fof.agg(
+        F.sum(F.col("__c") * F.col("__f")).alias("__n"),
+        F.sum("__f").alias("__s"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") == 1, F.col("__f"))), F.lit(0)
+        ).alias("__f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") == 2, F.col("__f"))), F.lit(0)
+        ).alias("__f2"),
+    )
+    f1 = F.col("__f1").cast("double")
+    chao = (
+        F.col("__s")
+        + f1 * (f1 - 1.0) / (2.0 * (F.col("__f2") + 1.0))
+    )
+    cov = 1.0 - F.try_divide(f1, F.col("__n").cast("double"))
+    return one.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__s").cast("bigint").alias("s_obs"),
+        F.col("__f1").cast("bigint").alias("f1"),
+        F.col("__f2").cast("bigint").alias("f2"),
+        F.round(chao, 6).alias("chao1"),
+        (F.round(cov, 6) + F.lit(0.0)).alias("coverage"),
+    )
+
+
+def chao1_richness_sql(
+    table: str,
+    key_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`chao1_richness` (identical text)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH counts AS (
+  SELECT {key_expr} AS k, COUNT(*) AS c
+  FROM {table}
+  WHERE {key_expr} IS NOT NULL
+  GROUP BY 1
+),
+fof AS (SELECT c, COUNT(*) AS f FROM counts GROUP BY 1),
+one AS (
+  SELECT CAST(SUM(c * f) AS BIGINT) AS n, CAST(SUM(f) AS BIGINT) AS s,
+         CAST(COALESCE(SUM(CASE WHEN c = 1 THEN f END), 0) AS BIGINT)
+           AS f1,
+         CAST(COALESCE(SUM(CASE WHEN c = 2 THEN f END), 0) AS BIGINT)
+           AS f2
+  FROM fof
+)
+SELECT n, s AS s_obs, f1, f2,
+       ROUND(s + CAST(f1 AS DOUBLE) * (f1 - 1.0)
+                 / (2.0 * (f2 + 1.0)), 6) AS chao1,
+       ROUND(1.0 - CAST(f1 AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0),
+             6) + 0.0 AS coverage
+FROM one
+"""

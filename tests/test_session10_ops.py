@@ -1611,3 +1611,57 @@ def test_kruskal_wallis_sql_twin_both_dialects(spark):
         kruskal_wallis_sql("s10_kw2", "v", "g", "duckdb")
     ).fetchall()[0]
     assert tuple(duck) == want
+
+
+# -- chao1_richness -------------------------------------------------------------
+
+
+def test_chao1_hand_computed(spark):
+    """Species counts a:1 b:1 c:2 d:3 -> S=4, F1=2, F2=1,
+    chao1 = 4 + 2*1/(2*2) = 4.5, coverage = 1 - 2/7."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        chao1_richness,
+    )
+
+    rows = [("a",), ("b",), ("c",), ("c",), ("d",), ("d",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = chao1_richness(df, "k").collect()[0]
+    assert (r.n, r.s_obs, r.f1, r.f2) == (7, 4, 2, 1)
+    assert r.chao1 == pytest.approx(4.5, abs=1e-6)
+    assert r.coverage == pytest.approx(1 - 2 / 7, abs=1e-6)
+
+
+def test_chao1_no_singletons_saturated(spark):
+    """Every doc duplicated: F1=0 -> chao1 == S_obs, coverage = 1."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        chao1_richness,
+    )
+
+    rows = [("x",), ("x",), ("y",), ("y",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = chao1_richness(df, "k").collect()[0]
+    assert r.chao1 == 2.0
+    assert r.coverage == 1.0
+
+
+def test_chao1_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.dedup import (
+        chao1_richness,
+        chao1_richness_sql,
+    )
+
+    rows = [(f"k{(i * i) % 37}",) for i in range(150)]
+    df = spark.createDataFrame(rows, "k string")
+    df.createOrReplaceTempView("s10_chao")
+    want = tuple(chao1_richness(df, "k").collect()[0])
+    got = tuple(
+        spark.sql(chao1_richness_sql("s10_chao", "k", "spark"))
+        .collect()[0]
+    )
+    assert want == got
+    con = duckdb.connect()
+    _duck(con, "s10_chao", [f"('{k}')" for (k,) in rows], "k")
+    duck = con.execute(
+        chao1_richness_sql("s10_chao", "k", "duckdb")
+    ).fetchall()[0]
+    assert tuple(duck) == want
