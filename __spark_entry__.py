@@ -12066,6 +12066,24 @@ def _sql_chao1_richness(dialect: str = "duckdb") -> str:
     return chao1_richness_sql("documents", "md5(text)", dialect)
 
 
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts r* and smoothed probabilities over
+    the corpus unigram distribution, with the r=0 unseen-mass row."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        good_turing,
+    )
+
+    return good_turing(_t(spark, sf_dir, "documents"), "text")
+
+
+def _sql_good_turing(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.contamination import (
+        good_turing_sql,
+    )
+
+    return good_turing_sql("documents", "text", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12228,6 +12246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltv_cohorts": q_ltv_cohorts,
         "kruskal_wallis": q_kruskal_wallis,
         "chao1_richness": q_chao1_richness,
+        "good_turing": q_good_turing,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12619,6 +12638,7 @@ def oracle_sql() -> dict[str, str]:
         "ltv_cohorts": _sql_ltv_cohorts(),
         "kruskal_wallis": _sql_kruskal_wallis(),
         "chao1_richness": _sql_chao1_richness(),
+        "good_turing": _sql_good_turing(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

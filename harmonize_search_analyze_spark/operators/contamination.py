@@ -679,3 +679,144 @@ LEFT JOIN tot ON base.id = tot.id
 LEFT JOIN seen ON base.id = seen.id
 ORDER BY base.id
 """
+
+
+def good_turing(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_r: int = 10,
+) -> DataFrame:
+    """Good-Turing adjusted counts over the corpus unigram distribution
+    — the smoothing backbone under Katz/Kneser-Ney that
+    :func:`bigram_lm_score`'s add-k floor approximates: for each raw
+    count ``r``, the adjusted count ``r* = (r + 1) F_{r+1} / F_r`` and
+    the smoothed probability ``p_gt = r*/N``; row ``r = 0`` carries the
+    UNSEEN mass ``F_1 / N`` (the probability the next token is a new
+    type). Rows where ``F_{r+1} = 0`` pin NULL r_star (the estimator is
+    undefined without the next frequency class — real smoothers switch
+    to a fitted tail there). Returns rows ``r = 0..max_r`` ordered by
+    r: ``(r, f_r, r_star, p_gt)`` rounded 6.
+
+    Scale shape: one tokenize+explode pass -> term counts, one
+    frequency-of-frequency agg OVER the vocab frame (bounded by max
+    multiplicity), a self-join of the tiny fof frame on ``r + 1``, a
+    1-row total broadcast.
+    """
+    toks = df.where(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'),"
+                " t -> t != '')"
+            )
+        ).alias("__w")
+    )
+    counts = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    fof = counts.groupBy(F.col("__c").alias("r")).agg(
+        F.count(F.lit(1)).alias("f_r")
+    )
+    nn = F.broadcast(
+        fof.agg(
+            F.sum(F.col("r") * F.col("f_r")).cast("double").alias("__n"),
+            F.coalesce(
+                F.sum(F.when(F.col("r") == 1, F.col("f_r"))), F.lit(0)
+            ).cast("double").alias("__f1"),
+        )
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("f_r").alias("__fn")
+    )
+    spark = df.sparkSession
+    grid = spark.range(1, max_r + 1).select(
+        F.col("id").cast("long").alias("r")
+    )
+    body = (
+        grid.join(fof, "r", "left")
+        .join(nxt, "r", "left")
+        .crossJoin(nn)
+        .select(
+            "r",
+            F.coalesce("f_r", F.lit(0)).alias("f_r"),
+            (
+                (F.col("r") + 1.0)
+                * F.col("__fn")
+                / F.col("f_r")
+            ).alias("__rstar"),
+            F.col("__n"),
+        )
+        .select(
+            "r", "f_r",
+            (F.round("__rstar", 6) + F.lit(0.0)).alias("r_star"),
+            (
+                F.round(F.col("__rstar") / F.col("__n"), 6)
+                + F.lit(0.0)
+            ).alias("p_gt"),
+        )
+    )
+    zero = (
+        spark.range(1)
+        .crossJoin(nn)
+        .select(
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("f_r"),
+            F.lit(None).cast("double").alias("r_star"),
+            F.round(
+                F.try_divide(F.col("__f1"), F.col("__n")), 6
+            ).alias("p_gt"),
+        )
+    )
+    return zero.unionByName(body).orderBy("r")
+
+
+def good_turing_sql(
+    table: str,
+    text_col: str,
+    dialect: str,
+    *,
+    max_r: int = 10,
+) -> str:
+    """Dual-dialect twin of :func:`good_turing` (explode/UNNEST and the
+    integer grid are the dialect splits)."""
+    from harmonize_search_analyze_spark.operators.text import tokens_sql
+
+    toks = tokens_sql(text_col, dialect)
+    if dialect == "spark":
+        unn = f"SELECT explode({toks}) AS w FROM {table} WHERE {text_col} IS NOT NULL"
+        grid = f"SELECT explode(sequence(1, {max_r})) AS r"
+    elif dialect == "duckdb":
+        unn = f"SELECT UNNEST({toks}) AS w FROM {table} WHERE {text_col} IS NOT NULL"
+        grid = f"SELECT UNNEST(generate_series(1, {max_r})) AS r"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH toks AS ({unn}),
+counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+fof AS (SELECT c AS r, COUNT(*) AS f_r FROM counts GROUP BY 1),
+nn AS (
+  SELECT CAST(SUM(r * f_r) AS DOUBLE) AS n,
+         CAST(COALESCE(SUM(CASE WHEN r = 1 THEN f_r END), 0) AS DOUBLE)
+           AS f1
+  FROM fof
+),
+grid AS ({grid}),
+body AS (
+  SELECT CAST(g.r AS BIGINT) AS r,
+         CAST(COALESCE(fof.f_r, 0) AS BIGINT) AS f_r,
+         (g.r + 1.0) * nxt.f_r / fof.f_r AS rstar,
+         nn.n
+  FROM grid g
+  LEFT JOIN fof ON g.r = fof.r
+  LEFT JOIN fof nxt ON g.r + 1 = nxt.r
+  CROSS JOIN nn
+)
+SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS f_r,
+       CAST(NULL AS DOUBLE) AS r_star,
+       ROUND(f1 / NULLIF(n, 0.0), 6) AS p_gt
+FROM nn
+UNION ALL
+SELECT r, f_r,
+       ROUND(rstar, 6) + 0.0 AS r_star,
+       ROUND(rstar / n, 6) + 0.0 AS p_gt
+FROM body
+ORDER BY r
+"""

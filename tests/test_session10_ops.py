@@ -1665,3 +1665,55 @@ def test_chao1_sql_twin_both_dialects(spark):
         chao1_richness_sql("s10_chao", "k", "duckdb")
     ).fetchall()[0]
     assert tuple(duck) == want
+
+
+# -- good_turing ----------------------------------------------------------------
+
+
+def test_good_turing_hand_computed(spark):
+    """Tokens a,a,a,b,b,c: F1=F2=F3=1, N=6. r=0 -> 1/6;
+    r=1 -> r*=2, p=1/3; r=2 -> r*=3, p=1/2; r=3 -> NULL (no F4)."""
+    from harmonize_search_analyze_spark.operators.contamination import (
+        good_turing,
+    )
+
+    df = spark.createDataFrame([("a a a b b c",)], "text string")
+    out = {r.r: r for r in good_turing(df, "text", max_r=4).collect()}
+    assert out[0].p_gt == pytest.approx(1 / 6, abs=1e-6)
+    assert out[1].r_star == pytest.approx(2.0, abs=1e-6)
+    assert out[1].p_gt == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2].r_star == pytest.approx(3.0, abs=1e-6)
+    assert out[2].p_gt == pytest.approx(0.5, abs=1e-6)
+    assert out[3].r_star is None and out[3].f_r == 1
+    assert out[4].r_star is None and out[4].f_r == 0
+
+
+def test_good_turing_sql_twin_both_dialects(spark):
+    from harmonize_search_analyze_spark.operators.contamination import (
+        good_turing,
+        good_turing_sql,
+    )
+
+    words = ["ant", "bee", "cow", "doe", "elk", "fox"]
+    rows = [
+        (" ".join(words[(i + j) % 6] for j in range((i % 5) + 1)),)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    df.createOrReplaceTempView("s10_gt")
+    want = [
+        tuple(r) for r in good_turing(df, "text", max_r=6).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            good_turing_sql("s10_gt", "text", "spark", max_r=6)
+        ).collect()
+    ]
+    assert want == got
+    con = duckdb.connect()
+    _duck(con, "s10_gt", [f"('{t}')" for (t,) in rows], "text")
+    duck = con.execute(
+        good_turing_sql("s10_gt", "text", "duckdb", max_r=6)
+    ).fetchall()
+    assert sorted(map(tuple, duck)) == sorted(want)
