@@ -12084,6 +12084,29 @@ def _sql_good_turing(dialect: str = "duckdb") -> str:
     return good_turing_sql("documents", "text", dialect)
 
 
+def q_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate over the embeddings table via
+    the hash-exact IVF 2-NN path — how many degrees of freedom the
+    vectors actually use. Every 25th vector anchors (sparse anchors vs
+    the FULL corpus — the standard TwoNN cost lever)."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        intrinsic_dim,
+    )
+
+    return intrinsic_dim(
+        _t(spark, sf_dir, "embeddings"),
+        anchor_filter=F.col("vec_id") % 25 == 0,
+    )
+
+
+def _sql_intrinsic_dim(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        intrinsic_dim_sql,
+    )
+
+    return intrinsic_dim_sql("embeddings", anchor_where="vec_id % 25 = 0")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
@@ -12247,6 +12270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "chao1_richness": q_chao1_richness,
         "good_turing": q_good_turing,
+        "intrinsic_dim": q_intrinsic_dim,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
@@ -12639,6 +12663,7 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis": _sql_kruskal_wallis(),
         "chao1_richness": _sql_chao1_richness(),
         "good_turing": _sql_good_turing(),
+        "intrinsic_dim": _sql_intrinsic_dim(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -3945,3 +3945,153 @@ SELECT label_a, label_b,
 FROM pairs
 ORDER BY cosine DESC, label_a ASC, label_b ASC
 """
+
+
+def intrinsic_dim(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "ivf",
+    nprobe: int = 4,
+    n_centroids: int | None = 16,
+    anchor_filter: Column | None = None,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) — the
+    embedding-quality diagnostic that says how many degrees of freedom
+    the vectors ACTUALLY use (collapsed/anisotropic embedding spaces
+    score far below their ambient dimension, a known failure mode of
+    badly trained encoders): for each anchor the ratio
+    ``mu = d2/d1`` of its two nearest-neighbor cosine distances is
+    Pareto(id)-distributed, so ``id_mle = n_used / sum(ln mu)``.
+    Anchors with a zero first distance (exact duplicates at the
+    round-6 cosine grain) or fewer than two retrieved neighbors drop;
+    ``anchor_filter`` subsamples the ANCHOR set (the MLE is over anchor
+    ratios, so sparse anchors against the FULL corpus is the standard
+    cost lever — neighbor candidates are never subsampled).
+    Returns ONE row ``(n, n_used, id_mle)`` rounded 6; an all-duplicate
+    corpus pins NULL id_mle.
+
+    ``method='ivf'`` (default) routes the 2-NN through
+    :func:`similarity_join_ivf` — probe-pruned AND hash-oracle'd
+    exactly (same deterministic centroids and tie-breaks), so the
+    gated query stays lint-clean; ``'exact'`` uses the brute
+    :func:`similarity_join` as the declared-quadratic recall check.
+
+    Scale shape: everything after the k-NN step is a per-anchor window
+    over <= 2 rows, one anchor agg, one 1-row fold.
+    """
+    if method not in ("ivf", "exact"):
+        raise ValueError(f"unknown method {method!r}")
+    anchors_df = df if anchor_filter is None else df.where(anchor_filter)
+    queries = anchors_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("embedding"),
+    )
+    if method == "ivf":
+        knn = similarity_join_ivf(
+            df, queries, 3, nprobe=nprobe, n_centroids=n_centroids,
+            corpus_id=id_col, corpus_vec=vec_col,
+        )
+    else:
+        knn = similarity_join(
+            df, queries, 3, corpus_id=id_col, corpus_vec=vec_col
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    pairs = (
+        knn.where(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 2)
+        .select(
+            "query_id", "__rn",
+            (1.0 - F.col("cosine")).alias("__dist"),
+        )
+    )
+    two = pairs.groupBy("query_id").agg(
+        F.sum(F.when(F.col("__rn") == 1, F.col("__dist"))).alias("__r1"),
+        F.sum(F.when(F.col("__rn") == 2, F.col("__dist"))).alias("__r2"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    used = two.where(
+        (F.col("__c") == 2)
+        & (F.col("__r1") > 0)
+        & F.col("__r2").isNotNull()
+    ).select(F.log(F.col("__r2") / F.col("__r1")).alias("__lmu"))
+    anchors = F.broadcast(
+        anchors_df.where(F.col(vec_col).isNotNull()).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+    )
+    fold = used.agg(
+        F.count(F.lit(1)).alias("__nu"),
+        F.sum("__lmu").alias("__slm"),
+    ).crossJoin(anchors)
+    return fold.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__nu").cast("bigint").alias("n_used"),
+        (
+            F.round(
+                F.try_divide(
+                    F.col("__nu").cast("double"),
+                    F.nullif(F.col("__slm"), F.lit(0.0)),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("id_mle"),
+    )
+
+
+def intrinsic_dim_sql(
+    corpus_table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    anchor_where: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`intrinsic_dim` (method='ivf'): the
+    hash-exact :func:`similarity_join_ivf_sql` k-NN as a nested CTE,
+    then the same per-anchor ratio fold."""
+    aw = f" AND ({anchor_where})" if anchor_where else ""
+    queries_sql = (
+        f"SELECT {id_col} AS query_id, {vec_col}::DOUBLE[] AS qv"
+        f" FROM {corpus_table} WHERE {vec_col} IS NOT NULL{aw}"
+    )
+    knn = similarity_join_ivf_sql(
+        corpus_table, queries_sql, 3,
+        nprobe=nprobe, n_centroids=n_centroids,
+        corpus_id=id_col, corpus_vec=vec_col,
+    )
+    return f"""
+WITH knn AS ({knn}),
+pairs AS (
+  SELECT query_id, 1.0 - cosine AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+         ) AS rn
+  FROM knn WHERE corpus_id <> query_id
+),
+two AS (
+  SELECT query_id,
+         SUM(CASE WHEN rn = 1 THEN dist END) AS r1,
+         SUM(CASE WHEN rn = 2 THEN dist END) AS r2,
+         COUNT(*) AS c
+  FROM pairs WHERE rn <= 2 GROUP BY 1
+),
+used AS (
+  SELECT LN(r2 / r1) AS lmu
+  FROM two WHERE c = 2 AND r1 > 0 AND r2 IS NOT NULL
+),
+fold AS (
+  SELECT COUNT(*) AS nu, SUM(lmu) AS slm FROM used
+)
+SELECT (SELECT COUNT(*) FROM {corpus_table}
+        WHERE {vec_col} IS NOT NULL{aw}) AS n,
+       CAST(nu AS BIGINT) AS n_used,
+       ROUND(CAST(nu AS DOUBLE) / NULLIF(slm, 0.0), 6) + 0.0 AS id_mle
+FROM fold
+"""

@@ -1717,3 +1717,90 @@ def test_good_turing_sql_twin_both_dialects(spark):
         good_turing_sql("s10_gt", "text", "duckdb", max_r=6)
     ).fetchall()
     assert sorted(map(tuple, duck)) == sorted(want)
+
+
+# -- intrinsic_dim --------------------------------------------------------------
+
+
+def test_intrinsic_dim_recovers_arc_vs_patch(spark):
+    """Seeded-random points on a 1-D circular arc vs a 2-D sphere
+    patch (both in ambient 4-D): TwoNN must rank the arc's intrinsic
+    dimension clearly below the patch's (exact method, no probe
+    loss). Deterministic seed — TwoNN's Pareto-ratio law needs
+    scattered points, not a regular grid."""
+    import math
+    import random
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        intrinsic_dim,
+    )
+
+    rng = random.Random(42)
+    arc = spark.createDataFrame(
+        [
+            (i, [math.cos(t), math.sin(t), 0.0, 0.0])
+            for i, t in enumerate(
+                rng.uniform(0.0, 1.2) for _ in range(60)
+            )
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    patch_pts = []
+    for i in range(60):
+        a, b = rng.uniform(0.0, 1.2), rng.uniform(0.0, 1.2)
+        patch_pts.append(
+            (i, [
+                math.cos(a) * math.cos(b),
+                math.cos(a) * math.sin(b),
+                math.sin(a),
+                0.0,
+            ])
+        )
+    patch = spark.createDataFrame(
+        patch_pts, "vec_id long, embedding array<double>"
+    )
+    d_arc = intrinsic_dim(arc, method="exact").collect()[0]
+    d_patch = intrinsic_dim(patch, method="exact").collect()[0]
+    assert d_arc.id_mle is not None and d_patch.id_mle is not None
+    assert d_arc.id_mle < d_patch.id_mle
+    assert d_arc.n == 60 and d_arc.n_used > 0
+
+
+def test_intrinsic_dim_all_duplicates_null(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        intrinsic_dim,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    r = intrinsic_dim(df, method="exact").collect()[0]
+    assert r.id_mle is None and r.n_used == 0
+
+
+def test_intrinsic_dim_ivf_matches_duckdb_replay(spark):
+    from harmonize_search_analyze_spark.operators.similarity import (
+        intrinsic_dim,
+        intrinsic_dim_sql,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) + 0.1 * j for j in range(4)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    want = tuple(intrinsic_dim(df).collect()[0])
+    con = duckdb.connect()
+    _duck(
+        con, "embeddings",
+        [
+            "({},{})".format(i, "[" + ",".join(map(str, v)) + "]")
+            for i, v in rows
+        ],
+        "vec_id, embedding",
+    )
+    duck = con.execute(intrinsic_dim_sql("embeddings")).fetchall()[0]
+    assert tuple(duck) == want
