@@ -5778,6 +5778,11 @@ def attribution_position(
     exchange, Spark fuses same-partitioning windows), one channel
     hash agg.
     """
+    if first_w < 0 or last_w < 0 or first_w + last_w > 1:
+        raise ValueError(
+            "require 0 <= first_w, 0 <= last_w and first_w + last_w"
+            " <= 1 (middle-touch credit would go negative otherwise)"
+        )
     ev = df.where(
         F.col(user_col).isNotNull() & F.col(time_col).isNotNull()
     )
@@ -5842,6 +5847,11 @@ def attribution_position_sql(
     last_w: float = 0.4,
 ) -> str:
     """Dual-dialect twin of :func:`attribution_position`."""
+    if first_w < 0 or last_w < 0 or first_w + last_w > 1:
+        raise ValueError(
+            "require 0 <= first_w, 0 <= last_w and first_w + last_w"
+            " <= 1 (middle-touch credit would go negative otherwise)"
+        )
     if dialect == "spark":
         sec = f"CAST(unix_timestamp({time_col}) AS DOUBLE)"
     elif dialect == "duckdb":

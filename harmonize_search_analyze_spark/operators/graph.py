@@ -544,6 +544,8 @@ def hits_scores(
     per-iteration localCheckpoints keep plan depth flat exactly as in
     pagerank.
     """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     w = (
         F.col(weight_col).cast("double")
         if weight_col
@@ -616,6 +618,8 @@ def hits_scores_sql(
     """Dual-dialect twin of :func:`hits_scores`. ``edges_sql`` yields
     (src, dst, w); the fixed iteration count unrolls to one CTE chain
     of per-iteration hub/authority aggs + scalar L2 norms."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     if dialect not in ("spark", "duckdb"):
         raise ValueError(f"unknown dialect: {dialect}")
     ctes = [

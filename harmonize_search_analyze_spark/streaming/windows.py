@@ -942,16 +942,22 @@ def mg_summary(
     mergeable-summaries form of Agarwal et al. 2013): exact batch
     counts, then — when more than ``m`` keys survive — subtract the
     (m+1)-th largest count from every counter and drop the non-
-    positive. At most ``m`` rows; each counter UNDERCOUNTS its key by
-    at most the subtracted offset. Returns ``(key, c, n_batch)`` with
-    the batch row count repeated (the merge needs the total)."""
+    positive. At most ``m`` counter rows PLUS one sentinel row
+    ``(key NULL, c 0, n_batch N)`` that carries the batch total even
+    when trimming drops every counter (e.g. > m all-unique keys —
+    without the sentinel that epoch's total would vanish from the
+    merge and the global error bound would be underestimated). Each
+    counter UNDERCOUNTS its key by at most the subtracted offset.
+    Consumers must exclude ``key IS NULL`` from counter math and read
+    ``n_batch`` from any row (all rows of one summary repeat it)."""
     counts = (
         df.where(F.col(key_col).isNotNull())
         .groupBy(F.col(key_col).cast("string").alias("key"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = counts.agg(
-        F.sum("c").alias("__n"), F.count(F.lit(1)).alias("__k")
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
     )
     # the (m+1)-th largest count, 0 when <= m keys: a top-(m+1) sort
     # over the KEY frame (key-cardinality-sized, micro-batch scope)
@@ -964,7 +970,7 @@ def mg_summary(
             .alias("__off")
         )
     )
-    return (
+    trimmed = (
         counts.crossJoin(F.broadcast(offs))
         .crossJoin(F.broadcast(tot))
         .select(
@@ -974,6 +980,12 @@ def mg_summary(
         )
         .where(F.col("c") > 0)
     )
+    sentinel = tot.select(
+        F.lit(None).cast("string").alias("key"),
+        F.lit(0).cast("long").alias("c"),
+        F.col("__n").alias("n_batch"),
+    )
+    return trimmed.unionByName(sentinel)
 
 
 def mg_process_batch(
@@ -989,7 +1001,8 @@ def mg_process_batch(
     """One epoch of :func:`mg_topk_stream` (module-level so replay
     idempotency is directly testable, the cusum/sprt shape): write the
     batch's OWN Misra-Gries summary to ``state/epoch=N`` (overwrite —
-    a replayed epoch rewrites the same <= m rows byte-identically),
+    a replayed epoch rewrites the same <= m+1 rows byte-identically;
+    the +1 is the NULL-key sentinel carrying the batch total),
     MG-merge every epoch's summary (sum counters per key, re-trim to
     m), snapshot the top ``top`` to ``out/epoch=N`` with the global
     undercount bound ``err = N_seen - sum(counters)`` (every counter
@@ -1008,8 +1021,12 @@ def mg_process_batch(
     allsum = spark.read.parquet(state_path).where(
         F.col("epoch").cast("long") <= int(epoch_id)
     )
+    # counter merge EXCLUDES the per-epoch sentinel rows (key NULL);
+    # they exist only so n_seen below sees every epoch's total even
+    # when an epoch's summary trimmed to zero counters
     merged = (
-        allsum.groupBy("key")
+        allsum.where(F.col("key").isNotNull())
+        .groupBy("key")
         .agg(F.sum("c").alias("c"))
     )
     offs = (
@@ -1059,8 +1076,9 @@ def mg_topk_stream(
     """Streaming heavy hitters via mergeable Misra-Gries summaries —
     the bounded-state answer to "what are the top keys so far" on an
     unbounded stream (countmin_topk's deterministic-undercount
-    sibling): state is one <= m-row summary PER EPOCH (epoch-
-    partitioned parquet, replay-idempotent overwrites), the per-epoch
+    sibling): state is one <= m+1-row summary PER EPOCH (epoch-
+    partitioned parquet incl. the batch-total sentinel row,
+    replay-idempotent overwrites), the per-epoch
     output is the merged top-``top`` with the global error bound.
     State grows m rows per micro-batch — compact epochs offline by
     MG-merging them into one partition when the trail gets long."""

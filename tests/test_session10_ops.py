@@ -539,6 +539,33 @@ def test_attribution_position_hand_computed(spark):
     assert out[0].channel == "view"  # 1.7 sorts before 1.3
 
 
+def test_attribution_position_rejects_overweight(spark):
+    """ADVICE r7: first_w + last_w > 1 would silently produce
+    negative middle-touch credits — must raise instead."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        attribution_position,
+        attribution_position_sql,
+    )
+
+    df = _events_df(spark, [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+    ])
+    for fw, lw in [(0.6, 0.6), (-0.1, 0.4), (0.4, -0.1)]:
+        with pytest.raises(ValueError, match="first_w"):
+            attribution_position(
+                df, ["click"], "purchase", first_w=fw, last_w=lw
+            )
+        with pytest.raises(ValueError, match="first_w"):
+            attribution_position_sql(
+                "t", ["click"], "purchase", "spark",
+                first_w=fw, last_w=lw,
+            )
+    # boundary first_w + last_w == 1 stays legal (middles get 0)
+    attribution_position(
+        df, ["click"], "purchase", first_w=0.5, last_w=0.5
+    )
+
+
 def test_attribution_position_sql_twin_both_dialects(spark):
     from harmonize_search_analyze_spark.operators.analytics import (
         attribution_position,
@@ -902,6 +929,23 @@ def test_hits_scores_hand_computed(spark):
     )
     assert byn["u1"].authority == 0.0 and byn["x"].hub == 0.0
     assert [r.node for r in out[:2]] == ["x", "y"]  # authority order
+
+
+def test_hits_scores_rejects_zero_iters(spark):
+    """ADVICE r7: iters=0 used to crash with AttributeError (h stays
+    None); now a ValueError at entry, matching the other guards."""
+    from harmonize_search_analyze_spark.operators.graph import (
+        hits_scores,
+        hits_scores_sql,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, w double"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        hits_scores(edges, iters=0, weight_col="w")
+    with pytest.raises(ValueError, match="iters"):
+        hits_scores_sql("SELECT 1", "spark", iters=0)
 
 
 def test_hits_scores_sql_twin_both_dialects(spark):
@@ -1272,7 +1316,8 @@ def test_mg_summary_exact_when_few_keys(spark):
         [("a",)] * 5 + [("b",)] * 3, "k string"
     )
     rows = {r.key: (r.c, r.n_batch) for r in mg_summary(df, "k", 8).collect()}
-    assert rows == {"a": (5, 8), "b": (3, 8)}
+    # counters exact, plus the NULL-key sentinel carrying the total
+    assert rows == {"a": (5, 8), "b": (3, 8), None: (0, 8)}
 
 
 def test_mg_summary_trims_to_m(spark):
@@ -1287,7 +1332,7 @@ def test_mg_summary_trims_to_m(spark):
         "k string",
     )
     rows = {r.key: r.c for r in mg_summary(df, "k", 2).collect()}
-    assert rows == {"a": 3, "b": 1}
+    assert rows == {"a": 3, "b": 1, None: 0}
 
 
 def test_mg_process_batch_guarantee_and_replay(spark, tmp_path):
@@ -1323,14 +1368,16 @@ def test_mg_process_batch_guarantee_and_replay(spark, tmp_path):
         assert c <= truth[key] <= c + err
 
     before_state = sorted(
-        tuple(r) for r in spark.read.parquet(state).collect()
+        (tuple(r) for r in spark.read.parquet(state).collect()),
+        key=repr,  # sentinel rows have key=None -> not '<'-sortable
     )
     before_out = sorted(
         tuple(r) for r in spark.read.parquet(f"{out}/epoch=1").collect()
     )
     mg_process_batch(batches[1], 1, state, out, key_col="k", m=8, top=5)
     after_state = sorted(
-        tuple(r) for r in spark.read.parquet(state).collect()
+        (tuple(r) for r in spark.read.parquet(state).collect()),
+        key=repr,
     )
     after_out = sorted(
         tuple(r) for r in spark.read.parquet(f"{out}/epoch=1").collect()
@@ -1355,6 +1402,42 @@ def test_mg_process_batch_exact_when_under_m(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/epoch=1").collect()
     }
     assert rows == {"x": (7, 0), "y": (2, 0), "z": (1, 0)}
+
+
+def test_mg_process_batch_err_bound_survives_empty_trim(spark, tmp_path):
+    """Regression (ADVICE r7): a batch of > m ALL-UNIQUE keys trims
+    its MG summary to zero counters; before the sentinel fix that
+    epoch's n_batch vanished from the merge and err_bound came out 0
+    while the true undercount was the whole batch — breaking the
+    documented c <= true <= c + err guarantee."""
+    import collections
+    from harmonize_search_analyze_spark.streaming.windows import (
+        mg_process_batch,
+    )
+
+    state = str(tmp_path / "s")
+    out = str(tmp_path / "o")
+    truth = collections.Counter()
+    # epoch 0: 3 unique keys at m=2 -> offset 1 -> summary trims empty
+    k0 = ["u1", "u2", "u3"]
+    # epoch 1: a clear heavy hitter
+    k1 = ["hot"] * 5 + ["w"]
+    truth.update(k0)
+    truth.update(k1)
+    b0 = spark.createDataFrame([(k,) for k in k0], "k string")
+    b1 = spark.createDataFrame([(k,) for k in k1], "k string")
+    mg_process_batch(b0, 0, state, out, key_col="k", m=2, top=5)
+    mg_process_batch(b1, 1, state, out, key_col="k", m=2, top=5)
+    rows = {
+        r.key: (r.count_min, r.err_bound)
+        for r in spark.read.parquet(f"{out}/epoch=1").collect()
+    }
+    # N_seen must include epoch 0's 3 rows: err = 9 - sum(counters)
+    for key, (c, err) in rows.items():
+        assert c <= truth[key] <= c + err, (key, c, err, truth[key])
+    n_counters = sum(c for c, _ in rows.values())
+    err = next(iter(rows.values()))[1]
+    assert n_counters + err == 9  # global total, not just epoch 1's
 
 
 # -- logrank_test ---------------------------------------------------------------
