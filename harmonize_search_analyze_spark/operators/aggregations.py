@@ -206,25 +206,33 @@ def nested_terms(
     top ``outer_k`` outer buckets by their TOTAL count, then within each the
     top ``inner_k`` inner buckets.
 
-    Single shuffle on (outer, inner); outer totals come from a second partial
-    agg over the already-shuffled pair counts (cheap: |pairs| rows, not |df|);
-    both rankings are bounded window functions over the pair-count frame, so
-    the whole plan touches the base table exactly once.
+    Single shuffle of the base table on (outer, inner); outer totals come
+    from a second partial agg over the already-shuffled pair counts (cheap:
+    |pairs| rows, not |df|), and the outer top-k is a TakeOrderedAndProject
+    (``orderBy().limit()``) over that outer-totals frame — distributed
+    per-partition top-k + driver merge of outer_k rows, NEVER an
+    unpartitioned window, so a high-cardinality outer field cannot funnel
+    the pair frame through one task. The outer_k winners broadcast back
+    onto the pair counts (semi-filter + outer_count attach in one join);
+    the only window left is the inner ranking, partitioned by outer.
+    Tie order pinned (count DESC, key ASC) at both levels.
     """
     pair = (
         df.where(F.col(outer).isNotNull() & F.col(inner).isNotNull())
         .groupBy(outer, inner)
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
-    outer_tot = F.sum("doc_count").over(Window.partitionBy(outer))
-    w_outer = Window.orderBy(F.desc("outer_count"), F.asc(outer))
+    top_outer = (
+        pair.groupBy(outer)
+        .agg(F.sum("doc_count").alias("outer_count"))
+        .orderBy(F.desc("outer_count"), F.asc(outer))
+        .limit(outer_k)
+    )
     w_inner = Window.partitionBy(outer).orderBy(F.desc("doc_count"), F.asc(inner))
     return (
-        pair.withColumn("outer_count", outer_tot)
+        pair.join(F.broadcast(top_outer), outer)
         .withColumn("inner_rank", F.row_number().over(w_inner))
         .where(F.col("inner_rank") <= inner_k)
-        .withColumn("outer_rank", F.dense_rank().over(w_outer))
-        .where(F.col("outer_rank") <= outer_k)
         .select(outer, inner, "doc_count", "outer_count")
         .orderBy(F.desc("outer_count"), F.asc(outer), F.desc("doc_count"), F.asc(inner))
     )
