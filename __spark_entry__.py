@@ -12109,23 +12109,127 @@ def _sql_intrinsic_dim(dialect: str = "duckdb") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
-    # first 50 entries.  ROUND-7 ROTATION (VERDICT r6 "R7 plan"): 3
-    # canaries + 47 FIRST-TIME oracle-backed rows (fourth consecutive
-    # rotation; zero window slots on no-oracle trainers per the r6
-    # verdict). Entries 51+ : the remaining never-verified queue in
-    # stable order (round-8 pulls from there), then the driver-green
-    # r6 and r1-r5 sets.
+    # first 50 entries.  ROUND-8 ROTATION (VERDICT r7 "Next round" #1):
+    # 3 canaries + 47 FIRST-TIME oracle-backed rows (fifth consecutive
+    # rotation; zero window slots on no-oracle trainers) — the 27
+    # queue-head entries in stable order plus the 20 session-10
+    # batteries the r7 verdict named explicitly. Entries 51+ : the
+    # remaining never-verified queue (41 oracle-backed) in stable
+    # order, then the 2 rows-only trainers (scheduled for the round-9
+    # cleanup window — see comment there), then the driver-green
+    # r7/r6/r1-r5 sets. After r8 greens, round 9's window (3 canaries
+    # + 41 + 2 trainers = 46 <= 50) closes the queue to ZERO.
     return {
-        # -- canaries (driver-green r1-r6) ------------------------------
+        # -- canaries (driver-green r1-r7) ------------------------------
         "profile_dict": q_profile_dict,
         "nested_terms": q_nested_terms,
         "harmonize_rollup": q_harmonize_rollup,
-        # -- ROUND-7 ROTATION (VERDICT r6 "R7 plan" #1): 47 first-time
-        # oracle-backed rows, led by the verdict's NAMED heavy/new set
-        # (the r6 statistical battery, 27 rows, incl. group_entropy +
-        # dup_factor per plan item #5), then the named ES
-        # parent/child/span tail (10), then 10 queue-head fillers incl.
-        # pr_curve (rewired onto the prefix-sum primitive this round).
+        # -- ROUND-8 ROTATION part 1: the 27 queue-head entries in
+        # stable order (queue head runtime_fields, per the r7 verdict).
+        "runtime_fields": q_runtime_fields,
+        "fim_transform": q_fim_transform,
+        "span_corruption": q_span_corruption,
+        "latest_transform": q_latest_transform,
+        "denoiser_mix": q_denoiser_mix,
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
+        "script_filter": q_script_filter,
+        "scripted_metric": q_scripted_metric,
+        "pinned_search": q_pinned_search,
+        "length_batching": q_length_batching,
+        "epoch_shuffle": q_epoch_shuffle,
+        "pivot_summary": q_pivot_summary,
+        "geo_shape": q_geo_shape,
+        "script_score": q_script_score,
+        "serial_diff_page": q_serial_diff,
+        "bucket_stats": q_bucket_stats,
+        "terms_enum": q_terms_enum,
+        "shard_manifest": q_shard_manifest,
+        "sparse_search": q_sparse_search,
+        "counter_rate": q_counter_rate,
+        "composite_datehist": q_composite_datehist,
+        "step_transitions": q_step_transitions,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "rollup_answered": q_rollup_answered,
+        "terms_by_metric": q_terms_by_metric,
+        "global_agg": q_global_agg,
+        # -- ROUND-8 ROTATION part 2: the 20 session-10 batteries the
+        # r7 verdict named for this window.
+        "hits_scores": q_hits_scores,
+        "llr_collocations": q_llr_collocations,
+        "log_odds_terms": q_log_odds_terms,
+        "doc_keywords": q_doc_keywords,
+        "good_turing": q_good_turing,
+        "chao1_richness": q_chao1_richness,
+        "kruskal_wallis": q_kruskal_wallis,
+        "logrank_test": q_logrank_test,
+        "ltv_cohorts": q_ltv_cohorts,
+        "cramers_v": q_cramers_v,
+        "fleiss_kappa": q_fleiss_kappa,
+        "benjamini_hochberg": q_benjamini_hochberg,
+        "attribution_linear": q_attribution_linear,
+        "attribution_position": q_attribution_position,
+        "bot_score": q_bot_score,
+        "fd_violations": q_fd_violations,
+        "pareto_front": q_pareto_front,
+        "join_skew_probe": q_join_skew_probe,
+        "rbo_overlap": q_rbo_overlap,
+        "intrinsic_dim": q_intrinsic_dim,
+        # -- window boundary (driver reads the 50 entries above) -------
+        # remaining never-driver-verified queue (41 oracle-backed) in
+        # stable order — the round-9 window pulls ALL of these; local
+        # parity mirror keeps them green meanwhile.
+        "inference_score": q_inference_score,
+        "eql_until": q_eql_until,
+        "search_template": q_search_template,
+        "rfm_segments": q_rfm_segments,
+        "event_paths": q_event_paths,
+        "zipf_fit": q_zipf_fit,
+        "parent_agg": q_parent_agg,
+        "extended_stats_bucket": q_extended_stats_bucket,
+        "moving_fn": q_moving_fn,
+        "suggest_contexts": q_suggest_contexts,
+        "feature_hash": q_feature_hash,
+        "ingest_enrich": q_ingest_enrich,
+        "anneal_schedule": q_anneal_schedule,
+        "readability": q_readability,
+        "mmr_rerank": q_mmr_rerank,
+        "hll_cardinality": q_hll_cardinality,
+        "embedding_drift": q_embedding_drift,
+        "blocklist_scan": q_blocklist_scan,
+        "mcnemar": q_mcnemar,
+        "wilson_intervals": q_wilson_intervals,
+        "effect_size": q_effect_size,
+        "hhi_concentration": q_hhi_concentration,
+        "theil_index": q_theil_index,
+        "jackknife_ci": q_jackknife_ci,
+        "hazard_rate": q_hazard_rate,
+        "sprt_monitor": q_sprt_monitor,
+        "vocab_coverage": q_vocab_coverage,
+        "fuzzy_join": q_fuzzy_join,
+        "orphan_check": q_orphan_check,
+        "cluster_purity": q_cluster_purity,
+        "qq_plot": q_qq_plot,
+        "conversion_lag": q_conversion_lag,
+        "geo_hotspots": q_geo_hotspots,
+        "weighted_percentile": q_weighted_percentile,
+        "ipf_weights": q_ipf_weights,
+        "stl_decompose": q_stl_decompose,
+        "lorenz_gini": q_lorenz_gini,
+        "theil_sen": q_theil_sen,
+        "label_outliers": q_label_outliers,
+        "pmi_collocations": q_pmi_collocations,
+        "centroid_similarity": q_centroid_similarity,
+        # -- rows-only trainers (no oracle_sql BY CONTRACT) --------------
+        # DECISION (r7 verdict item #7): unigram_train and
+        # compression_ratio get their one documented driver window slot
+        # each in the ROUND-9 cleanup window, where 3 canaries + 41
+        # oracle-backed + these 2 = 46 <= 50 — burning round-8 slots on
+        # err:no_oracle rows would break the zero-wasted-slots
+        # discipline while oracle-backed rows still queue.
+        "unigram_train": q_unigram_train,
+        "compression_ratio": q_compression_ratio,
+        # -- driver-green r7 ---------------------------------------------
         "markov_stationary": q_markov_stationary,
         "confusion_eval": q_confusion_eval,
         "leakage_check": q_leakage_check,
@@ -12173,104 +12277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_script": q_bucket_script,
         "ip_prefix": q_ip_prefix,
         "intra_doc_dedup": q_intra_doc_dedup,
-        # -- window boundary (driver reads the 50 entries above) -------
-        # remaining never-driver-verified queue in prior relative order
-        # (round-8 window pulls from here first; local parity mirror
-        # keeps them green), then the driver-green r6 and r1-r5 sets.
-        "runtime_fields": q_runtime_fields,
-        "fim_transform": q_fim_transform,
-        "span_corruption": q_span_corruption,
-        "latest_transform": q_latest_transform,
-        "denoiser_mix": q_denoiser_mix,
-        "rank_feature": q_rank_feature,
-        "distance_feature": q_distance_feature,
-        "script_filter": q_script_filter,
-        "scripted_metric": q_scripted_metric,
-        "pinned_search": q_pinned_search,
-        "length_batching": q_length_batching,
-        "epoch_shuffle": q_epoch_shuffle,
-        "pivot_summary": q_pivot_summary,
-        "geo_shape": q_geo_shape,
-        "script_score": q_script_score,
-        "serial_diff_page": q_serial_diff,
-        "bucket_stats": q_bucket_stats,
-        "terms_enum": q_terms_enum,
-        "shard_manifest": q_shard_manifest,
-        "sparse_search": q_sparse_search,
-        "counter_rate": q_counter_rate,
-        "composite_datehist": q_composite_datehist,
-        "step_transitions": q_step_transitions,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "rollup_answered": q_rollup_answered,
-        "terms_by_metric": q_terms_by_metric,
-        "global_agg": q_global_agg,
-        "inference_score": q_inference_score,
-        "eql_until": q_eql_until,
-        "search_template": q_search_template,
-        "rfm_segments": q_rfm_segments,
-        "event_paths": q_event_paths,
-        "zipf_fit": q_zipf_fit,
-        "parent_agg": q_parent_agg,
-        "extended_stats_bucket": q_extended_stats_bucket,
-        "moving_fn": q_moving_fn,
-        "suggest_contexts": q_suggest_contexts,
-        "feature_hash": q_feature_hash,
-        "ingest_enrich": q_ingest_enrich,
-        "anneal_schedule": q_anneal_schedule,
-        "readability": q_readability,
-        "mmr_rerank": q_mmr_rerank,
-        "hll_cardinality": q_hll_cardinality,
         "kmeans_ivf": q_kmeans_ivf,
         "bpe_train": q_bpe_train,
-        "unigram_train": q_unigram_train,
-        "compression_ratio": q_compression_ratio,
-        # -- round-6 additions still in the never-verified queue --------
-        "embedding_drift": q_embedding_drift,
-        "blocklist_scan": q_blocklist_scan,
-        # -- round-7 additions (join the never-verified queue) ----------
-        "mcnemar": q_mcnemar,
-        "wilson_intervals": q_wilson_intervals,
-        "effect_size": q_effect_size,
-        "hhi_concentration": q_hhi_concentration,
-        "theil_index": q_theil_index,
-        "jackknife_ci": q_jackknife_ci,
-        "hazard_rate": q_hazard_rate,
-        "sprt_monitor": q_sprt_monitor,
-        "vocab_coverage": q_vocab_coverage,
-        "fuzzy_join": q_fuzzy_join,
-        "orphan_check": q_orphan_check,
-        "cluster_purity": q_cluster_purity,
-        "qq_plot": q_qq_plot,
-        "conversion_lag": q_conversion_lag,
-        "geo_hotspots": q_geo_hotspots,
-        "weighted_percentile": q_weighted_percentile,
-        "ipf_weights": q_ipf_weights,
-        "stl_decompose": q_stl_decompose,
-        "lorenz_gini": q_lorenz_gini,
-        "theil_sen": q_theil_sen,
-        "cramers_v": q_cramers_v,
-        "fleiss_kappa": q_fleiss_kappa,
-        "benjamini_hochberg": q_benjamini_hochberg,
-        "attribution_linear": q_attribution_linear,
-        "bot_score": q_bot_score,
-        "fd_violations": q_fd_violations,
-        "pareto_front": q_pareto_front,
-        "attribution_position": q_attribution_position,
-        "join_skew_probe": q_join_skew_probe,
-        "rbo_overlap": q_rbo_overlap,
-        "log_odds_terms": q_log_odds_terms,
-        "label_outliers": q_label_outliers,
-        "hits_scores": q_hits_scores,
-        "pmi_collocations": q_pmi_collocations,
-        "doc_keywords": q_doc_keywords,
-        "llr_collocations": q_llr_collocations,
-        "centroid_similarity": q_centroid_similarity,
-        "logrank_test": q_logrank_test,
-        "ltv_cohorts": q_ltv_cohorts,
-        "kruskal_wallis": q_kruskal_wallis,
-        "chao1_richness": q_chao1_richness,
-        "good_turing": q_good_turing,
-        "intrinsic_dim": q_intrinsic_dim,
         # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
