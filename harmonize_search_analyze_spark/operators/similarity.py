@@ -3979,7 +3979,18 @@ def intrinsic_dim(
     :func:`similarity_join` as the declared-quadratic recall check.
 
     Scale shape: everything after the k-NN step is a per-anchor window
-    over <= 2 rows, one anchor agg, one 1-row fold.
+    over <= 2 rows, one anchor agg, one 1-row fold. The MEASURED
+    production configuration (scripts/measure_r8.py, r8 decade row
+    2.55x vs the oracle-pinned config's 10.8x): a FIXED anchor budget
+    (~2000 — the MLE needs a sample of ratios, not a corpus-
+    proportional share) with FIXED ``n_centroids ~=
+    sqrt(anchor_budget * nprobe)`` (~96) — with anchors fixed, the
+    candidate term is anchors*n*nprobe/C and the assignment term n*C,
+    so the optimal C does not grow with n and the whole estimate is
+    O(n). Parallelism follows input splits (the nprobe-expanded
+    candidate frame inherits the corpus partitioning): a single-split
+    toy parquet serializes the Arrow scoring stage — repartition tiny
+    inputs; a real multi-split corpus needs nothing.
     """
     if method not in ("ivf", "exact"):
         raise ValueError(f"unknown method {method!r}")
