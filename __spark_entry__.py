@@ -12107,6 +12107,53 @@ def _sql_intrinsic_dim(dialect: str = "duckdb") -> str:
     return intrinsic_dim_sql("embeddings", anchor_where="vec_id % 25 = 0")
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch equi-join cardinality estimate (click-arm vs
+    purchase-arm of events on user_id) — the System-R-style optimizer
+    statistic computed from bottom-k sketches, never from the join."""
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        join_size_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return join_size_estimate(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
+def _sql_join_size_estimate(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        join_size_estimate_sql,
+    )
+
+    return join_size_estimate_sql(
+        "(SELECT * FROM events WHERE event_type = 'click') ta",
+        "(SELECT * FROM events WHERE event_type = 'purchase') tb",
+        "user_id",
+        dialect,
+    )
+
+
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass embedding-corpus quality audit: NULL / NaN / zero-norm
+    / ragged-dimension counts + norm stats over healthy vectors."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    return embedding_health(_t(spark, sf_dir, "embeddings"))
+
+
+def _sql_embedding_health(dialect: str = "duckdb") -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        embedding_health_sql,
+    )
+
+    return embedding_health_sql("embeddings", dialect)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
     # first 50 entries.  ROUND-8 ROTATION (VERDICT r7 "Next round" #1):
@@ -12220,6 +12267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_outliers": q_label_outliers,
         "pmi_collocations": q_pmi_collocations,
         "centroid_similarity": q_centroid_similarity,
+        # -- round-8 additions (2 only, keeping the round-9 window able
+        # to close the queue: 3 canaries + 41 + 2 below + 2 trainers
+        # = 48 <= 50) ----------------------------------------------------
+        "join_size_estimate": q_join_size_estimate,
+        "embedding_health": q_embedding_health,
         # -- rows-only trainers (no oracle_sql BY CONTRACT) --------------
         # DECISION (r7 verdict item #7): unigram_train and
         # compression_ratio get their one documented driver window slot
@@ -12672,6 +12724,8 @@ def oracle_sql() -> dict[str, str]:
         "chao1_richness": _sql_chao1_richness(),
         "good_turing": _sql_good_turing(),
         "intrinsic_dim": _sql_intrinsic_dim(),
+        "join_size_estimate": _sql_join_size_estimate(),
+        "embedding_health": _sql_embedding_health(),
         "rare_terms": SQL_RARE_TERMS,
         "adjacency_matrix": SQL_ADJACENCY_MATRIX,
         "bm25_search": _sql_bm25_search(),

@@ -206,21 +206,26 @@ def nested_terms(
     top ``outer_k`` outer buckets by their TOTAL count, then within each the
     top ``inner_k`` inner buckets.
 
-    Single shuffle of the base table on (outer, inner); outer totals come
-    from a second partial agg over the already-shuffled pair counts (cheap:
-    |pairs| rows, not |df|), and the outer top-k is a TakeOrderedAndProject
-    (``orderBy().limit()``) over that outer-totals frame — distributed
-    per-partition top-k + driver merge of outer_k rows, NEVER an
-    unpartitioned window, so a high-cardinality outer field cannot funnel
-    the pair frame through one task. The outer_k winners broadcast back
-    onto the pair counts (semi-filter + outer_count attach in one join);
-    the only window left is the inner ranking, partitioned by outer.
-    Tie order pinned (count DESC, key ASC) at both levels.
+    Single shuffle of the base table on (outer, inner) — the pair-count
+    frame persists across its two consumers, so the base is SCANNED
+    ONCE. Outer totals are a second partial agg over the pair counts
+    (cheap: |pairs| rows, not |df|), and the outer top-k is a
+    TakeOrderedAndProject (``orderBy().limit()``) over that
+    outer-totals frame — distributed per-partition top-k + driver merge
+    of outer_k rows, NEVER an unpartitioned window, so a
+    high-cardinality outer field cannot funnel the pair frame through
+    one task. The outer_k winners broadcast back onto the pair counts
+    (semi-filter + outer_count attach in one join); the only window
+    left is the inner ranking, partitioned by outer. Tie order pinned
+    (count DESC, key ASC) at both levels.
     """
+    from harmonize_search_analyze_spark.functions.caching import tether
+
     pair = (
         df.where(F.col(outer).isNotNull() & F.col(inner).isNotNull())
         .groupBy(outer, inner)
         .agg(F.count(F.lit(1)).alias("doc_count"))
+        .persist()
     )
     top_outer = (
         pair.groupBy(outer)
@@ -229,13 +234,14 @@ def nested_terms(
         .limit(outer_k)
     )
     w_inner = Window.partitionBy(outer).orderBy(F.desc("doc_count"), F.asc(inner))
-    return (
+    out = (
         pair.join(F.broadcast(top_outer), outer)
         .withColumn("inner_rank", F.row_number().over(w_inner))
         .where(F.col("inner_rank") <= inner_k)
         .select(outer, inner, "doc_count", "outer_count")
         .orderBy(F.desc("outer_count"), F.asc(outer), F.desc("doc_count"), F.asc(inner))
     )
+    return tether(out, pair)
 
 
 def histogram(
@@ -3252,6 +3258,171 @@ SELECT CAST(na AS BIGINT) AS sketch_a,
        ROUND({est('nu', 'thu')}, 4) AS est_union,
        ROUND({jac}, 6) AS jaccard,
        ROUND(({jac}) * ({est('nu', 'thu')}), 4) AS est_intersection
+FROM stats
+"""
+
+
+def join_size_estimate(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Sketch-based equi-join cardinality estimate — the optimizer
+    statistic that answers "how many rows will A JOIN B ON key produce"
+    WITHOUT running the join (the decision input for broadcast-vs-
+    shuffle, pre-aggregation, and skew planning at 100 TB, where an
+    unexpected fan-out join is the classic cluster-killer).
+
+    Estimator (uniform per-key multiplicity; the textbook
+    System-R-style formula computed from KMV sketches instead of
+    catalog stats):
+
+        |A JOIN B| ~= D_overlap * (N_A / D_A) * (N_B / D_B)
+
+    with D_A/D_B/D_overlap the KMV bottom-k distinct/intersection
+    estimates (identical sketch + arithmetic as :func:`kmv_overlap`,
+    shared md5 hash family, so the DuckDB oracle replays it EXACTLY)
+    and N_A/N_B exact non-null-key row counts. Skewed keys make the
+    true size exceed this estimate — that is the estimator's known
+    bias (it underestimates under skew, never because of the sketch),
+    documented rather than hidden.
+
+    Returns ONE row: (rows_a, rows_b, est_distinct_a, est_distinct_b,
+    est_key_overlap, est_join_rows).
+
+    Scale shape: per side one map-combinable count + one TakeOrdered(k)
+    sketch (map-side heaps); everything downstream is <= k-row frames
+    and 1-row crossJoins. Never touches A x B.
+    """
+    from harmonize_search_analyze_spark.functions.caching import tether
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    two60 = 1152921504606846976.0  # 2^60, the hash family's range
+    h = hash64_sql(f"CAST({key} AS STRING)", "spark")
+
+    def sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.col(key).isNotNull())
+            .select(F.expr(h).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    sa = sketch(df_a).persist()
+    sb = sketch(df_b).persist()
+    su = sa.unionAll(sb).distinct().orderBy("h").limit(k).persist()
+    stats = (
+        df_a.where(F.col(key).isNotNull())
+        .agg(F.count(F.lit(1)).alias("ra"))
+        .crossJoin(
+            df_b.where(F.col(key).isNotNull())
+            .agg(F.count(F.lit(1)).alias("rb"))
+        )
+        .crossJoin(
+            sa.agg(F.count(F.lit(1)).alias("na"), F.max("h").alias("tha"))
+        )
+        .crossJoin(
+            sb.agg(F.count(F.lit(1)).alias("nb"), F.max("h").alias("thb"))
+        )
+        .crossJoin(
+            su.agg(F.count(F.lit(1)).alias("nu"), F.max("h").alias("thu"))
+        )
+        .crossJoin(
+            su.join(sa, "h").join(sb, "h").agg(
+                F.count(F.lit(1)).alias("c_both")
+            )
+        )
+    )
+
+    def est(n: str, theta: str) -> Column:
+        return F.when(
+            F.col(n) < k, F.col(n).cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(two60)
+            / F.col(theta).cast("double")
+        )
+
+    jac = F.when(F.col("nu") == 0, F.lit(0.0)).otherwise(
+        F.col("c_both") / F.col("nu").cast("double")
+    )
+    overlap = jac * est("nu", "thu")
+    da, db = est("na", "tha"), est("nb", "thb")
+    join_rows = (
+        F.when((da > 0) & (db > 0),
+               overlap * (F.col("ra") / da) * (F.col("rb") / db))
+        .otherwise(F.lit(0.0))
+    )
+    out = stats.select(
+        F.col("ra").cast("bigint").alias("rows_a"),
+        F.col("rb").cast("bigint").alias("rows_b"),
+        F.round(da, 4).alias("est_distinct_a"),
+        F.round(db, 4).alias("est_distinct_b"),
+        F.round(overlap, 4).alias("est_key_overlap"),
+        F.round(join_rows, 2).alias("est_join_rows"),
+    )
+    return tether(out, sa, sb, su)
+
+
+def join_size_estimate_sql(
+    table_a: str, table_b: str, key: str, dialect: str, *, k: int = 256
+) -> str:
+    """Dual-dialect twin of :func:`join_size_estimate` — identical
+    sketches, identical estimator arithmetic on both engines."""
+    from harmonize_search_analyze_spark.functions.hashing import (
+        hash64_sql,
+    )
+
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    h = hash64_sql(f"CAST({key} AS {cast})", dialect)
+    two60 = "1152921504606846976.0"
+    est = lambda n, th: (  # noqa: E731
+        f"CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+        f" ELSE {float(k - 1)!r} * {two60} / CAST({th} AS DOUBLE) END"
+    )
+    jac = "CASE WHEN nu = 0 THEN 0.0 ELSE c_both / CAST(nu AS DOUBLE) END"
+    da, db = est("na", "tha"), est("nb", "thb")
+    overlap = f"({jac}) * ({est('nu', 'thu')})"
+    join_rows = (
+        f"CASE WHEN ({da}) > 0 AND ({db}) > 0 THEN"
+        f" ({overlap}) * (ra / ({da})) * (rb / ({db}))"
+        f" ELSE 0.0 END"
+    )
+    return f"""
+WITH sa AS (
+  SELECT DISTINCT {h} AS h FROM {table_a}
+  WHERE {key} IS NOT NULL ORDER BY h LIMIT {k}
+),
+sb AS (
+  SELECT DISTINCT {h} AS h FROM {table_b}
+  WHERE {key} IS NOT NULL ORDER BY h LIMIT {k}
+),
+su AS (
+  SELECT DISTINCT h FROM
+    (SELECT h FROM sa UNION ALL SELECT h FROM sb) u
+  ORDER BY h LIMIT {k}
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM {table_a} WHERE {key} IS NOT NULL) AS ra,
+         (SELECT COUNT(*) FROM {table_b} WHERE {key} IS NOT NULL) AS rb,
+         (SELECT COUNT(*) FROM sa) AS na, (SELECT MAX(h) FROM sa) AS tha,
+         (SELECT COUNT(*) FROM sb) AS nb, (SELECT MAX(h) FROM sb) AS thb,
+         (SELECT COUNT(*) FROM su) AS nu, (SELECT MAX(h) FROM su) AS thu,
+         (SELECT COUNT(*) FROM su
+          JOIN sa ON su.h = sa.h JOIN sb ON su.h = sb.h) AS c_both
+)
+SELECT CAST(ra AS BIGINT) AS rows_a,
+       CAST(rb AS BIGINT) AS rows_b,
+       ROUND({da}, 4) AS est_distinct_a,
+       ROUND({db}, 4) AS est_distinct_b,
+       ROUND({overlap}, 4) AS est_key_overlap,
+       ROUND({join_rows}, 2) AS est_join_rows
 FROM stats
 """
 

@@ -4106,3 +4106,95 @@ SELECT (SELECT COUNT(*) FROM {corpus_table}
        ROUND(CAST(nu AS DOUBLE) / NULLIF(slm, 0.0), 6) + 0.0 AS id_mle
 FROM fold
 """
+
+
+def embedding_health(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-corpus health audit — the one-pass data-quality gate a
+    vector pipeline runs BEFORE building indexes or training on 100 TB
+    of embeddings, because every downstream operator (cosine, IVF,
+    PCA, dedup) silently degrades on the defects this surfaces:
+    NULL vectors (dropped rows), NaN components (poison every dot
+    product they touch), zero-norm vectors (undefined cosine), and
+    ragged dimensions (mixed encoder versions — the min_dim/max_dim
+    spread catches a re-embedding migration that only half finished).
+
+    Returns ONE row: (n_vectors, n_null_vec, n_nan, n_zero_norm,
+    min_dim, max_dim, mean_norm, p50_norm) — dimension and norm stats
+    are over HEALTHY vectors only (non-null, NaN-free; a NaN norm
+    would otherwise poison the mean exactly the way it poisons
+    cosines). mean/p50 rounded 6; p50 is the exact interpolated median
+    (Spark ``percentile`` == DuckDB ``quantile_cont``).
+
+    Scale shape: ONE map-combinable aggregation pass — the norm and
+    NaN probe are codegen'd array lambdas (no Python, no explode), and
+    the only non-trivially-combinable term, the exact median, operates
+    on the per-row norm scalar. For a quick-look at petabyte scale,
+    swap ``percentile`` for ``percentile_approx`` at the call site;
+    the exact form is kept here so the oracle hash-matches.
+    """
+    v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+    has_nan = F.expr(f"exists({v}, x -> isnan(x))")
+    healthy = F.col(vec_col).isNotNull() & ~has_nan
+    nrm = F.expr(_norm_sql(v))
+    hn = F.when(healthy, nrm)
+    hd = F.when(healthy, F.expr(f"size({v})"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(
+            F.when(F.col(vec_col).isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_null_vec"),
+        F.sum(
+            F.when(F.col(vec_col).isNotNull() & has_nan, 1).otherwise(0)
+        ).cast("bigint").alias("n_nan"),
+        F.sum(
+            F.when(healthy & (nrm == 0), 1).otherwise(0)
+        ).cast("bigint").alias("n_zero_norm"),
+        F.min(hd).cast("int").alias("min_dim"),
+        F.max(hd).cast("int").alias("max_dim"),
+        F.round(F.avg(hn), 6).alias("mean_norm"),
+        F.round(F.expr(
+            f"percentile(CASE WHEN {vec_col} IS NOT NULL AND NOT "
+            f"exists({v}, x -> isnan(x)) THEN "
+            f"{_norm_sql(v)} END, 0.5)"
+        ), 6).alias("p50_norm"),
+    )
+
+
+def embedding_health_sql(
+    table: str, dialect: str, *, vec_col: str = "embedding"
+) -> str:
+    """Dual-dialect twin of :func:`embedding_health`."""
+    if dialect == "spark":
+        v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
+        has_nan = f"exists({v}, x -> isnan(x))"
+        nrm = _norm_sql(v)
+        dim = f"size({v})"
+        med = "percentile"
+    elif dialect == "duckdb":
+        v = f"{vec_col}::DOUBLE[]"
+        has_nan = f"len(list_filter({v}, x -> isnan(x))) > 0"
+        nrm = f"sqrt(list_sum(list_transform({v}, x -> x * x)))"
+        dim = f"len({v})"
+        med = "quantile_cont"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    healthy = f"{vec_col} IS NOT NULL AND NOT ({has_nan})"
+    return f"""
+SELECT COUNT(*) AS n_vectors,
+       CAST(SUM(CASE WHEN {vec_col} IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_vec,
+       CAST(SUM(CASE WHEN {vec_col} IS NOT NULL AND ({has_nan})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(SUM(CASE WHEN {healthy} AND ({nrm}) = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(MIN(CASE WHEN {healthy} THEN {dim} END) AS INT) AS min_dim,
+       CAST(MAX(CASE WHEN {healthy} THEN {dim} END) AS INT) AS max_dim,
+       ROUND(AVG(CASE WHEN {healthy} THEN {nrm} END), 6) AS mean_norm,
+       ROUND({med}(CASE WHEN {healthy} THEN {nrm} END, 0.5), 6)
+         AS p50_norm
+FROM {table}
+"""
