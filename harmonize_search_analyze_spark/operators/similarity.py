@@ -790,6 +790,12 @@ def similarity_join_ivf(
     run as one vectorized Arrow stage (numpy parity vs the fold verified:
     zero 6-decimal disagreements over all sf0.1 pairs); per-query top-k is
     a rank window over candidate scores only.
+
+    Parallelism note (measured, r8): the candidate frame INHERITS the
+    corpus partitioning — the probe join expands rows nprobe-fold
+    without a repartition, so a single-split toy parquet serializes
+    the Arrow scoring stage onto 1-2 tasks. A real multi-split corpus
+    needs nothing; repartition tiny inputs at the call site.
     """
     import numpy as np
 

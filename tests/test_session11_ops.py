@@ -179,3 +179,38 @@ def test_embedding_health_sql_twin_both_dialects(spark):
     )
     duck = con.execute(embedding_health_sql("emb", "duckdb")).fetchall()[0]
     assert tuple(duck) == pytest.approx(want)
+
+
+def test_join_size_estimate_property_uniform(spark):
+    """Property (hypothesis-driven seeds, one spark session): for ANY
+    key universe with globally uniform per-key multiplicity on each
+    side and sub-k sketches, the estimate equals the exact join size
+    |A cap B| * mult_a * mult_b."""
+    from hypothesis import given, settings, strategies as st
+
+    from harmonize_search_analyze_spark.operators.aggregations import (
+        join_size_estimate,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        na=st.integers(2, 40),
+        nb=st.integers(2, 40),
+        off=st.integers(0, 30),
+        ca=st.integers(1, 4),
+        cb=st.integers(1, 4),
+    )
+    def check(na, nb, off, ca, cb):
+        a_keys = set(range(na))
+        b_keys = set(range(off, off + nb))
+        a = spark.createDataFrame(
+            [(k,) for k in a_keys for _ in range(ca)], "k long"
+        )
+        b = spark.createDataFrame(
+            [(k,) for k in b_keys for _ in range(cb)], "k long"
+        )
+        r = join_size_estimate(a, b, "k").collect()[0]
+        exact = len(a_keys & b_keys) * ca * cb
+        assert r.est_join_rows == pytest.approx(float(exact), abs=0.02)
+
+    check()
