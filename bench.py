@@ -92,6 +92,16 @@ def main() -> None:
         loadavg = [round(x, 2) for x in os.getloadavg()[:2]]
     except OSError:
         loadavg = None
+    if loadavg and max(loadavg) > 4.0:
+        # r8 lesson: totals inflate UNIFORMLY 1.2-1.35x while the host
+        # digests a prior heavy run (or an orphaned SparkSubmit JVM
+        # lingers) — flag it so a drifted table isn't recorded as the
+        # round's representative number
+        print(
+            f"# WARNING: loadavg {loadavg} > 4 at start — totals likely "
+            "inflated by residual host load; prefer a settled-host rerun",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
