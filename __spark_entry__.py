@@ -12161,76 +12161,25 @@ def _sql_embedding_health(dialect: str = "duckdb") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
-    # first 50 entries.  ROUND-8 ROTATION (VERDICT r7 "Next round" #1):
-    # 3 canaries + 47 FIRST-TIME oracle-backed rows (fifth consecutive
-    # rotation; zero window slots on no-oracle trainers) — the 27
-    # queue-head entries in stable order plus the 20 session-10
-    # batteries the r7 verdict named explicitly. Entries 51+ : the
-    # remaining never-verified queue (41 oracle-backed) in stable
-    # order, then the 2 rows-only trainers (scheduled for the round-9
-    # cleanup window — see comment there), then the driver-green
-    # r7/r6/r1-r5 sets. After r8 greens, round 9's window (3 canaries
-    # + 41 + 2 trainers = 46 <= 50) closes the queue to ZERO.
+    # first 50 entries.  ROUND-9 ROTATION (VERDICT r8 "Next round" #1 —
+    # the QUEUE-CLOSING window): 3 canaries + ALL 43 remaining
+    # never-driver-verified oracle-backed queries (the 41 stable-order
+    # queue entries plus the two round-8 additions join_size_estimate /
+    # embedding_health) + the 2 rows-only trainers (unigram_train,
+    # compression_ratio — their one documented driver `no_oracle` slot
+    # each, per the r7-verdict item-7 decision) = 48 <= 50.  Zero new
+    # operators were added ahead of the boundary (r8 verdict: freeze
+    # surface until the queue is empty).  After r9 greens, EVERY
+    # declared query has been driver-verified at least once and the
+    # never-verified queue is ZERO.  Entries 49+ : driver-green
+    # r8/r7/r6/r1-r5 sets in stable order (slots 49-50 fall on the
+    # first two r8-green rows — harmless re-verification).
     return {
-        # -- canaries (driver-green r1-r7) ------------------------------
+        # -- canaries (driver-green r1-r8) ------------------------------
         "profile_dict": q_profile_dict,
         "nested_terms": q_nested_terms,
         "harmonize_rollup": q_harmonize_rollup,
-        # -- ROUND-8 ROTATION part 1: the 27 queue-head entries in
-        # stable order (queue head runtime_fields, per the r7 verdict).
-        "runtime_fields": q_runtime_fields,
-        "fim_transform": q_fim_transform,
-        "span_corruption": q_span_corruption,
-        "latest_transform": q_latest_transform,
-        "denoiser_mix": q_denoiser_mix,
-        "rank_feature": q_rank_feature,
-        "distance_feature": q_distance_feature,
-        "script_filter": q_script_filter,
-        "scripted_metric": q_scripted_metric,
-        "pinned_search": q_pinned_search,
-        "length_batching": q_length_batching,
-        "epoch_shuffle": q_epoch_shuffle,
-        "pivot_summary": q_pivot_summary,
-        "geo_shape": q_geo_shape,
-        "script_score": q_script_score,
-        "serial_diff_page": q_serial_diff,
-        "bucket_stats": q_bucket_stats,
-        "terms_enum": q_terms_enum,
-        "shard_manifest": q_shard_manifest,
-        "sparse_search": q_sparse_search,
-        "counter_rate": q_counter_rate,
-        "composite_datehist": q_composite_datehist,
-        "step_transitions": q_step_transitions,
-        "seasonal_anomalies": q_seasonal_anomalies,
-        "rollup_answered": q_rollup_answered,
-        "terms_by_metric": q_terms_by_metric,
-        "global_agg": q_global_agg,
-        # -- ROUND-8 ROTATION part 2: the 20 session-10 batteries the
-        # r7 verdict named for this window.
-        "hits_scores": q_hits_scores,
-        "llr_collocations": q_llr_collocations,
-        "log_odds_terms": q_log_odds_terms,
-        "doc_keywords": q_doc_keywords,
-        "good_turing": q_good_turing,
-        "chao1_richness": q_chao1_richness,
-        "kruskal_wallis": q_kruskal_wallis,
-        "logrank_test": q_logrank_test,
-        "ltv_cohorts": q_ltv_cohorts,
-        "cramers_v": q_cramers_v,
-        "fleiss_kappa": q_fleiss_kappa,
-        "benjamini_hochberg": q_benjamini_hochberg,
-        "attribution_linear": q_attribution_linear,
-        "attribution_position": q_attribution_position,
-        "bot_score": q_bot_score,
-        "fd_violations": q_fd_violations,
-        "pareto_front": q_pareto_front,
-        "join_skew_probe": q_join_skew_probe,
-        "rbo_overlap": q_rbo_overlap,
-        "intrinsic_dim": q_intrinsic_dim,
-        # -- window boundary (driver reads the 50 entries above) -------
-        # remaining never-driver-verified queue (41 oracle-backed) in
-        # stable order — the round-9 window pulls ALL of these; local
-        # parity mirror keeps them green meanwhile.
+        # -- ROUND-9 ROTATION: the 41 stable-order queue entries --------
         "inference_score": q_inference_score,
         "eql_until": q_eql_until,
         "search_template": q_search_template,
@@ -12272,20 +12221,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_outliers": q_label_outliers,
         "pmi_collocations": q_pmi_collocations,
         "centroid_similarity": q_centroid_similarity,
-        # -- round-8 additions (2 only, keeping the round-9 window able
-        # to close the queue: 3 canaries + 41 + 2 below + 2 trainers
-        # = 48 <= 50) ----------------------------------------------------
+        # -- round-8 additions (never-verified until this window) --------
         "join_size_estimate": q_join_size_estimate,
         "embedding_health": q_embedding_health,
         # -- rows-only trainers (no oracle_sql BY CONTRACT) --------------
-        # DECISION (r7 verdict item #7): unigram_train and
-        # compression_ratio get their one documented driver window slot
-        # each in the ROUND-9 cleanup window, where 3 canaries + 41
-        # oracle-backed + these 2 = 46 <= 50 — burning round-8 slots on
-        # err:no_oracle rows would break the zero-wasted-slots
-        # discipline while oracle-backed rows still queue.
+        # Their one documented driver window slot each (r7 verdict item
+        # #7 decision): the driver records a weaker rows-only check
+        # (err: no_oracle) — expected and final for these two.
         "unigram_train": q_unigram_train,
         "compression_ratio": q_compression_ratio,
+        # -- window boundary (driver reads the 50 entries above; the 48
+        # entries above close the never-verified queue to ZERO; slots
+        # 49-50 re-verify the first two r8-green rows below) -------------
+        # -- driver-green r8 ----------------------------------------------
+        "runtime_fields": q_runtime_fields,
+        "fim_transform": q_fim_transform,
+        "span_corruption": q_span_corruption,
+        "latest_transform": q_latest_transform,
+        "denoiser_mix": q_denoiser_mix,
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
+        "script_filter": q_script_filter,
+        "scripted_metric": q_scripted_metric,
+        "pinned_search": q_pinned_search,
+        "length_batching": q_length_batching,
+        "epoch_shuffle": q_epoch_shuffle,
+        "pivot_summary": q_pivot_summary,
+        "geo_shape": q_geo_shape,
+        "script_score": q_script_score,
+        "serial_diff_page": q_serial_diff,
+        "bucket_stats": q_bucket_stats,
+        "terms_enum": q_terms_enum,
+        "shard_manifest": q_shard_manifest,
+        "sparse_search": q_sparse_search,
+        "counter_rate": q_counter_rate,
+        "composite_datehist": q_composite_datehist,
+        "step_transitions": q_step_transitions,
+        "seasonal_anomalies": q_seasonal_anomalies,
+        "rollup_answered": q_rollup_answered,
+        "terms_by_metric": q_terms_by_metric,
+        "global_agg": q_global_agg,
+        "hits_scores": q_hits_scores,
+        "llr_collocations": q_llr_collocations,
+        "log_odds_terms": q_log_odds_terms,
+        "doc_keywords": q_doc_keywords,
+        "good_turing": q_good_turing,
+        "chao1_richness": q_chao1_richness,
+        "kruskal_wallis": q_kruskal_wallis,
+        "logrank_test": q_logrank_test,
+        "ltv_cohorts": q_ltv_cohorts,
+        "cramers_v": q_cramers_v,
+        "fleiss_kappa": q_fleiss_kappa,
+        "benjamini_hochberg": q_benjamini_hochberg,
+        "attribution_linear": q_attribution_linear,
+        "attribution_position": q_attribution_position,
+        "bot_score": q_bot_score,
+        "fd_violations": q_fd_violations,
+        "pareto_front": q_pareto_front,
+        "join_skew_probe": q_join_skew_probe,
+        "rbo_overlap": q_rbo_overlap,
+        "intrinsic_dim": q_intrinsic_dim,
         # -- driver-green r7 ---------------------------------------------
         "markov_stationary": q_markov_stationary,
         "confusion_eval": q_confusion_eval,
