@@ -4130,9 +4130,13 @@ def embedding_health(
 
     Returns ONE row: (n_vectors, n_null_vec, n_nan, n_zero_norm,
     min_dim, max_dim, mean_norm, p50_norm) — dimension and norm stats
-    are over HEALTHY vectors only (non-null, NaN-free; a NaN norm
-    would otherwise poison the mean exactly the way it poisons
-    cosines). mean/p50 rounded 6; p50 is the exact interpolated median
+    are over HEALTHY vectors only (non-null, with no NaN and no NULL
+    component; a NaN norm would otherwise poison the mean exactly the
+    way it poisons cosines). ``n_nan`` counts vectors with a NaN OR a
+    NULL component — a bare ``exists(v, x -> isnan(x))`` yields NULL
+    (not true) on a NULL component, which would let the one defect
+    class a health gate must not miss silently escape every bucket.
+    mean/p50 rounded 6; p50 is the exact interpolated median
     (Spark ``percentile`` == DuckDB ``quantile_cont``).
 
     Scale shape: ONE map-combinable aggregation pass — the norm and
@@ -4143,7 +4147,7 @@ def embedding_health(
     the exact form is kept here so the oracle hash-matches.
     """
     v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-    has_nan = F.expr(f"exists({v}, x -> isnan(x))")
+    has_nan = F.expr(f"exists({v}, x -> x IS NULL OR isnan(x))")
     healthy = F.col(vec_col).isNotNull() & ~has_nan
     nrm = F.expr(_norm_sql(v))
     hn = F.when(healthy, nrm)
@@ -4164,7 +4168,7 @@ def embedding_health(
         F.round(F.avg(hn), 6).alias("mean_norm"),
         F.round(F.expr(
             f"percentile(CASE WHEN {vec_col} IS NOT NULL AND NOT "
-            f"exists({v}, x -> isnan(x)) THEN "
+            f"exists({v}, x -> x IS NULL OR isnan(x)) THEN "
             f"{_norm_sql(v)} END, 0.5)"
         ), 6).alias("p50_norm"),
     )
@@ -4176,13 +4180,13 @@ def embedding_health_sql(
     """Dual-dialect twin of :func:`embedding_health`."""
     if dialect == "spark":
         v = f"CAST({vec_col} AS ARRAY<DOUBLE>)"
-        has_nan = f"exists({v}, x -> isnan(x))"
+        has_nan = f"exists({v}, x -> x IS NULL OR isnan(x))"
         nrm = _norm_sql(v)
         dim = f"size({v})"
         med = "percentile"
     elif dialect == "duckdb":
         v = f"{vec_col}::DOUBLE[]"
-        has_nan = f"len(list_filter({v}, x -> isnan(x))) > 0"
+        has_nan = f"len(list_filter({v}, x -> x IS NULL OR isnan(x))) > 0"
         nrm = f"sqrt(list_sum(list_transform({v}, x -> x * x)))"
         dim = f"len({v})"
         med = "quantile_cont"

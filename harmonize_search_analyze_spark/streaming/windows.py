@@ -1007,7 +1007,17 @@ def mg_process_batch(
     m), snapshot the top ``top`` to ``out/epoch=N`` with the global
     undercount bound ``err = N_seen - sum(counters)`` (every counter
     satisfies ``c <= true <= c + err``; any key with true count >
-    err is GUARANTEED present — the mergeable-summaries theorem)."""
+    err is GUARANTEED present — the mergeable-summaries theorem).
+
+    Compatibility note (ADVICE r8): state directories written by the
+    pre-sentinel code have epochs WITHOUT sentinel rows. Merging those
+    is handled (``n_seen`` takes ``max(n_batch)`` per epoch from the
+    counter rows themselves) EXCEPT for old epochs whose trim produced
+    zero counter rows — their batch totals were never persisted
+    anywhere, so merged ``err_bound`` stays underestimated for those
+    epochs until the stream is recomputed from source. Fresh state
+    (any epoch written by this code) always carries the sentinel and
+    is exact."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession

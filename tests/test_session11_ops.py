@@ -106,9 +106,10 @@ def test_join_size_estimate_sql_twin_both_dialects(spark):
 
 
 def test_embedding_health_hand_computed(spark):
-    """4 vectors: [3,4] (norm 5), [0,0] (zero norm), NULL, [NaN,1] ->
-    counts 4/1/1/1; healthy = the first two: dims 2/2, mean norm 2.5,
-    median 2.5."""
+    """5 vectors: [3,4] (norm 5), [0,0] (zero norm), NULL, [NaN,1],
+    [NULL,2] (NULL component — must land in n_nan, not silently escape
+    every bucket; ADVICE r8) -> counts 5/1/2/1; healthy = the first
+    two: dims 2/2, mean norm 2.5, median 2.5."""
     from harmonize_search_analyze_spark.operators.similarity import (
         embedding_health,
     )
@@ -119,12 +120,13 @@ def test_embedding_health_hand_computed(spark):
             (2, [0.0, 0.0]),
             (3, None),
             (4, [float("nan"), 1.0]),
+            (5, [None, 2.0]),
         ],
         "vec_id long, embedding array<double>",
     )
     r = embedding_health(df).collect()[0]
     assert (r.n_vectors, r.n_null_vec, r.n_nan, r.n_zero_norm) == (
-        4, 1, 1, 1,
+        5, 1, 2, 1,
     )
     assert (r.min_dim, r.max_dim) == (2, 2)
     assert r.mean_norm == pytest.approx(2.5)
@@ -154,16 +156,33 @@ def test_embedding_health_sql_twin_both_dialects(spark):
     rows = [
         (i, [float((i * 7 + j * 3) % 11) + 0.1 * j for j in range(4)])
         for i in range(60)
-    ] + [(60, None), (61, [0.0, 0.0, 0.0, 0.0])]
+    ] + [
+        (60, None),
+        (61, [0.0, 0.0, 0.0, 0.0]),
+        # NaN component + NULL component (ADVICE r8): exercises the
+        # most dialect-divergent twin branch (Spark isnan/exists vs
+        # DuckDB isnan/list_filter) against both defect classes.
+        (62, [float("nan"), 1.0, 1.0, 1.0]),
+        (63, [None, 2.0, 2.0, 2.0]),
+    ]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>"
     )
     want = tuple(embedding_health(df).collect()[0])
+    assert want[2] == 2  # n_nan: the NaN row AND the NULL-component row
     df.createOrReplaceTempView("s11_eh")
     got = tuple(
         spark.sql(embedding_health_sql("s11_eh", "spark")).collect()[0]
     )
     assert want == got
+
+    def _lit(x):
+        if x is None:
+            return "NULL"
+        if x != x:  # NaN
+            return "'NaN'::DOUBLE"
+        return str(x)
+
     con = duckdb.connect()
     _duck(
         con, "emb",
@@ -171,7 +190,7 @@ def test_embedding_health_sql_twin_both_dialects(spark):
             "({},{})".format(
                 i,
                 "NULL" if v is None
-                else "[" + ",".join(map(str, v)) + "]",
+                else "[" + ",".join(_lit(x) for x in v) + "]",
             )
             for i, v in rows
         ],
