@@ -354,20 +354,37 @@ def simhash_select_sql(
     dialect: str,
     *,
     bits: int = SIMHASH_BITS,
+    feature_n: int = 1,
 ) -> str:
     """Full SELECT computing a ``bits``-wide SimHash per document: explode
-    token hashes, sign-sum each bit, recombine. Identical SQL shape on both
-    engines (explode/unnest + one groupBy = one shuffle on doc_id).
+    feature hashes, sign-sum each bit, recombine. Identical SQL shape on
+    both engines (explode/unnest + one groupBy = one shuffle on doc_id).
 
-    Default is the full 64 bits of the token hash — wide bands keep their
-    pruning power in the banded candidate path (16-bit bands at d=3; the
-    32-bit sketch's 4-5-bit bands degenerate toward all-pairs at corpus
-    scale). The sketch is stored two's-complement in a signed BIGINT: bit
-    63's weight is MIN_LONG, added LAST so the running sum of lower-bit
-    weights (<= 2^63 - 1) never overflows under ANSI arithmetic."""
+    ``feature_n`` picks the feature granularity: 1 = unigram tokens (the
+    oracle-pinned default), n > 1 = word n-gram shingles. Unigram features
+    on a Zipfian corpus produce heavily CORRELATED sketches — every
+    document's bit votes are dominated by the same head words, so banded
+    candidate generation degrades toward quadratic even between unrelated
+    documents (measured: 99x candidate growth for 10x docs on the
+    realistic-duplicate corpus, scripts/decade_neardup_r9.json). Shingle
+    features are the production fix (Manku et al., WWW'07 use shingle-
+    grained features for exactly this reason): unrelated documents share
+    almost no 3-grams, so their sketches decorrelate to ~uniform and band
+    collisions fall to the pigeonhole floor. Same measured rig with
+    ``feature_n=3``: candidates drop ~40x at nd100.
+
+    Default is the full 64 bits of the feature hash — wide bands keep
+    their pruning power in the banded candidate path (16-bit bands at
+    d=3; the 32-bit sketch's 4-5-bit bands degenerate toward all-pairs at
+    corpus scale). The sketch is stored two's-complement in a signed
+    BIGINT: bit 63's weight is MIN_LONG, added LAST so the running sum of
+    lower-bit weights (<= 2^63 - 1) never overflows under ANSI
+    arithmetic."""
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
-    toks = tokens_sql(text_col, dialect)
+    if feature_n < 1:
+        raise ValueError(f"feature_n must be >= 1, got {feature_n}")
+    toks = grams_sql(text_col, dialect, feature_n)
     # hash_full64_sql, not hash64_sql: the 60-bit hash never sets bits
     # 60-63, which would leave the top band of a "64-bit" sketch 16x
     # under-entropic (and the bit-63 weight dead code)
@@ -429,13 +446,19 @@ def simhash(
     text_col: str,
     *,
     bits: int = SIMHASH_BITS,
+    feature_n: int = 1,
 ) -> DataFrame:
-    """doc_id + ``bits``-wide (default 64) simhash sketch."""
+    """doc_id + ``bits``-wide (default 64) simhash sketch over unigram
+    (default) or word-``feature_n``-gram features — see
+    :func:`simhash_select_sql` for why realistic corpora want n-gram
+    features in the banded path."""
     # unique view name: fixed names collide under concurrent use
     view = f"__simhash_in_{uuid.uuid4().hex}"
     df.createOrReplaceTempView(view)
     out = df.sparkSession.sql(
-        simhash_select_sql(view, id_col, text_col, "spark", bits=bits)
+        simhash_select_sql(
+            view, id_col, text_col, "spark", bits=bits, feature_n=feature_n
+        )
     )
     df.sparkSession.catalog.dropTempView(view)
     return out
@@ -460,6 +483,7 @@ def simhash_near_dup_pairs(
     *,
     max_hamming: int = 6,
     bits: int = SIMHASH_BITS,
+    feature_n: int = 1,
 ) -> DataFrame:
     """SimHash near-dup pairs: sketches whose Hamming distance is within
     ``max_hamming``. Pair generation here is the O(n^2) self-join BASELINE —
@@ -467,7 +491,7 @@ def simhash_near_dup_pairs(
     bucketed production path. Use this one on samples only."""
     # tiny frame (id + 1 long), referenced by both join branches: persist so
     # the token-explode aggregation doesn't run twice
-    sk = simhash(df, id_col, text_col, bits=bits).persist()
+    sk = simhash(df, id_col, text_col, bits=bits, feature_n=feature_n).persist()
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     l = sk.select(
         F.col(id_col).alias("id1"), F.col("simhash").alias("sh1")
@@ -559,13 +583,18 @@ def simhash_near_dup_pairs_banded(
     *,
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
+    feature_n: int = 1,
 ) -> DataFrame:
     """Production SimHash near-dup path: banded candidate generation
     (pigeonhole-exact) + Hamming verification on candidates only. Produces
     exactly the same (id1, id2, hamming) set as the O(n^2)
-    ``simhash_near_dup_pairs`` at the same ``max_hamming`` — that operator
-    is this one's recall oracle."""
-    sk = simhash(df, id_col, text_col, bits=bits).persist()
+    ``simhash_near_dup_pairs`` at the same ``max_hamming`` and
+    ``feature_n`` — that operator is this one's recall oracle.
+
+    At corpus scale prefer ``feature_n=3``: unigram features correlate
+    sketches on Zipfian text and blow up the candidate stage (see
+    :func:`simhash_select_sql`)."""
+    sk = simhash(df, id_col, text_col, bits=bits, feature_n=feature_n).persist()
     cands = simhash_candidate_pairs(
         sk, id_col, max_hamming=max_hamming, bits=bits
     )

@@ -124,6 +124,54 @@ def test_simhash_banded_equals_brute(docs):
         assert banded == brute, f"max_hamming={d}"
 
 
+def test_simhash_shingle_features(spark, docs):
+    """feature_n > 1 (the realistic-corpus production config): identical
+    docs still collapse, banding still equals brute, near-dup sketches
+    stay closer than unrelated ones, and the Spark/DuckDB twins agree."""
+    import duckdb
+
+    from harmonize_search_analyze_spark.operators.dedup import (
+        simhash_select_sql,
+    )
+
+    sk = {r["doc_id"]: r["simhash"] for r in
+          simhash(docs, "doc_id", "text", feature_n=3).collect()}
+    assert sk[1] == sk[2]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(sk[1], sk[3]) < ham(sk[1], sk[4])
+    # trigram features decorrelate unrelated docs far beyond unigrams
+    assert ham(sk[4], sk[5]) > 3
+
+    for d in (0, 6):
+        brute = {(r["id1"], r["id2"]): r["hamming"] for r in
+                 simhash_near_dup_pairs(docs, "doc_id", "text",
+                                        max_hamming=d,
+                                        feature_n=3).collect()}
+        banded = {(r["id1"], r["id2"]): r["hamming"] for r in
+                  simhash_near_dup_pairs_banded(docs, "doc_id", "text",
+                                                max_hamming=d,
+                                                feature_n=3).collect()}
+        assert banded == brute, f"max_hamming={d}"
+
+    # dual-dialect twin equality at feature_n=3
+    docs.createOrReplaceTempView("__sh3_docs")
+    want = {r["doc_id"]: r["simhash"] for r in spark.sql(
+        simhash_select_sql("__sh3_docs", "doc_id", "text", "spark",
+                           feature_n=3)).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)",
+                    [(r["doc_id"], r["text"]) for r in docs.collect()])
+    got = dict(con.execute(
+        simhash_select_sql("d", "doc_id", "text", "duckdb", feature_n=3)
+    ).fetchall())
+    assert want == got
+
+    # feature_n=1 is byte-identical to the pre-knob default
+    assert (simhash(docs, "doc_id", "text").collect()
+            == simhash(docs, "doc_id", "text", feature_n=1).collect())
+
+
 def test_persisted_frames_released(spark, docs):
     """Round-1 verdict item 7: operators must not leak cached blocks in a
     long-lived session. After release() (or GC of the result) the context
