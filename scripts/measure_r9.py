@@ -85,15 +85,14 @@ def main() -> None:
         similarity_join_ivf,
     )
 
+    from bench import _await_quiet_host
+
+    loadavg_start, _ = _await_quiet_host()
     spark = hsa.get_spark(
         master="local[32]", shuffle_partitions=32, driver_memory="48g"
     )
     spark.sparkContext.setLogLevel("ERROR")
-    out: dict = {"round": 9}
-    try:
-        out["loadavg_start"] = round(os.getloadavg()[0], 2)
-    except OSError:
-        pass
+    out: dict = {"round": 9, "loadavg_start": loadavg_start}
 
     # -- 1. IVF with a fixed 1000-query budget (serving shape) ---------
     res = {}
