@@ -11633,6 +11633,54 @@ def _sql_fleiss_kappa(dialect: str = "duckdb") -> str:
     return fleiss_kappa_sql("documents", "md5(text)", "source", dialect)
 
 
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's nominal alpha over per-user event-type 'ratings'
+    (each user's events = repeated categorical measurements of one unit)
+    — the missing-data agreement statistic fleiss_kappa can't express:
+    units here have wildly uneven rating counts, and unpairable
+    singletons must drop without biasing the marginals. One scan, two
+    same-key-prefix hash aggs, 1-row result."""
+    from harmonize_search_analyze_spark.operators.analytics import (
+        krippendorff_alpha,
+    )
+
+    return krippendorff_alpha(
+        _t(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+def _sql_krippendorff_alpha() -> str:
+    from harmonize_search_analyze_spark.operators.analytics import (
+        krippendorff_alpha_sql,
+    )
+
+    return krippendorff_alpha_sql("events", "user_id", "event_type", "duckdb")
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman variance-optimal eval-budget allocation across event types
+    (1000 measurement rows split by N_h * S_h), reported against the
+    proportional allocation — ONE map-combinable agg + a 1-row
+    broadcast, no window."""
+    from harmonize_search_analyze_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    return neyman_allocation(
+        _t(spark, sf_dir, "events"), "event_type", "value", budget=1000
+    )
+
+
+def _sql_neyman_allocation() -> str:
+    from harmonize_search_analyze_spark.operators.sampling import (
+        neyman_allocation_sql,
+    )
+
+    return neyman_allocation_sql(
+        "events", "event_type", "value", "duckdb", budget=1000
+    )
+
+
 def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BH step-up FDR screen over (event_type x hour-of-day) mean value
     shifts — the multiple-testing gate for hundred-slice drift
@@ -12230,9 +12278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (err: no_oracle) — expected and final for these two.
         "unigram_train": q_unigram_train,
         "compression_ratio": q_compression_ratio,
+        # -- round-9 additions (2 only, AFTER the 48 queue-closing
+        # entries, INSIDE the window at slots 49-50 — the r8-verdict #7
+        # discipline: new queries ship into the live window so they are
+        # externally verified the same round and never enter a
+        # never-verified state) ------------------------------------------
+        "krippendorff_alpha": q_krippendorff_alpha,
+        "neyman_allocation": q_neyman_allocation,
         # -- window boundary (driver reads the 50 entries above; the 48
-        # entries above close the never-verified queue to ZERO; slots
-        # 49-50 re-verify the first two r8-green rows below) -------------
+        # entries before the round-9 additions close the never-verified
+        # queue to ZERO) --------------------------------------------------
         # -- driver-green r8 ----------------------------------------------
         "runtime_fields": q_runtime_fields,
         "fim_transform": q_fim_transform,
@@ -12703,6 +12758,8 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen": _sql_theil_sen(),
         "cramers_v": _sql_cramers_v(),
         "fleiss_kappa": _sql_fleiss_kappa(),
+        "krippendorff_alpha": _sql_krippendorff_alpha(),
+        "neyman_allocation": _sql_neyman_allocation(),
         "benjamini_hochberg": _sql_benjamini_hochberg(),
         "attribution_linear": _sql_attribution_linear(),
         "bot_score": _sql_bot_score(),

@@ -6481,3 +6481,141 @@ SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
          + 0.0 AS h_corrected
 FROM s
 """
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_expr: str,
+    value_expr: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) — the agreement coefficient
+    built for the MISSING-DATA regime :func:`fleiss_kappa` can't handle:
+    annotation pipelines where every unit is rated by a different,
+    arbitrary subset of raters (crowdsourced labels, cross-source
+    duplicate clusters of uneven size). It corrects chance agreement
+    from the coincidence matrix over PAIRABLE values only, so units
+    with one rating contribute nothing instead of biasing the marginals
+    (Krippendorff 2004, "Content Analysis", ch. 11).
+
+    Per unit u with ``n_u >= 2`` pairable values and per-value counts
+    ``n_uc``: observed disagreement ``D_o = (1/n) * sum_u (n_u^2 -
+    sum_c n_uc^2) / (n_u - 1)``; expected ``D_e = (n^2 - sum_c n_c^2)
+    / (n * (n - 1))`` with ``n_c`` the pooled pairable value counts;
+    ``alpha = 1 - D_o / D_e``. Returns ONE row ``(n_units, n_ratings,
+    n_values, d_o, d_e, alpha)`` rounded 6; a single pooled value pins
+    NULL alpha (``D_e = 0`` — agreement is vacuous), matching the
+    :func:`fleiss_kappa` convention. Squared counts are accumulated in
+    DOUBLE on both engines: at corpus scale ``n_ratings^2`` and the
+    value-marginal squares overflow BIGINT long before they stop being
+    exactly representable in a double (counts < 2^26 square exactly;
+    beyond that the 6-decimal rounding absorbs the ulp).
+
+    Scale shape: one (unit, value) hash agg, one unit-keyed agg on that
+    frame (same key prefix — AQE keeps it co-partitioned), one
+    value-sized marginal agg behind a pairable-unit join, then 1-row
+    broadcasts; raw rows are scanned once. The reference has no
+    agreement statistics at all (its dictionary profiler stops at
+    count/distinct/mean/stddev, harmonizeCrimeIncidents.py:337-406) —
+    this extends the same schema-as-data QA idea to labeled corpora.
+    """
+    counts = (
+        df.select(
+            F.expr(unit_expr).alias("__u"),
+            F.expr(value_expr).alias("__v"),
+        )
+        .where(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+        .groupBy("__u", "__v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    units = (
+        counts.groupBy("__u")
+        .agg(
+            F.sum("c").alias("nu"),
+            F.sum(F.col("c").cast("double") * F.col("c")).alias("ss"),
+        )
+        .where(F.col("nu") >= 2)
+    )
+    do_num = units.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("nu").alias("n"),
+        F.sum(
+            (F.col("nu").cast("double") * F.col("nu") - F.col("ss"))
+            / (F.col("nu") - F.lit(1))
+        ).alias("dnum"),
+    )
+    marg = (
+        counts.join(units.select("__u"), "__u")
+        .groupBy("__v")
+        .agg(F.sum("c").alias("nc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(F.col("nc").cast("double") * F.col("nc")).alias("snc2"),
+        )
+    )
+    one = do_num.crossJoin(F.broadcast(marg))
+    d_o = F.try_divide(F.col("dnum"), F.col("n").cast("double"))
+    d_e = F.try_divide(
+        F.col("n").cast("double") * F.col("n") - F.col("snc2"),
+        F.col("n").cast("double") * (F.col("n") - F.lit(1)),
+    )
+    alpha = F.lit(1.0) - F.try_divide(d_o, d_e)
+    return one.select(
+        F.col("n_units").cast("bigint").alias("n_units"),
+        F.col("n").cast("bigint").alias("n_ratings"),
+        F.col("n_values").cast("bigint").alias("n_values"),
+        (F.round(d_o, 6) + F.lit(0.0)).alias("d_o"),
+        (F.round(d_e, 6) + F.lit(0.0)).alias("d_e"),
+        (F.round(alpha, 6) + F.lit(0.0)).alias("alpha"),
+    )
+
+
+def krippendorff_alpha_sql(
+    table: str,
+    unit_expr: str,
+    value_expr: str,
+    dialect: str,
+) -> str:
+    """Dual-dialect twin of :func:`krippendorff_alpha` (identical text).
+
+    ``try_divide``-style zero/NULL protection is spelled NULLIF here;
+    ``D_e = 0`` (single pooled value) and ``n <= 1`` both pin NULL
+    alpha on both engines."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return f"""
+WITH counts AS (
+  SELECT {unit_expr} AS u, {value_expr} AS v, COUNT(*) AS c
+  FROM {table}
+  WHERE {unit_expr} IS NOT NULL AND {value_expr} IS NOT NULL
+  GROUP BY 1, 2
+),
+units AS (
+  SELECT u, SUM(c) AS nu, SUM(CAST(c AS DOUBLE) * c) AS ss
+  FROM counts GROUP BY 1
+  HAVING SUM(c) >= 2
+),
+donum AS (
+  SELECT COUNT(*) AS n_units, SUM(nu) AS n,
+         SUM((CAST(nu AS DOUBLE) * nu - ss) / (nu - 1)) AS dnum
+  FROM units
+),
+marg AS (
+  SELECT COUNT(*) AS n_values, SUM(CAST(nc AS DOUBLE) * nc) AS snc2
+  FROM (
+    SELECT counts.v, SUM(c) AS nc
+    FROM counts JOIN units ON counts.u = units.u
+    GROUP BY 1
+  ) m
+)
+SELECT CAST(n_units AS BIGINT) AS n_units,
+       CAST(n AS BIGINT) AS n_ratings,
+       CAST(n_values AS BIGINT) AS n_values,
+       ROUND(dnum / NULLIF(CAST(n AS DOUBLE), 0.0), 6) + 0.0 AS d_o,
+       ROUND((CAST(n AS DOUBLE) * n - snc2)
+             / NULLIF(CAST(n AS DOUBLE) * (n - 1), 0.0), 6) + 0.0 AS d_e,
+       ROUND(1.0 - (dnum / NULLIF(CAST(n AS DOUBLE), 0.0))
+             / NULLIF((CAST(n AS DOUBLE) * n - snc2)
+                      / NULLIF(CAST(n AS DOUBLE) * (n - 1), 0.0), 0.0),
+             6) + 0.0 AS alpha
+FROM donum CROSS JOIN marg
+"""

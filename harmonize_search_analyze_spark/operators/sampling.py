@@ -1379,3 +1379,123 @@ SELECT rk AS row_key, ck AS col_key, CAST(n AS BIGINT) AS n,
 FROM fin
 ORDER BY row_key, col_key
 """
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_expr: str,
+    value_expr: str,
+    *,
+    budget: int = 1000,
+) -> DataFrame:
+    """Neyman (variance-optimal) stratified sample allocation — the
+    eval-set design primitive: given a measurement budget of ``budget``
+    rows and strata with sizes ``N_h`` and population stddevs ``S_h``,
+    the allocation minimizing the variance of the stratified mean is
+    ``n_h = budget * N_h S_h / sum_h N_h S_h`` (Neyman 1934). Reported
+    next to the proportional allocation ``budget * N_h / N`` so the
+    table directly shows where variance-optimal sampling diverges from
+    naive proportional draws (high-variance strata get oversampled) —
+    the complement of :func:`unimax_sample`, which allocates a TRAINING
+    token budget for coverage, where this allocates an EVAL row budget
+    for variance.
+
+    Returns one row per stratum: ``(stratum, n_rows, sd_pop,
+    neyman_share, neyman_alloc, prop_alloc)`` rounded 6, ordered by
+    stratum. Allocations are REAL-valued by design — integerization
+    (largest-remainder or ceiling) is a caller policy, and rounding
+    here would hide sub-1-row strata. Degenerate cases pin: a
+    zero-variance stratum gets share 0 (one probe suffices for a
+    constant); if EVERY stratum is constant the shares are NULL (no
+    variance to allocate against). ``sd_pop`` is computed from sums
+    (``sqrt(sum(x^2)/n - mean^2)``, clamped at 0 against float
+    cancellation) so both engines evaluate the identical expression.
+
+    Scale shape: ONE map-combinable hash agg over the raw rows plus a
+    1-row broadcast of the denominator — no window, no second scan.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    s = F.expr(value_expr).cast("double")
+    per = (
+        df.select(F.expr(stratum_expr).alias("__h"), s.alias("__x"))
+        .where(F.col("__h").isNotNull() & F.col("__x").isNotNull())
+        .groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__x").alias("sx"),
+            F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        )
+        .select(
+            "__h",
+            "n_rows",
+            F.sqrt(
+                F.greatest(
+                    F.col("sxx") / F.col("n_rows")
+                    - (F.col("sx") / F.col("n_rows"))
+                    * (F.col("sx") / F.col("n_rows")),
+                    F.lit(0.0),
+                )
+            ).alias("sd"),
+        )
+    )
+    tot = per.agg(
+        F.sum(F.col("n_rows") * F.col("sd")).alias("den"),
+        F.sum("n_rows").alias("ntot"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    share = F.try_divide(F.col("n_rows") * F.col("sd"), F.col("den"))
+    alloc = F.try_divide(
+        F.lit(float(budget)) * F.col("n_rows") * F.col("sd"), F.col("den")
+    )
+    return out.select(
+        F.col("__h").alias("stratum"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.round("sd", 6).alias("sd_pop"),
+        (F.round(share, 6) + F.lit(0.0)).alias("neyman_share"),
+        (F.round(alloc, 6) + F.lit(0.0)).alias("neyman_alloc"),
+        F.round(
+            F.lit(float(budget)) * F.col("n_rows") / F.col("ntot"), 6
+        ).alias("prop_alloc"),
+    ).orderBy("stratum")
+
+
+def neyman_allocation_sql(
+    table: str,
+    stratum_expr: str,
+    value_expr: str,
+    dialect: str,
+    *,
+    budget: int = 1000,
+) -> str:
+    """Dual-dialect twin of :func:`neyman_allocation` (identical text;
+    a zero denominator — every stratum constant — pins NULL shares via
+    NULLIF, matching try_divide)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    x = f"CAST({value_expr} AS DOUBLE)"
+    return f"""
+WITH per AS (
+  SELECT {stratum_expr} AS h, COUNT(*) AS n_rows,
+         SQRT(GREATEST(
+           SUM({x} * {x}) / COUNT(*)
+           - (SUM({x}) / COUNT(*)) * (SUM({x}) / COUNT(*)),
+           0.0)) AS sd
+  FROM {table}
+  WHERE {stratum_expr} IS NOT NULL AND {value_expr} IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_rows * sd) AS den, SUM(n_rows) AS ntot FROM per
+)
+SELECT h AS stratum, CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(sd, 6) AS sd_pop,
+       ROUND(n_rows * sd / NULLIF(den, 0.0), 6) + 0.0 AS neyman_share,
+       ROUND({budget}.0 * n_rows * sd / NULLIF(den, 0.0), 6) + 0.0
+         AS neyman_alloc,
+       ROUND({budget}.0 * n_rows / ntot, 6) AS prop_alloc
+FROM per CROSS JOIN tot
+ORDER BY stratum
+"""
