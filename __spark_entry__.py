@@ -12217,11 +12217,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # compression_ratio — their one documented driver `no_oracle` slot
     # each, per the r7-verdict item-7 decision) = 48 <= 50.  Zero new
     # operators were added ahead of the boundary (r8 verdict: freeze
-    # surface until the queue is empty).  After r9 greens, EVERY
-    # declared query has been driver-verified at least once and the
-    # never-verified queue is ZERO.  Entries 49+ : driver-green
-    # r8/r7/r6/r1-r5 sets in stable order (slots 49-50 fall on the
-    # first two r8-green rows — harmless re-verification).
+    # surface until the queue is empty); the TWO round-9 additions
+    # (krippendorff_alpha, neyman_allocation) take slots 49-50 INSIDE
+    # the window — the r8-verdict #7 discipline: new queries ship into
+    # the live window so they are externally verified the round they
+    # ship.  After r9 greens, EVERY declared query (378) has been
+    # driver-verified at least once and the never-verified queue is
+    # ZERO.  Entries 51+ : driver-green r8/r7/r6/r1-r5 sets in stable
+    # order.
     return {
         # -- canaries (driver-green r1-r8) ------------------------------
         "profile_dict": q_profile_dict,
