@@ -2246,6 +2246,86 @@ FROM documents
 """
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over REAL in-plan PNG bytes, driver-
+    gated end-to-end (VERDICT r9 next-round #2): synthesize a
+    deterministic 8x9 grayscale PNG per document (``gate_media_synth``
+    — pixel values are pure hash arithmetic of doc_id, ~4% of docs in
+    planted <=4-member duplicate clusters), then run the production
+    ``image_near_dup_pairs`` pipeline: Arrow decode (stdlib PNG codec)
+    -> dhash sketch -> banded candidate join (pigeonhole-exact at
+    Hamming 4) -> bit_count verify. The DuckDB oracle recomputes the
+    sketch from the SAME arithmetic in pure SQL (losslessness of the
+    codec makes decode(encode(px)) == px) and brute-force verifies all
+    pairs — pinning codec, bit order, banding recall, and verify in one
+    gate. Scale shape: one map-only decode pass + band-key shuffle,
+    never all pairs."""
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        gate_media_synth,
+        image_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(8)
+    synth = gate_media_synth(docs, "doc_id", "image")
+    return image_near_dup_pairs(
+        synth, "doc_id", max_hamming=4
+    ).orderBy("id1", "id2")
+
+
+def _sql_image_near_dup() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import hamming_sql
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        gate_sketch_sql,
+    )
+
+    sk = gate_sketch_sql("documents", "doc_id", "image", "duckdb")
+    ham = hamming_sql("a.sketch", "b.sketch", "duckdb")
+    return f"""
+WITH sk AS ({sk})
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST({ham} AS INT) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE {ham} <= 4
+ORDER BY id1, id2
+"""
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs over REAL in-plan PCM WAV bytes —
+    the audio twin of ``q_image_near_dup`` (same planted-cluster
+    construction, same gate contract): synthesize 130-sample 16-bit
+    WAV per doc, decode (struct-layout PCM reader), energy-delta
+    fingerprint, banded join, bit_count verify; the DuckDB oracle
+    recomputes the fingerprint as integer arithmetic (frame energy
+    comparisons reduce exactly — dyadic floats) and brute-verifies."""
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        gate_media_synth,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(8)
+    synth = gate_media_synth(docs, "doc_id", "audio")
+    return audio_near_dup_pairs(
+        synth, "doc_id", max_hamming=4
+    ).orderBy("id1", "id2")
+
+
+def _sql_audio_near_dup() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import hamming_sql
+    from harmonize_search_analyze_spark.operators.multimodal import (
+        gate_sketch_sql,
+    )
+
+    sk = gate_sketch_sql("documents", "doc_id", "audio", "duckdb")
+    ham = hamming_sql("a.sketch", "b.sketch", "duckdb")
+    return f"""
+WITH sk AS ({sk})
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST({ham} AS INT) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE {ham} <= 4
+ORDER BY id1, id2
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3/Llama-style benchmark decontamination: flag docs sharing any
     word 8-gram with the 'benchmark' subset (doc_id % 97 == 0 — a stand-in
@@ -3032,6 +3112,34 @@ def _sql_substring_dedup() -> str:
     # wrap: the generator's outer select joins three doc_id columns, so a
     # bare ORDER BY doc_id would be ambiguous in DuckDB
     return f"SELECT * FROM ({inner}) final ORDER BY doc_id"
+
+
+def q_substr_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-span clusters — the suffix-array-style
+    ExactSubstr extension from "delete later occurrences"
+    (``substring_dedup``) to "report who shares what": 8-token windows
+    occurring in >= 2 distinct docs merge per-doc into maximal spans
+    (gaps-and-islands on the token position), spans cluster by exact
+    token-content hash, clusters spanning >= 2 docs return one row per
+    member span. Gram agg + one doc-key window shuffle + span-key agg;
+    every post-projection frame is sized by the duplicated surface."""
+    from harmonize_search_analyze_spark.operators.dedup import (
+        substring_span_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_span_clusters(docs, "doc_id", "text", k=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def _sql_substr_span_clusters() -> str:
+    from harmonize_search_analyze_spark.operators.dedup import (
+        substring_span_clusters_sql,
+    )
+
+    inner = substring_span_clusters_sql("documents", "doc_id", "text", k=8)
+    return f"SELECT * FROM ({inner}) final ORDER BY doc_id, span_start"
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7299,6 +7407,35 @@ def _sql_bitext_mine() -> str:
         k=4,
         threshold=1.0,
         strategy="intersect",
+    )
+
+
+def q_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence (N_k) hubness distribution of the embedding space's
+    self-5-NN graph (Radovanovic et al. 2010) — the diagnostic for the
+    hub pathology that ``bitext_mine``'s margin scoring suppresses: how
+    many vectors are never retrieved (n_k = 0 anti-hubs) vs retrieved
+    far more than the mean (which is exactly k). One broadcast-scored
+    self-join + rank window + two count aggs; same 1-in-5 deterministic
+    sample as the bitext recall oracle."""
+    from harmonize_search_analyze_spark.operators.similarity import (
+        hubness_report,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    return hubness_report(emb, "vec_id", "embedding", k=5)
+
+
+def _sql_hubness_report() -> str:
+    from harmonize_search_analyze_spark.operators.similarity import (
+        hubness_report_sql,
+    )
+
+    return hubness_report_sql(
+        "(SELECT * FROM embeddings WHERE vec_id % 5 = 0)",
+        "vec_id",
+        "embedding",
+        k=5,
     )
 
 
@@ -12209,28 +12346,88 @@ def _sql_embedding_health(dialect: str = "duckdb") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's correctness gate reads the
-    # first 50 entries.  ROUND-9 ROTATION (VERDICT r8 "Next round" #1 —
-    # the QUEUE-CLOSING window): 3 canaries + ALL 43 remaining
-    # never-driver-verified oracle-backed queries (the 41 stable-order
-    # queue entries plus the two round-8 additions join_size_estimate /
-    # embedding_health) + the 2 rows-only trainers (unigram_train,
-    # compression_ratio — their one documented driver `no_oracle` slot
-    # each, per the r7-verdict item-7 decision) = 48 <= 50.  Zero new
-    # operators were added ahead of the boundary (r8 verdict: freeze
-    # surface until the queue is empty); the TWO round-9 additions
-    # (krippendorff_alpha, neyman_allocation) take slots 49-50 INSIDE
-    # the window — the r8-verdict #7 discipline: new queries ship into
-    # the live window so they are externally verified the round they
-    # ship.  After r9 greens, EVERY declared query (378) has been
-    # driver-verified at least once and the never-verified queue is
-    # ZERO.  Entries 51+ : driver-green r8/r7/r6/r1-r5 sets in stable
+    # first 50 entries.
+    #
+    # STANDING VERIFICATION-WINDOW POLICY (VERDICT r9 "next round" #1 —
+    # adopted as standing policy from round 10 on; also documented in
+    # README.md "Verification lifecycle"):
+    #   window = 3 canaries
+    #          + ALL new queries added this round, at the FRONT (the
+    #            r8-verdict #7 discipline: new surface ships INSIDE the
+    #            live window so it is externally verified the round it
+    #            ships and never enters a never-verified state)
+    #          + re-verification fill: the OLDEST driver-verified queries
+    #            (oldest-first by last-green round, ties by stable dict
+    #            order) up to 50 total.
+    # The never-verified queue closed at round 9 (all 378 then-declared
+    # queries driver-verified at least once; 372 rows+schema+hash, 6
+    # rows-only trainers by documented contract), so every non-canary,
+    # non-new slot is now a re-check.
+    #
+    # ROUND-10 WINDOW: 3 canaries + 4 new (image_near_dup,
+    # audio_near_dup — the multimodal near-dup family's first external
+    # rows, VERDICT r9 #2; substr_span_clusters — ExactSubstr -> cross-doc
+    # span clusters; hubness_report — N_k distribution diagnostic) + the
+    # 43 oldest queries (all last green in CORRECTNESS_r02; the remaining
+    # 4 r2-era queries — pipeline_daily, composite_page, weighted_avg,
+    # mad — lead the round-11 rotation fill).  Entries 51+ stay in stable
     # order.
     return {
-        # -- canaries (driver-green r1-r8) ------------------------------
+        # -- canaries (driver-green r1-r9) ------------------------------
         "profile_dict": q_profile_dict,
         "nested_terms": q_nested_terms,
         "harmonize_rollup": q_harmonize_rollup,
-        # -- ROUND-9 ROTATION: the 41 stable-order queue entries --------
+        # -- ROUND-10 additions (new surface ships INSIDE the window) ---
+        "image_near_dup": q_image_near_dup,
+        "audio_near_dup": q_audio_near_dup,
+        "substr_span_clusters": q_substr_span_clusters,
+        "hubness_report": q_hubness_report,
+        # -- re-verification rotation: 43 oldest (last green r2) --------
+        "terms_topk": q_terms_topk,
+        "search_bool": q_search_bool,
+        "phrase_prefix": q_phrase_prefix,
+        "datetime_range": q_datetime_range,
+        "geohash_grid": q_geohash_grid,
+        "union_wildcard": q_union_wildcard,
+        "join_revenue": q_join_revenue,
+        "event_window": q_event_window,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "similarity_topk": q_similarity_topk,
+        "text_analysis": q_text_analysis,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_near_dup": q_lsh_near_dup,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "similarity_ivf": q_similarity_ivf,
+        "suggest_typeahead": q_suggest_typeahead,
+        "terms_table": q_terms_table,
+        "count_panel": q_count_panel,
+        "describe_stats": q_describe_stats,
+        "enum_values": q_enum_values,
+        "vartype_guess": q_vartype_guess,
+        "simhash_hamming": q_simhash_hamming,
+        "jaccard_brute": q_jaccard_brute,
+        "sessionization": q_sessionization,
+        "media_profile": q_media_profile,
+        "embedding_lsh": q_embedding_lsh,
+        "terms_salted": q_terms_salted,
+        "corpus_curation": q_corpus_curation,
+        "histogram": q_histogram,
+        "date_histogram": q_date_histogram,
+        "extended_stats": q_extended_stats,
+        "percentiles": q_percentiles,
+        "top_hits": q_top_hits,
+        "cardinality": q_cardinality,
+        "significant_terms": q_significant_terms,
+        "asof_attribution": q_asof_attribution,
+        "range_join_repeat": q_range_join_repeat,
+        "hypertable_rollup": q_hypertable_rollup,
+        "range_agg": q_range_agg,
+        "filters_agg": q_filters_agg,
+        "missing_agg": q_missing_agg,
+        # -- window boundary (driver reads the 50 entries above) --------
+        # -- driver-green r3-r9, stable order ----------------------------
         "inference_score": q_inference_score,
         "eql_until": q_eql_until,
         "search_template": q_search_template,
@@ -12272,26 +12469,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_outliers": q_label_outliers,
         "pmi_collocations": q_pmi_collocations,
         "centroid_similarity": q_centroid_similarity,
-        # -- round-8 additions (never-verified until this window) --------
         "join_size_estimate": q_join_size_estimate,
         "embedding_health": q_embedding_health,
-        # -- rows-only trainers (no oracle_sql BY CONTRACT) --------------
-        # Their one documented driver window slot each (r7 verdict item
-        # #7 decision): the driver records a weaker rows-only check
-        # (err: no_oracle) — expected and final for these two.
         "unigram_train": q_unigram_train,
         "compression_ratio": q_compression_ratio,
-        # -- round-9 additions (2 only, AFTER the 48 queue-closing
-        # entries, INSIDE the window at slots 49-50 — the r8-verdict #7
-        # discipline: new queries ship into the live window so they are
-        # externally verified the same round and never enter a
-        # never-verified state) ------------------------------------------
         "krippendorff_alpha": q_krippendorff_alpha,
         "neyman_allocation": q_neyman_allocation,
-        # -- window boundary (driver reads the 50 entries above; the 48
-        # entries before the round-9 additions close the never-verified
-        # queue to ZERO) --------------------------------------------------
-        # -- driver-green r8 ----------------------------------------------
         "runtime_fields": q_runtime_fields,
         "fim_transform": q_fim_transform,
         "span_corruption": q_span_corruption,
@@ -12339,7 +12522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_probe": q_join_skew_probe,
         "rbo_overlap": q_rbo_overlap,
         "intrinsic_dim": q_intrinsic_dim,
-        # -- driver-green r7 ---------------------------------------------
         "markov_stationary": q_markov_stationary,
         "confusion_eval": q_confusion_eval,
         "leakage_check": q_leakage_check,
@@ -12389,7 +12571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_dedup": q_intra_doc_dedup,
         "kmeans_ivf": q_kmeans_ivf,
         "bpe_train": q_bpe_train,
-        # -- driver-green r6 --------------------------------------------
         "dedup_keep_best": q_dedup_keep_best,
         "soft_dedup": q_soft_dedup,
         "knn_classify": q_knn_classify,
@@ -12437,7 +12618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_order": q_global_order,
         "assign_split": q_assign_split,
         "rank_eval": q_rank_eval,
-        # -- driver-green r1-r5 -----------------------------------------
         "es_sql": q_es_sql,
         "es_sql_pivot": q_es_sql_pivot,
         "es_sql_unpivot": q_es_sql_unpivot,
@@ -12576,49 +12756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats": q_matrix_stats,
         "variable_width_histogram": q_variable_width_histogram,
         "categorize_text": q_categorize_text,
-        "terms_topk": q_terms_topk,
-        "search_bool": q_search_bool,
-        "phrase_prefix": q_phrase_prefix,
-        "datetime_range": q_datetime_range,
-        "geohash_grid": q_geohash_grid,
-        "union_wildcard": q_union_wildcard,
-        "join_revenue": q_join_revenue,
-        "event_window": q_event_window,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "similarity_topk": q_similarity_topk,
-        "text_analysis": q_text_analysis,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_near_dup": q_lsh_near_dup,
-        "simhash": q_simhash,
-        "embedding_near_dup": q_embedding_near_dup,
-        "similarity_ivf": q_similarity_ivf,
-        "suggest_typeahead": q_suggest_typeahead,
-        "terms_table": q_terms_table,
-        "count_panel": q_count_panel,
-        "describe_stats": q_describe_stats,
-        "enum_values": q_enum_values,
-        "vartype_guess": q_vartype_guess,
-        "simhash_hamming": q_simhash_hamming,
-        "jaccard_brute": q_jaccard_brute,
-        "sessionization": q_sessionization,
-        "media_profile": q_media_profile,
-        "embedding_lsh": q_embedding_lsh,
-        "terms_salted": q_terms_salted,
-        "corpus_curation": q_corpus_curation,
-        "histogram": q_histogram,
-        "date_histogram": q_date_histogram,
-        "extended_stats": q_extended_stats,
-        "percentiles": q_percentiles,
-        "top_hits": q_top_hits,
-        "cardinality": q_cardinality,
-        "significant_terms": q_significant_terms,
-        "asof_attribution": q_asof_attribution,
-        "range_join_repeat": q_range_join_repeat,
-        "hypertable_rollup": q_hypertable_rollup,
-        "range_agg": q_range_agg,
-        "filters_agg": q_filters_agg,
-        "missing_agg": q_missing_agg,
         "pipeline_daily": q_pipeline_daily,
         "composite_page": q_composite_page,
         "weighted_avg": q_weighted_avg,
@@ -12822,6 +12959,10 @@ def oracle_sql() -> dict[str, str]:
         "search_advanced": SQL_SEARCH_ADVANCED,
         "line_dedup": _sql_line_dedup(),
         "substring_dedup": _sql_substring_dedup(),
+        "substr_span_clusters": _sql_substr_span_clusters(),
+        "image_near_dup": _sql_image_near_dup(),
+        "audio_near_dup": _sql_audio_near_dup(),
+        "hubness_report": _sql_hubness_report(),
         "temperature_mix": _sql_temperature_mix(),
         "pq_search": _sql_pq_search(),
         "percolate": SQL_PERCOLATE,

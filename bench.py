@@ -46,23 +46,46 @@ def _host_state() -> tuple[float, list[int]]:
     Called BEFORE this process starts its own Spark session, so any
     SparkSubmit found is an orphan from a prior run — the documented
     PERFORMANCE.md failure mode behind uniformly ~1.4x-inflated tables
-    (VERDICT r8 what's-wrong #1)."""
+    (VERDICT r8 what's-wrong #1).
+
+    Orphan match (ADVICE r9): the FULL class name
+    ``org.apache.spark.deploy.SparkSubmit`` must appear as a standalone
+    cmdline argument AND argv[0] must be a java executable — a bare
+    substring scan stalled the gate on `grep SparkSubmit`, pagers with a
+    log open, or unrelated jobs. The /proc walk is guarded so a
+    non-Linux host degrades to the loadavg-only check instead of
+    crashing at startup (ADVICE r9)."""
     try:
         la = os.getloadavg()[0]
     except OSError:
         la = 0.0
     orphans: list[int] = []
-    for pid in os.listdir("/proc"):
+    try:
+        pids = os.listdir("/proc")
+    except OSError:
+        return la, orphans  # non-Linux: loadavg-only gate
+    for pid in pids:
         if not pid.isdigit() or int(pid) == os.getpid():
             continue
         try:
             with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                cmd = fh.read()
+                argv = fh.read().split(b"\x00")
         except OSError:
             continue
-        if b"SparkSubmit" in cmd:
+        if (
+            argv
+            and os.path.basename(argv[0]).startswith(b"java")
+            and b"org.apache.spark.deploy.SparkSubmit" in argv
+        ):
             orphans.append(int(pid))
     return la, orphans
+
+
+def _loadavg_now() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return 0.0
 
 
 def _await_quiet_host() -> tuple[float, float]:
@@ -152,10 +175,27 @@ def main() -> None:
 
     trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
 
+    # Drift accounting during the run (VERDICT r9 "next round" #3): the
+    # run's own local[32] work saturates the host by design, so loadavg
+    # can't GATE mid-run — instead it is STAMPED (end + max sampled at
+    # every query boundary) so a competing job shows up in the artifact
+    # as loadavg far above the session's own ~#cores ceiling.  The
+    # actionable mid-run detector is trial-to-trial spread: a query
+    # whose slowest NON-FIRST trial exceeds 1.5x its fastest gets ONE
+    # extra trial (min still recorded), and its name is stamped into
+    # respread_queries — r8's official artifact was ~20% uniformly
+    # pessimistic and nothing in the artifact could prove it.  Trial 1
+    # is excluded from the worst side: it pays any one-time codegen
+    # compile for the plan family, which min-of-N already discards and
+    # which would otherwise flag nearly every sub-second query.
     timings: dict[str, float] = {}
+    loadavg_max = loadavg_start
+    respread: list[str] = []
     for name, fn in entrymod.queries().items():
-        best = None
-        for _ in range(trials):
+        best = worst = None  # worst tracks non-first trials only
+        n_trials = trials
+        t = 0
+        while t < n_trials:
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
@@ -163,6 +203,8 @@ def main() -> None:
             assert n >= 0
             if best is None or elapsed < best:
                 best = elapsed
+            if t > 0 and (worst is None or elapsed > worst):
+                worst = elapsed
             # isolate trials/queries: release tether-managed persisted
             # frames (their unpersist fires on Python GC, which is lazy)
             # and drop any cached blocks so no run pays storage pressure
@@ -170,7 +212,22 @@ def main() -> None:
             del df
             gc.collect()
             spark.catalog.clearCache()
+            t += 1
+            if (
+                t == n_trials
+                and n_trials == trials
+                and trials >= 2
+                and worst is not None
+                and best > 0.05
+                and worst / best > 1.5
+            ):
+                n_trials += 1  # one re-run for a drift-suspect block
+                respread.append(name)
         timings[name] = round(best, 4)
+        try:
+            loadavg_max = max(loadavg_max, os.getloadavg()[0])
+        except OSError:
+            pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -192,6 +249,9 @@ def main() -> None:
         "sf": sf_val,
         "trials": trials,
         "loadavg_start": loadavg_start,
+        "loadavg_end": _loadavg_now(),
+        "loadavg_max": round(loadavg_max, 2),
+        "respread_queries": sorted(respread),
         "quiet_wait_sec": waited_sec,
     }
     out_path = os.path.join(

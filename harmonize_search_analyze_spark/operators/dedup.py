@@ -2387,3 +2387,188 @@ SELECT n, s AS s_obs, f1, f2,
              6) + 0.0 AS coverage
 FROM one
 """
+
+
+def substring_span_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document shared-span CLUSTERS — the suffix-array-style
+    extension of :func:`substring_dedup` (Lee et al. 2021 ExactSubstr)
+    from "delete later occurrences" to "report WHO shares WHAT": instead
+    of dropping duplicated k-gram windows, merge each document's
+    cross-doc-duplicated window starts into maximal token spans
+    (gaps-and-islands) and group spans across documents by their exact
+    token content.  The training-data curation read: each cluster is one
+    piece of boilerplate/quotation with its full occurrence list —
+    the unit a curation pipeline inspects before deciding to strip.
+
+    Semantics (pinned, hand-computable):
+
+    - a window start (doc, pos) is *shared* iff its k-gram occurs in
+      >= 2 DISTINCT documents (same-doc repeats alone don't count);
+    - per document, runs of CONSECUTIVE shared starts merge into one
+      maximal span [pos_first, pos_last + k - 1] (token indices);
+    - spans cluster by the 60-bit content hash of their exact token
+      sequence; clusters with >= 2 distinct documents are returned —
+      a doc whose maximal span extends PAST a neighbor's (superset
+      span) hashes differently and forms its own (possibly filtered)
+      cluster, by design: the cluster is "this exact maximal text".
+
+    Returns one row per qualifying span: (id, span_start, span_len,
+    span_key, n_docs, n_spans).
+
+    Plan shape (the 100 TB story): ONE tokenization pass (persisted,
+    tethered); window starts as a codegen'd transform over the token
+    array (one row per start, no windows x tokens explode); gram-key
+    two-level agg (map-combinable, high-entropy keys at k >= 8) +
+    co-partitioned semi-join; ONE doc-key window shuffle for the island
+    merge; span content sliced from the token array (co-located join on
+    the doc key); one span-key agg for cluster stats.  No driver-side
+    collect; every frame after the starts projection is sized by the
+    DUPLICATED surface, not the corpus.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    gram_hash = hash64_sql(
+        f"concat_ws(' ', slice(__toks, i + 1, {k}))", "spark"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.expr(tokens_sql(text_col, "spark")).alias("__toks"),
+    ).persist()
+    starts = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(__toks) >= {k} THEN "
+                f"transform(sequence(0, size(__toks) - {k}), "
+                f"i -> struct(i AS pos, {gram_hash} AS g)) "
+                "ELSE array() END"
+            )
+        ).alias("w"),
+    ).select(id_col, "w.pos", "w.g")
+    # two-level distinct-doc count: (g, id) pre-agg is map-combinable,
+    # then the tiny (g, n_docs) frame filters via a co-partitioned
+    # semi-join (both sides hashed on g)
+    cross_doc = (
+        starts.groupBy("g", id_col).agg(F.lit(1))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("g")
+    )
+    shared = starts.join(cross_doc, "g", "left_semi")
+    # gaps-and-islands on the doc key: consecutive shared starts merge
+    island = (
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+        )
+    )
+    spans = (
+        shared.withColumn("__isl", island)
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("span_len"),
+        )
+        .drop("__isl")
+    )
+    keyed = spans.join(toks, id_col).select(
+        id_col,
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_len").cast("int").alias("span_len"),
+        F.expr(
+            hash64_sql(
+                "concat_ws(' ', slice(__toks, span_start + 1, span_len))",
+                "spark",
+            )
+        ).alias("span_key"),
+    ).persist()
+    # two-level, not countDistinct+count in one agg: the mixed form
+    # expands the input (one Expand branch per distinct agg) — the
+    # (span_key, id) pre-agg is map-combinable and the second level is
+    # a plain count/sum over the tiny per-doc frame
+    clusters = (
+        keyed.groupBy("span_key", id_col)
+        .agg(F.count(F.lit(1)).alias("__per_doc"))
+        .groupBy("span_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__per_doc").cast("bigint").alias("n_spans"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    out = keyed.join(clusters, "span_key").select(
+        id_col, "span_start", "span_len", "span_key", "n_docs", "n_spans"
+    )
+    transfer(keyed, out)
+    return tether(out, toks)
+
+
+def substring_span_clusters_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+) -> str:
+    """DuckDB oracle for :func:`substring_span_clusters` — identical gram
+    hash, distinct-doc gate, island merge, span content hash, cluster
+    stats."""
+    toks = tokens_sql(text_col, "duckdb")
+    gram = hash64_sql(
+        f"array_to_string(toks[CAST(pos + 1 AS BIGINT):"
+        f"CAST(pos + {k} AS BIGINT)], ' ')",
+        "duckdb",
+    )
+    span_hash = hash64_sql(
+        "array_to_string(toks[CAST(span_start + 1 AS BIGINT):"
+        "CAST(span_start + span_len AS BIGINT)], ' ')",
+        "duckdb",
+    )
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+starts AS (
+  SELECT {id_col}, CAST(u.i AS BIGINT) AS pos, {gram} AS g
+  FROM t, UNNEST(range(len(toks) - {k} + 1)) AS u(i)
+  WHERE len(toks) >= {k}
+),
+cross_doc AS (
+  SELECT g FROM (
+    SELECT g, COUNT(*) AS nd FROM (
+      SELECT DISTINCT g, {id_col} FROM starts
+    ) GROUP BY g
+  ) WHERE nd >= 2
+),
+shared AS (
+  SELECT s.* FROM starts s SEMI JOIN cross_doc c ON s.g = c.g
+),
+spans AS (
+  SELECT {id_col}, MIN(pos) AS span_start,
+         CAST(MAX(pos) - MIN(pos) + {k} AS INT) AS span_len
+  FROM (
+    SELECT {id_col}, pos,
+           pos - ROW_NUMBER() OVER (
+             PARTITION BY {id_col} ORDER BY pos ASC) AS isl
+    FROM shared
+  ) GROUP BY {id_col}, isl
+),
+keyed AS (
+  SELECT s.{id_col}, s.span_start, s.span_len, {span_hash} AS span_key
+  FROM spans s JOIN t ON s.{id_col} = t.{id_col}
+),
+clusters AS (
+  SELECT span_key, CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM keyed GROUP BY span_key HAVING COUNT(DISTINCT {id_col}) >= 2
+)
+SELECT k2.{id_col}, k2.span_start, k2.span_len, k2.span_key,
+       c.n_docs, c.n_spans
+FROM keyed k2 JOIN clusters c ON k2.span_key = c.span_key
+"""

@@ -795,3 +795,203 @@ def audio_near_dup_pairs(
     )
     transfer(cands, out)
     return tether(out, sk)
+
+
+# -- driver-gate media synthesis (deterministic, SQL-pinnable) ----------------
+#
+# The image/audio near-dup operators above decode REAL bytes, which a SQL
+# oracle engine cannot do — so for external (DuckDB) verification we
+# synthesize the media IN-PLAN from integer doc ids such that the decoded
+# pixels/samples are a pure arithmetic function of the id.  The oracle then
+# recomputes the perceptual sketch from the SAME formula in pure SQL and
+# pins the whole encode -> decode -> sketch -> banded-join pipeline: any
+# drift in the PNG codec, the WAV struct layout, the dhash bit order, or
+# the Hamming verify shows up as a value mismatch.  This is the
+# engine-native analog of the reference's geo_point dual-representation
+# trick (SURVEY.md §1.2; reference `harmonizeCrimeIncidents.py` keeps a
+# string AND a typed form of the same value so two consumers can verify
+# each other) applied to opaque binary columns.
+#
+# Planted cluster structure (so the query output is non-trivial at every
+# SF): docs come in runs of 4 consecutive ids; a run is a "duplicate
+# cluster" iff (doc_id DIV 4) % 25 == 0 (~4% of docs).  Cluster members
+# share the hash-seeded base image/waveform and each member perturbs ONE
+# pixel/sample, so within-cluster pairs sit at Hamming <= 4 (one changed
+# pixel flips <= 2 dhash bits; one changed sample flips <= 2 energy-delta
+# bits) while cross-cluster sketches are ~independent 64-bit values
+# (P[Hamming <= 4] ~ 3.7e-14 per pair).  Both engines compute identical
+# sketches, so even a freak cross-pair collision stays in parity.
+
+GATE_IMG_H, GATE_IMG_W = 8, 9  # dhash-native geometry: shrink(8, 9) = identity
+GATE_WAV_SAMPLES = 130         # 65 energy frames x 2 samples, no edge padding
+GATE_WAV_RATE = 8000
+
+
+def gate_seed(doc_id: int) -> str:
+    """Base-content seed: shared inside a planted cluster, unique outside."""
+    cluster = doc_id // 4
+    return f"c{cluster}" if cluster % 25 == 0 else f"u{doc_id}"
+
+
+def _gate_hash60(s: str) -> int:
+    """Python twin of functions.hashing.hash64_sql (60-bit md5 prefix)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def gate_pixels(doc_id: int) -> list[int]:
+    """72 deterministic grayscale pixel values (row-major 8x9)."""
+    seed = gate_seed(doc_id)
+    k_star, delta = doc_id % 72, (1 + doc_id % 5) * 40
+    return [
+        (_gate_hash60(f"{seed}:px:{k}") + (delta if k == k_star else 0)) % 256
+        for k in range(GATE_IMG_H * GATE_IMG_W)
+    ]
+
+
+def gate_samples(doc_id: int) -> list[int]:
+    """130 deterministic signed 16-bit PCM samples."""
+    seed = gate_seed(doc_id)
+    j_star, delta = doc_id % GATE_WAV_SAMPLES, (doc_id % 7) * 9000
+    return [
+        ((_gate_hash60(f"{seed}:au:{j}") + (delta if j == j_star else 0))
+         % 65536) - 32768
+        for j in range(GATE_WAV_SAMPLES)
+    ]
+
+
+def _gate_wav_bytes(samples: list[int]) -> bytes:
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, GATE_WAV_RATE, GATE_WAV_RATE * 2, 2, 16
+        )
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def gate_media_synth(
+    df: DataFrame, id_col: str = "doc_id", modality: str = "image"
+) -> DataFrame:
+    """Append a real binary ``payload`` column (PNG or PCM WAV) whose
+    decoded content is ``gate_pixels``/``gate_samples`` of the id — an
+    Arrow ``mapInPandas`` stage, map-only, so the downstream near-dup
+    pipeline exercises the identical scan/decode/shuffle shape it would
+    on stored media."""
+    if modality not in ("image", "audio"):
+        raise ValueError(f"unknown gate modality {modality!r}")
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("payload", T.BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from harmonize_search_analyze_spark.functions.png import png_encode
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                if modality == "image":
+                    px = np.asarray(gate_pixels(did), dtype=np.uint8)
+                    payloads.append(
+                        png_encode(px.reshape(GATE_IMG_H, GATE_IMG_W, 1))
+                    )
+                else:
+                    payloads.append(_gate_wav_bytes(gate_samples(did)))
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _gate_bit_terms(cmp_exprs: list[str]) -> str:
+    """Sum 64 comparison bits into a signed two's-complement BIGINT,
+    MSB first in ``cmp_exprs`` — same overflow discipline as
+    ``dedup.simhash_select_sql``: bit 63's weight is MIN_LONG, appended
+    LAST so the running sum of lower-bit weights never overflows."""
+    if len(cmp_exprs) != 64:
+        raise ValueError(f"need exactly 64 bits, got {len(cmp_exprs)}")
+    terms = []
+    for k in range(63, 0, -1):  # bits 62..0 first (weights fit in int63)
+        terms.append(
+            f"(CASE WHEN {cmp_exprs[k]} THEN CAST({1 << (63 - k)} AS BIGINT)"
+            " ELSE 0 END)"
+        )
+    terms.append(
+        f"(CASE WHEN {cmp_exprs[0]} THEN "
+        "CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END)"
+    )
+    return " + ".join(terms)
+
+
+def gate_sketch_sql(
+    table: str, id_col: str, modality: str, dialect: str
+) -> str:
+    """Full SELECT computing the EXACT perceptual sketch the Spark
+    pipeline produces by synthesizing, PNG/WAV-encoding, decoding and
+    hashing (``gate_media_synth`` -> ``image_phash``/``audio_phash``) —
+    but in pure SQL arithmetic, dual-dialect.  Works because the codecs
+    are lossless: decode(encode(px)) == px, so dhash's pixel comparisons
+    (and the energy-delta comparisons over exact dyadic floats) reduce
+    to integer comparisons both engines evaluate identically."""
+    from harmonize_search_analyze_spark.functions.hashing import hash64_sql
+
+    if dialect == "spark":
+        div, str_t = "DIV", "STRING"
+    elif dialect == "duckdb":
+        div, str_t = "//", "VARCHAR"
+    else:
+        raise ValueError(f"unknown dialect: {dialect}")
+    seed = (
+        f"CASE WHEN ({id_col} {div} 4) % 25 = 0 "
+        f"THEN 'c' || CAST(({id_col} {div} 4) AS {str_t}) "
+        f"ELSE 'u' || CAST({id_col} AS {str_t}) END"
+    )
+    if modality == "image":
+        n, tag, mod_base = GATE_IMG_H * GATE_IMG_W, "px", 256
+        perturb = (
+            f"CASE WHEN {id_col} % 72 = {{k}} "
+            f"THEN (1 + {id_col} % 5) * 40 ELSE 0 END"
+        )
+    elif modality == "audio":
+        n, tag, mod_base = GATE_WAV_SAMPLES, "au", 65536
+        perturb = (
+            f"CASE WHEN {id_col} % 130 = {{k}} "
+            f"THEN ({id_col} % 7) * 9000 ELSE 0 END"
+        )
+    else:
+        raise ValueError(f"unknown gate modality {modality!r}")
+    cols = []
+    for k in range(n):
+        h = hash64_sql(f"seed || ':{tag}:{k}'", dialect)
+        expr = f"(({h} + {perturb.format(k=k)}) % {mod_base})"
+        if modality == "audio":
+            expr = f"({expr} - 32768)"
+        cols.append(f"{expr} AS v{k}")
+    if modality == "image":
+        # dhash bit (r, c): pixel[r][c+1] > pixel[r][c], row-major MSB-first
+        cmps = [
+            f"v{r * GATE_IMG_W + c + 1} > v{r * GATE_IMG_W + c}"
+            for r in range(GATE_IMG_H)
+            for c in range(GATE_IMG_W - 1)
+        ]
+        frame_sql = ""
+    else:
+        # energy frame f = s(2f)^2 + s(2f+1)^2; bit k: e(k+1) > e(k)
+        frames = ", ".join(
+            f"(v{2 * f} * v{2 * f} + v{2 * f + 1} * v{2 * f + 1}) AS e{f}"
+            for f in range(65)
+        )
+        frame_sql = f", en AS (SELECT {id_col}, {frames} FROM vals)"
+        cmps = [f"e{k + 1} > e{k}" for k in range(64)]
+    sketch = _gate_bit_terms(cmps)
+    src = "en" if modality == "audio" else "vals"
+    return (
+        f"WITH base AS (SELECT {id_col}, {seed} AS seed FROM {table}), "
+        f"vals AS (SELECT {id_col}, {', '.join(cols)} FROM base)"
+        f"{frame_sql} "
+        f"SELECT {id_col}, ({sketch}) AS sketch FROM {src}"
+    )

@@ -4208,3 +4208,99 @@ SELECT COUNT(*) AS n_vectors,
          AS p50_norm
 FROM {table}
 """
+
+
+def hubness_report(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-occurrence (N_k) hubness distribution of the self-k-NN graph —
+    the diagnostic for the embedding-space pathology that margin-based
+    mining (:func:`bitext_mine`, Artetxe & Schwenk 2019) exists to
+    suppress: in high dimensions some vectors ("hubs") appear in far
+    more k-NN lists than the mean (which is exactly k), while anti-hubs
+    (N_k = 0) are never retrieved (Radovanovic et al., JMLR 2010). A
+    heavy right tail here says raw-cosine retrieval will over-return
+    hubs and margin scoring is worth its extra k-NN pass.
+
+    N_k(v) = |{q != v : v in kNN(q)}|, ties broken (cosine DESC, id
+    ASC) like every retrieval op in this package; output is the exact
+    distribution (n_k, n_vectors) — vectors never retrieved are
+    included at n_k = 0 via the id-frame left join.
+
+    Plan: one broadcast-scored self-join (corpus scanned once — see
+    ``similarity_join``), per-query k+1 rank window then self-row drop
+    and re-rank (a duplicate vector can out-tie self at cosine 1.0, so
+    self is NOT assumed rank 1), one count agg per corpus id, one
+    histogram agg. Everything after the rank window is id+count sized.
+    For corpora beyond the broadcast-join envelope, feed the same
+    aggregation stack from ``similarity_join_ivf`` output instead."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ids = df.select(F.col(id_col).alias("__vid"))
+    knn = similarity_join(
+        df,
+        df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding")
+        ),
+        k + 1,
+        corpus_id=id_col,
+        corpus_vec=vec_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    topk = (
+        knn.where(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+    )
+    occ = topk.groupBy("corpus_id").agg(F.count(F.lit(1)).alias("__occ"))
+    per_vec = ids.join(
+        occ, ids["__vid"] == occ["corpus_id"], "left"
+    ).select(F.coalesce("__occ", F.lit(0)).cast("bigint").alias("n_k"))
+    return (
+        per_vec.groupBy("n_k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("n_k")
+    )
+
+
+def hubness_report_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 5,
+) -> str:
+    """DuckDB oracle for :func:`hubness_report` — same rounding, same
+    tie-break (DESC places NULL cosines last on both engines), same
+    n_k = 0 completion."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dot = "list_sum(list_transform(list_zip(c.vv, q.vv), p -> p[1] * p[2]))"
+    return f"""
+WITH v AS (
+  SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS vv,
+         sqrt(list_sum(list_transform({vec_col}::DOUBLE[], x -> x * x))) AS nrm
+  FROM {table}
+),
+topk AS (
+  SELECT corpus_id FROM (
+    SELECT q.vid AS query_id, c.vid AS corpus_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vid
+             ORDER BY ROUND({dot} / (c.nrm * q.nrm), 6) DESC, c.vid ASC
+           ) AS r
+    FROM v c CROSS JOIN v q WHERE c.vid <> q.vid
+  ) t WHERE r <= {k}
+),
+occ AS (SELECT corpus_id, COUNT(*) AS occ FROM topk GROUP BY corpus_id)
+SELECT CAST(COALESCE(o.occ, 0) AS BIGINT) AS n_k,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM v LEFT JOIN occ o ON v.vid = o.corpus_id
+GROUP BY 1 ORDER BY n_k
+"""
