@@ -4240,7 +4240,6 @@ def hubness_report(
     aggregation stack from ``similarity_join_ivf`` output instead."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    ids = df.select(F.col(id_col).alias("__vid"))
     knn = similarity_join(
         df,
         df.select(
@@ -4250,6 +4249,20 @@ def hubness_report(
         corpus_id=id_col,
         corpus_vec=vec_col,
     )
+    return hubness_from_knn(knn, df.select(F.col(id_col).alias("__vid")), k=k)
+
+
+def hubness_from_knn(knn: DataFrame, ids: DataFrame, *, k: int) -> DataFrame:
+    """The N_k aggregation stack of :func:`hubness_report` over ANY
+    self-k-NN frame shaped (query_id, corpus_id, cosine) with at least
+    k+1 neighbors per query (self rows allowed anywhere in the list) —
+    this is the piece that scales: feed it from ``similarity_join_ivf``
+    output for corpora beyond the brute broadcast-join envelope and the
+    whole report stays one rank window + two count aggs over
+    k-bounded rows. ``ids`` must carry every vector id in a single
+    ``__vid`` column (the n_k = 0 anti-hub completion)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id")
     )

@@ -72,7 +72,12 @@ def _zipf_probs() -> np.ndarray:
     return p / p.sum()
 
 
-def generate(outdir: str, n_docs: int, seed: int = 42) -> None:
+def build_table(n_docs: int, seed: int = 42, id_offset: int = 0):
+    """One corpus block as a pyarrow Table — factored out so the
+    chunked nd1000 generator (gen_neardup_corpus_nd1000.py) can stream
+    blocks through a ParquetWriter at constant memory. Duplicate
+    clusters are intra-block, so true-pair mass stays linear in n
+    regardless of blocking."""
     rng = np.random.default_rng(seed)
     vocab, probs = _vocab(), _zipf_probs()
 
@@ -122,18 +127,21 @@ def generate(outdir: str, n_docs: int, seed: int = 42) -> None:
 
     lp = np.array([w for _, _, w in LANGS])
     pick = rng.choice(len(LANGS), size=len(texts), p=lp / lp.sum())
-    tbl = pa.table({
-        "doc_id": pa.array(range(len(texts)), pa.int64()),
+    return pa.table({
+        "doc_id": pa.array(range(id_offset, id_offset + len(texts)),
+                           pa.int64()),
         "text": pa.array(texts),
         "lang": pa.array([LANGS[i][1] for i in pick]),
         "source": pa.array([LANGS[i][0] for i in pick]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
+
+
+def generate(outdir: str, n_docs: int, seed: int = 42) -> None:
+    tbl = build_table(n_docs, seed)
     os.makedirs(outdir, exist_ok=True)
     pq.write_table(tbl, os.path.join(outdir, "documents.parquet"))
-    print(f"wrote {len(texts)} docs ({n_background} background, "
-          f"{len(dup_texts)} cluster copies in {len(seeds)} clusters) "
-          f"-> {outdir}")
+    print(f"wrote {tbl.num_rows} docs -> {outdir}")
 
 
 if __name__ == "__main__":

@@ -360,3 +360,45 @@ def test_hubness_rejects_bad_k():
         hubness_report(None, k=0)
     with pytest.raises(ValueError):
         hubness_report_sql("t", k=0)
+
+
+def test_hubness_from_knn_ivf_scale_path(spark):
+    from pyspark.sql import functions as F
+
+    from harmonize_search_analyze_spark.operators.similarity import (
+        hubness_from_knn,
+        hubness_report,
+        similarity_join,
+        similarity_join_ivf,
+    )
+
+    rows = [
+        (i, [float((i * 5 + j * 7) % 13 - 6) for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    ids = df.select(F.col("vec_id").alias("__vid"))
+    # fed the EXACT knn, the factored stack reproduces hubness_report
+    knn = similarity_join(
+        df,
+        df.select(F.col("vec_id").alias("query_id"), "embedding"),
+        4,
+        corpus_id="vec_id",
+    )
+    a = sorted(tuple(r) for r in hubness_from_knn(knn, ids, k=3).collect())
+    b = sorted(tuple(r) for r in hubness_report(df, k=3).collect())
+    assert a == b
+    # fed the IVF knn (the scale path), the stack still conserves total
+    # retrievals: sum n_k * n_vectors == n * k when every query returns
+    # >= k+1 candidates (nprobe covering all lists here)
+    knn_ivf = similarity_join_ivf(
+        df,
+        df.select(F.col("vec_id").alias("query_id"), "embedding").repartition(8),
+        4,
+        nprobe=4,
+        n_centroids=4,
+        corpus_id="vec_id",
+    )
+    c = hubness_from_knn(knn_ivf, ids, k=3).collect()
+    assert sum(r["n_k"] * r["n_vectors"] for r in c) == 40 * 3
+    assert sum(r["n_vectors"] for r in c) == 40
