@@ -2254,7 +2254,7 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted <=4-member duplicate clusters), then run the production
     ``image_near_dup_pairs`` pipeline: Arrow decode (stdlib PNG codec)
     -> dhash sketch -> banded candidate join (pigeonhole-exact at
-    Hamming 4) -> bit_count verify. The DuckDB oracle recomputes the
+    Hamming 3 — four 16-bit bands, the production geometry) -> bit_count verify. The DuckDB oracle recomputes the
     sketch from the SAME arithmetic in pure SQL (losslessness of the
     codec makes decode(encode(px)) == px) and brute-force verifies all
     pairs — pinning codec, bit order, banding recall, and verify in one
@@ -2268,7 +2268,7 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(8)
     synth = gate_media_synth(docs, "doc_id", "image")
     return image_near_dup_pairs(
-        synth, "doc_id", max_hamming=4
+        synth, "doc_id", max_hamming=3
     ).orderBy("id1", "id2")
 
 
@@ -2284,7 +2284,7 @@ def _sql_image_near_dup() -> str:
 WITH sk AS ({sk})
 SELECT a.doc_id AS id1, b.doc_id AS id2, CAST({ham} AS INT) AS hamming
 FROM sk a JOIN sk b ON a.doc_id < b.doc_id
-WHERE {ham} <= 4
+WHERE {ham} <= 3
 ORDER BY id1, id2
 """
 
@@ -2305,7 +2305,7 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id").repartition(8)
     synth = gate_media_synth(docs, "doc_id", "audio")
     return audio_near_dup_pairs(
-        synth, "doc_id", max_hamming=4
+        synth, "doc_id", max_hamming=3
     ).orderBy("id1", "id2")
 
 
@@ -2321,7 +2321,7 @@ def _sql_audio_near_dup() -> str:
 WITH sk AS ({sk})
 SELECT a.doc_id AS id1, b.doc_id AS id2, CAST({ham} AS INT) AS hamming
 FROM sk a JOIN sk b ON a.doc_id < b.doc_id
-WHERE {ham} <= 4
+WHERE {ham} <= 3
 ORDER BY id1, id2
 """
 

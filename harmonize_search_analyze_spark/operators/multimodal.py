@@ -816,11 +816,18 @@ def audio_near_dup_pairs(
 # SF): docs come in runs of 4 consecutive ids; a run is a "duplicate
 # cluster" iff (doc_id DIV 4) % 25 == 0 (~4% of docs).  Cluster members
 # share the hash-seeded base image/waveform and each member perturbs ONE
-# pixel/sample, so within-cluster pairs sit at Hamming <= 4 (one changed
-# pixel flips <= 2 dhash bits; one changed sample flips <= 2 energy-delta
-# bits) while cross-cluster sketches are ~independent 64-bit values
-# (P[Hamming <= 4] ~ 3.7e-14 per pair).  Both engines compute identical
-# sketches, so even a freak cross-pair collision stays in parity.
+# pixel/sample chosen so at most ONE sketch bit can flip per member —
+# the image perturbation sits in dhash COLUMN 0 (pixel (r, 0) feeds only
+# comparison (r, 0)); the audio perturbation sits in energy FRAME 0
+# (feeds only delta bit 0).  Within-cluster pairs therefore sit at
+# Hamming <= 2, inside the engine's production banding geometry
+# (max_hamming = 3 -> four 16-bit bands, the config simhash_select_sql
+# documents; d = 4 would force 12.8-bit bands whose buckets go
+# birthday-quadratic at corpus scale — measured 257M candidates over
+# 500k docs before this pin, 100x per decade).  Cross-cluster sketches
+# are ~independent 64-bit values (P[Hamming <= 3] ~ 2.3e-15 per pair).
+# Both engines compute identical sketches, so even a freak cross-pair
+# collision stays in parity.
 
 GATE_IMG_H, GATE_IMG_W = 8, 9  # dhash-native geometry: shrink(8, 9) = identity
 GATE_WAV_SAMPLES = 130         # 65 energy frames x 2 samples, no edge padding
@@ -841,7 +848,7 @@ def _gate_hash60(s: str) -> int:
 def gate_pixels(doc_id: int) -> list[int]:
     """72 deterministic grayscale pixel values (row-major 8x9)."""
     seed = gate_seed(doc_id)
-    k_star, delta = doc_id % 72, (1 + doc_id % 5) * 40
+    k_star, delta = (doc_id % 8) * GATE_IMG_W, (1 + doc_id % 5) * 40
     return [
         (_gate_hash60(f"{seed}:px:{k}") + (delta if k == k_star else 0)) % 256
         for k in range(GATE_IMG_H * GATE_IMG_W)
@@ -851,7 +858,7 @@ def gate_pixels(doc_id: int) -> list[int]:
 def gate_samples(doc_id: int) -> list[int]:
     """130 deterministic signed 16-bit PCM samples."""
     seed = gate_seed(doc_id)
-    j_star, delta = doc_id % GATE_WAV_SAMPLES, (doc_id % 7) * 9000
+    j_star, delta = doc_id % 2, (doc_id % 7) * 9000
     return [
         ((_gate_hash60(f"{seed}:au:{j}") + (delta if j == j_star else 0))
          % 65536) - 32768
@@ -953,13 +960,13 @@ def gate_sketch_sql(
     if modality == "image":
         n, tag, mod_base = GATE_IMG_H * GATE_IMG_W, "px", 256
         perturb = (
-            f"CASE WHEN {id_col} % 72 = {{k}} "
+            f"CASE WHEN ({id_col} % 8) * {GATE_IMG_W} = {{k}} "
             f"THEN (1 + {id_col} % 5) * 40 ELSE 0 END"
         )
     elif modality == "audio":
         n, tag, mod_base = GATE_WAV_SAMPLES, "au", 65536
         perturb = (
-            f"CASE WHEN {id_col} % 130 = {{k}} "
+            f"CASE WHEN {id_col} % 2 = {{k}} "
             f"THEN ({id_col} % 7) * 9000 ELSE 0 END"
         )
     else:

@@ -100,11 +100,11 @@ def main() -> None:
                 .select("doc_id", F.col(col).alias("simhash"))
             )
             cands = simhash_candidate_pairs(
-                sk, "doc_id", max_hamming=4, bits=64).count()
+                sk, "doc_id", max_hamming=3, bits=64).count()
             t, n = _timed(
                 lambda: pairs_fn(
                     gate_media_synth(docs, "doc_id", synth_mod),
-                    "doc_id", max_hamming=4,
+                    "doc_id", max_hamming=3,
                 ).count()
             )
             rows[op].update({
