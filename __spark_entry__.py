@@ -1821,7 +1821,7 @@ def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         _conditional_buckets,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events", spread=True).select(
         F.get_json_object("props", "$.k").alias("k"),
         F.get_json_object("props", "$.m").alias("m"),
     )
@@ -3127,7 +3127,7 @@ def q_substr_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         substring_span_clusters,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return substring_span_clusters(docs, "doc_id", "text", k=8).orderBy(
         "doc_id", "span_start"
     )
@@ -5607,7 +5607,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_classify,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     return knn_classify(emb, k=5, test_pct=10)
 
 
@@ -7422,7 +7422,9 @@ def q_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         hubness_report,
     )
 
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    emb = _t(spark, sf_dir, "embeddings", spread=True).where(
+        F.col("vec_id") % 5 == 0
+    )
     return hubness_report(emb, "vec_id", "embedding", k=5)
 
 
@@ -9126,7 +9128,7 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         countmin_topk,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     toks = docs.where(F.col("text").isNotNull()).select(
         F.explode(split_tokens("text")).alias("item")
     )
@@ -9337,7 +9339,9 @@ def q_geoip_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_pipeline,
     )
 
-    ev = _t(spark, sf_dir, "events").withColumn("ip", F.expr(_IP_EXPR))
+    ev = _t(spark, sf_dir, "events", spread=True).withColumn(
+        "ip", F.expr(_IP_EXPR)
+    )
     ranges = spark.createDataFrame(
         _GEOIP_RANGES, "start_ip STRING, end_ip STRING, country STRING, city STRING"
     )
@@ -10775,7 +10779,7 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_ngrams,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return distinct_ngrams(docs, "text", "source", n=2)
 
 
@@ -11053,7 +11057,7 @@ def q_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the no-training predictability/diversity number."""
     from harmonize_search_analyze_spark.operators.text import entropy_rate
 
-    return entropy_rate(_t(spark, sf_dir, "documents"), "text")
+    return entropy_rate(_t(spark, sf_dir, "documents", spread=True), "text")
 
 
 def _sql_entropy_rate(dialect: str = "duckdb") -> str:

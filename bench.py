@@ -88,6 +88,24 @@ def _loadavg_now() -> float:
         return 0.0
 
 
+def _cpu_ref_sec() -> float:
+    """Fixed single-core reference spin (~0.5 s on a healthy host).
+
+    Round-10 optimization pass: two same-code bench runs on this host
+    differed by a uniform ~19% (224 s vs 319 s totals) with loadavg gates
+    green — a hypervisor/host slowness window that nothing in the artifact
+    could prove. Stamping the same fixed workload's wall time at run start
+    and end turns "the numbers look uniformly inflated" into a recorded,
+    comparable host-speed measurement (the r8/r9 drift-stamp discipline,
+    extended from load to speed)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    assert x >= 0
+    return round(time.perf_counter() - t0, 3)
+
+
 def _await_quiet_host() -> tuple[float, float]:
     """Refuse to measure on a hot host: sleep-and-recheck until the
     1-min loadavg is <= 4 and no orphaned SparkSubmit JVM survives, up
@@ -120,6 +138,7 @@ def _await_quiet_host() -> tuple[float, float]:
 
 def main() -> None:
     loadavg_start, waited_sec = _await_quiet_host()
+    cpu_ref_start = _cpu_ref_sec()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -253,6 +272,8 @@ def main() -> None:
         "loadavg_max": round(loadavg_max, 2),
         "respread_queries": sorted(respread),
         "quiet_wait_sec": waited_sec,
+        "cpu_ref_start_sec": cpu_ref_start,
+        "cpu_ref_end_sec": _cpu_ref_sec(),
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCHLOCAL.json"

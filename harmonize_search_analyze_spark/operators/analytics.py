@@ -3200,6 +3200,12 @@ def markov_stationary(
     v = states.select(
         "__s", (F.lit(1.0) / F.lit(float(n_states))).alias("__v")
     ).localCheckpoint()
+    # round-10 optimization note: dropping the per-iteration checkpoint
+    # (v is referenced once per level, so lineage is linear, not the
+    # pagerank replay trap) was tried and MEASURED SLOWER at sf0.1
+    # (2.9 s -> 3.7-4.5 s): the depth-12 lazy plan pays more in Catalyst
+    # analysis + un-reused tiny broadcast builds than the 12 checkpoint
+    # round-trips cost. Kept as-is.
     for _ in range(iters):
         v = (
             p.join(v, "__s")

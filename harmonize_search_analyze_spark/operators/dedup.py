@@ -89,11 +89,20 @@ def shingles_sql(expr: str, dialect: str, n: int = 3) -> str:
 
 
 def jaccard_sql(a: str, b: str, dialect: str) -> str:
-    """Exact Jaccard similarity of two DISTINCT-element lists — same
-    filter-based formula on both engines (list_intersect/array_intersect
-    dedup behavior differs subtly, so we avoid them)."""
+    """Exact Jaccard similarity of two DISTINCT-element lists.
+
+    Spark side: ``array_intersect`` — a hash-set build over one side, so a
+    pair costs O(|a|+|b|) instead of the O(|a|*|b|) of the previous
+    ``filter(a, x -> array_contains(b, x))`` scan (measured 43 s of
+    executor CPU on jaccard_brute's 125k pairs at sf0.1, guide §1.2 "per
+    task work"). On DISTINCT inputs (every caller passes shingle SETS,
+    see :func:`shingles_sql`) intersect-with-dedup and the filter scan
+    return identical element sets, so the value is unchanged. DuckDB
+    side stays filter-based (list_intersect dedup behavior differs
+    subtly; the oracle is not performance-critical and an unchanged
+    oracle is the equivalence proof for this rewrite)."""
     if dialect == "spark":
-        inter = f"size(filter({a}, x -> array_contains({b}, x)))"
+        inter = f"size(array_intersect({a}, {b}))"
         na, nb = f"size({a})", f"size({b})"
     else:
         inter = f"len(list_filter({a}, x -> list_contains({b}, x)))"
@@ -1628,10 +1637,12 @@ ORDER BY id1, id2
 def containment_sql(a: str, b: str, dialect: str) -> str:
     """Containment of shingle set ``a`` in ``b``: |a INTERSECT b| / |a| —
     the asymmetric near-dup signal (a short quote scores ~1.0 against
-    its source while their Jaccard is tiny). Same filter-based formula
-    discipline as :func:`jaccard_sql`."""
+    its source while their Jaccard is tiny). Same formula discipline as
+    :func:`jaccard_sql`, including the hash-based ``array_intersect``
+    on the Spark side (distinct inputs make it value-identical to the
+    filter scan; see jaccard_sql's docstring for the measured cost)."""
     if dialect == "spark":
-        inter = f"size(filter({a}, x -> array_contains({b}, x)))"
+        inter = f"size(array_intersect({a}, {b}))"
         na = f"size({a})"
     elif dialect == "duckdb":
         inter = f"len(list_filter({a}, x -> list_contains({b}, x)))"

@@ -50,6 +50,11 @@ def graph_explore(
     doc_count the distinct documents containing both. Ordered
     (doc_count DESC, source ASC, target ASC), top ``conn_size``."""
     seed = seed_term.lower()
+    # NOTE (round-10 optimization pass): persisting tok across its four
+    # consumers was tried and MEASURED SLOWER at sf0.1 (1.9 s -> 2.6-3.0 s)
+    # — a cached subplan compiles without AQE coalescing, so each consumer
+    # pays fixed 32-partition scans that cost more than the re-tokenize.
+    # The module docstring's 100 TB guidance (persist at scale) stands.
     tok = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__doc"),
         F.explode(F.array_distinct(split_tokens(text_col))).alias("term"),
@@ -316,6 +321,10 @@ def triangle_count(
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # NOTE (round-10 optimization pass): persisting oriented across its
+    # three readers was tried and measured FLAT at sf0.1 — ReuseExchange
+    # already dedupes the identical degree-join subtrees, and a cached
+    # subplan loses AQE coalescing (see graph_explore note). Left lazy.
     oriented = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
@@ -565,10 +574,19 @@ def hits_scores(
     a = nodes.select("node", F.lit(1.0).alias("score"))
     h = None
     for _ in range(iters):
+        # checkpoint the RAW aggregate, not the normalized frame: the
+        # norm broadcast and the normalized select both read it, and
+        # without the materialization each reader replays the edges
+        # join (2x the per-iteration join work — round-10 optimization
+        # pass; no CSE across the crossJoin branches). The normalized
+        # frame itself stays lazy: deriving it from the checkpointed
+        # raw frame is a cached-scan + 1-row broadcast, cheap for both
+        # of its consumers.
         h_raw = (
             e.join(a, e.__t == a.node)
             .groupBy("__s")
             .agg(F.sum(F.col("__w") * F.col("score")).alias("hs"))
+            .localCheckpoint()
         )
         hn = F.broadcast(
             h_raw.agg(
@@ -577,11 +595,12 @@ def hits_scores(
         )
         h = h_raw.crossJoin(hn).select(
             "__s", (F.col("hs") / F.col("__n")).alias("hs")
-        ).localCheckpoint()
+        )
         a_raw = (
             e.join(h, "__s")
             .groupBy("__t")
             .agg(F.sum(F.col("__w") * F.col("hs")).alias("as_"))
+            .localCheckpoint()
         )
         an = F.broadcast(
             a_raw.agg(
@@ -591,7 +610,7 @@ def hits_scores(
         a = a_raw.crossJoin(an).select(
             F.col("__t").alias("node"),
             (F.col("as_") / F.col("__n")).alias("score"),
-        ).localCheckpoint()
+        )
     out = (
         nodes.join(h, nodes.node == h.__s, "left")
         .join(a, "node", "left")

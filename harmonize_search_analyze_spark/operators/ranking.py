@@ -747,6 +747,13 @@ def phrase_suggest(
         )
     spark = df.sparkSession
     toks = tokens_sql(field, "spark")
+    # NOTE (round-10 optimization pass): persisting vocab/bigrams here was
+    # tried and MEASURED SLOWER at sf0.1 (2.3 s -> 3.1-4.0 s): a cached
+    # subplan compiles without AQE partition coalescing
+    # (canChangeCachedPlanOutputPartitioning=false, and =true measured
+    # 4-5x slower still), so every consumer pays 32-partition scans that
+    # outweigh the saved re-tokenization. At 100 TB the persist becomes
+    # right again — vocabulary-sized frames, corpus-sized re-scans.
     vocab = (
         df.select(F.explode(F.expr(toks)).alias("term"))
         .groupBy("term")

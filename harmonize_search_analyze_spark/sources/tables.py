@@ -24,6 +24,31 @@ SPREAD_THRESHOLD_BYTES = int(
     os.environ.get("SPARK_GRAFT_SPREAD_BYTES", 256 * 1024 * 1024)
 )
 
+# Schema (metadata) cache: (resolved path, mtime_ns, size) -> (StructType,
+# nanos-flag needed). A bare ``spark.read.parquet(path)`` re-lists the
+# input and re-reads parquet footers on EVERY call — measured 70-107 ms per
+# table reference at sf0.1 vs ~11 ms with an explicit schema, i.e. tens of
+# seconds across a 382-query bench, and at 100 TB the driver-side listing/
+# footer pass is exactly what table formats exist to avoid (optimization
+# guide §6: manifest metadata beats re-listing). This caches ONLY schema
+# metadata, never data or results; the mtime/size key invalidates it the
+# moment a file is rewritten.
+_SCHEMA_CACHE: dict[tuple[str, int, int], tuple["T.StructType", bool]] = {}
+
+
+def _path_stamp(path: str) -> tuple[str, int, int] | None:
+    """Cache key for a parquet file or directory of part files."""
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            mt = max([st.st_mtime_ns] + [os.stat(p).st_mtime_ns for p in parts])
+            sz = sum(os.stat(p).st_size for p in parts)
+            return (path, mt, sz)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
@@ -46,14 +71,35 @@ def load_table(
     compute genuinely dominates (the brute-force pair operators repartition
     internally for exactly that reason).
     """
+    if os.environ.get("SPARK_GRAFT_SPREAD_DEFAULT") == "1":
+        # measurement rig only (the per-query spread A/B): force the
+        # spread path on every load so a full bench run can identify the
+        # queries whose per-row work beats the repartition cost
+        spread = True
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        df = spark.read.parquet(path)
-        # force schema resolution now so the fallback below can trigger
-        _ = df.schema
-    except Exception:
-        spark.conf.set(_NANOS_FLAG, "true")
-        df = spark.read.parquet(path)
+    stamp = _path_stamp(path)
+    if os.environ.get("SPARK_GRAFT_NO_SCHEMA_CACHE") == "1":
+        stamp = None  # measurement kill-switch for A/B runs
+    cached = _SCHEMA_CACHE.get(stamp) if stamp is not None else None
+    if cached is not None:
+        schema, needs_nanos = cached
+        if needs_nanos:
+            # the flag also governs scan EXECUTION (the vectorized reader
+            # rejects TIMESTAMP(NANOS) without it), not just inference
+            spark.conf.set(_NANOS_FLAG, "true")
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        needs_nanos = False
+        try:
+            df = spark.read.parquet(path)
+            # force schema resolution now so the fallback below can trigger
+            _ = df.schema
+        except Exception:
+            spark.conf.set(_NANOS_FLAG, "true")
+            needs_nanos = True
+            df = spark.read.parquet(path)
+        if stamp is not None:
+            _SCHEMA_CACHE[stamp] = (df.schema, needs_nanos)
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
