@@ -671,34 +671,40 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("b"),
-                    F.col("cluster_id").alias("blabel"),
-                ),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("blabel").alias("nlabel"))
-        )
-        # the changed flag rides the propagation select, so convergence
-        # detection is an existence probe on the checkpointed rows — not a
-        # second join against the previous labels
+        # ONE exchange per iteration (round-10 optimization pass): the
+        # old shape was nbr = edges-join-labels -> groupBy(a) MIN (first
+        # exchange) -> labels LEFT JOIN nbr (second exchange/broadcast).
+        # Instead, union the node's own label row with its propagated
+        # neighbor-label rows and take both MIN(label) and the old label
+        # in a single id-keyed aggregation — min(old, min(nbrs)) is the
+        # identical propagation step, and every node keeps exactly one
+        # __old row so MIN(CASE WHEN __old ...) recovers its previous
+        # label for the convergence flag. Same fixpoint, same labels
+        # (min-reachable-id is algorithm-independent), ~2 fewer stages
+        # per iteration across the 5 CC-backed declared queries.
+        prop = edges.join(
+            labels.select(
+                F.col("id").alias("b"),
+                F.col("cluster_id").alias("lbl"),
+            ),
+            "b",
+        ).select(F.col("a").alias("id"), "lbl", F.lit(False).alias("__old"))
         new = (
-            labels.join(
-                nbr.select(F.col("a").alias("id"), "nlabel"), "id", "left"
+            labels.select(
+                "id",
+                F.col("cluster_id").alias("lbl"),
+                F.lit(True).alias("__old"),
+            )
+            .unionByName(prop)
+            .groupBy("id")
+            .agg(
+                F.min("lbl").alias("cluster_id"),
+                F.min(F.when(F.col("__old"), F.col("lbl"))).alias("__prev"),
             )
             .select(
                 "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nlabel"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                (
-                    F.coalesce(F.col("nlabel"), F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).alias("__changed"),
+                "cluster_id",
+                (F.col("cluster_id") < F.col("__prev")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
