@@ -36,6 +36,7 @@ from harmonize_search_analyze_spark.operators.profiler import (
 from harmonize_search_analyze_spark.plans.compiler import compile_query
 from harmonize_search_analyze_spark.sources.catalog import Catalog
 from harmonize_search_analyze_spark.sources.tables import load_table as _t
+from harmonize_search_analyze_spark.sources.tables import local_frame as _lf
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -3658,7 +3659,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, left, right, left + right, int(totals["corpus_bpe_tokens"]))
         for i, (left, right) in enumerate(merges)
     ]
-    return spark.createDataFrame(
+    return _lf(
+        spark,
         rows,
         "merge_idx INT, left STRING, right STRING, merged STRING, "
         "corpus_bpe_tokens BIGINT",
@@ -4916,9 +4918,7 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmonize_search_analyze_spark.operators.ranking import rank_eval
 
     docs = _t(spark, sf_dir, "documents")
-    langs = spark.createDataFrame(
-        [("en",), ("fr",), ("zh",)], ["query_id"]
-    )
+    langs = _lf(spark, [("en",), ("fr",), ("zh",)], ["query_id"])
     top10 = (
         docs.select("doc_id", "n_chars")
         .orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -7863,8 +7863,8 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (i, piece, lp, total) for i, (piece, lp) in enumerate(model)
     ]
-    return spark.createDataFrame(
-        rows, "rank int, piece string, logprob double, corpus_pieces long"
+    return _lf(
+        spark, rows, "rank int, piece string, logprob double, corpus_pieces long"
     )
 
 
@@ -9342,8 +9342,9 @@ def q_geoip_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events", spread=True).withColumn(
         "ip", F.expr(_IP_EXPR)
     )
-    ranges = spark.createDataFrame(
-        _GEOIP_RANGES, "start_ip STRING, end_ip STRING, country STRING, city STRING"
+    ranges = _lf(
+        spark, _GEOIP_RANGES,
+        "start_ip STRING, end_ip STRING, country STRING, city STRING",
     )
     out = run_pipeline(ev, [{"geoip": {"field": "ip", "ranges": ranges}}])
     return (

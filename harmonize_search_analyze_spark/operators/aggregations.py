@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.functions.caching import tether_shared
+from harmonize_search_analyze_spark.sources.tables import local_frame
 from harmonize_search_analyze_spark.functions.datemath import (
     is_date_math,
     parse_date_math,
@@ -130,8 +131,8 @@ def terms(
         out = out.where(F.col("doc_count") >= min_doc_count)
     elif min_doc_count == 0:
         spark_ = df.sparkSession
-        grid = spark_.createDataFrame(
-            [(v,) for v in include], f"{field} string"
+        grid = local_frame(
+            spark_, [(v,) for v in include], f"{field} string"
         )
         out = grid.join(out, field, "left").select(
             field, F.coalesce("doc_count", F.lit(0)).alias("doc_count")

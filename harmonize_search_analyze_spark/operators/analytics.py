@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from harmonize_search_analyze_spark.sources.tables import local_frame
+
 
 def funnel(
     df: DataFrame,
@@ -94,8 +96,8 @@ def funnel(
         )
         for i, (name, _) in enumerate(steps)
     ]
-    return spark.createDataFrame(
-        rows, "step_idx INT, step STRING, users BIGINT, conversion_pct DOUBLE"
+    return local_frame(
+        spark, rows, "step_idx INT, step STRING, users BIGINT, conversion_pct DOUBLE"
     )
 
 

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from harmonize_search_analyze_spark.sources.tables import local_frame
+
 DICT_SCHEMA_COLUMNS = [
     "dict_field", "dict_count", "dict_countdistinct", "dict_countmissing",
     "dict_mean", "dict_stddev", "dict_min", "dict_max",
@@ -161,7 +163,7 @@ def build_data_dict(
         T.StructField("dict_varmapping", T.StringType()),
         T.StructField("dict_vartype", T.StringType()),
     ])
-    return df.sparkSession.createDataFrame(rows, out_schema)
+    return local_frame(df.sparkSession, rows, out_schema)
 
 
 def guess_vartypes(
@@ -191,7 +193,8 @@ def guess_vartypes(
         df.agg(*aggs).crossJoin(dist_src.agg(*dist_aggs)).collect()[0].asDict()
     )
     rows = [(c, _guess_vartype_from_stats(stats, c)) for c in cols]
-    return df.sparkSession.createDataFrame(
+    return local_frame(
+        df.sparkSession,
         rows,
         T.StructType([
             T.StructField("dict_field", T.StringType()),

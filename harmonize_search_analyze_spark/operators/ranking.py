@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.operators.text import tokens_sql
+from harmonize_search_analyze_spark.sources.tables import local_frame
 
 K1 = 1.2
 B = 0.75
@@ -614,7 +615,7 @@ def term_suggest(
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .where(F.col("freq") >= min_freq)
     )
-    qdf = spark.createDataFrame([(t,) for t in dict.fromkeys(qtokens)], ["token"])
+    qdf = local_frame(spark, [(t,) for t in dict.fromkeys(qtokens)], ["token"])
     cands = _suggest_candidates(vocab, qdf, prefix_len, max_edits).select(
         "token",
         F.col("term").alias("suggestion"),
@@ -773,8 +774,8 @@ def phrase_suggest(
         .groupBy("bg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("bfreq"))
     )
-    qdf = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(qtokens)], ["pos", "token"]
+    qdf = local_frame(
+        spark, [(i, t) for i, t in enumerate(qtokens)], ["pos", "token"]
     )
     w = Window.partitionBy("pos").orderBy(
         F.asc("distance"), F.desc("freq"), F.asc("cand")
@@ -794,7 +795,7 @@ def phrase_suggest(
         cands.where(F.col("pos") == i)
         .select(F.col("cand").alias(f"w{i}"))
         .union(
-            spark.createDataFrame([(qtokens[i],)], [f"w{i}"])
+            local_frame(spark, [(qtokens[i],)], [f"w{i}"])
         )
         .distinct()
         for i in range(len(qtokens))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.functions.caching import tether
+from harmonize_search_analyze_spark.sources.tables import local_frame
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -2528,8 +2529,8 @@ def mmr_rerank(
         chosen.append((len(chosen) + 1, best_id, best_score))
         chosen_vecs.append(r["__v"])
     rows = [(rank, rid, round(s, 6)) for rank, rid, s in chosen]
-    return df.sparkSession.createDataFrame(
-        rows, f"rank INT, {id_col} BIGINT, score DOUBLE"
+    return local_frame(
+        df.sparkSession, rows, f"rank INT, {id_col} BIGINT, score DOUBLE"
     )
 
 
@@ -3457,8 +3458,8 @@ def kcenter_select(
         if not nxt:
             break
         picked.append((rank, nxt[0][0], round(float(nxt[0]["mind"]), 6)))
-    return spark.createDataFrame(
-        picked, f"rank INT, {id_col} LONG, d2 DOUBLE"
+    return local_frame(
+        spark, picked, f"rank INT, {id_col} LONG, d2 DOUBLE"
     )
 
 

@@ -38,6 +38,8 @@ from __future__ import annotations
 import re
 from typing import Any
 
+from harmonize_search_analyze_spark.sources.tables import local_frame
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -283,15 +285,15 @@ def run_es_sql(catalog, sql: str) -> DataFrame:
     docstring for the supported surface."""
     spark = catalog.spark
     if _SHOW_TABLES_RE.match(sql):
-        return spark.createDataFrame(
-            [(n,) for n in catalog.names()], "name STRING"
+        return local_frame(
+            spark, [(n,) for n in catalog.names()], "name STRING"
         )
     m = _DESCRIBE_RE.match(sql)
     if m:
         pattern = m.group(1).strip("`")
         df = catalog.resolve(pattern)
         rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
-        return spark.createDataFrame(rows, "column STRING, type STRING")
+        return local_frame(spark, rows, "column STRING, type STRING")
     if re.search(r"\bSCORE\s*\(", sql, re.IGNORECASE):
         raise ESSQLError(
             "SCORE() is not available in filter-context SQL; use "

@@ -127,3 +127,121 @@ def load_table(
         if nbytes is not None and nbytes < SPREAD_THRESHOLD_BYTES:
             df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+# -- driver-assembled small frames -------------------------------------------
+
+# ``spark.createDataFrame(rows, schema)`` on a plain Python list always takes
+# the pickled-RDD path: the rows are parallelized into defaultParallelism
+# slices and scanned back through a Python-worker stage — measured ~0.27-0.36s
+# to materialize an 11-row frame at local[32] (~155 ms/task scheduling floor x
+# 32 near-empty tasks). A parameterized ``VALUES`` statement builds the same
+# rows as a pure-JVM LocalRelation instead: ~0.10-0.14s per materialization,
+# no Python workers, no RDD scan (optimization guide §4 — eliminate the
+# JVM<->Python boundary; §1.2 — fixed per-query costs). Named parameters
+# (:pN) carry the values, so string escaping is the literal binder's job,
+# and every cell is CAST to the declared type in the SQL text, pinning the
+# column wire types exactly as an explicit StructType does. Parse cost grows
+# with the parameter count and crosses over with the RDD path around ~300
+# parameters (measured), hence the _MAX_PARAMS fallback.
+_LOCAL_FRAME_MAX_PARAMS = 256
+
+_LOCAL_FRAME_SAFE_TYPES: tuple[type, ...] = ()  # populated below
+
+
+def _local_frame_infer(rows: list, names: list[str]) -> "T.StructType | None":
+    """Infer a StructType for a name-list schema the way createDataFrame
+    would (int->LONG, float->DOUBLE, str->STRING, bool->BOOLEAN); None when
+    any column's non-null cells disagree or use types outside that set."""
+    import datetime
+
+    py2spark = {
+        str: T.StringType(), bool: T.BooleanType(), int: T.LongType(),
+        float: T.DoubleType(), bytes: T.BinaryType(),
+        datetime.datetime: T.TimestampType(), datetime.date: T.DateType(),
+    }
+    fields = []
+    for i, nm in enumerate(names):
+        seen = {type(r[i]) for r in rows if r[i] is not None}
+        # bool is an int subclass in Python but a distinct Spark type; a
+        # mixed column would change inference — bail to createDataFrame
+        if len(seen) != 1:
+            return None
+        t = seen.pop()
+        if t not in py2spark:
+            return None
+        fields.append(T.StructField(nm, py2spark[t]))
+    return T.StructType(fields)
+
+
+def local_frame(
+    spark: SparkSession, rows, schema
+) -> DataFrame:
+    """Drop-in for ``spark.createDataFrame(rows, schema)`` for SMALL
+    driver-assembled frames (stats rows, query-token frames, centroid-free
+    metadata): builds a JVM ``LocalRelation`` via a parameterized VALUES
+    statement when possible, falling back to ``createDataFrame`` whenever
+    the input is empty, large, or uses cell types the literal binder does
+    not cover (lists/dicts/Rows). Values and column wire types are
+    identical either way — the fallback IS the reference implementation.
+
+    Column NULLABILITY may differ from createDataFrame's all-nullable
+    default (a VALUES column with no NULL cell infers non-nullable).
+    Nullability is not part of any result surface here: collected values,
+    ``dtypes`` strings, and the DuckDB parity gate (names + type families
+    + values) are all nullability-blind, and the 382-query oracle mirror
+    stays green across the swap.
+    """
+    import datetime
+    import decimal
+
+    if isinstance(schema, str):
+        schema_t = T.StructType.fromDDL(schema)
+    elif isinstance(schema, T.StructType):
+        schema_t = schema
+    elif isinstance(schema, (list, tuple)) and rows:
+        schema_t = _local_frame_infer(list(rows), list(schema))
+    else:
+        schema_t = None
+
+    rows = list(rows)
+    if (
+        schema_t is None
+        or not rows
+        or len(rows) * len(schema_t.fields) > _LOCAL_FRAME_MAX_PARAMS
+    ):
+        return spark.createDataFrame(rows, schema)
+
+    safe = (str, bool, int, float, bytes, datetime.datetime, datetime.date,
+            decimal.Decimal)
+    atomic = (T.StringType, T.BooleanType, T.ByteType, T.ShortType,
+              T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+              T.DecimalType, T.BinaryType, T.TimestampType, T.DateType)
+    if not all(isinstance(f.dataType, atomic) for f in schema_t.fields):
+        return spark.createDataFrame(rows, schema)
+    for r in rows:
+        if len(r) != len(schema_t.fields) or not all(
+            v is None or isinstance(v, safe) for v in r
+        ):
+            return spark.createDataFrame(rows, schema)
+
+    fields = schema_t.fields
+    n = len(fields)
+    ddl = [f.dataType.simpleString() for f in fields]
+    parts = []
+    args: dict[str, object] = {}
+    for r_i, row in enumerate(rows):
+        base = r_i * n
+        parts.append("(" + ",".join(
+            f"CAST(:p{base + i} AS {ddl[i]})" for i in range(n)
+        ) + ")")
+        for i in range(n):
+            args[f"p{base + i}"] = row[i]
+    out = spark.sql("VALUES " + ",".join(parts), args=args).toDF(
+        *[f.name for f in fields]
+    )
+    if [(f.name, f.dataType) for f in out.schema.fields] != [
+        (f.name, f.dataType) for f in fields
+    ]:  # pragma: no cover - type pin must never drift silently
+        return spark.createDataFrame(rows, schema)
+    return out
