@@ -3202,19 +3202,23 @@ def markov_stationary(
     v = states.select(
         "__s", (F.lit(1.0) / F.lit(float(n_states))).alias("__v")
     ).localCheckpoint()
-    # round-10 optimization note: dropping the per-iteration checkpoint
+    # round-10 optimization notes: dropping the checkpoints ENTIRELY
     # (v is referenced once per level, so lineage is linear, not the
     # pagerank replay trap) was tried and MEASURED SLOWER at sf0.1
     # (2.9 s -> 3.7-4.5 s): the depth-12 lazy plan pays more in Catalyst
-    # analysis + un-reused tiny broadcast builds than the 12 checkpoint
-    # round-trips cost. Kept as-is.
-    for _ in range(iters):
+    # analysis + un-reused tiny broadcast builds than 12 checkpoint
+    # round-trips cost. Checkpointing every SECOND step (depth-2 plans)
+    # keeps analysis flat while halving the materialization jobs:
+    # 3.15 s -> 2.74 s warm, output hash identical (the unrolled pair
+    # executes the same join+agg dataflow; cadence 3 measured no better).
+    for i in range(iters):
         v = (
             p.join(v, "__s")
             .groupBy(F.col("__t").alias("__s"))
             .agg(F.sum(F.col("__v") * F.col("__p")).alias("__v"))
-            .localCheckpoint()
         )
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            v = v.localCheckpoint()
     out = (
         v.join(outs, v["__s"] == outs["__from"], "left")
         .select(

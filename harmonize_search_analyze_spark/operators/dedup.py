@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.functions.caching import tether, transfer
@@ -645,8 +645,12 @@ def connected_components(
     min of its label and its neighbors' labels (one join + one hash agg on
     the SYMMETRIZED edge list), converging in O(component diameter)
     iterations — near-dup components are short chains in practice. The
-    per-iteration driver action is ONE scalar (changed-count), the same
-    justified-collect shape as kmeans_train; all real work is distributed.
+    per-iteration driver action is ONE scalar (changed-count) read from an
+    ``observe()`` metric collected DURING the checkpoint's own
+    materialization job (round-10: the old separate ``limit(1).count()``
+    job cost one extra job submission + planning gap per iteration,
+    measured ~0.3-0.5 s per CC-backed query at sf0.1); all real work is
+    distributed.
     Each iteration's labels are eagerly ``localCheckpoint``-ed: unlike
     ``persist`` (which caches data but keeps the logical plan), the
     checkpoint TRUNCATES lineage — without it every iteration's plan embeds
@@ -670,7 +674,7 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # ONE exchange per iteration (round-10 optimization pass): the
         # old shape was nbr = edges-join-labels -> groupBy(a) MIN (first
         # exchange) -> labels LEFT JOIN nbr (second exchange/broadcast).
@@ -682,6 +686,10 @@ def connected_components(
         # label for the convergence flag. Same fixpoint, same labels
         # (min-reachable-id is algorithm-independent), ~2 fewer stages
         # per iteration across the 5 CC-backed declared queries.
+        # The convergence scalar rides the checkpoint job itself as an
+        # observe() metric — CollectMetrics reports when the eager
+        # materialization runs, so no second action per iteration.
+        obs = Observation(f"__cc_changed_{id(pairs)}_{it}")
         prop = edges.join(
             labels.select(
                 F.col("id").alias("b"),
@@ -706,10 +714,14 @@ def connected_components(
                 "cluster_id",
                 (F.col("cluster_id") < F.col("__prev")).alias("__changed"),
             )
+            .observe(
+                obs, F.sum(F.col("__changed").cast("long")).alias("n")
+            )
+            .drop("__changed")
             .localCheckpoint(eager=True)
         )
-        changed = new.where(F.col("__changed")).limit(1).count()
-        labels = new.drop("__changed")
+        changed = obs.get["n"]
+        labels = new
         if changed == 0:
             break
     else:
@@ -1215,13 +1227,22 @@ def pair_metrics(
 
     Scale shape: pair frames are the (bounded) OUTPUTS of dedup
     operators, so the normalize + distinct + one equi-join cost tracks
-    pair volume, never the corpus.
+    pair volume, never the corpus. Each side is consumed TWICE (its
+    count + the tp join) and Catalyst does not CSE across crossJoin
+    branches, so without materialization the whole upstream pair
+    pipeline (LSH banding / brute verify — the expensive part) executes
+    twice per side: localCheckpoint pins the normalized pair frames
+    once (round-10; dedup_eval profile-session wall 4.0 s -> 2.3 s at
+    sf0.1, the duplicated 13.1 s/11.3 s agg-build subtrees collapse to
+    one execution each in the SQL tab).
+    Unlike ``persist``, a checkpoint keeps AQE partition coalescing for
+    consumers (the cached-subplan trap documented in phrase_suggest).
     """
     def norm(df: DataFrame) -> DataFrame:
         return df.select(
             F.least(F.col(id1), F.col(id2)).alias("__a"),
             F.greatest(F.col(id1), F.col(id2)).alias("__b"),
-        ).distinct()
+        ).distinct().localCheckpoint(eager=False)
 
     c, t = norm(candidates), norm(truth)
     tp = c.join(t, ["__a", "__b"])

