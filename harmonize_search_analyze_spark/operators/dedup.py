@@ -662,9 +662,26 @@ def connected_components(
     Returns (id, cluster_id) for every id appearing in a pair; singletons
     never enter the graph — callers left-join and coalesce to the id.
     """
-    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    # Symmetrize via ONE explode instead of union(e, e.swapped): a union
+    # consumes the pairs frame twice and Catalyst does not CSE across
+    # union branches, so the entire upstream pair pipeline (LSH banding +
+    # verify — the expensive part) executed TWICE inside the edges
+    # materialization (SQL-tab: duplicated 17.7 s/5.4 s agg-build
+    # subtrees in dedup_clusters, round-10). Same rows, one pass.
     edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id1).alias("a"), F.col(id2).alias("b")
+                    ),
+                    F.struct(
+                        F.col(id2).alias("a"), F.col(id1).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .localCheckpoint(eager=True)
     )

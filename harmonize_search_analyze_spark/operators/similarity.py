@@ -1810,17 +1810,17 @@ def semantic_dedup(
         .where(F.col("rn") == 1)
         .select(F.col("bucket").alias("centroid_id"), "cvec")
     )
-    assignments = assign_centroids(
-        df, centroids, vec_col=vec_col, id_col=id_col
-    ).select(id_col, "centroid_id")
+    # keep_vec carries the double-cast vector through the assignment
+    # stage, so the per-cluster block join below needs NO join-back and
+    # the corpus is scanned ONCE (round-10: the old shape joined a
+    # second df scan onto (id, centroid_id) — one extra scan + one
+    # id-keyed exchange per run; dvec is byte-identical either way).
     import numpy as np
     import pandas as pd
 
-    vecs = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("dvec"),
-    )
-    clustered = vecs.join(assignments, id_col)
+    clustered = assign_centroids(
+        df, centroids, vec_col=vec_col, id_col=id_col, keep_vec=True
+    ).select(id_col, "dvec", "centroid_id")
 
     # per-cluster cosine block as ONE numpy matmul per group (the
     # engine's measured fold->matmul win, embedding_near_dup_pairs:
