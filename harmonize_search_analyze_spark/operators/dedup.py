@@ -737,7 +737,10 @@ def connected_components(
             .drop("__changed")
             .localCheckpoint(eager=True)
         )
-        changed = obs.get["n"]
+        # SUM over an empty labels frame observes NULL, not 0 — an
+        # empty pair graph must terminate on the first iteration, not
+        # spin to max_iters and raise (review find, round 10)
+        changed = obs.get["n"] or 0
         labels = new
         if changed == 0:
             break

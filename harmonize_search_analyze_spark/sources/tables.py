@@ -146,8 +146,6 @@ def load_table(
 # parameters (measured), hence the _MAX_PARAMS fallback.
 _LOCAL_FRAME_MAX_PARAMS = 256
 
-_LOCAL_FRAME_SAFE_TYPES: tuple[type, ...] = ()  # populated below
-
 
 def _local_frame_infer(rows: list, names: list[str]) -> "T.StructType | None":
     """Infer a StructType for a name-list schema the way createDataFrame
@@ -195,16 +193,25 @@ def local_frame(
     import datetime
     import decimal
 
+    rows = list(rows)  # materialize FIRST: generators must survive both
+    # the inference pass and the fallback (review find, round 10)
+
     if isinstance(schema, str):
-        schema_t = T.StructType.fromDDL(schema)
+        try:
+            schema_t = T.StructType.fromDDL(schema)
+        except Exception:
+            schema_t = None  # not DDL createDataFrame can't also judge
+        if not isinstance(schema_t, T.StructType):
+            # bare atomic DDL ("long") parses to a non-struct DataType;
+            # createDataFrame accepts it, the VALUES path cannot
+            schema_t = None
     elif isinstance(schema, T.StructType):
         schema_t = schema
     elif isinstance(schema, (list, tuple)) and rows:
-        schema_t = _local_frame_infer(list(rows), list(schema))
+        schema_t = _local_frame_infer(rows, list(schema))
     else:
         schema_t = None
 
-    rows = list(rows)
     if (
         schema_t is None
         or not rows
@@ -212,16 +219,30 @@ def local_frame(
     ):
         return spark.createDataFrame(rows, schema)
 
-    safe = (str, bool, int, float, bytes, datetime.datetime, datetime.date,
-            decimal.Decimal)
-    atomic = (T.StringType, T.BooleanType, T.ByteType, T.ShortType,
-              T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
-              T.DecimalType, T.BinaryType, T.TimestampType, T.DateType)
-    if not all(isinstance(f.dataType, atomic) for f in schema_t.fields):
-        return spark.createDataFrame(rows, schema)
+    # Exact python-type-per-field allowlist. STRICTER than
+    # createDataFrame's verifier on purpose: a mismatched cell (e.g. a
+    # stringified number into BIGINT, or bool into an integral column —
+    # bool is an int subclass, hence type() not isinstance) falls back
+    # to createDataFrame, which preserves the reference behavior
+    # LOUDLY instead of letting CAST coerce it silently (review find,
+    # round 10). Strictness only ever costs the fast path, never
+    # changes a value.
+    py_ok = {
+        T.StringType: (str,), T.BooleanType: (bool,),
+        T.ByteType: (int,), T.ShortType: (int,), T.IntegerType: (int,),
+        T.LongType: (int,), T.FloatType: (float,), T.DoubleType: (float,),
+        T.DecimalType: (decimal.Decimal,), T.BinaryType: (bytes,),
+        T.TimestampType: (datetime.datetime,), T.DateType: (datetime.date,),
+    }
+    allowed = []
+    for f in schema_t.fields:
+        ok = py_ok.get(type(f.dataType))
+        if ok is None:
+            return spark.createDataFrame(rows, schema)
+        allowed.append(ok)
     for r in rows:
         if len(r) != len(schema_t.fields) or not all(
-            v is None or isinstance(v, safe) for v in r
+            v is None or type(v) in allowed[i] for i, v in enumerate(r)
         ):
             return spark.createDataFrame(rows, schema)
 

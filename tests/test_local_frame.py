@@ -91,6 +91,51 @@ def test_fallback_on_param_overflow(spark):
     assert "LocalRelation" not in plan
 
 
+def test_generator_rows_materialize_once(spark):
+    df = local_frame(spark, ((i, f"s{i}") for i in range(3)), ["i", "s"])
+    assert sorted(map(tuple, df.collect())) == [(0, "s0"), (1, "s1"), (2, "s2")]
+
+
+def test_bare_atomic_ddl_falls_back(spark):
+    a = local_frame(spark, [1, 2], "long")
+    b = spark.createDataFrame([1, 2], "long")
+    assert a.dtypes == b.dtypes
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_type_mismatch_not_silently_coerced(spark):
+    # createDataFrame rejects a stringified number into BIGINT; the
+    # drop-in must surface the SAME error, not CAST-coerce it
+    import pytest
+    from pyspark.errors import PySparkTypeError
+
+    with pytest.raises(PySparkTypeError):
+        spark.createDataFrame([("5",)], "n BIGINT")
+    with pytest.raises(PySparkTypeError):
+        local_frame(spark, [("5",)], "n BIGINT")
+
+
+def test_bool_not_coerced_into_bigint(spark):
+    import pytest
+    from pyspark.errors import PySparkTypeError
+
+    with pytest.raises(PySparkTypeError):
+        spark.createDataFrame([(True,)], "n BIGINT")
+    with pytest.raises(PySparkTypeError):
+        local_frame(spark, [(True,)], "n BIGINT")
+
+
+def test_empty_pairs_connected_components(spark):
+    # regression: observe() SUM over an empty frame is NULL; the CC loop
+    # must terminate immediately, not spin to max_iters and raise
+    from harmonize_search_analyze_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    assert connected_components(empty).collect() == []
+
+
 def test_name_list_mixed_column_falls_back(spark):
     # int + float in one column: the inference bails to createDataFrame,
     # which itself rejects the merge — the drop-in surfaces the SAME error
