@@ -11076,10 +11076,17 @@ def q_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from harmonize_search_analyze_spark.operators.analytics import (
         confusion_eval,
     )
-    from harmonize_search_analyze_spark.operators.text import lang_id_sql
+    from harmonize_search_analyze_spark.operators.text import with_lang_id
 
     docs = _t(spark, sf_dir, "documents")
-    return confusion_eval(docs, "lang", lang_id_sql("text", "spark"))
+    # staged lang-ID (round 11): tokenize + score ONCE per row instead of
+    # re-deriving the token array inside every CASE reference (~40x) —
+    # same scores, same argmax tie order, identical values (with_lang_id
+    # docstring); the DuckDB oracle keeps the inlined lang_id_sql text.
+    staged = with_lang_id(
+        docs.select("lang", "text"), "text", "__pred"
+    )
+    return confusion_eval(staged, "lang", "__pred")
 
 
 def _sql_confusion_eval(dialect: str = "duckdb") -> str:

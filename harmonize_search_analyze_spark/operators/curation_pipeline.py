@@ -132,6 +132,26 @@ def run_corpus_pipeline(
         if len(stage) != 1:
             raise ValueError("each stage must be a single {kind: config}")
         (kind, cfg), = stage.items()
+        if kind == "lang_filter":
+            # Same predicate the SQL fragment declares — (lang_id) IN
+            # keep, lang_id never NULL — but computed via the STAGED
+            # projection (text.with_lang_id): the inlined fragment
+            # re-derives the token array inside every CASE reference
+            # (~40 interpreted HOF evaluations per row; round-11
+            # optimization pass, guide §1.2). Values identical; the
+            # DuckDB oracle keeps the shared fragment.
+            from harmonize_search_analyze_spark.operators.text import (
+                with_lang_id,
+            )
+
+            keep = cfg["keep"]
+            if not keep:
+                raise ValueError("lang_filter.keep must be non-empty")
+            out = with_lang_id(out, text_col, "__lang_pred_staged")
+            out = out.where(
+                F.col("__lang_pred_staged").isin(list(keep))
+            ).drop("__lang_pred_staged")
+            continue
         pred = _stage_predicate(kind, cfg, text_col, "spark", id_col)
         if pred is not None:
             out = out.where(F.expr(pred))

@@ -159,8 +159,8 @@ def pagerank(
         if weight_col
         else F.lit(1.0)
     )
-    # edges are loop-invariant but referenced 2x per unrolled iteration
-    # (contrib join + outw) — without truncating lineage Catalyst would
+    # edges are loop-invariant but referenced every unrolled iteration
+    # (contrib join) — without truncating lineage Catalyst would
     # replay the whole edge-derivation subtree (often an expensive
     # co-occurrence self-join) every time. localCheckpoint materializes
     # it once; measured 19.3s -> ~4s at sf0.1 on the co-occurrence gate.
@@ -169,34 +169,55 @@ def pagerank(
         F.col(dst_col).alias("__t"),
         w.alias("__w"),
     ).localCheckpoint()
-    nodes = (
-        e.select(F.col("__s").alias("node"))
-        .union(e.select(F.col("__t").alias("node")))
-        .distinct()
+    # ONE pass + ONE shuffle builds the loop-invariant node frame WITH
+    # each node's out-weight baked in (round-11 optimization pass; the
+    # old shape was nodes = union+distinct, outw = a second groupBy, and
+    # a per-iteration outw JOIN + a per-iteration LEFT ANTI join for the
+    # dangling mass — three shuffles and two per-iteration joins that
+    # need not exist, guide §2.4/§3). Src endpoints carry their edge
+    # weight, dst endpoints a NULL: SUM() ignores NULLs, so a node with
+    # no out-edges gets __ow NULL — exactly the old left-anti dangling
+    # set, now a plain filter on the rank frame.
+    base = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__s").alias("node"), F.col("__w").alias("__wc")
+                    ),
+                    F.struct(
+                        F.col("__t").alias("node"),
+                        F.lit(None).cast("double").alias("__wc"),
+                    ),
+                )
+            ).alias("__x")
+        )
+        .select("__x.node", "__x.__wc")
+        .groupBy("node")
+        .agg(F.sum("__wc").alias("__ow"))
+        .localCheckpoint()
     )
-    nodes = nodes.localCheckpoint()
-    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
-    outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow")).localCheckpoint()
-    r = nodes.crossJoin(nn).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    nn = F.broadcast(base.agg(F.count(F.lit(1)).alias("__n")))
+    r = base.crossJoin(nn).select(
+        "node", "__ow", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             e.join(r, e.__s == r.node)
-            .join(outw, "__s")
             .groupBy("__t")
             .agg(F.sum(F.col("rank") * F.col("__w") / F.col("__ow")).alias("__c"))
         )
         dangling = F.broadcast(
-            r.join(outw, r.node == outw.__s, "left_anti")
+            r.where(F.col("__ow").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
         r = (
-            nodes.crossJoin(nn)
+            base.crossJoin(nn)
             .crossJoin(dangling)
-            .join(contrib, nodes.node == contrib.__t, "left")
+            .join(contrib, base.node == contrib.__t, "left")
             .select(
                 "node",
+                "__ow",
                 (
                     (1.0 - damping) / F.col("__n")
                     + damping
@@ -207,9 +228,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # rank frames are node-sized; truncating their lineage keeps
-        # iteration i's plan flat instead of nesting i-1's joins
-        r = r.localCheckpoint()
+        # rank frames are node-sized; truncating their lineage keeps the
+        # unrolled plan flat. Cadence 2 (checkpoint every 2nd iteration +
+        # the last) halves the materialization jobs — the depth-2 lazy
+        # plan costs less than a checkpoint round-trip, the same measured
+        # trade as markov_stationary's cadence (round 10).
+        if i % 2 == 1 or i == iters - 1:
+            r = r.localCheckpoint()
     return r.select("node", F.round("rank", 6).alias("rank")).orderBy(
         F.desc("rank"), F.asc("node")
     )
@@ -451,6 +476,9 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    from pyspark.sql import Observation
+
+    obs0 = Observation("__kcore_n0")
     e = (
         edges.where(F.col(src_col) != F.col(dst_col))
         .select(
@@ -458,24 +486,41 @@ def k_core(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
         )
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    for _ in range(iters):
+    # Early exit at the peeling FIXPOINT (round-11, the CC observe()
+    # pattern): the edge set shrinks monotonically, so an iteration that
+    # drops zero edges proves every surviving degree is already >= k and
+    # ALL remaining iterations are the identity — the result is exactly
+    # the iters-times-peeled subgraph the contract pins, without paying
+    # degree-agg + two joins + a checkpoint per no-op level. The edge
+    # count rides each checkpoint's own materialization job as an
+    # observe() metric (no extra action).
+    prev_n = obs0.get["n"] or 0
+    for it in range(iters):
+        if prev_n == 0:
+            break
         deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
+            e.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= k)
         )
         nu = deg.select(F.col("node").alias("u"))
         nv = deg.select(F.col("node").alias("v"))
+        obs = Observation(f"__kcore_{id(edges)}_{it}")
         e = (
             e.join(nu, "u")
             .join(nv, "v")
             .select("u", "v")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
+        n = obs.get["n"] or 0
+        if n == prev_n:
+            break
+        prev_n = n
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -582,11 +627,17 @@ def hits_scores(
         # frame itself stays lazy: deriving it from the checkpointed
         # raw frame is a cached-scan + 1-row broadcast, cheap for both
         # of its consumers.
+        # Round-11: the checkpoints are LAZY — the Catalyst plan still
+        # truncates at each LogicalRDD (so analysis stays flat, unlike
+        # the measured-worse no-checkpoint form) and each raw frame is
+        # still persisted ONCE at first compute, but materialization
+        # rides the consumers' own jobs instead of one eager action per
+        # half-iteration (2*iters fewer job submissions per call).
         h_raw = (
             e.join(a, e.__t == a.node)
             .groupBy("__s")
             .agg(F.sum(F.col("__w") * F.col("score")).alias("hs"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         hn = F.broadcast(
             h_raw.agg(
@@ -600,7 +651,7 @@ def hits_scores(
             e.join(h, "__s")
             .groupBy("__t")
             .agg(F.sum(F.col("__w") * F.col("hs")).alias("as_"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         an = F.broadcast(
             a_raw.agg(

@@ -3443,11 +3443,16 @@ def kcenter_select(
             "aggregate(zip_with(dvec, cvec, (a, b) -> (a - b) * (a - b)),"
             " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
+        # LAZY checkpoint (round-11): the round's TakeOrdered collect
+        # below is the action that materializes it, so each round costs
+        # ONE job instead of two (eager checkpoint + collect). Lineage
+        # still truncates at materialization, so round r never replays
+        # rounds 1..r-1 — the reason the checkpoint exists.
         state = (
             state.crossJoin(F.broadcast(center))
             .withColumn("mind", F.least(F.col("mind"), d2))
             .drop("cvec")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         nxt = (
             state.where(~F.col(id_col).isin([p[1] for p in picked]))

@@ -199,19 +199,151 @@ def fingerprint(col: str, ngram: int = 8) -> Column:
     return F.expr(fingerprint_sql(col, "spark", ngram))
 
 
+def _lang_case_sql(score_exprs: dict[str, str]) -> str:
+    """The lang_id argmax CASE over per-language score EXPRESSIONS —
+    shared by the inlined :func:`lang_id_sql` and the staged
+    :func:`with_lang_id`, so the tie order ('en' wins, fixed
+    LANG_MARKERS order, 0 hits -> 'unknown') is pinned in ONE place."""
+    langs = list(score_exprs)
+    best = f"GREATEST({', '.join(score_exprs[lang] for lang in langs)})"
+    case = "CASE WHEN " + best + " = 0 THEN 'unknown' "
+    for lang in langs:
+        case += f"WHEN {score_exprs[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"({case})"
+
+
+def with_lang_id(
+    df: DataFrame,
+    text_col: str,
+    out_col: str,
+    *,
+    toks_col: str | None = None,
+) -> DataFrame:
+    """PLAN-STAGED lang_id: identical values to ``lang_id()`` /
+    ``lang_id_sql()`` (same score expressions, same argmax CASE order,
+    same NULL propagation) with the tokenization and the five marker
+    counts each computed ONCE per row in layered projections.
+
+    Why (guide §1.2 per-task work): the inlined CASE re-derives
+    ``tokens_sql`` inside every score reference — ~40 evaluations of
+    split+filter per row — and higher-order functions are
+    interpreted-only (no codegen), so codegen subexpression elimination
+    never dedupes them. CollapseProject keeps multi-referenced non-cheap
+    aliases staged, so the layering survives optimization. Measured on
+    confusion_eval (round 11): the lang-ID scan drops ~2x.
+
+    ``toks_col`` names an ALREADY-STAGED token-array column to reuse
+    (analyze_documents stages one for all its consumers); otherwise one
+    is staged here and dropped on the way out.
+    """
+    drop_toks = toks_col is None
+    if toks_col is None:
+        toks_col = "__lang_toks"
+        df = df.withColumn(
+            toks_col, F.expr(tokens_sql(text_col, "spark"))
+        )
+    score_names = {}
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        name = f"__lang_s_{lang}"
+        score_names[lang] = name
+        scored = scored.withColumn(
+            name, F.expr(f"size(filter({toks_col}, t -> t IN ({lst})))")
+        )
+    out = scored.withColumn(out_col, F.expr(_lang_case_sql(score_names)))
+    out = out.drop(*score_names.values())
+    if drop_toks:
+        out = out.drop(toks_col)
+    return out
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis column set to a documents frame."""
-    comp = quality_components_sql(text_col, "spark")
-    return (
-        df.withColumn("n_tokens", F.expr(comp["n_tokens"]))
-        .withColumn("mean_token_len", F.expr(comp["mean_token_len"]))
-        .withColumn("stopword_ratio", F.expr(comp["stopword_ratio"]))
-        .withColumn("alnum_ratio", F.expr(comp["alnum_ratio"]))
-        .withColumn("bpe_ish_tokens", bpe_ish_token_count(text_col))
-        .withColumn("quality", quality_score(text_col))
-        .withColumn("lang_pred", lang_id(text_col))
-        .withColumn("fingerprint", fingerprint(text_col))
+    """Attach the full text-analysis column set to a documents frame.
+
+    Round-11 plan staging (guide §1.2): every output used to re-derive
+    the token array inside its own expression (the component set plus
+    quality plus lang-ID totals ~50 tokenizations per row), and the
+    fingerprint built its char-grams with the whitespace-normalization
+    INSIDE the per-position lambda — O(len^2) regexp work per document
+    (the exact trap winnow_fingerprints documents). The token array, the
+    raw ratio signals, and the fingerprint normalization are now staged
+    columns computed ONCE per row; every output is the SAME expression
+    over the staged values (identical floats — same arithmetic, same
+    NULL propagation), so results are bit-identical and the DuckDB
+    oracle text is untouched."""
+    toks = "__ad_toks"
+    norm = "__ad_fpnorm"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    staged = df.withColumn(
+        toks, F.expr(tokens_sql(text_col, "spark"))
+    ).withColumn(
+        norm,
+        F.expr(f"regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ')"),
     )
+    # raw (unrounded) signals, staged once — quality combines the raw
+    # values, the component outputs round them (same contract as
+    # quality_components_sql vs quality_score_sql)
+    n_tokens = f"size({toks})"
+    staged = (
+        staged.withColumn(
+            "__ad_mtl",
+            F.expr(
+                f"(CAST(aggregate({toks}, 0L, (acc, t) -> acc + length(t))"
+                f" AS DOUBLE) / NULLIF({n_tokens}, 0))"
+            ),
+        )
+        .withColumn(
+            "__ad_sr",
+            F.expr(
+                f"(CAST(size(filter({toks}, t -> t IN ({stop_list})))"
+                f" AS DOUBLE) / NULLIF({n_tokens}, 0))"
+            ),
+        )
+        .withColumn(
+            "__ad_ar",
+            F.expr(
+                f"(CAST(length(regexp_replace({text_col}, '[^a-zA-Z0-9]', "
+                f"'')) AS DOUBLE) / NULLIF(length({text_col}), 0))"
+            ),
+        )
+    )
+    len_score = f"LEAST(CAST({n_tokens} AS DOUBLE) / 50.0, 1.0)"
+    h = hash64_sql("g", "spark")
+    out = (
+        staged.withColumn("n_tokens", F.expr(f"CAST({n_tokens} AS BIGINT)"))
+        .withColumn("mean_token_len", F.expr("ROUND(__ad_mtl, 6)"))
+        .withColumn("stopword_ratio", F.expr("ROUND(__ad_sr, 6)"))
+        .withColumn("alnum_ratio", F.expr("ROUND(__ad_ar, 6)"))
+        .withColumn(
+            "bpe_ish_tokens",
+            F.expr(
+                f"(COALESCE(aggregate({toks}, 0L, (acc, t) -> acc +"
+                " CAST(ceil(length(t) / 4.0) AS BIGINT)), 0) +"
+                f" size(regexp_extract_all({text_col},"
+                " '[^a-zA-Z0-9\\\\s]+', 0)))"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "quality",
+            F.expr(
+                f"ROUND(0.4 * {len_score} + 0.3 *"
+                " (1.0 - ABS(COALESCE(__ad_sr, 0) - 0.1)) +"
+                " 0.3 * COALESCE(__ad_ar, 0), 6)"
+            ),
+        )
+    )
+    out = with_lang_id(out, text_col, "lang_pred", toks_col=toks)
+    out = out.withColumn(
+        "fingerprint",
+        F.expr(
+            f"array_min(transform(transform(sequence(1,"
+            f" greatest(length({norm}) - 7, 1)),"
+            f" i -> substring({norm}, i, 8)), g -> {h}))"
+        ),
+    )
+    return out.drop(toks, norm, "__ad_mtl", "__ad_sr", "__ad_ar")
 
 
 def significant_text_sql(

@@ -10,7 +10,7 @@ and per-job wall durations, so optimization targets the measured stage, not a
 guess (guide §1.1: empirical loop).
 
 Usage: python scripts/profile_queries.py [--top=N] [names...]
-Writes scripts/profile_r10.json.
+Writes scripts/profile_r11.json.
 """
 
 from __future__ import annotations
@@ -171,7 +171,7 @@ def main() -> None:
               f"{trials[-1]['n_jobs']})", file=sys.stderr)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "profile_r10.json")
+                        "profile_r11.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"# wrote {path}", file=sys.stderr)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 words = st.lists(
@@ -205,6 +207,7 @@ def test_line_dedup_conservation(spark, docs):
     ),
     n_corpus=st.integers(0, 40),
 )
+@pytest.mark.slow  # >10s sweep: slow tier (driver pytest budget, r11)
 def test_bloom_dedup_always_equals_anti_join(spark, keys, n_corpus):
     """For ANY key universe and corpus/batch split, bloom_dedup returns
     exactly the anti-join — false positives verified away, no false

@@ -948,6 +948,7 @@ def test_hits_scores_rejects_zero_iters(spark):
         hits_scores_sql("SELECT 1", "spark", iters=0)
 
 
+@pytest.mark.slow  # >10s sweep: slow tier (driver pytest budget, r11)
 def test_hits_scores_sql_twin_both_dialects(spark):
     from harmonize_search_analyze_spark.operators.graph import (
         hits_scores,

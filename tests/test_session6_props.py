@@ -14,6 +14,8 @@
 from __future__ import annotations
 
 import math
+
+import pytest
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -127,6 +129,7 @@ def test_viterbi_concatenation_and_optimality(pieces):
           suppress_health_check=list(HealthCheck))
 @given(st.lists(st.tuples(st.integers(0, 5), st.booleans()),
                 min_size=1, max_size=30))
+@pytest.mark.slow  # >10s sweep: slow tier (driver pytest budget, r11)
 def test_pr_curve_monotonicity(spark, rows):
     from harmonize_search_analyze_spark.operators.analytics import pr_curve
 

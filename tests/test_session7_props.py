@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -40,6 +42,7 @@ def _jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
+@pytest.mark.slow  # >10s sweep: slow tier (driver pytest budget, r11)
 @settings(**_SETTINGS)
 @given(_docs, st.sampled_from([0.34, 0.5, 0.67, 0.8, 0.9]))
 def test_set_similarity_join_equals_brute(spark, token_lists, threshold):
@@ -72,6 +75,7 @@ _edges = st.lists(
 )
 
 
+@pytest.mark.slow  # >10s sweep: slow tier (driver pytest budget, r11)
 @settings(**_SETTINGS)
 @given(_edges)
 def test_triangle_count_equals_brute(spark, raw_edges):
@@ -115,6 +119,7 @@ _snap_rows = st.lists(
 )
 
 
+@pytest.mark.slow  # >10s sweep: slow tier (driver pytest budget, r11)
 @settings(**_SETTINGS)
 @given(_dim_rows, _snap_rows, st.booleans())
 def test_scd2_merge_invariants(spark, dim_rows, snap_rows, close_missing):
@@ -176,6 +181,7 @@ def test_scd2_merge_invariants(spark, dim_rows, snap_rows, close_missing):
              min_size=1, max_size=30),
     st.integers(8, 64),
 )
+@pytest.mark.slow  # >10s sweep: slow tier (driver pytest budget, r11)
 def test_kmv_overlap_laws(spark, values, k):
     from harmonize_search_analyze_spark.operators.aggregations import (
         kmv_overlap,

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -228,6 +230,7 @@ def _mw_ref(a, b):
     st.lists(st.integers(0, 8), min_size=2, max_size=15),
     st.lists(st.integers(0, 8), min_size=2, max_size=15),
 )
+@pytest.mark.slow  # >10s sweep: slow tier (driver pytest budget, r11)
 def test_mann_whitney_matches_reference(spark, a, b):
     from harmonize_search_analyze_spark.operators.analytics import (
         mann_whitney,
