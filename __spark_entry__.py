@@ -2709,6 +2709,8 @@ def q_similarity_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity_join_ivf,
     )
 
+    # spread=True tried round 11 and measured WORSE (A/B 1.16 -> 1.55 s,
+    # see graph_explore note)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2882,6 +2884,8 @@ def q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         variable_width_histogram,
     )
 
+    # spread=True tried round 11 and measured WORSE (A/B 1.06 -> 1.42 s,
+    # see graph_explore note)
     o = _t(spark, sf_dir, "orders")
     return variable_width_histogram(o, "o_totalprice", buckets=4)
 
@@ -7386,6 +7390,9 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 1-in-5 deterministic sample: exact mining is the DECLARED recall
     # oracle (O(|S|x|T|)); method="ivf" is the unsampled scale path
+    # spread=True tried round 11 and measured WORSE (A/B 1.07 -> 2.29 s:
+    # the four ~0.5 s 1-task k-NN stages overlap each other; spreading
+    # serializes them behind a full-width exchange)
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
     return bitext_mine(
         emb.where(F.col("label") % 2 == 0),
@@ -8140,6 +8147,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_corpus_pipeline,
     )
 
+    # spread=True tried round 11 and measured WORSE (A/B 1.43 -> 1.82 s
+    # with the line_dedup checkpoint in both arms — the overlap/exchange
+    # trade, see graph_explore note)
     docs = _t(spark, sf_dir, "documents")
     return (
         run_corpus_pipeline(docs, _CURATION_STAGES)
@@ -9157,6 +9167,10 @@ def q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph_explore,
     )
 
+    # spread=True tried round 11 and measured WORSE (A/B 1.6 -> 2.2 s):
+    # the 1-task tokenize stages overlap with concurrent AQE jobs, and
+    # the full-width round-robin exchange + 32-task stages cost more
+    # than the parallelism buys at sf0.1
     docs = _t(spark, sf_dir, "documents")
     return graph_explore(
         docs, "text", "spark", size=5, conn_size=20, min_doc_count=2
@@ -11147,6 +11161,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         spearman_corr,
     )
 
+    # spread=True tried round 11 and measured WORSE (A/B 2.44 -> 3.73 s:
+    # the four 3-task per-value agg stages already run concurrently;
+    # spreading adds a full-width exchange and serializes them)
     return spearman_corr(
         _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
     )

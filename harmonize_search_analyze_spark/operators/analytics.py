@@ -3198,10 +3198,13 @@ def markov_stationary(
         )
         .persist()
     )
-    n_states = states.count()
-    v = states.select(
-        "__s", (F.lit(1.0) / F.lit(float(n_states))).alias("__v")
-    ).localCheckpoint()
+    # 1/n as a 1-row broadcast instead of a driver count() action
+    # (round 11): lit(1.0)/BIGINT column is the same IEEE division the
+    # collected-literal form produced; one fewer job per call
+    nn = F.broadcast(states.agg(F.count(F.lit(1)).alias("__n")))
+    v = states.crossJoin(nn).select(
+        "__s", (F.lit(1.0) / F.col("__n")).alias("__v")
+    ).localCheckpoint(eager=False)
     # round-10 optimization notes: dropping the checkpoints ENTIRELY
     # (v is referenced once per level, so lineage is linear, not the
     # pagerank replay trap) was tried and MEASURED SLOWER at sf0.1
@@ -3211,6 +3214,11 @@ def markov_stationary(
     # keeps analysis flat while halving the materialization jobs:
     # 3.15 s -> 2.74 s warm, output hash identical (the unrolled pair
     # executes the same join+agg dataflow; cadence 3 measured no better).
+    # Round-11: the cadence-2 checkpoints are LAZY — each still compiles
+    # its own depth-2 plan (Catalyst analysis stays flat; the LogicalRDD
+    # truncates lineage exactly as the eager form did) but the
+    # materialization rides the final action instead of one eager job
+    # per pair of levels (~6 fewer job submissions + driver gaps).
     for i in range(iters):
         v = (
             p.join(v, "__s")
@@ -3218,7 +3226,7 @@ def markov_stationary(
             .agg(F.sum(F.col("__v") * F.col("__p")).alias("__v"))
         )
         if (i + 1) % 2 == 0 or i == iters - 1:
-            v = v.localCheckpoint()
+            v = v.localCheckpoint(eager=False)
     out = (
         v.join(outs, v["__s"] == outs["__from"], "left")
         .select(

@@ -173,6 +173,13 @@ def run_corpus_pipeline(
                 line_dedup,
             )
 
+            # `out` feeds BOTH the line-dedup derivation and the join's
+            # left side; without materialization the whole upstream
+            # filter/redact chain executes twice (profiled: two
+            # duplicate 1.26 s single-task stages at sf0.1 — no CSE
+            # across join branches, round 11). localCheckpoint (not
+            # persist) keeps AQE coalescing for the consumers.
+            out = out.localCheckpoint(eager=False)
             ld = line_dedup(
                 out.select(id_col, text_col),
                 id_col,

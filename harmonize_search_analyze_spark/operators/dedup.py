@@ -628,6 +628,11 @@ def simhash_near_dup_pairs_banded(
 # -- cluster resolution -------------------------------------------------------
 
 
+# propagation steps fused per eager checkpoint in connected_components
+# (A/B-measured knob, round 11)
+_CC_CADENCE = 2
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -691,31 +696,30 @@ def connected_components(
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for it in range(max_iters):
-        # ONE exchange per iteration (round-10 optimization pass): the
-        # old shape was nbr = edges-join-labels -> groupBy(a) MIN (first
-        # exchange) -> labels LEFT JOIN nbr (second exchange/broadcast).
-        # Instead, union the node's own label row with its propagated
-        # neighbor-label rows and take both MIN(label) and the old label
-        # in a single id-keyed aggregation — min(old, min(nbrs)) is the
-        # identical propagation step, and every node keeps exactly one
-        # __old row so MIN(CASE WHEN __old ...) recovers its previous
-        # label for the convergence flag. Same fixpoint, same labels
-        # (min-reachable-id is algorithm-independent), ~2 fewer stages
-        # per iteration across the 5 CC-backed declared queries.
-        # The convergence scalar rides the checkpoint job itself as an
-        # observe() metric — CollectMetrics reports when the eager
-        # materialization runs, so no second action per iteration.
-        obs = Observation(f"__cc_changed_{id(pairs)}_{it}")
+    def _step(lbls: DataFrame, obs: "Observation | None") -> DataFrame:
+        # ONE exchange per propagation step (round-10 optimization pass):
+        # the old shape was nbr = edges-join-labels -> groupBy(a) MIN
+        # (first exchange) -> labels LEFT JOIN nbr (second exchange/
+        # broadcast). Instead, union the node's own label row with its
+        # propagated neighbor-label rows and take both MIN(label) and
+        # the old label in a single id-keyed aggregation —
+        # min(old, min(nbrs)) is the identical propagation step, and
+        # every node keeps exactly one __old row so MIN(CASE WHEN __old
+        # ...) recovers its previous label for the convergence flag.
+        # Same fixpoint, same labels (min-reachable-id is
+        # algorithm-independent). The convergence scalar rides the
+        # checkpoint job itself as an observe() metric — CollectMetrics
+        # reports when the eager materialization runs, so no second
+        # action per super-step.
         prop = edges.join(
-            labels.select(
+            lbls.select(
                 F.col("id").alias("b"),
                 F.col("cluster_id").alias("lbl"),
             ),
             "b",
         ).select(F.col("a").alias("id"), "lbl", F.lit(False).alias("__old"))
         new = (
-            labels.select(
+            lbls.select(
                 "id",
                 F.col("cluster_id").alias("lbl"),
                 F.lit(True).alias("__old"),
@@ -726,7 +730,11 @@ def connected_components(
                 F.min("lbl").alias("cluster_id"),
                 F.min(F.when(F.col("__old"), F.col("lbl"))).alias("__prev"),
             )
-            .select(
+        )
+        if obs is None:
+            return new.select("id", "cluster_id")
+        return (
+            new.select(
                 "id",
                 "cluster_id",
                 (F.col("cluster_id") < F.col("__prev")).alias("__changed"),
@@ -737,14 +745,35 @@ def connected_components(
             .drop("__changed")
             .localCheckpoint(eager=True)
         )
+
+    # Checkpoint CADENCE 2 (round 11, the markov/pagerank trade): run TWO
+    # propagation steps per eager materialization and observe the second.
+    # A depth-2 plan costs less than a checkpoint round-trip, and the
+    # extra no-op step a cadence-2 probe may execute at the fixpoint is
+    # the identity (min(old, min(nbrs)) = old), so the returned labels —
+    # and the raise-iff-not-converged-within-max_iters contract — are
+    # unchanged: the super-step ends align on even steps plus a final
+    # single step when max_iters is odd, so every convergence point the
+    # old per-step loop could observe within max_iters is still observed
+    # at or before the same step count.
+    steps_done = 0
+    converged = False
+    while steps_done < max_iters:
+        span = min(_CC_CADENCE, max_iters - steps_done)
+        obs = Observation(f"__cc_changed_{id(pairs)}_{steps_done}")
+        lbls = labels
+        for s in range(span):
+            lbls = _step(lbls, obs if s == span - 1 else None)
+        steps_done += span
         # SUM over an empty labels frame observes NULL, not 0 — an
-        # empty pair graph must terminate on the first iteration, not
+        # empty pair graph must terminate on the first super-step, not
         # spin to max_iters and raise (review find, round 10)
         changed = obs.get["n"] or 0
-        labels = new
+        labels = lbls
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
             "iterations (component diameter exceeds max_iters?)"

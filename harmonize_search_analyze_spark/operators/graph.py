@@ -168,7 +168,7 @@ def pagerank(
         F.col(src_col).alias("__s"),
         F.col(dst_col).alias("__t"),
         w.alias("__w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # ONE pass + ONE shuffle builds the loop-invariant node frame WITH
     # each node's out-weight baked in (round-11 optimization pass; the
     # old shape was nodes = union+distinct, outw = a second groupBy, and
@@ -195,7 +195,7 @@ def pagerank(
         .select("__x.node", "__x.__wc")
         .groupBy("node")
         .agg(F.sum("__wc").alias("__ow"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nn = F.broadcast(base.agg(F.count(F.lit(1)).alias("__n")))
     r = base.crossJoin(nn).select(
@@ -233,8 +233,11 @@ def pagerank(
         # the last) halves the materialization jobs — the depth-2 lazy
         # plan costs less than a checkpoint round-trip, the same measured
         # trade as markov_stationary's cadence (round 10).
+        # Lazy (round 11): each checkpoint still compiles a flat plan and
+        # truncates lineage, but materialization rides the final action's
+        # own job DAG instead of one eager job per cadence step.
         if i % 2 == 1 or i == iters - 1:
-            r = r.localCheckpoint()
+            r = r.localCheckpoint(eager=False)
     return r.select("node", F.round("rank", 6).alias("rank")).orderBy(
         F.desc("rank"), F.asc("node")
     )

@@ -754,10 +754,23 @@ def _with_bucket(
         bounds = boundaries
     else:
         k, bounds = _bucket_boundaries(df, name, asc, n)
-    pid = F.lit(0)
-    for b in bounds:
-        passed = (k > F.lit(b)) if asc else (k < F.lit(b))
-        pid = pid + F.when(passed, 1).otherwise(0)
+    # bucket id = number of boundaries passed, as ONE higher-order count
+    # over a literal array instead of the old chain of n-1 nested
+    # CaseWhen adds (round-11, guide §1 "measure first"): the when-chain
+    # made the bucket expression a ~31-node-deep tree embedded in EVERY
+    # branch that references the bucket (local window partition spec,
+    # offsets agg, join key) — profiled 0.7-1.3 s of pure driver
+    # planning gap per rank-battery query at sf0.1. Same value: the
+    # lambda is FALSE for NULL keys (filter drops non-true rows), which
+    # matches when(NULL > b) -> otherwise(0). The array is metadata
+    # (n-1 boundary literals), so per-row runtime is unchanged.
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(
+            F.filter(arr, (lambda b: k > b) if asc else (lambda b: k < b))
+        )
+    else:
+        pid = F.lit(0)
     if not asc and bounds:
         # desc order sorts NULLs last; null comparisons above yield
         # bucket 0 (the TOP of a desc order), so pin them explicitly

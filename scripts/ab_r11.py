@@ -146,6 +146,52 @@ EXPERIMENTS = {
 }
 
 
+
+def exp_spread(spark, trials):
+    """A/B the q-level spread=True adoption: variant 'nospread' wraps
+    entrymod._t to ignore spread kwargs; 'spread' is current code."""
+    orig_t = entrymod._t
+
+    def t_nospread(spark_, sf_dir, name, **kw):
+        kw.pop("spread", None)
+        return orig_t(spark_, sf_dir, name, **kw)
+
+    for q in sys.argv[3:]:
+        run(
+            spark,
+            q,
+            {
+                "spread": lambda: setattr(entrymod, "_t", orig_t),
+                "nospread": lambda: setattr(entrymod, "_t", t_nospread),
+            },
+            trials,
+        )
+    entrymod._t = orig_t
+
+
+EXPERIMENTS["spread"] = exp_spread
+
+
+def exp_cc(spark, trials):
+    """A/B connected_components checkpoint cadence (1 = round-10 shape)."""
+    import harmonize_search_analyze_spark.operators.dedup as dd
+
+    for q in sys.argv[3:]:
+        run(
+            spark,
+            q,
+            {
+                "cadence2": lambda: setattr(dd, "_CC_CADENCE", 2),
+                "cadence1": lambda: setattr(dd, "_CC_CADENCE", 1),
+            },
+            trials,
+        )
+    dd._CC_CADENCE = 2
+
+
+EXPERIMENTS["cc"] = exp_cc
+
+
 def main():
     exp = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 4
