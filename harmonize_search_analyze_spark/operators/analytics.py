@@ -1813,48 +1813,69 @@ def mutual_info(
         .agg(F.count(F.lit(1)).alias("__c"))
         .persist()
     )
-    n = pairs.agg(F.sum("__c").alias("__n"))
-    ma = pairs.groupBy("__a").agg(F.sum("__c").alias("__ca"))
-    mb = pairs.groupBy("__b").agg(F.sum("__c").alias("__cb"))
-    ln2 = 0.6931471805599453
-    joint = (
-        pairs.join(F.broadcast(ma), "__a")
-        .join(F.broadcast(mb), "__b")
-        .crossJoin(F.broadcast(n))
+    # Round-11 (the ipf_weights r10 pattern — margin joins -> window
+    # aggregates, guide §2.1/§3): the old shape ran SEVEN broadcast-agg
+    # subtrees over the persisted pair frame (n, ma, mb, mi, ha, hb +
+    # the final crossJoin chain) — profiled 30 jobs / 20 s of
+    # mostly-blocked task runtime for a ~30-row pair frame. Marginals
+    # are now window sums partitioned by each axis; the entropies
+    # charge each axis group ONCE via a row_number()=1 gate inside the
+    # SAME final aggregation as the MI sum. The pair frame is
+    # category-product-sized, so the window partitions stay metadata at
+    # any corpus size (the ipf_weights scale argument). Float sums
+    # reorder only within the same round-6 oracle surface the old
+    # hash-agg order already had.
+    n = F.broadcast(pairs.agg(F.sum("__c").alias("__n")))
+    wa, wb = Window.partitionBy("__a"), Window.partitionBy("__b")
+    annotated = (
+        pairs.withColumn("__ca", F.sum("__c").over(wa))
+        .withColumn(
+            "__rna", F.row_number().over(wa.orderBy("__b"))
+        )
+        .withColumn("__cb", F.sum("__c").over(wb))
+        .withColumn(
+            "__rnb", F.row_number().over(wb.orderBy("__a"))
+        )
+        .crossJoin(n)
     )
-    mi = joint.agg(
+    ln2 = 0.6931471805599453
+    agg = annotated.agg(
+        F.max("__n").alias("__n"),
         F.sum(
             (F.col("__c") / F.col("__n"))
             * F.log(
                 (F.col("__c") * F.col("__n")).cast("double")
                 / (F.col("__ca") * F.col("__cb"))
             )
-        ).alias("__mi_nats")
-    )
-    ent = lambda m, c: m.crossJoin(F.broadcast(n)).agg(  # noqa: E731
+        ).alias("__mi_nats"),
         (-F.sum(
-            (F.col(c) / F.col("__n"))
-            * F.log(F.col(c) / F.col("__n"))
-        )).alias(f"__h{c}")
+            F.when(
+                F.col("__rna") == 1,
+                (F.col("__ca") / F.col("__n"))
+                * F.log(F.col("__ca") / F.col("__n")),
+            )
+        )).alias("__ha"),
+        (-F.sum(
+            F.when(
+                F.col("__rnb") == 1,
+                (F.col("__cb") / F.col("__n"))
+                * F.log(F.col("__cb") / F.col("__n")),
+            )
+        )).alias("__hb"),
     )
-    ha = ent(ma, "__ca")
-    hb = ent(mb, "__cb")
-    out = (
-        n.crossJoin(mi).crossJoin(ha).crossJoin(hb)
-        .select(
-            F.col("__n").cast("bigint").alias("n"),
-            F.round(F.col("__mi_nats") / ln2, 6).alias("mi_bits"),
-            F.round(F.col("__h__ca") / ln2, 6).alias("h_a"),
-            F.round(F.col("__h__cb") / ln2, 6).alias("h_b"),
-            F.round(
-                F.when(
-                    F.least("__h__ca", "__h__cb") <= 0.0, F.lit(0.0)
-                ).otherwise(
-                    F.col("__mi_nats") / F.least("__h__ca", "__h__cb")
-                ),
-                6,
-            ).alias("nmi"),
-        )
+    out = agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(F.col("__mi_nats") / ln2, 6).alias("mi_bits"),
+        F.round(F.col("__ha") / ln2, 6).alias("h_a"),
+        F.round(F.col("__hb") / ln2, 6).alias("h_b"),
+        F.round(
+            F.when(
+                F.least("__ha", "__hb") <= 0.0, F.lit(0.0)
+            ).otherwise(
+                F.col("__mi_nats") / F.least("__ha", "__hb")
+            ),
+            6,
+        ).alias("nmi"),
     )
     return tether(out, pairs)
 

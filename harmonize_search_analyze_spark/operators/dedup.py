@@ -2051,6 +2051,7 @@ def winnow_fingerprints(
     *,
     ngram: int = 8,
     window: int = 4,
+    distinct: bool = True,
 ) -> DataFrame:
     """Exploded winnowing fingerprints per document (see
     :func:`winnow_sql` for the algorithm and guarantee). Spark side
@@ -2058,11 +2059,17 @@ def winnow_fingerprints(
     columns (each computed ONCE per row; a single inlined expression
     would recompute the normalization per character position — O(L²)).
     Returns ``(id, fingerprint)`` distinct rows. Map-only until the
-    final distinct's exchange."""
+    final distinct's exchange.
+
+    ``distinct=False`` skips the global distinct exchange for callers
+    whose downstream aggregation dedupes anyway (winnow_pairs'
+    count_distinct/collect_set posting build — round 11); rows are then
+    distinct per document (array_distinct) but repeated ids in the
+    INPUT may repeat (id, fingerprint) pairs."""
     from harmonize_search_analyze_spark.functions.hashing import hash64_sql
 
     h = hash64_sql(f"substring(__t, i, {ngram})", "spark")
-    return (
+    exploded = (
         df.where(F.col(text_col).isNotNull())
         .withColumn(
             "__t",
@@ -2087,8 +2094,8 @@ def winnow_fingerprints(
                 )
             ).alias("fingerprint"),
         )
-        .distinct()
     )
+    return exploded.distinct() if distinct else exploded
 
 
 def winnow_pairs(
@@ -2112,27 +2119,49 @@ def winnow_pairs(
     (the boilerplate stop-fingerprint rule — a ubiquitous window is
     pure quadratic noise), bounding per-key fan-out. Returns
     ``(id1, id2, shared)`` ordered (shared DESC, id1, id2)."""
-    fps = winnow_fingerprints(
-        df, id_col, text_col, ngram=ngram, window=window
+    # Round-11 (guide §2.4/§3 — remove the join outright): pairs are
+    # generated from per-fingerprint POSTING LISTS instead of the
+    # a-x-b self-join. The old shape shuffled the exploded fingerprint
+    # frame three times (distinct, postings count, join probe) and
+    # joined; the new shape shuffles it twice (postings count with the
+    # distinct folded in as count_distinct, then collect_set for the
+    # kept fingerprints only) and explodes each sorted posting list's
+    # id1<id2 combinations in-task — the identical pair multiset, so
+    # shared counts are unchanged. Sets are collected ONLY for
+    # fingerprints already known to post 2..max_postings docs, so no
+    # row ever materializes an unbounded posting list (the stop-
+    # fingerprint scale guard still bites BEFORE any collection).
+    raw = winnow_fingerprints(
+        df, id_col, text_col, ngram=ngram, window=window, distinct=False
     ).persist()
-    postings = fps.groupBy("fingerprint").agg(
-        F.count(F.lit(1)).alias("__p")
+    postings = raw.groupBy("fingerprint").agg(
+        F.count_distinct(id_col).alias("__p")
     )
-    kept = fps.join(
-        F.broadcast(postings.where(F.col("__p") <= max_postings)),
+    kept = raw.join(
+        F.broadcast(
+            postings.where(
+                (F.col("__p") >= 2) & (F.col("__p") <= max_postings)
+            ).select("fingerprint")
+        ),
         "fingerprint",
-    ).drop("__p")
-    a = kept.select(F.col(id_col).alias("id1"), "fingerprint")
-    b = kept.select(F.col(id_col).alias("id2"), "fingerprint")
+    )
+    lists = kept.groupBy("fingerprint").agg(
+        F.array_sort(F.collect_set(id_col)).alias("__ids")
+    )
+    pair_expr = (
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids) - i - 1), "
+        "y -> struct(x AS id1, y AS id2))))"
+    )
     out = (
-        a.join(b, ["fingerprint"])
-        .where(F.col("id1") < F.col("id2"))
+        lists.select(F.explode(F.expr(pair_expr)).alias("__pr"))
+        .select("__pr.id1", "__pr.id2")
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
         .where(F.col("shared") >= min_shared)
         .orderBy(F.desc("shared"), F.asc("id1"), F.asc("id2"))
     )
-    return tether(out, fps)
+    return tether(out, raw)
 
 def leakage_check(
     df: DataFrame,

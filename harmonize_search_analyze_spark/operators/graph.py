@@ -289,6 +289,10 @@ def pagerank_sql(
     )
 
 
+# round-11 A/B knob: checkpoint triangle_count's oriented frame
+_TRI_ORIENTED_CKPT = True
+
+
 def triangle_count(
     edges: DataFrame,
     *,
@@ -352,12 +356,17 @@ def triangle_count(
     # NOTE (round-10 optimization pass): persisting oriented across its
     # three readers was tried and measured FLAT at sf0.1 — ReuseExchange
     # already dedupes the identical degree-join subtrees, and a cached
-    # subplan loses AQE coalescing (see graph_explore note). Left lazy.
+    # subplan loses AQE coalescing (see graph_explore note).
     oriented = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("td"),
     )
+    if _TRI_ORIENTED_CKPT:
+        # round-11 A/B knob: lazy localCheckpoint computes the oriented
+        # frame once for its three readers WITHOUT the SQL-cache AQE
+        # trap persist() has (LogicalRDD keeps the parent partitioning)
+        oriented = oriented.localCheckpoint(eager=False)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     e3 = oriented.select(

@@ -192,6 +192,24 @@ def exp_cc(spark, trials):
 EXPERIMENTS["cc"] = exp_cc
 
 
+def exp_tri(spark, trials):
+    import harmonize_search_analyze_spark.operators.graph as gr
+
+    run(
+        spark,
+        "triangle_count",
+        {
+            "ckpt": lambda: setattr(gr, "_TRI_ORIENTED_CKPT", True),
+            "nockpt": lambda: setattr(gr, "_TRI_ORIENTED_CKPT", False),
+        },
+        trials,
+    )
+    gr._TRI_ORIENTED_CKPT = True
+
+
+EXPERIMENTS["tri"] = exp_tri
+
+
 def main():
     exp = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 4

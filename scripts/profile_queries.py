@@ -171,7 +171,7 @@ def main() -> None:
               f"{trials[-1]['n_jobs']})", file=sys.stderr)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "profile_r11_b3.json")
+                        "profile_r11_b4.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"# wrote {path}", file=sys.stderr)
