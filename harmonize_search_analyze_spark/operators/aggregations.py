@@ -4428,7 +4428,12 @@ def weighted_percentile(
         .groupBy(v.alias("__v"))
         .agg(F.sum(w).alias("__w"))
     )
-    cum = prefix_sums(per, ["__v"], {"__w": "__cw"}).persist()
+    # lazy_bounds=False: persisted-output shape — the eager boundary
+    # sample pre-fills the cache and measured faster (1.01/1.15 vs
+    # 1.13/1.45 min/med, 8-trial matched-slot; see lorenz_gini's note)
+    cum = prefix_sums(
+        per, ["__v"], {"__w": "__cw"}, lazy_bounds=False
+    ).persist()
     tot = cum.agg(F.max("__cw").alias("__tot"))
     hit = cum.crossJoin(F.broadcast(tot)).agg(
         F.max("__tot").alias("__tot"),

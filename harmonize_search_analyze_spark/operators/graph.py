@@ -32,6 +32,10 @@ from pyspark.sql import DataFrame, functions as F
 from harmonize_search_analyze_spark.functions.caching import tether
 from harmonize_search_analyze_spark.functions.tokenize import split_tokens
 
+#: checkpoint graph_explore's token frame across its four consumers
+#: (round 11) — A/B-rig flag
+_GE_TOK_CKPT = True
+
 
 def graph_explore(
     df: DataFrame,
@@ -59,6 +63,13 @@ def graph_explore(
         F.col(id_col).alias("__doc"),
         F.explode(F.array_distinct(split_tokens(text_col))).alias("term"),
     )
+    if _GE_TOK_CKPT:
+        # Round-11: tok has FOUR consumers (seed_docs, v0, src, final) —
+        # each re-ran the tokenize+explode. Persist was the r10-rejected
+        # AQE-cache trap (1.9 -> 2.6-3.0 s); a lazy localCheckpoint
+        # materializes the ~6 MB token frame once and KEEPS AQE
+        # coalescing for every consumer.
+        tok = tok.localCheckpoint(eager=False)
     seed_docs = tok.where(F.col("term") == seed).select("__doc").distinct()
     v0 = (
         tok.join(seed_docs, "__doc")

@@ -33,6 +33,10 @@ from harmonize_search_analyze_spark.operators.sampling import (
     sample_hash_sql,
 )
 
+#: boundary sampling as an in-plan broadcast (round 11) instead of an
+#: eager per-query driver collect job — A/B-rig flag
+_LAZY_BOUNDS = True
+
 
 def global_order(
     df: DataFrame,
@@ -66,7 +70,13 @@ def global_order(
     spec = [(c, ascending) for c in sort_cols]
     order = _sort_columns(spec)
     src = df.persist()
-    tagged = _with_bucket(src, spec, num_partitions, "__pid")
+    bounds_frame = None
+    if _LAZY_BOUNDS:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        bounds_frame = _lazy_bounds_frame(src, spec[:1], n)
+    tagged = _with_bucket(
+        src, spec, num_partitions, "__pid", None, bounds_frame
+    )
     # within-bucket rank: window PARTITIONED by bucket -> parallel
     w = Window.partitionBy("__pid").orderBy(*order)
     ranked = tagged.withColumn("__local", F.row_number().over(w))
@@ -687,6 +697,45 @@ def sample_boundaries(
     return out
 
 
+def _lazy_bounds_frame(
+    df: DataFrame,
+    spec: list[tuple[str, bool]],
+    n: int,
+) -> DataFrame | None:
+    """ONE-ROW frame with a sorted, deduped boundary array per distinct
+    first-sort column — the IN-PLAN twin of :func:`sample_boundaries`
+    (round 11, guide §1.2 fixed costs). The eager ``.first()`` boundary
+    collect ran as its own driver-blocking job at query-CONSTRUCTION
+    time — profiled 0.6–1.5 s of the rank-statistic battery's wall per
+    query at sf0.1. As a broadcast-joined one-row frame the same
+    ``percentile_approx`` rides the consumer's own action. Returns None
+    when any axis is non-numeric (strings keep the driver sample path).
+
+    Boundary VALUES are unchanged: same aggregate over the same input —
+    and any placement is correct anyway (buckets only affect balance).
+    Arrays are kept ascending regardless of sort direction: the bucket
+    id is ``size(filter(...))``, which is order-free over the boundary
+    SET (unlike the pre-r11 CaseWhen chain, which needed the reversal).
+    """
+    dtypes = dict(df.dtypes)
+    fracs = [i / n for i in range(1, n)]
+    aggs = []
+    seen: set[str] = set()
+    for name, _asc in spec:
+        if name in seen:
+            continue
+        seen.add(name)
+        k, dt = _monotonic_key(dtypes[name], name)
+        if not (dt in _NUMERIC_DTYPES or dt.startswith("decimal")):
+            return None
+        aggs.append(
+            F.array_distinct(F.percentile_approx(k, fracs)).alias(
+                f"__bounds_{name}"
+            )
+        )
+    return df.agg(*aggs)
+
+
 def _bucket_boundaries(
     df: DataFrame,
     name: str,
@@ -739,6 +788,7 @@ def _with_bucket(
     num_partitions: int | None,
     pid_col: str,
     boundaries: list | None = None,
+    bounds_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Tag every row with its deterministic order-bucket id (a pure
     projection — the bucket id is ``#boundaries passed`` computed from
@@ -749,6 +799,30 @@ def _with_bucket(
     """
     name, asc = spec[0]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if bounds_frame is not None:
+        # round 11: boundaries as a broadcast-joined ONE-ROW array column
+        # (see _lazy_bounds_frame) — same size(filter(...)) bucket id over
+        # the same boundary set, no eager driver collect. NULL array
+        # (empty input) -> pid 0 via the coalesce; NULL first keys behave
+        # exactly as the literal path (lambda yields NULL -> filtered out
+        # -> pid 0 for asc; desc pins explicitly below).
+        k, _dt = _monotonic_key(dict(df.dtypes)[name], name)
+        bcol = F.col(f"__bounds_{name}")
+        pid = F.coalesce(
+            F.size(
+                F.filter(bcol, (lambda b: k > b) if asc else (lambda b: k < b))
+            ),
+            F.lit(0),
+        )
+        if not asc:
+            pid = F.when(
+                F.col(name).isNull() & bcol.isNotNull(), F.size(bcol)
+            ).otherwise(pid)
+        return (
+            df.crossJoin(F.broadcast(bounds_frame))
+            .withColumn(pid_col, pid.cast("int"))
+            .drop(*bounds_frame.columns)
+        )
     if boundaries is not None:
         k, _dt = _monotonic_key(dict(df.dtypes)[name], name)
         bounds = boundaries
@@ -787,6 +861,8 @@ def prefix_sums(
     *,
     num_partitions: int | None = None,
     boundaries: list | None = None,
+    bounds_frame: DataFrame | None = None,
+    lazy_bounds: bool | None = None,
 ) -> DataFrame:
     """Inclusive running sums over a distributed total order — the
     scalable replacement for ``SUM(x) OVER (ORDER BY k ROWS UNBOUNDED
@@ -820,7 +896,13 @@ def prefix_sums(
     spec = _order_spec(order_cols)
     order = _sort_columns(spec)
     src = df.persist()
-    tagged = _with_bucket(src, spec, num_partitions, "__pid", boundaries)
+    use_lazy = _LAZY_BOUNDS if lazy_bounds is None else lazy_bounds
+    if boundaries is None and bounds_frame is None and use_lazy:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        bounds_frame = _lazy_bounds_frame(src, spec[:1], n)
+    tagged = _with_bucket(
+        src, spec, num_partitions, "__pid", boundaries, bounds_frame
+    )
     wl = (
         Window.partitionBy("__pid")
         .orderBy(*order)
@@ -891,7 +973,13 @@ def ntile_scalable(
     spec = _order_spec(order_cols)
     order = _sort_columns(spec)
     src = df.persist()
-    tagged = _with_bucket(src, spec, num_partitions, "__pid", boundaries)
+    bounds_frame = None
+    if boundaries is None and _LAZY_BOUNDS:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        bounds_frame = _lazy_bounds_frame(src, spec[:1], n)
+    tagged = _with_bucket(
+        src, spec, num_partitions, "__pid", boundaries, bounds_frame
+    )
     wl = Window.partitionBy("__pid").orderBy(*order)
     local = tagged.withColumn("__local", F.row_number().over(wl))
     wall = Window.orderBy("__pid").rowsBetween(
@@ -963,11 +1051,19 @@ def ntile_multi(
 
     specs = {out: _order_spec(spec) for out, spec in axes.items()}
     src = df.persist()
-    bounds = sample_boundaries(
-        src,
-        [spec[0] for spec in specs.values()],
-        num_partitions=num_partitions,
-    )
+    bounds = None
+    bframe = None
+    if _LAZY_BOUNDS:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        bframe = _lazy_bounds_frame(
+            src, [spec[0] for spec in specs.values()], n
+        )
+    if bframe is None:
+        bounds = sample_boundaries(
+            src,
+            [spec[0] for spec in specs.values()],
+            num_partitions=num_partitions,
+        )
 
     def _idiv(a, d):
         return ((a - a % d) / d).cast("bigint")
@@ -977,7 +1073,8 @@ def ntile_multi(
         name, _asc = spec[0]
         pid_col = f"__pid_{out_col}"
         tagged = _with_bucket(
-            src, spec, num_partitions, pid_col, bounds[name]
+            src, spec, num_partitions, pid_col,
+            None if bframe is not None else bounds[name], bframe,
         )
         woff = Window.orderBy(pid_col).rowsBetween(
             Window.unboundedPreceding, -1
@@ -998,7 +1095,10 @@ def ntile_multi(
         )
         order = _sort_columns(spec)
         wl = Window.partitionBy(pid_col).orderBy(*order)
-        out = _with_bucket(out, spec, num_partitions, pid_col, bounds[name])
+        out = _with_bucket(
+            out, spec, num_partitions, pid_col,
+            None if bframe is not None else bounds[name], bframe,
+        )
         out = (
             out.withColumn("__local", F.row_number().over(wl))
             .join(F.broadcast(offsets), pid_col)
@@ -1047,7 +1147,13 @@ def prefix_max(
     spec = _order_spec(order_cols)
     order = _sort_columns(spec)
     src = df.persist()
-    tagged = _with_bucket(src, spec, num_partitions, "__pid", boundaries)
+    bounds_frame = None
+    if boundaries is None and _LAZY_BOUNDS:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        bounds_frame = _lazy_bounds_frame(src, spec[:1], n)
+    tagged = _with_bucket(
+        src, spec, num_partitions, "__pid", boundaries, bounds_frame
+    )
     end = Window.currentRow if inclusive else -1
     wl = (
         Window.partitionBy("__pid")

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 from harmonize_search_analyze_spark.functions.caching import tether
 from harmonize_search_analyze_spark.sources.tables import local_frame
 
+#: one-slice parallelize for driver-assembled centroid/codebook frames
+#: (round 11) — A/B-rig flag
+_SMALL_FRAME_ONE_SLICE = True
+
 
 def _dot_sql(a: str, b: str) -> str:
     return (
@@ -113,6 +117,22 @@ def ivf_assign(
         .select(id_col, "centroid_id")
     )
     return centroids, assignments
+
+
+def _small_frame(spark, rows: list, ddl: str) -> DataFrame:
+    """Driver-assembled metadata frames (centroids / codebooks) as a ONE-
+    slice pickled RDD. ``createDataFrame(list)`` parallelizes into
+    defaultParallelism slices, so every downstream scan or collect of an
+    8-row centroid frame pays 32 near-empty Python-worker tasks at
+    local[32] — profiled round 11 as 6.5 s of blocked runTime on
+    kmeans_ivf's final ``_collect_centroids`` and the same shape on
+    pq_search_ivf's codebook reads. Array cells must keep the pickled
+    path (``local_frame``'s documented VALUES param-explosion crossover),
+    so the fix is the slice count, not the transport: same rows, same
+    schema, one task instead of 32."""
+    if not _SMALL_FRAME_ONE_SLICE:  # A/B-rig fallback
+        return spark.createDataFrame(rows, ddl)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ddl)
 
 
 def _assign_literal(
@@ -268,7 +288,7 @@ def kmeans_init_farthest(
     chosen = _init_farthest_rows(
         df, n_centroids, vec_col=vec_col, id_col=id_col
     )
-    return spark.createDataFrame(chosen, "centroid_id INT, cvec ARRAY<DOUBLE>")
+    return _small_frame(spark, chosen, "centroid_id INT, cvec ARRAY<DOUBLE>")
 
 
 def _init_oversample_rows(
@@ -408,7 +428,7 @@ def kmeans_train(
             if cid in by_cid else (cid, old)
             for cid, old in crows
         ]
-    return spark.createDataFrame(crows, "centroid_id INT, cvec ARRAY<DOUBLE>")
+    return _small_frame(spark, crows, "centroid_id INT, cvec ARRAY<DOUBLE>")
 
 
 def kmeans_inertia(
@@ -1340,8 +1360,8 @@ def pq_refs_codebooks(
     for cid, r in enumerate(rows):
         for j in range(m):
             out.append((j, cid, r["v"][j * d:(j + 1) * d]))
-    return spark.createDataFrame(
-        out, "subspace INT, centroid_id INT, cvec ARRAY<DOUBLE>"
+    return _small_frame(
+        spark, out, "subspace INT, centroid_id INT, cvec ARRAY<DOUBLE>"
     )
 
 
@@ -1501,8 +1521,8 @@ def pq_train(
                 )
             else:
                 rows.append((key[0], key[1], list(r["cvec"])))
-        books = spark.createDataFrame(
-            rows, "subspace INT, centroid_id INT, cvec ARRAY<DOUBLE>"
+        books = _small_frame(
+            spark, rows, "subspace INT, centroid_id INT, cvec ARRAY<DOUBLE>"
         )
     return books
 

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from harmonize_search_analyze_spark.functions.hashing import hash64_sql
 
+#: llr_collocations margins as axis-partitioned window sums (round 11)
+#: — A/B-rig flag
+_LLR_WINDOW_MARGINS = True
+
 # -- tokenization ------------------------------------------------------------
 
 _WORD_RE = r"[a-z0-9]+"
@@ -2399,8 +2403,16 @@ def llr_collocations(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
     ).persist()
-    r1 = bi.groupBy("w1").agg(F.sum("c12").alias("r1"))
-    c2 = bi.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    # Round-11 (the mutual_info / ipf_weights pattern — margin joins ->
+    # window aggregates, guide §2.1/§2.4): r1/c2 were two groupBy-agg
+    # subtrees joined back onto bi — profiled as the query's two heaviest
+    # stages (4.0 s + 3.1 s runTime of mostly-blocked 32-task scans of
+    # the persisted frame, plus two join exchanges). Each margin is now a
+    # window SUM partitioned by its axis, computed in the main pass.
+    # Margins are sums of BIGINT counts — integer addition is order-free,
+    # so values are bit-identical; the DuckDB oracle keeps the join form
+    # (parity = equivalence proof). The bigram frame is vocab-pair-sized,
+    # so window partitions stay metadata at any corpus size.
     nn = F.broadcast(bi.agg(F.sum("c12").cast("double").alias("__n")))
 
     def h(k, r, c):
@@ -2422,10 +2434,18 @@ def llr_collocations(
         + h(k21, F.col("__n") - rr, cc)
         + h(k22, F.col("__n") - rr, F.col("__n") - cc)
     )
+    if _LLR_WINDOW_MARGINS:
+        margined = bi.select(
+            "w1", "w2", "c12",
+            F.sum("c12").over(Window.partitionBy("w1")).alias("r1"),
+            F.sum("c12").over(Window.partitionBy("w2")).alias("c2"),
+        )
+    else:  # A/B-rig fallback: the pre-round join form
+        margined = bi.join(
+            bi.groupBy("w1").agg(F.sum("c12").alias("r1")), "w1"
+        ).join(bi.groupBy("w2").agg(F.sum("c12").alias("c2")), "w2")
     out = (
-        bi.where(F.col("c12") >= min_count)
-        .join(r1, "w1")
-        .join(c2, "w2")
+        margined.where(F.col("c12") >= min_count)
         .crossJoin(nn)
         .select(
             "w1", "w2", "c12", "r1", "c2",

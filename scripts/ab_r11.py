@@ -210,6 +210,115 @@ def exp_tri(spark, trials):
 EXPERIMENTS["tri"] = exp_tri
 
 
+def exp_spearman(spark, trials):
+    """A/B spearman's lazy shared bounds frame vs the r10 eager
+    sample_boundaries collect."""
+    import pyspark.sql.functions as F
+
+    import harmonize_search_analyze_spark.operators.analytics as an
+    from harmonize_search_analyze_spark.functions.caching import tether
+    from harmonize_search_analyze_spark.operators.ordering import (
+        prefix_sums,
+        sample_boundaries,
+    )
+
+    new = an.spearman_corr
+
+    def old(df, x_expr, y_expr):
+        x = F.expr(x_expr).cast("double")
+        y = F.expr(y_expr).cast("double")
+        base = (
+            df.where(x.isNotNull() & y.isNotNull())
+            .select(x.alias("__x"), y.alias("__y"))
+            .persist()
+        )
+        bounds = sample_boundaries(base, ["__x", "__y"])
+
+        def _ranks(col):
+            counts = base.groupBy(col).agg(F.count(F.lit(1)).alias("__c"))
+            return prefix_sums(
+                counts, [col], {"__c": "__cum"}, boundaries=bounds[col]
+            ).select(
+                col,
+                (
+                    F.col("__cum") - F.col("__c") + (F.col("__c") + 1) / 2.0
+                ).alias(f"__r{col[-1]}"),
+            )
+
+        ranked = tether(
+            base.join(_ranks("__x"), "__x").join(_ranks("__y"), "__y"),
+            base,
+        )
+        rho = F.try_divide(
+            F.covar_pop("__rx", "__ry"),
+            F.stddev_pop("__rx") * F.stddev_pop("__ry"),
+        )
+        return ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(rho, 6) + F.lit(0.0)).alias("rho"),
+        )
+
+    run(
+        spark,
+        "spearman_corr",
+        {
+            "lazy": lambda: setattr(an, "spearman_corr", new),
+            "eager": lambda: setattr(an, "spearman_corr", old),
+        },
+        trials,
+    )
+    an.spearman_corr = new
+
+
+EXPERIMENTS["spearman"] = exp_spearman
+
+
+#: generic boolean-knob A/B: exp name -> (module path, flag, query names)
+_FLAG_EXPS = {
+    "dsir": ("harmonize_search_analyze_spark.operators.dsir",
+             "_DSIR_EAGER", ["dsir_sample"]),
+    "fdc": ("harmonize_search_analyze_spark.operators.contamination",
+            "_FDC_CANDS_CKPT", ["fuzzy_decontaminate"]),
+    "getok": ("harmonize_search_analyze_spark.operators.graph",
+              "_GE_TOK_CKPT", ["graph_explore"]),
+    "llr": ("harmonize_search_analyze_spark.operators.text",
+            "_LLR_WINDOW_MARGINS", ["llr_collocations"]),
+    "smallframe": ("harmonize_search_analyze_spark.operators.similarity",
+                   "_SMALL_FRAME_ONE_SLICE",
+                   ["kmeans_ivf", "pq_search_ivf", "similarity_join_ivf"]),
+    "lazybounds": ("harmonize_search_analyze_spark.operators.ordering",
+                   "_LAZY_BOUNDS",
+                   ["lorenz_gini", "weighted_percentile", "kruskal_wallis",
+                    "mann_whitney", "roc_auc", "rfm_segments", "heaps_law",
+                    "negative_sampling", "global_order", "pareto_front"]),
+}
+
+
+def _make_flag_exp(modpath, flag, queries):
+    def exp(spark, trials):
+        import importlib
+
+        mod = importlib.import_module(modpath)
+        qs = sys.argv[3:] or queries
+        for q in qs:
+            run(
+                spark,
+                q,
+                {
+                    "on": lambda: setattr(mod, flag, True),
+                    "off": lambda: setattr(mod, flag, False),
+                },
+                trials,
+            )
+        setattr(mod, flag, True)
+
+    return exp
+
+
+for _name, (_m, _f, _qs) in _FLAG_EXPS.items():
+    EXPERIMENTS[_name] = _make_flag_exp(_m, _f, _qs)
+
+
 def main():
     exp = sys.argv[1]
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 4

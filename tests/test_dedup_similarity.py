@@ -177,9 +177,28 @@ def test_persisted_frames_released(spark, docs):
     long-lived session. After release() (or GC of the result) the context
     tracks no persisted RDDs from these operators."""
     import gc
+    import time
 
     gc.collect()
+    # Drain the ASYNC ContextCleaner before pinning the baseline: RDDs
+    # checkpointed by earlier tests (localCheckpoint persists
+    # MEMORY_AND_DISK under the hood) are unpersisted by a background
+    # thread after their frames are GC'd — a cleanup landing between the
+    # base read and the equality asserts below shifts the count through
+    # no fault of the operators under test. Wait until the count is a
+    # fixed point for two consecutive reads.
+    # a dropped checkpoint's storage is freed only after the JVM-side RDD
+    # object is collected — python gc alone never triggers that
+    spark._jvm.System.gc()
     base = persisted_count(spark)
+    stable = 0
+    for _ in range(40):
+        time.sleep(0.25)
+        b2 = persisted_count(spark)
+        stable = stable + 1 if b2 == base else 0
+        base = b2
+        if stable >= 4:
+            break
     out = simhash_near_dup_pairs_banded(docs, "doc_id", "text", max_hamming=3)
     out.collect()
     assert persisted_count(spark) > base     # intermediates are cached
