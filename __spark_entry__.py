@@ -12393,25 +12393,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only trainers by documented contract), so every non-canary,
     # non-new slot is now a re-check.
     #
-    # ROUND-10 WINDOW: 3 canaries + 4 new (image_near_dup,
-    # audio_near_dup — the multimodal near-dup family's first external
-    # rows, VERDICT r9 #2; substr_span_clusters — ExactSubstr -> cross-doc
-    # span clusters; hubness_report — N_k distribution diagnostic) + the
-    # 43 oldest queries (all last green in CORRECTNESS_r02; the remaining
-    # 4 r2-era queries — pipeline_daily, composite_page, weighted_avg,
-    # mad — lead the round-11 rotation fill).  Entries 51+ stay in stable
-    # order.
+    # ROUND-11 WINDOW (optimization round): no new queries this round, so
+    # every non-canary slot goes to the optimization-rewritten set — the
+    # exact discipline VERDICT r10 mandated (what's-wrong #2 / next-round
+    # #2: "the window contract exists precisely so the driver re-proves
+    # semantics"). Composition: 3 canaries + 10 r10 rewrites that rotated
+    # out before the r10 optimizer ran (CC fusion trio + semantic_dedup,
+    # ipf_weights, markov_stationary, dedup_eval, hits_scores, pagerank,
+    # jaccard_brute) + 30 r11-rewritten queries (posting-list winnow,
+    # windowed mutual_info/LLR, triangle/kcenter/fuzzy/graph_explore/dsir
+    # checkpoints, staged lang-ID, the bucket-id + lazy-boundary rank
+    # battery, one-slice metadata frames) + 7 oldest re-verification fill
+    # (the 4 r2-era stragglers + the 3 oldest r3-era). Entries 51+ stay
+    # in stable order; the r10-window members all went green in
+    # CORRECTNESS_r10 and rotate back into the tail.
     return {
-        # -- canaries (driver-green r1-r9) ------------------------------
+        # -- canaries (driver-green r1-r10) -----------------------------
         "profile_dict": q_profile_dict,
         "nested_terms": q_nested_terms,
         "harmonize_rollup": q_harmonize_rollup,
-        # -- ROUND-10 additions (new surface ships INSIDE the window) ---
+        # -- ROUND-11 WINDOW: driver re-proof of every optimization-
+        # rewritten query (VERDICT r10 what's-wrong #2 / next-round #2).
+        # r10 rewrites that missed the r10 window (CC fusion, IPF window
+        # rewrite, markov cadence, pair_metrics ckpt, hits raw-agg ckpt):
+        "dedup_clusters": q_dedup_clusters,
+        "soft_dedup": q_soft_dedup,
+        "dedup_keep_best": q_dedup_keep_best,
+        "semantic_dedup": q_semantic_dedup,
+        "ipf_weights": q_ipf_weights,
+        "markov_stationary": q_markov_stationary,
+        "dedup_eval": q_dedup_eval,
+        "hits_scores": q_hits_scores,
+        "pagerank": q_pagerank,
+        "jaccard_brute": q_jaccard_brute,
+        # r11 rewrites, first batch (posting-list winnow, windowed
+        # mutual_info, triangle ckpt, staged lang-ID, pipeline ckpt,
+        # k_core observe, kcenter lazy ckpt):
+        "winnow_pairs": q_winnow_pairs,
+        "mutual_info": q_mutual_info,
+        "triangle_count": q_triangle_count,
+        "confusion_eval": q_confusion_eval,
+        "corpus_pipeline": q_corpus_pipeline,
+        "k_core": q_k_core,
+        "kcenter_select": q_kcenter_select,
+        # r11 rank-statistic battery (bucket-id HOF + in-plan lazy
+        # boundary sampling in ordering.py):
+        "mann_whitney": q_mann_whitney,
+        "roc_auc": q_roc_auc,
+        "pr_curve": q_pr_curve,
+        "ks_drift": q_ks_drift,
+        "spearman_corr": q_spearman_corr,
+        "lorenz_gini": q_lorenz_gini,
+        "rfm_segments": q_rfm_segments,
+        "weighted_percentile": q_weighted_percentile,
+        "kruskal_wallis": q_kruskal_wallis,
+        "heaps_law": q_heaps_law,
+        "theil_sen": q_theil_sen,
+        "pareto_front": q_pareto_front,
+        # r11 rewrites, second batch (one-slice metadata frames, dsir
+        # eager gram ckpt, fuzzy cands ckpt, graph_explore tok ckpt,
+        # window LLR margins, lazy bounds in global_order/sampling):
+        "kmeans_ivf": q_kmeans_ivf,
+        "pq_search": q_pq_search,
+        "pq_search_ivf": q_pq_search_ivf,
+        "similarity_join_ivf": q_similarity_join_ivf,
+        "dsir_sample": q_dsir_sample,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "graph_explore": q_graph_explore,
+        "llr_collocations": q_llr_collocations,
+        "negative_sampling": q_negative_sampling,
+        "global_order": q_global_order,
+        "epoch_shuffle": q_epoch_shuffle,
+        # -- re-verification fill: oldest driver-verified (r2/r3 era) --
+        "pipeline_daily": q_pipeline_daily,
+        "composite_page": q_composite_page,
+        "weighted_avg": q_weighted_avg,
+        "mad": q_mad,
+        "inference_score": q_inference_score,
+        "eql_until": q_eql_until,
+        "search_template": q_search_template,
+        # -- window boundary (driver reads the 50 entries above) --------
+        # -- remaining 332, stable order --------------------------------
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
         "substr_span_clusters": q_substr_span_clusters,
         "hubness_report": q_hubness_report,
-        # -- re-verification rotation: 43 oldest (last green r2) --------
         "terms_topk": q_terms_topk,
         "search_bool": q_search_bool,
         "phrase_prefix": q_phrase_prefix,
@@ -12436,7 +12502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_values": q_enum_values,
         "vartype_guess": q_vartype_guess,
         "simhash_hamming": q_simhash_hamming,
-        "jaccard_brute": q_jaccard_brute,
         "sessionization": q_sessionization,
         "media_profile": q_media_profile,
         "embedding_lsh": q_embedding_lsh,
@@ -12455,12 +12520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_agg": q_range_agg,
         "filters_agg": q_filters_agg,
         "missing_agg": q_missing_agg,
-        # -- window boundary (driver reads the 50 entries above) --------
-        # -- driver-green r3-r9, stable order ----------------------------
-        "inference_score": q_inference_score,
-        "eql_until": q_eql_until,
-        "search_template": q_search_template,
-        "rfm_segments": q_rfm_segments,
         "event_paths": q_event_paths,
         "zipf_fit": q_zipf_fit,
         "parent_agg": q_parent_agg,
@@ -12490,11 +12549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qq_plot": q_qq_plot,
         "conversion_lag": q_conversion_lag,
         "geo_hotspots": q_geo_hotspots,
-        "weighted_percentile": q_weighted_percentile,
-        "ipf_weights": q_ipf_weights,
         "stl_decompose": q_stl_decompose,
-        "lorenz_gini": q_lorenz_gini,
-        "theil_sen": q_theil_sen,
         "label_outliers": q_label_outliers,
         "pmi_collocations": q_pmi_collocations,
         "centroid_similarity": q_centroid_similarity,
@@ -12515,7 +12570,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scripted_metric": q_scripted_metric,
         "pinned_search": q_pinned_search,
         "length_batching": q_length_batching,
-        "epoch_shuffle": q_epoch_shuffle,
         "pivot_summary": q_pivot_summary,
         "geo_shape": q_geo_shape,
         "script_score": q_script_score,
@@ -12531,13 +12585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_answered": q_rollup_answered,
         "terms_by_metric": q_terms_by_metric,
         "global_agg": q_global_agg,
-        "hits_scores": q_hits_scores,
-        "llr_collocations": q_llr_collocations,
         "log_odds_terms": q_log_odds_terms,
         "doc_keywords": q_doc_keywords,
         "good_turing": q_good_turing,
         "chao1_richness": q_chao1_richness,
-        "kruskal_wallis": q_kruskal_wallis,
         "logrank_test": q_logrank_test,
         "ltv_cohorts": q_ltv_cohorts,
         "cramers_v": q_cramers_v,
@@ -12547,25 +12598,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_position": q_attribution_position,
         "bot_score": q_bot_score,
         "fd_violations": q_fd_violations,
-        "pareto_front": q_pareto_front,
         "join_skew_probe": q_join_skew_probe,
         "rbo_overlap": q_rbo_overlap,
         "intrinsic_dim": q_intrinsic_dim,
-        "markov_stationary": q_markov_stationary,
-        "confusion_eval": q_confusion_eval,
         "leakage_check": q_leakage_check,
-        "spearman_corr": q_spearman_corr,
         "source_overlap_matrix": q_source_overlap_matrix,
         "source_jsd_matrix": q_source_jsd_matrix,
         "entropy_rate": q_entropy_rate,
-        "heaps_law": q_heaps_law,
         "geoip_route": q_geoip_route,
         "jsd_divergence": q_jsd_divergence,
         "distinct_ngrams": q_distinct_ngrams,
         "cusum_change": q_cusum_change,
         "benford_test": q_benford_test,
-        "mann_whitney": q_mann_whitney,
-        "roc_auc": q_roc_auc,
         "calibration": q_calibration,
         "burstiness": q_burstiness,
         "trimmed_stats": q_trimmed_stats,
@@ -12573,7 +12617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm": q_quantile_norm,
         "anova_f": q_anova_f,
         "chi2_independence": q_chi2_independence,
-        "ks_drift": q_ks_drift,
         "cross_source_dups": q_cross_source_dups,
         "template_prefixes": q_template_prefixes,
         "group_entropy": q_group_entropy,
@@ -12588,7 +12631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_bg": q_significant_bg,
         "msearch": q_msearch,
         "explain_score": q_explain_score,
-        "pr_curve": q_pr_curve,
         "hard_negatives": q_hard_negatives,
         "terms_partition": q_terms_partition,
         "audio_profile": q_audio_profile,
@@ -12598,17 +12640,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_script": q_bucket_script,
         "ip_prefix": q_ip_prefix,
         "intra_doc_dedup": q_intra_doc_dedup,
-        "kmeans_ivf": q_kmeans_ivf,
         "bpe_train": q_bpe_train,
-        "dedup_keep_best": q_dedup_keep_best,
-        "soft_dedup": q_soft_dedup,
         "knn_classify": q_knn_classify,
         "phrase_suggest": q_phrase_suggest,
-        "triangle_count": q_triangle_count,
-        "k_core": q_k_core,
         "set_similarity_join": q_set_similarity_join,
         "record_linkage": q_record_linkage,
-        "winnow_pairs": q_winnow_pairs,
         "association_rules": q_association_rules,
         "kmv_overlap": q_kmv_overlap,
         "scd2_merge": q_scd2_merge,
@@ -12617,15 +12653,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "xcorr_lags": q_xcorr_lags,
         "cohens_kappa": q_cohens_kappa,
-        "mutual_info": q_mutual_info,
         "ngram_novelty": q_ngram_novelty,
-        "negative_sampling": q_negative_sampling,
         "k_anonymity": q_k_anonymity,
         "ltr_features": q_ltr_features,
         "embedding_covariance": q_embedding_covariance,
         "embedding_pca": q_embedding_pca,
         "kcenter_seed": q_kcenter_seed,
-        "kcenter_select": q_kcenter_select,
         "silhouette": q_silhouette,
         "prop_ztest": q_prop_ztest,
         "forecast_backtest": q_forecast_backtest,
@@ -12644,7 +12677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after": q_search_after,
         "term_suggest": q_term_suggest,
         "nested_query": q_nested_query,
-        "global_order": q_global_order,
         "assign_split": q_assign_split,
         "rank_eval": q_rank_eval,
         "es_sql": q_es_sql,
@@ -12657,12 +12689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_fulltext": q_esql_fulltext,
         "esql_rerank": q_esql_rerank,
         "countmin_topk": q_countmin_topk,
-        "graph_explore": q_graph_explore,
         "int8_topk": q_int8_topk,
         "zorder_cluster": q_zorder_cluster,
         "rp_topk": q_rp_topk,
         "hll_by": q_hll_by,
-        "pagerank": q_pagerank,
         "downsample": q_downsample,
         "skew_report": q_skew_report,
         "significant_mi": q_significant_mi,
@@ -12676,7 +12706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_approx": q_terms_approx,
         "collapse_inner": q_collapse_inner,
         "retriever_rrf": q_retriever_rrf,
-        "corpus_pipeline": q_corpus_pipeline,
         "bbq_topk": q_bbq_topk,
         "maxsim": q_maxsim,
         "analyze_chain": q_analyze_chain,
@@ -12688,7 +12717,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_reweight": q_domain_reweight,
         "tokenizer_fertility": q_tokenizer_fertility,
         "multilingual_pipeline": q_multilingual_pipeline,
-        "dedup_eval": q_dedup_eval,
         "cluster_cap_sample": q_cluster_cap_sample,
         "field_caps": q_field_caps,
         "rescore_topk": q_rescore_topk,
@@ -12724,7 +12752,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score": q_function_score,
         "compound_search": q_compound_search,
         "incremental_dedup": q_incremental_dedup,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "quality_mix": q_quality_mix,
         "token_budget_sample": q_token_budget_sample,
         "percentiles_bucket": q_percentiles_bucket,
@@ -12732,7 +12759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrl_topk": q_mrl_topk,
         "lsh_incremental": q_lsh_incremental,
         "geo_search": q_geo_search,
-        "dsir_sample": q_dsir_sample,
         "simple_query": q_simple_query,
         "random_sampler": q_random_sampler,
         "diversified_terms": q_diversified_terms,
@@ -12742,16 +12768,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax": q_unimax,
         "unigram_seed": q_unigram_seed,
         "simhash_banded": q_simhash_banded,
-        "semantic_dedup": q_semantic_dedup,
-        "pq_search": q_pq_search,
-        "pq_search_ivf": q_pq_search_ivf,
         "line_dedup": q_line_dedup,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "weighted_sample": q_weighted_sample,
         "percolate": q_percolate,
-        "dedup_clusters": q_dedup_clusters,
-        "similarity_join_ivf": q_similarity_join_ivf,
         "similarity_join": q_similarity_join,
         "hybrid_search": q_hybrid_search,
         "bm25_search": q_bm25_search,
@@ -12785,10 +12806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_stats": q_matrix_stats,
         "variable_width_histogram": q_variable_width_histogram,
         "categorize_text": q_categorize_text,
-        "pipeline_daily": q_pipeline_daily,
-        "composite_page": q_composite_page,
-        "weighted_avg": q_weighted_avg,
-        "mad": q_mad,
     }
 
 
