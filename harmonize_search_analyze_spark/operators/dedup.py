@@ -1835,6 +1835,12 @@ def set_similarity_join(
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    # NOTE (round-11 optimization pass): the two heaviest profiled stages
+    # here are the docs-side collect_list+sort persist fill racing its
+    # self-join readers (9.2 s + 8.7 s runTime, 2.5-4 s cpu at sf0.1). A
+    # dsir-style eager materialization cut was considered and DEFERRED:
+    # it adds a job to an already 15-job query and the A/B host window
+    # was too noisy to prove the win; revisit only with a quiet host.
     toks = (
         df.select(
             F.col(id_col),
@@ -2196,6 +2202,12 @@ def leakage_check(
         split_case_sql,
     )
 
+    # NOTE (round-11): the one heavy profiled stage (13.7 s runTime /
+    # 4.9 s cpu at sf0.1) is the shared LSH signature build inside
+    # near_dup_pairs_lsh — md5-derived minhashing that IS the pinned
+    # cross-engine contract (bands are value-checked by the oracle), so
+    # the VERDICT-suggested xxhash64 swap is rejected on correctness,
+    # not effort. The audit itself adds only pure hash expressions.
     pairs = near_dup_pairs_lsh(
         df, id_col, text_col,
         threshold=threshold, k=k, n=n,

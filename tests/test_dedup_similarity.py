@@ -284,6 +284,7 @@ def test_similarity_join_batch_topk(vectors):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+@pytest.mark.slow
 def test_kmeans_monotone_inertia_and_separable_blobs(spark):
     """Lloyd invariant: inertia never increases per iteration; on three
     well-separated blobs the trained clusters align with the blobs."""
@@ -417,6 +418,7 @@ def test_pq_refs_codebooks_and_encode(spark):
     assert codes[4] == [1, 0]
 
 
+@pytest.mark.slow
 def test_pq_train_reduces_distortion(spark):
     import numpy as np
 
@@ -889,6 +891,7 @@ def test_mrl_full_width_equals_brute_topk(spark):
     assert mrl == brute
 
 
+@pytest.mark.slow
 def test_lsh_incremental_split_point_invariance(spark):
     """The accumulated pair set is invariant to WHERE the batch boundary
     falls (any split of the same corpus yields the same pairs)."""

@@ -155,6 +155,7 @@ def test_minhash_term_int64_safe(spark):
     assert got == duck
 
 
+@pytest.mark.slow
 def test_geohash_column_native_matches_sql(spark):
     """Column-native encode (Spark-Connect-safe path, no _jc access) must be
     bit-identical to the SQL generator on the published vectors and a grid
@@ -262,6 +263,7 @@ def test_ngrams_and_vocab(spark):
     assert vocab[1]["cum_coverage"] == round(5 / 7, 6)
 
 
+@pytest.mark.slow
 def test_bpe_train_textbook_merges(spark):
     """The Sennrich et al. example shape: 'low/lower/newer'-style corpus
     learns 'lo'+'w' and 'e'+'r' style merges, deterministically."""
@@ -296,6 +298,7 @@ def test_bpe_encode_empty_and_null(spark):
     assert rows[2]["bpe_tokens"] == []
 
 
+@pytest.mark.slow
 def test_bpe_local_and_distributed_loops_agree(spark):
     from harmonize_search_analyze_spark.operators.bpe import bpe_train
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from harmonize_search_analyze_spark.operators.graph import graph_explore
 
 
@@ -57,6 +59,7 @@ def test_graph_explore_min_doc_count_and_order(spark):
     assert got == [("a", "b", 2), ("a", "c", 2)]
 
 
+@pytest.mark.slow
 def test_pagerank_convergence_and_dangling(spark):
     """Star graph: the hub out-ranks the spokes; ranks always sum to 1
     (the dangling correction is what keeps mass conserved — spokes
@@ -74,6 +77,7 @@ def test_pagerank_convergence_and_dangling(spark):
     assert max(spoke) - min(spoke) < 1e-9  # symmetric spokes tie
 
 
+@pytest.mark.slow
 def test_pagerank_weighted_vs_unweighted(spark):
     """Edge weights steer the split: with w(1->2)=3, w(1->3)=1, node 2
     receives 3x node 3's contribution from node 1."""

@@ -90,6 +90,7 @@ def test_quantization_error_bound_property(spark, vec):
     ranks_a=st.permutations(list(range(1, 6))),
     ranks_b=st.permutations(list(range(1, 6))),
 )
+@pytest.mark.slow
 def test_rrf_list_order_invariance_property(spark, ranks_a, ranks_b):
     """RRF is symmetric in its input lists: fuse([a, b]) == fuse([b, a]),
     and every score is positive and bounded by n_lists/(rrf_k+1)."""
@@ -467,6 +468,7 @@ def test_batch_by_length_partition_property(spark, lens, bounds, bs, shards):
     epochs=st.integers(1, 4),
     seed=st.integers(0, 1000),
 )
+@pytest.mark.slow
 def test_epoch_shuffle_permutation_property(spark, n, epochs, seed):
     """ANY (corpus, epochs, seed): each epoch is a full permutation,
     positions are globally contiguous, and a DIFFERENT seed produces a

@@ -201,6 +201,7 @@ def test_geo_line_bounds_state_before_collect(spark):
     assert p.index("ObjectHashAggregate") < p.index("Window"), p
 
 
+@pytest.mark.slow
 def test_percolate_600_queries_single_stage(spark):
     """VERDICT r2 item 8: percolation with hundreds of stored queries
     stays ONE scan + ONE projection — no exchange, no Python stage, no

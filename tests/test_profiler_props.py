@@ -9,6 +9,8 @@ frames the dictionary invariants must hold —
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -35,6 +37,7 @@ def frames(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_profiler_invariants(spark, rows):
     df = spark.createDataFrame(rows, schema="num int, txt string")
     d = {r["dict_field"]: r for r in build_data_dict(df).collect()}
@@ -73,6 +76,7 @@ def test_profiler_invariants(spark, rows):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_boolean_type_guess(spark, rows):
     # int 0/1 columns with both values present must resolve to 'boolean'
     rows = rows + [True, False]  # force both values

@@ -4,6 +4,8 @@ values, these pin the laws."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import given, settings, strategies as st
@@ -81,6 +83,7 @@ def test_fleiss_kappa_bounds_property(spark, ratings):
         min_size=8, max_size=150,
     ),
 )
+@pytest.mark.slow
 def test_benjamini_hochberg_step_up_property(spark, data):
     """Ranks are a permutation 1..m; the rejected set is EXACTLY ranks
     1..k where k is the largest i with p_i <= (i/m) q."""
@@ -128,6 +131,7 @@ def test_chao1_dominates_observed_property(spark, keys):
         min_size=3, max_size=150,
     ),
 )
+@pytest.mark.slow
 def test_kruskal_wallis_nonnegative_property(spark, data):
     """H >= 0 for any groups/ties (midranks preserve the total rank
     sum, so H is a weighted squared deviation); the tie correction

@@ -200,6 +200,7 @@ def test_embedding_health_sql_twin_both_dialects(spark):
     assert tuple(duck) == pytest.approx(want)
 
 
+@pytest.mark.slow
 def test_join_size_estimate_property_uniform(spark):
     """Property (hypothesis-driven seeds, one spark session): for ANY
     key universe with globally uniform per-key multiplicity on each

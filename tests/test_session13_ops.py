@@ -364,6 +364,7 @@ def test_hubness_rejects_bad_k():
         hubness_report_sql("t", k=0)
 
 
+@pytest.mark.slow
 def test_hubness_from_knn_ivf_scale_path(spark):
     from pyspark.sql import functions as F
 

@@ -37,6 +37,7 @@ def _spark_tokens(spark, text, **chain):
 @settings(max_examples=20, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(_words, st.integers(1, 3), st.integers(3, 6))
+@pytest.mark.slow
 def test_edge_ngram_prefix_law(spark, words, lo, hi):
     text = " ".join(words)
     got = _spark_tokens(
@@ -51,6 +52,7 @@ def test_edge_ngram_prefix_law(spark, words, lo, hi):
 @settings(max_examples=20, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(_words, st.integers(2, 3), st.booleans())
+@pytest.mark.slow
 def test_shingle_count_law(spark, words, n, unigrams):
     text = " ".join(words)
     got = _spark_tokens(
@@ -68,6 +70,7 @@ def test_shingle_count_law(spark, words, n, unigrams):
 @settings(max_examples=20, deadline=None,
           suppress_health_check=list(HealthCheck))
 @given(_words)
+@pytest.mark.slow
 def test_unique_idempotent_order_preserving(spark, words):
     text = " ".join(words)
     once = _spark_tokens(spark, text, filters=["unique"])
@@ -153,6 +156,7 @@ def test_pr_curve_monotonicity(spark, rows):
 @given(st.lists(st.integers(0, 60 * 24 * 6 - 1), min_size=1, max_size=40),
        st.sampled_from(["1 hour", "2 hours", "6 hours", "1 day"]),
        st.sampled_from(["15 minutes", "1 hour", "3 hours"]))
+@pytest.mark.slow
 def test_rollup_rewrite_always_equals_raw(spark, minutes, interval, grain):
     """For ANY data and any registered dividing grain, the rewritten
     answer equals the raw-scan answer exactly; non-dividing grains fall
@@ -189,6 +193,7 @@ def test_rollup_rewrite_always_equals_raw(spark, minutes, interval, grain):
 @given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100),
                           st.sampled_from(["a", "b", "c"])),
                 min_size=0, max_size=40))
+@pytest.mark.slow
 def test_step_transitions_conservation(spark, rows):
     """Edge conservation: total transitions == Σ per-user max(n_i - 1, 0)
     over users with distinct (ts, event) multisets as generated."""

@@ -37,6 +37,7 @@ def _cusum_ref(values, k):
 
 @settings(**_SETTINGS)
 @given(st.lists(st.integers(0, 50), min_size=2, max_size=24))
+@pytest.mark.slow
 def test_cusum_identity_matches_recursion(spark, values):
     from harmonize_search_analyze_spark.operators.analytics import (
         cusum_change,
@@ -397,6 +398,7 @@ def test_acf_pins(spark):
                acf_series(const, "bucket", "v", max_lag=2).collect())
 
 
+@pytest.mark.slow
 def test_cusum_stream_matches_batch_and_replays(spark, tmp_path):
     """After all micro-batches the latest epoch snapshot equals the
     batch cusum_change over the full series; replaying an epoch rewrites

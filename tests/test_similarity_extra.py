@@ -1,3 +1,4 @@
+import pytest
 
 
 def test_bbq_pack_and_rerank(spark):
@@ -465,6 +466,7 @@ def test_kcenter_select_farthest_point_property(spark):
     assert out[2]["d2"] <= out[1]["d2"]
 
 
+@pytest.mark.slow
 def test_kcenter_select_deterministic_and_seed_matches(spark):
     from harmonize_search_analyze_spark.operators.similarity import (
         kcenter_seed, kcenter_select,

@@ -94,6 +94,7 @@ def test_sliding_window_shape(spark, events_stream_dir, tmp_path):
     assert sum(r["cnt"] for r in rows) == pytest.approx(2 * total_events, rel=0.02)
 
 
+@pytest.mark.slow
 def test_dashboard_refresh_foreachbatch(spark, events_stream_dir, tmp_path):
     from harmonize_search_analyze_spark.operators.aggregations import (
         count_metric,
@@ -125,6 +126,7 @@ def test_dashboard_refresh_foreachbatch(spark, events_stream_dir, tmp_path):
     assert streamed_total == load_table(spark, SF_DIR, "events").count()
 
 
+@pytest.mark.slow
 def test_sessionize_stream_matches_batch_oracle(spark, tmp_path):
     import datetime as dt
 
@@ -215,6 +217,7 @@ def test_sessionize_batch_on_events(spark):
     assert 0 < agg["sessions"] <= ev.count()
 
 
+@pytest.mark.slow
 def test_streaming_crime_dashboard_refresh(spark, tmp_path):
     """Layers composed: harmonized-shaped stream -> foreachBatch ->
     the reference's five dashboard panels per micro-batch."""
@@ -595,6 +598,7 @@ def test_stateful_processor_end_to_end(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slow
 def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
     """Streaming near-dup filter: micro-batches against persistent
     signature state must produce exactly the one-shot batch pair set,
@@ -658,6 +662,7 @@ def test_near_dup_stream_matches_batch_incremental(spark, tmp_path):
     assert state.select("doc_id").distinct().count() == 6
 
 
+@pytest.mark.slow
 def test_bloom_dedup_stream_exact_history_dedup(spark, tmp_path):
     """Streaming Bloom-prefiltered exact dedup: across micro-batches the
     out sink holds exactly the first occurrence of every distinct text,
@@ -924,6 +929,7 @@ def test_ingest_pipeline_runs_on_stream(spark, events_stream_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_streaming_sketches_match_batch(spark, tmp_path):
     """The mergeable sketches run UNCHANGED on a stream: Count-Min
     cells and HLL registers are plain groupBy aggs, so complete-mode
@@ -970,6 +976,7 @@ def test_streaming_sketches_match_batch(spark, tmp_path):
     assert got == batch_cells
 
 
+@pytest.mark.slow
 def test_streaming_downsample_matches_batch(spark, tmp_path):
     """TSDB downsampling runs UNCHANGED on a stream (complete mode):
     the continuous-rollup ingest shape — gauge pre-aggregates per
@@ -1025,6 +1032,7 @@ def test_streaming_downsample_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_streaming_hll_by_matches_batch(spark, tmp_path):
     """Per-group HLL registers are a plain (group, bucket, MAX rho)
     agg, so the sketch runs UNCHANGED on a stream (complete mode) and
@@ -1092,6 +1100,7 @@ def test_streaming_hll_by_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+@pytest.mark.slow
 def test_scd2_upsert_stream_versions_dimension(spark, tmp_path):
     """Streaming SCD2 registry: two micro-batches (insert wave, then a
     mixed update/new wave) produce the same dimension as two sequential
